@@ -1,13 +1,521 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.core._
+import graft.dedup.DocDedup
+import graft.incr._
+import graft.multimodal.Multimodal
+import graft.ops._
+import graft.sim.Similarity
+import graft.text.TextFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract: one `queries` entry (+ DuckDB `oracleSql` where the
+  * semantics are ANSI-SQL-expressible) per operator of SURVEY.md §2, plus
+  * the training-data-pipeline extensions (dedup / similarity / text /
+  * multimodal). Names in comments refer to the §2 inventory (A5, B1, …).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  import MrSchema.{Key, Value, SourceId}
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** lineitem has no single-column id; derive one for provenance. */
+  private def sources(s: SparkSession, dir: String): IncrementalRun.Sources = {
+    case "lineitem" => t(s, dir, "lineitem")
+      .withColumn("li_id", concat_ws("-", col("l_orderkey"), col("l_linenumber")))
+    case n => t(s, dir, n)
+  }
+
+  // ---- pipelines (the reference's flagship config shapes) -----------------
+
+  /** Two-source join materialization — the reference's `company_reports`
+    * shape (README.rst:74-106, tests/test_mapreduce.py:128-195). */
+  private val joinPipeline = Pipeline(
+    maps = Seq(
+      MapSpec("customer", "co_map", 1, idCol = "c_custkey",
+        fn = df => df.select(col("c_custkey").as(Key), col("c_name"),
+          col("c_acctbal"), col("c_custkey"))),
+      MapSpec("orders", "co_map", 1, idCol = "o_orderkey",
+        fn = df => df.select(col("o_custkey").as(Key), col("o_totalprice"),
+          col("o_orderkey")))),
+    reduces = Seq(
+      ReduceSpec("co_map", "customer_report", 1, JoinReduce(
+        mapping = Map(
+          "customer" -> Map("c_name" -> "customer_name", "c_acctbal" -> "acctbal"),
+          "orders" -> Map("o_totalprice" -> "last_totalprice")),
+        orderBy = SourceId))))
+
+  /** Scalar-sum reduce over orders keyed by customer (A6/A8). */
+  private val ordersSumPipeline = Pipeline(
+    maps = Seq(MapSpec("orders", "orders_map", 1, idCol = "o_orderkey",
+      fn = MapFns.item("o_custkey", Some("o_totalprice"), idCol = "o_orderkey"))),
+    reduces = Seq(ReduceSpec("orders_map", "orders_sum", 1, ExprReduce(sum))))
+
+  private val ordersCountPipeline = Pipeline(
+    maps = Seq(MapSpec("orders", "orders_map", 1, idCol = "o_orderkey",
+      fn = MapFns.item("o_custkey", None, idCol = "o_orderkey"))),
+    reduces = Seq(ReduceSpec("orders_map", "orders_cnt", 1, CountReduce)))
+
+  private val lineitemMinPipeline = Pipeline(
+    maps = Seq(MapSpec("lineitem", "li_map", 1, idCol = "li_id",
+      fn = MapFns.item("l_partkey", Some("l_quantity"), idCol = "li_id"))),
+    reduces = Seq(ReduceSpec("li_map", "li_min", 1, ExprReduce(min))))
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("a10_join_report")(spark, "/root/testdata/sf0.001")
+
+  // ---- queries ------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // A5+A8: map with item() helper — provenance-tagged (key, value) rows
+    "a5_map_item" -> ((s, dir) =>
+      MapOp(ordersSumPipeline.maps.head, t(s, dir, "orders"))
+        .select(col(Key), col(Value), col(SourceId), col(MrSchema.SourceType),
+          col(MrSchema.Version), col(MrSchema.Deleted))),
+
+    // A6: sum fold per key
+    "a6_reduce_sum" -> ((s, dir) => {
+      val st = IncrementalRun.recompute(ordersSumPipeline, sources(s, dir))
+      st("orders_sum").select(col(Key), round(col(Value), 2).as("sum_value"))
+    }),
+
+    // A6 typed fold: min (exact in FP — no rounding needed)
+    "a6_reduce_min" -> ((s, dir) => {
+      val st = IncrementalRun.recompute(lineitemMinPipeline, sources(s, dir))
+      st("li_min").select(col(Key), col(Value).as("min_qty"))
+    }),
+
+    // A7: pre-map adapter before the fold (reference `'map': value()`)
+    "a7_reduce_premap" -> ((s, dir) => {
+      val p = Pipeline(
+        maps = Seq(MapSpec("lineitem", "li_map", 1, idCol = "li_id",
+          fn = MapFns.item("l_suppkey", Some("l_extendedprice"), idCol = "li_id"))),
+        reduces = Seq(ReduceSpec("li_map", "li_disc", 1,
+          ExprReduce(sum, premap = c => c * lit(0.9)))))
+      IncrementalRun.recompute(p, sources(s, dir))("li_disc")
+        .select(col(Key), round(col(Value), 2).as("sum_disc"))
+    }),
+
+    // A10: same-key multi-source join merge (+A9 value projection inside)
+    "a10_join_report" -> ((s, dir) => {
+      val st = IncrementalRun.recompute(joinPipeline, sources(s, dir))
+      st("customer_report")
+        .select(col(Key), col("customer_name"), col("acctbal"), col("last_totalprice"))
+    }),
+
+    // A11: count reduce
+    "a11_reduce_count" -> ((s, dir) => {
+      val st = IncrementalRun.recompute(ordersCountPipeline, sources(s, dir))
+      st("orders_cnt").select(col(Key), col(Value).as("cnt"))
+    }),
+
+    // A12: dedup-to-newest (latest event per user)
+    "a12_dedup_newest" -> ((s, dir) =>
+      DedupOp.newestWins(t(s, dir, "events"), Seq("user_id"), "ts", Seq("event_id"))
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"))),
+
+    // A16: map resync — stale v1 rows are re-mapped, current v2 rows kept
+    "a16_resync_map" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val v2 = MapSpec("orders", "orders_map", 2, idCol = "o_orderkey",
+        fn = MapFns.item("o_custkey", Some("o_totalprice"), idCol = "o_orderkey"))
+      val v1 = MapSpec("orders", "orders_map", 1, idCol = "o_orderkey",
+        fn = df => df.select(col("o_custkey").as(Key), lit(-1.0).as(Value), col("o_orderkey")))
+      val old = MapOp(v2, orders.filter(col("o_orderkey") % 2 === 0))
+        .unionByName(MapOp(v1, orders.filter(col("o_orderkey") % 2 =!= 0)))
+      Resync.resyncMap(v2, sources(s, dir), old)
+        .select(col(Key), col(Value), col(SourceId))
+    }),
+
+    // A17: reduce resync — distinct-keys recompute
+    "a17_resync_reduce" -> ((s, dir) => {
+      val st = IncrementalRun.recompute(lineitemMinPipeline, sources(s, dir))
+      Resync.resyncReduce(lineitemMinPipeline, "li_min", st)
+        .select(col(Key), col(Value).as("min_qty"))
+    }),
+
+    // A5/A6 incremental: UPDATED changes re-map touched ids; end state must
+    // equal the full recompute (the engine's core invariant)
+    "incr_update" -> ((s, dir) => {
+      import s.implicits._
+      val src = sources(s, dir)
+      val st0 = IncrementalRun.recompute(ordersSumPipeline, src)
+      val changes = t(s, dir, "orders").filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey").as("seq"), lit(Change.Updated).as("change"),
+          lit("orders").as("resourceType"), col("o_orderkey").cast("string").as("resourceId"))
+        .as[Change]
+      IncrementalRun.applyChanges(ordersSumPipeline, src, st0, changes, 1L)("orders_sum")
+        .select(col(Key), round(col(Value), 2).as("sum_value"))
+    }),
+
+    // A13 tombstones + empty-group delete: DELETED changes drop contributions
+    "incr_delete" -> ((s, dir) => {
+      import s.implicits._
+      val src = sources(s, dir)
+      val st0 = IncrementalRun.recompute(ordersSumPipeline, src)
+      val changes = t(s, dir, "orders").filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey").as("seq"), lit(Change.Deleted).as("change"),
+          lit("orders").as("resourceType"), col("o_orderkey").cast("string").as("resourceId"))
+        .as[Change]
+      IncrementalRun.applyChanges(ordersSumPipeline, src, st0, changes, 1L)("orders_sum")
+        .select(col(Key), round(col(Value), 2).as("sum_value"))
+    }),
+
+    // CREATE + DELETE in one batch, last change per id wins
+    "incr_create_delete" -> ((s, dir) => {
+      import s.implicits._
+      val full = sources(s, dir)
+      val init: IncrementalRun.Sources = {
+        case "orders" => t(s, dir, "orders").filter(col("o_orderkey") % 11 =!= 0)
+        case n => t(s, dir, n)
+      }
+      val st0 = IncrementalRun.recompute(ordersSumPipeline, init)
+      val orders = t(s, dir, "orders")
+      val created = orders.filter(col("o_orderkey") % 11 === 0)
+        .select(col("o_orderkey").as("seq"), lit(Change.Created).as("change"),
+          lit("orders").as("resourceType"), col("o_orderkey").cast("string").as("resourceId"))
+      val deleted = orders.filter(col("o_orderkey") % 13 === 0)
+        .select((col("o_orderkey") + 10000000L).as("seq"), lit(Change.Deleted).as("change"),
+          lit("orders").as("resourceType"), col("o_orderkey").cast("string").as("resourceId"))
+      val changes = created.unionByName(deleted).as[Change]
+      IncrementalRun.applyChanges(ordersSumPipeline, full, st0, changes, 1L)("orders_sum")
+        .select(col(Key), round(col(Value), 2).as("sum_value"))
+    }),
+
+    // B1: case-insensitive exact
+    "b1_exact_ci" -> ((s, dir) =>
+      QvarnSearch(t(s, dir, "part"), "p_partkey").exact("p_brand", "brand#13").result()),
+
+    // B2: ne (case-folded)
+    "b2_ne" -> ((s, dir) =>
+      QvarnSearch(t(s, dir, "part"), "p_partkey").notEqual("p_type", "economy").result()),
+
+    // B3: ordered compares
+    "b3_range" -> ((s, dir) =>
+      QvarnSearch(t(s, dir, "part"), "p_partkey")
+        .ge("p_size", 5).le("p_size", 40)
+        .gt("p_retailprice", 905.0).lt("p_retailprice", 1050.0).result()),
+
+    // B4: contains (case-insensitive LIKE %v%)
+    "b4_contains" -> ((s, dir) =>
+      QvarnSearch(t(s, dir, "part"), "p_partkey").contains("p_name", "RED").result()),
+
+    // B5: startswith
+    "b5_startswith" -> ((s, dir) =>
+      QvarnSearch(t(s, dir, "part"), "p_partkey").startswith("p_name", "SMALL").result()),
+
+    // B6: bare-field resolution into nested arrays-of-structs (exists())
+    "b6_nested_field" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val nested = c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(collect_list(struct(col("o_orderkey"), col("o_orderpriority"),
+          col("o_orderstatus"))).as("orders"))
+      QvarnSearch(nested, "c_custkey").exact("o_orderpriority", "1-URGENT")
+        .result().select(col("c_custkey"))
+    }),
+
+    // B7: repeated conds on one field AND together
+    "b7_multi_cond" -> ((s, dir) =>
+      QvarnSearch(t(s, dir, "part"), "p_partkey")
+        .contains("p_name", "e").contains("p_name", "o").result()),
+
+    // B8: projection (show)
+    "b8_show" -> ((s, dir) =>
+      QvarnSearch(t(s, dir, "part"), "p_partkey").exact("p_type", "small")
+        .show("p_name", "p_retailprice").result()),
+
+    // B9+B10: sort + offset/limit (requires sort)
+    "b9_sort_limit" -> ((s, dir) =>
+      QvarnSearch(t(s, dir, "part"), "p_partkey")
+        .sort("p_retailprice", "p_partkey").offset(5).limit(10).result()),
+
+    // B12: point multiget by id list
+    "b12_multiget" -> ((s, dir) =>
+      t(s, dir, "part").filter(col("p_partkey").isin(1, 2, 42, 77, 1999))),
+
+    // Streaming-analog windowed aggregation over the events table
+    "events_hourly" -> ((s, dir) => {
+      val ev = t(s, dir, "events") // ts is long ns (nanosAsLong)
+      // integral div — FP division would lose precision on ~1e18 ns values
+      ev.groupBy(expr("ts div 3600000000000").as("hour_idx"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+        .select((col("hour_idx") * 3600).as("hour"), col("event_type"), col("cnt"),
+          col("sum_value"))
+    }),
+
+    // ---- training-data pipeline extensions --------------------------------
+
+    // Exact dedup survivors (hash-groupBy on content fingerprint)
+    "dedup_exact" -> ((s, dir) =>
+      DocDedup.exact(t(s, dir, "documents"), "text", "doc_id").select(col("doc_id"))),
+
+    // MinHash+LSH near-dup pairs, verified with exact Jaccard
+    "dedup_minhash" -> ((s, dir) =>
+      DocDedup.nearDupPairs(t(s, dir, "documents"), "text", "doc_id",
+        threshold = 0.8, numHashes = 32, bands = 8)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
+
+    // SimHash hamming near-dup pairs (xxhash64-based — rows-only check)
+    "dedup_simhash" -> ((s, dir) =>
+      DocDedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id", maxDist = 3)),
+
+    // Exact n-gram Jaccard on a subsample (the all-pairs baseline)
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .filter(col("doc_id") % 3 === 0 && col("doc_id") < 1500)
+      // shingle sets computed once per doc, NOT per pair; left side
+      // repartitioned — the nested-loop join otherwise inherits the scan's
+      // single input partition → one-core quadratic
+      val sets = docs.select(col("doc_id"),
+        array_distinct(DocDedup.shingles(col("text"))).as("__sh"))
+      val a = sets.select(col("doc_id").as("id_a"), col("__sh").as("__sa")).repartition(32)
+      val b = sets.select(col("doc_id").as("id_b"), col("__sh").as("__sb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .withColumn("jaccard", DocDedup.jaccardSets(col("__sa"), col("__sb")))
+        .filter(col("jaccard") >= 0.15)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    }),
+
+    // Brute-force cosine top-k (the ANN baseline)
+    "sim_topk_bruteforce" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") % 50 === 0)
+      Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"),
+          col("rank"))
+    }),
+
+    // LSH-bucketed ANN top-k (approximate — rows-only; recall tested in specs)
+    "sim_topk_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") % 50 === 0)
+      // 2^8 buckets sized for the test corpora; at 100 TB raise nBits so
+      // bucket cardinality tracks corpus size
+      Similarity.lshTopK(e, q, "vec_id", "embedding", dim = 64, k = 5, nBits = 8)
+    }),
+
+    // Embedding-cosine near-dup pairs (brute-force exact baseline; the LSH
+    // scale path is Similarity.cosineNearDupPairs, approximate by design)
+    "embed_cos_neardup" -> ((s, dir) =>
+      Similarity.bruteForcePairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.45)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))),
+
+    // Text statistics: token count, mean token length, punctuation ratio,
+    // content fingerprint
+    "text_stats" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+        round(TextFunctions.meanTokenLen(col("text")), 6).as("mean_token_len"),
+        round(TextFunctions.punctRatio(col("text")), 6).as("punct_ratio"),
+        TextFunctions.fingerprint(col("text")).as("fingerprint"))),
+
+    // Language-ID heuristic
+    "text_langid" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.langId(col("text")).as("lang_pred"))),
+
+    // Quality score
+    "text_quality" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        round(TextFunctions.qualityScore(col("text")), 2).as("quality"))),
+
+    // Rolling-hash document fingerprint (xxhash64-based — rows-only)
+    "text_rolling_hash" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.rollingHash(col("text")).as("rhash"))),
+
+    // Multimodal: binary blobs + typed metadata
+    "mm_meta" -> ((s, dir) => {
+      val blobs = t(s, dir, "documents")
+        .withColumn("blob", encode(col("text"), "UTF-8"))
+      Multimodal.withMeta(blobs, "blob", "image", "utf8")
+        .select(col("doc_id"), col("meta.byte_len").as("byte_len"),
+          col("meta.checksum").as("checksum"))
+    }),
+
+    // Multimodal: partition-batched decode → feature rows (stub decoder)
+    "mm_decode" -> ((s, dir) => {
+      val blobs = t(s, dir, "documents")
+        .withColumn("blob", encode(col("text"), "UTF-8"))
+      Multimodal.decodeFeatures(blobs, "doc_id", "blob")
+        .select(col("doc_id"), col("byte_len"), col("dim1"), col("dim2"))
+    })
+  )
+
+  /** DuckDB equivalents over the same parquet tables. Column names/aliases
+    * must match the Spark outputs exactly (driver sorts columns by name). */
+  def oracleSql: Map[String, String] = {
+    // shared DuckDB snippets replicating TextFunctions' tokenization
+    val toks = raw"string_split_regex(trim(lower(text)), '\s+')"
+    val shingles =
+      raw"""CASE WHEN len($toks) < 3 THEN [array_to_string($toks, ' ')]
+            ELSE list_distinct(list_transform(range(len($toks) - 2),
+              i -> $toks[i+1] || ' ' || $toks[i+2] || ' ' || $toks[i+3])) END"""
+    Map(
+      "a5_map_item" ->
+        """SELECT CAST(o_custkey AS VARCHAR) AS _mr_key, o_totalprice AS _mr_value,
+           CAST(o_orderkey AS VARCHAR) AS _mr_source_id, 'orders' AS _mr_source_type,
+           CAST(1 AS INTEGER) AS _mr_version, false AS _mr_deleted FROM orders""",
+      "a6_reduce_sum" ->
+        """SELECT CAST(o_custkey AS VARCHAR) AS _mr_key,
+           round(sum(o_totalprice), 2) AS sum_value FROM orders GROUP BY 1""",
+      "a6_reduce_min" ->
+        """SELECT CAST(l_partkey AS VARCHAR) AS _mr_key,
+           min(l_quantity) AS min_qty FROM lineitem GROUP BY 1""",
+      "a7_reduce_premap" ->
+        """SELECT CAST(l_suppkey AS VARCHAR) AS _mr_key,
+           round(sum(l_extendedprice * CAST(0.9 AS DOUBLE)), 2) AS sum_disc
+           FROM lineitem GROUP BY 1""",
+      "a10_join_report" ->
+        """SELECT CAST(c.c_custkey AS VARCHAR) AS _mr_key,
+           max(c.c_name) AS customer_name, max(c.c_acctbal) AS acctbal,
+           max_by(o.o_totalprice, CAST(o.o_orderkey AS VARCHAR)) AS last_totalprice
+           FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey GROUP BY 1""",
+      "a11_reduce_count" ->
+        """SELECT CAST(o_custkey AS VARCHAR) AS _mr_key, count(*) AS cnt
+           FROM orders GROUP BY 1""",
+      "a12_dedup_newest" ->
+        """SELECT user_id, event_id, event_type, value FROM events
+           QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""",
+      "a16_resync_map" ->
+        """SELECT CAST(o_custkey AS VARCHAR) AS _mr_key, o_totalprice AS _mr_value,
+           CAST(o_orderkey AS VARCHAR) AS _mr_source_id FROM orders""",
+      "a17_resync_reduce" ->
+        """SELECT CAST(l_partkey AS VARCHAR) AS _mr_key,
+           min(l_quantity) AS min_qty FROM lineitem GROUP BY 1""",
+      "incr_update" ->
+        """SELECT CAST(o_custkey AS VARCHAR) AS _mr_key,
+           round(sum(o_totalprice), 2) AS sum_value FROM orders GROUP BY 1""",
+      "incr_delete" ->
+        """SELECT CAST(o_custkey AS VARCHAR) AS _mr_key,
+           round(sum(o_totalprice), 2) AS sum_value FROM orders
+           WHERE o_orderkey % 7 <> 0 GROUP BY 1""",
+      "incr_create_delete" ->
+        """SELECT CAST(o_custkey AS VARCHAR) AS _mr_key,
+           round(sum(o_totalprice), 2) AS sum_value FROM orders
+           WHERE o_orderkey % 13 <> 0 GROUP BY 1""",
+      "b1_exact_ci" -> "SELECT * FROM part WHERE lower(p_brand) = 'brand#13'",
+      "b2_ne" -> "SELECT * FROM part WHERE lower(p_type) <> 'economy'",
+      "b3_range" ->
+        """SELECT * FROM part WHERE p_size >= 5 AND p_size <= 40
+           AND p_retailprice > 905.0 AND p_retailprice < 1050.0""",
+      "b4_contains" -> "SELECT * FROM part WHERE lower(p_name) LIKE '%red%'",
+      "b5_startswith" -> "SELECT * FROM part WHERE lower(p_name) LIKE 'small%'",
+      "b6_nested_field" ->
+        """SELECT c_custkey FROM customer c WHERE EXISTS (SELECT 1 FROM orders o
+           WHERE o.o_custkey = c.c_custkey AND lower(o.o_orderpriority) = '1-urgent')""",
+      "b7_multi_cond" ->
+        "SELECT * FROM part WHERE lower(p_name) LIKE '%e%' AND lower(p_name) LIKE '%o%'",
+      "b8_show" ->
+        "SELECT p_partkey, p_name, p_retailprice FROM part WHERE lower(p_type) = 'small'",
+      "b9_sort_limit" ->
+        "SELECT * FROM part ORDER BY p_retailprice, p_partkey LIMIT 10 OFFSET 5",
+      "b12_multiget" ->
+        "SELECT * FROM part WHERE p_partkey IN (1, 2, 42, 77, 1999)",
+      "events_hourly" ->
+        """SELECT CAST(epoch_ns(ts) // 3600000000000 * 3600 AS BIGINT) AS hour,
+           event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+           FROM events GROUP BY 1, 2""",
+      "dedup_exact" ->
+        s"""SELECT doc_id FROM documents
+            QUALIFY row_number() OVER (PARTITION BY md5(array_to_string($toks, ' '))
+              ORDER BY doc_id) = 1""",
+      "dedup_minhash" ->
+        s"""WITH sh AS (SELECT doc_id, $shingles AS s FROM documents)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              round(len(list_intersect(a.s, b.s))::DOUBLE
+                / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.s, b.s))::DOUBLE
+              / len(list_distinct(list_concat(a.s, b.s))) >= 0.8""",
+      "dedup_ngram_jaccard" ->
+        s"""WITH sh AS (SELECT doc_id, $shingles AS s FROM documents
+              WHERE doc_id % 3 = 0 AND doc_id < 1500)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              round(len(list_intersect(a.s, b.s))::DOUBLE
+                / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.s, b.s))::DOUBLE
+              / len(list_distinct(list_concat(a.s, b.s))) >= 0.15""",
+      "sim_topk_bruteforce" ->
+        """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                      FROM embeddings WHERE vec_id % 50 = 0),
+                c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings)
+           SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rank FROM (
+             SELECT query_id, neighbor_id,
+               CASE WHEN sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)) = 0
+                 THEN 0.0 ELSE list_dot_product(qv, cv)
+                   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) END AS cos,
+               CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+             FROM q JOIN c ON query_id <> neighbor_id) WHERE rank <= 5""",
+      "embed_cos_neardup" ->
+        """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+           FROM e a JOIN e b ON a.vec_id < b.vec_id
+           WHERE list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.45""",
+      "text_stats" ->
+        s"""SELECT doc_id,
+            CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($toks) END::BIGINT AS n_tokens,
+            round(CASE WHEN length(trim(text)) = 0 OR len($toks) = 0 THEN 0.0
+              ELSE list_sum(list_transform($toks, t -> length(t)))::DOUBLE / len($toks) END, 6)
+              AS mean_token_len,
+            round(CASE WHEN length(text) = 0 THEN 0.0
+              ELSE (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+                / length(text) END, 6) AS punct_ratio,
+            md5(array_to_string($toks, ' ')) AS fingerprint
+            FROM documents""",
+      "text_langid" -> {
+        val markers = Map(
+          "en" -> Seq("the", "a", "of", "and", "is", "to", "in"),
+          "es" -> Seq("el", "la", "de", "que", "y", "los"),
+          "fr" -> Seq("le", "la", "les", "et", "des", "une"),
+          "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+          "zh" -> Seq("的", "是", "了", "在", "我"))
+        def hits(code: String) = {
+          val lst = markers(code).map(w => s"'$w'").mkString(", ")
+          s"len(list_filter($toks, t -> t IN ($lst)))"
+        }
+        s"""WITH h AS (SELECT doc_id, ${hits("en")} AS en, ${hits("es")} AS es,
+              ${hits("fr")} AS fr, ${hits("de")} AS de, ${hits("zh")} AS zh FROM documents)
+            SELECT doc_id, CASE
+              WHEN en = 0 AND es = 0 AND fr = 0 AND de = 0 AND zh = 0 THEN 'und'
+              WHEN en >= es AND en >= fr AND en >= de AND en >= zh THEN 'en'
+              WHEN es >= fr AND es >= de AND es >= zh THEN 'es'
+              WHEN fr >= de AND fr >= zh THEN 'fr'
+              WHEN de >= zh THEN 'de' ELSE 'zh' END AS lang_pred FROM h"""
+      },
+      "text_quality" ->
+        s"""SELECT doc_id, round(
+            (CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 0.4 ELSE 0.0 END) +
+            (CASE WHEN (CASE WHEN length(text) = 0 THEN 0.0
+               ELSE (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+                 / length(text) END) < 0.2 THEN 0.2 ELSE 0.0 END) +
+            (CASE WHEN (CASE WHEN length(trim(text)) = 0 OR len($toks) = 0 THEN 0.0
+               ELSE list_sum(list_transform($toks, t -> length(t)))::DOUBLE / len($toks) END)
+               BETWEEN 2.0 AND 12.0 THEN 0.2 ELSE 0.0 END) +
+            (CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0.0
+               ELSE len(list_filter($toks, t -> t IN ('the','a','of','and','is','to','in')))::DOUBLE
+                 / len($toks) END) > 0.01 THEN 0.2 ELSE 0.0 END), 2) AS quality
+            FROM documents""",
+      "mm_meta" ->
+        """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           md5(text) AS checksum FROM documents""",
+      "mm_decode" ->
+        """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           CAST(1 + octet_length(encode(text)) % 640 AS INTEGER) AS dim1,
+           CAST(1 + octet_length(encode(text)) % 480 AS INTEGER) AS dim2 FROM documents"""
+    )
+  }
 }

@@ -1,0 +1,164 @@
+package graft.dedup
+
+import graft.text.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for a pretraining-data pipeline, at three rigor
+  * levels: exact (hash), near-dup via MinHash+LSH banding, near-dup via
+  * SimHash hamming buckets, and exact n-gram Jaccard verification.
+  *
+  * Scale design (100 TB of documents):
+  *   - exact dedup = one hash-partitioned `groupBy` on a 128-bit content
+  *     fingerprint — the only full shuffle, and it shuffles fingerprints,
+  *     not documents;
+  *   - MinHash signatures are a narrow projection (k=`numHashes` xxhash64
+  *     passes over the shingle array, all native expressions — no UDF, no
+  *     MLlib vector boxing);
+  *   - LSH banding turns the quadratic all-pairs problem into
+  *     `explode(bands)` + self-join on (band, bandHash) — candidate pairs
+  *     only ever co-shuffle shingle SETS (computed once per doc, never
+  *     re-derived from text per pair) of docs that share a band bucket;
+  *   - rows-per-band defaults to 4: with 2 the bucket key is too weak and
+  *     random low-similarity pairs flood the verify stage (measured 25×
+  *     slowdown at sf0.1);
+  *   - candidates are verified with exact Jaccard over the precomputed
+  *     shingle sets before anything is dropped (no silent false positives).
+  */
+object DocDedup {
+
+  /** Word n-gram shingles of the document (deterministic, lowercased). */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = TextFunctions.tokens(text)
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** Exact dedup: keep one survivor per content fingerprint (smallest id). */
+  def exact(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col("__fp")).orderBy(col(idCol))
+    docs.withColumn("__fp", TextFunctions.fingerprint(col(textCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__fp", "__rn")
+  }
+
+  /** (id, distinct shingle set) — the shared input of signature, banding and
+    * verification. Computed exactly once per document. */
+  private def shingleSets(docs: DataFrame, textCol: String, idCol: String,
+                          shingleN: Int): DataFrame =
+    docs.select(col(idCol).as("__id"),
+      array_distinct(shingles(col(textCol), shingleN)).as("__sh"))
+
+  /** k MinHash values over a shingle-set column: min over shingles of
+    * xxhash64(shingle, seed_i). Pure expressions → codegen-friendly. */
+  def minhashSignatureOfSets(sh: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { seed =>
+      array_min(transform(sh, s => xxhash64(s, lit(seed))))
+    }: _*)
+
+  /** k MinHash values of the document text (convenience form). */
+  def minhashSignature(text: Column, numHashes: Int = 32, shingleN: Int = 3): Column =
+    minhashSignatureOfSets(array_distinct(shingles(text, shingleN)), numHashes)
+
+  /** Exact Jaccard over two precomputed shingle-set columns. */
+  def jaccardSets(sa: Column, sb: Column): Column = {
+    val inter = size(array_intersect(sa, sb)).cast("double")
+    val uni = size(array_union(sa, sb)).cast("double")
+    when(uni === 0, lit(0.0)).otherwise(inter / uni)
+  }
+
+  /** Exact Jaccard similarity between the shingle sets of two text columns.
+    * For pair-join use, prefer precomputing the sets once (nearDupPairs). */
+  def jaccard(textA: Column, textB: Column, shingleN: Int = 3): Column =
+    jaccardSets(array_distinct(shingles(textA, shingleN)),
+      array_distinct(shingles(textB, shingleN)))
+
+  /** LSH banding candidates over precomputed (id, shingle set, signature). */
+  private def bandedBuckets(sigs: DataFrame, bands: Int, rows: Int): DataFrame =
+    sigs.select(col("__id"),
+      explode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"),
+          xxhash64(slice(col("__sig"), b * rows + 1, lit(rows))).as("bucket"))
+      )).as("__b"))
+      .select(col("__id"), col("__b.band").as("__band"), col("__b.bucket").as("__bucket"))
+
+  /** LSH candidate pairs: docs sharing any (band, bandHash) bucket. */
+  def lshCandidates(
+      docs: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 32, bands: Int = 8, shingleN: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val sigs = shingleSets(docs, textCol, idCol, shingleN)
+      .withColumn("__sig", minhashSignatureOfSets(col("__sh"), numHashes))
+    val banded = bandedBuckets(sigs, bands, numHashes / bands)
+    banded.alias("a").join(banded.alias("b"),
+        col("a.__band") === col("b.__band") &&
+        col("a.__bucket") === col("b.__bucket") &&
+        col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .distinct()
+  }
+
+  /** Near-dup pairs: MinHash-LSH candidates verified with exact Jaccard over
+    * the precomputed shingle sets (one shingle computation per doc, total). */
+  def nearDupPairs(
+      docs: DataFrame, textCol: String, idCol: String, threshold: Double,
+      numHashes: Int = 32, bands: Int = 8, shingleN: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val sets = shingleSets(docs, textCol, idCol, shingleN)
+    val sigs = sets.withColumn("__sig", minhashSignatureOfSets(col("__sh"), numHashes))
+    val banded = bandedBuckets(sigs, bands, numHashes / bands)
+    val cands = banded.alias("a").join(banded.alias("b"),
+        col("a.__band") === col("b.__band") &&
+        col("a.__bucket") === col("b.__bucket") &&
+        col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .distinct()
+    cands
+      .join(sets.select(col("__id").as("id_a"), col("__sh").as("__sa")), "id_a")
+      .join(sets.select(col("__id").as("id_b"), col("__sh").as("__sb")), "id_b")
+      .withColumn("jaccard", jaccardSets(col("__sa"), col("__sb")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash over token hashes: sign-sum of each bit position. */
+  def simhash(text: Column): Column = {
+    val tokHashes = transform(TextFunctions.tokens(text), t => xxhash64(t))
+    // For each bit position, +1 if set else -1; simhash bit = sign of sum.
+    val bits = (0 until 64).map { i =>
+      val vote = aggregate(tokHashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+      when(vote > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: block on 4×16-bit chunks (a pair within
+    * hamming distance ≤ maxDist for maxDist < 4 must agree on at least one
+    * chunk — pigeonhole), verify with full hamming distance. */
+  def simhashPairs(docs: DataFrame, textCol: String, idCol: String, maxDist: Int = 3): DataFrame = {
+    val sig = docs.select(col(idCol).as("__id"), simhash(col(textCol)).as("__sh"))
+    val chunked = sig.select(col("__id"), col("__sh"),
+      explode(array((0 until 4).map { c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("__sh"), c * 16).bitwiseAND(lit(0xFFFFL)).as("key"))
+      }: _*)).as("__c"))
+      .select(col("__id"), col("__sh"), col("__c.chunk").as("__chunk"), col("__c.key").as("__key"))
+    chunked.alias("a").join(chunked.alias("b"),
+        col("a.__chunk") === col("b.__chunk") &&
+        col("a.__key") === col("b.__key") &&
+        col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        hamming(col("a.__sh"), col("b.__sh")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+}

@@ -1,0 +1,108 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video payloads as opaque
+  * `binary` columns with a typed metadata struct, plus partition-batched
+  * decode/feature-extract hooks.
+  *
+  * The real decode (JPEG/PNG/audio codecs) is STUBBED — this container has
+  * no media libraries — behind [[FakeDecoder]], a deterministic
+  * byte-statistics fake. Everything Spark-side is real and tested: the
+  * schema, the batched `mapPartitions` execution shape (one decoder init
+  * per partition, like `mapInPandas` batches on a Python cluster), the
+  * metadata extraction, and the partitioning story (media blobs are large —
+  * repartition by byte-size budget before decode so no task holds more than
+  * `spark.sql.files.maxPartitionBytes`-worth of payload).
+  */
+object Multimodal {
+
+  /** Typed metadata carried next to every blob. */
+  val mediaMetaSchema: StructType = StructType(Seq(
+    StructField("media_type", StringType, nullable = false), // image|audio|video
+    StructField("format", StringType, nullable = true),      // jpeg|png|wav|…
+    StructField("byte_len", LongType, nullable = false),
+    StructField("checksum", StringType, nullable = false)
+  ))
+
+  /** Wrap a binary column into (blob, meta) — the canonical multimodal row. */
+  def withMeta(df: DataFrame, blobCol: String, mediaType: String, format: String): DataFrame =
+    df.withColumn("meta", struct(
+      lit(mediaType).as("media_type"),
+      lit(format).as("format"),
+      length(col(blobCol)).cast("long").as("byte_len"),
+      md5(col(blobCol)).as("checksum")))
+
+  /** Decoded feature row produced per blob. */
+  final case class MediaFeatures(
+      byteLen: Long,
+      // image-ish: width/height from a real decoder; audio-ish: sampleRate/frames
+      dim1: Int, dim2: Int,
+      meanByte: Double,
+      histogram: Array[Long]) // 16-bin byte histogram ~ a trivial "feature vector"
+
+  /** The decoder seam. A real deployment plugs libjpeg/ffmpeg here; the
+    * fake derives deterministic pseudo-features from the bytes so tests
+    * exercise the full pipeline shape. */
+  trait Decoder extends Serializable {
+    def decode(blob: Array[Byte]): MediaFeatures
+  }
+
+  object FakeDecoder extends Decoder {
+    def decode(blob: Array[Byte]): MediaFeatures = {
+      val hist = new Array[Long](16)
+      var sum = 0L
+      var i = 0
+      while (i < blob.length) {
+        val b = blob(i) & 0xff
+        hist(b >> 4) += 1
+        sum += b
+        i += 1
+      }
+      val mean = if (blob.length == 0) 0.0 else sum.toDouble / blob.length
+      // a real decoder would read the header; the fake derives stable dims
+      MediaFeatures(blob.length, 1 + (blob.length % 640), 1 + (blob.length % 480), mean, hist)
+    }
+  }
+
+  /** Batched decode over partitions: one decoder instance per partition
+    * (the expensive-init pattern mapInPandas gives Python pipelines).
+    * Returns (id, byte_len, dim1, dim2, mean_byte, histogram). */
+  def decodeFeatures(
+      df: DataFrame, idCol: String, blobCol: String,
+      decoder: Decoder = FakeDecoder): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pairs: Dataset[(Long, Array[Byte])] = df
+      .select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+    pairs.mapPartitions { it =>
+      val d = decoder // per-partition init seam
+      it.map { case (id, blob) =>
+        val f = d.decode(blob)
+        (id, f.byteLen, f.dim1, f.dim2, f.meanByte, f.histogram)
+      }
+    }.toDF(idCol, "byte_len", "dim1", "dim2", "mean_byte", "histogram")
+  }
+
+  /** Frame sampling plumbing for video-ish blobs: split a blob into fixed
+    * `frameBytes` windows and keep every `stride`-th — pure expressions, so
+    * the (huge) blob column never leaves the JVM or codegen. */
+  def sampleFrames(df: DataFrame, blobCol: String, frameBytes: Int, stride: Int): DataFrame =
+    df.withColumn("frames",
+      filter(
+        transform(
+          sequence(lit(0), greatest(ceil(length(col(blobCol)).cast("double") / frameBytes).cast("int") - 1, lit(0))),
+          i => substring(col(blobCol), (i * frameBytes + 1).cast("int"), lit(frameBytes))),
+        (_, i) => i % stride === 0))
+
+  /** Byte-budget repartition before decode: media rows are fat, so balance
+    * by cumulative blob size, not row count. */
+  def repartitionByBytes(df: DataFrame, blobCol: String, targetBytesPerPartition: Long): DataFrame = {
+    val totalBytes = df.select(sum(length(col(blobCol)).cast("long"))).first().getLong(0)
+    val parts = math.max(1, math.ceil(totalBytes.toDouble / targetBytesPerPartition).toInt)
+    df.repartition(parts)
+  }
+}

@@ -1,0 +1,164 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** B1-B11 — the Qvarn search API as DataFrame combinators.
+  *
+  * Semantics from the reference's server executor (vendor
+  * qvarn-0.82/qvarn/read_only.py:74-268) and client builder
+  * (qvarn-utils qvarnclient/qvarn_client.py:185-246):
+  *
+  *   - string `exact`/`ne`/ordered compares are case-insensitive — both
+  *     sides lowercased (read_only.py:214-220);
+  *   - a bare field name resolves to ANY column of that name anywhere in
+  *     the document — top level, inside a struct, inside an array of
+  *     structs, two levels deep — OR-ed together (read_only.py:205-224,
+  *     the LEFT JOIN + DISTINCT over flattened child tables);
+  *   - repeating a condition on the same field ANDs the conditions
+  *     (clients/qvarn.py:222-238);
+  *   - `limit`/`offset` require a sort (LimitWithoutSortError,
+  *     list_resource.py:236-256); sorting on a list field sorts by its
+  *     first element (read_only.py:226-260, `list_pos = 0`).
+  *
+  * Spark-first: instead of Qvarn's flatten-into-child-tables + LEFT JOIN +
+  * SELECT DISTINCT plan, nested arrays stay nested and field resolution
+  * compiles to `exists(arrayCol, x => pred)` — no join, no dedup, fully
+  * codegen'd, and top-level predicates still push down to parquet.
+  */
+final case class QvarnSearch(
+    private val df: DataFrame,
+    private val conds: Seq[Column] = Nil,
+    private val sortFields: Seq[String] = Nil,
+    private val limitN: Option[Int] = None,
+    private val offsetN: Int = 0,
+    private val showFields: Option[Seq[String]] = None, // None = show_all
+    private val idField: String = "id") {
+
+  // ---- B1-B5 predicates -------------------------------------------------
+
+  def exact(field: String, value: Any): QvarnSearch = cond(field, ciEq(value))
+  def notEqual(field: String, value: Any): QvarnSearch = cond(field, c => !ciEq(value)(c))
+  def gt(field: String, value: Any): QvarnSearch = cond(field, ciCmp(value, _ > _))
+  def ge(field: String, value: Any): QvarnSearch = cond(field, ciCmp(value, _ >= _))
+  def lt(field: String, value: Any): QvarnSearch = cond(field, ciCmp(value, _ < _))
+  def le(field: String, value: Any): QvarnSearch = cond(field, ciCmp(value, _ <= _))
+  def contains(field: String, value: String): QvarnSearch =
+    cond(field, c => lower(c.cast("string")).contains(value.toLowerCase))
+  def startswith(field: String, value: String): QvarnSearch =
+    cond(field, c => lower(c.cast("string")).startsWith(value.toLowerCase))
+
+  // ---- B8-B10 shaping ---------------------------------------------------
+
+  /** B8: projection — named fields only (`/show/f`). */
+  def show(fields: String*): QvarnSearch = copy(showFields = Some(fields))
+  /** B8: whole resources (`/show_all`). */
+  def showAll: QvarnSearch = copy(showFields = None)
+  /** B9: order by field(s); list fields sort by first element. */
+  def sort(fields: String*): QvarnSearch = copy(sortFields = sortFields ++ fields)
+  /** B10: limit — only valid after sort. */
+  def limit(n: Int): QvarnSearch = copy(limitN = Some(n))
+  def offset(n: Int): QvarnSearch = copy(offsetN = n)
+
+  // ---- execution ---------------------------------------------------------
+
+  def result(): DataFrame = {
+    val filtered = conds.foldLeft(df)((d, c) => d.filter(c))
+    if ((limitN.nonEmpty || offsetN > 0) && sortFields.isEmpty)
+      throw QvarnSearch.LimitWithoutSortError()
+    val sorted =
+      if (sortFields.isEmpty) filtered
+      else filtered.orderBy(sortFields.map(sortCol): _*)
+    val windowed = (offsetN, limitN) match {
+      case (0, None) => sorted
+      case (0, Some(n)) => sorted.limit(n)
+      case (off, None) => sorted.offset(off)
+      case (off, Some(n)) => sorted.offset(off).limit(n)
+    }
+    showFields match {
+      case None => windowed
+      case Some(fs) =>
+        val cols = (if (windowed.columns.contains(idField)) Seq(idField) else Nil) ++
+          fs.filterNot(_ == idField)
+        windowed.select(cols.map(col): _*)
+    }
+  }
+
+  /** B11: exactly-one semantics (clients/qvarn.py:275-325). */
+  def searchOne(): Row = {
+    val rows = result().take(2)
+    if (rows.isEmpty) throw QvarnSearch.NotFoundError()
+    if (rows.length > 1) throw QvarnSearch.MultipleFoundError()
+    rows.head
+  }
+
+  // ---- internals ----------------------------------------------------------
+
+  private def cond(field: String, pred: Column => Column): QvarnSearch = {
+    val ps = QvarnSearch.fieldPredicates(df.schema, field, pred)
+    require(ps.nonEmpty, s"field '$field' not found anywhere in schema")
+    copy(conds = conds :+ ps.reduce(_ || _))
+  }
+
+  private def ciEq(value: Any): Column => Column = value match {
+    case s: String => c => lower(c.cast("string")) === lit(s.toLowerCase)
+    case b: Boolean => c => c === lit(b)
+    case other => c => c === lit(other)
+  }
+
+  private def ciCmp(value: Any, op: (Column, Column) => Column): Column => Column = value match {
+    case s: String => c => op(lower(c.cast("string")), lit(s.toLowerCase))
+    case other => c => op(c, lit(other))
+  }
+
+  private def sortCol(field: String): Column = {
+    df.schema.fields.find(_.name == field).map(_.dataType) match {
+      // child-table sort uses list_pos=0; try_ variant: empty list → null
+      // (ANSI mode element_at would throw)
+      case Some(_: ArrayType) => try_element_at(col(field), lit(1))
+      case _ => col(field)
+    }
+  }
+}
+
+object QvarnSearch {
+  final case class LimitWithoutSortError()
+      extends RuntimeException("limit/offset require sort (Qvarn LimitWithoutSortError)")
+  final case class NotFoundError() extends RuntimeException("search_one: no match")
+  final case class MultipleFoundError() extends RuntimeException("search_one: multiple matches")
+
+  def apply(df: DataFrame): QvarnSearch = new QvarnSearch(df)
+  def apply(df: DataFrame, idField: String): QvarnSearch =
+    new QvarnSearch(df, idField = idField)
+
+  /** B6: resolve a bare field name to every column of that name in the
+    * schema — top level, struct subpaths, arrays of structs (≤2 levels like
+    * Qvarn's flattened child tables) — returning one predicate per site. */
+  private[graft] def fieldPredicates(
+      schema: StructType, field: String, pred: Column => Column): Seq[Column] = {
+
+    def hasMatch(dt: DataType, name: String): Boolean = dt match {
+      case st: StructType =>
+        st.fields.exists(f => f.name == field || hasMatch(f.dataType, f.name))
+      case ArrayType(et, _) => name == field || hasMatch(et, name)
+      case _ => name == field
+    }
+
+    def walk(get: String => Column, st: StructType): Seq[Column] =
+      st.fields.toSeq.flatMap { f =>
+        val c = get(f.name)
+        f.dataType match {
+          case s: StructType => walk(n => c.getField(n), s)
+          case ArrayType(s: StructType, _) if hasMatch(s, f.name) =>
+            Seq(exists(c, e =>
+              walk(n => e.getField(n), s).reduceOption(_ || _).getOrElse(lit(false))))
+          case ArrayType(_, _) if f.name == field => Seq(exists(c, pred))
+          case _ if f.name == field => Seq(pred(c))
+          case _ => Nil
+        }
+      }
+
+    walk(n => col(n), schema)
+  }
+}

@@ -1,0 +1,142 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`), pretraining-pipeline style.
+  *
+  * Baseline: brute-force cosine top-k — a broadcast of the (small) query
+  * set against the full corpus scan; one narrow pass + a per-query top-k.
+  * Scale path: random-hyperplane LSH — bucket corpus and queries by the
+  * sign pattern of `nBits` fixed pseudo-random hyperplanes, probe only
+  * matching buckets (hamming-adjacent buckets for recall), so a 100 TB
+  * corpus is touched only where it can possibly be close.
+  *
+  * All vector math is composed `zip_with`/`aggregate` expressions in double
+  * precision — no UDF, no MLlib Vector boxing, codegen-friendly.
+  */
+object Similarity {
+
+  /** Dot product of two float-array columns, accumulated in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d === 0, lit(0.0)).otherwise(dot(a, b) / d)
+  }
+
+  /** Pairwise cosine from precomputed norms: same FP expression tree as
+    * [[cosine]] (dot / (na*nb)) but the norms are evaluated once per row
+    * instead of once per pair. */
+  def cosinePre(a: Column, b: Column, na: Column, nb: Column): Column = {
+    val d = na * nb
+    when(d === 0, lit(0.0)).otherwise(dot(a, b) / d)
+  }
+
+  /** Brute-force cosine top-k: for every query vector, the k nearest corpus
+    * vectors (excluding itself when ids collide). Queries are broadcast —
+    * the corpus is scanned exactly once regardless of k; norms precomputed
+    * per row, not per pair. */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      norm(col(vecCol)).as("__qn")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      norm(col(vecCol)).as("__cn"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosinePre(col("__qv"), col("__cv"), col("__qn"), col("__cn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** Sign-pattern bucket id from `nBits` deterministic pseudo-random
+    * hyperplanes. Hyperplane i's component j is a fixed hash-derived value
+    * in [-1, 1] — reproducible across runs and engines with no RNG. */
+  def lshBucket(vec: Column, dim: Int, nBits: Int = 12): Column = {
+    val bits = (0 until nBits).map { i =>
+      // h_i · v  with  h_i[j] = (xxhash64(i, j) % 1001) / 1000.0
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), lit(dim - 1)),
+          (x, j) => x.cast("double") *
+            ((xxhash64(lit(i), j) % 1001L).cast("double") / 1000.0)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** ANN top-k via hyperplane-LSH buckets: probe the query's bucket plus all
+    * buckets within hamming distance 1 (multi-probe), then exact cosine +
+    * top-k inside the probed set. Trades recall for touching ~(nBits+1)/2^nBits
+    * of the corpus per query. */
+  def lshTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      dim: Int, k: Int, nBits: Int = 12): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      norm(col(vecCol)).as("__cn"),
+      lshBucket(col(vecCol), dim, nBits).as("__bucket"))
+    // multi-probe: the bucket itself + each single-bit flip
+    val probes = (-1 until nBits).map { i =>
+      if (i < 0) col("__qbucket")
+      else col("__qbucket").bitwiseXOR(shiftleft(lit(1L), i))
+    }
+    val q = broadcast(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+          norm(col(vecCol)).as("__qn"),
+          lshBucket(col(vecCol), dim, nBits).as("__qbucket"))
+        .withColumn("__probe", explode(array(probes: _*))))
+    val scored = q.join(c, col("__probe") === col("__bucket") &&
+        col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosinePre(col("__qv"), col("__cv"), col("__qn"), col("__cn")).as("cosine"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs above `threshold`, via LSH
+    * buckets (pairs must share a bucket) + exact cosine verify. Approximate
+    * (single-table LSH misses cross-bucket pairs) — the scale path; use
+    * [[bruteForcePairs]] when exact output is required. */
+  def cosineNearDupPairs(
+      corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
+      threshold: Double, nBits: Int = 8): DataFrame = {
+    val c = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+      norm(col(vecCol)).as("__n"),
+      lshBucket(col(vecCol), dim, nBits).as("__bucket"))
+    val a = c.alias("a")
+    val b = c.alias("b")
+    a.join(b, col("a.__bucket") === col("b.__bucket") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        cosinePre(col("a.__v"), col("b.__v"), col("a.__n"), col("b.__n")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** Exact all-pairs cosine above `threshold` (quadratic baseline). */
+  def bruteForcePairs(
+      corpus: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      partitions: Int = 32): DataFrame = {
+    val c = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+      norm(col(vecCol)).as("__n"))
+    // left side repartitioned: the nested-loop join otherwise inherits the
+    // scan's single input partition → one-core quadratic
+    val a = c.repartition(partitions).alias("a")
+    val b = c.alias("b")
+    a.join(b, col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        cosinePre(col("a.__v"), col("b.__v"), col("a.__n"), col("b.__n")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,103 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for a large-scale training-data pipeline:
+  * tokenization, token counting, language-ID, quality scoring and document
+  * fingerprinting — all as composed native `functions._` expressions so the
+  * whole pipeline stays inside whole-stage codegen (no UDFs, no Python).
+  *
+  * At 100 TB these are pure narrow projections over the document scan: no
+  * shuffle, columnar parquet input, and Catalyst prunes to the `text` column.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization (lowercased). */
+  def tokens(text: Column): Column =
+    split(lower(trim(text)), "\\s+")
+
+  /** BPE-ish subword split: word boundaries plus digit/letter transitions —
+    * a cheap deterministic proxy for a real tokenizer's token count. */
+  def subwordTokens(text: Column): Column =
+    split(lower(trim(text)), "\\s+|(?<=\\d)(?=\\p{L})|(?<=\\p{L})(?=\\d)|(?=[\\p{Punct}])")
+
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0)).otherwise(size(tokens(text)))
+
+  /** Per-language marker words for the n-gram/stopword language heuristic. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is", "to", "in"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "une"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "zh" -> Seq("的", "是", "了", "在", "我")
+  )
+
+  /** Count of tokens that appear in `words`. */
+  def markerHits(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(words.map(lit(_)): _*)))
+
+  /** Language-ID: argmax of marker-word hits, deterministic tie-break by
+    * language code order; "und" when nothing matches. */
+  def langId(text: Column): Column = {
+    val scored = langMarkers.map { case (code, words) =>
+      struct(markerHits(text, words).as("hits"), lit(code).as("code"))
+    }
+    // greatest hits wins; on ties the earlier langMarkers entry wins
+    // (greatest() keeps the later element on full struct ties, so embed the
+    // inverse rank to make the tie-break explicit):
+    val ranked = langMarkers.zipWithIndex.map { case ((code, words), i) =>
+      struct(
+        markerHits(text, words).as("hits"),
+        lit(langMarkers.size - i).as("prio"),
+        lit(code).as("code"))
+    }
+    val best = greatest(ranked: _*)
+    when(best.getField("hits") > 0, best.getField("code")).otherwise(lit("und"))
+  }
+
+  /** Punctuation character ratio. */
+  def punctRatio(text: Column): Column = {
+    val n = length(text)
+    when(n === 0, lit(0.0))
+      .otherwise((n - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast("double") / n.cast("double"))
+  }
+
+  /** Stopword-token ratio (English stopword list). */
+  def stopwordRatio(text: Column): Column = {
+    val stop = langMarkers.toMap.apply("en")
+    when(tokenCount(text) === 0, lit(0.0))
+      .otherwise(markerHits(text, stop).cast("double") / tokenCount(text).cast("double"))
+  }
+
+  /** Mean token length in characters. */
+  def meanTokenLen(text: Column): Column =
+    when(tokenCount(text) === 0, lit(0.0))
+      .otherwise(
+        aggregate(tokens(text), lit(0L), (acc, t) => acc + length(t)).cast("double")
+          / tokenCount(text).cast("double"))
+
+  /** Composite quality score in [0,1]: length band + low punctuation +
+    * reasonable mean word length + some stopwords (the classic cheap
+    * pre-filters a pretraining pipeline applies before dedup). */
+  def qualityScore(text: Column): Column = {
+    val lenOk = when(length(text).between(100, 20000), lit(0.4)).otherwise(lit(0.0))
+    val punctOk = when(punctRatio(text) < 0.2, lit(0.2)).otherwise(lit(0.0))
+    val wordOk = when(meanTokenLen(text).between(2.0, 12.0), lit(0.2)).otherwise(lit(0.0))
+    val stopOk = when(stopwordRatio(text) > 0.01, lit(0.2)).otherwise(lit(0.0))
+    lenOk + punctOk + wordOk + stopOk
+  }
+
+  /** Content fingerprint: md5 of whitespace-normalized lowercased text —
+    * the exact-dedup key. */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", tokens(text)))
+
+  /** Rolling hash over tokens (order-sensitive, 64-bit) — a cheap
+    * shift-resistant document signature. Chained xxhash64 rather than the
+    * classic polynomial form: ANSI mode (Spark 4 default) would throw on the
+    * polynomial's intentional Long wrap-around. */
+  def rollingHash(text: Column): Column =
+    aggregate(tokens(text), lit(1125899906842597L), (acc, t) => xxhash64(acc, t))
+}

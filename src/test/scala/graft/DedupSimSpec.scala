@@ -1,0 +1,115 @@
+package graft
+
+import graft.dedup.DocDedup
+import graft.sim.Similarity
+import graft.text.TextFunctions
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Training-data pipeline ops: dedup family, similarity search, text stats. */
+class DedupSimSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = sf("documents")
+  private lazy val emb = sf("embeddings")
+
+  test("exact dedup keeps one survivor per normalized content") {
+    val d = Seq(
+      (1L, "hello  world foo"),
+      (2L, "Hello world FOO"), // same after normalize
+      (3L, "something else entirely")
+    ).toDF("doc_id", "text")
+    val out = DocDedup.exact(d, "text", "doc_id").select("doc_id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(1L, 3L)) // smallest id survives
+  }
+
+  test("MinHash+LSH near-dup pairs == all exact-Jaccard pairs above threshold") {
+    // ground truth: quadratic exact jaccard on the sf0.001 documents table
+    val a = docs.select(col("doc_id").as("id_a"), col("text").as("ta")).repartition(8)
+    val b = docs.select(col("doc_id").as("id_b"), col("text").as("tb"))
+    val truth = a.join(b, col("id_a") < col("id_b"))
+      .withColumn("j", DocDedup.jaccard(col("ta"), col("tb")))
+      .filter(col("j") >= 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = DocDedup.nearDupPairs(docs, "text", "doc_id", 0.8, numHashes = 32, bands = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty, "fixture should contain near-dups")
+    assert(lsh == truth)
+  }
+
+  test("SimHash: identical docs at distance 0; pairs are verified candidates") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different words about spark and parquet files here")
+    ).toDF("doc_id", "text")
+    val pairs = DocDedup.simhashPairs(d, "text", "doc_id", maxDist = 3)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
+    assert(pairs.toSeq == Seq((1L, 2L, 0)))
+  }
+
+  test("brute-force top-k: k rows per query, correctly ranked") {
+    val q = emb.filter(col("vec_id") < 3)
+    val out = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 4)
+    val per = out.groupBy("query_id").count().select("count").as[Long].collect()
+    assert(per.forall(_ == 4) && per.length == 3)
+    // rank 1 has the max cosine within each query group
+    val r = out.select("query_id", "cosine", "rank").as[(Long, Double, Int)].collect()
+      .groupBy(_._1)
+    r.values.foreach { rows =>
+      val sorted = rows.sortBy(_._3)
+      assert(sorted.map(_._2).toSeq == sorted.map(_._2).sortBy(-(_: Double)).toSeq)
+    }
+  }
+
+  test("LSH ANN top-k achieves reasonable recall@5 vs brute force") {
+    val q = emb.filter(col("vec_id") % 50 === 0)
+    val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // bucket count must fit the corpus: 2^6 = 64 buckets for 500 vectors
+    val ann = Similarity.lshTopK(emb, q, "vec_id", "embedding", dim = 64, k = 5, nBits = 6)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (ann intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.15, s"recall@5 = $recall") // multi-probe 1-bit, 6-bit buckets
+  }
+
+  test("cosine is exact: parallel vectors → 1.0, orthogonal → 0.0") {
+    val d = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(2.0f, 0.0f)), (3L, Array(0.0f, 5.0f))
+    ).toDF("id", "v")
+    val out = d.alias("a").join(d.alias("b"), col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id"),
+        Similarity.cosine(col("a.v"), col("b.v")).as("c"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (x, y, c) => (x, y) -> c }.toMap
+    assert(math.abs(out((1L, 2L)) - 1.0) < 1e-12)
+    assert(math.abs(out((1L, 3L))) < 1e-12)
+  }
+
+  test("text functions: tokens, counts, language id on fixtures") {
+    val d = Seq(
+      (1L, "the cat is on the mat and the dog is in the house"),
+      (2L, "el perro y el gato de la casa que los vio"),
+      (3L, ""),
+      (4L, "zzz qqq xxx")
+    ).toDF("doc_id", "text")
+    val out = d.select(col("doc_id"),
+      TextFunctions.tokenCount(col("text")).as("n"),
+      TextFunctions.langId(col("text")).as("lang")).as[(Long, Int, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((13, "en")))
+    assert(out(2L) == ((11, "es")))
+    assert(out(3L) == ((0, "und")))
+    assert(out(4L) == ((3, "und")))
+  }
+
+  test("multimodal: decode features shape and determinism") {
+    val d = Seq((1L, "abc"), (2L, "")).toDF("doc_id", "text")
+      .withColumn("blob", encode(col("text"), "UTF-8"))
+    val out = graft.multimodal.Multimodal.decodeFeatures(d, "doc_id", "blob")
+      .select("doc_id", "byte_len", "mean_byte").as[(Long, Long, Double)].collect()
+      .map { case (id, n, m) => id -> ((n, m)) }.toMap
+    assert(out(1L) == ((3L, ('a' + 'b' + 'c') / 3.0)))
+    assert(out(2L) == ((0L, 0.0)))
+  }
+}
