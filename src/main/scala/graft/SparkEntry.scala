@@ -10,6 +10,22 @@ import graft.text.TextFunctions
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+/** Example user-defined reduce fold: value range (max - min) as a typed
+  * Aggregator (the reference accepts any callable as a reduce handler,
+  * func.py:34-43). Order-independent in FP, so the result is bit-stable
+  * across partitionings — a mean here would drift in the last ulp with the
+  * merge order and fail exact-compare gates. */
+object RangeAgg extends org.apache.spark.sql.expressions.Aggregator[Double, (Double, Double), Double] {
+  def zero: (Double, Double) = (Double.MaxValue, Double.MinValue)
+  def reduce(b: (Double, Double), a: Double): (Double, Double) =
+    (math.min(b._1, a), math.max(b._2, a))
+  def merge(x: (Double, Double), y: (Double, Double)): (Double, Double) =
+    (math.min(x._1, y._1), math.max(x._2, y._2))
+  def finish(b: (Double, Double)): Double = if (b._2 < b._1) 0.0 else b._2 - b._1
+  def bufferEncoder = org.apache.spark.sql.Encoders.product[(Double, Double)]
+  def outputEncoder = org.apache.spark.sql.Encoders.scalaDouble
+}
+
 /** Driver contract: one `queries` entry (+ DuckDB `oracleSql` where the
   * semantics are ANSI-SQL-expressible) per operator of SURVEY.md §2, plus
   * the training-data-pipeline extensions (dedup / similarity / text /
@@ -87,6 +103,26 @@ object SparkEntry {
     "a6_reduce_min" -> ((s, dir) => {
       val st = IncrementalRun.recompute(lineitemMinPipeline, sources(s, dir))
       st("li_min").select(col(Key), col(Value).as("min_qty"))
+    }),
+
+    // A6 user-defined running fold: typed Aggregator (value range) — the
+    // reference's arbitrary-callable reduce surface
+    "a6_typed_range" -> ((s, dir) => {
+      val p = Pipeline(
+        maps = Seq(MapSpec("orders", "orders_map", 1, idCol = "o_orderkey",
+          fn = MapFns.item("o_custkey", Some("o_totalprice"), idCol = "o_orderkey"))),
+        reduces = Seq(ReduceSpec("orders_map", "orders_range", 1, TypedReduce(RangeAgg))))
+      IncrementalRun.recompute(p, sources(s, dir))("orders_range")
+        .select(col(Key), col(Value).as("range_value"))
+    }),
+
+    // Skew-resistant two-stage (salted) aggregation: 3-value hot key over
+    // the full lineitem table
+    "salted_skew_agg" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      Salted.sum(li, Seq("l_returnflag", "l_linestatus"), "l_quantity", out = "sum_qty")
+        .select(col("l_returnflag"), col("l_linestatus"),
+          round(col("sum_qty"), 2).as("sum_qty"))
     }),
 
     // A7: pre-map adapter before the fold (reference `'map': value()`)
@@ -370,6 +406,12 @@ object SparkEntry {
       "a6_reduce_min" ->
         """SELECT CAST(l_partkey AS VARCHAR) AS _mr_key,
            min(l_quantity) AS min_qty FROM lineitem GROUP BY 1""",
+      "a6_typed_range" ->
+        """SELECT CAST(o_custkey AS VARCHAR) AS _mr_key,
+           max(o_totalprice) - min(o_totalprice) AS range_value FROM orders GROUP BY 1""",
+      "salted_skew_agg" ->
+        """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty
+           FROM lineitem GROUP BY 1, 2""",
       "a7_reduce_premap" ->
         """SELECT CAST(l_suppkey AS VARCHAR) AS _mr_key,
            round(sum(l_extendedprice * CAST(0.9 AS DOUBLE)), 2) AS sum_disc

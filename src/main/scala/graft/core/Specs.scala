@@ -49,6 +49,14 @@ final case class JoinReduce(
 /** Count of live rows in the group (A11, func.py:46-47). */
 case object CountReduce extends ReduceFn
 
+/** User-defined running fold over the scalar `_mr_value` — the reference's
+  * "any Python callable as reduce handler" surface (func.py:34-43; e.g.
+  * plain `sum`/`min` used directly, tests/scripts/test_worker.py:80).
+  * Spark-first this is a typed `Aggregator` compiled into the same
+  * hash-aggregate plan as the built-in folds (partial agg + one shuffle). */
+final case class TypedReduce(agg: org.apache.spark.sql.expressions.Aggregator[Double, _, Double])
+    extends ReduceFn
+
 final case class ReduceSpec(
     source: String, // must be a map target
     target: String,

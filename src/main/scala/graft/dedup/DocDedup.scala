@@ -126,16 +126,19 @@ object DocDedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** 64-bit SimHash over token hashes: sign-sum of each bit position. */
+  /** 64-bit SimHash over token hashes: sign-sum of each bit position.
+    * Single pass over the token array with a 64-counter accumulator (64
+    * separate `aggregate` walks measured ~5× slower at sf0.1). */
   def simhash(text: Column): Column = {
     val tokHashes = transform(TextFunctions.tokens(text), t => xxhash64(t))
-    // For each bit position, +1 if set else -1; simhash bit = sign of sum.
-    val bits = (0 until 64).map { i =>
-      val vote = aggregate(tokHashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
-      when(vote > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
+    val masks = array((0 until 64).map(i => lit(1L << i)): _*)
+    // votes[i] += (h & mask_i) != 0 ? 1 : -1, one walk over the tokens
+    val votes = aggregate(tokHashes, array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc, masks,
+        (a, m) => a + when(h.bitwiseAND(m) =!= 0L, 1L).otherwise(-1L)))
+    // simhash bit i = sign of votes[i]
+    aggregate(zip_with(votes, masks, (v, m) => when(v > 0, m).otherwise(lit(0L))),
+      lit(0L), (acc, b) => acc.bitwiseOR(b))
   }
 
   /** Hamming distance between two 64-bit signatures. */

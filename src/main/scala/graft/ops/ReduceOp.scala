@@ -1,7 +1,8 @@
 package graft.ops
 
-import graft.core.{CountReduce, ExprReduce, JoinReduce, MrSchema, ReduceSpec}
-import org.apache.spark.sql.DataFrame
+import graft.core.{CountReduce, ExprReduce, JoinReduce, MrSchema, ReduceSpec, TypedReduce}
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 /** A6/A7/A10/A11 — the reduce operator: fold all live map rows of one key
@@ -26,6 +27,9 @@ object ReduceOp {
         live.groupBy(col(Key)).agg(agg(premap(col(Value))).as(Value))
       case CountReduce =>
         live.groupBy(col(Key)).agg(count(lit(1)).as(Value))
+      case TypedReduce(a) =>
+        val f = udaf(a.asInstanceOf[Aggregator[Double, Any, Double]], Encoders.scalaDouble)
+        live.groupBy(col(Key)).agg(f(col(Value).cast("double")).as(Value))
       case JoinReduce(mapping, orderBy) =>
         // Same-key multi-source merge: for each mapped (sourceType, field),
         // take that field from the winning row of that source type.

@@ -25,10 +25,13 @@ class DedupSimSpec extends AnyFunSuite with SparkTestBase {
 
   test("MinHash+LSH near-dup pairs == all exact-Jaccard pairs above threshold") {
     // ground truth: quadratic exact jaccard on the sf0.001 documents table
-    val a = docs.select(col("doc_id").as("id_a"), col("text").as("ta")).repartition(8)
-    val b = docs.select(col("doc_id").as("id_b"), col("text").as("tb"))
+    // (shingle sets precomputed once per doc — per-pair recompute is ~20×)
+    val sets = docs.select(col("doc_id"),
+      array_distinct(DocDedup.shingles(col("text"))).as("sh"))
+    val a = sets.select(col("doc_id").as("id_a"), col("sh").as("sa")).repartition(8)
+    val b = sets.select(col("doc_id").as("id_b"), col("sh").as("sb"))
     val truth = a.join(b, col("id_a") < col("id_b"))
-      .withColumn("j", DocDedup.jaccard(col("ta"), col("tb")))
+      .withColumn("j", DocDedup.jaccardSets(col("sa"), col("sb")))
       .filter(col("j") >= 0.8)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     val lsh = DocDedup.nearDupPairs(docs, "text", "doc_id", 0.8, numHashes = 32, bands = 8)
