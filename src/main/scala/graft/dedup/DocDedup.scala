@@ -50,15 +50,18 @@ object DocDedup {
     * verification. Computed exactly once per document. */
   private def shingleSets(docs: DataFrame, textCol: String, idCol: String,
                           shingleN: Int): DataFrame =
-    docs.select(col(idCol).as("__id"),
-      array_distinct(shingles(col(textCol), shingleN)).as("__sh"))
+    graft.ops.Par.ensure(docs.select(col(idCol).as("__id"), col(textCol)))
+      .select(col("__id"),
+        array_distinct(shingles(col(textCol), shingleN)).as("__sh"))
 
   /** k MinHash values over a shingle-set column: min over shingles of
-    * xxhash64(shingle, seed_i). Pure expressions → codegen-friendly. */
-  def minhashSignatureOfSets(sh: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { seed =>
-      array_min(transform(sh, s => xxhash64(s, lit(seed))))
-    }: _*)
+    * xxhash64(shingle, seed_i). Single pass over the shingles with a
+    * k-counter accumulator (k separate array walks are ~2× slower). */
+  def minhashSignatureOfSets(sh: Column, numHashes: Int): Column = {
+    val seeds = array((0 until numHashes).map(lit(_)): _*)
+    aggregate(sh, array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, s) => zip_with(acc, seeds, (a, seed) => least(a, xxhash64(s, seed))))
+  }
 
   /** k MinHash values of the document text (convenience form). */
   def minhashSignature(text: Column, numHashes: Int = 32, shingleN: Int = 3): Column =
@@ -148,7 +151,8 @@ object DocDedup {
     * hamming distance ≤ maxDist for maxDist < 4 must agree on at least one
     * chunk — pigeonhole), verify with full hamming distance. */
   def simhashPairs(docs: DataFrame, textCol: String, idCol: String, maxDist: Int = 3): DataFrame = {
-    val sig = docs.select(col(idCol).as("__id"), simhash(col(textCol)).as("__sh"))
+    val sig = graft.ops.Par.ensure(docs.select(col(idCol).as("__id"), col(textCol)))
+      .select(col("__id"), simhash(col(textCol)).as("__sh"))
     val chunked = sig.select(col("__id"), col("__sh"),
       explode(array((0 until 4).map { c =>
         struct(lit(c).as("chunk"),

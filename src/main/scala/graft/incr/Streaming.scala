@@ -24,7 +24,8 @@ final class StreamingEngine(
     pipeline: Pipeline,
     sources: IncrementalRun.Sources,
     @volatile private var state: MrState,
-    maxRetries: Int = 2) {
+    maxRetries: Int = 2,
+    store: Option[ParquetStateStore] = None) {
 
   @volatile private var deadLetterBatches: List[(Long, Array[Change])] = Nil
   @volatile private var batchClock: Long = 0L
@@ -42,6 +43,7 @@ final class StreamingEngine(
         val next = IncrementalRun.applyChanges(
           pipeline, sources, state, changes, batchTimestampNs = batchClock)
         state = next.checkpointed // materialize: the sink write of this batch
+        store.foreach(_.save(state, batchId)) // durable snapshot + manifest swap
         done = true
       } catch {
         case e: Exception if attempt < maxRetries =>
@@ -62,5 +64,20 @@ final class StreamingEngine(
     (if (availableNow) writer.trigger(Trigger.AvailableNow())
      else writer.trigger(Trigger.ProcessingTime("500 milliseconds")))
       .start()
+  }
+}
+
+object StreamingEngine {
+  /** Crash/restart recovery: resume from the store's last committed
+    * snapshot, or cold-start from a full recompute when none exists. */
+  def restore(
+      pipeline: Pipeline,
+      sources: IncrementalRun.Sources,
+      store: ParquetStateStore,
+      spark: SparkSession,
+      maxRetries: Int = 2): StreamingEngine = {
+    val st = store.load(spark).map(_._1)
+      .getOrElse(IncrementalRun.recompute(pipeline, sources).checkpointed)
+    new StreamingEngine(pipeline, sources, st, maxRetries, Some(store))
   }
 }

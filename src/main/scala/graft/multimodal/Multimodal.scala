@@ -75,8 +75,8 @@ object Multimodal {
       decoder: Decoder = FakeDecoder): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val pairs: Dataset[(Long, Array[Byte])] = df
-      .select(col(idCol).cast("long"), col(blobCol))
+    val pairs: Dataset[(Long, Array[Byte])] = graft.ops.Par.ensure(
+        df.select(col(idCol).cast("long"), col(blobCol)))
       .as[(Long, Array[Byte])]
     pairs.mapPartitions { it =>
       val d = decoder // per-partition init seam

@@ -1,0 +1,56 @@
+package graft
+
+import graft.streaming.EventWindows
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Watermarked windowed aggregation: append-mode finalization, late-data
+  * drop, and batch/stream parity. */
+class EventWindowsSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val H = 3600L * 1000000000L // 1 hour in ns
+
+  test("windows finalize after the watermark passes; late events are dropped") {
+    val mem = MemoryStream[(Long, String, Double)](spark)
+    val agg = EventWindows.typedWindowAgg(
+      mem.toDF().toDF("ts", "event_type", "value"),
+      "ts", watermark = "30 minutes", window = "1 hour")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("win_out").start()
+
+    // hour-0 events, then an hour-2 event that advances the watermark past
+    // the end of hour 0 → hour-0 window finalizes
+    mem.addData((1L * H / 4, "click", 1.0), (2L * H / 4, "click", 2.0))
+    q.processAllAvailable()
+    mem.addData((2L * H + H / 4, "click", 7.0))
+    q.processAllAvailable()
+    // a late hour-0 event beyond the watermark must be dropped
+    mem.addData((3L * H / 4, "click", 100.0))
+    q.processAllAvailable()
+    mem.addData((4L * H, "view", 1.0)) // advance further: nothing re-emits for hour 0
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("win_out")
+      .select(unix_timestamp(col("window_start")).as("start"), col("event_type"),
+        col("cnt"), col("sum_value"))
+      .as[(Long, String, Long, Double)].collect().toSet
+    // hour-0 window emitted once, WITHOUT the late 100.0 event
+    assert(out.contains((0L, "click", 2L, 3.0)))
+    assert(!out.exists { case (s, t, _, v) => s == 0L && t == "click" && v != 3.0 })
+  }
+
+  test("same operator runs in batch mode (backfill parity)") {
+    val batch = Seq(
+      (1L * H / 4, "click", 1.0), (2L * H / 4, "click", 2.0),
+      (2L * H + H / 4, "view", 7.0)
+    ).toDF("ts", "event_type", "value")
+    val out = EventWindows.typedWindowAgg(batch, "ts", "30 minutes", "1 hour")
+      .select(unix_timestamp(col("window_start")).as("s"), col("event_type"),
+        col("cnt"), col("sum_value"))
+      .as[(Long, String, Long, Double)].collect().toSet
+    assert(out == Set((0L, "click", 2L, 3.0), (2 * 3600L, "view", 1L, 7.0)))
+  }
+}
