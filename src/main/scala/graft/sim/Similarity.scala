@@ -19,8 +19,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two float-array columns, accumulated in double. */
-  def dot(a: Column, b: Column): Column =
+  /** Dot product of two float-array columns, accumulated in double.
+    * Resolves to the native codegen [[graft.functions.VectorDot]] — callers
+    * must have run [[graft.functions.GraftFunctions.register]] (every
+    * DataFrame-taking entry point here does so). Same element order as the
+    * interpreted `aggregate(zip_with(...))` fold, so values are identical. */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** Portable HOF fallback with identical semantics (no registration). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
@@ -46,6 +53,7 @@ object Similarity {
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
       norm(col(vecCol)).as("__qn")))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
@@ -82,6 +90,7 @@ object Similarity {
   def lshTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       dim: Int, k: Int, nBits: Int = 12): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
       norm(col(vecCol)).as("__cn"),
       lshBucket(col(vecCol), dim, nBits).as("__bucket"))
@@ -113,6 +122,7 @@ object Similarity {
   def cosineNearDupPairs(
       corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
       threshold: Double, nBits: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     val c = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"),
       norm(col(vecCol)).as("__n"),
       lshBucket(col(vecCol), dim, nBits).as("__bucket"))
@@ -128,6 +138,7 @@ object Similarity {
   def bruteForcePairs(
       corpus: DataFrame, idCol: String, vecCol: String, threshold: Double,
       partitions: Int = 32): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     val c = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"),
       norm(col(vecCol)).as("__n"))
     // left side repartitioned: the nested-loop join otherwise inherits the

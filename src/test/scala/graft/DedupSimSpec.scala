@@ -12,6 +12,15 @@ class DedupSimSpec extends AnyFunSuite with SparkTestBase {
 
   private lazy val docs = sf("documents")
   private lazy val emb = sf("embeddings")
+  graft.functions.GraftFunctions.register(spark)
+
+  test("native graft_dot is bit-identical to the HOF fold (same element order)") {
+    val out = emb.limit(64).select(
+      Similarity.dot(col("embedding"), col("embedding")).as("native"),
+      Similarity.dotHof(col("embedding"), col("embedding")).as("hof"))
+      .as[(Double, Double)].collect()
+    assert(out.nonEmpty && out.forall { case (n, h) => n == h })
+  }
 
   test("exact dedup keeps one survivor per normalized content") {
     val d = Seq(
