@@ -368,6 +368,12 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"),
         TextFunctions.rollingHash(col("text")).as("rhash"))),
 
+    // BPE-ish subword token count (Java-regex lookarounds — rows-only: RE2
+    // in the oracle engine cannot express them)
+    "text_subword_count" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        size(TextFunctions.subwordTokens(col("text"))).cast("long").as("n_subwords"))),
+
     // Multimodal: binary blobs + typed metadata
     "mm_meta" -> ((s, dir) => {
       val blobs = t(s, dir, "documents")

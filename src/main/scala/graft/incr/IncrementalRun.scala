@@ -136,10 +136,16 @@ object IncrementalRun {
         val recomputed = ReduceOp(rspec, scoped, batchTimestampNs)
 
         // Replace ready keys wholesale; empty groups yield no row = delete.
+        // untouchedOld (old minus readyKeys) and recomputed (readyKeys only)
+        // are disjoint by construction, so a plain union preserves the
+        // one-row-per-key invariant — no A12 window pass needed here. The
+        // reference dedups on read because its store can transiently hold
+        // two rows per key after a crash (processor.py:181-189); our state
+        // snapshots swap atomically (StateStore), so recovery re-enters
+        // with a clean table. DedupOp stays available for ingesting
+        // externally-produced tables that lack the invariant.
         val untouchedOld = st(rspec.target).join(readyKeys, Seq(Key), "left_anti")
-        val merged = DedupOp.newestWins(
-          untouchedOld.unionByName(recomputed, allowMissingColumns = true),
-          Seq(Key), Timestamp)
+        val merged = untouchedOld.unionByName(recomputed, allowMissingColumns = true)
         st = st.updated(rspec.target, merged)
 
         // A13 deferred purge: physical delete of tombstones whose key reduced.

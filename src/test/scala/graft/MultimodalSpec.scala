@@ -1,0 +1,41 @@
+package graft
+
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Multimodal plumbing: metadata struct, frame sampling, byte-budget
+  * repartitioning. */
+class MultimodalSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private lazy val blobs = Seq(
+    (1L, "abcdefghij"), // 10 bytes
+    (2L, "xy"),
+    (3L, "")
+  ).toDF("id", "text").withColumn("blob", encode(col("text"), "UTF-8"))
+
+  test("withMeta attaches typed metadata (byte_len, checksum)") {
+    val out = Multimodal.withMeta(blobs, "blob", "image", "raw")
+      .select(col("id"), col("meta.media_type"), col("meta.byte_len"))
+      .as[(Long, String, Long)].collect()
+      .map { case (id, t, n) => id -> ((t, n)) }.toMap
+    assert(out(1L) == (("image", 10L)))
+    assert(out(3L) == (("image", 0L)))
+  }
+
+  test("sampleFrames splits blobs into fixed windows and keeps every stride-th") {
+    val out = Multimodal.sampleFrames(blobs, "blob", frameBytes = 3, stride = 2)
+      .select(col("id"), transform(col("frames"), f => length(f)).as("lens"))
+      .as[(Long, Seq[Int])].collect().toMap
+    // 10 bytes → frames [3,3,3,1], keep indices 0,2 → lengths [3,3]
+    assert(out(1L) == Seq(3, 3))
+    // 2 bytes → frames [2], keep index 0
+    assert(out(2L) == Seq(2))
+  }
+
+  test("repartitionByBytes sizes partition count by cumulative blob bytes") {
+    val out = Multimodal.repartitionByBytes(blobs, "blob", targetBytesPerPartition = 5)
+    assert(out.rdd.getNumPartitions == 3) // 12 bytes total / 5 → ceil = 3
+  }
+}
