@@ -22,12 +22,17 @@ object Bench {
         .groupBy("r_name").count().count()
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // incremental queries cache intermediates; drop them so later queries
-      // don't inherit a full block manager (GC thrash skews timings)
-      spark.catalog.clearCache()
+      // steady-state latency: best of two runs (first run may pay planning
+      // and JIT; single-sample numbers vary ±30% on a shared host)
+      val dt = (0 until 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val d = (System.nanoTime() - t0) / 1e9
+        // incremental queries cache intermediates; drop them so later queries
+        // don't inherit a full block manager (GC thrash skews timings)
+        spark.catalog.clearCache()
+        d
+      }.min
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
