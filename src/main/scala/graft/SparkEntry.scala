@@ -5,7 +5,7 @@ import graft.dedup.DocDedup
 import graft.incr._
 import graft.multimodal.Multimodal
 import graft.ops._
-import graft.sim.Similarity
+import graft.sim.{Ivf, Similarity}
 import graft.text.TextFunctions
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -334,6 +334,13 @@ object SparkEntry {
       // 2^8 buckets sized for the test corpora; at 100 TB raise nBits so
       // bucket cardinality tracks corpus size
       Similarity.lshTopK(e, q, "vec_id", "embedding", dim = 64, k = 5, nBits = 8)
+    }),
+
+    // IVF ANN top-k (approximate — rows-only; recall tested in IvfSpec)
+    "sim_topk_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") % 50 === 0)
+      Ivf.topK(e, q, "vec_id", "embedding", k = 5, nCells = 16, nProbe = 4)
     }),
 
     // Embedding-cosine near-dup pairs (brute-force exact baseline; the LSH
