@@ -120,6 +120,40 @@ class IncrementalSpec extends AnyFunSuite with SparkTestBase {
     assert(reduced(st) == Map("k1" -> 6.0))
   }
 
+  test("golden worker flow: create (1,1)(1,2)(1,3)→6, update two→9, delete one→4") {
+    // reference tests/scripts/test_worker.py:98-116 transposed
+    var data = srcDf(("a", "1", 1.0), ("b", "1", 2.0), ("c", "1", 3.0))
+    val sources: IncrementalRun.Sources = _ => data
+    var st = IncrementalRun.recompute(pipeline, sources)
+    assert(reduced(st) == Map("1" -> 6.0))
+    data = srcDf(("a", "1", 4.0), ("b", "1", 2.0), ("c", "1", 3.0))
+    st = IncrementalRun.applyChanges(pipeline, sources, st,
+      changes((1, Change.Updated, "a")), 1L)
+    data = srcDf(("a", "1", 4.0), ("b", "1", 2.0), ("c", "1", 3.0))
+    assert(reduced(st) == Map("1" -> 9.0))
+    data = srcDf(("a", "1", 4.0), ("c", "1", 3.0))
+    st = IncrementalRun.applyChanges(pipeline, sources, st,
+      changes((2, Change.Deleted, "b")), 2L)
+    assert(reduced(st) == Map("1" -> 7.0))
+    data = srcDf(("c", "1", 3.0))
+    st = IncrementalRun.applyChanges(pipeline, sources, st,
+      changes((3, Change.Deleted, "a")), 3L)
+    assert(reduced(st) == Map("1" -> 3.0))
+  }
+
+  test("dict-valued map rows: payload columns beside _mr_*, null key and value") {
+    // reference tests/test_mapreduce.py:500-575: map emits (None, {result: foo*bar})
+    val spec = MapSpec("data", "data_map", 1, idCol = "id",
+      fn = df => df.select(lit(null).cast("string").as(Key),
+        (col("foo") * col("bar")).as("result"), col("id")))
+    val src = Seq(("x", 2, 3), ("y", 4, 5)).toDF("id", "foo", "bar")
+    val out = graft.ops.MapOp(spec, src)
+    assert(out.columns.contains("result"))
+    val rows = out.select(col("result"), col(Key).isNull, col(Value).isNull)
+      .as[(Int, Boolean, Boolean)].collect().toSet
+    assert(rows == Set((6, true, true), (20, true, true)))
+  }
+
   test("multi-source map target: provenance delete only hits its own source type") {
     val p = Pipeline(
       maps = Seq(
