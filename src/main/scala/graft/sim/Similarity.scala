@@ -69,42 +69,54 @@ object Similarity {
 
   /** Sign-pattern bucket id from `nBits` deterministic pseudo-random
     * hyperplanes. Hyperplane i's component j is a fixed hash-derived value
-    * in [-1, 1] — reproducible across runs and engines with no RNG. */
-  def lshBucket(vec: Column, dim: Int, nBits: Int = 12): Column = {
+    * in [-1, 1] — reproducible across runs and engines with no RNG. `seed`
+    * selects an independent hyperplane family (multi-table LSH). */
+  def lshBucket(vec: Column, dim: Int, nBits: Int = 12, seed: Int = 0): Column = {
     val bits = (0 until nBits).map { i =>
-      // h_i · v  with  h_i[j] = (xxhash64(i, j) % 1001) / 1000.0
+      // h_i · v  with  h_i[j] = (xxhash64(seed + i, j) % 1001) / 1000.0
       val proj = aggregate(
         zip_with(vec, sequence(lit(0), lit(dim - 1)),
           (x, j) => x.cast("double") *
-            ((xxhash64(lit(i), j) % 1001L).cast("double") / 1000.0)),
+            ((xxhash64(lit(seed + i), j) % 1001L).cast("double") / 1000.0)),
         lit(0.0), (acc, x) => acc + x)
       when(proj > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
-  /** ANN top-k via hyperplane-LSH buckets: probe the query's bucket plus all
-    * buckets within hamming distance 1 (multi-probe), then exact cosine +
-    * top-k inside the probed set. Trades recall for touching ~(nBits+1)/2^nBits
-    * of the corpus per query. */
+  /** ANN top-k via hyperplane-LSH buckets: `nTables` independent hyperplane
+    * families; per table, probe the query's bucket plus all buckets within
+    * hamming distance 1; exact cosine + top-k inside the probed union.
+    * Recall grows as 1-(1-p)^nTables for per-table hit rate p; each table
+    * touches ~(nBits+1)/2^nBits of the corpus per query. */
   def lshTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-      dim: Int, k: Int, nBits: Int = 12): DataFrame = {
+      dim: Int, k: Int, nBits: Int = 12, nTables: Int = 2): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
-      norm(col(vecCol)).as("__cn"),
-      lshBucket(col(vecCol), dim, nBits).as("__bucket"))
-    // multi-probe: the bucket itself + each single-bit flip
-    val probes = (-1 until nBits).map { i =>
-      if (i < 0) col("__qbucket")
-      else col("__qbucket").bitwiseXOR(shiftleft(lit(1L), i))
+    val tableBuckets = (0 until nTables).map { t =>
+      t -> ((v: Column) => lshBucket(v, dim, nBits, seed = t * nBits))
     }
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+        norm(col(vecCol)).as("__cn"),
+        explode(array(tableBuckets.map { case (t, b) =>
+          struct(lit(t).as("t"), b(col(vecCol)).as("b"))
+        }: _*)).as("__tb"))
+      .select(col("neighbor_id"), col("__cv"), col("__cn"),
+        col("__tb.t").as("__t"), col("__tb.b").as("__bucket"))
+    // per table: the bucket itself + each single-bit flip
+    def probesOf(bucket: Column): Seq[Column] =
+      bucket +: (0 until nBits).map(i => bucket.bitwiseXOR(shiftleft(lit(1L), i)))
     val q = broadcast(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
           norm(col(vecCol)).as("__qn"),
-          lshBucket(col(vecCol), dim, nBits).as("__qbucket"))
-        .withColumn("__probe", explode(array(probes: _*))))
-    val scored = q.join(c, col("__probe") === col("__bucket") &&
+          explode(array(tableBuckets.flatMap { case (t, b) =>
+            probesOf(b(col(vecCol))).map(p => struct(lit(t).as("t"), p.as("b")))
+          }: _*)).as("__tp"))
+        .select(col("query_id"), col("__qv"), col("__qn"),
+          col("__tp.t").as("__t"), col("__tp.b").as("__probe")))
+    val scored = q.alias("q").join(c.alias("c"),
+        col("q.__t") === col("c.__t") &&
+        col("q.__probe") === col("c.__bucket") &&
         col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosinePre(col("__qv"), col("__cv"), col("__qn"), col("__cn")).as("cosine"))

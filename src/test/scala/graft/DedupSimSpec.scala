@@ -79,10 +79,17 @@ class DedupSimSpec extends AnyFunSuite with SparkTestBase {
     val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 5)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     // bucket count must fit the corpus: 2^6 = 64 buckets for 500 vectors
-    val ann = Similarity.lshTopK(emb, q, "vec_id", "embedding", dim = 64, k = 5, nBits = 6)
+    val ann1 = Similarity.lshTopK(emb, q, "vec_id", "embedding", dim = 64, k = 5,
+      nBits = 6, nTables = 1)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
-    val recall = (ann intersect exact).size.toDouble / exact.size
-    assert(recall >= 0.15, s"recall@5 = $recall") // multi-probe 1-bit, 6-bit buckets
+    val ann3 = Similarity.lshTopK(emb, q, "vec_id", "embedding", dim = 64, k = 5,
+      nBits = 6, nTables = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val r1 = (ann1 intersect exact).size.toDouble / exact.size
+    val r3 = (ann3 intersect exact).size.toDouble / exact.size
+    assert(r1 >= 0.15, s"recall@5 single-table = $r1")
+    assert(r3 >= r1, s"multi-table recall ($r3) must not regress single-table ($r1)")
+    assert(r3 >= 0.3, s"recall@5 with 3 tables = $r3")
   }
 
   test("cosine is exact: parallel vectors → 1.0, orthogonal → 0.0") {
