@@ -88,6 +88,8 @@ object IncrementalRun {
     val lastPerId = DedupOp.newestWins(changes.toDF(), Seq("resourceType", "resourceId"), "seq")
       .select(col("resourceType"), col("resourceId"), col("change"))
       .cache()
+    val tempCaches = scala.collection.mutable.ListBuffer[DataFrame](lastPerId)
+    val changedTargets = scala.collection.mutable.LinkedHashSet.empty[String]
 
     var st = state
     // affected (reduceSource mapTarget -> touched-keys frame)
@@ -98,6 +100,7 @@ object IncrementalRun {
       for (spec <- specs) {
         val (newTable, touched) = applyMapBatch(spec, sources, st(spec.target), batch)
         st = st.updated(spec.target, newTable)
+        changedTargets += spec.target
         if (pipeline.reducersBySource.contains(spec.target)) {
           val merged = affectedKeys.get(spec.target) match {
             case Some(k) => k.unionByName(touched).distinct()
@@ -111,6 +114,7 @@ object IncrementalRun {
     for ((mapTarget, keys) <- affectedKeys.toSeq.sortBy(_._1)) {
       val specs = pipeline.mapSpecsByTarget(mapTarget)
       val keysDf = keys.distinct().cache()
+      tempCaches += keysDf
       for (rspec <- pipeline.reducersBySource(mapTarget)) {
         val table = st(mapTarget)
 
@@ -131,6 +135,7 @@ object IncrementalRun {
           .unionByName(keysDf.join(table.filter(!col(Deleted)), Seq(Key), "left_anti"))
           .distinct()
           .cache()
+        tempCaches += readyKeys
 
         val scoped = table.join(readyKeys, Seq(Key), "left_semi")
         val recomputed = ReduceOp(rspec, scoped, batchTimestampNs)
@@ -147,6 +152,7 @@ object IncrementalRun {
         val untouchedOld = st(rspec.target).join(readyKeys, Seq(Key), "left_anti")
         val merged = untouchedOld.unionByName(recomputed, allowMissingColumns = true)
         st = st.updated(rspec.target, merged)
+        changedTargets += rspec.target
 
         // A13 deferred purge: physical delete of tombstones whose key reduced.
         val afterPurge = st(mapTarget)
@@ -155,7 +161,20 @@ object IncrementalRun {
         st = st.updated(mapTarget, afterPurge)
       }
     }
-    st
+
+    // Truncate lineage of every table this batch rewrote (eager
+    // localCheckpoint = the local stand-in for the parquet/Delta write a
+    // cluster `foreachBatch` sink performs). Without this, each batch's
+    // output plan embeds the previous state's plan several times over, so
+    // chained batches grow the logical plan MULTIPLICATIVELY — Catalyst
+    // analysis alone goes super-linear and a steady-state streaming job
+    // eventually spends hours planning a kilobyte of data. Untouched tables
+    // keep their (already truncated) plans.
+    val truncated = changedTargets.foldLeft(st) { (s, t) =>
+      s.updated(t, s(t).localCheckpoint())
+    }
+    tempCaches.foreach(_.unpersist(blocking = false))
+    truncated
   }
 
   /** Apply one batch of changes for one map spec: delete-old by provenance,

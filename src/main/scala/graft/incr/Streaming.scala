@@ -40,9 +40,11 @@ final class StreamingEngine(
     while (!done) {
       try {
         batchClock += 1
-        val next = IncrementalRun.applyChanges(
+        // applyChanges already truncates the lineage of every table it
+        // rewrote (eager localCheckpoint = this batch's sink write);
+        // re-checkpointing the whole state here would copy untouched tables.
+        state = IncrementalRun.applyChanges(
           pipeline, sources, state, changes, batchTimestampNs = batchClock)
-        state = next.checkpointed // materialize: the sink write of this batch
         store.foreach(_.save(state, batchId)) // durable snapshot + manifest swap
         done = true
       } catch {
