@@ -271,6 +271,23 @@ object SparkEntry {
       QvarnSearch(t(s, dir, "part"), "p_partkey")
         .sort("p_retailprice", "p_partkey").offset(5).limit(10).result()),
 
+    // B9 on a child list table: Qvarn sorts by the FIRST list element
+    // (list_pos = 0) — here customers ordered by the min orderkey of their
+    // (deterministically sorted) nested orders list, no-order customers
+    // first (null sorts first ascending in both engines via NULLS FIRST)
+    "b9_sort_list_field" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val nested = c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        // array_sort: collect_list order is partition-dependent; sorting
+        // makes element 0 deterministic for both engines
+        .agg(array_sort(collect_list(struct(col("o_orderkey"), col("o_totalprice"))))
+          .as("orders"))
+      QvarnSearch(nested, "c_custkey").sort("o_orderkey", "c_custkey").limit(25)
+        .show().result() // ids-only projection
+    }),
+
     // B12: point multiget by id list
     "b12_multiget" -> ((s, dir) =>
       t(s, dir, "part").filter(col("p_partkey").isin(1, 2, 42, 77, 1999))),
@@ -305,11 +322,12 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
         .filter(col("doc_id") % 3 === 0 && col("doc_id") < 1500)
-      // shingle sets computed once per doc, NOT per pair; left side
-      // repartitioned — the nested-loop join otherwise inherits the scan's
-      // single input partition → one-core quadratic
+      // shingle sets computed once per doc (cached: both join sides read
+      // this frame), NOT per pair; left side repartitioned — the nested-loop
+      // join otherwise inherits the scan's single input partition →
+      // one-core quadratic
       val sets = docs.select(col("doc_id"),
-        array_distinct(DocDedup.shingles(col("text"))).as("__sh"))
+        array_distinct(DocDedup.shingles(col("text"))).as("__sh")).cache()
       val a = sets.select(col("doc_id").as("id_a"), col("__sh").as("__sa")).repartition(32)
       val b = sets.select(col("doc_id").as("id_b"), col("__sh").as("__sb"))
       a.join(b, col("id_a") < col("id_b"))
@@ -473,6 +491,13 @@ object SparkEntry {
         "SELECT p_partkey, p_name, p_retailprice FROM part WHERE lower(p_type) = 'small'",
       "b9_sort_limit" ->
         "SELECT * FROM part ORDER BY p_retailprice, p_partkey LIMIT 10 OFFSET 5",
+      "b9_sort_list_field" ->
+        """SELECT c_custkey FROM (
+             SELECT c.c_custkey,
+               (SELECT min(o.o_orderkey) FROM orders o
+                WHERE o.o_custkey = c.c_custkey) AS k
+             FROM customer c)
+           ORDER BY k ASC NULLS FIRST, c_custkey LIMIT 25""",
       "b12_multiget" ->
         "SELECT * FROM part WHERE p_partkey IN (1, 2, 42, 77, 1999)",
       "events_hourly" ->

@@ -1,7 +1,8 @@
 package graft.dedup
 
+import graft.functions.GraftFunctions
 import graft.text.TextFunctions
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -55,9 +56,16 @@ object DocDedup {
         array_distinct(shingles(col(textCol), shingleN)).as("__sh"))
 
   /** k MinHash values over a shingle-set column: min over shingles of
-    * xxhash64(shingle, seed_i). Single pass over the shingles with a
-    * k-counter accumulator (k separate array walks are ~2× slower). */
+    * xxhash64(shingle, seed_i). Native one-pass kernel
+    * ([[graft.functions.MinHashSig]]); [[minhashSignatureOfSetsHof]] is the
+    * bit-identical composed-HOF formulation kept as the spec cross-check. */
   def minhashSignatureOfSets(sh: Column, numHashes: Int): Column = {
+    GraftFunctions.register(SparkSession.active)
+    call_function("graft_minhash", sh, lit(numHashes))
+  }
+
+  /** Interpreted-HOF MinHash (reference semantics for the native kernel). */
+  def minhashSignatureOfSetsHof(sh: Column, numHashes: Int): Column = {
     val seeds = array((0 until numHashes).map(lit(_)): _*)
     aggregate(sh, array_repeat(lit(Long.MaxValue), numHashes),
       (acc, s) => zip_with(acc, seeds, (a, seed) => least(a, xxhash64(s, seed))))
@@ -67,8 +75,17 @@ object DocDedup {
   def minhashSignature(text: Column, numHashes: Int = 32, shingleN: Int = 3): Column =
     minhashSignatureOfSets(array_distinct(shingles(text, shingleN)), numHashes)
 
-  /** Exact Jaccard over two precomputed shingle-set columns. */
+  /** Exact Jaccard over two precomputed shingle-set columns. Native
+    * single-pass kernel ([[graft.functions.JaccardSim]]) — the interpreted
+    * `array_intersect`/`array_union` pair builds two scratch hash sets and
+    * two result arrays per candidate pair. */
   def jaccardSets(sa: Column, sb: Column): Column = {
+    GraftFunctions.register(SparkSession.active)
+    call_function("graft_jaccard", sa, sb)
+  }
+
+  /** Built-in-functions Jaccard (reference semantics for the kernel). */
+  def jaccardSetsHof(sa: Column, sb: Column): Column = {
     val inter = size(array_intersect(sa, sb)).cast("double")
     val uni = size(array_union(sa, sb)).cast("double")
     when(uni === 0, lit(0.0)).otherwise(inter / uni)
@@ -97,7 +114,7 @@ object DocDedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val sigs = shingleSets(docs, textCol, idCol, shingleN)
       .withColumn("__sig", minhashSignatureOfSets(col("__sh"), numHashes))
-    val banded = bandedBuckets(sigs, bands, numHashes / bands)
+    val banded = bandedBuckets(sigs, bands, numHashes / bands).cache() // both join sides
     banded.alias("a").join(banded.alias("b"),
         col("a.__band") === col("b.__band") &&
         col("a.__bucket") === col("b.__bucket") &&
@@ -112,9 +129,14 @@ object DocDedup {
       docs: DataFrame, textCol: String, idCol: String, threshold: Double,
       numHashes: Int = 32, bands: Int = 8, shingleN: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val sets = shingleSets(docs, textCol, idCol, shingleN)
+    // The shingle-set and banded-bucket frames are each read from BOTH sides
+    // of the candidate self-join (and `sets` again by the verify stage) —
+    // cache them so shingling/MinHash run once per document, not once per
+    // plan reference. At cluster scale these are the materialized signature
+    // index a dedup pipeline persists anyway.
+    val sets = shingleSets(docs, textCol, idCol, shingleN).cache()
     val sigs = sets.withColumn("__sig", minhashSignatureOfSets(col("__sh"), numHashes))
-    val banded = bandedBuckets(sigs, bands, numHashes / bands)
+    val banded = bandedBuckets(sigs, bands, numHashes / bands).cache()
     val cands = banded.alias("a").join(banded.alias("b"),
         col("a.__band") === col("b.__band") &&
         col("a.__bucket") === col("b.__bucket") &&
@@ -130,9 +152,15 @@ object DocDedup {
   }
 
   /** 64-bit SimHash over token hashes: sign-sum of each bit position.
-    * Single pass over the token array with a 64-counter accumulator (64
-    * separate `aggregate` walks measured ~5× slower at sf0.1). */
+    * Native one-pass kernel ([[graft.functions.SimHash64]]);
+    * [[simhashHof]] is the bit-identical HOF formulation (spec cross-check). */
   def simhash(text: Column): Column = {
+    GraftFunctions.register(SparkSession.active)
+    call_function("graft_simhash", TextFunctions.tokens(text))
+  }
+
+  /** Interpreted-HOF SimHash (reference semantics for the native kernel). */
+  def simhashHof(text: Column): Column = {
     val tokHashes = transform(TextFunctions.tokens(text), t => xxhash64(t))
     val masks = array((0 until 64).map(i => lit(1L << i)): _*)
     // votes[i] += (h & mask_i) != 0 ? 1 : -1, one walk over the tokens
@@ -159,6 +187,7 @@ object DocDedup {
           shiftright(col("__sh"), c * 16).bitwiseAND(lit(0xFFFFL)).as("key"))
       }: _*)).as("__c"))
       .select(col("__id"), col("__sh"), col("__c.chunk").as("__chunk"), col("__c.key").as("__key"))
+      .cache() // both sides of the candidate self-join read this
     chunked.alias("a").join(chunked.alias("b"),
         col("a.__chunk") === col("b.__chunk") &&
         col("a.__key") === col("b.__key") &&

@@ -1,0 +1,152 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native single-pass kernels for the text-dedup hot loops.
+  *
+  * The composed `aggregate`/`zip_with`/`transform` higher-order functions
+  * these replace are evaluated interpreted — one lambda dispatch plus an
+  * intermediate array allocation per element step. For MinHash that is
+  * O(shingles × k) boxed steps and O(shingles) k-wide array copies per
+  * document; for SimHash O(tokens) 64-wide copies; for Jaccard a fresh
+  * hash set per candidate pair side. At bench scale the allocation storm
+  * additionally taxes every query scheduled after these with GC debt.
+  *
+  * Each kernel is bit-identical to its HOF formulation (asserted in
+  * DedupSimSpec): the hash is Spark's own xxhash64 chain via
+  * [[XxHash64Function]], fold order is element order, and set semantics
+  * match `array_intersect`/`array_union` on distinct inputs. Codegen
+  * delegates to the same eval helpers, keeping the surrounding stage in
+  * whole-stage codegen with one virtual call per row.
+  */
+object TextHashKernels {
+
+  /** k MinHash values: out[j] = min over shingles s of
+    * xxhash64(s, j) — the exact chain of `xxhash64(s: string, j: int)`. */
+  def minhash(sh: ArrayData, k: Int): ArrayData = {
+    val out = new Array[Long](k)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    val n = sh.numElements()
+    var i = 0
+    while (i < n) {
+      val h1 = XxHash64Function.hash(sh.getUTF8String(i), StringType, 42L)
+      var j = 0
+      while (j < k) {
+        val h = XxHash64Function.hash(j, IntegerType, h1)
+        if (h < out(j)) out(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** 64-bit SimHash: majority vote per bit over token hashes. */
+  def simhash(toks: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      val h = XxHash64Function.hash(toks.getUTF8String(i), StringType, 42L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) != 0L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  /** Jaccard similarity of two string arrays as distinct sets —
+    * |A∩B| / |A∪B|, 0.0 when both empty (matches
+    * `size(array_intersect)/size(array_union)` on any inputs). */
+  def jaccard(a: ArrayData, b: ArrayData): Double = {
+    val setA = new java.util.HashSet[UTF8String](math.max(8, a.numElements() * 2))
+    var i = 0
+    while (i < a.numElements()) { setA.add(a.getUTF8String(i)); i += 1 }
+    val setB = new java.util.HashSet[UTF8String](math.max(8, b.numElements() * 2))
+    var inter = 0
+    i = 0
+    while (i < b.numElements()) {
+      val e = b.getUTF8String(i)
+      if (setB.add(e) && setA.contains(e)) inter += 1
+      i += 1
+    }
+    val uni = setA.size + setB.size - inter
+    if (uni == 0) 0.0 else inter.toDouble / uni
+  }
+}
+
+/** `graft_minhash(shingles, k)` → array<bigint>. `k` must be foldable. */
+case class MinHashSig(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(StringType, _), IntegerType) if right.foldable =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      "graft_minhash requires (array<string>, foldable int)")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  @transient private lazy val k: Int = right.eval(null).asInstanceOf[Int]
+  override def nullSafeEval(sh: Any, unused: Any): Any =
+    TextHashKernels.minhash(sh.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (sh, _) => {
+      val kernels = TextHashKernels.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $kernels.minhash($sh, $k);"
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): MinHashSig =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_minhash"
+}
+
+/** `graft_simhash(tokens)` → bigint. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_simhash requires array<string>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def nullSafeEval(toks: Any): Any =
+    TextHashKernels.simhash(toks.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, toks => {
+      val kernels = TextHashKernels.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"$kernels.simhash($toks)"
+    })
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+  override def prettyName: String = "graft_simhash"
+}
+
+/** `graft_jaccard(a, b)` → double. */
+case class JaccardSim(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      "graft_jaccard requires two array<string> inputs")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextHashKernels.jaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => {
+      val kernels = TextHashKernels.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"$kernels.jaccard($a, $b)"
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSim =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_jaccard"
+}

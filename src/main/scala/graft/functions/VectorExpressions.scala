@@ -83,20 +83,30 @@ case class VectorDot(left: Expression, right: Expression)
   * [[GraftFunctions.register]] on an existing session (idempotent). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction(GraftFunctions.dotDescriptor)
+    GraftFunctions.descriptors.foreach(ext.injectFunction)
 }
 
 object GraftFunctions {
-  private[graft] val dotDescriptor = (
-    new FunctionIdentifier("graft_dot"),
-    new ExpressionInfo(classOf[VectorDot].getName, "graft_dot"),
+  private def descriptor(
+      name: String, clazz: Class[_], arity: Int,
+      build: Seq[Expression] => Expression) = (
+    new FunctionIdentifier(name),
+    new ExpressionInfo(clazz.getName, name),
     (children: Seq[Expression]) => {
-      require(children.length == 2, "graft_dot takes exactly 2 arguments")
-      VectorDot(children.head, children(1))
+      require(children.length == arity, s"$name takes exactly $arity arguments")
+      build(children)
     })
+
+  private[graft] val descriptors = Seq(
+    descriptor("graft_dot", classOf[VectorDot], 2, c => VectorDot(c(0), c(1))),
+    descriptor("graft_minhash", classOf[MinHashSig], 2, c => MinHashSig(c(0), c(1))),
+    descriptor("graft_simhash", classOf[SimHash64], 1, c => SimHash64(c(0))),
+    descriptor("graft_jaccard", classOf[JaccardSim], 2, c => JaccardSim(c(0), c(1))))
 
   /** Idempotent runtime registration on an existing session. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot", dotDescriptor._3, "built-in")
+    descriptors.foreach { case (id, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        id.funcName, builder, "built-in")
+    }
 }

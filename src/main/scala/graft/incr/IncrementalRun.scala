@@ -98,7 +98,16 @@ object IncrementalRun {
     for ((sourceName, specs) <- pipeline.mappersBySource.toSeq.sortBy(_._1)) {
       val batch = lastPerId.filter(col("resourceType") === sourceName)
       for (spec <- specs) {
-        val (newTable, touched) = applyMapBatch(spec, sources, st(spec.target), batch)
+        // Cache the incoming and outgoing map tables: the batch algebra
+        // references each several times (provenance split, touched-key scan,
+        // version barrier, scoped reduce, tombstone purge), and without a
+        // cache every reference re-executes the table's full plan — for a
+        // cold recompute()-fed state that multiplies the source scan ~6×.
+        val oldTable = st(spec.target).cache()
+        tempCaches += oldTable
+        val (newTable0, touched) = applyMapBatch(spec, sources, oldTable, batch)
+        val newTable = newTable0.cache()
+        tempCaches += newTable
         st = st.updated(spec.target, newTable)
         changedTargets += spec.target
         if (pipeline.reducersBySource.contains(spec.target)) {

@@ -112,14 +112,10 @@ final case class QvarnSearch(
     case other => c => op(c, lit(other))
   }
 
-  private def sortCol(field: String): Column = {
-    df.schema.fields.find(_.name == field).map(_.dataType) match {
-      // child-table sort uses list_pos=0; try_ variant: empty list → null
-      // (ANSI mode element_at would throw)
-      case Some(_: ArrayType) => try_element_at(col(field), lit(1))
-      case _ => col(field)
-    }
-  }
+  private def sortCol(field: String): Column =
+    QvarnSearch.resolveSortField(df.schema, field)
+      .getOrElse(throw new IllegalArgumentException(
+        s"sort field '$field' not found anywhere in schema"))
 }
 
 object QvarnSearch {
@@ -159,6 +155,28 @@ object QvarnSearch {
         }
       }
 
+    walk(n => col(n), schema)
+  }
+
+  /** B9: resolve a sort field like Qvarn's executor does — a child-table
+    * (list) site sorts by its FIRST element only (`list_pos = 0`,
+    * vendor read_only.py:226-260). First matching site wins, in schema
+    * order: top level, struct subpath, array of scalars (first element),
+    * array of structs (field of first struct). `try_element_at`: empty
+    * list → null (ANSI `element_at` would throw). */
+  private[graft] def resolveSortField(schema: StructType, field: String): Option[Column] = {
+    def walk(get: String => Column, st: StructType): Option[Column] =
+      st.fields.toSeq.flatMap { f =>
+        val c = get(f.name)
+        f.dataType match {
+          case _ if f.name == field && !f.dataType.isInstanceOf[ArrayType] => Some(c)
+          case ArrayType(_, _) if f.name == field => Some(try_element_at(c, lit(1)))
+          case s: StructType => walk(n => c.getField(n), s)
+          case ArrayType(s: StructType, _) if s.fields.exists(_.name == field) =>
+            Some(try_element_at(c, lit(1)).getField(field))
+          case _ => None
+        }
+      }.headOption
     walk(n => col(n), schema)
   }
 }

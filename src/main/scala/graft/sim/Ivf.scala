@@ -8,89 +8,114 @@ import org.apache.spark.sql.functions._
 /** IVF (inverted-file) approximate nearest neighbors — the second scale
   * path next to [[Similarity.lshTopK]].
   *
-  * Train: a few Lloyd iterations of k-means over the corpus, entirely in
-  * DataFrame algebra (no MLlib, no RNG — centroid seeds are an id-ordered
-  * stride so runs are reproducible). Centroids are always BROADCAST — the
-  * corpus is never shuffled during training; assignment is a narrow map.
+  * Train: a few Lloyd iterations of k-means over the corpus (no MLlib, no
+  * RNG — centroid seeds are an id-ordered stride so runs are reproducible).
+  * Centroids are CONTROL data (nCells × dim doubles — kilobytes at any
+  * corpus scale), so each iteration collects them to the driver and inlines
+  * them as literals: nearest-centroid assignment is then a pure narrow
+  * projection over the corpus — zero shuffles, zero joins, and the corpus
+  * is scanned once per iteration. (The previous formulation kept centroids
+  * as a DataFrame: assignment needed a crossJoin + groupBy shuffle of the
+  * full vector set per iteration, and the uncollected lineage nested each
+  * iteration's plan inside the next.)
   *
-  * Search: score the query against the nCells centroids, probe the nProbe
-  * best cells, exact-cosine only within probed cells. Cost per query ~
-  * (nProbe / nCells) of the corpus — tune both for the recall/latency
-  * target; at 100 TB the assignment (id, cell) table is written bucketed by
-  * cell so a probe is a partition-pruned read, not a scan.
+  * Search: score the query against the nCells centroid literals, probe the
+  * nProbe best cells, exact-cosine only within probed cells. Cost per query
+  * ~ (nProbe / nCells) of the corpus; at 100 TB the assignment (id, cell)
+  * table is written bucketed by cell so a probe is a partition-pruned read,
+  * not a scan, and the probe side is broadcast into the cell join.
   */
 object Ivf {
 
-  private def cos(a: Column, b: Column): Column = {
-    val d = Similarity.dot(a, b)
-    val den = sqrt(Similarity.dot(a, a)) * sqrt(Similarity.dot(b, b))
+  /** Cosine of a vector column against a literal centroid. */
+  private def cosLit(v: Column, cent: Seq[Double]): Column = {
+    val c = typedlit(cent)
+    val d = Similarity.dot(v, c)
+    val den = sqrt(Similarity.dot(v, v)) * math.sqrt(cent.map(x => x * x).sum)
     when(den === 0, lit(0.0)).otherwise(d / den)
   }
 
-  /** Deterministic k-means: returns (cell, centroid array<double>). */
-  def train(corpus: DataFrame, idCol: String, vecCol: String,
-            nCells: Int, iters: Int = 2): DataFrame = {
+  // field names via cast: aliases inside struct() are not yet resolved when
+  // getField runs on an expression nested in greatest()/array()
+  private def scored(v: Column, cell: Int, arr: Seq[Double]): Column =
+    struct(cosLit(v, arr), lit(cell)).cast("struct<s:double,cell:int>")
+
+  /** Nearest-centroid cell id as a narrow expression (ties → larger cell). */
+  private def nearestCell(v: Column, cents: Seq[(Int, Seq[Double])]): Column =
+    greatest(cents.map { case (cell, arr) => scored(v, cell, arr) }: _*)
+      .getField("cell")
+
+  /** Per-cell (score, cell) structs for a query vector, one per centroid. */
+  private def cellScores(v: Column, cents: Seq[(Int, Seq[Double])]): Column =
+    array(cents.map { case (cell, arr) => scored(v, cell, arr) }: _*)
+
+  /** Deterministic Lloyd training; centroids collected per iteration. */
+  private def trainCentroids(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, iters: Int): Seq[(Int, Seq[Double])] = {
     GraftFunctions.register(corpus.sparkSession)
+    import corpus.sparkSession.implicits._
     val vecs = corpus.select(col(idCol).as("__id"),
       transform(col(vecCol), _.cast("double")).as("__v")).cache()
     val n = vecs.count()
     val stride = math.max(1, n / nCells)
     // seed: every stride-th vector in id order
     val w = Window.orderBy(col("__id"))
-    var centroids = vecs.withColumn("__rn", row_number().over(w) - 1)
+    var cents: Seq[(Int, Seq[Double])] = vecs
+      .withColumn("__rn", row_number().over(w) - 1)
       .filter(col("__rn") % stride === 0)
       .limit(nCells)
-      .select((col("__rn") / stride).cast("int").as("cell"), col("__v").as("centroid"))
+      .select((col("__rn") / stride).cast("int").as("cell"), col("__v"))
+      .as[(Int, Seq[Double])].collect().toSeq.sortBy(_._1)
 
     for (_ <- 0 until iters) {
-      val assigned = assign(vecs, centroids)
-      // element-wise mean per cell: posexplode → avg → re-assemble in order
-      centroids = assigned
-        .select(col("cell"), posexplode(col("__v")).as(Seq("__pos", "__x")))
+      // element-wise mean per cell: posexplode → avg → assemble on driver
+      cents = vecs
+        .select(nearestCell(col("__v"), cents).as("cell"),
+          posexplode(col("__v")).as(Seq("__pos", "__x")))
         .groupBy(col("cell"), col("__pos"))
         .agg(avg(col("__x")).as("__m"))
-        .groupBy(col("cell"))
-        .agg(array_sort(collect_list(struct(col("__pos"), col("__m")))).as("__ps"))
-        .select(col("cell"), transform(col("__ps"), p => p.getField("__m")).as("centroid"))
+        .as[(Int, Int, Double)].collect()
+        .groupBy(_._1).toSeq
+        .map { case (cell, xs) => cell -> xs.sortBy(_._2).map(_._3).toSeq }
+        .sortBy(_._1)
     }
-    centroids
+    vecs.unpersist(blocking = false)
+    cents
   }
 
-  /** Nearest-centroid assignment: (id, vec, cell). Centroids broadcast. */
-  private def assign(vecs: DataFrame, centroids: DataFrame): DataFrame =
-    vecs.crossJoin(broadcast(centroids))
-      .groupBy(col("__id"))
-      .agg(
-        max_by(col("cell"), cos(col("__v"), col("centroid"))).as("cell"),
-        first(col("__v")).as("__v"))
+  /** Deterministic k-means: returns (cell, centroid array<double>). */
+  def train(corpus: DataFrame, idCol: String, vecCol: String,
+            nCells: Int, iters: Int = 2): DataFrame = {
+    import corpus.sparkSession.implicits._
+    trainCentroids(corpus, idCol, vecCol, nCells, iters).toDF("cell", "centroid")
+  }
 
   /** ANN top-k: probe the `nProbe` best cells per query, exact cosine within.
     * Output: (query_id, neighbor_id, cosine, rank). */
   def topK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
            k: Int, nCells: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
-    val centroids = train(corpus, idCol, vecCol, nCells, iters).cache()
-    val cvecs = corpus.select(col(idCol).as("__id"),
-      transform(col(vecCol), _.cast("double")).as("__v"))
-    val cells = assign(cvecs, centroids)
-      .select(col("__id").as("neighbor_id"), col("__v").as("__cv"), col("cell"))
+    val cents = trainCentroids(corpus, idCol, vecCol, nCells, iters)
+    // inverted file: narrow (id, vec, cell) assignment — no shuffle
+    val cells = corpus.select(col(idCol).as("neighbor_id"),
+        transform(col(vecCol), _.cast("double")).as("__cv"))
+      .withColumn("cell", nearestCell(col("__cv"), cents))
 
-    // per query: rank all centroids, keep nProbe probes
-    val qw = Window.partitionBy(col("query_id")).orderBy(col("__cscore").desc)
+    // per query: rank centroid literals, explode the nProbe best probes
     val probes = queries
       .select(col(idCol).as("query_id"), transform(col(vecCol), _.cast("double")).as("__qv"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("__cscore", cos(col("__qv"), col("centroid")))
-      .withColumn("__cr", row_number().over(qw))
-      .filter(col("__cr") <= nProbe)
-      .select(col("query_id"), col("__qv"), col("cell"))
+      .select(col("query_id"), col("__qv"),
+        explode(slice(reverse(array_sort(cellScores(col("__qv"), cents))), 1, nProbe))
+          .as("__p"))
+      .select(col("query_id"), col("__qv"), col("__p").getField("cell").as("cell"))
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    probes.join(cells, Seq("cell"))
+    broadcast(probes).join(cells, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cos(col("__qv"), col("__cv")).as("cosine"))
+        Similarity.cosine(col("__qv"), col("__cv")).as("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }

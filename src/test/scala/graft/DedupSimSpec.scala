@@ -22,6 +22,30 @@ class DedupSimSpec extends AnyFunSuite with SparkTestBase {
     assert(out.nonEmpty && out.forall { case (n, h) => n == h })
   }
 
+  test("native minhash/simhash/jaccard kernels are bit-identical to the HOF forms") {
+    val sets = docs.select(col("doc_id"),
+      array_distinct(DocDedup.shingles(col("text"))).as("sh"))
+    val mh = sets.select(
+      DocDedup.minhashSignatureOfSets(col("sh"), 32).as("native"),
+      DocDedup.minhashSignatureOfSetsHof(col("sh"), 32).as("hof"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    assert(mh.nonEmpty && mh.forall { case (n, h) => n == h })
+
+    val sh = docs.select(
+      DocDedup.simhash(col("text")).as("native"),
+      DocDedup.simhashHof(col("text")).as("hof"))
+      .as[(Long, Long)].collect()
+    assert(sh.nonEmpty && sh.forall { case (n, h) => n == h })
+
+    val pairs = sets.limit(40).select(col("doc_id").as("id_a"), col("sh").as("sa"))
+      .crossJoin(sets.limit(40).select(col("doc_id").as("id_b"), col("sh").as("sb")))
+    val jc = pairs.select(
+      DocDedup.jaccardSets(col("sa"), col("sb")).as("native"),
+      DocDedup.jaccardSetsHof(col("sa"), col("sb")).as("hof"))
+      .as[(Double, Double)].collect()
+    assert(jc.nonEmpty && jc.forall { case (n, h) => n == h })
+  }
+
   test("exact dedup keeps one survivor per normalized content") {
     val d = Seq(
       (1L, "hello  world foo"),

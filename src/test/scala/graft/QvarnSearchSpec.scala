@@ -71,6 +71,14 @@ class QvarnSearchSpec extends AnyFunSuite with SparkTestBase {
     assert(ids.last == "p2") // "Vilnius" > "Helsinki"
   }
 
+  test("B9 sort on a field inside an array of structs uses the first struct") {
+    // child-table sort = list_pos 0: order people by cards[0].kind, then id.
+    // p3 has no cards → null kind → sorts first (ASC nulls first).
+    val ids = QvarnSearch(people).sort("kind", "id").result()
+      .select("id").as[String].collect()
+    assert(ids.toSeq == Seq("p3", "p1", "p2")) // null, "Card", "card"
+  }
+
   test("B10 limit without sort raises") {
     assertThrows[QvarnSearch.LimitWithoutSortError] {
       QvarnSearch(people).limit(1).result()
