@@ -22,15 +22,20 @@ object Bench {
         .groupBy("r_name").count().count()
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // steady-state latency: best of two runs (first run may pay planning
+      // steady-state latency: best of three runs (first run may pay planning
       // and JIT; single-sample numbers vary ±30% on a shared host)
-      val dt = (0 until 2).map { _ =>
+      val dt = (0 until 3).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val d = (System.nanoTime() - t0) / 1e9
         // incremental queries cache intermediates; drop them so later queries
-        // don't inherit a full block manager (GC thrash skews timings)
+        // don't inherit a full block manager (GC thrash skews timings).
+        // System.gc(): localCheckpoint blocks of finished queries are only
+        // reaped by the ContextCleaner once the driver GCs the RDD handles —
+        // without the nudge they accumulate and later runs measure GC debt
+        // (observed 75s vs 9s on the same incremental query).
         spark.catalog.clearCache()
+        System.gc()
         d
       }.min
       name -> dt

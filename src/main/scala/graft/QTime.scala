@@ -25,6 +25,7 @@ object QTime {
         val n = SparkEntry.queries(name)(spark, sfDir).count()
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
+        System.gc() // let ContextCleaner reap orphaned checkpoint blocks
         f"$dt%.2fs(n=$n)"
       }
       println(s"QTIME $name: ${times.mkString(" ")}")

@@ -302,6 +302,30 @@ object SparkEntry {
           col("sum_value"))
     }),
 
+    // A2/A23 driver-checked as a REAL streaming query: the same windowed
+    // aggregation computed via readStream → watermark → AvailableNow drain
+    // into a memory sink. One parquet file → one micro-batch, so the
+    // watermark drops nothing and the result equals the batch oracle.
+    "events_hourly_stream" -> ((s, dir) => {
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      // file-stream source takes a directory; select just the events table
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val agg = graft.streaming.EventWindows
+        .typedWindowAgg(stream, "ts", watermark = "2 hours", window = "1 hour")
+      val sink = s"events_hourly_stream_${System.identityHashCode(stream)}"
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sink)
+        .select((unix_timestamp(col("window_start"))).as("hour"), col("event_type"),
+          col("cnt"), round(col("sum_value"), 2).as("sum_value"))
+    }),
+
     // ---- training-data pipeline extensions --------------------------------
 
     // Exact dedup survivors (hash-groupBy on content fingerprint)
@@ -501,6 +525,10 @@ object SparkEntry {
       "b12_multiget" ->
         "SELECT * FROM part WHERE p_partkey IN (1, 2, 42, 77, 1999)",
       "events_hourly" ->
+        """SELECT CAST(epoch_ns(ts) // 3600000000000 * 3600 AS BIGINT) AS hour,
+           event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+           FROM events GROUP BY 1, 2""",
+      "events_hourly_stream" ->
         """SELECT CAST(epoch_ns(ts) // 3600000000000 * 3600 AS BIGINT) AS hour,
            event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
            FROM events GROUP BY 1, 2""",

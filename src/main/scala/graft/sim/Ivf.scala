@@ -27,27 +27,34 @@ import org.apache.spark.sql.functions._
   */
 object Ivf {
 
-  /** Cosine of a vector column against a literal centroid. */
-  private def cosLit(v: Column, cent: Seq[Double]): Column = {
-    val c = typedlit(cent)
-    val d = Similarity.dot(v, c)
-    val den = sqrt(Similarity.dot(v, v)) * math.sqrt(cent.map(x => x * x).sum)
-    when(den === 0, lit(0.0)).otherwise(d / den)
-  }
+  /** All centroids as ONE literal array<struct<vec,cell,norm>> plus a
+    * `transform` lambda per row. One per-centroid expression tree instead
+    * (greatest over nCells structs, each embedding a dot over a literal
+    * vector) generates thousands of codegen lines PER DISTINCT CENTROID SET
+    * — janino recompiles dominated the query (~3 s × every train iteration
+    * and probe stage). The lambda body is evaluated per cell via the
+    * compiled [[graft.functions.VectorDot]] kernel, so the per-row cost is
+    * the same; only the compile blowup goes away. Centroid norms are
+    * precomputed on the driver — per pair only one dot remains. */
+  private def centLit(cents: Seq[(Int, Seq[Double])]): Column =
+    typedlit(cents.map { case (cell, arr) =>
+      (arr, cell, math.sqrt(arr.map(x => x * x).sum))
+    })
 
-  // field names via cast: aliases inside struct() are not yet resolved when
-  // getField runs on an expression nested in greatest()/array()
-  private def scored(v: Column, cell: Int, arr: Seq[Double]): Column =
-    struct(cosLit(v, arr), lit(cell)).cast("struct<s:double,cell:int>")
+  /** (score, cell) structs for a vector against every centroid; `vnorm` is
+    * the vector's precomputed norm column (ties → larger cell). */
+  private def cellScores(v: Column, vnorm: Column, cents: Column): Column =
+    transform(cents, e => {
+      val den = vnorm * e.getField("_3")
+      struct(
+        when(den === 0, lit(0.0))
+          .otherwise(Similarity.dot(v, e.getField("_1")) / den),
+        e.getField("_2")).cast("struct<s:double,cell:int>")
+    })
 
-  /** Nearest-centroid cell id as a narrow expression (ties → larger cell). */
-  private def nearestCell(v: Column, cents: Seq[(Int, Seq[Double])]): Column =
-    greatest(cents.map { case (cell, arr) => scored(v, cell, arr) }: _*)
-      .getField("cell")
-
-  /** Per-cell (score, cell) structs for a query vector, one per centroid. */
-  private def cellScores(v: Column, cents: Seq[(Int, Seq[Double])]): Column =
-    array(cents.map { case (cell, arr) => scored(v, cell, arr) }: _*)
+  /** Nearest-centroid cell id as a narrow expression. */
+  private def nearestCell(v: Column, vnorm: Column, cents: Column): Column =
+    array_max(cellScores(v, vnorm, cents)).getField("cell")
 
   /** Deterministic Lloyd training; centroids collected per iteration. */
   private def trainCentroids(
@@ -71,7 +78,8 @@ object Ivf {
     for (_ <- 0 until iters) {
       // element-wise mean per cell: posexplode → avg → assemble on driver
       cents = vecs
-        .select(nearestCell(col("__v"), cents).as("cell"),
+        .withColumn("__n", sqrt(Similarity.dot(col("__v"), col("__v"))))
+        .select(nearestCell(col("__v"), col("__n"), centLit(cents)).as("cell"),
           posexplode(col("__v")).as(Seq("__pos", "__x")))
         .groupBy(col("cell"), col("__pos"))
         .agg(avg(col("__x")).as("__m"))
@@ -96,18 +104,21 @@ object Ivf {
   def topK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
            k: Int, nCells: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
-    val cents = trainCentroids(corpus, idCol, vecCol, nCells, iters)
+    val cents = centLit(trainCentroids(corpus, idCol, vecCol, nCells, iters))
     // inverted file: narrow (id, vec, cell) assignment — no shuffle
     val cells = corpus.select(col(idCol).as("neighbor_id"),
         transform(col(vecCol), _.cast("double")).as("__cv"))
-      .withColumn("cell", nearestCell(col("__cv"), cents))
+      .withColumn("__cn", sqrt(Similarity.dot(col("__cv"), col("__cv"))))
+      .withColumn("cell", nearestCell(col("__cv"), col("__cn"), cents))
+      .drop("__cn")
 
     // per query: rank centroid literals, explode the nProbe best probes
     val probes = queries
       .select(col(idCol).as("query_id"), transform(col(vecCol), _.cast("double")).as("__qv"))
+      .withColumn("__qn", sqrt(Similarity.dot(col("__qv"), col("__qv"))))
       .select(col("query_id"), col("__qv"),
-        explode(slice(reverse(array_sort(cellScores(col("__qv"), cents))), 1, nProbe))
-          .as("__p"))
+        explode(slice(reverse(array_sort(
+          cellScores(col("__qv"), col("__qn"), cents))), 1, nProbe)).as("__p"))
       .select(col("query_id"), col("__qv"), col("__p").getField("cell").as("cell"))
 
     val w = Window.partitionBy(col("query_id"))
