@@ -128,22 +128,17 @@ object IncrementalRun {
         val table = st(mapTarget)
 
         // A15 version barrier: postpone keys with any live row whose version
-        // differs from its (per-source) handler version.
+        // differs from its (per-source) handler version. Ready = touched
+        // minus stale-keyed: the stale filter normally selects ZERO rows
+        // (steady state is all-current versions), so this costs one cheap
+        // scan + an anti-join against an empty side — unlike grouping every
+        // touched row. Fully-deleted keys have no live rows at all, so they
+        // are never subtracted and stay ready (their output row must go away).
         val stale = specs.map(s =>
           col(SourceType) === s.source && col(Version) =!= s.version
         ).reduce(_ || _)
-        val readyKeys = table
-          .join(keysDf, Seq(Key), "left_semi")
-          .filter(!col(Deleted))
-          .groupBy(col(Key))
-          .agg(max(when(stale, 1).otherwise(0)).as("__stale"))
-          .filter(col("__stale") === 0)
-          .select(Key)
-          // keys whose live rows are ALL gone (fully deleted group) never
-          // appear above — they are always "ready" (output row must go away):
-          .unionByName(keysDf.join(table.filter(!col(Deleted)), Seq(Key), "left_anti"))
-          .distinct()
-          .cache()
+        val staleKeys = table.filter(!col(Deleted) && stale).select(Key).distinct()
+        val readyKeys = keysDf.join(staleKeys, Seq(Key), "left_anti").cache()
         tempCaches += readyKeys
 
         val scoped = table.join(readyKeys, Seq(Key), "left_semi")
