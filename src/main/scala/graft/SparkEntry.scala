@@ -125,6 +125,24 @@ object SparkEntry {
           round(col("sum_qty"), 2).as("sum_qty"))
     }),
 
+    // A5 generator protocol: a map handler emitting 0..n rows per record
+    // (filter = 0 emissions; explode = several) — reference func.py:34-43.
+    // Both emitted rows share the record's provenance id, so an incremental
+    // delete removes them together.
+    "a5_map_flatmap" -> ((s, dir) => {
+      val p = Pipeline(
+        maps = Seq(MapSpec("orders", "omulti_map", 1, idCol = "o_orderkey",
+          fn = df => df.filter(col("o_totalprice") > lit(1000.0))
+            .select(explode(array(
+              col("o_custkey").cast("string"),
+              concat(lit("st:"), col("o_orderstatus")))).as(Key),
+              col("o_totalprice"), col("o_orderkey"))
+            .select(col(Key), col("o_totalprice").as(Value), col("o_orderkey")))),
+        reduces = Seq(ReduceSpec("omulti_map", "omulti_sum", 1, ExprReduce(sum))))
+      IncrementalRun.recompute(p, sources(s, dir))("omulti_sum")
+        .select(col(Key), round(col(Value), 2).as("sum_value"))
+    }),
+
     // A7: pre-map adapter before the fold (reference `'map': value()`)
     "a7_reduce_premap" -> ((s, dir) => {
       val p = Pipeline(
@@ -467,6 +485,14 @@ object SparkEntry {
       "salted_skew_agg" ->
         """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty
            FROM lineitem GROUP BY 1, 2""",
+      "a5_map_flatmap" ->
+        """SELECT k AS _mr_key, round(sum(v), 2) AS sum_value FROM (
+             SELECT CAST(o_custkey AS VARCHAR) AS k, o_totalprice AS v
+             FROM orders WHERE o_totalprice > 1000.0
+             UNION ALL
+             SELECT 'st:' || o_orderstatus, o_totalprice
+             FROM orders WHERE o_totalprice > 1000.0
+           ) GROUP BY 1""",
       "a7_reduce_premap" ->
         """SELECT CAST(l_suppkey AS VARCHAR) AS _mr_key,
            round(sum(l_extendedprice * CAST(0.9 AS DOUBLE)), 2) AS sum_disc

@@ -64,16 +64,16 @@ object Ivf {
     import corpus.sparkSession.implicits._
     val vecs = corpus.select(col(idCol).as("__id"),
       transform(col(vecCol), _.cast("double")).as("__v")).cache()
-    val n = vecs.count()
-    val stride = math.max(1, n / nCells)
-    // seed: every stride-th vector in id order
-    val w = Window.orderBy(col("__id"))
+    // seed: the nCells vectors with the smallest id hash — a deterministic
+    // pseudo-random sample. orderBy+limit plans as TakeOrdered (per-partition
+    // top-k merged on the driver), NOT a single-partition global sort, so
+    // seeding scales to any corpus size.
     var cents: Seq[(Int, Seq[Double])] = vecs
-      .withColumn("__rn", row_number().over(w) - 1)
-      .filter(col("__rn") % stride === 0)
+      .orderBy(xxhash64(col("__id")), col("__id"))
       .limit(nCells)
-      .select((col("__rn") / stride).cast("int").as("cell"), col("__v"))
-      .as[(Int, Seq[Double])].collect().toSeq.sortBy(_._1)
+      .select(col("__v"))
+      .as[Seq[Double]].collect().toSeq
+      .zipWithIndex.map { case (v, i) => i -> v }
 
     for (_ <- 0 until iters) {
       // element-wise mean per cell: posexplode → avg → assemble on driver

@@ -154,6 +154,23 @@ class IncrementalSpec extends AnyFunSuite with SparkTestBase {
     assert(rows == Set((6, true, true), (20, true, true)))
   }
 
+  test("multi-emission map: deleting a record removes every row it emitted") {
+    // reference generator protocol (func.py:34-43): one record → n pairs
+    val p = Pipeline(
+      maps = Seq(MapSpec("src", "m", 1, idCol = "id",
+        fn = df => df.select(explode(array(col("k"), concat(lit("x-"), col("k")))).as(Key),
+          col("v").as(Value), col("id")))),
+      reduces = Seq(ReduceSpec("m", "r", 1, ExprReduce(sum))))
+    var data = srcDf(("a", "k1", 1.0), ("b", "k1", 2.0))
+    val sources: IncrementalRun.Sources = _ => data
+    var st = IncrementalRun.recompute(p, sources)
+    assert(reduced(st) == Map("k1" -> 3.0, "x-k1" -> 3.0))
+    data = srcDf(("a", "k1", 1.0))
+    st = IncrementalRun.applyChanges(p, sources, st,
+      changes((1, Change.Deleted, "b")), 1L)
+    assert(reduced(st) == Map("k1" -> 1.0, "x-k1" -> 1.0))
+  }
+
   test("multi-source map target: provenance delete only hits its own source type") {
     val p = Pipeline(
       maps = Seq(
