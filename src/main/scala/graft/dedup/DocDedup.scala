@@ -97,6 +97,16 @@ object DocDedup {
     jaccardSets(array_distinct(shingles(textA, shingleN)),
       array_distinct(shingles(textB, shingleN)))
 
+  /** Drop (band, bucket) groups larger than `cap` — a window count instead
+    * of a groupBy+join: one shuffle on the same (band, bucket) key the
+    * candidate join shuffles on anyway. */
+  private def capBuckets(banded: DataFrame, cap: Int): DataFrame = {
+    val w = Window.partitionBy(col("__band"), col("__bucket"))
+    banded.withColumn("__bsz", count(lit(1)).over(w))
+      .filter(col("__bsz") <= cap)
+      .drop("__bsz")
+  }
+
   /** LSH banding candidates over precomputed (id, shingle set, signature). */
   private def bandedBuckets(sigs: DataFrame, bands: Int, rows: Int): DataFrame =
     sigs.select(col("__id"),
@@ -124,10 +134,20 @@ object DocDedup {
   }
 
   /** Near-dup pairs: MinHash-LSH candidates verified with exact Jaccard over
-    * the precomputed shingle sets (one shingle computation per doc, total). */
+    * the precomputed shingle sets (one shingle computation per doc, total).
+    *
+    * `maxBucketSize` (opt-in; default unlimited = exact w.r.t. the LSH
+    * recall contract): a band bucket shared by m docs contributes m²/2
+    * candidate pairs, so one degenerate bucket — a boilerplate shingle block
+    * across millions of docs — can dominate the whole job at corpus scale.
+    * Buckets above the cap are dropped BEFORE the self-join; this is the
+    * standard explicit approximation, not a silent truncation: pairs inside
+    * a dropped bucket are only lost if they share no other surviving band
+    * (probability (1-s^rows)^(bands-1) for similarity s). */
   def nearDupPairs(
       docs: DataFrame, textCol: String, idCol: String, threshold: Double,
-      numHashes: Int = 32, bands: Int = 8, shingleN: Int = 3): DataFrame = {
+      numHashes: Int = 32, bands: Int = 8, shingleN: Int = 3,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     // The shingle-set and banded-bucket frames are each read from BOTH sides
     // of the candidate self-join (and `sets` again by the verify stage) —
@@ -136,7 +156,9 @@ object DocDedup {
     // index a dedup pipeline persists anyway.
     val sets = shingleSets(docs, textCol, idCol, shingleN).cache()
     val sigs = sets.withColumn("__sig", minhashSignatureOfSets(col("__sh"), numHashes))
-    val banded = bandedBuckets(sigs, bands, numHashes / bands).cache()
+    val banded0 = bandedBuckets(sigs, bands, numHashes / bands)
+    val banded = (if (maxBucketSize == Int.MaxValue) banded0
+      else capBuckets(banded0, maxBucketSize)).cache()
     val cands = banded.alias("a").join(banded.alias("b"),
         col("a.__band") === col("b.__band") &&
         col("a.__bucket") === col("b.__bucket") &&

@@ -73,6 +73,23 @@ class DedupSimSpec extends AnyFunSuite with SparkTestBase {
     assert(lsh == truth)
   }
 
+  test("LSH bucket cap drops degenerate buckets explicitly, keeps the rest") {
+    // five identical docs share every band bucket (bucket size 5); one
+    // distinct near-dup pair (6,7) sits in buckets of size 2
+    val rows = (1L to 5L).map(i => (i, "the same boilerplate block of text repeated " +
+      "across many documents word for word")) ++ Seq(
+      (6L, "an actually unique document about spark shuffles and parquet files"),
+      (7L, "an actually unique document about spark shuffles and parquet data"))
+    val d = rows.toDF("doc_id", "text")
+    val all = DocDedup.nearDupPairs(d, "text", "doc_id", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(all.contains((6L, 7L)) && all.size == 11) // C(5,2) + (6,7)
+    val capped = DocDedup.nearDupPairs(d, "text", "doc_id", threshold = 0.5,
+      maxBucketSize = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped == Set((6L, 7L))) // boilerplate buckets dropped, real pair kept
+  }
+
   test("SimHash: identical docs at distance 0; pairs are verified candidates") {
     val d = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
