@@ -410,6 +410,18 @@ object SparkEntry {
         threshold = 0.45)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))),
 
+    // Embedding near-dup via LSH buckets — the scale path (approximate:
+    // cross-bucket pairs are missed; every returned pair is exact-verified.
+    // rows-only check; recall vs brute force asserted in DedupSimSpec)
+    "embed_cos_neardup_lsh" -> ((s, dir) =>
+      // 2^3 buckets: sized for the test corpora (deterministic hashes, and
+      // single-table collision P at cosine 0.45 is ~(1-θ/π)^nBits ≈ 0.27,
+      // so tiny nBits keeps the driver's rows>0 check meaningful); at scale
+      // raise nBits with corpus size and union multiple tables for recall
+      Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        dim = 64, threshold = 0.45, nBits = 3)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))),
+
     // Text statistics: token count, mean token length, punctuation ratio,
     // content fingerprint
     "text_stats" -> ((s, dir) =>

@@ -133,6 +133,21 @@ class DedupSimSpec extends AnyFunSuite with SparkTestBase {
     assert(r3 >= 0.3, s"recall@5 with 3 tables = $r3")
   }
 
+  test("LSH-bucketed cosine near-dup pairs: subset of brute force, usable recall") {
+    val exact = Similarity.bruteForcePairs(emb, "vec_id", "embedding", threshold = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", dim = 64,
+      threshold = 0.4, nBits = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    assert(lsh.subsetOf(exact), "every LSH pair must be a verified true pair")
+    // single-table hyperplane LSH theory: a pair at cosine c collides with
+    // P = (1 - acos(c)/pi)^nBits; at the 0.4 threshold that is ~0.25 for
+    // nBits=3 (higher for closer pairs) — assert a safety margin below it
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.15, s"recall = $recall")
+  }
+
   test("cosine is exact: parallel vectors → 1.0, orthogonal → 0.0") {
     val d = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(2.0f, 0.0f)), (3L, Array(0.0f, 5.0f))
