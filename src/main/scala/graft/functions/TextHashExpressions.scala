@@ -69,6 +69,30 @@ object TextHashKernels {
     sig
   }
 
+  /** Random-hyperplane LSH bucket id: bit i of the result is the sign of
+    * h_i · v with h_i[j] = (xxhash64(seed+i, j) % 1001) / 1000.0 — the
+    * exact chain (and summation order) of the composed
+    * `aggregate(zip_with(v, sequence(...), ...))` formulation. */
+  def lshBucket(vec: ArrayData, dim: Int, nBits: Int, seed: Int, isFloat: Boolean): Long = {
+    val n = math.min(dim, vec.numElements())
+    var bucket = 0L
+    var i = 0
+    while (i < nBits) {
+      val h1 = XxHash64Function.hash(seed + i, IntegerType, 42L)
+      var proj = 0.0
+      var j = 0
+      while (j < n) {
+        val c = (XxHash64Function.hash(j, IntegerType, h1) % 1001L).toDouble / 1000.0
+        val x = if (isFloat) vec.getFloat(j).toDouble else vec.getDouble(j)
+        proj += x * c
+        j += 1
+      }
+      if (proj > 0) bucket |= (1L << i)
+      i += 1
+    }
+    bucket
+  }
+
   /** Jaccard similarity of two string arrays as distinct sets —
     * |A∩B| / |A∪B|, 0.0 when both empty (matches
     * `size(array_intersect)/size(array_union)` on any inputs). */
@@ -128,6 +152,29 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     })
   override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
   override def prettyName: String = "graft_simhash"
+}
+
+/** `graft_lshbucket(vec, dim, nBits, seed)` → bigint. The three int
+  * parameters must be literals (resolved at registry-build time). */
+case class LshBucketExpr(child: Expression, dim: Int, nBits: Int, seed: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_lshbucket requires array<float|double>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  override def nullSafeEval(vec: Any): Any =
+    TextHashKernels.lshBucket(vec.asInstanceOf[ArrayData], dim, nBits, seed, isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, vec => {
+      val kernels = TextHashKernels.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"$kernels.lshBucket($vec, $dim, $nBits, $seed, $isFloat)"
+    })
+  override protected def withNewChildInternal(c: Expression): LshBucketExpr = copy(child = c)
+  override def prettyName: String = "graft_lshbucket"
 }
 
 /** `graft_jaccard(a, b)` → double. */

@@ -101,7 +101,17 @@ object GraftFunctions {
     descriptor("graft_dot", classOf[VectorDot], 2, c => VectorDot(c(0), c(1))),
     descriptor("graft_minhash", classOf[MinHashSig], 2, c => MinHashSig(c(0), c(1))),
     descriptor("graft_simhash", classOf[SimHash64], 1, c => SimHash64(c(0))),
-    descriptor("graft_jaccard", classOf[JaccardSim], 2, c => JaccardSim(c(0), c(1))))
+    descriptor("graft_jaccard", classOf[JaccardSim], 2, c => JaccardSim(c(0), c(1))),
+    descriptor("graft_lshbucket", classOf[LshBucketExpr], 4, c => {
+      def asInt(e: Expression, what: String): Int = e match {
+        case lit if lit.foldable => lit.eval(null) match {
+          case i: Int => i
+          case other => throw new IllegalArgumentException(s"$what must be int, got $other")
+        }
+        case _ => throw new IllegalArgumentException(s"$what must be a literal")
+      }
+      LshBucketExpr(c(0), asInt(c(1), "dim"), asInt(c(2), "nBits"), asInt(c(3), "seed"))
+    }))
 
   /** Idempotent runtime registration on an existing session. */
   def register(spark: SparkSession): Unit =

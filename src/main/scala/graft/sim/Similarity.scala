@@ -70,8 +70,17 @@ object Similarity {
   /** Sign-pattern bucket id from `nBits` deterministic pseudo-random
     * hyperplanes. Hyperplane i's component j is a fixed hash-derived value
     * in [-1, 1] — reproducible across runs and engines with no RNG. `seed`
-    * selects an independent hyperplane family (multi-table LSH). */
+    * selects an independent hyperplane family (multi-table LSH). Native
+    * one-pass kernel ([[graft.functions.LshBucketExpr]]); [[lshBucketHof]]
+    * is the bit-identical composed formulation (spec cross-check). */
   def lshBucket(vec: Column, dim: Int, nBits: Int = 12, seed: Int = 0): Column = {
+    graft.functions.GraftFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("graft_lshbucket", vec, lit(dim), lit(nBits), lit(seed))
+  }
+
+  /** Interpreted-HOF LSH bucket (reference semantics for the kernel). */
+  def lshBucketHof(vec: Column, dim: Int, nBits: Int = 12, seed: Int = 0): Column = {
     val bits = (0 until nBits).map { i =>
       // h_i · v  with  h_i[j] = (xxhash64(seed + i, j) % 1001) / 1000.0
       val proj = aggregate(

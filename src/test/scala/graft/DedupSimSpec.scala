@@ -44,6 +44,12 @@ class DedupSimSpec extends AnyFunSuite with SparkTestBase {
       DocDedup.jaccardSetsHof(col("sa"), col("sb")).as("hof"))
       .as[(Double, Double)].collect()
     assert(jc.nonEmpty && jc.forall { case (n, h) => n == h })
+
+    val lb = emb.select(
+      Similarity.lshBucket(col("embedding"), 64, nBits = 10, seed = 7).as("native"),
+      Similarity.lshBucketHof(col("embedding"), 64, nBits = 10, seed = 7).as("hof"))
+      .as[(Long, Long)].collect()
+    assert(lb.nonEmpty && lb.forall { case (n, h) => n == h })
   }
 
   test("exact dedup keeps one survivor per normalized content") {

@@ -53,6 +53,27 @@ class QvarnSearchSpec extends AnyFunSuite with SparkTestBase {
     assert(ids.toSeq == Seq("p2"))
   }
 
+  test("B6 a field present at several sites matches when ANY site matches") {
+    // 'kind' exists top-level AND inside cards[].kind; sites OR together
+    // (Qvarn ORs the per-table conditions, read_only.py:205-224)
+    val df = people.withColumn("kind", when(col("id") === "p3", lit("Gold")))
+    val ids = QvarnSearch(df).exact("kind", "gold").result()
+      .select("id").as[String].collect().sorted
+    assert(ids.toSeq == Seq("p3")) // top-level site
+    val ids2 = QvarnSearch(df).exact("kind", "card").result()
+      .select("id").as[String].collect().sorted
+    assert(ids2.toSeq == Seq("p1", "p2")) // nested site
+  }
+
+  test("B6 subpath (struct) fields resolve like side documents") {
+    // Qvarn subpaths are dict side-documents (SURVEY §1.1) — a struct column
+    val df = people.withColumn("private",
+      struct(concat(col("name"), lit("@mail")).as("email")))
+    val ids = QvarnSearch(df).exact("email", "ALICE@mail").result()
+      .select("id").as[String].collect()
+    assert(ids.toSeq == Seq("p1"))
+  }
+
   test("B7 repeated conditions on one field AND together") {
     val ids = QvarnSearch(people).contains("name", "b").contains("name", "o").result()
       .select("id").as[String].collect().sorted
