@@ -93,6 +93,14 @@ final case class QvarnSearch(
     rows.head
   }
 
+  /** B11 with the client's `default=` shape: None instead of NotFound;
+    * several matches still raise (clients/qvarn.py:298-304). */
+  def searchOneOption(): Option[Row] = {
+    val rows = result().take(2)
+    if (rows.length > 1) throw QvarnSearch.MultipleFoundError()
+    rows.headOption
+  }
+
   // ---- internals ----------------------------------------------------------
 
   private def cond(field: String, pred: Column => Column): QvarnSearch = {

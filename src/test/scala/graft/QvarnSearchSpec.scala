@@ -119,6 +119,15 @@ class QvarnSearchSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("B11 search_one with default: None on zero matches, raise on several") {
+    assert(QvarnSearch(people).exact("name", "zed").searchOneOption().isEmpty)
+    assert(QvarnSearch(people).exact("name", "alice").searchOneOption()
+      .map(_.getAs[String]("id")).contains("p1"))
+    assertThrows[QvarnSearch.MultipleFoundError] {
+      QvarnSearch(people).exact("name", "bob").searchOneOption()
+    }
+  }
+
   test("exact on booleans and ints does not case-fold") {
     val df = Seq(("a", true, 1), ("b", false, 2)).toDF("id", "flag", "n")
     assert(QvarnSearch(df).exact("flag", true).result().count() == 1)
