@@ -30,6 +30,7 @@ object Bench {
         val d = (System.nanoTime() - t0) / 1e9
         // incremental queries cache intermediates; drop them so later queries
         // don't inherit a full block manager (GC thrash skews timings).
+        graft.ops.Caches.release()
         // System.gc(): localCheckpoint blocks of finished queries are only
         // reaped by the ContextCleaner once the driver GCs the RDD handles —
         // without the nudge they accumulate and later runs measure GC debt

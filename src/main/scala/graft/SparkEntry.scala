@@ -34,6 +34,8 @@ object RangeAgg extends org.apache.spark.sql.expressions.Aggregator[Double, (Dou
 object SparkEntry {
   import MrSchema.{Key, Value, SourceId}
 
+  private val streamSinkSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
@@ -331,7 +333,10 @@ object SparkEntry {
         .option("pathGlobFilter", "events.parquet").parquet(dir)
       val agg = graft.streaming.EventWindows
         .typedWindowAgg(stream, "ts", watermark = "2 hours", window = "1 hour")
-      val sink = s"events_hourly_stream_${System.identityHashCode(stream)}"
+      // monotonic counter, not identityHashCode: hash collisions with a
+      // still-registered sink are possible, and repeated runs must not leak
+      // one temp view each
+      val sink = s"events_hourly_stream_${streamSinkSeq.incrementAndGet()}"
       val q = agg.writeStream
         .outputMode("complete")
         .format("memory")
@@ -339,9 +344,13 @@ object SparkEntry {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.table(sink)
+      // Dataset analysis is eager, so the view can be dropped immediately —
+      // the returned frame keeps the resolved memory-sink plan
+      val out = s.table(sink)
         .select((unix_timestamp(col("window_start"))).as("hour"), col("event_type"),
           col("cnt"), round(col("sum_value"), 2).as("sum_value"))
+      s.catalog.dropTempView(sink)
+      out
     }),
 
     // ---- training-data pipeline extensions --------------------------------
@@ -350,10 +359,13 @@ object SparkEntry {
     "dedup_exact" -> ((s, dir) =>
       DocDedup.exact(t(s, dir, "documents"), "text", "doc_id").select(col("doc_id"))),
 
-    // MinHash+LSH near-dup pairs, verified with exact Jaccard
+    // MinHash+LSH near-dup pairs, verified with exact Jaccard. The bucket
+    // cap is the production setting: a degenerate band bucket (boilerplate
+    // shingle block) is m²/2 candidates at corpus scale. 10k ≫ any bucket in
+    // this corpus, so the capped path is benched without changing output.
     "dedup_minhash" -> ((s, dir) =>
       DocDedup.nearDupPairs(t(s, dir, "documents"), "text", "doc_id",
-        threshold = 0.8, numHashes = 32, bands = 8)
+        threshold = 0.8, numHashes = 32, bands = 8, maxBucketSize = 10000)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
 
     // SimHash hamming near-dup pairs (xxhash64-based — rows-only check)
@@ -368,8 +380,8 @@ object SparkEntry {
       // this frame), NOT per pair; left side repartitioned — the nested-loop
       // join otherwise inherits the scan's single input partition →
       // one-core quadratic
-      val sets = docs.select(col("doc_id"),
-        array_distinct(DocDedup.shingles(col("text"))).as("__sh")).cache()
+      val sets = graft.ops.Caches.track(docs.select(col("doc_id"),
+        array_distinct(DocDedup.shingles(col("text"))).as("__sh")))
       val a = sets.select(col("doc_id").as("id_a"), col("__sh").as("__sa")).repartition(32)
       val b = sets.select(col("doc_id").as("id_b"), col("__sh").as("__sb"))
       a.join(b, col("id_a") < col("id_b"))

@@ -97,11 +97,12 @@ object DocDedup {
     jaccardSets(array_distinct(shingles(textA, shingleN)),
       array_distinct(shingles(textB, shingleN)))
 
-  /** Drop (band, bucket) groups larger than `cap` — a window count instead
-    * of a groupBy+join: one shuffle on the same (band, bucket) key the
-    * candidate join shuffles on anyway. */
-  private def capBuckets(banded: DataFrame, cap: Int): DataFrame = {
-    val w = Window.partitionBy(col("__band"), col("__bucket"))
+  /** Drop bucket groups larger than `cap` — a window count instead of a
+    * groupBy+join: one shuffle on the same bucket key the candidate join
+    * shuffles on anyway. */
+  private def capBuckets(banded: DataFrame, cap: Int,
+                         keys: Seq[String] = Seq("__band", "__bucket")): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
     banded.withColumn("__bsz", count(lit(1)).over(w))
       .filter(col("__bsz") <= cap)
       .drop("__bsz")
@@ -124,7 +125,8 @@ object DocDedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val sigs = shingleSets(docs, textCol, idCol, shingleN)
       .withColumn("__sig", minhashSignatureOfSets(col("__sh"), numHashes))
-    val banded = bandedBuckets(sigs, bands, numHashes / bands).cache() // both join sides
+    val banded = // both join sides read this; released via Caches.release()
+      graft.ops.Caches.track(bandedBuckets(sigs, bands, numHashes / bands))
     banded.alias("a").join(banded.alias("b"),
         col("a.__band") === col("b.__band") &&
         col("a.__bucket") === col("b.__bucket") &&
@@ -153,12 +155,14 @@ object DocDedup {
     // of the candidate self-join (and `sets` again by the verify stage) —
     // cache them so shingling/MinHash run once per document, not once per
     // plan reference. At cluster scale these are the materialized signature
-    // index a dedup pipeline persists anyway.
-    val sets = shingleSets(docs, textCol, idCol, shingleN).cache()
+    // index a dedup pipeline persists anyway. Tracked in [[graft.ops.Caches]]
+    // (the result is lazy, so the caller triggers the action and then calls
+    // Caches.release()).
+    val sets = graft.ops.Caches.track(shingleSets(docs, textCol, idCol, shingleN))
     val sigs = sets.withColumn("__sig", minhashSignatureOfSets(col("__sh"), numHashes))
     val banded0 = bandedBuckets(sigs, bands, numHashes / bands)
-    val banded = (if (maxBucketSize == Int.MaxValue) banded0
-      else capBuckets(banded0, maxBucketSize)).cache()
+    val banded = graft.ops.Caches.track(
+      if (maxBucketSize == Int.MaxValue) banded0 else capBuckets(banded0, maxBucketSize))
     val cands = banded.alias("a").join(banded.alias("b"),
         col("a.__band") === col("b.__band") &&
         col("a.__bucket") === col("b.__bucket") &&
@@ -199,17 +203,28 @@ object DocDedup {
 
   /** SimHash near-dup pairs: block on 4×16-bit chunks (a pair within
     * hamming distance ≤ maxDist for maxDist < 4 must agree on at least one
-    * chunk — pigeonhole), verify with full hamming distance. */
-  def simhashPairs(docs: DataFrame, textCol: String, idCol: String, maxDist: Int = 3): DataFrame = {
+    * chunk — pigeonhole), verify with full hamming distance.
+    *
+    * `maxBucketSize` caps a degenerate chunk bucket (short/empty documents
+    * hash alike, so one hot 16-bit chunk key is m²/2 candidate pairs at
+    * corpus scale) — same explicit-approximation contract as
+    * [[nearDupPairs]]: a pair inside a dropped bucket survives only via one
+    * of its other three chunks. */
+  def simhashPairs(docs: DataFrame, textCol: String, idCol: String, maxDist: Int = 3,
+                   maxBucketSize: Int = 10000): DataFrame = {
     val sig = graft.ops.Par.ensure(docs.select(col(idCol).as("__id"), col(textCol)))
       .select(col("__id"), simhash(col(textCol)).as("__sh"))
-    val chunked = sig.select(col("__id"), col("__sh"),
+    val chunked0 = sig.select(col("__id"), col("__sh"),
       explode(array((0 until 4).map { c =>
         struct(lit(c).as("chunk"),
           shiftright(col("__sh"), c * 16).bitwiseAND(lit(0xFFFFL)).as("key"))
       }: _*)).as("__c"))
       .select(col("__id"), col("__sh"), col("__c.chunk").as("__chunk"), col("__c.key").as("__key"))
-      .cache() // both sides of the candidate self-join read this
+    val capped =
+      if (maxBucketSize == Int.MaxValue) chunked0
+      else capBuckets(chunked0, maxBucketSize, Seq("__chunk", "__key"))
+    // both sides of the candidate self-join read this; Caches.release() frees it
+    val chunked = graft.ops.Caches.track(capped)
     chunked.alias("a").join(chunked.alias("b"),
         col("a.__chunk") === col("b.__chunk") &&
         col("a.__key") === col("b.__key") &&

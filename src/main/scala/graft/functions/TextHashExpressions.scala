@@ -72,17 +72,26 @@ object TextHashKernels {
   /** Random-hyperplane LSH bucket id: bit i of the result is the sign of
     * h_i · v with h_i[j] = (xxhash64(seed+i, j) % 1001) / 1000.0 — the
     * exact chain (and summation order) of the composed
-    * `aggregate(zip_with(v, sequence(...), ...))` formulation. */
+    * `aggregate(zip_with(v, sequence(0, dim-1), ...))` formulation,
+    * INCLUDING ragged vectors: `zip_with` null-pads the shorter side, so a
+    * vector shorter than `dim` makes every projection null → all bits 0
+    * (bucket 0), and elements beyond `dim` get the hash-of-null coefficient
+    * (xxhash64 of a null index returns the seed unchanged → (h1 % 1001)
+    * / 1000). */
   def lshBucket(vec: ArrayData, dim: Int, nBits: Int, seed: Int, isFloat: Boolean): Long = {
-    val n = math.min(dim, vec.numElements())
+    val len = vec.numElements()
+    if (len < dim) return 0L // HOF: null-padded element ⇒ proj null ⇒ bit 0 ∀i
     var bucket = 0L
     var i = 0
     while (i < nBits) {
       val h1 = XxHash64Function.hash(seed + i, IntegerType, 42L)
+      val cPad = (h1 % 1001L).toDouble / 1000.0 // coefficient of a null index
       var proj = 0.0
       var j = 0
-      while (j < n) {
-        val c = (XxHash64Function.hash(j, IntegerType, h1) % 1001L).toDouble / 1000.0
+      while (j < len) {
+        val c =
+          if (j < dim) (XxHash64Function.hash(j, IntegerType, h1) % 1001L).toDouble / 1000.0
+          else cPad
         val x = if (isFloat) vec.getFloat(j).toDouble else vec.getDouble(j)
         proj += x * c
         j += 1
@@ -117,7 +126,14 @@ object TextHashKernels {
 case class MinHashSig(left: Expression, right: Expression) extends BinaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (ArrayType(StringType, _), IntegerType) if right.foldable =>
-      TypeCheckResult.TypeCheckSuccess
+      // a foldable NULL int literal passes the type check but would silently
+      // become k=0 (empty signatures); reject it here where analysis reports
+      // errors instead of at eval time
+      right.eval(null) match {
+        case i: java.lang.Integer if i > 0 => TypeCheckResult.TypeCheckSuccess
+        case _ => TypeCheckResult.TypeCheckFailure(
+          "graft_minhash k must be a non-null positive int literal")
+      }
     case _ => TypeCheckResult.TypeCheckFailure(
       "graft_minhash requires (array<string>, foldable int)")
   }

@@ -90,6 +90,9 @@ object IncrementalRun {
       .cache()
     val tempCaches = scala.collection.mutable.ListBuffer[DataFrame](lastPerId)
     val changedTargets = scala.collection.mutable.LinkedHashSet.empty[String]
+    // try/finally: StreamingEngine retries a failed batch, so an exception
+    // escaping mid-batch must not leak this attempt's cached frames
+    try {
 
     var st = state
     // affected (reduceSource mapTarget -> touched-keys frame)
@@ -177,8 +180,8 @@ object IncrementalRun {
     val truncated = changedTargets.foldLeft(st) { (s, t) =>
       s.updated(t, s(t).localCheckpoint())
     }
-    tempCaches.foreach(_.unpersist(blocking = false))
     truncated
+    } finally tempCaches.foreach(_.unpersist(blocking = false))
   }
 
   /** Apply one batch of changes for one map spec: delete-old by provenance,
