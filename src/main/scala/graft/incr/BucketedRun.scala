@@ -1,0 +1,292 @@
+package graft.incr
+
+import graft.core.{MrSchema, Pipeline}
+import graft.ops.{MapOp, ReduceOp}
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Bucket-scoped incremental batches over a [[BucketedStateStore]] —
+  * [[IncrementalRun.applyChanges]] with the same ordering guarantees
+  * (delete-old-then-rewrite, A13 tombstone + deferred purge, A15 version
+  * barrier, A12 newest-wins inside a batch) but O(touched buckets) IO per
+  * batch instead of a full-state rewrite.
+  *
+  * How a batch stays scoped:
+  *   1. the change batch itself is CONTROL DATA — it is collected to the
+  *     driver exactly like the reference drains its notification queue one
+  *     listener poll at a time (processor.py:437-461). A batch is small by
+  *     contract (a backlog beyond memory is what resync A16/A17 is for);
+  *     holding it locally lets every bucket set be computed without a
+  *     Spark job and every id/key predicate ship as a local-relation
+  *     broadcast;
+  *   2. a per-map-table SECONDARY INDEX `(source_type, source_id, key)`,
+  *      bucketed by source id, answers "which keys did these changed ids
+  *      produce" by reading only the index buckets of the batch's ids —
+  *      the reference's indexed REST lookup (clients/qvarn.py:111-137)
+  *      without scanning the map table;
+  *   3. touched keys (old-from-index ∪ freshly-mapped) give a touched
+  *      bucket set per table; the batch reads those buckets only, applies
+  *      the provenance algebra, re-reduces ready keys, and stages ONLY
+  *      those buckets back — untouched buckets are carried by reference;
+  *   4. the A15 stale-key filter is computed over the scoped rows, which is
+  *      exact: every row of a touched key lives in a touched bucket, and
+  *      stale keys outside the touched set cannot affect readiness.
+  *
+  * Shuffle story at 100 TB: every batch-side frame (ids, touched keys,
+  * ready keys) is a broadcast local relation, so STATE rows are never
+  * shuffle-joined — the only exchanges in a batch plan are over batch-sized
+  * data (the re-reduce of touched keys' rows and the bucketed staging
+  * write). The per-batch plans are captured in the returned [[BatchReport]]
+  * so tests can assert no SortMergeJoin ever touches a state-side frame.
+  *
+  * Per batch this runs a fixed, small number of Spark jobs: one touched-key
+  * collect per map spec, one stale-key collect per reduce target, a purge
+  * collect only when the batch contains deletes, and one staged write per
+  * touched table.
+  */
+object BucketedRun {
+  import MrSchema._
+
+  /** Secondary-index table name for a map target. */
+  def indexName(mapTarget: String): String = s"_idx_$mapTarget"
+
+  /** Per-table staging summary: which buckets were replaced, with the
+    * executed plan of the staged content (for plan-audit assertions). */
+  final case class StagedTable(buckets: Set[Int], plan: String)
+  final case class BatchReport(staged: Map[String, StagedTable])
+
+  /** Cold start: full recompute, then write every table (+ index) bucketed. */
+  def initialize(pipeline: Pipeline, sources: IncrementalRun.Sources,
+                 store: BucketedStateStore, batchId: Long = 0L): Unit = {
+    val st = IncrementalRun.recompute(pipeline, sources)
+    // each map table is written twice (table + its index projection): cache
+    // so the source scan and map projection run once per target
+    val cached = pipeline.mapTargets.toSeq.map(t => t -> st(t).cache()).toMap
+    try {
+      val mapTables = cached.toSeq.map { case (t, df) =>
+        Seq(t -> (df, Key),
+          indexName(t) -> (df.select(col(SourceType), col(SourceId), col(Key)).distinct(), SourceId))
+      }
+      // rebuild reduces from the CACHED map frames (recompute()'s own reduce
+      // plans reference the uncached map plans — the source would be
+      // re-scanned per reduce target otherwise)
+      val reduceTables = pipeline.reduces.map(r =>
+        Seq(r.target -> (ReduceOp(r, cached(r.source)): DataFrame, Key)))
+      store.initialize((mapTables ++ reduceTables).flatten.toMap, batchId)
+    } finally cached.values.foreach(_.unpersist(blocking = false))
+  }
+
+  /** Driver-side mirror of [[BucketedStateStore.bucketOf]] — same xxhash64
+    * chain (null hashes to the seed, exactly like the Catalyst expression
+    * skips null children). */
+  private def bucketOfValue(key: String, numBuckets: Int): Int = {
+    val h = if (key == null) 42L
+    else XxHash64Function.hash(UTF8String.fromString(key), StringType, 42L)
+    (((h % numBuckets) + numBuckets) % numBuckets).toInt
+  }
+
+  /** One change batch against the store; commits on success. */
+  def applyChanges(
+      pipeline: Pipeline,
+      sources: IncrementalRun.Sources,
+      store: BucketedStateStore,
+      changes: Dataset[Change],
+      batchTimestampNs: Long,
+      batchId: Long): BatchReport = {
+    val spark = changes.sparkSession
+    import spark.implicits._
+
+    // exactly-once sink contract: Structured Streaming re-delivers the last
+    // batch after a crash; a batch id at-or-below the committed manifest
+    // pointer has already been fully applied and published — skip it
+    if (store.committedBatch.exists(_ >= batchId)) return BatchReport(Map.empty)
+
+    // A12 newest-wins per id, on the driver (see scaling note above)
+    val batchAll: Seq[Change] = changes.collect().toSeq
+      .groupBy(c => (c.resourceType, c.resourceId))
+      .map { case (_, cs) => cs.maxBy(_.seq) }.toSeq
+
+    def bucketsOfKeys(keys: Iterable[String]): Set[Int] =
+      keys.map(bucketOfValue(_, store.numBuckets)).toSet
+    /** Single-column local relation — broadcasts from driver memory, so
+      * joins against it never spawn a job to materialize the build side. */
+    def localCol(name: String, values: Seq[String]): DataFrame =
+      broadcast(values.toDF(name))
+
+    val tempCaches = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    def tracked(df: DataFrame): DataFrame = { tempCaches += df.cache(); df }
+
+    /** Batch-lifetime scoped view of one stored table: widens bucket by
+      * bucket as the batch discovers touched keys, stages once at the end. */
+    final class Scoped(name: String, keyCol: String) {
+      var buckets: Set[Int] = Set.empty
+      var rows: DataFrame = _
+      def widen(need: Set[Int]): DataFrame = {
+        val add = need -- buckets
+        if (add.nonEmpty || rows == null) {
+          val fresh = store.readBuckets(spark, name, add)
+          rows = tracked(if (rows == null) fresh else rows.unionByName(fresh))
+          buckets ++= add
+        }
+        rows
+      }
+      def update(f: DataFrame => DataFrame): Unit = rows = tracked(f(rows))
+      def stage(): StagedTable = {
+        val plan = rows.queryExecution.executedPlan.toString
+        store.stageBuckets(name, buckets, rows, batchId, keyCol)
+        StagedTable(buckets, plan)
+      }
+    }
+    val scoped = scala.collection.mutable.LinkedHashMap.empty[String, Scoped]
+    def scopedTable(name: String, keyCol: String): Scoped =
+      scoped.getOrElseUpdate(name, new Scoped(name, keyCol))
+
+    try {
+      // (mapTarget -> touched keys), merged across specs
+      var affectedKeys = Map.empty[String, Set[String]]
+
+      for ((sourceName, specs) <- pipeline.mappersBySource.toSeq.sortBy(_._1)) {
+        val batch = batchAll.filter(_.resourceType == sourceName)
+        val upserts = batch.collect { case c if c.change != Change.Deleted => c.resourceId }
+        val deletes = batch.collect { case c if c.change == Change.Deleted => c.resourceId }
+        val allIds = upserts ++ deletes
+        if (allIds.nonEmpty) for (spec <- specs) {
+          val idx = scopedTable(indexName(spec.target), SourceId)
+          val idxRows = idx.widen(bucketsOfKeys(allIds))
+
+          // 1. old keys of the changed ids — index lookup, not a table scan
+          val oldKeys = idxRows.filter(col(SourceType) === spec.source)
+            .join(localCol("__id", allIds), col(SourceId) === col("__id"), "left_semi")
+            .select(col(Key))
+
+          // 2. re-map only the touched source rows
+          val src = sources(spec.source)
+          val touchedSrc = src.join(localCol("__id", upserts),
+            col(spec.idCol).cast("string") === col("__id"), "left_semi")
+          val fresh = tracked(MapOp(spec, touchedSrc))
+
+          // 3. touched keys — THE one collect job of the map phase (it also
+          // materializes `fresh` into its cache for the updates below)
+          val touched: Set[String] =
+            oldKeys.unionByName(fresh.select(col(Key))).distinct()
+              .as[String].collect().toSet
+          val tbl = scopedTable(spec.target, Key)
+          tbl.widen(bucketsOfKeys(touched))
+
+          // 4. delete-old-then-rewrite within the scoped buckets only; the
+          // algebra touches nothing outside `spec.source` rows of batch ids,
+          // and all of those live in the scoped buckets (via the index)
+          val upsertDf = localCol(SourceId, upserts)
+          tbl.update { old =>
+            val mine = old.filter(col(SourceType) === spec.source)
+            val others = old.filter(col(SourceType) =!= spec.source)
+            val withoutUpserted = mine.join(upsertDf, Seq(SourceId), "left_anti")
+            val marked = withoutUpserted
+              .join(localCol("__del", deletes), col(SourceId) === col("__del"), "left")
+              .withColumn(Deleted, col(Deleted) || col("__del").isNotNull)
+              .drop("__del")
+            others.unionByName(marked.unionByName(fresh, allowMissingColumns = true),
+              allowMissingColumns = true)
+          }
+
+          // 5. index maintenance: upserted ids get their fresh (id -> key)
+          // entries; deleted ids KEEP theirs while the tombstone lives (a
+          // later re-create must find the tombstone's bucket to remove it);
+          // the purge step below drops them together with their rows.
+          idx.update { old =>
+            val mineIdx = old.filter(col(SourceType) === spec.source)
+            val othersIdx = old.filter(col(SourceType) =!= spec.source)
+            othersIdx.unionByName(
+              mineIdx.join(upsertDf, Seq(SourceId), "left_anti")
+                .unionByName(fresh.select(col(SourceType), col(SourceId), col(Key)).distinct()))
+          }
+
+          if (pipeline.reducersBySource.contains(spec.target))
+            affectedKeys += spec.target ->
+              (affectedKeys.getOrElse(spec.target, Set.empty) ++ touched)
+        }
+      }
+
+      val anyDeletes = batchAll.exists(_.change == Change.Deleted)
+
+      for ((mapTarget, keys) <- affectedKeys.toSeq.sortBy(_._1)) {
+        val specs = pipeline.mapSpecsByTarget(mapTarget)
+        val tbl = scoped(mapTarget)
+        for (rspec <- pipeline.reducersBySource(mapTarget)) {
+          val table = tbl.rows
+
+          // A15 version barrier over the scoped rows (exact: every row of a
+          // touched key is inside the scoped buckets). Steady state has zero
+          // stale rows, so this collect is empty and cheap.
+          val stale = specs.map(s =>
+            col(SourceType) === s.source && col(Version) =!= s.version
+          ).reduce(_ || _)
+          val staleKeys = table.filter(!col(Deleted) && stale)
+            .select(col(Key)).distinct().as[String].collect().toSet
+          val ready: Set[String] = keys -- staleKeys
+          val readyKeys = localCol(Key, ready.toSeq)
+
+          val scopedLive = table.join(readyKeys, Seq(Key), "left_semi")
+          val recomputed = ReduceOp(rspec, scopedLive, batchTimestampNs)
+
+          // replace ready keys wholesale inside the reduce table's touched
+          // buckets; an empty group yields no row = output delete
+          val rtbl = scopedTable(rspec.target, Key)
+          rtbl.widen(bucketsOfKeys(ready))
+          rtbl.update { old =>
+            old.join(readyKeys, Seq(Key), "left_anti")
+              .unionByName(recomputed, allowMissingColumns = true)
+          }
+
+          // A13 deferred purge of reduced tombstones — rows AND their index
+          // entries (a stale index entry would spuriously re-reduce the
+          // purged key on the id's next unrelated change). Exact (type, id,
+          // key) triples, not bare ids: a flatmap id can keep live rows
+          // under other keys whose entries must survive. Skipped when the
+          // batch contains no delete: fresh tombstones only appear in
+          // delete batches; the one corner this defers is a barrier-
+          // postponed tombstone from an EARLIER batch whose key reduces in
+          // a delete-free batch — it is then benign garbage (excluded from
+          // every fold) until the next delete-bearing batch purges it.
+          if (anyDeletes) {
+            val purged = tbl.rows.filter(col(Deleted))
+              .join(readyKeys, Seq(Key), "left_semi")
+              .select(col(SourceType), col(SourceId), col(Key)).distinct()
+              .as[(String, String, String)].collect()
+            tbl.update { rows =>
+              rows.join(readyKeys.withColumnRenamed(Key, "__k"),
+                col(Key) === col("__k") && col(Deleted), "left_anti")
+            }
+            if (purged.nonEmpty) {
+              val idx = scopedTable(indexName(mapTarget), SourceId)
+              idx.widen(bucketsOfKeys(purged.map(_._2)))
+              val purgedDf = broadcast(purged.toSeq.toDF("__pt", "__pi", "__pk"))
+              idx.update { old =>
+                old.join(purgedDf,
+                  col(SourceType) === col("__pt") && col(SourceId) === col("__pi") &&
+                    col(Key) === col("__pk"),
+                  "left_anti")
+              }
+            }
+          }
+        }
+      }
+
+      val report = BatchReport(scoped.map { case (n, s) => n -> s.stage() }.toMap)
+      store.commit(batchId)
+      report
+    } finally tempCaches.foreach(_.unpersist(blocking = false))
+  }
+
+  /** Streaming `foreachBatch` body against the store (drain-then-exit or
+    * forever mode, mirroring [[StreamingEngine]]). */
+  def foreachBatch(pipeline: Pipeline, sources: IncrementalRun.Sources,
+                   store: BucketedStateStore): (Dataset[Change], Long) => Unit = {
+    (ds: Dataset[Change], id: Long) =>
+      applyChanges(pipeline, sources, store, ds, batchTimestampNs = id + 1, batchId = id + 1)
+      ()
+  }
+}

@@ -1,0 +1,188 @@
+package graft.incr
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.util.Base64
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import scala.jdk.CollectionConverters._
+
+/** Hash-bucketed durable state — the A3/A4 sink shaped for 100 TB.
+  *
+  * [[ParquetStateStore]] rewrites EVERY derived table whole per batch: at
+  * scale a 10-row change batch rewrites terabytes. Here each table is
+  * persisted as `numBuckets` hash buckets of its key column, and a batch
+  * replaces only the buckets that contain touched keys — the file-level
+  * MERGE a Delta/Iceberg sink performs, built on the same
+  * write-new-then-swap-manifest protocol the whole-table store used
+  * (crash mid-write leaves the previous consistent snapshot committed;
+  * reference analogue: deferred tombstone purge, processor.py:141-148).
+  *
+  * Layout:
+  * {{{
+  *   <root>/_manifest                              committed pointer (atomic swap)
+  *   <root>/<table>/b<batch>_<n>/__b=<k>/part-….parquet   one dir per staged bucket
+  * }}}
+  * The manifest maps (table, bucket) -> directory, so untouched buckets are
+  * carried forward BY REFERENCE — never copied, never rewritten. `vacuum()`
+  * drops directories no committed bucket references.
+  *
+  * On a cluster the local atomic rename becomes a conditional put on the
+  * object store; everything else is already object-store-shaped (immutable
+  * directories, manifest indirection).
+  */
+final class BucketedStateStore(val root: String, val numBuckets: Int = 32) {
+  require(numBuckets > 0)
+
+  private val manifestPath = Paths.get(root, "_manifest")
+
+  /** `buckets`: bucket id -> path relative to `root` (absent = empty). */
+  private final case class TableMeta(keyCol: String, ddl: String, buckets: Map[Int, String])
+
+  private var committed: Map[String, TableMeta] = loadManifest()
+  // per-table bucket-path deltas staged for the next commit (None = now empty)
+  private var staged: Map[String, (String, String, Map[Int, Option[String]])] = Map.empty
+  private var stageSeq = 0
+
+  /** Deterministic bucket id of a key value (null hashes like xxhash64(null)
+    * — the seed — so null keys land in one fixed bucket). */
+  def bucketOf(key: Column): Column = pmod(xxhash64(key), lit(numBuckets.toLong)).cast("int")
+
+  def tableNames: Seq[String] = committed.keys.toSeq.sorted
+  def isEmpty: Boolean = committed.isEmpty
+  def committedBatch: Option[Long] =
+    if (!Files.exists(manifestPath)) None
+    else Files.readAllLines(manifestPath).asScala.headOption
+      .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong)
+
+  /** Committed bucket -> directory map (tests assert untouched buckets keep
+    * their directory across batches — carried by reference, not rewritten). */
+  def bucketPaths(table: String): Map[Int, String] =
+    committed.get(table).map(_.buckets).getOrElse(Map.empty)
+
+  /** Read the full table (union of all committed buckets). */
+  def table(spark: SparkSession, name: String): DataFrame =
+    readPaths(spark, name, committed(name).buckets.values.toSeq)
+
+  /** Read ONLY the given buckets — the per-batch scoped read. */
+  def readBuckets(spark: SparkSession, name: String, buckets: Iterable[Int]): DataFrame = {
+    val meta = committed(name)
+    readPaths(spark, name, buckets.toSeq.distinct.flatMap(meta.buckets.get))
+  }
+
+  private def readPaths(spark: SparkSession, name: String, rels: Seq[String]): DataFrame = {
+    val schema = StructType.fromDDL(
+      staged.get(name).map(_._2).orElse(committed.get(name).map(_.ddl))
+        .getOrElse(sys.error(s"unknown state table '$name'")))
+    if (rels.isEmpty)
+      spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+    else
+      // explicit schema: skips footer merging and keeps column order stable
+      // across bucket directories written by different batches
+      spark.read.schema(schema).parquet(rels.map(r => s"$root/$r"): _*)
+  }
+
+  /** Stage replacement content for `buckets` of `name`. `rows` must hold
+    * exactly the new content of those buckets (rows of other buckets are
+    * the caller's bug — they would be duplicated against their own bucket).
+    * Several stage calls for one table in one batch merge; later wins per
+    * bucket. */
+  def stageBuckets(name: String, buckets: Set[Int], rows: DataFrame,
+                   batchId: Long, keyCol: String): Unit = synchronized {
+    stageSeq += 1
+    val rel = s"$name/b${batchId}_$stageSeq"
+    val ordered = orderedLike(name, rows)
+    // repartition on the bucket id first: without it every upstream task
+    // opens a writer per bucket dir (tasks × buckets tiny files, and every
+    // later scoped read pays the footer storm). One task per bucket → one
+    // file per bucket; at real scale raise maxRecordsPerFile to split.
+    ordered.withColumn("__b", bucketOf(col(keyCol)))
+      .repartition(numBuckets, col("__b"))
+      .write.mode(SaveMode.Overwrite).partitionBy("__b").parquet(s"$root/$rel")
+    val written = buckets.iterator.map { k =>
+      val dir = Paths.get(root, rel, s"__b=$k")
+      k -> (if (Files.isDirectory(dir)) Some(s"$rel/__b=$k") else None)
+    }.toMap
+    val (kc, _, prev) = staged.getOrElse(name,
+      (keyCol, "", Map.empty[Int, Option[String]]))
+    staged += name -> (kc, ordered.schema.toDDL, prev ++ written)
+  }
+
+  /** Keep the committed column order so parquet schemas stay aligned. */
+  private def orderedLike(name: String, rows: DataFrame): DataFrame =
+    committed.get(name) match {
+      case Some(m) =>
+        val want = StructType.fromDDL(m.ddl).fieldNames.toSeq
+        if (want.toSet == rows.columns.toSet) rows.select(want.map(col): _*) else rows
+      case None => rows
+    }
+
+  /** Full-table write (cold start / resync): every bucket of every table. */
+  def initialize(tables: Map[String, (DataFrame, String)], batchId: Long = 0L): Unit = {
+    tables.foreach { case (name, (df, keyCol)) =>
+      stageBuckets(name, (0 until numBuckets).toSet, df, batchId, keyCol)
+    }
+    commit(batchId)
+  }
+
+  /** Atomically publish all staged buckets as batch `batchId`. */
+  def commit(batchId: Long): Unit = synchronized {
+    committed = staged.foldLeft(committed) { case (acc, (name, (keyCol, ddl, delta))) =>
+      val prev = acc.get(name).map(_.buckets).getOrElse(Map.empty)
+      val merged = delta.foldLeft(prev) {
+        case (b, (k, Some(p))) => b + (k -> p)
+        case (b, (k, None)) => b - k
+      }
+      acc + (name -> TableMeta(keyCol, ddl, merged))
+    }
+    staged = Map.empty
+    val sb = new StringBuilder(s"batch=$batchId\n")
+    committed.toSeq.sortBy(_._1).foreach { case (name, m) =>
+      val ddl64 = Base64.getEncoder.encodeToString(m.ddl.getBytes(StandardCharsets.UTF_8))
+      sb.append(s"table=$name|${m.keyCol}|$ddl64\n")
+      m.buckets.toSeq.sorted.foreach { case (k, p) => sb.append(s"bucket=$name|$k|$p\n") }
+    }
+    Files.createDirectories(Paths.get(root))
+    val tmp = manifestPath.resolveSibling("_manifest.tmp")
+    Files.write(tmp, sb.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, manifestPath, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def loadManifest(): Map[String, TableMeta] =
+    if (!Files.exists(manifestPath)) Map.empty
+    else {
+      val lines = Files.readAllLines(manifestPath).asScala.toSeq
+      val tables = lines.collect { case l if l.startsWith("table=") =>
+        val Array(name, keyCol, ddl64) = l.stripPrefix("table=").split('|')
+        name -> TableMeta(keyCol,
+          new String(Base64.getDecoder.decode(ddl64), StandardCharsets.UTF_8), Map.empty)
+      }.toMap
+      lines.collect { case l if l.startsWith("bucket=") =>
+        val Array(name, k, p) = l.stripPrefix("bucket=").split('|')
+        (name, k.toInt, p)
+      }.foldLeft(tables) { case (acc, (name, k, p)) =>
+        acc + (name -> acc(name).copy(buckets = acc(name).buckets + (k -> p)))
+      }
+    }
+
+  /** Delete stage directories no committed bucket references (safe GC —
+    * includes orphans from crashed batches). */
+  def vacuum(): Unit = synchronized {
+    val live: Set[String] = committed.values
+      .flatMap(_.buckets.values).map(_.split('/').take(2).mkString("/")).toSet
+    val rootPath = Paths.get(root)
+    if (Files.isDirectory(rootPath)) {
+      Files.list(rootPath).iterator().asScala.filter(Files.isDirectory(_)).foreach { tdir =>
+        Files.list(tdir).iterator().asScala.toSeq.foreach { sdir =>
+          val rel = s"${tdir.getFileName}/${sdir.getFileName}"
+          if (Files.isDirectory(sdir) && !live.contains(rel)) {
+            Files.walk(sdir).sorted(java.util.Comparator.reverseOrder())
+              .forEach(Files.deleteIfExists(_))
+          }
+        }
+      }
+    }
+  }
+}

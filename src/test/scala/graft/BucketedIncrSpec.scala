@@ -1,0 +1,198 @@
+package graft
+
+import graft.core._
+import graft.incr._
+import graft.ops.MapOp
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bucketed incremental state: same semantics as [[IncrementalRun]] (the
+  * spec-level ground truth is always a full recompute), but per-batch IO
+  * scoped to touched buckets — untouched buckets must be carried by
+  * reference (identical directory), and no state frame may be
+  * shuffle-joined (plan audit: no SortMergeJoin). */
+class BucketedIncrSpec extends AnyFunSuite with SparkTestBase {
+  import MrSchema._
+  import spark.implicits._
+
+  private val pipeline = Pipeline(
+    maps = Seq(MapSpec("src", "m", 1, idCol = "id",
+      fn = MapFns.item("k", Some("v"), idCol = "id"))),
+    reduces = Seq(ReduceSpec("m", "r", 1, ExprReduce(sum))))
+
+  private def srcDf(rows: (String, String, Double)*): DataFrame =
+    rows.toDF("id", "k", "v")
+
+  private def changes(cs: (Long, String, String)*) =
+    cs.map { case (seq, op, id) => Change(seq, op, "src", id) }.toDS()
+
+  private def newStore(buckets: Int = 8): BucketedStateStore =
+    new BucketedStateStore(Files.createTempDirectory("graft_bstore").toString, buckets)
+
+  private def reduced(store: BucketedStateStore): Map[String, Double] =
+    store.table(spark, "r").select(col(Key), col(Value))
+      .as[(String, Double)].collect().toMap
+
+  test("create → update → delete lifecycle matches recompute (durable)") {
+    val store = newStore()
+    var data = srcDf(("a", "k1", 1.0), ("b", "k1", 2.0), ("c", "k2", 5.0))
+    val sources: IncrementalRun.Sources = _ => data
+    BucketedRun.initialize(pipeline, sources, store)
+    assert(reduced(store) == Map("k1" -> 3.0, "k2" -> 5.0))
+
+    data = srcDf(("a", "k1", 1.0), ("b", "k2", 7.0), ("c", "k2", 5.0))
+    BucketedRun.applyChanges(pipeline, sources, store,
+      changes((1, Change.Updated, "b")), 1L, batchId = 1)
+    assert(reduced(store) == Map("k1" -> 1.0, "k2" -> 12.0))
+
+    data = data.union(srcDf(("d", "k1", 10.0)))
+    BucketedRun.applyChanges(pipeline, sources, store,
+      changes((2, Change.Created, "d")), 2L, batchId = 2)
+    assert(reduced(store) == Map("k1" -> 11.0, "k2" -> 12.0))
+
+    data = srcDf(("a", "k1", 1.0), ("b", "k2", 7.0), ("d", "k1", 10.0))
+    BucketedRun.applyChanges(pipeline, sources, store,
+      changes((3, Change.Deleted, "c")), 3L, batchId = 3)
+    assert(reduced(store) == Map("k1" -> 11.0, "k2" -> 7.0))
+
+    // A13: tombstones purged after their key reduced; index purged with them
+    assert(store.table(spark, "m").filter(col(Deleted)).count() == 0)
+    assert(store.table(spark, BucketedRun.indexName("m"))
+      .filter(col(SourceId) === "c").count() == 0)
+    assert(store.committedBatch.contains(3L))
+  }
+
+  test("deleting the last record of a key deletes the reduce output row") {
+    val store = newStore()
+    var data = srcDf(("a", "k1", 1.0), ("b", "k2", 2.0))
+    val sources: IncrementalRun.Sources = _ => data
+    BucketedRun.initialize(pipeline, sources, store)
+    data = srcDf(("a", "k1", 1.0))
+    BucketedRun.applyChanges(pipeline, sources, store,
+      changes((1, Change.Deleted, "b")), 1L, batchId = 1)
+    assert(reduced(store) == Map("k1" -> 1.0))
+  }
+
+  test("a small batch rewrites ONLY touched buckets; plans have no shuffle join") {
+    val store = newStore(buckets = 8)
+    // many keys spread across all 8 buckets
+    var data = srcDf((0 until 64).map(i => (s"id$i", s"key$i", i.toDouble)): _*)
+    val sources: IncrementalRun.Sources = _ => data
+    BucketedRun.initialize(pipeline, sources, store)
+    val before = Seq("m", "r", BucketedRun.indexName("m"))
+      .map(t => t -> store.bucketPaths(t)).toMap
+    assert(before("m").size == 8) // every bucket populated at init
+
+    data = data.union(srcDf(("id64", "key7", 100.0)))
+    val report = BucketedRun.applyChanges(pipeline, sources, store,
+      changes((1, Change.Created, "id64")), 1L, batchId = 1)
+
+    // one touched key -> exactly one bucket replaced on the key-bucketed
+    // tables; untouched buckets keep their directory (reference, not copy)
+    for (t <- Seq("m", "r")) {
+      val after = store.bucketPaths(t)
+      val changed = after.keySet.filter(k => before(t).get(k) != after.get(k))
+      assert(changed.size == 1, s"$t: expected 1 replaced bucket, got $changed")
+      assert((after.keySet -- changed).forall(k => after(k) == before(t)(k)),
+        s"$t: untouched buckets must be carried by reference")
+    }
+    assert(report.staged.keySet ==
+      Set("m", "r", BucketedRun.indexName("m")))
+    // state rows are never shuffle-joined: batch-side frames are broadcast
+    report.staged.values.foreach { st =>
+      assert(!st.plan.contains("SortMergeJoin"),
+        s"state-side shuffle join in batch plan:\n${st.plan}")
+    }
+    assert(reduced(store).get("key7").contains(107.0))
+  }
+
+  test("exactly-once: replaying a committed batch id is a no-op") {
+    val store = newStore()
+    var data = srcDf(("a", "k1", 1.0), ("b", "k2", 2.0))
+    val sources: IncrementalRun.Sources = _ => data
+    BucketedRun.initialize(pipeline, sources, store)
+    data = srcDf(("a", "k1", 4.0), ("b", "k2", 2.0))
+    val first = BucketedRun.applyChanges(pipeline, sources, store,
+      changes((1, Change.Updated, "a")), 1L, batchId = 1)
+    assert(first.staged.nonEmpty)
+    val paths = store.bucketPaths("r")
+    // crash-recovery redelivery of batch 1: nothing staged, nothing rewritten
+    val replay = BucketedRun.applyChanges(pipeline, sources, store,
+      changes((1, Change.Updated, "a")), 1L, batchId = 1)
+    assert(replay.staged.isEmpty)
+    assert(store.bucketPaths("r") == paths)
+    assert(reduced(store) == Map("k1" -> 4.0, "k2" -> 2.0))
+  }
+
+  test("restart: a fresh store instance on the same root resumes the snapshot") {
+    val store = newStore()
+    var data = srcDf(("a", "k1", 1.0), ("b", "k2", 2.0))
+    val sources: IncrementalRun.Sources = _ => data
+    BucketedRun.initialize(pipeline, sources, store)
+    data = srcDf(("a", "k1", 4.0), ("b", "k2", 2.0))
+    BucketedRun.applyChanges(pipeline, sources, store,
+      changes((1, Change.Updated, "a")), 1L, batchId = 1)
+
+    val reopened = new BucketedStateStore(store.root, store.numBuckets)
+    assert(reopened.committedBatch.contains(1L))
+    assert(reduced(reopened) == Map("k1" -> 4.0, "k2" -> 2.0))
+    assert(reopened.tableNames.toSet == Set("m", "r", BucketedRun.indexName("m")))
+  }
+
+  test("A15: stale-version keys are postponed on the bucketed path too") {
+    val store = newStore()
+    val data = srcDf(("a", "k1", 1.0), ("b", "k1", 2.0), ("c", "k2", 5.0))
+    val sources: IncrementalRun.Sources = _ => data
+    // state where b's map row is at version 0 (stale vs handler version 1)
+    val fresh = MapOp(pipeline.maps.head, data.filter(col("id") =!= "b"))
+    val stale = MapOp(pipeline.maps.head, data.filter(col("id") === "b"))
+      .withColumn(Version, lit(0))
+    val m = fresh.unionByName(stale)
+    val r = graft.ops.ReduceOp(pipeline.reduces.head, fresh)
+    store.initialize(Map(
+      "m" -> (m, Key),
+      BucketedRun.indexName("m") ->
+        (m.select(col(SourceType), col(SourceId), col(Key)).distinct(), SourceId),
+      "r" -> (r, Key)))
+
+    BucketedRun.applyChanges(pipeline, sources, store,
+      changes((1, Change.Updated, "a")), 1L, batchId = 1)
+    // k1 holds b at a stale version → postponed: old output survives
+    assert(reduced(store) == Map("k1" -> 1.0, "k2" -> 5.0))
+  }
+
+  test("vacuum drops unreferenced stage directories, table still readable") {
+    val store = newStore()
+    var data = srcDf(("a", "k1", 1.0), ("b", "k2", 2.0))
+    val sources: IncrementalRun.Sources = _ => data
+    BucketedRun.initialize(pipeline, sources, store)
+    data = srcDf(("a", "k1", 9.0), ("b", "k2", 2.0))
+    BucketedRun.applyChanges(pipeline, sources, store,
+      changes((1, Change.Updated, "a")), 1L, batchId = 1)
+    store.vacuum()
+    assert(reduced(store) == Map("k1" -> 9.0, "k2" -> 2.0))
+    // a second reopen after vacuum still works (manifest never referenced
+    // the vacuumed dirs)
+    assert(reduced(new BucketedStateStore(store.root, store.numBuckets))
+      == Map("k1" -> 9.0, "k2" -> 2.0))
+  }
+
+  test("multi-emission delete and multi-source provenance on the bucketed path") {
+    val p = Pipeline(
+      maps = Seq(MapSpec("src", "m", 1, idCol = "id",
+        fn = df => df.select(explode(array(col("k"), concat(lit("x-"), col("k")))).as(Key),
+          col("v").as(Value), col("id")))),
+      reduces = Seq(ReduceSpec("m", "r", 1, ExprReduce(sum))))
+    val store = newStore()
+    var data = srcDf(("a", "k1", 1.0), ("b", "k1", 2.0))
+    val sources: IncrementalRun.Sources = _ => data
+    BucketedRun.initialize(p, sources, store)
+    assert(reduced(store) == Map("k1" -> 3.0, "x-k1" -> 3.0))
+    data = srcDf(("a", "k1", 1.0))
+    BucketedRun.applyChanges(p, sources, store,
+      changes((1, Change.Deleted, "b")), 1L, batchId = 1)
+    assert(reduced(store) == Map("k1" -> 1.0, "x-k1" -> 1.0))
+  }
+}
