@@ -2,7 +2,7 @@ package graft.incr
 
 import graft.core.{MrSchema, Pipeline}
 import graft.ops.{MapOp, ReduceOp}
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.catalyst.expressions.XxHash64Function
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StringType
@@ -95,8 +95,21 @@ object BucketedRun {
       store: BucketedStateStore,
       changes: Dataset[Change],
       batchTimestampNs: Long,
+      batchId: Long): BatchReport =
+    applyChanges(changes.sparkSession, pipeline, sources, store,
+      changes.collect().toSeq, batchTimestampNs, batchId)
+
+  /** Same, with the batch already in driver memory — the native shape of a
+    * notification-queue poll (the Dataset overload exists for streaming
+    * `foreachBatch`, which hands the batch over as a Dataset). */
+  def applyChanges(
+      spark: org.apache.spark.sql.SparkSession,
+      pipeline: Pipeline,
+      sources: IncrementalRun.Sources,
+      store: BucketedStateStore,
+      changes: Seq[Change],
+      batchTimestampNs: Long,
       batchId: Long): BatchReport = {
-    val spark = changes.sparkSession
     import spark.implicits._
 
     // exactly-once sink contract: Structured Streaming re-delivers the last
@@ -105,7 +118,7 @@ object BucketedRun {
     if (store.committedBatch.exists(_ >= batchId)) return BatchReport(Map.empty)
 
     // A12 newest-wins per id, on the driver (see scaling note above)
-    val batchAll: Seq[Change] = changes.collect().toSeq
+    val batchAll: Seq[Change] = changes
       .groupBy(c => (c.resourceType, c.resourceId))
       .map { case (_, cs) => cs.maxBy(_.seq) }.toSeq
 
@@ -119,11 +132,29 @@ object BucketedRun {
     val tempCaches = scala.collection.mutable.ListBuffer.empty[DataFrame]
     def tracked(df: DataFrame): DataFrame = { tempCaches += df.cache(); df }
 
+    // AQE off for the batch body: every frame here is either a broadcast
+    // local relation or a few scoped buckets, so runtime re-planning buys
+    // nothing and splits each of the batch's ~7 actions into per-stage jobs
+    // — at notification-batch sizes the fixed per-job overhead dominates
+    // wall time (measured ~30 jobs/batch with AQE, ~10 without).
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqePrev = spark.conf.get(aqeKey, "true")
+    spark.conf.set(aqeKey, "false")
+    // batch-sized shuffles (re-reduce of a few dozen keys' rows): a handful
+    // of partitions beats the session default — with AQE off the static
+    // setting is what every exchange in the batch body gets
+    val shufKey = "spark.sql.shuffle.partitions"
+    val shufPrev = spark.conf.get(shufKey)
+    spark.conf.set(shufKey, "8")
+
     /** Batch-lifetime scoped view of one stored table: widens bucket by
-      * bucket as the batch discovers touched keys, stages once at the end. */
+      * bucket as the batch discovers touched keys, stages once at the end.
+      * Tables that were only READ (e.g. an index consulted by a batch that
+      * did not change it) are never staged — their committed buckets stand. */
     final class Scoped(name: String, keyCol: String) {
       var buckets: Set[Int] = Set.empty
       var rows: DataFrame = _
+      var dirty: Boolean = false
       def widen(need: Set[Int]): DataFrame = {
         val add = need -- buckets
         if (add.nonEmpty || rows == null) {
@@ -133,7 +164,9 @@ object BucketedRun {
         }
         rows
       }
-      def update(f: DataFrame => DataFrame): Unit = rows = tracked(f(rows))
+      def update(f: DataFrame => DataFrame): Unit = {
+        rows = tracked(f(rows)); dirty = true
+      }
       def stage(): StagedTable = {
         val plan = rows.queryExecution.executedPlan.toString
         store.stageBuckets(name, buckets, rows, batchId, keyCol)
@@ -143,6 +176,13 @@ object BucketedRun {
     val scoped = scala.collection.mutable.LinkedHashMap.empty[String, Scoped]
     def scopedTable(name: String, keyCol: String): Scoped =
       scoped.getOrElseUpdate(name, new Scoped(name, keyCol))
+
+    def prof[T](label: String)(f: => T): T =
+      if (!sys.env.contains("GRAFT_PROF")) f
+      else {
+        val t0 = System.nanoTime(); val r = f
+        println(f"PROFB $label ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
+      }
 
     try {
       // (mapTarget -> touched keys), merged across specs
@@ -157,22 +197,48 @@ object BucketedRun {
           val idx = scopedTable(indexName(spec.target), SourceId)
           val idxRows = idx.widen(bucketsOfKeys(allIds))
 
-          // 1. old keys of the changed ids — index lookup, not a table scan
-          val oldKeys = idxRows.filter(col(SourceType) === spec.source)
+          // 1. old (type, id, key) triples of the changed ids — index
+          // lookup, not a table scan
+          val oldTriples = idxRows.filter(col(SourceType) === spec.source)
             .join(localCol("__id", allIds), col(SourceId) === col("__id"), "left_semi")
-            .select(col(Key))
+            .select(col(SourceType), col(SourceId), col(Key), lit(false).as("__new"))
 
-          // 2. re-map only the touched source rows
+          // 2. re-map only the touched source rows. The semi join is the
+          // correctness contract; the isin prefilter is the same id set as
+          // a pushable predicate so the source scan prunes row groups
+          // instead of reading the whole table (exact driver-side cast of
+          // the string ids to the id column's type — skipped when the ids
+          // don't round-trip or the IN list would be degenerate).
           val src = sources(spec.source)
-          val touchedSrc = src.join(localCol("__id", upserts),
-            col(spec.idCol).cast("string") === col("__id"), "left_semi")
+          val idFilter: Option[Column] = {
+            import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+            if (upserts.isEmpty || upserts.size > 1000) None
+            else scala.util.Try {
+              src.schema(spec.idCol).dataType match {
+                case LongType => col(spec.idCol).isin(upserts.map(_.toLong): _*)
+                case IntegerType => col(spec.idCol).isin(upserts.map(_.toInt): _*)
+                case StringType => col(spec.idCol).isin(upserts: _*)
+              }
+            }.toOption
+          }
+          val touchedSrc = idFilter.map(src.filter).getOrElse(src)
+            .join(localCol("__id", upserts),
+              col(spec.idCol).cast("string") === col("__id"), "left_semi")
           val fresh = tracked(MapOp(spec, touchedSrc))
+          val freshTriples = fresh
+            .select(col(SourceType), col(SourceId), col(Key), lit(true).as("__new"))
+            .distinct()
 
-          // 3. touched keys — THE one collect job of the map phase (it also
-          // materializes `fresh` into its cache for the updates below)
-          val touched: Set[String] =
-            oldKeys.unionByName(fresh.select(col(Key))).distinct()
-              .as[String].collect().toSet
+          // 3. old + fresh triples — THE one collect job of the map phase
+          // (it also materializes `fresh` into its cache for the updates
+          // below). Triples, not bare keys: the driver derives touched keys
+          // AND whether the index content actually changed.
+          val collected = prof(s"triples:${spec.target}") {
+            oldTriples.unionByName(freshTriples)
+              .as[(String, String, String, Boolean)].collect() }
+          val oldT = collected.collect { case (t, i, k, false) => (t, i, k) }.toSet
+          val newT = collected.collect { case (t, i, k, true) => (t, i, k) }.toSet
+          val touched: Set[String] = (oldT ++ newT).map(_._3)
           val tbl = scopedTable(spec.target, Key)
           tbl.widen(bucketsOfKeys(touched))
 
@@ -196,7 +262,12 @@ object BucketedRun {
           // entries; deleted ids KEEP theirs while the tombstone lives (a
           // later re-create must find the tombstone's bucket to remove it);
           // the purge step below drops them together with their rows.
-          idx.update { old =>
+          // SKIPPED when the upserted ids' triples are unchanged (the
+          // steady-state update batch: same ids map to the same keys) —
+          // the committed index buckets already hold exactly this content.
+          val upsertSet = upserts.toSet
+          val idxDirty = newT != oldT.filter(t => upsertSet.contains(t._2))
+          if (idxDirty) idx.update { old =>
             val mineIdx = old.filter(col(SourceType) === spec.source)
             val othersIdx = old.filter(col(SourceType) =!= spec.source)
             othersIdx.unionByName(
@@ -224,8 +295,9 @@ object BucketedRun {
           val stale = specs.map(s =>
             col(SourceType) === s.source && col(Version) =!= s.version
           ).reduce(_ || _)
-          val staleKeys = table.filter(!col(Deleted) && stale)
-            .select(col(Key)).distinct().as[String].collect().toSet
+          val staleKeys = prof(s"stale:${rspec.target}") {
+            table.filter(!col(Deleted) && stale)
+              .select(col(Key)).distinct().as[String].collect().toSet }
           val ready: Set[String] = keys -- staleKeys
           val readyKeys = localCol(Key, ready.toSeq)
 
@@ -275,10 +347,24 @@ object BucketedRun {
         }
       }
 
-      val report = BatchReport(scoped.map { case (n, s) => n -> s.stage() }.toMap)
-      store.commit(batchId)
+      // stage all DIRTY tables CONCURRENTLY — each writes its own
+      // immutable directory, so the writes only contend for executor slots
+      // (wall time ≈ the largest table's write, not the sum)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val stagedF = scoped.toSeq.collect {
+        case (n, sc) if sc.dirty => n -> Future(prof(s"stage:$n")(sc.stage()))
+      }
+      val report = prof("stage:await") { BatchReport(
+        stagedF.map { case (n, f) => n -> Await.result(f, Duration.Inf) }.toMap) }
+      prof("commit")(store.commit(batchId))
       report
-    } finally tempCaches.foreach(_.unpersist(blocking = false))
+    } finally {
+      spark.conf.set(aqeKey, aqePrev)
+      spark.conf.set(shufKey, shufPrev)
+      tempCaches.foreach(_.unpersist(blocking = false))
+    }
   }
 
   /** Streaming `foreachBatch` body against the store (drain-then-exit or

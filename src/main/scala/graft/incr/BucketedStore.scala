@@ -89,24 +89,34 @@ final class BucketedStateStore(val root: String, val numBuckets: Int = 32) {
     * Several stage calls for one table in one batch merge; later wins per
     * bucket. */
   def stageBuckets(name: String, buckets: Set[Int], rows: DataFrame,
-                   batchId: Long, keyCol: String): Unit = synchronized {
-    stageSeq += 1
-    val rel = s"$name/b${batchId}_$stageSeq"
+                   batchId: Long, keyCol: String): Unit = {
+    // only the metadata mutations hold the lock: the parquet write itself is
+    // the long pole and stage calls for DIFFERENT tables run concurrently
+    // (each writes its own immutable directory)
+    val seq = synchronized { stageSeq += 1; stageSeq }
+    val rel = s"$name/b${batchId}_$seq"
     val ordered = orderedLike(name, rows)
     // repartition on the bucket id first: without it every upstream task
     // opens a writer per bucket dir (tasks × buckets tiny files, and every
-    // later scoped read pays the footer storm). One task per bucket → one
-    // file per bucket; at real scale raise maxRecordsPerFile to split.
+    // later scoped read pays the footer storm). One task per STAGED bucket
+    // (not per bucket of the table — a small batch stages a strict subset)
+    // → one file per bucket; at real scale raise maxRecordsPerFile to split.
     ordered.withColumn("__b", bucketOf(col(keyCol)))
-      .repartition(numBuckets, col("__b"))
-      .write.mode(SaveMode.Overwrite).partitionBy("__b").parquet(s"$root/$rel")
+      .repartition(math.max(1, math.min(buckets.size, numBuckets)), col("__b"))
+      .write.mode(SaveMode.Overwrite).partitionBy("__b")
+      // the manifest is the commit marker; per-directory _SUCCESS files are
+      // dead weight (one FS op per staged table per batch)
+      .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+      .parquet(s"$root/$rel")
     val written = buckets.iterator.map { k =>
       val dir = Paths.get(root, rel, s"__b=$k")
       k -> (if (Files.isDirectory(dir)) Some(s"$rel/__b=$k") else None)
     }.toMap
-    val (kc, _, prev) = staged.getOrElse(name,
-      (keyCol, "", Map.empty[Int, Option[String]]))
-    staged += name -> (kc, ordered.schema.toDDL, prev ++ written)
+    synchronized {
+      val (kc, _, prev) = staged.getOrElse(name,
+        (keyCol, "", Map.empty[Int, Option[String]]))
+      staged += name -> (kc, ordered.schema.toDDL, prev ++ written)
+    }
   }
 
   /** Keep the committed column order so parquet schemas stay aligned. */
