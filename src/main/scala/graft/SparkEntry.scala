@@ -57,6 +57,9 @@ object SparkEntry {
     })
 
   private val ordersCount = scala.collection.concurrent.TrieMap.empty[String, Long]
+  /** One persisted IVF index per scale dir (built on first probe). */
+  private val ivfIndexes =
+    scala.collection.concurrent.TrieMap.empty[String, Ivf.Index]
 
   /** One batch of same-typed changes over orders ids `≡ residue (mod mod)` —
     * a notification-queue-sized batch (tens of ids at sf0.1) built in driver
@@ -484,11 +487,19 @@ object SparkEntry {
       Similarity.lshTopK(e, q, "vec_id", "embedding", dim = 64, k = 5, nBits = 8)
     }),
 
-    // IVF ANN top-k (approximate — rows-only; recall tested in IvfSpec)
+    // IVF ANN top-k (approximate — rows-only; recall tested in IvfSpec).
+    // The index is built ONCE per scale dir (train + assignment persisted
+    // partitioned by cell) and every invocation probes it — the build/search
+    // asymmetry is the point of IVF; a probe reads only the probed cells'
+    // partitions.
     "sim_topk_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") % 50 === 0)
-      Ivf.topK(e, q, "vec_id", "embedding", k = 5, nCells = 16, nProbe = 4)
+      val index = ivfIndexes.getOrElseUpdate(dir, Ivf.buildIndex(
+        e, "vec_id", "embedding",
+        java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString,
+        nCells = 16, iters = 2))
+      Ivf.probe(index, q, "vec_id", "embedding", k = 5, nProbe = 4)
     }),
 
     // Embedding-cosine near-dup pairs (brute-force exact baseline; the LSH

@@ -99,27 +99,61 @@ object Ivf {
     trainCentroids(corpus, idCol, vecCol, nCells, iters).toDF("cell", "centroid")
   }
 
-  /** ANN top-k: probe the `nProbe` best cells per query, exact cosine within.
-    * Output: (query_id, neighbor_id, cosine, rank). */
-  def topK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-           k: Int, nCells: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame = {
+  /** A built inverted-file index: the centroids (control data — kilobytes)
+    * plus the corpus assignment persisted partitioned by cell, so a probe
+    * is a partition-pruned read of `nProbe` directories, never a corpus
+    * scan. Build once, probe many — the asymmetry is the point of IVF. */
+  final case class Index(centroids: Seq[(Int, Seq[Double])], assignDir: String) {
+    def nCells: Int = centroids.size
+  }
+
+  /** Train centroids and persist the (neighbor_id, vec, norm, cell)
+    * assignment under `dir`, one partition directory per cell. The
+    * assignment projection is narrow (centroids are literals) — the only
+    * exchange is the per-cell repartition of the write, which also gives
+    * one file per cell directory. */
+  def buildIndex(corpus: DataFrame, idCol: String, vecCol: String, dir: String,
+                 nCells: Int = 16, iters: Int = 2): Index = {
     GraftFunctions.register(corpus.sparkSession)
-    val cents = centLit(trainCentroids(corpus, idCol, vecCol, nCells, iters))
-    // inverted file: narrow (id, vec, cell) assignment — no shuffle
-    val cells = corpus.select(col(idCol).as("neighbor_id"),
+    val cents = trainCentroids(corpus, idCol, vecCol, nCells, iters)
+    corpus.select(col(idCol).as("neighbor_id"),
         transform(col(vecCol), _.cast("double")).as("__cv"))
       .withColumn("__cn", sqrt(Similarity.dot(col("__cv"), col("__cv"))))
-      .withColumn("cell", nearestCell(col("__cv"), col("__cn"), cents))
+      .withColumn("cell", nearestCell(col("__cv"), col("__cn"), centLit(cents)))
       .drop("__cn")
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+      .parquet(dir)
+    Index(cents, dir)
+  }
 
-    // per query: rank centroid literals, explode the nProbe best probes
-    val probes = queries
+  /** ANN top-k against a built index: rank the centroid literals per query,
+    * read ONLY the probed cells' partitions, exact cosine within. The probed
+    * cell set is control data (≤ nCells ints), so the assignment read is
+    * statically partition-pruned before any join.
+    * Output: (query_id, neighbor_id, cosine, rank). */
+  def probe(index: Index, queries: DataFrame, idCol: String, vecCol: String,
+            k: Int, nProbe: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    GraftFunctions.register(spark)
+    val cents = centLit(index.centroids)
+
+    // per query: rank centroid literals, explode the nProbe best probes —
+    // cached (and registered for release) because the probed-cell collect
+    // below and the join both consume it
+    val probes = graft.ops.Caches.track(queries
       .select(col(idCol).as("query_id"), transform(col(vecCol), _.cast("double")).as("__qv"))
       .withColumn("__qn", sqrt(Similarity.dot(col("__qv"), col("__qv"))))
       .select(col("query_id"), col("__qv"),
         explode(slice(reverse(array_sort(
           cellScores(col("__qv"), col("__qn"), cents))), 1, nProbe)).as("__p"))
-      .select(col("query_id"), col("__qv"), col("__p").getField("cell").as("cell"))
+      .select(col("query_id"), col("__qv"), col("__p").getField("cell").as("cell")))
+
+    val probedCells: Seq[Int] =
+      probes.select(col("cell")).distinct().collect().map(_.getInt(0)).toSeq
+    val cells = spark.read.parquet(index.assignDir)
+      .filter(col("cell").isin(probedCells: _*))
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
@@ -129,5 +163,14 @@ object Ivf {
         Similarity.cosine(col("__qv"), col("__cv")).as("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+  }
+
+  /** One-shot convenience: build a throwaway index, then probe it. Use
+    * [[buildIndex]] + [[probe]] anywhere the index outlives one query. */
+  def topK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+           k: Int, nCells: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    probe(buildIndex(corpus, idCol, vecCol, dir, nCells, iters),
+      queries, idCol, vecCol, k, nProbe)
   }
 }

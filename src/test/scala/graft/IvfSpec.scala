@@ -30,4 +30,25 @@ class IvfSpec extends AnyFunSuite with SparkTestBase {
     // every query returns at most k rows
     assert(ivf.groupBy(_._1).forall(_._2.size <= 5))
   }
+
+  test("build once / probe twice: probes share the persisted index and prune to probed cells") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_spec").toString
+    val index = Ivf.buildIndex(emb, "vec_id", "embedding", dir, nCells = 16, iters = 2)
+    assert(index.nCells == 16)
+    // the persisted assignment has one directory per non-empty cell
+    val cellDirs = new java.io.File(dir).listFiles().filter(_.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty && cellDirs.length <= 16)
+
+    val q1 = emb.filter(col("vec_id") % 50 === 0)
+    val q2 = emb.filter(col("vec_id") % 50 === 1)
+    val r1 = Ivf.probe(index, q1, "vec_id", "embedding", k = 5, nProbe = 4)
+    val r2 = Ivf.probe(index, q2, "vec_id", "embedding", k = 5, nProbe = 4)
+    assert(r1.count() > 0 && r2.count() > 0)
+    // probe plans read the assignment with a partition filter on cell —
+    // never the corpus: the scan carries PartitionFilters over `cell`
+    val plan1 = r1.queryExecution.executedPlan.toString
+    assert(plan1.contains("PartitionFilters") && plan1.contains("cell"),
+      s"probe should partition-prune the assignment read:\n$plan1")
+    graft.ops.Caches.release()
+  }
 }
