@@ -1,7 +1,7 @@
 package graft
 
 import graft.core._
-import graft.dedup.DocDedup
+import graft.dedup.{Components, DocDedup}
 import graft.incr._
 import graft.multimodal.Multimodal
 import graft.ops._
@@ -447,6 +447,16 @@ object SparkEntry {
         threshold = 0.8, numHashes = 32, bands = 8, maxBucketSize = 10000)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
 
+    // Near-dup RESOLUTION: pairs → connected components (min-label
+    // propagation + pointer jumping, O(log n) joins) → keep the smallest
+    // doc_id per cluster. This is the query that actually drops documents.
+    "dedup_minhash_resolve" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = DocDedup.nearDupPairs(docs, "text", "doc_id",
+        threshold = 0.8, numHashes = 32, bands = 8, maxBucketSize = 10000)
+      Components.survivors(docs, "doc_id", pairs).select(col("doc_id"))
+    }),
+
     // SimHash hamming near-dup pairs (xxhash64-based — rows-only check)
     "dedup_simhash" -> ((s, dir) =>
       DocDedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id", maxDist = 3)),
@@ -685,6 +695,21 @@ object SparkEntry {
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
             WHERE len(list_intersect(a.s, b.s))::DOUBLE
               / len(list_distinct(list_concat(a.s, b.s))) >= 0.8""",
+      "dedup_minhash_resolve" ->
+        s"""WITH RECURSIVE sh AS (SELECT doc_id, $shingles AS s FROM documents),
+            p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                  WHERE len(list_intersect(a.s, b.s))::DOUBLE
+                    / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+            e AS (SELECT id_a AS src, id_b AS dst FROM p
+                  UNION SELECT id_b, id_a FROM p),
+            walk(id, reach) AS (
+              SELECT src, dst FROM e
+              UNION
+              SELECT w.id, e2.dst FROM walk w JOIN e e2 ON w.reach = e2.src),
+            lab AS (SELECT id, min(reach) AS m FROM walk GROUP BY id)
+            SELECT d.doc_id FROM documents d LEFT JOIN lab ON d.doc_id = lab.id
+            WHERE lab.id IS NULL OR lab.m >= d.doc_id""",
       "dedup_ngram_jaccard" ->
         s"""WITH sh AS (SELECT doc_id, $shingles AS s FROM documents
               WHERE doc_id % 3 = 0 AND doc_id < 1500)

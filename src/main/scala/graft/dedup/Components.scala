@@ -1,0 +1,103 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Near-dup RESOLUTION: candidate pairs → connected components → one
+  * survivor per cluster. [[DocDedup.nearDupPairs]] (and the SimHash /
+  * embedding variants) emit verified duplicate PAIRS; to actually drop
+  * documents the pairs must first be closed transitively (A near-dups B,
+  * B near-dups C ⇒ {A,B,C} is one cluster even when (A,C) fell under the
+  * threshold) and then each cluster reduced to a representative.
+  *
+  * Components by iterative min-label propagation in pure DataFrame algebra
+  * (no GraphX dependency, no RDDs):
+  *   - every node starts labeled with itself;
+  *   - each round takes the min label over direct neighbors (one join +
+  *     partial-aggregated groupBy on the edge set) AND the label of the
+  *     node's current label (pointer jumping — one self-join on the node
+  *     set). Neighbor propagation alone needs O(diameter) rounds; pointer
+  *     jumping halves label-chain depth each round, so together they
+  *     converge in O(log n) joins even on path-shaped clusters;
+  *   - convergence is detected with one cheap agg per round: labels only
+  *     ever decrease, so the sum of xxhash64(id, label) changes iff any
+  *     label moved (collision odds are astronomically small, and a
+  *     collision only costs one extra round, not correctness, because the
+  *     next round re-checks).
+  *
+  * Scale: the node set is the docs that appear in at least one near-dup
+  * pair — a small fraction of the corpus — and every shuffle here is over
+  * (id, label) pairs, never documents. Each round is localCheckpoint-
+  * truncated so chained rounds keep constant-size plans.
+  */
+object Components {
+
+  /** (id, cluster) for every node that appears in `pairs`; `cluster` is the
+    * smallest id in the node's connected component. */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIters: Int = 25): DataFrame = {
+    // undirected edge set, both directions (distinct: band dedup upstream
+    // usually already did this, but correctness must not depend on it)
+    val edges = pairs.select(col(aCol).as("__src"), col(bCol).as("__dst"))
+      .unionByName(pairs.select(col(bCol).as("__src"), col(aCol).as("__dst")))
+      .distinct()
+    graft.ops.Caches.track(edges)
+
+    // localCheckpoint (not cache) per round: the round plan references the
+    // previous labels frame three times (neighbor join + the jump
+    // self-join), so an uncheckpointed loop nests the logical plan 3× per
+    // round and Catalyst analysis alone goes exponential. Checkpointing
+    // truncates to the materialized RDD; blocks are reaped by the
+    // ContextCleaner once the driver GCs the handles (same pattern and
+    // caveat as IncrementalRun's batch truncation).
+    var labels = edges.select(col("__src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+    // decimal sum: ANSI mode would throw on long overflow of summed hashes
+    def fingerprint(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(xxhash64(col("id"), col("label")).cast("decimal(38,0)")))
+        .head.getDecimal(0)
+    var fp = fingerprint(labels)
+
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      // min label among direct neighbors
+      val viaNeighbors = edges
+        .join(labels, col("__dst") === col("id"))
+        .groupBy(col("__src").as("nid")).agg(min(col("label")).as("nlab"))
+        .select(col("nid"), col("nlab"))
+      // pointer jumping: the label of my label
+      val viaJump = labels.select(col("id").as("jid"), col("label").as("jkey"))
+        .join(labels.select(col("id").as("lid"), col("label").as("jlab")),
+          col("jkey") === col("lid"))
+        .select(col("jid"), col("jlab"))
+      val next = labels
+        .join(viaNeighbors, col("id") === col("nid"), "left")
+        .join(viaJump, col("id") === col("jid"), "left")
+        .select(col("id"),
+          least(col("label"), col("nlab"), col("jlab")).as("label"))
+        .localCheckpoint() // eager: materializes and truncates lineage
+      val nextFp = fingerprint(next)
+      converged = nextFp == fp
+      fp = nextFp
+      labels = next
+      iter += 1
+    }
+    labels.select(col("id"), col("label").as("cluster"))
+  }
+
+  /** Drop every non-representative member of each near-dup cluster: a doc
+    * survives iff it is in no pair (singleton) or is its cluster's smallest
+    * id. Keeps `docs`' full schema. */
+  def survivors(docs: DataFrame, idCol: String, pairs: DataFrame,
+                aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    // the component map is tiny next to the corpus (only docs with a
+    // near-dup appear), but data-dependent — AQE sees its runtime size at
+    // the join and picks broadcast when it fits
+    val cc = connectedComponents(pairs, aCol, bCol)
+      .select(col("id").as("__cc_id"), col("cluster").as("__cc_cluster"))
+    docs.join(cc, docs(idCol) === col("__cc_id"), "left")
+      .filter(col("__cc_id").isNull || col("__cc_cluster") === docs(idCol))
+      .drop("__cc_id", "__cc_cluster")
+  }
+}

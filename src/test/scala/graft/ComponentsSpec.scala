@@ -1,0 +1,53 @@
+package graft
+
+import graft.dedup.Components
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Connected components + survivor resolution over near-dup pair sets. */
+class ComponentsSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def pairs(ps: (Long, Long)*) = ps.toDF("id_a", "id_b")
+
+  private def cc(ps: (Long, Long)*): Map[Long, Long] =
+    Components.connectedComponents(pairs(ps: _*), "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+
+  test("clique, path and separate clusters all label to the component min") {
+    val labels = cc(
+      // clique {1,2,3}
+      (1L, 2L), (2L, 3L), (1L, 3L),
+      // separate pair {10, 11}
+      (11L, 10L),
+      // path 20-21-22-23-24 (transitivity: no direct 20-24 pair)
+      (20L, 21L), (21L, 22L), (22L, 23L), (23L, 24L))
+    assert(labels == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L, 24L -> 20L))
+    graft.ops.Caches.release()
+  }
+
+  test("a long path converges within the O(log n) round budget") {
+    // path of 40 nodes: diameter 39 — pure neighbor propagation would need
+    // ~39 rounds; pointer jumping must close it within the default 25
+    val ps = (0L until 39L).map(i => (i, i + 1))
+    val labels = cc(ps: _*)
+    assert(labels.size == 40 && labels.values.forall(_ == 0L))
+    graft.ops.Caches.release()
+  }
+
+  test("survivors keep singletons and the smallest id per cluster, full schema") {
+    val docs = Seq(
+      (1L, "a"), (2L, "a'"), (3L, "a''"), // cluster -> keep 1
+      (7L, "unique"),                     // singleton -> keep
+      (10L, "b"), (11L, "b'")             // cluster -> keep 10
+    ).toDF("doc_id", "text")
+    val out = Components.survivors(docs, "doc_id",
+      pairs((1L, 2L), (2L, 3L), (10L, 11L)))
+    assert(out.columns.toSeq == Seq("doc_id", "text"))
+    assert(out.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 7L, 10L))
+    graft.ops.Caches.release()
+  }
+}
