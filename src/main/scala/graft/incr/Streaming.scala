@@ -1,8 +1,14 @@
 package graft.incr
 
 import graft.core.Pipeline
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** A failed notification awaiting retry — the reference's FailedNotification
+  * (processor.py:37-44): `retries` counts retry attempts used so far and
+  * `firstFailedAtMs` anchors the backoff gates (the reference keeps the
+  * original processed_at across retries, processor.py:273-280). */
+final case class FailedChange(change: Change, retries: Int, firstFailedAtMs: Long)
 
 /** A2/A23 — the orchestrator as a Structured Streaming query.
   *
@@ -14,48 +20,107 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * trigger is `-f`. The single-writer lease (A19, listeners.py:56-153) is
   * subsumed by Spark's one-driver-per-checkpoint-dir model.
   *
-  * A18 retry: the reference retries a failed notification after 0.25 s and
-  * 1.5 s, then drops it (processor.py:261-304). Here a failed batch is
-  * retried `maxRetries` times; a batch that keeps failing is appended to a
-  * dead-letter log and skipped — same at-most-n-attempts semantics, but per
-  * batch (Spark already retries individual tasks via `spark.task.maxFailures`).
+  * A18 retry parity (processor.py:261-304): failures are tracked PER
+  * NOTIFICATION, never per batch — one poison record must not poison its
+  * siblings. A batch that fails is bisected: halves are applied
+  * independently (sorted by seq, so per-id ordering is preserved across
+  * sub-batches) until the failing records are isolated in O(f·log n)
+  * sub-batch attempts. A failed record is retried on a LATER batch once its
+  * backoff gate opens — no sooner than 0.25 s after its first failure, then
+  * no sooner than 1.5 s — and after the second retry fails it is dropped to
+  * the dead-letter log, exactly the reference's attempt schedule. A record
+  * that succeeds on retry clears its failure entry (_report_success,
+  * processor.py:255-259). The clock is injectable so specs can drive the
+  * gates without sleeping.
   */
 final class StreamingEngine(
     pipeline: Pipeline,
     sources: IncrementalRun.Sources,
     @volatile private var state: MrState,
     maxRetries: Int = 2,
-    store: Option[ParquetStateStore] = None) {
+    store: Option[ParquetStateStore] = None,
+    clock: () => Long = () => System.currentTimeMillis()) {
 
-  @volatile private var deadLetterBatches: List[(Long, Array[Change])] = Nil
+  /** Backoff before retry n+1 (ms since FIRST failure) — processor.py:287-291. */
+  private val backoffMs = Seq(250L, 1500L)
+
+  @volatile private var pendingRetries: Map[(String, String, Long), FailedChange] = Map.empty
+  @volatile private var deadLetterChanges: List[Change] = Nil
   @volatile private var batchClock: Long = 0L
 
   def currentState: MrState = state
-  def deadLetters: List[(Long, Array[Change])] = deadLetterBatches
+  def deadLetters: List[Change] = deadLetterChanges
+  def pending: Seq[FailedChange] = pendingRetries.values.toSeq
+
+  private def key(c: Change): (String, String, Long) =
+    (c.resourceType, c.resourceId, c.seq)
+
+  private def session: SparkSession = state.tables.head._2.sparkSession
 
   /** Run one micro-batch (the `foreachBatch` body). Visible for batch tests. */
-  def processBatch(changes: Dataset[Change], batchId: Long): Unit = {
-    var attempt = 0
-    var done = false
-    while (!done) {
-      try {
-        batchClock += 1
-        // applyChanges already truncates the lineage of every table it
-        // rewrote (eager localCheckpoint = this batch's sink write);
-        // re-checkpointing the whole state here would copy untouched tables.
-        state = IncrementalRun.applyChanges(
-          pipeline, sources, state, changes, batchTimestampNs = batchClock)
-        store.foreach(_.save(state, batchId)) // durable snapshot + manifest swap
-        done = true
-      } catch {
-        case e: Exception if attempt < maxRetries =>
-          attempt += 1 // reference backoff 0.25s/1.5s collapses to immediate re-run locally
-        case _: Exception =>
-          deadLetterBatches ::= (batchId, changes.collect())
-          done = true
+  def processBatch(changes: Dataset[Change], batchId: Long): Unit =
+    processBatch(changes.collect().toSeq, batchId)
+
+  /** Same, batch already local. Due retries ride along with the incoming
+    * changes; an empty incoming batch still drains due retries (the
+    * reference's idle poll). */
+  def processBatch(changes: Seq[Change], batchId: Long): Unit = {
+    val now = clock()
+    val due = pendingRetries.values.filter { f =>
+      now - f.firstFailedAtMs >= backoffMs(math.min(f.retries, backoffMs.size - 1))
+    }.toSeq
+    val work = (due.map(_.change) ++ changes).distinct.sortBy(_.seq)
+    if (work.isEmpty) return
+
+    batchClock += 1
+    val failed = applyIsolating(work)
+
+    val failedKeys = failed.map(key).toSet
+    val workKeys = work.map(key).toSet
+    // successes clear their failure entries (_report_success)
+    pendingRetries = pendingRetries.filter { case (k, _) =>
+      !workKeys.contains(k) || failedKeys.contains(k)
+    }
+    for (c <- failed) {
+      pendingRetries.get(key(c)) match {
+        case None =>
+          pendingRetries += key(c) -> FailedChange(c, retries = 0, firstFailedAtMs = now)
+        case Some(f) if due.exists(d => key(d.change) == key(c)) =>
+          // a due retry failed: use up one retry, or drop after the last
+          if (f.retries + 1 >= maxRetries) {
+            pendingRetries -= key(c)
+            deadLetterChanges ::= c
+          } else
+            pendingRetries += key(c) -> f.copy(retries = f.retries + 1)
+        case Some(_) => // failed again before its gate opened — unchanged
       }
     }
+    // durable snapshot once per batch, covering whatever applied
+    store.foreach(_.save(state, batchId))
   }
+
+  /** Apply `work`, bisecting on failure so only the genuinely failing
+    * records are reported. Returns the failed records. */
+  private def applyIsolating(work: Seq[Change]): Seq[Change] =
+    if (work.isEmpty) Nil
+    else {
+      val ok =
+        try {
+          val s = session
+          import s.implicits._
+          // applyChanges already truncates the lineage of every table it
+          // rewrote (eager localCheckpoint = this batch's sink write)
+          state = IncrementalRun.applyChanges(
+            pipeline, sources, state, work.toDS(), batchTimestampNs = batchClock)
+          true
+        } catch { case _: Exception => false }
+      if (ok) Nil
+      else if (work.size == 1) work
+      else {
+        val (l, r) = work.splitAt(work.size / 2)
+        applyIsolating(l) ++ applyIsolating(r)
+      }
+    }
 
   /** Start the engine on a change stream. `availableNow=true` = the worker's
     * drain-then-exit mode; false = forever mode with a short poll trigger. */

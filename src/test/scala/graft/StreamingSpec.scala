@@ -42,27 +42,75 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(reduced(engine.currentState) == Map("k1" -> 4.0, "k2" -> 10.0))
   }
 
-  test("A18: failing batch retries then dead-letters; engine keeps running") {
-    var failures = 0
-    val data = Seq(("a", "k1", 1.0)).toDF("id", "k", "v")
-    val sources: IncrementalRun.Sources = { name =>
-      if (name == "src" && failures > 0) { failures -= 1; sys.error("transient store error") }
-      data
-    }
-    val engine = new StreamingEngine(pipeline, _ => data,
-      IncrementalRun.recompute(pipeline, _ => data).checkpointed, maxRetries = 2)
+  /** A map fn that poisons rows with negative v — failure fires at
+    * evaluation time, so only batches touching a poison row fail. */
+  private val poisonPipeline = Pipeline(
+    maps = Seq(MapSpec("src", "m", 1, idCol = "id",
+      fn = df => df.select(col("k").as(Key),
+        when(col("v") < 0, raise_error(lit("poison record")))
+          .otherwise(col("v")).as(Value),
+        col("id")))),
+    reduces = Seq(ReduceSpec("m", "r", 1, ExprReduce(sum))))
 
-    // transient failure: 2 failures < maxRetries+1 attempts → succeeds
-    failures = 2
-    val e2 = new StreamingEngine(pipeline, sources,
-      IncrementalRun.recompute(pipeline, _ => data).checkpointed, maxRetries = 2)
-    e2.processBatch(Seq(Change(1, Change.Updated, "src", "a")).toDS(), batchId = 0)
-    assert(e2.deadLetters.isEmpty)
+  test("A18: a poison record dead-letters alone on the 0.25/1.5s schedule; siblings apply") {
+    @volatile var now = 0L
+    var data = Seq(("a", "k1", 1.0), ("b", "k2", 2.0), ("p", "k3", 5.0)).toDF("id", "k", "v")
+    val sources: IncrementalRun.Sources = _ => data
+    val engine = new StreamingEngine(poisonPipeline, sources,
+      IncrementalRun.recompute(poisonPipeline, sources).checkpointed,
+      maxRetries = 2, clock = () => now)
 
-    // persistent failure: exhausts retries → dead-letter, no throw
-    failures = 1000
-    e2.processBatch(Seq(Change(2, Change.Updated, "src", "a")).toDS(), batchId = 1)
-    assert(e2.deadLetters.map(_._1) == List(1L))
+    // batch of 3 changes, 1 poison: the 2 good records must apply
+    data = Seq(("a", "k1", 10.0), ("b", "k2", 20.0), ("p", "k3", -1.0)).toDF("id", "k", "v")
+    engine.processBatch(Seq(
+      Change(1, Change.Updated, "src", "a"),
+      Change(2, Change.Updated, "src", "b"),
+      Change(3, Change.Updated, "src", "p")), batchId = 0)
+    assert(reduced(engine.currentState) == Map("k1" -> 10.0, "k2" -> 20.0, "k3" -> 5.0),
+      "good siblings apply; the poison record's old output stays")
+    assert(engine.pending.map(_.change.resourceId) == Seq("p"))
     assert(engine.deadLetters.isEmpty)
+
+    // before the 0.25s gate the failure is not retried
+    now = 100
+    engine.processBatch(Seq.empty, batchId = 1)
+    assert(engine.pending.head.retries == 0)
+
+    // first retry at >=0.25s fails -> one retry used
+    now = 300
+    engine.processBatch(Seq.empty, batchId = 2)
+    assert(engine.pending.head.retries == 1 && engine.deadLetters.isEmpty)
+
+    // second gate is 1.5s from the FIRST failure, not from the last retry
+    now = 1000
+    engine.processBatch(Seq.empty, batchId = 3)
+    assert(engine.pending.head.retries == 1)
+
+    // second retry fails -> dropped to the dead-letter log
+    now = 1600
+    engine.processBatch(Seq.empty, batchId = 4)
+    assert(engine.pending.isEmpty)
+    assert(engine.deadLetters.map(_.resourceId) == List("p"))
+    assert(reduced(engine.currentState) == Map("k1" -> 10.0, "k2" -> 20.0, "k3" -> 5.0))
+  }
+
+  test("A18: a record that heals before its retry clears its failure entry") {
+    @volatile var now = 0L
+    var data = Seq(("p", "k1", -1.0)).toDF("id", "k", "v")
+    val sources: IncrementalRun.Sources = _ => data
+    val engine = new StreamingEngine(poisonPipeline, sources,
+      IncrementalRun.recompute(poisonPipeline, _ =>
+        Seq(("p", "k1", 1.0)).toDF("id", "k", "v")).checkpointed,
+      maxRetries = 2, clock = () => now)
+
+    engine.processBatch(Seq(Change(1, Change.Updated, "src", "p")), batchId = 0)
+    assert(engine.pending.size == 1)
+
+    // the source row heals; the due retry applies and clears the entry
+    data = Seq(("p", "k1", 7.0)).toDF("id", "k", "v")
+    now = 300
+    engine.processBatch(Seq.empty, batchId = 1)
+    assert(engine.pending.isEmpty && engine.deadLetters.isEmpty)
+    assert(reduced(engine.currentState) == Map("k1" -> 7.0))
   }
 }
