@@ -321,9 +321,47 @@ object SparkEntry {
         .select(col(Key), round(col(Value), 2).as("sum_value"))
     }),
 
+    // A15 version barrier: a key whose live map rows span handler versions
+    // keeps its OLD reduce output (processor.py:173-177). Deterministic
+    // mixed-version state from orders parity: rows of %97 orderkeys sit at
+    // map version 1 with the v1 value (-1.0), rows of %100 orderkeys carry a
+    // stale snapshot value (0.0), everything else is current v2. The batch
+    // re-maps the %100 ids at v2; keys still holding an untouched %97 row
+    // are postponed, keys without one recompute to the current sum.
+    "a15_version_barrier" -> ((s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+      val v2 = MapSpec("orders", "orders_map", 2, idCol = "o_orderkey",
+        fn = MapFns.item("o_custkey", Some("o_totalprice"), idCol = "o_orderkey"))
+      val pipeline = Pipeline(maps = Seq(v2),
+        reduces = Seq(ReduceSpec("orders_map", "orders_sum", 1, ExprReduce(sum))))
+      val key = col(SourceId).cast("long")
+      val oldMap = MapOp(v2, orders)
+        .withColumn(Value,
+          when(key % 97 === 0, lit(-1.0))
+            .when(key % 100 === 0, lit(0.0))
+            .otherwise(col(Value)))
+        .withColumn(MrSchema.Version, when(key % 97 === 0, lit(1)).otherwise(lit(2)))
+      val st0 = MrState(Map(
+        "orders_map" -> oldMap,
+        "orders_sum" -> ReduceOp(pipeline.reduces.head, oldMap)))
+      val changes = ordersBatch(s, dir, 100, Change.Updated).toDS()
+      IncrementalRun.applyChanges(pipeline, sources(s, dir), st0, changes, 1L)("orders_sum")
+        .select(col(Key), round(col(Value), 2).as("sum_value"))
+    }),
+
     // B1: case-insensitive exact
     "b1_exact_ci" -> ((s, dir) =>
       QvarnSearch(t(s, dir, "part"), "p_partkey").exact("p_brand", "brand#13").result()),
+
+    // B11: exactly-one semantics — searchOne() enforces the contract
+    // (throws on zero or several matches); the same single row is returned
+    // as a DataFrame for the oracle compare
+    "b11_search_one" -> ((s, dir) => {
+      val q = QvarnSearch(t(s, dir, "part"), "p_partkey").exact("p_partkey", "142")
+      q.searchOne()
+      q.result()
+    }),
 
     // B2: ne (case-folded)
     "b2_ne" -> ((s, dir) =>
@@ -673,8 +711,22 @@ object SparkEntry {
                 WHERE o.o_custkey = c.c_custkey) AS k
              FROM customer c)
            ORDER BY k ASC NULLS FIRST, c_custkey LIMIT 25""",
+      "b11_search_one" ->
+        "SELECT * FROM part WHERE p_partkey = 142",
       "b12_multiget" ->
         "SELECT * FROM part WHERE p_partkey IN (1, 2, 42, 77, 1999)",
+      "a15_version_barrier" ->
+        """SELECT CAST(o_custkey AS VARCHAR) AS _mr_key,
+           round(CASE
+             WHEN max(CASE WHEN o_orderkey % 100 = 0 THEN 1 ELSE 0 END) = 1
+              AND max(CASE WHEN o_orderkey % 97 = 0 AND o_orderkey % 100 <> 0
+                      THEN 1 ELSE 0 END) = 0
+             THEN sum(o_totalprice)
+             ELSE sum(CASE WHEN o_orderkey % 97 = 0 THEN -1.0
+                           WHEN o_orderkey % 100 = 0 THEN 0.0
+                           ELSE o_totalprice END)
+           END, 2) AS sum_value
+           FROM orders GROUP BY o_custkey""",
       "events_hourly" ->
         """SELECT CAST(epoch_ns(ts) // 3600000000000 * 3600 AS BIGINT) AS hour,
            event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
