@@ -495,9 +495,13 @@ object SparkEntry {
       Components.survivors(docs, "doc_id", pairs).select(col("doc_id"))
     }),
 
-    // SimHash hamming near-dup pairs (xxhash64-based — rows-only check)
+    // SimHash hamming near-dup pairs. The md5-nibble signature variant is
+    // bit-for-bit reproducible in DuckDB, so the whole pipeline (signature
+    // → chunk blocking → hamming verify) is hash-checked by the oracle;
+    // the xxhash64 kernel variant is the throughput path (DedupSimSpec).
     "dedup_simhash" -> ((s, dir) =>
-      DocDedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id", maxDist = 3)),
+      DocDedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id", maxDist = 3,
+        sigFn = DocDedup.simhashMd5)),
 
     // Exact n-gram Jaccard on a subsample (the all-pairs baseline)
     "dedup_ngram_jaccard" -> ((s, dir) => {
@@ -594,8 +598,8 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"),
         TextFunctions.rollingHash(col("text")).as("rhash"))),
 
-    // BPE-ish subword token count (Java-regex lookarounds — rows-only: RE2
-    // in the oracle engine cannot express them)
+    // BPE-ish subword token count (RE2-safe pattern — the oracle runs the
+    // same regex verbatim)
     "text_subword_count" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         size(TextFunctions.subwordTokens(col("text"))).cast("long").as("n_subwords"))),
@@ -791,6 +795,27 @@ object SparkEntry {
            FROM e a JOIN e b ON a.vec_id < b.vec_id
            WHERE list_dot_product(a.v, b.v)
              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.45""",
+      "text_subword_count" ->
+        raw"""SELECT doc_id, CAST(len(regexp_extract_all(lower(trim(text)),
+             '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]')) AS BIGINT) AS n_subwords
+             FROM documents""",
+      "dedup_simhash" ->
+        raw"""WITH hs AS (SELECT doc_id,
+                list_transform(string_split_regex(trim(lower(text)), '\s+'),
+                               t -> md5(t)) AS hl
+              FROM documents),
+            sg AS (SELECT doc_id,
+                list_transform(range(64), j -> CASE WHEN 2 * len(list_filter(hl,
+                    h -> ((strpos('0123456789abcdef', substr(h, (j // 4) + 1, 1)) - 1)
+                          >> (3 - (j % 4))) & 1 = 1))
+                  > len(hl) THEN 1 ELSE 0 END) AS bits
+              FROM hs)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              CAST(len(list_filter(range(64),
+                j -> a.bits[j + 1] != b.bits[j + 1])) AS INTEGER) AS hamming
+            FROM sg a JOIN sg b ON a.doc_id < b.doc_id
+            WHERE len(list_filter(range(64),
+              j -> a.bits[j + 1] != b.bits[j + 1])) <= 3""",
       "text_stats" ->
         s"""SELECT doc_id,
             CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($toks) END::BIGINT AS n_tokens,

@@ -198,6 +198,27 @@ object DocDedup {
       lit(0L), (acc, b) => acc.bitwiseOR(b))
   }
 
+  /** Cross-engine SimHash: per-token bits come from the token's md5 hex
+    * nibbles instead of xxhash64, so any engine with md5 reproduces the
+    * signature bit-for-bit (the DuckDB oracle does — xxhash64 exists only
+    * here). Bit j (0..63, MSB-first) of a token = bit (3 - j%4) of nibble
+    * j/4 of md5(token); signature bit j = strict majority of ones across
+    * tokens. The xxhash64 kernel ([[simhash]]) remains the throughput
+    * path; use this where results must be re-derivable outside Spark. */
+  def simhashMd5(text: Column): Column = {
+    val hexes = transform(TextFunctions.tokens(text), t => md5(t))
+    val bitsOf = (hex: Column) =>
+      flatten(transform(sequence(lit(0), lit(15)), i => {
+        val nib = conv(hex.substr(i + 1, lit(1)), 16, 10).cast("int")
+        array((3 to 0 by -1).map(b => shiftright(nib, b).bitwiseAND(lit(1))): _*)
+      }))
+    val counts = aggregate(hexes, array_repeat(lit(0), 64),
+      (acc, h) => zip_with(acc, bitsOf(h), (a, b) => a + b))
+    val n = size(hexes)
+    val bits = transform(counts, c => when(c * 2 > n, lit(1L)).otherwise(lit(0L)))
+    aggregate(bits, lit(0L), (acc, b) => shiftleft(acc, 1).bitwiseOR(b))
+  }
+
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
@@ -211,9 +232,10 @@ object DocDedup {
     * [[nearDupPairs]]: a pair inside a dropped bucket survives only via one
     * of its other three chunks. */
   def simhashPairs(docs: DataFrame, textCol: String, idCol: String, maxDist: Int = 3,
-                   maxBucketSize: Int = 10000): DataFrame = {
+                   maxBucketSize: Int = 10000,
+                   sigFn: Column => Column = simhash): DataFrame = {
     val sig = graft.ops.Par.ensure(docs.select(col(idCol).as("__id"), col(textCol)))
-      .select(col("__id"), simhash(col(textCol)).as("__sh"))
+      .select(col("__id"), sigFn(col(textCol)).as("__sh"))
     val chunked0 = sig.select(col("__id"), col("__sh"),
       explode(array((0 until 4).map { c =>
         struct(lit(c).as("chunk"),

@@ -17,10 +17,14 @@ object TextFunctions {
   def tokens(text: Column): Column =
     split(lower(trim(text)), "\\s+")
 
-  /** BPE-ish subword split: word boundaries plus digit/letter transitions —
-    * a cheap deterministic proxy for a real tokenizer's token count. */
+  /** BPE-ish subword split: letter runs, digit runs, and each remaining
+    * non-space symbol — a cheap deterministic proxy for a real tokenizer's
+    * token count. Deliberately RE2-safe (no lookarounds): the same pattern
+    * runs verbatim in engines like DuckDB, so the count is oracle-checkable
+    * end to end. */
   def subwordTokens(text: Column): Column =
-    split(lower(trim(text)), "\\s+|(?<=\\d)(?=\\p{L})|(?<=\\p{L})(?=\\d)|(?=[\\p{Punct}])")
+    regexp_extract_all(lower(trim(text)),
+      lit("""\p{L}+|\p{N}+|[^\p{L}\p{N}\s]"""), lit(0))
 
   def tokenCount(text: Column): Column =
     when(length(trim(text)) === 0, lit(0)).otherwise(size(tokens(text)))
