@@ -323,14 +323,16 @@ object SparkEntry {
 
     // A15 version barrier: a key whose live map rows span handler versions
     // keeps its OLD reduce output (processor.py:173-177). Deterministic
-    // mixed-version state from orders parity: rows of %97 orderkeys sit at
-    // map version 1 with the v1 value (-1.0), rows of %100 orderkeys carry a
-    // stale snapshot value (0.0), everything else is current v2. The batch
-    // re-maps the %100 ids at v2; keys still holding an untouched %97 row
-    // are postponed, keys without one recompute to the current sum.
+    // mixed-version state over the %4 orders subset: rows of %36 orderkeys
+    // sit at map version 1 with the v1 value (-1.0), rows of %100 orderkeys
+    // carry a stale snapshot value (0.0), everything else is current v2.
+    // The batch re-maps the %100 ids at v2; keys still holding an untouched
+    // %36 row are postponed, keys without one recompute to the current sum
+    // — both branches populated at every scale factor.
     "a15_version_barrier" -> ((s, dir) => {
       import s.implicits._
-      val orders = t(s, dir, "orders")
+      val orders = t(s, dir, "orders").filter(col("o_orderkey") % 4 === 0)
+      val srcs: IncrementalRun.Sources = { case "orders" => orders }
       val v2 = MapSpec("orders", "orders_map", 2, idCol = "o_orderkey",
         fn = MapFns.item("o_custkey", Some("o_totalprice"), idCol = "o_orderkey"))
       val pipeline = Pipeline(maps = Seq(v2),
@@ -338,15 +340,15 @@ object SparkEntry {
       val key = col(SourceId).cast("long")
       val oldMap = MapOp(v2, orders)
         .withColumn(Value,
-          when(key % 97 === 0, lit(-1.0))
+          when(key % 36 === 0, lit(-1.0))
             .when(key % 100 === 0, lit(0.0))
             .otherwise(col(Value)))
-        .withColumn(MrSchema.Version, when(key % 97 === 0, lit(1)).otherwise(lit(2)))
+        .withColumn(MrSchema.Version, when(key % 36 === 0, lit(1)).otherwise(lit(2)))
       val st0 = MrState(Map(
         "orders_map" -> oldMap,
         "orders_sum" -> ReduceOp(pipeline.reduces.head, oldMap)))
       val changes = ordersBatch(s, dir, 100, Change.Updated).toDS()
-      IncrementalRun.applyChanges(pipeline, sources(s, dir), st0, changes, 1L)("orders_sum")
+      IncrementalRun.applyChanges(pipeline, srcs, st0, changes, 1L)("orders_sum")
         .select(col(Key), round(col(Value), 2).as("sum_value"))
     }),
 
@@ -723,14 +725,14 @@ object SparkEntry {
         """SELECT CAST(o_custkey AS VARCHAR) AS _mr_key,
            round(CASE
              WHEN max(CASE WHEN o_orderkey % 100 = 0 THEN 1 ELSE 0 END) = 1
-              AND max(CASE WHEN o_orderkey % 97 = 0 AND o_orderkey % 100 <> 0
+              AND max(CASE WHEN o_orderkey % 36 = 0 AND o_orderkey % 100 <> 0
                       THEN 1 ELSE 0 END) = 0
              THEN sum(o_totalprice)
-             ELSE sum(CASE WHEN o_orderkey % 97 = 0 THEN -1.0
+             ELSE sum(CASE WHEN o_orderkey % 36 = 0 THEN -1.0
                            WHEN o_orderkey % 100 = 0 THEN 0.0
                            ELSE o_totalprice END)
            END, 2) AS sum_value
-           FROM orders GROUP BY o_custkey""",
+           FROM orders WHERE o_orderkey % 4 = 0 GROUP BY o_custkey""",
       "events_hourly" ->
         """SELECT CAST(epoch_ns(ts) // 3600000000000 * 3600 AS BIGINT) AS hour,
            event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value

@@ -43,6 +43,19 @@ object Components {
       .distinct()
     graft.ops.Caches.track(edges)
 
+    val spark = pairs.sparkSession
+    // tiny-data loop: every round shuffles (id, label) pairs of the
+    // near-dup node set — AQE's per-stage job splitting and the session's
+    // shuffle width only add fixed overhead here (same rationale and
+    // restore discipline as BucketedRun's batch body)
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val shufKey = "spark.sql.shuffle.partitions"
+    val aqePrev = spark.conf.get(aqeKey, "true")
+    val shufPrev = spark.conf.get(shufKey)
+    spark.conf.set(aqeKey, "false")
+    spark.conf.set(shufKey, "8")
+    try {
+
     // localCheckpoint (not cache) per round: the round plan references the
     // previous labels frame three times (neighbor join + the jump
     // self-join), so an uncheckpointed loop nests the logical plan 3× per
@@ -50,8 +63,13 @@ object Components {
     // truncates to the materialized RDD; blocks are reaped by the
     // ContextCleaner once the driver GCs the handles (same pattern and
     // caveat as IncrementalRun's batch truncation).
-    var labels = edges.select(col("__src").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint()
+    // Init label = min(id, min neighbor) — one aggregation that already
+    // converges star- and clique-shaped clusters (the common near-dup
+    // shapes), leaving the loop one confirming round.
+    var labels = edges.groupBy(col("__src").as("id"))
+      .agg(min(col("__dst")).as("__m"))
+      .select(col("id"), least(col("id"), col("__m")).as("label"))
+      .localCheckpoint()
     // decimal sum: ANSI mode would throw on long overflow of summed hashes
     def fingerprint(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(xxhash64(col("id"), col("label")).cast("decimal(38,0)")))
@@ -84,6 +102,10 @@ object Components {
       iter += 1
     }
     labels.select(col("id"), col("label").as("cluster"))
+    } finally {
+      spark.conf.set(aqeKey, aqePrev)
+      spark.conf.set(shufKey, shufPrev)
+    }
   }
 
   /** Drop every non-representative member of each near-dup cluster: a doc
