@@ -26,6 +26,23 @@ object RangeAgg extends org.apache.spark.sql.expressions.Aggregator[Double, (Dou
   def outputEncoder = org.apache.spark.sql.Encoders.scalaDouble
 }
 
+/** Example whole-row reduce fold: struct-valued stats over each key's live
+  * map rows (sum, count, lexicographic max of provenance id). The reference
+  * hands reduce callables the unrestricted value list (func.py:34-43) —
+  * this is that surface without [[TypedReduce]]'s scalar narrowing. */
+object RowStatsAgg extends org.apache.spark.sql.expressions.Aggregator[
+    org.apache.spark.sql.Row, (Double, Long, String), (Double, Long, String)] {
+  def zero: (Double, Long, String) = (0.0, 0L, "")
+  def reduce(b: (Double, Long, String), r: org.apache.spark.sql.Row): (Double, Long, String) =
+    (b._1 + r.getAs[Double](MrSchema.Value), b._2 + 1L,
+      Seq(b._3, r.getAs[String](MrSchema.SourceId)).max)
+  def merge(x: (Double, Long, String), y: (Double, Long, String)): (Double, Long, String) =
+    (x._1 + y._1, x._2 + y._2, Seq(x._3, y._3).max)
+  def finish(b: (Double, Long, String)): (Double, Long, String) = b
+  def bufferEncoder = org.apache.spark.sql.Encoders.product[(Double, Long, String)]
+  def outputEncoder = org.apache.spark.sql.Encoders.product[(Double, Long, String)]
+}
+
 /** Driver contract: one `queries` entry (+ DuckDB `oracleSql` where the
   * semantics are ANSI-SQL-expressible) per operator of SURVEY.md §2, plus
   * the training-data-pipeline extensions (dedup / similarity / text /
@@ -154,6 +171,20 @@ object SparkEntry {
         reduces = Seq(ReduceSpec("orders_map", "orders_range", 1, TypedReduce(RangeAgg))))
       IncrementalRun.recompute(p, sources(s, dir))("orders_range")
         .select(col(Key), col(Value).as("range_value"))
+    }),
+
+    // A6 whole-row user fold: struct-valued stats per key (RowReduce) — the
+    // reduce callable sees full rows, not a narrowed scalar
+    "a6_row_reduce" -> ((s, dir) => {
+      val p = Pipeline(
+        maps = Seq(MapSpec("orders", "orders_map", 1, idCol = "o_orderkey",
+          fn = MapFns.item("o_custkey", Some("o_totalprice"), idCol = "o_orderkey"))),
+        reduces = Seq(ReduceSpec("orders_map", "orders_stats", 1, RowReduce(RowStatsAgg))))
+      IncrementalRun.recompute(p, sources(s, dir))("orders_stats")
+        .select(col(Key),
+          round(col(Value)("_1"), 2).as("sum_value"),
+          col(Value)("_2").as("cnt"),
+          col(Value)("_3").as("max_source_id"))
     }),
 
     // Skew-resistant two-stage (salted) aggregation: 3-value hot key over
@@ -647,6 +678,11 @@ object SparkEntry {
       "a6_typed_range" ->
         """SELECT CAST(o_custkey AS VARCHAR) AS _mr_key,
            max(o_totalprice) - min(o_totalprice) AS range_value FROM orders GROUP BY 1""",
+      "a6_row_reduce" ->
+        """SELECT CAST(o_custkey AS VARCHAR) AS _mr_key,
+           round(sum(o_totalprice), 2) AS sum_value, count(*) AS cnt,
+           max(CAST(o_orderkey AS VARCHAR)) AS max_source_id
+           FROM orders GROUP BY 1""",
       "salted_skew_agg" ->
         """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty
            FROM lineitem GROUP BY 1, 2""",

@@ -57,6 +57,17 @@ case object CountReduce extends ReduceFn
 final case class TypedReduce(agg: org.apache.spark.sql.expressions.Aggregator[Double, _, Double])
     extends ReduceFn
 
+/** User-defined fold over the WHOLE map row — the reference's reduce
+  * handlers receive each mapped value unrestricted, including dict-shaped
+  * ones (func.py:34-43; processor.py:209-213 hands over the value list).
+  * [[TypedReduce]] narrows to scalar doubles; this variant hands the
+  * `Aggregator` every live row as a `Row` (all table columns, accessible
+  * by name), and its output type becomes `_mr_value`'s type — structs
+  * included. Compiles into the same partial-agg + one-shuffle plan. */
+final case class RowReduce(
+    agg: org.apache.spark.sql.expressions.Aggregator[org.apache.spark.sql.Row, _, _])
+    extends ReduceFn
+
 final case class ReduceSpec(
     source: String, // must be a map target
     target: String,

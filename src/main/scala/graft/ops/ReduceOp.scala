@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.core.{CountReduce, ExprReduce, JoinReduce, MrSchema, ReduceSpec, TypedReduce}
+import graft.core.{CountReduce, ExprReduce, JoinReduce, MrSchema, ReduceSpec, RowReduce, TypedReduce}
 import org.apache.spark.sql.{DataFrame, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
@@ -30,6 +30,13 @@ object ReduceOp {
       case TypedReduce(a) =>
         val f = udaf(a.asInstanceOf[Aggregator[Double, Any, Double]], Encoders.scalaDouble)
         live.groupBy(col(Key)).agg(f(col(Value).cast("double")).as(Value))
+      case RowReduce(a) =>
+        // the fold sees the whole live row (schema-carrying Row) — no value
+        // narrowing; its output type becomes the Value column's type. The
+        // Row-encoded UDAF takes one argument per table column.
+        val f = udaf(a.asInstanceOf[Aggregator[org.apache.spark.sql.Row, Any, Any]],
+          Encoders.row(live.schema))
+        live.groupBy(col(Key)).agg(f(live.columns.map(col): _*).as(Value))
       case JoinReduce(mapping, orderBy) =>
         // Same-key multi-source merge: for each mapped (sourceType, field),
         // take that field from the winning row of that source type.

@@ -108,6 +108,32 @@ class BucketedIncrSpec extends AnyFunSuite with SparkTestBase {
     assert(reduced(store).get("key7").contains(107.0))
   }
 
+  test("steady-state update batch does not rewrite the unchanged index") {
+    val store = newStore()
+    var data = srcDf(("a", "k1", 1.0), ("b", "k2", 2.0))
+    val sources: IncrementalRun.Sources = _ => data
+    BucketedRun.initialize(pipeline, sources, store)
+    val idxBefore = store.bucketPaths(BucketedRun.indexName("m"))
+
+    // same id, same key, new VALUE: the map and reduce tables change but
+    // every (type, id, key) index triple is identical — no index staging
+    data = srcDf(("a", "k1", 9.0), ("b", "k2", 2.0))
+    val report = BucketedRun.applyChanges(pipeline, sources, store,
+      changes((1, Change.Updated, "a")), 1L, batchId = 1)
+    assert(!report.staged.contains(BucketedRun.indexName("m")),
+      s"unchanged index must not be staged: ${report.staged.keySet}")
+    assert(store.bucketPaths(BucketedRun.indexName("m")) == idxBefore)
+    assert(report.staged.keySet == Set("m", "r"))
+    assert(reduced(store) == Map("k1" -> 9.0, "k2" -> 2.0))
+
+    // a key-changing update DOES stage the index
+    data = srcDf(("a", "k9", 9.0), ("b", "k2", 2.0))
+    val r2 = BucketedRun.applyChanges(pipeline, sources, store,
+      changes((2, Change.Updated, "a")), 2L, batchId = 2)
+    assert(r2.staged.contains(BucketedRun.indexName("m")))
+    assert(reduced(store) == Map("k9" -> 9.0, "k2" -> 2.0))
+  }
+
   test("exactly-once: replaying a committed batch id is a no-op") {
     val store = newStore()
     var data = srcDf(("a", "k1", 1.0), ("b", "k2", 2.0))
