@@ -652,6 +652,18 @@ object SparkEntry {
         .withColumn("blob", encode(col("text"), "UTF-8"))
       Multimodal.decodeFeatures(blobs, "doc_id", "blob")
         .select(col("doc_id"), col("byte_len"), col("dim1"), col("dim2"))
+    }),
+
+    // Multimodal frame sampling: fixed-size byte windows, every 2nd kept —
+    // the blob never leaves codegen; frame content checked byte-exactly via
+    // its hex against the oracle's hex-string slice
+    "mm_frames" -> ((s, dir) => {
+      val blobs = t(s, dir, "documents")
+        .withColumn("blob", encode(col("text"), "UTF-8"))
+      Multimodal.sampleFrames(blobs, "blob", frameBytes = 256, stride = 2)
+        .select(col("doc_id"),
+          size(col("frames")).cast("long").as("n_frames"),
+          hex(element_at(col("frames"), 1)).as("first_frame_hex"))
     })
   )
 
@@ -904,7 +916,13 @@ object SparkEntry {
       "mm_decode" ->
         """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
            CAST(1 + octet_length(encode(text)) % 640 AS INTEGER) AS dim1,
-           CAST(1 + octet_length(encode(text)) % 480 AS INTEGER) AS dim2 FROM documents"""
+           CAST(1 + octet_length(encode(text)) % 480 AS INTEGER) AS dim2 FROM documents""",
+      "mm_frames" ->
+        """SELECT doc_id,
+           (GREATEST(CAST(ceil(octet_length(encode(text))::DOUBLE / 256) AS BIGINT), 1) + 1) // 2
+             AS n_frames,
+           substring(hex(encode(text)), 1, 512) AS first_frame_hex
+           FROM documents"""
     )
   }
 }

@@ -189,6 +189,28 @@ class BucketedIncrSpec extends AnyFunSuite with SparkTestBase {
     assert(reduced(store) == Map("k1" -> 1.0, "k2" -> 5.0))
   }
 
+  test("A2→A3 end to end: a change stream drains into the bucketed store") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val store = newStore()
+    var data = srcDf(("a", "k1", 1.0), ("b", "k2", 2.0))
+    val sources: IncrementalRun.Sources = _ => data
+    BucketedRun.initialize(pipeline, sources, store)
+
+    val mem = MemoryStream[Change](spark)
+    data = srcDf(("a", "k1", 5.0), ("b", "k2", 2.0), ("c", "k1", 3.0))
+    mem.addData(Change(1, Change.Updated, "src", "a"), Change(2, Change.Created, "src", "c"))
+    val q = mem.toDS().writeStream
+      .outputMode("append")
+      .foreachBatch(BucketedRun.foreachBatch(pipeline, sources, store))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    assert(reduced(store) == Map("k1" -> 8.0, "k2" -> 2.0))
+    // the durable snapshot survives a reopen
+    assert(reduced(new BucketedStateStore(store.root, store.numBuckets))
+      == Map("k1" -> 8.0, "k2" -> 2.0))
+  }
+
   test("vacuum drops unreferenced stage directories, table still readable") {
     val store = newStore()
     var data = srcDf(("a", "k1", 1.0), ("b", "k2", 2.0))
