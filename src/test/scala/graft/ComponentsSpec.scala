@@ -38,6 +38,39 @@ class ComponentsSpec extends AnyFunSuite with SparkTestBase {
     graft.ops.Caches.release()
   }
 
+  test("random pair sets match a union-find reference") {
+    // deterministic pseudo-random edges (no RNG): node ids and endpoints
+    // derived from a hash mix — mixes cliques, chains and singletons
+    def mix(i: Long): Long = {
+      var x = i * 0x9E3779B97F4A7C15L
+      x ^= x >>> 32; x.abs
+    }
+    val n = 60
+    val edges = (0 until 90).map { i =>
+      (mix(i) % n, mix(i * 7 + 3) % n)
+    }.filter { case (a, b) => a != b }
+
+    def unionFind(es: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // canonical label = min id of the component
+      val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+      val byRoot = nodes.groupBy(find)
+      byRoot.toSeq.flatMap { case (_, ns) => ns.map(_ -> ns.min) }.toMap
+    }
+
+    val got = cc(edges: _*)
+    assert(got == unionFind(edges))
+    graft.ops.Caches.release()
+  }
+
   test("survivors keep singletons and the smallest id per cluster, full schema") {
     val docs = Seq(
       (1L, "a"), (2L, "a'"), (3L, "a''"), // cluster -> keep 1
