@@ -90,6 +90,16 @@ object IncrementalRun {
       .cache()
     val tempCaches = scala.collection.mutable.ListBuffer[DataFrame](lastPerId)
     val changedTargets = scala.collection.mutable.LinkedHashSet.empty[String]
+    // batch-sized work: AQE's per-stage job splitting and a wide shuffle
+    // only add fixed overhead to the handful of eager actions below (same
+    // rationale and restore discipline as BucketedRun's batch body)
+    val spark = changes.sparkSession
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val shufKey = "spark.sql.shuffle.partitions"
+    val aqePrev = spark.conf.get(aqeKey, "true")
+    val shufPrev = spark.conf.get(shufKey)
+    spark.conf.set(aqeKey, "false")
+    spark.conf.set(shufKey, "8")
     // try/finally: StreamingEngine retries a failed batch, so an exception
     // escaping mid-batch must not leak this attempt's cached frames
     try {
@@ -181,7 +191,11 @@ object IncrementalRun {
       s.updated(t, s(t).localCheckpoint())
     }
     truncated
-    } finally tempCaches.foreach(_.unpersist(blocking = false))
+    } finally {
+      spark.conf.set(aqeKey, aqePrev)
+      spark.conf.set(shufKey, shufPrev)
+      tempCaches.foreach(_.unpersist(blocking = false))
+    }
   }
 
   /** Apply one batch of changes for one map spec: delete-old by provenance,
