@@ -59,7 +59,7 @@ object SparkEntry {
   private val bucketedStores =
     scala.collection.concurrent.TrieMap.empty[String, BucketedStateStore]
 
-  private def bucketedStore(dir: String, variant: String)
+  private def bucketedStore(dir: String, variant: String, pipeline: Pipeline)
                            (init: => IncrementalRun.Sources): BucketedStateStore =
     bucketedStores.getOrElseUpdate(s"$dir#$variant", {
       // 64 buckets: notification-sized batches (tens of keys) then touch a
@@ -69,27 +69,31 @@ object SparkEntry {
       val st = new BucketedStateStore(
         java.nio.file.Files.createTempDirectory(s"graft_incr_$variant").toString,
         numBuckets = 64)
-      BucketedRun.initialize(ordersSumPipeline, init, st)
+      BucketedRun.initialize(pipeline, init, st)
       st
     })
 
-  private val ordersCount = scala.collection.concurrent.TrieMap.empty[String, Long]
+  private val tableCount = scala.collection.concurrent.TrieMap.empty[String, Long]
   /** One persisted IVF index per scale dir (built on first probe). */
   private val ivfIndexes =
     scala.collection.concurrent.TrieMap.empty[String, Ivf.Index]
 
-  /** One batch of same-typed changes over orders ids `≡ residue (mod mod)` —
-    * a notification-queue-sized batch (tens of ids at sf0.1) built in driver
-    * memory, the shape a notification poll hands the engine (the ids arrive
-    * as messages; deriving them costs no table scan). Orderkeys in the
+  /** One batch of same-typed changes over `table` ids `≡ residue (mod mod)`
+    * — a notification-queue-sized batch (tens of ids at sf0.1) built in
+    * driver memory, the shape a notification poll hands the engine (the ids
+    * arrive as messages; deriving them costs no table scan). Ids in the
     * driver-generated testdata are dense 0..N-1 (TESTDATA.md), so the id
     * set is arithmetic; N comes from one memoized metadata-only count. */
-  private def ordersBatch(s: SparkSession, dir: String, mod: Int, change: String,
-                          seqOffset: Long = 0L, residue: Long = 0L): Seq[Change] = {
-    val n = ordersCount.getOrElseUpdate(dir, t(s, dir, "orders").count())
+  private def idBatch(s: SparkSession, dir: String, table: String, mod: Int,
+                      change: String, seqOffset: Long = 0L,
+                      residue: Long = 0L): Seq[Change] = {
+    val n = tableCount.getOrElseUpdate(s"$dir/$table", t(s, dir, table).count())
     (residue to (n - 1) by mod.toLong)
-      .map(k => Change(k + seqOffset, change, "orders", k.toString))
+      .map(k => Change(k + seqOffset, change, table, k.toString))
   }
+  private def ordersBatch(s: SparkSession, dir: String, mod: Int, change: String,
+                          seqOffset: Long = 0L, residue: Long = 0L): Seq[Change] =
+    idBatch(s, dir, "orders", mod, change, seqOffset, residue)
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
@@ -269,7 +273,7 @@ object SparkEntry {
     // Each invocation applies a LIVE batch under a fresh batch id — the
     // bench measures the bucket-scoped apply, never a replay no-op.
     "incr_update" -> ((s, dir) => {
-      val store = bucketedStore(dir, "upd")(sources(s, dir))
+      val store = bucketedStore(dir, "upd", ordersSumPipeline)(sources(s, dir))
       val next = store.committedBatch.getOrElse(0L) + 1
       BucketedRun.applyChanges(s, ordersSumPipeline, sources(s, dir), store,
         ordersBatch(s, dir, 9973, Change.Updated), next, batchId = next)
@@ -284,7 +288,7 @@ object SparkEntry {
     // no-op, never re-deleting already-absent ids). Verify's single
     // invocation is batch 1 = residue 1, which the oracle pins.
     "incr_delete" -> ((s, dir) => {
-      val store = bucketedStore(dir, "del")(sources(s, dir))
+      val store = bucketedStore(dir, "del", ordersSumPipeline)(sources(s, dir))
       val next = store.committedBatch.getOrElse(0L) + 1
       BucketedRun.applyChanges(s, ordersSumPipeline, sources(s, dir), store,
         ordersBatch(s, dir, 9949, Change.Deleted, seqOffset = 10000000L,
@@ -300,7 +304,7 @@ object SparkEntry {
     // the %6998 subset — re-running upserts the survivors and no-op-deletes
     // the absent ids, so the end state is stable across invocations.
     "incr_create_delete" -> ((s, dir) => {
-      val store = bucketedStore(dir, "cd") {
+      val store = bucketedStore(dir, "cd", ordersSumPipeline) {
         val init: IncrementalRun.Sources = {
           case "orders" => t(s, dir, "orders").filter(col("o_orderkey") % 3499 =!= 0)
           case n => t(s, dir, n)
@@ -350,6 +354,22 @@ object SparkEntry {
         created.unionByName(deleted).as[Change], 1L, batchId = 1)
       store.table(s, "orders_sum")
         .select(col(Key), round(col(Value), 2).as("sum_value"))
+    }),
+
+    // A10-incremental on the bucketed path: TWO sources feed one map
+    // target; the secondary index carries both provenance types and the
+    // JoinReduce output is maintained per touched key. Updating ids whose
+    // source rows are unchanged must leave the report equal to the full
+    // recompute — the a10 oracle verbatim.
+    "incr_bucketed_join" -> ((s, dir) => {
+      val store = bucketedStore(dir, "join", joinPipeline)(sources(s, dir))
+      val next = store.committedBatch.getOrElse(0L) + 1
+      val changes = idBatch(s, dir, "customer", 1499, Change.Updated) ++
+        idBatch(s, dir, "orders", 14983, Change.Updated, seqOffset = 20000000L)
+      BucketedRun.applyChanges(s, joinPipeline, sources(s, dir), store,
+        changes, next, batchId = next)
+      store.table(s, "customer_report")
+        .select(col(Key), col("customer_name"), col("acctbal"), col("last_totalprice"))
     }),
 
     // A15 version barrier: a key whose live map rows span handler versions
@@ -742,6 +762,11 @@ object SparkEntry {
         """SELECT CAST(o_custkey AS VARCHAR) AS _mr_key,
            round(sum(o_totalprice), 2) AS sum_value FROM orders
            WHERE o_orderkey % 4993 <> 0 GROUP BY 1""",
+      "incr_bucketed_join" ->
+        """SELECT CAST(c.c_custkey AS VARCHAR) AS _mr_key,
+           max(c.c_name) AS customer_name, max(c.c_acctbal) AS acctbal,
+           max_by(o.o_totalprice, CAST(o.o_orderkey AS VARCHAR)) AS last_totalprice
+           FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey GROUP BY 1""",
       "b1_exact_ci" -> "SELECT * FROM part WHERE lower(p_brand) = 'brand#13'",
       "b2_ne" -> "SELECT * FROM part WHERE lower(p_type) <> 'economy'",
       "b3_range" ->
