@@ -684,6 +684,17 @@ object SparkEntry {
         .select(col("doc_id"),
           size(col("frames")).cast("long").as("n_frames"),
           hex(element_at(col("frames"), 1)).as("first_frame_hex"))
+    }),
+
+    // Multimodal resize stub: byte-grid subsample (every 4th byte) as pure
+    // expressions; content verified byte-exactly via hex
+    "mm_resize" -> ((s, dir) => {
+      val blobs = t(s, dir, "documents")
+        .withColumn("blob", encode(col("text"), "UTF-8"))
+      val rz = Multimodal.resizeStub(col("blob"), stride = 4)
+      blobs.select(col("doc_id"),
+        length(rz).cast("long").as("resized_bytes"),
+        substring(hex(rz), 1, 128).as("resized_hex_prefix"))
     })
   )
 
@@ -947,7 +958,16 @@ object SparkEntry {
            (GREATEST(CAST(ceil(octet_length(encode(text))::DOUBLE / 256) AS BIGINT), 1) + 1) // 2
              AS n_frames,
            substring(hex(encode(text)), 1, 512) AS first_frame_hex
-           FROM documents"""
+           FROM documents""",
+      "mm_resize" ->
+        """WITH b AS (SELECT doc_id,
+             list_filter(regexp_extract_all(hex(encode(text)), '..'),
+                         (x, i) -> (i - 1) % 4 = 0) AS kept
+           FROM documents)
+           SELECT doc_id, CAST(len(kept) AS BIGINT) AS resized_bytes,
+             substring(coalesce(array_to_string(kept, ''), ''), 1, 128)
+               AS resized_hex_prefix
+           FROM b"""
     )
   }
 }

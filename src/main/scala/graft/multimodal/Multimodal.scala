@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -97,6 +97,17 @@ object Multimodal {
           sequence(lit(0), greatest(ceil(length(col(blobCol)).cast("double") / frameBytes).cast("int") - 1, lit(0))),
           i => substring(col(blobCol), (i * frameBytes + 1).cast("int"), lit(frameBytes))),
         (_, i) => i % stride === 0))
+
+  /** Resize stub: deterministic byte-grid subsample (every `stride`-th
+    * byte), expressed over the blob's hex so the whole transform is native
+    * expressions inside codegen — the decoder-free stand-in for an image
+    * resize (a real deployment swaps in the [[Decoder]] seam). Returns the
+    * subsampled bytes as binary. */
+  def resizeStub(blob: Column, stride: Int): Column = {
+    val bytes = regexp_extract_all(hex(blob), lit(".."), lit(0))
+    val kept = filter(bytes, (_, i) => i % stride === 0)
+    unhex(array_join(kept, ""))
+  }
 
   /** Byte-budget repartition before decode: media rows are fat, so balance
     * by cumulative blob size, not row count. */

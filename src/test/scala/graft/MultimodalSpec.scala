@@ -34,6 +34,18 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(out(2L) == Seq(2))
   }
 
+  test("resizeStub keeps every stride-th byte, byte-exactly") {
+    val out = blobs
+      .select(col("id"), Multimodal.resizeStub(col("blob"), stride = 3).as("rz"))
+      .as[(Long, Array[Byte])].collect().toMap
+    val src = blobs.select(col("id"), col("blob"))
+      .as[(Long, Array[Byte])].collect().toMap
+    for ((id, blob) <- src) {
+      val expect = blob.zipWithIndex.collect { case (b, i) if i % 3 == 0 => b }
+      assert(out(id).toSeq == expect.toSeq, s"id $id")
+    }
+  }
+
   test("repartitionByBytes sizes partition count by cumulative blob bytes") {
     val out = Multimodal.repartitionByBytes(blobs, "blob", targetBytesPerPartition = 5)
     assert(out.rdd.getNumPartitions == 3) // 12 bytes total / 5 → ceil = 3
