@@ -66,10 +66,12 @@ object Components {
     // Init label = min(id, min neighbor) — one aggregation that already
     // converges star- and clique-shaped clusters (the common near-dup
     // shapes), leaving the loop one confirming round.
+    // lazy localCheckpoint: the convergence fingerprint right after is the
+    // materializing action, so checkpoint + probe cost ONE job per round
     var labels = edges.groupBy(col("__src").as("id"))
       .agg(min(col("__dst")).as("__m"))
       .select(col("id"), least(col("id"), col("__m")).as("label"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     // decimal sum: ANSI mode would throw on long overflow of summed hashes
     def fingerprint(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(xxhash64(col("id"), col("label")).cast("decimal(38,0)")))
@@ -94,7 +96,7 @@ object Components {
         .join(viaJump, col("id") === col("jid"), "left")
         .select(col("id"),
           least(col("label"), col("nlab"), col("jlab")).as("label"))
-        .localCheckpoint() // eager: materializes and truncates lineage
+        .localCheckpoint(false) // materialized by the fingerprint probe
       val nextFp = fingerprint(next)
       converged = nextFp == fp
       fp = nextFp
