@@ -20,10 +20,10 @@ import org.apache.spark.sql.functions._
   *     jumping halves label-chain depth each round, so together they
   *     converge in O(log n) joins even on path-shaped clusters;
   *   - convergence is detected with one cheap agg per round: labels only
-  *     ever decrease, so the sum of xxhash64(id, label) changes iff any
-  *     label moved (collision odds are astronomically small, and a
-  *     collision only costs one extra round, not correctness, because the
-  *     next round re-checks).
+  *     ever decrease, so the summed label hashes change whenever any label
+  *     moved. A sum collision WOULD stop the loop early, so two
+  *     independently-seeded 64-bit hash sums are compared (both colliding
+  *     on the same round is ~2^-128 — beyond cosmic-ray territory).
   *
   * Scale: the node set is the docs that appear in at least one near-dup
   * pair — a small fraction of the corpus — and every shuffle here is over
@@ -72,10 +72,15 @@ object Components {
       .agg(min(col("__dst")).as("__m"))
       .select(col("id"), least(col("id"), col("__m")).as("label"))
       .localCheckpoint(false)
-    // decimal sum: ANSI mode would throw on long overflow of summed hashes
-    def fingerprint(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(xxhash64(col("id"), col("label")).cast("decimal(38,0)")))
-        .head.getDecimal(0)
+    // decimal sums: ANSI mode would throw on long overflow of summed
+    // hashes; two differently-keyed sums so a single-sum collision cannot
+    // falsely signal convergence
+    def fingerprint(df: DataFrame): (java.math.BigDecimal, java.math.BigDecimal) = {
+      val r = df.agg(
+        sum(xxhash64(col("id"), col("label")).cast("decimal(38,0)")),
+        sum(xxhash64(lit("cc2"), col("label"), col("id")).cast("decimal(38,0)"))).head
+      (r.getDecimal(0), r.getDecimal(1))
+    }
     var fp = fingerprint(labels)
 
     var converged = false

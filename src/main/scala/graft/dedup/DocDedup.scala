@@ -230,7 +230,11 @@ object DocDedup {
     * hash alike, so one hot 16-bit chunk key is m²/2 candidate pairs at
     * corpus scale) — same explicit-approximation contract as
     * [[nearDupPairs]]: a pair inside a dropped bucket survives only via one
-    * of its other three chunks. */
+    * of its other three chunks. NOTE the default CAPS (approximate):
+    * SimHash's 16-bit chunk keys collide on boilerplate far more readily
+    * than MinHash band keys, so the safe-by-default choice differs from
+    * [[nearDupPairs]] (default uncapped = exact w.r.t. the blocking).
+    * Pass `Int.MaxValue` for exactness. */
   def simhashPairs(docs: DataFrame, textCol: String, idCol: String, maxDist: Int = 3,
                    maxBucketSize: Int = 10000,
                    sigFn: Column => Column = simhash): DataFrame = {

@@ -177,19 +177,37 @@ final class BucketedStateStore(val root: String, val numBuckets: Int = 32) {
       }
     }
 
+  private def listDirs(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    val s = Files.list(p)
+    try s.iterator().asScala.filter(Files.isDirectory(_)).toList finally s.close()
+  }
+
   /** Delete stage directories no committed bucket references (safe GC —
-    * includes orphans from crashed batches). */
+    * includes orphans from crashed batches). Directories staged for a batch
+    * BEYOND the committed pointer are skipped: they may belong to an
+    * in-flight batch whose commit races this call (stage writes happen
+    * outside the lock). */
   def vacuum(): Unit = synchronized {
     val live: Set[String] = committed.values
       .flatMap(_.buckets.values).map(_.split('/').take(2).mkString("/")).toSet
+    val horizon = committedBatch.getOrElse(-1L)
+    def stagedBatchOf(dirName: String): Option[Long] =
+      if (!dirName.startsWith("b")) None
+      else dirName.stripPrefix("b").takeWhile(_.isDigit) match {
+        case "" => None
+        case ds => Some(ds.toLong)
+      }
     val rootPath = Paths.get(root)
     if (Files.isDirectory(rootPath)) {
-      Files.list(rootPath).iterator().asScala.filter(Files.isDirectory(_)).foreach { tdir =>
-        Files.list(tdir).iterator().asScala.toSeq.foreach { sdir =>
+      listDirs(rootPath).foreach { tdir =>
+        listDirs(tdir).foreach { sdir =>
           val rel = s"${tdir.getFileName}/${sdir.getFileName}"
-          if (Files.isDirectory(sdir) && !live.contains(rel)) {
-            Files.walk(sdir).sorted(java.util.Comparator.reverseOrder())
+          val inFlight = stagedBatchOf(sdir.getFileName.toString).exists(_ > horizon)
+          if (!live.contains(rel) && !inFlight) {
+            val w = Files.walk(sdir)
+            try w.sorted(java.util.Comparator.reverseOrder())
               .forEach(Files.deleteIfExists(_))
+            finally w.close()
           }
         }
       }

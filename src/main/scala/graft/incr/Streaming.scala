@@ -57,18 +57,33 @@ final class StreamingEngine(
 
   private def session: SparkSession = state.tables.head._2.sparkSession
 
+  // batches and the idle-drain listener run on different threads; the
+  // engine is single-writer, so one lock serializes them
+  private val batchLock = new Object
+  @volatile private var lastBatchId: Long = -1L
+
   /** Run one micro-batch (the `foreachBatch` body). Visible for batch tests. */
   def processBatch(changes: Dataset[Change], batchId: Long): Unit =
     processBatch(changes.collect().toSeq, batchId)
 
+  /** Drain whatever retries are due right now (the reference's idle poll,
+    * worker.py:85-89). Wired to Spark's idle/progress events by [[start]];
+    * callable directly by hosts embedding the engine. */
+  def drainDue(): Unit = processBatch(Seq.empty[Change], lastBatchId)
+
   /** Same, batch already local. Due retries ride along with the incoming
     * changes; an empty incoming batch still drains due retries (the
-    * reference's idle poll). */
-  def processBatch(changes: Seq[Change], batchId: Long): Unit = {
+    * reference's idle poll; [[start]] wires Spark's idle/progress events to
+    * this so retries drain even when no new data arrives). */
+  def processBatch(changes: Seq[Change], batchId: Long): Unit = batchLock.synchronized {
+    lastBatchId = math.max(lastBatchId, batchId)
     val now = clock()
     val due = pendingRetries.values.filter { f =>
       now - f.firstFailedAtMs >= backoffMs(math.min(f.retries, backoffMs.size - 1))
     }.toSeq
+    // a batch whose records are all pending-and-not-due leaves state (and
+    // the durable snapshot) untouched by design — skipping the save is
+    // sound because the snapshot is still exactly the pre-batch state
     val work = (due.map(_.change) ++ changes).distinct.sortBy(_.seq)
     if (work.isEmpty) return
 
@@ -76,12 +91,22 @@ final class StreamingEngine(
     val failed = applyIsolating(work)
 
     val failedKeys = failed.map(key).toSet
-    val workKeys = work.map(key).toSet
-    // successes clear their failure entries (_report_success)
-    pendingRetries = pendingRetries.filter { case (k, _) =>
-      !workKeys.contains(k) || failedKeys.contains(k)
+    // successes clear their failure entries (_report_success) — including
+    // any OLDER pending change for the same id: once a newer change for an
+    // id has applied (current source state re-fetched), replaying a stale
+    // earlier notification would un-do it and diverge from the recompute,
+    // so the superseded entry must die with the success
+    val succeededMax: Map[(String, String), Long] = work
+      .filterNot(c => failedKeys.contains(key(c)))
+      .groupBy(c => (c.resourceType, c.resourceId))
+      .map { case (k, cs) => k -> cs.map(_.seq).max }
+    pendingRetries = pendingRetries.filter { case ((t, i, seq), _) =>
+      succeededMax.get((t, i)).forall(_ < seq)
     }
-    for (c <- failed) {
+    // a failed change superseded by a SUCCEEDED newer change of the same id
+    // is dropped outright (retrying it later would undo the newer state)
+    for (c <- failed
+         if succeededMax.get((c.resourceType, c.resourceId)).forall(_ < c.seq)) {
       pendingRetries.get(key(c)) match {
         case None =>
           pendingRetries += key(c) -> FailedChange(c, retries = 0, firstFailedAtMs = now)
@@ -123,14 +148,41 @@ final class StreamingEngine(
     }
 
   /** Start the engine on a change stream. `availableNow=true` = the worker's
-    * drain-then-exit mode; false = forever mode with a short poll trigger. */
+    * drain-then-exit mode; false = forever mode with a short poll trigger.
+    *
+    * Retry draining: Structured Streaming skips `foreachBatch` entirely when
+    * no new data arrived, so pending retries would otherwise strand during
+    * quiet periods — a listener maps Spark's idle/progress/termination
+    * events onto [[drainDue]] (the reference's poll loop touches its retry
+    * ledger every iteration regardless of new notifications). Note the
+    * ledger itself is in-memory, like the reference's `_failed_notifications`
+    * dict: the reference survives crashes because failed notifications stay
+    * UNACKED in its queue, a luxury a committed Spark checkpoint doesn't
+    * offer — a host needing crash-durable retries should persist
+    * [[pending]]/[[deadLetters]] alongside its snapshots. */
   def start(changeStream: Dataset[Change], availableNow: Boolean = true): StreamingQuery = {
+    val spark = changeStream.sparkSession
     val writer = changeStream.writeStream
       .outputMode("append")
       .foreachBatch { (ds: Dataset[Change], id: Long) => processBatch(ds, id) }
-    (if (availableNow) writer.trigger(Trigger.AvailableNow())
-     else writer.trigger(Trigger.ProcessingTime("500 milliseconds")))
+    val q = (if (availableNow) writer.trigger(Trigger.AvailableNow())
+             else writer.trigger(Trigger.ProcessingTime("500 milliseconds")))
       .start()
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        if (e.progress.id == q.id) drainDue()
+      override def onQueryIdle(e: QueryIdleEvent): Unit =
+        if (e.id == q.id) drainDue()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+        if (e.id == q.id) {
+          drainDue() // last chance before drain-then-exit hands control back
+          spark.streams.removeListener(this)
+        }
+    }
+    spark.streams.addListener(listener)
+    q
   }
 }
 

@@ -20,6 +20,10 @@ object Par {
 
   def ensure(df: DataFrame, min: Int = 0): DataFrame = {
     val target = if (min > 0) min else df.sparkSession.sparkContext.defaultParallelism
+    // file count is a sound lower-bound proxy even for tiny files: Spark's
+    // packing charges openCostInBytes (4 MB) per file and sizes splits by
+    // bytes-per-core, so `files >= target` yields ≈target scan partitions
+    // rather than collapsing many small files into one
     val files = try df.inputFiles.length.toLong catch { case _: Throwable => 0L }
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val estSplits =

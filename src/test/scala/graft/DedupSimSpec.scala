@@ -22,27 +22,12 @@ class DedupSimSpec extends AnyFunSuite with SparkTestBase {
     assert(out.nonEmpty && out.forall { case (n, h) => n == h })
   }
 
-  test("simhashMd5 matches a plain-Scala md5 reference bit for bit") {
-    def ref(text: String): Long = {
-      val toks = text.trim.toLowerCase.split("\\s+")
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val counts = new Array[Int](64)
-      for (t <- toks) {
-        val hex = md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
-        for (j <- 0 until 64) {
-          val nib = Integer.parseInt(hex.substring(j / 4, j / 4 + 1), 16)
-          if (((nib >> (3 - j % 4)) & 1) == 1) counts(j) += 1
-        }
-      }
-      (0 until 64).foldLeft(0L) { (acc, j) =>
-        (acc << 1) | (if (counts(j) * 2 > toks.length) 1L else 0L)
-      }
-    }
+  test("simhashMd5 matches the plain-Scala md5 reference bit for bit") {
     val texts = Seq("Hello World", "a b c d e f", "the quick brown fox",
       "singletoken", "x 1 2 y", "")
     val got = texts.toDF("text")
       .select(DocDedup.simhashMd5(col("text"))).as[Long].collect().toSeq
-    assert(got == texts.map(ref))
+    assert(got == texts.map(TestRefs.simhashMd5))
   }
 
   test("native minhash/simhash/jaccard kernels are bit-identical to the HOF forms") {

@@ -45,25 +45,10 @@ class KernelPropertySpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("simhashMd5 == plain-Scala md5 reference on generated text") {
-    def ref(text: String): Long = {
-      val toks = text.trim.toLowerCase.split("\\s+")
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val counts = new Array[Int](64)
-      for (t <- toks) {
-        val hex = md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
-        for (j <- 0 until 64) {
-          val nib = Integer.parseInt(hex.substring(j / 4, j / 4 + 1), 16)
-          if (((nib >> (3 - j % 4)) & 1) == 1) counts(j) += 1
-        }
-      }
-      (0 until 64).foldLeft(0L) { (acc, j) =>
-        (acc << 1) | (if (counts(j) * 2 > toks.length) 1L else 0L)
-      }
-    }
     val texts = samples(genArr, 120).map(_.mkString(" "))
     val got = texts.toDF("text")
       .select(DocDedup.simhashMd5(col("text"))).as[Long].collect().toSeq
-    assert(got == texts.map(ref))
+    assert(got == texts.map(TestRefs.simhashMd5))
   }
 
   test("graft_simhash == HOF on token arrays (same tokenization)") {

@@ -94,6 +94,36 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(reduced(engine.currentState) == Map("k1" -> 10.0, "k2" -> 20.0, "k3" -> 5.0))
   }
 
+  test("A18: a newer succeeded change supersedes an older pending failure") {
+    @volatile var now = 0L
+    // the poison map fn fails while v < 0; id p starts poisoned
+    var data = Seq(("p", "k1", -1.0)).toDF("id", "k", "v")
+    val sources: IncrementalRun.Sources = _ => data
+    val engine = new StreamingEngine(poisonPipeline, sources,
+      IncrementalRun.recompute(poisonPipeline, _ =>
+        Seq(("p", "k1", 1.0)).toDF("id", "k", "v")).checkpointed,
+      maxRetries = 2, clock = () => now)
+
+    // seq=1 fails -> pending
+    engine.processBatch(Seq(Change(1, Change.Updated, "src", "p")), batchId = 0)
+    assert(engine.pending.size == 1)
+
+    // the source heals and a NEWER change (seq=2) for the same id succeeds
+    // BEFORE seq=1's retry gate opens: the stale pending entry must die
+    // with it — replaying seq=1 later may not undo newer state
+    data = Seq(("p", "k1", 42.0)).toDF("id", "k", "v")
+    now = 100 // seq=1 not yet due
+    engine.processBatch(Seq(Change(2, Change.Updated, "src", "p")), batchId = 1)
+    assert(engine.pending.isEmpty && engine.deadLetters.isEmpty)
+    assert(reduced(engine.currentState) == Map("k1" -> 42.0))
+
+    // nothing left to replay at the next drains
+    now = 2000
+    engine.drainDue()
+    assert(engine.pending.isEmpty && engine.deadLetters.isEmpty)
+    assert(reduced(engine.currentState) == Map("k1" -> 42.0))
+  }
+
   test("A18: a record that heals before its retry clears its failure entry") {
     @volatile var now = 0L
     var data = Seq(("p", "k1", -1.0)).toDF("id", "k", "v")
