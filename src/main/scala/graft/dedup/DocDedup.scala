@@ -203,9 +203,18 @@ object DocDedup {
     * signature bit-for-bit (the DuckDB oracle does — xxhash64 exists only
     * here). Bit j (0..63, MSB-first) of a token = bit (3 - j%4) of nibble
     * j/4 of md5(token); signature bit j = strict majority of ones across
-    * tokens. The xxhash64 kernel ([[simhash]]) remains the throughput
-    * path; use this where results must be re-derivable outside Spark. */
+    * tokens. Native one-pass kernel ([[graft.functions.SimHashMd5]]);
+    * [[simhashMd5Hof]] is the bit-identical HOF formulation (spec
+    * cross-check). The xxhash64 kernel ([[simhash]]) is still ~2× faster
+    * (no per-token digest); prefer it when nothing outside Spark needs to
+    * re-derive the signature. */
   def simhashMd5(text: Column): Column = {
+    GraftFunctions.register(SparkSession.active)
+    call_function("graft_simhash_md5", TextFunctions.tokens(text))
+  }
+
+  /** Interpreted-HOF md5 SimHash (reference semantics for the kernel). */
+  def simhashMd5Hof(text: Column): Column = {
     val hexes = transform(TextFunctions.tokens(text), t => md5(t))
     val bitsOf = (hex: Column) =>
       flatten(transform(sequence(lit(0), lit(15)), i => {

@@ -69,6 +69,39 @@ object TextHashKernels {
     sig
   }
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** 64-bit SimHash with md5-derived token bits — the cross-engine-
+    * reproducible variant ([[graft.dedup.DocDedup.simhashMd5]]'s HOF form
+    * computes the same value; nibble-indexed bit j of the hex equals bit
+    * (7 - j%8) of digest byte j/8, read MSB-first). Strict-majority vote. */
+  def simhashMd5(toks: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val md = md5Local.get()
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      md.reset()
+      val d = md.digest(toks.getUTF8String(i).getBytes)
+      var j = 0
+      while (j < 64) {
+        if (((d(j >> 3) >> (7 - (j & 7))) & 1) != 0) votes(j) += 1
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) {
+      sig = (sig << 1) | (if (votes(j) * 2 > n) 1L else 0L)
+      j += 1
+    }
+    sig
+  }
+
   /** Random-hyperplane LSH bucket id: bit i of the result is the sign of
     * h_i · v with h_i[j] = (xxhash64(seed+i, j) % 1001) / 1000.0 — the
     * exact chain (and summation order) of the composed
@@ -168,6 +201,25 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     })
   override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
   override def prettyName: String = "graft_simhash"
+}
+
+/** `graft_simhash_md5(tokens)` → bigint (md5-derived token bits). */
+case class SimHashMd5(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_simhash_md5 requires array<string>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def nullSafeEval(toks: Any): Any =
+    TextHashKernels.simhashMd5(toks.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, toks => {
+      val kernels = TextHashKernels.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"$kernels.simhashMd5($toks)"
+    })
+  override protected def withNewChildInternal(c: Expression): SimHashMd5 = copy(child = c)
+  override def prettyName: String = "graft_simhash_md5"
 }
 
 /** `graft_lshbucket(vec, dim, nBits, seed)` → bigint. The three int

@@ -44,11 +44,14 @@ class KernelPropertySpec extends AnyFunSuite with SparkTestBase {
     assert(jc.length == rows.length && jc.forall { case (n, h) => n == h })
   }
 
-  test("simhashMd5 == plain-Scala md5 reference on generated text") {
+  test("simhashMd5 kernel == HOF form == plain-Scala md5 reference on generated text") {
     val texts = samples(genArr, 120).map(_.mkString(" "))
     val got = texts.toDF("text")
       .select(DocDedup.simhashMd5(col("text"))).as[Long].collect().toSeq
     assert(got == texts.map(TestRefs.simhashMd5))
+    val hof = texts.toDF("text")
+      .select(DocDedup.simhashMd5Hof(col("text"))).as[Long].collect().toSeq
+    assert(hof == got)
   }
 
   test("graft_simhash == HOF on token arrays (same tokenization)") {
