@@ -547,6 +547,28 @@ object SparkEntry {
       Components.survivors(docs, "doc_id", pairs).select(col("doc_id"))
     }),
 
+    // Same resolution over the EMBEDDING near-dup pair family: cosine
+    // pairs → components → one vector per cluster
+    "embed_neardup_resolve" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val pairs = Similarity.bruteForcePairs(e, "vec_id", "embedding",
+        threshold = 0.45)
+      Components.survivors(e, "vec_id", pairs).select(col("vec_id"))
+    }),
+
+    // End-to-end training-data filter — the composition a pretraining
+    // pipeline runs before tokenization: drop near-dup losers, keep
+    // English docs above the quality gate
+    "pipeline_filter" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = DocDedup.nearDupPairs(docs, "text", "doc_id",
+        threshold = 0.8, numHashes = 32, bands = 8, maxBucketSize = 10000)
+      Components.survivors(docs, "doc_id", pairs)
+        .filter(TextFunctions.langId(col("text")) === "en" &&
+          TextFunctions.qualityScore(col("text")) >= 0.55)
+        .select(col("doc_id"))
+    }),
+
     // SimHash hamming near-dup pairs. The md5-nibble signature variant is
     // bit-for-bit reproducible in DuckDB, so the whole pipeline (signature
     // → chunk blocking → hamming verify) is hash-checked by the oracle;
@@ -706,6 +728,29 @@ object SparkEntry {
       raw"""CASE WHEN len($toks) < 3 THEN [array_to_string($toks, ' ')]
             ELSE list_distinct(list_transform(range(len($toks) - 2),
               i -> $toks[i+1] || ' ' || $toks[i+2] || ' ' || $toks[i+3])) END"""
+    val langMarkers = Map(
+      "en" -> Seq("the", "a", "of", "and", "is", "to", "in"),
+      "es" -> Seq("el", "la", "de", "que", "y", "los"),
+      "fr" -> Seq("le", "la", "les", "et", "des", "une"),
+      "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+      "zh" -> Seq("的", "是", "了", "在", "我"))
+    def langHits(code: String) = {
+      val lst = langMarkers(code).map(w => s"'$w'").mkString(", ")
+      s"len(list_filter($toks, t -> t IN ($lst)))"
+    }
+    // the UNROUNDED quality score (TextFunctions.qualityScore's exact
+    // term order, so the summed doubles are bit-identical across engines)
+    val qualityExpr =
+      s"""(CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 0.4 ELSE 0.0 END) +
+          (CASE WHEN (CASE WHEN length(text) = 0 THEN 0.0
+             ELSE (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+               / length(text) END) < 0.2 THEN 0.2 ELSE 0.0 END) +
+          (CASE WHEN (CASE WHEN length(trim(text)) = 0 OR len($toks) = 0 THEN 0.0
+             ELSE list_sum(list_transform($toks, t -> length(t)))::DOUBLE / len($toks) END)
+             BETWEEN 2.0 AND 12.0 THEN 0.2 ELSE 0.0 END) +
+          (CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0.0
+             ELSE len(list_filter($toks, t -> t IN ('the','a','of','and','is','to','in')))::DOUBLE
+               / len($toks) END) > 0.01 THEN 0.2 ELSE 0.0 END)"""
     Map(
       "a5_map_item" ->
         """SELECT CAST(o_custkey AS VARCHAR) AS _mr_key, o_totalprice AS _mr_value,
@@ -851,6 +896,44 @@ object SparkEntry {
             lab AS (SELECT id, min(reach) AS m FROM walk GROUP BY id)
             SELECT d.doc_id FROM documents d LEFT JOIN lab ON d.doc_id = lab.id
             WHERE lab.id IS NULL OR lab.m >= d.doc_id""",
+      "embed_neardup_resolve" ->
+        """WITH RECURSIVE ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                 FROM ev a JOIN ev b ON a.vec_id < b.vec_id
+                 WHERE list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.45),
+           ed AS (SELECT id_a AS src, id_b AS dst FROM p
+                  UNION SELECT id_b, id_a FROM p),
+           walk(id, reach) AS (
+             SELECT src, dst FROM ed
+             UNION
+             SELECT w.id, e2.dst FROM walk w JOIN ed e2 ON w.reach = e2.src),
+           lab AS (SELECT id, min(reach) AS m FROM walk GROUP BY id)
+           SELECT x.vec_id FROM embeddings x LEFT JOIN lab ON x.vec_id = lab.id
+           WHERE lab.id IS NULL OR lab.m >= x.vec_id""",
+      "pipeline_filter" ->
+        s"""WITH RECURSIVE sh AS (SELECT doc_id, $shingles AS s FROM documents),
+            p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                  WHERE len(list_intersect(a.s, b.s))::DOUBLE
+                    / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+            ed AS (SELECT id_a AS src, id_b AS dst FROM p
+                   UNION SELECT id_b, id_a FROM p),
+            walk(id, reach) AS (
+              SELECT src, dst FROM ed
+              UNION
+              SELECT w.id, e2.dst FROM walk w JOIN ed e2 ON w.reach = e2.src),
+            lab AS (SELECT id, min(reach) AS m FROM walk GROUP BY id),
+            surv AS (SELECT d.doc_id, d.text FROM documents d
+                     LEFT JOIN lab ON d.doc_id = lab.id
+                     WHERE lab.id IS NULL OR lab.m >= d.doc_id),
+            h AS (SELECT doc_id, text, ${langHits("en")} AS en, ${langHits("es")} AS es,
+                  ${langHits("fr")} AS fr, ${langHits("de")} AS de, ${langHits("zh")} AS zh
+                  FROM surv)
+            SELECT doc_id FROM h
+            WHERE NOT (en = 0 AND es = 0 AND fr = 0 AND de = 0 AND zh = 0)
+              AND en >= es AND en >= fr AND en >= de AND en >= zh
+              AND ($qualityExpr) >= 0.55""",
       "dedup_ngram_jaccard" ->
         s"""WITH sh AS (SELECT doc_id, $shingles AS s FROM documents
               WHERE doc_id % 3 = 0 AND doc_id < 1500)
@@ -912,39 +995,18 @@ object SparkEntry {
                 / length(text) END, 6) AS punct_ratio,
             md5(array_to_string($toks, ' ')) AS fingerprint
             FROM documents""",
-      "text_langid" -> {
-        val markers = Map(
-          "en" -> Seq("the", "a", "of", "and", "is", "to", "in"),
-          "es" -> Seq("el", "la", "de", "que", "y", "los"),
-          "fr" -> Seq("le", "la", "les", "et", "des", "une"),
-          "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
-          "zh" -> Seq("的", "是", "了", "在", "我"))
-        def hits(code: String) = {
-          val lst = markers(code).map(w => s"'$w'").mkString(", ")
-          s"len(list_filter($toks, t -> t IN ($lst)))"
-        }
-        s"""WITH h AS (SELECT doc_id, ${hits("en")} AS en, ${hits("es")} AS es,
-              ${hits("fr")} AS fr, ${hits("de")} AS de, ${hits("zh")} AS zh FROM documents)
+      "text_langid" ->
+        s"""WITH h AS (SELECT doc_id, ${langHits("en")} AS en, ${langHits("es")} AS es,
+              ${langHits("fr")} AS fr, ${langHits("de")} AS de, ${langHits("zh")} AS zh
+              FROM documents)
             SELECT doc_id, CASE
               WHEN en = 0 AND es = 0 AND fr = 0 AND de = 0 AND zh = 0 THEN 'und'
               WHEN en >= es AND en >= fr AND en >= de AND en >= zh THEN 'en'
               WHEN es >= fr AND es >= de AND es >= zh THEN 'es'
               WHEN fr >= de AND fr >= zh THEN 'fr'
-              WHEN de >= zh THEN 'de' ELSE 'zh' END AS lang_pred FROM h"""
-      },
+              WHEN de >= zh THEN 'de' ELSE 'zh' END AS lang_pred FROM h""",
       "text_quality" ->
-        s"""SELECT doc_id, round(
-            (CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 0.4 ELSE 0.0 END) +
-            (CASE WHEN (CASE WHEN length(text) = 0 THEN 0.0
-               ELSE (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
-                 / length(text) END) < 0.2 THEN 0.2 ELSE 0.0 END) +
-            (CASE WHEN (CASE WHEN length(trim(text)) = 0 OR len($toks) = 0 THEN 0.0
-               ELSE list_sum(list_transform($toks, t -> length(t)))::DOUBLE / len($toks) END)
-               BETWEEN 2.0 AND 12.0 THEN 0.2 ELSE 0.0 END) +
-            (CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0.0
-               ELSE len(list_filter($toks, t -> t IN ('the','a','of','and','is','to','in')))::DOUBLE
-                 / len($toks) END) > 0.01 THEN 0.2 ELSE 0.0 END), 2) AS quality
-            FROM documents""",
+        s"SELECT doc_id, round($qualityExpr, 2) AS quality FROM documents",
       "mm_meta" ->
         """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
            md5(text) AS checksum FROM documents""",
