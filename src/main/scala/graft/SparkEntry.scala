@@ -668,9 +668,12 @@ object SparkEntry {
         round(TextFunctions.qualityScore(col("text")), 2).as("quality"))),
 
     // Rolling-hash document fingerprint (xxhash64-based — rows-only)
+    // Rolling document fingerprint — the md5-chain variant is re-derivable
+    // in the oracle engine (list_reduce fold), so the whole chain is
+    // hash-checked; the xxhash64 chain stays the throughput path
     "text_rolling_hash" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
-        TextFunctions.rollingHash(col("text")).as("rhash"))),
+        TextFunctions.rollingHashMd5(col("text")).as("rhash"))),
 
     // BPE-ish subword token count (RE2-safe pattern — the oracle runs the
     // same regex verbatim)
@@ -967,6 +970,9 @@ object SparkEntry {
         raw"""SELECT doc_id, CAST(len(regexp_extract_all(lower(trim(text)),
              '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]')) AS BIGINT) AS n_subwords
              FROM documents""",
+      "text_rolling_hash" ->
+        s"""SELECT doc_id, list_reduce(list_prepend('graft', $toks),
+            (a, b) -> md5(a || '|' || b)) AS rhash FROM documents""",
       "dedup_simhash" ->
         raw"""WITH hs AS (SELECT doc_id,
                 list_transform(string_split_regex(trim(lower(text)), '\s+'),

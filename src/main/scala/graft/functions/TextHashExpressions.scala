@@ -102,6 +102,37 @@ object TextHashKernels {
     sig
   }
 
+  private val hexDigits = "0123456789abcdef".getBytes
+
+  /** Chained md5 fingerprint: acc := md5hex(acc + "|" + token), folded over
+    * the tokens from `seed` — order-sensitive (a shift-resistant document
+    * signature) and reproducible in any engine with md5 + a list fold.
+    * Exactly the chain of `aggregate(toks, seed, (a, t) => md5(a || '|'
+    * || t))` with lowercase-hex intermediate states. */
+  def rollingMd5(toks: ArrayData, seed: UTF8String): UTF8String = {
+    val md = md5Local.get()
+    var acc = seed.getBytes
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      md.reset()
+      md.update(acc)
+      md.update('|'.toByte)
+      md.update(toks.getUTF8String(i).getBytes)
+      val d = md.digest()
+      val hex = new Array[Byte](32)
+      var j = 0
+      while (j < 16) {
+        hex(2 * j) = hexDigits((d(j) >> 4) & 0xf)
+        hex(2 * j + 1) = hexDigits(d(j) & 0xf)
+        j += 1
+      }
+      acc = hex
+      i += 1
+    }
+    UTF8String.fromBytes(acc)
+  }
+
   /** Random-hyperplane LSH bucket id: bit i of the result is the sign of
     * h_i · v with h_i[j] = (xxhash64(seed+i, j) % 1001) / 1000.0 — the
     * exact chain (and summation order) of the composed
@@ -220,6 +251,31 @@ case class SimHashMd5(child: Expression) extends UnaryExpression {
     })
   override protected def withNewChildInternal(c: Expression): SimHashMd5 = copy(child = c)
   override def prettyName: String = "graft_simhash_md5"
+}
+
+/** `graft_rollingmd5(tokens, seed)` → string. `seed` must be foldable. */
+case class RollingMd5(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(StringType, _), StringType) if right.foldable =>
+      right.eval(null) match {
+        case s: UTF8String if s != null => TypeCheckResult.TypeCheckSuccess
+        case _ => TypeCheckResult.TypeCheckFailure(
+          "graft_rollingmd5 seed must be a non-null string literal")
+      }
+    case _ => TypeCheckResult.TypeCheckFailure(
+      "graft_rollingmd5 requires (array<string>, foldable string)")
+  }
+  override def dataType: DataType = StringType
+  override def nullSafeEval(toks: Any, seed: Any): Any =
+    TextHashKernels.rollingMd5(toks.asInstanceOf[ArrayData], seed.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (toks, seed) => {
+      val kernels = TextHashKernels.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"$kernels.rollingMd5($toks, $seed)"
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): RollingMd5 =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_rollingmd5"
 }
 
 /** `graft_lshbucket(vec, dim, nBits, seed)` → bigint. The three int

@@ -104,4 +104,21 @@ object TextFunctions {
     * polynomial's intentional Long wrap-around. */
   def rollingHash(text: Column): Column =
     aggregate(tokens(text), lit(1125899906842597L), (acc, t) => xxhash64(acc, t))
+
+  /** Cross-engine rolling fingerprint: chained md5 hex over the tokens
+    * (acc := md5(acc + "|" + token)) — any engine with md5 and a list fold
+    * re-derives it exactly (the DuckDB oracle does via `list_reduce`).
+    * Native one-pass kernel ([[graft.functions.RollingMd5]]);
+    * [[rollingHashMd5Hof]] is the bit-identical HOF form (spec cross-check).
+    * [[rollingHash]]'s xxhash64 chain stays the throughput path. */
+  def rollingHashMd5(text: Column, seed: String = "graft"): Column = {
+    graft.functions.GraftFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("graft_rollingmd5", tokens(text), lit(seed))
+  }
+
+  /** Interpreted-HOF md5 rolling hash (reference semantics for the kernel). */
+  def rollingHashMd5Hof(text: Column, seed: String = "graft"): Column =
+    aggregate(tokens(text), lit(seed),
+      (acc, t) => md5(concat(acc, lit("|"), t)))
 }

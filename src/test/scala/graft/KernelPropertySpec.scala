@@ -54,6 +54,18 @@ class KernelPropertySpec extends AnyFunSuite with SparkTestBase {
     assert(hof == got)
   }
 
+  test("rollingHashMd5 kernel == HOF form == plain-Scala reference on generated text") {
+    val texts = samples(genArr, 120).map(_.mkString(" "))
+    val got = texts.toDF("text")
+      .select(graft.text.TextFunctions.rollingHashMd5(col("text")))
+      .as[String].collect().toSeq
+    assert(got == texts.map(t => TestRefs.rollingMd5(t)))
+    val hof = texts.toDF("text")
+      .select(graft.text.TextFunctions.rollingHashMd5Hof(col("text")))
+      .as[String].collect().toSeq
+    assert(hof == got)
+  }
+
   test("graft_simhash == HOF on token arrays (same tokenization)") {
     // drive both through identical token arrays (no re-tokenization skew)
     val toks = samples(genArr, 150).filter(_.nonEmpty)
