@@ -482,6 +482,15 @@ object SparkEntry {
       t(s, dir, "part").filter(col("p_partkey").isin(1, 2, 42, 77, 1999))),
 
     // Streaming-analog windowed aggregation over the events table
+    // Gap-based session windows per user (Spark session_window; the same
+    // code runs streaming with a watermark). Oracle = the classic
+    // gaps-and-islands formulation.
+    "events_sessions" -> ((s, dir) =>
+      graft.streaming.EventWindows.sessionAgg(t(s, dir, "events"), "ts", "user_id",
+        gap = "10 minutes")
+        .select(col("user_id"), col("session_start_us"), col("n_events"),
+          round(col("sum_value"), 2).as("sum_value"))),
+
     "events_hourly" -> ((s, dir) => {
       val ev = t(s, dir, "events") // ts is long ns (nanosAsLong)
       // integral div — FP division would lose precision on ~1e18 ns values
@@ -868,6 +877,19 @@ object SparkEntry {
         """SELECT CAST(epoch_ns(ts) // 3600000000000 * 3600 AS BIGINT) AS hour,
            event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
            FROM events GROUP BY 1, 2""",
+      "events_sessions" ->
+        """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us, value FROM events),
+           o AS (SELECT user_id, us, value,
+                 CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 600000000
+                      THEN 1 ELSE 0 END AS brk
+                 FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+           sess AS (SELECT user_id, us, value,
+                    sum(brk) OVER (PARTITION BY user_id ORDER BY us
+                      ROWS UNBOUNDED PRECEDING) AS sid
+                    FROM o)
+           SELECT user_id, CAST(min(us) AS BIGINT) AS session_start_us,
+             count(*) AS n_events, round(sum(value), 2) AS sum_value
+           FROM sess GROUP BY user_id, sid""",
       "events_hourly_stream" ->
         """SELECT CAST(epoch_ns(ts) // 3600000000000 * 3600 AS BIGINT) AS hour,
            event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value

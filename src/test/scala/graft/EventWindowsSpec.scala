@@ -42,6 +42,28 @@ class EventWindowsSpec extends AnyFunSuite with SparkTestBase {
     assert(!out.exists { case (s, t, _, v) => s == 0L && t == "click" && v != 3.0 })
   }
 
+  test("session windows merge within the gap and split at exactly the gap") {
+    val M = 60L * 1000 * 1000 * 1000 // one minute in ns
+    val U = 1000L // one µs in ns
+    val rows = Seq(
+      // user 1: events at 0, +9min, +18min, +28min — ONE session: the
+      // 28min event lands exactly at the gap boundary, and Spark merges
+      // touching session windows (inclusive gap)
+      (0L, 1L, 1.0), (9L * M, 1L, 2.0), (18L * M, 1L, 4.0), (28L * M, 1L, 8.0),
+      // user 1: one µs BEYOND the gap after 28min — new session
+      (38L * M + U, 1L, 32.0),
+      // user 2: single event
+      (5L * M, 2L, 16.0)
+    ).map { case (ts, u, v) => (ts, u, "e", v) }.toDF("ts", "user_id", "event_type", "value")
+    val out = EventWindows.sessionAgg(rows, "ts", "user_id", gap = "10 minutes")
+      .select(col("user_id"), col("session_start_us"), col("n_events"), col("sum_value"))
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(out == Set(
+      (1L, 0L, 4L, 15.0),
+      (1L, (38L * M + U) / 1000, 1L, 32.0),
+      (2L, 5L * M / 1000, 1L, 16.0)))
+  }
+
   test("same operator runs in batch mode (backfill parity)") {
     val batch = Seq(
       (1L * H / 4, "click", 1.0), (2L * H / 4, "click", 2.0),
