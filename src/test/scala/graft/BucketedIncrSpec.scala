@@ -211,6 +211,27 @@ class BucketedIncrSpec extends AnyFunSuite with SparkTestBase {
       == Map("k1" -> 8.0, "k2" -> 2.0))
   }
 
+  test("vacuum spares directories staged for a batch beyond the committed pointer") {
+    val store = newStore()
+    val data = srcDf(("a", "k1", 1.0))
+    BucketedRun.initialize(pipeline, _ => data, store)
+    // stage (batch 1) but do NOT commit — vacuum must treat it as in-flight
+    store.stageBuckets("m", Set(0), store.table(spark, "m"), batchId = 1, keyCol = Key)
+    val staged = new java.io.File(store.root, "m").listFiles()
+      .filter(_.getName.startsWith("b1_")).toSeq
+    assert(staged.nonEmpty)
+    store.vacuum()
+    assert(staged.forall(_.exists()), "in-flight stage dirs must survive vacuum")
+    store.commit(1)
+    assert(store.committedBatch.contains(1L))
+    // once committed, a SUPERSEDED old directory becomes collectable
+    store.stageBuckets("m", Set(0), store.table(spark, "m"), batchId = 2, keyCol = Key)
+    store.commit(2)
+    store.vacuum()
+    assert(staged.forall(!_.exists()), "superseded dirs are collected after commit")
+    assert(reduced(store) == Map("k1" -> 1.0))
+  }
+
   test("vacuum drops unreferenced stage directories, table still readable") {
     val store = newStore()
     var data = srcDf(("a", "k1", 1.0), ("b", "k2", 2.0))

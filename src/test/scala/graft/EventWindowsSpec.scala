@@ -42,6 +42,35 @@ class EventWindowsSpec extends AnyFunSuite with SparkTestBase {
     assert(!out.exists { case (s, t, _, v) => s == 0L && t == "click" && v != 3.0 })
   }
 
+  test("session windows run STREAMING: sessions finalize once the gap passes the watermark") {
+    val M = 60L * 1000 * 1000 * 1000 // one minute in ns
+    val mem = MemoryStream[(Long, Long, String, Double)](spark)
+    val agg = EventWindows.sessionAgg(
+      mem.toDF().toDF("ts", "user_id", "event_type", "value"),
+      "ts", "user_id", gap = "10 minutes", watermark = Some("10 minutes"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+
+    // two events 5min apart -> one open session for user 1
+    mem.addData((0L, 1L, "e", 1.0), (5L * M, 1L, "e", 2.0))
+    q.processAllAvailable()
+    // an event far later advances the watermark past the session's gap:
+    // the first session finalizes and emits exactly once
+    mem.addData((60L * M, 1L, "e", 4.0))
+    q.processAllAvailable()
+    mem.addData((120L * M, 1L, "e", 8.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("sess_out")
+      .select(col("user_id"), col("session_start_us"), col("n_events"), col("sum_value"))
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(out.contains((1L, 0L, 2L, 3.0)),
+      s"first session must finalize once the watermark passes its gap: $out")
+    assert(out.contains((1L, 60L * M / 1000, 1L, 4.0)))
+    spark.catalog.dropTempView("sess_out")
+  }
+
   test("session windows merge within the gap and split at exactly the gap") {
     val M = 60L * 1000 * 1000 * 1000 // one minute in ns
     val U = 1000L // one µs in ns
