@@ -46,15 +46,10 @@ object Components {
     val spark = pairs.sparkSession
     // tiny-data loop: every round shuffles (id, label) pairs of the
     // near-dup node set — AQE's per-stage job splitting and the session's
-    // shuffle width only add fixed overhead here (same rationale and
-    // restore discipline as BucketedRun's batch body)
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val shufKey = "spark.sql.shuffle.partitions"
-    val aqePrev = spark.conf.get(aqeKey, "true")
-    val shufPrev = spark.conf.get(shufKey)
-    spark.conf.set(aqeKey, "false")
-    spark.conf.set(shufKey, "8")
-    try {
+    // shuffle width only add fixed overhead here (same rationale as
+    // BucketedRun's batch body; BatchConf serializes tuned bodies because
+    // the settings are session-global)
+    graft.core.BatchConf.withBatchTuning(spark) {
 
     // localCheckpoint (not cache) per round: the round plan references the
     // previous labels frame three times (neighbor join + the jump
@@ -78,7 +73,7 @@ object Components {
     def fingerprint(df: DataFrame): (java.math.BigDecimal, java.math.BigDecimal) = {
       val r = df.agg(
         sum(xxhash64(col("id"), col("label")).cast("decimal(38,0)")),
-        sum(xxhash64(lit("cc2"), col("label"), col("id")).cast("decimal(38,0)"))).head
+        sum(xxhash64(lit("cc2"), col("label"), col("id")).cast("decimal(38,0)"))).head()
       (r.getDecimal(0), r.getDecimal(1))
     }
     var fp = fingerprint(labels)
@@ -109,9 +104,6 @@ object Components {
       iter += 1
     }
     labels.select(col("id"), col("label").as("cluster"))
-    } finally {
-      spark.conf.set(aqeKey, aqePrev)
-      spark.conf.set(shufKey, shufPrev)
     }
   }
 

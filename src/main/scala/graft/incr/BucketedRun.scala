@@ -54,9 +54,19 @@ object BucketedRun {
   def indexName(mapTarget: String): String = s"_idx_$mapTarget"
 
   /** Per-table staging summary: which buckets were replaced, with the
-    * executed plan of the staged content (for plan-audit assertions). */
+    * executed plan of the staged content (for plan-audit assertions).
+    * `resync = true` marks a batch that exceeded the small-batch contract
+    * and was diverted to the full-recompute path (staged map empty — every
+    * bucket of every table was replaced through [[resyncFull]]). */
   final case class StagedTable(buckets: Set[Int], plan: String)
-  final case class BatchReport(staged: Map[String, StagedTable])
+  final case class BatchReport(staged: Map[String, StagedTable], resync: Boolean = false)
+
+  /** Ceiling on the driver-collected change batch (see [[applyChanges]]'s
+    * Dataset overload): below it a batch is notification-sized control data;
+    * above it the batch is a backlog and the full-recompute resync path is
+    * strictly cheaper than per-id scoped algebra anyway (it scans each
+    * source once, instead of per-key bucket IO proportional to the batch). */
+  val MaxCollectedBatch: Int = 100000
 
   /** Cold start: full recompute, then write every table (+ index) bucketed. */
   def initialize(pipeline: Pipeline, sources: IncrementalRun.Sources,
@@ -79,6 +89,19 @@ object BucketedRun {
     } finally cached.values.foreach(_.unpersist(blocking = false))
   }
 
+  /** Backlog divert target (A16/A17 applied to the store): replace the whole
+    * state with a fresh recompute over current source snapshots, committed
+    * as `batchId`. A backlog batch carries no information a recompute does
+    * not — the engine re-fetches current source state per id anyway, so one
+    * scan of each source strictly dominates per-id scoped IO at backlog
+    * sizes. */
+  def resyncFull(pipeline: Pipeline, sources: IncrementalRun.Sources,
+                 store: BucketedStateStore, batchId: Long): BatchReport = {
+    if (store.committedBatch.exists(_ >= batchId)) return BatchReport(Map.empty)
+    initialize(pipeline, sources, store, batchId)
+    BatchReport(Map.empty, resync = true)
+  }
+
   /** Driver-side mirror of [[BucketedStateStore.bucketOf]] — same xxhash64
     * chain (null hashes to the seed, exactly like the Catalyst expression
     * skips null children). */
@@ -88,7 +111,14 @@ object BucketedRun {
     (((h % numBuckets) + numBuckets) % numBuckets).toInt
   }
 
-  /** One change batch against the store; commits on success. */
+  /** One change batch against the store; commits on success.
+    *
+    * The small-batch contract is ENFORCED here, not assumed: the collect is
+    * bounded at `maxBatchSize + 1` rows, and a batch that exceeds it (a
+    * streaming source replaying a backlog after downtime) diverts to
+    * [[resyncFull]] instead of blowing the driver — the reference handles
+    * the same situation by resyncing rather than draining the queue
+    * (resync.py:91-128). Normal notification-sized batches are unaffected. */
   def applyChanges(
       pipeline: Pipeline,
       sources: IncrementalRun.Sources,
@@ -96,12 +126,34 @@ object BucketedRun {
       changes: Dataset[Change],
       batchTimestampNs: Long,
       batchId: Long): BatchReport =
-    applyChanges(changes.sparkSession, pipeline, sources, store,
-      changes.collect().toSeq, batchTimestampNs, batchId)
+    applyChanges(pipeline, sources, store, changes, batchTimestampNs, batchId,
+      MaxCollectedBatch)
+
+  /** Same, with an explicit backlog ceiling (specs drive it low). */
+  def applyChanges(
+      pipeline: Pipeline,
+      sources: IncrementalRun.Sources,
+      store: BucketedStateStore,
+      changes: Dataset[Change],
+      batchTimestampNs: Long,
+      batchId: Long,
+      maxBatchSize: Int): BatchReport = {
+    val bounded = changes.limit(maxBatchSize + 1).collect().toSeq
+    if (bounded.size > maxBatchSize)
+      resyncFull(pipeline, sources, store, batchId)
+    else
+      applyChanges(changes.sparkSession, pipeline, sources, store,
+        bounded, batchTimestampNs, batchId)
+  }
 
   /** Same, with the batch already in driver memory — the native shape of a
     * notification-queue poll (the Dataset overload exists for streaming
-    * `foreachBatch`, which hands the batch over as a Dataset). */
+    * `foreachBatch`, which hands the batch over as a Dataset).
+    *
+    * `ledger`: opaque engine payload committed atomically WITH the batch
+    * (see [[BucketedStateStore.commit]]) — [[BucketedStreamingEngine]]
+    * passes its serialized retry ledger so a crash can never separate
+    * applied state from retry accounting. */
   def applyChanges(
       spark: org.apache.spark.sql.SparkSession,
       pipeline: Pipeline,
@@ -109,7 +161,8 @@ object BucketedRun {
       store: BucketedStateStore,
       changes: Seq[Change],
       batchTimestampNs: Long,
-      batchId: Long): BatchReport = {
+      batchId: Long,
+      ledger: Option[String] = None): BatchReport = {
     import spark.implicits._
 
     // exactly-once sink contract: Structured Streaming re-delivers the last
@@ -131,21 +184,6 @@ object BucketedRun {
 
     val tempCaches = scala.collection.mutable.ListBuffer.empty[DataFrame]
     def tracked(df: DataFrame): DataFrame = { tempCaches += df.cache(); df }
-
-    // AQE off for the batch body: every frame here is either a broadcast
-    // local relation or a few scoped buckets, so runtime re-planning buys
-    // nothing and splits each of the batch's ~7 actions into per-stage jobs
-    // — at notification-batch sizes the fixed per-job overhead dominates
-    // wall time (measured ~30 jobs/batch with AQE, ~10 without).
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val aqePrev = spark.conf.get(aqeKey, "true")
-    spark.conf.set(aqeKey, "false")
-    // batch-sized shuffles (re-reduce of a few dozen keys' rows): a handful
-    // of partitions beats the session default — with AQE off the static
-    // setting is what every exchange in the batch body gets
-    val shufKey = "spark.sql.shuffle.partitions"
-    val shufPrev = spark.conf.get(shufKey)
-    spark.conf.set(shufKey, "8")
 
     /** Batch-lifetime scoped view of one stored table: widens bucket by
       * bucket as the batch discovers touched keys, stages once at the end.
@@ -184,6 +222,14 @@ object BucketedRun {
         println(f"PROFB $label ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
       }
 
+    // AQE off for the batch body: every frame here is either a broadcast
+    // local relation or a few scoped buckets, so runtime re-planning buys
+    // nothing and splits each of the batch's ~7 actions into per-stage jobs
+    // — at notification-batch sizes the fixed per-job overhead dominates
+    // wall time (measured ~30 jobs/batch with AQE, ~10 without). Narrow
+    // static shuffle width for the same reason. Session-global settings —
+    // BatchConf serializes all tuned bodies on this session.
+    graft.core.BatchConf.withBatchTuning(spark) {
     try {
       // (mapTarget -> touched keys), merged across specs
       var affectedKeys = Map.empty[String, Set[String]]
@@ -356,14 +402,23 @@ object BucketedRun {
       val stagedF = scoped.toSeq.collect {
         case (n, sc) if sc.dirty => n -> Future(prof(s"stage:$n")(sc.stage()))
       }
-      val report = prof("stage:await") { BatchReport(
-        stagedF.map { case (n, f) => n -> Await.result(f, Duration.Inf) }.toMap) }
-      prof("commit")(store.commit(batchId))
+      // await EVERY future before surfacing a failure: a still-running stage
+      // must not add to the store's stage metadata after the catch below has
+      // discarded this batch's deltas
+      val awaited = prof("stage:await") {
+        stagedF.map { case (n, f) => n -> scala.util.Try(Await.result(f, Duration.Inf)) } }
+      awaited.collectFirst { case (_, scala.util.Failure(e)) => throw e }
+      val report = BatchReport(awaited.map { case (n, t) => n -> t.get }.toMap)
+      prof("commit")(store.commit(batchId, ledger))
       report
+    } catch {
+      // a failed batch must not leak its half-staged deltas into the next
+      // successful batch's commit (the retry engine re-applies failed work
+      // LATER, against whatever state committed in between)
+      case e: Throwable => store.discardStaged(); throw e
     } finally {
-      spark.conf.set(aqeKey, aqePrev)
-      spark.conf.set(shufKey, shufPrev)
       tempCaches.foreach(_.unpersist(blocking = false))
+    }
     }
   }
 

@@ -32,7 +32,8 @@ import scala.jdk.CollectionConverters._
   * object store; everything else is already object-store-shaped (immutable
   * directories, manifest indirection).
   */
-final class BucketedStateStore(val root: String, val numBuckets: Int = 32) {
+final class BucketedStateStore(val root: String, val numBuckets: Int = 32,
+                               val autoVacuumEvery: Int = 16) {
   require(numBuckets > 0)
 
   private val manifestPath = Paths.get(root, "_manifest")
@@ -41,6 +42,10 @@ final class BucketedStateStore(val root: String, val numBuckets: Int = 32) {
   private final case class TableMeta(keyCol: String, ddl: String, buckets: Map[Int, String])
 
   private var committed: Map[String, TableMeta] = loadManifest()
+  /** Opaque engine payload carried inside the atomic manifest swap — the
+    * crash-durable home of the A18 retry ledger (see [[commit]]). */
+  private var ledgerPayload: Option[String] = loadLedger()
+  private var commitsSinceVacuum = 0
   // per-table bucket-path deltas staged for the next commit (None = now empty)
   private var staged: Map[String, (String, String, Map[Int, Option[String]])] = Map.empty
   private var stageSeq = 0
@@ -136,8 +141,20 @@ final class BucketedStateStore(val root: String, val numBuckets: Int = 32) {
     commit(batchId)
   }
 
-  /** Atomically publish all staged buckets as batch `batchId`. */
-  def commit(batchId: Long): Unit = synchronized {
+  /** Atomically publish all staged buckets as batch `batchId`.
+    *
+    * `ledger`: when set, the payload replaces the stored engine ledger in
+    * the SAME atomic manifest swap — so retry/dead-letter state and table
+    * state can never diverge across a crash (the reference's analogue is
+    * failed notifications staying unacked in its queue,
+    * processor.py:437-471). When absent, the previously committed payload
+    * is carried forward (a mid-engine-batch sub-commit must not drop it).
+    *
+    * Retention runs here too: every `autoVacuumEvery` commits a [[vacuum]]
+    * reaps superseded/orphaned stage directories (steady state would
+    * otherwise accumulate one directory per staged table per batch,
+    * forever). 0 disables the cadence (manual vacuum only). */
+  def commit(batchId: Long, ledger: Option[String] = None): Unit = synchronized {
     committed = staged.foldLeft(committed) { case (acc, (name, (keyCol, ddl, delta))) =>
       val prev = acc.get(name).map(_.buckets).getOrElse(Map.empty)
       val merged = delta.foldLeft(prev) {
@@ -147,7 +164,11 @@ final class BucketedStateStore(val root: String, val numBuckets: Int = 32) {
       acc + (name -> TableMeta(keyCol, ddl, merged))
     }
     staged = Map.empty
+    ledger.foreach(p => ledgerPayload = Some(p))
     val sb = new StringBuilder(s"batch=$batchId\n")
+    ledgerPayload.foreach { p =>
+      sb.append(s"ledger=${Base64.getEncoder.encodeToString(p.getBytes(StandardCharsets.UTF_8))}\n")
+    }
     committed.toSeq.sortBy(_._1).foreach { case (name, m) =>
       val ddl64 = Base64.getEncoder.encodeToString(m.ddl.getBytes(StandardCharsets.UTF_8))
       sb.append(s"table=$name|${m.keyCol}|$ddl64\n")
@@ -158,7 +179,30 @@ final class BucketedStateStore(val root: String, val numBuckets: Int = 32) {
     Files.write(tmp, sb.toString.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, manifestPath, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+    commitsSinceVacuum += 1
+    if (autoVacuumEvery > 0 && commitsSinceVacuum >= autoVacuumEvery) {
+      commitsSinceVacuum = 0
+      vacuum()
+    }
   }
+
+  /** The committed engine ledger payload, if any (crash/restart recovery). */
+  def committedLedger: Option[String] = synchronized(ledgerPayload)
+
+  /** Drop all staged-but-uncommitted bucket deltas. A FAILED batch must call
+    * this before any later batch commits: stage metadata is store-level, so
+    * a half-staged failed batch would otherwise be published by the next
+    * successful commit. The orphaned directories on disk stay invisible (the
+    * manifest never references them) and are reaped by [[vacuum]] once the
+    * committed pointer passes their batch id. */
+  def discardStaged(): Unit = synchronized { staged = Map.empty }
+
+  private def loadLedger(): Option[String] =
+    if (!Files.exists(manifestPath)) None
+    else Files.readAllLines(manifestPath).asScala
+      .find(_.startsWith("ledger="))
+      .map(l => new String(Base64.getDecoder.decode(l.stripPrefix("ledger=")),
+        StandardCharsets.UTF_8))
 
   private def loadManifest(): Map[String, TableMeta] =
     if (!Files.exists(manifestPath)) Map.empty

@@ -91,15 +91,10 @@ object IncrementalRun {
     val tempCaches = scala.collection.mutable.ListBuffer[DataFrame](lastPerId)
     val changedTargets = scala.collection.mutable.LinkedHashSet.empty[String]
     // batch-sized work: AQE's per-stage job splitting and a wide shuffle
-    // only add fixed overhead to the handful of eager actions below (same
-    // rationale and restore discipline as BucketedRun's batch body)
+    // only add fixed overhead to the handful of eager actions below. The
+    // settings are session-global — BatchConf serializes tuned bodies.
     val spark = changes.sparkSession
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val shufKey = "spark.sql.shuffle.partitions"
-    val aqePrev = spark.conf.get(aqeKey, "true")
-    val shufPrev = spark.conf.get(shufKey)
-    spark.conf.set(aqeKey, "false")
-    spark.conf.set(shufKey, "8")
+    graft.core.BatchConf.withBatchTuning(spark) {
     // try/finally: StreamingEngine retries a failed batch, so an exception
     // escaping mid-batch must not leak this attempt's cached frames
     try {
@@ -192,9 +187,8 @@ object IncrementalRun {
     }
     truncated
     } finally {
-      spark.conf.set(aqeKey, aqePrev)
-      spark.conf.set(shufKey, shufPrev)
       tempCaches.foreach(_.unpersist(blocking = false))
+    }
     }
   }
 

@@ -10,6 +10,44 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * original processed_at across retries, processor.py:273-280). */
 final case class FailedChange(change: Change, retries: Int, firstFailedAtMs: Long)
 
+/** Shared listener wiring for the streaming engines: maps Spark's
+  * idle/progress/termination events onto a retry drain WITHOUT blocking the
+  * shared listener bus — callbacks only flag-and-dispatch to a dedicated
+  * daemon thread, so a long micro-batch holding the engine's batch lock can
+  * never stall progress/idle delivery for every other query on the session. */
+private[incr] final class DrainDispatch(drain: () => Unit) {
+  private val queued = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private val exec = java.util.concurrent.Executors.newSingleThreadExecutor(r => {
+    val t = new Thread(r, "graft-retry-drain"); t.setDaemon(true); t
+  })
+
+  /** Coalescing request: at most one drain queued behind the running one. */
+  def request(): Unit =
+    if (queued.compareAndSet(false, true))
+      exec.submit(new Runnable {
+        def run(): Unit = { queued.set(false); drain() }
+      })
+
+  def listenerFor(q: StreamingQuery, spark: SparkSession)
+      : org.apache.spark.sql.streaming.StreamingQueryListener = {
+    val self = this
+    new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        if (e.progress.id == q.id) self.request()
+      override def onQueryIdle(e: QueryIdleEvent): Unit =
+        if (e.id == q.id) self.request()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+        if (e.id == q.id) {
+          self.request() // final drain is async — hosts needing a
+          // synchronous last drain call drainDue() after awaitTermination
+          spark.streams.removeListener(this)
+        }
+    }
+  }
+}
+
 /** A2/A23 — the orchestrator as a Structured Streaming query.
   *
   * The reference's worker loop (worker.py:66-89: drain notifications → map
@@ -20,18 +58,18 @@ final case class FailedChange(change: Change, retries: Int, firstFailedAtMs: Lon
   * trigger is `-f`. The single-writer lease (A19, listeners.py:56-153) is
   * subsumed by Spark's one-driver-per-checkpoint-dir model.
   *
-  * A18 retry parity (processor.py:261-304): failures are tracked PER
-  * NOTIFICATION, never per batch — one poison record must not poison its
-  * siblings. A batch that fails is bisected: halves are applied
-  * independently (sorted by seq, so per-id ordering is preserved across
-  * sub-batches) until the failing records are isolated in O(f·log n)
-  * sub-batch attempts. A failed record is retried on a LATER batch once its
-  * backoff gate opens — no sooner than 0.25 s after its first failure, then
-  * no sooner than 1.5 s — and after the second retry fails it is dropped to
-  * the dead-letter log, exactly the reference's attempt schedule. A record
-  * that succeeds on retry clears its failure entry (_report_success,
-  * processor.py:255-259). The clock is injectable so specs can drive the
-  * gates without sleeping.
+  * A18 retry parity lives in the shared [[RetryLedger]]; a batch that fails
+  * is bisected so only the genuinely failing records are charged (halves are
+  * applied independently, sorted by seq, so per-id ordering is preserved
+  * across sub-batches — O(f·log n) sub-batch attempts isolate f poison
+  * records). The clock is injectable so specs drive the gates without
+  * sleeping.
+  *
+  * This engine pairs an in-memory [[MrState]] with the whole-table
+  * [[ParquetStateStore]] — right for modest state (each durable save
+  * rewrites every table). The scale path with identical A18 semantics is
+  * [[BucketedStreamingEngine]], which pairs the same ledger with
+  * touched-bucket IO and persists the ledger inside the store commit.
   */
 final class StreamingEngine(
     pipeline: Pipeline,
@@ -41,23 +79,17 @@ final class StreamingEngine(
     store: Option[ParquetStateStore] = None,
     clock: () => Long = () => System.currentTimeMillis()) {
 
-  /** Backoff before retry n+1 (ms since FIRST failure) — processor.py:287-291. */
-  private val backoffMs = Seq(250L, 1500L)
+  private val ledger = new RetryLedger(maxRetries)
 
-  @volatile private var pendingRetries: Map[(String, String, Long), FailedChange] = Map.empty
-  @volatile private var deadLetterChanges: List[Change] = Nil
   @volatile private var batchClock: Long = 0L
 
   def currentState: MrState = state
-  def deadLetters: List[Change] = deadLetterChanges
-  def pending: Seq[FailedChange] = pendingRetries.values.toSeq
-
-  private def key(c: Change): (String, String, Long) =
-    (c.resourceType, c.resourceId, c.seq)
+  def deadLetters: List[Change] = ledger.deadLetters
+  def pending: Seq[FailedChange] = ledger.pending
 
   private def session: SparkSession = state.tables.head._2.sparkSession
 
-  // batches and the idle-drain listener run on different threads; the
+  // batches and the idle-drain dispatcher run on different threads; the
   // engine is single-writer, so one lock serializes them
   private val batchLock = new Object
   @volatile private var lastBatchId: Long = -1L
@@ -78,9 +110,7 @@ final class StreamingEngine(
   def processBatch(changes: Seq[Change], batchId: Long): Unit = batchLock.synchronized {
     lastBatchId = math.max(lastBatchId, batchId)
     val now = clock()
-    val due = pendingRetries.values.filter { f =>
-      now - f.firstFailedAtMs >= backoffMs(math.min(f.retries, backoffMs.size - 1))
-    }.toSeq
+    val due = ledger.due(now)
     // a batch whose records are all pending-and-not-due leaves state (and
     // the durable snapshot) untouched by design — skipping the save is
     // sound because the snapshot is still exactly the pre-batch state
@@ -89,37 +119,7 @@ final class StreamingEngine(
 
     batchClock += 1
     val failed = applyIsolating(work)
-
-    val failedKeys = failed.map(key).toSet
-    // successes clear their failure entries (_report_success) — including
-    // any OLDER pending change for the same id: once a newer change for an
-    // id has applied (current source state re-fetched), replaying a stale
-    // earlier notification would un-do it and diverge from the recompute,
-    // so the superseded entry must die with the success
-    val succeededMax: Map[(String, String), Long] = work
-      .filterNot(c => failedKeys.contains(key(c)))
-      .groupBy(c => (c.resourceType, c.resourceId))
-      .map { case (k, cs) => k -> cs.map(_.seq).max }
-    pendingRetries = pendingRetries.filter { case ((t, i, seq), _) =>
-      succeededMax.get((t, i)).forall(_ < seq)
-    }
-    // a failed change superseded by a SUCCEEDED newer change of the same id
-    // is dropped outright (retrying it later would undo the newer state)
-    for (c <- failed
-         if succeededMax.get((c.resourceType, c.resourceId)).forall(_ < c.seq)) {
-      pendingRetries.get(key(c)) match {
-        case None =>
-          pendingRetries += key(c) -> FailedChange(c, retries = 0, firstFailedAtMs = now)
-        case Some(f) if due.exists(d => key(d.change) == key(c)) =>
-          // a due retry failed: use up one retry, or drop after the last
-          if (f.retries + 1 >= maxRetries) {
-            pendingRetries -= key(c)
-            deadLetterChanges ::= c
-          } else
-            pendingRetries += key(c) -> f.copy(retries = f.retries + 1)
-        case Some(_) => // failed again before its gate opened — unchanged
-      }
-    }
+    ledger.record(work, failed, due, now)
     // durable snapshot once per batch, covering whatever applied
     store.foreach(_.save(state, batchId))
   }
@@ -147,19 +147,20 @@ final class StreamingEngine(
       }
     }
 
+  private val drains = new DrainDispatch(() => drainDue())
+
   /** Start the engine on a change stream. `availableNow=true` = the worker's
     * drain-then-exit mode; false = forever mode with a short poll trigger.
     *
     * Retry draining: Structured Streaming skips `foreachBatch` entirely when
     * no new data arrived, so pending retries would otherwise strand during
     * quiet periods — a listener maps Spark's idle/progress/termination
-    * events onto [[drainDue]] (the reference's poll loop touches its retry
-    * ledger every iteration regardless of new notifications). Note the
-    * ledger itself is in-memory, like the reference's `_failed_notifications`
-    * dict: the reference survives crashes because failed notifications stay
-    * UNACKED in its queue, a luxury a committed Spark checkpoint doesn't
-    * offer — a host needing crash-durable retries should persist
-    * [[pending]]/[[deadLetters]] alongside its snapshots. */
+    * events onto [[drainDue]] via a dedicated drain thread (the reference's
+    * poll loop touches its retry ledger every iteration regardless of new
+    * notifications). The ledger here is in-memory, like the reference's
+    * `_failed_notifications` dict — crash-durable retries are
+    * [[BucketedStreamingEngine]]'s job (ledger persisted in the store
+    * commit). */
   def start(changeStream: Dataset[Change], availableNow: Boolean = true): StreamingQuery = {
     val spark = changeStream.sparkSession
     val writer = changeStream.writeStream
@@ -168,20 +169,7 @@ final class StreamingEngine(
     val q = (if (availableNow) writer.trigger(Trigger.AvailableNow())
              else writer.trigger(Trigger.ProcessingTime("500 milliseconds")))
       .start()
-    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
-      import org.apache.spark.sql.streaming.StreamingQueryListener._
-      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
-      override def onQueryProgress(e: QueryProgressEvent): Unit =
-        if (e.progress.id == q.id) drainDue()
-      override def onQueryIdle(e: QueryIdleEvent): Unit =
-        if (e.id == q.id) drainDue()
-      override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
-        if (e.id == q.id) {
-          drainDue() // last chance before drain-then-exit hands control back
-          spark.streams.removeListener(this)
-        }
-    }
-    spark.streams.addListener(listener)
+    spark.streams.addListener(drains.listenerFor(q, spark))
     q
   }
 }

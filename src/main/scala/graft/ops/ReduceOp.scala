@@ -36,7 +36,7 @@ object ReduceOp {
         // Row-encoded UDAF takes one argument per table column.
         val f = udaf(a.asInstanceOf[Aggregator[org.apache.spark.sql.Row, Any, Any]],
           Encoders.row(live.schema))
-        live.groupBy(col(Key)).agg(f(live.columns.map(col): _*).as(Value))
+        live.groupBy(col(Key)).agg(f(live.columns.toIndexedSeq.map(col): _*).as(Value))
       case JoinReduce(mapping, orderBy) =>
         // Same-key multi-source merge: for each mapped (sourceType, field),
         // take that field from the winning row of that source type.
