@@ -378,27 +378,47 @@ object SparkEntry {
     // carry a stale snapshot value (0.0), everything else is current v2.
     // The batch re-maps the %100 ids at v2; keys still holding an untouched
     // %36 row are postponed, keys without one recompute to the current sum
-    // — both branches populated at every scale factor.
+    // — both branches populated at every scale factor. Runs where
+    // production runs the barrier: the BUCKETED store — the mixed-version
+    // state is written hash-bucketed once per process, and every invocation
+    // applies a live update batch through the scoped-bucket path (the state
+    // is a fixed point of the batch, so repeated runs stay oracle-equal).
     "a15_version_barrier" -> ((s, dir) => {
-      import s.implicits._
       val orders = t(s, dir, "orders").filter(col("o_orderkey") % 4 === 0)
       val srcs: IncrementalRun.Sources = { case "orders" => orders }
       val v2 = MapSpec("orders", "orders_map", 2, idCol = "o_orderkey",
         fn = MapFns.item("o_custkey", Some("o_totalprice"), idCol = "o_orderkey"))
       val pipeline = Pipeline(maps = Seq(v2),
         reduces = Seq(ReduceSpec("orders_map", "orders_sum", 1, ExprReduce(sum))))
-      val key = col(SourceId).cast("long")
-      val oldMap = MapOp(v2, orders)
-        .withColumn(Value,
-          when(key % 36 === 0, lit(-1.0))
-            .when(key % 100 === 0, lit(0.0))
-            .otherwise(col(Value)))
-        .withColumn(MrSchema.Version, when(key % 36 === 0, lit(1)).otherwise(lit(2)))
-      val st0 = MrState(Map(
-        "orders_map" -> oldMap,
-        "orders_sum" -> ReduceOp(pipeline.reduces.head, oldMap)))
-      val changes = ordersBatch(s, dir, 100, Change.Updated).toDS()
-      IncrementalRun.applyChanges(pipeline, srcs, st0, changes, 1L)("orders_sum")
+      val store = bucketedStores.getOrElseUpdate(s"$dir#a15", {
+        // 16 buckets, not 64: this batch touches ~1% of ids but they spread
+        // over ~most keys' buckets, so bucket count sets the per-batch task
+        // and file count — size buckets to the BATCH's key spread, and at
+        // real scale to >=128MB per bucket
+        val st = new BucketedStateStore(
+          java.nio.file.Files.createTempDirectory("graft_incr_a15").toString,
+          numBuckets = 16)
+        val key = col(SourceId).cast("long")
+        val oldMap = MapOp(v2, orders)
+          .withColumn(Value,
+            when(key % 36 === 0, lit(-1.0))
+              .when(key % 100 === 0, lit(0.0))
+              .otherwise(col(Value)))
+          .withColumn(MrSchema.Version, when(key % 36 === 0, lit(1)).otherwise(lit(2)))
+          .cache()
+        try st.initialize(Map(
+          "orders_map" -> (oldMap, Key),
+          BucketedRun.indexName("orders_map") ->
+            (oldMap.select(col(MrSchema.SourceType), col(SourceId), col(Key)).distinct(),
+              SourceId),
+          "orders_sum" -> (ReduceOp(pipeline.reduces.head, oldMap): DataFrame, Key)))
+        finally oldMap.unpersist(blocking = false)
+        st
+      })
+      val next = store.committedBatch.getOrElse(0L) + 1
+      BucketedRun.applyChanges(s, pipeline, srcs, store,
+        ordersBatch(s, dir, 100, Change.Updated), next, batchId = next)
+      store.table(s, "orders_sum")
         .select(col(Key), round(col(Value), 2).as("sum_value"))
     }),
 
@@ -531,6 +551,34 @@ object SparkEntry {
       out
     }),
 
+    // A23 forever mode (`-f`, worker.py:76-89) driver-checked: the SAME
+    // windowed aggregation under a ProcessingTime trigger — the query keeps
+    // polling after the data is drained (the reference's 0.5 s idle loop);
+    // processAllAvailable() is the quiescent point, then the query is
+    // stopped and the drained result must equal the batch oracle.
+    "events_hourly_forever" -> ((s, dir) => {
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val agg = graft.streaming.EventWindows
+        .typedWindowAgg(stream, "ts", watermark = "2 hours", window = "1 hour")
+      val sink = s"events_hourly_forever_${streamSinkSeq.incrementAndGet()}"
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      q.awaitTermination()
+      val out = s.table(sink)
+        .select((unix_timestamp(col("window_start"))).as("hour"), col("event_type"),
+          col("cnt"), round(col("sum_value"), 2).as("sum_value"))
+      s.catalog.dropTempView(sink)
+      out
+    }),
+
     // ---- training-data pipeline extensions --------------------------------
 
     // Exact dedup survivors (hash-groupBy on content fingerprint)
@@ -582,9 +630,13 @@ object SparkEntry {
     // bit-for-bit reproducible in DuckDB, so the whole pipeline (signature
     // → chunk blocking → hamming verify) is hash-checked by the oracle;
     // the xxhash64 kernel variant is the throughput path (DedupSimSpec).
+    // maxBucketSize is explicitly uncapped HERE because the oracle computes
+    // the exact hamming<=3 pair set — a hot chunk bucket silently dropping
+    // candidates would only surface at corpus scales the oracle never runs;
+    // capped blocking remains the production default in simhashPairs.
     "dedup_simhash" -> ((s, dir) =>
       DocDedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id", maxDist = 3,
-        sigFn = DocDedup.simhashMd5)),
+        sigFn = DocDedup.simhashMd5, maxBucketSize = Int.MaxValue)),
 
     // Exact n-gram Jaccard on a subsample (the all-pairs baseline)
     "dedup_ngram_jaccard" -> ((s, dir) => {
@@ -891,6 +943,10 @@ object SparkEntry {
              count(*) AS n_events, round(sum(value), 2) AS sum_value
            FROM sess GROUP BY user_id, sid""",
       "events_hourly_stream" ->
+        """SELECT CAST(epoch_ns(ts) // 3600000000000 * 3600 AS BIGINT) AS hour,
+           event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+           FROM events GROUP BY 1, 2""",
+      "events_hourly_forever" ->
         """SELECT CAST(epoch_ns(ts) // 3600000000000 * 3600 AS BIGINT) AS hour,
            event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
            FROM events GROUP BY 1, 2""",

@@ -185,19 +185,38 @@ object BucketedRun {
     val tempCaches = scala.collection.mutable.ListBuffer.empty[DataFrame]
     def tracked(df: DataFrame): DataFrame = { tempCaches += df.cache(); df }
 
+    def prof[T](label: String)(f: => T): T =
+      if (!sys.env.contains("GRAFT_PROF")) f
+      else {
+        val t0 = System.nanoTime(); val r = f
+        println(f"PROFB $label ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
+      }
+
     /** Batch-lifetime scoped view of one stored table: widens bucket by
       * bucket as the batch discovers touched keys, stages once at the end.
       * Tables that were only READ (e.g. an index consulted by a batch that
-      * did not change it) are never staged — their committed buckets stand. */
+      * did not change it) are never staged — their committed buckets stand.
+      *
+      * Write elision: staging first computes a per-bucket content
+      * fingerprint of committed-vs-updated rows (one aggregation over
+      * frames the batch already holds cached) and stages ONLY buckets whose
+      * content actually changed. A steady-state no-op update (same ids,
+      * same rows — the common "notification fired but nothing material
+      * moved" case) then writes NOTHING; at scale, write IO tracks changed
+      * buckets, not touched buckets. The fingerprint is two independently
+      * keyed order-independent hash sums + a count per bucket — a false
+      * "unchanged" needs a simultaneous collision in both 64-bit sums. */
     final class Scoped(name: String, keyCol: String) {
       var buckets: Set[Int] = Set.empty
       var rows: DataFrame = _
+      private var original: DataFrame = _
       var dirty: Boolean = false
       def widen(need: Set[Int]): DataFrame = {
         val add = need -- buckets
         if (add.nonEmpty || rows == null) {
           val fresh = store.readBuckets(spark, name, add)
           rows = tracked(if (rows == null) fresh else rows.unionByName(fresh))
+          original = tracked(if (original == null) fresh else original.unionByName(fresh))
           buckets ++= add
         }
         rows
@@ -205,22 +224,51 @@ object BucketedRun {
       def update(f: DataFrame => DataFrame): Unit = {
         rows = tracked(f(rows)); dirty = true
       }
-      def stage(): StagedTable = {
-        val plan = rows.queryExecution.executedPlan.toString
-        store.stageBuckets(name, buckets, rows, batchId, keyCol)
-        StagedTable(buckets, plan)
+      /** Buckets whose content differs from the committed content. Falls
+        * back to "all widened buckets" when the fingerprint cannot run
+        * (schema drift within the batch, un-hashable column type). */
+      private def changedBuckets(): Set[Int] = {
+        if (original == null || original.columns.sorted.toSeq != rows.columns.sorted.toSeq)
+          return buckets
+        // the batch timestamp is provenance timing, not content: a row whose
+        // every OTHER column matches the committed row is unchanged, and
+        // keeping its original stamp is exactly what "nothing moved" means
+        // (versions and tombstone flags stay in — those are semantic)
+        val cols = rows.columns.sorted.toSeq.filterNot(_ == Timestamp).map(col)
+        def fp(df: DataFrame, s: Int): DataFrame =
+          df.select(store.bucketOf(col(keyCol)).as("__b"),
+            xxhash64(struct(cols: _*)).cast("decimal(38,0)").as("__h1"),
+            xxhash64(lit("g2"), struct(cols: _*)).cast("decimal(38,0)").as("__h2"),
+            lit(s).as("__s"))
+        scala.util.Try {
+          val agg = fp(original, 0).unionByName(fp(rows, 1))
+            .groupBy(col("__b"), col("__s"))
+            .agg(count(lit(1)).as("__n"), sum(col("__h1")).as("__s1"),
+              sum(col("__h2")).as("__s2"))
+            .collect()
+          // columns: __b, __s, __n, __s1, __s2
+          val by = agg.map(r => (r.getInt(0), r.getInt(1)) ->
+            (r.getLong(2), r.getDecimal(3), r.getDecimal(4))).toMap
+          agg.map(_.getInt(0)).toSet
+            .filter(b => by.get((b, 0)) != by.get((b, 1)))
+        }.getOrElse(buckets)
+      }
+      def stage(): Option[StagedTable] = {
+        val changed = prof(s"diff:$name")(changedBuckets())
+        if (changed.isEmpty) None
+        else {
+          val plan = rows.queryExecution.executedPlan.toString
+          val toStage =
+            if (changed == buckets) rows
+            else rows.filter(store.bucketOf(col(keyCol)).isin(changed.toSeq: _*))
+          store.stageBuckets(name, changed, toStage, batchId, keyCol)
+          Some(StagedTable(changed, plan))
+        }
       }
     }
     val scoped = scala.collection.mutable.LinkedHashMap.empty[String, Scoped]
     def scopedTable(name: String, keyCol: String): Scoped =
       scoped.getOrElseUpdate(name, new Scoped(name, keyCol))
-
-    def prof[T](label: String)(f: => T): T =
-      if (!sys.env.contains("GRAFT_PROF")) f
-      else {
-        val t0 = System.nanoTime(); val r = f
-        println(f"PROFB $label ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
-      }
 
     // AQE off for the batch body: every frame here is either a broadcast
     // local relation or a few scoped buckets, so runtime re-planning buys
@@ -408,7 +456,10 @@ object BucketedRun {
       val awaited = prof("stage:await") {
         stagedF.map { case (n, f) => n -> scala.util.Try(Await.result(f, Duration.Inf)) } }
       awaited.collectFirst { case (_, scala.util.Failure(e)) => throw e }
-      val report = BatchReport(awaited.map { case (n, t) => n -> t.get }.toMap)
+      // tables whose fingerprints elided the write (Success(None)) are
+      // omitted: their committed buckets stand untouched
+      val report = BatchReport(awaited.collect {
+        case (n, scala.util.Success(Some(st))) => n -> st }.toMap)
       prof("commit")(store.commit(batchId, ledger))
       report
     } catch {

@@ -134,6 +134,38 @@ class BucketedIncrSpec extends AnyFunSuite with SparkTestBase {
     assert(reduced(store) == Map("k9" -> 9.0, "k2" -> 2.0))
   }
 
+  test("write elision: a no-op update batch stages nothing; partial change stages only changed buckets") {
+    val store = newStore(buckets = 8)
+    var data = srcDf((0 until 64).map(i => (s"id$i", s"key$i", i.toDouble)): _*)
+    val sources: IncrementalRun.Sources = _ => data
+    BucketedRun.initialize(pipeline, sources, store)
+    val before = Seq("m", "r", BucketedRun.indexName("m"))
+      .map(t => t -> store.bucketPaths(t)).toMap
+
+    // notifications fired but the source rows are IDENTICAL: the per-bucket
+    // content fingerprint must elide every write — zero staged tables, all
+    // bucket directories carried by reference
+    val noop = BucketedRun.applyChanges(spark, pipeline, sources, store,
+      (0 until 16).map(i => Change(i.toLong, Change.Updated, "src", s"id$i")),
+      1L, batchId = 1)
+    assert(noop.staged.isEmpty, s"no-op batch must write nothing: ${noop.staged.keySet}")
+    for (t <- Seq("m", "r")) assert(store.bucketPaths(t) == before(t))
+
+    // same 16-id batch, but ONE id's value changed: only the buckets holding
+    // that id's key (and its reduce row) may be staged
+    data = srcDf((0 until 64).map(i =>
+      (s"id$i", s"key$i", if (i == 3) 99.0 else i.toDouble)): _*)
+    val partial = BucketedRun.applyChanges(spark, pipeline, sources, store,
+      (0 until 16).map(i => Change(100 + i.toLong, Change.Updated, "src", s"id$i")),
+      2L, batchId = 2)
+    assert(partial.staged.keySet == Set("m", "r"))
+    assert(partial.staged("m").buckets.size == 1,
+      s"only key3's bucket changed: ${partial.staged("m").buckets}")
+    assert(partial.staged("r").buckets.size == 1)
+    assert(reduced(store).get("key3").contains(99.0))
+    assert(reduced(store).get("key5").contains(5.0))
+  }
+
   test("exactly-once: replaying a committed batch id is a no-op") {
     val store = newStore()
     var data = srcDf(("a", "k1", 1.0), ("b", "k2", 2.0))

@@ -214,6 +214,47 @@ class BucketedStreamingSpec extends AnyFunSuite with SparkTestBase {
       == Map("k1" -> 5.0, "k2" -> 8.0))
   }
 
+  test("forever mode: the idle listener drains a due retry with no new data") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    @volatile var now = 0L
+    var data = Seq(("p", "k1", -1.0)).toDF("id", "k", "v")
+    val sources: IncrementalRun.Sources = _ => data
+    val store = newStore()
+    BucketedRun.initialize(poisonPipeline, _ =>
+      Seq(("p", "k1", 1.0)).toDF("id", "k", "v"), store)
+    val engine = new BucketedStreamingEngine(spark, poisonPipeline, sources, store,
+      maxRetries = 2, clock = () => now)
+
+    def eventually(timeoutMs: Long)(cond: => Boolean): Boolean = {
+      val deadline = System.currentTimeMillis() + timeoutMs
+      while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      cond
+    }
+
+    // idle events normally fire every 10s; tighten for the spec
+    val idleKey = "spark.sql.streaming.noDataProgressEventInterval"
+    spark.conf.set(idleKey, "250ms")
+    val mem = MemoryStream[Change](spark)
+    val q = engine.start(mem.toDS(), availableNow = false) // `-f` forever mode
+    try {
+      mem.addData(Change(1, Change.Updated, "src", "p"))
+      assert(eventually(30000)(engine.pending.size == 1),
+        "the poisoned change must land in the ledger via the polling query")
+
+      // the source heals and the gate opens — NO new data arrives; only the
+      // idle/progress listener can fire the retry (reference: the worker's
+      // poll loop touches the retry ledger every iteration, worker.py:85-89)
+      data = Seq(("p", "k1", 6.0)).toDF("id", "k", "v")
+      now = 300
+      assert(eventually(30000)(engine.pending.isEmpty),
+        "idle listener must drain the due retry without new stream data")
+      assert(reduced(store) == Map("k1" -> 6.0))
+    } finally {
+      q.stop()
+      spark.conf.unset(idleKey)
+    }
+  }
+
   test("backlog guard: an over-limit batch diverts to resync instead of collecting") {
     var data = Seq(("a", "k1", 1.0), ("b", "k2", 2.0)).toDF("id", "k", "v")
     val sources: IncrementalRun.Sources = _ => data
