@@ -67,7 +67,8 @@ object SparkEntry {
       // with the batch, not the state. At real scale size buckets to
       // ≥128 MB instead.
       val st = new BucketedStateStore(
-        java.nio.file.Files.createTempDirectory(s"graft_incr_$variant").toString,
+        graft.core.TempDirs.register(
+          java.nio.file.Files.createTempDirectory(s"graft_incr_$variant")).toString,
         numBuckets = 64)
       BucketedRun.initialize(pipeline, init, st)
       st
@@ -396,7 +397,8 @@ object SparkEntry {
         // and file count — size buckets to the BATCH's key spread, and at
         // real scale to >=128MB per bucket
         val st = new BucketedStateStore(
-          java.nio.file.Files.createTempDirectory("graft_incr_a15").toString,
+          graft.core.TempDirs.register(
+            java.nio.file.Files.createTempDirectory("graft_incr_a15")).toString,
           numBuckets = 16)
         val key = col(SourceId).cast("long")
         val oldMap = MapOp(v2, orders)
@@ -684,9 +686,32 @@ object SparkEntry {
       val q = e.filter(col("vec_id") % 50 === 0)
       val index = ivfIndexes.getOrElseUpdate(dir, Ivf.buildIndex(
         e, "vec_id", "embedding",
-        java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString,
+        graft.core.TempDirs.register(
+          java.nio.file.Files.createTempDirectory("graft_ivf_idx")).toString,
         nCells = 16, iters = 2))
       Ivf.probe(index, q, "vec_id", "embedding", k = 5, nProbe = 4)
+    }),
+
+    // LSH bucket assignment — the DETERMINISTIC substrate under the
+    // approximate sim_topk_lsh: md5-hyperplane family, hash-checked against
+    // an oracle that re-derives the same hyperplanes from its own md5 (the
+    // xxhash64 family stays the throughput path; DedupSimSpec pins both)
+    "sim_lsh_bucket" -> ((s, dir) =>
+      t(s, dir, "embeddings").select(col("vec_id"),
+        Similarity.lshBucketMd5(col("embedding"), dim = 64, nBits = 8).as("bucket"))),
+
+    // IVF cell assignment — the deterministic substrate under sim_topk_ivf:
+    // nearest-cell over a FIXED centroid set (the 8 smallest vec_ids'
+    // vectors — k-means trained centroids are equally fixed at probe time),
+    // hash-checked end to end including the tie rule
+    "sim_ivf_assign" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val cents = e.orderBy(col("vec_id")).limit(8)
+        .select(transform(col("embedding"), _.cast("double")))
+        .as[Seq[Double]].collect().toSeq
+        .zipWithIndex.map { case (v, i) => i -> v }
+      Ivf.assignCells(e, "vec_id", "embedding", cents)
     }),
 
     // Embedding-cosine near-dup pairs (brute-force exact baseline; the LSH
@@ -1036,6 +1061,46 @@ object SparkEntry {
                CAST(row_number() OVER (PARTITION BY query_id
                  ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
              FROM q JOIN c ON query_id <> neighbor_id) WHERE rank <= 5""",
+      "sim_lsh_bucket" -> {
+        // hyperplane component (i, j): first 16 bits of md5('lsh:0:i:j')
+        // mapped into [-1,1] — exactly Similarity.md5Hyperplanes
+        def nib(n: Int) =
+          s"(strpos('0123456789abcdef', substr(h, $n, 1)) - 1)"
+        s"""WITH hp AS (
+              SELECT i, list(comp ORDER BY j) AS hl FROM (
+                SELECT i, j,
+                  ((${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)})
+                    % 1001 - 500) / 500.0 AS comp
+                FROM (SELECT i, j, md5('lsh:0:' || i::VARCHAR || ':' || j::VARCHAR) AS h
+                      FROM range(8) t(i) CROSS JOIN range(64) u(j))
+              ) GROUP BY i)
+            SELECT vec_id,
+              CAST(sum(CASE WHEN proj > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT)
+                AS bucket
+            FROM (
+              SELECT e.vec_id, hp.i,
+                list_reduce(list_transform(range(64), j -> e.v[j+1] * hp.hl[j+1]),
+                  (a, b) -> a + b) AS proj
+              FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) e
+              CROSS JOIN hp)
+            GROUP BY vec_id"""
+      },
+      "sim_ivf_assign" ->
+        """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+               sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x * x),
+                 (a, b) -> a + b)) AS vn
+             FROM embeddings),
+           c0 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8),
+           c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv,
+                 sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS cn
+                 FROM c0),
+           s AS (SELECT e.vec_id, c.cell,
+                 CASE WHEN e.vn * c.cn = 0 THEN 0.0
+                   ELSE list_reduce(list_transform(range(64), j -> e.v[j+1] * c.cv[j+1]),
+                     (a, b) -> a + b) / (e.vn * c.cn) END AS sc
+                 FROM e CROSS JOIN c)
+           SELECT vec_id, CAST(cell AS INTEGER) AS cell FROM s
+           QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sc DESC, cell DESC) = 1""",
       "embed_cos_neardup" ->
         """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
            SELECT a.vec_id AS id_a, b.vec_id AS id_b,

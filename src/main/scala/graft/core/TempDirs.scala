@@ -1,0 +1,28 @@
+package graft.core
+
+import java.nio.file.{Files, Path}
+
+/** JVM-exit cleanup for throwaway on-disk artifacts (one-shot IVF indexes,
+  * memoized per-process state stores). Frames returned to callers may still
+  * read from these directories, so they cannot be deleted eagerly — but a
+  * long-lived host process repeatedly creating one-shot indexes must not
+  * leak disk across invocations. `File.deleteOnExit` cannot remove
+  * non-empty directories; this hook walks them. */
+object TempDirs {
+  private val dirs = new java.util.concurrent.ConcurrentLinkedQueue[Path]()
+
+  Runtime.getRuntime.addShutdownHook(new Thread(() => {
+    dirs.forEach { p =>
+      if (Files.exists(p)) {
+        val w = Files.walk(p)
+        try w.sorted(java.util.Comparator.reverseOrder())
+          .forEach(q => { Files.deleteIfExists(q); () })
+        catch { case _: Exception => () } // best-effort on exit
+        finally w.close()
+      }
+    }
+  }, "graft-tempdir-cleanup"))
+
+  /** Register `p` for recursive deletion at JVM exit; returns `p`. */
+  def register(p: Path): Path = { dirs.add(p); p }
+}

@@ -99,33 +99,112 @@ object Ivf {
     trainCentroids(corpus, idCol, vecCol, nCells, iters).toDF("cell", "centroid")
   }
 
+  /** Nearest-cell id per corpus row for a FIXED centroid set — the
+    * assignment substrate of the index, exposed so it can be oracle-checked
+    * (and reused by incremental maintenance). Narrow projection: centroids
+    * are literals, no join, no shuffle. Output: (idCol, cell). */
+  def assignCells(corpus: DataFrame, idCol: String, vecCol: String,
+                  cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    corpus.select(col(idCol),
+        transform(col(vecCol), _.cast("double")).as("__v"))
+      .withColumn("__n", sqrt(Similarity.dot(col("__v"), col("__v"))))
+      .select(col(idCol), nearestCell(col("__v"), col("__n"), centLit(cents)).as("cell"))
+  }
+
   /** A built inverted-file index: the centroids (control data — kilobytes)
     * plus the corpus assignment persisted partitioned by cell, so a probe
     * is a partition-pruned read of `nProbe` directories, never a corpus
-    * scan. Build once, probe many — the asymmetry is the point of IVF. */
+    * scan. Build once, probe many — the asymmetry is the point of IVF.
+    *
+    * Incremental maintenance ([[updateIndex]]) is log-structured: assignment
+    * rows carry a generation `gen`; an update batch APPENDS the new vectors'
+    * rows to their cells' partitions and appends (id, upto_gen) tombstones
+    * under `_tombstones/` (ignored by partition discovery — underscore
+    * prefix). A probe filters rows whose gen is below their id's tombstone
+    * horizon, so superseded versions and deletes resolve at read with one
+    * broadcast join against control-sized tombstones. Rebuild ([[buildIndex]])
+    * is the compaction. */
   final case class Index(centroids: Seq[(Int, Seq[Double])], assignDir: String) {
     def nCells: Int = centroids.size
+    def tombstoneDir: String = s"$assignDir/_tombstones"
   }
 
-  /** Train centroids and persist the (neighbor_id, vec, norm, cell)
-    * assignment under `dir`, one partition directory per cell. The
+  /** Train centroids and persist the assignment (gen 0). */
+  def buildIndex(corpus: DataFrame, idCol: String, vecCol: String, dir: String,
+                 nCells: Int = 16, iters: Int = 2): Index =
+    buildIndexWith(trainCentroids(corpus, idCol, vecCol, nCells, iters),
+      corpus, idCol, vecCol, dir)
+
+  /** Persist the (neighbor_id, vec, cell, gen) assignment for a FIXED
+    * centroid set under `dir`, one partition directory per cell. The
     * assignment projection is narrow (centroids are literals) — the only
     * exchange is the per-cell repartition of the write, which also gives
     * one file per cell directory. */
-  def buildIndex(corpus: DataFrame, idCol: String, vecCol: String, dir: String,
-                 nCells: Int = 16, iters: Int = 2): Index = {
+  def buildIndexWith(cents: Seq[(Int, Seq[Double])], corpus: DataFrame,
+                     idCol: String, vecCol: String, dir: String): Index = {
     GraftFunctions.register(corpus.sparkSession)
-    val cents = trainCentroids(corpus, idCol, vecCol, nCells, iters)
     corpus.select(col(idCol).as("neighbor_id"),
         transform(col(vecCol), _.cast("double")).as("__cv"))
       .withColumn("__cn", sqrt(Similarity.dot(col("__cv"), col("__cv"))))
       .withColumn("cell", nearestCell(col("__cv"), col("__cn"), centLit(cents)))
       .drop("__cn")
+      .withColumn("gen", lit(0L))
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
       .parquet(dir)
     Index(cents, dir)
+  }
+
+  /** Apply one change batch to a built index WITHOUT retraining or
+    * rebuilding: new/updated vectors assign to their nearest (fixed)
+    * centroid and append to that cell's partition directory under `gen`;
+    * upserted and deleted ids gain a tombstone at `gen` so their older
+    * rows die at probe time. `gen` must increase per batch (the engine's
+    * batch id). Deletes are an id-only frame (`idCol`). */
+  def updateIndex(index: Index, upserts: DataFrame, idCol: String, vecCol: String,
+                  deletes: DataFrame, gen: Long): Unit = {
+    val spark = upserts.sparkSession
+    GraftFunctions.register(spark)
+    val assigned = upserts
+      .select(col(idCol).as("neighbor_id"),
+        transform(col(vecCol), _.cast("double")).as("__cv"))
+      .withColumn("__cn", sqrt(Similarity.dot(col("__cv"), col("__cv"))))
+      .withColumn("cell", nearestCell(col("__cv"), col("__cn"), centLit(index.centroids)))
+      .drop("__cn")
+      .withColumn("gen", lit(gen))
+    assigned
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell")
+      .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+      .parquet(index.assignDir)
+    // tombstones: a superseded upsert's old row may sit in a DIFFERENT cell
+    // (the vector moved), which a cell-pruned probe cannot see — the
+    // (id, upto_gen) horizon kills it wherever it lives
+    upserts.select(col(idCol).as("neighbor_id"))
+      .unionByName(deletes.select(col(idCol).as("neighbor_id")))
+      .distinct()
+      .withColumn("upto_gen", lit(gen))
+      .write.mode("append")
+      .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+      .parquet(index.tombstoneDir)
+  }
+
+  /** Cell rows surviving the tombstone horizon: row.gen >= max(upto_gen)
+    * of its id (no tombstone → survives). Tombstones are control-sized;
+    * the join is a broadcast. */
+  private def liveRows(index: Index, cells: DataFrame): DataFrame = {
+    val spark = cells.sparkSession
+    if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(index.tombstoneDir)))
+      cells
+    else {
+      val horizon = spark.read.parquet(index.tombstoneDir)
+        .groupBy(col("neighbor_id")).agg(max(col("upto_gen")).as("__upto"))
+      cells.join(broadcast(horizon), Seq("neighbor_id"), "left")
+        .filter(col("__upto").isNull || col("gen") >= col("__upto"))
+        .drop("__upto")
+    }
   }
 
   /** ANN top-k against a built index: rank the centroid literals per query,
@@ -152,8 +231,8 @@ object Ivf {
 
     val probedCells: Seq[Int] =
       probes.select(col("cell")).distinct().collect().map(_.getInt(0)).toSeq
-    val cells = spark.read.parquet(index.assignDir)
-      .filter(col("cell").isin(probedCells: _*))
+    val cells = liveRows(index, spark.read.parquet(index.assignDir)
+      .filter(col("cell").isin(probedCells: _*)))
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
@@ -166,10 +245,13 @@ object Ivf {
   }
 
   /** One-shot convenience: build a throwaway index, then probe it. Use
-    * [[buildIndex]] + [[probe]] anywhere the index outlives one query. */
+    * [[buildIndex]] + [[probe]] anywhere the index outlives one query. The
+    * throwaway directory is registered for JVM-exit cleanup (the returned
+    * frame still reads from it, so it cannot be deleted eagerly). */
   def topK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
            k: Int, nCells: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    val dir = graft.core.TempDirs.register(
+      java.nio.file.Files.createTempDirectory("graft_ivf")).toString
     probe(buildIndex(corpus, idCol, vecCol, dir, nCells, iters),
       queries, idCol, vecCol, k, nProbe)
   }

@@ -79,6 +79,37 @@ object Similarity {
     call_function("graft_lshbucket", vec, lit(dim), lit(nBits), lit(seed))
   }
 
+  /** md5-derived hyperplane components — the cross-engine-reproducible LSH
+    * family (same role as the md5 SimHash/rolling-hash kernels): component
+    * (i, j) is the first 16 bits of md5("lsh:seed:i:j") mapped into [-1, 1].
+    * Hyperplanes are CONTROL data (nBits × dim doubles), computed once on
+    * the driver and inlined as literals, so bucket assignment stays a
+    * narrow codegen'd projection — and an external engine can re-derive
+    * the exact same family from its own md5. */
+  def md5Hyperplanes(dim: Int, nBits: Int, seed: Int = 0): Seq[Seq[Double]] =
+    (0 until nBits).map { i =>
+      (0 until dim).map { j =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"lsh:$seed:$i:$j".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val v = ((h(0) & 0xFF) << 8) | (h(1) & 0xFF) // first 4 hex nibbles
+        ((v % 1001) - 500) / 500.0
+      }
+    }
+
+  /** Sign-pattern bucket id over the md5 hyperplane family. Bit-for-bit
+    * reproducible in any engine with md5 + an ordered fold (the DuckDB
+    * oracle re-derives it); [[lshBucket]] stays the xxhash64 throughput
+    * path. */
+  def lshBucketMd5(vec: Column, dim: Int, nBits: Int = 8, seed: Int = 0): Column = {
+    graft.functions.GraftFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
+    val planes = md5Hyperplanes(dim, nBits, seed)
+    val v = transform(vec, _.cast("double"))
+    (0 until nBits).map { i =>
+      when(dot(v, typedlit(planes(i))) > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+  }
+
   /** Interpreted-HOF LSH bucket (reference semantics for the kernel). */
   def lshBucketHof(vec: Column, dim: Int, nBits: Int = 12, seed: Int = 0): Column = {
     val bits = (0 until nBits).map { i =>

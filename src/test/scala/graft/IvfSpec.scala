@@ -31,6 +31,48 @@ class IvfSpec extends AnyFunSuite with SparkTestBase {
     assert(ivf.groupBy(_._1).forall(_._2.size <= 5))
   }
 
+  test("incremental maintenance: update batch probe equals a fresh rebuild's probe") {
+    // fixed centroids (production retrains rarely; maintenance never does)
+    val cents = Ivf.train(emb, "vec_id", "embedding", nCells = 8, iters = 2)
+      .as[(Int, Seq[Double])].collect().toSeq.sortBy(_._1)
+
+    val corpus0 = emb.filter(col("vec_id") < 400)
+    // the batch: 10 updated vectors (content moved -> may change cell),
+    // 20 inserts, 10 deletes
+    val updated = emb.filter(col("vec_id") < 10)
+      .withColumn("embedding", reverse(col("embedding")))
+    val inserts = emb.filter(col("vec_id") >= 400 && col("vec_id") < 420)
+    val deletes = emb.filter(col("vec_id") >= 390 && col("vec_id") < 400)
+      .select(col("vec_id"))
+    val corpus1 = corpus0
+      .filter(col("vec_id") >= 10 && col("vec_id") < 390)
+      .unionByName(updated).unionByName(inserts)
+
+    val dirA = java.nio.file.Files.createTempDirectory("graft_ivf_incr").toString
+    val indexA = Ivf.buildIndexWith(cents, corpus0, "vec_id", "embedding", dirA)
+    Ivf.updateIndex(indexA, updated.unionByName(inserts), "vec_id", "embedding",
+      deletes, gen = 1L)
+
+    val dirB = java.nio.file.Files.createTempDirectory("graft_ivf_rebuild").toString
+    val indexB = Ivf.buildIndexWith(cents, corpus1, "vec_id", "embedding", dirB)
+
+    val q = emb.filter(col("vec_id") % 50 === 0)
+    def rows(ix: Ivf.Index) =
+      Ivf.probe(ix, q, "vec_id", "embedding", k = 5, nProbe = 3)
+        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 9), col("rank"))
+        .as[(Long, Long, Double, Int)].collect().toSet
+    assert(rows(indexA) == rows(indexB),
+      "maintained index must probe identically to a rebuild over the same corpus")
+    // deleted ids are gone, inserted ids reachable
+    val all = spark.read.parquet(indexA.assignDir)
+    assert(all.filter(col("neighbor_id") === 395).count() == 1,
+      "the stale row still exists on disk (log-structured)")
+    val probedAll = Ivf.probe(indexA, emb.filter(col("vec_id") === 0),
+      "vec_id", "embedding", k = 1000, nProbe = 8)
+    assert(probedAll.filter(col("neighbor_id").isin(390 to 399: _*)).count() == 0)
+    graft.ops.Caches.release()
+  }
+
   test("build once / probe twice: probes share the persisted index and prune to probed cells") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_spec").toString
     val index = Ivf.buildIndex(emb, "vec_id", "embedding", dir, nCells = 16, iters = 2)
