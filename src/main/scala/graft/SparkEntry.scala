@@ -6,7 +6,7 @@ import graft.incr._
 import graft.multimodal.Multimodal
 import graft.ops._
 import graft.sim.{Ivf, Similarity}
-import graft.text.TextFunctions
+import graft.text.{Curation, TextFunctions}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -581,6 +581,29 @@ object SparkEntry {
       out
     }),
 
+    // The production sink shape for the same streaming aggregation: UPDATE
+    // output mode drained through foreachBatch into the durable bucketed
+    // store — per-batch IO tracks the changed key set and the result lives
+    // in the store, not in driver memory (the complete-mode memory sink
+    // above is the test-harness variant; this is what a 100 TB feed runs)
+    "events_hourly_upsert" -> ((s, dir) => {
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val agg = graft.streaming.EventWindows
+        .typedWindowAgg(stream, "ts", watermark = "2 hours", window = "1 hour")
+      val store = new BucketedStateStore(
+        graft.core.TempDirs.register(
+          java.nio.file.Files.createTempDirectory("graft_ev_upsert")).toString,
+        numBuckets = 16)
+      graft.streaming.EventWindows.drainToStore(agg, store, "hourly",
+        concat_ws("|", unix_timestamp(col("window_start")).cast("string"),
+          col("event_type")))
+      graft.streaming.EventWindows.storedTable(s, store, "hourly")
+        .select(unix_timestamp(col("window_start")).as("hour"), col("event_type"),
+          col("cnt"), round(col("sum_value"), 2).as("sum_value"))
+    }),
+
     // ---- training-data pipeline extensions --------------------------------
 
     // Exact dedup survivors (hash-groupBy on content fingerprint)
@@ -805,6 +828,55 @@ object SparkEntry {
       blobs.select(col("doc_id"),
         length(rz).cast("long").as("resized_bytes"),
         substring(hex(rz), 1, 128).as("resized_hex_prefix"))
+    }),
+
+    // Benchmark decontamination: documents sharing any distinct 5-gram with
+    // the benchmark subset (doc_id % 97 == 0). The benchmark docs stay IN
+    // the corpus — a leaked benchmark document must flag itself — and the
+    // benchmark n-gram set is broadcast (control-sized next to the corpus)
+    "decon_overlap" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Curation.contamination(docs, docs.filter(col("doc_id") % 97 === 0),
+        "text", "doc_id", n = 5)
+    }),
+
+    // PII scrubbing. The synthetic corpus is PII-free, so each row gets a
+    // deterministic injected contact line (email + phone + IPv4) derived
+    // from its doc_id; the oracle injects the identical line and re-derives
+    // the scrub md5 and span count with the same RE2-safe regexes
+    "text_pii_scrub" -> ((s, dir) => {
+      val injected = concat(col("text"),
+        lit(" contact u"), col("doc_id").cast("string"),
+        lit("@mail.example.org or 555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+        lit(" from 10.1."), pmod(col("doc_id"), lit(256)).cast("string"),
+        lit(".9"))
+      t(s, dir, "documents").select(col("doc_id"),
+        Curation.piiCount(injected).as("n_pii"),
+        md5(Curation.scrubPii(injected)).as("scrub_md5"))
+    }),
+
+    // Deterministic stratified sampling: per-language keep rates over an
+    // md5-derived uniform — the same rows survive at any scale, partitioning
+    // or re-run (df.sample's partition-seeded RNG gives none of that)
+    "sample_stratified" -> ((s, dir) =>
+      Curation.stratifiedSample(t(s, dir, "documents"), "doc_id", "lang",
+        rates = Map("en" -> 0.5, "es" -> 0.3, "fr" -> 0.3,
+          "de" -> 0.2, "zh" -> 0.2))
+        .select(col("doc_id"), col("lang"))),
+
+    // Sequence packing: fixed token-budget training sequences within
+    // (lang, shard) lanes — shard count bounds every window, no global sort
+    "pack_sequences" -> ((s, dir) =>
+      Curation.packSequences(t(s, dir, "documents"), "doc_id", "text", "lang",
+        budgetTokens = 2048, nShards = 4)),
+
+    // Embedding int8 min-max quantization (the 4x storage compression an
+    // embedding store applies before indexing; codes engine-reproducible)
+    "embed_quantize" -> ((s, dir) => {
+      val q = Curation.quantizeInt8(col("embedding"))
+      t(s, dir, "embeddings").select(col("vec_id"),
+        array_join(transform(q, _.cast("string")), ",").as("q_csv"))
     })
   )
 
@@ -972,6 +1044,10 @@ object SparkEntry {
            event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
            FROM events GROUP BY 1, 2""",
       "events_hourly_forever" ->
+        """SELECT CAST(epoch_ns(ts) // 3600000000000 * 3600 AS BIGINT) AS hour,
+           event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+           FROM events GROUP BY 1, 2""",
+      "events_hourly_upsert" ->
         """SELECT CAST(epoch_ns(ts) // 3600000000000 * 3600 AS BIGINT) AS hour,
            event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
            FROM events GROUP BY 1, 2""",
@@ -1177,7 +1253,71 @@ object SparkEntry {
            SELECT doc_id, CAST(len(kept) AS BIGINT) AS resized_bytes,
              substring(coalesce(array_to_string(kept, ''), ''), 1, 128)
                AS resized_hex_prefix
-           FROM b"""
+           FROM b""",
+      "decon_overlap" -> {
+        // word 5-gram shingles, distinct per doc — mirrors
+        // DocDedup.shingles(n=5) ∘ array_distinct
+        val sh5 =
+          raw"""list_distinct(CASE WHEN len($toks) < 5
+                THEN [array_to_string($toks, ' ')]
+                ELSE list_transform(range(len($toks) - 4),
+                  i -> $toks[i+1] || ' ' || $toks[i+2] || ' ' || $toks[i+3]
+                       || ' ' || $toks[i+4] || ' ' || $toks[i+5]) END)"""
+        s"""WITH sh AS (SELECT doc_id, unnest($sh5) AS sh FROM documents),
+              b AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0)
+            SELECT sh.doc_id, count(*) AS n_hits
+            FROM sh JOIN b USING (sh) GROUP BY sh.doc_id"""
+      },
+      "text_pii_scrub" ->
+        raw"""WITH p AS (SELECT doc_id,
+                text || ' contact u' || doc_id::VARCHAR || '@mail.example.org or 555-'
+                  || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                  || ' from 10.1.' || (doc_id % 256)::VARCHAR || '.9' AS t0
+              FROM documents),
+            s1 AS (SELECT doc_id,
+                len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS c1,
+                regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+              FROM p),
+            s2 AS (SELECT doc_id, c1,
+                len(regexp_extract_all(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS c2,
+                regexp_replace(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t2
+              FROM s1)
+            SELECT doc_id,
+              CAST(c1 + c2 + len(regexp_extract_all(t2, '\b\d{3}[-. ]\d{4}\b')) AS BIGINT) AS n_pii,
+              md5(regexp_replace(t2, '\b\d{3}[-. ]\d{4}\b', '<PHONE>', 'g')) AS scrub_md5
+            FROM s2""",
+      "sample_stratified" -> {
+        // first 32 bits of md5('graft-sample:' || doc_id) as a uniform in
+        // [0,1) — exactly Curation.hashUniform
+        def nib(k: Int) =
+          s"(strpos('0123456789abcdef', substr(h, $k, 1)) - 1)::BIGINT"
+        val u32 = (1 to 8).map(k => s"${nib(k)} * ${1L << (4 * (8 - k))}")
+          .mkString(" + ")
+        s"""WITH d AS (SELECT doc_id, lang,
+                md5('graft-sample:' || doc_id::VARCHAR) AS h FROM documents)
+            SELECT doc_id, lang FROM d
+            WHERE ($u32) / 4294967296.0 <
+              CASE lang WHEN 'en' THEN 0.5 WHEN 'es' THEN 0.3 WHEN 'fr' THEN 0.3
+                WHEN 'de' THEN 0.2 WHEN 'zh' THEN 0.2 ELSE 0.0 END"""
+      },
+      "pack_sequences" ->
+        raw"""WITH d AS (SELECT doc_id, lang, CAST(doc_id % 4 AS INTEGER) AS shard,
+                CAST(len(regexp_extract_all(lower(trim(text)),
+                  '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]')) AS BIGINT) AS n_tok
+              FROM documents)
+            SELECT doc_id, lang, shard, n_tok,
+              CAST(floor((sum(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
+                ROWS UNBOUNDED PRECEDING) - n_tok) / 2048) AS BIGINT) AS seq_id
+            FROM d""",
+      "embed_quantize" ->
+        """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              m AS (SELECT vec_id, v, list_aggregate(v, 'min') AS mn,
+                    list_aggregate(v, 'max') AS mx FROM e)
+           SELECT vec_id, array_to_string(list_transform(v,
+               x -> CASE WHEN mx = mn THEN '0'
+                 ELSE ((round((x - mn) / (mx - mn) * 255) - 128)::INTEGER)::VARCHAR END),
+             ',') AS q_csv
+           FROM m"""
     )
   }
 }

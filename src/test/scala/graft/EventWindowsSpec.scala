@@ -104,4 +104,49 @@ class EventWindowsSpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, String, Long, Double)].collect().toSet
     assert(out == Set((0L, "click", 2L, 3.0), (2 * 3600L, "view", 1L, 7.0)))
   }
+
+  test("update-mode drain upserts into the bucketed store across micro-batches") {
+    val mem = MemoryStream[(Long, String, Double)](spark)
+    val agg = EventWindows.typedWindowAgg(
+      mem.toDF().toDF("ts", "event_type", "value"),
+      "ts", watermark = "2 hours", window = "1 hour")
+    val store = new graft.incr.BucketedStateStore(
+      java.nio.file.Files.createTempDirectory("graft_upsert_spec").toString,
+      numBuckets = 4)
+    val key = concat_ws("|",
+      unix_timestamp(col("window_start")).cast("string"), col("event_type"))
+    val q = agg.writeStream.outputMode("update")
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        EventWindows.upsertBatch(store, "hourly", key, ds, id)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+      .start()
+
+    def stored(): Set[(Long, String, Long, Double)] =
+      EventWindows.storedTable(spark, store, "hourly")
+        .select(unix_timestamp(col("window_start")).as("start"), col("event_type"),
+          col("cnt"), col("sum_value"))
+        .as[(Long, String, Long, Double)].collect().toSet
+
+    // batch 1: two hour-0 clicks
+    mem.addData((1L * H / 4, "click", 1.0), (2L * H / 4, "click", 2.0))
+    q.processAllAvailable()
+    assert(stored() == Set((0L, "click", 2L, 3.0)))
+
+    // batch 2: an UPDATE to hour-0 click (same key — the aggregate moves,
+    // not appends) plus a brand-new hour-1 view key
+    mem.addData((3L * H / 4, "click", 4.0), (H + H / 4, "view", 7.0))
+    q.processAllAvailable()
+    q.stop(); q.awaitTermination()
+    assert(stored() == Set((0L, "click", 3L, 7.0), (3600L, "view", 1L, 7.0)),
+      "updated key must replace its row; untouched keys carry over")
+
+    // replaying an already-committed batch id is a no-op (exactly-once)
+    val before = store.committedBatch
+    val replay = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      EventWindows.storedTable(spark, store, "hourly").drop("__k").schema)
+    EventWindows.upsertBatch(store, "hourly", key, replay, before.get)
+    assert(stored() == Set((0L, "click", 3L, 7.0), (3600L, "view", 1L, 7.0)))
+  }
 }
