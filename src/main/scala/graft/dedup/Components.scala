@@ -33,9 +33,22 @@ import org.apache.spark.sql.functions._
 object Components {
 
   /** (id, cluster) for every node that appears in `pairs`; `cluster` is the
-    * smallest id in the node's connected component. */
+    * smallest id in the node's connected component.
+    *
+    * Hybrid execution: the edge set is counted first (one job against the
+    * cached frame that every path materializes anyway). At or below
+    * `driverEdgeLimit` edges — megabytes, the same control-data regime as
+    * collected centroids or touched-bucket sets — the closure runs as a
+    * single collect + union-find on the driver: the O(log n) distributed
+    * loop's per-round fixed job cost (2 joins + fingerprint probe × ~3-5
+    * rounds) buys nothing on a graph that fits in one task. Above the
+    * limit the label-propagation loop below is the scale path; both paths
+    * are property-tested equal. Integral id types only on the driver path
+    * (near-dup ids are longs everywhere here); anything else always runs
+    * distributed. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIters: Int = 25): DataFrame = {
+                          maxIters: Int = 25,
+                          driverEdgeLimit: Long = 500000L): DataFrame = {
     // undirected edge set, both directions (distinct: band dedup upstream
     // usually already did this, but correctness must not depend on it)
     val edges = pairs.select(col(aCol).as("__src"), col(bCol).as("__dst"))
@@ -44,6 +57,19 @@ object Components {
     graft.ops.Caches.track(edges)
 
     val spark = pairs.sparkSession
+    val idType = edges.schema("__src").dataType
+    val integralIds = idType match {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+    if (integralIds && edges.count() <= driverEdgeLimit) {
+      import spark.implicits._
+      val es = edges.select(col("__src").cast("long"), col("__dst").cast("long"))
+        .as[(Long, Long)].collect()
+      return driverUnionFind(es).toSeq.toDF("id", "cluster")
+        .select(col("id").cast(idType), col("cluster").cast(idType).as("cluster"))
+    }
     // tiny-data loop: every round shuffles (id, label) pairs of the
     // near-dup node set — AQE's per-stage job splitting and the session's
     // shuffle width only add fixed overhead here (same rationale as
@@ -105,6 +131,31 @@ object Components {
     }
     labels.select(col("id"), col("label").as("cluster"))
     }
+  }
+
+  /** Min-representative union-find (union attaches the larger root under
+    * the smaller, so every root IS its component's min id; iterative find
+    * with path compression — no recursion, safe on long chains). */
+  private[dedup] def driverUnionFind(es: Array[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.getOrElse(x, x)
+      while (p != x) { x = p; p = parent.getOrElse(x, x) }
+      var y = x0
+      while (y != x) { val py = parent.getOrElse(y, y); parent(y) = x; y = py }
+      x
+    }
+    es.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val out = scala.collection.mutable.LongMap.empty[Long]
+    es.foreach { case (a, b) =>
+      if (!out.contains(a)) out(a) = find(a)
+      if (!out.contains(b)) out(b) = find(b)
+    }
+    out.toMap
   }
 
   /** Drop every non-representative member of each near-dup cluster: a doc

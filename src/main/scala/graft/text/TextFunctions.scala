@@ -38,22 +38,35 @@ object TextFunctions {
     "zh" -> Seq("的", "是", "了", "在", "我")
   )
 
+  /** Evaluate `f` over the tokenization bound ONCE per row: higher-order
+    * functions are interpreted with no common-subexpression elimination, so
+    * an expression referencing `tokens(text)` from inside a lambda (or just
+    * several times) re-runs the regex split at every reference — the
+    * single-element `transform` turns each reference into an O(1) lambda-
+    * slot read (same trick and measurement as [[graft.dedup.DocDedup
+    * .shingles]]; ~10 re-tokenizations per row in the language/quality
+    * gates before). `f`'s result must be castable into one column. */
+  private def withTokens(text: Column)(f: Column => Column): Column =
+    element_at(transform(array(tokens(text)), f), 1)
+
+  /** Count of `toks` members that appear in `words`. */
+  private def markerHitsOf(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit(_)): _*)))
+
   /** Count of tokens that appear in `words`. */
   def markerHits(text: Column, words: Seq[String]): Column =
-    size(filter(tokens(text), t => t.isin(words.map(lit(_)): _*)))
+    markerHitsOf(tokens(text), words)
 
   /** Language-ID: argmax of marker-word hits, deterministic tie-break by
-    * language code order; "und" when nothing matches. */
-  def langId(text: Column): Column = {
-    val scored = langMarkers.map { case (code, words) =>
-      struct(markerHits(text, words).as("hits"), lit(code).as("code"))
-    }
+    * language code order; "und" when nothing matches. One tokenization per
+    * row (bound through [[withTokens]]) feeding all languages' counts. */
+  def langId(text: Column): Column = withTokens(text) { toks =>
     // greatest hits wins; on ties the earlier langMarkers entry wins
     // (greatest() keeps the later element on full struct ties, so embed the
     // inverse rank to make the tie-break explicit):
     val ranked = langMarkers.zipWithIndex.map { case ((code, words), i) =>
       struct(
-        markerHits(text, words).as("hits"),
+        markerHitsOf(toks, words).as("hits"),
         lit(langMarkers.size - i).as("prio"),
         lit(code).as("code"))
     }
@@ -68,28 +81,45 @@ object TextFunctions {
       .otherwise((n - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast("double") / n.cast("double"))
   }
 
+  /** `tokenCount` over bound tokens (the empty-text guard needs `text`). */
+  private def tokenCountOf(text: Column, toks: Column): Column =
+    when(length(trim(text)) === 0, lit(0)).otherwise(size(toks))
+
   /** Stopword-token ratio (English stopword list). */
-  def stopwordRatio(text: Column): Column = {
+  def stopwordRatio(text: Column): Column = withTokens(text) { toks =>
+    stopwordRatioOf(text, toks)
+  }
+
+  private def stopwordRatioOf(text: Column, toks: Column): Column = {
     val stop = langMarkers.toMap.apply("en")
-    when(tokenCount(text) === 0, lit(0.0))
-      .otherwise(markerHits(text, stop).cast("double") / tokenCount(text).cast("double"))
+    val n = tokenCountOf(text, toks)
+    when(n === 0, lit(0.0))
+      .otherwise(markerHitsOf(toks, stop).cast("double") / n.cast("double"))
   }
 
   /** Mean token length in characters. */
-  def meanTokenLen(text: Column): Column =
-    when(tokenCount(text) === 0, lit(0.0))
+  def meanTokenLen(text: Column): Column = withTokens(text) { toks =>
+    meanTokenLenOf(text, toks)
+  }
+
+  private def meanTokenLenOf(text: Column, toks: Column): Column = {
+    val n = tokenCountOf(text, toks)
+    when(n === 0, lit(0.0))
       .otherwise(
-        aggregate(tokens(text), lit(0L), (acc, t) => acc + length(t)).cast("double")
-          / tokenCount(text).cast("double"))
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double")
+          / n.cast("double"))
+  }
 
   /** Composite quality score in [0,1]: length band + low punctuation +
     * reasonable mean word length + some stopwords (the classic cheap
-    * pre-filters a pretraining pipeline applies before dedup). */
-  def qualityScore(text: Column): Column = {
+    * pre-filters a pretraining pipeline applies before dedup). One
+    * tokenization per row feeds the word and stopword bands. */
+  def qualityScore(text: Column): Column = withTokens(text) { toks =>
     val lenOk = when(length(text).between(100, 20000), lit(0.4)).otherwise(lit(0.0))
     val punctOk = when(punctRatio(text) < 0.2, lit(0.2)).otherwise(lit(0.0))
-    val wordOk = when(meanTokenLen(text).between(2.0, 12.0), lit(0.2)).otherwise(lit(0.0))
-    val stopOk = when(stopwordRatio(text) > 0.01, lit(0.2)).otherwise(lit(0.0))
+    val wordOk = when(meanTokenLenOf(text, toks).between(2.0, 12.0), lit(0.2))
+      .otherwise(lit(0.0))
+    val stopOk = when(stopwordRatioOf(text, toks) > 0.01, lit(0.2)).otherwise(lit(0.0))
     lenOk + punctOk + wordOk + stopOk
   }
 

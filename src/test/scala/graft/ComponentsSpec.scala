@@ -31,10 +31,32 @@ class ComponentsSpec extends AnyFunSuite with SparkTestBase {
 
   test("a long path converges within the O(log n) round budget") {
     // path of 40 nodes: diameter 39 — pure neighbor propagation would need
-    // ~39 rounds; pointer jumping must close it within the default 25
+    // ~39 rounds; pointer jumping must close it within the default 25.
+    // driverEdgeLimit = 0 pins the DISTRIBUTED loop (the default would
+    // route a graph this small to the driver union-find)
     val ps = (0L until 39L).map(i => (i, i + 1))
-    val labels = cc(ps: _*)
+    val labels = Components
+      .connectedComponents(pairs(ps: _*), "id_a", "id_b", driverEdgeLimit = 0L)
+      .as[(Long, Long)].collect().toMap
     assert(labels.size == 40 && labels.values.forall(_ == 0L))
+    graft.ops.Caches.release()
+  }
+
+  test("driver union-find path and distributed loop agree on every shape") {
+    val shapes = Seq(
+      Seq((1L, 2L), (2L, 3L), (1L, 3L), (11L, 10L),
+        (20L, 21L), (21L, 22L), (22L, 23L), (23L, 24L)),
+      (0L until 39L).map(i => (i, i + 1)),
+      Seq((5L, 5L))) // self-loop degenerate
+    shapes.foreach { ps =>
+      val viaDriver = Components
+        .connectedComponents(pairs(ps: _*), "id_a", "id_b")
+        .as[(Long, Long)].collect().toMap
+      val viaLoop = Components
+        .connectedComponents(pairs(ps: _*), "id_a", "id_b", driverEdgeLimit = 0L)
+        .as[(Long, Long)].collect().toMap
+      assert(viaDriver == viaLoop, s"paths diverge on $ps")
+    }
     graft.ops.Caches.release()
   }
 
