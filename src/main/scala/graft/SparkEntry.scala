@@ -6,7 +6,7 @@ import graft.incr._
 import graft.multimodal.Multimodal
 import graft.ops._
 import graft.sim.{Ivf, Similarity}
-import graft.text.{Curation, TextFunctions}
+import graft.text.{Curation, Repetition, TextFunctions}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -877,7 +877,26 @@ object SparkEntry {
       val q = Curation.quantizeInt8(col("embedding"))
       t(s, dir, "embeddings").select(col("vec_id"),
         array_join(transform(q, _.cast("string")), ",").as("q_csv"))
-    })
+    }),
+
+    // Gopher-style repetition signals + gate: one tokenization per row
+    // feeding top-word / top-bigram / duplicate-trigram fractions — a pure
+    // narrow projection, thresholds calibrated to split this corpus
+    "text_repetition" -> ((s, dir) =>
+      Repetition.signalTable(t(s, dir, "documents"), "text", "doc_id")),
+
+    // Corpus-informed rarity stats: vocabulary-sized df table broadcast
+    // back over the token stream; all-integer outputs (exact at any scale)
+    "text_doc_freq" -> ((s, dir) =>
+      Repetition.docFreqStats(t(s, dir, "documents"), "text", "doc_id",
+        rareMaxDf = 50L)),
+
+    // Deterministic data mixture: greedy per-source fill to a token budget
+    // in md5-uniform order (src0 uncapped, src1 dropped, rest 800 tokens)
+    "mix_budget" -> ((s, dir) =>
+      Curation.mixToBudget(t(s, dir, "documents"), "doc_id", "text", "source",
+        budgets = Map("src0" -> 10000000L, "src1" -> 0L),
+        defaultBudget = 800L))
   )
 
   /** DuckDB equivalents over the same parquet tables. Column names/aliases
@@ -1317,7 +1336,55 @@ object SparkEntry {
                x -> CASE WHEN mx = mn THEN '0'
                  ELSE ((round((x - mn) / (mx - mn) * 255) - 128)::INTEGER)::VARCHAR END),
              ',') AS q_csv
-           FROM m"""
+           FROM m""",
+      "text_repetition" ->
+        raw"""WITH d AS (SELECT doc_id, $toks AS toks FROM documents),
+              s AS (SELECT doc_id, toks, len(toks) AS nw,
+                CASE WHEN len(toks) >= 2 THEN list_transform(range(len(toks) - 1),
+                  i -> toks[i+1] || ' ' || toks[i+2]) ELSE [] END AS bg,
+                CASE WHEN len(toks) >= 3 THEN list_transform(range(len(toks) - 2),
+                  i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) ELSE [] END AS tg
+              FROM d)
+            SELECT doc_id, CAST(nw AS BIGINT) AS n_words,
+              list_max(list_transform(list_distinct(toks),
+                w -> len(list_filter(toks, t -> t = w))))::DOUBLE / nw AS top_word_frac,
+              CASE WHEN nw >= 2 THEN list_max(list_transform(list_distinct(bg),
+                  w -> len(list_filter(bg, t -> t = w))))::DOUBLE / (nw - 1)
+                ELSE 0.0 END AS top_bigram_frac,
+              CASE WHEN nw >= 3 THEN 1.0 - len(list_distinct(tg))::DOUBLE / (nw - 2)
+                ELSE 0.0 END AS dup_trigram_frac,
+              (top_word_frac <= 0.12 AND top_bigram_frac <= 0.08
+                AND dup_trigram_frac <= 0.05) AS keep
+            FROM s""",
+      "text_doc_freq" ->
+        raw"""WITH d AS (SELECT doc_id, $toks AS toks FROM documents),
+              occ AS (SELECT doc_id, unnest(toks) AS word FROM d),
+              df AS (SELECT word, count(DISTINCT doc_id) AS df FROM occ GROUP BY word)
+            SELECT occ.doc_id, count(*) AS n_tok,
+              CAST(sum(df.df) AS BIGINT) AS sum_df,
+              CAST(sum(CASE WHEN df.df <= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+            FROM occ JOIN df USING (word) GROUP BY occ.doc_id""",
+      "mix_budget" -> {
+        // first 32 bits of md5('graft-mix:' || doc_id) as a uniform in
+        // [0,1) — exactly Curation.hashUniform with the graft-mix salt
+        def nib(k: Int) =
+          s"(strpos('0123456789abcdef', substr(h, $k, 1)) - 1)::BIGINT"
+        val u32 = (1 to 8).map(k => s"${nib(k)} * ${1L << (4 * (8 - k))}")
+          .mkString(" + ")
+        raw"""WITH d AS (SELECT doc_id, source,
+                CAST(len(regexp_extract_all(lower(trim(text)),
+                  '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]')) AS BIGINT) AS n_tok,
+                md5('graft-mix:' || doc_id::VARCHAR) AS h
+              FROM documents),
+            u AS (SELECT doc_id, source, n_tok, ($u32) / 4294967296.0 AS u FROM d),
+            c AS (SELECT doc_id, source, n_tok,
+                sum(n_tok) OVER (PARTITION BY source ORDER BY u, doc_id
+                  ROWS UNBOUNDED PRECEDING) AS cum_tok
+              FROM u)
+            SELECT doc_id, source, n_tok, CAST(cum_tok AS BIGINT) AS cum_tok
+            FROM c WHERE cum_tok - n_tok <
+              CASE source WHEN 'src0' THEN 10000000 WHEN 'src1' THEN 0 ELSE 800 END"""
+      }
     )
   }
 }

@@ -100,6 +100,45 @@ object Curation {
     docs.filter(hashUniform(col(idCol), salt) < rate)
   }
 
+  // ---------------------------------------------------------------- corpus mixing
+
+  /** Deterministic corpus mixing to a per-source token budget: within each
+    * source, documents are ranked by their [[hashUniform]] draw (a
+    * reproducible random order) and kept greedily until the source's token
+    * budget is exhausted — the "data mixture" step that turns per-domain
+    * sampling weights into an actual training set. A document is kept iff
+    * it STARTS before the budget line, so every source with a positive
+    * budget contributes at least one document.
+    *
+    * Sources absent from `budgets` get `defaultBudget`; a 0 budget drops
+    * the source entirely.
+    *
+    * Scale shape: one shuffle, partitioned by source, for the running-sum
+    * window. Uniform draws mean the kept prefix is contiguous in `u`, so at
+    * extreme per-source cardinality the same selection can be computed in
+    * two passes (approximate-quantile threshold on `u`, then an exact
+    * top-up of the boundary) without any per-source sequential window; the
+    * single-window form here is the exact, oracle-checkable variant and
+    * holds as long as one source's rows fit a shuffle partition's spill
+    * budget — AQE splits skewed sources. */
+  def mixToBudget(docs: DataFrame, idCol: String, textCol: String,
+                  sourceCol: String, budgets: Map[String, Long],
+                  defaultBudget: Long,
+                  salt: String = "graft-mix"): DataFrame = {
+    val budget = budgets.foldLeft(lit(defaultBudget)) {
+      case (acc, (src, b)) => when(col(sourceCol) === src, lit(b)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(col("__u"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col(idCol), col(sourceCol),
+        size(TextFunctions.subwordTokens(col(textCol))).cast("long").as("n_tok"),
+        hashUniform(col(idCol), salt).as("__u"), budget.as("__budget"))
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .filter(col("cum_tok") - col("n_tok") < col("__budget"))
+      .drop("__u", "__budget")
+  }
+
   // ---------------------------------------------------------------- sequence packing
 
   /** Pack documents into fixed token-budget training sequences: documents
