@@ -1,7 +1,7 @@
 package graft
 
 import graft.core._
-import graft.dedup.{Components, DocDedup}
+import graft.dedup.{Components, DocDedup, LshIndex}
 import graft.incr._
 import graft.multimodal.Multimodal
 import graft.ops._
@@ -513,6 +513,19 @@ object SparkEntry {
         .select(col("user_id"), col("session_start_us"), col("n_events"),
           round(col("sum_value"), 2).as("sum_value"))),
 
+    // Schema-on-read JSON sidecar extraction: parse the props column with
+    // an explicit DDL schema (from_json — codegen'd, no UDF, no inference
+    // scan) and aggregate the typed field per event_type
+    "events_props_agg" -> ((s, dir) => {
+      val k = graft.sources.SemiStructured.jsonField(col("props"), "k INT", "k")
+      t(s, dir, "events")
+        .select(col("event_type"), k.cast("long").as("k"))
+        .filter(col("k").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+    }),
+
     "events_hourly" -> ((s, dir) => {
       val ev = t(s, dir, "events") // ts is long ns (nanosAsLong)
       // integral div — FP division would lose precision on ~1e18 ns values
@@ -618,6 +631,28 @@ object SparkEntry {
       DocDedup.nearDupPairs(t(s, dir, "documents"), "text", "doc_id",
         threshold = 0.8, numHashes = 32, bands = 8, maxBucketSize = 10000)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
+
+    // Incremental near-dup: index two thirds of the corpus once, apply the
+    // remaining third as a live change batch, and dedup the batch against
+    // the persisted index (partition-pruned band/set reads — no corpus
+    // rescan). Build-time pairs ∪ batch probe must equal the one-shot
+    // full-recompute pair set, so this shares dedup_minhash's exact oracle
+    "dedup_minhash_incr" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val init = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      val batch = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+      val tmp = graft.core.TempDirs.register(
+        java.nio.file.Files.createTempDirectory("graft_lshidx")).toString
+      val idx = LshIndex.build(init, "text", "doc_id", tmp, threshold = 0.8,
+        numHashes = 32, bands = 8)
+      LshIndex.applyBatch(idx, batch, "text", "doc_id",
+        deletes = batch.select(col("doc_id")).limit(0), gen = 1L)
+      val initPairs = DocDedup.nearDupPairs(init, "text", "doc_id",
+        threshold = 0.8, numHashes = 32, bands = 8, maxBucketSize = 10000)
+      LshIndex.pairsFor(idx, batch, "text", "doc_id", maxBucketSize = 10000)
+        .unionByName(initPairs)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    }),
 
     // Near-dup RESOLUTION: pairs → connected components (min-label
     // propagation + pointer jumping, O(log n) joins) → keep the smallest
@@ -896,7 +931,13 @@ object SparkEntry {
     "mix_budget" -> ((s, dir) =>
       Curation.mixToBudget(t(s, dir, "documents"), "doc_id", "text", "source",
         budgets = Map("src0" -> 10000000L, "src1" -> 0L),
-        defaultBudget = 800L))
+        defaultBudget = 800L)),
+
+    // Per-source data-card profile: counts, language spread, size totals,
+    // exact median — one shuffle, map-side partials for the sums
+    "corpus_profile" -> ((s, dir) =>
+      Curation.corpusProfile(t(s, dir, "documents"),
+        "source", "lang", "n_chars", "text"))
   )
 
   /** DuckDB equivalents over the same parquet tables. Column names/aliases
@@ -1041,6 +1082,14 @@ object SparkEntry {
                            ELSE o_totalprice END)
            END, 2) AS sum_value
            FROM orders WHERE o_orderkey % 4 = 0 GROUP BY o_custkey""",
+      "events_props_agg" ->
+        raw"""SELECT event_type, count(*) AS n,
+           CAST(sum(k) AS BIGINT) AS sum_k, CAST(min(k) AS BIGINT) AS min_k,
+           CAST(max(k) AS BIGINT) AS max_k
+           FROM (SELECT event_type,
+             TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
+             FROM events)
+           WHERE k IS NOT NULL GROUP BY event_type""",
       "events_hourly" ->
         """SELECT CAST(epoch_ns(ts) // 3600000000000 * 3600 AS BIGINT) AS hour,
            event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
@@ -1075,6 +1124,16 @@ object SparkEntry {
             QUALIFY row_number() OVER (PARTITION BY md5(array_to_string($toks, ' '))
               ORDER BY doc_id) = 1""",
       "dedup_minhash" ->
+        s"""WITH sh AS (SELECT doc_id, $shingles AS s FROM documents)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              round(len(list_intersect(a.s, b.s))::DOUBLE
+                / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.s, b.s))::DOUBLE
+              / len(list_distinct(list_concat(a.s, b.s))) >= 0.8""",
+      // the incremental index path must reproduce the one-shot pair set
+      // exactly — identical oracle to dedup_minhash by construction
+      "dedup_minhash_incr" ->
         s"""WITH sh AS (SELECT doc_id, $shingles AS s FROM documents)
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
               round(len(list_intersect(a.s, b.s))::DOUBLE
@@ -1364,6 +1423,14 @@ object SparkEntry {
               CAST(sum(df.df) AS BIGINT) AS sum_df,
               CAST(sum(CASE WHEN df.df <= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
             FROM occ JOIN df USING (word) GROUP BY occ.doc_id""",
+      "corpus_profile" ->
+        raw"""SELECT source, count(*) AS n_docs,
+           count(DISTINCT lang) AS n_langs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(len(regexp_extract_all(lower(trim(text)),
+             '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]'))) AS BIGINT) AS total_tok,
+           quantile_cont(n_chars, 0.5) AS med_chars
+           FROM documents GROUP BY source""",
       "mix_budget" -> {
         // first 32 bits of md5('graft-mix:' || doc_id) as a uniform in
         // [0,1) — exactly Curation.hashUniform with the graft-mix salt

@@ -60,7 +60,7 @@ object DocDedup {
 
   /** (id, distinct shingle set) — the shared input of signature, banding and
     * verification. Computed exactly once per document. */
-  private def shingleSets(docs: DataFrame, textCol: String, idCol: String,
+  private[dedup] def shingleSets(docs: DataFrame, textCol: String, idCol: String,
                           shingleN: Int): DataFrame =
     graft.ops.Par.ensure(docs.select(col(idCol).as("__id"), col(textCol)))
       .select(col("__id"),
@@ -111,7 +111,7 @@ object DocDedup {
   /** Drop bucket groups larger than `cap` — a window count instead of a
     * groupBy+join: one shuffle on the same bucket key the candidate join
     * shuffles on anyway. */
-  private def capBuckets(banded: DataFrame, cap: Int,
+  private[dedup] def capBuckets(banded: DataFrame, cap: Int,
                          keys: Seq[String] = Seq("__band", "__bucket")): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*)
     banded.withColumn("__bsz", count(lit(1)).over(w))
@@ -120,7 +120,7 @@ object DocDedup {
   }
 
   /** LSH banding candidates over precomputed (id, shingle set, signature). */
-  private def bandedBuckets(sigs: DataFrame, bands: Int, rows: Int): DataFrame =
+  private[dedup] def bandedBuckets(sigs: DataFrame, bands: Int, rows: Int): DataFrame =
     sigs.select(col("__id"),
       explode(transform(
         sequence(lit(0), lit(bands - 1)),

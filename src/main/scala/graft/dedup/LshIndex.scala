@@ -1,0 +1,189 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted MinHash-LSH near-duplicate index with incremental maintenance —
+  * the online counterpart of [[DocDedup.nearDupPairs]]: a corpus is indexed
+  * ONCE, and each change batch is deduplicated against the index without
+  * rescanning or re-signing the corpus. The batch-vs-index pairs union the
+  * build-time pairs to exactly the full-recompute pair set (the banding is
+  * deterministic per document, so a pair shares a band bucket regardless of
+  * when each side was indexed — recall is identical to the one-shot path).
+  *
+  * Same log-structured design as [[graft.sim.Ivf]]: appends carry a
+  * generation stamp, upserted/deleted ids gain an (id, upto_gen) tombstone,
+  * and probes resolve both with one broadcast join against the
+  * control-sized tombstone set; rebuild is the compaction.
+  *
+  * Scale shape: both persisted tables are hash-partitioned (`bp` =
+  * bucket hash mod nPartitions for band buckets, `ip` = id hash mod
+  * nPartitions for shingle sets), so a batch probe statically prunes to the
+  * partitions its own band buckets / candidate ids land in — IO is
+  * proportional to the batch's bucket footprint, never the corpus. The
+  * partition key sets are control data (≤ nPartitions ints), collected like
+  * Ivf's probed cells.
+  *
+  * Reference scope: the reference engine has no similarity search; this is
+  * part of the training-data extension surface (its incremental SHAPE —
+  * derive only what a change batch touches — is A3/A5's contract,
+  * processor.py:99-158).
+  */
+object LshIndex {
+
+  /** Handle to a built index. `threshold`/`numHashes`/`bands`/`shingleN`
+    * are fixed at build time — probes and updates must agree with them. */
+  final case class Index(dir: String, threshold: Double, numHashes: Int,
+                         bands: Int, shingleN: Int, nPartitions: Int) {
+    def bandsDir: String = s"$dir/bands"
+    def setsDir: String = s"$dir/sets"
+    def tombstoneDir: String = s"$dir/_tombstones"
+  }
+
+  private def bp(bucket: org.apache.spark.sql.Column, n: Int) =
+    pmod(bucket, lit(n.toLong)).cast("int")
+  private def ip(id: org.apache.spark.sql.Column, n: Int) =
+    pmod(xxhash64(id), lit(n.toLong)).cast("int")
+
+  /** (id, band, bucket) + (id, shingle set) for one document frame, both
+    * derived from a single shingle/signature computation. */
+  private def signed(docs: DataFrame, textCol: String, idCol: String,
+                     idx: Index): (DataFrame, DataFrame) = {
+    val sets = DocDedup.shingleSets(docs, textCol, idCol, idx.shingleN)
+    val sigs = sets.withColumn("__sig",
+      DocDedup.minhashSignatureOfSets(col("__sh"), idx.numHashes))
+    (DocDedup.bandedBuckets(sigs, idx.bands, idx.numHashes / idx.bands), sets)
+  }
+
+  private def writeBatch(banded: DataFrame, sets: DataFrame, idx: Index,
+                         gen: Long, mode: String): Unit = {
+    banded
+      .withColumn("gen", lit(gen))
+      .withColumn("bp", bp(col("__bucket"), idx.nPartitions))
+      .repartition(col("bp"))
+      .write.mode(mode).partitionBy("bp")
+      .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+      .parquet(idx.bandsDir)
+    sets
+      .withColumn("gen", lit(gen))
+      .withColumn("ip", ip(col("__id"), idx.nPartitions))
+      .repartition(col("ip"))
+      .write.mode(mode).partitionBy("ip")
+      .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+      .parquet(idx.setsDir)
+  }
+
+  /** Index `docs` under `dir` (generation 0). */
+  def build(docs: DataFrame, textCol: String, idCol: String, dir: String,
+            threshold: Double, numHashes: Int = 32, bands: Int = 8,
+            shingleN: Int = 3, nPartitions: Int = 64): Index = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val idx = Index(dir, threshold, numHashes, bands, shingleN, nPartitions)
+    val (banded, sets) = signed(docs, textCol, idCol, idx)
+    writeBatch(banded, sets, idx, gen = 0L, mode = "overwrite")
+    idx
+  }
+
+  /** Apply one change batch WITHOUT touching existing index rows: sign the
+    * upserts, append their band/set rows at `gen`, and tombstone
+    * upserted ∪ deleted ids at `gen` (an upsert's OLD signature may occupy
+    * different buckets — the horizon kills it wherever it lives). `gen`
+    * must increase per batch. `deletes` is an id-only frame (`idCol`). */
+  def applyBatch(idx: Index, upserts: DataFrame, textCol: String, idCol: String,
+                 deletes: DataFrame, gen: Long): Unit = {
+    val (banded, sets) = signed(upserts, textCol, idCol, idx)
+    writeBatch(banded, sets, idx, gen, mode = "append")
+    upserts.select(col(idCol).as("__id"))
+      .unionByName(deletes.select(col(idCol).as("__id")))
+      .distinct()
+      .withColumn("upto_gen", lit(gen))
+      .write.mode("append")
+      .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+      .parquet(idx.tombstoneDir)
+  }
+
+  /** Rows surviving the tombstone horizon: row.gen >= max(upto_gen) of its
+    * id (no tombstone → survives). Tombstones are control-sized → broadcast. */
+  private def liveRows(idx: Index, rows: DataFrame): DataFrame = {
+    val spark = rows.sparkSession
+    if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(idx.tombstoneDir)))
+      rows
+    else {
+      val horizon = spark.read.parquet(idx.tombstoneDir)
+        .groupBy(col("__id")).agg(max(col("upto_gen")).as("__upto"))
+      rows.join(broadcast(horizon), Seq("__id"), "left")
+        .filter(col("__upto").isNull || col("gen") >= col("__upto"))
+        .drop("__upto")
+    }
+  }
+
+  /** Near-dup pairs between `batch` and the CURRENT index contents (which,
+    * after [[applyBatch]], include the batch itself — so batch×batch pairs
+    * come out too). Candidates from the band-bucket join are verified with
+    * exact Jaccard over the stored shingle sets; output is canonical
+    * (id_a < id_b, jaccard), disjoint from pre-batch build-time pairs.
+    *
+    * IO: the index band read is pruned to the batch's own `bp` partitions,
+    * the set read to the candidates' `ip` partitions; the batch side of
+    * both joins is broadcast. `maxBucketSize` caps degenerate buckets
+    * exactly as in [[DocDedup.nearDupPairs]] (the cap applies to the joint
+    * batch+index bucket population). */
+  def pairsFor(idx: Index, batch: DataFrame, textCol: String, idCol: String,
+               maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val spark = batch.sparkSession
+    val (banded0, sets) = signed(batch, textCol, idCol, idx)
+    val batchBanded = graft.ops.Caches.track(banded0)
+    val batchSets = graft.ops.Caches.track(sets)
+
+    val bps: Seq[Int] = batchBanded
+      .select(bp(col("__bucket"), idx.nPartitions).as("bp"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val idxBanded0 = liveRows(idx,
+      spark.read.parquet(idx.bandsDir).filter(col("bp").isin(bps: _*)))
+    // cap on the joint population of each touched bucket: union the batch
+    // side in (it is also physically in the index after applyBatch, but the
+    // pruned read and this union see the same rows exactly once after the
+    // anti-self filter below)
+    val idxBanded =
+      if (maxBucketSize == Int.MaxValue) idxBanded0
+      else DocDedup.capBuckets(idxBanded0, maxBucketSize)
+
+    val cands = broadcast(batchBanded
+        .select(col("__id").as("__qid"), col("__band"), col("__bucket")))
+      .join(idxBanded, Seq("__band", "__bucket"))
+      .filter(col("__qid") =!= col("__id"))
+      .select(least(col("__qid"), col("__id")).as("id_a"),
+        greatest(col("__qid"), col("__id")).as("id_b"),
+        col("__id").as("__iid"))
+      .distinct()
+
+    val ips: Seq[Int] = cands
+      .select(ip(col("__iid"), idx.nPartitions).as("ip"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val idxSets = liveRows(idx,
+      spark.read.parquet(idx.setsDir).filter(col("ip").isin(ips: _*)))
+      .select(col("__id"), col("__sh"))
+
+    // shingle sets for both pair sides: the batch side from the cached
+    // frame, the index side from the pruned store (a batch id resolves from
+    // either — coalesce keeps one)
+    val withSets = cands
+      .join(broadcast(batchSets
+        .select(col("__id").as("id_a"), col("__sh").as("__ba"))), Seq("id_a"), "left")
+      .join(broadcast(batchSets
+        .select(col("__id").as("id_b"), col("__sh").as("__bb"))), Seq("id_b"), "left")
+      .join(idxSets.select(col("__id").as("id_a"), col("__sh").as("__ia")),
+        Seq("id_a"), "left")
+      .join(idxSets.select(col("__id").as("id_b"), col("__sh").as("__ib")),
+        Seq("id_b"), "left")
+      .select(col("id_a"), col("id_b"),
+        coalesce(col("__ba"), col("__ia")).as("__sa"),
+        coalesce(col("__bb"), col("__ib")).as("__sb"))
+
+    withSets
+      .withColumn("jaccard", DocDedup.jaccardSets(col("__sa"), col("__sb")))
+      .filter(col("jaccard") >= idx.threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .distinct()
+  }
+}

@@ -166,6 +166,26 @@ object Curation {
         floor((sum(col("n_tok")).over(w) - col("n_tok")) / budgetTokens).cast("long"))
   }
 
+  // ---------------------------------------------------------------- corpus profile
+
+  /** Per-source corpus profile — the "data card" summary a curation
+    * pipeline publishes with a release: document counts, language spread,
+    * size totals and a median. One shuffle on the source key with map-side
+    * partial aggregation for the sums; the exact median buffers each
+    * source's sizes on its reducer (fine while per-source cardinality fits
+    * an executor — at extreme scale swap `percentile` for
+    * `approx_percentile`, trading the oracle-exact check for a sketch). */
+  def corpusProfile(docs: DataFrame, sourceCol: String, langCol: String,
+                    charsCol: String, textCol: String): DataFrame =
+    docs.groupBy(col(sourceCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col(langCol)).as("n_langs"),
+        sum(col(charsCol)).as("total_chars"),
+        sum(size(TextFunctions.subwordTokens(col(textCol))).cast("long"))
+          .as("total_tok"),
+        percentile(col(charsCol), lit(0.5)).as("med_chars"))
+
   // ---------------------------------------------------------------- quantization
 
   /** Per-vector min-max int8 scalar quantization: q_i = round((x_i - min) /
