@@ -21,7 +21,11 @@ object Bench {
       n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name").count().count()
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated subset for targeted profiling runs
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       // steady-state latency: best of three runs (first run may pay planning
       // and JIT; single-sample numbers vary ±30% on a shared host)
       val dt = (0 until 3).map { _ =>

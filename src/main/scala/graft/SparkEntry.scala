@@ -643,13 +643,15 @@ object SparkEntry {
       val batch = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
       val tmp = graft.core.TempDirs.register(
         java.nio.file.Files.createTempDirectory("graft_lshidx")).toString
-      val idx = LshIndex.build(init, "text", "doc_id", tmp, threshold = 0.8,
-        numHashes = 32, bands = 8)
-      LshIndex.applyBatch(idx, batch, "text", "doc_id",
-        deletes = batch.select(col("doc_id")).limit(0), gen = 1L)
-      val initPairs = DocDedup.nearDupPairs(init, "text", "doc_id",
-        threshold = 0.8, numHashes = 32, bands = 8, maxBucketSize = 10000)
-      LshIndex.pairsFor(idx, batch, "text", "doc_id", maxBucketSize = 10000)
+      // sign-once APIs: build+pairs / apply+probe each shingle their frame
+      // exactly once. nPartitions tracks corpus size (16 at sf0.1 — at
+      // cluster scale use the 64 default or higher).
+      val (idx, initPairs) = LshIndex.buildWithPairs(init, "text", "doc_id",
+        tmp, threshold = 0.8, numHashes = 32, bands = 8, nPartitions = 16,
+        maxBucketSize = 10000)
+      LshIndex.applyBatchWithPairs(idx, batch, "text", "doc_id",
+        deletes = batch.select(col("doc_id")).limit(0), gen = 1L,
+        maxBucketSize = 10000)
         .unionByName(initPairs)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
     }),

@@ -171,9 +171,22 @@ object DocDedup {
     // Caches.release()).
     val sets = graft.ops.Caches.track(shingleSets(docs, textCol, idCol, shingleN))
     val sigs = sets.withColumn("__sig", minhashSignatureOfSets(col("__sh"), numHashes))
-    val banded0 = bandedBuckets(sigs, bands, numHashes / bands)
-    val banded = graft.ops.Caches.track(
-      if (maxBucketSize == Int.MaxValue) banded0 else capBuckets(banded0, maxBucketSize))
+    val banded = graft.ops.Caches.track(bandedBuckets(sigs, bands, numHashes / bands))
+    pairsFromSigned(banded, sets, threshold, maxBucketSize)
+  }
+
+  /** Verified near-dup pairs from ALREADY-computed (and cached) banded
+    * buckets + shingle sets — the self-join + exact-Jaccard verify stage of
+    * [[nearDupPairs]], factored out so callers that already hold the signed
+    * frames (e.g. [[LshIndex.buildWithPairs]], which also writes them to the
+    * persisted index) don't re-shingle the corpus. */
+  private[dedup] def pairsFromSigned(banded0: DataFrame, sets: DataFrame,
+      threshold: Double, maxBucketSize: Int): DataFrame = {
+    // the capped frame is itself read twice by the self-join; cache it too —
+    // otherwise each side re-runs the capBuckets window shuffle
+    val banded =
+      if (maxBucketSize == Int.MaxValue) banded0
+      else graft.ops.Caches.track(capBuckets(banded0, maxBucketSize))
     val cands = banded.alias("a").join(banded.alias("b"),
         col("a.__band") === col("b.__band") &&
         col("a.__bucket") === col("b.__bucket") &&

@@ -84,6 +84,33 @@ object LshIndex {
     idx
   }
 
+  /** [[build]] + the build-time verified pair set, from ONE signing pass:
+    * the signed frames are cached, written to the index, and fed to the
+    * same self-join + exact-Jaccard verify as [[DocDedup.nearDupPairs]] —
+    * a bootstrap dedup run would otherwise shingle the corpus twice. */
+  def buildWithPairs(docs: DataFrame, textCol: String, idCol: String,
+                     dir: String, threshold: Double, numHashes: Int = 32,
+                     bands: Int = 8, shingleN: Int = 3, nPartitions: Int = 64,
+                     maxBucketSize: Int = Int.MaxValue): (Index, DataFrame) = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val idx = Index(dir, threshold, numHashes, bands, shingleN, nPartitions)
+    val (banded0, sets0) = signed(docs, textCol, idCol, idx)
+    val banded = graft.ops.Caches.track(banded0)
+    val sets = graft.ops.Caches.track(sets0)
+    writeBatch(banded, sets, idx, gen = 0L, mode = "overwrite")
+    (idx, DocDedup.pairsFromSigned(banded, sets, threshold, maxBucketSize))
+  }
+
+  private def writeTombstones(idx: Index, upserts: DataFrame,
+                              deletes: DataFrame, idCol: String, gen: Long): Unit =
+    upserts.select(col(idCol).as("__id"))
+      .unionByName(deletes.select(col(idCol).as("__id")))
+      .distinct()
+      .withColumn("upto_gen", lit(gen))
+      .write.mode("append")
+      .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+      .parquet(idx.tombstoneDir)
+
   /** Apply one change batch WITHOUT touching existing index rows: sign the
     * upserts, append their band/set rows at `gen`, and tombstone
     * upserted ∪ deleted ids at `gen` (an upsert's OLD signature may occupy
@@ -93,13 +120,21 @@ object LshIndex {
                  deletes: DataFrame, gen: Long): Unit = {
     val (banded, sets) = signed(upserts, textCol, idCol, idx)
     writeBatch(banded, sets, idx, gen, mode = "append")
-    upserts.select(col(idCol).as("__id"))
-      .unionByName(deletes.select(col(idCol).as("__id")))
-      .distinct()
-      .withColumn("upto_gen", lit(gen))
-      .write.mode("append")
-      .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
-      .parquet(idx.tombstoneDir)
+    writeTombstones(idx, upserts, deletes, idCol, gen)
+  }
+
+  /** [[applyBatch]] + the batch's near-dup pairs against the index, from ONE
+    * signing pass — the steady-state shape of an online dedup pipeline:
+    * every change batch is indexed AND deduplicated in the same job. */
+  def applyBatchWithPairs(idx: Index, upserts: DataFrame, textCol: String,
+                          idCol: String, deletes: DataFrame, gen: Long,
+                          maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val (banded0, sets0) = signed(upserts, textCol, idCol, idx)
+    val banded = graft.ops.Caches.track(banded0)
+    val sets = graft.ops.Caches.track(sets0)
+    writeBatch(banded, sets, idx, gen, mode = "append")
+    writeTombstones(idx, upserts, deletes, idCol, gen)
+    pairsForSigned(idx, banded, sets, maxBucketSize)
   }
 
   /** Rows surviving the tombstone horizon: row.gen >= max(upto_gen) of its
@@ -130,11 +165,14 @@ object LshIndex {
     * batch+index bucket population). */
   def pairsFor(idx: Index, batch: DataFrame, textCol: String, idCol: String,
                maxBucketSize: Int = Int.MaxValue): DataFrame = {
-    val spark = batch.sparkSession
     val (banded0, sets) = signed(batch, textCol, idCol, idx)
-    val batchBanded = graft.ops.Caches.track(banded0)
-    val batchSets = graft.ops.Caches.track(sets)
+    pairsForSigned(idx, graft.ops.Caches.track(banded0),
+      graft.ops.Caches.track(sets), maxBucketSize)
+  }
 
+  private def pairsForSigned(idx: Index, batchBanded: DataFrame,
+      batchSets: DataFrame, maxBucketSize: Int): DataFrame = {
+    val spark = batchBanded.sparkSession
     val bps: Seq[Int] = batchBanded
       .select(bp(col("__bucket"), idx.nPartitions).as("bp"))
       .distinct().collect().map(_.getInt(0)).toSeq

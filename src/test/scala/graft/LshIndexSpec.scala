@@ -78,6 +78,17 @@ class LshIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(probe == fullPairs(docs.filter(col("doc_id") =!= someA)))
   }
 
+  test("sign-once buildWithPairs/applyBatchWithPairs equal the two-call forms") {
+    val init = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+    val batch = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val (idx, initPairs) = LshIndex.buildWithPairs(init, "text", "doc_id",
+      tmpDir(), threshold = 0.8)
+    val probed = pairSet(LshIndex.applyBatchWithPairs(idx, batch, "text",
+      "doc_id", emptyIds, gen = 1L))
+    assert(pairSet(initPairs) == fullPairs(init))
+    assert(probed.union(pairSet(initPairs)) == fullPairs(docs))
+  }
+
   test("probe reads are partition-pruned to the batch's bucket partitions") {
     val init = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
     val batch = docs.filter(col("doc_id") === docs.select(min("doc_id"))
