@@ -513,6 +513,50 @@ object SparkEntry {
         .select(col("user_id"), col("session_start_us"), col("n_events"),
           round(col("sum_value"), 2).as("sum_value"))),
 
+    // The same gap sessions computed by the GENERAL custom-state operator:
+    // flatMapGroupsWithState with event-time timeouts, driven as a real
+    // file stream (data batch + punctuation batches that advance the
+    // watermark and flush open sessions). Must equal the gaps-and-islands
+    // oracle — and therefore also the built-in session_window variant.
+    "events_sessions_state" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000").as("us"), col("value"))
+      val tmp = graft.core.TempDirs.register(
+        java.nio.file.Files.createTempDirectory("graft_sess_state")).toString
+      graft.streaming.StatefulSessions
+        .sessionizeDrained(ev, gapUs = 600000000L, watermarkDelay = "10 minutes",
+          streamDir = tmp)
+        .select(col("user_id"), col("session_start_us"), col("n_events"),
+          round(col("sum_value"), 2).as("sum_value"))
+    }),
+
+    // Exactly-once delivery over an at-least-once feed: every event is
+    // delivered TWICE (two micro-batches); dropDuplicatesWithinWatermark
+    // keys state by event_id and expires it at the watermark horizon, so
+    // the aggregate equals the batch oracle over the ORIGINAL events
+    "events_dedup_stream" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), expr("ts div 1000").as("us"),
+          col("event_type"), col("value"))
+      val tmp = graft.core.TempDirs.register(
+        java.nio.file.Files.createTempDirectory("graft_dedup_stream")).toString
+      graft.streaming.StatefulSessions.dedupDrained(ev, "1 hour", tmp)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+    }),
+
+    // Backward as-of join (union+window form — one exchange, no range-join
+    // explosion): each event picks up the most recent prior-or-equal
+    // 'view' event of the same user. Oracle is DuckDB's native ASOF JOIN.
+    "events_asof" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("us", expr("ts div 1000"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("us").as("vus"), col("value").as("view_value"))
+      graft.ops.AsOfJoin.asOf(
+        ev.select(col("event_id"), col("user_id"), col("us")), views,
+        "user_id", "us", "vus", Seq("view_value"))
+    }),
+
     // Schema-on-read JSON sidecar extraction: parse the props column with
     // an explicit DDL schema (from_json — codegen'd, no UDF, no inference
     // scan) and aggregate the typed field per event_type
@@ -1109,6 +1153,33 @@ object SparkEntry {
            SELECT user_id, CAST(min(us) AS BIGINT) AS session_start_us,
              count(*) AS n_events, round(sum(value), 2) AS sum_value
            FROM sess GROUP BY user_id, sid""",
+      // identical session semantics to events_sessions, by construction
+      "events_sessions_state" ->
+        """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us, value FROM events),
+           o AS (SELECT user_id, us, value,
+                 CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 600000000
+                      THEN 1 ELSE 0 END AS brk
+                 FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+           sess AS (SELECT user_id, us, value,
+                    sum(brk) OVER (PARTITION BY user_id ORDER BY us
+                      ROWS UNBOUNDED PRECEDING) AS sid
+                    FROM o)
+           SELECT user_id, CAST(min(us) AS BIGINT) AS session_start_us,
+             count(*) AS n_events, round(sum(value), 2) AS sum_value
+           FROM sess GROUP BY user_id, sid""",
+      // the duplicated redelivery must collapse back to the plain batch agg
+      "events_dedup_stream" ->
+        """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+           FROM events GROUP BY event_type""",
+      "events_asof" ->
+        """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us
+                      FROM events),
+           v AS (SELECT user_id, epoch_ns(ts) // 1000 AS us, value FROM events
+                 WHERE event_type = 'view')
+           SELECT e.event_id, e.user_id, CAST(e.us AS BIGINT) AS us,
+             CAST(v.us AS BIGINT) AS asof_ts, v.value AS view_value
+           FROM e ASOF LEFT JOIN v
+             ON e.user_id = v.user_id AND e.us >= v.us""",
       "events_hourly_stream" ->
         """SELECT CAST(epoch_ns(ts) // 3600000000000 * 3600 AS BIGINT) AS hour,
            event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value

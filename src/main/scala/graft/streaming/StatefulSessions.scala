@@ -1,0 +1,244 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** One event of a keyed stream: event time is a real timestamp column so a
+  * watermark can be attached to the Dataset. */
+case class SessionEvent(user_id: Long, et: java.time.Instant, value: Double)
+
+/** The open (not yet finalized) session of one key, carried in Spark's
+  * streaming state store between micro-batches. */
+case class OpenSession(start_us: Long, last_us: Long, n_events: Long,
+                       sum_value: Double)
+
+/** A finalized session. */
+case class SessionOut(user_id: Long, session_start_us: Long, n_events: Long,
+                      sum_value: Double)
+
+/** Custom-state streaming via `KeyValueGroupedDataset.flatMapGroupsWithState`
+  * — the state shape Spark's built-in operators can't express: an arbitrary
+  * user fold per key whose emission is gated by event-time timeouts.
+  *
+  * `session_window` (EventWindows.sessionAgg) covers gap sessions with
+  * BUILT-IN aggregates; this operator is the general form — the state is a
+  * user case class, the transition an arbitrary function — demonstrated on
+  * the same session semantics so the two implementations check each other
+  * against one oracle (`events_sessions`' gaps-and-islands SQL).
+  *
+  * Scale shape: state lives in the executor-side state store, partitioned
+  * by key hash (one shuffle on the grouping key, same as any streaming
+  * aggregation); per-key state is O(1) (the single open session), and
+  * event-time timeouts bound its lifetime by the watermark — on an
+  * unbounded feed, state size is O(active keys), independent of stream
+  * length.
+  *
+  * The reference has no event-time state machine (its reducers recompute
+  * per-key scope on every notification, qvarnmr/processor.py:320-352); this
+  * is the Spark-native extension for ordered event feeds.
+  */
+object StatefulSessions {
+
+  /** Gap-based sessions with INCLUSIVE gap joining (an event exactly `gap`
+    * after the previous one extends the session — same semantics as
+    * Spark's `session_window` merge and the gaps-and-islands oracle).
+    *
+    * Events inside one invocation are sorted by event time; ACROSS batches
+    * the watermark guarantees order (later-batch events older than the
+    * watermark are dropped before the function runs). A session finalizes
+    * either when a same-key event opens the next session, or when the
+    * event-time timeout fires (watermark passed last event + gap).
+    *
+    * Rows with `user_id < 0` are PUNCTUATION: they advance the watermark
+    * (flushing every key's open session via timeout) but never enter a
+    * session — the standard end-of-stream flush for append-mode state.
+    *
+    * Streaming-only: on a batch Dataset the trailing open session would be
+    * written to a state store that never fires — use
+    * [[EventWindows.sessionAgg]] for batch frames.
+    */
+  def sessionize(events: Dataset[SessionEvent], gapUs: Long): Dataset[SessionOut] = {
+    implicit val stateEnc = Encoders.product[OpenSession]
+    implicit val outEnc = Encoders.product[SessionOut]
+    implicit val keyEnc = Encoders.scalaLong
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[SessionEvent], state: GroupState[OpenSession]) =>
+          if (uid < 0) Iterator.empty // punctuation key: watermark only
+          else if (state.hasTimedOut) {
+            // watermark passed last+gap with no new events: final flush
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(uid, s.start_us, s.n_events, s.sum_value))
+          } else {
+            val evs = it.toArray.sortBy(e => instantUs(e.et))
+            var open = state.getOption.orNull
+            val closed = Array.newBuilder[SessionOut]
+            evs.foreach { e =>
+              val us = instantUs(e.et)
+              if (open == null)
+                open = OpenSession(us, us, 1L, e.value)
+              else if (us - open.last_us <= gapUs)
+                open = OpenSession(open.start_us, us, open.n_events + 1,
+                  open.sum_value + e.value)
+              else {
+                closed += SessionOut(uid, open.start_us, open.n_events, open.sum_value)
+                open = OpenSession(us, us, 1L, e.value)
+              }
+            }
+            if (open != null) {
+              state.update(open)
+              // fire once the watermark is PAST last+gap (exclusive — an
+              // event at exactly last+gap still joins); ceil to ms so the
+              // timeout never undershoots the inclusive horizon. Spark
+              // rejects timeouts at/before the current watermark, so a
+              // session already expired by this batch's watermark flushes
+              // one safe tick after it instead.
+              val horizon = (open.last_us + gapUs + 999) / 1000
+              state.setTimeoutTimestamp(math.max(horizon, state.getCurrentWatermarkMs() + 1))
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  private def instantUs(i: java.time.Instant): Long =
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+
+  // ------------------------------------------------------------- punctuated drain
+
+  /** Stage `events` (columns `user_id` LONG, `us` LONG event-time micros,
+    * `value` DOUBLE) as an ordered file stream: one data file, then two
+    * punctuation files whose far-future timestamps advance the watermark
+    * past every open session's timeout (the first carries the new maximum
+    * event time; the second triggers the batch in which the raised
+    * watermark fires the timeouts). Returns the finalized sessions.
+    *
+    * This is the canonical finite-drive of an append-mode stateful stream:
+    * on a production unbounded feed no punctuation is needed — sessions
+    * finalize continuously as the watermark advances past them.
+    */
+  def sessionizeDrained(events: DataFrame, gapUs: Long, watermarkDelay: String,
+                        streamDir: String): DataFrame =
+    sessionizeParts(events.sparkSession, Seq(events), gapUs, watermarkDelay, streamDir)
+
+  /** [[sessionizeDrained]] with the event feed pre-split into ordered parts
+    * (one micro-batch each) — exercises session state carried ACROSS
+    * batches. Parts must be in event-time order (a real feed's property;
+    * stragglers inside the watermark are still merged correctly). */
+  def sessionizeParts(spark: SparkSession, parts: Seq[DataFrame], gapUs: Long,
+                      watermarkDelay: String, streamDir: String): DataFrame = {
+    val dir = Paths.get(streamDir)
+    val sel = parts.map(_.select(col("user_id"), col("us"), col("value")))
+    val maxUs = sel.map(_.agg(max(col("us"))).head().getLong(0)).max
+    stageOrderedFiles(spark, dir, sel.head,
+      // +2 days dwarfs any plausible watermarkDelay+gap at test scale
+      sel.tail ++ Seq(maxUs + 2L * 86400000000L, maxUs + 4L * 86400000000L)
+        .map(punctRow(spark, _)))
+
+    implicit val evEnc = Encoders.product[SessionEvent]
+    // a finite drive is batch-sized work: the state store writes one delta
+    // file per shuffle partition per micro-batch, so the session-wide
+    // width (sized for the big scans) would multiply pure fixed IO here
+    graft.core.BatchConf.withBatchTuning(spark) {
+      val stream = spark.readStream
+        .schema("user_id LONG, us LONG, value DOUBLE")
+        .option("maxFilesPerTrigger", "1") // one file per micro-batch, in mtime order
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(dir.toString)
+        .select(col("user_id"), expr("timestamp_micros(us)").as("et"), col("value"))
+        .withWatermark("et", watermarkDelay)
+        .as[SessionEvent]
+
+      val out = sessionize(stream, gapUs)
+      drainAppendToFrame(out.toDF(), "sessions_state")
+    }
+  }
+
+  private def punctRow(spark: SparkSession, us: Long): DataFrame =
+    spark.range(1).select(lit(-1L).as("user_id"), lit(us).as("us"),
+      lit(0.0).as("value"))
+
+  /** Write `first` then each `next` frame as single parquet files with
+    * strictly increasing modification times, so the file-stream source
+    * (ordered by mtime) replays them as distinct micro-batches. */
+  private[graft] def stageOrderedFiles(spark: SparkSession, dir: Path,
+      first: DataFrame, next: Seq[DataFrame]): Unit = {
+    (first +: next).zipWithIndex.foreach { case (df, i) =>
+      val stage = dir.resolve(s"__stage$i")
+      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = Files.list(stage).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      val dst = dir.resolve(f"$i%03d.parquet")
+      Files.move(part, dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 10000L))
+      // remove the staging dir so pathGlobFilter never sees its leftovers
+      val w = Files.walk(stage)
+      try w.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { Files.deleteIfExists(p); () })
+      finally w.close()
+    }
+  }
+
+  /** Drain an append-mode streaming frame through a memory sink
+    * (AvailableNow) and return the accumulated rows as an eager frame. */
+  private[graft] def drainAppendToFrame(out: DataFrame, sinkPrefix: String): DataFrame = {
+    val spark = out.sparkSession
+    val sink = s"${sinkPrefix}_${sinkSeq.incrementAndGet()}"
+    val q = out.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(sink)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val res = spark.table(sink)
+    spark.catalog.dropTempView(sink)
+    res
+  }
+
+  private val sinkSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  // ------------------------------------------------------------- streaming dedup
+
+  /** Exactly-once event delivery over an at-least-once feed:
+    * `dropDuplicatesWithinWatermark` keys the state store by `idCols` and
+    * expires entries once the watermark passes their event time — state is
+    * bounded by the watermark horizon (duplicates in real feeds arrive
+    * close to the original: broker redelivery, producer retry), where plain
+    * streaming `dropDuplicates` would grow state forever. Emits each
+    * surviving row on first sight (append semantics). */
+  def dedupStream(events: DataFrame, etCol: String, watermarkDelay: String,
+                  idCols: Seq[String]): DataFrame =
+    events.withWatermark(etCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(idCols)
+
+  /** Drive [[dedupStream]] over a finite at-least-once replay: stage the
+    * event frame (columns `event_id` LONG, `us` LONG, `event_type` STRING,
+    * `value` DOUBLE) TWICE — two files, two micro-batches — and return the
+    * deduplicated rows; the second delivery of every event must hit
+    * first-batch state and be dropped. */
+  def dedupDrained(events: DataFrame, watermarkDelay: String,
+                   streamDir: String): DataFrame = {
+    val spark = events.sparkSession
+    val cols = Seq(col("event_id"), col("us"), col("event_type"), col("value"))
+    val frame = events.select(cols: _*)
+    stageOrderedFiles(spark, Paths.get(streamDir), frame, Seq(frame))
+    graft.core.BatchConf.withBatchTuning(spark) {
+      val stream = spark.readStream
+        .schema("event_id LONG, us LONG, event_type STRING, value DOUBLE")
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(streamDir)
+        .select(col("event_id"), expr("timestamp_micros(us)").as("et"),
+          col("event_type"), col("value"))
+      drainAppendToFrame(
+        dedupStream(stream, "et", watermarkDelay, Seq("event_id")), "dedup_stream")
+    }
+  }
+}
