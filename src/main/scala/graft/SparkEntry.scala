@@ -557,6 +557,22 @@ object SparkEntry {
         "user_id", "us", "vus", Seq("view_value"))
     }),
 
+    // Bucketized interval join (the Flink-interval-join shape as relational
+    // algebra — window-width time buckets + equi-join + exact range prune,
+    // never a nested-loop): errors within one hour after each signup of the
+    // same user, aggregated per signup
+    "events_interval_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("us", expr("ts div 1000"))
+      val su = ev.filter(col("event_type") === "signup")
+        .select(col("event_id"), col("user_id"), col("us"))
+      val er = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("us").as("ets"), col("value").as("err_value"))
+      graft.ops.IntervalJoin.intervalJoin(su, er, Seq("user_id"),
+          "us", "ets", lower = 0L, upper = 3600000000L)
+        .groupBy(col("event_id"))
+        .agg(count(lit(1)).as("n_err"), round(sum(col("err_value")), 2).as("sum_err"))
+    }),
+
     // Schema-on-read JSON sidecar extraction: parse the props column with
     // an explicit DDL schema (from_json — codegen'd, no UDF, no inference
     // scan) and aggregate the typed field per event_type
@@ -1180,6 +1196,16 @@ object SparkEntry {
              CAST(v.us AS BIGINT) AS asof_ts, v.value AS view_value
            FROM e ASOF LEFT JOIN v
              ON e.user_id = v.user_id AND e.us >= v.us""",
+      "events_interval_join" ->
+        """WITH su AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us
+                       FROM events WHERE event_type = 'signup'),
+           er AS (SELECT user_id, epoch_ns(ts) // 1000 AS ets, value FROM events
+                  WHERE event_type = 'error')
+           SELECT su.event_id, count(*) AS n_err,
+             round(sum(er.value), 2) AS sum_err
+           FROM su JOIN er ON su.user_id = er.user_id
+             AND er.ets BETWEEN su.us AND su.us + 3600000000
+           GROUP BY su.event_id""",
       "events_hourly_stream" ->
         """SELECT CAST(epoch_ns(ts) // 3600000000000 * 3600 AS BIGINT) AS hour,
            event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value

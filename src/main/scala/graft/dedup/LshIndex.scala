@@ -152,6 +152,49 @@ object LshIndex {
     }
   }
 
+  /** Compact the log: rewrite both tables keeping only rows that survive
+    * the tombstone horizon, collapse them to one generation (the current
+    * maximum, so post-compaction batches keep stamping increasing gens),
+    * and clear the tombstones. Equivalent to a fresh [[build]] of the live
+    * corpus WITHOUT re-signing any document — compaction is pure IO over
+    * the surviving rows. Steady state alternates cheap [[applyBatch]]
+    * appends with an occasional compact, exactly like
+    * [[graft.sim.Ivf.updateIndex]] vs rebuild.
+    *
+    * Single-writer maintenance op (same contract as the bucketed store's
+    * vacuum): no concurrent probe/apply may run during the directory swap.
+    */
+  def compact(spark: SparkSession, idx: Index): Unit = {
+    val bands = liveRows(idx, spark.read.parquet(idx.bandsDir))
+    val sets = liveRows(idx, spark.read.parquet(idx.setsDir))
+    val gen = bands.agg(coalesce(max(col("gen")), lit(0L))).head().getLong(0)
+    val staging = idx.copy(dir = idx.dir + "__compacting")
+    // writeBatch re-derives gen/bp/ip; localCheckpoint materializes the
+    // surviving rows BEFORE their source directories are replaced
+    writeBatch(bands.drop("gen", "bp").localCheckpoint(true),
+      sets.drop("gen", "ip").localCheckpoint(true), staging, gen, "overwrite")
+    replaceDir(staging.bandsDir, idx.bandsDir)
+    replaceDir(staging.setsDir, idx.setsDir)
+    deleteDir(idx.tombstoneDir)
+    deleteDir(staging.dir)
+  }
+
+  private def deleteDir(dir: String): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(p)) {
+      val w = java.nio.file.Files.walk(p)
+      try w.sorted(java.util.Comparator.reverseOrder())
+        .forEach(q => { java.nio.file.Files.deleteIfExists(q); () })
+      finally w.close()
+    }
+  }
+
+  private def replaceDir(src: String, dst: String): Unit = {
+    deleteDir(dst)
+    java.nio.file.Files.move(java.nio.file.Paths.get(src),
+      java.nio.file.Paths.get(dst))
+  }
+
   /** Near-dup pairs between `batch` and the CURRENT index contents (which,
     * after [[applyBatch]], include the batch itself — so batch×batch pairs
     * come out too). Candidates from the band-bucket join are verified with

@@ -89,6 +89,33 @@ class LshIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(probed.union(pairSet(initPairs)) == fullPairs(docs))
   }
 
+  test("compact collapses generations, clears tombstones, preserves probes") {
+    val init = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+    val batch = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val idx = LshIndex.build(init, "text", "doc_id", tmpDir(), threshold = 0.8)
+    val delIds = init.select("doc_id").orderBy("doc_id").limit(5)
+      .as[Long].collect().toSeq
+    LshIndex.applyBatch(idx, batch, "text", "doc_id",
+      delIds.toDF("doc_id"), gen = 1L)
+    val before = pairSet(LshIndex.pairsFor(idx, batch, "text", "doc_id"))
+
+    LshIndex.compact(spark, idx)
+
+    assert(!java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(idx.tombstoneDir)), "tombstones must be cleared")
+    val bands = spark.read.parquet(idx.bandsDir)
+    assert(bands.select("gen").distinct().count() == 1,
+      "generations must collapse to one")
+    assert(bands.filter(col("__id").isin(delIds: _*)).count() == 0,
+      "deleted ids must be physically gone")
+    assert(pairSet(LshIndex.pairsFor(idx, batch, "text", "doc_id")) == before)
+
+    // the log keeps working after compaction: a further upsert batch at a
+    // higher gen supersedes its compacted rows and probes identically
+    LshIndex.applyBatch(idx, batch, "text", "doc_id", emptyIds, gen = 2L)
+    assert(pairSet(LshIndex.pairsFor(idx, batch, "text", "doc_id")) == before)
+  }
+
   test("probe reads are partition-pruned to the batch's bucket partitions") {
     val init = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
     val batch = docs.filter(col("doc_id") === docs.select(min("doc_id"))
