@@ -55,22 +55,36 @@ object LshIndex {
     (DocDedup.bandedBuckets(sigs, idx.bands, idx.numHashes / idx.bands), sets)
   }
 
+  /** The two table writes are independent jobs — submit them concurrently
+    * (Spark schedules jobs from separate threads fine; the executors
+    * interleave their stages). Callers passing CACHED frames should
+    * materialize them first so the concurrent jobs hit the cache instead
+    * of racing to compute the signatures twice. */
   private def writeBatch(banded: DataFrame, sets: DataFrame, idx: Index,
-                         gen: Long, mode: String): Unit = {
-    banded
-      .withColumn("gen", lit(gen))
-      .withColumn("bp", bp(col("__bucket"), idx.nPartitions))
-      .repartition(col("bp"))
-      .write.mode(mode).partitionBy("bp")
-      .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
-      .parquet(idx.bandsDir)
-    sets
-      .withColumn("gen", lit(gen))
-      .withColumn("ip", ip(col("__id"), idx.nPartitions))
-      .repartition(col("ip"))
-      .write.mode(mode).partitionBy("ip")
-      .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
-      .parquet(idx.setsDir)
+                         gen: Long, mode: String): Unit =
+    runParallel(Seq(
+      () => banded
+        .withColumn("gen", lit(gen))
+        .withColumn("bp", bp(col("__bucket"), idx.nPartitions))
+        .repartition(col("bp"))
+        .write.mode(mode).partitionBy("bp")
+        .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+        .parquet(idx.bandsDir),
+      () => sets
+        .withColumn("gen", lit(gen))
+        .withColumn("ip", ip(col("__id"), idx.nPartitions))
+        .repartition(col("ip"))
+        .write.mode(mode).partitionBy("ip")
+        .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+        .parquet(idx.setsDir)))
+
+  private def runParallel(jobs: Seq[() => Unit]): Unit = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    Await.result(
+      Future.sequence(jobs.map(j => Future(j()))),
+      scala.concurrent.duration.Duration.Inf)
+    ()
   }
 
   /** Index `docs` under `dir` (generation 0). */
@@ -97,6 +111,7 @@ object LshIndex {
     val (banded0, sets0) = signed(docs, textCol, idCol, idx)
     val banded = graft.ops.Caches.track(banded0)
     val sets = graft.ops.Caches.track(sets0)
+    banded.count() // fill both caches once before the concurrent writes
     writeBatch(banded, sets, idx, gen = 0L, mode = "overwrite")
     (idx, DocDedup.pairsFromSigned(banded, sets, threshold, maxBucketSize))
   }
@@ -119,8 +134,9 @@ object LshIndex {
   def applyBatch(idx: Index, upserts: DataFrame, textCol: String, idCol: String,
                  deletes: DataFrame, gen: Long): Unit = {
     val (banded, sets) = signed(upserts, textCol, idCol, idx)
-    writeBatch(banded, sets, idx, gen, mode = "append")
-    writeTombstones(idx, upserts, deletes, idCol, gen)
+    runParallel(Seq(
+      () => writeBatch(banded, sets, idx, gen, mode = "append"),
+      () => writeTombstones(idx, upserts, deletes, idCol, gen)))
   }
 
   /** [[applyBatch]] + the batch's near-dup pairs against the index, from ONE
@@ -132,8 +148,10 @@ object LshIndex {
     val (banded0, sets0) = signed(upserts, textCol, idCol, idx)
     val banded = graft.ops.Caches.track(banded0)
     val sets = graft.ops.Caches.track(sets0)
-    writeBatch(banded, sets, idx, gen, mode = "append")
-    writeTombstones(idx, upserts, deletes, idCol, gen)
+    banded.count() // fill both caches once before the concurrent writes
+    runParallel(Seq(
+      () => writeBatch(banded, sets, idx, gen, mode = "append"),
+      () => writeTombstones(idx, upserts, deletes, idCol, gen)))
     pairsForSigned(idx, banded, sets, maxBucketSize)
   }
 
