@@ -165,10 +165,12 @@ object StatefulSessions {
 
   /** Write `first` then each `next` frame as single parquet files with
     * strictly increasing modification times, so the file-stream source
-    * (ordered by mtime) replays them as distinct micro-batches. */
+    * (ordered by mtime) replays them as distinct micro-batches.
+    * `startIdx` offsets names/mtimes so a later staging round appends
+    * AFTER an earlier one (restart scenarios). */
   private[graft] def stageOrderedFiles(spark: SparkSession, dir: Path,
-      first: DataFrame, next: Seq[DataFrame]): Unit = {
-    (first +: next).zipWithIndex.foreach { case (df, i) =>
+      first: DataFrame, next: Seq[DataFrame], startIdx: Int = 0): Unit = {
+    (first +: next).zipWithIndex.map { case (df, i) => (df, i + startIdx) }.foreach { case (df, i) =>
       val stage = dir.resolve(s"__stage$i")
       df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
       val part = Files.list(stage).filter(_.toString.endsWith(".parquet"))

@@ -70,6 +70,49 @@ class StatefulSessionsSpec extends AnyFunSuite with SparkTestBase {
     assert(got == want)
   }
 
+  test("custom session state survives a query restart via the checkpoint") {
+    import graft.streaming.SessionEvent
+    val dir = java.nio.file.Paths.get(tmpDir())
+    val ckpt = tmpDir()
+    val outDir = tmpDir()
+
+    def runDrain(): Unit = {
+      val stream = spark.readStream
+        .schema("user_id LONG, us LONG, value DOUBLE")
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(dir.toString)
+        .select(col("user_id"), expr("timestamp_micros(us)").as("et"), col("value"))
+        .withWatermark("et", "1 minute")
+        .as[SessionEvent]
+      val q = StatefulSessions.sessionize(stream, GAP).toDF()
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    // phase 1: user 1's session is OPEN (events at 0 and 8 min) when the
+    // drain finishes and the query is torn down
+    val p1 = ev((1L, 0L, 1.0), (1L, 8L, 1.0))
+    StatefulSessions.stageOrderedFiles(spark, dir, p1, Seq.empty)
+    runDrain()
+
+    // phase 2: a NEW query on the same checkpoint continues the session
+    // (16 min is within gap of 8), then punctuation flushes everything
+    val p2 = ev((1L, 16L, 1.0), (1L, 40L, 2.0))
+    val punct = Seq(2L * 86400000000L, 4L * 86400000000L)
+      .map(d => spark.range(1).select(lit(-1L).as("user_id"),
+        lit(B + 50L * M + d).as("us"), lit(0.0).as("value")))
+    StatefulSessions.stageOrderedFiles(spark, dir, p2, punct, startIdx = 1)
+    runDrain()
+
+    val got = resultSet(spark.read.parquet(outDir))
+    assert(got == Set((1L, B, 3L, 3.0), (1L, B + 40L * M, 1L, 2.0)),
+      "the pre-restart open session must merge with post-restart events")
+  }
+
   test("dedup stream drops redelivered events, keeps distinct ones") {
     val events = Seq(
       (1L, 1L * M, "click", 1.0), (2L, 2L * M, "view", 2.0),
