@@ -573,6 +573,25 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_err"), round(sum(col("err_value")), 2).as("sum_err"))
     }),
 
+    // The SAME interval join as a stream-STREAM join: both sides replayed
+    // through readStream with watermarks, paired in the join state store,
+    // drained append-mode. Must equal the batch bucketized interval join —
+    // they share one oracle
+    "events_join_stream" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("us", expr("ts div 1000"))
+      val su = ev.filter(col("event_type") === "signup")
+        .select(col("event_id"), col("user_id"), col("us"))
+      val er = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("us").as("ets"), col("value").as("err_value"))
+      def tmp(p: String) = graft.core.TempDirs.register(
+        java.nio.file.Files.createTempDirectory(p)).toString
+      graft.streaming.StreamJoins.intervalJoinDrained(su, er, "user_id",
+          "us", "ets", window = "1 HOUR", watermarkDelay = "1 hour",
+          tmp("graft_ssj_l"), tmp("graft_ssj_r"))
+        .groupBy(col("event_id"))
+        .agg(count(lit(1)).as("n_err"), round(sum(col("err_value")), 2).as("sum_err"))
+    }),
+
     // Schema-on-read JSON sidecar extraction: parse the props column with
     // an explicit DDL schema (from_json — codegen'd, no UDF, no inference
     // scan) and aggregate the typed field per event_type
@@ -584,6 +603,27 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+    }),
+
+    // Multi-level OLAP aggregation: rollup produces the (source, lang),
+    // (source, ALL) and (ALL, ALL) grouping sets in ONE pass — map-side
+    // partial aggregation covers all levels before the single shuffle
+    "corpus_rollup" -> ((s, dir) =>
+      t(s, dir, "documents").rollup(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .select(coalesce(col("source"), lit("ALL")).as("source"),
+          coalesce(col("lang"), lit("ALL")).as("lang"),
+          col("n_docs"), col("total_chars"))),
+
+    // Pivot to a wide per-user activity profile (explicit value list, so
+    // the schema is static and the plan is one ordinary aggregation)
+    "events_pivot" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      t(s, dir, "events").groupBy(col("user_id"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .select(col("user_id") +:
+          types.map(c => coalesce(col(c), lit(0L)).as(s"n_$c")): _*)
     }),
 
     "events_hourly" -> ((s, dir) => {
@@ -1152,6 +1192,19 @@ object SparkEntry {
              TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
              FROM events)
            WHERE k IS NOT NULL GROUP BY event_type""",
+      "corpus_rollup" ->
+        """SELECT coalesce(source, 'ALL') AS source,
+             coalesce(lang, 'ALL') AS lang, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars
+           FROM documents GROUP BY ROLLUP (source, lang)""",
+      "events_pivot" ->
+        """SELECT user_id,
+             count(*) FILTER (WHERE event_type = 'click') AS n_click,
+             count(*) FILTER (WHERE event_type = 'error') AS n_error,
+             count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+             count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+             count(*) FILTER (WHERE event_type = 'view') AS n_view
+           FROM events GROUP BY user_id""",
       "events_hourly" ->
         """SELECT CAST(epoch_ns(ts) // 3600000000000 * 3600 AS BIGINT) AS hour,
            event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
@@ -1197,6 +1250,17 @@ object SparkEntry {
            FROM e ASOF LEFT JOIN v
              ON e.user_id = v.user_id AND e.us >= v.us""",
       "events_interval_join" ->
+        """WITH su AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us
+                       FROM events WHERE event_type = 'signup'),
+           er AS (SELECT user_id, epoch_ns(ts) // 1000 AS ets, value FROM events
+                  WHERE event_type = 'error')
+           SELECT su.event_id, count(*) AS n_err,
+             round(sum(er.value), 2) AS sum_err
+           FROM su JOIN er ON su.user_id = er.user_id
+             AND er.ets BETWEEN su.us AND su.us + 3600000000
+           GROUP BY su.event_id""",
+      // identical semantics to events_interval_join, by construction
+      "events_join_stream" ->
         """WITH su AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us
                        FROM events WHERE event_type = 'signup'),
            er AS (SELECT user_id, epoch_ns(ts) // 1000 AS ets, value FROM events
