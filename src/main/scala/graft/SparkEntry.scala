@@ -605,6 +605,21 @@ object SparkEntry {
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))
     }),
 
+    // NFC Unicode canonicalization (graft_nfc codegen kernel) ahead of
+    // fingerprinting: decomposed sequences are injected deterministically
+    // (the corpus is ASCII), and the normalized bytes must shrink and
+    // hash identically to DuckDB's nfc_normalize
+    "text_nfc" -> ((s, dir) => {
+      // DECOMPOSED "café noël": e + combining acute (U+0301) / diaeresis
+      // (U+0308) — explicit escapes so no editor silently re-composes them
+      val aug = concat(col("text"), lit(" caf\u0065\u0301 no\u0065\u0308l"))
+      val norm = graft.text.TextFunctions.nfcNormalize(aug)
+      t(s, dir, "documents").select(col("doc_id"),
+        octet_length(aug).cast("long").as("raw_bytes"),
+        octet_length(norm).cast("long").as("nfc_bytes"),
+        md5(norm.cast("binary")).as("nfc_md5"))
+    }),
+
     // Multi-level OLAP aggregation: rollup produces the (source, lang),
     // (source, ALL) and (ALL, ALL) grouping sets in ONE pass — map-side
     // partial aggregation covers all levels before the single shuffle
@@ -690,6 +705,33 @@ object SparkEntry {
       val out = s.table(sink)
         .select((unix_timestamp(col("window_start"))).as("hour"), col("event_type"),
           col("cnt"), round(col("sum_value"), 2).as("sum_value"))
+      s.catalog.dropTempView(sink)
+      out
+    }),
+
+    // Stream-STATIC enrichment — the standard streaming dimension join: the
+    // event stream joins a broadcast static dimension (re-resolved per
+    // micro-batch, so a slowly-changing dimension picks up updates) and
+    // aggregates per dimension attribute. No state store involvement for
+    // the join itself; the stream side never shuffles before the agg
+    "events_enrich_stream" -> ((s, dir) => {
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val cust = broadcast(t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey")))
+      val agg = stream.join(cust, col("user_id") === col("c_custkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sv"))
+      val sink = s"events_enrich_stream_${streamSinkSeq.incrementAndGet()}"
+      val q = agg.writeStream
+        .outputMode("complete").format("memory").queryName(sink)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val out = s.table(sink)
+        .select(col("c_nationkey"), col("n_events"),
+          round(col("sv"), 2).as("sum_value"))
       s.catalog.dropTempView(sink)
       out
     }),
@@ -1192,6 +1234,15 @@ object SparkEntry {
              TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
              FROM events)
            WHERE k IS NOT NULL GROUP BY event_type""",
+      "text_nfc" ->
+        """WITH a AS (SELECT doc_id,
+             text || ' caf' || chr(101) || chr(769)
+                  || ' no' || chr(101) || chr(776) || 'l' AS aug
+           FROM documents)
+           SELECT doc_id, CAST(strlen(aug) AS BIGINT) AS raw_bytes,
+             CAST(strlen(nfc_normalize(aug)) AS BIGINT) AS nfc_bytes,
+             md5(nfc_normalize(aug)) AS nfc_md5
+           FROM a""",
       "corpus_rollup" ->
         """SELECT coalesce(source, 'ALL') AS source,
              coalesce(lang, 'ALL') AS lang, count(*) AS n_docs,
@@ -1278,6 +1329,11 @@ object SparkEntry {
         """SELECT CAST(epoch_ns(ts) // 3600000000000 * 3600 AS BIGINT) AS hour,
            event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
            FROM events GROUP BY 1, 2""",
+      "events_enrich_stream" ->
+        """SELECT c.c_nationkey, count(*) AS n_events,
+             round(sum(e.value), 2) AS sum_value
+           FROM events e JOIN customer c ON e.user_id = c.c_custkey
+           GROUP BY c.c_nationkey""",
       "events_hourly_upsert" ->
         """SELECT CAST(epoch_ns(ts) // 3600000000000 * 3600 AS BIGINT) AS hour,
            event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value

@@ -169,6 +169,15 @@ object TextHashKernels {
   /** Jaccard similarity of two string arrays as distinct sets —
     * |A∩B| / |A∪B|, 0.0 when both empty (matches
     * `size(array_intersect)/size(array_union)` on any inputs). */
+  /** NFC normalization; returns the INPUT object when already normalized
+    * (the overwhelmingly common case) so the hot path allocates nothing. */
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
   def jaccard(a: ArrayData, b: ArrayData): Double = {
     val setA = new java.util.HashSet[UTF8String](math.max(8, a.numElements() * 2))
     var i = 0
@@ -299,6 +308,33 @@ case class LshBucketExpr(child: Expression, dim: Int, nBits: Int, seed: Int)
     })
   override protected def withNewChildInternal(c: Expression): LshBucketExpr = copy(child = c)
   override def prettyName: String = "graft_lshbucket"
+}
+
+/** `graft_nfc(s)` → string: NFC Unicode normalization.
+  *
+  * Curation pipelines canonicalize text before hashing/dedup so that
+  * composed ("é") and decomposed ("e" + U+0301) spellings of the same
+  * content fingerprint identically. Spark has no normalization builtin; a
+  * Scala UDF would box every row, so this is a codegen expression whose
+  * kernel fast-paths the common case (already-NFC text returns the input
+  * UTF8String untouched — one linear `isNormalized` scan, no allocation).
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_nfc requires string, got ${other.simpleString}")
+  }
+  override def dataType: DataType = StringType
+  override def nullSafeEval(s: Any): Any =
+    TextHashKernels.nfc(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => {
+      val kernels = TextHashKernels.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"$kernels.nfc($s)"
+    })
+  override protected def withNewChildInternal(c: Expression): NfcNormalize = copy(child = c)
+  override def prettyName: String = "graft_nfc"
 }
 
 /** `graft_jaccard(a, b)` → double. */

@@ -111,6 +111,7 @@ object GraftFunctions {
     descriptor("graft_simhash_md5", classOf[SimHashMd5], 1, c => SimHashMd5(c(0))),
     descriptor("graft_rollingmd5", classOf[RollingMd5], 2, c => RollingMd5(c(0), c(1))),
     descriptor("graft_jaccard", classOf[JaccardSim], 2, c => JaccardSim(c(0), c(1))),
+    descriptor("graft_nfc", classOf[NfcNormalize], 1, c => NfcNormalize(c(0))),
     descriptor("graft_lshbucket", classOf[LshBucketExpr], 4, c => {
       def asInt(e: Expression, what: String): Int = e match {
         case lit if lit.foldable => lit.eval(null) match {

@@ -147,6 +147,16 @@ object TextFunctions {
     call_function("graft_rollingmd5", tokens(text), lit(seed))
   }
 
+  /** NFC Unicode canonicalization ([[graft.functions.NfcNormalize]] codegen
+    * kernel): composed and decomposed spellings of the same content become
+    * byte-identical, so downstream fingerprints/dedup see one form. Run it
+    * BEFORE any hashing stage of a curation pipeline. */
+  def nfcNormalize(text: Column): Column = {
+    graft.functions.GraftFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("graft_nfc", text)
+  }
+
   /** Interpreted-HOF md5 rolling hash (reference semantics for the kernel). */
   def rollingHashMd5Hof(text: Column, seed: String = "graft"): Column =
     aggregate(tokens(text), lit(seed),

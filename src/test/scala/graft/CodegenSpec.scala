@@ -33,6 +33,24 @@ class CodegenSpec extends AnyFunSuite with SparkTestBase {
       "expected >=2 distinct freshName'd dot accumulators in one subtree")
   }
 
+  test("graft_nfc normalizes decomposed text, fast-paths composed text") {
+    val decomposed = "caf\u0065\u0301 no\u0065\u0308l"
+    val composed = java.text.Normalizer.normalize(
+      decomposed, java.text.Normalizer.Form.NFC)
+    assert(decomposed != composed) // the fixture really is decomposed
+    val out = Seq(decomposed, composed, "plain ascii")
+      .toDF("s")
+      .select(call_function("graft_nfc", col("s")).as("n"))
+      .as[String].collect()
+    assert(out(0) == composed, "decomposed input must compose")
+    assert(out(1) == composed, "composed input must pass through unchanged")
+    assert(out(2) == "plain ascii")
+    // null safety through the expression path
+    val nulls = Seq[Option[String]](None).toDF("s")
+      .select(call_function("graft_nfc", col("s"))).collect()
+    assert(nulls(0).isNullAt(0))
+  }
+
   test("cosine over codegen equals the interpreted value (fallback disabled)") {
     val prev = spark.conf.getOption("spark.sql.codegen.fallback")
     spark.conf.set("spark.sql.codegen.fallback", "false")
