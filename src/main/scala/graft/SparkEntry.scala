@@ -1077,6 +1077,17 @@ object SparkEntry {
         budgets = Map("src0" -> 10000000L, "src1" -> 0L),
         defaultBudget = 800L)),
 
+    // Deterministic train/val/test split: md5-uniform assignment, stable
+    // under any partitioning — membership recomputable from the id alone
+    "split_assign" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("source"),
+          Curation.assignSplit(col("doc_id"),
+            Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)).as("split"),
+          col("n_chars"))
+        .groupBy(col("split"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))),
+
     // Per-source data-card profile: counts, language spread, size totals,
     // exact median — one shuffle, map-side partials for the sums
     "corpus_profile" -> ((s, dir) =>
@@ -1642,6 +1653,25 @@ object SparkEntry {
               CAST(sum(df.df) AS BIGINT) AS sum_df,
               CAST(sum(CASE WHEN df.df <= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
             FROM occ JOIN df USING (word) GROUP BY occ.doc_id""",
+      "split_assign" -> {
+        // same md5-uniform reconstruction as sample_stratified, salt
+        // 'graft-split'. Thresholds: Spark's cumulative sum gives
+        // 0.9500000000000001 vs the literal 0.95 here — no 32-bit draw
+        // k/2^32 lands between them (spacing 2.3e-10 >> the 1e-16 gap;
+        // nearest draw above 0.95 is 0.95000000019), so the CASE agrees
+        val nib = (k: Int) =>
+          s"(strpos('0123456789abcdef', substr(h, $k, 1)) - 1)::BIGINT"
+        val u32 = (1 to 8).map(k => s"${nib(k)} * ${1L << (4 * (8 - k))}")
+          .mkString(" + ")
+        s"""WITH d AS (SELECT source, n_chars,
+              md5('graft-split:' || doc_id::VARCHAR) AS h FROM documents),
+            u AS (SELECT source, n_chars, ($u32) / 4294967296.0 AS u FROM d)
+            SELECT CASE WHEN u < 0.9 THEN 'train'
+                        WHEN u < 0.95 THEN 'val' ELSE 'test' END AS split,
+              source, count(*) AS n_docs,
+              CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM u GROUP BY 1, 2"""
+      },
       "corpus_profile" ->
         raw"""SELECT source, count(*) AS n_docs,
            count(DISTINCT lang) AS n_langs,

@@ -173,8 +173,10 @@ object StatefulSessions {
     (first +: next).zipWithIndex.map { case (df, i) => (df, i + startIdx) }.foreach { case (df, i) =>
       val stage = dir.resolve(s"__stage$i")
       df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
-      val part = Files.list(stage).filter(_.toString.endsWith(".parquet"))
-        .findFirst().get()
+      val listing = Files.list(stage)
+      val part =
+        try listing.filter(_.toString.endsWith(".parquet")).findFirst().get()
+        finally listing.close()
       val dst = dir.resolve(f"$i%03d.parquet")
       Files.move(part, dst)
       Files.setLastModifiedTime(dst,

@@ -100,6 +100,24 @@ object Curation {
     docs.filter(hashUniform(col(idCol), salt) < rate)
   }
 
+  /** Deterministic multi-way split assignment (train/val/test): each id's
+    * [[hashUniform]] draw lands in the named fraction whose cumulative
+    * range contains it. A pure narrow projection — the same id gets the
+    * same split at any scale, partitioning, or re-run, and membership can
+    * be recomputed from the id alone (no split table to store or join).
+    * `fractions` must sum to 1; order defines the cumulative ranges. */
+  def assignSplit(id: Column, fractions: Seq[(String, Double)],
+                  salt: String = "graft-split"): Column = {
+    require(fractions.nonEmpty && math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      "split fractions must sum to 1")
+    val u = hashUniform(id, salt)
+    val uppers = fractions.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    // ascending when-chain; the final otherwise absorbs u == 1.0 edge draws
+    fractions.init.zip(uppers.init).foldRight(lit(fractions.last._1)) {
+      case (((name, _), upper), acc) => when(u < upper, lit(name)).otherwise(acc)
+    }
+  }
+
   // ---------------------------------------------------------------- corpus mixing
 
   /** Deterministic corpus mixing to a per-source token budget: within each

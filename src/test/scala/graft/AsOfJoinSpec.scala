@@ -54,6 +54,29 @@ class AsOfJoinSpec extends AnyFunSuite with SparkTestBase {
     assert(got() == naive)
   }
 
+  test("equals the naive formulation on hash-random data") {
+    val l = spark.range(300).select(col("id").as("lid"),
+      pmod(hash(col("id")), lit(7)).cast("long").as("k"),
+      pmod(hash(col("id") * 5), lit(500)).cast("long").as("lts"))
+    val r = spark.range(200).select(col("id").as("rid"),
+      pmod(hash(col("id") + 3), lit(7)).cast("long").as("k"),
+      pmod(hash(col("id") * 11 + 1), lit(500)).cast("long").as("rts"),
+      (col("id") % 97).cast("double").as("px"))
+    // ties on (k, rts) are possible in hashed data — pin them with rid
+    val mine = AsOfJoin.asOf(l, r.withColumnRenamed("k", "k"), "k",
+        "lts", "rts", Seq("px"), tieBreak = Some("rid"))
+      .select("lid", "asof_ts", "px").collect()
+      .map(x => (x.getLong(0), Option(x.get(1)), Option(x.get(2)))).toSet
+    val naive = l.join(r, l("k") === r("k") && col("lts") >= col("rts"), "left")
+      .groupBy(col("lid"))
+      .agg(max_by(struct(col("rts"), col("rid"), col("px")),
+        struct(col("rts"), col("rid"))).as("m"))
+      .select(col("lid"), col("m.rts").as("asof_ts"), col("m.px").as("px"))
+      .collect()
+      .map(x => (x.getLong(0), Option(x.get(1)), Option(x.get(2)))).toSet
+    assert(mine == naive && mine.exists(_._2.isDefined))
+  }
+
   test("equal-ts right ties resolve to the greatest tieBreak value") {
     val dupQuotes = Seq(("A", 10L, 1.0, 1L), ("A", 10L, 7.0, 2L))
       .toDF("sym", "qts", "px", "qid")

@@ -59,6 +59,25 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(s1.intersect(other).isEmpty)
   }
 
+  test("split assignment is exhaustive, partition-invariant, near the fractions") {
+    val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val split = Curation.assignSplit(col("doc_id"), fr)
+    val counts = docs.select(split.as("s")).groupBy("s").count()
+      .as[(String, Long)].collect().toMap
+    val n = docs.count()
+    assert(counts.keySet.subsetOf(Set("train", "val", "test")))
+    assert(counts.values.sum == n, "every doc gets exactly one split")
+    assert(counts("train") > n * 6 / 10, "train should hold the bulk")
+    // identical assignment regardless of physical partitioning
+    val a = docs.select(col("doc_id"), split.as("s")).as[(Long, String)].collect().toSet
+    val b = docs.repartition(13).select(col("doc_id"), split.as("s"))
+      .as[(Long, String)].collect().toSet
+    assert(a == b)
+    intercept[IllegalArgumentException] {
+      Curation.assignSplit(col("doc_id"), Seq("a" -> 0.5, "b" -> 0.6))
+    }
+  }
+
   test("packing fills each lane's budget: consecutive docs share a sequence until it overflows") {
     val packed = Curation.packSequences(docs, "doc_id", "text", "lang",
       budgetTokens = 500, nShards = 2)
