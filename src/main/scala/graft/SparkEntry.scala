@@ -551,10 +551,13 @@ object SparkEntry {
     "events_asof" -> ((s, dir) => {
       val ev = t(s, dir, "events").withColumn("us", expr("ts div 1000"))
       val views = ev.filter(col("event_type") === "view")
-        .select(col("user_id"), col("us").as("vus"), col("value").as("view_value"))
+        .select(col("user_id"), col("us").as("vus"), col("value").as("view_value"),
+          col("event_id").as("vid"))
+      // tieBreak pins equal-microsecond view collisions deterministically
+      // (none exist in this corpus, but output must not be layout-dependent)
       graft.ops.AsOfJoin.asOf(
         ev.select(col("event_id"), col("user_id"), col("us")), views,
-        "user_id", "us", "vus", Seq("view_value"))
+        "user_id", "us", "vus", Seq("view_value"), tieBreak = Some("vid"))
     }),
 
     // Bucketized interval join (the Flink-interval-join shape as relational

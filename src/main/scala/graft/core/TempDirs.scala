@@ -13,16 +13,22 @@ object TempDirs {
 
   Runtime.getRuntime.addShutdownHook(new Thread(() => {
     dirs.forEach { p =>
-      if (Files.exists(p)) {
-        val w = Files.walk(p)
-        try w.sorted(java.util.Comparator.reverseOrder())
-          .forEach(q => { Files.deleteIfExists(q); () })
-        catch { case _: Exception => () } // best-effort on exit
-        finally w.close()
-      }
+      try deleteRecursively(p)
+      catch { case _: Exception => () } // best-effort on exit
     }
   }, "graft-tempdir-cleanup"))
 
   /** Register `p` for recursive deletion at JVM exit; returns `p`. */
   def register(p: Path): Path = { dirs.add(p); p }
+
+  /** Recursively delete `p` if it exists — THE one copy of the walk/
+    * reverse-order/delete routine (index compaction, store vacuum and
+    * stream staging all need it; a behavior fix lands once). */
+  def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      val w = Files.walk(p)
+      try w.sorted(java.util.Comparator.reverseOrder())
+        .forEach(q => { Files.deleteIfExists(q); () })
+      finally w.close()
+    }
 }

@@ -87,13 +87,23 @@ object LshIndex {
     ()
   }
 
-  /** Index `docs` under `dir` (generation 0). */
+  /** Index `docs` under `dir` (generation 0). Re-building over an existing
+    * index resets it completely: the parquet overwrites replace bands/sets,
+    * and stale tombstones are cleared explicitly — they live in a sibling
+    * dir the overwrite never touches, and a leftover (id, upto_gen) from a
+    * previous life would silently kill the rebuilt gen-0 rows of that id. */
   def build(docs: DataFrame, textCol: String, idCol: String, dir: String,
             threshold: Double, numHashes: Int = 32, bands: Int = 8,
             shingleN: Int = 3, nPartitions: Int = 64): Index = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val idx = Index(dir, threshold, numHashes, bands, shingleN, nPartitions)
-    val (banded, sets) = signed(docs, textCol, idCol, idx)
+    deleteDir(idx.tombstoneDir)
+    val (banded0, sets0) = signed(docs, textCol, idCol, idx)
+    // cache + materialize once: the two concurrent writes would otherwise
+    // each recompute the shingle/signature pass from scratch
+    val banded = graft.ops.Caches.track(banded0)
+    val sets = graft.ops.Caches.track(sets0)
+    banded.count()
     writeBatch(banded, sets, idx, gen = 0L, mode = "overwrite")
     idx
   }
@@ -108,6 +118,7 @@ object LshIndex {
                      maxBucketSize: Int = Int.MaxValue): (Index, DataFrame) = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val idx = Index(dir, threshold, numHashes, bands, shingleN, nPartitions)
+    deleteDir(idx.tombstoneDir) // rebuild resets the horizon (see build)
     val (banded0, sets0) = signed(docs, textCol, idCol, idx)
     val banded = graft.ops.Caches.track(banded0)
     val sets = graft.ops.Caches.track(sets0)
@@ -133,7 +144,11 @@ object LshIndex {
     * must increase per batch. `deletes` is an id-only frame (`idCol`). */
   def applyBatch(idx: Index, upserts: DataFrame, textCol: String, idCol: String,
                  deletes: DataFrame, gen: Long): Unit = {
-    val (banded, sets) = signed(upserts, textCol, idCol, idx)
+    val (banded0, sets0) = signed(upserts, textCol, idCol, idx)
+    // cache + materialize once — the concurrent writes must not re-sign
+    val banded = graft.ops.Caches.track(banded0)
+    val sets = graft.ops.Caches.track(sets0)
+    banded.count()
     runParallel(Seq(
       () => writeBatch(banded, sets, idx, gen, mode = "append"),
       () => writeTombstones(idx, upserts, deletes, idCol, gen)))
@@ -197,15 +212,8 @@ object LshIndex {
     deleteDir(staging.dir)
   }
 
-  private def deleteDir(dir: String): Unit = {
-    val p = java.nio.file.Paths.get(dir)
-    if (java.nio.file.Files.exists(p)) {
-      val w = java.nio.file.Files.walk(p)
-      try w.sorted(java.util.Comparator.reverseOrder())
-        .forEach(q => { java.nio.file.Files.deleteIfExists(q); () })
-      finally w.close()
-    }
-  }
+  private def deleteDir(dir: String): Unit =
+    graft.core.TempDirs.deleteRecursively(java.nio.file.Paths.get(dir))
 
   private def replaceDir(src: String, dst: String): Unit = {
     deleteDir(dst)

@@ -86,6 +86,11 @@ object BucketedRun {
       val reduceTables = pipeline.reduces.map(r =>
         Seq(r.target -> (ReduceOp(r, cached(r.source)): DataFrame, Key)))
       store.initialize((mapTables ++ reduceTables).flatten.toMap, batchId)
+    } catch {
+      // half-staged resync deltas must never ride along with the NEXT
+      // successful commit (stage metadata is store-level) — same protocol
+      // as the applyChanges failure path
+      case e: Throwable => store.discardStaged(); throw e
     } finally cached.values.foreach(_.unpersist(blocking = false))
   }
 

@@ -45,6 +45,10 @@ final class BucketedStateStore(val root: String, val numBuckets: Int = 32,
   /** Opaque engine payload carried inside the atomic manifest swap — the
     * crash-durable home of the A18 retry ledger (see [[commit]]). */
   private var ledgerPayload: Option[String] = loadLedger()
+  /** Small caller-owned key/value metadata, persisted in the same atomic
+    * manifest swap — e.g. per-table drain progress for exactly-once sinks
+    * ([[graft.streaming.EventWindows.upsertBatch]]). */
+  private var metaMap: Map[String, String] = loadMeta()
   private var commitsSinceVacuum = 0
   // per-table bucket-path deltas staged for the next commit (None = now empty)
   private var staged: Map[String, (String, String, Map[Int, Option[String]])] = Map.empty
@@ -169,6 +173,10 @@ final class BucketedStateStore(val root: String, val numBuckets: Int = 32,
     ledgerPayload.foreach { p =>
       sb.append(s"ledger=${Base64.getEncoder.encodeToString(p.getBytes(StandardCharsets.UTF_8))}\n")
     }
+    metaMap.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      def b64(s: String) = Base64.getEncoder.encodeToString(s.getBytes(StandardCharsets.UTF_8))
+      sb.append(s"meta=${b64(k)}|${b64(v)}\n")
+    }
     committed.toSeq.sortBy(_._1).foreach { case (name, m) =>
       val ddl64 = Base64.getEncoder.encodeToString(m.ddl.getBytes(StandardCharsets.UTF_8))
       sb.append(s"table=$name|${m.keyCol}|$ddl64\n")
@@ -182,12 +190,26 @@ final class BucketedStateStore(val root: String, val numBuckets: Int = 32,
     commitsSinceVacuum += 1
     if (autoVacuumEvery > 0 && commitsSinceVacuum >= autoVacuumEvery) {
       commitsSinceVacuum = 0
-      vacuum()
+      // grace = one cadence window: lazily-evaluated frames handed out by
+      // table()/readBuckets() in the recent past still resolve their (now
+      // superseded) directories; only dirs older than a full cadence are
+      // reaped. Readers holding frames longer than autoVacuumEvery batches
+      // must re-resolve (same contract as any MVCC snapshot horizon).
+      vacuum(grace = autoVacuumEvery.toLong)
     }
   }
 
   /** The committed engine ledger payload, if any (crash/restart recovery). */
   def committedLedger: Option[String] = synchronized(ledgerPayload)
+
+  /** Committed metadata value for `key` (see [[setMeta]]). */
+  def meta(key: String): Option[String] = synchronized(metaMap.get(key))
+
+  /** Stage a metadata entry; it persists with the NEXT [[commit]]'s atomic
+    * manifest swap, so callers can make progress markers and table state
+    * indivisible. */
+  def setMeta(key: String, value: String): Unit =
+    synchronized { metaMap += key -> value }
 
   /** Drop all staged-but-uncommitted bucket deltas. A FAILED batch must call
     * this before any later batch commits: stage metadata is store-level, so
@@ -203,6 +225,15 @@ final class BucketedStateStore(val root: String, val numBuckets: Int = 32,
       .find(_.startsWith("ledger="))
       .map(l => new String(Base64.getDecoder.decode(l.stripPrefix("ledger=")),
         StandardCharsets.UTF_8))
+
+  private def loadMeta(): Map[String, String] =
+    if (!Files.exists(manifestPath)) Map.empty
+    else Files.readAllLines(manifestPath).asScala.collect {
+      case l if l.startsWith("meta=") =>
+        val Array(k, v) = l.stripPrefix("meta=").split("\\|", -1)
+        def un(s: String) = new String(Base64.getDecoder.decode(s), StandardCharsets.UTF_8)
+        un(k) -> un(v)
+    }.toMap
 
   private def loadManifest(): Map[String, TableMeta] =
     if (!Files.exists(manifestPath)) Map.empty
@@ -230,11 +261,13 @@ final class BucketedStateStore(val root: String, val numBuckets: Int = 32,
     * includes orphans from crashed batches). Directories staged for a batch
     * BEYOND the committed pointer are skipped: they may belong to an
     * in-flight batch whose commit races this call (stage writes happen
-    * outside the lock). */
-  def vacuum(): Unit = synchronized {
+    * outside the lock). `grace` additionally retains superseded dirs staged
+    * within the last `grace` batches, so recently-resolved lazy frames keep
+    * reading — the cadence-triggered vacuum passes its own interval. */
+  def vacuum(grace: Long = 0L): Unit = synchronized {
     val live: Set[String] = committed.values
       .flatMap(_.buckets.values).map(_.split('/').take(2).mkString("/")).toSet
-    val horizon = committedBatch.getOrElse(-1L)
+    val horizon = committedBatch.getOrElse(-1L) - grace
     def stagedBatchOf(dirName: String): Option[Long] =
       if (!dirName.startsWith("b")) None
       else dirName.stripPrefix("b").takeWhile(_.isDigit) match {
@@ -247,12 +280,8 @@ final class BucketedStateStore(val root: String, val numBuckets: Int = 32,
         listDirs(tdir).foreach { sdir =>
           val rel = s"${tdir.getFileName}/${sdir.getFileName}"
           val inFlight = stagedBatchOf(sdir.getFileName.toString).exists(_ > horizon)
-          if (!live.contains(rel) && !inFlight) {
-            val w = Files.walk(sdir)
-            try w.sorted(java.util.Comparator.reverseOrder())
-              .forEach(Files.deleteIfExists(_))
-            finally w.close()
-          }
+          if (!live.contains(rel) && !inFlight)
+            graft.core.TempDirs.deleteRecursively(sdir)
         }
       }
     }

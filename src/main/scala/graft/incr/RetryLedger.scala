@@ -86,16 +86,22 @@ final class RetryLedger(val maxRetries: Int, backoffMs: Seq[Long] = Seq(250L, 15
 
   // ---- persistence --------------------------------------------------------
 
-  /** Line-oriented payload (resource type/id base64'd — they are free-form). */
+  /** Line-oriented payload. EVERY free-form field (change kind, resource
+    * type, resource id) is base64'd: a raw '|' would shift fields, and —
+    * the sharper edge — base64("") is "" and `split('|')` DROPS trailing
+    * empty strings, so an empty trailing field would change the arity and
+    * crash restore on a payload already committed inside the store
+    * manifest (a permanent boot failure). Splitting with limit -1 keeps
+    * empties; b64 keeps separators out of the data. */
   def serialize: String = {
     def b64(s: String) = Base64.getEncoder.encodeToString(s.getBytes(StandardCharsets.UTF_8))
     val sb = new StringBuilder
     pendingMap.values.toSeq.sortBy(f => key(f.change)).foreach { f =>
       sb.append(s"pending|${f.change.seq}|${f.retries}|${f.firstFailedAtMs}|" +
-        s"${f.change.change}|${b64(f.change.resourceType)}|${b64(f.change.resourceId)}\n")
+        s"${b64(f.change.change)}|${b64(f.change.resourceType)}|${b64(f.change.resourceId)}\n")
     }
     dead.reverse.foreach { c => // reverse: `dead` is a prepend list
-      sb.append(s"dead|${c.seq}|${c.change}|${b64(c.resourceType)}|${b64(c.resourceId)}\n")
+      sb.append(s"dead|${c.seq}|${b64(c.change)}|${b64(c.resourceType)}|${b64(c.resourceId)}\n")
     }
     sb.toString
   }
@@ -104,12 +110,12 @@ final class RetryLedger(val maxRetries: Int, backoffMs: Seq[Long] = Seq(250L, 15
     def un(s: String) = new String(Base64.getDecoder.decode(s), StandardCharsets.UTF_8)
     payload.linesIterator.foreach {
       case l if l.startsWith("pending|") =>
-        val Array(_, seq, retries, first, change, t, i) = l.split('|')
-        val c = Change(seq.toLong, change, un(t), un(i))
+        val Array(_, seq, retries, first, change, t, i) = l.split("\\|", -1)
+        val c = Change(seq.toLong, un(change), un(t), un(i))
         pendingMap += key(c) -> FailedChange(c, retries.toInt, first.toLong)
       case l if l.startsWith("dead|") =>
-        val Array(_, seq, change, t, i) = l.split('|')
-        dead ::= Change(seq.toLong, change, un(t), un(i))
+        val Array(_, seq, change, t, i) = l.split("\\|", -1)
+        dead ::= Change(seq.toLong, un(change), un(t), un(i))
       case _ => // unknown line — forward compatibility
     }
     // lines were written oldest-first and prepended here, so `dead` is back

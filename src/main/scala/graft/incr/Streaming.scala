@@ -21,12 +21,23 @@ private[incr] final class DrainDispatch(drain: () => Unit) {
     val t = new Thread(r, "graft-retry-drain"); t.setDaemon(true); t
   })
 
-  /** Coalescing request: at most one drain queued behind the running one. */
+  /** Coalescing request: at most one drain queued behind the running one.
+    * After [[shutdown]] (query terminated) a late request runs inline —
+    * only the rare restart-after-terminate path pays that. */
   def request(): Unit =
     if (queued.compareAndSet(false, true))
-      exec.submit(new Runnable {
+      try exec.submit(new Runnable {
         def run(): Unit = { queued.set(false); drain() }
       })
+      catch {
+        case _: java.util.concurrent.RejectedExecutionException =>
+          queued.set(false); drain()
+      }
+
+  /** Stop the drain thread once its query is done — engines are per-query;
+    * without this a long-lived host leaks one daemon thread (and the
+    * engine it pins) per engine start. Queued work still runs. */
+  def shutdown(): Unit = exec.shutdown()
 
   def listenerFor(q: StreamingQuery, spark: SparkSession)
       : org.apache.spark.sql.streaming.StreamingQueryListener = {
@@ -43,6 +54,7 @@ private[incr] final class DrainDispatch(drain: () => Unit) {
           self.request() // final drain is async — hosts needing a
           // synchronous last drain call drainDue() after awaitTermination
           spark.streams.removeListener(this)
+          self.shutdown() // already-queued final drain still runs
         }
     }
   }

@@ -67,12 +67,16 @@ object EventWindows {
   /** Upsert one UPDATE-mode micro-batch of an aggregation into the durable
     * bucketed store: read only the buckets the batch's keys hash into,
     * replace those keys' rows, publish in one atomic manifest swap under
-    * `batchId` (replays of an already-committed id are skipped — the
-    * exactly-once guard the whole incremental family uses). Key column
-    * `__k` is derived from `keyExpr` and travels with the stored rows. */
+    * `batchId`. Exactly-once is scoped PER TABLE via a progress marker
+    * committed in the same swap as the data — the store-global committed
+    * pointer would falsely skip a second query's batches (its ids restart
+    * at 0) when several tables share one store. A replayed id for THIS
+    * table is a no-op; a fresh table always applies. Key column `__k` is
+    * derived from `keyExpr` and travels with the stored rows. */
   def upsertBatch(store: BucketedStateStore, table: String, keyExpr: Column,
                   batch: Dataset[Row], batchId: Long): Unit = {
-    if (store.committedBatch.exists(_ >= batchId)) return
+    val progressKey = s"drain.$table"
+    if (store.meta(progressKey).map(_.toLong).exists(_ >= batchId)) return
     val spark = batch.sparkSession
     graft.core.BatchConf.withBatchTuning(spark) {
       val rows = batch.withColumn("__k", keyExpr).localCheckpoint(true)
@@ -90,6 +94,7 @@ object EventWindows {
           } else rows
         store.stageBuckets(table, touched, merged, batchId, "__k")
       }
+      store.setMeta(progressKey, batchId.toString)
       store.commit(batchId)
     }
   }

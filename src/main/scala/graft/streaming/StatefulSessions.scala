@@ -182,10 +182,7 @@ object StatefulSessions {
       Files.setLastModifiedTime(dst,
         java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 10000L))
       // remove the staging dir so pathGlobFilter never sees its leftovers
-      val w = Files.walk(stage)
-      try w.sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => { Files.deleteIfExists(p); () })
-      finally w.close()
+      graft.core.TempDirs.deleteRecursively(stage)
     }
   }
 

@@ -335,7 +335,10 @@ class BucketedStreamingSpec extends AnyFunSuite with SparkTestBase {
     val c1 = Change(1, Change.Updated, "src", "pipe|id") // hostile id
     val c2 = Change(2, Change.Deleted, "src", "gone")
     val c3 = Change(3, Change.Created, "src", "alive")
-    l.record(Seq(c1, c2, c3), failed = Seq(c1, c2), due = Nil, now = 42L)
+    // EMPTY type/id: base64("") is "" — a trailing empty field used to
+    // change split arity and crash restore on a committed payload
+    val c4 = Change(4, Change.Updated, "", "")
+    l.record(Seq(c1, c2, c3, c4), failed = Seq(c1, c2, c4), due = Nil, now = 42L)
     // c2 dies after its retries: simulate two due failures
     l.record(Seq(c2), failed = Seq(c2), due = l.due(10000L).filter(_.change == c2), now = 300L)
     l.record(Seq(c2), failed = Seq(c2), due = l.due(10000L).filter(_.change == c2), now = 1600L)
@@ -343,6 +346,7 @@ class BucketedStreamingSpec extends AnyFunSuite with SparkTestBase {
 
     val r = RetryLedger.restore(2, l.serialize)
     assert(r.pending.toSet == l.pending.toSet)
+    assert(r.pending.exists(_.change == c4), "empty-field change must survive")
     assert(r.deadLetters == l.deadLetters)
     assert(r.serialize == l.serialize)
   }
@@ -357,7 +361,10 @@ class BucketedStreamingSpec extends AnyFunSuite with SparkTestBase {
     val firstDirs = new java.io.File(store.root, "r").listFiles().map(_.getName).toSet
     assert(firstDirs.exists(_.startsWith("b0_")))
 
-    for (i <- 1 to 3) { // commits 2..4 — cadence 3 fires within these
+    // two cadence windows: the auto-vacuum keeps a one-cadence grace for
+    // recently-resolved lazy frames, so batch-0 dirs survive the first
+    // firing (horizon 2-3 < 0) and are reaped by the second (horizon 6-3=3)
+    for (i <- 1 to 6) {
       data = Seq(("a", "k1", i.toDouble)).toDF("id", "k", "v")
       BucketedRun.applyChanges(spark, pipeline, sources, store,
         Seq(Change(i.toLong, Change.Updated, "src", "a")), i.toLong, batchId = i.toLong)
@@ -365,6 +372,6 @@ class BucketedStreamingSpec extends AnyFunSuite with SparkTestBase {
     val left = new java.io.File(store.root, "r").listFiles().map(_.getName).toSet
     assert(!left.exists(_.startsWith("b0_")),
       s"cold-start directory superseded batches ago must be auto-reaped, still have: $left")
-    assert(reduced(store) == Map("k1" -> 3.0))
+    assert(reduced(store) == Map("k1" -> 6.0))
   }
 }

@@ -148,5 +148,21 @@ class EventWindowsSpec extends AnyFunSuite with SparkTestBase {
       EventWindows.storedTable(spark, store, "hourly").drop("__k").schema)
     EventWindows.upsertBatch(store, "hourly", key, replay, before.get)
     assert(stored() == Set((0L, "click", 3L, 7.0), (3600L, "view", 1L, 7.0)))
+
+    // a SECOND query draining another table into the same store restarts
+    // its batch ids at 0 — the per-table progress marker must not skip it
+    val fresh = Seq((0L, "x", 1L, 2.0)).toDF("start", "event_type", "cnt", "sum_value")
+      .select(expr("timestamp_seconds(start)").as("window_start"),
+        col("event_type"), col("cnt"), col("sum_value"))
+    EventWindows.upsertBatch(store, "hourly2",
+      concat_ws("|", unix_timestamp(col("window_start")).cast("string"),
+        col("event_type")), fresh, batchId = 0L)
+    assert(EventWindows.storedTable(spark, store, "hourly2").count() == 1,
+      "a new table's first drain batch must apply despite the global pointer")
+    // and a replay of that same (table, batch) is still a no-op
+    EventWindows.upsertBatch(store, "hourly2",
+      concat_ws("|", unix_timestamp(col("window_start")).cast("string"),
+        col("event_type")), fresh, batchId = 0L)
+    assert(EventWindows.storedTable(spark, store, "hourly2").count() == 1)
   }
 }

@@ -116,6 +116,21 @@ class LshIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(pairSet(LshIndex.pairsFor(idx, batch, "text", "doc_id")) == before)
   }
 
+  test("rebuilding over an existing index clears stale tombstones") {
+    val dir = tmpDir()
+    val idx = LshIndex.build(docs, "text", "doc_id", dir, threshold = 0.8)
+    val victim = fullPairs(docs).head._1
+    LshIndex.applyBatch(idx, docs.filter(col("doc_id") === victim),
+      "text", "doc_id", emptyIds, gen = 1L) // tombstones the victim at gen 1
+    // re-index the same corpus from scratch into the same directory: the
+    // gen-0 rows of the victim must NOT be killed by the stale tombstone
+    val idx2 = LshIndex.build(docs, "text", "doc_id", dir, threshold = 0.8)
+    val probe = pairSet(LshIndex.pairsFor(idx2,
+      docs.filter(col("doc_id") === victim), "text", "doc_id"))
+    assert(probe.exists(p => p._1 == victim || p._2 == victim),
+      "rebuilt rows of a previously-tombstoned id must be live")
+  }
+
   test("probe reads are partition-pruned to the batch's bucket partitions") {
     val init = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
     val batch = docs.filter(col("doc_id") === docs.select(min("doc_id"))
