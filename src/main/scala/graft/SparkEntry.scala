@@ -1080,6 +1080,12 @@ object SparkEntry {
         budgets = Map("src0" -> 10000000L, "src1" -> 0L),
         defaultBudget = 800L)),
 
+    // CCNet-style corpus LM quality signal: per-doc character-trigram
+    // average negative log-likelihood against the corpus's own trigram
+    // distribution (two-pass, vocabulary-sized broadcast — see lmScore)
+    "text_lm_score" -> ((s, dir) =>
+      Curation.lmScore(t(s, dir, "documents"), "text", "doc_id")),
+
     // Deterministic train/val/test split: md5-uniform assignment, stable
     // under any partitioning — membership recomputable from the id alone
     "split_assign" -> ((s, dir) =>
@@ -1656,6 +1662,18 @@ object SparkEntry {
               CAST(sum(df.df) AS BIGINT) AS sum_df,
               CAST(sum(CASE WHEN df.df <= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
             FROM occ JOIN df USING (word) GROUP BY occ.doc_id""",
+      "text_lm_score" ->
+        s"""WITH d AS (SELECT doc_id, $toks AS l FROM documents),
+           tri AS (SELECT doc_id,
+               unnest(list_transform(range(1, len(l) - 1),
+                 i -> l[i::INT] || ' ' || l[(i+1)::INT] || ' ' || l[(i+2)::INT])) AS tg
+             FROM d WHERE len(l) >= 3),
+           c AS (SELECT tg, count(*) AS c FROM tri GROUP BY tg),
+           tot AS (SELECT sum(c) AS n, count(*) AS v FROM c)
+           SELECT tri.doc_id, count(*) AS n_tri,
+             round(-avg(ln((c.c + 1.0) / (tot.n + tot.v))), 6) AS nll
+           FROM tri JOIN c USING (tg) CROSS JOIN tot
+           GROUP BY tri.doc_id""",
       "split_assign" -> {
         // same md5-uniform reconstruction as sample_stratified, salt
         // 'graft-split'. Thresholds: Spark's cumulative sum gives

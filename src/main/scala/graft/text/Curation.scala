@@ -100,6 +100,48 @@ object Curation {
     docs.filter(hashUniform(col(idCol), salt) < rate)
   }
 
+  /** Per-document token-trigram language-model score — the CCNet-style
+    * quality signal: documents whose token statistics diverge from the
+    * corpus (gibberish, boilerplate soup, wrong language for the corpus)
+    * score a high average negative log-likelihood, normal prose scores low.
+    * `nll = -avg over trigrams t of ln((count(t)+1) / (N+V))` (add-one
+    * smoothing; N = total trigram occurrences, V = distinct trigrams).
+    *
+    * Trigrams are built by windowed `lead` over a posexploded token
+    * stream: the tokenizing `split` runs ONCE per document. (Two rejected
+    * formulations, both measured quadratic: per-index `substr` on the raw
+    * string scans by codepoint from position 0 each call, and `element_at`
+    * lambdas re-evaluate the `split` expression per element because
+    * project-collapse inlines the alias into every use.)
+    *
+    * Two-pass corpus-stats shape, same as [[corpusProfile]]/doc-frequency:
+    * pass 1 aggregates the vocabulary-sized trigram table; pass 2 scores
+    * the cached trigram stream through a broadcast join + one groupBy on
+    * the id. N and V are two driver-side numbers. Documents with fewer
+    * than 3 tokens have no trigrams and are absent from the output. */
+  def lmScore(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__p"))
+    val tri = graft.ops.Caches.track(docs
+      .select(col(idCol),
+        posexplode(TextFunctions.tokens(col(textCol))).as(Seq("__p", "__w")))
+      .withColumn("__w1", lead(col("__w"), 1).over(w))
+      .withColumn("__w2", lead(col("__w"), 2).over(w))
+      .filter(col("__w2").isNotNull)
+      .select(col(idCol), concat_ws(" ", col("__w"), col("__w1"), col("__w2")).as("__t")))
+    val counts = tri.groupBy(col("__t")).agg(count(lit(1)).as("__c"))
+    graft.ops.Caches.track(counts)
+    val totals = counts.agg(coalesce(sum(col("__c")), lit(0L)),
+      count(lit(1))).head()
+    val denom = (totals.getLong(0) + totals.getLong(1)).toDouble
+    tri.join(broadcast(counts), Seq("__t"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tri"),
+        // round: the only FP-order-sensitive value (sum of ~|ln 1e-6| terms
+        // reordered across engines drifts ~1e-12 — far inside 6 decimals)
+        round(-avg(log((col("__c") + lit(1.0)) / lit(denom))), 6).as("nll"))
+  }
+
   /** Deterministic multi-way split assignment (train/val/test): each id's
     * [[hashUniform]] draw lands in the named fraction whose cumulative
     * range contains it. A pure narrow projection — the same id gets the

@@ -59,6 +59,26 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(s1.intersect(other).isEmpty)
   }
 
+  test("trigram LM score ranks gibberish above corpus-typical prose") {
+    val corpus = (
+      (1L to 20L).map(i => (i, s"the quick brown fox jumps over the lazy dog $i")) :+
+        (99L, "zxqj vwkp qqzz xjvw kpzx")  // trigrams the corpus never repeats
+      ).toDF("doc_id", "text")
+    val scored = Curation.lmScore(corpus, "text", "doc_id")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    val typical = (1L to 20L).map(scored).max
+    assert(scored(99L) > typical,
+      s"gibberish nll ${scored(99L)} must exceed typical max $typical")
+    // deterministic under repartition (the FP round masks order jitter)
+    val again = Curation.lmScore(corpus.repartition(7), "text", "doc_id")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(again == scored)
+    // sub-trigram docs are absent, not scored
+    val tiny = Curation.lmScore(Seq((1L, "ab")).toDF("doc_id", "text"),
+      "text", "doc_id")
+    assert(tiny.count() == 0)
+  }
+
   test("split assignment is exhaustive, partition-invariant, near the fractions") {
     val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
     val split = Curation.assignSplit(col("doc_id"), fr)
