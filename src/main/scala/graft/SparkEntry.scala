@@ -919,6 +919,20 @@ object SparkEntry {
       Ivf.assignCells(e, "vec_id", "embedding", cents)
     }),
 
+    // Embedding-space diversity sampling: nearest-cell assignment (same
+    // fixed centroids as sim_ivf_assign) then 4 deterministic reps per
+    // cell — dense embedding regions can't dominate the sample
+    "sim_diverse_sample" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val cents = e.orderBy(col("vec_id")).limit(8)
+        .select(transform(col("embedding"), _.cast("double")))
+        .as[Seq[Double]].collect().toSeq
+        .zipWithIndex.map { case (v, i) => i -> v }
+      Curation.diverseSample(Ivf.assignCells(e, "vec_id", "embedding", cents),
+        "vec_id", "cell", perCell = 4)
+    }),
+
     // Embedding-cosine near-dup pairs (brute-force exact baseline; the LSH
     // scale path is Similarity.cosineNearDupPairs, approximate by design)
     "embed_cos_neardup" -> ((s, dir) =>
@@ -1494,6 +1508,33 @@ object SparkEntry {
                  FROM e CROSS JOIN c)
            SELECT vec_id, CAST(cell AS INTEGER) AS cell FROM s
            QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sc DESC, cell DESC) = 1""",
+      "sim_diverse_sample" -> {
+        val nib = (k: Int) =>
+          s"(strpos('0123456789abcdef', substr(h, $k, 1)) - 1)::BIGINT"
+        val u32 = (1 to 8).map(k => s"${nib(k)} * ${1L << (4 * (8 - k))}")
+          .mkString(" + ")
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+               sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x * x),
+                 (a, b) -> a + b)) AS vn
+             FROM embeddings),
+           c0 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8),
+           c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv,
+                 sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS cn
+                 FROM c0),
+           s AS (SELECT e.vec_id, c.cell,
+                 CASE WHEN e.vn * c.cn = 0 THEN 0.0
+                   ELSE list_reduce(list_transform(range(64), j -> e.v[j+1] * c.cv[j+1]),
+                     (a, b) -> a + b) / (e.vn * c.cn) END AS sc
+                 FROM e CROSS JOIN c),
+           a AS (SELECT vec_id, CAST(cell AS INTEGER) AS cell FROM s
+                 QUALIFY row_number() OVER (PARTITION BY vec_id
+                   ORDER BY sc DESC, cell DESC) = 1),
+           hh AS (SELECT vec_id, cell,
+                  md5('graft-diverse:' || vec_id::VARCHAR) AS h FROM a)
+           SELECT vec_id, cell FROM hh
+           QUALIFY row_number() OVER (PARTITION BY cell
+             ORDER BY ($u32) / 4294967296.0, vec_id) <= 4"""
+      },
       "embed_cos_neardup" ->
         """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
            SELECT a.vec_id AS id_a, b.vec_id AS id_b,

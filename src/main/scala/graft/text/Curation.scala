@@ -142,6 +142,23 @@ object Curation {
         round(-avg(log((col("__c") + lit(1.0)) / lit(denom))), 6).as("nll"))
   }
 
+  /** Cluster-balanced (diversity) sampling: keep `perCell` deterministic
+    * representatives of each embedding cluster cell — the data-diversity
+    * step that stops one dense region of embedding space from dominating a
+    * sampled training set. `assigned` is an (id, cell) frame (e.g.
+    * [[graft.sim.Ivf.assignCells]]); representatives are the cell's
+    * `perCell` smallest [[hashUniform]] draws, so the sample is stable
+    * under any partitioning and re-run. One shuffle on the cell key; the
+    * per-cell sort is a WindowGroupLimit pushdown (top-k, never a full
+    * sort of big cells). */
+  def diverseSample(assigned: DataFrame, idCol: String, cellCol: String,
+                    perCell: Int, salt: String = "graft-diverse"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(cellCol)).orderBy(hashUniform(col(idCol), salt), col(idCol))
+    assigned.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= perCell).drop("__rn")
+  }
+
   /** Deterministic multi-way split assignment (train/val/test): each id's
     * [[hashUniform]] draw lands in the named fraction whose cumulative
     * range contains it. A pure narrow projection — the same id gets the
