@@ -1094,6 +1094,12 @@ object SparkEntry {
         budgets = Map("src0" -> 10000000L, "src1" -> 0L),
         defaultBudget = 800L)),
 
+    // Duplicated-span statistics: 20-token sliding windows whose text
+    // recurs anywhere in the corpus — the substring-dedup signal that
+    // catches verbatim chunks pasted into otherwise-distinct documents
+    "text_dup_spans" -> ((s, dir) =>
+      Curation.dupSpans(t(s, dir, "documents"), "text", "doc_id", span = 20)),
+
     // CCNet-style corpus LM quality signal: per-doc character-trigram
     // average negative log-likelihood against the corpus's own trigram
     // distribution (two-pass, vocabulary-sized broadcast — see lmScore)
@@ -1703,6 +1709,18 @@ object SparkEntry {
               CAST(sum(df.df) AS BIGINT) AS sum_df,
               CAST(sum(CASE WHEN df.df <= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
             FROM occ JOIN df USING (word) GROUP BY occ.doc_id""",
+      "text_dup_spans" ->
+        s"""WITH d AS (SELECT doc_id, $toks AS l FROM documents),
+           sp AS (SELECT doc_id, unnest(list_transform(range(1, len(l) - 18),
+                    i -> md5(array_to_string(l[i::INT:(i+19)::INT], ' ')))) AS h
+                  FROM d WHERE len(l) >= 20),
+           f AS (SELECT h FROM sp GROUP BY h HAVING count(*) > 1)
+           SELECT doc_id, count(*) AS n_spans,
+             CAST(sum(CASE WHEN h IN (SELECT h FROM f) THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_dup,
+             round(sum(CASE WHEN h IN (SELECT h FROM f) THEN 1 ELSE 0 END)::DOUBLE
+               / count(*), 6) AS dup_frac
+           FROM sp GROUP BY doc_id""",
       "text_lm_score" ->
         s"""WITH d AS (SELECT doc_id, $toks AS l FROM documents),
            tri AS (SELECT doc_id,

@@ -142,6 +142,43 @@ object Curation {
         round(-avg(log((col("__c") + lit(1.0)) / lit(denom))), 6).as("nll"))
   }
 
+  /** Duplicated-SPAN statistics — the substring-dedup signal ("Deduplicating
+    * Training Data Makes Language Models Better"-style, at token-window
+    * granularity): every `span`-token sliding window is hashed; windows
+    * whose text occurs more than once ACROSS the corpus are duplicated
+    * spans, and each document reports how many of its windows are
+    * duplicated. Exact-dedup misses partial overlap, MinHash reports
+    * whole-document similarity — this catches the verbatim chunk pasted
+    * into otherwise-distinct documents.
+    *
+    * Same one-tokenization stream shape as [[lmScore]]: posexplode + a
+    * sliding `collect_list` window (O(span · tokens) rows, never a
+    * re-tokenize per position); the frequent-window table is corpus-level
+    * (pass 1) and joins back broadcast (pass 2). Output:
+    * (id, n_spans, n_dup, dup_frac) for docs with ≥ `span` tokens. */
+  def dupSpans(docs: DataFrame, textCol: String, idCol: String,
+               span: Int = 20): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__p"))
+      .rowsBetween(0, span - 1)
+    val spans = graft.ops.Caches.track(docs
+      .select(col(idCol),
+        posexplode(TextFunctions.tokens(col(textCol))).as(Seq("__p", "__w")))
+      .withColumn("__s", collect_list(col("__w")).over(w))
+      .filter(size(col("__s")) === span)
+      .select(col(idCol), md5(concat_ws(" ", col("__s")).cast("binary")).as("__h")))
+    // no broadcast hint: the duplicated-hash set is data-dependent
+    // (boilerplate-heavy corpora can be huge) — AQE sees its runtime size
+    // and broadcasts exactly when it fits
+    val dupHashes = spans.groupBy(col("__h")).agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > 1).select(col("__h"))
+    spans.join(dupHashes.withColumn("__dup", lit(1L)), Seq("__h"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(coalesce(col("__dup"), lit(0L))).as("n_dup"))
+      .withColumn("dup_frac", round(col("n_dup") / col("n_spans"), 6))
+  }
+
   /** Cluster-balanced (diversity) sampling: keep `perCell` deterministic
     * representatives of each embedding cluster cell — the data-diversity
     * step that stops one dense region of embedding space from dominating a

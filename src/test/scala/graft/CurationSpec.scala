@@ -79,6 +79,22 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(tiny.count() == 0)
   }
 
+  test("dup spans flags exactly the verbatim chunk shared by two docs") {
+    val chunk = (1 to 25).map(i => s"w$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"alpha beta $chunk gamma"),
+      (2L, s"$chunk delta epsilon"),
+      (3L, (100 to 160).map(i => s"u$i").mkString(" "))).toDF("doc_id", "text")
+    val out = Curation.dupSpans(corpus, "text", "doc_id", span = 20)
+      .select("doc_id", "n_spans", "n_dup")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // a 25-token chunk contains 6 complete 20-token windows; both carriers
+    // flag exactly those, the unrelated doc flags none
+    assert(out(1L)._2 == 6 && out(2L)._2 == 6)
+    assert(out(3L)._2 == 0)
+    assert(out(1L)._1 == 28 - 19 && out(2L)._1 == 27 - 19) // window counts
+  }
+
   test("split assignment is exhaustive, partition-invariant, near the fractions") {
     val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
     val split = Curation.assignSplit(col("doc_id"), fr)
