@@ -96,6 +96,20 @@ object SparkEntry {
                           seqOffset: Long = 0L, residue: Long = 0L): Seq[Change] =
     idBatch(s, dir, "orders", mod, change, seqOffset, residue)
 
+  /** The deterministic fixed-centroid cell assignment shared by
+    * `sim_ivf_assign` and `sim_diverse_sample` (centroids = the 8 smallest
+    * vec_ids' vectors; the tie rule is oracle-checked): THE single place
+    * the centroid fixture is defined — its two oracles share one CTE too. */
+  private def fixedCellAssignment(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "embeddings")
+    val cents = e.orderBy(col("vec_id")).limit(8)
+      .select(transform(col("embedding"), _.cast("double")))
+      .as[Seq[Double]].collect().toSeq
+      .zipWithIndex.map { case (v, i) => i -> v }
+    Ivf.assignCells(e, "vec_id", "embedding", cents)
+  }
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
@@ -909,29 +923,15 @@ object SparkEntry {
     // nearest-cell over a FIXED centroid set (the 8 smallest vec_ids'
     // vectors — k-means trained centroids are equally fixed at probe time),
     // hash-checked end to end including the tie rule
-    "sim_ivf_assign" -> ((s, dir) => {
-      import s.implicits._
-      val e = t(s, dir, "embeddings")
-      val cents = e.orderBy(col("vec_id")).limit(8)
-        .select(transform(col("embedding"), _.cast("double")))
-        .as[Seq[Double]].collect().toSeq
-        .zipWithIndex.map { case (v, i) => i -> v }
-      Ivf.assignCells(e, "vec_id", "embedding", cents)
-    }),
+    "sim_ivf_assign" -> ((s, dir) =>
+      fixedCellAssignment(s, dir)),
 
     // Embedding-space diversity sampling: nearest-cell assignment (same
     // fixed centroids as sim_ivf_assign) then 4 deterministic reps per
     // cell — dense embedding regions can't dominate the sample
-    "sim_diverse_sample" -> ((s, dir) => {
-      import s.implicits._
-      val e = t(s, dir, "embeddings")
-      val cents = e.orderBy(col("vec_id")).limit(8)
-        .select(transform(col("embedding"), _.cast("double")))
-        .as[Seq[Double]].collect().toSeq
-        .zipWithIndex.map { case (v, i) => i -> v }
-      Curation.diverseSample(Ivf.assignCells(e, "vec_id", "embedding", cents),
-        "vec_id", "cell", perCell = 4)
-    }),
+    "sim_diverse_sample" -> ((s, dir) =>
+      Curation.diverseSample(fixedCellAssignment(s, dir),
+        "vec_id", "cell", perCell = 4)),
 
     // Embedding-cosine near-dup pairs (brute-force exact baseline; the LSH
     // scale path is Similarity.cosineNearDupPairs, approximate by design)
@@ -1100,9 +1100,9 @@ object SparkEntry {
     "text_dup_spans" -> ((s, dir) =>
       Curation.dupSpans(t(s, dir, "documents"), "text", "doc_id", span = 20)),
 
-    // CCNet-style corpus LM quality signal: per-doc character-trigram
-    // average negative log-likelihood against the corpus's own trigram
-    // distribution (two-pass, vocabulary-sized broadcast — see lmScore)
+    // CCNet-style corpus LM quality signal: per-doc TOKEN-trigram average
+    // negative log-likelihood against the corpus's own trigram
+    // distribution (two-pass corpus-stats shape — see lmScore)
     "text_lm_score" -> ((s, dir) =>
       Curation.lmScore(t(s, dir, "documents"), "text", "doc_id")),
 
@@ -1129,6 +1129,26 @@ object SparkEntry {
   def oracleSql: Map[String, String] = {
     // shared DuckDB snippets replicating TextFunctions' tokenization
     val toks = raw"string_split_regex(trim(lower(text)), '\s+')"
+    // fixed-centroid nearest-cell assignment incl. the tie rule — ONE copy,
+    // shared by the sim_ivf_assign and sim_diverse_sample oracles (mirrors
+    // the single fixedCellAssignment helper on the Spark side)
+    val ivfAssignCtes =
+      """e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x * x),
+               (a, b) -> a + b)) AS vn
+           FROM embeddings),
+         c0 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8),
+         c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv,
+               sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS cn
+               FROM c0),
+         sc AS (SELECT e.vec_id, c.cell,
+               CASE WHEN e.vn * c.cn = 0 THEN 0.0
+                 ELSE list_reduce(list_transform(range(64), j -> e.v[j+1] * c.cv[j+1]),
+                   (a, b) -> a + b) / (e.vn * c.cn) END AS sc
+               FROM e CROSS JOIN c),
+         asn AS (SELECT vec_id, CAST(cell AS INTEGER) AS cell FROM sc
+                 QUALIFY row_number() OVER (PARTITION BY vec_id
+                   ORDER BY sc DESC, cell DESC) = 1)"""
     val shingles =
       raw"""CASE WHEN len($toks) < 3 THEN [array_to_string($toks, ' ')]
             ELSE list_distinct(list_transform(range(len($toks) - 2),
@@ -1499,44 +1519,16 @@ object SparkEntry {
             GROUP BY vec_id"""
       },
       "sim_ivf_assign" ->
-        """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
-               sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x * x),
-                 (a, b) -> a + b)) AS vn
-             FROM embeddings),
-           c0 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8),
-           c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv,
-                 sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS cn
-                 FROM c0),
-           s AS (SELECT e.vec_id, c.cell,
-                 CASE WHEN e.vn * c.cn = 0 THEN 0.0
-                   ELSE list_reduce(list_transform(range(64), j -> e.v[j+1] * c.cv[j+1]),
-                     (a, b) -> a + b) / (e.vn * c.cn) END AS sc
-                 FROM e CROSS JOIN c)
-           SELECT vec_id, CAST(cell AS INTEGER) AS cell FROM s
-           QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sc DESC, cell DESC) = 1""",
+        s"""WITH $ivfAssignCtes
+           SELECT vec_id, cell FROM asn""",
       "sim_diverse_sample" -> {
         val nib = (k: Int) =>
           s"(strpos('0123456789abcdef', substr(h, $k, 1)) - 1)::BIGINT"
         val u32 = (1 to 8).map(k => s"${nib(k)} * ${1L << (4 * (8 - k))}")
           .mkString(" + ")
-        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
-               sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x * x),
-                 (a, b) -> a + b)) AS vn
-             FROM embeddings),
-           c0 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8),
-           c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv,
-                 sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS cn
-                 FROM c0),
-           s AS (SELECT e.vec_id, c.cell,
-                 CASE WHEN e.vn * c.cn = 0 THEN 0.0
-                   ELSE list_reduce(list_transform(range(64), j -> e.v[j+1] * c.cv[j+1]),
-                     (a, b) -> a + b) / (e.vn * c.cn) END AS sc
-                 FROM e CROSS JOIN c),
-           a AS (SELECT vec_id, CAST(cell AS INTEGER) AS cell FROM s
-                 QUALIFY row_number() OVER (PARTITION BY vec_id
-                   ORDER BY sc DESC, cell DESC) = 1),
+        s"""WITH $ivfAssignCtes,
            hh AS (SELECT vec_id, cell,
-                  md5('graft-diverse:' || vec_id::VARCHAR) AS h FROM a)
+                  md5('graft-diverse:' || vec_id::VARCHAR) AS h FROM asn)
            SELECT vec_id, cell FROM hh
            QUALIFY row_number() OVER (PARTITION BY cell
              ORDER BY ($u32) / 4294967296.0, vec_id) <= 4"""

@@ -116,9 +116,12 @@ object Curation {
     *
     * Two-pass corpus-stats shape, same as [[corpusProfile]]/doc-frequency:
     * pass 1 aggregates the vocabulary-sized trigram table; pass 2 scores
-    * the cached trigram stream through a broadcast join + one groupBy on
+    * the cached trigram stream through a count join + one groupBy on
     * the id. N and V are two driver-side numbers. Documents with fewer
-    * than 3 tokens have no trigrams and are absent from the output. */
+    * than 3 tokens have no trigrams and are absent from the output.
+    * `idCol` must be UNIQUE per row — the window partitions on it, so
+    * duplicate ids would interleave two rows' tokens into phantom
+    * trigrams (same precondition as [[dupSpans]]). */
   def lmScore(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("__p"))
@@ -134,7 +137,9 @@ object Curation {
     val totals = counts.agg(coalesce(sum(col("__c")), lit(0L)),
       count(lit(1))).head()
     val denom = (totals.getLong(0) + totals.getLong(1)).toDouble
-    tri.join(broadcast(counts), Seq("__t"))
+    // no broadcast hint: a trigram vocabulary grows with the corpus (far
+    // past any broadcast limit at scale) — AQE broadcasts when it fits
+    tri.join(counts, Seq("__t"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tri"),
         // round: the only FP-order-sensitive value (sum of ~|ln 1e-6| terms
@@ -154,8 +159,9 @@ object Curation {
     * Same one-tokenization stream shape as [[lmScore]]: posexplode + a
     * sliding `collect_list` window (O(span · tokens) rows, never a
     * re-tokenize per position); the frequent-window table is corpus-level
-    * (pass 1) and joins back broadcast (pass 2). Output:
-    * (id, n_spans, n_dup, dup_frac) for docs with ≥ `span` tokens. */
+    * (pass 1) and joins back (pass 2). Output:
+    * (id, n_spans, n_dup, dup_frac) for docs with ≥ `span` tokens.
+    * `idCol` must be UNIQUE per row (see [[lmScore]]). */
   def dupSpans(docs: DataFrame, textCol: String, idCol: String,
                span: Int = 20): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

@@ -77,6 +77,7 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     val tiny = Curation.lmScore(Seq((1L, "ab")).toDF("doc_id", "text"),
       "text", "doc_id")
     assert(tiny.count() == 0)
+    graft.ops.Caches.release() // lmScore tracks its trigram stream per call
   }
 
   test("dup spans flags exactly the verbatim chunk shared by two docs") {
@@ -93,6 +94,7 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(out(1L)._2 == 6 && out(2L)._2 == 6)
     assert(out(3L)._2 == 0)
     assert(out(1L)._1 == 28 - 19 && out(2L)._1 == 27 - 19) // window counts
+    graft.ops.Caches.release() // dupSpans tracks its span stream
   }
 
   test("split assignment is exhaustive, partition-invariant, near the fractions") {
