@@ -517,6 +517,46 @@ object SparkEntry {
     "b12_multiget" -> ((s, dir) =>
       t(s, dir, "part").filter(col("p_partkey").isin(1, 2, 42, 77, 1999))),
 
+    // B14: the server's URL search surface parsed end to end
+    // (list_resource.py:196-262) — operators, typed coercion of the
+    // string-carried value against an int column, multi-field sort,
+    // offset/limit, show projection
+    "b14_url_search" -> ((s, dir) =>
+      QvarnUrl.urlSearch(t(s, dir, "part"),
+        "/part/search/contains/p_name/WIDGET/ge/p_size/10" +
+          "/sort/p_retailprice/sort/p_partkey/offset/3/limit/40" +
+          "/show/p_name/show/p_size",
+        idField = "p_partkey")),
+
+    // B14: ids-only default projection + percent-decoded value ('%23' → '#')
+    "b14_url_ids" -> ((s, dir) =>
+      QvarnUrl.urlSearch(t(s, dir, "part"),
+        "/part/search/exact/p_brand/Brand%234/gt/p_retailprice/950",
+        idField = "p_partkey")),
+
+    // B15: the client's Django-style keyword search (clients/qvarn.py:211-273)
+    // — bare key = exact, multi-value tuple ANDs per element, stringified
+    // values coerced back by column type
+    "b15_param_search" -> ((s, dir) =>
+      QvarnUrl.paramSearch(t(s, dir, "customer"),
+        Seq("c_mktsegment" -> "BUILDING", "c_acctbal__ge" -> 0,
+          "c_name__contains" -> Seq("1", "2")),
+        show = Seq("c_name", "c_acctbal"), idField = "c_custkey").result()),
+
+    // B14+B6: nested-field resolution through the URL surface — conditions
+    // independently match ANY element of the child list, with the double
+    // field compared numerically
+    "b14_url_nested" -> ((s, dir) => {
+      val nested = t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(collect_list(struct(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice"))).as("orders"))
+      QvarnUrl.urlSearch(nested,
+        "/search/exact/o_orderpriority/1-URGENT/gt/o_totalprice/150000",
+        idField = "c_custkey")
+    }),
+
     // Streaming-analog windowed aggregation over the events table
     // Gap-based session windows per user (Spark session_window; the same
     // code runs streaming with a watermark). Oracle = the classic
@@ -1274,6 +1314,22 @@ object SparkEntry {
         "SELECT * FROM part WHERE p_partkey = 142",
       "b12_multiget" ->
         "SELECT * FROM part WHERE p_partkey IN (1, 2, 42, 77, 1999)",
+      "b14_url_search" ->
+        """SELECT p_partkey, p_name, p_size FROM part
+           WHERE lower(p_name) LIKE '%widget%' AND p_size >= 10
+           ORDER BY p_retailprice, p_partkey LIMIT 40 OFFSET 3""",
+      "b14_url_ids" ->
+        "SELECT p_partkey FROM part WHERE lower(p_brand) = 'brand#4' AND p_retailprice > 950",
+      "b15_param_search" ->
+        """SELECT c_custkey, c_name, c_acctbal FROM customer
+           WHERE lower(c_mktsegment) = 'building' AND c_acctbal >= 0
+             AND lower(c_name) LIKE '%1%' AND lower(c_name) LIKE '%2%'""",
+      "b14_url_nested" ->
+        """SELECT c_custkey FROM customer c
+           WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                         AND lower(o.o_orderpriority) = '1-urgent')
+             AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                         AND o.o_totalprice > 150000)""",
       "a15_version_barrier" ->
         """SELECT CAST(o_custkey AS VARCHAR) AS _mr_key,
            round(CASE

@@ -101,9 +101,46 @@ final case class QvarnSearch(
     rows.headOption
   }
 
+  /** URL-surface condition (vendor read_only.py:186-222, 262-268): the value
+    * arrives as a string; the server lowercases it unconditionally
+    * (`_cast_value`) and lowercases the COLUMN only when it is string-typed,
+    * so string columns compare case-insensitively while typed columns get the
+    * literal cast by the database (numeric compare). `'true'/'false'` coerce
+    * to booleans. The cast-of-literal constant-folds under Catalyst, so a
+    * `p_size >= '10'` URL condition still pushes down as `p_size >= 10`. */
+  def urlCond(op: String, field: String, value: String): QvarnSearch = {
+    val v = value.toLowerCase
+    def cmp(f: (Column, Column) => Column): (Column, DataType) => Column = {
+      case (c, StringType) => f(lower(c), lit(v))
+      case (c, BooleanType) if v == "true" || v == "false" => f(c, lit(v.toBoolean))
+      case (c, dt) => f(c, lit(v).cast(dt))
+    }
+    val pred: (Column, DataType) => Column = op match {
+      case "exact" => cmp(_ === _)
+      case "ne" => cmp(_ =!= _)
+      case "gt" => cmp(_ > _)
+      case "ge" => cmp(_ >= _)
+      case "lt" => cmp(_ < _)
+      case "le" => cmp(_ <= _)
+      case "contains" => {
+        case (c, StringType) => lower(c).contains(v)
+        case (c, _) => c.cast("string").contains(v)
+      }
+      case "startswith" => {
+        case (c, StringType) => lower(c).startsWith(v)
+        case (c, _) => c.cast("string").startsWith(v)
+      }
+      case other => throw QvarnSearch.BadSearchCondition(s"unknown operator '$other'")
+    }
+    condTyped(field, pred)
+  }
+
   // ---- internals ----------------------------------------------------------
 
-  private def cond(field: String, pred: Column => Column): QvarnSearch = {
+  private def cond(field: String, pred: Column => Column): QvarnSearch =
+    condTyped(field, (c, _) => pred(c))
+
+  private def condTyped(field: String, pred: (Column, DataType) => Column): QvarnSearch = {
     val ps = QvarnSearch.fieldPredicates(df.schema, field, pred)
     require(ps.nonEmpty, s"field '$field' not found anywhere in schema")
     copy(conds = conds :+ ps.reduce(_ || _))
@@ -129,6 +166,8 @@ final case class QvarnSearch(
 object QvarnSearch {
   final case class LimitWithoutSortError()
       extends RuntimeException("limit/offset require sort (Qvarn LimitWithoutSortError)")
+  final case class BadSearchCondition(detail: String)
+      extends RuntimeException(s"bad search condition: $detail")
   final case class NotFoundError() extends RuntimeException("search_one: no match")
   final case class MultipleFoundError() extends RuntimeException("search_one: multiple matches")
 
@@ -138,9 +177,12 @@ object QvarnSearch {
 
   /** B6: resolve a bare field name to every column of that name in the
     * schema — top level, struct subpaths, arrays of structs (≤2 levels like
-    * Qvarn's flattened child tables) — returning one predicate per site. */
+    * Qvarn's flattened child tables) — returning one predicate per site.
+    * The predicate receives the site's element type so callers can coerce
+    * string-carried values per site (vendor read_only.py:211-213 applies
+    * LOWER only to string columns). */
   private[graft] def fieldPredicates(
-      schema: StructType, field: String, pred: Column => Column): Seq[Column] = {
+      schema: StructType, field: String, pred: (Column, DataType) => Column): Seq[Column] = {
 
     def hasMatch(dt: DataType, name: String): Boolean = dt match {
       case st: StructType =>
@@ -157,8 +199,8 @@ object QvarnSearch {
           case ArrayType(s: StructType, _) if hasMatch(s, f.name) =>
             Seq(exists(c, e =>
               walk(n => e.getField(n), s).reduceOption(_ || _).getOrElse(lit(false))))
-          case ArrayType(_, _) if f.name == field => Seq(exists(c, pred))
-          case _ if f.name == field => Seq(pred(c))
+          case ArrayType(et, _) if f.name == field => Seq(exists(c, e => pred(e, et)))
+          case dt if f.name == field => Seq(pred(c, dt))
           case _ => Nil
         }
       }

@@ -1,0 +1,131 @@
+package graft
+
+import graft.ops.{QvarnSearch, QvarnUrl}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The URL-path and Django-keyword search front ends (vendor
+  * list_resource.py:196-262, clients/qvarn.py:211-273) parsed onto the
+  * QvarnSearch combinators. */
+class QvarnUrlSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private lazy val people = Seq(
+    ("p1", "Alice", 30, true, "green/blue"),
+    ("p2", "BOB", 25, false, "red"),
+    ("p3", "bob", 40, true, "Green")
+  ).toDF("id", "name", "age", "active", "color")
+
+  // ---- token decoding -----------------------------------------------------
+
+  test("unquote decodes percent escapes, leaves '+' and malformed escapes alone") {
+    assert(QvarnUrl.unquote("Brand%2313") == "Brand#13")
+    assert(QvarnUrl.unquote("a%2Fb") == "a/b")
+    assert(QvarnUrl.unquote("a+b") == "a+b") // path convention, not query-string
+    assert(QvarnUrl.unquote("100%") == "100%")
+    assert(QvarnUrl.unquote("%zz") == "%zz")
+    assert(QvarnUrl.unquote("%C3%A4iti") == "äiti") // multi-byte UTF-8 run
+    assert(QvarnUrl.unquote("snow☃%21") == "snow☃!")
+  }
+
+  // ---- URL path form ------------------------------------------------------
+
+  test("full resource path and bare criteria both parse; default is ids-only") {
+    val a = QvarnUrl.urlSearch(people, "/people/search/exact/name/bob")
+    val b = QvarnUrl.urlSearch(people, "exact/name/bob")
+    assert(a.columns.toSeq == Seq("id"))
+    assert(a.as[String].collect().sorted.toSeq == Seq("p2", "p3"))
+    assert(b.as[String].collect().sorted.toSeq == Seq("p2", "p3"))
+  }
+
+  test("slash inside a percent-encoded value survives the split") {
+    val ids = QvarnUrl.urlSearch(people, "/search/exact/color/green%2Fblue")
+    assert(ids.as[String].collect().toSeq == Seq("p1"))
+  }
+
+  test("typed coercion: int columns compare numerically, bools parse") {
+    // '9' < '10' numerically but not lexicographically — the int column wins
+    assert(QvarnUrl.urlSearch(people, "/search/gt/age/9").count() == 3)
+    assert(QvarnUrl.urlSearch(people, "/search/exact/active/True")
+      .as[String].collect().sorted.toSeq == Seq("p1", "p3"))
+  }
+
+  test("show collects fields plus id; show_all returns whole rows") {
+    val shown = QvarnUrl.urlSearch(people, "/search/exact/name/alice/show/age/show/color")
+    assert(shown.columns.toSeq == Seq("id", "age", "color"))
+    val all = QvarnUrl.urlSearch(people, "/search/exact/name/alice/show_all")
+    assert(all.columns.toSeq == people.columns.toSeq)
+  }
+
+  test("sort + limit + offset in URL order") {
+    val rows = QvarnUrl.urlSearch(people, "/search/sort/age/offset/1/limit/1/show_all")
+    assert(rows.select("id").as[String].collect().toSeq == Seq("p1"))
+  }
+
+  test("error taxonomy matches the server") {
+    intercept[QvarnSearch.BadSearchCondition] {
+      QvarnUrl.parse(people, "/search/between/age/1/2")
+    }
+    intercept[QvarnSearch.BadSearchCondition] {
+      QvarnUrl.parse(people, "/search/exact/name") // operator starved of operands
+    }
+    intercept[QvarnSearch.BadSearchCondition] {
+      QvarnUrl.parse(people, "/search/exact/name/x/show")
+    }
+    intercept[QvarnUrl.BadLimitValue] {
+      QvarnUrl.parse(people, "/search/sort/age/limit/abc")
+    }
+    intercept[QvarnUrl.BadOffsetValue] {
+      QvarnUrl.parse(people, "/search/sort/age/offset/-1")
+    }
+    intercept[QvarnSearch.LimitWithoutSortError] {
+      QvarnUrl.urlSearch(people, "/search/limit/5")
+    }
+  }
+
+  test("URL form ≡ combinator form") {
+    val viaUrl = QvarnUrl.urlSearch(
+      people, "/search/contains/name/O/ne/color/red/sort/age/show_all")
+    val viaApi = QvarnSearch(people).contains("name", "O").notEqual("color", "red")
+      .sort("age").result()
+    assert(viaUrl.collect().toSeq == viaApi.collect().toSeq)
+  }
+
+  // ---- Django keyword form ------------------------------------------------
+
+  test("bare key means exact; values are stringified; case-insensitive") {
+    val ids = QvarnUrl.paramSearch(people, Seq("name" -> "ALICE")).result()
+    assert(ids.as[String].collect().toSeq == Seq("p1"))
+  }
+
+  test("multi-value tuple ANDs one condition per element on the same field") {
+    // name must contain both 'b' and 'o' somewhere (clients/qvarn.py:263-270)
+    val ids = QvarnUrl.paramSearch(people, Seq("name__contains" -> Seq("b", "o"))).result()
+    assert(ids.as[String].collect().sorted.toSeq == Seq("p2", "p3"))
+  }
+
+  test("numeric ops through the keyword form; show projects fields") {
+    val df = QvarnUrl.paramSearch(
+      people, Seq("age__ge" -> 30, "active" -> true), show = Seq("name")).result()
+    assert(df.columns.toSeq == Seq("id", "name"))
+    assert(df.select("id").as[String].collect().sorted.toSeq == Seq("p1", "p3"))
+  }
+
+  test("invalid keys raise") {
+    intercept[QvarnSearch.BadSearchCondition] {
+      QvarnUrl.paramSearch(people, Seq("a__b__c" -> 1))
+    }
+    intercept[QvarnSearch.BadSearchCondition] {
+      QvarnUrl.paramSearch(people, Seq("age__between" -> 1))
+    }
+  }
+
+  test("nested-field resolution works through the URL surface") {
+    val nested = people.groupBy(col("active"))
+      .agg(collect_list(struct(col("id"), col("name"))).as("members"))
+      .withColumn("gid", col("active").cast("string"))
+    val hit = QvarnUrl.urlSearch(nested, "/search/exact/name/BOB/show/active", idField = "gid")
+    assert(hit.columns.toSeq == Seq("gid", "active"))
+    assert(hit.count() == 2) // 'bob' and 'BOB' live in different groups
+  }
+}
