@@ -78,6 +78,8 @@ object SparkEntry {
   /** One persisted IVF index per scale dir (built on first probe). */
   private val ivfIndexes =
     scala.collection.concurrent.TrieMap.empty[String, Ivf.Index]
+  private val bm25Indexes =
+    scala.collection.concurrent.TrieMap.empty[String, graft.text.Retrieval.InvertedIndex]
 
   /** One batch of same-typed changes over `table` ids `≡ residue (mod mod)`
     * — a notification-queue-sized batch (tens of ids at sf0.1) built in
@@ -1127,6 +1129,33 @@ object SparkEntry {
       Repetition.docFreqStats(t(s, dir, "documents"), "text", "doc_id",
         rareMaxDf = 50L)),
 
+    // Top-3 TF-IDF terms per document: one doc-term shuffle, broadcast df
+    // table, scores fixed to integer micro-units (one multiplication per
+    // term, no float summation), per-doc top-k as a WindowGroupLimit
+    "text_tfidf_topk" -> ((s, dir) =>
+      graft.text.Retrieval.tfidfTopK(t(s, dir, "documents"), "text", "doc_id", k = 3)),
+
+    // BM25-ranked retrieval over a persisted inverted index (the IVF
+    // build/probe pattern on text): postings hash-partitioned by term
+    // bucket, the probe statically prunes to the query terms' buckets;
+    // per-term contributions in integer micro-units so the per-doc sum is
+    // exact under any partitioning
+    "search_bm25" -> ((s, dir) => {
+      val index = bm25Indexes.getOrElseUpdate(dir, {
+        val idxDir = graft.core.TempDirs.register(
+          java.nio.file.Files.createTempDirectory("graft_bm25")).toString
+        graft.text.Retrieval.buildIndex(t(s, dir, "documents"), "text", "doc_id",
+          idxDir, numBuckets = 64)
+      })
+      graft.text.Retrieval.bm25(s, index, "fast table scan join merge", k = 20)
+    }),
+
+    // Pairwise n-gram overlap between sources — the inter-source
+    // duplication diagnostic (did two crawls feed the same content?);
+    // one distinct-shingle shuffle, slice²-sized output
+    "corpus_source_overlap" -> ((s, dir) =>
+      graft.text.Retrieval.sourceOverlap(t(s, dir, "documents"), "text", "source", n = 5)),
+
     // Deterministic data mixture: greedy per-source fill to a token budget
     // in md5-uniform order (src0 uncapped, src1 dropped, rest 800 tokens)
     "mix_budget" -> ((s, dir) =>
@@ -1757,6 +1786,64 @@ object SparkEntry {
               CAST(sum(df.df) AS BIGINT) AS sum_df,
               CAST(sum(CASE WHEN df.df <= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
             FROM occ JOIN df USING (word) GROUP BY occ.doc_id""",
+      "text_tfidf_topk" ->
+        raw"""WITH tok AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+              tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+              df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+              n AS (SELECT count(*) AS n FROM documents),
+              scored AS (
+                SELECT doc_id, term, tf, df.df,
+                  CAST(round(tf * ln((n + 1.0) / (df.df + 1.0)) * 1000000) AS BIGINT)
+                    AS score_micro
+                FROM tf JOIN df USING (term) CROSS JOIN n)
+            SELECT doc_id, term, tf, df, score_micro, rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY doc_id
+                ORDER BY score_micro DESC, term) AS rank FROM scored)
+            WHERE rank <= 3""",
+      "search_bm25" ->
+        raw"""WITH q AS (SELECT unnest(['fast','table','scan','join','merge']) AS term),
+              d AS (SELECT doc_id, $toks AS toks FROM documents),
+              dl AS (SELECT doc_id, len(toks) AS dl FROM d),
+              tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
+              tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+              df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+              stats AS (SELECT count(*) AS n,
+                  (sum(dl) * 1000000) // count(*) AS avgdl_micro FROM dl),
+              contrib AS (
+                SELECT tf.doc_id,
+                  CAST(round(
+                    ln(1.0 + (n - df.df + 0.5) / (df.df + 0.5)) *
+                    (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl.dl /
+                      (avgdl_micro / 1000000.0))) * 1000000) AS BIGINT) AS c_micro
+                FROM tf JOIN q USING (term) JOIN df USING (term)
+                  JOIN dl USING (doc_id) CROSS JOIN stats),
+              scored AS (SELECT doc_id AS doc,
+                  CAST(sum(c_micro) AS BIGINT) AS score_micro,
+                  count(*) AS n_terms
+                FROM contrib GROUP BY 1)
+            SELECT doc, score_micro, n_terms, rank FROM (
+              SELECT *, row_number() OVER (ORDER BY score_micro DESC, doc) AS rank
+              FROM scored)
+            WHERE rank <= 20""",
+      "corpus_source_overlap" -> {
+        val sh5 =
+          raw"""list_distinct(CASE WHEN len($toks) < 5
+                THEN [array_to_string($toks, ' ')]
+                ELSE list_transform(range(len($toks) - 4),
+                  i -> $toks[i+1] || ' ' || $toks[i+2] || ' ' || $toks[i+3]
+                       || ' ' || $toks[i+4] || ' ' || $toks[i+5]) END)"""
+        s"""WITH g0 AS (SELECT source AS slice, unnest($sh5) AS g FROM documents),
+              sh AS (SELECT DISTINCT slice, g FROM g0),
+              sizes AS (SELECT slice, count(*) AS n_grams FROM sh GROUP BY 1),
+              shared AS (SELECT a.slice AS slice_a, b.slice AS slice_b, count(*) AS shared
+                FROM sh a JOIN sh b USING (g) WHERE a.slice < b.slice GROUP BY 1, 2)
+            SELECT slice_a, slice_b, shared,
+              sa.n_grams + sb.n_grams - shared AS union_grams,
+              (shared * 1000000) // (sa.n_grams + sb.n_grams - shared) AS jaccard_micro
+            FROM shared
+              JOIN sizes sa ON sa.slice = slice_a
+              JOIN sizes sb ON sb.slice = slice_b"""
+      },
       "text_dup_spans" ->
         s"""WITH d AS (SELECT doc_id, $toks AS l FROM documents),
            sp AS (SELECT doc_id, unnest(list_transform(range(1, len(l) - 18),

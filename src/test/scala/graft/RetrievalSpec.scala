@@ -1,0 +1,68 @@
+package graft
+
+import graft.text.Retrieval
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** TF-IDF top-k, BM25 over the partition-pruned inverted index, and
+  * cross-slice n-gram overlap. */
+class RetrievalSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "spark table scan", "a"),
+    (2L, "spark table join join", "a"),
+    (3L, "window sort window", "b"),
+    (4L, "spark window table scan scan", "b")
+  ).toDF("doc_id", "text", "source")
+
+  test("tfidfTopK ranks rare terms above common ones, deterministic ties") {
+    val top = Retrieval.tfidfTopK(docs, "text", "doc_id", k = 2)
+    val byDoc = top.collect().groupBy(_.getLong(0))
+    // doc 2: 'join' (tf=2, df=1) far outscores 'spark'/'table' (df=3)
+    assert(byDoc(2L).minBy(_.getInt(5)).getString(1) == "join")
+    // doc 1's terms tf=1 each: scores order by idf then term asc tie-break
+    val d1 = byDoc(1L).sortBy(_.getInt(5)).map(_.getString(1)).toSeq
+    assert(d1.head == "scan") // df=2 beats df=3; 'scan' unique in doc 1 at df=2
+    // rank is dense 1..k
+    assert(byDoc.values.forall(_.map(_.getInt(5)).sorted.toSeq == Seq(1, 2)))
+  }
+
+  test("bm25 probe equals an unpruned scoring pass and ranks by relevance") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25").toString
+    try {
+      val idx = Retrieval.buildIndex(docs, "text", "doc_id", dir, numBuckets = 8)
+      assert(idx.nDocs == 4)
+      val hits = Retrieval.bm25(spark, idx, "join table", k = 4).collect()
+      // doc 2 matches both terms, 'join' twice — top hit
+      assert(hits.head.getAs[Long]("doc") == 2L)
+      // docs 1, 2, 4 contain 'table'; doc 3 matches nothing
+      assert(hits.map(_.getAs[Long]("doc")).toSet == Set(1L, 2L, 4L))
+      // scoring is reproducible run to run (integer micro-units)
+      val again = Retrieval.bm25(spark, idx, "join table", k = 4).collect()
+      assert(hits.map(r => (r.getAs[Long]("doc"), r.getAs[Long]("score_micro"))).toSeq ==
+        again.map(r => (r.getAs[Long]("doc"), r.getAs[Long]("score_micro"))).toSeq)
+      // the probe's scan carries a non-empty partition filter on `bucket`
+      // (static pruning: only the query terms' directories are read)
+      val explained = Retrieval.bm25(spark, idx, "join", k = 4)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      val pf = explained.linesIterator.find(_.contains("PartitionFilters"))
+      assert(pf.nonEmpty, s"no PartitionFilters line in:\n$explained")
+      assert(pf.get.contains("bucket"), pf.get)
+    } finally graft.core.TempDirs.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
+  test("sourceOverlap counts shared distinct n-grams per unordered pair") {
+    // 2-grams: a = {spark table, table scan, table join, join join};
+    //          b = {window sort, sort window, spark window, window table,
+    //               table scan, scan scan}
+    val o = Retrieval.sourceOverlap(docs, "text", "source", n = 2).collect()
+    assert(o.length == 1)
+    val r = o.head
+    assert(r.getAs[String]("slice_a") == "a" && r.getAs[String]("slice_b") == "b")
+    assert(r.getAs[Long]("shared") == 1L) // 'table scan'
+    assert(r.getAs[Long]("union_grams") == 4L + 6L - 1L)
+    assert(r.getAs[Long]("jaccard_micro") == 1000000L / 9L)
+  }
+}
