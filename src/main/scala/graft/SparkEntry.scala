@@ -1150,6 +1150,35 @@ object SparkEntry {
       graft.text.Retrieval.bm25(s, index, "fast table scan join merge", k = 20)
     }),
 
+    // The same index maintained LOG-STRUCTURED instead of rebuilt: the
+    // index starts from a perturbed corpus (corrupted texts, missing docs,
+    // phantom rows), one change batch supersedes/adds/deletes its way to
+    // the true corpus through gen-stamped appends + tombstones + stats
+    // deltas (old doc lengths point-read from the ids' own partitions,
+    // never an index scan) — and the probe must match the full-build
+    // oracle exactly
+    "search_bm25_incr" -> ((s, dir) => {
+      val index = bm25Indexes.getOrElseUpdate(dir + "#incr", {
+        val idxDir = graft.core.TempDirs.register(
+          java.nio.file.Files.createTempDirectory("graft_bm25i")).toString
+        val docs = t(s, dir, "documents")
+        val corrupted = docs.withColumn("text",
+          when(col("doc_id") % 13 === 0, concat(col("text"), lit(" stalepadding")))
+            .otherwise(col("text")))
+        val phantoms = docs.filter(col("doc_id") % 13 === 7)
+          .withColumn("doc_id", col("doc_id") + 10000000L)
+        val idx = graft.text.Retrieval.buildIndex(
+          corrupted.filter(col("doc_id") % 13 =!= 5).unionByName(phantoms),
+          "text", "doc_id", idxDir, numBuckets = 64)
+        graft.text.Retrieval.updateIndex(idx,
+          upserts = docs.filter(col("doc_id") % 13 === 0 || col("doc_id") % 13 === 5),
+          textCol = "text", idCol = "doc_id",
+          deletes = phantoms.select(col("doc_id")), gen = 1L)
+        idx
+      })
+      graft.text.Retrieval.bm25(s, index, "fast table scan join merge", k = 20)
+    }),
+
     // Pairwise n-gram overlap between sources — the inter-source
     // duplication diagnostic (did two crawls feed the same content?);
     // one distinct-shingle shuffle, slice²-sized output
@@ -1198,6 +1227,34 @@ object SparkEntry {
   def oracleSql: Map[String, String] = {
     // shared DuckDB snippets replicating TextFunctions' tokenization
     val toks = raw"string_split_regex(trim(lower(text)), '\s+')"
+    // one BM25 formulation, shared verbatim by search_bm25 (fresh build)
+    // and search_bm25_incr (log-structured maintenance converging to the
+    // same corpus — maintained ≡ rebuilt is exactly the claim)
+    val bm25Sql =
+      raw"""WITH q AS (SELECT unnest(['fast','table','scan','join','merge']) AS term),
+            d AS (SELECT doc_id, $toks AS toks FROM documents),
+            dl AS (SELECT doc_id, len(toks) AS dl FROM d),
+            tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+            df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+            stats AS (SELECT count(*) AS n,
+                (sum(dl) * 1000000) // count(*) AS avgdl_micro FROM dl),
+            contrib AS (
+              SELECT tf.doc_id,
+                CAST(round(
+                  ln(1.0 + (n - df.df + 0.5) / (df.df + 0.5)) *
+                  (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl.dl /
+                    (avgdl_micro / 1000000.0))) * 1000000) AS BIGINT) AS c_micro
+              FROM tf JOIN q USING (term) JOIN df USING (term)
+                JOIN dl USING (doc_id) CROSS JOIN stats),
+            scored AS (SELECT doc_id AS doc,
+                CAST(sum(c_micro) AS BIGINT) AS score_micro,
+                count(*) AS n_terms
+              FROM contrib GROUP BY 1)
+          SELECT doc, score_micro, n_terms, rank FROM (
+            SELECT *, row_number() OVER (ORDER BY score_micro DESC, doc) AS rank
+            FROM scored)
+          WHERE rank <= 20"""
     // fixed-centroid nearest-cell assignment incl. the tie rule — ONE copy,
     // shared by the sim_ivf_assign and sim_diverse_sample oracles (mirrors
     // the single fixedCellAssignment helper on the Spark side)
@@ -1800,31 +1857,8 @@ object SparkEntry {
               SELECT *, row_number() OVER (PARTITION BY doc_id
                 ORDER BY score_micro DESC, term) AS rank FROM scored)
             WHERE rank <= 3""",
-      "search_bm25" ->
-        raw"""WITH q AS (SELECT unnest(['fast','table','scan','join','merge']) AS term),
-              d AS (SELECT doc_id, $toks AS toks FROM documents),
-              dl AS (SELECT doc_id, len(toks) AS dl FROM d),
-              tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
-              tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
-              df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
-              stats AS (SELECT count(*) AS n,
-                  (sum(dl) * 1000000) // count(*) AS avgdl_micro FROM dl),
-              contrib AS (
-                SELECT tf.doc_id,
-                  CAST(round(
-                    ln(1.0 + (n - df.df + 0.5) / (df.df + 0.5)) *
-                    (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl.dl /
-                      (avgdl_micro / 1000000.0))) * 1000000) AS BIGINT) AS c_micro
-                FROM tf JOIN q USING (term) JOIN df USING (term)
-                  JOIN dl USING (doc_id) CROSS JOIN stats),
-              scored AS (SELECT doc_id AS doc,
-                  CAST(sum(c_micro) AS BIGINT) AS score_micro,
-                  count(*) AS n_terms
-                FROM contrib GROUP BY 1)
-            SELECT doc, score_micro, n_terms, rank FROM (
-              SELECT *, row_number() OVER (ORDER BY score_micro DESC, doc) AS rank
-              FROM scored)
-            WHERE rank <= 20""",
+      "search_bm25" -> bm25Sql,
+      "search_bm25_incr" -> bm25Sql,
       "corpus_source_overlap" -> {
         val sh5 =
           raw"""list_distinct(CASE WHEN len($toks) < 5

