@@ -1193,6 +1193,20 @@ object SparkEntry {
       graft.text.Retrieval.bm25(s, index, "fast table scan join merge", k = 20)
     }),
 
+    // Exact phrase search over the positional postings: each term's
+    // postings are a partition-pruned read, candidates intersect with
+    // doc equi-joins, occurrences count by a codegen'd position-array
+    // intersection — never a corpus scan
+    "search_phrase" -> ((s, dir) => {
+      val index = bm25Indexes.getOrElseUpdate(dir, {
+        val idxDir = graft.core.TempDirs.register(
+          java.nio.file.Files.createTempDirectory("graft_bm25")).toString
+        graft.text.Retrieval.buildIndex(t(s, dir, "documents"), "text", "doc_id",
+          idxDir, numBuckets = 64)
+      })
+      graft.text.Retrieval.phraseSearch(s, index, "table scan", k = 20)
+    }),
+
     // Pairwise n-gram overlap between sources — the inter-source
     // duplication diagnostic (did two crawls feed the same content?);
     // one distinct-shingle shuffle, slice²-sized output
@@ -1873,6 +1887,14 @@ object SparkEntry {
             WHERE rank <= 3""",
       "search_bm25" -> bm25Sql,
       "search_bm25_incr" -> bm25Sql,
+      "search_phrase" ->
+        raw"""WITH d AS (SELECT doc_id, $toks AS t FROM documents),
+              o AS (SELECT doc_id, len(list_filter(range(len(t) - 1),
+                    i -> t[i+1] = 'table' AND t[i+2] = 'scan')) AS n_hits FROM d)
+            SELECT doc_id AS doc, CAST(n_hits AS BIGINT) AS n_hits, rank FROM (
+              SELECT *, row_number() OVER (ORDER BY n_hits DESC, doc_id) AS rank
+              FROM o WHERE n_hits > 0)
+            WHERE rank <= 20""",
       "corpus_source_overlap" -> {
         val sh5 =
           raw"""list_distinct(CASE WHEN len($toks) < 5

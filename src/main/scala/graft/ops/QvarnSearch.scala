@@ -113,7 +113,10 @@ final case class QvarnSearch(
     def cmp(f: (Column, Column) => Column): (Column, DataType) => Column = {
       case (c, StringType) => f(lower(c), lit(v))
       case (c, BooleanType) if v == "true" || v == "false" => f(c, lit(v.toBoolean))
-      case (c, dt) => f(c, lit(v).cast(dt))
+      // try_cast, not cast: a value that doesn't parse as the column's type
+      // must match nothing (NULL comparison), not throw ANSI
+      // CAST_INVALID_INPUT at runtime — the URL surface accepts any string
+      case (c, dt) => f(c, lit(v).try_cast(dt))
     }
     val pred: (Column, DataType) => Column = op match {
       case "exact" => cmp(_ === _)

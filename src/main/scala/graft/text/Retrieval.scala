@@ -95,7 +95,13 @@ object Retrieval {
   private def postingsOf(docs: DataFrame, textCol: String, idCol: String,
                          numBuckets: Int, gen: Long): DataFrame = {
     val dl = doclenOf(docs, textCol, idCol, numBuckets, gen).drop("dbucket", "gen")
-    docTerms(docs, textCol, idCol)
+    // positional postings: tf + the sorted 0-based token positions — BM25
+    // never reads `positions` (parquet column pruning makes it free there);
+    // phrase search intersects the arrays
+    docs.select(col(idCol).as("doc"),
+        posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "term")))
+      .groupBy(col("doc"), col("term"))
+      .agg(count(lit(1)).as("tf"), sort_array(collect_list(col("pos"))).as("positions"))
       .join(dl, "doc") // doc-keyed join; both sides shuffle on doc once
       .withColumn("bucket", pmod(hash(col("term")), lit(numBuckets)))
       .withColumn("gen", lit(gen))
@@ -240,6 +246,65 @@ object Retrieval {
     val w = Window.orderBy(col("score_micro").desc, col("doc"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+  }
+
+  /** Exact phrase search over the positional postings: top-`k` documents
+    * containing `phrase` as consecutive tokens, ranked by occurrence count
+    * (ties: doc asc). Each phrase term's postings are a partition-pruned
+    * read of its own bucket; candidates intersect by equi-joins on doc
+    * (k-1 joins for a k-word phrase, each side already term-filtered), and
+    * occurrences count by intersecting the position arrays with a codegen'd
+    * `filter`/`array_contains` expression — no UDF, no corpus scan.
+    * Output: (doc, n_hits, rank). */
+  def phraseSearch(spark: SparkSession, index: InvertedIndex, phrase: String,
+                   k: Int): DataFrame = {
+    val terms = phrase.toLowerCase.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+    require(terms.nonEmpty, "empty phrase")
+    import spark.implicits._
+    val buckets = bucketsFor(terms.distinct.toDF("term"), "term", index.numBuckets)
+    val live = liveRows(spark, index,
+      spark.read.parquet(index.postingsDir)
+        .filter(col("bucket").isin(buckets: _*))
+        .filter(col("term").isin(terms.distinct: _*)))
+      .select(col("doc"), col("term"), col("positions"))
+    // one frame per phrase slot (a repeated term reuses the same rows)
+    val slots = terms.zipWithIndex.map { case (t, i) =>
+      live.filter(col("term") === t)
+        .select(col("doc"), col("positions").as(s"__p$i"))
+    }
+    val joined = slots.reduce((a, b) => a.join(b, "doc"))
+    // positions p of slot 0 where every later slot j contains p + j —
+    // each fold filters the already-filtered array, so the final length
+    // is the exact phrase-occurrence count
+    val occ = terms.indices.tail.foldLeft(col("__p0")) { (acc, j) =>
+      filter(acc, p => array_contains(col(s"__p$j"), p + j))
+    }
+    val scored = joined
+      .withColumn("n_hits", size(occ).cast("long"))
+      .filter(col("n_hits") > 0)
+      .select(col("doc"), col("n_hits"))
+    val w = Window.orderBy(col("n_hits").desc, col("doc"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Compaction (rebuild-as-maintenance, same as the IVF/LSH indexes):
+    * rewrite the live postings and doc lengths to one generation, collapse
+    * the stats deltas to a single row, clear the tombstones. Probes before
+    * and after are identical; the read side just stops paying for dead
+    * generations. */
+  def compact(spark: SparkSession, idx: InvertedIndex): Unit = {
+    val livePost = liveRows(spark, idx, spark.read.parquet(idx.postingsDir))
+      .withColumn("gen", lit(0L)).localCheckpoint(true)
+    val liveDl = liveRows(spark, idx, spark.read.parquet(idx.doclenDir))
+      .withColumn("gen", lit(0L)).localCheckpoint(true)
+    livePost.repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(idx.postingsDir)
+    liveDl.repartition(col("dbucket"))
+      .write.mode("overwrite").partitionBy("dbucket").parquet(idx.doclenDir)
+    val row = liveDl.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).collect()(0)
+    statsDelta(spark, idx, gen = 0L, row.getLong(0), row.getLong(1), overwrite = true)
+    graft.core.TempDirs.deleteRecursively(java.nio.file.Paths.get(idx.tombstoneDir))
   }
 
   // ------------------------------------------------------- source overlap

@@ -120,6 +120,47 @@ class QvarnUrlSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("property: client-rendered URLs round-trip through the parser") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+
+    // the client's quote(safe='') — EVERY non-unreserved byte escapes
+    // (qvarn_client.py:243-246)
+    def quote(s: String): String =
+      s.getBytes("UTF-8").map { b =>
+        val ascii = b >= 0
+        if (ascii && (b.toChar.isLetterOrDigit || "-._~".contains(b.toChar)))
+          b.toChar.toString
+        else f"%%${b & 0xff}%02X"
+      }.mkString
+
+    val genOp = Gen.oneOf("exact", "ne", "gt", "ge", "lt", "le", "contains", "startswith")
+    val genField = Gen.oneOf("name", "age", "active", "color")
+    val genValue = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(8)),
+      Gen.const("a/b c%d+e"), // slash, space, percent, plus
+      Gen.const("Brand#13"),
+      Gen.const("日本語"),
+      Gen.const("30"),
+      Gen.const("true"))
+    val genCond = Gen.zip(genOp, genField, genValue)
+    val genConds = Gen.chooseNum(1, 4).flatMap(n => Gen.listOfN(n, genCond))
+
+    (0 until 60).foreach { i =>
+      val conds = genConds(Gen.Parameters.default, Seed(i.toLong)).get
+      val url = "/people/search/" +
+        conds.map { case (op, f, v) => s"$op/$f/${quote(v)}" }.mkString("/") +
+        "/show_all"
+      val viaUrl = QvarnUrl.urlSearch(people, url)
+      val viaApi = conds.foldLeft(QvarnSearch(people)) { case (q, (op, f, v)) =>
+        q.urlCond(op, f, v)
+      }.showAll.result()
+      val a = viaUrl.collect().map(_.toString).sorted.toSeq
+      val b = viaApi.collect().map(_.toString).sorted.toSeq
+      assert(a == b, s"mismatch for $url")
+    }
+  }
+
   test("nested-field resolution works through the URL surface") {
     val nested = people.groupBy(col("active"))
       .agg(collect_list(struct(col("id"), col("name"))).as("members"))

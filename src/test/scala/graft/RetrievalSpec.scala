@@ -84,6 +84,53 @@ class RetrievalSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("phraseSearch counts consecutive-token occurrences via positions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_phrase").toString
+    try {
+      val corpus = Seq(
+        (1L, "big table scan on a big table scan pipeline"),
+        (2L, "table scan big"),
+        (3L, "big scan table"),
+        (4L, "big big big")
+      ).toDF("doc_id", "text")
+      val idx = Retrieval.buildIndex(corpus, "text", "doc_id", dir, numBuckets = 8)
+      val hits = Retrieval.phraseSearch(spark, idx, "big table scan", k = 10).collect()
+      // only doc 1 contains the phrase, starting at positions 0 and 5
+      assert(hits.map(r => (r.getAs[Long]("doc"), r.getAs[Long]("n_hits"))).toSeq ==
+        Seq((1L, 2L)))
+      // repeated-term phrase: overlapping occurrences count each start
+      val rep = Retrieval.phraseSearch(spark, idx, "big big", k = 10).collect()
+      assert(rep.map(r => (r.getAs[Long]("doc"), r.getAs[Long]("n_hits"))).toSeq ==
+        Seq((4L, 2L)))
+      // absent phrase: empty result
+      assert(Retrieval.phraseSearch(spark, idx, "scan scan", k = 10).count() == 0)
+    } finally graft.core.TempDirs.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
+  test("compaction preserves probes and clears tombstones") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_cmp").toString
+    try {
+      val idx = Retrieval.buildIndex(
+        Seq((1L, "spark table scan"), (2L, "old junk"), (3L, "window sort window"))
+          .toDF("doc_id", "text"), "text", "doc_id", dir, numBuckets = 8)
+      Retrieval.updateIndex(idx,
+        upserts = Seq((2L, "spark table join join"),
+          (4L, "spark window table scan scan")).toDF("doc_id", "text"),
+        textCol = "text", idCol = "doc_id",
+        deletes = Seq.empty[Tuple1[Long]].toDF("doc_id"),
+        gen = 1L)
+      val before = Retrieval.bm25(spark, idx, "join table scan", k = 10).collect().toSeq
+      Retrieval.compact(spark, idx)
+      val after = Retrieval.bm25(spark, idx, "join table scan", k = 10).collect().toSeq
+      assert(before == after)
+      assert(!java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(idx.tombstoneDir)))
+      // all surviving rows are generation 0 now
+      assert(spark.read.parquet(idx.postingsDir)
+        .select(max(col("gen"))).collect()(0).getLong(0) == 0L)
+    } finally graft.core.TempDirs.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
   test("sourceOverlap counts shared distinct n-grams per unordered pair") {
     // 2-grams: a = {spark table, table scan, table join, join join};
     //          b = {window sort, sort window, spark window, window table,
