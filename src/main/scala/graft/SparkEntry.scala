@@ -1193,6 +1193,43 @@ object SparkEntry {
       graft.text.Retrieval.bm25(s, index, "fast table scan join merge", k = 20)
     }),
 
+    // The search index kept fresh under a DOCUMENT CHANGE STREAM: the cold
+    // index misses some docs and holds stale text for others; the fresh
+    // copies arrive as a real readStream (one parquet file per
+    // micro-batch), each batch applied log-structured through foreachBatch
+    // under its batch id — and the probe must match the fresh-build oracle
+    "search_bm25_stream" -> ((s, dir) => {
+      val index = bm25Indexes.getOrElseUpdate(dir + "#stream", {
+        val docs = t(s, dir, "documents")
+        val idxDir = graft.core.TempDirs.register(
+          java.nio.file.Files.createTempDirectory("graft_bm25s")).toString
+        val stale = docs.withColumn("text",
+          when(pmod(col("doc_id"), lit(11)) === 5, concat(col("text"), lit(" staleword")))
+            .otherwise(col("text")))
+        val idx = graft.text.Retrieval.buildIndex(
+          stale.filter(pmod(col("doc_id"), lit(11)) =!= 4),
+          "text", "doc_id", idxDir, numBuckets = 64)
+        val streamDir = graft.core.TempDirs.register(
+          java.nio.file.Files.createTempDirectory("graft_bm25s_in")).toString
+        docs.filter(pmod(col("doc_id"), lit(11)).isin(4, 5))
+          .select(col("doc_id"), col("text"))
+          .repartition(3).write.mode("overwrite").parquet(streamDir)
+        val noDeletes = docs.filter(lit(false)).select(col("doc_id"))
+        val q = s.readStream.schema(s.read.parquet(streamDir).schema)
+          .option("maxFilesPerTrigger", "1").parquet(streamDir)
+          .writeStream
+          .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+            graft.text.Retrieval.updateIndex(idx, b.toDF(), "text", "doc_id",
+              noDeletes, gen = id + 1)
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        idx
+      })
+      graft.text.Retrieval.bm25(s, index, "fast table scan join merge", k = 20)
+    }),
+
     // Exact phrase search over the positional postings: each term's
     // postings are a partition-pruned read, candidates intersect with
     // doc equi-joins, occurrences count by a codegen'd position-array
@@ -1887,6 +1924,7 @@ object SparkEntry {
             WHERE rank <= 3""",
       "search_bm25" -> bm25Sql,
       "search_bm25_incr" -> bm25Sql,
+      "search_bm25_stream" -> bm25Sql,
       "search_phrase" ->
         raw"""WITH d AS (SELECT doc_id, $toks AS t FROM documents),
               o AS (SELECT doc_id, len(list_filter(range(len(t) - 1),

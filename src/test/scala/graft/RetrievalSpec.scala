@@ -131,6 +131,53 @@ class RetrievalSpec extends AnyFunSuite with SparkTestBase {
     } finally graft.core.TempDirs.deleteRecursively(java.nio.file.Paths.get(dir))
   }
 
+  test("property: random change batches keep maintained ≡ rebuilt") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+
+    val words = Seq("spark", "table", "scan", "join", "window", "sort", "fast", "slow")
+    val genText: Gen[String] =
+      Gen.chooseNum(1, 10).flatMap(n => Gen.listOfN(n, Gen.oneOf(words)))
+        .map(_.mkString(" "))
+    def sample[A](g: Gen[A], seed: Long): A =
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+
+    val dirA = java.nio.file.Files.createTempDirectory("graft_bm25_p1").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft_bm25_p2").toString
+    try {
+      // live corpus state the index must converge to, id -> text
+      var truth: Map[Long, String] =
+        (0L until 12L).map(i => i -> sample(genText, 1000 + i)).toMap
+      val idx = Retrieval.buildIndex(truth.toSeq.toDF("doc_id", "text"),
+        "text", "doc_id", dirA, numBuckets = 8)
+      for (gen <- 1L to 4L) {
+        // each batch: some upserts (new + superseding ids), some deletes
+        val upserts = (0 until 4).map { j =>
+          val id = sample(Gen.chooseNum(0L, 20L), gen * 100 + j)
+          id -> sample(genText, gen * 1000 + j)
+        }.toMap // Map: at most one change per id per batch (the contract)
+        val deletes = Seq(sample(Gen.chooseNum(0L, 20L), gen * 7))
+          .filterNot(upserts.contains).distinct
+        truth = (truth ++ upserts) -- deletes
+        Retrieval.updateIndex(idx, upserts.toSeq.toDF("doc_id", "text"),
+          "text", "doc_id", deletes.map(Tuple1(_)).toDF("doc_id"), gen)
+      }
+      val rebuilt = Retrieval.buildIndex(truth.toSeq.toDF("doc_id", "text"),
+        "text", "doc_id", dirB, numBuckets = 8)
+      for (q <- Seq("spark table", "window", "fast slow scan")) {
+        val a = Retrieval.bm25(spark, idx, q, k = 25).collect().toSeq
+        val b = Retrieval.bm25(spark, rebuilt, q, k = 25).collect().toSeq
+        assert(a == b, s"query '$q' diverged after 4 random batches")
+        val pa = Retrieval.phraseSearch(spark, idx, q, k = 25).collect().toSeq
+        val pb = Retrieval.phraseSearch(spark, rebuilt, q, k = 25).collect().toSeq
+        assert(pa == pb, s"phrase '$q' diverged after 4 random batches")
+      }
+    } finally {
+      graft.core.TempDirs.deleteRecursively(java.nio.file.Paths.get(dirA))
+      graft.core.TempDirs.deleteRecursively(java.nio.file.Paths.get(dirB))
+    }
+  }
+
   test("sourceOverlap counts shared distinct n-grams per unordered pair") {
     // 2-grams: a = {spark table, table scan, table join, join join};
     //          b = {window sort, sort window, spark window, window table,
