@@ -12,7 +12,8 @@ object PlanAudit {
     val names = if (args.length > 1) args.drop(1).toSeq else Seq(
       "a6_reduce_sum", "a10_join_report", "b1_exact_ci", "b8_show",
       "dedup_minhash", "sim_topk_bruteforce", "sim_topk_ivf", "events_hourly",
-      "events_asof", "events_interval_join")
+      "events_asof", "events_interval_join", "b14_url_search", "search_bm25",
+      "search_phrase", "text_tfidf_topk")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")

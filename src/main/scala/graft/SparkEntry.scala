@@ -255,6 +255,21 @@ object SparkEntry {
         .select(col(Key), col("customer_name"), col("acctbal"), col("last_totalprice"))
     }),
 
+    // §3.3 read path closed end to end: a DERIVED reduce target served
+    // through the Qvarn search URL surface — the reference's clients query
+    // materialized views exactly this way (`GET /<type>/search/...`,
+    // read_only.py:139-168). Sorted/paged/projected straight off the
+    // materialization, predicates case-folded like any resource
+    "b16_url_derived" -> ((s, dir) => {
+      val st = IncrementalRun.recompute(joinPipeline, sources(s, dir))
+      QvarnUrl.urlSearch(
+        st("customer_report").select(col(Key), col("customer_name"),
+          col("acctbal"), col("last_totalprice")),
+        "/customer_report/search/gt/acctbal/1000/startswith/customer_name/customer" +
+          "/sort/acctbal/sort/_mr_key/limit/50/show/customer_name/show/acctbal",
+        idField = MrSchema.Key)
+    }),
+
     // A11: count reduce
     "a11_reduce_count" -> ((s, dir) => {
       val st = IncrementalRun.recompute(ordersCountPipeline, sources(s, dir))
@@ -1193,6 +1208,23 @@ object SparkEntry {
       graft.text.Retrieval.bm25(s, index, "fast table scan join merge", k = 20)
     }),
 
+    // BM25 for a BATCH of queries in one pass — a query log scored against
+    // the same index: distinct terms prune the buckets, (qid, term) pairs
+    // broadcast onto the pruned postings, one (qid, doc) aggregate, per-qid
+    // top-k
+    "search_bm25_batch" -> ((s, dir) => {
+      val index = bm25Indexes.getOrElseUpdate(dir, {
+        val idxDir = graft.core.TempDirs.register(
+          java.nio.file.Files.createTempDirectory("graft_bm25")).toString
+        graft.text.Retrieval.buildIndex(t(s, dir, "documents"), "text", "doc_id",
+          idxDir, numBuckets = 64)
+      })
+      import s.implicits._
+      val qs = Seq(("q1", "fast table scan"), ("q2", "join merge"),
+        ("q3", "window sort stream")).toDF("qid", "qtext")
+      graft.text.Retrieval.bm25Batch(s, index, qs, "qid", "qtext", k = 10)
+    }),
+
     // The search index kept fresh under a DOCUMENT CHANGE STREAM: the cold
     // index misses some docs and holds stale text for others; the fresh
     // copies arrive as a real readStream (one parquet file per
@@ -1409,6 +1441,15 @@ object SparkEntry {
       "a11_reduce_count" ->
         """SELECT CAST(o_custkey AS VARCHAR) AS _mr_key, count(*) AS cnt
            FROM orders GROUP BY 1""",
+      "b16_url_derived" ->
+        """WITH rep AS (
+             SELECT CAST(c.c_custkey AS VARCHAR) AS _mr_key,
+               max(c.c_name) AS customer_name, max(c.c_acctbal) AS acctbal
+             FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+             GROUP BY 1)
+           SELECT _mr_key, customer_name, acctbal FROM rep
+           WHERE acctbal > 1000 AND lower(customer_name) LIKE 'customer%'
+           ORDER BY acctbal, _mr_key LIMIT 50""",
       "a12_dedup_newest" ->
         """SELECT user_id, event_id, event_type, value FROM events
            QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""",
@@ -1925,6 +1966,35 @@ object SparkEntry {
       "search_bm25" -> bm25Sql,
       "search_bm25_incr" -> bm25Sql,
       "search_bm25_stream" -> bm25Sql,
+      "search_bm25_batch" ->
+        raw"""WITH q AS (SELECT * FROM (VALUES
+                ('q1','fast'),('q1','table'),('q1','scan'),
+                ('q2','join'),('q2','merge'),
+                ('q3','window'),('q3','sort'),('q3','stream')) AS t(qid, term)),
+              d AS (SELECT doc_id, $toks AS toks FROM documents),
+              dl AS (SELECT doc_id, len(toks) AS dl FROM d),
+              tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
+              tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+              df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+              stats AS (SELECT count(*) AS n,
+                  (sum(dl) * 1000000) // count(*) AS avgdl_micro FROM dl),
+              contrib AS (
+                SELECT q.qid, tf.doc_id,
+                  CAST(round(
+                    ln(1.0 + (n - df.df + 0.5) / (df.df + 0.5)) *
+                    (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl.dl /
+                      (avgdl_micro / 1000000.0))) * 1000000) AS BIGINT) AS c_micro
+                FROM tf JOIN q USING (term) JOIN df USING (term)
+                  JOIN dl USING (doc_id) CROSS JOIN stats),
+              scored AS (SELECT qid, doc_id AS doc,
+                  CAST(sum(c_micro) AS BIGINT) AS score_micro,
+                  count(*) AS n_terms
+                FROM contrib GROUP BY 1, 2)
+            SELECT qid, doc, score_micro, n_terms, rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY qid
+                ORDER BY score_micro DESC, doc) AS rank
+              FROM scored)
+            WHERE rank <= 10""",
       "search_phrase" ->
         raw"""WITH d AS (SELECT doc_id, $toks AS t FROM documents),
               o AS (SELECT doc_id, len(list_filter(range(len(t) - 1),

@@ -248,6 +248,48 @@ object Retrieval {
       .filter(col("rank") <= k)
   }
 
+  /** BM25 for a BATCH of queries in one pass — scoring a query log, not a
+    * point lookup. `queries` is a control-sized (qid, qtext) frame: its
+    * distinct terms prune the posting buckets exactly like the single-query
+    * probe, df is computed per term BEFORE the query join (a posting row
+    * duplicated across qids must not inflate df), and the (qid, term)
+    * pairs broadcast onto the pruned postings. One pruned read, one
+    * (qid, doc) aggregate, one per-qid top-k window. Output:
+    * (qid, doc, score_micro, n_terms, rank). */
+  def bm25Batch(spark: SparkSession, index: InvertedIndex, queries: DataFrame,
+                qidCol: String, qtextCol: String, k: Int,
+                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val qterms = queries.select(col(qidCol).as("qid"),
+        explode(array_distinct(TextFunctions.tokens(col(qtextCol)))).as("term"))
+    val terms = qterms.select(col("term")).distinct()
+    val termList = terms.collect().map(_.getString(0)).toSeq // control-sized
+    require(termList.nonEmpty, "no query terms")
+    val buckets = bucketsFor(terms, "term", index.numBuckets)
+    val postings = liveRows(spark, index,
+      spark.read.parquet(index.postingsDir)
+        .filter(col("bucket").isin(buckets: _*))
+        .filter(col("term").isin(termList: _*)))
+    val statsRow = spark.read.parquet(index.statsDir)
+      .agg(coalesce(sum(col("n_delta")), lit(0L)),
+        coalesce(sum(col("sumdl_delta")), lit(0L))).collect()(0)
+    val (n, sumDl) = (statsRow.getLong(0), statsRow.getLong(1))
+    require(n > 0, "empty index")
+    val avgDl = (sumDl * 1000000L / n).toDouble / 1e6
+    val idf = log(lit(1.0) + (lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5))
+    val tfNorm = (col("tf") * (k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgDl)))
+    val contrib = postings
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+      .withColumn("c_micro", round(idf * tfNorm * 1e6).cast("long"))
+      .join(broadcast(qterms), "term")
+    val scored = contrib.groupBy(col("qid"), col("doc"))
+      .agg(sum(col("c_micro")).as("score_micro"), count(lit(1)).as("n_terms"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score_micro").desc, col("doc"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Exact phrase search over the positional postings: top-`k` documents
     * containing `phrase` as consecutive tokens, ranked by occurrence count
     * (ties: doc asc). Each phrase term's postings are a partition-pruned

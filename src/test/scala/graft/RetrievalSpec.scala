@@ -52,6 +52,27 @@ class RetrievalSpec extends AnyFunSuite with SparkTestBase {
     } finally graft.core.TempDirs.deleteRecursively(java.nio.file.Paths.get(dir))
   }
 
+  test("bm25Batch slices equal the single-query probe per qid") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_batch").toString
+    try {
+      val idx = Retrieval.buildIndex(docs, "text", "doc_id", dir, numBuckets = 8)
+      val qs = Seq(("q1", "join table"), ("q2", "window scan"), ("q3", "sort"))
+      val batch = Retrieval.bm25Batch(spark, idx, qs.toDF("qid", "qtext"),
+        "qid", "qtext", k = 4).collect()
+        .groupBy(_.getAs[String]("qid"))
+      for ((qid, qtext) <- qs) {
+        val single = Retrieval.bm25(spark, idx, qtext, k = 4).collect()
+          .map(r => (r.getAs[Long]("doc"), r.getAs[Long]("score_micro"),
+            r.getAs[Long]("n_terms"), r.getAs[Int]("rank"))).toSeq
+        val slice = batch.getOrElse(qid, Array.empty)
+          .sortBy(_.getAs[Int]("rank"))
+          .map(r => (r.getAs[Long]("doc"), r.getAs[Long]("score_micro"),
+            r.getAs[Long]("n_terms"), r.getAs[Int]("rank"))).toSeq
+        assert(slice == single, s"qid=$qid")
+      }
+    } finally graft.core.TempDirs.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
   test("maintained index probes identically to a fresh rebuild") {
     val dirA = java.nio.file.Files.createTempDirectory("graft_bm25_incr").toString
     val dirB = java.nio.file.Files.createTempDirectory("graft_bm25_full").toString
