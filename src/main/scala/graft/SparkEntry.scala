@@ -1316,7 +1316,48 @@ object SparkEntry {
     // exact median — one shuffle, map-side partials for the sums
     "corpus_profile" -> ((s, dir) =>
       Curation.corpusProfile(t(s, dir, "documents"),
-        "source", "lang", "n_chars", "text"))
+        "source", "lang", "n_chars", "text")),
+
+    // KMV distinct-count sketch: per-source distinct-text cardinality from
+    // a 64-draw sketch — the mergeable k-row answer that replaces COUNT
+    // (DISTINCT) full shuffles at corpus scale. Deterministic md5 draws, so
+    // the estimate (false error and all) is hash-checked by the oracle
+    "sketch_distinct_kmv" -> ((s, dir) =>
+      graft.text.Sketches.kmvDistinct(t(s, dir, "documents"),
+        "source", col("text"), k = 64)),
+
+    // Bloom-filter decontamination pre-pass: benchmark 5-gram set folded
+    // into a 2^16-bit md5 bitset probed as a pure expression — no join, no
+    // exchange on the corpus side. Supersets decon_overlap's exact hits
+    // (asserted in SketchesSpec); the deterministic bitset means the oracle
+    // reproduces the false positives bit-for-bit
+    "decon_bloom" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.text.Sketches.contaminationBloom(docs,
+        docs.filter(col("doc_id") % 97 === 0), "text", "doc_id", n = 5)
+    }),
+
+    // Deterministic global training order: dense position 0..n-1 by rank
+    // of an md5-uniform draw — the reproducible corpus shuffle a training
+    // run reads back in range slices. Sharded two-pass rank: no
+    // single-partition sort anywhere in the plan
+    "shuffle_order" -> ((s, dir) =>
+      graft.text.Sketches.globalOrder(t(s, dir, "documents"),
+        "doc_id", nShards = 16)),
+
+    // Per-source token-length quantiles (exact interpolated percentiles) —
+    // the length-distribution panel of a corpus data card. Exact is safe
+    // here because the aggregation state is bounded by DISTINCT token
+    // counts, not rows; unbounded-domain metrics would use approx_percentile
+    "corpus_quantiles" -> ((s, dir) => {
+      val ntok = TextFunctions.tokenCount(col("text")).cast("long")
+      t(s, dir, "documents").groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(percentile(ntok, lit(0.25)), 4).as("p25_tokens"),
+          round(percentile(ntok, lit(0.5)), 4).as("p50_tokens"),
+          round(percentile(ntok, lit(0.9)), 4).as("p90_tokens"),
+          round(percentile(ntok, lit(0.99)), 4).as("p99_tokens"))
+    })
   )
 
   /** DuckDB equivalents over the same parquet tables. Column names/aliases
@@ -2093,7 +2134,76 @@ object SparkEntry {
             SELECT doc_id, source, n_tok, CAST(cum_tok AS BIGINT) AS cum_tok
             FROM c WHERE cum_tok - n_tok <
               CASE source WHEN 'src0' THEN 10000000 WHEN 'src1' THEN 0 ELSE 800 END"""
-      }
+      },
+      "sketch_distinct_kmv" -> {
+        // Sketches.kmvDistinct: k=64 minimum md5-uniform draws over
+        // DISTINCT texts per source; estimator (k-1)/u_k, exact below k
+        val nib = (k: Int) =>
+          s"(strpos('0123456789abcdef', substr(h, $k, 1)) - 1)::BIGINT"
+        val u32 = (1 to 8).map(k => s"${nib(k)} * ${1L << (4 * (8 - k))}")
+          .mkString(" + ")
+        s"""WITH h0 AS (SELECT source, md5('graft-kmv:' || text) AS h FROM documents),
+            d AS (SELECT DISTINCT source, ($u32) / 4294967296.0 AS u FROM h0),
+            r AS (SELECT source, u,
+                row_number() OVER (PARTITION BY source ORDER BY u) AS rn FROM d)
+            SELECT source, count(*) AS n_kept,
+              round(CASE WHEN count(*) < 64 THEN count(*)::DOUBLE
+                ELSE 63.0 / max(u) END, 4) AS est_distinct
+            FROM r WHERE rn <= 64 GROUP BY source"""
+      },
+      "decon_bloom" -> {
+        // Sketches.contaminationBloom: 2^16-bit bloom, 4 positions per
+        // 5-gram = the last 4 nibbles of each 8-hex-char md5 slice (the
+        // mod-2^16 identity). list_has_all against the distinct-position
+        // list IS bitset membership — false positives reproduce exactly
+        val nib = (k: Int) =>
+          s"(strpos('0123456789abcdef', substr(h, $k, 1)) - 1)::BIGINT"
+        val pos = (j: Int) =>
+          s"(${nib(j * 8 + 5)} * 4096 + ${nib(j * 8 + 6)} * 256 + " +
+            s"${nib(j * 8 + 7)} * 16 + ${nib(j * 8 + 8)})"
+        val allPos = (0 until 4).map(pos).mkString("[", ", ", "]")
+        val sh5 =
+          raw"""list_distinct(CASE WHEN len($toks) < 5
+                THEN [array_to_string($toks, ' ')]
+                ELSE list_transform(range(len($toks) - 4),
+                  i -> $toks[i+1] || ' ' || $toks[i+2] || ' ' || $toks[i+3]
+                       || ' ' || $toks[i+4] || ' ' || $toks[i+5]) END)"""
+        s"""WITH sh AS (SELECT doc_id, unnest($sh5) AS g FROM documents),
+            bh AS (SELECT DISTINCT md5(g) AS h FROM sh WHERE doc_id % 97 = 0),
+            bp AS (SELECT DISTINCT p FROM
+              (SELECT unnest($allPos) AS p FROM bh)),
+            bloom AS (SELECT list(p) AS ps FROM bp),
+            ph AS (SELECT doc_id, md5(g) AS h FROM sh)
+            SELECT doc_id, count(*) AS n_maybe
+            FROM ph CROSS JOIN bloom
+            WHERE list_has_all(ps, $allPos)
+            GROUP BY doc_id"""
+      },
+      "shuffle_order" -> {
+        // Sketches.globalOrder: the sharded two-pass rank equals the flat
+        // global rank because shards are contiguous hash ranges
+        val nib = (k: Int) =>
+          s"(strpos('0123456789abcdef', substr(h, $k, 1)) - 1)::BIGINT"
+        val u32 = (1 to 8).map(k => s"${nib(k)} * ${1L << (4 * (8 - k))}")
+          .mkString(" + ")
+        s"""WITH d AS (SELECT doc_id,
+              md5('graft-shuffle:' || doc_id::VARCHAR) AS h FROM documents),
+            u AS (SELECT doc_id, ($u32) / 4294967296.0 AS u FROM d)
+            SELECT doc_id,
+              CAST(row_number() OVER (ORDER BY u, doc_id) - 1 AS BIGINT) AS pos
+            FROM u"""
+      },
+      "corpus_quantiles" ->
+        raw"""WITH d AS (SELECT source,
+              CASE WHEN len(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(lower(text)), '\s+')) END AS n_tok
+              FROM documents)
+            SELECT source, count(*) AS n_docs,
+              round(quantile_cont(n_tok, 0.25), 4) AS p25_tokens,
+              round(quantile_cont(n_tok, 0.5), 4) AS p50_tokens,
+              round(quantile_cont(n_tok, 0.9), 4) AS p90_tokens,
+              round(quantile_cont(n_tok, 0.99), 4) AS p99_tokens
+            FROM d GROUP BY source"""
     )
   }
 }

@@ -1,0 +1,154 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-scale estimation and pre-filtering primitives: a KMV distinct
+  * sketch, a Bloom-filter decontamination pre-pass, and a deterministic
+  * global shuffle order. The reference engine never needs these (it holds
+  * the full id list in RAM, README.rst:30-33); at 100 TB they are what
+  * replaces "collect and look": cardinalities come from a k-row sketch,
+  * membership from a broadcast-free bitset literal, and training order
+  * from a rank that never sees a single-partition sort.
+  *
+  * Everything is md5-derived and engine-reproducible — no RNG, no
+  * xxhash — so each operator is hash-checked end-to-end against an
+  * external SQL oracle, false positives and all.
+  */
+object Sketches {
+
+  // ---------------------------------------------------------------- KMV distinct
+
+  /** K-minimum-values distinct-count sketch per group: keep each group's
+    * `k` smallest [[Curation.hashUniform]] draws over the DISTINCT values;
+    * the estimator is `(k-1) / u_k` (u_k = the kth smallest draw as a
+    * uniform in (0,1)), exact when a group has fewer than `k` distinct
+    * values. Standard KMV (Bar-Yossef et al. 2002); mergeable by
+    * construction — the union's sketch is the k smallest of the
+    * concatenation, so per-partition sketches combine without rescans.
+    *
+    * Shape at scale: the distinct is a shuffle of (group, 8-byte draw) —
+    * never the values themselves — and the rank-≤-k filter compiles to a
+    * WindowGroupLimit, so each map task forwards at most k draws per
+    * group before the shuffle. Output: (groupCol, n_kept, est_distinct).
+    */
+  def kmvDistinct(df: DataFrame, groupCol: String, value: Column, k: Int,
+                  salt: String = "graft-kmv"): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2")
+    val draws = df.select(col(groupCol), Curation.hashUniform(value, salt).as("__u"))
+      .distinct()
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__u"))
+    draws.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_kept"), max(col("__u")).as("__uk"))
+      .select(col(groupCol), col("n_kept"),
+        round(when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise((lit(k) - 1).cast("double") / col("__uk")), 4)
+          .as("est_distinct"))
+  }
+
+  // ---------------------------------------------------------------- Bloom decon
+
+  /** Bloom geometry: m = 2^16 bits (1024 longs, an 8 KiB plan literal),
+    * kHash = 4 positions per key — ~0.24% false-positive rate at the
+    * benchmark-scale fills this is built for (n/m = 0.05). */
+  val BloomBits = 1 << 16
+  val BloomHashes = 4
+
+  /** The `kHash` bit positions of one key: the md5 hex digest split into
+    * 8-char slices, each reduced mod 2^16 (= its last 4 nibbles — the
+    * identity an external engine reproduces nibble-by-nibble). */
+  def bloomPositions(key: Column): Seq[Column] = {
+    val h = md5(key.cast("string"))
+    (0 until BloomHashes).map { j =>
+      pmod(conv(substring(h, j * 8 + 1, 8), 16, 10).cast("long"), lit(BloomBits.toLong))
+    }
+  }
+
+  /** Build a Bloom bitset (as longs) from the DISTINCT values of `key` in
+    * `df` — driver-side by design: the build side of a decontamination
+    * sweep is the benchmark set, control-sized next to the corpus. */
+  def bloomBuild(df: DataFrame, key: Column): Array[Long] = {
+    val pos = df.select(explode(array(bloomPositions(key): _*)).as("p"))
+      .distinct().collect().map(_.getLong(0))
+    val bits = new Array[Long](BloomBits / 64)
+    pos.foreach { p => bits(p.toInt >> 6) |= 1L << (p.toInt & 63) }
+    bits
+  }
+
+  /** True iff every bit position of `key` is set in `bits` — membership
+    * with the filter's false-positive rate, zero false negatives. The
+    * bitset rides in the plan as an array literal, so the probe is a pure
+    * narrow expression: no join, no broadcast exchange, nothing to
+    * shuffle — the cheapest possible corpus-side pre-pass.
+    *
+    * The md5 digest is bound ONCE through a single-element `transform`
+    * lambda (the [[TextFunctions]] `withTokens` trick): the four position
+    * reads reference the lambda slot instead of re-hashing the key — the
+    * predicate pushed through the explode otherwise inlines `md5(key)`
+    * into every position subtree. */
+  def bloomMaybeContains(bits: Array[Long], key: Column): Column = {
+    val bitsLit = typedLit(bits.toSeq)
+    element_at(transform(array(md5(key.cast("string"))), h => {
+      (0 until BloomHashes).map { j =>
+        val p = pmod(conv(substring(h, j * 8 + 1, 8), 16, 10).cast("long"),
+          lit(BloomBits.toLong))
+        val word = element_at(bitsLit, (p / 64).cast("int") + 1)
+        call_function("shiftright", word, (p % 64).cast("int"))
+          .bitwiseAND(lit(1L)) === 1
+      }.reduce(_ && _)
+    }), 1)
+  }
+
+  /** Bloom-filter decontamination pre-pass: documents whose distinct word
+    * `n`-grams MAY overlap the benchmark set, with the per-doc count of
+    * flagged n-grams. Supersets [[Curation.contamination]]'s exact output
+    * (no false negatives); run the exact join on this pass's survivors
+    * only — at corpus scale that turns a full-corpus semi-join into a
+    * filter that drops ~all of the corpus before any exchange. */
+  def contaminationBloom(docs: DataFrame, benchmark: DataFrame,
+                         textCol: String, idCol: String, n: Int = 5): DataFrame = {
+    import graft.dedup.DocDedup
+    val benchSh = benchmark
+      .select(explode(array_distinct(DocDedup.shingles(col(textCol), n))).as("__g"))
+      .distinct()
+    val bits = bloomBuild(benchSh, col("__g"))
+    docs.select(col(idCol),
+        explode(array_distinct(DocDedup.shingles(col(textCol), n))).as("__g"))
+      .filter(bloomMaybeContains(bits, col("__g")))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_maybe"))
+  }
+
+  // ---------------------------------------------------------------- global order
+
+  /** Deterministic global training order: every id gets a unique dense
+    * position `0..n-1` by rank of its [[Curation.hashUniform]] draw — the
+    * reproducible full-corpus shuffle a training run reads back in range
+    * slices. Same id, same position, at any partitioning or cluster size.
+    *
+    * No single-partition sort: draws bucket into `nShards` contiguous
+    * hash ranges, a first narrow pass counts each shard (the only job
+    * that materializes early), and position = shard's cumulative offset +
+    * rank within the shard — a window over at most 1/nShards of the data
+    * per group. The classic two-pass rank (zipWithIndex's shape) kept
+    * declarative; shard counts are nShards driver-side longs. */
+  def globalOrder(docs: DataFrame, idCol: String, nShards: Int = 64,
+                  salt: String = "graft-shuffle"): DataFrame = {
+    val u = Curation.hashUniform(col(idCol), salt)
+    val base = docs.select(col(idCol), u.as("__u"),
+      least(floor(u * nShards).cast("int"), lit(nShards - 1)).as("__sh"))
+    val counts = base.groupBy(col("__sh")).agg(count(lit(1)).as("__c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsetOf = counts.map(_._1)
+      .zip(counts.scanLeft(0L) { case (acc, (_, c)) => acc + c }).toMap
+    val offCol = offsetOf.foldLeft(lit(0L)) { case (acc, (s, o)) =>
+      when(col("__sh") === s, lit(o)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col("__sh")).orderBy(col("__u"), col(idCol))
+    base.withColumn("pos", row_number().over(w).cast("long") + offCol - 1)
+      .select(col(idCol), col("pos"))
+  }
+}

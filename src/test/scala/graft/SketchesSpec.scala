@@ -1,0 +1,95 @@
+package graft
+
+import graft.text.{Curation, Sketches}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SketchesSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = sf("documents")
+
+  // ------------------------------------------------------------------ KMV
+
+  test("kmvDistinct is exact below k and within KMV error bounds above it") {
+    val exact = docs.groupBy(col("source"))
+      .agg(countDistinct(col("text")).as("n"))
+      .as[(String, Long)].collect().toMap
+    // k above every group size -> the sketch degenerates to the exact count
+    val ks = Sketches.kmvDistinct(docs, "source", col("text"), k = 100000)
+      .as[(String, Long, Double)].collect()
+    ks.foreach { case (src, kept, est) =>
+      assert(kept == exact(src) && est == exact(src).toDouble,
+        s"below-k sketch must be exact for $src")
+    }
+    // k = 64: standard error ~ 1/sqrt(k-2) ~ 12.7%; allow 4 sigma
+    val est = Sketches.kmvDistinct(docs, "source", col("text"), k = 64)
+      .as[(String, Long, Double)].collect()
+    est.foreach { case (src, kept, e) =>
+      val n = exact(src)
+      if (n >= 64) {
+        assert(kept == 64)
+        assert(math.abs(e - n) / n < 0.51, s"$src: est $e vs exact $n")
+      }
+    }
+  }
+
+  test("kmvDistinct is stable under repartitioning (determinism)") {
+    val a = Sketches.kmvDistinct(docs, "source", col("text"), k = 32)
+      .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+    val b = Sketches.kmvDistinct(docs.repartition(13), "source", col("text"), k = 32)
+      .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(a == b)
+  }
+
+  // ---------------------------------------------------------------- Bloom
+
+  test("bloom membership has zero false negatives and reproduces positions") {
+    val keys = (1 to 500).map(i => s"key-$i").toDF("k")
+    val bits = Sketches.bloomBuild(keys, col("k"))
+    val probeIn = keys.filter(Sketches.bloomMaybeContains(bits, col("k"))).count()
+    assert(probeIn == 500, "every inserted key must probe positive")
+    // false-positive rate at this fill is bounded (~(1-e^(-kn/m))^k ~ 0.008%)
+    val others = (1 to 20000).map(i => s"other-$i").toDF("k")
+    val fp = others.filter(Sketches.bloomMaybeContains(bits, col("k"))).count()
+    assert(fp < 60, s"false-positive rate out of range: $fp / 20000")
+  }
+
+  test("contaminationBloom supersets exact contamination, hit counts dominate") {
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    val exact = Curation.contamination(docs, bench, "text", "doc_id", n = 5)
+      .as[(Long, Long)].collect().toMap
+    val bloom = Sketches.contaminationBloom(docs, bench, "text", "doc_id", n = 5)
+      .as[(Long, Long)].collect().toMap
+    exact.foreach { case (id, nExact) =>
+      assert(bloom.contains(id), s"doc $id: exact hit missing from bloom pass")
+      assert(bloom(id) >= nExact, s"doc $id: bloom count below exact count")
+    }
+  }
+
+  // --------------------------------------------------------- global order
+
+  test("globalOrder is a dense permutation equal to the flat global rank") {
+    val out = Sketches.globalOrder(docs, "doc_id", nShards = 8)
+      .as[(Long, Long)].collect()
+    val n = docs.count()
+    assert(out.length == n)
+    assert(out.map(_._2).sorted.toSeq == (0L until n).toSeq, "positions must be dense 0..n-1")
+    // reference: single-expression global rank (fine at test scale)
+    val ref = docs.select(col("doc_id"),
+        Curation.hashUniform(col("doc_id"), "graft-shuffle").as("u"))
+      .withColumn("pos",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("u"), col("doc_id"))).cast("long") - 1)
+      .select("doc_id", "pos").as[(Long, Long)].collect().toMap
+    out.foreach { case (id, pos) => assert(ref(id) == pos, s"doc $id rank mismatch") }
+  }
+
+  test("globalOrder is stable under repartitioning and shard-count changes") {
+    val a = Sketches.globalOrder(docs, "doc_id", nShards = 4)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val b = Sketches.globalOrder(docs.repartition(17), "doc_id", nShards = 32)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(a == b, "order must not depend on partitioning or shard count")
+  }
+}
