@@ -355,22 +355,37 @@ object Retrieval {
     * unordered slice pair, the count of shared distinct n-grams and the
     * Jaccard in micro-units — the inter-source duplication diagnostic that
     * tells you two crawls fed you the same content before you pay for
-    * cross-source dedup. One distinct-shingle shuffle + one equi-join on
-    * the shingle; output is slices², i.e. tiny. */
+    * cross-source dedup.
+    *
+    * Single-pass: the corpus is shingled ONCE, grouped by shingle into its
+    * slice set (state bounded by the slice count, not the corpus), and each
+    * shingle emits its slice pairs — self-pairs carry the per-slice sizes,
+    * ordered pairs the overlaps — partially aggregated map-side onto at
+    * most slices² keys, i.e. almost nothing crosses the wire after the one
+    * shingle shuffle. (The previous join formulation planned FOUR
+    * independent scan→shingle subtrees — exchange reuse does not kick in
+    * across the differently-aliased branches — so the explode, the
+    * dominant cost at corpus scale, ran four times.) */
   def sourceOverlap(docs: DataFrame, textCol: String, sliceCol: String,
                     n: Int = 5): DataFrame = {
-    val slices = docs
+    val bySh = docs
       .select(col(sliceCol).as("slice"),
         explode(array_distinct(DocDedup.shingles(col(textCol), n))).as("__sh"))
-      .distinct()
-    val sizes = slices.groupBy(col("slice")).agg(count(lit(1)).as("n_grams"))
-    val a = slices.select(col("slice").as("slice_a"), col("__sh"))
-    val bb = slices.select(col("slice").as("slice_b"), col("__sh"))
-    val shared = a.join(bb, "__sh")
-      .filter(col("slice_a") < col("slice_b"))
-      .groupBy(col("slice_a"), col("slice_b"))
-      .agg(count(lit(1)).as("shared"))
-    shared
+      .groupBy(col("__sh")).agg(array_sort(collect_set(col("slice"))).as("__ss"))
+    // every (x, y) with x <= y from the sorted slice set: (x, x) counts the
+    // shingle toward slice x's size, (x, y<x ordered) toward the overlap
+    // cached: slices² rows feed both the sizes and the overlap branch —
+    // without the pin each branch would replan the whole scan+explode
+    val pairCounts = graft.ops.Caches.track(bySh
+      .select(explode(flatten(transform(col("__ss"), (x, i) =>
+        transform(slice(col("__ss"), i + 1, size(col("__ss"))), y =>
+          struct(x.as("a"), y.as("b")))))).as("__p"))
+      .groupBy(col("__p.a").as("a"), col("__p.b").as("b"))
+      .agg(count(lit(1)).as("cnt")))
+    val sizes = pairCounts.filter(col("a") === col("b"))
+      .select(col("a").as("slice"), col("cnt").as("n_grams"))
+    pairCounts.filter(col("a") < col("b"))
+      .select(col("a").as("slice_a"), col("b").as("slice_b"), col("cnt").as("shared"))
       .join(broadcast(sizes.select(col("slice").as("slice_a"), col("n_grams").as("na"))), "slice_a")
       .join(broadcast(sizes.select(col("slice").as("slice_b"), col("n_grams").as("nb"))), "slice_b")
       .withColumn("union_grams", col("na") + col("nb") - col("shared"))
