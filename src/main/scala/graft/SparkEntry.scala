@@ -306,6 +306,29 @@ object SparkEntry {
     // state must equal the full recompute (the engine's core invariant).
     // Each invocation applies a LIVE batch under a fresh batch id — the
     // bench measures the bucket-scoped apply, never a replay no-op.
+    // Time travel on the bucketed store: batch n+1 deletes a slice of
+    // orders, batch n+2 restores it; the query reads the DELETED state
+    // back through the retained batch-(n+1) manifest snapshot while the
+    // live table shows the restored full state — MVCC from manifest
+    // retention alone (immutable bucket dirs mean a snapshot costs one
+    // small file per commit, no data copies). Both rows of history are
+    // oracle-checked side by side under a snapshot tag
+    "incr_time_travel" -> ((s, dir) => {
+      val store = bucketedStore(dir, "tt", ordersSumPipeline)(sources(s, dir))
+      val n1 = store.committedBatch.getOrElse(0L) + 1
+      BucketedRun.applyChanges(s, ordersSumPipeline, sources(s, dir), store,
+        ordersBatch(s, dir, 7993, Change.Deleted), n1, batchId = n1)
+      val n2 = n1 + 1
+      BucketedRun.applyChanges(s, ordersSumPipeline, sources(s, dir), store,
+        ordersBatch(s, dir, 7993, Change.Updated, seqOffset = 1000000L), n2, batchId = n2)
+      store.tableAsOf(s, "orders_sum", n1)
+        .select(lit("past").as("snapshot"), col(Key),
+          round(col(Value), 2).as("sum_value"))
+        .unionByName(store.table(s, "orders_sum")
+          .select(lit("current").as("snapshot"), col(Key),
+            round(col(Value), 2).as("sum_value")))
+    }),
+
     "incr_update" -> ((s, dir) => {
       val store = bucketedStore(dir, "upd", ordersSumPipeline)(sources(s, dir))
       val next = store.committedBatch.getOrElse(0L) + 1
@@ -1503,6 +1526,13 @@ object SparkEntry {
       "incr_update" ->
         """SELECT CAST(o_custkey AS VARCHAR) AS _mr_key,
            round(sum(o_totalprice), 2) AS sum_value FROM orders GROUP BY 1""",
+      "incr_time_travel" ->
+        """SELECT 'past' AS snapshot, CAST(o_custkey AS VARCHAR) AS _mr_key,
+           round(sum(o_totalprice), 2) AS sum_value FROM orders
+           WHERE o_orderkey % 7993 <> 0 GROUP BY 2
+           UNION ALL
+           SELECT 'current' AS snapshot, CAST(o_custkey AS VARCHAR) AS _mr_key,
+           round(sum(o_totalprice), 2) AS sum_value FROM orders GROUP BY 2""",
       "incr_delete" ->
         """SELECT CAST(o_custkey AS VARCHAR) AS _mr_key,
            round(sum(o_totalprice), 2) AS sum_value FROM orders

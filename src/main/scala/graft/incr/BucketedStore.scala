@@ -22,21 +22,33 @@ import scala.jdk.CollectionConverters._
   * Layout:
   * {{{
   *   <root>/_manifest                              committed pointer (atomic swap)
+  *   <root>/_manifest.b<batch>                     retained snapshot (time travel)
   *   <root>/<table>/b<batch>_<n>/__b=<k>/part-….parquet   one dir per staged bucket
   * }}}
   * The manifest maps (table, bucket) -> directory, so untouched buckets are
   * carried forward BY REFERENCE — never copied, never rewritten. `vacuum()`
-  * drops directories no committed bucket references.
+  * drops directories neither the committed manifest nor a retained snapshot
+  * references; [[tableAsOf]] reads any retained batch's exact state.
   *
   * On a cluster the local atomic rename becomes a conditional put on the
   * object store; everything else is already object-store-shaped (immutable
   * directories, manifest indirection).
   */
 final class BucketedStateStore(val root: String, val numBuckets: Int = 32,
-                               val autoVacuumEvery: Int = 16) {
+                               val autoVacuumEvery: Int = 16,
+                               val keepSnapshots: Int = 8) {
   require(numBuckets > 0)
 
   private val manifestPath = Paths.get(root, "_manifest")
+
+  /** Snapshot manifest of one committed batch: `_manifest.b<batchId>` in
+    * `root`. Because bucket directories are immutable and carried by
+    * reference, retaining the manifest IS retaining the snapshot — time
+    * travel costs one small file per commit, no data copies. The newest
+    * [[keepSnapshots]] are kept; [[vacuum]] treats their referenced
+    * directories as live, so an as-of read inside the retention window
+    * never races the GC. */
+  private def snapshotPath(batchId: Long) = Paths.get(root, s"_manifest.b$batchId")
 
   /** `buckets`: bucket id -> path relative to `root` (absent = empty). */
   private final case class TableMeta(keyCol: String, ddl: String, buckets: Map[Int, String])
@@ -74,16 +86,47 @@ final class BucketedStateStore(val root: String, val numBuckets: Int = 32,
   def table(spark: SparkSession, name: String): DataFrame =
     readPaths(spark, name, committed(name).buckets.values.toSeq)
 
+  /** Batch ids with a retained snapshot manifest, ascending. */
+  def snapshots: Seq[Long] = {
+    val p = Paths.get(root)
+    if (!Files.isDirectory(p)) Seq.empty
+    else {
+      val s = Files.list(p)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("_manifest.b"))
+        .map(_.stripPrefix("_manifest.b").toLong).toSeq.sorted
+      finally s.close()
+    }
+  }
+
+  /** Time travel: read `name` exactly as batch `batchId` committed it.
+    * The snapshot must still be retained (see [[keepSnapshots]]); reads
+    * resolve against the immutable directories that batch referenced, so
+    * the result is byte-stable no matter how many batches, compactions or
+    * vacuums happened since. */
+  def tableAsOf(spark: SparkSession, name: String, batchId: Long): DataFrame = {
+    val p = snapshotPath(batchId)
+    require(Files.exists(p),
+      s"no retained snapshot for batch $batchId (have: ${snapshots.mkString(",")})")
+    val meta = parseTables(Files.readAllLines(p).asScala.toSeq).getOrElse(name,
+      sys.error(s"table '$name' absent from batch $batchId snapshot"))
+    readPathsWithDdl(spark, meta.ddl, meta.buckets.values.toSeq)
+  }
+
   /** Read ONLY the given buckets — the per-batch scoped read. */
   def readBuckets(spark: SparkSession, name: String, buckets: Iterable[Int]): DataFrame = {
     val meta = committed(name)
     readPaths(spark, name, buckets.toSeq.distinct.flatMap(meta.buckets.get))
   }
 
-  private def readPaths(spark: SparkSession, name: String, rels: Seq[String]): DataFrame = {
-    val schema = StructType.fromDDL(
+  private def readPaths(spark: SparkSession, name: String, rels: Seq[String]): DataFrame =
+    readPathsWithDdl(spark,
       staged.get(name).map(_._2).orElse(committed.get(name).map(_.ddl))
-        .getOrElse(sys.error(s"unknown state table '$name'")))
+        .getOrElse(sys.error(s"unknown state table '$name'")), rels)
+
+  private def readPathsWithDdl(spark: SparkSession, ddl: String,
+                               rels: Seq[String]): DataFrame = {
+    val schema = StructType.fromDDL(ddl)
     if (rels.isEmpty)
       spark.createDataFrame(new java.util.ArrayList[Row](), schema)
     else
@@ -183,10 +226,14 @@ final class BucketedStateStore(val root: String, val numBuckets: Int = 32,
       m.buckets.toSeq.sorted.foreach { case (k, p) => sb.append(s"bucket=$name|$k|$p\n") }
     }
     Files.createDirectories(Paths.get(root))
+    // snapshot first, pointer swap second: a crash between the two leaves
+    // an orphaned snapshot file, never a committed batch without one
+    Files.write(snapshotPath(batchId), sb.toString.getBytes(StandardCharsets.UTF_8))
     val tmp = manifestPath.resolveSibling("_manifest.tmp")
     Files.write(tmp, sb.toString.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, manifestPath, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+    snapshots.dropRight(keepSnapshots).foreach(b => Files.delete(snapshotPath(b)))
     commitsSinceVacuum += 1
     if (autoVacuumEvery > 0 && commitsSinceVacuum >= autoVacuumEvery) {
       commitsSinceVacuum = 0
@@ -237,20 +284,21 @@ final class BucketedStateStore(val root: String, val numBuckets: Int = 32,
 
   private def loadManifest(): Map[String, TableMeta] =
     if (!Files.exists(manifestPath)) Map.empty
-    else {
-      val lines = Files.readAllLines(manifestPath).asScala.toSeq
-      val tables = lines.collect { case l if l.startsWith("table=") =>
-        val Array(name, keyCol, ddl64) = l.stripPrefix("table=").split('|')
-        name -> TableMeta(keyCol,
-          new String(Base64.getDecoder.decode(ddl64), StandardCharsets.UTF_8), Map.empty)
-      }.toMap
-      lines.collect { case l if l.startsWith("bucket=") =>
-        val Array(name, k, p) = l.stripPrefix("bucket=").split('|')
-        (name, k.toInt, p)
-      }.foldLeft(tables) { case (acc, (name, k, p)) =>
-        acc + (name -> acc(name).copy(buckets = acc(name).buckets + (k -> p)))
-      }
+    else parseTables(Files.readAllLines(manifestPath).asScala.toSeq)
+
+  private def parseTables(lines: Seq[String]): Map[String, TableMeta] = {
+    val tables = lines.collect { case l if l.startsWith("table=") =>
+      val Array(name, keyCol, ddl64) = l.stripPrefix("table=").split('|')
+      name -> TableMeta(keyCol,
+        new String(Base64.getDecoder.decode(ddl64), StandardCharsets.UTF_8), Map.empty)
+    }.toMap
+    lines.collect { case l if l.startsWith("bucket=") =>
+      val Array(name, k, p) = l.stripPrefix("bucket=").split('|')
+      (name, k.toInt, p)
+    }.foldLeft(tables) { case (acc, (name, k, p)) =>
+      acc + (name -> acc(name).copy(buckets = acc(name).buckets + (k -> p)))
     }
+  }
 
   private def listDirs(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
     val s = Files.list(p)
@@ -265,8 +313,14 @@ final class BucketedStateStore(val root: String, val numBuckets: Int = 32,
     * within the last `grace` batches, so recently-resolved lazy frames keep
     * reading — the cadence-triggered vacuum passes its own interval. */
   def vacuum(grace: Long = 0L): Unit = synchronized {
-    val live: Set[String] = committed.values
-      .flatMap(_.buckets.values).map(_.split('/').take(2).mkString("/")).toSet
+    // live = the committed manifest PLUS every retained snapshot: an as-of
+    // read inside the retention window must never lose a directory under it
+    val snapshotLive: Set[String] = snapshots.flatMap { b =>
+      parseTables(Files.readAllLines(snapshotPath(b)).asScala.toSeq)
+        .values.flatMap(_.buckets.values)
+    }.toSet
+    val live: Set[String] = (committed.values.flatMap(_.buckets.values) ++ snapshotLive)
+      .map(_.split('/').take(2).mkString("/")).toSet
     val horizon = committedBatch.getOrElse(-1L) - grace
     def stagedBatchOf(dirName: String): Option[Long] =
       if (!dirName.startsWith("b")) None

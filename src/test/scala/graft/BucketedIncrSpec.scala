@@ -28,8 +28,9 @@ class BucketedIncrSpec extends AnyFunSuite with SparkTestBase {
   private def changes(cs: (Long, String, String)*) =
     cs.map { case (seq, op, id) => Change(seq, op, "src", id) }.toDS()
 
-  private def newStore(buckets: Int = 8): BucketedStateStore =
-    new BucketedStateStore(Files.createTempDirectory("graft_bstore").toString, buckets)
+  private def newStore(buckets: Int = 8, keepSnapshots: Int = 8): BucketedStateStore =
+    new BucketedStateStore(Files.createTempDirectory("graft_bstore").toString, buckets,
+      keepSnapshots = keepSnapshots)
 
   private def reduced(store: BucketedStateStore): Map[String, Double] =
     store.table(spark, "r").select(col(Key), col(Value))
@@ -244,7 +245,9 @@ class BucketedIncrSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("vacuum spares directories staged for a batch beyond the committed pointer") {
-    val store = newStore()
+    // keepSnapshots = 0: this test pins the bare GC semantics — with
+    // time-travel retention on, batch 1's snapshot would keep its dirs live
+    val store = newStore(keepSnapshots = 0)
     val data = srcDf(("a", "k1", 1.0))
     BucketedRun.initialize(pipeline, _ => data, store)
     // stage (batch 1) but do NOT commit — vacuum must treat it as in-flight
@@ -295,5 +298,70 @@ class BucketedIncrSpec extends AnyFunSuite with SparkTestBase {
     BucketedRun.applyChanges(p, sources, store,
       changes((1, Change.Deleted, "b")), 1L, batchId = 1)
     assert(reduced(store) == Map("k1" -> 1.0, "x-k1" -> 1.0))
+  }
+
+  private def reducedAsOf(store: BucketedStateStore, batch: Long): Map[String, Double] =
+    store.tableAsOf(spark, "r", batch).select(col(Key), col(Value))
+      .as[(String, Double)].collect().toMap
+
+  test("tableAsOf reads each committed batch's exact state across later changes and vacuum") {
+    val store = newStore()
+    var data = srcDf(("a", "k1", 1.0), ("b", "k2", 2.0))
+    val sources: IncrementalRun.Sources = _ => data
+    BucketedRun.initialize(pipeline, sources, store)
+    val b0 = store.committedBatch.get
+
+    data = srcDf(("a", "k1", 9.0), ("b", "k2", 2.0))
+    BucketedRun.applyChanges(pipeline, sources, store,
+      changes((1, Change.Updated, "a")), 1L, batchId = b0 + 1)
+    data = srcDf(("a", "k1", 9.0))
+    BucketedRun.applyChanges(pipeline, sources, store,
+      changes((2, Change.Deleted, "b")), 2L, batchId = b0 + 2)
+
+    assert(reduced(store) == Map("k1" -> 9.0))
+    assert(reducedAsOf(store, b0) == Map("k1" -> 1.0, "k2" -> 2.0))
+    assert(reducedAsOf(store, b0 + 1) == Map("k1" -> 9.0, "k2" -> 2.0))
+    assert(reducedAsOf(store, b0 + 2) == Map("k1" -> 9.0))
+    // snapshots stay byte-stable under GC: every retained as-of read
+    // resolves against directories vacuum treats as live
+    store.vacuum()
+    assert(reducedAsOf(store, b0) == Map("k1" -> 1.0, "k2" -> 2.0))
+    assert(reducedAsOf(store, b0 + 1) == Map("k1" -> 9.0, "k2" -> 2.0))
+    // a reopened store (fresh process) sees the same snapshots
+    val reopened = new BucketedStateStore(store.root, store.numBuckets)
+    assert(reopened.snapshots == store.snapshots)
+    assert(reopened.tableAsOf(spark, "r", b0).select(col(Key), col(Value))
+      .as[(String, Double)].collect().toMap == Map("k1" -> 1.0, "k2" -> 2.0))
+  }
+
+  test("incr_time_travel query is a fixed point across invocations") {
+    // the bench invokes every query 3×: the delete+restore pair must leave
+    // the live state (and therefore the output) unchanged each time
+    val dir = "/root/testdata/sf0.001"
+    def run() = SparkEntry.queries("incr_time_travel")(spark, dir)
+      .as[(String, String, Double)].collect().sorted.toSeq
+    val first = run()
+    assert(first.nonEmpty)
+    assert(run() == first)
+    assert(run() == first)
+  }
+
+  test("snapshot retention reaps the oldest manifests and frees their directories") {
+    val store = newStore(keepSnapshots = 2)
+    var data = srcDf(("a", "k1", 1.0))
+    val sources: IncrementalRun.Sources = _ => data
+    BucketedRun.initialize(pipeline, sources, store)
+    val b0 = store.committedBatch.get
+    for (i <- 1 to 4) {
+      data = srcDf(("a", "k1", i.toDouble))
+      BucketedRun.applyChanges(pipeline, sources, store,
+        changes((i.toLong, Change.Updated, "a")), i.toLong, batchId = b0 + i)
+    }
+    // only the 2 newest snapshots retained; older as-of reads now refuse
+    assert(store.snapshots == Seq(b0 + 3, b0 + 4))
+    assertThrows[IllegalArgumentException](store.tableAsOf(spark, "r", b0))
+    assert(reducedAsOf(store, b0 + 3) == Map("k1" -> 3.0))
+    assert(reducedAsOf(store, b0 + 4) == Map("k1" -> 4.0))
+    assert(reduced(store) == Map("k1" -> 4.0))
   }
 }

@@ -352,9 +352,11 @@ class BucketedStreamingSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("auto-vacuum cadence: superseded directories are reaped by commits alone") {
+    // keepSnapshots = 0: this test pins the bare GC cadence — time-travel
+    // retention (its own spec) would keep batch-0 dirs live via snapshots
     val store = new BucketedStateStore(
       Files.createTempDirectory("graft_av").toString, numBuckets = 4,
-      autoVacuumEvery = 3)
+      autoVacuumEvery = 3, keepSnapshots = 0)
     var data = Seq(("a", "k1", 1.0)).toDF("id", "k", "v")
     val sources: IncrementalRun.Sources = _ => data
     BucketedRun.initialize(pipeline, sources, store) // commit 1
