@@ -82,6 +82,10 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[String, graft.text.Retrieval.InvertedIndex]
   private val lshIndexes = scala.collection.concurrent.TrieMap
     .empty[String, (graft.dedup.LshIndex.Index, String, java.util.concurrent.atomic.AtomicLong)]
+  /** (index, initPairsPath, livePairsPath, streamInDir, checkpointDir) per
+    * scale dir — the streaming-ingest dedup fixture. */
+  private val lshStreamIndexes = scala.collection.concurrent.TrieMap
+    .empty[String, (graft.dedup.LshIndex.Index, String, String, String, String)]
 
   /** One batch of same-typed changes over `table` ids `≡ residue (mod mod)`
     * — a notification-queue-sized batch (tens of ids at sf0.1) built in
@@ -905,6 +909,54 @@ object SparkEntry {
       LshIndex.applyBatchWithPairs(idx, batch, "text", "doc_id",
         deletes = batch.select(col("doc_id")).limit(0),
         gen = gen.incrementAndGet(), maxBucketSize = 10000)
+        .unionByName(s.read.parquet(initPairsPath))
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    }),
+
+    // STREAMING ingest dedup: the live third arrives as a document change
+    // stream; a checkpointed AvailableNow drain hands each micro-batch to
+    // the persisted LSH index (applyBatchWithPairs = index AND dedup in one
+    // signing pass), so every invocation measures one REAL streaming
+    // micro-batch under a fresh generation. Re-applied ids supersede their
+    // previous generation, so converged pairs ∪ build pairs reproduce the
+    // one-shot pair set — the same exact oracle as dedup_minhash
+    "dedup_minhash_stream" -> ((s, dir) => {
+      val (idx, initPairsPath, livePairsPath, streamDir, ckptDir) =
+        lshStreamIndexes.getOrElseUpdate(dir, {
+          val docs = t(s, dir, "documents")
+          val init = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+          val tmp = graft.core.TempDirs.register(
+            java.nio.file.Files.createTempDirectory("graft_lshstr")).toString
+          val (i, p) = LshIndex.buildWithPairs(init, "text", "doc_id", tmp,
+            threshold = 0.8, numHashes = 32, bands = 8, nPartitions = 16,
+            maxBucketSize = 10000)
+          p.write.mode("overwrite").parquet(s"$tmp/init_pairs")
+          (i, s"$tmp/init_pairs", s"$tmp/live_pairs",
+            graft.core.TempDirs.register(
+              java.nio.file.Files.createTempDirectory("graft_lshstr_in")).toString,
+            graft.core.TempDirs.register(
+              java.nio.file.Files.createTempDirectory("graft_lshstr_ck")).toString)
+        })
+      val live = t(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select(col("doc_id"), col("text"))
+      // one new file per invocation; the checkpoint makes the drain process
+      // exactly this file (never a replay of earlier invocations' files)
+      live.coalesce(1).write.mode("append").parquet(streamDir)
+      val noDeletes = live.filter(lit(false)).select(col("doc_id"))
+      val q = s.readStream.schema(live.schema).parquet(streamDir)
+        .writeStream
+        .option("checkpointLocation", ckptDir)
+        .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+          LshIndex.applyBatchWithPairs(idx, b.toDF(), "text", "doc_id",
+            noDeletes, gen = id + 1, maxBucketSize = 10000)
+            .write.mode("overwrite").parquet(livePairsPath)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(livePairsPath)
         .unionByName(s.read.parquet(initPairsPath))
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
     }),
