@@ -59,7 +59,8 @@ object SparkEntry {
   private val bucketedStores =
     scala.collection.concurrent.TrieMap.empty[String, BucketedStateStore]
 
-  private def bucketedStore(dir: String, variant: String, pipeline: Pipeline)
+  private def bucketedStore(dir: String, variant: String, pipeline: Pipeline,
+                            keepSnapshots: Int = 8)
                            (init: => IncrementalRun.Sources): BucketedStateStore =
     bucketedStores.getOrElseUpdate(s"$dir#$variant", {
       // 64 buckets: notification-sized batches (tens of keys) then touch a
@@ -69,7 +70,7 @@ object SparkEntry {
       val st = new BucketedStateStore(
         graft.core.TempDirs.register(
           java.nio.file.Files.createTempDirectory(s"graft_incr_$variant")).toString,
-        numBuckets = 64)
+        numBuckets = 64, keepSnapshots = keepSnapshots)
       BucketedRun.initialize(pipeline, init, st)
       st
     })
@@ -118,8 +119,31 @@ object SparkEntry {
     Ivf.assignCells(e, "vec_id", "embedding", cents)
   }
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    // events.ts contract: long ns since epoch. Early testdata wrote parquet
+    // TIMESTAMP(NANOS), surfaced as long via nanosAsLong; later driver
+    // generations write TIMESTAMP(MICROS), which that flag ignores — it
+    // arrives as TIMESTAMP_NTZ and every ns-arithmetic query breaks.
+    // Normalize here (session tz is pinned UTC, so the NTZ cast is exact).
+    if (name == "events" &&
+        df.schema.fields.exists(f => f.name == "ts" &&
+          f.dataType != org.apache.spark.sql.types.LongType))
+      df.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * 1000)
+    else df
+  }
+
+  /** events as a file stream (one parquet file → one micro-batch), with the
+    * same ts-normalization contract as [[t]] (long ns since epoch). */
+  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    val raw = s.read.parquet(s"$dir/events.parquet").schema
+    // file-stream source takes a directory; select just the events table
+    val stream = s.readStream.schema(raw)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    if (raw("ts").dataType != org.apache.spark.sql.types.LongType)
+      stream.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * 1000)
+    else stream
+  }
 
   /** lineitem has no single-column id; derive one for provenance. */
   private def sources(s: SparkSession, dir: String): IncrementalRun.Sources = {
@@ -331,6 +355,55 @@ object SparkEntry {
         .unionByName(store.table(s, "orders_sum")
           .select(lit("current").as("snapshot"), col(Key),
             round(col(Value), 2).as("sum_value")))
+    }),
+
+    // ZERO-COPY schema evolution on the durable store: `n_orders` is added
+    // to the derived table's schema without rewriting a single committed
+    // bucket (explicit-schema reads surface NULL from pre-evolution files —
+    // BucketedIncrSpec pins that and the unchanged directory paths). The
+    // first invocation evolves + backfills; later invocations stage a
+    // touched-bucket batch that maintains BOTH columns for one key residue
+    // class — the steady state of a widened table. The pre-evolution
+    // snapshot still reads with the OLD shape via time travel.
+    "incr_schema_evolve" -> ((s, dir) => {
+      // generous snapshot retention: the query time-travels to batch 0
+      // (the pre-evolution shape) on every invocation
+      val store = bucketedStore(dir, "evo", ordersSumPipeline,
+        keepSnapshots = 10000)(sources(s, dir))
+      val next = store.committedBatch.getOrElse(0L) + 1
+      val counts = t(s, dir, "orders")
+        .groupBy(col("o_custkey").cast("string").as(Key))
+        .agg(count(lit(1)).as("__n"))
+      if (store.meta("evolved").isEmpty) {
+        store.evolveTable("orders_sum", "n_orders BIGINT")
+        store.setMeta("evolved", "1")
+        val rows = store.table(s, "orders_sum").drop("n_orders")
+          .join(counts, Seq(Key), "left")
+          .withColumn("n_orders", col("__n")).drop("__n")
+        store.stageBuckets("orders_sum", (0 until store.numBuckets).toSet,
+          rows, next, Key)
+      } else {
+        // touched-bucket maintenance batch: recompute the buckets holding
+        // keys ≡ (next mod 97); values are re-derived from source, so the
+        // end state is invocation-stable
+        val touched = store.table(s, "orders_sum")
+          .filter(col(Key).cast("long") % 97 === next % 97)
+          .select(store.bucketOf(col(Key)).as("__b"))
+          .distinct().collect().map(_.getInt(0)).toSet
+        val rows = store.table(s, "orders_sum").drop("n_orders")
+          .filter(store.bucketOf(col(Key)).isin(touched.toSeq: _*))
+          .join(counts, Seq(Key), "left")
+          .withColumn("n_orders", col("__n")).drop("__n")
+        store.stageBuckets("orders_sum", touched, rows, next, Key)
+      }
+      store.commit(next)
+      store.tableAsOf(s, "orders_sum", 0L)
+        .select(lit("past").as("snapshot"), col(Key),
+          round(col(Value), 2).as("sum_value"),
+          lit(null).cast("long").as("n_orders"))
+        .unionByName(store.table(s, "orders_sum")
+          .select(lit("current").as("snapshot"), col(Key),
+            round(col(Value), 2).as("sum_value"), col("n_orders")))
     }),
 
     "incr_update" -> ((s, dir) => {
@@ -758,10 +831,7 @@ object SparkEntry {
     // into a memory sink. One parquet file → one micro-batch, so the
     // watermark drops nothing and the result equals the batch oracle.
     "events_hourly_stream" -> ((s, dir) => {
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      // file-stream source takes a directory; select just the events table
-      val stream = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val stream = eventsStream(s, dir)
       val agg = graft.streaming.EventWindows
         .typedWindowAgg(stream, "ts", watermark = "2 hours", window = "1 hour")
       // monotonic counter, not identityHashCode: hash collisions with a
@@ -790,9 +860,7 @@ object SparkEntry {
     // processAllAvailable() is the quiescent point, then the query is
     // stopped and the drained result must equal the batch oracle.
     "events_hourly_forever" -> ((s, dir) => {
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val stream = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val stream = eventsStream(s, dir)
       val agg = graft.streaming.EventWindows
         .typedWindowAgg(stream, "ts", watermark = "2 hours", window = "1 hour")
       val sink = s"events_hourly_forever_${streamSinkSeq.incrementAndGet()}"
@@ -818,9 +886,7 @@ object SparkEntry {
     // aggregates per dimension attribute. No state store involvement for
     // the join itself; the stream side never shuffles before the agg
     "events_enrich_stream" -> ((s, dir) => {
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val stream = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val stream = eventsStream(s, dir)
       val cust = broadcast(t(s, dir, "customer")
         .select(col("c_custkey"), col("c_nationkey")))
       val agg = stream.join(cust, col("user_id") === col("c_custkey"))
@@ -845,9 +911,7 @@ object SparkEntry {
     // in the store, not in driver memory (the complete-mode memory sink
     // above is the test-harness variant; this is what a 100 TB feed runs)
     "events_hourly_upsert" -> ((s, dir) => {
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val stream = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val stream = eventsStream(s, dir)
       val agg = graft.streaming.EventWindows
         .typedWindowAgg(stream, "ts", watermark = "2 hours", window = "1 hour")
       val store = new BucketedStateStore(
@@ -1086,6 +1150,16 @@ object SparkEntry {
         threshold = 0.45)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))),
 
+    // SemDeDup-style cell-scoped near-dup (Abbas et al. 2023): exact cosine
+    // pairs only WITHIN each embedding cluster cell — Σ|cell|² instead of
+    // corpus², one equi-join exchange on the cell key. Same fixed-centroid
+    // assignment the sim_ivf_assign oracle re-derives.
+    "embed_neardup_cell" -> ((s, dir) =>
+      Similarity.cellScopedPairs(fixedCellAssignment(s, dir),
+        t(s, dir, "embeddings"), "vec_id", "embedding", "cell", threshold = 0.4)
+        .select(col("id_a"), col("id_b"), col("cell"),
+          round(col("cosine"), 6).as("cosine"))),
+
     // Embedding near-dup via LSH buckets — the scale path (approximate:
     // cross-bucket pairs are missed; every returned pair is exact-verified.
     // rows-only check; recall vs brute force asserted in DedupSimSpec)
@@ -1206,6 +1280,14 @@ object SparkEntry {
         rates = Map("en" -> 0.5, "es" -> 0.3, "fr" -> 0.3,
           "de" -> 0.2, "zh" -> 0.2))
         .select(col("doc_id"), col("lang"))),
+
+    // Per-source document cap: at most 15 docs per source by md5-uniform
+    // rank — the anti-domination gate a web pipeline applies per domain.
+    // The rank filter is a WindowGroupLimit pushdown (map-side top-n per
+    // group before the one exchange)
+    "cap_per_source" -> ((s, dir) =>
+      Curation.capPerGroup(t(s, dir, "documents"), "doc_id", "source", n = 15)
+        .select(col("doc_id"), col("source"))),
 
     // Sequence packing: fixed token-budget training sequences within
     // (lang, shard) lanes — shard count bounds every window, no global sort
@@ -1369,6 +1451,22 @@ object SparkEntry {
     // catches verbatim chunks pasted into otherwise-distinct documents
     "text_dup_spans" -> ((s, dir) =>
       Curation.dupSpans(t(s, dir, "documents"), "text", "doc_id", span = 20)),
+
+    // Winnowing fingerprints (the MOSS algorithm): min-hash of each
+    // 4-window over 5-token shingle hashes, leftmost tie — guarantees a
+    // shared fingerprint for any shared run of ≥ 8 tokens at ~2/(w+1)
+    // fingerprint density. One tokenization; windows are frames, no join
+    "text_winnow" -> ((s, dir) =>
+      Curation.winnow(t(s, dir, "documents"), "text", "doc_id", k = 5, w = 4)),
+
+    // EXACT heavy hitters (terms ≥ 1% of all tokens) via a Misra–Gries
+    // candidate pre-pass: the candidate shuffle is bounded by
+    // partitions×capacity regardless of vocabulary size; the exact recount
+    // semi-joins the token stream against the broadcast candidates before
+    // its only shuffle. Integer threshold arithmetic — bit-stable
+    "text_heavy_hitters" -> ((s, dir) =>
+      graft.text.HeavyHitters.frequentTerms(t(s, dir, "documents"), "text",
+        num = 1, den = 100, capacity = 1024)),
 
     // CCNet-style corpus LM quality signal: per-doc TOKEN-trigram average
     // negative log-likelihood against the corpus's own trigram
@@ -1585,6 +1683,17 @@ object SparkEntry {
            UNION ALL
            SELECT 'current' AS snapshot, CAST(o_custkey AS VARCHAR) AS _mr_key,
            round(sum(o_totalprice), 2) AS sum_value FROM orders GROUP BY 2""",
+      // schema evolution: past snapshot = the pre-evolution shape (NULL
+      // n_orders — the column did not exist at batch 0); current = the
+      // widened, fully-maintained table
+      "incr_schema_evolve" ->
+        """SELECT 'past' AS snapshot, CAST(o_custkey AS VARCHAR) AS _mr_key,
+           round(sum(o_totalprice), 2) AS sum_value,
+           CAST(NULL AS BIGINT) AS n_orders FROM orders GROUP BY 2
+           UNION ALL
+           SELECT 'current' AS snapshot, CAST(o_custkey AS VARCHAR) AS _mr_key,
+           round(sum(o_totalprice), 2) AS sum_value,
+           count(*) AS n_orders FROM orders GROUP BY 2""",
       "incr_delete" ->
         """SELECT CAST(o_custkey AS VARCHAR) AS _mr_key,
            round(sum(o_totalprice), 2) AS sum_value FROM orders
@@ -1791,6 +1900,16 @@ object SparkEntry {
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
             WHERE len(list_intersect(a.s, b.s))::DOUBLE
               / len(list_distinct(list_concat(a.s, b.s))) >= 0.8""",
+      // the streaming drain converges the same index, so it reproduces the
+      // one-shot pair set exactly — identical oracle to dedup_minhash
+      "dedup_minhash_stream" ->
+        s"""WITH sh AS (SELECT doc_id, $shingles AS s FROM documents)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              round(len(list_intersect(a.s, b.s))::DOUBLE
+                / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.s, b.s))::DOUBLE
+              / len(list_distinct(list_concat(a.s, b.s))) >= 0.8""",
       "dedup_minhash_resolve" ->
         s"""WITH RECURSIVE sh AS (SELECT doc_id, $shingles AS s FROM documents),
             p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
@@ -1912,6 +2031,17 @@ object SparkEntry {
            FROM e a JOIN e b ON a.vec_id < b.vec_id
            WHERE list_dot_product(a.v, b.v)
              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.45""",
+      // same pair formulation as embed_cos_neardup, restricted to co-celled
+      // vectors via the shared fixed-centroid assignment CTEs
+      "embed_neardup_cell" ->
+        s"""WITH $ivfAssignCtes
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b, aa.cell,
+             round(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+           FROM asn aa JOIN asn bb ON aa.cell = bb.cell AND aa.vec_id < bb.vec_id
+           JOIN e a ON a.vec_id = aa.vec_id JOIN e b ON b.vec_id = bb.vec_id
+           WHERE list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4""",
       "text_subword_count" ->
         raw"""SELECT doc_id, CAST(len(regexp_extract_all(lower(trim(text)),
              '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]')) AS BIGINT) AS n_subwords
@@ -2145,6 +2275,34 @@ object SparkEntry {
               JOIN sizes sa ON sa.slice = slice_a
               JOIN sizes sb ON sb.slice = slice_b"""
       },
+      // hashUniform rank order == lexicographic order of the first 8 hex
+      // chars of the salted md5 (fixed-length lowercase hex compares like
+      // the integer it encodes), ties broken by doc_id — same as Spark's
+      // (u, id) ordering
+      "cap_per_source" ->
+        """SELECT doc_id, source FROM documents
+           QUALIFY row_number() OVER (PARTITION BY source
+             ORDER BY substr(md5('graft-cap:' || doc_id::VARCHAR), 1, 8),
+                      doc_id) <= 15""",
+      // winnowing: k=5 shingle md5s, min (hash, pos) struct per w=4 window
+      // (leftmost tie via pos), distinct selections — the struct min and
+      // string compare agree between engines (lexicographic, ASCII hex)
+      "text_winnow" ->
+        s"""WITH d AS (SELECT doc_id, $toks AS ts FROM documents),
+            sh AS (SELECT doc_id, u.p,
+                md5(array_to_string(ts[u.p+1:u.p+5], ' ')) AS h
+              FROM d, unnest(list_transform(range(len(ts) - 4), x -> x)) AS u(p)),
+            sel AS (SELECT doc_id,
+                min(struct_pack(h := h, p := p)) OVER w AS s,
+                count(*) OVER w AS c
+              FROM sh
+              WINDOW w AS (PARTITION BY doc_id ORDER BY p
+                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING))
+            SELECT DISTINCT doc_id, s.p AS pos, s.h AS fp FROM sel WHERE c = 4""",
+      "text_heavy_hitters" ->
+        s"""WITH tok AS (SELECT unnest($toks) AS term FROM documents)
+            SELECT term, count(*) AS cnt FROM tok GROUP BY term
+            HAVING count(*) * 100 >= (SELECT count(*) FROM tok)""",
       "text_dup_spans" ->
         s"""WITH d AS (SELECT doc_id, $toks AS l FROM documents),
            sp AS (SELECT doc_id, unnest(list_transform(range(1, len(l) - 18),

@@ -105,11 +105,17 @@ final class BucketedStateStore(val root: String, val numBuckets: Int = 32,
     * the result is byte-stable no matter how many batches, compactions or
     * vacuums happened since. */
   def tableAsOf(spark: SparkSession, name: String, batchId: Long): DataFrame = {
-    val p = snapshotPath(batchId)
-    require(Files.exists(p),
-      s"no retained snapshot for batch $batchId (have: ${snapshots.mkString(",")})")
-    val meta = parseTables(Files.readAllLines(p).asScala.toSeq).getOrElse(name,
-      sys.error(s"table '$name' absent from batch $batchId snapshot"))
+    // existence check + read under the store lock: commit()'s retention
+    // delete holds the same lock, so a concurrent commit can't reap the
+    // snapshot between the check and the read (it would otherwise surface
+    // as NoSuchFileException instead of the retention message below)
+    val meta = synchronized {
+      val p = snapshotPath(batchId)
+      require(Files.exists(p),
+        s"no retained snapshot for batch $batchId (have: ${snapshots.mkString(",")})")
+      parseTables(Files.readAllLines(p).asScala.toSeq).getOrElse(name,
+        sys.error(s"table '$name' absent from batch $batchId snapshot"))
+    }
     readPathsWithDdl(spark, meta.ddl, meta.buckets.values.toSeq)
   }
 
@@ -227,12 +233,19 @@ final class BucketedStateStore(val root: String, val numBuckets: Int = 32,
     }
     Files.createDirectories(Paths.get(root))
     // snapshot first, pointer swap second: a crash between the two leaves
-    // an orphaned snapshot file, never a committed batch without one
-    Files.write(snapshotPath(batchId), sb.toString.getBytes(StandardCharsets.UTF_8))
-    val tmp = manifestPath.resolveSibling("_manifest.tmp")
-    Files.write(tmp, sb.toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, manifestPath, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    // an orphaned (but whole) snapshot file, never a committed batch without
+    // one. The snapshot itself goes through tmp+ATOMIC_MOVE too — a torn
+    // _manifest.b<id> would parse as partial state (or break parseTables in
+    // vacuum's snapshot scan). The tmp name must not match the
+    // `_manifest.b` prefix snapshots() globs for.
+    def writeAtomic(target: java.nio.file.Path): Unit = {
+      val tmp = target.resolveSibling(s"_swap.tmp${target.getFileName}")
+      Files.write(tmp, sb.toString.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    writeAtomic(snapshotPath(batchId))
+    writeAtomic(manifestPath)
     snapshots.dropRight(keepSnapshots).foreach(b => Files.delete(snapshotPath(b)))
     commitsSinceVacuum += 1
     if (autoVacuumEvery > 0 && commitsSinceVacuum >= autoVacuumEvery) {
@@ -257,6 +270,30 @@ final class BucketedStateStore(val root: String, val numBuckets: Int = 32,
     * indivisible. */
   def setMeta(key: String, value: String): Unit =
     synchronized { metaMap += key -> value }
+
+  /** ZERO-COPY schema evolution: append nullable columns to `name`'s
+    * schema. No bucket directory is rewritten — reads resolve with an
+    * explicit schema, so parquet files written before the evolution simply
+    * surface NULL for the new columns (by-name resolution; column order in
+    * old files is irrelevant). The widened DDL is staged and publishes with
+    * the next [[commit]]'s atomic manifest swap; retained snapshots keep
+    * the DDL they committed with, so [[tableAsOf]] before the evolution
+    * batch still reads the old shape. Buckets staged in the SAME batch
+    * should carry the widened schema (a narrower stage after evolve would
+    * re-narrow the staged DDL). */
+  def evolveTable(name: String, addColumnsDdl: String): Unit = synchronized {
+    val keyCol = staged.get(name).map(_._1)
+      .orElse(committed.get(name).map(_.keyCol))
+      .getOrElse(sys.error(s"unknown state table '$name'"))
+    val cur = StructType.fromDDL(staged.get(name).map(_._2).filter(_.nonEmpty)
+      .getOrElse(committed(name).ddl))
+    val add = StructType.fromDDL(addColumnsDdl)
+    val dup = add.fieldNames.filter(cur.fieldNames.contains)
+    require(dup.isEmpty, s"columns already exist: ${dup.mkString(",")}")
+    val evolved = StructType(cur.fields ++ add.fields).toDDL
+    staged += name -> (keyCol, evolved,
+      staged.get(name).map(_._3).getOrElse(Map.empty))
+  }
 
   /** Drop all staged-but-uncommitted bucket deltas. A FAILED batch must call
     * this before any later batch commits: stage metadata is store-level, so

@@ -187,6 +187,33 @@ object Similarity {
   }
 
   /** Exact all-pairs cosine above `threshold` (quadratic baseline). */
+  /** SemDeDup-style cell-scoped near-duplicate pairs (Abbas et al. 2023):
+    * exact cosine pairs computed only WITHIN each cluster cell of a
+    * partitioned embedding space. `assigned` is the (id, cell) frame of a
+    * trained cell assignment ([[graft.sim.Ivf.assignCells]]); the
+    * quadratic verify runs per cell, so cost is Σ|cell|² instead of the
+    * corpus², and the one equi-join exchange is on the cell key —
+    * AQE-skewable, broadcastable per side, never a global nested loop.
+    * Recall is by construction scoped to co-located vectors (the SemDeDup
+    * premise: semantic duplicates share a cluster); [[bruteForcePairs]]
+    * stays the global-exact anchor. Output: (id_a < id_b, cell, cosine). */
+  def cellScopedPairs(
+      assigned: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      cellCol: String, threshold: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val c = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+        norm(col(vecCol)).as("__n"))
+      .join(assigned.select(col(idCol).as("__id"), col(cellCol).as("__cell")),
+        Seq("__id"))
+    val a = c.alias("a")
+    val b = c.alias("b")
+    a.join(b, col("a.__cell") === col("b.__cell") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        col("a.__cell").as("cell"),
+        cosinePre(col("a.__v"), col("b.__v"), col("a.__n"), col("b.__n")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   def bruteForcePairs(
       corpus: DataFrame, idCol: String, vecCol: String, threshold: Double,
       partitions: Int = 32): DataFrame = {

@@ -220,6 +220,60 @@ object Curation {
     }
   }
 
+  /** Deterministic per-group document cap: keep at most `n` documents of
+    * each group (domain, source, site), chosen by [[hashUniform]] rank — the
+    * anti-domination gate a web-corpus pipeline applies per domain so one
+    * crawl-heavy site cannot dominate the mixture. Same id, same verdict,
+    * under any partitioning. One shuffle on the group key; the rank-≤-n
+    * filter compiles to a WindowGroupLimit pushdown, so map tasks forward
+    * at most n rows per group before the exchange — a hot domain never
+    * materializes beyond the cap on the reducer. */
+  def capPerGroup(docs: DataFrame, idCol: String, groupCol: String, n: Int,
+                  salt: String = "graft-cap"): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(hashUniform(col(idCol), salt), col(idCol))
+    docs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n).drop("__rn")
+  }
+
+  /** Winnowing document fingerprints (Schleimer–Wilkerson–Aiken, SIGMOD
+    * 2003 — the MOSS algorithm): hash every `k`-token shingle, then from
+    * each window of `w` consecutive shingle hashes record the minimum (ties
+    * to the LEFTMOST position, so the choice is total and deterministic).
+    * Guarantees at least one recorded fingerprint per `w` consecutive
+    * shingles, so any shared substring of ≥ `k`+`w`-1 tokens produces a
+    * shared fingerprint — positional sub-document dedup with a bounded,
+    * content-stable fingerprint density (~2/(w+1) of positions), unlike
+    * "every span" ([[dupSpans]]) or "one per doc" fingerprinting.
+    *
+    * One tokenization feeds both the shingle and window passes (posexplode
+    * + sliding `collect_list`); the per-doc windows are Spark window
+    * frames, no self-join. Hashes are md5-hex — engine-reproducible, so
+    * the selected (position, hash) set is exact-checkable externally.
+    * Output: (idCol, pos, fp) — distinct selected fingerprints. */
+  def winnow(docs: DataFrame, textCol: String, idCol: String,
+             k: Int = 5, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1)
+    val shingleW = Window.partitionBy(col(idCol)).orderBy(col("__p"))
+      .rowsBetween(0, k - 1)
+    val winW = Window.partitionBy(col(idCol)).orderBy(col("__p"))
+      .rowsBetween(0, w - 1)
+    docs
+      .select(col(idCol),
+        posexplode(TextFunctions.tokens(col(textCol))).as(Seq("__p", "__t")))
+      .withColumn("__s", collect_list(col("__t")).over(shingleW))
+      .filter(size(col("__s")) === k)
+      .select(col(idCol), col("__p"),
+        md5(concat_ws(" ", col("__s")).cast("binary")).as("__h"))
+      // min (hash, pos) struct over the forward window anchored at each
+      // start; leftmost-tie because pos breaks equal hashes
+      .withColumn("__sel", min(struct(col("__h"), col("__p"))).over(winW))
+      .withColumn("__n", count(lit(1)).over(winW))
+      .filter(col("__n") === w) // only full windows select
+      .select(col(idCol), col("__sel.__p").as("pos"), col("__sel.__h").as("fp"))
+      .distinct()
+  }
+
   // ---------------------------------------------------------------- corpus mixing
 
   /** Deterministic corpus mixing to a per-source token budget: within each

@@ -140,13 +140,14 @@ object Sketches {
     val u = Curation.hashUniform(col(idCol), salt)
     val base = docs.select(col(idCol), u.as("__u"),
       least(floor(u * nShards).cast("int"), lit(nShards - 1)).as("__sh"))
-    val counts = base.groupBy(col("__sh")).agg(count(lit(1)).as("__c"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val offsetOf = counts.map(_._1)
-      .zip(counts.scanLeft(0L) { case (acc, (_, c)) => acc + c }).toMap
-    val offCol = offsetOf.foldLeft(lit(0L)) { case (acc, (s, o)) =>
-      when(col("__sh") === s, lit(o)).otherwise(acc)
-    }
+    val countOf = base.groupBy(col("__sh")).agg(count(lit(1)).as("__c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    // shard -> cumulative offset as ONE array literal indexed by __sh
+    // (a when-chain here nests nShards cases deep — at large user-chosen
+    // nShards that blows up codegen and planning for no benefit)
+    val offsets = (0 until nShards)
+      .scanLeft(0L)((acc, s) => acc + countOf.getOrElse(s, 0L)).dropRight(1)
+    val offCol = element_at(typedLit(offsets), col("__sh") + 1)
     val w = Window.partitionBy(col("__sh")).orderBy(col("__u"), col(idCol))
     base.withColumn("pos", row_number().over(w).cast("long") + offCol - 1)
       .select(col(idCol), col("pos"))

@@ -364,4 +364,52 @@ class BucketedIncrSpec extends AnyFunSuite with SparkTestBase {
     assert(reducedAsOf(store, b0 + 4) == Map("k1" -> 4.0))
     assert(reduced(store) == Map("k1" -> 4.0))
   }
+
+  test("zero-copy schema evolution: old buckets read NULL, dirs untouched, snapshots keep the old shape") {
+    val store = newStore()
+    val data = srcDf(("a", "k1", 1.0), ("b", "k2", 2.0), ("c", "k3", 3.0))
+    val sources: IncrementalRun.Sources = _ => data
+    BucketedRun.initialize(pipeline, sources, store)
+    val b0 = store.committedBatch.get
+    val dirsBefore = store.bucketPaths("r")
+    assert(!store.table(spark, "r").columns.contains("extra"))
+
+    // widen, then stage ONLY the bucket holding k1 with the new column set
+    store.evolveTable("r", "extra BIGINT")
+    val k1Bucket = store.table(spark, "r").filter(col(Key) === "k1")
+      .select(store.bucketOf(col(Key))).as[Int].head()
+    val rows = store.table(spark, "r").drop("extra")
+      .filter(store.bucketOf(col(Key)) === k1Bucket)
+      .withColumn("extra", lit(42L))
+    store.stageBuckets("r", Set(k1Bucket), rows, b0 + 1, Key)
+    store.commit(b0 + 1)
+
+    // rows outside the staged bucket surface NULL from their OLD files —
+    // and those files were never rewritten (identical directory paths)
+    val out = store.table(spark, "r").select(col(Key), col("extra"))
+      .as[(String, Option[Long])].collect().toMap
+    assert(out("k1").contains(42L))
+    assert((out - "k1").values.forall(_.isEmpty))
+    val dirsAfter = store.bucketPaths("r")
+    assert((dirsAfter - k1Bucket) == (dirsBefore - k1Bucket),
+      "evolution must not rewrite unstaged buckets")
+
+    // the pre-evolution snapshot still reads with the old shape
+    assert(!store.tableAsOf(spark, "r", b0).columns.contains("extra"))
+    // a reopened store (fresh process) sees the widened committed schema
+    val reopened = new BucketedStateStore(store.root, store.numBuckets)
+    assert(reopened.table(spark, "r").columns.contains("extra"))
+    // evolving an existing column is refused
+    assertThrows[IllegalArgumentException](reopened.evolveTable("r", "extra BIGINT"))
+  }
+
+  test("incr_schema_evolve query is a fixed point across invocations") {
+    val dir = "/root/testdata/sf0.001"
+    def run() = SparkEntry.queries("incr_schema_evolve")(spark, dir)
+      .as[(String, String, Double, Option[Long])].collect().sorted.toSeq
+    val first = run()
+    assert(first.nonEmpty)
+    assert(run() == first)
+    assert(run() == first)
+  }
 }

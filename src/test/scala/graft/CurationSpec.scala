@@ -173,4 +173,49 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
       assert(n >= 3, "every injected row carries at least email+ip+phone")
     }
   }
+
+  test("capPerGroup keeps at most n per group, deterministically under repartitioning") {
+    val n = 7
+    val kept = Curation.capPerGroup(docs, "doc_id", "source", n)
+      .select("doc_id", "source").as[(Long, String)].collect()
+    val bySrc = kept.groupBy(_._2)
+    assert(bySrc.values.forall(_.length <= n))
+    // a group smaller than the cap is kept whole
+    val sizes = docs.groupBy("source").count().as[(String, Long)].collect().toMap
+    sizes.foreach { case (src, total) =>
+      assert(bySrc.get(src).map(_.length.toLong).getOrElse(0L) == math.min(total, n.toLong))
+    }
+    val kept2 = Curation.capPerGroup(docs.repartition(11), "doc_id", "source", n)
+      .select("doc_id", "source").as[(Long, String)].collect()
+    assert(kept.toSet == kept2.toSet, "survivors must not depend on partitioning")
+    // and the rank filter compiles to a WindowGroupLimit (map-side top-n)
+    val plan = Curation.capPerGroup(docs, "doc_id", "source", n)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
+  }
+
+  test("winnow guarantees coverage: any shared k+w-1 token run yields a shared fingerprint") {
+    val k = 5; val w = 4
+    val shared = "alpha beta gamma delta epsilon zeta eta theta" // 8 = k+w-1 tokens
+    val rows = Seq(
+      (1L, s"one two three $shared four five six seven"),
+      (2L, s"red blue $shared green yellow purple orange pink"),
+      (3L, "totally unrelated words nothing in common here at all ok")
+    ).toDF("doc_id", "text")
+    val fp = Curation.winnow(rows, "text", "doc_id", k, w)
+      .as[(Long, Int, String)].collect()
+    val byDoc = fp.groupBy(_._1).map { case (d, xs) => d -> xs.map(_._3).toSet }
+    assert(byDoc(1L).intersect(byDoc(2L)).nonEmpty,
+      "docs sharing a k+w-1 run must share a fingerprint")
+    assert(byDoc(3L).intersect(byDoc(1L) ++ byDoc(2L)).isEmpty)
+    // at least one fingerprint per w consecutive windows → gaps ≤ w
+    fp.groupBy(_._1).values.foreach { xs =>
+      val ps = xs.map(_._2).sorted
+      ps.zip(ps.tail).foreach { case (a, b) => assert(b - a <= w) }
+    }
+    // deterministic under repartitioning
+    val fp2 = Curation.winnow(rows.repartition(5), "text", "doc_id", k, w)
+      .as[(Long, Int, String)].collect()
+    assert(fp.toSet == fp2.toSet)
+  }
 }

@@ -162,6 +162,27 @@ class DedupSimSpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.15, s"recall = $recall")
   }
 
+  test("cell-scoped pairs (SemDeDup) equal brute force restricted to co-celled pairs") {
+    val cents = emb.orderBy(col("vec_id")).limit(4)
+      .select(org.apache.spark.sql.functions.transform(col("embedding"), _.cast("double")))
+      .as[Seq[Double]].collect().toSeq.zipWithIndex.map { case (v, i) => i -> v }
+    val assigned = graft.sim.Ivf.assignCells(emb, "vec_id", "embedding", cents)
+    val cellOf = assigned.select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    val scoped = Similarity.cellScopedPairs(assigned, emb, "vec_id", "embedding",
+      "cell", threshold = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = Similarity.bruteForcePairs(emb, "vec_id", "embedding", threshold = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    assert(scoped == exact.filter { case (a, b) => cellOf(a) == cellOf(b) },
+      "cell-scoped must be exactly the co-celled slice of the exact pair set")
+    // determinism under repartitioning
+    val scoped2 = Similarity.cellScopedPairs(assigned.repartition(7), emb.repartition(5),
+      "vec_id", "embedding", "cell", threshold = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(scoped2 == scoped)
+  }
+
   test("cosine is exact: parallel vectors → 1.0, orthogonal → 0.0") {
     val d = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(2.0f, 0.0f)), (3L, Array(0.0f, 5.0f))
