@@ -1468,6 +1468,35 @@ object SparkEntry {
       graft.text.HeavyHitters.frequentTerms(t(s, dir, "documents"), "text",
         num = 1, den = 100, capacity = 1024)),
 
+    // Vocabulary OOV rate: the corpus vocabulary is the ≥0.1% heavy-hitter
+    // set (≤1000 terms by construction — control-sized), shipped as a map
+    // literal so the per-doc out-of-vocabulary fraction is a PURE NARROW
+    // projection: no join, no shuffle, map_contains_key per token
+    "text_oov_rate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val vocab = graft.text.HeavyHitters
+        .frequentTerms(docs, "text", num = 1, den = 1000, capacity = 2048)
+        .select("term").collect().map(_.getString(0))
+      val vmap = typedLit(vocab.map(_ -> 1).toMap)
+      val toks = TextFunctions.tokens(col("text"))
+      docs.select(col("doc_id"),
+          size(toks).cast("long").as("n_tok"),
+          size(filter(toks, t => !map_contains_key(vmap, t))).cast("long").as("n_oov"))
+        .withColumn("oov_frac", round(col("n_oov") / col("n_tok"), 6))
+    }),
+
+    // Z-order (Morton) clustering key: bit-interleave of two scaled
+    // dimensions — the layout key writeZOrdered range-partitions on so
+    // parquet min/max stats stay tight on BOTH columns per file (range
+    // predicates on either dimension prune files at plan time; LayoutSpec
+    // measures the skipping). The key itself is a pure bit-op projection
+    "layout_zorder" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        graft.sources.Layout.zOrder2(
+          graft.sources.Layout.rankScale(col("n_chars"), 0L, 2047L, 8),
+          graft.sources.Layout.rankScale(col("doc_id"), 0L, 8191L, 8),
+          bits = 8).as("zkey"))),
+
     // CCNet-style corpus LM quality signal: per-doc TOKEN-trigram average
     // negative log-likelihood against the corpus's own trigram
     // distribution (two-pass corpus-stats shape — see lmScore)
@@ -1517,6 +1546,28 @@ object SparkEntry {
     "shuffle_order" -> ((s, dir) =>
       graft.text.Sketches.globalOrder(t(s, dir, "documents"),
         "doc_id", nShards = 16)),
+
+    // Training-shard EXPORT manifest: documents land in fixed-size shards
+    // by their deterministic global order; each shard's row-count, token
+    // total and an md5 over its ordered id list make the export
+    // verifiable end-to-end (re-running the pipeline must reproduce every
+    // shard digest bit-for-bit). Per-shard state is bounded by the shard
+    // size, so the manifest aggregation never holds more than one shard's
+    // ids on a reducer
+    "export_shards" -> ((s, dir) => {
+      val ordered = graft.text.Sketches.globalOrder(t(s, dir, "documents"),
+        "doc_id", nShards = 16)
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        size(TextFunctions.subwordTokens(col("text"))).cast("long").as("n_tok"))
+      ordered.join(docs, "doc_id")
+        .withColumn("shard", expr("pos div 100"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tok"),
+          md5(concat_ws(",",
+            transform(sort_array(collect_list(struct(col("pos"), col("doc_id")))),
+              x => x.getField("doc_id").cast("string"))).cast("binary"))
+            .as("ids_md5"))
+    }),
 
     // Per-source token-length quantiles (exact interpolated percentiles) —
     // the length-distribution panel of a corpus data card. Exact is safe
@@ -2303,6 +2354,28 @@ object SparkEntry {
         s"""WITH tok AS (SELECT unnest($toks) AS term FROM documents)
             SELECT term, count(*) AS cnt FROM tok GROUP BY term
             HAVING count(*) * 100 >= (SELECT count(*) FROM tok)""",
+      "text_oov_rate" ->
+        s"""WITH tok AS (SELECT unnest($toks) AS term FROM documents),
+            vocab AS (SELECT list(term) AS vl FROM (
+              SELECT term FROM tok GROUP BY term
+              HAVING count(*) * 1000 >= (SELECT count(*) FROM tok))),
+            d AS (SELECT doc_id, $toks AS ts FROM documents)
+            SELECT doc_id, len(ts)::BIGINT AS n_tok,
+              len(list_filter(ts, t -> NOT list_contains(vl, t)))::BIGINT AS n_oov,
+              round(len(list_filter(ts, t -> NOT list_contains(vl, t)))::DOUBLE
+                / len(ts), 6) AS oov_frac
+            FROM d CROSS JOIN vocab""",
+      // rankScale then Morton bit-interleave, reproduced with integer ops
+      // (the interleaved bits are disjoint, so sum == bitwise-or)
+      "layout_zorder" ->
+        """WITH s AS (SELECT doc_id,
+             least(255, greatest(0, (n_chars - 0) * 256 // 2048)) AS a,
+             least(255, greatest(0, (doc_id - 0) * 256 // 8192)) AS b
+           FROM documents)
+           SELECT doc_id, list_sum(list_transform(range(8), i ->
+             (((a >> i::INT) & 1) << (2 * i::INT))
+             + (((b >> i::INT) & 1) << (2 * i::INT + 1)))) AS zkey
+           FROM s""",
       "text_dup_spans" ->
         s"""WITH d AS (SELECT doc_id, $toks AS l FROM documents),
            sp AS (SELECT doc_id, unnest(list_transform(range(1, len(l) - 18),
@@ -2432,6 +2505,25 @@ object SparkEntry {
             SELECT doc_id,
               CAST(row_number() OVER (ORDER BY u, doc_id) - 1 AS BIGINT) AS pos
             FROM u"""
+      },
+      "export_shards" -> {
+        // shard = global md5-uniform rank div 100; digest = md5 over the
+        // shard's comma-joined ids in rank order
+        val nib = (k: Int) =>
+          s"(strpos('0123456789abcdef', substr(h, $k, 1)) - 1)::BIGINT"
+        val u32 = (1 to 8).map(k => s"${nib(k)} * ${1L << (4 * (8 - k))}")
+          .mkString(" + ")
+        raw"""WITH d AS (SELECT doc_id,
+               len(regexp_extract_all(lower(trim(text)),
+                 '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]'))::BIGINT AS n_tok,
+               md5('graft-shuffle:' || doc_id::VARCHAR) AS h FROM documents),
+             u AS (SELECT doc_id, n_tok, ($u32) / 4294967296.0 AS u FROM d),
+             r AS (SELECT doc_id, n_tok,
+               row_number() OVER (ORDER BY u, doc_id) - 1 AS pos FROM u)
+             SELECT CAST(pos // 100 AS BIGINT) AS shard,
+               count(*) AS n_docs, sum(n_tok) AS total_tok,
+               md5(string_agg(doc_id::VARCHAR, ',' ORDER BY pos)) AS ids_md5
+             FROM r GROUP BY 1"""
       },
       "corpus_quantiles" ->
         raw"""WITH d AS (SELECT source,
