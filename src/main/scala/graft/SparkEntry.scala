@@ -133,6 +133,21 @@ object SparkEntry {
     else df
   }
 
+  /** Run `body` with `spark.sql.shuffle.partitions` scoped to `n`,
+    * restoring the previous value after. Streaming stateful operators
+    * create one state-store instance (directory, delta files, maintenance
+    * thread work) PER shuffle partition per micro-batch — for the
+    * control-sized state of these queries, 32 partitions is pure fixed
+    * overhead. The result of every covered query is partitioning-invariant
+    * (hash-checked by the driver either way); at real scale state
+    * partitions are sized to the key cardinality, not the CPU count. */
+  private def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   /** events as a file stream (one parquet file → one micro-batch), with the
     * same ts-normalization contract as [[t]] (long ns since epoch). */
   private def eventsStream(s: SparkSession, dir: String): DataFrame = {
@@ -691,7 +706,7 @@ object SparkEntry {
     // file stream (data batch + punctuation batches that advance the
     // watermark and flush open sessions). Must equal the gaps-and-islands
     // oracle — and therefore also the built-in session_window variant.
-    "events_sessions_state" -> ((s, dir) => {
+    "events_sessions_state" -> ((s, dir) => withShufflePartitions(s, 8) {
       val ev = t(s, dir, "events")
         .select(col("user_id"), expr("ts div 1000").as("us"), col("value"))
       val tmp = graft.core.TempDirs.register(
@@ -707,7 +722,7 @@ object SparkEntry {
     // delivered TWICE (two micro-batches); dropDuplicatesWithinWatermark
     // keys state by event_id and expires it at the watermark horizon, so
     // the aggregate equals the batch oracle over the ORIGINAL events
-    "events_dedup_stream" -> ((s, dir) => {
+    "events_dedup_stream" -> ((s, dir) => withShufflePartitions(s, 8) {
       val ev = t(s, dir, "events")
         .select(col("event_id"), expr("ts div 1000").as("us"),
           col("event_type"), col("value"))
@@ -753,7 +768,7 @@ object SparkEntry {
     // through readStream with watermarks, paired in the join state store,
     // drained append-mode. Must equal the batch bucketized interval join —
     // they share one oracle
-    "events_join_stream" -> ((s, dir) => {
+    "events_join_stream" -> ((s, dir) => withShufflePartitions(s, 8) {
       val ev = t(s, dir, "events").withColumn("us", expr("ts div 1000"))
       val su = ev.filter(col("event_type") === "signup")
         .select(col("event_id"), col("user_id"), col("us"))
@@ -830,7 +845,7 @@ object SparkEntry {
     // aggregation computed via readStream → watermark → AvailableNow drain
     // into a memory sink. One parquet file → one micro-batch, so the
     // watermark drops nothing and the result equals the batch oracle.
-    "events_hourly_stream" -> ((s, dir) => {
+    "events_hourly_stream" -> ((s, dir) => withShufflePartitions(s, 8) {
       val stream = eventsStream(s, dir)
       val agg = graft.streaming.EventWindows
         .typedWindowAgg(stream, "ts", watermark = "2 hours", window = "1 hour")
@@ -859,7 +874,7 @@ object SparkEntry {
     // polling after the data is drained (the reference's 0.5 s idle loop);
     // processAllAvailable() is the quiescent point, then the query is
     // stopped and the drained result must equal the batch oracle.
-    "events_hourly_forever" -> ((s, dir) => {
+    "events_hourly_forever" -> ((s, dir) => withShufflePartitions(s, 8) {
       val stream = eventsStream(s, dir)
       val agg = graft.streaming.EventWindows
         .typedWindowAgg(stream, "ts", watermark = "2 hours", window = "1 hour")
@@ -885,7 +900,7 @@ object SparkEntry {
     // micro-batch, so a slowly-changing dimension picks up updates) and
     // aggregates per dimension attribute. No state store involvement for
     // the join itself; the stream side never shuffles before the agg
-    "events_enrich_stream" -> ((s, dir) => {
+    "events_enrich_stream" -> ((s, dir) => withShufflePartitions(s, 8) {
       val stream = eventsStream(s, dir)
       val cust = broadcast(t(s, dir, "customer")
         .select(col("c_custkey"), col("c_nationkey")))
@@ -910,7 +925,7 @@ object SparkEntry {
     // store — per-batch IO tracks the changed key set and the result lives
     // in the store, not in driver memory (the complete-mode memory sink
     // above is the test-harness variant; this is what a 100 TB feed runs)
-    "events_hourly_upsert" -> ((s, dir) => {
+    "events_hourly_upsert" -> ((s, dir) => withShufflePartitions(s, 8) {
       val stream = eventsStream(s, dir)
       val agg = graft.streaming.EventWindows
         .typedWindowAgg(stream, "ts", watermark = "2 hours", window = "1 hour")
@@ -984,7 +999,7 @@ object SparkEntry {
     // micro-batch under a fresh generation. Re-applied ids supersede their
     // previous generation, so converged pairs ∪ build pairs reproduce the
     // one-shot pair set — the same exact oracle as dedup_minhash
-    "dedup_minhash_stream" -> ((s, dir) => {
+    "dedup_minhash_stream" -> ((s, dir) => withShufflePartitions(s, 8) {
       val (idx, initPairsPath, livePairsPath, streamDir, ckptDir) =
         lshStreamIndexes.getOrElseUpdate(dir, {
           val docs = t(s, dir, "documents")
@@ -1041,6 +1056,31 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       val pairs = Similarity.bruteForcePairs(e, "vec_id", "embedding",
         threshold = 0.45)
+      Components.survivors(e, "vec_id", pairs).select(col("vec_id"))
+    }),
+
+    // Sub-document candidate pairs from shared winnowing fingerprints —
+    // the MOSS match step: any shared ≥ k+w-1-token run is guaranteed a
+    // shared fingerprint, so this is the recall-safe candidate generator
+    // for substring-level dedup (one fp-key exchange; a boilerplate-heavy
+    // fp behaves like an LSH bucket and AQE handles the skew)
+    "dedup_winnow_pairs" -> ((s, dir) => {
+      val fp = Curation.winnow(t(s, dir, "documents"), "text", "doc_id",
+        k = 5, w = 4).select(col("doc_id"), col("fp")).distinct()
+      fp.select(col("doc_id").as("id_a"), col("fp"))
+        .join(fp.select(col("doc_id").as("id_b"), col("fp")), Seq("fp"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("n_shared"))
+    }),
+
+    // SemDeDup end to end: cell-scoped cosine pairs → connected components
+    // → one surviving vector per semantic cluster (the embedding-space
+    // analogue of pipeline_filter's near-dup drop)
+    "semantic_dedup_filter" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val pairs = Similarity.cellScopedPairs(fixedCellAssignment(s, dir),
+        e, "vec_id", "embedding", "cell", threshold = 0.4)
       Components.survivors(e, "vec_id", pairs).select(col("vec_id"))
     }),
 
@@ -2354,6 +2394,44 @@ object SparkEntry {
         s"""WITH tok AS (SELECT unnest($toks) AS term FROM documents)
             SELECT term, count(*) AS cnt FROM tok GROUP BY term
             HAVING count(*) * 100 >= (SELECT count(*) FROM tok)""",
+      // winnow selection (same CTEs as text_winnow) → distinct (doc, fp)
+      // → pairs sharing a fingerprint
+      "dedup_winnow_pairs" ->
+        s"""WITH d AS (SELECT doc_id, $toks AS ts FROM documents),
+            sh AS (SELECT doc_id, u.p,
+                md5(array_to_string(ts[u.p+1:u.p+5], ' ')) AS h
+              FROM d, unnest(list_transform(range(len(ts) - 4), x -> x)) AS u(p)),
+            sel AS (SELECT doc_id,
+                min(struct_pack(h := h, p := p)) OVER w AS s,
+                count(*) OVER w AS c
+              FROM sh
+              WINDOW w AS (PARTITION BY doc_id ORDER BY p
+                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)),
+            fp AS (SELECT DISTINCT doc_id, s.h AS fp FROM sel WHERE c = 4)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+            FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2""",
+      // SemDeDup resolution: cell-restricted pairs (same assignment CTEs
+      // as embed_neardup_cell) → transitive closure → min-id survivor
+      "semantic_dedup_filter" ->
+        s"""WITH RECURSIVE $ivfAssignCtes,
+           p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                 FROM asn aa JOIN asn bb
+                   ON aa.cell = bb.cell AND aa.vec_id < bb.vec_id
+                 JOIN e a ON a.vec_id = aa.vec_id
+                 JOIN e b ON b.vec_id = bb.vec_id
+                 WHERE list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(b.v, b.v))) >= 0.4),
+           ed AS (SELECT id_a AS src, id_b AS dst FROM p
+                  UNION SELECT id_b, id_a FROM p),
+           walk(id, reach) AS (
+             SELECT src, dst FROM ed
+             UNION
+             SELECT w.id, e2.dst FROM walk w JOIN ed e2 ON w.reach = e2.src),
+           lab AS (SELECT id, min(reach) AS m FROM walk GROUP BY id)
+           SELECT x.vec_id FROM embeddings x LEFT JOIN lab ON x.vec_id = lab.id
+           WHERE lab.id IS NULL OR lab.m >= x.vec_id""",
       "text_oov_rate" ->
         s"""WITH tok AS (SELECT unnest($toks) AS term FROM documents),
             vocab AS (SELECT list(term) AS vl FROM (

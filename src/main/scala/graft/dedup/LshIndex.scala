@@ -63,17 +63,20 @@ object LshIndex {
   private def writeBatch(banded: DataFrame, sets: DataFrame, idx: Index,
                          gen: Long, mode: String): Unit =
     runParallel(Seq(
+      // one shuffle task per output partition dir (an unnumbered
+      // repartition inherits spark.sql.shuffle.partitions — extra tasks
+      // are pure per-write overhead for a nPartitions-dir layout)
       () => banded
         .withColumn("gen", lit(gen))
         .withColumn("bp", bp(col("__bucket"), idx.nPartitions))
-        .repartition(col("bp"))
+        .repartition(idx.nPartitions, col("bp"))
         .write.mode(mode).partitionBy("bp")
         .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
         .parquet(idx.bandsDir),
       () => sets
         .withColumn("gen", lit(gen))
         .withColumn("ip", ip(col("__id"), idx.nPartitions))
-        .repartition(col("ip"))
+        .repartition(idx.nPartitions, col("ip"))
         .write.mode(mode).partitionBy("ip")
         .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
         .parquet(idx.setsDir)))

@@ -150,7 +150,7 @@ object Ivf {
       .withColumn("cell", nearestCell(col("__cv"), col("__cn"), centLit(cents)))
       .drop("__cn")
       .withColumn("gen", lit(0L))
-      .repartition(col("cell"))
+      .repartition(cents.size, col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
       .parquet(dir)
@@ -175,7 +175,7 @@ object Ivf {
       .drop("__cn")
       .withColumn("gen", lit(gen))
     assigned
-      .repartition(col("cell"))
+      .repartition(index.nCells, col("cell"))
       .write.mode("append").partitionBy("cell")
       .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
       .parquet(index.assignDir)

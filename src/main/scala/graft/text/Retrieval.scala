@@ -141,11 +141,11 @@ object Retrieval {
     val idx = InvertedIndex(dir, numBuckets)
     graft.core.TempDirs.deleteRecursively(java.nio.file.Paths.get(idx.tombstoneDir))
     postingsOf(docs, textCol, idCol, numBuckets, gen = 0L)
-      .repartition(col("bucket"))
+      .repartition(numBuckets, col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(idx.postingsDir)
     val dl = doclenOf(docs, textCol, idCol, numBuckets, gen = 0L)
-    dl.repartition(col("dbucket"))
+    dl.repartition(numBuckets, col("dbucket"))
       .write.mode("overwrite").partitionBy("dbucket")
       .parquet(idx.doclenDir)
     val row = dl.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).collect()(0)
@@ -192,11 +192,11 @@ object Retrieval {
     val newRow = newDl.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).collect()(0)
 
     postingsOf(upserts, textCol, idCol, idx.numBuckets, gen)
-      .repartition(col("bucket"))
+      .repartition(idx.numBuckets, col("bucket"))
       .write.mode("append").partitionBy("bucket")
       .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
       .parquet(idx.postingsDir)
-    newDl.repartition(col("dbucket"))
+    newDl.repartition(idx.numBuckets, col("dbucket"))
       .write.mode("append").partitionBy("dbucket")
       .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
       .parquet(idx.doclenDir)
@@ -340,9 +340,9 @@ object Retrieval {
       .withColumn("gen", lit(0L)).localCheckpoint(true)
     val liveDl = liveRows(spark, idx, spark.read.parquet(idx.doclenDir))
       .withColumn("gen", lit(0L)).localCheckpoint(true)
-    livePost.repartition(col("bucket"))
+    livePost.repartition(idx.numBuckets, col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(idx.postingsDir)
-    liveDl.repartition(col("dbucket"))
+    liveDl.repartition(idx.numBuckets, col("dbucket"))
       .write.mode("overwrite").partitionBy("dbucket").parquet(idx.doclenDir)
     val row = liveDl.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).collect()(0)
     statsDelta(spark, idx, gen = 0L, row.getLong(0), row.getLong(1), overwrite = true)

@@ -1,0 +1,29 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Every driver query must RUN at sf0.001 — no exceptions, no empty
+  * schema. The driver's Verify harness logs a failed query to stderr and
+  * the DuckDB compare silently skips queries that never wrote output, so
+  * a query that starts throwing can vanish from the correctness gate
+  * without failing anything (exactly how the events family silently
+  * dropped out for two rounds when the testdata's ts physical type
+  * changed). This spec makes that failure mode loud.
+  *
+  * Row counts are NOT asserted beyond ≥ 0: correctness is the oracle
+  * gate's job; this is purely "still runs end to end".
+  */
+class QueriesSmokeSpec extends AnyFunSuite with SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"query $name runs at sf0.001") {
+      val df = fn(spark, dir)
+      assert(df.columns.nonEmpty, "empty schema")
+      assert(df.count() >= 0)
+      graft.ops.Caches.release()
+      spark.catalog.clearCache()
+    }
+  }
+}
