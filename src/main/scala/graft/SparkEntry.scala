@@ -109,6 +109,15 @@ object SparkEntry {
     * `sim_ivf_assign` and `sim_diverse_sample` (centroids = the 8 smallest
     * vec_ids' vectors; the tie rule is oracle-checked): THE single place
     * the centroid fixture is defined — its two oracles share one CTE too. */
+  /** Fixed PQ codebooks for the oracle-checked queries: 8 subspaces × 16
+    * codes seeded from the first 16 vectors (memoized per scale dir). */
+  private val pqCodebookCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.sim.Pq.Codebooks]
+  private def pqCodebooks(s: SparkSession, dir: String): graft.sim.Pq.Codebooks =
+    pqCodebookCache.getOrElseUpdate(dir,
+      graft.sim.Pq.fixedCodebooks(t(s, dir, "embeddings"), "vec_id", "embedding",
+        m = 8, k = 16))
+
   private def fixedCellAssignment(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = t(s, dir, "embeddings")
@@ -1183,6 +1192,30 @@ object SparkEntry {
       Curation.diverseSample(fixedCellAssignment(s, dir),
         "vec_id", "cell", perCell = 4)),
 
+    // PQ codes under FIXED codebooks (first-16 subvectors — the same
+    // oracle trick as sim_ivf_assign): 64 floats → 8 four-bit codes, a
+    // pure narrow expression. The compression substrate of scan-time ANN
+    "sim_pq_codes" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cbs = pqCodebooks(s, dir)
+      graft.sim.Pq.encode(e, "vec_id", "embedding", cbs)
+        .select(col("vec_id"),
+          array_join(transform(col("codes"), _.cast("string")), ",").as("codes_csv"))
+    }),
+
+    // ADC top-k over the PQ codes: per-query lookup tables ride a
+    // broadcast local relation, the corpus side touches ONLY its codes
+    // (m lookups + a fold per pair). With fixed codebooks the ADC result
+    // is an exact function of the codes — hash-checked even though the
+    // search is approximate vs true distance (recall measured in PqSpec)
+    "sim_topk_pq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") % 50 === 0)
+      graft.sim.Pq.adcTopK(e, q, "vec_id", "embedding", pqCodebooks(s, dir), k = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("adc_dist"), 6).as("adc_dist"), col("rank"))
+    }),
+
     // Embedding-cosine near-dup pairs (brute-force exact baseline; the LSH
     // scale path is Similarity.cosineNearDupPairs, approximate by design)
     "embed_cos_neardup" -> ((s, dir) =>
@@ -2122,6 +2155,56 @@ object SparkEntry {
            FROM e a JOIN e b ON a.vec_id < b.vec_id
            WHERE list_dot_product(a.v, b.v)
              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.45""",
+      // PQ: codes = per-subspace argmin sub-centroid (squared L2,
+      // dim-sequential fold, ties to the lowest code) against the fixed
+      // first-16 codebooks; ADC distance = ordered fold of per-subspace
+      // lookup distances — both exact functions of the data
+      "sim_pq_codes" ->
+        """WITH cbv AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j,
+                embedding::DOUBLE[] AS cv
+              FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+            ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            ms AS (SELECT unnest(range(8)) AS m),
+            sc AS (SELECT e.vec_id, ms.m, cb.j,
+                list_reduce(list_transform(range(8), i ->
+                  (e.v[ms.m*8 + i + 1] - cb.cv[ms.m*8 + i + 1])
+                  * (e.v[ms.m*8 + i + 1] - cb.cv[ms.m*8 + i + 1])),
+                  (a, b) -> a + b) AS d
+              FROM ev e CROSS JOIN ms CROSS JOIN cbv cb),
+            code AS (SELECT vec_id, m, j AS c FROM sc
+              QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) = 1)
+            SELECT vec_id, string_agg(c::VARCHAR, ',' ORDER BY m) AS codes_csv
+            FROM code GROUP BY vec_id""",
+      "sim_topk_pq" ->
+        """WITH cbv AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j,
+                embedding::DOUBLE[] AS cv
+              FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+            ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            ms AS (SELECT unnest(range(8)) AS m),
+            sc AS (SELECT e.vec_id, ms.m, cb.j,
+                list_reduce(list_transform(range(8), i ->
+                  (e.v[ms.m*8 + i + 1] - cb.cv[ms.m*8 + i + 1])
+                  * (e.v[ms.m*8 + i + 1] - cb.cv[ms.m*8 + i + 1])),
+                  (a, b) -> a + b) AS d
+              FROM ev e CROSS JOIN ms CROSS JOIN cbv cb),
+            code AS (SELECT vec_id, m, j AS c FROM sc
+              QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) = 1),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM ev WHERE vec_id % 50 = 0),
+            dm AS (SELECT q.query_id, c.vec_id AS neighbor_id, c.m,
+                list_reduce(list_transform(range(8), i ->
+                  (q.qv[c.m*8 + i + 1] - cb.cv[c.m*8 + i + 1])
+                  * (q.qv[c.m*8 + i + 1] - cb.cv[c.m*8 + i + 1])),
+                  (a, b) -> a + b) AS d
+              FROM code c JOIN cbv cb ON cb.j = c.c
+              JOIN q ON q.query_id <> c.vec_id),
+            tot AS (SELECT query_id, neighbor_id,
+                list_reduce(list(d ORDER BY m), (a, b) -> a + b) AS dist
+              FROM dm GROUP BY 1, 2)
+            SELECT query_id, neighbor_id, round(dist, 6) AS adc_dist, rank FROM (
+              SELECT query_id, neighbor_id, dist,
+                CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY dist, neighbor_id) AS INTEGER) AS rank
+              FROM tot) WHERE rank <= 5""",
       // same pair formulation as embed_cos_neardup, restricted to co-celled
       // vectors via the shared fixed-centroid assignment CTEs
       "embed_neardup_cell" ->

@@ -1,0 +1,145 @@
+package graft.sim
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou et al., TPAMI 2011) for the ANN family: a
+  * vector is split into `m` subspaces and each subvector quantized to its
+  * nearest sub-centroid, so a 64-float embedding compresses to `m` small
+  * codes — the storage/scan side of large-scale ANN (a billion-vector
+  * corpus scans bytes of codes instead of KBs of floats). Search uses
+  * ASYMMETRIC DISTANCE (ADC): per query, the distance from its subvector
+  * to every sub-centroid is precomputed into an m×k lookup table, so the
+  * per-pair cost is m table lookups — no float math against the corpus
+  * row at all.
+  *
+  * Everything here is deterministic: codebooks are either FIXED (the
+  * first k vectors' subvectors — the oracle-checkable substrate, same
+  * trick as the IVF assignment oracle) or trained by per-subspace
+  * deterministic Lloyd iterations; ties quantize to the LOWEST code. With
+  * fixed codebooks the ADC top-k is an exact function of the codes, so
+  * even the approximate search path is hash-checked end to end — the
+  * approximation lives between ADC and TRUE distance, which the spec
+  * measures as recall.
+  *
+  * Reference scope: training-data extension surface (the reference engine
+  * has no similarity search).
+  */
+object Pq {
+
+  /** codebooks(m)(j) = sub-centroid j of subspace m. */
+  type Codebooks = Seq[Seq[Seq[Double]]]
+
+  /** Fixed codebooks from the first `k` vectors (by id): deterministic,
+    * re-derivable by any engine — the oracle substrate. */
+  def fixedCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+                     m: Int, k: Int): Codebooks = {
+    import corpus.sparkSession.implicits._
+    val seed = corpus.orderBy(col(idCol)).limit(k)
+      .select(transform(col(vecCol), _.cast("double")))
+      .as[Seq[Double]].collect().toSeq
+    require(seed.nonEmpty && seed.head.size % m == 0,
+      s"dim ${seed.headOption.map(_.size)} must divide into $m subspaces")
+    val sub = seed.head.size / m
+    (0 until m).map(mi => seed.map(v => v.slice(mi * sub, (mi + 1) * sub)))
+  }
+
+  /** Per-subspace deterministic Lloyd refinement of [[fixedCodebooks]] —
+    * the trained path (same collect-per-iteration shape as
+    * [[Ivf.train]]; codebooks are control data, kilobytes). Empty cells
+    * keep their previous centroid. */
+  def trainCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+                     m: Int, k: Int, iters: Int = 2): Codebooks = {
+    import corpus.sparkSession.implicits._
+    var cbs = fixedCodebooks(corpus, idCol, vecCol, m, k)
+    val sub = cbs.head.head.size
+    val vecs = corpus.select(transform(col(vecCol), _.cast("double")).as("__v"))
+    for (_ <- 0 until iters) {
+      val enc = encodeExpr(col("__v"), cbs)
+      // mean subvector per (subspace, code): one posexplode pass
+      val means = vecs.select(posexplode(enc).as(Seq("__m", "__c")), col("__v"))
+        .select(col("__m"), col("__c"),
+          posexplode(slice(col("__v"), col("__m") * sub + 1, lit(sub)))
+            .as(Seq("__pos", "__x")))
+        .groupBy(col("__m"), col("__c"), col("__pos"))
+        .agg(avg(col("__x")).as("__mean"))
+        .as[(Int, Int, Int, Double)].collect()
+        .groupBy(t => (t._1, t._2))
+        .map { case ((mi, c), xs) => (mi, c) -> xs.sortBy(_._3).map(_._4).toSeq }
+      cbs = cbs.zipWithIndex.map { case (cb, mi) =>
+        cb.zipWithIndex.map { case (prev, c) => means.getOrElse((mi, c), prev) }
+      }
+    }
+    cbs
+  }
+
+  /** Squared L2 between two equal-length double arrays, dim-sequential
+    * fold (the FP order an external engine reproduces with a list fold). */
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** PQ codes of a vector column: array of `m` codes, code = argmin
+    * sub-centroid by squared L2, ties to the LOWEST code. Narrow
+    * expression — codebooks ride as literals, no join, no shuffle. */
+  def encodeExpr(vec: Column, cbs: Codebooks): Column = {
+    val sub = cbs.head.head.size
+    val v = transform(vec, _.cast("double"))
+    array(cbs.zipWithIndex.map { case (cb, mi) =>
+      val subv = slice(v, mi * sub + 1, sub)
+      val scored = transform(typedlit(cb.zipWithIndex), e =>
+        struct(sqDist(subv, e.getField("_1")), e.getField("_2"))
+          .cast("struct<d:double,c:int>"))
+      array_min(scored).getField("c")
+    }: _*)
+  }
+
+  /** (idCol, codes array<int>) for a corpus. */
+  def encode(corpus: DataFrame, idCol: String, vecCol: String,
+             cbs: Codebooks): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    corpus.select(col(idCol), encodeExpr(col(vecCol), cbs).as("codes"))
+  }
+
+  /** ADC top-k: for each query, the k corpus vectors with the smallest
+    * asymmetric distance Σ_m lut(q)(m)(code_m). Query LUTs are computed on
+    * the driver (queries × m × k doubles — control data) and carried by a
+    * broadcast local relation, so the corpus side touches ONLY its codes:
+    * the per-pair expression is m array lookups and a fold, and the top-k
+    * compiles to a WindowGroupLimit below the one query-count-bounded
+    * exchange. Ranks tie-break on neighbor id. */
+  def adcTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, cbs: Codebooks, k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val m = cbs.size
+    val qs: Seq[(Long, Seq[Seq[Double]])] = queries
+      .select(col(idCol).cast("long"), transform(col(vecCol), _.cast("double")))
+      .as[(Long, Seq[Double])].collect().toSeq
+      .map { case (qid, qv) =>
+        val sub = qv.size / m
+        qid -> cbs.zipWithIndex.map { case (cb, mi) =>
+          val subq = qv.slice(mi * sub, (mi + 1) * sub)
+          // dim-sequential then code list: same fold order as the probe SQL
+          cb.map(c => subq.zip(c).foldLeft(0.0) { case (acc, (x, y)) =>
+            acc + (x - y) * (x - y)
+          })
+        }
+      }
+    val luts = broadcast(qs.toDF("query_id", "__lut"))
+    val codes = encode(corpus, idCol, vecCol, cbs)
+      .select(col(idCol).as("neighbor_id"), col("codes"))
+    val dist = aggregate(
+      zip_with(col("__lut"), col("codes"), (lut, c) => element_at(lut, c + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("adc_dist"), col("neighbor_id"))
+    luts.join(codes, col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_dist", dist)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("adc_dist"), col("rank"))
+  }
+}
