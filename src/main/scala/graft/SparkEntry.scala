@@ -130,43 +130,29 @@ object SparkEntry {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame = {
     val df = s.read.parquet(s"$dir/$name.parquet")
-    // events.ts contract: long ns since epoch. Early testdata wrote parquet
-    // TIMESTAMP(NANOS), surfaced as long via nanosAsLong; later driver
-    // generations write TIMESTAMP(MICROS), which that flag ignores — it
-    // arrives as TIMESTAMP_NTZ and every ns-arithmetic query breaks.
-    // Normalize here (session tz is pinned UTC, so the NTZ cast is exact).
-    if (name == "events" &&
-        df.schema.fields.exists(f => f.name == "ts" &&
-          f.dataType != org.apache.spark.sql.types.LongType))
-      df.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * 1000)
-    else df
+    if (name == "events") normalizeEventTs(df) else df
   }
 
-  /** Run `body` with `spark.sql.shuffle.partitions` scoped to `n`,
-    * restoring the previous value after. Streaming stateful operators
-    * create one state-store instance (directory, delta files, maintenance
-    * thread work) PER shuffle partition per micro-batch — for the
-    * control-sized state of these queries, 32 partitions is pure fixed
-    * overhead. The result of every covered query is partitioning-invariant
-    * (hash-checked by the driver either way); at real scale state
-    * partitions are sized to the key cardinality, not the CPU count. */
-  private def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = s.conf.get(key)
-    s.conf.set(key, n.toString)
-    try body finally s.conf.set(key, prev)
-  }
+  /** events.ts contract: long ns since epoch. Early testdata wrote parquet
+    * TIMESTAMP(NANOS), surfaced as long via nanosAsLong; later driver
+    * generations write TIMESTAMP(MICROS), which that flag ignores — it
+    * arrives as TIMESTAMP_NTZ and every ns-arithmetic query breaks.
+    * ONE shared normalization (session tz is pinned UTC, so the NTZ cast
+    * is exact) — the batch and streaming reads of the table must never
+    * desynchronize on this again. */
+  private def normalizeEventTs(df: DataFrame): DataFrame =
+    if (df.schema.fields.exists(f => f.name == "ts" &&
+        f.dataType != org.apache.spark.sql.types.LongType))
+      df.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * 1000)
+    else df
 
   /** events as a file stream (one parquet file → one micro-batch), with the
     * same ts-normalization contract as [[t]] (long ns since epoch). */
   private def eventsStream(s: SparkSession, dir: String): DataFrame = {
     val raw = s.read.parquet(s"$dir/events.parquet").schema
     // file-stream source takes a directory; select just the events table
-    val stream = s.readStream.schema(raw)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-    if (raw("ts").dataType != org.apache.spark.sql.types.LongType)
-      stream.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * 1000)
-    else stream
+    normalizeEventTs(s.readStream.schema(raw)
+      .option("pathGlobFilter", "events.parquet").parquet(dir))
   }
 
   /** lineitem has no single-column id; derive one for provenance. */
@@ -715,7 +701,7 @@ object SparkEntry {
     // file stream (data batch + punctuation batches that advance the
     // watermark and flush open sessions). Must equal the gaps-and-islands
     // oracle — and therefore also the built-in session_window variant.
-    "events_sessions_state" -> ((s, dir) => withShufflePartitions(s, 8) {
+    "events_sessions_state" -> ((s, dir) => {
       val ev = t(s, dir, "events")
         .select(col("user_id"), expr("ts div 1000").as("us"), col("value"))
       val tmp = graft.core.TempDirs.register(
@@ -731,7 +717,7 @@ object SparkEntry {
     // delivered TWICE (two micro-batches); dropDuplicatesWithinWatermark
     // keys state by event_id and expires it at the watermark horizon, so
     // the aggregate equals the batch oracle over the ORIGINAL events
-    "events_dedup_stream" -> ((s, dir) => withShufflePartitions(s, 8) {
+    "events_dedup_stream" -> ((s, dir) => {
       val ev = t(s, dir, "events")
         .select(col("event_id"), expr("ts div 1000").as("us"),
           col("event_type"), col("value"))
@@ -777,7 +763,7 @@ object SparkEntry {
     // through readStream with watermarks, paired in the join state store,
     // drained append-mode. Must equal the batch bucketized interval join —
     // they share one oracle
-    "events_join_stream" -> ((s, dir) => withShufflePartitions(s, 8) {
+    "events_join_stream" -> ((s, dir) => {
       val ev = t(s, dir, "events").withColumn("us", expr("ts div 1000"))
       val su = ev.filter(col("event_type") === "signup")
         .select(col("event_id"), col("user_id"), col("us"))
@@ -854,7 +840,7 @@ object SparkEntry {
     // aggregation computed via readStream → watermark → AvailableNow drain
     // into a memory sink. One parquet file → one micro-batch, so the
     // watermark drops nothing and the result equals the batch oracle.
-    "events_hourly_stream" -> ((s, dir) => withShufflePartitions(s, 8) {
+    "events_hourly_stream" -> ((s, dir) => BatchConf.withBatchTuning(s) {
       val stream = eventsStream(s, dir)
       val agg = graft.streaming.EventWindows
         .typedWindowAgg(stream, "ts", watermark = "2 hours", window = "1 hour")
@@ -883,7 +869,7 @@ object SparkEntry {
     // polling after the data is drained (the reference's 0.5 s idle loop);
     // processAllAvailable() is the quiescent point, then the query is
     // stopped and the drained result must equal the batch oracle.
-    "events_hourly_forever" -> ((s, dir) => withShufflePartitions(s, 8) {
+    "events_hourly_forever" -> ((s, dir) => BatchConf.withBatchTuning(s) {
       val stream = eventsStream(s, dir)
       val agg = graft.streaming.EventWindows
         .typedWindowAgg(stream, "ts", watermark = "2 hours", window = "1 hour")
@@ -909,7 +895,7 @@ object SparkEntry {
     // micro-batch, so a slowly-changing dimension picks up updates) and
     // aggregates per dimension attribute. No state store involvement for
     // the join itself; the stream side never shuffles before the agg
-    "events_enrich_stream" -> ((s, dir) => withShufflePartitions(s, 8) {
+    "events_enrich_stream" -> ((s, dir) => BatchConf.withBatchTuning(s) {
       val stream = eventsStream(s, dir)
       val cust = broadcast(t(s, dir, "customer")
         .select(col("c_custkey"), col("c_nationkey")))
@@ -934,7 +920,7 @@ object SparkEntry {
     // store — per-batch IO tracks the changed key set and the result lives
     // in the store, not in driver memory (the complete-mode memory sink
     // above is the test-harness variant; this is what a 100 TB feed runs)
-    "events_hourly_upsert" -> ((s, dir) => withShufflePartitions(s, 8) {
+    "events_hourly_upsert" -> ((s, dir) => BatchConf.withBatchTuning(s) {
       val stream = eventsStream(s, dir)
       val agg = graft.streaming.EventWindows
         .typedWindowAgg(stream, "ts", watermark = "2 hours", window = "1 hour")
@@ -1008,7 +994,7 @@ object SparkEntry {
     // micro-batch under a fresh generation. Re-applied ids supersede their
     // previous generation, so converged pairs ∪ build pairs reproduce the
     // one-shot pair set — the same exact oracle as dedup_minhash
-    "dedup_minhash_stream" -> ((s, dir) => withShufflePartitions(s, 8) {
+    "dedup_minhash_stream" -> ((s, dir) => BatchConf.withBatchTuning(s) {
       val (idx, initPairsPath, livePairsPath, streamDir, ckptDir) =
         lshStreamIndexes.getOrElseUpdate(dir, {
           val docs = t(s, dir, "documents")
@@ -2530,8 +2516,8 @@ object SparkEntry {
       // (the interleaved bits are disjoint, so sum == bitwise-or)
       "layout_zorder" ->
         """WITH s AS (SELECT doc_id,
-             least(255, greatest(0, (n_chars - 0) * 256 // 2048)) AS a,
-             least(255, greatest(0, (doc_id - 0) * 256 // 8192)) AS b
+             least(255, least(2047, greatest(0, n_chars)) * 256 // 2048) AS a,
+             least(255, least(8191, greatest(0, doc_id)) * 256 // 8192) AS b
            FROM documents)
            SELECT doc_id, list_sum(list_transform(range(8), i ->
              (((a >> i::INT) & 1) << (2 * i::INT))

@@ -14,14 +14,16 @@ import org.apache.spark.sql.functions._
   * per-pair cost is m table lookups — no float math against the corpus
   * row at all.
   *
-  * Everything here is deterministic: codebooks are either FIXED (the
-  * first k vectors' subvectors — the oracle-checkable substrate, same
-  * trick as the IVF assignment oracle) or trained by per-subspace
-  * deterministic Lloyd iterations; ties quantize to the LOWEST code. With
-  * fixed codebooks the ADC top-k is an exact function of the codes, so
-  * even the approximate search path is hash-checked end to end — the
-  * approximation lives between ADC and TRUE distance, which the spec
-  * measures as recall.
+  * Encode and ADC are exact functions of (vector, codebooks): ties
+  * quantize to the LOWEST code, and with FIXED codebooks (the first k
+  * vectors' subvectors — the oracle-checkable substrate, same trick as
+  * the IVF assignment oracle) the ADC top-k is hash-checked end to end —
+  * the approximation lives between ADC and TRUE distance, which the spec
+  * measures as recall. [[trainCodebooks]] is deterministic up to the FP
+  * merge order of its distributed means (same caveat as [[Ivf.train]]):
+  * re-runs on identical partitioning reproduce, but codebooks are not
+  * bit-pinned across arbitrary repartitioning — which is why the oracle
+  * rows use the fixed variant.
   *
   * Reference scope: training-data extension surface (the reference engine
   * has no similarity search).

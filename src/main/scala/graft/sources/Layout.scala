@@ -41,10 +41,15 @@ object Layout {
   def rankScale(c: Column, lo: Long, hi: Long, bits: Int): Column = {
     require(hi > lo)
     val buckets = 1L << bits
+    // clamp into [lo, hi] BEFORE scaling: an out-of-range value must land
+    // in the edge bucket, and clamping first also bounds the multiply to
+    // (hi-lo+1)*2^bits — no long overflow, and the FP division below stays
+    // exact (well under 2^53)
+    val clamped = least(lit(hi), greatest(lit(lo), c.cast("long")))
     // integral division (Column./ on longs is FP division; floor+cast keeps
-    // the bucket id exact — products here stay far below 2^53)
-    least(lit(buckets - 1), greatest(lit(0L),
-      floor((c.cast("long") - lo) * buckets / (hi - lo + 1)).cast("long")))
+    // the bucket id exact)
+    least(lit(buckets - 1),
+      floor((clamped - lo) * buckets / (hi - lo + 1)).cast("long"))
   }
 
   /** Write `df` clustered by the Morton key of two scaled dimensions into
