@@ -113,20 +113,30 @@ object SparkEntry {
     * codes seeded from the first 16 vectors (memoized per scale dir). */
   private val pqCodebookCache =
     scala.collection.concurrent.TrieMap.empty[String, graft.sim.Pq.Codebooks]
+  /** One persisted IVF-PQ code index per scale dir (built on first probe). */
+  private val pqIndexPaths =
+    scala.collection.concurrent.TrieMap.empty[String, String]
   private def pqCodebooks(s: SparkSession, dir: String): graft.sim.Pq.Codebooks =
     pqCodebookCache.getOrElseUpdate(dir,
       graft.sim.Pq.fixedCodebooks(t(s, dir, "embeddings"), "vec_id", "embedding",
         m = 8, k = 16))
 
-  private def fixedCellAssignment(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val e = t(s, dir, "embeddings")
-    val cents = e.orderBy(col("vec_id")).limit(8)
-      .select(transform(col("embedding"), _.cast("double")))
-      .as[Seq[Double]].collect().toSeq
-      .zipWithIndex.map { case (v, i) => i -> v }
-    Ivf.assignCells(e, "vec_id", "embedding", cents)
-  }
+  /** Fixed IVF centroids (first 8 vectors by id — the oracle substrate),
+    * memoized per scale dir. */
+  private val fixedCentroidCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(Int, Seq[Double])]]
+  private def fixedCentroids(s: SparkSession, dir: String): Seq[(Int, Seq[Double])] =
+    fixedCentroidCache.getOrElseUpdate(dir, {
+      import s.implicits._
+      t(s, dir, "embeddings").orderBy(col("vec_id")).limit(8)
+        .select(transform(col("embedding"), _.cast("double")))
+        .as[Seq[Double]].collect().toSeq
+        .zipWithIndex.map { case (v, i) => i -> v }
+    })
+
+  private def fixedCellAssignment(s: SparkSession, dir: String): DataFrame =
+    Ivf.assignCells(t(s, dir, "embeddings"), "vec_id", "embedding",
+      fixedCentroids(s, dir))
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame = {
     val df = s.read.parquet(s"$dir/$name.parquet")
@@ -1202,6 +1212,28 @@ object SparkEntry {
           round(col("adc_dist"), 6).as("adc_dist"), col("rank"))
     }),
 
+    // IVF-PQ, the billion-scale composite: probe the 3 nearest coarse
+    // cells per query, ADC re-rank only their members — candidate cost is
+    // Σ probed-cell sizes. Fixed centroids + fixed codebooks make the
+    // whole composite an exact function of the data (hash-checked)
+    "sim_topk_ivfpq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") % 50 === 0)
+      // build-once/probe-many: the cell-partitioned code index persists per
+      // process; each invocation measures the partition-pruned probe
+      val idxPath = pqIndexPaths.getOrElseUpdate(dir, {
+        val p = graft.core.TempDirs.register(
+          java.nio.file.Files.createTempDirectory("graft_ivfpq")).toString
+        graft.sim.Pq.buildCodeIndex(e, "vec_id", "embedding",
+          fixedCentroids(s, dir), pqCodebooks(s, dir), p)
+        p
+      })
+      graft.sim.Pq.probeCodeIndex(q, "vec_id", "embedding",
+        fixedCentroids(s, dir), pqCodebooks(s, dir), idxPath, nProbe = 3, k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("cell"),
+          round(col("adc_dist"), 6).as("adc_dist"), col("rank"))
+    }),
+
     // Embedding-cosine near-dup pairs (brute-force exact baseline; the LSH
     // scale path is Similarity.cosineNearDupPairs, approximate by design)
     "embed_cos_neardup" -> ((s, dir) =>
@@ -2188,6 +2220,47 @@ object SparkEntry {
               FROM dm GROUP BY 1, 2)
             SELECT query_id, neighbor_id, round(dist, 6) AS adc_dist, rank FROM (
               SELECT query_id, neighbor_id, dist,
+                CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY dist, neighbor_id) AS INTEGER) AS rank
+              FROM tot) WHERE rank <= 5""",
+      // IVF-PQ: probe cells from the shared assignment scores (top-3 by
+      // score DESC, cell DESC — the assignment tie rule), candidates =
+      // probed cells' members, then the same PQ/ADC algebra as sim_topk_pq
+      "sim_topk_ivfpq" ->
+        s"""WITH $ivfAssignCtes,
+            cbv AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j,
+                embedding::DOUBLE[] AS cv
+              FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+            ms AS (SELECT unnest(range(8)) AS m),
+            psc AS (SELECT e2.vec_id, ms.m, cb.j,
+                list_reduce(list_transform(range(8), i ->
+                  (e2.v[ms.m*8 + i + 1] - cb.cv[ms.m*8 + i + 1])
+                  * (e2.v[ms.m*8 + i + 1] - cb.cv[ms.m*8 + i + 1])),
+                  (a, b) -> a + b) AS d
+              FROM e e2 CROSS JOIN ms CROSS JOIN cbv cb),
+            code AS (SELECT vec_id, m, j AS c FROM psc
+              QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) = 1),
+            probe AS (SELECT vec_id AS query_id, cell FROM sc
+              WHERE vec_id % 50 = 0
+              QUALIFY row_number() OVER (PARTITION BY vec_id
+                ORDER BY sc DESC, cell DESC) <= 3),
+            cand AS (SELECT p.query_id, a.vec_id AS neighbor_id, a.cell
+              FROM probe p JOIN asn a
+                ON a.cell = p.cell AND a.vec_id <> p.query_id),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 50 = 0),
+            dm AS (SELECT c2.query_id, c2.neighbor_id, c2.cell, k2.m,
+                list_reduce(list_transform(range(8), i ->
+                  (q.qv[k2.m*8 + i + 1] - cb.cv[k2.m*8 + i + 1])
+                  * (q.qv[k2.m*8 + i + 1] - cb.cv[k2.m*8 + i + 1])),
+                  (a, b) -> a + b) AS d
+              FROM cand c2 JOIN code k2 ON k2.vec_id = c2.neighbor_id
+              JOIN cbv cb ON cb.j = k2.c
+              JOIN q ON q.query_id = c2.query_id),
+            tot AS (SELECT query_id, neighbor_id, cell,
+                list_reduce(list(d ORDER BY m), (a, b) -> a + b) AS dist
+              FROM dm GROUP BY 1, 2, 3)
+            SELECT query_id, neighbor_id, cell, round(dist, 6) AS adc_dist, rank
+            FROM (SELECT query_id, neighbor_id, cell, dist,
                 CAST(row_number() OVER (PARTITION BY query_id
                   ORDER BY dist, neighbor_id) AS INTEGER) AS rank
               FROM tot) WHERE rank <= 5""",

@@ -56,6 +56,14 @@ object Ivf {
   private def nearestCell(v: Column, vnorm: Column, cents: Column): Column =
     array_max(cellScores(v, vnorm, cents)).getField("cell")
 
+  /** The assignment as a reusable narrow expression over a raw (float)
+    * vector column — lets composites (e.g. IVF-PQ) derive cell AND other
+    * per-row columns in ONE scan instead of joining [[assignCells]]. */
+  def cellExpr(vec: Column, cents: Seq[(Int, Seq[Double])]): Column = {
+    val v = transform(vec, _.cast("double"))
+    nearestCell(v, sqrt(Similarity.dot(v, v)), centLit(cents))
+  }
+
   /** Deterministic Lloyd training; centroids collected per iteration. */
   private def trainCentroids(
       corpus: DataFrame, idCol: String, vecCol: String,

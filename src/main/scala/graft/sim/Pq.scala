@@ -111,25 +111,33 @@ object Pq {
     * the per-pair expression is m array lookups and a fold, and the top-k
     * compiles to a WindowGroupLimit below the one query-count-bounded
     * exchange. Ranks tie-break on neighbor id. */
+  /** Per-query ADC lookup tables, driver-side (queries × m × k doubles —
+    * control data). Dim-sequential folds, the same FP order as the SQL
+    * oracle's list folds. */
+  private def queryLuts(queries: DataFrame, idCol: String, vecCol: String,
+                        cbs: Codebooks): Seq[(Long, Seq[Double], Seq[Seq[Double]])] = {
+    import queries.sparkSession.implicits._
+    val m = cbs.size
+    queries
+      .select(col(idCol).cast("long"), transform(col(vecCol), _.cast("double")))
+      .as[(Long, Seq[Double])].collect().toSeq
+      .map { case (qid, qv) =>
+        val sub = qv.size / m
+        (qid, qv, cbs.zipWithIndex.map { case (cb, mi) =>
+          val subq = qv.slice(mi * sub, (mi + 1) * sub)
+          cb.map(c => subq.zip(c).foldLeft(0.0) { case (acc, (x, y)) =>
+            acc + (x - y) * (x - y)
+          })
+        })
+      }
+  }
+
   def adcTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, cbs: Codebooks, k: Int): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     GraftFunctions.register(spark)
-    val m = cbs.size
-    val qs: Seq[(Long, Seq[Seq[Double]])] = queries
-      .select(col(idCol).cast("long"), transform(col(vecCol), _.cast("double")))
-      .as[(Long, Seq[Double])].collect().toSeq
-      .map { case (qid, qv) =>
-        val sub = qv.size / m
-        qid -> cbs.zipWithIndex.map { case (cb, mi) =>
-          val subq = qv.slice(mi * sub, (mi + 1) * sub)
-          // dim-sequential then code list: same fold order as the probe SQL
-          cb.map(c => subq.zip(c).foldLeft(0.0) { case (acc, (x, y)) =>
-            acc + (x - y) * (x - y)
-          })
-        }
-      }
+    val qs = queryLuts(queries, idCol, vecCol, cbs).map(t => (t._1, t._3))
     val luts = broadcast(qs.toDF("query_id", "__lut"))
     val codes = encode(corpus, idCol, vecCol, cbs)
       .select(col(idCol).as("neighbor_id"), col("codes"))
@@ -143,5 +151,105 @@ object Pq {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("adc_dist"), col("rank"))
+  }
+
+  /** Persist the IVF-PQ code index: ONE corpus scan derives coarse cell +
+    * PQ codes per row, written partitioned by cell — the build side of
+    * build-once/probe-many. A probe then reads only its probed cells'
+    * directories ([[probeCodeIndex]] — `PartitionFilters` on cell), so
+    * per-query IO is Σ probed-cell code bytes, never the corpus. */
+  def buildCodeIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                     cents: Seq[(Int, Seq[Double])], cbs: Codebooks,
+                     path: String): Unit = {
+    GraftFunctions.register(corpus.sparkSession)
+    corpus.select(col(idCol).as("neighbor_id"),
+        Ivf.cellExpr(col(vecCol), cents).as("cell"),
+        encodeExpr(col(vecCol), cbs).as("codes"))
+      .repartition(cents.size, col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+      .parquet(path)
+  }
+
+  /** ADC top-k over a persisted [[buildCodeIndex]] — the probe side:
+    * partition-pruned read of the probed cells, m lookups + an ordered
+    * fold per candidate. Same semantics as [[ivfPqTopK]]. */
+  def probeCodeIndex(queries: DataFrame, idCol: String, vecCol: String,
+                     cents: Seq[(Int, Seq[Double])], cbs: Codebooks,
+                     path: String, nProbe: Int, k: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val qs = probeSets(queries, idCol, vecCol, cents, cbs, nProbe)
+    val allProbed: Seq[Int] = qs.flatMap(_._2).distinct
+    val luts = broadcast(qs.toDF("query_id", "__probe", "__lut"))
+    val codes = spark.read.parquet(path)
+      .filter(col("cell").isin(allProbed: _*)) // static partition prune
+    val dist = aggregate(
+      zip_with(col("__lut"), col("codes"), (lut, c) => element_at(lut, c + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("adc_dist"), col("neighbor_id"))
+    luts.join(codes,
+        array_contains(col("__probe"), col("cell")) &&
+          col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_dist", dist)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cell"),
+        col("adc_dist"), col("rank"))
+  }
+
+  /** Per-query (probe cells, LUT) — the driver-side probe control data. */
+  private def probeSets(queries: DataFrame, idCol: String, vecCol: String,
+                        cents: Seq[(Int, Seq[Double])], cbs: Codebooks,
+                        nProbe: Int): Seq[(Long, Seq[Int], Seq[Seq[Double]])] = {
+    def dot(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+    queryLuts(queries, idCol, vecCol, cbs).map { case (qid, qv, lut) =>
+      val qn = math.sqrt(dot(qv, qv))
+      val probed = cents.map { case (cell, cv) =>
+        val den = qn * math.sqrt(cv.map(x => x * x).sum)
+        (if (den == 0) 0.0 else dot(qv, cv) / den, cell)
+      }.sortBy { case (s, cell) => (-s, -cell) }.take(nProbe).map(_._2)
+      (qid, probed, lut)
+    }
+  }
+
+  /** IVF-PQ (the FAISS billion-scale composite): each query probes its
+    * `nProbe` nearest coarse cells (cosine, the IVF metric — scored on
+    * the driver against the control-sized centroid set, ties to the
+    * larger cell exactly like [[Ivf.assignCells]]), and ADC re-ranks ONLY
+    * the vectors assigned to those cells. One corpus scan derives cell +
+    * codes per row; with a persisted cell-partitioned code table the
+    * probe becomes a partition-pruned read (the [[Ivf.Index]] layout) —
+    * candidate cost is Σ probed-cell sizes, never the corpus. With fixed
+    * centroids and codebooks the whole composite is an exact function of
+    * the data (hash-checked); recall vs exact search is PqSpec's claim. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, cents: Seq[(Int, Seq[Double])],
+                cbs: Codebooks, nProbe: Int, k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    // driver-side probe-cell selection: same cosine + tie rule as the
+    // assignment expression (dim-sequential dot, 0-norm guard)
+    val qs = probeSets(queries, idCol, vecCol, cents, cbs, nProbe)
+    val luts = broadcast(qs.toDF("query_id", "__probe", "__lut"))
+    val codes = corpus.select(col(idCol).as("neighbor_id"),
+      Ivf.cellExpr(col(vecCol), cents).as("cell"),
+      encodeExpr(col(vecCol), cbs).as("codes"))
+    val dist = aggregate(
+      zip_with(col("__lut"), col("codes"), (lut, c) => element_at(lut, c + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("adc_dist"), col("neighbor_id"))
+    luts.join(codes,
+        array_contains(col("__probe"), col("cell")) &&
+          col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_dist", dist)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cell"),
+        col("adc_dist"), col("rank"))
   }
 }

@@ -62,6 +62,74 @@ class PqSpec extends AnyFunSuite with SparkTestBase {
     assert(adc.values.forall(_.size == k))
   }
 
+  test("IVF-PQ equals ADC top-k restricted to the probed cells' members") {
+    val vecs = vecsOf(emb)
+    val cents = vecs.toSeq.sortBy(_._1).take(4)
+      .zipWithIndex.map { case ((_, v), i) => i -> v }
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val got = Pq.ivfPqTopK(emb, queries, "vec_id", "embedding", cents, cbs,
+        nProbe = 2, k = 5)
+      .select("query_id", "neighbor_id", "cell", "rank")
+      .as[(Long, Long, Int, Int)].collect()
+
+    // reference: cell assignment + probe sets + ADC ranking in plain Scala
+    def dot(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val den = math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))
+      if (den == 0) 0.0 else dot(a, b) / den
+    }
+    val cellOf = vecs.map { case (id, v) =>
+      id -> cents.map { case (c, cv) => (cos(v, cv), c) }.max._2
+    }
+    def codesOf(v: Seq[Double]) = cbs.zipWithIndex.map { case (cb, mi) =>
+      val subv = v.slice(mi * 8, mi * 8 + 8)
+      cb.zipWithIndex.map { case (c, j) =>
+        (subv.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum, j)
+      }.min._2
+    }
+    val qids = vecs.keys.filter(_ % 50 == 0).toSeq.sorted
+    val expect = qids.flatMap { qid =>
+      val qv = vecs(qid)
+      val probe = cents.map { case (c, cv) => (cos(qv, cv), c) }
+        .sortBy { case (s, c) => (-s, -c) }.take(2).map(_._2).toSet
+      val sub = qv.size / 8
+      val lut = cbs.zipWithIndex.map { case (cb, mi) =>
+        val subq = qv.slice(mi * sub, (mi + 1) * sub)
+        cb.map(c => subq.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum)
+      }
+      (vecs - qid).toSeq
+        .filter { case (id, _) => probe.contains(cellOf(id)) }
+        .map { case (id, v) =>
+          (codesOf(v).zipWithIndex.map { case (c, mi) => lut(mi)(c) }.sum, id)
+        }.sorted.take(5).zipWithIndex
+        .map { case ((_, nid), r) => (qid, nid, cellOf(nid), r + 1) }
+    }.toSet
+    assert(got.toSet == expect)
+  }
+
+  test("persisted code index: probe equals the in-flight composite, partition-pruned read") {
+    val vecs = vecsOf(emb)
+    val cents = vecs.toSeq.sortBy(_._1).take(4)
+      .zipWithIndex.map { case ((_, v), i) => i -> v }
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqidx").toString
+    Pq.buildCodeIndex(emb, "vec_id", "embedding", cents, cbs, dir)
+    val probed = Pq.probeCodeIndex(queries, "vec_id", "embedding", cents, cbs,
+      dir, nProbe = 2, k = 5)
+    val inflight = Pq.ivfPqTopK(emb, queries, "vec_id", "embedding", cents, cbs,
+      nProbe = 2, k = 5)
+    val a = probed.select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val b = inflight.select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(a == b && a.nonEmpty)
+    // the probe plan must prune to the probed cells' partitions
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), s"no partition filter in:\n$plan")
+    graft.core.TempDirs.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
   test("trained codebooks do not regress quantization error vs fixed seeds") {
     val vecs = vecsOf(emb)
     def mse(c: Pq.Codebooks): Double = {
