@@ -250,6 +250,9 @@ object Curation {
     * + sliding `collect_list`); the per-doc windows are Spark window
     * frames, no self-join. Hashes are md5-hex — engine-reproducible, so
     * the selected (position, hash) set is exact-checkable externally.
+    * Documents shorter than `k`+`w`-1 tokens have no full window and emit
+    * NO fingerprints (the standard winnowing guarantee starts at the
+    * noise threshold; pair short docs with whole-doc fingerprinting).
     * Output: (idCol, pos, fp) — distinct selected fingerprints. */
   def winnow(docs: DataFrame, textCol: String, idCol: String,
              k: Int = 5, w: Int = 4): DataFrame = {

@@ -218,4 +218,35 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, Int, String)].collect()
     assert(fp.toSet == fp2.toSet)
   }
+
+  test("winnow matches a plain-Scala MOSS reference on random corpora") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def ref(text: String, k: Int, w: Int): Set[(Int, String)] = {
+      val toks = text.trim.toLowerCase.split("\\s+").toSeq
+      val hs = toks.sliding(k).filter(_.size == k).zipWithIndex
+        .map { case (sh, p) => (p, md5hex(sh.mkString(" "))) }.toSeq
+      hs.sliding(w).filter(_.size == w)
+        .map(_.minBy { case (p, h) => (h, p) }).toSet
+    }
+    val rng = new scala.util.Random(23)
+    val words = Seq("a", "b", "c", "d", "e", "f", "g", "h")
+    for (trial <- 0 until 5) {
+      val k = 2 + rng.nextInt(4)
+      val w = 1 + rng.nextInt(5)
+      val docs = (0L until 20L).map { id =>
+        // small vocab forces hash ties; lengths straddle the k+w-1 edge
+        (id, Seq.fill(rng.nextInt(25) + 1)(words(rng.nextInt(words.size)))
+          .mkString(" "))
+      }
+      val got = Curation.winnow(docs.toDF("doc_id", "text"), "text", "doc_id", k, w)
+        .as[(Long, Int, String)].collect()
+        .groupBy(_._1).map { case (d, xs) => d -> xs.map(x => (x._2, x._3)).toSet }
+      docs.foreach { case (id, text) =>
+        assert(got.getOrElse(id, Set.empty) == ref(text, k, w),
+          s"trial $trial doc $id k=$k w=$w text='$text'")
+      }
+    }
+  }
 }
