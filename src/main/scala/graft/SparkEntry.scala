@@ -116,6 +116,10 @@ object SparkEntry {
   /** One persisted IVF-PQ code index per scale dir (built on first probe). */
   private val pqIndexPaths =
     scala.collection.concurrent.TrieMap.empty[String, String]
+  /** Log-structured-maintained IVF-PQ index (perturbed build + converging
+    * generation-stamped batches) per scale dir. */
+  private val pqIncrIndexes = scala.collection.concurrent.TrieMap
+    .empty[String, (String, java.util.concurrent.atomic.AtomicLong)]
   private def pqCodebooks(s: SparkSession, dir: String): graft.sim.Pq.Codebooks =
     pqCodebookCache.getOrElseUpdate(dir,
       graft.sim.Pq.fixedCodebooks(t(s, dir, "embeddings"), "vec_id", "embedding",
@@ -362,13 +366,27 @@ object SparkEntry {
     // small file per commit, no data copies). Both rows of history are
     // oracle-checked side by side under a snapshot tag
     "incr_time_travel" -> ((s, dir) => {
-      val store = bucketedStore(dir, "tt", ordersSumPipeline)(sources(s, dir))
-      val n1 = store.committedBatch.getOrElse(0L) + 1
+      // generous retention: the query reads the bootstrap's post-delete
+      // snapshot on every later invocation
+      val store = bucketedStore(dir, "tt", ordersSumPipeline,
+        keepSnapshots = 10000)(sources(s, dir))
+      // bootstrap once per process: the DELETE batch whose snapshot is the
+      // "past" read target (its id rides the same manifest commit via meta)
+      val n1 = store.meta("tt_past") match {
+        case Some(b) => b.toLong
+        case None =>
+          val b = store.committedBatch.getOrElse(0L) + 1
+          store.setMeta("tt_past", b.toString)
+          BucketedRun.applyChanges(s, ordersSumPipeline, sources(s, dir), store,
+            ordersBatch(s, dir, 7993, Change.Deleted), b, batchId = b)
+          b
+      }
+      // steady state: ONE live restore batch per invocation (a fresh seq so
+      // each supersedes the last); the as-of read is manifest indirection
+      val n2 = store.committedBatch.getOrElse(0L) + 1
       BucketedRun.applyChanges(s, ordersSumPipeline, sources(s, dir), store,
-        ordersBatch(s, dir, 7993, Change.Deleted), n1, batchId = n1)
-      val n2 = n1 + 1
-      BucketedRun.applyChanges(s, ordersSumPipeline, sources(s, dir), store,
-        ordersBatch(s, dir, 7993, Change.Updated, seqOffset = 1000000L), n2, batchId = n2)
+        ordersBatch(s, dir, 7993, Change.Updated, seqOffset = 1000000L + n2),
+        n2, batchId = n2)
       store.tableAsOf(s, "orders_sum", n1)
         .select(lit("past").as("snapshot"), col(Key),
           round(col(Value), 2).as("sum_value"))
@@ -1234,6 +1252,63 @@ object SparkEntry {
           round(col("adc_dist"), 6).as("adc_dist"), col("rank"))
     }),
 
+    // The SAME IVF-PQ composite served from a log-structured-MAINTAINED
+    // code index: the index starts from a perturbed corpus (corrupted
+    // vectors, a missing residue class, phantom rows); every invocation
+    // applies the converging change batch under a FRESH generation
+    // (upserts re-encode and append to their possibly-new cell, id
+    // tombstones kill older rows wherever they live), and the probe must
+    // match the fresh-build oracle exactly — maintained ≡ rebuilt
+    "sim_ivfpq_incr" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val phantoms = e.filter(col("vec_id") % 13 === 7)
+        .withColumn("vec_id", col("vec_id") + 10000000L)
+      val (path, gen) = pqIncrIndexes.getOrElseUpdate(dir, {
+        val p = graft.core.TempDirs.register(
+          java.nio.file.Files.createTempDirectory("graft_ivfpq_incr")).toString
+        val corrupted = e.withColumn("embedding",
+          when(col("vec_id") % 13 === 0,
+            transform(col("embedding"), x => x + lit(1.0f)))
+            .otherwise(col("embedding")))
+        graft.sim.Pq.buildCodeIndex(
+          corrupted.filter(col("vec_id") % 13 =!= 5).unionByName(phantoms),
+          "vec_id", "embedding", fixedCentroids(s, dir), pqCodebooks(s, dir), p)
+        (p, new java.util.concurrent.atomic.AtomicLong(0L))
+      })
+      graft.sim.Pq.updateCodeIndex(path, fixedCentroids(s, dir),
+        pqCodebooks(s, dir),
+        upserts = e.filter(col("vec_id") % 13 === 0 || col("vec_id") % 13 === 5),
+        idCol = "vec_id", vecCol = "embedding",
+        deletes = phantoms.select(col("vec_id")), gen = gen.incrementAndGet())
+      val q = e.filter(col("vec_id") % 50 === 0)
+      graft.sim.Pq.probeCodeIndex(q, "vec_id", "embedding",
+        fixedCentroids(s, dir), pqCodebooks(s, dir), path, nProbe = 3, k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("cell"),
+          round(col("adc_dist"), 6).as("adc_dist"), col("rank"))
+    }),
+
+    // Binary (sign) quantization + exact Hamming top-k: 64 dims pack into
+    // two 32-bit sign words, distance is two XOR+popcount ops — approximate
+    // only in the REPRESENTATION, so given the packed bits the integer
+    // top-k is exact and hash-checked end to end
+    "sim_topk_hamming" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") % 50 === 0)
+      Similarity.hammingTopK(e, q, "vec_id", "embedding", dim = 64, k = 5)
+    }),
+
+    // Matryoshka-style two-stage retrieval: coarse rank on the PREFIX 16
+    // components (a quarter of the vector bytes cross the corpus-wide
+    // pass), exact full-dim re-rank of the 25 survivors — both stages are
+    // double dot-products in element order, so the composite hash-checks
+    "sim_topk_mrl" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") % 50 === 0)
+      Similarity.mrlTopK(e, q, "vec_id", "embedding", prefixDim = 16, m = 25, k = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank"))
+    }),
+
     // Embedding-cosine near-dup pairs (brute-force exact baseline; the LSH
     // scale path is Similarity.cosineNearDupPairs, approximate by design)
     "embed_cos_neardup" -> ((s, dir) =>
@@ -1543,6 +1618,16 @@ object SparkEntry {
     "text_dup_spans" -> ((s, dir) =>
       Curation.dupSpans(t(s, dir, "documents"), "text", "doc_id", span = 20)),
 
+    // Duplicate-PASSAGE removal — the destructive counterpart of
+    // text_dup_spans: consecutive 10-token passages dedup corpus-wide
+    // (first occurrence in (doc_id, position) order survives) and each
+    // document's text is REBUILT from its surviving passages. First
+    // occurrence is a min(struct) aggregate (map-side combine — a passage
+    // duplicated millions of times forwards one row per task), never a
+    // window over the skewed hash key
+    "text_span_scrub" -> ((s, dir) =>
+      Curation.scrubDupSpans(t(s, dir, "documents"), "text", "doc_id", span = 10)),
+
     // Winnowing fingerprints (the MOSS algorithm): min-hash of each
     // 4-window over 5-token shingle hashes, leftmost tie — guarantees a
     // shared fingerprint for any shared run of ≥ 8 tokens at ~2/(w+1)
@@ -1728,6 +1813,44 @@ object SparkEntry {
          asn AS (SELECT vec_id, CAST(cell AS INTEGER) AS cell FROM sc
                  QUALIFY row_number() OVER (PARTITION BY vec_id
                    ORDER BY sc DESC, cell DESC) = 1)"""
+    val ivfPqSql =
+      s"""WITH $ivfAssignCtes,
+            cbv AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j,
+                embedding::DOUBLE[] AS cv
+              FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+            ms AS (SELECT unnest(range(8)) AS m),
+            psc AS (SELECT e2.vec_id, ms.m, cb.j,
+                list_reduce(list_transform(range(8), i ->
+                  (e2.v[ms.m*8 + i + 1] - cb.cv[ms.m*8 + i + 1])
+                  * (e2.v[ms.m*8 + i + 1] - cb.cv[ms.m*8 + i + 1])),
+                  (a, b) -> a + b) AS d
+              FROM e e2 CROSS JOIN ms CROSS JOIN cbv cb),
+            code AS (SELECT vec_id, m, j AS c FROM psc
+              QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) = 1),
+            probe AS (SELECT vec_id AS query_id, cell FROM sc
+              WHERE vec_id % 50 = 0
+              QUALIFY row_number() OVER (PARTITION BY vec_id
+                ORDER BY sc DESC, cell DESC) <= 3),
+            cand AS (SELECT p.query_id, a.vec_id AS neighbor_id, a.cell
+              FROM probe p JOIN asn a
+                ON a.cell = p.cell AND a.vec_id <> p.query_id),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 50 = 0),
+            dm AS (SELECT c2.query_id, c2.neighbor_id, c2.cell, k2.m,
+                list_reduce(list_transform(range(8), i ->
+                  (q.qv[k2.m*8 + i + 1] - cb.cv[k2.m*8 + i + 1])
+                  * (q.qv[k2.m*8 + i + 1] - cb.cv[k2.m*8 + i + 1])),
+                  (a, b) -> a + b) AS d
+              FROM cand c2 JOIN code k2 ON k2.vec_id = c2.neighbor_id
+              JOIN cbv cb ON cb.j = k2.c
+              JOIN q ON q.query_id = c2.query_id),
+            tot AS (SELECT query_id, neighbor_id, cell,
+                list_reduce(list(d ORDER BY m), (a, b) -> a + b) AS dist
+              FROM dm GROUP BY 1, 2, 3)
+            SELECT query_id, neighbor_id, cell, round(dist, 6) AS adc_dist, rank
+            FROM (SELECT query_id, neighbor_id, cell, dist,
+                CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY dist, neighbor_id) AS INTEGER) AS rank
+              FROM tot) WHERE rank <= 5"""
     val shingles =
       raw"""CASE WHEN len($toks) < 3 THEN [array_to_string($toks, ' ')]
             ELSE list_distinct(list_transform(range(len($toks) - 2),
@@ -2126,6 +2249,46 @@ object SparkEntry {
                CAST(row_number() OVER (PARTITION BY query_id
                  ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
              FROM q JOIN c ON query_id <> neighbor_id) WHERE rank <= 5""",
+      "sim_topk_hamming" ->
+        """WITH p AS (SELECT vec_id,
+             CAST(list_sum(list_transform(range(0, 32), i -> CASE
+               WHEN embedding[(i+1)::INT] > 0 THEN (1::BIGINT << i::INT)
+               ELSE 0 END)) AS BIGINT) AS h0,
+             CAST(list_sum(list_transform(range(32, 64), i -> CASE
+               WHEN embedding[(i+1)::INT] > 0 THEN (1::BIGINT << (i-32)::INT)
+               ELSE 0 END)) AS BIGINT) AS h1
+           FROM embeddings),
+           q AS (SELECT vec_id AS query_id, h0 AS q0, h1 AS q1 FROM p
+                 WHERE vec_id % 50 = 0)
+           SELECT query_id, neighbor_id, hamming, rank FROM (
+             SELECT query_id, p.vec_id AS neighbor_id,
+               CAST(bit_count(xor(q0, p.h0)) + bit_count(xor(q1, p.h1))
+                 AS BIGINT) AS hamming,
+               CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY hamming, p.vec_id) AS INTEGER) AS rank
+             FROM q JOIN p ON query_id <> p.vec_id) WHERE rank <= 5""",
+      "sim_topk_mrl" ->
+        """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           p AS (SELECT vec_id, v[1:16] AS pv, v FROM e),
+           q AS (SELECT vec_id AS query_id, pv AS qp, v AS qv FROM p
+                 WHERE vec_id % 50 = 0),
+           cand AS (SELECT query_id, neighbor_id FROM (
+             SELECT query_id, p.vec_id AS neighbor_id,
+               CASE WHEN sqrt(list_dot_product(qp, qp)) * sqrt(list_dot_product(pv, pv)) = 0
+                 THEN 0.0 ELSE list_dot_product(qp, pv)
+                   / (sqrt(list_dot_product(qp, qp)) * sqrt(list_dot_product(pv, pv))) END AS coarse,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY coarse DESC, p.vec_id) AS crk
+             FROM q JOIN p ON query_id <> p.vec_id) WHERE crk <= 25)
+           SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rank FROM (
+             SELECT c.query_id, c.neighbor_id,
+               CASE WHEN sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v)) = 0
+                 THEN 0.0 ELSE list_dot_product(q.qv, e.v)
+                   / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) END AS cos,
+               CAST(row_number() OVER (PARTITION BY c.query_id
+                 ORDER BY cos DESC, c.neighbor_id) AS INTEGER) AS rank
+             FROM cand c JOIN e ON c.neighbor_id = e.vec_id
+                  JOIN q ON c.query_id = q.query_id) WHERE rank <= 5""",
       "sim_lsh_bucket" -> {
         // hyperplane component (i, j): first 16 bits of md5('lsh:0:i:j')
         // mapped into [-1,1] — exactly Similarity.md5Hyperplanes
@@ -2225,45 +2388,11 @@ object SparkEntry {
               FROM tot) WHERE rank <= 5""",
       // IVF-PQ: probe cells from the shared assignment scores (top-3 by
       // score DESC, cell DESC — the assignment tie rule), candidates =
-      // probed cells' members, then the same PQ/ADC algebra as sim_topk_pq
-      "sim_topk_ivfpq" ->
-        s"""WITH $ivfAssignCtes,
-            cbv AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j,
-                embedding::DOUBLE[] AS cv
-              FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
-            ms AS (SELECT unnest(range(8)) AS m),
-            psc AS (SELECT e2.vec_id, ms.m, cb.j,
-                list_reduce(list_transform(range(8), i ->
-                  (e2.v[ms.m*8 + i + 1] - cb.cv[ms.m*8 + i + 1])
-                  * (e2.v[ms.m*8 + i + 1] - cb.cv[ms.m*8 + i + 1])),
-                  (a, b) -> a + b) AS d
-              FROM e e2 CROSS JOIN ms CROSS JOIN cbv cb),
-            code AS (SELECT vec_id, m, j AS c FROM psc
-              QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) = 1),
-            probe AS (SELECT vec_id AS query_id, cell FROM sc
-              WHERE vec_id % 50 = 0
-              QUALIFY row_number() OVER (PARTITION BY vec_id
-                ORDER BY sc DESC, cell DESC) <= 3),
-            cand AS (SELECT p.query_id, a.vec_id AS neighbor_id, a.cell
-              FROM probe p JOIN asn a
-                ON a.cell = p.cell AND a.vec_id <> p.query_id),
-            q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 50 = 0),
-            dm AS (SELECT c2.query_id, c2.neighbor_id, c2.cell, k2.m,
-                list_reduce(list_transform(range(8), i ->
-                  (q.qv[k2.m*8 + i + 1] - cb.cv[k2.m*8 + i + 1])
-                  * (q.qv[k2.m*8 + i + 1] - cb.cv[k2.m*8 + i + 1])),
-                  (a, b) -> a + b) AS d
-              FROM cand c2 JOIN code k2 ON k2.vec_id = c2.neighbor_id
-              JOIN cbv cb ON cb.j = k2.c
-              JOIN q ON q.query_id = c2.query_id),
-            tot AS (SELECT query_id, neighbor_id, cell,
-                list_reduce(list(d ORDER BY m), (a, b) -> a + b) AS dist
-              FROM dm GROUP BY 1, 2, 3)
-            SELECT query_id, neighbor_id, cell, round(dist, 6) AS adc_dist, rank
-            FROM (SELECT query_id, neighbor_id, cell, dist,
-                CAST(row_number() OVER (PARTITION BY query_id
-                  ORDER BY dist, neighbor_id) AS INTEGER) AS rank
-              FROM tot) WHERE rank <= 5""",
+      // probed cells' members, then the same PQ/ADC algebra as sim_topk_pq.
+      // The log-structured-maintained index converges to the same state, so
+      // sim_ivfpq_incr shares the oracle verbatim (ivfPqSql).
+      "sim_topk_ivfpq" -> ivfPqSql,
+      "sim_ivfpq_incr" -> ivfPqSql,
       // same pair formulation as embed_cos_neardup, restricted to co-celled
       // vectors via the shared fixed-centroid assignment CTEs
       "embed_neardup_cell" ->
@@ -2608,6 +2737,22 @@ object SparkEntry {
              round(sum(CASE WHEN h IN (SELECT h FROM f) THEN 1 ELSE 0 END)::DOUBLE
                / count(*), 6) AS dup_frac
            FROM sp GROUP BY doc_id""",
+      "text_span_scrub" ->
+        s"""WITH d AS (SELECT doc_id, $toks AS l FROM documents),
+           ch AS (SELECT doc_id, unnest(range(((len(l) - 1) // 10) + 1)) AS ci, l
+                  FROM d),
+           c2 AS (SELECT doc_id, ci,
+                    array_to_string(l[(ci*10+1)::INT:(ci*10+10)::INT], ' ') AS chunk
+                  FROM ch),
+           mk AS (SELECT doc_id, ci, chunk,
+                    row_number() OVER (PARTITION BY md5(chunk)
+                      ORDER BY doc_id, ci) AS rn
+                  FROM c2)
+           SELECT doc_id, count(*) AS n_chunks,
+             CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+             coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' '
+               ORDER BY ci), '') AS text_scrubbed
+           FROM mk GROUP BY doc_id""",
       "text_lm_score" ->
         s"""WITH d AS (SELECT doc_id, $toks AS l FROM documents),
            tri AS (SELECT doc_id,

@@ -164,12 +164,64 @@ object Pq {
     GraftFunctions.register(corpus.sparkSession)
     corpus.select(col(idCol).as("neighbor_id"),
         Ivf.cellExpr(col(vecCol), cents).as("cell"),
-        encodeExpr(col(vecCol), cbs).as("codes"))
+        encodeExpr(col(vecCol), cbs).as("codes"),
+        lit(0L).as("gen"))
       .repartition(cents.size, col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
-      .parquet(path)
+      .parquet(codesDir(path))
+    // rebuild IS compaction: stale tombstones must not outlive the rows
+    // they were horizoning (same rule as LshIndex/Ivf rebuilds)
+    graft.core.TempDirs.deleteRecursively(
+      java.nio.file.Paths.get(tombstoneDir(path)))
   }
+
+  private def codesDir(path: String): String = s"$path/codes"
+  private def tombstoneDir(path: String): String = s"$path/tombstones"
+
+  /** Log-structured maintenance of a [[buildCodeIndex]] index — the same
+    * discipline as [[Ivf.updateIndex]]/LshIndex/Retrieval: upserts encode
+    * and append to their (possibly NEW) cell's partition under `gen`, and
+    * every upserted/deleted id gains an (id, upto_gen) tombstone that
+    * kills its older rows wherever they live — a moved vector's stale row
+    * sits in a cell the pruned probe may still read, so the horizon is by
+    * id, not by cell. `gen` must increase per batch. Rebuild = compaction. */
+  def updateCodeIndex(path: String, cents: Seq[(Int, Seq[Double])],
+                      cbs: Codebooks, upserts: DataFrame, idCol: String,
+                      vecCol: String, deletes: DataFrame, gen: Long): Unit = {
+    GraftFunctions.register(upserts.sparkSession)
+    upserts.select(col(idCol).as("neighbor_id"),
+        Ivf.cellExpr(col(vecCol), cents).as("cell"),
+        encodeExpr(col(vecCol), cbs).as("codes"),
+        lit(gen).as("gen"))
+      .repartition(cents.size, col("cell"))
+      .write.mode("append").partitionBy("cell")
+      .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+      .parquet(codesDir(path))
+    upserts.select(col(idCol).as("neighbor_id"))
+      .unionByName(deletes.select(col(idCol).as("neighbor_id")))
+      .distinct()
+      .withColumn("upto_gen", lit(gen))
+      .coalesce(1)
+      .write.mode("append")
+      .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+      .parquet(tombstoneDir(path))
+  }
+
+  /** Code rows surviving the tombstone horizon: row.gen >= max(upto_gen)
+    * of its id. Tombstones are change-batch-sized control data — the join
+    * broadcasts. */
+  private def liveCodes(spark: org.apache.spark.sql.SparkSession,
+                        path: String, codes: DataFrame): DataFrame =
+    if (!java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(tombstoneDir(path)))) codes
+    else {
+      val horizon = spark.read.parquet(tombstoneDir(path))
+        .groupBy(col("neighbor_id")).agg(max(col("upto_gen")).as("__upto"))
+      codes.join(broadcast(horizon), Seq("neighbor_id"), "left")
+        .filter(col("__upto").isNull || col("gen") >= col("__upto"))
+        .drop("__upto")
+    }
 
   /** ADC top-k over a persisted [[buildCodeIndex]] — the probe side:
     * partition-pruned read of the probed cells, m lookups + an ordered
@@ -182,8 +234,8 @@ object Pq {
     val qs = probeSets(queries, idCol, vecCol, cents, cbs, nProbe)
     val allProbed: Seq[Int] = qs.flatMap(_._2).distinct
     val luts = broadcast(qs.toDF("query_id", "__probe", "__lut"))
-    val codes = spark.read.parquet(path)
-      .filter(col("cell").isin(allProbed: _*)) // static partition prune
+    val codes = liveCodes(spark, path, spark.read.parquet(codesDir(path))
+      .filter(col("cell").isin(allProbed: _*))) // static partition prune
     val dist = aggregate(
       zip_with(col("__lut"), col("codes"), (lut, c) => element_at(lut, c + 1)),
       lit(0.0), (acc, x) => acc + x)

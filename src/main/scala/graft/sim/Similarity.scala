@@ -214,6 +214,87 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Sign bits of vector components `lo until hi`, packed little-endian
+    * into one long (bit `i - lo` set iff component `i` > 0). Components are
+    * compared to zero exactly, so the packing is an exact function of the
+    * stored floats — reproducible in any engine. `hi - lo` ≤ 63 keeps the
+    * sum inside a signed long with no overflow games. */
+  def signBits(vec: Column, lo: Int, hi: Int): Column = {
+    require(hi - lo > 0 && hi - lo <= 63, s"signBits range must be 1..63 bits, got ${hi - lo}")
+    aggregate(sequence(lit(lo), lit(hi - 1)), lit(0L),
+      (acc, i) => acc + when(element_at(vec, i + 1) > 0, pow(lit(2.0d), i - lo).cast("long"))
+        .otherwise(0L))
+  }
+
+  /** Binary (sign) quantization + EXACT Hamming top-k — the classic
+    * 32×-compressed embedding search: each vector's sign pattern packs into
+    * two 32-bit words (64 dims → 8 bytes), distance is two XOR+popcount ops
+    * per pair, and the corpus side scans ONLY the packed words (8 bytes/row
+    * instead of 256). Unlike the LSH/IVF paths this is approximate only in
+    * the REPRESENTATION — given the packed bits the top-k is exact and
+    * integer-valued, so the whole query is oracle-checkable bit-for-bit.
+    * Ties (Hamming is coarse) break by neighbor id. */
+  def hammingTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      dim: Int, k: Int): DataFrame = {
+    require(dim % 2 == 0 && dim <= 64, s"hammingTopK packs dim/2-bit halves, got dim=$dim")
+    val half = dim / 2
+    def packed(df: DataFrame, idAs: String, pref: String) =
+      df.select(col(idCol).as(idAs),
+        signBits(col(vecCol), 0, half).as(pref + "0"),
+        signBits(col(vecCol), half, dim).as(pref + "1"))
+    val q = broadcast(packed(queries, "query_id", "__q"))
+    val c = packed(corpus, "neighbor_id", "__c")
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("hamming",
+        (bit_count(col("__q0").bitwiseXOR(col("__c0"))) +
+          bit_count(col("__q1").bitwiseXOR(col("__c1")))).cast("long"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("hamming"), col("rank"))
+  }
+
+  /** Matryoshka-style two-stage retrieval: stage 1 ranks by cosine on the
+    * PREFIX `prefixDim` components only (MRL-trained embeddings front-load
+    * information, so the prefix is a cheap coarse scorer — the corpus-wide
+    * pass touches prefixDim/dim of the data), keeping `m` candidates per
+    * query; stage 2 re-reads ONLY those m rows' full vectors (a semi-join
+    * back into the corpus — at scale a pruned point-read, never a second
+    * scan-wide vector pass) and re-ranks them by exact full-dim cosine.
+    * Both stages' scores are double dot-products in element order, so the
+    * composite is deterministic and oracle-checkable end to end. */
+  def mrlTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      prefixDim: Int, m: Int, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    require(m >= k, s"rerank pool m=$m must be >= k=$k")
+    def prefix(c: Column) = slice(c, 1, prefixDim)
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      prefix(col(vecCol)).as("__qp"), norm(prefix(col(vecCol))).as("__qpn")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      prefix(col(vecCol)).as("__cp"), norm(prefix(col(vecCol))).as("__cpn"))
+    val coarseW = Window.partitionBy(col("query_id"))
+      .orderBy(col("__coarse").desc, col("neighbor_id"))
+    val cand = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("__coarse", cosinePre(col("__qp"), col("__cp"), col("__qpn"), col("__cpn")))
+      .withColumn("__crk", row_number().over(coarseW))
+      .filter(col("__crk") <= m)
+      .select(col("query_id"), col("neighbor_id"))
+    val full = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      norm(col(vecCol)).as("__cn"))
+    val qFull = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("__qv"), norm(col(vecCol)).as("__qn")))
+    val rerankW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cand.join(full, Seq("neighbor_id"))
+      .join(qFull, Seq("query_id"))
+      .withColumn("cosine", cosinePre(col("__qv"), col("__cv"), col("__qn"), col("__cn")))
+      .withColumn("rank", row_number().over(rerankW))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
   def bruteForcePairs(
       corpus: DataFrame, idCol: String, vecCol: String, threshold: Double,
       partitions: Int = 32): DataFrame = {

@@ -185,6 +185,50 @@ object Curation {
       .withColumn("dup_frac", round(col("n_dup") / col("n_spans"), 6))
   }
 
+  /** Duplicate-PASSAGE removal — the destructive counterpart of
+    * [[dupSpans]]: each document's token stream splits into consecutive
+    * `span`-token passages (trailing partial passage included); a passage
+    * whose text recurs ANYWHERE in the corpus survives only at its first
+    * occurrence in (id, position) order, and every document's text is
+    * rebuilt from its surviving passages. This is the pipeline stage that
+    * actually strips corpus-wide boilerplate (headers, license blocks,
+    * navigation chrome) out of otherwise-distinct documents.
+    *
+    * Shape: one narrow pass derives the passages by slicing the tokenized
+    * array (no posexplode/regroup of individual tokens); first occurrence
+    * is a `min(struct(id, idx))` aggregate — map-side partial combine, so a
+    * passage duplicated millions of times still forwards ONE row per map
+    * task, where a window over the hash key would sort the whole hot
+    * partition (boilerplate IS skew). The passage-vocabulary table joins
+    * back without a broadcast hint: its size is data-dependent, AQE
+    * broadcasts exactly when it fits. Output:
+    * (id, n_chunks, n_removed, text_scrubbed); `idCol` must be unique and
+    * orderable. */
+  def scrubDupSpans(docs: DataFrame, textCol: String, idCol: String,
+                    span: Int = 10): DataFrame = {
+    val chunks = docs
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__t"))
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0), floor((size(col("__t")) - 1) / span).cast("int")),
+        i => concat_ws(" ", slice(col("__t"), i * span + 1, lit(span)))))
+        .as(Seq("__ci", "__chunk")))
+      .withColumn("__h", md5(col("__chunk").cast("binary")))
+    val firstOcc = chunks
+      .groupBy(col("__h"))
+      .agg(min(struct(col(idCol), col("__ci"))).as("__first"))
+    chunks.join(firstOcc, Seq("__h"))
+      .withColumn("__keep",
+        col("__first") === struct(col(idCol), col("__ci")))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("__keep"), 0L).otherwise(1L)).as("n_removed"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("__keep"),
+            struct(col("__ci"), col("__chunk"))))),
+          s => s.getField("__chunk"))).as("text_scrubbed"))
+  }
+
   /** Cluster-balanced (diversity) sampling: keep `perCell` deterministic
     * representatives of each embedding cluster cell — the data-diversity
     * step that stops one dense region of embedding space from dominating a

@@ -130,6 +130,55 @@ class PqSpec extends AnyFunSuite with SparkTestBase {
     graft.core.TempDirs.deleteRecursively(java.nio.file.Paths.get(dir))
   }
 
+  test("maintained code index converges to the fresh-build probe (incl. moved cells)") {
+    val vecs = vecsOf(emb)
+    val cents = vecs.toSeq.sortBy(_._1).take(4)
+      .zipWithIndex.map { case ((_, v), i) => i -> v }
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    // fresh build of the TRUE corpus = the convergence target
+    val freshDir = java.nio.file.Files.createTempDirectory("graft_pqf").toString
+    Pq.buildCodeIndex(emb, "vec_id", "embedding", cents, cbs, freshDir)
+    val want = Pq.probeCodeIndex(queries, "vec_id", "embedding", cents, cbs,
+        freshDir, nProbe = 2, k = 5)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    // perturbed build: corrupted vectors (which also MOVES some to another
+    // cell), a missing residue class, phantom rows
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqm").toString
+    val phantoms = emb.filter(col("vec_id") % 13 === 7)
+      .withColumn("vec_id", col("vec_id") + 10000000L)
+    val corrupted = emb.withColumn("embedding",
+      when(col("vec_id") % 13 === 0,
+        org.apache.spark.sql.functions.transform(col("embedding"), x => -x))
+        .otherwise(col("embedding")))
+    Pq.buildCodeIndex(corrupted.filter(col("vec_id") % 13 =!= 5)
+      .unionByName(phantoms), "vec_id", "embedding", cents, cbs, dir)
+    val stale = Pq.probeCodeIndex(queries, "vec_id", "embedding", cents, cbs,
+        dir, nProbe = 2, k = 5)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(stale != want, "perturbation must be visible before the batch")
+    // two generations: the first converges, the second re-applies the same
+    // upserts (self-supersede) — the probe must be stable under both
+    (1L to 2L).foreach { gen =>
+      Pq.updateCodeIndex(dir, cents, cbs,
+        upserts = emb.filter(col("vec_id") % 13 === 0 || col("vec_id") % 13 === 5),
+        idCol = "vec_id", vecCol = "embedding",
+        deletes = phantoms.select(col("vec_id")), gen = gen)
+      val got = Pq.probeCodeIndex(queries, "vec_id", "embedding", cents, cbs,
+          dir, nProbe = 2, k = 5)
+        .select("query_id", "neighbor_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+      assert(got == want, s"gen $gen probe differs from fresh build")
+    }
+    // rebuild-as-compaction clears tombstones with the rows they horizon
+    Pq.buildCodeIndex(emb, "vec_id", "embedding", cents, cbs, dir)
+    assert(!java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(s"$dir/tombstones")))
+    Seq(freshDir, dir).foreach(d =>
+      graft.core.TempDirs.deleteRecursively(java.nio.file.Paths.get(d)))
+  }
+
   test("trained codebooks do not regress quantization error vs fixed seeds") {
     val vecs = vecsOf(emb)
     def mse(c: Pq.Codebooks): Double = {
