@@ -844,6 +844,28 @@ object SparkEntry {
           coalesce(col("lang"), lit("ALL")).as("lang"),
           col("n_docs"), col("total_chars"))),
 
+    // CUBE grouping sets over the same dimensions (all four marginal
+    // combinations in ONE pass — rollup's lattice plus the lang-only cut)
+    "corpus_cube" -> ((s, dir) =>
+      t(s, dir, "documents").cube(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .select(coalesce(col("source"), lit("ALL")).as("source"),
+          coalesce(col("lang"), lit("ALL")).as("lang"),
+          col("n_docs"), col("total_chars"))),
+
+    // Per-source QUANTILE length gate: keep docs inside their own source's
+    // [p05, p95] token-count band — outlier filtering RELATIVE to the
+    // source distribution; bounds are a broadcast corpus-stat aggregate,
+    // the gate is a narrow filter, no per-group sort at any scale
+    "text_length_gate" -> ((s, dir) =>
+      Curation.lengthGate(t(s, dir, "documents"), "text", "doc_id", "source")),
+
+    // CCNet-style head/middle/tail quality buckets per language: tercile
+    // thresholds of the corpus-LM score broadcast back over a narrow
+    // bucket pass (threshold comparison, never an ntile sort per language)
+    "text_quality_buckets" -> ((s, dir) =>
+      Curation.lmBuckets(t(s, dir, "documents"), "text", "doc_id", "lang")),
+
     // Pivot to a wide per-user activity profile (explicit value list, so
     // the schema is static and the plan is one ordinary aggregation)
     "events_pivot" -> ((s, dir) => {
@@ -2053,6 +2075,42 @@ object SparkEntry {
              coalesce(lang, 'ALL') AS lang, count(*) AS n_docs,
              CAST(sum(n_chars) AS BIGINT) AS total_chars
            FROM documents GROUP BY ROLLUP (source, lang)""",
+      "corpus_cube" ->
+        """SELECT coalesce(source, 'ALL') AS source,
+             coalesce(lang, 'ALL') AS lang, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars
+           FROM documents GROUP BY CUBE (source, lang)""",
+      "text_length_gate" ->
+        raw"""WITH d AS (SELECT doc_id, source,
+              CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(lower(text)), '\s+')) END
+                AS BIGINT) AS n_tok
+              FROM documents),
+            b AS (SELECT source, round(quantile_cont(n_tok, 0.05), 4) AS lo,
+                    round(quantile_cont(n_tok, 0.95), 4) AS hi
+                  FROM d GROUP BY source)
+            SELECT doc_id, source, n_tok, lo, hi FROM d JOIN b USING (source)
+            WHERE n_tok >= lo AND n_tok <= hi""",
+      "text_quality_buckets" ->
+        s"""WITH d AS (SELECT doc_id, $toks AS l FROM documents),
+           tri AS (SELECT doc_id,
+               unnest(list_transform(range(1, len(l) - 1),
+                 i -> l[i::INT] || ' ' || l[(i+1)::INT] || ' ' || l[(i+2)::INT])) AS tg
+             FROM d WHERE len(l) >= 3),
+           c AS (SELECT tg, count(*) AS c FROM tri GROUP BY tg),
+           tot AS (SELECT sum(c) AS n, count(*) AS v FROM c),
+           sc AS (SELECT tri.doc_id,
+               round(-avg(ln((c.c + 1.0) / (tot.n + tot.v))), 6) AS nll
+             FROM tri JOIN c USING (tg) CROSS JOIN tot GROUP BY tri.doc_id),
+           sl AS (SELECT sc.doc_id, documents.lang, nll
+                  FROM sc JOIN documents USING (doc_id)),
+           b AS (SELECT lang, round(quantile_cont(nll, 1.0/3), 6) AS t1,
+                   round(quantile_cont(nll, 2.0/3), 6) AS t2
+                 FROM sl GROUP BY lang)
+           SELECT doc_id, lang, nll,
+             CASE WHEN nll <= t1 THEN 'head'
+                  WHEN nll <= t2 THEN 'middle' ELSE 'tail' END AS bucket
+           FROM sl JOIN b USING (lang)""",
       "events_pivot" ->
         """SELECT user_id,
              count(*) FILTER (WHERE event_type = 'click') AS n_click,

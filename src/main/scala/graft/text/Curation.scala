@@ -185,6 +185,52 @@ object Curation {
       .withColumn("dup_frac", round(col("n_dup") / col("n_spans"), 6))
   }
 
+  /** Per-group QUANTILE length gate: keep documents whose token count lies
+    * inside the group's own [lo, hi] quantile band — the outlier gate that
+    * drops truncated fragments and concatenation accidents RELATIVE to
+    * their source's distribution (a fixed global threshold misclassifies
+    * whole sources whose lengths legitimately differ). Two corpus passes:
+    * the bounds are a per-group exact-percentile aggregate (map-side
+    * partial state, group-count-sized result — `groupCol` is a dimension,
+    * e.g. source/lang, so the bounds table broadcasts), then the gate is a
+    * narrow filter; no per-group sort exists at any scale. Bounds are
+    * rounded to 4 decimals so the comparison is engine-portable. */
+  def lengthGate(docs: DataFrame, textCol: String, idCol: String,
+                 groupCol: String, loQ: Double = 0.05,
+                 hiQ: Double = 0.95): DataFrame = {
+    val ntok = TextFunctions.tokenCount(col(textCol)).cast("long")
+    val measured = docs.select(col(idCol), col(groupCol), ntok.as("n_tok"))
+    val bounds = measured.groupBy(col(groupCol))
+      .agg(round(percentile(col("n_tok"), lit(loQ)), 4).as("lo"),
+        round(percentile(col("n_tok"), lit(hiQ)), 4).as("hi"))
+    measured.join(broadcast(bounds), Seq(groupCol))
+      .filter(col("n_tok") >= col("lo") && col("n_tok") <= col("hi"))
+      .select(col(idCol), col(groupCol), col("n_tok"), col("lo"), col("hi"))
+  }
+
+  /** CCNet-style quality BUCKETS: split each language's documents into
+    * head/middle/tail by the corpus-LM score ([[lmScore]] — lower
+    * perplexity = higher quality = head). The thresholds are per-language
+    * terciles of the score — a quantile AGGREGATE broadcast back over a
+    * narrow bucket pass, NOT an ntile window: bucketing by comparison
+    * against corpus-stat thresholds needs no per-language sort at any
+    * scale, and ties land deterministically (score is the 6-decimal
+    * rounded nll, boundary rule is `<=`). Output:
+    * (id, lang, nll, bucket). */
+  def lmBuckets(docs: DataFrame, textCol: String, idCol: String,
+                langCol: String): DataFrame = {
+    val scored = lmScore(docs, textCol, idCol)
+      .join(docs.select(col(idCol), col(langCol)), Seq(idCol))
+    val bounds = scored.groupBy(col(langCol))
+      .agg(round(percentile(col("nll"), lit(1.0 / 3)), 6).as("__t1"),
+        round(percentile(col("nll"), lit(2.0 / 3)), 6).as("__t2"))
+    scored.join(broadcast(bounds), Seq(langCol))
+      .select(col(idCol), col(langCol), col("nll"),
+        when(col("nll") <= col("__t1"), lit("head"))
+          .when(col("nll") <= col("__t2"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
   /** Duplicate-PASSAGE removal — the destructive counterpart of
     * [[dupSpans]]: each document's token stream splits into consecutive
     * `span`-token passages (trailing partial passage included); a passage

@@ -9,6 +9,39 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
 
   private lazy val docs = sf("documents")
 
+  test("lengthGate keeps each source's quantile band and drops its outliers") {
+    val synth = ((1 to 100).map(i => (i.toLong, "a", ("w " * 50).trim)) ++
+      Seq((101L, "a", "w"), (102L, "a", ("w " * 5000).trim)) ++
+      (1 to 10).map(i => (200L + i, "b", ("x " * i).trim))).toDF("doc_id", "source", "text")
+    val kept = Curation.lengthGate(synth, "text", "doc_id", "source")
+      .select("doc_id").as[Long].collect().toSet
+    // source a: the 100 uniform docs survive, the two extremes fall outside
+    // [p05, p95] of 102 values
+    assert((1 to 100).forall(i => kept.contains(i.toLong)))
+    assert(!kept.contains(101L) && !kept.contains(102L))
+    // source b (1..10 tokens): p05 = 1.45, p95 = 9.55 -> 2..9 survive
+    assert((2 to 9).forall(i => kept.contains(200L + i)))
+    assert(!kept.contains(201L) && !kept.contains(210L))
+  }
+
+  test("lmBuckets is a partition per language with monotone score boundaries") {
+    val out = Curation.lmBuckets(docs, "text", "doc_id", "lang")
+      .select(col("doc_id"), col("lang"), col("nll"), col("bucket"))
+      .as[(Long, String, Double, String)].collect()
+    // every scored doc (>= 3 tokens) gets exactly one bucket
+    val scoredIds = Curation.lmScore(docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(out.map(_._1).toSet == scoredIds && out.length == scoredIds.size)
+    out.groupBy(_._2).foreach { case (lang, rows) =>
+      def nlls(b: String) = rows.filter(_._4 == b).map(_._3)
+      val (h, m, t) = (nlls("head"), nlls("middle"), nlls("tail"))
+      if (h.nonEmpty && m.nonEmpty)
+        assert(h.max <= m.min, s"$lang head/middle boundary")
+      if (m.nonEmpty && t.nonEmpty)
+        assert(m.max <= t.min, s"$lang middle/tail boundary")
+    }
+  }
+
   test("contamination flags benchmark docs themselves and near-dups, nothing vocab-random") {
     val bench = docs.filter(col("doc_id") % 97 === 0)
     val hits = Curation.contamination(docs, bench, "text", "doc_id", n = 5)
