@@ -1640,6 +1640,14 @@ object SparkEntry {
     "text_dup_spans" -> ((s, dir) =>
       Curation.dupSpans(t(s, dir, "documents"), "text", "doc_id", span = 20)),
 
+    // CONTENT-DEFINED chunk dedup stats (FastCDC at token granularity):
+    // boundaries fall where the trailing 4-token window's md5 draw ≡ 0
+    // (mod 8), so a verbatim run shared at DIFFERENT offsets still yields
+    // identical chunks — the shift-robust sibling of text_dup_spans'
+    // fixed windows and text_span_scrub's fixed passages
+    "text_cdc_dedup" -> ((s, dir) =>
+      Curation.cdcDedupStats(t(s, dir, "documents"), "text", "doc_id")),
+
     // Duplicate-PASSAGE removal — the destructive counterpart of
     // text_dup_spans: consecutive 10-token passages dedup corpus-wide
     // (first occurrence in (doc_id, position) order survives) and each
@@ -2795,6 +2803,32 @@ object SparkEntry {
              round(sum(CASE WHEN h IN (SELECT h FROM f) THEN 1 ELSE 0 END)::DOUBLE
                / count(*), 6) AS dup_frac
            FROM sp GROUP BY doc_id""",
+      "text_cdc_dedup" -> {
+        def nib(k: Int) = s"(strpos('0123456789abcdef', substr(wh, $k, 1)) - 1)"
+        raw"""WITH d AS (SELECT doc_id, $toks AS l FROM documents),
+           t AS (SELECT doc_id, unnest(l) AS tok,
+                   generate_subscripts(l, 1) AS p, l FROM d),
+           w AS (SELECT doc_id, tok, p,
+                   md5(array_to_string(l[(p-3)::INT:p::INT], ' ')) AS wh FROM t),
+           hb AS (SELECT doc_id, tok, p,
+                   CASE WHEN p >= 4 AND
+                     (${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16
+                       + ${nib(4)}) % 8 = 0
+                     THEN 1 ELSE 0 END AS b FROM w),
+           c AS (SELECT doc_id, tok, p,
+                   coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY p
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cid
+                 FROM hb),
+           ch AS (SELECT doc_id, cid, md5(string_agg(tok, ' ' ORDER BY p)) AS h
+                  FROM c GROUP BY doc_id, cid),
+           f AS (SELECT h FROM ch GROUP BY h HAVING count(*) > 1)
+           SELECT doc_id, count(*) AS n_chunks,
+             CAST(sum(CASE WHEN h IN (SELECT h FROM f) THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_dup,
+             round(sum(CASE WHEN h IN (SELECT h FROM f) THEN 1 ELSE 0 END)::DOUBLE
+               / count(*), 6) AS dup_frac
+           FROM ch GROUP BY doc_id"""
+      },
       "text_span_scrub" ->
         s"""WITH d AS (SELECT doc_id, $toks AS l FROM documents),
            ch AS (SELECT doc_id, unnest(range(((len(l) - 1) // 10) + 1)) AS ci, l

@@ -275,6 +275,63 @@ object Curation {
           s => s.getField("__chunk"))).as("text_scrubbed"))
   }
 
+  /** CONTENT-DEFINED chunking (the FastCDC/rsync idea at token
+    * granularity): a chunk boundary falls after token p wherever the md5
+    * of the trailing `window`-token text satisfies `hash % div == 0` — the
+    * boundary depends only on LOCAL content, so inserting or deleting a
+    * token reshapes chunks near the edit and re-synchronizes within
+    * `window` tokens, where fixed-span chunking shifts EVERY later chunk.
+    * Expected chunk length is `div` tokens. The hash draw is the first 4
+    * md5 nibbles (engine-portable integer arithmetic, same family as the
+    * LSH/split oracles). Output: one row per chunk
+    * (id, cid, chunk, chunk_hash), cid in position order.
+    *
+    * Shape: one tokenization, two window frames over the per-doc token
+    * stream (trailing window text, then a running boundary count), one
+    * (id, cid) regroup. */
+  def cdcChunks(docs: DataFrame, textCol: String, idCol: String,
+                window: Int = 4, div: Int = 8): DataFrame = {
+    val byPos = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__p"))
+    val trailing = byPos.rowsBetween(-(window - 1), 0)
+    val toks = docs.select(col(idCol),
+      posexplode(TextFunctions.tokens(col(textCol))).as(Seq("__p", "__w")))
+    val bounded = toks
+      .withColumn("__win", collect_list(col("__w")).over(trailing))
+      .withColumn("__b",
+        when(size(col("__win")) === window &&
+          conv(substring(md5(concat_ws(" ", col("__win")).cast("binary")), 1, 4),
+            16, 10).cast("long") % div === 0, 1L).otherwise(0L))
+      .withColumn("__cid", coalesce(
+        sum(col("__b")).over(byPos.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    bounded.groupBy(col(idCol), col("__cid").as("cid"))
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("__p"), col("__w")))),
+        s => s.getField("__w"))).as("chunk"))
+      .withColumn("chunk_hash", md5(col("chunk").cast("binary")))
+  }
+
+  /** Chunk-level exact-dedup statistics over [[cdcChunks]] — the
+    * shift-robust sibling of [[dupSpans]]: a verbatim run shared between
+    * documents at DIFFERENT token offsets still yields identical chunks
+    * (boundaries re-synchronize on content), so the duplication shows up
+    * where fixed spans or fixed passages would slide past each other.
+    * Same two-pass corpus shape as [[dupSpans]]. Output:
+    * (id, n_chunks, n_dup, dup_frac). */
+  def cdcDedupStats(docs: DataFrame, textCol: String, idCol: String,
+                    window: Int = 4, div: Int = 8): DataFrame = {
+    val chunks = graft.ops.Caches.track(
+      cdcChunks(docs, textCol, idCol, window, div))
+    val dup = chunks.groupBy(col("chunk_hash")).agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > 1).select(col("chunk_hash"))
+    chunks.join(dup.withColumn("__dup", lit(1L)), Seq("chunk_hash"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(coalesce(col("__dup"), lit(0L))).as("n_dup"))
+      .withColumn("dup_frac", round(col("n_dup") / col("n_chunks"), 6))
+  }
+
   /** Cluster-balanced (diversity) sampling: keep `perCell` deterministic
     * representatives of each embedding cluster cell — the data-diversity
     * step that stops one dense region of embedding space from dominating a

@@ -42,6 +42,41 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("cdcChunks re-synchronizes after an insertion (fixed spans do not)") {
+    val base = (1 to 120).map(i => s"w$i").mkString(" ")
+    val shifted = "zzz " + base // one-token insertion at the front
+    val synth = Seq((1L, base), (2L, shifted)).toDF("doc_id", "text")
+    val chunks = Curation.cdcChunks(synth, "text", "doc_id")
+      .select(col("doc_id"), col("chunk_hash")).as[(Long, String)].collect()
+    val a = chunks.filter(_._1 == 1L).map(_._2).toSet
+    val b = chunks.filter(_._1 == 2L).map(_._2).toSet
+    val shared = (a intersect b).size.toDouble / a.size
+    // boundaries re-sync within the 4-token window: most chunks survive
+    assert(shared > 0.5, s"only ${(shared * 100).round}% of chunks shared")
+    // and the dedup stats see the duplication
+    val stats = Curation.cdcDedupStats(synth, "text", "doc_id")
+      .select(col("doc_id"), col("n_dup")).as[(Long, Long)].collect().toMap
+    assert(stats(1L) > 0 && stats(2L) > 0)
+    // control: fixed 10-token passages all shift — zero shared passages
+    val fixedDup = Curation.scrubDupSpans(synth, "text", "doc_id", span = 10)
+      .select(col("doc_id"), col("n_removed")).as[(Long, Long)].collect().toMap
+    assert(fixedDup(1L) == 0 && fixedDup(2L) == 0)
+  }
+
+  test("cdc chunk concatenation reproduces the token stream in order") {
+    val sample = docs.filter(col("doc_id") < 20)
+    val rebuilt = Curation.cdcChunks(sample, "text", "doc_id")
+      .groupBy(col("doc_id"))
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("cid"), col("chunk")))),
+        s => s.getField("chunk"))).as("joined"))
+    val orig = sample.select(col("doc_id"),
+      concat_ws(" ", TextFunctions.tokens(col("text"))).as("expect"))
+    val diff = rebuilt.join(orig, Seq("doc_id"))
+      .filter(col("joined") =!= col("expect")).count()
+    assert(diff == 0)
+  }
+
   test("contamination flags benchmark docs themselves and near-dups, nothing vocab-random") {
     val bench = docs.filter(col("doc_id") % 97 === 0)
     val hits = Curation.contamination(docs, bench, "text", "doc_id", n = 5)
