@@ -1634,6 +1634,21 @@ object SparkEntry {
         budgets = Map("src0" -> 10000000L, "src1" -> 0L),
         defaultBudget = 800L)),
 
+    // Temperature-based source resampling: per-source budgets ∝ n_s^0.7
+    // (alpha < 1 flattens the mix) over half the corpus's tokens; weights
+    // quantize to integer micro-units and the split is exact big-integer
+    // arithmetic, so the greedy md5-uniform selection is bit-stable
+    "mix_temperature" -> ((s, dir) =>
+      Curation.mixByTemperature(t(s, dir, "documents"), "doc_id", "text",
+        "source", alpha = 0.7, frac = 0.5)),
+
+    // KMV sketch MERGE: per-source bottom-k draw sets fold into the global
+    // estimate exactly (the distributed-aggregate property; the oracle
+    // computes the direct global sketch — merged must equal it)
+    "sketch_kmv_merge" -> ((s, dir) =>
+      graft.text.Sketches.kmvMerge(t(s, dir, "documents"), "source",
+        col("text"), k = 64)),
+
     // Duplicated-span statistics: 20-token sliding windows whose text
     // recurs anywhere in the corpus — the substring-dedup signal that
     // catches verbatim chunks pasted into otherwise-distinct documents
@@ -2904,6 +2919,48 @@ object SparkEntry {
             SELECT doc_id, source, n_tok, CAST(cum_tok AS BIGINT) AS cum_tok
             FROM c WHERE cum_tok - n_tok <
               CASE source WHEN 'src0' THEN 10000000 WHEN 'src1' THEN 0 ELSE 800 END"""
+      },
+      "mix_temperature" -> {
+        def nib(k: Int) =
+          s"(strpos('0123456789abcdef', substr(h, $k, 1)) - 1)::BIGINT"
+        val u32 = (1 to 8).map(k => s"${nib(k)} * ${1L << (4 * (8 - k))}")
+          .mkString(" + ")
+        raw"""WITH d AS (SELECT doc_id, source,
+                CAST(len(regexp_extract_all(lower(trim(text)),
+                  '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]')) AS BIGINT) AS n_tok,
+                md5('graft-mix:' || doc_id::VARCHAR) AS h
+              FROM documents),
+            s AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS ns
+                  FROM d GROUP BY source),
+            w AS (SELECT source, ns,
+                    CAST(floor(pow(ns, 0.7) * 1000000) AS BIGINT) AS w FROM s),
+            tot AS (SELECT CAST(sum(ns) AS BIGINT) AS total,
+                      CAST(sum(w) AS BIGINT) AS sumw FROM w),
+            b AS (SELECT source,
+                    CAST(CAST(floor(0.5 * total) AS HUGEINT) * w // sumw
+                      AS BIGINT) AS budget
+                  FROM w CROSS JOIN tot),
+            u AS (SELECT doc_id, source, n_tok, ($u32) / 4294967296.0 AS u FROM d),
+            c AS (SELECT doc_id, source, n_tok,
+                sum(n_tok) OVER (PARTITION BY source ORDER BY u, doc_id
+                  ROWS UNBOUNDED PRECEDING) AS cum_tok
+              FROM u)
+            SELECT c.doc_id, c.source, c.n_tok, CAST(cum_tok AS BIGINT) AS cum_tok
+            FROM c JOIN b USING (source) WHERE cum_tok - n_tok < budget"""
+      },
+      // the DIRECT global sketch: merged-per-source must equal it exactly
+      "sketch_kmv_merge" -> {
+        val nib = (k: Int) =>
+          s"(strpos('0123456789abcdef', substr(h, $k, 1)) - 1)::BIGINT"
+        val u32 = (1 to 8).map(k => s"${nib(k)} * ${1L << (4 * (8 - k))}")
+          .mkString(" + ")
+        s"""WITH h0 AS (SELECT md5('graft-kmv:' || text) AS h FROM documents),
+            d AS (SELECT DISTINCT ($u32) / 4294967296.0 AS u FROM h0),
+            r AS (SELECT u, row_number() OVER (ORDER BY u) AS rn FROM d)
+            SELECT count(*) AS n_kept,
+              round(CASE WHEN count(*) < 64 THEN count(*)::DOUBLE
+                ELSE 63.0 / max(u) END, 4) AS est_distinct
+            FROM r WHERE rn <= 64"""
       },
       "sketch_distinct_kmv" -> {
         // Sketches.kmvDistinct: k=64 minimum md5-uniform draws over

@@ -463,6 +463,38 @@ object Curation {
       .drop("__u", "__budget")
   }
 
+  /** Temperature-based source RESAMPLING (the multilingual-LM standard:
+    * sampling share q_s ∝ n_s^alpha, alpha < 1 flattens the source
+    * distribution so a dominant source cannot drown the tail): per-source
+    * token budgets are derived from the corpus's own counts and fed to
+    * [[mixToBudget]]'s deterministic md5-uniform greedy fill.
+    *
+    * The n_s^alpha weights quantize to integer MICRO-UNITS before any sum
+    * (house rule: no float summation whose order could differ across
+    * engines), and the budget split `T * w_s / Σw` is exact big-integer
+    * arithmetic — so the selection is bit-stable and oracle-checkable.
+    * Source counts are dimension-sized control data (driver collect). */
+  def mixByTemperature(docs: DataFrame, idCol: String, textCol: String,
+                       sourceCol: String, alpha: Double, frac: Double,
+                       salt: String = "graft-mix"): DataFrame = {
+    val counts = docs
+      .select(col(sourceCol),
+        size(TextFunctions.subwordTokens(col(textCol))).cast("long").as("__n"))
+      .groupBy(col(sourceCol)).agg(sum(col("__n")).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val total = counts.map(_._2).sum
+    val budgetT = math.floor(frac * total).toLong
+    val weights = counts.map { case (s, n) =>
+      s -> math.floor(math.pow(n.toDouble, alpha) * 1e6).toLong
+    }
+    val sumW = weights.map(_._2).sum
+    val budgets = weights.map { case (s, w) =>
+      s -> (BigInt(budgetT) * w / sumW).toLong
+    }.toMap
+    mixToBudget(docs, idCol, textCol, sourceCol, budgets,
+      defaultBudget = 0L, salt)
+  }
+
   // ---------------------------------------------------------------- sequence packing
 
   /** Pack documents into fixed token-budget training sequences: documents

@@ -49,6 +49,32 @@ object Sketches {
           .as("est_distinct"))
   }
 
+  /** MERGE of per-group KMV sketches into ONE global estimate — the
+    * property that makes KMV a distributed aggregate: the union of the
+    * groups' k-minimum draw sets contains the global k minimum distinct
+    * draws (a draw outside every group's bottom-k cannot be in the global
+    * bottom-k), so re-taking the k smallest of the merged sets IS the
+    * direct global sketch, exactly. The merge input is k×groups rows —
+    * control data; this is how a 100 TB per-shard sketch pass folds into
+    * one corpus cardinality without a second scan. Output: one row
+    * (n_kept, est_distinct). */
+  def kmvMerge(df: DataFrame, groupCol: String, value: Column, k: Int,
+               salt: String = "graft-kmv"): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2")
+    val draws = df.select(col(groupCol), Curation.hashUniform(value, salt).as("__u"))
+      .distinct()
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__u"))
+    val sketches = draws.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+    // the same value in two groups draws the same u — merged sets dedup
+    sketches.select(col("__u")).distinct().orderBy(col("__u")).limit(k)
+      .agg(count(lit(1)).as("n_kept"), max(col("__u")).as("__uk"))
+      .select(col("n_kept"),
+        round(when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise((lit(k) - 1).cast("double") / col("__uk")), 4)
+          .as("est_distinct"))
+  }
+
   // ---------------------------------------------------------------- Bloom decon
 
   /** Bloom geometry: m = 2^16 bits (1024 longs, an 8 KiB plan literal),

@@ -42,6 +42,32 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("temperature mixing flattens the source distribution and respects the budget") {
+    def shares(alpha: Double): Map[String, Long] =
+      Curation.mixByTemperature(docs, "doc_id", "text", "source",
+          alpha = alpha, frac = 0.3)
+        .groupBy(col("source")).agg(sum(col("n_tok")).as("t"))
+        .as[(String, Long)].collect().toMap
+    val sourceTotals = docs.select(col("source"),
+        size(TextFunctions.subwordTokens(col("text"))).cast("long").as("n"))
+      .groupBy("source").agg(sum(col("n")).as("n"))
+      .as[(String, Long)].collect().toMap
+    val total = sourceTotals.values.sum
+    val flat = shares(0.7)
+    val prop = shares(1.0)
+    // selected totals stay within the asked fraction (greedy fill may
+    // overshoot each source by at most one document)
+    val maxDoc = docs.select(max(size(TextFunctions.subwordTokens(col("text")))))
+      .as[Int].collect().head.toLong
+    assert(flat.values.sum <= (0.3 * total).toLong + maxDoc * flat.size)
+    // alpha < 1 gives the smallest source a strictly larger share of the
+    // selection than proportional sampling does
+    val smallest = sourceTotals.minBy(_._2)._1
+    def shareOf(m: Map[String, Long]) =
+      m.getOrElse(smallest, 0L).toDouble / m.values.sum
+    assert(shareOf(flat) > shareOf(prop), s"$smallest not upsampled")
+  }
+
   test("cdcChunks re-synchronizes after an insertion (fixed spans do not)") {
     val base = (1 to 120).map(i => s"w$i").mkString(" ")
     val shifted = "zzz " + base // one-token insertion at the front

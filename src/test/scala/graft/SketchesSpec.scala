@@ -11,6 +11,22 @@ class SketchesSpec extends AnyFunSuite with SparkTestBase {
 
   // ------------------------------------------------------------------ KMV
 
+  test("merged per-group KMV sketches equal the direct global sketch exactly") {
+    val merged = graft.text.Sketches
+      .kmvMerge(docs, "source", col("text"), k = 16)
+      .as[(Long, Double)].collect().head
+    val direct = graft.text.Sketches
+      .kmvDistinct(docs.withColumn("__g", lit("all")), "__g", col("text"), k = 16)
+      .select(col("n_kept"), col("est_distinct"))
+      .as[(Long, Double)].collect().head
+    assert(merged == direct)
+    // and merging a SINGLE group is the identity
+    val one = graft.text.Sketches
+      .kmvMerge(docs.withColumn("__g", lit("all")), "__g", col("text"), k = 16)
+      .as[(Long, Double)].collect().head
+    assert(one == direct)
+  }
+
   test("kmvDistinct is exact below k and within KMV error bounds above it") {
     val exact = docs.groupBy(col("source"))
       .agg(countDistinct(col("text")).as("n"))
