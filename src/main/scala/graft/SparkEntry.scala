@@ -1110,8 +1110,11 @@ object SparkEntry {
     // for substring-level dedup (one fp-key exchange; a boilerplate-heavy
     // fp behaves like an LSH bucket and AQE handles the skew)
     "dedup_winnow_pairs" -> ((s, dir) => {
-      val fp = Curation.winnow(t(s, dir, "documents"), "text", "doc_id",
-        k = 5, w = 4).select(col("doc_id"), col("fp")).distinct()
+      // pinned: the fingerprint frame feeds BOTH self-join sides — without
+      // it the winnow window pipeline plans (and runs) twice
+      val fp = graft.ops.Caches.track(
+        Curation.winnow(t(s, dir, "documents"), "text", "doc_id",
+          k = 5, w = 4).select(col("doc_id"), col("fp")).distinct())
       fp.select(col("doc_id").as("id_a"), col("fp"))
         .join(fp.select(col("doc_id").as("id_b"), col("fp")), Seq("fp"))
         .filter(col("id_a") < col("id_b"))
