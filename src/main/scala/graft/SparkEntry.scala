@@ -1414,6 +1414,21 @@ object SparkEntry {
         .select(col("doc_id"), col("byte_len"), col("dim1"), col("dim2"))
     }),
 
+    // Multimodal PERCEPTUAL-hash dedup: dHash-style gradient fingerprint
+    // over the blob's byte stream (16 bucket means, adjacent comparisons
+    // cross-multiplied in exact integers), then hash-group duplicate
+    // flagging — the image near-dup primitive; the tiny hash-count table
+    // joins back (AQE broadcasts it), the blob never leaves the scan
+    "mm_phash_dedup" -> ((s, dir) => {
+      val blobs = t(s, dir, "documents")
+        .withColumn("blob", encode(col("text"), "UTF-8"))
+      val hashed = graft.ops.Caches.track(blobs.select(col("doc_id"),
+        Multimodal.perceptualHash(col("blob")).as("phash")))
+      val cnt = hashed.groupBy(col("phash")).agg(count(lit(1)).as("__c"))
+      hashed.join(cnt, Seq("phash"))
+        .select(col("doc_id"), col("phash"), (col("__c") > 1).as("is_dup"))
+    }),
+
     // Multimodal frame sampling: fixed-size byte windows, every 2nd kept —
     // the blob never leaves codegen; frame content checked byte-exactly via
     // its hex against the oracle's hex-string slice
@@ -2538,6 +2553,25 @@ object SparkEntry {
       "mm_meta" ->
         """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
            md5(text) AS checksum FROM documents""",
+      "mm_phash_dedup" ->
+        """WITH d AS (SELECT doc_id,
+             regexp_extract_all(hex(encode(text)), '..') AS hx FROM documents),
+           v AS (SELECT doc_id,
+             list_transform(hx, s ->
+               ((strpos('0123456789ABCDEF', substr(s, 1, 1)) - 1) * 16 +
+                (strpos('0123456789ABCDEF', substr(s, 2, 1)) - 1))::BIGINT) AS bs,
+             len(hx) AS n FROM d),
+           b AS (SELECT doc_id, n, list_transform(range(16), b ->
+             coalesce(list_sum(bs[((n*b)//16 + 1)::INT:((n*(b+1))//16)::INT]), 0)
+               ::BIGINT) AS sums FROM v),
+           p AS (SELECT doc_id, CAST(coalesce(list_sum(list_transform(range(15), i ->
+             CASE WHEN sums[(i+1)::INT] * ((n*(i+2))//16 - (n*(i+1))//16)
+                       > sums[(i+2)::INT] * ((n*(i+1))//16 - (n*i)//16)
+               THEN (1::BIGINT << i::INT) ELSE 0 END)), 0) AS BIGINT) AS phash
+             FROM b),
+           c AS (SELECT phash, count(*) AS c FROM p GROUP BY phash)
+           SELECT doc_id, p.phash, (c.c > 1) AS is_dup
+           FROM p JOIN c ON p.phash = c.phash""",
       "mm_decode" ->
         """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
            CAST(1 + octet_length(encode(text)) % 640 AS INTEGER) AS dim1,

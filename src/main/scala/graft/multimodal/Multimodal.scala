@@ -109,6 +109,35 @@ object Multimodal {
     unhex(array_join(kept, ""))
   }
 
+  /** dHash-style PERCEPTUAL fingerprint over the blob's byte stream: the
+    * bytes split into `buckets` contiguous ranges, and bit b of the hash
+    * records whether bucket b's mean exceeds bucket b+1's — the gradient
+    * signature that survives re-encoding/scaling noise a checksum cannot
+    * (the image near-dup primitive; a real deployment computes it over
+    * decoded luma via the [[Decoder]] seam, this decoder-free form runs
+    * the identical arithmetic over the raw bytes). Mean comparisons are
+    * cross-multiplied integer sums — no division, engine-exact. Pure
+    * expressions over the blob's hex: codegen-friendly, the blob never
+    * leaves the scan. Hash width = buckets−1 bits. */
+  def perceptualHash(blob: Column, buckets: Int = 16): Column = {
+    require(buckets >= 2 && buckets <= 33, "1..32 hash bits")
+    val bytes = regexp_extract_all(hex(blob), lit(".."), lit(0))
+    val n = size(bytes)
+    // bucket b covers 0-based [n*b/B, n*(b+1)/B) — /B is exact double math
+    // for B a power of two, truncation = floor for nonnegative values
+    def lo(b: Int): Column = (n * lit(b) / lit(buckets)).cast("int")
+    val sums = array((0 until buckets).map { b =>
+      aggregate(slice(bytes, lo(b) + 1, lo(b + 1) - lo(b)), lit(0L),
+        (acc, s) => acc + conv(s, 16, 10).cast("long"))
+    }: _*)
+    val cnts = array((0 until buckets).map(b => (lo(b + 1) - lo(b)).cast("long")): _*)
+    (0 until buckets - 1).map { b =>
+      when(element_at(sums, b + 1) * element_at(cnts, b + 2) >
+        element_at(sums, b + 2) * element_at(cnts, b + 1),
+        pow(lit(2.0d), b).cast("long")).otherwise(0L)
+    }.reduce(_ + _)
+  }
+
   /** Byte-budget repartition before decode: media rows are fat, so balance
     * by cumulative blob size, not row count. */
   def repartitionByBytes(df: DataFrame, blobCol: String, targetBytesPerPartition: Long): DataFrame = {

@@ -15,6 +15,32 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     (3L, "")
   ).toDF("id", "text").withColumn("blob", encode(col("text"), "UTF-8"))
 
+  test("perceptualHash matches a plain-Scala dHash reference") {
+    def ref(bytes: Array[Byte], buckets: Int = 16): Long = {
+      val n = bytes.length
+      def lo(b: Int) = n * b / buckets
+      val sums = (0 until buckets).map(b =>
+        (lo(b) until lo(b + 1)).map(i => (bytes(i) & 0xff).toLong).sum)
+      val cnts = (0 until buckets).map(b => (lo(b + 1) - lo(b)).toLong)
+      (0 until buckets - 1).foldLeft(0L)((acc, b) =>
+        acc + (if (sums(b) * cnts(b + 1) > sums(b + 1) * cnts(b)) 1L << b else 0L))
+    }
+    val docs = sf("documents").filter(col("doc_id") < 50)
+      .withColumn("blob", encode(col("text"), "UTF-8"))
+    val got = docs.select(col("doc_id"),
+        Multimodal.perceptualHash(col("blob")).as("ph"), col("text"))
+      .as[(Long, Long, String)].collect()
+    assert(got.length == 50)
+    got.foreach { case (id, ph, text) =>
+      assert(ph == ref(text.getBytes("UTF-8")), s"doc $id")
+    }
+    // identical blobs hash identically; the empty blob is well-defined
+    assert(ref(Array.emptyByteArray) == 0L)
+    val e = blobs.filter(col("id") === 3L)
+      .select(Multimodal.perceptualHash(col("blob"))).as[Long].collect().head
+    assert(e == 0L)
+  }
+
   test("withMeta attaches typed metadata (byte_len, checksum)") {
     val out = Multimodal.withMeta(blobs, "blob", "image", "raw")
       .select(col("id"), col("meta.media_type"), col("meta.byte_len"))
