@@ -13,7 +13,9 @@ object PlanAudit {
       "a6_reduce_sum", "a10_join_report", "b1_exact_ci", "b8_show",
       "dedup_minhash", "sim_topk_bruteforce", "sim_topk_ivf", "events_hourly",
       "events_asof", "events_interval_join", "b14_url_search", "search_bm25",
-      "search_phrase", "text_tfidf_topk")
+      "search_phrase", "text_tfidf_topk", "sim_topk_hamming", "sim_topk_mrl",
+      "text_span_scrub", "text_cdc_dedup", "text_length_gate",
+      "mm_phash_dedup", "mix_temperature", "sketch_kmv_merge")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
