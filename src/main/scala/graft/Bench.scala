@@ -70,11 +70,14 @@ object Bench {
       .take(kept.size).map(_._2).sum
     val qs = (kept :+ s"\"other\":${fmt(otherSum)}").mkString(",")
     // Full per-query detail goes to a file (the tail window can't hold it).
+    // Subset runs (SPARK_GRAFT_ONLY) must not clobber the full-suite
+    // baseline — they land in a sibling file instead.
     val full = results.map { case (k, v) => s"\"$k\":${fmt(v)}" }
       .mkString("{", ",", "}")
     val fullLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$full,"sf":"$sfName"}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+    val outFile = if (only.isEmpty) "BENCH_FULL.json" else "BENCH_SUBSET.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (fullLine + "\n").getBytes("UTF-8"))
     // Stop Spark BEFORE printing: executor/shutdown log lines must not land
     // between the JSON line and sbt's trailing "[success]" line, or they eat

@@ -376,9 +376,14 @@ object SparkEntry {
         case Some(b) => b.toLong
         case None =>
           val b = store.committedBatch.getOrElse(0L) + 1
-          store.setMeta("tt_past", b.toString)
           BucketedRun.applyChanges(s, ordersSumPipeline, sources(s, dir), store,
             ordersBatch(s, dir, 7993, Change.Deleted), b, batchId = b)
+          // marker only after the bootstrap batch committed — a failed
+          // bootstrap must retry, not poison later invocations with an
+          // as-of target whose snapshot never materialized (the staged
+          // meta rides the NEXT commit, which is fine: the store is
+          // process-scoped and the marker only gates re-bootstrapping)
+          store.setMeta("tt_past", b.toString)
           b
       }
       // steady state: ONE live restore batch per invocation (a fresh seq so
@@ -1654,8 +1659,9 @@ object SparkEntry {
 
     // Temperature-based source resampling: per-source budgets ∝ n_s^0.7
     // (alpha < 1 flattens the mix) over half the corpus's tokens; weights
-    // quantize to integer micro-units and the split is exact big-integer
-    // arithmetic, so the greedy md5-uniform selection is bit-stable
+    // quantize to unit integers (1-ulp pow wobble stays far from the floor
+    // boundary) and the split is exact big-integer arithmetic, so the
+    // greedy md5-uniform selection is bit-stable
     "mix_temperature" -> ((s, dir) =>
       Curation.mixByTemperature(t(s, dir, "documents"), "doc_id", "text",
         "source", alpha = 0.7, frac = 0.5)),
@@ -2970,7 +2976,7 @@ object SparkEntry {
             s AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS ns
                   FROM d GROUP BY source),
             w AS (SELECT source, ns,
-                    CAST(floor(pow(ns, 0.7) * 1000000) AS BIGINT) AS w FROM s),
+                    CAST(floor(pow(ns, 0.7)) AS BIGINT) AS w FROM s),
             tot AS (SELECT CAST(sum(ns) AS BIGINT) AS total,
                       CAST(sum(w) AS BIGINT) AS sumw FROM w),
             b AS (SELECT source,

@@ -121,21 +121,27 @@ object Multimodal {
     * leaves the scan. Hash width = buckets−1 bits. */
   def perceptualHash(blob: Column, buckets: Int = 16): Column = {
     require(buckets >= 2 && buckets <= 33, "1..32 hash bits")
-    val bytes = regexp_extract_all(hex(blob), lit(".."), lit(0))
-    val n = size(bytes)
-    // bucket b covers 0-based [n*b/B, n*(b+1)/B) — /B is exact double math
-    // for B a power of two, truncation = floor for nonnegative values
-    def lo(b: Int): Column = (n * lit(b) / lit(buckets)).cast("int")
-    val sums = array((0 until buckets).map { b =>
-      aggregate(slice(bytes, lo(b) + 1, lo(b + 1) - lo(b)), lit(0L),
-        (acc, s) => acc + conv(s, 16, 10).cast("long"))
-    }: _*)
-    val cnts = array((0 until buckets).map(b => (lo(b + 1) - lo(b)).cast("long")): _*)
-    (0 until buckets - 1).map { b =>
-      when(element_at(sums, b + 1) * element_at(cnts, b + 2) >
-        element_at(sums, b + 2) * element_at(cnts, b + 1),
-        pow(lit(2.0d), b).cast("long")).otherwise(0L)
-    }.reduce(_ + _)
+    // bind the (expensive) hex split ONCE — every sum/count below sees the
+    // lambda variable, not a re-evaluated regex subtree (the withTokens
+    // idiom; HOF trees are interpreted with no CSE)
+    element_at(transform(array(regexp_extract_all(hex(blob), lit(".."), lit(0))),
+      bytes => {
+        val n = size(bytes)
+        // bucket b covers 0-based [n*b/B, n*(b+1)/B) — /B is exact double
+        // math for B a power of two, truncation = floor for nonneg values
+        def lo(b: Int): Column = (n * lit(b) / lit(buckets)).cast("int")
+        val sums = array((0 until buckets).map { b =>
+          aggregate(slice(bytes, lo(b) + 1, lo(b + 1) - lo(b)), lit(0L),
+            (acc, s) => acc + conv(s, 16, 10).cast("long"))
+        }: _*)
+        val cnts = array((0 until buckets).map(b =>
+          (lo(b + 1) - lo(b)).cast("long")): _*)
+        (0 until buckets - 1).map { b =>
+          when(element_at(sums, b + 1) * element_at(cnts, b + 2) >
+            element_at(sums, b + 2) * element_at(cnts, b + 1),
+            lit(1L << b)).otherwise(0L)
+        }.reduce(_ + _)
+      }), 1)
   }
 
   /** Byte-budget repartition before decode: media rows are fat, so balance

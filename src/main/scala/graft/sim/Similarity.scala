@@ -221,9 +221,11 @@ object Similarity {
     * sum inside a signed long with no overflow games. */
   def signBits(vec: Column, lo: Int, hi: Int): Column = {
     require(hi - lo > 0 && hi - lo <= 63, s"signBits range must be 1..63 bits, got ${hi - lo}")
-    aggregate(sequence(lit(lo), lit(hi - 1)), lit(0L),
-      (acc, i) => acc + when(element_at(vec, i + 1) > 0, pow(lit(2.0d), i - lo).cast("long"))
-        .otherwise(0L))
+    // static unroll with integer literal masks: no HOF (stays inside
+    // whole-stage codegen), no transcendental round-trip
+    (lo until hi).map { i =>
+      when(element_at(vec, i + 1) > 0, lit(1L << (i - lo))).otherwise(0L)
+    }.reduce(_ + _)
   }
 
   /** Binary (sign) quantization + EXACT Hamming top-k — the classic

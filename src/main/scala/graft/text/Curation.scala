@@ -219,8 +219,10 @@ object Curation {
     * (id, lang, nll, bucket). */
   def lmBuckets(docs: DataFrame, textCol: String, idCol: String,
                 langCol: String): DataFrame = {
-    val scored = lmScore(docs, textCol, idCol)
-      .join(docs.select(col(idCol), col(langCol)), Seq(idCol))
+    // pinned: the scored frame feeds both the tercile bounds and the final
+    // bucket pass — without it the post-shuffle join/score stages run twice
+    val scored = graft.ops.Caches.track(lmScore(docs, textCol, idCol)
+      .join(docs.select(col(idCol), col(langCol)), Seq(idCol)))
     val bounds = scored.groupBy(col(langCol))
       .agg(round(percentile(col("nll"), lit(1.0 / 3)), 6).as("__t1"),
         round(percentile(col("nll"), lit(2.0 / 3)), 6).as("__t2"))
@@ -469,11 +471,15 @@ object Curation {
     * token budgets are derived from the corpus's own counts and fed to
     * [[mixToBudget]]'s deterministic md5-uniform greedy fill.
     *
-    * The n_s^alpha weights quantize to integer MICRO-UNITS before any sum
-    * (house rule: no float summation whose order could differ across
-    * engines), and the budget split `T * w_s / Σw` is exact big-integer
-    * arithmetic — so the selection is bit-stable and oracle-checkable.
-    * Source counts are dimension-sized control data (driver collect). */
+    * The n_s^alpha weights quantize to UNIT integers before any sum (house
+    * rule: no float summation whose order could differ across engines),
+    * and the budget split `T * w_s / Σw` is exact big-integer arithmetic.
+    * `pow` is the one transcendental in the pipeline and is only
+    * 1-ulp-reproducible across engines; unit (not micro-unit) quantization
+    * keeps a 1-ulp wobble ~10 orders of magnitude away from the floor
+    * boundary, at the cost of ≤ 1/w_s relative budget granularity — the
+    * right trade for a mixing ratio. Source counts are dimension-sized
+    * control data (driver collect). */
   def mixByTemperature(docs: DataFrame, idCol: String, textCol: String,
                        sourceCol: String, alpha: Double, frac: Double,
                        salt: String = "graft-mix"): DataFrame = {
@@ -485,7 +491,7 @@ object Curation {
     val total = counts.map(_._2).sum
     val budgetT = math.floor(frac * total).toLong
     val weights = counts.map { case (s, n) =>
-      s -> math.floor(math.pow(n.toDouble, alpha) * 1e6).toLong
+      s -> math.floor(math.pow(n.toDouble, alpha)).toLong
     }
     val sumW = weights.map(_._2).sum
     val budgets = weights.map { case (s, w) =>
