@@ -1317,6 +1317,51 @@ object SparkEntry {
           round(col("adc_dist"), 6).as("adc_dist"), col("rank"))
     }),
 
+    // The ANN code index kept fresh under a VECTOR CHANGE STREAM (the
+    // bm25_stream shape for the similarity family): a cold index missing a
+    // residue class and holding corrupted vectors for another converges
+    // through a real readStream (one file per micro-batch, each applied
+    // log-structured under its batch id) — and the probe must match the
+    // fresh-build oracle
+    "sim_ivfpq_stream" -> ((s, dir) => {
+      val path = pqIndexPaths.getOrElseUpdate(dir + "#stream", {
+        val e = t(s, dir, "embeddings")
+        val p = graft.core.TempDirs.register(
+          java.nio.file.Files.createTempDirectory("graft_ivfpqs")).toString
+        val stale = e.withColumn("embedding",
+          when(pmod(col("vec_id"), lit(11)) === 5,
+            transform(col("embedding"), x => -x)).otherwise(col("embedding")))
+        graft.sim.Pq.buildCodeIndex(
+          stale.filter(pmod(col("vec_id"), lit(11)) =!= 4),
+          "vec_id", "embedding", fixedCentroids(s, dir), pqCodebooks(s, dir), p)
+        val streamDir = graft.core.TempDirs.register(
+          java.nio.file.Files.createTempDirectory("graft_ivfpqs_in")).toString
+        e.filter(pmod(col("vec_id"), lit(11)).isin(4, 5))
+          .select(col("vec_id"), col("embedding"))
+          .repartition(3).write.mode("overwrite").parquet(streamDir)
+        val noDeletes = e.filter(lit(false)).select(col("vec_id"))
+        val cents = fixedCentroids(s, dir)
+        val cbs = pqCodebooks(s, dir)
+        val q = s.readStream.schema(s.read.parquet(streamDir).schema)
+          .option("maxFilesPerTrigger", "1").parquet(streamDir)
+          .writeStream
+          .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+            graft.sim.Pq.updateCodeIndex(p, cents, cbs, b.toDF(), "vec_id",
+              "embedding", noDeletes, gen = id + 1)
+            ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        p
+      })
+      val q = t(s, dir, "embeddings").filter(col("vec_id") % 50 === 0)
+      graft.sim.Pq.probeCodeIndex(q, "vec_id", "embedding",
+        fixedCentroids(s, dir), pqCodebooks(s, dir), path, nProbe = 3, k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("cell"),
+          round(col("adc_dist"), 6).as("adc_dist"), col("rank"))
+    }),
+
     // Binary (sign) quantization + exact Hamming top-k: 64 dims pack into
     // two 32-bit sign words, distance is two XOR+popcount ops — approximate
     // only in the REPRESENTATION, so given the packed bits the integer
@@ -2498,6 +2543,7 @@ object SparkEntry {
       // sim_ivfpq_incr shares the oracle verbatim (ivfPqSql).
       "sim_topk_ivfpq" -> ivfPqSql,
       "sim_ivfpq_incr" -> ivfPqSql,
+      "sim_ivfpq_stream" -> ivfPqSql,
       // same pair formulation as embed_cos_neardup, restricted to co-celled
       // vectors via the shared fixed-centroid assignment CTEs
       "embed_neardup_cell" ->
