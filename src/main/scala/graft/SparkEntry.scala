@@ -1150,6 +1150,27 @@ object SparkEntry {
         .select(col("doc_id"))
     }),
 
+    // The CAPSTONE end-to-end curation pipeline: near-dup RESOLUTION
+    // (MinHash pairs → connected components → survivors) ∘ language +
+    // quality gates ∘ per-source quantile length gate (bounds computed on
+    // the gated population itself) ∘ temperature mixing to per-source
+    // budgets — the whole chain a pretraining run executes, one oracle.
+    // The filtered survivor set is pinned: it feeds the gate-bounds pass,
+    // the gate join and the mix, and the CC loop must not re-run per use
+    "pipeline_curate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = DocDedup.nearDupPairs(docs, "text", "doc_id",
+        threshold = 0.8, numHashes = 32, bands = 8, maxBucketSize = 10000)
+      val filtered = graft.ops.Caches.track(
+        Components.survivors(docs, "doc_id", pairs)
+          .filter(TextFunctions.langId(col("text")) === "en" &&
+            TextFunctions.qualityScore(col("text")) >= 0.55))
+      val gated = Curation.lengthGate(filtered, "text", "doc_id", "source")
+      val gatedDocs = filtered.join(gated.select(col("doc_id")), Seq("doc_id"))
+      Curation.mixByTemperature(gatedDocs, "doc_id", "text", "source",
+        alpha = 0.7, frac = 0.5)
+    }),
+
     // SimHash hamming near-dup pairs. The md5-nibble signature variant is
     // bit-for-bit reproducible in DuckDB, so the whole pipeline (signature
     // → chunk blocking → hamming verify) is hash-checked by the oracle;
@@ -2378,6 +2399,66 @@ object SparkEntry {
             WHERE NOT (en = 0 AND es = 0 AND fr = 0 AND de = 0 AND zh = 0)
               AND en >= es AND en >= fr AND en >= de AND en >= zh
               AND ($qualityExpr) >= 0.55""",
+      "pipeline_curate" -> {
+        def nib(k: Int) =
+          s"(strpos('0123456789abcdef', substr(h, $k, 1)) - 1)::BIGINT"
+        val u32 = (1 to 8).map(k => s"${nib(k)} * ${1L << (4 * (8 - k))}")
+          .mkString(" + ")
+        raw"""WITH RECURSIVE sh AS (SELECT doc_id, $shingles AS s FROM documents),
+            p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                  WHERE len(list_intersect(a.s, b.s))::DOUBLE
+                    / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+            ed AS (SELECT id_a AS src, id_b AS dst FROM p
+                   UNION SELECT id_b, id_a FROM p),
+            walk(id, reach) AS (
+              SELECT src, dst FROM ed
+              UNION
+              SELECT w.id, e2.dst FROM walk w JOIN ed e2 ON w.reach = e2.src),
+            lab AS (SELECT id, min(reach) AS m FROM walk GROUP BY id),
+            surv AS (SELECT d.doc_id, d.text, d.source FROM documents d
+                     LEFT JOIN lab ON d.doc_id = lab.id
+                     WHERE lab.id IS NULL OR lab.m >= d.doc_id),
+            lh AS (SELECT doc_id, text, source, ${langHits("en")} AS en,
+                  ${langHits("es")} AS es, ${langHits("fr")} AS fr,
+                  ${langHits("de")} AS de, ${langHits("zh")} AS zh
+                  FROM surv),
+            fil AS (SELECT doc_id, text, source FROM lh
+              WHERE NOT (en = 0 AND es = 0 AND fr = 0 AND de = 0 AND zh = 0)
+                AND en >= es AND en >= fr AND en >= de AND en >= zh
+                AND ($qualityExpr) >= 0.55),
+            m AS (SELECT doc_id, source, text,
+                CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+                  ELSE len($toks) END AS BIGINT) AS n_wtok
+              FROM fil),
+            gb AS (SELECT source, round(quantile_cont(n_wtok, 0.05), 4) AS lo,
+                     round(quantile_cont(n_wtok, 0.95), 4) AS hi
+                   FROM m GROUP BY source),
+            g AS (SELECT m.doc_id, m.source, m.text FROM m JOIN gb USING (source)
+                  WHERE n_wtok >= lo AND n_wtok <= hi),
+            mm AS (SELECT doc_id, source,
+                CAST(len(regexp_extract_all(lower(trim(text)),
+                  '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]')) AS BIGINT) AS n_tok,
+                md5('graft-mix:' || doc_id::VARCHAR) AS h
+              FROM g),
+            sc2 AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS ns
+                    FROM mm GROUP BY source),
+            wt AS (SELECT source, ns,
+                     CAST(floor(pow(ns, 0.7)) AS BIGINT) AS w FROM sc2),
+            tot AS (SELECT CAST(sum(ns) AS BIGINT) AS total,
+                      CAST(sum(w) AS BIGINT) AS sumw FROM wt),
+            bb AS (SELECT source,
+                     CAST(CAST(floor(0.5 * total) AS HUGEINT) * w // sumw
+                       AS BIGINT) AS budget
+                   FROM wt CROSS JOIN tot),
+            uu AS (SELECT doc_id, source, n_tok, ($u32) / 4294967296.0 AS u FROM mm),
+            cc AS (SELECT doc_id, source, n_tok,
+                sum(n_tok) OVER (PARTITION BY source ORDER BY u, doc_id
+                  ROWS UNBOUNDED PRECEDING) AS cum_tok
+              FROM uu)
+            SELECT cc.doc_id, cc.source, cc.n_tok, CAST(cum_tok AS BIGINT) AS cum_tok
+            FROM cc JOIN bb USING (source) WHERE cum_tok - n_tok < budget"""
+      },
       "dedup_ngram_jaccard" ->
         s"""WITH sh AS (SELECT doc_id, $shingles AS s FROM documents
               WHERE doc_id % 3 = 0 AND doc_id < 1500)
