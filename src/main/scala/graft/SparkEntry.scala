@@ -1533,6 +1533,19 @@ object SparkEntry {
         "text", "doc_id", n = 5)
     }),
 
+    // FUZZY decontamination: corpus docs that are MinHash NEAR-dups of a
+    // benchmark doc (exact-Jaccard-verified, identity pairs kept — a
+    // verbatim leak IS the signal). Catches paraphrased leakage the exact
+    // 5-gram overlap (decon_overlap) misses; the probe side broadcasts
+    "decon_fuzzy" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      DocDedup.crossNearDupPairs(docs, bench, "text", "doc_id",
+        threshold = 0.8, maxBucketSize = 10000)
+        .select(col("id_a").as("doc_id"), col("id_b").as("bench_id"),
+          round(col("jaccard"), 6).as("jaccard"))
+    }),
+
     // PII scrubbing. The synthetic corpus is PII-free, so each row gets a
     // deterministic injected contact line (email + phone + IPv4) derived
     // from its doc_id; the oracle injects the identical line and re-derives
@@ -2724,6 +2737,19 @@ object SparkEntry {
              substring(coalesce(array_to_string(kept, ''), ''), 1, 128)
                AS resized_hex_prefix
            FROM b""",
+      // exact corpus × benchmark all-pairs Jaccard — the LSH candidates
+      // plus exact verify must reproduce it (same 3-shingle substrate as
+      // dedup_minhash)
+      "decon_fuzzy" ->
+        s"""WITH sh AS (SELECT doc_id, $shingles AS s FROM documents),
+            b AS (SELECT doc_id AS bench_id, s AS bs FROM sh
+                  WHERE doc_id % 97 = 0)
+            SELECT sh.doc_id, b.bench_id,
+              round(len(list_intersect(sh.s, b.bs))::DOUBLE
+                / len(list_distinct(list_concat(sh.s, b.bs))), 6) AS jaccard
+            FROM sh CROSS JOIN b
+            WHERE len(list_intersect(sh.s, b.bs))::DOUBLE
+              / len(list_distinct(list_concat(sh.s, b.bs))) >= 0.8""",
       "decon_overlap" -> {
         // word 5-gram shingles, distinct per doc — mirrors
         // DocDedup.shingles(n=5) ∘ array_distinct

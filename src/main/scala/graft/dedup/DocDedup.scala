@@ -175,6 +175,49 @@ object DocDedup {
     pairsFromSigned(banded, sets, threshold, maxBucketSize)
   }
 
+  /** Near-dup pairs ACROSS two document sets — the cross-set variant of
+    * [[nearDupPairs]] (fuzzy benchmark DECONTAMINATION is the canonical
+    * use: corpus documents that are near-duplicates of an eval-suite
+    * document leak the benchmark even when no exact n-gram survives
+    * paraphrase). Both sides sign once; candidates come from the
+    * (band, bucket) equi-join with the probe side BROADCAST (an eval
+    * suite is control-sized next to a corpus), then exact-Jaccard
+    * verification. The corpus side's hot buckets cap exactly as in the
+    * self-join path. Identity pairs are kept — a probe document present
+    * verbatim in the corpus IS the contamination signal. Output:
+    * (id_a = corpus id, id_b = probe id, jaccard). */
+  def crossNearDupPairs(
+      docs: DataFrame, probe: DataFrame, textCol: String, idCol: String,
+      threshold: Double, numHashes: Int = 32, bands: Int = 8,
+      shingleN: Int = 3, maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sets = graft.ops.Caches.track(shingleSets(docs, textCol, idCol, shingleN))
+    val banded0 = bandedBuckets(
+      sets.withColumn("__sig", minhashSignatureOfSets(col("__sh"), numHashes)),
+      bands, rows)
+    val banded =
+      if (maxBucketSize == Int.MaxValue) banded0
+      else graft.ops.Caches.track(capBuckets(banded0, maxBucketSize))
+    val psets = graft.ops.Caches.track(
+      shingleSets(probe, textCol, idCol, shingleN))
+    val pbanded = bandedBuckets(
+      psets.withColumn("__sig", minhashSignatureOfSets(col("__sh"), numHashes)),
+      bands, rows)
+    val cands = banded.alias("a")
+      .join(broadcast(pbanded.alias("p")),
+        col("a.__band") === col("p.__band") &&
+          col("a.__bucket") === col("p.__bucket"))
+      .select(col("a.__id").as("id_a"), col("p.__id").as("id_b"))
+      .distinct()
+    cands
+      .join(sets.select(col("__id").as("id_a"), col("__sh").as("__sa")), "id_a")
+      .join(broadcast(psets.select(col("__id").as("id_b"), col("__sh").as("__sb"))), "id_b")
+      .withColumn("jaccard", jaccardSets(col("__sa"), col("__sb")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** Verified near-dup pairs from ALREADY-computed (and cached) banded
     * buckets + shingle sets — the self-join + exact-Jaccard verify stage of
     * [[nearDupPairs]], factored out so callers that already hold the signed

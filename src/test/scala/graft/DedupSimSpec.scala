@@ -14,6 +14,20 @@ class DedupSimSpec extends AnyFunSuite with SparkTestBase {
   private lazy val emb = sf("embeddings")
   graft.functions.GraftFunctions.register(spark)
 
+  test("crossNearDupPairs vs the corpus itself reproduces the self-join pair set") {
+    val self = DocDedup.nearDupPairs(docs, "text", "doc_id", threshold = 0.8)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    val cross = DocDedup.crossNearDupPairs(docs, docs, "text", "doc_id",
+        threshold = 0.8)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    // every document pairs with itself (jaccard 1)
+    assert(cross.count { case (a, b) => a == b } == docs.count())
+    // orientation-normalized non-identity pairs equal the self-join set
+    val norm = cross.collect { case (a, b) if a != b =>
+      (math.min(a, b), math.max(a, b)) }
+    assert(norm == self && self.nonEmpty)
+  }
+
   test("native graft_dot is bit-identical to the HOF fold (same element order)") {
     val out = emb.limit(64).select(
       Similarity.dot(col("embedding"), col("embedding")).as("native"),
