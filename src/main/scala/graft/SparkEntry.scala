@@ -1405,6 +1405,22 @@ object SparkEntry {
           round(col("cosine"), 6).as("cosine"), col("rank"))
     }),
 
+    // Distributed GRAM matrix (the PCA/whitening substrate): Σ_rows x·xᵀ
+    // as one exploded aggregate — per-term products quantize to integer
+    // micro-units BEFORE the sum (house rule: no float summation whose
+    // order could differ), and map-side partial aggregation bounds the
+    // shuffle to partitions × 64² keys regardless of corpus size
+    "embed_gram" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      e.select(col("embedding").as("__v"),
+          posexplode(col("embedding")).as(Seq("i", "__xi")))
+        .select(col("i"), col("__xi"),
+          posexplode(col("__v")).as(Seq("j", "__xj")))
+        .groupBy(col("i"), col("j"))
+        .agg(sum(floor(col("__xi").cast("double") * col("__xj") * 1e6)
+          .cast("long")).as("g_micro"))
+    }),
+
     // Embedding-cosine near-dup pairs (brute-force exact baseline; the LSH
     // scale path is Similarity.cosineNearDupPairs, approximate by design)
     "embed_cos_neardup" -> ((s, dir) =>
@@ -2493,6 +2509,16 @@ object SparkEntry {
                CAST(row_number() OVER (PARTITION BY query_id
                  ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
              FROM q JOIN c ON query_id <> neighbor_id) WHERE rank <= 5""",
+      "embed_gram" ->
+        """WITH v AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+           a AS (SELECT v, unnest(v) AS xi,
+                   CAST(generate_subscripts(v, 1) - 1 AS INTEGER) AS i FROM v),
+           b AS (SELECT i, xi, unnest(v) AS xj,
+                   CAST(generate_subscripts(v, 1) - 1 AS INTEGER) AS j FROM a)
+           SELECT i, j,
+             CAST(sum(CAST(floor(xi * xj * 1000000) AS BIGINT)) AS BIGINT)
+               AS g_micro
+           FROM b GROUP BY i, j""",
       "sim_topk_hamming" ->
         """WITH p AS (SELECT vec_id,
              CAST(list_sum(list_transform(range(0, 32), i -> CASE

@@ -46,6 +46,37 @@ object TextHashKernels {
     new GenericArrayData(out)
   }
 
+  /** dHash-style perceptual fingerprint over raw bytes: `buckets`
+    * contiguous ranges, bit b = bucket b's mean > bucket b+1's mean
+    * (cross-multiplied integer sums — no division). Bit-identical to the
+    * composed expression form
+    * ([[graft.multimodal.Multimodal.perceptualHashHof]]); bucket bounds
+    * are n·b/buckets with integer truncation, matching both the HOF form
+    * (exact power-of-two double division) and the DuckDB oracle's `//`. */
+  def phash(blob: Array[Byte], buckets: Int): Long = {
+    val n = blob.length
+    val sums = new Array[Long](buckets)
+    val cnts = new Array[Long](buckets)
+    var b = 0
+    while (b < buckets) {
+      val lo = (n.toLong * b / buckets).toInt
+      val hi = (n.toLong * (b + 1) / buckets).toInt
+      var i = lo
+      var s = 0L
+      while (i < hi) { s += (blob(i) & 0xff); i += 1 }
+      sums(b) = s
+      cnts(b) = hi - lo
+      b += 1
+    }
+    var h = 0L
+    var i = 0
+    while (i < buckets - 1) {
+      if (sums(i) * cnts(i + 1) > sums(i + 1) * cnts(i)) h |= 1L << i
+      i += 1
+    }
+    h
+  }
+
   /** 64-bit SimHash: majority vote per bit over token hashes. */
   def simhash(toks: ArrayData): Long = {
     val votes = new Array[Int](64)
@@ -260,6 +291,33 @@ case class SimHashMd5(child: Expression) extends UnaryExpression {
     })
   override protected def withNewChildInternal(c: Expression): SimHashMd5 = copy(child = c)
   override def prettyName: String = "graft_simhash_md5"
+}
+
+/** `graft_phash(blob, buckets)` → bigint: dHash-style bucket-gradient
+  * fingerprint over raw bytes ([[TextHashKernels.phash]]). `buckets` must
+  * be a foldable int in 2..33 (hash width = buckets−1 bits). */
+case class PerceptualHash64(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (BinaryType, IntegerType) if right.foldable =>
+      right.eval(null) match {
+        case b: java.lang.Integer if b >= 2 && b <= 33 => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"graft_phash buckets must be an int literal in 2..33, got $other")
+      }
+    case _ => TypeCheckResult.TypeCheckFailure(
+      "graft_phash requires (binary, foldable int)")
+  }
+  override def dataType: DataType = LongType
+  override def nullSafeEval(blob: Any, b: Any): Any =
+    TextHashKernels.phash(blob.asInstanceOf[Array[Byte]], b.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (blob, b) => {
+      val kernels = TextHashKernels.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"$kernels.phash($blob, $b)"
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PerceptualHash64 =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_phash"
 }
 
 /** `graft_rollingmd5(tokens, seed)` → string. `seed` must be foldable. */

@@ -112,6 +112,8 @@ object GraftFunctions {
     descriptor("graft_rollingmd5", classOf[RollingMd5], 2, c => RollingMd5(c(0), c(1))),
     descriptor("graft_jaccard", classOf[JaccardSim], 2, c => JaccardSim(c(0), c(1))),
     descriptor("graft_nfc", classOf[NfcNormalize], 1, c => NfcNormalize(c(0))),
+    descriptor("graft_phash", classOf[PerceptualHash64], 2,
+      c => PerceptualHash64(c(0), c(1))),
     descriptor("graft_lshbucket", classOf[LshBucketExpr], 4, c => {
       def asInt(e: Expression, what: String): Int = e match {
         case lit if lit.foldable => lit.eval(null) match {

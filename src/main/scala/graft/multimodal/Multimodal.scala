@@ -121,6 +121,19 @@ object Multimodal {
     * leaves the scan. Hash width = buckets−1 bits. */
   def perceptualHash(blob: Column, buckets: Int = 16): Column = {
     require(buckets >= 2 && buckets <= 33, "1..32 hash bits")
+    // native one-pass kernel ([[graft.functions.PerceptualHash64]]): the
+    // interpreted HOF form below costs ~1 µs per BYTE (hex split + conv
+    // per element, no codegen) — 20 s over a 20 MB corpus slice; the
+    // kernel is one virtual call per row
+    graft.functions.GraftFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("graft_phash", blob, lit(buckets))
+  }
+
+  /** Composed-expression formulation of [[perceptualHash]] — bit-identical
+    * (MultimodalSpec), kept as the portable spec cross-check. */
+  def perceptualHashHof(blob: Column, buckets: Int = 16): Column = {
+    require(buckets >= 2 && buckets <= 33, "1..32 hash bits")
     // bind the (expensive) hex split ONCE — every sum/count below sees the
     // lambda variable, not a re-evaluated regex subtree (the withTokens
     // idiom; HOF trees are interpreted with no CSE)

@@ -28,11 +28,13 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     val docs = sf("documents").filter(col("doc_id") < 50)
       .withColumn("blob", encode(col("text"), "UTF-8"))
     val got = docs.select(col("doc_id"),
-        Multimodal.perceptualHash(col("blob")).as("ph"), col("text"))
-      .as[(Long, Long, String)].collect()
+        Multimodal.perceptualHash(col("blob")).as("ph"),
+        Multimodal.perceptualHashHof(col("blob")).as("ph_hof"), col("text"))
+      .as[(Long, Long, Long, String)].collect()
     assert(got.length == 50)
-    got.foreach { case (id, ph, text) =>
+    got.foreach { case (id, ph, phHof, text) =>
       assert(ph == ref(text.getBytes("UTF-8")), s"doc $id")
+      assert(ph == phHof, s"doc $id: kernel vs HOF")
     }
     // identical blobs hash identically; the empty blob is well-defined
     assert(ref(Array.emptyByteArray) == 0L)
