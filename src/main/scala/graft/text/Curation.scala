@@ -450,15 +450,26 @@ object Curation {
   def mixToBudget(docs: DataFrame, idCol: String, textCol: String,
                   sourceCol: String, budgets: Map[String, Long],
                   defaultBudget: Long,
-                  salt: String = "graft-mix"): DataFrame = {
+                  salt: String = "graft-mix"): DataFrame =
+    mixToBudgetCounted(docs.select(col(idCol), col(sourceCol),
+        size(TextFunctions.subwordTokens(col(textCol))).cast("long").as("n_tok")),
+      idCol, sourceCol, budgets, defaultBudget, salt)
+
+  /** [[mixToBudget]] over an ALREADY-counted (id, source, n_tok) frame —
+    * callers that have tokenized once (e.g. [[mixByTemperature]], whose
+    * budget derivation already needed the counts) must not pay a second
+    * tokenization pass. */
+  def mixToBudgetCounted(counted: DataFrame, idCol: String,
+                         sourceCol: String, budgets: Map[String, Long],
+                         defaultBudget: Long,
+                         salt: String = "graft-mix"): DataFrame = {
     val budget = budgets.foldLeft(lit(defaultBudget)) {
       case (acc, (src, b)) => when(col(sourceCol) === src, lit(b)).otherwise(acc)
     }
     val w = Window.partitionBy(col(sourceCol))
       .orderBy(col("__u"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs.select(col(idCol), col(sourceCol),
-        size(TextFunctions.subwordTokens(col(textCol))).cast("long").as("n_tok"),
+    counted.select(col(idCol), col(sourceCol), col("n_tok"),
         hashUniform(col(idCol), salt).as("__u"), budget.as("__budget"))
       .withColumn("cum_tok", sum(col("n_tok")).over(w))
       .filter(col("cum_tok") - col("n_tok") < col("__budget"))
@@ -483,10 +494,12 @@ object Curation {
   def mixByTemperature(docs: DataFrame, idCol: String, textCol: String,
                        sourceCol: String, alpha: Double, frac: Double,
                        salt: String = "graft-mix"): DataFrame = {
-    val counts = docs
-      .select(col(sourceCol),
-        size(TextFunctions.subwordTokens(col(textCol))).cast("long").as("__n"))
-      .groupBy(col(sourceCol)).agg(sum(col("__n")).as("__n"))
+    // tokenize ONCE: the counted frame feeds both the budget derivation
+    // (driver aggregate) and the greedy fill
+    val counted = graft.ops.Caches.track(docs.select(col(idCol), col(sourceCol),
+      size(TextFunctions.subwordTokens(col(textCol))).cast("long").as("n_tok")))
+    val counts = counted
+      .groupBy(col(sourceCol)).agg(sum(col("n_tok")).as("__n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
     val total = counts.map(_._2).sum
     val budgetT = math.floor(frac * total).toLong
@@ -497,7 +510,7 @@ object Curation {
     val budgets = weights.map { case (s, w) =>
       s -> (BigInt(budgetT) * w / sumW).toLong
     }.toMap
-    mixToBudget(docs, idCol, textCol, sourceCol, budgets,
+    mixToBudgetCounted(counted, idCol, sourceCol, budgets,
       defaultBudget = 0L, salt)
   }
 
