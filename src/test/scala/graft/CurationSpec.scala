@@ -313,6 +313,76 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(fp.toSet == fp2.toSet)
   }
 
+  test("scrubDupSpans matches a plain-Scala reference on random corpora") {
+    def ref(docs: Seq[(Long, String)], span: Int): Map[Long, (Long, Long, String)] = {
+      val seen = scala.collection.mutable.Set.empty[String]
+      docs.sortBy(_._1).map { case (id, text) =>
+        val toks = text.trim.toLowerCase.split("\\s+").toSeq
+        val chunks = toks.grouped(span).map(_.mkString(" ")).toSeq
+        val kept = chunks.filter { c =>
+          val fresh = !seen(c); seen += c; fresh
+        }
+        id -> (chunks.size.toLong, (chunks.size - kept.size).toLong,
+          kept.mkString(" "))
+      }.toMap
+    }
+    val rng = new scala.util.Random(31)
+    val words = Seq("a", "b", "c", "d")
+    for (trial <- 0 until 5) {
+      val span = 2 + rng.nextInt(4)
+      // tiny vocab + short docs force heavy cross-doc chunk collisions
+      val docs = (0L until 25L).map { id =>
+        (id, Seq.fill(rng.nextInt(15) + 1)(words(rng.nextInt(words.size)))
+          .mkString(" "))
+      }
+      val got = Curation.scrubDupSpans(docs.toDF("doc_id", "text"),
+          "text", "doc_id", span)
+        .select(col("doc_id"), col("n_chunks"), col("n_removed"),
+          col("text_scrubbed"))
+        .as[(Long, Long, Long, String)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+      assert(got == ref(docs, span), s"trial $trial span=$span")
+    }
+  }
+
+  test("cdcChunks matches a plain-Scala reference on random corpora") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def ref(text: String, window: Int, div: Int): Seq[(Long, String)] = {
+      val toks = text.trim.toLowerCase.split("\\s+").toSeq
+      val bounds = toks.indices.map { p =>
+        p >= window - 1 && {
+          val win = toks.slice(p - window + 1, p + 1).mkString(" ")
+          java.lang.Long.parseLong(md5hex(win).take(4), 16) % div == 0
+        }
+      }
+      val cids = toks.indices.map(p => bounds.take(p).count(identity).toLong)
+      toks.zip(cids).groupBy(_._2).toSeq.sortBy(_._1)
+        .map { case (cid, xs) => (cid, xs.map(_._1).mkString(" ")) }
+    }
+    val rng = new scala.util.Random(47)
+    val words = Seq("p", "q", "r", "s", "t", "u")
+    for (trial <- 0 until 5) {
+      val window = 2 + rng.nextInt(3)
+      val div = 2 + rng.nextInt(7)
+      val docs = (0L until 15L).map { id =>
+        (id, Seq.fill(rng.nextInt(30) + 1)(words(rng.nextInt(words.size)))
+          .mkString(" "))
+      }
+      val got = Curation.cdcChunks(docs.toDF("doc_id", "text"),
+          "text", "doc_id", window, div)
+        .select(col("doc_id"), col("cid"), col("chunk"))
+        .as[(Long, Long, String)].collect()
+        .groupBy(_._1).map { case (d, xs) =>
+          d -> xs.map(x => (x._2, x._3)).sortBy(_._1).toSeq }
+      docs.foreach { case (id, text) =>
+        assert(got.getOrElse(id, Seq.empty) == ref(text, window, div),
+          s"trial $trial doc $id window=$window div=$div text='$text'")
+      }
+    }
+  }
+
   test("winnow matches a plain-Scala MOSS reference on random corpora") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
