@@ -1752,6 +1752,38 @@ object SparkEntry {
         budgets = Map("src0" -> 10000000L, "src1" -> 0L),
         defaultBudget = 800L)),
 
+    // MERGEABLE equi-width histogram sketch: 64 fixed bins over the
+    // token-count domain (width 16, overflow clamps to the last bin) —
+    // all-integer cells, so per-shard histograms merge into the global one
+    // by plain addition (SketchesSpec pins the merge identity; the
+    // quantile-from-histogram estimate is a deterministic interpolation
+    // over those integers). Map-side partial agg: ≤ sources×64 rows shuffle
+    "sketch_histogram" -> ((s, dir) => {
+      val ntok = TextFunctions.tokenCount(col("text")).cast("long")
+      t(s, dir, "documents")
+        .select(col("source"),
+          least((ntok / 16).cast("long"), lit(63L)).cast("int").as("bin"))
+        .groupBy(col("source"), col("bin")).agg(count(lit(1)).as("cnt"))
+    }),
+
+    // Per-key BURST detection on the event stream: hours where a user's
+    // event count exceeds 2× their own median hourly rate — the robust
+    // (median-based) outlier gate; per-user medians are a corpus-stat
+    // aggregate over integer counts joined back, never a per-user sort of
+    // raw events
+    "events_rate_outliers" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val hourly = graft.ops.Caches.track(
+        ev.groupBy(col("user_id"), expr("ts div 3600000000000").as("hour_idx"))
+          .agg(count(lit(1)).as("cnt")))
+      val med = hourly.groupBy(col("user_id"))
+        .agg(round(percentile(col("cnt"), lit(0.5)), 4).as("med"))
+      hourly.join(med, Seq("user_id"))
+        .filter(col("cnt") > col("med") * 2)
+        .select(col("user_id"), (col("hour_idx") * 3600).as("hour"),
+          col("cnt"), col("med"))
+    }),
+
     // Temperature-based source resampling: per-source budgets ∝ n_s^0.7
     // (alpha < 1 flattens the mix) over half the corpus's tokens; weights
     // quantize to unit integers (1-ulp pow wobble stays far from the floor
@@ -3142,6 +3174,22 @@ object SparkEntry {
             FROM c WHERE cum_tok - n_tok <
               CASE source WHEN 'src0' THEN 10000000 WHEN 'src1' THEN 0 ELSE 800 END"""
       },
+      "sketch_histogram" ->
+        raw"""WITH d AS (SELECT source,
+              CASE WHEN len(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(lower(text)), '\s+')) END AS n_tok
+              FROM documents)
+            SELECT source, CAST(least(n_tok // 16, 63) AS INTEGER) AS bin,
+              count(*) AS cnt
+            FROM d GROUP BY 1, 2""",
+      "events_rate_outliers" ->
+        """WITH h AS (SELECT user_id, epoch_ns(ts) // 3600000000000 AS hour_idx,
+                count(*) AS cnt
+              FROM events GROUP BY 1, 2),
+            m AS (SELECT user_id, round(quantile_cont(cnt, 0.5), 4) AS med
+                  FROM h GROUP BY user_id)
+            SELECT h.user_id, CAST(hour_idx * 3600 AS BIGINT) AS hour, cnt, med
+            FROM h JOIN m USING (user_id) WHERE cnt > med * 2""",
       "mix_temperature" -> {
         def nib(k: Int) =
           s"(strpos('0123456789abcdef', substr(h, $k, 1)) - 1)::BIGINT"

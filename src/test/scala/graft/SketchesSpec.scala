@@ -11,6 +11,21 @@ class SketchesSpec extends AnyFunSuite with SparkTestBase {
 
   // ------------------------------------------------------------------ KMV
 
+  test("per-source histograms merge to the global histogram by addition") {
+    def hist(df: org.apache.spark.sql.DataFrame) = df
+      .select(least((graft.text.TextFunctions.tokenCount(col("text"))
+        .cast("long") / 16).cast("long"), lit(63L)).as("bin"))
+      .groupBy("bin").count().as[(Long, Long)].collect().toMap
+    val whole = hist(docs)
+    val merged = docs.select(col("source")).distinct().as[String].collect()
+      .map(s => hist(docs.filter(col("source") === s)))
+      .foldLeft(Map.empty[Long, Long]) { (acc, h) =>
+        (acc.keySet ++ h.keySet).map(k =>
+          k -> (acc.getOrElse(k, 0L) + h.getOrElse(k, 0L))).toMap
+      }
+    assert(whole == merged && whole.values.sum == docs.count())
+  }
+
   test("merged per-group KMV sketches equal the direct global sketch exactly") {
     val merged = graft.text.Sketches
       .kmvMerge(docs, "source", col("text"), k = 16)
