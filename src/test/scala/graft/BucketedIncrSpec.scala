@@ -334,6 +334,53 @@ class BucketedIncrSpec extends AnyFunSuite with SparkTestBase {
       .as[(String, Double)].collect().toMap == Map("k1" -> 1.0, "k2" -> 2.0))
   }
 
+  test("concurrent as-of readers race commits/retention without torn reads") {
+    // keepSnapshots=2: every commit reaps an old snapshot, so readers race
+    // the retention delete continuously. A reader must either see the
+    // snapshot's exact state or the intended retention error — never a
+    // NoSuchFileException/MatchError from a half-deleted or torn manifest.
+    val store = newStore(keepSnapshots = 2)
+    var data = srcDf(("a", "k1", 1.0))
+    val sources: IncrementalRun.Sources = _ => data
+    BucketedRun.initialize(pipeline, sources, store)
+    val b0 = store.committedBatch.get
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val reader = new Thread(() => {
+      while (!stop.get()) {
+        val target = store.snapshots.lastOption.getOrElse(b0)
+        try {
+          val m = store.tableAsOf(spark, "r", target)
+            .select(col(Key), col(Value)).as[(String, Double)].collect().toMap
+          // k1 exists in every committed state; value is batch-dependent
+          if (!m.contains("k1")) failures.add(
+            new AssertionError(s"torn as-of read at $target: $m"))
+        } catch {
+          case e: IllegalArgumentException
+            if e.getMessage != null && e.getMessage.contains("snapshot") => ()
+          case e: Throwable =>
+            // a snapshot reaped AFTER the reader picked it may fail its
+            // lazy read — that is the documented MVCC retention horizon;
+            // any failure on a still-retained snapshot is a real bug
+            if (store.snapshots.contains(target)) failures.add(e)
+        }
+      }
+    })
+    reader.start()
+    try {
+      (1 to 12).foreach { i =>
+        data = srcDf(("a", "k1", i.toDouble))
+        BucketedRun.applyChanges(pipeline, sources, store,
+          changes((i.toLong, Change.Updated, "a")), i.toLong, batchId = b0 + i)
+      }
+    } finally {
+      stop.set(true)
+      reader.join(30000)
+    }
+    assert(failures.isEmpty, s"reader failures: ${failures.toArray.mkString("; ")}")
+    assert(reduced(store) == Map("k1" -> 12.0))
+  }
+
   test("incr_time_travel query is a fixed point across invocations") {
     // the bench invokes every query 3×: the delete+restore pair must leave
     // the live state (and therefore the output) unchanged each time
