@@ -1900,6 +1900,30 @@ object SparkEntry {
       graft.text.Sketches.kmvDistinct(t(s, dir, "documents"),
         "source", col("text"), k = 64)),
 
+    // HyperLogLog distinct-count sketch: per-source cardinality from 256
+    // md5-derived registers — unlike KMV it needs NO distinct pass (HLL is
+    // multiplicity-insensitive) and its shuffle is capped at 256 rows per
+    // group per task. Exact-integer register algebra end to end, so the
+    // estimate hash-checks against the oracle, bias and all
+    "sketch_distinct_hll" -> ((s, dir) =>
+      graft.text.Sketches.hllDistinct(t(s, dir, "documents"),
+        "source", col("text"))),
+
+    // HLL sketch MERGE: per-source register sets fold by register-wise max
+    // into the global estimate exactly (the HLL union property — the
+    // oracle computes the direct global sketch; merged must equal it)
+    "sketch_hll_merge" -> ((s, dir) =>
+      graft.text.Sketches.hllMerge(t(s, dir, "documents"),
+        "source", col("text"))),
+
+    // DSIR importance weights (Xie et al. 2023): per-document log ratio of
+    // target-vs-raw hashed-ngram multinomials — the principled "does this
+    // raw document look like my target distribution" selection signal.
+    // Target slice here: the English documents
+    "text_dsir" -> ((s, dir) =>
+      Curation.dsirWeights(t(s, dir, "documents"), "text", "doc_id",
+        isTarget = col("lang") === "en")),
+
     // Bloom-filter decontamination pre-pass: benchmark 5-gram set folded
     // into a 2^16-bit md5 bitset probed as a pure expression — no join, no
     // exchange on the corpus side. Supersets decon_overlap's exact hits
@@ -1955,6 +1979,43 @@ object SparkEntry {
           round(percentile(ntok, lit(0.99)), 4).as("p99_tokens"))
     })
   )
+
+  /** The HLL oracle, shared by the per-source sketch and the global merge
+    * (register-wise max merge ≡ the direct global sketch — so the merge
+    * oracle IS the direct computation, which is exactly the claim). */
+  private def hllOracleSql(perSource: Boolean): String = {
+    val nibAt = (src: String, k: String) =>
+      s"(strpos('0123456789abcdef', substr($src, $k, 1)) - 1)::BIGINT"
+    val grp = if (perSource) "source, " else ""
+    val grpBy = if (perSource) "GROUP BY source" else ""
+    val grpBy12 = if (perSource) "GROUP BY 1, 2" else "GROUP BY 1"
+    s"""WITH h0 AS (SELECT source, md5('graft-hll:' || text) AS h
+            FROM documents WHERE text IS NOT NULL),
+        rr AS (SELECT source,
+            ${nibAt("h", "1")} * 16 + ${nibAt("h", "2")} AS reg,
+            8 - length(ltrim(substr(h, 3, 8), '0')) AS zn,
+            (strpos('0123456789abcdef', substr(substr(h, 3, 8),
+              (8 - length(ltrim(substr(h, 3, 8), '0'))) + 1, 1)) - 1) AS nib
+          FROM h0),
+        rho AS (SELECT source, reg,
+            CASE WHEN zn = 8 THEN 33 ELSE zn * 4 + 1 +
+              CASE WHEN nib >= 8 THEN 0 WHEN nib >= 4 THEN 1
+                   WHEN nib >= 2 THEN 2 ELSE 3 END END AS rho
+          FROM rr),
+        regs AS (SELECT ${grp}reg, max(rho) AS mx FROM rho $grpBy12),
+        agg AS (SELECT ${grp}count(*) AS n_set,
+            sum(1::BIGINT << (33 - mx)) AS isum FROM regs $grpBy),
+        raw AS (SELECT ${grp}n_set,
+            (0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0 * 8589934592.0) /
+              CAST(isum + (256 - n_set)::BIGINT * (1::BIGINT << 33) AS DOUBLE)
+              AS raw
+          FROM agg)
+        SELECT ${grp}n_set,
+          round(CASE WHEN raw <= 640.0 AND (256 - n_set) > 0
+            THEN 256.0 * ln(256.0 / (256 - n_set))
+            ELSE raw END, 4) AS est_distinct
+        FROM raw"""
+  }
 
   /** DuckDB equivalents over the same parquet tables. Column names/aliases
     * must match the Spark outputs exactly (driver sorts columns by name). */
@@ -3247,6 +3308,42 @@ object SparkEntry {
               round(CASE WHEN count(*) < 64 THEN count(*)::DOUBLE
                 ELSE 63.0 / max(u) END, 4) AS est_distinct
             FROM r WHERE rn <= 64 GROUP BY source"""
+      },
+      // Sketches.hllDistinct / hllMerge: 256 md5 registers, rho from hex
+      // nibbles (ltrim counts zero nibbles, a 4-way CASE the bits inside
+      // the first non-zero one), integer 2^(33-rho) harmonic sum, linear
+      // counting below 2.5m — the merge is register-wise max, which must
+      // equal the direct global sketch computed here
+      "sketch_distinct_hll" -> hllOracleSql(perSource = true),
+      "sketch_hll_merge" -> hllOracleSql(perSource = false),
+      "text_dsir" -> {
+        // Curation.dsirWeights: unigram+bigram features, md5 nibbles 6-8
+        // mod 1024 buckets, add-1-smoothed target(en)/raw log ratio summed
+        // per doc. CASE WHEN t THEN 0 ELSE 1 (not WHEN NOT t) so a null
+        // target flag lands on the raw side exactly like Spark's otherwise
+        val nibAt = (src: String, k: String) =>
+          s"(strpos('0123456789abcdef', substr($src, $k, 1)) - 1)::BIGINT"
+        s"""WITH d AS (SELECT doc_id, (lang = 'en') AS t,
+                string_split_regex(trim(lower(text)), '\\s+') AS toks
+              FROM documents),
+            f AS (
+              SELECT doc_id, t, unnest(toks) AS f FROM d
+              UNION ALL
+              SELECT doc_id, t, unnest(list_transform(range(1, len(toks)),
+                i -> toks[i] || ' ' || toks[i + 1])) AS f FROM d),
+            fh AS (SELECT doc_id, t, md5('graft-dsir:' || f) AS h FROM f),
+            fb AS (SELECT doc_id, t,
+                (${nibAt("h", "6")} * 256 + ${nibAt("h", "7")} * 16 +
+                 ${nibAt("h", "8")}) % 1024 AS b FROM fh),
+            c AS (SELECT b,
+                sum(CASE WHEN t THEN 1 ELSE 0 END) AS ct,
+                sum(CASE WHEN t THEN 0 ELSE 1 END) AS cr
+              FROM fb GROUP BY 1),
+            tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM c),
+            r AS (SELECT b, ln((ct + 1.0) / (nt + 1024)) -
+                ln((cr + 1.0) / (nr + 1024)) AS lr FROM c CROSS JOIN tot)
+            SELECT doc_id, count(*) AS n_feat, round(sum(lr), 6) AS logw
+            FROM fb JOIN r USING (b) GROUP BY 1"""
       },
       "decon_bloom" -> {
         // Sketches.contaminationBloom: 2^16-bit bloom, 4 positions per

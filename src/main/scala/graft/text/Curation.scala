@@ -233,6 +233,53 @@ object Curation {
           .otherwise(lit("tail")).as("bucket"))
   }
 
+  /** DSIR importance weights ("Data Selection for Language Models via
+    * Importance Resampling", Xie et al. 2023): score every document by how
+    * much its hashed n-gram bag looks like a TARGET slice of the corpus
+    * versus the raw rest. Features are unigrams + bigrams of the token
+    * stream hashed into `buckets` md5 buckets; both sides fit add-1-
+    * smoothed multinomials over the buckets, and a document's log weight
+    * is the sum of its features' log(p_target/p_raw).
+    *
+    * Shape at scale: one tokenize pass; the feature stream aggregates to
+    * ≤ `buckets` count rows (map-side combine — the shuffle carries
+    * buckets × tasks rows no matter the corpus size), the two totals are
+    * driver-side longs, and the per-bucket log-ratio table is control
+    * data broadcast back against the same cached feature stream. Output:
+    * (id, n_feat, logw) — selection on the weights is a separate,
+    * composable filter ([[hashUniform]]-style or top-k).
+    *
+    * FP note: `logw` is the one order-sensitive sum (like [[lmScore]]'s
+    * nll) — rounded to 6 decimals, far above the ~1e-12 reorder drift. */
+  def dsirWeights(docs: DataFrame, textCol: String, idCol: String,
+                  isTarget: Column, buckets: Int = 1024,
+                  salt: String = "graft-dsir"): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    val bi = zip_with(slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    val h = md5(concat(lit(salt + ":"), col("__f")))
+    // 10 bits straight from hex nibbles 6-8 of the digest — the identity an
+    // external engine re-derives without a bigint hex parse
+    val bucket = pmod(conv(substring(h, 6, 3), 16, 10).cast("long"), lit(buckets.toLong))
+    val feats = graft.ops.Caches.track(docs
+      .select(col(idCol), isTarget.as("__t"),
+        explode(concat(toks, bi)).as("__f"))
+      .select(col(idCol), col("__t"), bucket.as("__b")))
+    val counts = feats.groupBy(col("__b")).agg(
+      sum(when(col("__t"), 1L).otherwise(0L)).as("__ct"),
+      sum(when(col("__t"), 0L).otherwise(1L)).as("__cr"))
+    graft.ops.Caches.track(counts)
+    val tot = counts.agg(coalesce(sum(col("__ct")), lit(0L)),
+      coalesce(sum(col("__cr")), lit(0L))).head()
+    val (nt, nr) = (tot.getLong(0), tot.getLong(1))
+    val ratios = counts.select(col("__b"),
+      (log((col("__ct") + lit(1.0)) / lit((nt + buckets).toDouble)) -
+        log((col("__cr") + lit(1.0)) / lit((nr + buckets).toDouble))).as("__lr"))
+    feats.join(broadcast(ratios), Seq("__b"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feat"), round(sum(col("__lr")), 6).as("logw"))
+  }
+
   /** Duplicate-PASSAGE removal — the destructive counterpart of
     * [[dupSpans]]: each document's token stream splits into consecutive
     * `span`-token passages (trailing partial passage included); a passage

@@ -75,6 +75,90 @@ object Sketches {
           .as("est_distinct"))
   }
 
+  // ---------------------------------------------------------------- HLL distinct
+
+  /** HyperLogLog geometry: p = 8 → m = 256 registers (~6.5% relative
+    * error), register width capped at rho = 33 (32 hash bits + 1). Chosen
+    * so a per-group sketch is 256 small ints — control data at any corpus
+    * size — and every arithmetic step below stays EXACT-integer until the
+    * final estimator division, which is what lets an external SQL oracle
+    * reproduce the estimate bit-for-bit. */
+  val HllRegisters = 256
+  private val HllAlphaM2: Double = // alpha_256 * m^2 (Flajolet et al. 2007)
+    0.7213 / (1 + 1.079 / HllRegisters) * HllRegisters * HllRegisters
+
+  /** Per-row (register, rho) from the md5 draw: register = the first byte
+    * of the digest, rho = 1 + leading zero BITS of the next 32 (all derived
+    * from hex-character arithmetic — `ltrim(_, '0')` counts zero nibbles,
+    * a 4-way CASE counts the bits inside the first non-zero nibble — the
+    * exact identity the DuckDB oracle re-derives). */
+  private def hllRegRho(value: Column, salt: String): (Column, Column) = {
+    val h = md5(concat(lit(salt + ":"), value.cast("string")))
+    val reg = conv(substring(h, 1, 2), 16, 10).cast("int")
+    val tail = substring(h, 3, 8)
+    val zeroNibbles = lit(8) - length(ltrim(tail, "0"))
+    val nib = conv(tail.substr(zeroNibbles + 1, lit(1)), 16, 10).cast("int")
+    val rho = when(zeroNibbles === 8, lit(33))
+      .otherwise(zeroNibbles * 4 + 1 +
+        when(nib >= 8, 0).when(nib >= 4, 1).when(nib >= 2, 2).otherwise(3))
+    (reg, rho)
+  }
+
+  /** Max-rho registers per (group, register) — the mergeable sketch state.
+    * Duplicate values land on identical (register, rho), so no distinct
+    * pass is needed (HLL is insensitive to multiplicity — the property
+    * KMV has to buy with a distinct shuffle). The only exchange is the
+    * (group, reg) partial-max aggregate: each map task forwards ≤ 256
+    * rows per group whatever the corpus size. */
+  def hllSketch(df: DataFrame, groupCols: Seq[Column], value: Column,
+                salt: String = "graft-hll"): DataFrame = {
+    val (reg, rho) = hllRegRho(value, salt)
+    df.filter(value.isNotNull)
+      .select(groupCols :+ reg.as("__reg") :+ rho.as("__rho"): _*)
+      .groupBy(groupCols :+ col("__reg"): _*)
+      .agg(max(col("__rho")).as("__mx"))
+  }
+
+  /** Fold a register set (one group of [[hllSketch]] rows) into the HLL
+    * estimate. The harmonic-mean denominator `sum(2^-M_j)` is computed as
+    * the INTEGER `sum(2^(33-M_j))` scaled by 2^-33 afterwards — long
+    * addition commutes, so the estimate is independent of partitioning and
+    * row order (a plain double sum here would be FP-order-dependent and
+    * unhashable). Small-range correction (E ≤ 2.5m with empty registers →
+    * linear counting) as in the original paper. */
+  private def hllEstimate(sketch: DataFrame, groupCols: Seq[Column]): DataFrame = {
+    val m = HllRegisters
+    val agged = sketch.groupBy(groupCols: _*).agg(
+      count(lit(1)).as("n_set"),
+      sum(call_function("shiftleft", lit(1L), lit(33) - col("__mx"))).as("__isum"))
+    val zeros = lit(m) - col("n_set")
+    val isum = col("__isum") + zeros.cast("long") * (1L << 33)
+    val raw = lit(HllAlphaM2 * math.pow(2.0, 33)) / isum.cast("double")
+    val est = when(raw <= 2.5 * m && zeros > 0,
+      lit(m.toDouble) * log(lit(m.toDouble) / zeros.cast("double")))
+      .otherwise(raw)
+    agged.select(groupCols ++ Seq(col("n_set"), round(est, 4).as("est_distinct")): _*)
+  }
+
+  /** Per-group HLL distinct-count estimate: (group, n_set, est_distinct). */
+  def hllDistinct(df: DataFrame, groupCol: String, value: Column,
+                  salt: String = "graft-hll"): DataFrame =
+    hllEstimate(hllSketch(df, Seq(col(groupCol)), value, salt), Seq(col(groupCol)))
+
+  /** MERGE of per-group HLL sketches into ONE global estimate — register-
+    * wise max is the HLL union, exactly: max is associative/commutative,
+    * so folding the groups' registers equals sketching the concatenation
+    * directly (the oracle computes the direct global sketch; merged must
+    * hash-match it). This is the shape a 100 TB per-shard cardinality pass
+    * folds through: shard sketches are 256 ints each, the merge input is
+    * control data, no second corpus scan. */
+  def hllMerge(df: DataFrame, groupCol: String, value: Column,
+               salt: String = "graft-hll"): DataFrame = {
+    val perGroup = hllSketch(df, Seq(col(groupCol)), value, salt)
+    val merged = perGroup.groupBy(col("__reg")).agg(max(col("__mx")).as("__mx"))
+    hllEstimate(merged, Seq.empty)
+  }
+
   // ---------------------------------------------------------------- Bloom decon
 
   /** Bloom geometry: m = 2^16 bits (1024 longs, an 8 KiB plan literal),

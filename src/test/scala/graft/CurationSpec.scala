@@ -9,6 +9,29 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
 
   private lazy val docs = sf("documents")
 
+  test("dsirWeights: feature count, target preference, and determinism") {
+    val w = Curation.dsirWeights(docs, "text", "doc_id", col("lang") === "en")
+    val got = w.as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    // every document scored exactly once, n_feat = unigrams + bigrams
+    val ntok = docs.select(col("doc_id"),
+      size(TextFunctions.tokens(col("text"))).cast("long").as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(got.map(_._1) == ntok.keys.toSeq.sorted)
+    got.foreach { case (id, nFeat, _) =>
+      assert(nFeat == 2 * ntok(id) - 1, s"doc $id") }
+    // the signal does its one job: English docs (the target slice) score
+    // higher on average than the rest
+    val langOf = docs.select(col("doc_id"), col("lang"))
+      .as[(Long, String)].collect().toMap
+    val (en, rest) = got.partition(r => langOf(r._1) == "en")
+    val avg = (xs: Seq[(Long, Long, Double)]) => xs.map(_._3).sum / xs.size
+    assert(en.nonEmpty && rest.nonEmpty && avg(en) > avg(rest))
+    // stable under repartitioning
+    val again = Curation.dsirWeights(docs.repartition(17), "text", "doc_id",
+      col("lang") === "en").as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(again == got)
+  }
+
   test("lengthGate keeps each source's quantile band and drops its outliers") {
     val synth = ((1 to 100).map(i => (i.toLong, "a", ("w " * 50).trim)) ++
       Seq((101L, "a", "w"), (102L, "a", ("w " * 5000).trim)) ++

@@ -42,6 +42,53 @@ class SketchesSpec extends AnyFunSuite with SparkTestBase {
     assert(one == direct)
   }
 
+  // ------------------------------------------------------------------ HLL
+
+  test("merged per-group HLL sketches equal the direct global sketch exactly") {
+    val merged = Sketches.hllMerge(docs, "source", col("text"))
+      .as[(Long, Double)].collect().head
+    val direct = Sketches.hllDistinct(docs.withColumn("__g", lit("all")), "__g", col("text"))
+      .select(col("n_set"), col("est_distinct"))
+      .as[(Long, Double)].collect().head
+    assert(merged == direct)
+  }
+
+  test("hllDistinct estimates within HLL error bounds, multiplicity-insensitive") {
+    val exact = docs.groupBy(col("source"))
+      .agg(countDistinct(col("text")).as("n")).as[(String, Long)].collect().toMap
+    val est = Sketches.hllDistinct(docs, "source", col("text"))
+      .select(col("source"), col("est_distinct"))
+      .as[(String, Double)].collect().toMap
+    assert(est.keySet == exact.keySet)
+    // m=256 → ~6.5% stderr; allow 4 sigma plus linear-counting slack
+    est.foreach { case (s, e) =>
+      val n = exact(s).toDouble
+      assert(math.abs(e - n) <= math.max(4, 0.26 * n),
+        s"source $s: est $e vs exact $n")
+    }
+    // duplicating every row must not move a single register or estimate
+    val doubled = Sketches.hllDistinct(docs.union(docs), "source", col("text"))
+      .select(col("source"), col("est_distinct"))
+      .as[(String, Double)].collect().toMap
+    assert(doubled == est)
+  }
+
+  test("hllDistinct is stable under repartitioning (determinism)") {
+    val a = Sketches.hllDistinct(docs, "source", col("text"))
+      .collect().map(_.toString()).sorted.toSeq
+    val b = Sketches.hllDistinct(docs.repartition(13), "source", col("text"))
+      .collect().map(_.toString()).sorted.toSeq
+    assert(a == b)
+  }
+
+  test("hll linear-counting regime: tiny cardinalities stay near-exact") {
+    val tiny = docs.limit(10).withColumn("__g", lit("tiny"))
+    val est = Sketches.hllDistinct(tiny, "__g", col("text"))
+      .select(col("est_distinct")).as[Double].collect().head
+    val exact = tiny.select(countDistinct(col("text"))).as[Long].collect().head
+    assert(math.abs(est - exact) <= 1.0, s"est $est vs exact $exact")
+  }
+
   test("kmvDistinct is exact below k and within KMV error bounds above it") {
     val exact = docs.groupBy(col("source"))
       .agg(countDistinct(col("text")).as("n"))
