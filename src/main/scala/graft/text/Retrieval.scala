@@ -395,4 +395,48 @@ object Retrieval {
       .select(col("slice_a"), col("slice_b"), col("shared"), col("union_grams"),
         col("jaccard_micro"))
   }
+
+  /** HYBRID retrieval: reciprocal-rank fusion (Cormack et al. 2009) of a
+    * lexical BM25 list and a dense cosine list per probe — the standard
+    * two-tower serving shape (sparse + embedding retrieval fused by rank,
+    * no score calibration needed). Probes are documents ("more like
+    * this"): the lexical query is the probe's distinct tokens, the dense
+    * query its embedding; each side contributes `1e9/(rrfK + rank)` NANO
+    * UNITS — integer, so the fused score is exact under any partitioning
+    * and order (1e9/(rrfK+r) never lands on a .5 rounding boundary for
+    * rrfK=60: that would need 60+r to carry 2^10 as a factor of 2·10^9).
+    *
+    * Self-matches are excluded on both sides with the SAME operational
+    * rule (lexical: top-(k+1) list minus self, re-ranked; dense:
+    * [[graft.sim.Similarity.bruteForceTopK]] excludes by id) — a defined
+    * semantics the oracle mirrors exactly, not an approximation.
+    *
+    * Scale shape: the probe set is control-sized (both sides broadcast
+    * it); the lexical side reads partition-pruned postings, the dense side
+    * is one corpus scan; fusion aggregates ≤ 2·kEach rows per probe. */
+  def hybridRrf(spark: SparkSession, index: InvertedIndex, probes: DataFrame,
+                idCol: String, textCol: String,
+                embeddings: DataFrame, vecIdCol: String, vecCol: String,
+                kEach: Int = 20, kOut: Int = 10, rrfK: Int = 60): DataFrame = {
+    val lex = bm25Batch(spark, index, probes, idCol, textCol, kEach + 1)
+      .filter(col("doc") =!= col("qid"))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("score_micro").desc, col("doc"))))
+      .filter(col("rank") <= kEach)
+    val qvecs = embeddings.join(
+      broadcast(probes.select(col(idCol).as("__pid"))),
+      col(vecIdCol) === col("__pid"))
+      .select(col(vecIdCol), col(vecCol))
+    val den = graft.sim.Similarity
+      .bruteForceTopK(embeddings, qvecs, vecIdCol, vecCol, kEach)
+    def contrib(r: Column): Column = round(lit(1e9) / (lit(rrfK) + r)).cast("long")
+    lex.select(col("qid"), col("doc"), contrib(col("rank")).as("__c"))
+      .unionByName(den.select(col("query_id").as("qid"),
+        col("neighbor_id").as("doc"), contrib(col("rank")).as("__c")))
+      .groupBy(col("qid"), col("doc"))
+      .agg(count(lit(1)).as("n_lists"), sum(col("__c")).as("rrf_nano"))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("rrf_nano").desc, col("doc"))))
+      .filter(col("rank") <= kOut)
+  }
 }

@@ -199,6 +199,66 @@ class RetrievalSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("hybridRrf fuses both towers, excludes self, exact nano scores") {
+    val corpus = sf("documents")
+    val embs = sf("embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("graft_hyb").toString
+    val idx = Retrieval.buildIndex(corpus, "text", "doc_id", dir, numBuckets = 8)
+    val probes = corpus.filter(col("doc_id") % 17 === 0)
+      .select(col("doc_id"), col("text"))
+    val out = Retrieval.hybridRrf(spark, idx, probes, "doc_id", "text",
+      embs, "vec_id", "embedding", kEach = 10, kOut = 5)
+    val rows = out.collect()
+    val probeIds = probes.select("doc_id").as[Long].collect().toSet
+    val byQ = rows.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.keySet.subsetOf(probeIds) && byQ.nonEmpty)
+    byQ.foreach { case (qid, rs) =>
+      // never the probe itself; dense ranks 1..5; both-towers docs exist
+      assert(!rs.exists(_.getAs[Long]("doc") == qid))
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to rs.length))
+      assert(rs.length <= 5)
+      rs.foreach { r =>
+        val n = r.getAs[Long]("n_lists")
+        assert(n == 1 || n == 2)
+        // nano score bounds: n terms of at most 1e9/61 each
+        val s = r.getAs[Long]("rrf_nano")
+        assert(s >= 1 && s <= n * math.round(1e9 / 61))
+      }
+    }
+    // the fusion algebra, recomputed in plain Scala from the two tower
+    // lists: sum of round(1e9/(60+rank)) per (qid, doc), top-5 by
+    // (score desc, doc asc) — must equal the operator's output exactly
+    val lexList = Retrieval.bm25Batch(spark, idx, probes, "doc_id", "text", 11)
+      .select(col("qid").cast("long"), col("doc"), col("score_micro"))
+      .as[(Long, Long, Long)].collect().toSeq
+      .filter { case (q, d, _) => q != d }
+      .groupBy(_._1).toSeq.flatMap { case (q, rs) =>
+        rs.sortBy(r => (-r._3, r._2)).take(10).zipWithIndex
+          .map { case ((_, d, _), i) => ((q, d), i + 1) } }
+    val denList = graft.sim.Similarity
+      .bruteForceTopK(embs, embs.join(probes.select(col("doc_id").as("vec_id")), "vec_id"),
+        "vec_id", "embedding", 10)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .as[(Long, Long, Int)].collect().toSeq
+      .map { case (q, d, r) => ((q, d), r) }
+    val expected = (lexList ++ denList)
+      .groupBy(_._1)
+      .map { case ((q, d), rs) =>
+        (q, d, rs.length.toLong, rs.map(r => math.round(1e9 / (60 + r._2))).sum) }
+      .groupBy(_._1).toSeq.flatMap { case (_, cands) =>
+        cands.toSeq.sortBy(c => (-c._4, c._2)).take(5) }
+      .map { case (q, d, n, s) => (q, d, n, s) }.toSet
+    val gotSet = rows.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("doc"),
+      r.getAs[Long]("n_lists"), r.getAs[Long]("rrf_nano"))).toSet
+    assert(gotSet == expected)
+    // deterministic under repartitioning
+    val again = Retrieval.hybridRrf(spark, idx,
+      probes.repartition(7), "doc_id", "text",
+      embs.repartition(5), "vec_id", "embedding", kEach = 10, kOut = 5)
+      .collect().map(_.toString()).sorted.toSeq
+    assert(again == rows.map(_.toString()).sorted.toSeq)
+  }
+
   test("sourceOverlap counts shared distinct n-grams per unordered pair") {
     // 2-grams: a = {spark table, table scan, table join, join join};
     //          b = {window sort, sort window, spark window, window table,
