@@ -1928,6 +1928,25 @@ object SparkEntry {
       graft.text.Sketches.hllDistinct(t(s, dir, "documents"),
         "source", col("text"))),
 
+    // Count-min frequency sketch: 4×1024 md5 counters over the token
+    // stream, probed for a fixed term set next to the exact counts — the
+    // mergeable point-frequency answer (est ≥ true always, bounded
+    // overestimate) that replaces a full vocabulary count at corpus scale.
+    // Deterministic cells, so estimates hash-check, collisions and all
+    "sketch_freq_cms" -> ((s, dir) => {
+      import s.implicits._
+      val toks = graft.ops.Caches.track(t(s, dir, "documents")
+        .select(explode(TextFunctions.tokens(col("text"))).as("tok")))
+      val sketch = graft.text.Sketches.cmsSketch(toks, col("tok"))
+      val probes = Seq("fast", "table", "scan", "join", "merge", "the",
+        "zzz_unseen").toDF("term")
+      val est = graft.text.Sketches.cmsEstimate(sketch, probes, "term")
+      val tru = toks.join(broadcast(probes), col("tok") === col("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      est.join(tru, Seq("term"), "left")
+        .select(col("term"), coalesce(col("cnt"), lit(0L)).as("cnt"), col("est_cnt"))
+    }),
+
     // HLL sketch MERGE: per-source register sets fold by register-wise max
     // into the global estimate exactly (the HLL union property — the
     // oracle computes the direct global sketch; merged must equal it)
@@ -3388,6 +3407,35 @@ object SparkEntry {
       // equal the direct global sketch computed here
       "sketch_distinct_hll" -> hllOracleSql(perSource = true),
       "sketch_hll_merge" -> hllOracleSql(perSource = false),
+      // Sketches.cmsSketch/cmsEstimate: 4 salted md5 rows, column = hex
+      // nibbles 6-8 mod 1024 (the DSIR bucket identity), estimate = min
+      // over rows with absent cells as 0
+      "sketch_freq_cms" -> {
+        val nibAt = (src: String, k: String) =>
+          s"(strpos('0123456789abcdef', substr($src, $k, 1)) - 1)::BIGINT"
+        // column from the salted digest aliased `h` in the enclosing select
+        val colOfH =
+          s"(${nibAt("h", "6")} * 256 + ${nibAt("h", "7")} * 16 + " +
+            s"${nibAt("h", "8")}) % 1024"
+        raw"""WITH t AS (SELECT unnest(string_split_regex(trim(lower(text)),
+                  '\s+')) AS tok FROM documents),
+              rs AS (SELECT unnest(range(4)) AS r),
+              rc AS (SELECT r, $colOfH AS c FROM (
+                  SELECT r, md5('graft-cms:' || r || ':' || tok) AS h
+                  FROM t CROSS JOIN rs)),
+              cells AS (SELECT r, c, count(*) AS cnt FROM rc GROUP BY 1, 2),
+              probes AS (SELECT unnest(['fast','table','scan','join','merge',
+                  'the','zzz_unseen']) AS term),
+              pc AS (SELECT term, r, $colOfH AS c FROM (
+                  SELECT term, r, md5('graft-cms:' || r || ':' || term) AS h
+                  FROM probes CROSS JOIN rs)),
+              est AS (SELECT term, min(coalesce(cnt, 0)) AS est_cnt
+                FROM pc LEFT JOIN cells USING (r, c) GROUP BY 1),
+              tru AS (SELECT term, count(*) AS cnt FROM t
+                JOIN probes ON tok = term GROUP BY 1)
+            SELECT probes.term, coalesce(tru.cnt, 0) AS cnt, est.est_cnt
+            FROM probes LEFT JOIN tru USING (term) JOIN est USING (term)"""
+      },
       "text_dsir" -> {
         // Curation.dsirWeights: unigram+bigram features, md5 nibbles 6-8
         // mod 1024 buckets, add-1-smoothed target(en)/raw log ratio summed

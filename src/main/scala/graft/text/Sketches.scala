@@ -159,6 +159,51 @@ object Sketches {
     hllEstimate(merged, Seq.empty)
   }
 
+  // ---------------------------------------------------------------- count-min
+
+  /** Count-min geometry: d = 4 hash rows × w = 1024 columns. Error bound:
+    * overestimate ≤ 2·N/w with probability 1 − (1/2)^4 per query (Cormode
+    * & Muthukrishnan 2005); never an underestimate. 4096 counters — the
+    * whole sketch is control data at any corpus size. */
+  val CmsRows = 4
+  val CmsCols = 1024
+
+  /** Row-`r` column of a value: md5 hex nibbles 6-8 of the salted digest
+    * mod w — the same 10-bit slice identity as the DSIR feature hash, so
+    * an external engine re-derives every cell without a bigint hex parse. */
+  private def cmsCol(value: Column, r: Int, salt: String): Column =
+    pmod(conv(substring(md5(concat(lit(s"$salt:$r:"), value.cast("string"))), 6, 3),
+      16, 10).cast("long"), lit(CmsCols.toLong))
+
+  /** The (r, c, cnt) counter table over every occurrence of `value` (a
+    * frequency sketch, so NO distinct pass — multiplicity is the point).
+    * One shuffle of (r, c) pairs partially aggregated map-side: each task
+    * forwards at most d×w = 4096 rows whatever the corpus size. Counters
+    * ADD cell-wise, so per-shard sketches merge by summing the same
+    * (r, c) keys — asserted against the direct build in SketchesSpec. */
+  def cmsSketch(df: DataFrame, value: Column,
+                salt: String = "graft-cms"): DataFrame =
+    df.filter(value.isNotNull)
+      .select(posexplode(array((0 until CmsRows).map(r => cmsCol(value, r, salt)): _*))
+        .as(Seq("r", "c")))
+      .groupBy(col("r"), col("c")).agg(count(lit(1)).as("cnt"))
+
+  /** Point-frequency estimates for a control-sized probe set: min over the
+    * d rows of each probe's counter (absent cell = 0). The sketch side is
+    * ≤ 4096 rows — broadcast — so probing is join-free from the corpus's
+    * point of view. Output: (probe column, est_cnt); `est_cnt ≥` the true
+    * count always, with the CMS overestimate bound. */
+  def cmsEstimate(sketch: DataFrame, probes: DataFrame, valueCol: String,
+                  salt: String = "graft-cms"): DataFrame = {
+    val pv = col(valueCol)
+    probes
+      .select(pv, posexplode(array((0 until CmsRows).map(r => cmsCol(pv, r, salt)): _*))
+        .as(Seq("r", "c")))
+      .join(broadcast(sketch), Seq("r", "c"), "left")
+      .groupBy(pv)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
+  }
+
   // ---------------------------------------------------------------- Bloom decon
 
   /** Bloom geometry: m = 2^16 bits (1024 longs, an 8 KiB plan literal),

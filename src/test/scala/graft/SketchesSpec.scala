@@ -89,6 +89,44 @@ class SketchesSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(est - exact) <= 1.0, s"est $est vs exact $exact")
   }
 
+  // ------------------------------------------------------------------ CMS
+
+  test("count-min never underestimates and bounds the overestimate") {
+    val toks = docs.select(explode(
+      graft.text.TextFunctions.tokens(col("text"))).as("tok"))
+    val sketch = Sketches.cmsSketch(toks, col("tok"))
+    val exact = toks.groupBy(col("tok")).count()
+      .as[(String, Long)].collect().toMap
+    val n = exact.values.sum
+    val probes = (exact.keys.take(30).toSeq :+ "zzz_unseen").toDF("term")
+    val est = Sketches.cmsEstimate(sketch, probes, "term")
+      .as[(String, Long)].collect().toMap
+    est.foreach { case (term, e) =>
+      val t = exact.getOrElse(term, 0L)
+      assert(e >= t, s"$term: est $e < true $t")
+      // 2N/w bound holds per row with p >= 1/2; min over 4 rows makes a
+      // violation p <= 1/16 per probe — use 8N/w as a hard spec ceiling
+      assert(e - t <= math.max(4, 8 * n / Sketches.CmsCols), s"$term: est $e vs $t")
+    }
+    assert(est("zzz_unseen") >= 0)
+  }
+
+  test("per-source CMS sketches merge by cell-wise addition to the global sketch") {
+    val bySrc = docs.select(col("source"), explode(
+      graft.text.TextFunctions.tokens(col("text"))).as("tok"))
+    val direct = Sketches.cmsSketch(bySrc, col("tok"))
+      .as[(Int, Long, Long)].collect()
+      .map { case (r, c, cnt) => (r, c) -> cnt }.toMap
+    val merged = docs.select(col("source")).distinct().as[String].collect()
+      .map(s => Sketches.cmsSketch(bySrc.filter(col("source") === s), col("tok"))
+        .as[(Int, Long, Long)].collect())
+      .foldLeft(Map.empty[(Int, Long), Long]) { (acc, cells) =>
+        cells.foldLeft(acc) { case (a, (r, c, cnt)) =>
+          a + ((r, c) -> (a.getOrElse((r, c), 0L) + cnt)) }
+      }
+    assert(merged == direct)
+  }
+
   test("kmvDistinct is exact below k and within KMV error bounds above it") {
     val exact = docs.groupBy(col("source"))
       .agg(countDistinct(col("text")).as("n"))
