@@ -776,6 +776,21 @@ object SparkEntry {
         "user_id", "us", "vus", Seq("view_value"), tieBreak = Some("vid"))
     }),
 
+    // The SAME as-of join through the custom-plan tier: logical node +
+    // planner strategy + sorted-merge exec (plans/AsOfJoinNative). Each
+    // side shuffles only its own columns and the merge streams with O(1)
+    // state — no window buffer, no union padding. Same oracle as
+    // events_asof: the two forms must agree row for row
+    "events_asof_native" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("us", expr("ts div 1000"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("us").as("vus"), col("value").as("view_value"),
+          col("event_id").as("vid"))
+      graft.plans.AsOfJoinNative.asOf(
+        ev.select(col("event_id"), col("user_id"), col("us")), views,
+        "user_id", "us", "vus", Seq("view_value"), tieBreak = Some("vid"))
+    }),
+
     // Bucketized interval join (the Flink-interval-join shape as relational
     // algebra — window-width time buckets + equi-join + exact range prune,
     // never a nested-loop): errors within one hour after each signup of the
@@ -2428,6 +2443,16 @@ object SparkEntry {
         """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
            FROM events GROUP BY event_type""",
       "events_asof" ->
+        """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us
+                      FROM events),
+           v AS (SELECT user_id, epoch_ns(ts) // 1000 AS us, value FROM events
+                 WHERE event_type = 'view')
+           SELECT e.event_id, e.user_id, CAST(e.us AS BIGINT) AS us,
+             CAST(v.us AS BIGINT) AS asof_ts, v.value AS view_value
+           FROM e ASOF LEFT JOIN v
+             ON e.user_id = v.user_id AND e.us >= v.us""",
+      // the custom-plan merge exec must reproduce the SAME asof semantics
+      "events_asof_native" ->
         """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us
                       FROM events),
            v AS (SELECT user_id, epoch_ns(ts) // 1000 AS us, value FROM events
