@@ -7,7 +7,7 @@ import graft.multimodal.Multimodal
 import graft.ops._
 import graft.sim.{Ivf, Similarity}
 import graft.text.{Curation, Repetition, TextFunctions}
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Example user-defined reduce fold: value range (max - min) as a typed
@@ -81,6 +81,7 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[String, Ivf.Index]
   private val bm25Indexes =
     scala.collection.concurrent.TrieMap.empty[String, graft.text.Retrieval.InvertedIndex]
+  private val hllStores = scala.collection.concurrent.TrieMap.empty[String, String]
   private val lshIndexes = scala.collection.concurrent.TrieMap
     .empty[String, (graft.dedup.LshIndex.Index, String, java.util.concurrent.atomic.AtomicLong)]
   /** (index, initPairsPath, livePairsPath, streamInDir, checkpointDir) per
@@ -1021,6 +1022,21 @@ object SparkEntry {
         threshold = 0.8, numHashes = 32, bands = 8, maxBucketSize = 10000)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
 
+    // TRAIN/EVAL LEAKAGE audit: near-dup pairs that CROSS the deterministic
+    // split boundary — the documents that leak evaluation data into
+    // training even after exact dedup. Pure composition: the LSH pair set
+    // tagged with each side's md5-split assignment, filtered to
+    // boundary-crossing pairs
+    "split_leakage" -> ((s, dir) => {
+      def sp(c: Column) = Curation.assignSplit(c,
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      DocDedup.nearDupPairs(t(s, dir, "documents"), "text", "doc_id",
+          threshold = 0.8, numHashes = 32, bands = 8, maxBucketSize = 10000)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"),
+          sp(col("id_a")).as("split_a"), sp(col("id_b")).as("split_b"))
+        .filter(col("split_a") =!= col("split_b"))
+    }),
+
     // Incremental near-dup: index two thirds of the corpus once, apply the
     // remaining third as a live change batch, and dedup the batch against
     // the persisted index (partition-pruned band/set reads — no corpus
@@ -1834,6 +1850,13 @@ object SparkEntry {
       graft.text.Sketches.kmvMerge(t(s, dir, "documents"), "source",
         col("text"), k = 64)),
 
+    // RAG-style chunking: fixed 32-token windows every 24 tokens (8-token
+    // overlap, trailing partial kept) — the embedding-prep projection.
+    // Pure narrow pass; chunk md5 is the stable downstream id
+    "text_chunking" -> ((s, dir) =>
+      Curation.chunkTokens(t(s, dir, "documents"), "text", "doc_id",
+        size = 32, stride = 24)),
+
     // Duplicated-span statistics: 20-token sliding windows whose text
     // recurs anywhere in the corpus — the substring-dedup signal that
     // catches verbatim chunks pasted into otherwise-distinct documents
@@ -1960,6 +1983,31 @@ object SparkEntry {
         .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
       est.join(tru, Seq("term"), "left")
         .select(col("term"), coalesce(col("cnt"), lit(0L)).as("cnt"), col("est_cnt"))
+    }),
+
+    // INCREMENTAL HLL maintenance: the register table is the persisted
+    // state; a new-document batch sketches ONLY its own rows and merges by
+    // register-wise max — nothing already sketched is ever rescanned, the
+    // exact shape a 100 TB rolling-cardinality job takes. Bootstrap (2/3
+    // of the corpus → parquet state, once per process) + live 1/3 batch;
+    // maintained must equal the direct full-corpus sketch (same oracle as
+    // sketch_distinct_hll)
+    "sketch_hll_incr" -> ((s, dir) => {
+      val stateDir = hllStores.getOrElseUpdate(dir, {
+        val d = graft.core.TempDirs.register(
+          java.nio.file.Files.createTempDirectory("graft_hll")).toString
+        graft.text.Sketches.hllSketch(
+            t(s, dir, "documents").filter(col("doc_id") % 3 =!= 0),
+            Seq(col("source")), col("text"))
+          .write.mode("overwrite").parquet(d)
+        d
+      })
+      val batch = graft.text.Sketches.hllSketch(
+        t(s, dir, "documents").filter(col("doc_id") % 3 === 0),
+        Seq(col("source")), col("text"))
+      val merged = s.read.parquet(stateDir).unionByName(batch)
+        .groupBy(col("source"), col("__reg")).agg(max(col("__mx")).as("__mx"))
+      graft.text.Sketches.hllFold(merged, Seq(col("source")))
     }),
 
     // HLL sketch MERGE: per-source register sets fold by register-wise max
@@ -2511,6 +2559,29 @@ object SparkEntry {
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
             WHERE len(list_intersect(a.s, b.s))::DOUBLE
               / len(list_distinct(list_concat(a.s, b.s))) >= 0.8""",
+      // Composition: the dedup_minhash exact pair set, each side tagged
+      // with the split_assign md5 CASE, filtered to boundary crossers
+      "split_leakage" -> {
+        val nib = (k: Int) =>
+          s"(strpos('0123456789abcdef', substr(h, $k, 1)) - 1)::BIGINT"
+        val u32 = (1 to 8).map(k => s"${nib(k)} * ${1L << (4 * (8 - k))}")
+          .mkString(" + ")
+        s"""WITH sh AS (SELECT doc_id, $shingles AS s FROM documents),
+            p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                round(len(list_intersect(a.s, b.s))::DOUBLE
+                  / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.s, b.s))::DOUBLE
+                / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+            sp AS (SELECT doc_id, CASE WHEN u < 0.9 THEN 'train'
+                WHEN u < 0.95 THEN 'val' ELSE 'test' END AS split
+              FROM (SELECT doc_id, ($u32) / 4294967296.0 AS u
+                FROM (SELECT doc_id,
+                  md5('graft-split:' || doc_id::VARCHAR) AS h FROM documents)))
+            SELECT id_a, id_b, jaccard, a.split AS split_a, b.split AS split_b
+            FROM p JOIN sp a ON a.doc_id = id_a JOIN sp b ON b.doc_id = id_b
+            WHERE a.split <> b.split"""
+      },
       // the incremental index path must reproduce the one-shot pair set
       // exactly — identical oracle to dedup_minhash by construction
       "dedup_minhash_incr" ->
@@ -3431,6 +3502,8 @@ object SparkEntry {
       // counting below 2.5m — the merge is register-wise max, which must
       // equal the direct global sketch computed here
       "sketch_distinct_hll" -> hllOracleSql(perSource = true),
+      // maintained-registers == direct-sketch: identical oracle by design
+      "sketch_hll_incr" -> hllOracleSql(perSource = true),
       "sketch_hll_merge" -> hllOracleSql(perSource = false),
       // Sketches.cmsSketch/cmsEstimate: 4 salted md5 rows, column = hex
       // nibbles 6-8 mod 1024 (the DSIR bucket identity), estimate = min
@@ -3461,6 +3534,19 @@ object SparkEntry {
             SELECT probes.term, coalesce(tru.cnt, 0) AS cnt, est.est_cnt
             FROM probes LEFT JOIN tru USING (term) JOIN est USING (term)"""
       },
+      // Curation.chunkTokens: starts 0, 24, 48, … ≤ len−1; window = 32
+      // tokens clamped to the end; hash = md5 of the space-joined chunk
+      "text_chunking" ->
+        raw"""WITH d AS (SELECT doc_id, string_split_regex(trim(lower(text)),
+                  '\s+') AS toks FROM documents),
+              c AS (SELECT doc_id,
+                  unnest(range(0, ((len(toks) - 1) // 24) + 1)) AS chunk_idx,
+                  toks FROM d),
+              o AS (SELECT doc_id, chunk_idx,
+                  toks[(chunk_idx * 24 + 1):least(chunk_idx * 24 + 32,
+                    len(toks))] AS chunk FROM c)
+            SELECT doc_id, chunk_idx, len(chunk)::BIGINT AS n_tok,
+              md5(array_to_string(chunk, ' ')) AS chunk_hash FROM o""",
       "text_dsir" -> {
         // Curation.dsirWeights: unigram+bigram features, md5 nibbles 6-8
         // mod 1024 buckets, add-1-smoothed target(en)/raw log ratio summed

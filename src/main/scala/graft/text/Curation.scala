@@ -280,6 +280,30 @@ object Curation {
       .agg(count(lit(1)).as("n_feat"), round(sum(col("__lr")), 6).as("logw"))
   }
 
+  /** Fixed-size overlapping token chunks — the retrieval/embedding prep
+    * step (RAG-style): each document yields windows of `size` tokens
+    * starting every `stride` tokens (stride < size ⇒ consecutive chunks
+    * overlap by size − stride; the trailing partial window is kept). Pure
+    * narrow projection — `sequence` starts + `slice` windows off ONE
+    * tokenization, no shuffle, no self-join; the md5 chunk hash is the
+    * stable id an embedding pass or chunk-level dedup keys on. Output:
+    * (id, chunk_idx, n_tok, chunk_hash). */
+  def chunkTokens(docs: DataFrame, textCol: String, idCol: String,
+                  size: Int = 64, stride: Int = 48): DataFrame = {
+    require(size > 0 && stride > 0, "size and stride must be positive")
+    val toks = TextFunctions.tokens(col(textCol))
+    val starts = sequence(lit(0), org.apache.spark.sql.functions.size(toks) - 1,
+      lit(stride))
+    docs.select(col(idCol),
+        posexplode(transform(starts, st => {
+          val chunk = slice(toks, st + 1, lit(size))
+          struct(org.apache.spark.sql.functions.size(chunk).cast("long").as("n_tok"),
+            md5(concat_ws(" ", chunk).cast("binary")).as("chunk_hash"))
+        })).as(Seq("chunk_idx", "__c")))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("__c.n_tok"), col("__c.chunk_hash"))
+  }
+
   /** Duplicate-PASSAGE removal — the destructive counterpart of
     * [[dupSpans]]: each document's token stream splits into consecutive
     * `span`-token passages (trailing partial passage included); a passage

@@ -140,6 +140,14 @@ object Sketches {
     agged.select(groupCols ++ Seq(col("n_set"), round(est, 4).as("est_distinct")): _*)
   }
 
+  /** Fold an ALREADY-BUILT register table ((group…, __reg, __mx) rows —
+    * e.g. persisted shard sketches merged by register-wise max) into
+    * per-group estimates. This is the incremental-maintenance entry: new
+    * data unions its batch sketch with the stored registers and re-folds —
+    * no rescan of anything already sketched. */
+  def hllFold(sketch: DataFrame, groupCols: Seq[Column]): DataFrame =
+    hllEstimate(sketch, groupCols)
+
   /** Per-group HLL distinct-count estimate: (group, n_set, est_distinct). */
   def hllDistinct(df: DataFrame, groupCol: String, value: Column,
                   salt: String = "graft-hll"): DataFrame =

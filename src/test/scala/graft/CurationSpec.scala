@@ -9,6 +9,34 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
 
   private lazy val docs = sf("documents")
 
+  test("chunkTokens matches a plain-Scala reference on random corpora") {
+    val rnd = new scala.util.Random(7)
+    val words = Vector("a", "bb", "ccc", "dd", "e")
+    for (trial <- 1 to 3) {
+      val size = 1 + rnd.nextInt(6)
+      val stride = 1 + rnd.nextInt(6)
+      val corpus = (1 to 40).map { id =>
+        (id.toLong, (0 until (1 + rnd.nextInt(25)))
+          .map(_ => words(rnd.nextInt(words.length))).mkString(" "))
+      }
+      val got = Curation.chunkTokens(corpus.toDF("doc_id", "text"),
+          "text", "doc_id", size, stride)
+        .as[(Long, Long, Long, String)].collect()
+        .map { case (id, i, n, h) => (id, i) -> (n, h) }.toMap
+      val expected = corpus.flatMap { case (id, text) =>
+        val toks = text.trim.toLowerCase.split("\\s+").toSeq
+        (0 until toks.length by stride).zipWithIndex.map { case (st, i) =>
+          val chunk = toks.slice(st, math.min(st + size, toks.length))
+          val md = java.security.MessageDigest.getInstance("MD5")
+            .digest(chunk.mkString(" ").getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+          (id, i.toLong) -> (chunk.length.toLong, md)
+        }
+      }.toMap
+      assert(got == expected, s"trial $trial size=$size stride=$stride")
+    }
+  }
+
   test("dsirWeights: feature count, target preference, and determinism") {
     val w = Curation.dsirWeights(docs, "text", "doc_id", col("lang") === "en")
     val got = w.as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
