@@ -15,7 +15,10 @@ object PlanAudit {
       "events_asof", "events_interval_join", "b14_url_search", "search_bm25",
       "search_phrase", "text_tfidf_topk", "sim_topk_hamming", "sim_topk_mrl",
       "text_span_scrub", "text_cdc_dedup", "text_length_gate",
-      "mm_phash_dedup", "mix_temperature", "sketch_kmv_merge")
+      "mm_phash_dedup", "mix_temperature", "sketch_kmv_merge",
+      "sketch_distinct_hll", "sketch_freq_cms", "sketch_join_size",
+      "text_dsir", "text_chunking", "search_hybrid_rrf",
+      "events_asof_native", "split_leakage")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")

@@ -2010,6 +2010,28 @@ object SparkEntry {
       graft.text.Sketches.hllFold(merged, Seq(col("source")))
     }),
 
+    // JOIN-SIZE estimation from CMS inner products (AMS/CMS sketch
+    // estimators, Cormode & Muthukrishnan): |A ⋈ B| ≈ min over hash rows
+    // of Σ_c cmsA[r,c]·cmsB[r,c] — never an underestimate. Each side folds
+    // to 4096 counters, so two corpus-sized join inputs reduce to a
+    // control-data product: the planner-side cardinality answer that costs
+    // two narrow scans instead of the join itself
+    "sketch_join_size" -> ((s, dir) => {
+      val ords = t(s, dir, "orders").select(col("o_custkey").as("k"))
+      val cust = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("k"))
+      val skA = graft.text.Sketches.cmsSketch(ords, col("k"))
+        .withColumnRenamed("cnt", "__ca")
+      val skB = graft.text.Sketches.cmsSketch(cust, col("k"))
+        .withColumnRenamed("cnt", "__cb")
+      val est = skA.join(skB, Seq("r", "c"))
+        .groupBy(col("r")).agg(sum(col("__ca") * col("__cb")).as("__ip"))
+        .agg(min(col("__ip")).as("est_size"))
+      val tru = ords.join(cust, Seq("k")).agg(count(lit(1)).as("true_size"))
+      tru.crossJoin(est)
+    }),
+
     // HLL sketch MERGE: per-source register sets fold by register-wise max
     // into the global estimate exactly (the HLL union property — the
     // oracle computes the direct global sketch; merged must equal it)
@@ -3505,6 +3527,29 @@ object SparkEntry {
       // maintained-registers == direct-sketch: identical oracle by design
       "sketch_hll_incr" -> hllOracleSql(perSource = true),
       "sketch_hll_merge" -> hllOracleSql(perSource = false),
+      // CMS join-size: per-side 4x1024 counters, est = min_r of the row
+      // inner product, true size exact from the key join
+      "sketch_join_size" -> {
+        val nibAt = (src: String, k: String) =>
+          s"(strpos('0123456789abcdef', substr($src, $k, 1)) - 1)::BIGINT"
+        val colOfH =
+          s"(${nibAt("h", "6")} * 256 + ${nibAt("h", "7")} * 16 + " +
+            s"${nibAt("h", "8")}) % 1024"
+        s"""WITH a0 AS (SELECT o_custkey::VARCHAR AS k FROM orders),
+            b0 AS (SELECT c_custkey::VARCHAR AS k FROM customer
+                   WHERE c_mktsegment = 'BUILDING'),
+            rs AS (SELECT unnest(range(4)) AS r),
+            ra AS (SELECT r, $colOfH AS c, count(*) AS ca FROM (
+                SELECT r, md5('graft-cms:' || r || ':' || k) AS h
+                FROM a0 CROSS JOIN rs) GROUP BY 1, 2),
+            rb AS (SELECT r, $colOfH AS c, count(*) AS cb FROM (
+                SELECT r, md5('graft-cms:' || r || ':' || k) AS h
+                FROM b0 CROSS JOIN rs) GROUP BY 1, 2),
+            ip AS (SELECT r, sum(ca * cb) AS ip
+              FROM ra JOIN rb USING (r, c) GROUP BY 1)
+            SELECT (SELECT count(*) FROM a0 JOIN b0 USING (k)) AS true_size,
+                   (SELECT CAST(min(ip) AS BIGINT) FROM ip) AS est_size"""
+      },
       // Sketches.cmsSketch/cmsEstimate: 4 salted md5 rows, column = hex
       // nibbles 6-8 mod 1024 (the DSIR bucket identity), estimate = min
       // over rows with absent cells as 0

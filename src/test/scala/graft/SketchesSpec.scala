@@ -111,6 +111,23 @@ class SketchesSpec extends AnyFunSuite with SparkTestBase {
     assert(est("zzz_unseen") >= 0)
   }
 
+  test("CMS inner product never underestimates the join size, bounded above") {
+    val a = sf("orders").select(col("o_custkey").as("k"))
+    val b = sf("customer").select(col("c_custkey").as("k"))
+    val skA = Sketches.cmsSketch(a, col("k")).withColumnRenamed("cnt", "ca")
+    val skB = Sketches.cmsSketch(b, col("k")).withColumnRenamed("cnt", "cb")
+    val est = skA.join(skB, Seq("r", "c"))
+      .groupBy(col("r")).agg(sum(col("ca") * col("cb")).as("ip"))
+      .agg(min(col("ip"))).as[Long].collect().head
+    val tru = a.join(b, Seq("k")).count()
+    val na = a.count(); val nb = b.count()
+    assert(est >= tru, s"est $est < true $tru")
+    // CMS bound: overestimate ≤ 2·|A|·|B|/w per row with p ≥ 1/2; min over
+    // 4 rows — use 8·|A|·|B|/w as the hard spec ceiling
+    assert(est - tru <= math.max(8, 8L * na * nb / Sketches.CmsCols),
+      s"est $est vs true $tru (na=$na nb=$nb)")
+  }
+
   test("per-source CMS sketches merge by cell-wise addition to the global sketch") {
     val bySrc = docs.select(col("source"), explode(
       graft.text.TextFunctions.tokens(col("text"))).as("tok"))
