@@ -1731,7 +1731,7 @@ object SparkEntry {
         graft.text.Retrieval.buildIndex(t(s, dir, "documents"), "text", "doc_id",
           idxDir, numBuckets = 64)
       })
-      val probes = t(s, dir, "documents").filter(col("doc_id") % 97 === 0)
+      val probes = t(s, dir, "documents").filter(col("doc_id") % 199 === 0)
         .select(col("doc_id"), col("text"))
       graft.text.Retrieval.hybridRrf(s, index, probes, "doc_id", "text",
         t(s, dir, "embeddings"), "vec_id", "embedding",
@@ -1849,6 +1849,11 @@ object SparkEntry {
     "sketch_kmv_merge" -> ((s, dir) =>
       graft.text.Sketches.kmvMerge(t(s, dir, "documents"), "source",
         col("text"), k = 64)),
+
+    // Unigram diversity: token entropy + type-token ratio per doc — the
+    // "repetitive word soup" gate next to the n-gram repetition rules
+    "text_entropy" -> ((s, dir) =>
+      Curation.tokenEntropy(t(s, dir, "documents"), "text", "doc_id")),
 
     // RAG-style chunking: fixed 32-token windows every 24 tokens (8-token
     // overlap, trailing partial kept) — the embedding-prep projection.
@@ -3168,12 +3173,16 @@ object SparkEntry {
       // join), fused by integer nano-unit reciprocal ranks
       "search_hybrid_rrf" ->
         raw"""WITH d AS (SELECT doc_id, $toks AS toks FROM documents),
-              q AS (SELECT doc_id AS qid, unnest(list_distinct(toks)) AS term
-                    FROM d WHERE doc_id % 97 = 0),
               dl AS (SELECT doc_id, len(toks) AS dl FROM d),
               tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
               tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
               df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+              qt AS (SELECT doc_id AS qid, unnest(list_distinct(toks)) AS term
+                     FROM d WHERE doc_id % 199 = 0),
+              q AS (SELECT qid, term FROM (
+                  SELECT qt.qid, qt.term, row_number() OVER (PARTITION BY qt.qid
+                    ORDER BY df.df, qt.term) AS rn
+                  FROM qt JOIN df USING (term)) WHERE rn <= 10),
               stats AS (SELECT count(*) AS n,
                   (sum(dl) * 1000000) // count(*) AS avgdl_micro FROM dl),
               contrib AS (
@@ -3194,7 +3203,7 @@ object SparkEntry {
                     ORDER BY s DESC, doc) AS r
                   FROM lex1 WHERE doc <> qid) WHERE r <= 20),
               e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-              qv AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 97 = 0),
+              qv AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 199 = 0),
               den AS (SELECT qid, neighbor_id AS doc, r FROM (
                   SELECT qid, neighbor_id, row_number() OVER (PARTITION BY qid
                     ORDER BY cos DESC, neighbor_id) AS r FROM (
@@ -3579,6 +3588,18 @@ object SparkEntry {
             SELECT probes.term, coalesce(tru.cnt, 0) AS cnt, est.est_cnt
             FROM probes LEFT JOIN tru USING (term) JOIN est USING (term)"""
       },
+      // Curation.tokenEntropy: H = ln(n) − (Σ c·ln c)/n over per-doc
+      // token counts
+      "text_entropy" ->
+        raw"""WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)),
+                  '\s+')) AS w FROM documents),
+              c AS (SELECT doc_id, w, count(*) AS c FROM t GROUP BY 1, 2)
+            SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+              count(*) AS n_types,
+              round(count(*)::DOUBLE / sum(c), 6) AS ttr,
+              round(ln(sum(c)::DOUBLE) - sum(c::DOUBLE * ln(c::DOUBLE)) / sum(c), 6)
+                AS entropy
+            FROM c GROUP BY 1""",
       // Curation.chunkTokens: starts 0, 24, 48, … ≤ len−1; window = 32
       // tokens clamped to the end; hash = md5 of the space-joined chunk
       "text_chunking" ->

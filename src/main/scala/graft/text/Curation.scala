@@ -280,6 +280,28 @@ object Curation {
       .agg(count(lit(1)).as("n_feat"), round(sum(col("__lr")), 6).as("logw"))
   }
 
+  /** Per-document unigram diversity: token entropy
+    * `H = ln(n) − (Σ c·ln c)/n` over the document's token counts, plus the
+    * type count and type-token ratio — the cheap "is this doc repetitive
+    * word soup" signal next to [[Repetition]]'s n-gram gates. Relational
+    * shape: one tokenize, a (doc, token) count, a per-doc fold — both
+    * aggregates map-side-combined, keyed by doc. Output:
+    * (id, n_tok, n_types, ttr, entropy); entropy/ttr round to 6 (the FP
+    * reorder-drift note on [[lmScore]] applies). */
+  def tokenEntropy(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol),
+        explode(TextFunctions.tokens(col(textCol))).as("__w"))
+      .groupBy(col(idCol), col("__w"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("n_tok"),
+        count(lit(1)).as("n_types"),
+        sum(col("__c").cast("double") * log(col("__c").cast("double"))).as("__clc"))
+      .select(col(idCol), col("n_tok"), col("n_types"),
+        round(col("n_types") / col("n_tok"), 6).as("ttr"),
+        round(log(col("n_tok").cast("double")) - col("__clc") / col("n_tok"), 6)
+          .as("entropy"))
+
   /** Fixed-size overlapping token chunks — the retrieval/embedding prep
     * step (RAG-style): each document yields windows of `size` tokens
     * starting every `stride` tokens (stride < size ⇒ consecutive chunks

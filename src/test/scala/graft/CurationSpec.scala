@@ -9,6 +9,34 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
 
   private lazy val docs = sf("documents")
 
+  test("tokenEntropy matches a plain-Scala reference on random corpora") {
+    val rnd = new scala.util.Random(11)
+    val words = Vector("x", "y", "zz", "w")
+    val corpus = (1 to 50).map { id =>
+      (id.toLong, (0 until (1 + rnd.nextInt(30)))
+        .map(_ => words(rnd.nextInt(words.length))).mkString(" "))
+    }
+    val got = Curation.tokenEntropy(corpus.toDF("doc_id", "text"), "text", "doc_id")
+      .as[(Long, Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    val expected = corpus.map { case (id, text) =>
+      val counts = text.trim.toLowerCase.split("\\s+").toSeq
+        .groupBy(identity).map(_._2.size)
+      val n = counts.sum.toDouble
+      val h = math.log(n) - counts.map(c => c * math.log(c.toDouble)).sum / n
+      def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (id, counts.sum.toLong, counts.size.toLong, r6(counts.size / n), r6(h))
+    }.sortBy(_._1)
+    got.zip(expected).foreach { case (g, e) =>
+      assert(g._1 == e._1 && g._2 == e._2 && g._3 == e._3, s"$g vs $e")
+      assert(math.abs(g._4 - e._4) < 2e-6 && math.abs(g._5 - e._5) < 2e-6,
+        s"$g vs $e")
+    }
+    // a maximally repetitive doc has entropy 0 and ttr -> 0
+    val rep = Curation.tokenEntropy(Seq((99L, "a a a a a a a a")).toDF("doc_id", "text"),
+      "text", "doc_id").as[(Long, Long, Long, Double, Double)].head()
+    assert(rep == ((99L, 8L, 1L, 0.125, 0.0)))
+  }
+
   test("chunkTokens matches a plain-Scala reference on random corpora") {
     val rnd = new scala.util.Random(7)
     val words = Vector("a", "bb", "ccc", "dd", "e")

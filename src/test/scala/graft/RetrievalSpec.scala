@@ -226,9 +226,19 @@ class RetrievalSpec extends AnyFunSuite with SparkTestBase {
       }
     }
     // the fusion algebra, recomputed in plain Scala from the two tower
-    // lists: sum of round(1e9/(60+rank)) per (qid, doc), top-5 by
-    // (score desc, doc asc) — must equal the operator's output exactly
-    val lexList = Retrieval.bm25Batch(spark, idx, probes, "doc_id", "text", 11)
+    // lists: MoreLikeThis term selection (10 rarest by df, term asc),
+    // bm25 over the reconstructed queries, sum of round(1e9/(60+rank))
+    // per (qid, doc), top-5 by (score desc, doc asc) — must equal the
+    // operator's output exactly
+    val docToks = corpus.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.trim.toLowerCase.split("\\s+").toSeq }.toMap
+    val dfMap = docToks.values.toSeq.flatMap(_.distinct)
+      .groupBy(identity).map { case (t, xs) => t -> xs.size }
+    val probes2 = probes.select("doc_id").as[Long].collect().toSeq.sorted.map { id =>
+      (id, docToks(id).distinct.sortBy(t => (dfMap(t), t)).take(10).sorted.mkString(" "))
+    }.toDF("qid", "qtext")
+    val lexList = Retrieval.bm25Batch(spark, idx, probes2, "qid", "qtext", 11)
       .select(col("qid").cast("long"), col("doc"), col("score_micro"))
       .as[(Long, Long, Long)].collect().toSeq
       .filter { case (q, d, _) => q != d }
