@@ -82,6 +82,7 @@ object SparkEntry {
   private val bm25Indexes =
     scala.collection.concurrent.TrieMap.empty[String, graft.text.Retrieval.InvertedIndex]
   private val hllStores = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val cmsStreamStores = scala.collection.concurrent.TrieMap.empty[String, String]
   private val lshIndexes = scala.collection.concurrent.TrieMap
     .empty[String, (graft.dedup.LshIndex.Index, String, java.util.concurrent.atomic.AtomicLong)]
   /** (index, initPairsPath, livePairsPath, streamInDir, checkpointDir) per
@@ -2015,6 +2016,56 @@ object SparkEntry {
       graft.text.Sketches.hllFold(merged, Seq(col("source")))
     }),
 
+    // STREAM-MAINTAINED CMS: the counter table folded forward by a real
+    // readStream (one parquet file per micro-batch) — each batch sketches
+    // only its own rows and ADDS cell-wise into the durable state under
+    // foreachBatch, the additive twin of sketch_hll_incr's max-merge.
+    // Drained counts must equal the direct one-shot build, so this shares
+    // sketch_freq_cms's exact oracle (collisions and all)
+    "sketch_cms_stream" -> ((s, dir) => {
+      import s.implicits._
+      val stateDir = cmsStreamStores.getOrElseUpdate(dir, {
+        val root = graft.core.TempDirs.register(
+          java.nio.file.Files.createTempDirectory("graft_cmss")).toString
+        val docs = t(s, dir, "documents")
+        val streamDir = graft.core.TempDirs.register(
+          java.nio.file.Files.createTempDirectory("graft_cmss_in")).toString
+        docs.select(col("doc_id"), col("text"))
+          .repartition(4).write.mode("overwrite").parquet(streamDir)
+        var cur: Option[String] = None
+        val q = s.readStream.schema(s.read.parquet(streamDir).schema)
+          .option("maxFilesPerTrigger", "1").parquet(streamDir)
+          .writeStream
+          .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+            val toks = b.toDF()
+              .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+            val batchSketch = graft.text.Sketches.cmsSketch(toks, col("tok"))
+            val merged = cur match {
+              case Some(p) => s.read.parquet(p).unionByName(batchSketch)
+                .groupBy(col("r"), col("c")).agg(sum(col("cnt")).as("cnt"))
+              case None => batchSketch
+            }
+            val out = s"$root/b$id"
+            merged.write.mode("overwrite").parquet(out)
+            cur = Some(out)
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        cur.getOrElse(sys.error("empty stream"))
+      })
+      val sketch = s.read.parquet(stateDir)
+      val toks = graft.ops.Caches.track(t(s, dir, "documents")
+        .select(explode(TextFunctions.tokens(col("text"))).as("tok")))
+      val probes = Seq("fast", "table", "scan", "join", "merge", "the",
+        "zzz_unseen").toDF("term")
+      val est = graft.text.Sketches.cmsEstimate(sketch, probes, "term")
+      val tru = toks.join(broadcast(probes), col("tok") === col("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      est.join(tru, Seq("term"), "left")
+        .select(col("term"), coalesce(col("cnt"), lit(0L)).as("cnt"), col("est_cnt"))
+    }),
+
     // JOIN-SIZE estimation from CMS inner products (AMS/CMS sketch
     // estimators, Cormode & Muthukrishnan): |A ⋈ B| ≈ min over hash rows
     // of Σ_c cmsA[r,c]·cmsB[r,c] — never an underestimate. Each side folds
@@ -2263,7 +2314,7 @@ object SparkEntry {
           (CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0.0
              ELSE len(list_filter($toks, t -> t IN ('the','a','of','and','is','to','in')))::DOUBLE
                / len($toks) END) > 0.01 THEN 0.2 ELSE 0.0 END)"""
-    Map(
+    val base = Map(
       "a5_map_item" ->
         """SELECT CAST(o_custkey AS VARCHAR) AS _mr_key, o_totalprice AS _mr_value,
            CAST(o_orderkey AS VARCHAR) AS _mr_source_id, 'orders' AS _mr_source_type,
@@ -3715,5 +3766,7 @@ object SparkEntry {
               round(quantile_cont(n_tok, 0.99), 4) AS p99_tokens
             FROM d GROUP BY source"""
     )
+    // the streamed CMS drain must equal the one-shot build — same oracle
+    base + ("sketch_cms_stream" -> base("sketch_freq_cms"))
   }
 }
