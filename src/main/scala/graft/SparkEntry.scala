@@ -1938,6 +1938,14 @@ object SparkEntry {
     "text_lm_score" -> ((s, dir) =>
       Curation.lmScore(t(s, dir, "documents"), "text", "doc_id")),
 
+    // Weighted sample without replacement (Efraimidis–Spirakis): top-100
+    // by u^(1/w) with w = document length — the distributed
+    // source-weighted selection primitive; integer nano keys, so the
+    // ranking is exact and the plan is a TakeOrderedAndProject
+    "sample_weighted" -> ((s, dir) =>
+      Curation.weightedSample(t(s, dir, "documents"), "doc_id",
+        col("n_chars").cast("double"), k = 100)),
+
     // Deterministic train/val/test split: md5-uniform assignment, stable
     // under any partitioning — membership recomputable from the id alone
     "split_assign" -> ((s, dir) =>
@@ -3456,6 +3464,22 @@ object SparkEntry {
              round(-avg(ln((c.c + 1.0) / (tot.n + tot.v))), 6) AS nll
            FROM tri JOIN c USING (tg) CROSS JOIN tot
            GROUP BY tri.doc_id""",
+      // Curation.weightedSample: E-S key ln(u)/w in nano units, u from the
+      // graft-wsample md5 draw clamped at 1e-12, top-100 (ties id asc)
+      "sample_weighted" -> {
+        val nib = (k: Int) =>
+          s"(strpos('0123456789abcdef', substr(h, $k, 1)) - 1)::BIGINT"
+        val u32 = (1 to 8).map(k => s"${nib(k)} * ${1L << (4 * (8 - k))}")
+          .mkString(" + ")
+        s"""WITH d AS (SELECT doc_id, n_chars,
+              md5('graft-wsample:' || doc_id::VARCHAR) AS h FROM documents),
+            u AS (SELECT doc_id, n_chars,
+              greatest(($u32) / 4294967296.0, 1e-12) AS u FROM d)
+            SELECT doc_id, n_chars AS w,
+              CAST(round(ln(u) / CAST(n_chars AS DOUBLE) * 1000000000.0)
+                AS BIGINT) AS key_nano
+            FROM u ORDER BY key_nano DESC, doc_id LIMIT 100"""
+      },
       "split_assign" -> {
         // same md5-uniform reconstruction as sample_stratified, salt
         // 'graft-split'. Thresholds: Spark's cumulative sum gives

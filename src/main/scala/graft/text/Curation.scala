@@ -444,6 +444,27 @@ object Curation {
       .filter(col("__rn") <= perCell).drop("__rn")
   }
 
+  /** Weighted sample WITHOUT replacement (Efraimidis–Spirakis 2006): the
+    * top-`k` rows by key u_i^(1/w_i) with u_i the deterministic
+    * [[hashUniform]] draw — inclusion probability proportional to weight,
+    * one pass, mergeable (the global top-k of per-partition top-ks), the
+    * standard distributed weighted-sampling primitive for source-weighted
+    * corpus mixing. Ranked via the monotone form ln(u)/w quantized to
+    * integer NANO units (the BM25 trick: cross-engine libm ulp differences
+    * can't reorder integer keys), ties by id; the plan is a
+    * TakeOrderedAndProject — per-partition bounded heaps, never a global
+    * sort. Weights must be strictly positive. */
+  def weightedSample(docs: DataFrame, idCol: String, weight: Column, k: Int,
+                     salt: String = "graft-wsample"): DataFrame = {
+    // u clamped away from 0: a (2^-32-probability) zero draw would send
+    // ln to -inf and the integer cast off a cliff
+    val u = greatest(hashUniform(col(idCol), salt), lit(1e-12))
+    val keyNano = round(log(u) / weight * 1e9).cast("long")
+    docs.select(col(idCol), weight.cast("long").as("w"), keyNano.as("key_nano"))
+      .orderBy(col("key_nano").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Deterministic multi-way split assignment (train/val/test): each id's
     * [[hashUniform]] draw lands in the named fraction whose cumulative
     * range contains it. A pure narrow projection — the same id gets the

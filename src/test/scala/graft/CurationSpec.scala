@@ -9,6 +9,31 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
 
   private lazy val docs = sf("documents")
 
+  test("weightedSample matches a plain-Scala E-S reference and favors weight") {
+    val got = Curation.weightedSample(docs, "doc_id",
+      col("n_chars").cast("double"), k = 50)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.size == 50)
+    // exact plain-Scala recomputation of the nano keys and top-k
+    val rows = docs.select(col("doc_id"), col("n_chars")).as[(Long, Long)].collect()
+    val expected = rows.map { case (id, w) =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"graft-wsample:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      val u = math.max(java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0, 1e-12)
+      (id, w, math.round(math.log(u) / w.toDouble * 1e9))
+    }.sortBy(t => (-t._3, t._1)).take(50).toSeq
+    assert(got.sortBy(t => (-t._3, t._1)) == expected)
+    // weighting does its job: the sample skews long
+    val sampleMeanW = got.map(_._2).sum.toDouble / got.size
+    val corpusMeanW = rows.map(_._2).sum.toDouble / rows.length
+    assert(sampleMeanW > corpusMeanW)
+    // stable under repartitioning
+    val again = Curation.weightedSample(docs.repartition(9), "doc_id",
+      col("n_chars").cast("double"), k = 50).as[(Long, Long, Long)].collect().toSeq
+    assert(again.toSet == got.toSet)
+  }
+
   test("tokenEntropy matches a plain-Scala reference on random corpora") {
     val rnd = new scala.util.Random(11)
     val words = Vector("x", "y", "zz", "w")
