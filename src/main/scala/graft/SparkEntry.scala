@@ -1739,6 +1739,22 @@ object SparkEntry {
         kEach = 20, kOut = 10)
     }),
 
+    // HARD-NEGATIVE mining: lexical top-k minus dense top-k per probe —
+    // BM25-close but cosine-far, the contrastive-training negative set.
+    // One anti-join over the same two tower lists the hybrid query fuses
+    "mine_hard_negatives" -> ((s, dir) => {
+      val index = bm25Indexes.getOrElseUpdate(dir, {
+        val idxDir = graft.core.TempDirs.register(
+          java.nio.file.Files.createTempDirectory("graft_bm25")).toString
+        graft.text.Retrieval.buildIndex(t(s, dir, "documents"), "text", "doc_id",
+          idxDir, numBuckets = 64)
+      })
+      val probes = t(s, dir, "documents").filter(col("doc_id") % 199 === 0)
+        .select(col("doc_id"), col("text"))
+      graft.text.Retrieval.hardNegatives(s, index, probes, "doc_id", "text",
+        t(s, dir, "embeddings"), "vec_id", "embedding", kEach = 20)
+    }),
+
     // The search index kept fresh under a DOCUMENT CHANGE STREAM: the cold
     // index misses some docs and holds stale text for others; the fresh
     // copies arrive as a real readStream (one parquet file per
@@ -2322,6 +2338,52 @@ object SparkEntry {
           (CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0.0
              ELSE len(list_filter($toks, t -> t IN ('the','a','of','and','is','to','in')))::DOUBLE
                / len($toks) END) > 0.01 THEN 0.2 ELSE 0.0 END)"""
+    // the two "more like this" tower lists (MoreLikeThis term
+    // selection + bm25 + cosine), shared by the hybrid-fusion and
+    // hard-negative oracles
+    val hybridTowersCtes = raw"""WITH d AS (SELECT doc_id, $toks AS toks FROM documents),
+              dl AS (SELECT doc_id, len(toks) AS dl FROM d),
+              tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
+              tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+              df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+              qt AS (SELECT doc_id AS qid, unnest(list_distinct(toks)) AS term
+                     FROM d WHERE doc_id % 199 = 0),
+              q AS (SELECT qid, term FROM (
+                  SELECT qt.qid, qt.term, row_number() OVER (PARTITION BY qt.qid
+                    ORDER BY df.df, qt.term) AS rn
+                  FROM qt JOIN df USING (term)) WHERE rn <= 10),
+              stats AS (SELECT count(*) AS n,
+                  (sum(dl) * 1000000) // count(*) AS avgdl_micro FROM dl),
+              contrib AS (
+                SELECT q.qid, tf.doc_id,
+                  CAST(round(
+                    ln(1.0 + (n - df.df + 0.5) / (df.df + 0.5)) *
+                    (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl.dl /
+                      (avgdl_micro / 1000000.0))) * 1000000) AS BIGINT) AS c_micro
+                FROM tf JOIN q USING (term) JOIN df USING (term)
+                  JOIN dl USING (doc_id) CROSS JOIN stats),
+              scored AS (SELECT qid, doc_id AS doc,
+                  CAST(sum(c_micro) AS BIGINT) AS s FROM contrib GROUP BY 1, 2),
+              lex1 AS (SELECT qid, doc, s FROM (
+                  SELECT *, row_number() OVER (PARTITION BY qid
+                    ORDER BY s DESC, doc) AS r FROM scored) WHERE r <= 21),
+              lex AS (SELECT qid, doc, r FROM (
+                  SELECT qid, doc, row_number() OVER (PARTITION BY qid
+                    ORDER BY s DESC, doc) AS r
+                  FROM lex1 WHERE doc <> qid) WHERE r <= 20),
+              e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              qv AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 199 = 0),
+              den AS (SELECT qid, neighbor_id AS doc, r FROM (
+                  SELECT qid, neighbor_id, row_number() OVER (PARTITION BY qid
+                    ORDER BY cos DESC, neighbor_id) AS r FROM (
+                    SELECT qv.qid, e.vec_id AS neighbor_id,
+                      CASE WHEN sqrt(list_dot_product(qv.qv, qv.qv)) *
+                          sqrt(list_dot_product(e.v, e.v)) = 0 THEN 0.0
+                        ELSE list_dot_product(qv.qv, e.v) /
+                          (sqrt(list_dot_product(qv.qv, qv.qv)) *
+                           sqrt(list_dot_product(e.v, e.v))) END AS cos
+                    FROM qv JOIN e ON qid <> e.vec_id)) WHERE r <= 20)"""
+
     val base = Map(
       "a5_map_item" ->
         """SELECT CAST(o_custkey AS VARCHAR) AS _mr_key, o_totalprice AS _mr_value,
@@ -3230,49 +3292,7 @@ object SparkEntry {
       // distinct tokens as queries (top-21 minus self, re-ranked, top-20),
       // the sim_topk_bruteforce cosine (top-20, self excluded by the
       // join), fused by integer nano-unit reciprocal ranks
-      "search_hybrid_rrf" ->
-        raw"""WITH d AS (SELECT doc_id, $toks AS toks FROM documents),
-              dl AS (SELECT doc_id, len(toks) AS dl FROM d),
-              tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
-              tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
-              df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
-              qt AS (SELECT doc_id AS qid, unnest(list_distinct(toks)) AS term
-                     FROM d WHERE doc_id % 199 = 0),
-              q AS (SELECT qid, term FROM (
-                  SELECT qt.qid, qt.term, row_number() OVER (PARTITION BY qt.qid
-                    ORDER BY df.df, qt.term) AS rn
-                  FROM qt JOIN df USING (term)) WHERE rn <= 10),
-              stats AS (SELECT count(*) AS n,
-                  (sum(dl) * 1000000) // count(*) AS avgdl_micro FROM dl),
-              contrib AS (
-                SELECT q.qid, tf.doc_id,
-                  CAST(round(
-                    ln(1.0 + (n - df.df + 0.5) / (df.df + 0.5)) *
-                    (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl.dl /
-                      (avgdl_micro / 1000000.0))) * 1000000) AS BIGINT) AS c_micro
-                FROM tf JOIN q USING (term) JOIN df USING (term)
-                  JOIN dl USING (doc_id) CROSS JOIN stats),
-              scored AS (SELECT qid, doc_id AS doc,
-                  CAST(sum(c_micro) AS BIGINT) AS s FROM contrib GROUP BY 1, 2),
-              lex1 AS (SELECT qid, doc, s FROM (
-                  SELECT *, row_number() OVER (PARTITION BY qid
-                    ORDER BY s DESC, doc) AS r FROM scored) WHERE r <= 21),
-              lex AS (SELECT qid, doc, r FROM (
-                  SELECT qid, doc, row_number() OVER (PARTITION BY qid
-                    ORDER BY s DESC, doc) AS r
-                  FROM lex1 WHERE doc <> qid) WHERE r <= 20),
-              e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-              qv AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 199 = 0),
-              den AS (SELECT qid, neighbor_id AS doc, r FROM (
-                  SELECT qid, neighbor_id, row_number() OVER (PARTITION BY qid
-                    ORDER BY cos DESC, neighbor_id) AS r FROM (
-                    SELECT qv.qid, e.vec_id AS neighbor_id,
-                      CASE WHEN sqrt(list_dot_product(qv.qv, qv.qv)) *
-                          sqrt(list_dot_product(e.v, e.v)) = 0 THEN 0.0
-                        ELSE list_dot_product(qv.qv, e.v) /
-                          (sqrt(list_dot_product(qv.qv, qv.qv)) *
-                           sqrt(list_dot_product(e.v, e.v))) END AS cos
-                    FROM qv JOIN e ON qid <> e.vec_id)) WHERE r <= 20),
+      "search_hybrid_rrf" -> (hybridTowersCtes + """,
               fused AS (SELECT qid, doc, count(*) AS n_lists,
                   CAST(sum(CAST(round(1000000000.0 / (60 + r)) AS BIGINT))
                     AS BIGINT) AS rrf_nano
@@ -3282,7 +3302,11 @@ object SparkEntry {
               SELECT *, CAST(row_number() OVER (PARTITION BY qid
                 ORDER BY rrf_nano DESC, doc) AS INTEGER) AS rank
               FROM fused)
-            WHERE rank <= 10""",
+            WHERE rank <= 10"""),
+      // the same towers, ANTI-joined: lexical hits the dense list misses
+      "mine_hard_negatives" -> (hybridTowersCtes + """
+            SELECT qid, doc, CAST(r AS INTEGER) AS lex_rank
+            FROM lex ANTI JOIN den USING (qid, doc)"""),
       "search_phrase" ->
         raw"""WITH d AS (SELECT doc_id, $toks AS t FROM documents),
               o AS (SELECT doc_id, len(list_filter(range(len(t) - 1),

@@ -420,18 +420,24 @@ object Retrieval {
     * Scale shape: the probe set is control-sized (both sides broadcast
     * it); the lexical side reads partition-pruned postings, the dense side
     * is one corpus scan; fusion aggregates ≤ 2·kEach rows per probe. */
-  def hybridRrf(spark: SparkSession, index: InvertedIndex, probes: DataFrame,
-                idCol: String, textCol: String,
-                embeddings: DataFrame, vecIdCol: String, vecCol: String,
-                kEach: Int = 20, kOut: Int = 10, rrfK: Int = 60,
-                maxQueryTerms: Int = 10): DataFrame = {
-    // Lucene-MoreLikeThis term selection: each probe queries only its
-    // `maxQueryTerms` RAREST corpus terms (df asc, term asc tie-break).
-    // Rare terms are the distinctive ones AND own the shortest postings —
-    // the scoring join's size is the sum of the selected dfs instead of
-    // every posting any probe token touches (measured 3.3 s → sub-second
-    // on the sf0.1 tiny-vocab corpus, where every doc shares every common
-    // token). Terms absent from the index match nothing and drop out
+  /** The two "more like this" tower lists for a probe set — shared by
+    * [[hybridRrf]] (fusion) and [[hardNegatives]] (difference).
+    *
+    * Lexical: Lucene-MoreLikeThis term selection — each probe queries only
+    * its `maxQueryTerms` RAREST corpus terms (df asc, term asc tie-break).
+    * Rare terms are the distinctive ones AND own the shortest postings —
+    * the scoring join's size is the sum of the selected dfs instead of
+    * every posting any probe token touches (measured 3.3 s → sub-second
+    * on the sf0.1 tiny-vocab corpus, where every doc shares every common
+    * token). Terms absent from the index match nothing and drop out; the
+    * self-match is removed from the top-(k+1) list and ranks recompute.
+    * Dense: brute-force cosine top-k (self excluded by the join).
+    * Returns (lex: (qid, doc, rank), den: (query_id, neighbor_id, rank)). */
+  private def towerLists(
+      spark: SparkSession, index: InvertedIndex, probes: DataFrame,
+      idCol: String, textCol: String,
+      embeddings: DataFrame, vecIdCol: String, vecCol: String,
+      kEach: Int, maxQueryTerms: Int): (DataFrame, DataFrame) = {
     val dfTab = liveRows(spark, index,
       spark.read.parquet(index.postingsDir))
       .groupBy(col("term")).agg(count(lit(1)).as("__df"))
@@ -457,6 +463,16 @@ object Retrieval {
       .select(col(vecIdCol), col(vecCol))
     val den = graft.sim.Similarity
       .bruteForceTopK(embeddings, qvecs, vecIdCol, vecCol, kEach)
+    (lex, den)
+  }
+
+  def hybridRrf(spark: SparkSession, index: InvertedIndex, probes: DataFrame,
+                idCol: String, textCol: String,
+                embeddings: DataFrame, vecIdCol: String, vecCol: String,
+                kEach: Int = 20, kOut: Int = 10, rrfK: Int = 60,
+                maxQueryTerms: Int = 10): DataFrame = {
+    val (lex, den) = towerLists(spark, index, probes, idCol, textCol,
+      embeddings, vecIdCol, vecCol, kEach, maxQueryTerms)
     def contrib(r: Column): Column = round(lit(1e9) / (lit(rrfK) + r)).cast("long")
     lex.select(col("qid"), col("doc"), contrib(col("rank")).as("__c"))
       .unionByName(den.select(col("query_id").as("qid"),
@@ -466,5 +482,22 @@ object Retrieval {
       .withColumn("rank", row_number().over(Window.partitionBy(col("qid"))
         .orderBy(col("rrf_nano").desc, col("doc"))))
       .filter(col("rank") <= kOut)
+  }
+
+  /** HARD-NEGATIVE mining for retrieval training: documents in a probe's
+    * lexical (BM25) top-k but NOT in its dense (cosine) top-k — lexically
+    * close yet semantically far, the classic contrastive-training negative
+    * (the converse set would be paraphrase positives). Pure set
+    * difference of the two tower lists: one anti-join on (qid, doc).
+    * Output: (qid, doc, lex_rank). */
+  def hardNegatives(spark: SparkSession, index: InvertedIndex, probes: DataFrame,
+                    idCol: String, textCol: String,
+                    embeddings: DataFrame, vecIdCol: String, vecCol: String,
+                    kEach: Int = 20, maxQueryTerms: Int = 10): DataFrame = {
+    val (lex, den) = towerLists(spark, index, probes, idCol, textCol,
+      embeddings, vecIdCol, vecCol, kEach, maxQueryTerms)
+    lex.join(den.select(col("query_id").as("qid"), col("neighbor_id").as("doc")),
+        Seq("qid", "doc"), "left_anti")
+      .select(col("qid"), col("doc"), col("rank").as("lex_rank"))
   }
 }

@@ -267,6 +267,15 @@ class RetrievalSpec extends AnyFunSuite with SparkTestBase {
       embs.repartition(5), "vec_id", "embedding", kEach = 10, kOut = 5)
       .collect().map(_.toString()).sorted.toSeq
     assert(again == rows.map(_.toString()).sorted.toSeq)
+    // hard negatives = the lexical list minus the dense list, exactly
+    val negs = Retrieval.hardNegatives(spark, idx, probes, "doc_id", "text",
+        embs, "vec_id", "embedding", kEach = 10)
+      .as[(Long, Long, Int)].collect().toSeq
+    val denSet = denList.map(_._1).toSet
+    val expNegs = lexList.filterNot { case (qd, _) => denSet.contains(qd) }
+      .map { case ((q, d), r) => (q, d, r) }.toSet
+    assert(negs.toSet == expNegs)
+    assert(negs.nonEmpty)
   }
 
   test("sourceOverlap counts shared distinct n-grams per unordered pair") {
