@@ -2138,6 +2138,18 @@ object SparkEntry {
         docs.filter(col("doc_id") % 97 === 0), "text", "doc_id", n = 5)
     }),
 
+    // CURRICULUM training order: CCNet quality buckets (head → middle →
+    // tail) first, reproducible md5 shuffle within each — the dense
+    // position stream a curriculum-scheduled training run reads in order.
+    // Sharded two-pass rank: no single-partition sort
+    "curriculum_order" -> ((s, dir) => {
+      val b = Curation.lmBuckets(t(s, dir, "documents"), "text", "doc_id", "lang")
+      val pri = when(col("bucket") === "head", 0)
+        .when(col("bucket") === "middle", 1).otherwise(2)
+      graft.text.Sketches.curriculumOrder(
+        b.select(col("doc_id"), pri.as("p")), "doc_id", col("p"))
+    }),
+
     // Deterministic global training order: dense position 0..n-1 by rank
     // of an md5-uniform draw — the reproducible corpus shuffle a training
     // run reads back in range slices. Sharded two-pass rank: no
@@ -2595,6 +2607,41 @@ object SparkEntry {
              CASE WHEN nll <= t1 THEN 'head'
                   WHEN nll <= t2 THEN 'middle' ELSE 'tail' END AS bucket
            FROM sl JOIN b USING (lang)""",
+      // the quality-bucket CTEs + the md5-uniform draw: global rank by
+      // (priority, u, doc_id) — identical to the sharded two-pass rank
+      // because the shard id is monotone in u within a priority
+      "curriculum_order" -> {
+        val nib = (k: Int) =>
+          s"(strpos('0123456789abcdef', substr(h, $k, 1)) - 1)::BIGINT"
+        val u32 = (1 to 8).map(k => s"${nib(k)} * ${1L << (4 * (8 - k))}")
+          .mkString(" + ")
+        s"""WITH d AS (SELECT doc_id, $toks AS l FROM documents),
+           tri AS (SELECT doc_id,
+               unnest(list_transform(range(1, len(l) - 1),
+                 i -> l[i::INT] || ' ' || l[(i+1)::INT] || ' ' || l[(i+2)::INT])) AS tg
+             FROM d WHERE len(l) >= 3),
+           c AS (SELECT tg, count(*) AS c FROM tri GROUP BY tg),
+           tot AS (SELECT sum(c) AS n, count(*) AS v FROM c),
+           sc AS (SELECT tri.doc_id,
+               round(-avg(ln((c.c + 1.0) / (tot.n + tot.v))), 6) AS nll
+             FROM tri JOIN c USING (tg) CROSS JOIN tot GROUP BY tri.doc_id),
+           sl AS (SELECT sc.doc_id, documents.lang, nll
+                  FROM sc JOIN documents USING (doc_id)),
+           b AS (SELECT lang, round(quantile_cont(nll, 1.0/3), 6) AS t1,
+                   round(quantile_cont(nll, 2.0/3), 6) AS t2
+                 FROM sl GROUP BY lang),
+           bk AS (SELECT doc_id,
+               CASE WHEN nll <= t1 THEN 0 WHEN nll <= t2 THEN 1 ELSE 2 END
+                 AS priority
+             FROM sl JOIN b USING (lang)),
+           uu AS (SELECT doc_id, priority, ($u32) / 4294967296.0 AS u FROM (
+               SELECT doc_id, priority,
+                 md5('graft-curriculum:' || doc_id::VARCHAR) AS h FROM bk))
+           SELECT doc_id, priority,
+             CAST(row_number() OVER (ORDER BY priority, u, doc_id) - 1
+               AS BIGINT) AS pos
+           FROM uu"""
+      },
       "events_pivot" ->
         """SELECT user_id,
              count(*) FILTER (WHERE event_type = 'click') AS n_click,

@@ -298,6 +298,34 @@ object Sketches {
     * rank within the shard — a window over at most 1/nShards of the data
     * per group. The classic two-pass rank (zipWithIndex's shape) kept
     * declarative; shard counts are nShards driver-side longs. */
+  /** CURRICULUM order — [[globalOrder]] generalized with a leading integer
+    * priority: dense positions 0..n−1 where lower `priority` groups come
+    * first and order WITHIN a group is the reproducible md5 shuffle
+    * (training curricula: high-quality buckets first, unbiased within).
+    * Same no-single-partition-sort shape: ranks run per (priority, shard)
+    * hash slice, the (priority, shard) counts are control data, and the
+    * cumulative offsets ride as ONE map literal. Output:
+    * (id, priority, pos). */
+  def curriculumOrder(docs: DataFrame, idCol: String, priority: Column,
+                      nShards: Int = 16,
+                      salt: String = "graft-curriculum"): DataFrame = {
+    val u = Curation.hashUniform(col(idCol), salt)
+    val base = docs.select(col(idCol), priority.cast("int").as("__p"), u.as("__u"),
+      least(floor(u * nShards).cast("int"), lit(nShards - 1)).as("__sh"))
+    val countOf = base.groupBy(col("__p"), col("__sh"))
+      .agg(count(lit(1)).as("__c")).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    val keys = countOf.keys.toSeq.sorted // (priority, shard) lexicographic
+    val offsets = keys.scanLeft(0L)((acc, k) => acc + countOf(k)).dropRight(1)
+    val offMap = typedLit(keys.zip(offsets)
+      .map { case ((p, sh), o) => s"$p:$sh" -> o }.toMap)
+    val w = Window.partitionBy(col("__p"), col("__sh"))
+      .orderBy(col("__u"), col(idCol))
+    base.withColumn("pos", row_number().over(w).cast("long") +
+        element_at(offMap, concat_ws(":", col("__p"), col("__sh"))) - 1)
+      .select(col(idCol), col("__p").as("priority"), col("pos"))
+  }
+
   def globalOrder(docs: DataFrame, idCol: String, nShards: Int = 64,
                   salt: String = "graft-shuffle"): DataFrame = {
     val u = Curation.hashUniform(col(idCol), salt)

@@ -202,6 +202,27 @@ class SketchesSpec extends AnyFunSuite with SparkTestBase {
 
   // --------------------------------------------------------- global order
 
+  test("curriculumOrder: priorities first, md5 shuffle within, dense permutation") {
+    val withP = docs.select(col("doc_id"), (col("doc_id") % 3).cast("int").as("p"))
+    val out = Sketches.curriculumOrder(withP, "doc_id", col("p"), nShards = 4)
+      .as[(Long, Int, Long)].collect().sortBy(_._3).toSeq
+    val n = withP.count()
+    // dense permutation 0..n-1
+    assert(out.map(_._3) == (0L until n).toSeq)
+    // priorities are non-decreasing along the position stream
+    assert(out.map(_._2) == out.map(_._2).sorted)
+    // within a priority, order equals the flat (u, id) rank
+    val flat = withP.select(col("doc_id"), col("p"),
+        Curation.hashUniform(col("doc_id"), "graft-curriculum").as("u"))
+      .as[(Long, Int, Double)].collect()
+      .sortBy(t => (t._2, t._3, t._1)).map(_._1).toSeq
+    assert(out.map(_._1) == flat)
+    // stable under repartitioning and shard-count changes
+    val again = Sketches.curriculumOrder(withP.repartition(7), "doc_id",
+      col("p"), nShards = 9).as[(Long, Int, Long)].collect().sortBy(_._3).toSeq
+    assert(again == out)
+  }
+
   test("globalOrder is a dense permutation equal to the flat global rank") {
     val out = Sketches.globalOrder(docs, "doc_id", nShards = 8)
       .as[(Long, Long)].collect()
