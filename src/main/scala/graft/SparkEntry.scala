@@ -1755,6 +1755,22 @@ object SparkEntry {
         t(s, dir, "embeddings"), "vec_id", "embedding", kEach = 20)
     }),
 
+    // PARAPHRASE positives: dense top-k minus lexical top-k per probe —
+    // semantically close with little surface overlap, the contrastive
+    // positive candidates lexical matching cannot surface
+    "mine_paraphrase_pairs" -> ((s, dir) => {
+      val index = bm25Indexes.getOrElseUpdate(dir, {
+        val idxDir = graft.core.TempDirs.register(
+          java.nio.file.Files.createTempDirectory("graft_bm25")).toString
+        graft.text.Retrieval.buildIndex(t(s, dir, "documents"), "text", "doc_id",
+          idxDir, numBuckets = 64)
+      })
+      val probes = t(s, dir, "documents").filter(col("doc_id") % 199 === 0)
+        .select(col("doc_id"), col("text"))
+      graft.text.Retrieval.paraphrasePositives(s, index, probes, "doc_id", "text",
+        t(s, dir, "embeddings"), "vec_id", "embedding", kEach = 20)
+    }),
+
     // The search index kept fresh under a DOCUMENT CHANGE STREAM: the cold
     // index misses some docs and holds stale text for others; the fresh
     // copies arrive as a real readStream (one parquet file per
@@ -3354,6 +3370,10 @@ object SparkEntry {
       "mine_hard_negatives" -> (hybridTowersCtes + """
             SELECT qid, doc, CAST(r AS INTEGER) AS lex_rank
             FROM lex ANTI JOIN den USING (qid, doc)"""),
+      // the converse anti-join: dense hits the lexical list misses
+      "mine_paraphrase_pairs" -> (hybridTowersCtes + """
+            SELECT qid, doc, CAST(r AS INTEGER) AS dense_rank
+            FROM den ANTI JOIN lex USING (qid, doc)"""),
       "search_phrase" ->
         raw"""WITH d AS (SELECT doc_id, $toks AS t FROM documents),
               o AS (SELECT doc_id, len(list_filter(range(len(t) - 1),

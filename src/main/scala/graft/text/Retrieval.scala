@@ -500,4 +500,20 @@ object Retrieval {
         Seq("qid", "doc"), "left_anti")
       .select(col("qid"), col("doc"), col("rank").as("lex_rank"))
   }
+
+  /** PARAPHRASE-POSITIVE mining — the converse of [[hardNegatives]]:
+    * documents in a probe's dense (cosine) top-k but NOT in its lexical
+    * (BM25) top-k — semantically close with little surface overlap, the
+    * contrastive-training positive candidates that exact/lexical matching
+    * cannot surface. Output: (qid, doc, dense_rank). */
+  def paraphrasePositives(spark: SparkSession, index: InvertedIndex,
+                          probes: DataFrame, idCol: String, textCol: String,
+                          embeddings: DataFrame, vecIdCol: String, vecCol: String,
+                          kEach: Int = 20, maxQueryTerms: Int = 10): DataFrame = {
+    val (lex, den) = towerLists(spark, index, probes, idCol, textCol,
+      embeddings, vecIdCol, vecCol, kEach, maxQueryTerms)
+    den.select(col("query_id").as("qid"), col("neighbor_id").as("doc"),
+        col("rank").as("dense_rank"))
+      .join(lex.select(col("qid"), col("doc")), Seq("qid", "doc"), "left_anti")
+  }
 }

@@ -276,6 +276,14 @@ class RetrievalSpec extends AnyFunSuite with SparkTestBase {
       .map { case ((q, d), r) => (q, d, r) }.toSet
     assert(negs.toSet == expNegs)
     assert(negs.nonEmpty)
+    // and the converse: paraphrase positives = dense minus lexical
+    val pos = Retrieval.paraphrasePositives(spark, idx, probes, "doc_id", "text",
+        embs, "vec_id", "embedding", kEach = 10)
+      .as[(Long, Long, Int)].collect().toSeq
+    val lexSet = lexList.map(_._1).toSet
+    val expPos = denList.filterNot { case (qd, _) => lexSet.contains(qd) }
+      .map { case ((q, d), r) => (q, d, r) }.toSet
+    assert(pos.toSet == expPos && pos.nonEmpty)
   }
 
   test("sourceOverlap counts shared distinct n-grams per unordered pair") {
