@@ -83,6 +83,7 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[String, graft.text.Retrieval.InvertedIndex]
   private val hllStores = scala.collection.concurrent.TrieMap.empty[String, String]
   private val cmsStreamStores = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val hllStreamStores = scala.collection.concurrent.TrieMap.empty[String, String]
   private val lshIndexes = scala.collection.concurrent.TrieMap
     .empty[String, (graft.dedup.LshIndex.Index, String, java.util.concurrent.atomic.AtomicLong)]
   /** (index, initPairsPath, livePairsPath, streamInDir, checkpointDir) per
@@ -2106,6 +2107,44 @@ object SparkEntry {
         .select(col("term"), coalesce(col("cnt"), lit(0L)).as("cnt"), col("est_cnt"))
     }),
 
+    // STREAMING WINDOWED CARDINALITY: per-hour distinct users from HLL
+    // registers folded forward under a real readStream — each micro-batch
+    // sketches only its own events and max-merges into durable state; the
+    // drained registers must equal the direct batch sketch (same
+    // exact-integer oracle family as sketch_distinct_hll)
+    "events_uniques_stream" -> ((s, dir) => {
+      val stateDir = hllStreamStores.getOrElseUpdate(dir, {
+        val root = graft.core.TempDirs.register(
+          java.nio.file.Files.createTempDirectory("graft_hlls")).toString
+        val streamDir = graft.core.TempDirs.register(
+          java.nio.file.Files.createTempDirectory("graft_hlls_in")).toString
+        t(s, dir, "events")
+          .select((expr("ts div 3600000000000") * 3600).as("hour"), col("user_id"))
+          .repartition(4).write.mode("overwrite").parquet(streamDir)
+        var cur: Option[String] = None
+        val q = s.readStream.schema(s.read.parquet(streamDir).schema)
+          .option("maxFilesPerTrigger", "1").parquet(streamDir)
+          .writeStream
+          .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+            val batchSketch = graft.text.Sketches.hllSketch(
+              b.toDF(), Seq(col("hour")), col("user_id"))
+            val merged = cur match {
+              case Some(p) => s.read.parquet(p).unionByName(batchSketch)
+                .groupBy(col("hour"), col("__reg")).agg(max(col("__mx")).as("__mx"))
+              case None => batchSketch
+            }
+            val out = s"$root/b$id"
+            merged.write.mode("overwrite").parquet(out)
+            cur = Some(out)
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        cur.getOrElse(sys.error("empty stream"))
+      })
+      graft.text.Sketches.hllFold(s.read.parquet(stateDir), Seq(col("hour")))
+    }),
+
     // JOIN-SIZE estimation from CMS inner products (AMS/CMS sketch
     // estimators, Cormode & Muthukrishnan): |A ⋈ B| ≈ min over hash rows
     // of Σ_c cmsA[r,c]·cmsB[r,c] — never an underestimate. Each side folds
@@ -2214,21 +2253,28 @@ object SparkEntry {
   /** The HLL oracle, shared by the per-source sketch and the global merge
     * (register-wise max merge ≡ the direct global sketch — so the merge
     * oracle IS the direct computation, which is exactly the claim). */
-  private def hllOracleSql(perSource: Boolean): String = {
+  private def hllOracleSql(perSource: Boolean): String =
+    hllOracleSqlOver(
+      "SELECT source, md5('graft-hll:' || text) AS h FROM documents WHERE text IS NOT NULL",
+      if (perSource) Some("source") else None)
+
+  /** The HLL estimator CTEs over an arbitrary `(group?, h)` source select —
+    * `h0Select` must yield an md5 digest column `h` (and the group column
+    * when `groupCol` is set). */
+  private def hllOracleSqlOver(h0Select: String, groupCol: Option[String]): String = {
     val nibAt = (src: String, k: String) =>
       s"(strpos('0123456789abcdef', substr($src, $k, 1)) - 1)::BIGINT"
-    val grp = if (perSource) "source, " else ""
-    val grpBy = if (perSource) "GROUP BY source" else ""
-    val grpBy12 = if (perSource) "GROUP BY 1, 2" else "GROUP BY 1"
-    s"""WITH h0 AS (SELECT source, md5('graft-hll:' || text) AS h
-            FROM documents WHERE text IS NOT NULL),
-        rr AS (SELECT source,
+    val grp = groupCol.map(_ + ", ").getOrElse("")
+    val grpBy = groupCol.map("GROUP BY " + _).getOrElse("")
+    val grpBy12 = if (groupCol.isDefined) "GROUP BY 1, 2" else "GROUP BY 1"
+    s"""WITH h0 AS ($h0Select),
+        rr AS (SELECT $grp
             ${nibAt("h", "1")} * 16 + ${nibAt("h", "2")} AS reg,
             8 - length(ltrim(substr(h, 3, 8), '0')) AS zn,
             (strpos('0123456789abcdef', substr(substr(h, 3, 8),
               (8 - length(ltrim(substr(h, 3, 8), '0'))) + 1, 1)) - 1) AS nib
           FROM h0),
-        rho AS (SELECT source, reg,
+        rho AS (SELECT ${grp}reg,
             CASE WHEN zn = 8 THEN 33 ELSE zn * 4 + 1 +
               CASE WHEN nib >= 8 THEN 0 WHEN nib >= 4 THEN 1
                    WHEN nib >= 2 THEN 2 ELSE 3 END END AS rho
@@ -3699,6 +3745,12 @@ object SparkEntry {
       // counting below 2.5m — the merge is register-wise max, which must
       // equal the direct global sketch computed here
       "sketch_distinct_hll" -> hllOracleSql(perSource = true),
+      // drained per-hour registers == the direct batch sketch over events
+      "events_uniques_stream" -> hllOracleSqlOver(
+        "SELECT CAST(epoch_ns(ts) // 3600000000000 * 3600 AS BIGINT) AS hour, " +
+          "md5('graft-hll:' || user_id::VARCHAR) AS h FROM events " +
+          "WHERE user_id IS NOT NULL",
+        Some("hour")),
       // maintained-registers == direct-sketch: identical oracle by design
       "sketch_hll_incr" -> hllOracleSql(perSource = true),
       "sketch_hll_merge" -> hllOracleSql(perSource = false),
