@@ -1133,6 +1133,23 @@ object SparkEntry {
       Components.survivors(docs, "doc_id", pairs).select(col("doc_id"))
     }),
 
+    // INCREMENTAL near-dup resolution: the prior corpus's component
+    // labeling contracts to (id, cluster) star edges; a new-document
+    // batch folds in ONLY its delta pairs — never the historical edge
+    // set — and the merged survivors must equal the one-shot resolution
+    // (same oracle as dedup_minhash_resolve)
+    "dedup_resolve_incr" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = graft.ops.Caches.track(
+        DocDedup.nearDupPairs(docs, "text", "doc_id",
+          threshold = 0.8, numHashes = 32, bands = 8, maxBucketSize = 10000))
+      val boot = pairs.filter(col("id_a") % 3 =!= 0 && col("id_b") % 3 =!= 0)
+      val delta = pairs.filter(col("id_a") % 3 === 0 || col("id_b") % 3 === 0)
+      val labels0 = Components.connectedComponents(boot, "id_a", "id_b")
+      val merged = Components.incrementalComponents(labels0, delta)
+      Components.survivorsFromLabels(docs, "doc_id", merged).select(col("doc_id"))
+    }),
+
     // Same resolution over the EMBEDDING near-dup pair family: cosine
     // pairs → components → one vector per cluster
     "embed_neardup_resolve" -> ((s, dir) => {
@@ -3933,7 +3950,10 @@ object SparkEntry {
               round(quantile_cont(n_tok, 0.99), 4) AS p99_tokens
             FROM d GROUP BY source"""
     )
-    // the streamed CMS drain must equal the one-shot build — same oracle
-    base + ("sketch_cms_stream" -> base("sketch_freq_cms"))
+    // the streamed CMS drain must equal the one-shot build, and the
+    // incrementally-merged component survivors the one-shot resolution —
+    // identical oracles by construction
+    base + ("sketch_cms_stream" -> base("sketch_freq_cms")) +
+      ("dedup_resolve_incr" -> base("dedup_minhash_resolve"))
   }
 }

@@ -158,18 +158,38 @@ object Components {
     out.toMap
   }
 
-  /** Drop every non-representative member of each near-dup cluster: a doc
-    * survives iff it is in no pair (singleton) or is its cluster's smallest
-    * id. Keeps `docs`' full schema. */
-  def survivors(docs: DataFrame, idCol: String, pairs: DataFrame,
-                aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
-    // the component map is tiny next to the corpus (only docs with a
-    // near-dup appear), but data-dependent — AQE sees its runtime size at
-    // the join and picks broadcast when it fits
-    val cc = connectedComponents(pairs, aCol, bCol)
+  /** INCREMENTAL component maintenance: fold NEW edges into an EXISTING
+    * labeling without replaying historical edges. Each prior component
+    * contracts to its (id, cluster) star edges — a spanning subgraph with
+    * the same connectivity — so CC over (stars ∪ delta) equals CC over
+    * (all old edges ∪ delta) exactly, and cluster ids (component minima)
+    * can only merge downward. The incremental input is |labels| + |delta|
+    * rows, never the historical pair set: the shape a rolling 100 TB dedup
+    * keeps per batch. Property-tested equal to the full recompute. */
+  def incrementalComponents(prevLabels: DataFrame, newPairs: DataFrame,
+                            aCol: String = "id_a", bCol: String = "id_b"): DataFrame =
+    connectedComponents(
+      newPairs.select(col(aCol), col(bCol)).unionByName(
+        prevLabels.select(col("id").as(aCol), col("cluster").as(bCol))),
+      aCol, bCol)
+
+  /** [[survivors]] against an already-computed component map. */
+  def survivorsFromLabels(docs: DataFrame, idCol: String,
+                          labels: DataFrame): DataFrame = {
+    val cc = labels
       .select(col("id").as("__cc_id"), col("cluster").as("__cc_cluster"))
     docs.join(cc, docs(idCol) === col("__cc_id"), "left")
       .filter(col("__cc_id").isNull || col("__cc_cluster") === docs(idCol))
       .drop("__cc_id", "__cc_cluster")
   }
+
+  /** Drop every non-representative member of each near-dup cluster: a doc
+    * survives iff it is in no pair (singleton) or is its cluster's smallest
+    * id. Keeps `docs`' full schema. */
+  def survivors(docs: DataFrame, idCol: String, pairs: DataFrame,
+                aCol: String = "id_a", bCol: String = "id_b"): DataFrame =
+    // the component map is tiny next to the corpus (only docs with a
+    // near-dup appear), but data-dependent — AQE sees its runtime size at
+    // the join and picks broadcast when it fits
+    survivorsFromLabels(docs, idCol, connectedComponents(pairs, aCol, bCol))
 }

@@ -93,6 +93,32 @@ class ComponentsSpec extends AnyFunSuite with SparkTestBase {
     graft.ops.Caches.release()
   }
 
+  test("incremental merge over star-contracted labels equals the full recompute") {
+    def mix(i: Long): Long = {
+      var x = i * 0x9E3779B97F4A7C15L
+      x ^= x >>> 32; x.abs
+    }
+    import spark.implicits._
+    for (trial <- 0 until 3) {
+      val n = 40 + trial * 13
+      val all = (0 until 70).map { i =>
+        (mix(i + trial * 1000) % n, mix(i * 7 + 3 + trial) % n)
+      }.filter { case (a, b) => a != b }
+      // arbitrary split: old batch vs delta (delta may merge old components)
+      val (oldE, newE) = all.splitAt(all.length / 2)
+      val labels0 = graft.dedup.Components.connectedComponents(
+        oldE.toDF("id_a", "id_b"), "id_a", "id_b")
+      val merged = graft.dedup.Components.incrementalComponents(
+        labels0, newE.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+      val full = graft.dedup.Components.connectedComponents(
+        all.toDF("id_a", "id_b"), "id_a", "id_b")
+        .as[(Long, Long)].collect().toMap
+      assert(merged == full, s"trial $trial")
+      graft.ops.Caches.release()
+    }
+  }
+
   test("survivors keep singletons and the smallest id per cluster, full schema") {
     val docs = Seq(
       (1L, "a"), (2L, "a'"), (3L, "a''"), // cluster -> keep 1
