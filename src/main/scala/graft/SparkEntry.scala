@@ -403,6 +403,42 @@ object SparkEntry {
             round(col(Value), 2).as("sum_value")))
     }),
 
+    // SNAPSHOT DIFF — the time-travel CDC read: full-outer join of a past
+    // retained snapshot against the current committed state, classifying
+    // every key as added/removed/updated. Pure manifest indirection on
+    // both sides (no log replay); the oracle recomputes both states from
+    // the source tables
+    "incr_snapshot_diff" -> ((s, dir) => {
+      val store = bucketedStore(dir, "tt", ordersSumPipeline,
+        keepSnapshots = 10000)(sources(s, dir))
+      val n1 = store.meta("tt_past") match {
+        case Some(b) => b.toLong
+        case None =>
+          val b = store.committedBatch.getOrElse(0L) + 1
+          BucketedRun.applyChanges(s, ordersSumPipeline, sources(s, dir), store,
+            ordersBatch(s, dir, 7993, Change.Deleted), b, batchId = b)
+          store.setMeta("tt_past", b.toString)
+          b
+      }
+      // one live restore batch per invocation (same steady state as
+      // incr_time_travel — the diff is then past-vs-fully-restored)
+      val n2 = store.committedBatch.getOrElse(0L) + 1
+      BucketedRun.applyChanges(s, ordersSumPipeline, sources(s, dir), store,
+        ordersBatch(s, dir, 7993, Change.Updated, seqOffset = 2000000L + n2),
+        n2, batchId = n2)
+      val past = store.tableAsOf(s, "orders_sum", n1)
+        .select(col(Key), round(col(Value), 2).as("past_value"))
+      val cur = store.table(s, "orders_sum")
+        .select(col(Key), round(col(Value), 2).as("cur_value"))
+      past.join(cur, Seq(Key), "full_outer")
+        .filter(!(col("past_value") <=> col("cur_value")))
+        .select(col(Key),
+          when(col("past_value").isNull, "added")
+            .when(col("cur_value").isNull, "removed")
+            .otherwise("updated").as("change"),
+          col("past_value"), col("cur_value"))
+    }),
+
     // ZERO-COPY schema evolution on the durable store: `n_orders` is added
     // to the derived table's schema without rewriting a single committed
     // bucket (explicit-schema reads surface NULL from pre-evolution files —
@@ -2545,6 +2581,21 @@ object SparkEntry {
            UNION ALL
            SELECT 'current' AS snapshot, CAST(o_custkey AS VARCHAR) AS _mr_key,
            round(sum(o_totalprice), 2) AS sum_value FROM orders GROUP BY 2""",
+      // both diff sides recomputed from orders; keys whose every order
+      // was deleted surface as 'added' (absent from the past state)
+      "incr_snapshot_diff" ->
+        """WITH past AS (SELECT CAST(o_custkey AS VARCHAR) AS k,
+               round(sum(o_totalprice), 2) AS v FROM orders
+             WHERE o_orderkey % 7993 <> 0 GROUP BY 1),
+           cur AS (SELECT CAST(o_custkey AS VARCHAR) AS k,
+               round(sum(o_totalprice), 2) AS v FROM orders GROUP BY 1)
+           SELECT coalesce(p.k, c.k) AS _mr_key,
+             CASE WHEN p.v IS NULL THEN 'added'
+                  WHEN c.v IS NULL THEN 'removed'
+                  ELSE 'updated' END AS change,
+             p.v AS past_value, c.v AS cur_value
+           FROM past p FULL OUTER JOIN cur c ON p.k = c.k
+           WHERE p.v IS DISTINCT FROM c.v""",
       // schema evolution: past snapshot = the pre-evolution shape (NULL
       // n_orders — the column did not exist at batch 0); current = the
       // widened, fully-maintained table
