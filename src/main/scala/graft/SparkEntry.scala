@@ -1296,6 +1296,14 @@ object SparkEntry {
           col("rank"))
     }),
 
+    // Embedding DRIFT monitor: per-dimension mean shift between two
+    // slices (here the even/odd vec_id halves standing in for two corpus
+    // snapshots), top dims by absolute shift — integer-micro keys, exact
+    // cross-engine ranking
+    "embed_drift" -> ((s, dir) =>
+      Similarity.dimensionDrift(t(s, dir, "embeddings"), "embedding",
+        isA = col("vec_id") % 2 === 0)),
+
     // LSH-bucketed ANN top-k (approximate — rows-only; recall tested in specs)
     "sim_topk_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -3061,6 +3069,20 @@ object SparkEntry {
                CAST(row_number() OVER (PARTITION BY query_id
                  ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
              FROM q JOIN c ON query_id <> neighbor_id) WHERE rank <= 5""",
+      // Similarity.dimensionDrift: even/odd halves, avg per dim, ranked
+      // by the integer-micro absolute shift (ties dim asc)
+      "embed_drift" ->
+        """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           x AS (SELECT vec_id % 2 = 0 AS a, unnest(v) AS x,
+                   CAST(generate_subscripts(v, 1) - 1 AS INTEGER) AS dim FROM e),
+           m AS (SELECT dim, avg(CASE WHEN a THEN x END) AS ma,
+                   avg(CASE WHEN NOT a THEN x END) AS mb
+                 FROM x GROUP BY 1)
+           SELECT dim, round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+             CAST(round((ma - mb) * 1000000) AS BIGINT) AS delta_micro
+           FROM m
+           ORDER BY abs(CAST(round((ma - mb) * 1000000) AS BIGINT)) DESC, dim
+           LIMIT 10""",
       "embed_gram" ->
         """WITH v AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
            a AS (SELECT v, unnest(v) AS xi,

@@ -67,6 +67,28 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** Per-DIMENSION distribution drift between two embedding slices — the
+    * "did my embedding space move" monitor between corpus snapshots,
+    * model versions, or data sources: mean of every dimension on each
+    * side, ranked by the absolute mean shift. One posexplode + one
+    * (dim)-keyed aggregate — 64×tasks partial rows whatever the corpus
+    * size — and an integer-micro shift key so the ranking is exact
+    * cross-engine. Output: (dim, mean_a, mean_b, delta_micro), top
+    * `topK` by |delta| (ties: dim asc). */
+  def dimensionDrift(embeddings: DataFrame, vecCol: String, isA: Column,
+                     topK: Int = 10): DataFrame = {
+    val x = embeddings.select(isA.as("__a"),
+      posexplode(col(vecCol)).as(Seq("dim", "__x")))
+    val m = x.groupBy(col("dim")).agg(
+      avg(when(col("__a"), col("__x"))).as("__ma"),
+      avg(when(!col("__a"), col("__x"))).as("__mb"))
+    m.select(col("dim"),
+        round(col("__ma"), 6).as("mean_a"), round(col("__mb"), 6).as("mean_b"),
+        round((col("__ma") - col("__mb")) * 1e6).cast("long").as("delta_micro"))
+      .orderBy(abs(col("delta_micro")).desc, col("dim"))
+      .limit(topK)
+  }
+
   /** Sign-pattern bucket id from `nBits` deterministic pseudo-random
     * hyperplanes. Hyperplane i's component j is a fixed hash-derived value
     * in [-1, 1] — reproducible across runs and engines with no RNG. `seed`
