@@ -1945,6 +1945,14 @@ object SparkEntry {
       graft.text.Sketches.kmvMerge(t(s, dir, "documents"), "source",
         col("text"), k = 64)),
 
+    // Token-distribution drift between the even/odd doc halves (standing
+    // in for two corpus snapshots): smoothed per-term log rate ratios in
+    // integer micro units, top shifts — the vocabulary-level "what
+    // changed between crawls" monitor
+    "text_drift" -> ((s, dir) =>
+      Curation.tokenDrift(t(s, dir, "documents"), "text",
+        isA = col("doc_id") % 2 === 0)),
+
     // Unigram diversity: token entropy + type-token ratio per doc — the
     // "repetitive word soup" gate next to the n-gram repetition rules
     "text_entropy" -> ((s, dir) =>
@@ -3896,6 +3904,26 @@ object SparkEntry {
             SELECT probes.term, coalesce(tru.cnt, 0) AS cnt, est.est_cnt
             FROM probes LEFT JOIN tru USING (term) JOIN est USING (term)"""
       },
+      // Curation.tokenDrift: even/odd doc halves, smoothed log rate
+      // ratios, integer-micro ranking (ties term asc)
+      "text_drift" ->
+        raw"""WITH t AS (SELECT doc_id % 2 = 0 AS a,
+                unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+              FROM documents),
+            c AS (SELECT term,
+                sum(CASE WHEN a THEN 1 ELSE 0 END) AS cnt_a,
+                sum(CASE WHEN a THEN 0 ELSE 1 END) AS cnt_b
+              FROM t GROUP BY 1),
+            tot AS (SELECT sum(cnt_a) AS na, sum(cnt_b) AS nb,
+                count(*) AS v FROM c),
+            r AS (SELECT term, cnt_a, cnt_b,
+                CAST(round((ln((cnt_a + 1.0) / (na + v)) -
+                  ln((cnt_b + 1.0) / (nb + v))) * 1000000) AS BIGINT)
+                  AS lr_micro
+              FROM c CROSS JOIN tot)
+            SELECT term, CAST(cnt_a AS BIGINT) AS cnt_a,
+              CAST(cnt_b AS BIGINT) AS cnt_b, lr_micro
+            FROM r ORDER BY abs(lr_micro) DESC, term LIMIT 20""",
       // Curation.tokenEntropy: H = ln(n) − (Σ c·ln c)/n over per-doc
       // token counts
       "text_entropy" ->

@@ -302,6 +302,31 @@ object Curation {
         round(log(col("n_tok").cast("double")) - col("__clc") / col("n_tok"), 6)
           .as("entropy"))
 
+  /** Token-distribution DRIFT between two corpus slices — the text twin of
+    * [[graft.sim.Similarity.dimensionDrift]]: per-term smoothed log rate
+    * ratio ln((c_a+1)/(n_a+V)) − ln((c_b+1)/(n_b+V)), ranked by absolute
+    * shift in integer micro units (exact cross-engine). One tokenize, one
+    * vocabulary-sized aggregate; totals and V are driver scalars. Output:
+    * (term, cnt_a, cnt_b, lr_micro), top `topK` by |shift| (ties term
+    * asc). */
+  def tokenDrift(docs: DataFrame, textCol: String, isA: Column,
+                 topK: Int = 20): DataFrame = {
+    val counts = graft.ops.Caches.track(docs
+      .select(isA.as("__a"), explode(TextFunctions.tokens(col(textCol))).as("__t"))
+      .groupBy(col("__t")).agg(
+        sum(when(col("__a"), 1L).otherwise(0L)).as("cnt_a"),
+        sum(when(col("__a"), 0L).otherwise(1L)).as("cnt_b")))
+    val tot = counts.agg(coalesce(sum(col("cnt_a")), lit(0L)),
+      coalesce(sum(col("cnt_b")), lit(0L)), count(lit(1))).head()
+    val (na, nb, v) = (tot.getLong(0), tot.getLong(1), tot.getLong(2))
+    val lr = log((col("cnt_a") + lit(1.0)) / lit((na + v).toDouble)) -
+      log((col("cnt_b") + lit(1.0)) / lit((nb + v).toDouble))
+    counts.select(col("__t").as("term"), col("cnt_a"), col("cnt_b"),
+        round(lr * 1e6).cast("long").as("lr_micro"))
+      .orderBy(abs(col("lr_micro")).desc, col("term"))
+      .limit(topK)
+  }
+
   /** Fixed-size overlapping token chunks — the retrieval/embedding prep
     * step (RAG-style): each document yields windows of `size` tokens
     * starting every `stride` tokens (stride < size ⇒ consecutive chunks
