@@ -830,6 +830,15 @@ object SparkEntry {
         "user_id", "us", "vus", Seq("view_value"), tieBreak = Some("vid"))
     }),
 
+    // Conversion funnel: signup → view → purchase, each stage's first
+    // qualifying event within 1 h of the previous stage's timestamp —
+    // keyed min-aggregates and user joins only, no windows
+    "events_funnel" -> ((s, dir) =>
+      graft.ops.Funnel.funnel(
+        t(s, dir, "events").withColumn("us", expr("ts div 1000")),
+        "user_id", "us", "event_type",
+        Seq("signup", "view", "purchase"), withinUs = 3600000000L)),
+
     // Bucketized interval join (the Flink-interval-join shape as relational
     // algebra — window-width time buckets + equi-join + exact range prune,
     // never a nested-loop): errors within one hour after each signup of the
@@ -2850,6 +2859,23 @@ object SparkEntry {
              CAST(v.us AS BIGINT) AS asof_ts, v.value AS view_value
            FROM e ASOF LEFT JOIN v
              ON e.user_id = v.user_id AND e.us >= v.us""",
+      // Funnel.funnel: first-touch stage advancement within 1h, exact
+      // integer-microsecond arithmetic
+      "events_funnel" ->
+        """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us, event_type
+                      FROM events),
+           s0 AS (SELECT user_id, min(us) AS t FROM e
+                  WHERE event_type = 'signup' GROUP BY 1),
+           s1 AS (SELECT e.user_id, min(e.us) AS t FROM e JOIN s0 USING (user_id)
+                  WHERE e.event_type = 'view' AND e.us >= s0.t
+                    AND e.us - s0.t <= 3600000000 GROUP BY 1),
+           s2 AS (SELECT e.user_id, min(e.us) AS t FROM e JOIN s1 USING (user_id)
+                  WHERE e.event_type = 'purchase' AND e.us >= s1.t
+                    AND e.us - s1.t <= 3600000000 GROUP BY 1)
+           SELECT 0 AS step, 'signup' AS event_type,
+             (SELECT count(*) FROM s0) AS n_users
+           UNION ALL SELECT 1, 'view', (SELECT count(*) FROM s1)
+           UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM s2)""",
       "events_interval_join" ->
         """WITH su AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us
                        FROM events WHERE event_type = 'signup'),
