@@ -51,6 +51,13 @@ object KernelSubstitution extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  // the dot rewrite references each array child TWICE (the size guard and
+  // the kernel); only fire when re-evaluating the child is free — an
+  // attribute or a literal — so the rewrite can never regress an
+  // expensive derivation the fold evaluated once
+  private def isCheap(e: Expression): Boolean =
+    e.isInstanceOf[Attribute] || e.foldable
+
   /** The element-to-double upcast the fold writes explicitly; SimplifyCasts
     * may already have dropped the identity cast on double arrays. */
   private def stripDoubleCast(e: Expression): Expression = e match {
@@ -105,6 +112,7 @@ object KernelSubstitution extends Rule[LogicalPlan] {
         LambdaFunction(fin: NamedLambdaVariable, Seq(finArg: NamedLambdaVariable), _))
       if isVec(a.dataType) && isVec(b.dataType) &&
         a.deterministic && b.deterministic &&
+        isCheap(a) && isCheap(b) &&
         foldsToZeroDouble(zero) &&
         isLambdaPair(stripDoubleCast(ml), stripDoubleCast(mr), x, y, commutes = true) &&
         isLambdaPair(al, ar, acc, el, commutes = true) &&

@@ -156,11 +156,13 @@ object GraftFunctions {
     * plus the [[KernelSubstitution]] rewrite (appended through
     * `experimental.extraOptimizations`, the runtime twin of
     * `injectOptimizerRule`). */
-  def register(spark: SparkSession): Unit = {
+  def register(spark: SparkSession): Unit = synchronized {
     descriptors.foreach { case (id, _, builder) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         id.funcName, builder, "built-in")
     }
+    // synchronized: the read-modify-write would otherwise race a
+    // concurrent appender and drop its rule
     val extra = spark.experimental.extraOptimizations
     if (!extra.contains(KernelSubstitution))
       spark.experimental.extraOptimizations = extra :+ KernelSubstitution

@@ -50,7 +50,12 @@ import org.apache.spark.sql.types.LongType
   * `rightTs <= leftTs`; ties on rightTs resolved by the greatest
   * `tieBreak`; optional tolerance nulls out matches older than
   * `leftTs - tolerance`. Right rows with null key or ts can never match
-  * and are dropped; left rows with null key or ts emit unmatched.
+  * and are dropped; left rows with null key or ts emit unmatched — the
+  * SQL-equality semantics DuckDB's ASOF `ON l.k = r.k` has. (The
+  * union+window form DIVERGES there: `partitionBy` groups nulls as one
+  * key, so a null-key left row would pick up a null-key right payload.
+  * No graft corpus has null keys; on such data prefer this operator or
+  * pre-filter.)
   */
 case class AsOfJoinNode(
     left: LogicalPlan, right: LogicalPlan,
@@ -114,6 +119,11 @@ case class AsOfJoinExec(
       "as-of key/ts must be direct child output attributes")
     require(leftTs.dataType == LongType && rightTs.dataType == LongType,
       "as-of timestamps must be long (the wrapper casts them)")
+    // the right key is read through the LEFT key's accessor and the two
+    // sides must co-hash: mismatched key types would silently mis-read
+    // and mis-partition (the wrapper aligns them)
+    require(leftKey.dataType == rightKey.dataType,
+      s"as-of key types must match: ${leftKey.dataType} vs ${rightKey.dataType}")
     val longKeys = leftKey.dataType == LongType && rightKey.dataType == LongType
     val keyOrd =
       if (longKeys) null else TypeUtils.getInterpretedOrdering(leftKey.dataType)
@@ -177,17 +187,26 @@ case class AsOfJoinExec(
             val c = cmpR
             if (c < 0) fetchRight()
             else if (c == 0 && rTs <= lts) {
-              cand = rRow.copy(); candKeyL = rKeyL; candKeyA = rKeyA
+              cand = rRow.copy()
+              // the key is re-read from the COPY: rKeyA is a live view into
+              // the sorter's reused record buffer (e.g. a UTF8String over
+              // a spill reader's array) and the next fetch overwrites it
+              candKeyL = rKeyL
+              candKeyA = if (longKeys) null else cand.get(rKeyIdx, keyDt)
               candTs = rTs; hasCand = true
               fetchRight()
             } else advancing = false
           }
           // hasCand first: candKeyA is null until a candidate exists and
-          // the interpreted ordering NPEs on null
+          // the interpreted ordering NPEs on null. Tolerance compares with
+          // overflow protection: absurd timestamp spans must read as
+          // "older than any tolerance", not wrap negative and match
           val matched = hasCand &&
             (if (longKeys) candKeyL == lkL
              else keyOrd.compare(candKeyA, lkA) == 0) &&
-            lts - candTs <= tolGate
+            (tolGate == Long.MaxValue ||
+              (try Math.subtractExact(lts, candTs) <= tolGate
+               catch { case _: ArithmeticException => false }))
           resultProj(joined(l, if (matched) cand else rightNulls))
         }
       }
@@ -204,8 +223,10 @@ case class AsOfJoinExec(
 object AsOfJoinNative {
 
   /** Idempotent runtime registration (the `extraStrategies` twin of
-    * `GraftExtensions`' `injectPlannerStrategy`). */
-  def register(spark: SparkSession): Unit = {
+    * `GraftExtensions`' `injectPlannerStrategy`). Synchronized: the
+    * read-modify-write would otherwise race a concurrent appender and
+    * drop its strategy. */
+  def register(spark: SparkSession): Unit = synchronized {
     val extra = spark.experimental.extraStrategies
     if (!extra.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies = extra :+ AsOfJoinStrategy
@@ -218,14 +239,21 @@ object AsOfJoinNative {
     val spark = left.sparkSession
     register(spark)
     val leftCols = left.columns.toSeq
-    require(!leftCols.contains("asof_ts"), "left already has asof_ts")
-    require((payload ++ tieBreak).forall(p => !leftCols.contains(p)),
-      "payload/tieBreak names must not collide with left columns — alias the right side first")
+    val reserved = Seq("asof_ts", "__lts", "__rk", "__rts")
+    require(reserved.forall(r => !leftCols.contains(r)),
+      s"left must not already have ${reserved.mkString("/")}")
+    require((payload ++ tieBreak).forall(p =>
+        !leftCols.contains(p) && !reserved.contains(p)),
+      "payload/tieBreak names must not collide with left columns or " +
+        "asof_ts/__lts/__rk/__rts — alias the right side first")
     // normalized inputs: key renamed on the right (no name ambiguity in the
-    // joined frame), ts cast to long on both sides like the algebraic form
+    // joined frame) and CAST to the left key's type (the exec reads it
+    // through the left accessor and the sides must co-hash), ts cast to
+    // long on both sides like the algebraic form
     val lNorm = left.withColumn("__lts", col(leftTs).cast("long"))
+    val lKeyType = left.schema(key).dataType
     val rightCols = (payload ++ tieBreak.filterNot(payload.contains)).map(col)
-    val rNorm = right.select(col(key).as("__rk") +:
+    val rNorm = right.select(col(key).cast(lKeyType).as("__rk") +:
       col(rightTs).cast("long").as("__rts") +: rightCols: _*)
     val lp = lNorm.queryExecution.analyzed
     // fresh exprIds on the right: a self-as-of (both sides from one scan)
