@@ -2325,8 +2325,161 @@ object SparkEntry {
           round(percentile(ntok, lit(0.5)), 4).as("p50_tokens"),
           round(percentile(ntok, lit(0.9)), 4).as("p90_tokens"),
           round(percentile(ntok, lit(0.99)), 4).as("p99_tokens"))
+    }),
+
+    // Trained k-means clustering — 2 QUANTIZED Lloyd iterations from the
+    // id-ordered seed (Ivf.trainQuantized): the curation substrate of
+    // cluster-balanced sampling and SemDeDup-style semantic dedup, here as
+    // a first-class clustering op whose TRAINED model is itself
+    // reproducible: per-iteration centroid means quantize to 6 decimals,
+    // so the oracle unrolls the same two iterations and hash-matches the
+    // final assignment exactly. Centroids are collected control data;
+    // assignment is a narrow projection (no join, no shuffle)
+    "cluster_kmeans" -> ((s, dir) =>
+      Ivf.assignCells(t(s, dir, "embeddings"), "vec_id", "embedding",
+        kmeansCentroids(s, dir))),
+
+    // ---- graph analytics over item co-occurrence (market basket) --------
+    // Build the thresholded edge list ONCE per scale dir (cached) — the
+    // graph family shares it the way ANN queries share a built index.
+
+    // Support-thresholded co-occurrence edges: parts bought together in
+    // ≥ 2 orders. ONE shuffle + bounded in-row pair expansion (never a
+    // fact-table self-join); the threshold prunes ~1.2M noise pairs to
+    // ~3.9k edges at sf0.1 before anything downstream runs
+    "graph_copurchase" -> ((s, dir) => copurchaseEdges(s, dir)),
+
+    // Undirected degree per node of the thresholded graph
+    "graph_degree" -> ((s, dir) =>
+      graft.graph.Graph.degrees(copurchaseEdges(s, dir))),
+
+    // Association rules over each edge, both directions: support,
+    // confidence, lift — deterministic single-division FP, identical op
+    // order in the oracle
+    "graph_basket_rules" -> ((s, dir) =>
+      graft.graph.Graph.basketRules(copurchaseEdges(s, dir),
+        graft.graph.Graph.itemGroupCounts(t(s, dir, "lineitem"),
+          "l_orderkey", "l_partkey"),
+        nOrderGroups(s, dir))),
+
+    // Per-node triangle counts: forward-edge enumeration on the oriented
+    // (p1 < p2) edge list — equi-joins only, each triangle counted once
+    "graph_triangles" -> ((s, dir) =>
+      graft.graph.Graph.triangleCounts(copurchaseEdges(s, dir))),
+
+    // 3 unrolled PageRank power iterations on the undirected thresholded
+    // graph — the whole loop runs in integer nano-units (BIGINT sums are
+    // associative), so the result is bit-identical under any merge order
+    // and across engines
+    "graph_pagerank" -> ((s, dir) =>
+      graft.graph.Graph.pageRank(copurchaseEdges(s, dir), iters = 3)),
+
+    // Common-neighbor Jaccard similarity between graph nodes — the
+    // link-prediction primitive: wedge enumeration through the shared
+    // neighbor (equi-joins only, per-node cost bounded by degree², which
+    // the support threshold already bounds), never an all-pairs scan
+    "graph_common_neighbors" -> ((s, dir) =>
+      graft.graph.Graph.commonNeighborSim(copurchaseEdges(s, dir))),
+
+    // ---- behavioral time-series (events) --------------------------------
+
+    // RFM segmentation: per-user recency / frequency / monetary plus
+    // quartile scores. Scores come from EXACT percentile boundaries
+    // (one agg → 3 doubles of control data, broadcast back as literals-
+    // via-crossJoin) and a narrow comparison — NOT ntile, whose global
+    // ordering is a single-partition sort at scale. Equal-to-boundary
+    // lands in the lower bucket; both engines interpolate quantiles with
+    // the same formula, so the scores hash-match
+    "events_rfm" -> ((s, dir) => {
+      val base = t(s, dir, "events")
+        .select(col("user_id"), expr("ts div 86400000000000").as("day"),
+          col("value"))
+        .groupBy(col("user_id"))
+        .agg(max(col("day")).as("last_day"), count(lit(1)).as("frequency"),
+          round(sum(col("value")), 2).as("monetary"))
+      val qs = base.agg(
+        percentile(col("last_day"), lit(0.25)).as("r1"),
+        percentile(col("last_day"), lit(0.5)).as("r2"),
+        percentile(col("last_day"), lit(0.75)).as("r3"),
+        percentile(col("frequency"), lit(0.25)).as("f1"),
+        percentile(col("frequency"), lit(0.5)).as("f2"),
+        percentile(col("frequency"), lit(0.75)).as("f3"),
+        percentile(col("monetary"), lit(0.25)).as("m1"),
+        percentile(col("monetary"), lit(0.5)).as("m2"),
+        percentile(col("monetary"), lit(0.75)).as("m3"))
+      def score(m: Column, a: Column, b: Column, c: Column): Column =
+        lit(1) + (m > a).cast("int") + (m > b).cast("int") + (m > c).cast("int")
+      base.crossJoin(broadcast(qs)).select(col("user_id"),
+        (lit(20512L) - col("last_day")).as("recency_days"), // fixed horizon
+        col("frequency"), col("monetary"),
+        score(col("last_day"), col("r1"), col("r2"), col("r3")).as("r_score"),
+        score(col("frequency"), col("f1"), col("f2"), col("f3")).as("f_score"),
+        score(col("monetary"), col("m1"), col("m2"), col("m3")).as("m_score"))
+    }),
+
+    // Cohort retention matrix: users grouped by first-seen day, distinct
+    // actives per (cohort, day-offset) — integer counting, hash-exact.
+    // Two shuffles (cohort min, matrix count); the user→cohort join
+    // broadcasts at dimension scale and shuffles on user_id beyond it
+    "events_retention" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+      val cohort = e.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+      e.join(cohort, "user_id")
+        .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("users"))
+    }),
+
+    // Per-user sliding mean over the last 5 events (ROWS frame, ordered by
+    // event time with id tiebreak) — the trailing-window smoothing of a
+    // behavioral feature pipeline. Partition-local window, one shuffle on
+    // user_id
+    "events_moving_avg" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+        .rowsBetween(-4, org.apache.spark.sql.expressions.Window.currentRow)
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("us"), col("value"))
+        .select(col("user_id"), col("event_id"), col("us"),
+          round(avg(col("value")).over(w), 4).as("mov_avg"))
     })
   )
+
+  /** Thresholded co-purchase edge list, derived ONCE per scale dir and
+    * PERSISTED (parquet) — the shared substrate of the graph_* family
+    * (build once, analyze many, like the ANN indexes; a cached DataFrame
+    * would silently recompute after any clearCache). */
+  private val copurchaseEdgeCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def copurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+    val path = copurchaseEdgeCache.getOrElseUpdate(dir, {
+      val p = graft.core.TempDirs.register(
+        java.nio.file.Files.createTempDirectory("graft_graph")).toString
+      graft.graph.Graph.coOccurrenceEdges(
+          t(s, dir, "lineitem"), "l_orderkey", "l_partkey", minSupport = 2L)
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
+
+  /** Distinct order-group count (control scalar), memoized per dir. */
+  private val orderGroupCount =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+  private def nOrderGroups(s: SparkSession, dir: String): Long =
+    orderGroupCount.getOrElseUpdate(dir,
+      t(s, dir, "lineitem").select(col("l_orderkey")).distinct().count())
+
+  /** Quantized-Lloyd k-means centroids (8 cells × 2 iterations), memoized
+    * per dir — trained once, assigned many (the model is control data). */
+  private val kmeansCentroidCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(Int, Seq[Double])]]
+  private def kmeansCentroids(s: SparkSession, dir: String): Seq[(Int, Seq[Double])] =
+    kmeansCentroidCache.getOrElseUpdate(dir,
+      Ivf.trainQuantized(t(s, dir, "embeddings"), "vec_id", "embedding",
+        nCells = 8, iters = 2))
 
   /** The HLL oracle, shared by the per-source sketch and the global merge
     * (register-wise max merge ≡ the direct global sketch — so the merge
@@ -2377,6 +2530,19 @@ object SparkEntry {
   def oracleSql: Map[String, String] = {
     // shared DuckDB snippets replicating TextFunctions' tokenization
     val toks = raw"string_split_regex(trim(lower(text)), '\s+')"
+    // thresholded co-purchase edge list — ONE copy shared by the graph_*
+    // oracles (mirrors the single cached copurchaseEdges on the Spark
+    // side). DuckDB lambda index `i` is 1-based; items[i+1:] = the items
+    // after position i, matching Spark's 0-based slice(items, i+2, …)
+    val basketCtes =
+      """gi AS (SELECT l_orderkey AS g,
+             list_sort(list_distinct(list(l_partkey))) AS items
+             FROM lineitem GROUP BY 1),
+         pr0 AS (SELECT unnest(flatten(list_transform(items, (x, i) ->
+             list_transform(items[i+1:], y -> {'p1': x, 'p2': y})))) AS p
+             FROM gi),
+         e AS (SELECT p.p1 AS p1, p.p2 AS p2, count(*) AS support
+             FROM pr0 GROUP BY 1, 2 HAVING count(*) >= 2)"""
     // one BM25 formulation, shared verbatim by search_bm25 (fresh build)
     // and search_bm25_incr (log-structured maintenance converging to the
     // same corpus — maintained ≡ rebuilt is exactly the claim)
@@ -4075,7 +4241,147 @@ object SparkEntry {
               round(quantile_cont(n_tok, 0.5), 4) AS p50_tokens,
               round(quantile_cont(n_tok, 0.9), 4) AS p90_tokens,
               round(quantile_cont(n_tok, 0.99), 4) AS p99_tokens
-            FROM d GROUP BY source"""
+            FROM d GROUP BY source""",
+      "cluster_kmeans" -> {
+        // unrolled quantized-Lloyd: assignment → round(mean,6) centroids →
+        // assignment, twice. The sc formula, tie rule (larger cell) and
+        // 6-decimal quantization mirror Ivf.trainQuantized/assignCells
+        // exactly; the rounding is what makes the cross-engine FP match.
+        val asn = (ctab: String) =>
+          s"""SELECT e.vec_id, CAST(c.cell AS INTEGER) AS cell
+              FROM e CROSS JOIN $ctab c
+              QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                CASE WHEN e.vn * c.cn = 0 THEN 0.0
+                  ELSE list_reduce(list_transform(range(64),
+                    j -> e.v[j+1] * c.cv[j+1]), (a, b) -> a + b)
+                    / (e.vn * c.cn) END DESC, c.cell DESC) = 1"""
+        val means = (prev: String) =>
+          s"""SELECT a.cell, ex.i, round(avg(ex.x), 6) AS m
+              FROM (SELECT vec_id, unnest(v) AS x,
+                    generate_subscripts(v, 1) AS i FROM e) ex
+              JOIN $prev a ON a.vec_id = ex.vec_id GROUP BY 1, 2"""
+        val cents = (m: String) =>
+          s"""SELECT cell, list(m ORDER BY i) AS cv,
+              sqrt(list_reduce(list_transform(list(m ORDER BY i),
+                x -> x * x), (a, b) -> a + b)) AS cn
+              FROM $m GROUP BY 1"""
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+              sqrt(list_reduce(list_transform(embedding::DOUBLE[],
+                x -> x * x), (a, b) -> a + b)) AS vn
+              FROM embeddings),
+            c0 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8),
+            cA AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                v AS cv, sqrt(list_reduce(list_transform(v, x -> x * x),
+                  (a, b) -> a + b)) AS cn FROM c0),
+            a0 AS (${asn("cA")}),
+            m1 AS (${means("a0")}),
+            c1 AS (${cents("m1")}),
+            a1 AS (${asn("c1")}),
+            m2 AS (${means("a1")}),
+            c2 AS (${cents("m2")}),
+            a2 AS (${asn("c2")})
+            SELECT vec_id, cell FROM a2"""
+      },
+      "graph_copurchase" ->
+        s"""WITH $basketCtes
+            SELECT p1, p2, support FROM e""",
+      "graph_degree" ->
+        s"""WITH $basketCtes
+            SELECT node, count(*) AS degree
+            FROM (SELECT unnest([p1, p2]) AS node FROM e) GROUP BY 1""",
+      "graph_basket_rules" ->
+        s"""WITH $basketCtes,
+            ig AS (SELECT l_partkey AS item,
+                   count(DISTINCT l_orderkey) AS n_groups FROM lineitem GROUP BY 1),
+            ng AS (SELECT count(DISTINCT l_orderkey) AS n FROM lineitem),
+            bidir AS (SELECT p1 AS ante, p2 AS cons, support FROM e
+                     UNION ALL SELECT p2, p1, support FROM e)
+            SELECT b.ante, b.cons,
+              round(b.support::DOUBLE / ng.n, 6) AS support,
+              round(b.support::DOUBLE / a.n_groups, 6) AS confidence,
+              round((b.support::DOUBLE / a.n_groups)
+                / (c.n_groups::DOUBLE / ng.n), 6) AS lift
+            FROM bidir b
+            JOIN ig a ON a.item = b.ante
+            JOIN ig c ON c.item = b.cons
+            CROSS JOIN ng""",
+      "graph_triangles" ->
+        s"""WITH $basketCtes,
+            tri AS (SELECT ab.p1 AS a, ab.p2 AS b, bc.p2 AS c
+                    FROM e ab JOIN e bc ON ab.p2 = bc.p1
+                    JOIN e ac ON ac.p1 = ab.p1 AND ac.p2 = bc.p2)
+            SELECT node, count(*) AS triangles
+            FROM (SELECT unnest([a, b, c]) AS node FROM tri) GROUP BY 1""",
+      "graph_pagerank" ->
+        s"""WITH $basketCtes,
+            sym AS (SELECT p1 AS src, p2 AS dst FROM e
+                    UNION ALL SELECT p2, p1 FROM e),
+            deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY 1),
+            r0 AS (SELECT src AS node, 1000000000::BIGINT AS pr_nano FROM deg),
+            r1 AS (SELECT s.dst AS node,
+                   150000000 + (85 * sum(r.pr_nano // d.deg)) // 100 AS pr_nano
+                   FROM sym s JOIN r0 r ON r.node = s.src
+                   JOIN deg d ON d.src = s.src GROUP BY 1),
+            r2 AS (SELECT s.dst AS node,
+                   150000000 + (85 * sum(r.pr_nano // d.deg)) // 100 AS pr_nano
+                   FROM sym s JOIN r1 r ON r.node = s.src
+                   JOIN deg d ON d.src = s.src GROUP BY 1),
+            r3 AS (SELECT s.dst AS node,
+                   150000000 + (85 * sum(r.pr_nano // d.deg)) // 100 AS pr_nano
+                   FROM sym s JOIN r2 r ON r.node = s.src
+                   JOIN deg d ON d.src = s.src GROUP BY 1)
+            SELECT node, round(pr_nano / 1e9, 6) AS pr FROM r3""",
+      "graph_common_neighbors" ->
+        s"""WITH $basketCtes,
+            sym AS (SELECT p1 AS src, p2 AS dst FROM e
+                    UNION ALL SELECT p2, p1 FROM e),
+            deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY 1),
+            cn AS (SELECT x.src AS a, y.src AS b, count(*) AS common
+                   FROM sym x JOIN sym y ON x.dst = y.dst AND x.src < y.src
+                   GROUP BY 1, 2 HAVING count(*) >= 2)
+            SELECT cn.a, cn.b, cn.common,
+              round(cn.common::DOUBLE / (da.deg + db.deg - cn.common), 6)
+                AS jaccard
+            FROM cn JOIN deg da ON da.src = cn.a
+            JOIN deg db ON db.src = cn.b""",
+      "events_rfm" ->
+        """WITH base AS (SELECT user_id,
+             max(epoch_ns(ts) // 86400000000000) AS last_day,
+             count(*) AS frequency, round(sum(value), 2) AS monetary
+             FROM events GROUP BY 1),
+           q AS (SELECT
+             quantile_cont(last_day, 0.25) AS r1,
+             quantile_cont(last_day, 0.5) AS r2,
+             quantile_cont(last_day, 0.75) AS r3,
+             quantile_cont(frequency, 0.25) AS f1,
+             quantile_cont(frequency, 0.5) AS f2,
+             quantile_cont(frequency, 0.75) AS f3,
+             quantile_cont(monetary, 0.25) AS m1,
+             quantile_cont(monetary, 0.5) AS m2,
+             quantile_cont(monetary, 0.75) AS m3 FROM base)
+           SELECT user_id, 20512 - last_day AS recency_days,
+             frequency, monetary,
+             1 + (last_day > r1)::INT + (last_day > r2)::INT
+               + (last_day > r3)::INT AS r_score,
+             1 + (frequency > f1)::INT + (frequency > f2)::INT
+               + (frequency > f3)::INT AS f_score,
+             1 + (monetary > m1)::INT + (monetary > m2)::INT
+               + (monetary > m3)::INT AS m_score
+           FROM base CROSS JOIN q""",
+      "events_retention" ->
+        """WITH e AS (SELECT user_id,
+             epoch_ns(ts) // 86400000000000 AS day FROM events),
+           c AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1)
+           SELECT c.cohort_day, e.day - c.cohort_day AS day_offset,
+             count(DISTINCT e.user_id) AS users
+           FROM e JOIN c ON c.user_id = e.user_id GROUP BY 1, 2""",
+      "events_moving_avg" ->
+        """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us,
+             value FROM events)
+           SELECT user_id, event_id, us,
+             round(avg(value) OVER (PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS mov_avg
+           FROM e"""
     )
     // the streamed CMS drain must equal the one-shot build, and the
     // incrementally-merged component survivors the one-shot resolution —

@@ -1,0 +1,164 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over item co-occurrence — the "market basket" family a
+  * corpus/behavior pipeline derives from transactional fact tables
+  * (lineitem: parts per order; events: items per user): thresholded
+  * co-occurrence edges, degrees, association rules, per-node triangle
+  * counts, and an unrolled PageRank power iteration.
+  *
+  * Scale design (100 TB):
+  *  - Pair generation is ONE shuffle of two projected columns
+  *    (group → sorted item set), then a bounded in-row pair expansion —
+  *    per-group cost is C(k,2) with k = items-per-group, which fact tables
+  *    bound structurally (TPC-H: ≤ 7 parts/order generated, ≤ 17 observed
+  *    with duplicates collapsed; a pipeline would cap k defensively). No
+  *    self-join: the naive `t JOIN t ON group` shuffles the table twice and
+  *    re-materializes every pair instance through the join.
+  *  - The support threshold prunes the edge set BEFORE any downstream
+  *    consumer: at sf0.1 ~1.2M distinct pairs collapse to ~3.9k edges with
+  *    support ≥ 2 (random co-occurrence almost never repeats), so triangle
+  *    joins and rank iterations run on the support-filtered core, not the
+  *    raw pair cloud. This is the same shape at any scale: support scales
+  *    with data volume while noise pairs stay at support 1.
+  *  - Triangle enumeration uses the a<b orientation (each triangle counted
+  *    once, the standard forward-edge algorithm), joining the thresholded
+  *    edge list with itself on equi-keys only — sort-merge/broadcast
+  *    friendly, never a theta-join.
+  *  - PageRank iterations shuffle only (node, contribution) pairs; degrees
+  *    and ranks live in slim two-column frames, and each unrolled iteration
+  *    is a plain equi-join + partial-aggregated sum. Caching the
+  *    symmetrized edge list reuses one exchange across all iterations.
+  */
+object Graph {
+
+  /** Distinct items per group as a sorted array — the single shuffle all
+    * pair derivations share. */
+  private def groupedItems(facts: DataFrame, groupCol: String,
+                           itemCol: String): DataFrame =
+    facts.select(col(groupCol).as("g"), col(itemCol).as("i"))
+      .groupBy(col("g"))
+      .agg(sort_array(collect_set(col("i"))).as("items"))
+
+  /** Co-occurrence edges (p1 < p2, support = #groups containing both),
+    * support-thresholded. Output: (p1, p2, support). */
+  def coOccurrenceEdges(facts: DataFrame, groupCol: String, itemCol: String,
+                        minSupport: Long = 2L): DataFrame = {
+    val pairs = groupedItems(facts, groupCol, itemCol)
+      // in-row pair expansion: for each position i, pair items(i) with every
+      // later item — flatten(transform×2) keeps it a narrow expression
+      .select(explode(flatten(transform(col("items"),
+        (x, i) => transform(slice(col("items"), i + lit(2),
+            greatest(size(col("items")) - i - 1, lit(0))),
+          y => struct(x.as("p1"), y.as("p2")))))).as("pr"))
+      .select(col("pr.p1"), col("pr.p2"))
+    pairs.groupBy(col("p1"), col("p2"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+  }
+
+  /** Undirected degree per node of a (p1, p2) edge list. */
+  def degrees(edges: DataFrame): DataFrame =
+    edges.select(explode(array(col("p1"), col("p2"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+
+  /** Association rules p1 → p2 AND p2 → p1 for each thresholded edge:
+    * support (joint groups / total groups), confidence (joint /
+    * antecedent's groups), lift (confidence / consequent's base rate).
+    * `itemGroups` = per-item distinct-group counts; `nGroups` = total
+    * distinct groups (control scalar). Rounded to 6 for cross-engine
+    * comparability. */
+  def basketRules(edges: DataFrame, itemGroups: DataFrame,
+                  nGroups: Long): DataFrame = {
+    val both = edges.select(col("p1").as("ante"), col("p2").as("cons"), col("support"))
+      .unionAll(edges.select(col("p2").as("ante"), col("p1").as("cons"), col("support")))
+    both
+      .join(itemGroups.select(col("item").as("ante"), col("n_groups").as("na")), "ante")
+      .join(itemGroups.select(col("item").as("cons"), col("n_groups").as("nc")), "cons")
+      .select(col("ante"), col("cons"),
+        round(col("support").cast("double") / nGroups, 6).as("support"),
+        round(col("support").cast("double") / col("na"), 6).as("confidence"),
+        round((col("support").cast("double") / col("na")) /
+          (col("nc").cast("double") / nGroups), 6).as("lift"))
+  }
+
+  /** Per-item distinct-group counts (the antecedent base rates). */
+  def itemGroupCounts(facts: DataFrame, groupCol: String,
+                      itemCol: String): DataFrame =
+    facts.select(col(itemCol).as("item"), col(groupCol).as("g"))
+      .distinct()
+      .groupBy(col("item")).agg(count(lit(1)).as("n_groups"))
+
+  /** Per-node triangle counts over an oriented (p1 < p2) edge list.
+    * Forward-edge enumeration: (a,b),(b,c) joined against the closing
+    * (a,c) — each triangle found exactly once, then credited to its three
+    * corners. Equi-joins only. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("p1"), col("p2"))
+    val tri = e.as("ab")
+      .join(e.as("bc"), col("ab.p2") === col("bc.p1"))
+      .join(e.as("ac"),
+        col("ac.p1") === col("ab.p1") && col("ac.p2") === col("bc.p2"))
+      .select(col("ab.p1").as("a"), col("ab.p2").as("b"), col("bc.p2").as("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+  }
+
+  /** Common-neighbor (Jaccard) node similarity — the link-prediction
+    * primitive: for node pairs sharing ≥ `minCommon` neighbors,
+    * |N(a)∩N(b)| / |N(a)∪N(b)|. Wedge enumeration through the shared
+    * neighbor (equi-join on the middle node), then degrees fill in the
+    * union size — never an all-pairs comparison; per-node cost is bounded
+    * by its degree squared, which the support threshold already bounds. */
+  def commonNeighborSim(edges: DataFrame, minCommon: Long = 2L): DataFrame = {
+    val sym = edges.select(col("p1").as("src"), col("p2").as("dst"))
+      .unionAll(edges.select(col("p2").as("src"), col("p1").as("dst")))
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val common = sym.select(col("src").as("a"), col("dst").as("n"))
+      .join(sym.select(col("src").as("b"), col("dst").as("n")), "n")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common"))
+      .filter(col("common") >= minCommon)
+    common
+      .join(deg.select(col("src").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("src").as("b"), col("deg").as("db")), "b")
+      .select(col("a"), col("b"), col("common"),
+        round(col("common").cast("double") /
+          (col("da") + col("db") - col("common")), 6).as("jaccard"))
+  }
+
+  /** PageRank on the undirected graph of `edges`, `iters` unrolled power
+    * iterations (damping 0.85, rank seeded at 1.0 per node so values stay
+    * O(1)). Every node in a thresholded edge list has degree ≥ 1, so there
+    * are no dangling nodes by construction.
+    *
+    * The whole iteration runs in integer NANO-units (`pr_nano` BIGINT,
+    * shares via `div`, damping as 85 div 100): BIGINT sums are associative,
+    * so the result is bit-identical under ANY shuffle/merge order AND
+    * across engines — no round-to-N-decimals fragility anywhere in the
+    * loop. Output: (node, pr) with pr = pr_nano/1e9 rounded to 6 (an exact
+    * final mapping, not an error absorber). */
+  def pageRank(edges: DataFrame, iters: Int = 3): DataFrame = {
+    // symmetrize and attach source degrees ONCE (cached: every iteration
+    // reuses the same exchange instead of re-deriving edge+degree)
+    val sym = edges.select(col("p1").as("src"), col("p2").as("dst"))
+      .unionAll(edges.select(col("p2").as("src"), col("p1").as("dst")))
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val symDeg = sym.join(deg, "src")
+      .select(col("src"), col("dst"), col("deg")).cache()
+    var pr = deg.select(col("src").as("node"), lit(1000000000L).as("pr_nano"))
+    for (_ <- 0 until iters) {
+      val contrib = symDeg
+        .join(pr.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst"))
+        .agg(sum(expr("pr_nano div deg")).as("in_nano"))
+      pr = contrib.select(col("dst").as("node"),
+        (lit(150000000L) + expr("(85 * in_nano) div 100")).as("pr_nano"))
+    }
+    pr.select(col("node"),
+      round(col("pr_nano").cast("double") / 1e9, 6).as("pr"))
+  }
+}

@@ -107,6 +107,44 @@ object BucketedRun {
     BatchReport(Map.empty, resync = true)
   }
 
+  /** Heal [[BucketedStateStore.fsck]] damage: recompute the derivation
+    * from current sources (ONE scan per source — the same cost argument as
+    * [[resyncFull]]) but stage and commit ONLY the damaged buckets of the
+    * damaged tables. Undamaged buckets keep their immutable directories by
+    * reference, so repair WRITE IO is proportional to the damage, not the
+    * state. No-op on a clean store. Returns the damage that was healed.
+    * Reference analogue: resync heals whatever state drifted
+    * (resync.py:91-128) — here narrowed to the verifiably-broken subset. */
+  def repair(pipeline: Pipeline, sources: IncrementalRun.Sources,
+             store: BucketedStateStore,
+             batchId: Long): Seq[(String, Int, String)] = {
+    val damaged = store.fsck()
+    if (damaged.isEmpty) return damaged
+    val byTable: Map[String, Set[Int]] =
+      damaged.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val st = IncrementalRun.recompute(pipeline, sources)
+    val cached = pipeline.mapTargets.toSeq.map(t => t -> st(t).cache()).toMap
+    try {
+      val all: Map[String, (DataFrame, String)] = (cached.toSeq.flatMap {
+        case (t, df) => Seq(t -> (df, Key),
+          indexName(t) -> (df.select(col(SourceType), col(SourceId), col(Key))
+            .distinct(): DataFrame, SourceId))
+      } ++ pipeline.reduces.map(r =>
+        r.target -> (ReduceOp(r, cached(r.source)): DataFrame, Key))).toMap
+      byTable.foreach { case (tname, bks) =>
+        val (df, keyCol) = all.getOrElse(tname,
+          sys.error(s"damaged table '$tname' is not derivable from the pipeline"))
+        store.stageBuckets(tname, bks,
+          df.filter(store.bucketOf(col(keyCol)).isin(bks.toSeq: _*)),
+          batchId, keyCol)
+      }
+      store.commit(batchId)
+    } catch {
+      case e: Throwable => store.discardStaged(); throw e
+    } finally cached.values.foreach(_.unpersist(blocking = false))
+    damaged
+  }
+
   /** Driver-side mirror of [[BucketedStateStore.bucketOf]] — same xxhash64
     * chain (null hashes to the seed, exactly like the Catalyst expression
     * skips null children). */

@@ -342,6 +342,31 @@ final class BucketedStateStore(val root: String, val numBuckets: Int = 32,
     try s.iterator().asScala.filter(Files.isDirectory(_)).toList finally s.close()
   }
 
+  /** Integrity audit: every bucket directory the committed manifest
+    * references must exist and contain at least one parquet part.
+    * Returns damaged (table, bucket, relPath) triples, sorted. The
+    * manifest indirection is what makes damage DETECTABLE — a restored
+    * store that lost directories (partial copy, external cleaner racing
+    * a sync, operator delete) would otherwise silently serve partial
+    * state. Healing is [[BucketedRun.repair]]'s scoped recompute. */
+  def fsck(): Seq[(String, Int, String)] = synchronized {
+    committed.toSeq.flatMap { case (tname, meta) =>
+      meta.buckets.toSeq.collect {
+        case (b, rel) if !bucketDirHealthy(Paths.get(root, rel)) =>
+          (tname, b, rel)
+      }
+    }.sortBy(t => (t._1, t._2))
+  }
+
+  private def bucketDirHealthy(dir: java.nio.file.Path): Boolean =
+    Files.isDirectory(dir) && {
+      val s = Files.list(dir)
+      try s.iterator().asScala.exists { p =>
+        val n = p.getFileName.toString
+        n.endsWith(".parquet") && !n.startsWith(".") && Files.size(p) > 0
+      } finally s.close()
+    }
+
   /** Delete stage directories no committed bucket references (safe GC —
     * includes orphans from crashed batches). Directories staged for a batch
     * BEYOND the committed pointer are skipped: they may belong to an

@@ -100,6 +100,44 @@ object Ivf {
     cents
   }
 
+  /** Lloyd training with EXTERNALLY REPRODUCIBLE arithmetic — the
+    * oracle-checkable twin of [[train]]: the seed is the `nCells`
+    * smallest-id vectors (the same substrate as the fixed-centroid
+    * oracles, no hash involved) and each iteration's centroid means are
+    * quantized to 6 decimals before the next assignment. The quantization
+    * pins the cross-engine FP surface: the only inter-engine divergence
+    * (the distributed mean's merge order, ±1 ulp) is crushed by the
+    * rounding, so an external engine unrolling the same iterations
+    * reproduces centroids — and therefore the final assignment — exactly.
+    * Cells that lose every member drop out (a group-by mirrors this).
+    * Same scale shape as [[train]]: centroids are collected control data,
+    * assignment is a narrow projection, one corpus scan per iteration. */
+  def trainQuantized(corpus: DataFrame, idCol: String, vecCol: String,
+                     nCells: Int, iters: Int): Seq[(Int, Seq[Double])] = {
+    GraftFunctions.register(corpus.sparkSession)
+    import corpus.sparkSession.implicits._
+    val vecs = corpus.select(col(idCol).as("__id"),
+      transform(col(vecCol), _.cast("double")).as("__v")).cache()
+    var cents: Seq[(Int, Seq[Double])] = vecs
+      .orderBy(col("__id")).limit(nCells)
+      .select(col("__v")).as[Seq[Double]].collect().toSeq
+      .zipWithIndex.map { case (v, i) => i -> v }
+    for (_ <- 0 until iters) {
+      cents = vecs
+        .withColumn("__n", sqrt(Similarity.dot(col("__v"), col("__v"))))
+        .select(nearestCell(col("__v"), col("__n"), centLit(cents)).as("cell"),
+          posexplode(col("__v")).as(Seq("__pos", "__x")))
+        .groupBy(col("cell"), col("__pos"))
+        .agg(round(avg(col("__x")), 6).as("__m"))
+        .as[(Int, Int, Double)].collect()
+        .groupBy(_._1).toSeq
+        .map { case (cell, xs) => cell -> xs.sortBy(_._2).map(_._3).toSeq }
+        .sortBy(_._1)
+    }
+    vecs.unpersist(blocking = false)
+    cents
+  }
+
   /** Deterministic k-means: returns (cell, centroid array<double>). */
   def train(corpus: DataFrame, idCol: String, vecCol: String,
             nCells: Int, iters: Int = 2): DataFrame = {

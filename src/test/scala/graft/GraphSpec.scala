@@ -1,0 +1,101 @@
+package graft
+
+import graft.graph.Graph
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraphSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  // facts: group -> items; (1,2) co-occurs 3×, (2,3) 2×, (1,3) 1×
+  private def facts = Seq(
+    ("g1", 1L), ("g1", 2L), ("g1", 3L),
+    ("g2", 1L), ("g2", 2L),
+    ("g3", 2L), ("g3", 3L),
+    ("g4", 1L), ("g4", 2L), ("g4", 2L) // duplicate item in one group
+  ).toDF("g", "item")
+
+  test("coOccurrenceEdges counts distinct-per-group pairs and thresholds") {
+    val e = Graph.coOccurrenceEdges(facts, "g", "item", minSupport = 2L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(e == Set((1L, 2L, 3L), (2L, 3L, 2L)))
+    // support 1 pairs appear when the threshold admits them
+    val all = Graph.coOccurrenceEdges(facts, "g", "item", minSupport = 1L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(all == Set((1L, 2L, 3L), (2L, 3L, 2L), (1L, 3L, 1L)))
+  }
+
+  test("degrees sum to twice the edge count") {
+    val e = Graph.coOccurrenceEdges(facts, "g", "item", minSupport = 1L)
+    val d = Graph.degrees(e).as[(Long, Long)].collect().toMap
+    assert(d == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    assert(d.values.sum == 2 * e.count())
+  }
+
+  test("triangleCounts finds each triangle once, credited to all corners") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (2L, 4L))
+      .toDF("p1", "p2")
+    // triangles: (1,2,3) and (2,3,4)
+    val tc = Graph.triangleCounts(edges).as[(Long, Long)].collect().toMap
+    assert(tc == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+  }
+
+  test("pageRank is exactly 1.0 on a regular graph and matches brute force") {
+    // 4-cycle: every node degree 2, uniform start -> stationary at 1.0
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("p1", "p2")
+    val pr = Graph.pageRank(cyc, iters = 3).as[(Long, Double)].collect().toMap
+    assert(pr.values.forall(_ == 1.0))
+
+    // star 0-(1,2,3): brute-force the integer recurrence
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("p1", "p2")
+    val got = Graph.pageRank(star, iters = 2).as[(Long, Double)].collect().toMap
+    def step(c: Long, l: Long): (Long, Long) = {
+      val cIn = 3L * (l / 1L)   // three leaves, each degree 1
+      val lIn = c / 3L          // center degree 3
+      (150000000L + 85L * cIn / 100L, 150000000L + 85L * lIn / 100L)
+    }
+    val (c1, l1) = step(1000000000L, 1000000000L)
+    val (c2, l2) = step(c1, l1)
+    def r6(nano: Long): Double = // same HALF_UP rule as Spark's round()
+      BigDecimal(nano, 9).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(0L) == r6(c2))
+    assert(got(1L) == r6(l2))
+    assert(got(1L) == got(2L) && got(2L) == got(3L))
+  }
+
+  test("basketRules: confidence/lift hand-check on the fixture") {
+    val e = Graph.coOccurrenceEdges(facts, "g", "item", minSupport = 2L)
+    val ig = Graph.itemGroupCounts(facts, "g", "item")
+    assert(ig.as[(Long, Long)].collect().toMap == Map(1L -> 3L, 2L -> 4L, 3L -> 2L))
+    val rules = Graph.basketRules(e, ig, nGroups = 4L)
+      .select(col("ante"), col("cons"), col("support"), col("confidence"), col("lift"))
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    // 1 -> 2: joint 3, n(1)=3, n(2)=4, N=4: conf 1.0, lift 1.0/(4/4)=1.0
+    assert(rules((1L, 2L)) == ((0.75, 1.0, 1.0)))
+    // 2 -> 1: joint 3, n(2)=4: conf 0.75, lift 0.75/(3/4)=1.0
+    assert(rules((2L, 1L)) == ((0.75, 0.75, 1.0)))
+    // 3 -> 2: joint 2, n(3)=2: conf 1.0, lift 1.0
+    assert(rules((3L, 2L)) == ((0.5, 1.0, 1.0)))
+    // every edge yields both directions
+    assert(rules.size == 2 * e.count())
+  }
+
+  test("commonNeighborSim: wedge hand-check") {
+    // square 1-2-3-4-1: opposite corners share exactly their 2 neighbors
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("p1", "p2")
+    val sim = Graph.commonNeighborSim(sq, minCommon = 2L)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // N(1)={2,4}, N(3)={2,4}: common 2, union 2+2-2=2 -> jaccard 1.0
+    assert(sim == Map((1L, 3L) -> ((2L, 1.0)), (2L, 4L) -> ((2L, 1.0))))
+    // adjacent corners share no common neighbor >= 2 -> absent
+    assert(!sim.contains((1L, 2L)))
+  }
+
+  test("edge derivation never self-joins the fact table (one shuffle in)") {
+    val plan = Graph.coOccurrenceEdges(facts, "g", "item").queryExecution
+      .executedPlan.toString
+    assert(!plan.contains("Join"), s"unexpected join in:\n$plan")
+  }
+}
