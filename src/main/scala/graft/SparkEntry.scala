@@ -2339,6 +2339,19 @@ object SparkEntry {
       Ivf.assignCells(t(s, dir, "embeddings"), "vec_id", "embedding",
         kmeansCentroids(s, dir))),
 
+    // Top-principal-component projection (dominant-direction probe /
+    // ABTT de-biasing substrate): the centered Gram matrix aggregates
+    // DISTRIBUTED (d² state, map-side combined — row count never touches
+    // the driver), the 8-step power iteration runs on the collected 64×64
+    // control matrix with index-ordered folds, and the projection is a
+    // narrow literal expression. μ and G quantize after their distributed
+    // sums; everything after is bit-identical cross-engine by op order
+    "embed_pca" -> ((s, dir) => {
+      val (mu, v1) = pcaModel(s, dir)
+      graft.sim.Pca.pc1ProjectionWith(t(s, dir, "embeddings"),
+        "vec_id", "embedding", mu, v1)
+    }),
+
     // ---- graph analytics over item co-occurrence (market basket) --------
     // Build the thresholded edge list ONCE per scale dir (cached) — the
     // graph family shares it the way ANN queries share a built index.
@@ -2471,6 +2484,14 @@ object SparkEntry {
   private def nOrderGroups(s: SparkSession, dir: String): Long =
     orderGroupCount.getOrElseUpdate(dir,
       t(s, dir, "lineitem").select(col("l_orderkey")).distinct().count())
+
+  /** PCA model (μ, v₁) per scale dir — fit once, project many. */
+  private val pcaModelCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Seq[Double], Seq[Double])]
+  private def pcaModel(s: SparkSession, dir: String): (Seq[Double], Seq[Double]) =
+    pcaModelCache.getOrElseUpdate(dir,
+      graft.sim.Pca.fitPc1(t(s, dir, "embeddings"), "vec_id", "embedding",
+        iters = 8))
 
   /** Quantized-Lloyd k-means centroids (8 cells × 2 iterations), memoized
     * per dir — trained once, assigned many (the model is control data). */
@@ -4281,6 +4302,50 @@ object SparkEntry {
             c2 AS (${cents("m2")}),
             a2 AS (${asn("c2")})
             SELECT vec_id, cell FROM a2"""
+      },
+      "embed_pca" -> {
+        // μ and G quantize after their sums (the cross-engine merge-order
+        // seam); every fold afterwards is index-ordered, so the power
+        // iteration replays Pca.powerIterate's op sequence EXACTLY
+        // (list_reduce starts at elt 1; Scala starts at 0.0 — equal since
+        // 0.0 + x == x). Sign fix: first nonzero coordinate positive.
+        val iter = (k: Int) =>
+          s"""y$k AS MATERIALIZED (SELECT g.i AS i, list_reduce(list_transform(range(64),
+                j -> g.grow[j+1] * p.v[j+1]),
+                (a, b) -> a + b) AS y FROM grows g CROSS JOIN v${k - 1} p),
+              n$k AS MATERIALIZED (SELECT sqrt(list_reduce(list_transform(yl, x -> x * x),
+                (a, b) -> a + b)) AS nrm
+                FROM (SELECT list(y ORDER BY i) AS yl FROM y$k)),
+              v$k AS MATERIALIZED (SELECT list(y / n.nrm ORDER BY i) AS v
+                FROM y$k CROSS JOIN n$k n GROUP BY n.nrm)"""
+        val iters = (1 to 8).map(iter).mkString(",\n")
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            ex AS (SELECT vec_id, unnest(v) AS x,
+                generate_subscripts(v, 1) AS i FROM e),
+            mu AS (SELECT i, round(avg(x), 6) AS m FROM ex GROUP BY 1),
+            muv AS (SELECT list(m ORDER BY i) AS mv FROM mu),
+            cent AS (SELECT e.vec_id, list_transform(range(64),
+                i -> e.v[i+1] - m.mv[i+1]) AS cv
+                FROM e CROSS JOIN muv m),
+            cx AS (SELECT vec_id, unnest(cv) AS x,
+                generate_subscripts(cv, 1) AS i FROM cent),
+            g0 AS MATERIALIZED (SELECT (a.i - 1) * 64 + (b.i - 1) AS k,
+                round(sum(a.x * b.x), 6) AS gv
+                FROM cx a JOIN cx b USING (vec_id) GROUP BY 1),
+            grows AS MATERIALIZED (SELECT k // 64 AS i, list(gv ORDER BY k) AS grow
+                FROM g0 GROUP BY 1),
+            v0 AS (SELECT list_transform(range(64),
+                i -> CASE WHEN i = 0 THEN 1.0 ELSE 0.0 END) AS v),
+            $iters,
+            sgn AS (SELECT CASE WHEN COALESCE(
+                list_filter(v, x -> x <> 0.0)[1], 1.0) < 0
+                THEN -1.0 ELSE 1.0 END AS s FROM v8),
+            vf AS (SELECT list_transform(p.v, x -> x * g.s) AS v
+                FROM v8 p CROSS JOIN sgn g)
+            SELECT e.vec_id, round(list_reduce(list_transform(range(64),
+              i -> (e.v[i+1] - m.mv[i+1]) * f.v[i+1]), (a, b) -> a + b),
+              6) AS pc1
+            FROM e CROSS JOIN muv m CROSS JOIN vf f"""
       },
       "graph_copurchase" ->
         s"""WITH $basketCtes

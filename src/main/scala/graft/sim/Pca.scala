@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
 object Pca {
 
   /** Per-dimension means, quantized: Seq of d doubles. */
-  private[sim] def meansQuantized(vecs: DataFrame): Seq[Double] = {
+  private[graft] def meansQuantized(vecs: DataFrame): Seq[Double] = {
     import vecs.sparkSession.implicits._
     vecs.select(posexplode(col("__v")).as(Seq("__i", "__x")))
       .groupBy(col("__i")).agg(round(avg(col("__x")), 6).as("__m"))
@@ -32,7 +32,7 @@ object Pca {
   }
 
   /** Centered Gram entries, quantized: row-major d×d. */
-  private[sim] def gramQuantized(vecs: DataFrame, mu: Seq[Double]): Seq[Seq[Double]] = {
+  private[graft] def gramQuantized(vecs: DataFrame, mu: Seq[Double]): Seq[Seq[Double]] = {
     import vecs.sparkSession.implicits._
     val muLit = typedlit(mu)
     val centered = transform(col("__v"),
@@ -49,7 +49,7 @@ object Pca {
 
   /** Power iteration with index-ordered folds; starts from e₀ and fixes
     * the sign so the first nonzero coordinate is positive. */
-  private[sim] def powerIterate(g: Seq[Seq[Double]], iters: Int): Seq[Double] = {
+  private[graft] def powerIterate(g: Seq[Seq[Double]], iters: Int): Seq[Double] = {
     val d = g.size
     var v = Seq.tabulate(d)(i => if (i == 0) 1.0 else 0.0)
     for (_ <- 0 until iters) {
@@ -69,15 +69,23 @@ object Pca {
     if (lead < 0) v.map(x => -x) else v
   }
 
-  /** (idCol, pc1) — the projection of each (centered) embedding on the
-    * dominant eigenvector. The eigenvector and means ride as literals, so
-    * the projection is a narrow expression: no join, no shuffle. */
-  def pc1Projection(corpus: DataFrame, idCol: String, vecCol: String,
-                    iters: Int = 8): DataFrame = {
+  /** Fit: (μ, v₁) — both control data (d and d doubles). Train once,
+    * project many. */
+  def fitPc1(corpus: DataFrame, idCol: String, vecCol: String,
+             iters: Int = 8): (Seq[Double], Seq[Double]) = {
     val vecs = corpus
       .select(col(idCol), transform(col(vecCol), _.cast("double")).as("__v"))
     val mu = meansQuantized(vecs)
-    val v1 = powerIterate(gramQuantized(vecs, mu), iters)
+    (mu, powerIterate(gramQuantized(vecs, mu), iters))
+  }
+
+  /** (idCol, pc1) — the projection of each (centered) embedding on the
+    * dominant eigenvector. The eigenvector and means ride as literals, so
+    * the projection is a narrow expression: no join, no shuffle. */
+  def pc1ProjectionWith(corpus: DataFrame, idCol: String, vecCol: String,
+                        mu: Seq[Double], v1: Seq[Double]): DataFrame = {
+    val vecs = corpus
+      .select(col(idCol), transform(col(vecCol), _.cast("double")).as("__v"))
     val muLit = typedlit(mu)
     val vLit = typedlit(v1)
     // index-ordered fold, the same op sequence as the oracle's list_reduce
@@ -86,5 +94,11 @@ object Pca {
         (x, i) => (x - element_at(muLit, i)) * element_at(vLit, i)),
       lit(0.0), (acc, t) => acc + t)
     vecs.select(col(idCol), round(proj, 6).as("pc1"))
+  }
+
+  def pc1Projection(corpus: DataFrame, idCol: String, vecCol: String,
+                    iters: Int = 8): DataFrame = {
+    val (mu, v1) = fitPc1(corpus, idCol, vecCol, iters)
+    pc1ProjectionWith(corpus, idCol, vecCol, mu, v1)
   }
 }
