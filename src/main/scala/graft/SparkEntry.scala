@@ -6,7 +6,7 @@ import graft.incr._
 import graft.multimodal.Multimodal
 import graft.ops._
 import graft.sim.{Ivf, Similarity}
-import graft.text.{Curation, Repetition, TextFunctions}
+import graft.text.{Bpe, Curation, LmCounts, Repetition, TextFunctions}
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -2049,6 +2049,28 @@ object SparkEntry {
     "text_lm_score" -> ((s, dir) =>
       Curation.lmScore(t(s, dir, "documents"), "text", "doc_id")),
 
+    // BPE tokenizer TRAINING on the corpus's own word-frequency table:
+    // one corpus-scale (word, count) pass, then vocab-scale pair-count
+    // rounds; the learned merge table is the model (control data). The
+    // space-delimited symbol serialization makes greedy merge application
+    // a literal string replace — bit-identical cross-engine (see Bpe)
+    "text_bpe_merges" -> ((s, dir) =>
+      Bpe.mergeTable(t(s, dir, "documents"), "text", nMerges = 8)),
+
+    // Encoding with the TRAINED tokenizer: per-doc token count after the
+    // 8 learned merges — merges ride as literals in a narrow fold, so the
+    // encode pass is embarrassingly parallel (model fit once per dir)
+    "text_bpe_encode" -> ((s, dir) =>
+      Bpe.encodedLength(t(s, dir, "documents"), "text", "doc_id",
+        bpeModel(s, dir))),
+
+    // Kneser–Ney-smoothed bigram LM count table: interpolated absolute
+    // discounting with CONTINUATION backoff — the estimation substrate of
+    // a KenLM-style corpus LM. One corpus-scale bigram groupBy; marginals
+    // are vocab-scale; top-100 is a TakeOrdered
+    "text_kn_bigram" -> ((s, dir) =>
+      LmCounts.knBigrams(t(s, dir, "documents"), "text", k = 100)),
+
     // Weighted sample without replacement (Efraimidis–Spirakis): top-100
     // by u^(1/w) with w = document length — the distributed
     // source-weighted selection primitive; integer nano keys, so the
@@ -2485,6 +2507,13 @@ object SparkEntry {
     orderGroupCount.getOrElseUpdate(dir,
       t(s, dir, "lineitem").select(col("l_orderkey")).distinct().count())
 
+  /** BPE merge model per scale dir — train once, encode many. */
+  private val bpeModelCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[Bpe.Merge]]
+  private def bpeModel(s: SparkSession, dir: String): Seq[Bpe.Merge] =
+    bpeModelCache.getOrElseUpdate(dir,
+      Bpe.learn(t(s, dir, "documents"), "text", nMerges = 8))
+
   /** PCA model (μ, v₁) per scale dir — fit once, project many. */
   private val pcaModelCache =
     scala.collection.concurrent.TrieMap.empty[String, (Seq[Double], Seq[Double])]
@@ -2551,6 +2580,36 @@ object SparkEntry {
   def oracleSql: Map[String, String] = {
     // shared DuckDB snippets replicating TextFunctions' tokenization
     val toks = raw"string_split_regex(trim(lower(text)), '\s+')"
+    // BPE training replay — ONE copy shared by text_bpe_merges and
+    // text_bpe_encode (mirrors the single bpeModel per dir on the Spark
+    // side). w0 is the corpus's word-frequency table with each word
+    // serialized ' sym  sym … ' (symbols space-bounded both sides);
+    // round k counts adjacent pairs weighted by word count, takes the
+    // (cnt DESC, lhs, rhs) winner, and applies it as the literal replace
+    // ' L  R ' → ' LR ' — the same leftmost non-overlapping scan Spark's
+    // replace performs, so greedy merge application is bit-identical.
+    // MATERIALIZED: DuckDB would otherwise inline w{k-1} into both of
+    // round k's consumers and re-derive the whole chain exponentially.
+    // coalesce: array_to_string over an empty list is NULL in DuckDB.
+    val bpeRound = (k: Int) =>
+      s"""p$k AS MATERIALIZED (SELECT b.l AS lhs, b.r AS rhs,
+              sum(cnt)::BIGINT AS cnt FROM (
+            SELECT cnt, unnest(list_transform(range(len(s) - 1),
+                i -> {'l': s[(i+1)::INT], 'r': s[(i+2)::INT]})) AS b
+            FROM (SELECT string_split(trim(seq), '  ') AS s, cnt FROM w${k - 1})
+          ) GROUP BY 1, 2),
+          t$k AS MATERIALIZED (SELECT lhs, rhs, cnt FROM p$k
+            ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+          w$k AS MATERIALIZED (SELECT
+            replace(w.seq, ' ' || t.lhs || '  ' || t.rhs || ' ',
+              ' ' || t.lhs || t.rhs || ' ') AS seq, w.cnt AS cnt
+            FROM w${k - 1} w CROSS JOIN t$k t)"""
+    val bpeTrainCtes =
+      raw"""tkw AS (SELECT unnest($toks) AS w FROM documents),
+          w0 AS MATERIALIZED (SELECT ' ' || coalesce(
+              array_to_string(regexp_extract_all(w, '.'), '  '), '') || ' '
+              AS seq, count(*)::BIGINT AS cnt FROM tkw GROUP BY 1),
+          ${(1 to 8).map(bpeRound).mkString(",\n")}"""
     // thresholded co-purchase edge list — ONE copy shared by the graph_*
     // oracles (mirrors the single cached copurchaseEdges on the Spark
     // side). DuckDB lambda index `i` is 1-based; items[i+1:] = the items
@@ -3912,6 +3971,50 @@ object SparkEntry {
              round(-avg(ln((c.c + 1.0) / (tot.n + tot.v))), 6) AS nll
            FROM tri JOIN c USING (tg) CROSS JOIN tot
            GROUP BY tri.doc_id""",
+      "text_bpe_merges" -> {
+        val ranks = (1 to 8).map(k =>
+          s"SELECT $k AS merge_rank, lhs, rhs, cnt FROM t$k")
+        s"""WITH $bpeTrainCtes
+            ${ranks.mkString("\n UNION ALL ")}"""
+      },
+      // the encode pass replays the TRAINED merges over every document's
+      // words (same training chain), then counts surviving symbols
+      "text_bpe_encode" -> {
+        val encRound = (k: Int) =>
+          s"""e$k AS MATERIALIZED (SELECT e.doc_id AS doc_id,
+                replace(e.seq, ' ' || t.lhs || '  ' || t.rhs || ' ',
+                  ' ' || t.lhs || t.rhs || ' ') AS seq
+                FROM e${k - 1} e CROSS JOIN t$k t)"""
+        raw"""WITH $bpeTrainCtes,
+            dw AS (SELECT doc_id, unnest($toks) AS w FROM documents),
+            e0 AS MATERIALIZED (SELECT doc_id, ' ' || coalesce(
+                array_to_string(regexp_extract_all(w, '.'), '  '), '')
+                || ' ' AS seq FROM dw),
+            ${(1 to 8).map(encRound).mkString(",\n")}
+            SELECT doc_id,
+              sum(len(string_split(trim(seq), '  ')))::BIGINT AS n_bpe
+            FROM e8 GROUP BY doc_id"""
+      },
+      // Kneser–Ney bigram table: fixed-order arithmetic over integer
+      // counts (see LmCounts.knBigrams — the expression tree is replayed
+      // verbatim; ::DOUBLE keeps DuckDB out of DECIMAL arithmetic)
+      "text_kn_bigram" ->
+        raw"""WITH d AS (SELECT $toks AS l FROM documents),
+            bg AS (SELECT unnest(list_transform(range(1, len(l)),
+                i -> {'w1': l[i::INT], 'w2': l[(i+1)::INT]})) AS b
+              FROM d WHERE len(l) >= 2),
+            c AS (SELECT b.w1 AS w1, b.w2 AS w2, count(*)::BIGINT AS cnt
+              FROM bg GROUP BY 1, 2),
+            lt AS (SELECT w1, sum(cnt) AS c_left, count(*) AS n_follow
+              FROM c GROUP BY 1),
+            ct AS (SELECT w2, count(*) AS n_prec FROM c GROUP BY 1),
+            tt AS (SELECT count(*)::DOUBLE AS t FROM c)
+            SELECT c.w1, c.w2, c.cnt,
+              round((c.cnt - 0.75::DOUBLE) / lt.c_left
+                + 0.75::DOUBLE * lt.n_follow / lt.c_left
+                  * (ct.n_prec / tt.t), 6) AS p_kn
+            FROM c JOIN lt USING (w1) JOIN ct USING (w2) CROSS JOIN tt
+            ORDER BY c.cnt DESC, c.w1, c.w2 LIMIT 100""",
       // Curation.weightedSample: E-S key ln(u)/w in nano units, u from the
       // graft-wsample md5 draw clamped at 1e-12, top-100 (ties id asc)
       "sample_weighted" -> {
