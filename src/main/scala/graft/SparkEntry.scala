@@ -2071,6 +2071,43 @@ object SparkEntry {
     "text_kn_bigram" -> ((s, dir) =>
       LmCounts.knBigrams(t(s, dir, "documents"), "text", k = 100)),
 
+    // Trigram KN: raw-count discounting at the top order, interpolating
+    // into the continuation-smoothed bigram model — the three-level
+    // estimation stack. Two corpus-scale n-gram groupBys; every adjacent
+    // (w2,w3) inside a trigram is itself a bigram, so the backoff join
+    // always matches
+    "text_kn_trigram" -> ((s, dir) =>
+      LmCounts.knTrigrams(t(s, dir, "documents"), "text", k = 100)),
+
+    // INCREMENTALLY-MAINTAINED BPE training: word counts are an abelian
+    // group, so the state is a (word, count) parquet table folded with
+    // signed deltas — a batch ADDS its docs' counts and RETRACTS deleted
+    // docs' counts; no corpus re-read, no log replay. Training from the
+    // maintained counts must equal training from scratch: this query
+    // starts from a corrupted state (a third of the corpus missing,
+    // phantom docs present), applies the converging delta batch, and
+    // shares text_bpe_merges' exact oracle — maintained ≡ rebuilt
+    "text_bpe_incr" -> ((s, dir) => {
+      import s.implicits._
+      bpeIncrCache.getOrElseUpdate(dir, {
+        val docs = t(s, dir, "documents")
+        val phantoms = docs.filter(col("doc_id") % 7 === 1)
+          .withColumn("text", concat(col("text"), lit(" zzzphantom")))
+        val stateDir = graft.core.TempDirs.register(
+          java.nio.file.Files.createTempDirectory("graft_bpe")).toString
+        Bpe.mergeCounts(
+            Bpe.wordCounts(docs.filter(col("doc_id") % 3 =!= 0), "text"),
+            Bpe.wordCounts(phantoms, "text"))
+          .write.mode("overwrite").parquet(stateDir)
+        val merged = Bpe.mergeCounts(
+          s.read.parquet(stateDir),
+          Bpe.wordCounts(docs.filter(col("doc_id") % 3 === 0), "text"),
+          Bpe.wordCounts(phantoms, "text", sign = -1))
+        Bpe.learnFromCounts(merged, nMerges = 8)
+      }).map(m => (m.rank, m.lhs, m.rhs, m.cnt))
+        .toDF("merge_rank", "lhs", "rhs", "cnt")
+    }),
+
     // Weighted sample without replacement (Efraimidis–Spirakis): top-100
     // by u^(1/w) with w = document length — the distributed
     // source-weighted selection primitive; integer nano keys, so the
@@ -2513,6 +2550,10 @@ object SparkEntry {
   private def bpeModel(s: SparkSession, dir: String): Seq[Bpe.Merge] =
     bpeModelCache.getOrElseUpdate(dir,
       Bpe.learn(t(s, dir, "documents"), "text", nMerges = 8))
+
+  /** Incrementally-maintained BPE model per dir (see text_bpe_incr). */
+  private val bpeIncrCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[Bpe.Merge]]
 
   /** PCA model (μ, v₁) per scale dir — fit once, project many. */
   private val pcaModelCache =
@@ -3995,6 +4036,46 @@ object SparkEntry {
               sum(len(string_split(trim(seq), '  ')))::BIGINT AS n_bpe
             FROM e8 GROUP BY doc_id"""
       },
+      // maintained ≡ rebuilt: the incremental path converges the word
+      // counts to the full corpus, so it shares the training oracle
+      "text_bpe_incr" -> {
+        val ranks = (1 to 8).map(k =>
+          s"SELECT $k AS merge_rank, lhs, rhs, cnt FROM t$k")
+        s"""WITH $bpeTrainCtes
+            ${ranks.mkString("\n UNION ALL ")}"""
+      },
+      // trigram KN: the top order discounts raw trigram counts and
+      // interpolates into the published (rounded) bigram KN values —
+      // the pb CTE is the bigram oracle's expression verbatim
+      "text_kn_trigram" ->
+        raw"""WITH d AS (SELECT $toks AS l FROM documents),
+            bg AS (SELECT unnest(list_transform(range(1, len(l)),
+                i -> {'w1': l[i::INT], 'w2': l[(i+1)::INT]})) AS b
+              FROM d WHERE len(l) >= 2),
+            c AS (SELECT b.w1 AS w1, b.w2 AS w2, count(*)::BIGINT AS cnt
+              FROM bg GROUP BY 1, 2),
+            lt AS (SELECT w1, sum(cnt) AS c_left, count(*) AS n_follow
+              FROM c GROUP BY 1),
+            ct AS (SELECT w2, count(*) AS n_prec FROM c GROUP BY 1),
+            tt AS (SELECT count(*)::DOUBLE AS t FROM c),
+            pb AS (SELECT c.w1 AS w2, c.w2 AS w3,
+              round((c.cnt - 0.75::DOUBLE) / lt.c_left
+                + 0.75::DOUBLE * lt.n_follow / lt.c_left
+                  * (ct.n_prec / tt.t), 6) AS pbv
+              FROM c JOIN lt USING (w1) JOIN ct USING (w2) CROSS JOIN tt),
+            tg AS (SELECT unnest(list_transform(range(1, len(l) - 1),
+                i -> {'w1': l[i::INT], 'w2': l[(i+1)::INT],
+                      'w3': l[(i+2)::INT]})) AS g
+              FROM d WHERE len(l) >= 3),
+            c3 AS (SELECT g.w1 AS w1, g.w2 AS w2, g.w3 AS w3,
+              count(*)::BIGINT AS cnt FROM tg GROUP BY 1, 2, 3),
+            cx AS (SELECT w1, w2, sum(cnt) AS c_ctx, count(*) AS n_follow
+              FROM c3 GROUP BY 1, 2)
+            SELECT c3.w1, c3.w2, c3.w3, c3.cnt,
+              round((c3.cnt - 0.75::DOUBLE) / cx.c_ctx
+                + 0.75::DOUBLE * cx.n_follow / cx.c_ctx * pb.pbv, 6) AS p_kn
+            FROM c3 JOIN cx USING (w1, w2) JOIN pb USING (w2, w3)
+            ORDER BY c3.cnt DESC, c3.w1, c3.w2, c3.w3 LIMIT 100""",
       // Kneser–Ney bigram table: fixed-order arithmetic over integer
       // counts (see LmCounts.knBigrams — the expression tree is replayed
       // verbatim; ::DOUBLE keeps DuckDB out of DECIMAL arithmetic)

@@ -53,12 +53,27 @@ object Bpe {
       array_join(regexp_extract_all(word, lit("."), lit(0)), "  "),
       lit(" "))
 
+  /** (word, count) of a doc set, scaled by `sign` — the additive unit of
+    * word-frequency state. `sign = -1` retracts a doc set, so incremental
+    * maintenance is union + sum (counts are an abelian group; the word
+    * table needs no log replay, just delta folding). */
+  def wordCounts(docs: DataFrame, textCol: String, sign: Int = 1): DataFrame =
+    docs.select(explode(TextFunctions.tokens(col(textCol))).as("__w"))
+      .groupBy(col("__w")).agg((count(lit(1)) * sign).as("__cnt"))
+
+  /** Fold word-count deltas: sum per word, drop retracted-to-zero words. */
+  def mergeCounts(deltas: DataFrame*): DataFrame =
+    deltas.reduce(_.unionByName(_))
+      .groupBy(col("__w")).agg(sum(col("__cnt")).as("__cnt"))
+      .filter(col("__cnt") > 0)
+
   /** The (serialized symbol sequence, word count) table — the ONLY
     * corpus-scale pass of training. */
   private[text] def wordTable(docs: DataFrame, textCol: String): DataFrame =
-    docs.select(explode(TextFunctions.tokens(col(textCol))).as("__w"))
-      .groupBy(col("__w")).agg(count(lit(1)).as("__cnt"))
-      .select(charSeq(col("__w")).as("__seq"), col("__cnt"))
+    serialize(wordCounts(docs, textCol))
+
+  private def serialize(counts: DataFrame): DataFrame =
+    counts.select(charSeq(col("__w")).as("__seq"), col("__cnt"))
 
   /** Adjacent-pair weighted counts of a word table: (lhs, rhs, cnt).
     * `size(syms) >= 1` always (split of "" is [""]), so the slice length
@@ -77,9 +92,16 @@ object Bpe {
 
   /** Learn `nMerges` merges. The returned list is the tokenizer model —
     * control data (a few strings per rank). */
-  def learn(docs: DataFrame, textCol: String, nMerges: Int): Seq[Merge] = {
-    import docs.sparkSession.implicits._
-    var words = wordTable(docs, textCol).cache()
+  def learn(docs: DataFrame, textCol: String, nMerges: Int): Seq[Merge] =
+    learnFromCounts(wordCounts(docs, textCol), nMerges)
+
+  /** Learn from an explicit (word, count) table — the entry point for
+    * incrementally-maintained word-frequency state: training cost is
+    * vocab-scale either way, so maintenance only has to keep the COUNTS
+    * current, never re-reads the corpus. */
+  def learnFromCounts(counts: DataFrame, nMerges: Int): Seq[Merge] = {
+    import counts.sparkSession.implicits._
+    var words = serialize(counts).cache()
     words.count() // materialize the one corpus pass before iterating
     val learned = Seq.newBuilder[Merge]
     try {

@@ -94,6 +94,38 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
     assert(len0 - len8 == m8.map(_.cnt).sum)
   }
 
+  test("maintained word counts train the same merges as a fresh rebuild") {
+    val docs = sf("documents")
+    val phantoms = docs.filter(col("doc_id") % 5 === 2)
+      .withColumn("text", concat(col("text"), lit(" qqphantom qqphantom")))
+    // state missing half the corpus and polluted with phantoms...
+    val state = Bpe.mergeCounts(
+      Bpe.wordCounts(docs.filter(col("doc_id") % 2 === 0), "text"),
+      Bpe.wordCounts(phantoms, "text"))
+    // ...converged by one delta batch (add the other half, retract phantoms)
+    val merged = Bpe.mergeCounts(
+      state,
+      Bpe.wordCounts(docs.filter(col("doc_id") % 2 === 1), "text"),
+      Bpe.wordCounts(phantoms, "text", sign = -1))
+    assert(Bpe.learnFromCounts(merged, 6) == Bpe.learn(docs, "text", 6))
+    // and the retraction really removed the phantom word entirely
+    assert(merged.filter(col("__w") === "qqphantom").count() == 0)
+  }
+
+  test("trigram KN: positive, context mass bounded, backoff join total") {
+    val tri = LmCounts.knTrigrams(sf("documents"), "text", k = 500)
+      .as[(String, String, String, Long, Double)].collect()
+    assert(tri.nonEmpty)
+    assert(tri.forall(_._5 > 0))
+    tri.groupBy(t => (t._1, t._2)).foreach { case (ctx, rows) =>
+      val s = rows.map(_._5).sum
+      assert(s <= 1.0 + rows.length * 5e-7 + 1e-9, s"context $ctx sums to $s")
+    }
+    // top-k is deterministic: strictly ordered by (cnt desc, words)
+    val keys = tri.map(t => (-t._4, t._1, t._2, t._3)).toSeq
+    assert(keys == keys.sorted)
+  }
+
   test("KN bigram probabilities are positive and a context's mass stays below 1") {
     val kn = LmCounts.knBigrams(sf("documents"), "text", k = 1000)
       .as[(String, String, Long, Double)].collect()
