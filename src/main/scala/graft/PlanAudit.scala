@@ -18,7 +18,8 @@ object PlanAudit {
       "mm_phash_dedup", "mix_temperature", "sketch_kmv_merge",
       "sketch_distinct_hll", "sketch_freq_cms", "sketch_join_size",
       "text_dsir", "text_chunking", "search_hybrid_rrf",
-      "events_asof_native", "split_leakage")
+      "events_asof_native", "split_leakage",
+      "embed_pca", "text_kn_bigram", "text_kn_trigram", "text_bpe_encode")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")

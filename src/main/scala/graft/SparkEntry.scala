@@ -2079,6 +2079,64 @@ object SparkEntry {
     "text_kn_trigram" -> ((s, dir) =>
       LmCounts.knTrigrams(t(s, dir, "documents"), "text", k = 100)),
 
+    // Per-doc NLL under the SMOOTHED trigram model — lmScore's properly
+    // backed-off upgrade: the corpus self-scores, so the model join is
+    // total; the model's p_kn values are rounded once in the table
+    "text_kn_score" -> ((s, dir) =>
+      LmCounts.knScore(t(s, dir, "documents"), "text", "doc_id")),
+
+    // Explicit GROUPING SETS with grouping_id — the lattice cut neither
+    // rollup nor cube gives alone ((source,lang), (source), (lang): no
+    // grand total); one pass, Expand + single shuffle
+    "corpus_grouping_sets" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupingSets(
+          Seq(Seq(col("source"), col("lang")), Seq(col("source")),
+            Seq(col("lang"))),
+          col("source"), col("lang"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"))
+        .select(coalesce(col("source"), lit("ALL")).as("source"),
+          coalesce(col("lang"), lit("ALL")).as("lang"),
+          col("gid"), col("n_docs"), col("total_chars"))),
+
+    // STREAM-MAINTAINED BPE word counts: each micro-batch folds its
+    // docs' (word, count) deltas into the durable state (the additive
+    // twin of text_bpe_incr's batch path); training from the drained
+    // state shares text_bpe_merges' oracle — maintained ≡ rebuilt
+    "text_bpe_stream" -> ((s, dir) => {
+      import s.implicits._
+      bpeStreamCache.getOrElseUpdate(dir, {
+        val root = graft.core.TempDirs.register(
+          java.nio.file.Files.createTempDirectory("graft_bpes")).toString
+        val streamDir = graft.core.TempDirs.register(
+          java.nio.file.Files.createTempDirectory("graft_bpes_in")).toString
+        t(s, dir, "documents").select(col("doc_id"), col("text"))
+          .repartition(4).write.mode("overwrite").parquet(streamDir)
+        var cur: Option[String] = None
+        val q = s.readStream.schema(s.read.parquet(streamDir).schema)
+          .option("maxFilesPerTrigger", "1").parquet(streamDir)
+          .writeStream
+          .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+            val delta = Bpe.wordCounts(b.toDF(), "text")
+            val merged = cur match {
+              case Some(p) => Bpe.mergeCounts(s.read.parquet(p), delta)
+              case None => delta
+            }
+            val out = s"$root/b$id"
+            merged.write.mode("overwrite").parquet(out)
+            cur = Some(out)
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        Bpe.learnFromCounts(
+          s.read.parquet(cur.getOrElse(sys.error("empty stream"))),
+          nMerges = 8)
+      }).map(m => (m.rank, m.lhs, m.rhs, m.cnt))
+        .toDF("merge_rank", "lhs", "rhs", "cnt")
+    }),
+
     // INCREMENTALLY-MAINTAINED BPE training: word counts are an abelian
     // group, so the state is a (word, count) parquet table folded with
     // signed deltas — a batch ADDS its docs' counts and RETRACTS deleted
@@ -2555,6 +2613,10 @@ object SparkEntry {
   private val bpeIncrCache =
     scala.collection.concurrent.TrieMap.empty[String, Seq[Bpe.Merge]]
 
+  /** Stream-maintained BPE model per dir (see text_bpe_stream). */
+  private val bpeStreamCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[Bpe.Merge]]
+
   /** PCA model (μ, v₁) per scale dir — fit once, project many. */
   private val pcaModelCache =
     scala.collection.concurrent.TrieMap.empty[String, (Seq[Double], Seq[Double])]
@@ -2651,6 +2713,47 @@ object SparkEntry {
               array_to_string(regexp_extract_all(w, '.'), '  '), '') || ' '
               AS seq, count(*)::BIGINT AS cnt FROM tkw GROUP BY 1),
           ${(1 to 8).map(bpeRound).mkString(",\n")}"""
+    // Kneser–Ney INTEGER NANO-UNIT ladder — ONE copy shared by the three
+    // text_kn_* oracles (mirrors LmCounts' derivation exactly): all
+    // probabilities are integer nano-units produced by integer floor
+    // division (`//` here, IntegralDivide in Spark), never FP rounding —
+    // these rationals frequently land exactly on .5 decimal boundaries
+    // where engines' round() implementations disagree (observed 7/16k at
+    // sf0.01 with a round(x,6) formulation)
+    val knLadderCtes =
+      raw"""d AS (SELECT doc_id, $toks AS l FROM documents),
+          bg AS (SELECT unnest(list_transform(range(1, len(l)),
+              i -> {'w1': l[i::INT], 'w2': l[(i+1)::INT]})) AS b
+            FROM d WHERE len(l) >= 2),
+          c AS (SELECT b.w1 AS w1, b.w2 AS w2, count(*)::BIGINT AS cnt
+            FROM bg GROUP BY 1, 2),
+          lt AS (SELECT w1, sum(cnt)::BIGINT AS c_left,
+            count(*)::BIGINT AS n_follow FROM c GROUP BY 1),
+          ct AS (SELECT w2, count(*)::BIGINT AS n_prec FROM c GROUP BY 1),
+          tt AS (SELECT count(*)::BIGINT AS t FROM c),
+          pb AS (SELECT c.w1 AS w1, c.w2 AS w2, c.cnt AS cnt,
+            ((c.cnt * 4 - 3) * 1000000000
+              + 3 * lt.n_follow * ((ct.n_prec * 1000000000) // tt.t))
+              // (lt.c_left * 4) AS pb_nano
+            FROM c JOIN lt USING (w1) JOIN ct USING (w2) CROSS JOIN tt)"""
+    val knTriCtes =
+      raw"""$knLadderCtes,
+          tg AS (SELECT doc_id, unnest(list_transform(range(1, len(l) - 1),
+              i -> {'w1': l[i::INT], 'w2': l[(i+1)::INT],
+                    'w3': l[(i+2)::INT]})) AS g
+            FROM d WHERE len(l) >= 3),
+          tgf AS MATERIALIZED (SELECT doc_id, g.w1 AS w1, g.w2 AS w2,
+            g.w3 AS w3 FROM tg),
+          c3 AS (SELECT w1, w2, w3, count(*)::BIGINT AS cnt
+            FROM tgf GROUP BY 1, 2, 3),
+          cx AS (SELECT w1, w2, sum(cnt)::BIGINT AS c_ctx,
+            count(*)::BIGINT AS n_follow FROM c3 GROUP BY 1, 2),
+          m AS (SELECT c3.w1, c3.w2, c3.w3, c3.cnt,
+            ((c3.cnt * 4 - 3) * 1000000000 + 3 * cx.n_follow * pbj.pb_nano)
+              // (cx.c_ctx * 4) AS p3_nano
+            FROM c3 JOIN cx USING (w1, w2)
+            JOIN (SELECT w1 AS w2, w2 AS w3, pb_nano FROM pb) pbj
+              USING (w2, w3))"""
     // thresholded co-purchase edge list — ONE copy shared by the graph_*
     // oracles (mirrors the single cached copurchaseEdges on the Spark
     // side). DuckDB lambda index `i` is 1-based; items[i+1:] = the items
@@ -4044,58 +4147,42 @@ object SparkEntry {
         s"""WITH $bpeTrainCtes
             ${ranks.mkString("\n UNION ALL ")}"""
       },
-      // trigram KN: the top order discounts raw trigram counts and
-      // interpolates into the published (rounded) bigram KN values —
-      // the pb CTE is the bigram oracle's expression verbatim
+      // stream-maintained ≡ rebuilt, same as the incr path
+      "text_bpe_stream" -> {
+        val ranks = (1 to 8).map(k =>
+          s"SELECT $k AS merge_rank, lhs, rhs, cnt FROM t$k")
+        s"""WITH $bpeTrainCtes
+            ${ranks.mkString("\n UNION ALL ")}"""
+      },
+      "corpus_grouping_sets" ->
+        """SELECT coalesce(source, 'ALL') AS source,
+             coalesce(lang, 'ALL') AS lang,
+             GROUPING(source, lang)::BIGINT AS gid,
+             count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_chars
+           FROM documents
+           GROUP BY GROUPING SETS ((source, lang), (source), (lang))""",
+      // per-doc NLL under the smoothed trigram model: the shared nano
+      // ladder joined back onto each document's trigram stream (total
+      // join — the corpus self-scores); per-trigram ln quantizes to
+      // integer nano before the per-doc sum (merge-order-free)
+      "text_kn_score" ->
+        s"""WITH $knTriCtes,
+            sc AS (SELECT tgf.doc_id, count(*)::BIGINT AS n_tri,
+              sum(CAST(round(ln(m.p3_nano / 1000000000.0) * 1000000000.0)
+                AS BIGINT)) AS nano
+              FROM tgf JOIN m USING (w1, w2, w3)
+              GROUP BY tgf.doc_id)
+            SELECT doc_id, n_tri,
+              round(-(nano / (n_tri * 1000000000.0)), 6) AS kn_nll
+            FROM sc""",
       "text_kn_trigram" ->
-        raw"""WITH d AS (SELECT $toks AS l FROM documents),
-            bg AS (SELECT unnest(list_transform(range(1, len(l)),
-                i -> {'w1': l[i::INT], 'w2': l[(i+1)::INT]})) AS b
-              FROM d WHERE len(l) >= 2),
-            c AS (SELECT b.w1 AS w1, b.w2 AS w2, count(*)::BIGINT AS cnt
-              FROM bg GROUP BY 1, 2),
-            lt AS (SELECT w1, sum(cnt) AS c_left, count(*) AS n_follow
-              FROM c GROUP BY 1),
-            ct AS (SELECT w2, count(*) AS n_prec FROM c GROUP BY 1),
-            tt AS (SELECT count(*)::DOUBLE AS t FROM c),
-            pb AS (SELECT c.w1 AS w2, c.w2 AS w3,
-              round((c.cnt - 0.75::DOUBLE) / lt.c_left
-                + 0.75::DOUBLE * lt.n_follow / lt.c_left
-                  * (ct.n_prec / tt.t), 6) AS pbv
-              FROM c JOIN lt USING (w1) JOIN ct USING (w2) CROSS JOIN tt),
-            tg AS (SELECT unnest(list_transform(range(1, len(l) - 1),
-                i -> {'w1': l[i::INT], 'w2': l[(i+1)::INT],
-                      'w3': l[(i+2)::INT]})) AS g
-              FROM d WHERE len(l) >= 3),
-            c3 AS (SELECT g.w1 AS w1, g.w2 AS w2, g.w3 AS w3,
-              count(*)::BIGINT AS cnt FROM tg GROUP BY 1, 2, 3),
-            cx AS (SELECT w1, w2, sum(cnt) AS c_ctx, count(*) AS n_follow
-              FROM c3 GROUP BY 1, 2)
-            SELECT c3.w1, c3.w2, c3.w3, c3.cnt,
-              round((c3.cnt - 0.75::DOUBLE) / cx.c_ctx
-                + 0.75::DOUBLE * cx.n_follow / cx.c_ctx * pb.pbv, 6) AS p_kn
-            FROM c3 JOIN cx USING (w1, w2) JOIN pb USING (w2, w3)
-            ORDER BY c3.cnt DESC, c3.w1, c3.w2, c3.w3 LIMIT 100""",
-      // Kneser–Ney bigram table: fixed-order arithmetic over integer
-      // counts (see LmCounts.knBigrams — the expression tree is replayed
-      // verbatim; ::DOUBLE keeps DuckDB out of DECIMAL arithmetic)
+        s"""WITH $knTriCtes
+            SELECT w1, w2, w3, cnt, p3_nano / 1000000000.0 AS p_kn
+            FROM m ORDER BY cnt DESC, w1, w2, w3 LIMIT 100""",
       "text_kn_bigram" ->
-        raw"""WITH d AS (SELECT $toks AS l FROM documents),
-            bg AS (SELECT unnest(list_transform(range(1, len(l)),
-                i -> {'w1': l[i::INT], 'w2': l[(i+1)::INT]})) AS b
-              FROM d WHERE len(l) >= 2),
-            c AS (SELECT b.w1 AS w1, b.w2 AS w2, count(*)::BIGINT AS cnt
-              FROM bg GROUP BY 1, 2),
-            lt AS (SELECT w1, sum(cnt) AS c_left, count(*) AS n_follow
-              FROM c GROUP BY 1),
-            ct AS (SELECT w2, count(*) AS n_prec FROM c GROUP BY 1),
-            tt AS (SELECT count(*)::DOUBLE AS t FROM c)
-            SELECT c.w1, c.w2, c.cnt,
-              round((c.cnt - 0.75::DOUBLE) / lt.c_left
-                + 0.75::DOUBLE * lt.n_follow / lt.c_left
-                  * (ct.n_prec / tt.t), 6) AS p_kn
-            FROM c JOIN lt USING (w1) JOIN ct USING (w2) CROSS JOIN tt
-            ORDER BY c.cnt DESC, c.w1, c.w2 LIMIT 100""",
+        s"""WITH $knLadderCtes
+            SELECT w1, w2, cnt, pb_nano / 1000000000.0 AS p_kn
+            FROM pb ORDER BY cnt DESC, w1, w2 LIMIT 100""",
       // Curation.weightedSample: E-S key ln(u)/w in nano units, u from the
       // graft-wsample md5 draw clamped at 1e-12, top-100 (ties id asc)
       "sample_weighted" -> {

@@ -7,9 +7,10 @@ import org.apache.spark.sql.functions._
   * batch substrate a KenLM-style corpus LM is estimated from (Kneser &
   * Ney 1995; Heafield 2011). [[Curation.lmScore]] scores documents against
   * raw trigram frequencies; this builds the properly-smoothed conditional
-  * tables themselves: interpolated absolute discounting, where the backoff
-  * mass goes to the CONTINUATION distribution (how many distinct left
-  * contexts a word follows) rather than raw unigram frequency.
+  * tables themselves: interpolated absolute discounting (discount fixed at
+  * 3/4 — see below), where the backoff mass goes to the CONTINUATION
+  * distribution (how many distinct left contexts a word follows) rather
+  * than raw unigram frequency.
   *
   * Shape at scale: n-gram extraction is a narrow adjacency zip over each
   * document's token array (no per-position window shuffle); the single
@@ -19,23 +20,42 @@ import org.apache.spark.sql.functions._
   * table, and their joins back are AQE-broadcast at any realistic
   * vocabulary. Top-k outputs are TakeOrdered, never a global sort.
   *
-  * Determinism: every probability is a fixed-order arithmetic tree over
-  * integer counts (no FP accumulation across rows), so the rounded values
-  * hash-match an external SQL oracle replaying the same expression.
+  * Determinism — the INTEGER NANO-UNIT ladder: probabilities are derived
+  * bottom-up as integer nano-units (×10⁹) with pure integer arithmetic
+  * and floor division (`DIV`), never FP rounding:
+  *
+  *   pcont(w2)        = N1+(·,w2)·G  DIV  |bigram types|
+  *   pb(w2|w1)        = ((4c−3)·G + 3·N1+(w1,·)·pcont)  DIV  4c(w1,·)
+  *   p3(w3|w1,w2)     = ((4c−3)·G + 3·N1+(w1w2,·)·pb)   DIV  4c(w1w2,·)
+  *
+  * (G = 10⁹; 4·(c − 3/4) = 4c − 3 keeps the 3/4 discount integral.)
+  * A conventional `round(x, 6)` formulation here is NOT reproducible:
+  * these probabilities are rationals whose exact values frequently land
+  * on .5 decimal boundaries (the once-rounded backoff term puts them on
+  * the 10⁻⁶ grid), and engines disagree on boundary doubles — observed
+  * 7/16k disagreements at sf0.01. Integer floor division has no
+  * boundary; both engines produce the same BIGINT, and the published
+  * double is `nano / 10⁹` of identical integers. Quantization error is
+  * < 2 nano per value. Numerator magnitudes stay < ~10¹⁴ for any
+  * realistic count profile (BIGINT-safe; a 10²⁰-token corpus would move
+  * this ladder to DECIMAL(38,0) in both engines unchanged).
   *
   * Reference scope: extension surface — qvarn-mr has no text analytics
   * (opaque JSON values, func.py:34-43).
   */
 object LmCounts {
 
-  /** Bigram TYPE table with interpolated-KN probabilities, FULL (no
-    * top-k): (w1, w2, cnt, p_kn) with discount `d`, p_kn rounded to 6.
-    *
-    *   p_kn(w2|w1) = (c(w1,w2) − d)/c(w1,·)
-    *               + d·N1+(w1,·)/c(w1,·) · N1+(·,w2)/|bigram types|
-    */
-  def knBigramTable(docs: DataFrame, textCol: String,
-                    d: Double = 0.75): DataFrame = {
+  private val G = 1000000000L
+
+  /** Integer division on longs (Spark's built-in `div` — IntegralDivide,
+    * exact). Operands here are positive, so truncation and floor agree —
+    * and agree with an external engine's `//`. */
+  private def idiv(a: Column, b: Column): Column =
+    call_function("div", a, b)
+
+  /** Bigram TYPE table with interpolated-KN probabilities in integer
+    * nano-units, FULL: (w1, w2, cnt, __pb_nano: long). */
+  private def bigramNano(docs: DataFrame, textCol: String): DataFrame = {
     val toks = TextFunctions.tokens(col(textCol))
     val bigrams = docs
       .select(explode(zip_with(
@@ -50,40 +70,37 @@ object LmCounts {
     val left = cached.groupBy(col("w1"))
       .agg(sum(col("cnt")).as("__c_left"), count(lit(1)).as("__n_follow"))
     val cont = cached.groupBy(col("w2")).agg(count(lit(1)).as("__n_prec"))
-    val types = cached.count().toDouble
+    val types = cached.count()
+    val pcont = idiv(col("__n_prec") * lit(G), lit(types))
     cached
       .join(left, Seq("w1"))
       .join(cont, Seq("w2"))
       .select(col("w1"), col("w2"), col("cnt"),
-        round((col("cnt") - lit(d)) / col("__c_left")
-          + lit(d) * col("__n_follow") / col("__c_left")
-            * (col("__n_prec") / lit(types)), 6).as("p_kn"))
+        idiv((col("cnt") * 4 - 3) * lit(G)
+            + lit(3) * col("__n_follow") * pcont,
+          col("__c_left") * 4).as("__pb_nano"))
   }
 
+  /** Bigram KN table, FULL: (w1, w2, cnt, p_kn) — p_kn is the nano
+    * integer published as a double (exact 9-decimal fixed point). */
+  def knBigramTable(docs: DataFrame, textCol: String): DataFrame =
+    bigramNano(docs, textCol)
+      .select(col("w1"), col("w2"), col("cnt"),
+        (col("__pb_nano") / lit(1e9)).as("p_kn"))
+
   /** Top-`k` bigrams of [[knBigramTable]] by count (ties → w1, w2). */
-  def knBigrams(docs: DataFrame, textCol: String,
-                k: Int = 100, d: Double = 0.75): DataFrame =
-    knBigramTable(docs, textCol, d)
+  def knBigrams(docs: DataFrame, textCol: String, k: Int = 100): DataFrame =
+    knBigramTable(docs, textCol)
       .orderBy(col("cnt").desc, col("w1"), col("w2"))
       .limit(k)
 
-  /** Interpolated trigram KN, top `k` by count:
-    * (w1, w2, w3, cnt, p_kn). The highest order discounts raw counts and
-    * interpolates with the CONTINUATION-smoothed bigram model (the
-    * published [[knBigramTable]] values — rounded once there, reused
-    * verbatim here, so the composition is reproducible cross-engine):
-    *
-    *   p_kn(w3|w1,w2) = (c(w1w2w3) − d)/c(w1,w2,·)
-    *                  + d·N1+(w1,w2,·)/c(w1,w2,·) · p_kn(w3|w2)
-    *
-    * Every adjacent (w2,w3) inside a trigram is itself a corpus bigram,
-    * so the backoff join always matches. */
-  def knTrigrams(docs: DataFrame, textCol: String,
-                 k: Int = 100, d: Double = 0.75): DataFrame = {
+  /** Per-document trigram structs: (idCol, w1, w2, w3) — one narrow
+    * adjacency zip per row. */
+  private def docTrigrams(docs: DataFrame, textCol: String,
+                          idCol: String): DataFrame = {
     val toks = TextFunctions.tokens(col(textCol))
     val n3 = size(toks) - 2
-    val tris = docs
-      .select(explode(zip_with(
+    docs.select(col(idCol), explode(zip_with(
         zip_with(
           slice(toks, lit(1), n3),
           slice(toks, lit(2), n3),
@@ -91,22 +108,66 @@ object LmCounts {
         slice(toks, lit(3), n3),
         (p, c) => struct(p.getField("w1").as("w1"),
           p.getField("w2").as("w2"), c.as("w3")))).as("__t"))
-      .groupBy(col("__t.w1").as("w1"), col("__t.w2").as("w2"),
+      .select(col(idCol), col("__t.w1").as("w1"), col("__t.w2").as("w2"),
         col("__t.w3").as("w3"))
-      .agg(count(lit(1)).as("cnt"))
-    val cached = graft.ops.Caches.track(tris)
-    val ctx = cached.groupBy(col("w1"), col("w2"))
+  }
+
+  /** FULL trigram-type table in nano-units: (w1, w2, w3, cnt,
+    * __p3_nano). The top order discounts raw counts and interpolates
+    * into the bigram nano ladder; every adjacent (w2,w3) inside a
+    * trigram is itself a corpus bigram, so the backoff join is total. */
+  private def trigramNano(docs: DataFrame, textCol: String): DataFrame = {
+    val tris = graft.ops.Caches.track(
+      docTrigrams(docs.withColumn("__discard", lit(0)), textCol, "__discard")
+        .groupBy(col("w1"), col("w2"), col("w3"))
+        .agg(count(lit(1)).as("cnt")))
+    val ctx = tris.groupBy(col("w1"), col("w2"))
       .agg(sum(col("cnt")).as("__c_ctx"), count(lit(1)).as("__n_follow"))
-    val lower = knBigramTable(docs, textCol, d)
-      .select(col("w1").as("w2"), col("w2").as("w3"), col("p_kn").as("__pb"))
-    cached
+    val lower = bigramNano(docs, textCol)
+      .select(col("w1").as("w2"), col("w2").as("w3"),
+        col("__pb_nano").as("__pb"))
+    tris
       .join(ctx, Seq("w1", "w2"))
       .join(lower, Seq("w2", "w3"))
       .select(col("w1"), col("w2"), col("w3"), col("cnt"),
-        round((col("cnt") - lit(d)) / col("__c_ctx")
-          + lit(d) * col("__n_follow") / col("__c_ctx") * col("__pb"),
-          6).as("p_kn"))
+        idiv((col("cnt") * 4 - 3) * lit(G)
+            + lit(3) * col("__n_follow") * col("__pb"),
+          col("__c_ctx") * 4).as("__p3_nano"))
+  }
+
+  /** FULL trigram table: (w1, w2, w3, cnt, p_kn). */
+  def knTrigramTable(docs: DataFrame, textCol: String): DataFrame =
+    trigramNano(docs, textCol)
+      .select(col("w1"), col("w2"), col("w3"), col("cnt"),
+        (col("__p3_nano") / lit(1e9)).as("p_kn"))
+
+  /** Top-`k` trigrams by count (ties → words). */
+  def knTrigrams(docs: DataFrame, textCol: String, k: Int = 100): DataFrame =
+    knTrigramTable(docs, textCol)
       .orderBy(col("cnt").desc, col("w1"), col("w2"), col("w3"))
       .limit(k)
+
+  /** Per-document negative log-likelihood under the SMOOTHED trigram
+    * model — the properly-backed-off upgrade of [[Curation.lmScore]]'s
+    * raw-frequency score: (idCol, n_tri, kn_nll) for docs with ≥3
+    * tokens. The corpus is self-scored, so every doc trigram exists in
+    * the model table and the join is total.
+    *
+    * Reproducibility: ln runs on the identical `nano/10⁹` doubles and
+    * quantizes to integer nano-units per trigram BEFORE the per-doc sum,
+    * so aggregation is exact integer addition under any merge order; the
+    * single division at the end is deterministic from identical
+    * integers. */
+  def knScore(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val model = trigramNano(docs, textCol)
+      .select(col("w1"), col("w2"), col("w3"),
+        (col("__p3_nano") / lit(1e9)).as("__p"))
+    docTrigrams(docs, textCol, idCol)
+      .join(model, Seq("w1", "w2", "w3"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tri"),
+        sum(round(log(col("__p")) * lit(1e9)).cast("long")).as("__nano"))
+      .select(col(idCol), col("n_tri"),
+        round(-(col("__nano") / (col("n_tri") * lit(1e9))), 6).as("kn_nll"))
   }
 }

@@ -126,6 +126,23 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
     assert(keys == keys.sorted)
   }
 
+  test("knScore: total trigram coverage, strictly positive NLL") {
+    val docs = sf("documents")
+    val got = LmCounts.knScore(docs, "text", "doc_id")
+      .as[(Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    // every p_kn < 1 (the interpolation is a strict convex-deficient mix),
+    // so -avg(ln p) > 0
+    assert(got.forall(_._3 > 0))
+    // the model join is total: per doc, n_tri == max(len - 2, 0), and
+    // docs under 3 tokens are absent
+    val want = docs.select(col("doc_id"),
+        greatest(size(split(lower(trim(col("text"))), "\\s+")) - 2, lit(0)))
+      .as[(Long, Int)].collect().toMap
+    got.foreach { case (id, n, _) => assert(n == want(id).toLong, s"doc=$id") }
+    assert(got.length == want.count(_._2 > 0))
+  }
+
   test("KN bigram probabilities are positive and a context's mass stays below 1") {
     val kn = LmCounts.knBigrams(sf("documents"), "text", k = 1000)
       .as[(String, String, Long, Double)].collect()
