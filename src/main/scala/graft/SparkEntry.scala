@@ -2071,6 +2071,12 @@ object SparkEntry {
     "text_kn_bigram" -> ((s, dir) =>
       LmCounts.knBigrams(t(s, dir, "documents"), "text", k = 100)),
 
+    // Good–Turing count-of-counts: N_r per occurrence count r, with the
+    // adjusted count r* = (r+1)·N_{r+1}/N_r on the nano ladder — the
+    // other classical smoothing substrate next to the KN tables
+    "text_count_of_counts" -> ((s, dir) =>
+      LmCounts.countOfCounts(t(s, dir, "documents"), "text")),
+
     // Trigram KN: raw-count discounting at the top order, interpolating
     // into the continuation-smoothed bigram model — the three-level
     // estimation stack. Two corpus-scale n-gram groupBys; every adjacent
@@ -2469,6 +2475,41 @@ object SparkEntry {
         "vec_id", "embedding", mu, v1)
     }),
 
+    // INCREMENTALLY-MAINTAINED PCA: the fit's sufficient statistics
+    // (n, Σx, Σxxᵀ) are an abelian group over EXACT INTEGER micro-units,
+    // so a change batch adds its vectors' moments and retracts deleted
+    // ones with no corpus re-read — and maintained ≡ rebuilt is exact,
+    // not merge-order-approximate. This query converges a corrupted
+    // state (a third missing, scaled phantoms present) by one delta
+    // batch, refits (floored integer means, integer centered scatter,
+    // the usual power iteration), and projects; the oracle replays the
+    // full-corpus moments directly
+    "embed_pca_incr" -> ((s, dir) => {
+      val (mu, v1) = pcaIncrCache.getOrElseUpdate(dir, {
+        import s.implicits._
+        val e = t(s, dir, "embeddings")
+        val phantoms = e.filter(col("vec_id") % 9 === 4)
+          .withColumn("embedding",
+            transform(col("embedding"), x => x * lit(0.5f)))
+        val stateDir = graft.core.TempDirs.register(
+          java.nio.file.Files.createTempDirectory("graft_pcam")).toString
+        graft.sim.Pca.mergeMoments(
+            graft.sim.Pca.momentDeltas(
+              e.filter(col("vec_id") % 3 =!= 0), "embedding", 64),
+            graft.sim.Pca.momentDeltas(phantoms, "embedding", 64))
+          .write.mode("overwrite").parquet(stateDir)
+        val merged = graft.sim.Pca.mergeMoments(
+          s.read.parquet(stateDir),
+          graft.sim.Pca.momentDeltas(
+            e.filter(col("vec_id") % 3 === 0), "embedding", 64),
+          graft.sim.Pca.momentDeltas(phantoms, "embedding", 64, sign = -1))
+        graft.sim.Pca.fitFromMoments(
+          merged.as[(Int, Long)].collect().toSeq, 64)
+      })
+      graft.sim.Pca.pc1ProjectionMoments(t(s, dir, "embeddings"),
+        "vec_id", "embedding", mu, v1)
+    }),
+
     // ---- graph analytics over item co-occurrence (market basket) --------
     // Build the thresholded edge list ONCE per scale dir (cached) — the
     // graph family shares it the way ANN queries share a built index.
@@ -2616,6 +2657,10 @@ object SparkEntry {
   /** Stream-maintained BPE model per dir (see text_bpe_stream). */
   private val bpeStreamCache =
     scala.collection.concurrent.TrieMap.empty[String, Seq[Bpe.Merge]]
+
+  /** Moment-maintained PCA model per dir (see embed_pca_incr). */
+  private val pcaIncrCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Seq[Long], Seq[Double])]
 
   /** PCA model (μ, v₁) per scale dir — fit once, project many. */
   private val pcaModelCache =
@@ -4183,6 +4228,16 @@ object SparkEntry {
         s"""WITH $knLadderCtes
             SELECT w1, w2, cnt, pb_nano / 1000000000.0 AS p_kn
             FROM pb ORDER BY cnt DESC, w1, w2 LIMIT 100""",
+      // Good–Turing: r* on the nano ladder; NULL on the tail where no
+      // N_{r+1} exists (both engines propagate null through the chain)
+      "text_count_of_counts" ->
+        raw"""WITH tk AS (SELECT unnest($toks) AS w FROM documents),
+            wc AS (SELECT w, count(*)::BIGINT AS r FROM tk GROUP BY 1),
+            byr AS (SELECT r, count(*)::BIGINT AS n_types FROM wc GROUP BY 1)
+            SELECT a.r, a.n_types,
+              (((a.r + 1) * b.n_types * 1000000000) // a.n_types)
+                / 1000000000.0 AS r_star
+            FROM byr a LEFT JOIN byr b ON b.r = a.r + 1""",
       // Curation.weightedSample: E-S key ln(u)/w in nano units, u from the
       // graft-wsample md5 draw clamped at 1e-12, top-100 (ties id asc)
       "sample_weighted" -> {
@@ -4616,6 +4671,56 @@ object SparkEntry {
             SELECT e.vec_id, round(list_reduce(list_transform(range(64),
               i -> (e.v[i+1] - m.mv[i+1]) * f.v[i+1]), (a, b) -> a + b),
               6) AS pc1
+            FROM e CROSS JOIN muv m CROSS JOIN vf f"""
+      },
+      "embed_pca_incr" -> {
+        // moment-path replay: EXACT integer micro-unit moments over the
+        // full corpus (what the maintained state converges to, bit for
+        // bit), truncated integer means (// truncates like JVM /),
+        // integer centered scatter, then the same 8-step power
+        // iteration and projection as embed_pca's oracle
+        val iter = (k: Int) =>
+          s"""y$k AS MATERIALIZED (SELECT g.i AS i, list_reduce(list_transform(range(64),
+                j -> g.grow[j+1] * p.v[j+1]),
+                (a, b) -> a + b) AS y FROM grows g CROSS JOIN v${k - 1} p),
+              n$k AS MATERIALIZED (SELECT sqrt(list_reduce(list_transform(yl, x -> x * x),
+                (a, b) -> a + b)) AS nrm
+                FROM (SELECT list(y ORDER BY i) AS yl FROM y$k)),
+              v$k AS MATERIALIZED (SELECT list(y / n.nrm ORDER BY i) AS v
+                FROM y$k CROSS JOIN n$k n GROUP BY n.nrm)"""
+        val iters = (1 to 8).map(iter).mkString(",\n")
+        s"""WITH e AS (SELECT vec_id, list_transform(embedding::DOUBLE[],
+                x -> CAST(round(x * 1000000.0) AS BIGINT)) AS q
+              FROM embeddings),
+            nn AS (SELECT count(*)::BIGINT AS n FROM e),
+            ex AS (SELECT vec_id, unnest(q) AS x,
+                generate_subscripts(q, 1) AS i FROM e),
+            sx AS (SELECT i, sum(x)::BIGINT AS s FROM ex GROUP BY 1),
+            mu AS (SELECT i, (s // nn.n)::BIGINT AS m FROM sx CROSS JOIN nn),
+            muv AS (SELECT list(m ORDER BY i) AS mv FROM mu),
+            sv AS (SELECT list(s ORDER BY i) AS sl FROM sx),
+            qq AS MATERIALIZED (SELECT (a.i - 1) * 64 + (b.i - 1) AS k,
+                sum(a.x * b.x)::BIGINT AS qs
+                FROM ex a JOIN ex b USING (vec_id) GROUP BY 1),
+            cm AS MATERIALIZED (SELECT k,
+                (qs - sv.sl[(k // 64) + 1] * muv.mv[(k % 64) + 1]
+                    - muv.mv[(k // 64) + 1] * sv.sl[(k % 64) + 1]
+                    + nn.n * muv.mv[(k // 64) + 1] * muv.mv[(k % 64) + 1]
+                  )::DOUBLE AS gv
+                FROM qq CROSS JOIN sv CROSS JOIN muv CROSS JOIN nn),
+            grows AS MATERIALIZED (SELECT k // 64 AS i,
+                list(gv ORDER BY k) AS grow FROM cm GROUP BY 1),
+            v0 AS (SELECT list_transform(range(64),
+                i -> CASE WHEN i = 0 THEN 1.0 ELSE 0.0 END) AS v),
+            $iters,
+            sgn AS (SELECT CASE WHEN COALESCE(
+                list_filter(v, x -> x <> 0.0)[1], 1.0) < 0
+                THEN -1.0 ELSE 1.0 END AS s FROM v8),
+            vf AS (SELECT list_transform(p.v, x -> x * g.s) AS v
+                FROM v8 p CROSS JOIN sgn g)
+            SELECT e.vec_id, round(list_reduce(list_transform(range(64),
+              i -> (e.q[i+1] - m.mv[i+1])::DOUBLE * f.v[i+1]),
+              (a, b) -> a + b) / 1000000.0, 6) AS pc1
             FROM e CROSS JOIN muv m CROSS JOIN vf f"""
       },
       "graph_copurchase" ->

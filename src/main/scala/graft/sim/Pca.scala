@@ -101,4 +101,78 @@ object Pca {
     val (mu, v1) = fitPc1(corpus, idCol, vecCol, iters)
     pc1ProjectionWith(corpus, idCol, vecCol, mu, v1)
   }
+
+  // ---- incrementally-maintainable fit via EXACT INTEGER moments --------
+  //
+  // The sufficient statistics of a PCA fit — (n, Σx, Σxxᵀ) — are an
+  // abelian group, so the fit is incrementally maintainable the same way
+  // the engine maintains word counts or HLL registers: a change batch
+  // ADDS its vectors' moments and RETRACTS deleted vectors' moments, no
+  // corpus re-read. To make maintained ≡ rebuilt EXACT (not
+  // approximately: FP sums depend on merge order), vectors quantize to
+  // integer micro-units (×10⁶) first; every moment is then an exact
+  // BIGINT sum, identical under any batch/merge order, and the derived
+  // model (floored integer means, integer centered scatter) is
+  // bit-reproducible cross-engine with no rounding anywhere. Magnitudes:
+  // Q entries ≤ n·10¹²·max|x|² — BIGINT-safe through ~10⁶ rows of
+  // unit-scale vectors; a larger corpus moves the moment columns to
+  // DECIMAL(38,0) unchanged.
+
+  private val M = 1000000L
+
+  private def microVec(vecCol: Column): Column =
+    transform(vecCol, x => round(x.cast("double") * M).cast("long"))
+
+  /** Integer micro-unit moment deltas of a vector set, `sign`-scaled,
+    * as (k, v) rows: k ∈ [0, d²) = row-major Σqᵢqⱼ, k ∈ [d², d²+d) =
+    * Σqᵢ, k = d²+d = count. One narrow explode + one groupBy. */
+  def momentDeltas(corpus: DataFrame, vecCol: String, d: Int,
+                   sign: Int = 1): DataFrame = {
+    val q = microVec(col(vecCol))
+    corpus.select(posexplode(concat(
+        flatten(transform(q, qi => transform(q, qj => qi * qj))),
+        q, array(lit(1L)))).as(Seq("k", "__v")))
+      .groupBy(col("k")).agg((sum(col("__v")) * sign).as("v"))
+  }
+
+  /** Fold moment deltas: exact integer addition per cell. */
+  def mergeMoments(deltas: DataFrame*): DataFrame =
+    deltas.reduce(_.unionByName(_))
+      .groupBy(col("k")).agg(sum(col("v")).as("v"))
+
+  /** Fit (μ_micro, v₁) from collected moments (d²+d+1 longs — control
+    * data): TRUNCATED integer means (toward zero — the semantics both
+    * JVM `/` and an external engine's integer `//` share; floor division
+    * would disagree on negative sums), integer centered scatter
+    * C = Q − S·μᵀ − μ·Sᵀ + n·μμᵀ, then the usual index-ordered power
+    * iteration on C as doubles (exact long→double, |C| < 2⁵³). */
+  def fitFromMoments(moments: Seq[(Int, Long)], d: Int,
+                     iters: Int = 8): (Seq[Long], Seq[Double]) = {
+    val m = moments.toMap
+    val n = m(d * d + d)
+    require(n > 0, "empty moment state")
+    val s = (0 until d).map(i => m(d * d + i))
+    val mu = s.map(x => x / n)
+    val g = (0 until d).map { i =>
+      (0 until d).map { j =>
+        (m(i * d + j) - s(i) * mu(j) - mu(i) * s(j)
+          + n * mu(i) * mu(j)).toDouble
+      }.toSeq
+    }.toSeq
+    (mu, powerIterate(g, iters))
+  }
+
+  /** Projection under the moment-fit model: centered in exact micro
+    * integers, index-ordered fold against v₁ literals, one division at
+    * the end. Narrow — no join, no shuffle. */
+  def pc1ProjectionMoments(corpus: DataFrame, idCol: String, vecCol: String,
+                           muMicro: Seq[Long], v1: Seq[Double]): DataFrame = {
+    val muLit = typedlit(muMicro)
+    val vLit = typedlit(v1)
+    val centered = transform(microVec(col(vecCol)),
+      (x, i) => (x - element_at(muLit, i + lit(1))).cast("double")
+        * element_at(vLit, i + lit(1)))
+    val proj = aggregate(centered, lit(0.0), (a, b) => a + b)
+    corpus.select(col(idCol), round(proj / lit(1e6), 6).as("pc1"))
+  }
 }

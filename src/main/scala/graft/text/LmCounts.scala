@@ -147,6 +147,27 @@ object LmCounts {
       .orderBy(col("cnt").desc, col("w1"), col("w2"), col("w3"))
       .limit(k)
 
+  /** Good–Turing count-of-counts table over unigram frequencies — the
+    * other classical smoothing substrate (Good 1953): N_r = number of
+    * word types occurring exactly r times, with the adjusted count
+    * r* = (r+1)·N_{r+1}/N_r where N_{r+1} exists (null on the tail).
+    * r* rides the integer nano ladder (floor division — these small-
+    * integer ratios hit decimal rounding boundaries constantly).
+    * Corpus-scale word count, then count-distribution-scale (tiny)
+    * aggregation and a self-join on r+1. */
+  def countOfCounts(docs: DataFrame, textCol: String): DataFrame = {
+    val words = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__r"))
+    val byR = graft.ops.Caches.track(
+      words.groupBy(col("__r").as("r")).agg(count(lit(1)).as("n_types")))
+    val next = byR.select((col("r") - 1).as("r"), col("n_types").as("__n_next"))
+    byR.join(next, Seq("r"), "left")
+      .select(col("r"), col("n_types"),
+        (idiv((col("r") + 1) * col("__n_next") * lit(G), col("n_types"))
+          / lit(1e9)).as("r_star"))
+  }
+
   /** Per-document negative log-likelihood under the SMOOTHED trigram
     * model — the properly-backed-off upgrade of [[Curation.lmScore]]'s
     * raw-frequency score: (idCol, n_tri, kn_nll) for docs with ≥3

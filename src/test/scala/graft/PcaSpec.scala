@@ -50,6 +50,59 @@ class PcaSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(got.values.sum) < 1e-2 * raw.length)
   }
 
+  test("integer moments: maintained state equals a from-scratch build exactly") {
+    val emb = sf("embeddings")
+    val full = Pca.momentDeltas(emb, "embedding", 64)
+      .as[(Int, Long)].collect().toMap
+    // build from a corrupted split (half missing, scaled phantoms), then
+    // converge with one delta batch
+    val phantoms = emb.filter(col("vec_id") % 4 === 1)
+      .withColumn("embedding", transform(col("embedding"), x => x * lit(0.25f)))
+    val merged = Pca.mergeMoments(
+        Pca.mergeMoments(
+          Pca.momentDeltas(emb.filter(col("vec_id") % 2 === 0), "embedding", 64),
+          Pca.momentDeltas(phantoms, "embedding", 64)),
+        Pca.momentDeltas(emb.filter(col("vec_id") % 2 === 1), "embedding", 64),
+        Pca.momentDeltas(phantoms, "embedding", 64, sign = -1))
+      .as[(Int, Long)].collect().toMap
+    // phantom cells cancel to exact zero; live cells match bit for bit
+    assert(full.keySet.forall(k => merged.getOrElse(k, 0L) == full(k)))
+    assert(merged.keySet.forall(k => full.getOrElse(k, 0L) == merged(k)))
+  }
+
+  test("moment fit agrees with the direct fit's dominant direction") {
+    val emb = sf("embeddings")
+    val (_, vDirect) = Pca.fitPc1(emb, "vec_id", "embedding", iters = 8)
+    val moments = Pca.momentDeltas(emb, "embedding", 64)
+      .as[(Int, Long)].collect().toSeq
+    val (muM, vM) = Pca.fitFromMoments(moments, 64)
+    assert(muM.size == 64 && vM.size == 64)
+    assert(math.abs(vM.map(x => x * x).sum - 1.0) < 1e-9)
+    // the two models quantize differently (6-decimal vs micro-integer),
+    // so directions agree to high — not bit — precision
+    val cos = vDirect.zip(vM).map { case (a, b) => a * b }.sum
+    assert(math.abs(cos) > 0.999, s"cos=$cos")
+    // and the projection replays driver-side exactly
+    val got = Pca.pc1ProjectionMoments(emb, "vec_id", "embedding", muM, vM)
+      .as[(Long, Double)].collect().toMap
+    val raw = emb.select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")))
+      .as[(Long, Seq[Double])].collect()
+    raw.foreach { case (id, x) =>
+      var acc = 0.0
+      var i = 0
+      while (i < 64) {
+        val q = BigDecimal(x(i) * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        acc += (q - muM(i)).toDouble * vM(i)
+        i += 1
+      }
+      val want = BigDecimal(acc / 1e6)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got(id) == want, s"id=$id")
+    }
+  }
+
   test("pc1 captures at least as much variance as any coordinate axis") {
     val emb = sf("embeddings")
     val (mu, v1) = Pca.fitPc1(emb, "vec_id", "embedding", iters = 8)
