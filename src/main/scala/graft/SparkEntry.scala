@@ -2071,6 +2071,29 @@ object SparkEntry {
     "text_kn_bigram" -> ((s, dir) =>
       LmCounts.knBigrams(t(s, dir, "documents"), "text", k = 100)),
 
+    // Data-quality admission gate: the whole single-table constraint
+    // suite (completeness, uniqueness, domain, cross-column consistency)
+    // evaluates in ONE aggregate pass — N constraints cost one scan —
+    // then pivots to tidy rows via a literal struct array, driver-free
+    "dq_documents" -> ((s, dir) =>
+      DataQuality.documentsSuite(t(s, dir, "documents"))),
+
+    // Referential integrity across the star schema: LEFT ANTI orphan
+    // counts per FK edge (broadcast or shuffled hash per side size)
+    "dq_referential" -> ((s, dir) => DataQuality.referentialSuite(Seq(
+      ("lineitem->orders", t(s, dir, "lineitem"), "l_orderkey",
+        t(s, dir, "orders"), "o_orderkey"),
+      ("orders->customer", t(s, dir, "orders"), "o_custkey",
+        t(s, dir, "customer"), "c_custkey"),
+      ("lineitem->part", t(s, dir, "lineitem"), "l_partkey",
+        t(s, dir, "part"), "p_partkey"),
+      ("lineitem->supplier", t(s, dir, "lineitem"), "l_suppkey",
+        t(s, dir, "supplier"), "s_suppkey"),
+      ("customer->nation", t(s, dir, "customer"), "c_nationkey",
+        t(s, dir, "nation"), "n_nationkey"),
+      ("nation->region", t(s, dir, "nation"), "n_regionkey",
+        t(s, dir, "region"), "r_regionkey")))),
+
     // Good–Turing count-of-counts: N_r per occurrence count r, with the
     // adjusted count r* = (r+1)·N_{r+1}/N_r on the nano ladder — the
     // other classical smoothing substrate next to the KN tables
@@ -4228,6 +4251,47 @@ object SparkEntry {
         s"""WITH $knLadderCtes
             SELECT w1, w2, cnt, pb_nano / 1000000000.0 AS p_kn
             FROM pb ORDER BY cnt DESC, w1, w2 LIMIT 100""",
+      "dq_documents" ->
+        """SELECT 'row_count' AS "constraint", count(*)::DOUBLE AS metric,
+             (count(*) > 0)::BIGINT AS pass FROM documents
+           UNION ALL SELECT 'doc_id_nulls',
+             coalesce(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END), 0)::DOUBLE,
+             (coalesce(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END), 0) = 0)::BIGINT
+             FROM documents
+           UNION ALL SELECT 'doc_id_dups',
+             (count(*) - count(DISTINCT doc_id))::DOUBLE,
+             (count(*) - count(DISTINCT doc_id) = 0)::BIGINT FROM documents
+           UNION ALL SELECT 'text_empty',
+             coalesce(sum(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END), 0)::DOUBLE,
+             (coalesce(sum(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END), 0) = 0)::BIGINT
+             FROM documents
+           UNION ALL SELECT 'n_chars_mismatch',
+             coalesce(sum(CASE WHEN n_chars != length(text) THEN 1 ELSE 0 END), 0)::DOUBLE,
+             (coalesce(sum(CASE WHEN n_chars != length(text) THEN 1 ELSE 0 END), 0) = 0)::BIGINT
+             FROM documents
+           UNION ALL SELECT 'lang_invalid',
+             coalesce(sum(CASE WHEN NOT lang IN ('en','zh','fr','es','de') THEN 1 ELSE 0 END), 0)::DOUBLE,
+             (coalesce(sum(CASE WHEN NOT lang IN ('en','zh','fr','es','de') THEN 1 ELSE 0 END), 0) = 0)::BIGINT
+             FROM documents
+           UNION ALL SELECT 'n_chars_negative',
+             coalesce(sum(CASE WHEN n_chars < 0 THEN 1 ELSE 0 END), 0)::DOUBLE,
+             (coalesce(sum(CASE WHEN n_chars < 0 THEN 1 ELSE 0 END), 0) = 0)::BIGINT
+             FROM documents""",
+      "dq_referential" -> {
+        val edge = (name: String, c: String, ck: String, p: String, pk: String) =>
+          s"""SELECT '$name' AS relation, c::DOUBLE AS orphans,
+               (c = 0)::BIGINT AS pass FROM (SELECT count(*) AS c FROM $c ch
+               WHERE NOT EXISTS (SELECT 1 FROM $p pa
+                 WHERE pa.$pk = ch.$ck))"""
+        Seq(
+          edge("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+          edge("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+          edge("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+          edge("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+          edge("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+          edge("nation->region", "nation", "n_regionkey", "region", "r_regionkey"))
+          .mkString("\nUNION ALL ")
+      },
       // Good–Turing: r* on the nano ladder; NULL on the tail where no
       // N_{r+1} exists (both engines propagate null through the chain)
       "text_count_of_counts" ->
