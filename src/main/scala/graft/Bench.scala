@@ -40,6 +40,13 @@ object Bench {
         // without the nudge they accumulate and later runs measure GC debt
         // (observed 75s vs 9s on the same incremental query).
         spark.catalog.clearCache()
+        // streaming queries leave loaded state-store providers (plus their
+        // maintenance pool) and terminated-query references behind; across
+        // a 170+-query run they accumulate into measurable drag on later
+        // queries. stop() unloads all providers (lazily restarted on next
+        // use); resetTerminated() drops the query handles.
+        org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+        spark.streams.resetTerminated()
         System.gc()
         d
       }.min

@@ -19,7 +19,8 @@ object PlanAudit {
       "sketch_distinct_hll", "sketch_freq_cms", "sketch_join_size",
       "text_dsir", "text_chunking", "search_hybrid_rrf",
       "events_asof_native", "split_leakage",
-      "embed_pca", "text_kn_bigram", "text_kn_trigram", "text_bpe_encode")
+      "embed_pca", "text_kn_bigram", "text_kn_trigram", "text_bpe_encode",
+      "dq_documents", "dq_referential", "text_kn_score", "embed_pca_incr")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
