@@ -29,6 +29,11 @@ object Verify {
       }
       graft.ops.Caches.release() // operator-internal caches (signature indexes)
       spark.catalog.clearCache()
+      // unload streaming state-store providers + drop terminated-query
+      // handles — across 170+ queries the accumulation drags later ones
+      // (see Bench; providers reload lazily on next use)
+      org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+      spark.streams.resetTerminated()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
