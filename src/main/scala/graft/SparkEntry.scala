@@ -2143,18 +2143,24 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id"), col("text"))
           .repartition(4).write.mode("overwrite").parquet(streamDir)
         var cur: Option[String] = None
+        var lastId = -1L
         val q = s.readStream.schema(s.read.parquet(streamDir).schema)
           .option("maxFilesPerTrigger", "1").parquet(streamDir)
           .writeStream
           .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
-            val delta = Bpe.wordCounts(b.toDF(), "text")
-            val merged = cur match {
-              case Some(p) => Bpe.mergeCounts(s.read.parquet(p), delta)
-              case None => delta
+            // exactly-once within the run: a replayed micro-batch id must
+            // not fold its deltas into state that already includes them
+            if (id > lastId) {
+              val delta = Bpe.wordCounts(b.toDF(), "text")
+              val merged = cur match {
+                case Some(p) => Bpe.mergeCounts(s.read.parquet(p), delta)
+                case None => delta
+              }
+              val out = s"$root/b$id"
+              merged.write.mode("overwrite").parquet(out)
+              cur = Some(out)
+              lastId = id
             }
-            val out = s"$root/b$id"
-            merged.write.mode("overwrite").parquet(out)
-            cur = Some(out)
           }
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
@@ -2164,6 +2170,23 @@ object SparkEntry {
           nMerges = 8)
       }).map(m => (m.rank, m.lhs, m.rhs, m.cnt))
         .toDF("merge_rank", "lhs", "rhs", "cnt")
+    }),
+
+    // Tokenizer compression report: chars-per-token of the TRAINED BPE
+    // per source — the metric a tokenizer is judged by. One narrow
+    // encode pass + a per-source aggregate; the ratio rides the nano
+    // ladder (a chars/tokens rational can land on a decimal boundary)
+    "text_bpe_compression" -> ((s, dir) => {
+      val enc = Bpe.encodedLength(t(s, dir, "documents"), "text", "doc_id",
+        bpeModel(s, dir))
+      t(s, dir, "documents").select(col("doc_id"), col("source"), col("n_chars"))
+        .join(enc, Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(sum(col("n_chars")).as("total_chars"),
+          sum(col("n_bpe")).as("total_bpe"))
+        .select(col("source"), col("total_chars"), col("total_bpe"),
+          (call_function("div", col("total_chars") * lit(1000000000L),
+            col("total_bpe")) / lit(1e9)).as("chars_per_token"))
     }),
 
     // INCREMENTALLY-MAINTAINED BPE training: word counts are an abelian
@@ -4206,6 +4229,29 @@ object SparkEntry {
             SELECT doc_id,
               sum(len(string_split(trim(seq), '  ')))::BIGINT AS n_bpe
             FROM e8 GROUP BY doc_id"""
+      },
+      // compression report: the encode replay joined back for source,
+      // chars-per-token on the nano ladder
+      "text_bpe_compression" -> {
+        val encRound = (k: Int) =>
+          s"""e$k AS MATERIALIZED (SELECT e.doc_id AS doc_id,
+                replace(e.seq, ' ' || t.lhs || '  ' || t.rhs || ' ',
+                  ' ' || t.lhs || t.rhs || ' ') AS seq
+                FROM e${k - 1} e CROSS JOIN t$k t)"""
+        raw"""WITH $bpeTrainCtes,
+            dw AS (SELECT doc_id, unnest($toks) AS w FROM documents),
+            e0 AS MATERIALIZED (SELECT doc_id, ' ' || coalesce(
+                array_to_string(regexp_extract_all(w, '.'), '  '), '')
+                || ' ' AS seq FROM dw),
+            ${(1 to 8).map(encRound).mkString(",\n")},
+            enc AS (SELECT doc_id,
+              sum(len(string_split(trim(seq), '  ')))::BIGINT AS n_bpe
+              FROM e8 GROUP BY doc_id)
+            SELECT d.source, sum(d.n_chars)::BIGINT AS total_chars,
+              sum(enc.n_bpe)::BIGINT AS total_bpe,
+              ((sum(d.n_chars)::BIGINT * 1000000000)
+                // sum(enc.n_bpe)::BIGINT) / 1000000000.0 AS chars_per_token
+            FROM documents d JOIN enc USING (doc_id) GROUP BY 1"""
       },
       // maintained ≡ rebuilt: the incremental path converges the word
       // counts to the full corpus, so it shares the training oracle
