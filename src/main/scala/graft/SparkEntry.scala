@@ -2172,6 +2172,47 @@ object SparkEntry {
         .toDF("merge_rank", "lhs", "rhs", "cnt")
     }),
 
+    // STREAM-MAINTAINED KN estimation: bigram counts fold forward under
+    // a real readStream (the n-gram twin of text_bpe_stream — counts
+    // are abelian); the KN table estimated from the drained state is
+    // identical to a from-scratch build and shares text_kn_bigram's
+    // oracle — maintained ≡ rebuilt
+    "text_kn_stream" -> ((s, dir) => {
+      import s.implicits._
+      val stateDir = knStreamStores.getOrElseUpdate(dir, {
+        val root = graft.core.TempDirs.register(
+          java.nio.file.Files.createTempDirectory("graft_kns")).toString
+        val streamDir = graft.core.TempDirs.register(
+          java.nio.file.Files.createTempDirectory("graft_kns_in")).toString
+        t(s, dir, "documents").select(col("doc_id"), col("text"))
+          .repartition(4).write.mode("overwrite").parquet(streamDir)
+        var cur: Option[String] = None
+        var lastId = -1L
+        val q = s.readStream.schema(s.read.parquet(streamDir).schema)
+          .option("maxFilesPerTrigger", "1").parquet(streamDir)
+          .writeStream
+          .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+            if (id > lastId) {
+              val delta = LmCounts.bigramCounts(b.toDF(), "text")
+              val merged = cur match {
+                case Some(p) => LmCounts.mergeBigramCounts(
+                  s.read.parquet(p), delta)
+                case None => delta
+              }
+              val out = s"$root/b$id"
+              merged.write.mode("overwrite").parquet(out)
+              cur = Some(out)
+              lastId = id
+            }
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        cur.getOrElse(sys.error("empty stream"))
+      })
+      LmCounts.knBigramsFromCounts(s.read.parquet(stateDir), k = 100)
+    }),
+
     // Tokenizer compression report: chars-per-token of the TRAINED BPE
     // per source — the metric a tokenizer is judged by. One narrow
     // encode pass + a per-source aggregate; the ratio rides the nano
@@ -2703,6 +2744,10 @@ object SparkEntry {
   /** Stream-maintained BPE model per dir (see text_bpe_stream). */
   private val bpeStreamCache =
     scala.collection.concurrent.TrieMap.empty[String, Seq[Bpe.Merge]]
+
+  /** Stream-maintained bigram-count state dir (see text_kn_stream). */
+  private val knStreamStores =
+    scala.collection.concurrent.TrieMap.empty[String, String]
 
   /** Moment-maintained PCA model per dir (see embed_pca_incr). */
   private val pcaIncrCache =
@@ -4294,6 +4339,12 @@ object SparkEntry {
             SELECT w1, w2, w3, cnt, p3_nano / 1000000000.0 AS p_kn
             FROM m ORDER BY cnt DESC, w1, w2, w3 LIMIT 100""",
       "text_kn_bigram" ->
+        s"""WITH $knLadderCtes
+            SELECT w1, w2, cnt, pb_nano / 1000000000.0 AS p_kn
+            FROM pb ORDER BY cnt DESC, w1, w2 LIMIT 100""",
+      // stream-maintained ≡ rebuilt: drained counts equal the direct
+      // build, so the estimation shares text_kn_bigram's oracle
+      "text_kn_stream" ->
         s"""WITH $knLadderCtes
             SELECT w1, w2, cnt, pb_nano / 1000000000.0 AS p_kn
             FROM pb ORDER BY cnt DESC, w1, w2 LIMIT 100""",

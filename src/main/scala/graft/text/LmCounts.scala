@@ -53,17 +53,36 @@ object LmCounts {
   private def idiv(a: Column, b: Column): Column =
     call_function("div", a, b)
 
-  /** Bigram TYPE table with interpolated-KN probabilities in integer
-    * nano-units, FULL: (w1, w2, cnt, __pb_nano: long). */
-  private def bigramNano(docs: DataFrame, textCol: String): DataFrame = {
+  /** (w1, w2, cnt) bigram counts of a doc set, `sign`-scaled — like
+    * [[Bpe.wordCounts]], the additive unit of n-gram state: counts are
+    * an abelian group, so incremental/streaming maintenance is delta
+    * folding, never a corpus re-read. */
+  def bigramCounts(docs: DataFrame, textCol: String,
+                   sign: Int = 1): DataFrame = {
     val toks = TextFunctions.tokens(col(textCol))
-    val bigrams = docs
+    docs
       .select(explode(zip_with(
         slice(toks, lit(1), size(toks) - 1),
         slice(toks, lit(2), size(toks) - 1),
         (l, r) => struct(l.as("w1"), r.as("w2")))).as("__b"))
       .groupBy(col("__b.w1").as("w1"), col("__b.w2").as("w2"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg((count(lit(1)) * sign).as("cnt"))
+  }
+
+  /** Fold bigram-count deltas: sum per type, drop retracted-to-zero. */
+  def mergeBigramCounts(deltas: DataFrame*): DataFrame =
+    deltas.reduce(_.unionByName(_))
+      .groupBy(col("w1"), col("w2")).agg(sum(col("cnt")).as("cnt"))
+      .filter(col("cnt") > 0)
+
+  /** Bigram TYPE table with interpolated-KN probabilities in integer
+    * nano-units, FULL: (w1, w2, cnt, __pb_nano: long). */
+  private def bigramNano(docs: DataFrame, textCol: String): DataFrame =
+    bigramNanoFromCounts(bigramCounts(docs, textCol))
+
+  /** Same ladder from an explicit (maintained) count table — estimation
+    * cost is vocab-scale, so maintenance only keeps counts current. */
+  def bigramNanoFromCounts(bigrams: DataFrame): DataFrame = {
     val cached = graft.ops.Caches.track(bigrams)
     // vocab-scale marginals over bigram TYPES: rows of `cached` are unique
     // per (w1, w2), so count(*) per side IS the distinct fan-out/fan-in
@@ -91,6 +110,14 @@ object LmCounts {
   /** Top-`k` bigrams of [[knBigramTable]] by count (ties → w1, w2). */
   def knBigrams(docs: DataFrame, textCol: String, k: Int = 100): DataFrame =
     knBigramTable(docs, textCol)
+      .orderBy(col("cnt").desc, col("w1"), col("w2"))
+      .limit(k)
+
+  /** Top-`k` KN bigrams estimated from a MAINTAINED count table. */
+  def knBigramsFromCounts(bigrams: DataFrame, k: Int = 100): DataFrame =
+    bigramNanoFromCounts(bigrams)
+      .select(col("w1"), col("w2"), col("cnt"),
+        (col("__pb_nano") / lit(1e9)).as("p_kn"))
       .orderBy(col("cnt").desc, col("w1"), col("w2"))
       .limit(k)
 

@@ -126,6 +126,25 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
     assert(keys == keys.sorted)
   }
 
+  test("bigram counts: signed-delta maintenance equals a fresh build") {
+    val docs = sf("documents")
+    val phantoms = docs.filter(col("doc_id") % 6 === 3)
+      .withColumn("text", concat(col("text"), lit(" zz qq zz")))
+    val direct = LmCounts.bigramCounts(docs, "text")
+      .as[(String, String, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    val merged = LmCounts.mergeBigramCounts(
+        LmCounts.mergeBigramCounts(
+          LmCounts.bigramCounts(docs.filter(col("doc_id") % 2 === 0), "text"),
+          LmCounts.bigramCounts(phantoms, "text")),
+        LmCounts.bigramCounts(docs.filter(col("doc_id") % 2 === 1), "text"),
+        LmCounts.bigramCounts(phantoms, "text", sign = -1))
+      .as[(String, String, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(merged == direct)
+    assert(!merged.contains(("zz", "qq")))
+  }
+
   test("knScore: total trigram coverage, strictly positive NLL") {
     val docs = sf("documents")
     val got = LmCounts.knScore(docs, "text", "doc_id")
