@@ -2069,7 +2069,7 @@ object SparkEntry {
     // a KenLM-style corpus LM. One corpus-scale bigram groupBy; marginals
     // are vocab-scale; top-100 is a TakeOrdered
     "text_kn_bigram" -> ((s, dir) =>
-      LmCounts.knBigrams(t(s, dir, "documents"), "text", k = 100)),
+      LmCounts.publishBigrams(knModel(s, dir)._1, k = 100)),
 
     // Data-quality admission gate: the whole single-table constraint
     // suite (completeness, uniqueness, domain, cross-column consistency)
@@ -2106,13 +2106,14 @@ object SparkEntry {
     // (w2,w3) inside a trigram is itself a bigram, so the backoff join
     // always matches
     "text_kn_trigram" -> ((s, dir) =>
-      LmCounts.knTrigrams(t(s, dir, "documents"), "text", k = 100)),
+      LmCounts.publishTrigrams(knModel(s, dir)._2, k = 100)),
 
     // Per-doc NLL under the SMOOTHED trigram model — lmScore's properly
     // backed-off upgrade: the corpus self-scores, so the model join is
     // total; the model's p_kn values are rounded once in the table
     "text_kn_score" -> ((s, dir) =>
-      LmCounts.knScore(t(s, dir, "documents"), "text", "doc_id")),
+      LmCounts.knScoreFrom(t(s, dir, "documents"), "text", "doc_id",
+        knModel(s, dir)._2)),
 
     // Explicit GROUPING SETS with grouping_id — the lattice cut neither
     // rollup nor cube gives alone ((source,lang), (source), (lang): no
@@ -2748,6 +2749,29 @@ object SparkEntry {
   /** Stream-maintained bigram-count state dir (see text_kn_stream). */
   private val knStreamStores =
     scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Persisted KN nano model (bigram dir, trigram dir) per scale dir —
+    * estimate once, serve the bigram/trigram/scoring queries from the
+    * stored tables (the BM25/ANN index pattern). The tables are exact
+    * integer derivations, so persist-and-read loses nothing. */
+  private val knModelStores =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+  private def knModel(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val (bd, td) = knModelStores.getOrElseUpdate(dir, {
+      val bd = graft.core.TempDirs.register(
+        java.nio.file.Files.createTempDirectory("graft_knb")).toString
+      val td = graft.core.TempDirs.register(
+        java.nio.file.Files.createTempDirectory("graft_knt")).toString
+      val docs = t(s, dir, "documents")
+      LmCounts.bigramNano(docs, "text")
+        .write.mode("overwrite").parquet(bd)
+      LmCounts.trigramNanoFrom(docs, "text", s.read.parquet(bd))
+        .write.mode("overwrite").parquet(td)
+      graft.ops.Caches.release()
+      (bd, td)
+    })
+    (s.read.parquet(bd), s.read.parquet(td))
+  }
 
   /** Moment-maintained PCA model per dir (see embed_pca_incr). */
   private val pcaIncrCache =

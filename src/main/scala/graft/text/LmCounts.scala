@@ -76,8 +76,11 @@ object LmCounts {
       .filter(col("cnt") > 0)
 
   /** Bigram TYPE table with interpolated-KN probabilities in integer
-    * nano-units, FULL: (w1, w2, cnt, __pb_nano: long). */
-  private def bigramNano(docs: DataFrame, textCol: String): DataFrame =
+    * nano-units, FULL: (w1, w2, cnt, __pb_nano: long). Public so a
+    * caller can PERSIST the estimated model once and serve the
+    * bigram/trigram/scoring queries from it (estimate once, serve
+    * many — the BM25/ANN index pattern). */
+  def bigramNano(docs: DataFrame, textCol: String): DataFrame =
     bigramNanoFromCounts(bigramCounts(docs, textCol))
 
   /** Same ladder from an explicit (maintained) count table — estimation
@@ -143,14 +146,20 @@ object LmCounts {
     * __p3_nano). The top order discounts raw counts and interpolates
     * into the bigram nano ladder; every adjacent (w2,w3) inside a
     * trigram is itself a corpus bigram, so the backoff join is total. */
-  private def trigramNano(docs: DataFrame, textCol: String): DataFrame = {
+  def trigramNano(docs: DataFrame, textCol: String): DataFrame =
+    trigramNanoFrom(docs, textCol, bigramNano(docs, textCol))
+
+  /** Same, reusing an already-estimated (e.g. persisted) bigram nano
+    * table for the backoff level. */
+  def trigramNanoFrom(docs: DataFrame, textCol: String,
+                      bigramNanoTable: DataFrame): DataFrame = {
     val tris = graft.ops.Caches.track(
       docTrigrams(docs.withColumn("__discard", lit(0)), textCol, "__discard")
         .groupBy(col("w1"), col("w2"), col("w3"))
         .agg(count(lit(1)).as("cnt")))
     val ctx = tris.groupBy(col("w1"), col("w2"))
       .agg(sum(col("cnt")).as("__c_ctx"), count(lit(1)).as("__n_follow"))
-    val lower = bigramNano(docs, textCol)
+    val lower = bigramNanoTable
       .select(col("w1").as("w2"), col("w2").as("w3"),
         col("__pb_nano").as("__pb"))
     tris
@@ -206,8 +215,14 @@ object LmCounts {
     * so aggregation is exact integer addition under any merge order; the
     * single division at the end is deterministic from identical
     * integers. */
-  def knScore(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val model = trigramNano(docs, textCol)
+  def knScore(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    knScoreFrom(docs, textCol, idCol, trigramNano(docs, textCol))
+
+  /** Same, scoring against an already-estimated (persisted) trigram
+    * nano model. */
+  def knScoreFrom(docs: DataFrame, textCol: String, idCol: String,
+                  trigramNanoTable: DataFrame): DataFrame = {
+    val model = trigramNanoTable
       .select(col("w1"), col("w2"), col("w3"),
         (col("__p3_nano") / lit(1e9)).as("__p"))
     docTrigrams(docs, textCol, idCol)
@@ -218,4 +233,21 @@ object LmCounts {
       .select(col(idCol), col("n_tri"),
         round(-(col("__nano") / (col("n_tri") * lit(1e9))), 6).as("kn_nll"))
   }
+
+  /** Publish a (persisted) bigram nano model as the user-facing table:
+    * top-`k` by count, p_kn as the exact 9-decimal double. */
+  def publishBigrams(bigramNanoTable: DataFrame, k: Int): DataFrame =
+    bigramNanoTable
+      .select(col("w1"), col("w2"), col("cnt"),
+        (col("__pb_nano") / lit(1e9)).as("p_kn"))
+      .orderBy(col("cnt").desc, col("w1"), col("w2"))
+      .limit(k)
+
+  /** Publish a (persisted) trigram nano model: top-`k` by count. */
+  def publishTrigrams(trigramNanoTable: DataFrame, k: Int): DataFrame =
+    trigramNanoTable
+      .select(col("w1"), col("w2"), col("w3"), col("cnt"),
+        (col("__p3_nano") / lit(1e9)).as("p_kn"))
+      .orderBy(col("cnt").desc, col("w1"), col("w2"), col("w3"))
+      .limit(k)
 }
