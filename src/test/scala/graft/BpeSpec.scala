@@ -145,6 +145,25 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
     assert(!merged.contains(("zz", "qq")))
   }
 
+  test("persisted nano model serves the same tables as direct estimation") {
+    val docs = sf("documents")
+    val dir = java.nio.file.Files.createTempDirectory("kn_model_spec").toString
+    LmCounts.bigramNano(docs, "text").write.mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val viaModel = LmCounts.publishBigrams(stored, k = 50)
+      .as[(String, String, Long, Double)].collect().toSeq
+    val direct = LmCounts.knBigrams(docs, "text", k = 50)
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(viaModel == direct)
+    // trigram level built FROM the stored bigram table == built fresh
+    val triStored = LmCounts.publishTrigrams(
+        LmCounts.trigramNanoFrom(docs, "text", stored), k = 50)
+      .as[(String, String, String, Long, Double)].collect().toSeq
+    val triDirect = LmCounts.knTrigrams(docs, "text", k = 50)
+      .as[(String, String, String, Long, Double)].collect().toSeq
+    assert(triStored == triDirect)
+  }
+
   test("knScore: total trigram coverage, strictly positive NLL") {
     val docs = sf("documents")
     val got = LmCounts.knScore(docs, "text", "doc_id")
