@@ -2094,6 +2094,27 @@ object SparkEntry {
       ("nation->region", t(s, dir, "nation"), "n_regionkey",
         t(s, dir, "region"), "r_regionkey")))),
 
+    // Heaps'-law vocabulary growth: (decile, n_tokens, n_types) for the
+    // doc_id-prefix at each tenth of the corpus — the curve scaling-law
+    // work reads vocabulary size from. The decile expansion happens on
+    // the TOKEN stream but map-side combine collapses it to (decile,
+    // word) pairs before the one shuffle, so the 10× blowup only ever
+    // touches vocab-sized data; thresholds are exact integer div
+    "corpus_heaps" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      docs.select(col("doc_id"),
+          explode(TextFunctions.tokens(col("text"))).as("__w"))
+        .select(col("doc_id"), col("__w"),
+          explode(sequence(lit(1L), lit(10L))).as("decile"))
+        .filter(col("doc_id") <=
+          call_function("div", lit(maxId) * col("decile"), lit(10L)))
+        .groupBy(col("decile"), col("__w"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_types"), sum(col("__c")).as("n_tokens"))
+    }),
+
     // Good–Turing count-of-counts: N_r per occurrence count r, with the
     // adjusted count r* = (r+1)·N_{r+1}/N_r on the nano ladder — the
     // other classical smoothing substrate next to the KN tables
@@ -4413,6 +4434,15 @@ object SparkEntry {
           edge("nation->region", "nation", "n_regionkey", "region", "r_regionkey"))
           .mkString("\nUNION ALL ")
       },
+      "corpus_heaps" ->
+        raw"""WITH tok AS (SELECT doc_id, unnest($toks) AS w FROM documents),
+            mx AS (SELECT max(doc_id) AS m FROM documents)
+            SELECT r.k::BIGINT AS decile,
+              count(DISTINCT t.w)::BIGINT AS n_types,
+              count(*)::BIGINT AS n_tokens
+            FROM tok t CROSS JOIN mx CROSS JOIN range(1, 11) r(k)
+            WHERE t.doc_id <= (mx.m * r.k) // 10
+            GROUP BY 1""",
       // Good–Turing: r* on the nano ladder; NULL on the tail where no
       // N_{r+1} exists (both engines propagate null through the chain)
       "text_count_of_counts" ->
