@@ -2054,8 +2054,13 @@ object SparkEntry {
     // rounds; the learned merge table is the model (control data). The
     // space-delimited symbol serialization makes greedy merge application
     // a literal string replace — bit-identical cross-engine (see Bpe)
-    "text_bpe_merges" -> ((s, dir) =>
-      Bpe.mergeTable(t(s, dir, "documents"), "text", nMerges = 8)),
+    "text_bpe_merges" -> ((s, dir) => {
+      // serve from the memoized per-dir model (train once, serve many) —
+      // text_bpe_encode/compression already share the same trained model
+      import s.implicits._
+      bpeModel(s, dir).map(m => (m.rank, m.lhs, m.rhs, m.cnt))
+        .toDF("merge_rank", "lhs", "rhs", "cnt")
+    }),
 
     // Encoding with the TRAINED tokenizer: per-doc token count after the
     // 8 learned merges — merges ride as literals in a narrow fold, so the
@@ -2913,9 +2918,9 @@ object SparkEntry {
           ct AS (SELECT w2, count(*)::BIGINT AS n_prec FROM c GROUP BY 1),
           tt AS (SELECT count(*)::BIGINT AS t FROM c),
           pb AS (SELECT c.w1 AS w1, c.w2 AS w2, c.cnt AS cnt,
-            ((c.cnt * 4 - 3) * 1000000000
+            greatest(((c.cnt * 4 - 3) * 1000000000
               + 3 * lt.n_follow * ((ct.n_prec * 1000000000) // tt.t))
-              // (lt.c_left * 4) AS pb_nano
+              // (lt.c_left * 4), 1) AS pb_nano
             FROM c JOIN lt USING (w1) JOIN ct USING (w2) CROSS JOIN tt)"""
     val knTriCtes =
       raw"""$knLadderCtes,
@@ -2930,8 +2935,9 @@ object SparkEntry {
           cx AS (SELECT w1, w2, sum(cnt)::BIGINT AS c_ctx,
             count(*)::BIGINT AS n_follow FROM c3 GROUP BY 1, 2),
           m AS (SELECT c3.w1, c3.w2, c3.w3, c3.cnt,
-            ((c3.cnt * 4 - 3) * 1000000000 + 3 * cx.n_follow * pbj.pb_nano)
-              // (cx.c_ctx * 4) AS p3_nano
+            greatest(((c3.cnt * 4 - 3) * 1000000000
+              + 3 * cx.n_follow * pbj.pb_nano)
+              // (cx.c_ctx * 4), 1) AS p3_nano
             FROM c3 JOIN cx USING (w1, w2)
             JOIN (SELECT w1 AS w2, w2 AS w3, pb_nano FROM pb) pbj
               USING (w2, w3))"""
@@ -4226,9 +4232,9 @@ object SparkEntry {
              least(255, least(2047, greatest(0, n_chars)) * 256 // 2048) AS a,
              least(255, least(8191, greatest(0, doc_id)) * 256 // 8192) AS b
            FROM documents)
-           SELECT doc_id, list_sum(list_transform(range(8), i ->
+           SELECT doc_id, CAST(list_sum(list_transform(range(8), i ->
              (((a >> i::INT) & 1) << (2 * i::INT))
-             + (((b >> i::INT) & 1) << (2 * i::INT + 1)))) AS zkey
+             + (((b >> i::INT) & 1) << (2 * i::INT + 1)))) AS BIGINT) AS zkey
            FROM s""",
       "text_dup_spans" ->
         s"""WITH d AS (SELECT doc_id, $toks AS l FROM documents),
@@ -4789,7 +4795,7 @@ object SparkEntry {
              r AS (SELECT doc_id, n_tok,
                row_number() OVER (ORDER BY u, doc_id) - 1 AS pos FROM u)
              SELECT CAST(pos // 100 AS BIGINT) AS shard,
-               count(*) AS n_docs, sum(n_tok) AS total_tok,
+               count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tok,
                md5(string_agg(doc_id::VARCHAR, ',' ORDER BY pos)) AS ids_md5
              FROM r GROUP BY 1"""
       },

@@ -147,8 +147,11 @@ object Graph {
     val sym = edges.select(col("p1").as("src"), col("p2").as("dst"))
       .unionAll(edges.select(col("p2").as("src"), col("p1").as("dst")))
     val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val symDeg = sym.join(deg, "src")
-      .select(col("src"), col("dst"), col("deg")).cache()
+    // tracked, not bare-cached: the returned frame is lazy, so the cache
+    // must outlive this call — Caches.release() (harness/caller boundary)
+    // reclaims it instead of leaking one edge+degree frame per invocation
+    val symDeg = graft.ops.Caches.track(sym.join(deg, "src")
+      .select(col("src"), col("dst"), col("deg")))
     var pr = deg.select(col("src").as("node"), lit(1000000000L).as("pr_nano"))
     for (_ <- 0 until iters) {
       val contrib = symDeg

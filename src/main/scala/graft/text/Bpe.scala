@@ -101,8 +101,12 @@ object Bpe {
     * current, never re-reads the corpus. */
   def learnFromCounts(counts: DataFrame, nMerges: Int): Seq[Merge] = {
     import counts.sparkSession.implicits._
-    var words = serialize(counts).cache()
-    words.count() // materialize the one corpus pass before iterating
+    // hold the CACHED frame in its own val: `words` is reassigned to a
+    // derived plan each round, and unpersisting the derivative would not
+    // sameResult-match the cached base — the cache would leak per call
+    val base = serialize(counts).cache()
+    var words = base
+    base.count() // materialize the one corpus pass before iterating
     val learned = Seq.newBuilder[Merge]
     try {
       for (r <- 1 to nMerges) {
@@ -119,7 +123,7 @@ object Bpe {
             replace(col("__seq"), lit(s" $l  $ri "), lit(s" $l$ri ")))
         }
       }
-    } finally words.unpersist(blocking = false)
+    } finally base.unpersist(blocking = false)
     learned.result()
   }
 

@@ -578,14 +578,14 @@ object Curation {
     * Sources absent from `budgets` get `defaultBudget`; a 0 budget drops
     * the source entirely.
     *
-    * Scale shape: one shuffle, partitioned by source, for the running-sum
-    * window. Uniform draws mean the kept prefix is contiguous in `u`, so at
-    * extreme per-source cardinality the same selection can be computed in
-    * two passes (approximate-quantile threshold on `u`, then an exact
-    * top-up of the boundary) without any per-source sequential window; the
-    * single-window form here is the exact, oracle-checkable variant and
-    * holds as long as one source's rows fit a shuffle partition's spill
-    * budget — AQE splits skewed sources. */
+    * Scale shape: the running sum is SHARDED (the [[Sketches.globalOrder]]
+    * two-pass pattern) — the shard is a monotone function of the uniform
+    * draw, so each source's global (u, id) order is the concatenation of
+    * its shards; per-(source, shard) token totals are control data, the
+    * exclusive shard offsets ride as one map literal, and the window only
+    * runs per (source, shard). A real corpus is 80%+ one crawl, and a
+    * whole-source window would put that source through ONE task; the
+    * sharded form caps any window partition at ~1/nShards of a source. */
   def mixToBudget(docs: DataFrame, idCol: String, textCol: String,
                   sourceCol: String, budgets: Map[String, Long],
                   defaultBudget: Long,
@@ -601,18 +601,37 @@ object Curation {
   def mixToBudgetCounted(counted: DataFrame, idCol: String,
                          sourceCol: String, budgets: Map[String, Long],
                          defaultBudget: Long,
-                         salt: String = "graft-mix"): DataFrame = {
+                         salt: String = "graft-mix",
+                         nShards: Int = 16): DataFrame = {
     val budget = budgets.foldLeft(lit(defaultBudget)) {
       case (acc, (src, b)) => when(col(sourceCol) === src, lit(b)).otherwise(acc)
     }
-    val w = Window.partitionBy(col(sourceCol))
+    val u = hashUniform(col(idCol), salt)
+    // shard = floor(u·nShards) is monotone in u, so shard order IS prefix
+    // order: every row of shard s precedes every row of shard s+1 in the
+    // source's global (u, id) order, and the within-shard running sum plus
+    // the exclusive shard offset is the exact global cumulative sum
+    val base = graft.ops.Caches.track(
+      counted.select(col(idCol), col(sourceCol), col("n_tok"),
+        u.as("__u"), budget.as("__budget"),
+        least(floor(u * nShards).cast("int"), lit(nShards - 1)).as("__sh")))
+    // per-(source, shard) token totals: control data (|sources|·nShards longs)
+    val totals = base.groupBy(col(sourceCol), col("__sh"))
+      .agg(sum(col("n_tok")).as("__t")).collect()
+      .map(r => ((r.getString(0), r.getInt(1)), r.getLong(2))).toMap
+    val offMap = typedLit(totals.keys.groupBy(_._1).flatMap { case (src, ks) =>
+      val shs = ks.map(_._2).toSeq.sorted
+      val offs = shs.scanLeft(0L)((acc, s) => acc + totals((src, s))).dropRight(1)
+      shs.zip(offs).map { case (s, o) => s"$src:$s" -> o }
+    }.toMap)
+    val w = Window.partitionBy(col(sourceCol), col("__sh"))
       .orderBy(col("__u"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    counted.select(col(idCol), col(sourceCol), col("n_tok"),
-        hashUniform(col(idCol), salt).as("__u"), budget.as("__budget"))
-      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+    base
+      .withColumn("cum_tok", sum(col("n_tok")).over(w) +
+        element_at(offMap, concat_ws(":", col(sourceCol), col("__sh"))))
       .filter(col("cum_tok") - col("n_tok") < col("__budget"))
-      .drop("__u", "__budget")
+      .select(col(idCol), col(sourceCol), col("n_tok"), col("cum_tok"))
   }
 
   /** Temperature-based source RESAMPLING (the multilingual-LM standard:

@@ -98,9 +98,12 @@ object LmCounts {
       .join(left, Seq("w1"))
       .join(cont, Seq("w2"))
       .select(col("w1"), col("w2"), col("cnt"),
-        idiv((col("cnt") * 4 - 3) * lit(G)
+        // floor at 1 nano: a context with >~2.5e8 count and a rare
+        // continuation would otherwise quantize to 0 → ln(0) = -Inf in
+        // knScore. 1 nano keeps the ladder log-safe at any corpus size.
+        greatest(idiv((col("cnt") * 4 - 3) * lit(G)
             + lit(3) * col("__n_follow") * pcont,
-          col("__c_left") * 4).as("__pb_nano"))
+          col("__c_left") * 4), lit(1L)).as("__pb_nano"))
   }
 
   /** Bigram KN table, FULL: (w1, w2, cnt, p_kn) — p_kn is the nano
@@ -129,7 +132,9 @@ object LmCounts {
   private def docTrigrams(docs: DataFrame, textCol: String,
                           idCol: String): DataFrame = {
     val toks = TextFunctions.tokens(col(textCol))
-    val n3 = size(toks) - 2
+    // clamp: a 1-token doc (or whitespace text tokenizing to [""]) gives
+    // size-2 = -1, and Slice throws on negative length — yield [] instead
+    val n3 = greatest(size(toks) - 2, lit(0))
     docs.select(col(idCol), explode(zip_with(
         zip_with(
           slice(toks, lit(1), n3),
@@ -166,9 +171,10 @@ object LmCounts {
       .join(ctx, Seq("w1", "w2"))
       .join(lower, Seq("w2", "w3"))
       .select(col("w1"), col("w2"), col("w3"), col("cnt"),
-        idiv((col("cnt") * 4 - 3) * lit(G)
+        // same 1-nano floor as the bigram level (log-safety at scale)
+        greatest(idiv((col("cnt") * 4 - 3) * lit(G)
             + lit(3) * col("__n_follow") * col("__pb"),
-          col("__c_ctx") * 4).as("__p3_nano"))
+          col("__c_ctx") * 4), lit(1L)).as("__p3_nano"))
   }
 
   /** FULL trigram table: (w1, w2, w3, cnt, p_kn). */

@@ -244,10 +244,20 @@ object Retrieval {
       .withColumn("c_micro", round(idf * tfNorm * 1e6).cast("long"))
     val scored = contrib.groupBy(col("doc"))
       .agg(sum(col("c_micro")).as("score_micro"), count(lit(1)).as("n_terms"))
-    val w = Window.orderBy(col("score_micro").desc, col("doc"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    rankTopK(scored, k, col("score_micro").desc, col("doc"))
   }
+
+  /** Global top-`k` + dense 1..k rank WITHOUT a corpus-scale single-
+    * partition window: `orderBy(...).limit(k)` plans as
+    * TakeOrderedAndProject (per-partition top-k, driver merge of k rows
+    * per partition), and the rank window then runs over at most k rows.
+    * A partitionless `row_number` window over the full candidate set
+    * would funnel every doc containing any query term — corpus-scale for
+    * a frequent term — through ONE task. */
+  private def rankTopK(scored: DataFrame, k: Int,
+                       order: Column*): DataFrame =
+    scored.orderBy(order: _*).limit(k)
+      .withColumn("rank", row_number().over(Window.orderBy(order: _*)))
 
   /** BM25 for a BATCH of queries in one pass — scoring a query log, not a
     * point lookup. `queries` is a control-sized (qid, qtext) frame: its
@@ -290,6 +300,11 @@ object Retrieval {
       .join(broadcast(qterms), "term")
     val scored = contrib.groupBy(col("qid"), col("doc"))
       .agg(sum(col("c_micro")).as("score_micro"), count(lit(1)).as("n_terms"))
+    // per-qid rank-filter shape is chosen so InferWindowGroupLimit bounds
+    // it: each map partition keeps only its top-k per qid BEFORE the
+    // exchange (WindowGroupLimit Partial/Final around the shuffle), so the
+    // per-qid window task sees ≤ k·numPartitions rows, never a frequent
+    // term's corpus-scale candidate set (RetrievalSpec asserts the plan)
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("score_micro").desc, col("doc"))
     scored.withColumn("rank", row_number().over(w))
@@ -331,9 +346,7 @@ object Retrieval {
       .withColumn("n_hits", size(occ).cast("long"))
       .filter(col("n_hits") > 0)
       .select(col("doc"), col("n_hits"))
-    val w = Window.orderBy(col("n_hits").desc, col("doc"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    rankTopK(scored, k, col("n_hits").desc, col("doc"))
   }
 
   /** Compaction (rebuild-as-maintenance, same as the IVF/LSH indexes):

@@ -88,4 +88,24 @@ class RepetitionSpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, String, Long, Long)].collect().toSet
     assert(again == rows.toSet)
   }
+
+  test("mix fill shards the running sum — no whole-source window") {
+    // unbounded budget keeps every row, so cum_tok must be the EXACT
+    // per-source prefix sum in (u, id) order — validating the exclusive
+    // shard-offset arithmetic end to end
+    val out = Curation.mixToBudget(docs, "doc_id", "text", "source",
+      Map.empty, defaultBudget = Long.MaxValue / 4)
+    val plan = out.queryExecution.executedPlan.toString()
+    // the window partitions by (source, shard), never source alone: a
+    // real corpus is 80%+ one crawl and a whole-source window is one task
+    assert(plan.contains("__sh"), plan)
+    out.as[(Long, String, Long, Long)].collect().groupBy(_._2)
+      .foreach { case (src, docsOf) =>
+        var acc = 0L
+        docsOf.sortBy(_._4).foreach { case (_, _, n, cum) =>
+          acc += n
+          assert(cum == acc, s"source $src: gap in prefix sums at cum=$cum")
+        }
+      }
+  }
 }

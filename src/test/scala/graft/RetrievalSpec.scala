@@ -52,6 +52,30 @@ class RetrievalSpec extends AnyFunSuite with SparkTestBase {
     } finally graft.core.TempDirs.deleteRecursively(java.nio.file.Paths.get(dir))
   }
 
+  test("top-k plans are bounded: TakeOrderedAndProject / WindowGroupLimit") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_plan").toString
+    try {
+      val idx = Retrieval.buildIndex(docs, "text", "doc_id", dir, numBuckets = 8)
+      // single-probe ranking must NOT funnel the full candidate set through
+      // a partitionless window: orderBy+limit plans as TakeOrderedAndProject
+      // (per-partition top-k, driver merge of k rows), and the rank window
+      // then runs over at most k rows
+      val p1 = Retrieval.bm25(spark, idx, "join table", k = 4)
+        .queryExecution.executedPlan.toString()
+      assert(p1.contains("TakeOrderedAndProject"), p1)
+      val p2 = Retrieval.phraseSearch(spark, idx, "table scan", k = 4)
+        .queryExecution.executedPlan.toString()
+      assert(p2.contains("TakeOrderedAndProject"), p2)
+      // batch ranking keeps the per-qid rank window, but the rank<=k filter
+      // must infer a WindowGroupLimit so each map partition prunes to its
+      // top-k per qid BEFORE the exchange (never a corpus-scale partition)
+      val p3 = Retrieval.bm25Batch(spark, idx,
+          Seq(("q1", "join table")).toDF("qid", "qtext"), "qid", "qtext", k = 4)
+        .queryExecution.executedPlan.toString()
+      assert(p3.contains("WindowGroupLimit"), p3)
+    } finally graft.core.TempDirs.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
   test("bm25Batch slices equal the single-query probe per qid") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bm25_batch").toString
     try {
