@@ -325,6 +325,29 @@ object SparkEntry {
         idField = MrSchema.Key)
     }),
 
+    // B17: subresource stitching on reads — the client's `get(...,
+    // subresources=)` / `search_one(subresources=)` (clients/
+    // qvarn.py:111-118, 294-311): a full-document URL search carries each
+    // named subpath side-document as ONE struct column, null where the
+    // parent has no side-doc. The side table here is a deterministic
+    // 'contact_info' subpath for customers whose key is not divisible
+    // by 3 (so both present and absent side-docs are exercised).
+    "b17_subresource" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val side = cust.filter(col("c_custkey") % 3 =!= 0)
+        .select(col("c_custkey").as("id"), col("c_nationkey").as("nation"),
+          concat(lit("c"), col("c_custkey"), lit("@example.com")).as("email"))
+      // the API serves a real struct column (QvarnUrlSpec pins that); the
+      // published row encodes it as canonical JSON — the driver comparator
+      // sorts/hashes cells, and dicts are unhashable in pandas
+      QvarnUrl.parse(cust,
+          "/customer/search/exact/c_mktsegment/BUILDING/gt/c_acctbal/9000/show_all",
+          idField = "c_custkey")
+        .withSubresource("contact_info", side, sideIdCol = "id")
+        .result()
+        .withColumn("contact_info", to_json(col("contact_info")))
+    }),
+
     // A11: count reduce
     "a11_reduce_count" -> ((s, dir) => {
       val st = IncrementalRun.recompute(ordersCountPipeline, sources(s, dir))
@@ -3164,6 +3187,19 @@ object SparkEntry {
            SELECT _mr_key, customer_name, acctbal FROM rep
            WHERE acctbal > 1000 AND lower(customer_name) LIKE 'customer%'
            ORDER BY acctbal, _mr_key LIMIT 50""",
+      // struct field order must match the Spark side exactly (nation,
+      // email); both engines serialize compact key:value JSON
+      "b17_subresource" ->
+        """SELECT c.*,
+             CASE WHEN s.id IS NULL THEN NULL
+               ELSE to_json({'nation': s.nation,
+                             'email': s.email})::VARCHAR END AS contact_info
+           FROM customer c
+           LEFT JOIN (SELECT c_custkey AS id, c_nationkey AS nation,
+                        'c' || c_custkey || '@example.com' AS email
+                      FROM customer WHERE c_custkey % 3 <> 0) s
+             ON c.c_custkey = s.id
+           WHERE lower(c.c_mktsegment) = 'building' AND c.c_acctbal > 9000""",
       "a12_dedup_newest" ->
         """SELECT user_id, event_id, event_type, value FROM events
            QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""",

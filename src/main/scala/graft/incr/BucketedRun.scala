@@ -53,6 +53,22 @@ object BucketedRun {
   /** Secondary-index table name for a map target. */
   def indexName(mapTarget: String): String = s"_idx_$mapTarget"
 
+  /** Revision-ledger table (opt-in, see [[initialize]]'s `trackSeqs`): one
+    * (source_type, source_id, seq) row per resource id, bucketed by id —
+    * the durable "current revision" that [[applyChanges]]'s `expectedSeq`
+    * CAS check compares against. The reference's revision/409 surface
+    * (clients/qvarn.py:157-168): a writer submits the revision it READ,
+    * and a mismatch is a conflict, not a silent last-writer-wins. */
+  val SeqTable: String = "_seq"
+
+  /** The 409-analogue: raised by [[applyChanges]] BEFORE any mutation when
+    * a CAS expectation does not match the stored revision. One entry per
+    * conflicting id: (resource_type, resource_id, expected_seq,
+    * actual_seq) — actual 0 means "never written". */
+  final case class WriteConflict(conflicts: Seq[(String, String, Long, Long)])
+    extends RuntimeException(conflicts.map { case (t, i, e, a) =>
+      s"$t/$i: expected seq $e, found $a" }.mkString("; "))
+
   /** Per-table staging summary: which buckets were replaced, with the
     * executed plan of the staged content (for plan-audit assertions).
     * `resync = true` marks a batch that exceeded the small-batch contract
@@ -62,15 +78,24 @@ object BucketedRun {
   final case class BatchReport(staged: Map[String, StagedTable], resync: Boolean = false)
 
   /** Ceiling on the driver-collected change batch (see [[applyChanges]]'s
-    * Dataset overload): below it a batch is notification-sized control data;
-    * above it the batch is a backlog and the full-recompute resync path is
-    * strictly cheaper than per-id scoped algebra anyway (it scans each
-    * source once, instead of per-key bucket IO proportional to the batch). */
+    * Dataset overload): below it a batch is notification-sized control data
+    * and gets the driver path's local-relation broadcasts and AQE-off batch
+    * tuning; above it the batch is a backlog and diverts to
+    * [[applyChangesDistributed]] — the same scoped-bucket algebra with the
+    * batch kept as a DataFrame, so the driver never holds backlog rows and
+    * IO still tracks touched buckets (no full-recompute cliff). */
   val MaxCollectedBatch: Int = 100000
 
-  /** Cold start: full recompute, then write every table (+ index) bucketed. */
+  /** Cold start: full recompute, then write every table (+ index) bucketed.
+    *
+    * `trackSeqs = true` seeds the [[SeqTable]] revision ledger, enabling
+    * [[applyChanges]]'s `expectedSeq` CAS checks from the first batch (the
+    * ledger must cover the store's whole write history to be trustworthy).
+    * A resync through here PRESERVES an existing ledger — recomputing
+    * table state does not forget which revisions were applied. */
   def initialize(pipeline: Pipeline, sources: IncrementalRun.Sources,
-                 store: BucketedStateStore, batchId: Long = 0L): Unit = {
+                 store: BucketedStateStore, batchId: Long = 0L,
+                 trackSeqs: Boolean = false): Unit = {
     val st = IncrementalRun.recompute(pipeline, sources)
     // each map table is written twice (table + its index projection): cache
     // so the source scan and map projection run once per target
@@ -85,7 +110,25 @@ object BucketedRun {
       // re-scanned per reduce target otherwise)
       val reduceTables = pipeline.reduces.map(r =>
         Seq(r.target -> (ReduceOp(r, cached(r.source)): DataFrame, Key)))
-      store.initialize((mapTables ++ reduceTables).flatten.toMap, batchId)
+      val seqTables: Seq[(String, (DataFrame, String))] =
+        if (!trackSeqs && !store.tableNames.contains(SeqTable)) Nil
+        else {
+          val spark = cached.values.head.sparkSession
+          val existing =
+            if (store.tableNames.contains(SeqTable)) store.table(spark, SeqTable)
+            else spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField(SourceType,
+                  org.apache.spark.sql.types.StringType),
+                org.apache.spark.sql.types.StructField(SourceId,
+                  org.apache.spark.sql.types.StringType),
+                org.apache.spark.sql.types.StructField("seq",
+                  org.apache.spark.sql.types.LongType))))
+          Seq(SeqTable -> (existing, SourceId))
+        }
+      store.initialize(
+        (mapTables ++ reduceTables).flatten.toMap ++ seqTables, batchId)
     } catch {
       // half-staged resync deltas must never ride along with the NEXT
       // successful commit (stage metadata is store-level) — same protocol
@@ -145,88 +188,14 @@ object BucketedRun {
     damaged
   }
 
-  /** Driver-side mirror of [[BucketedStateStore.bucketOf]] — same xxhash64
-    * chain (null hashes to the seed, exactly like the Catalyst expression
-    * skips null children). */
-  private def bucketOfValue(key: String, numBuckets: Int): Int = {
-    val h = if (key == null) 42L
-    else XxHash64Function.hash(UTF8String.fromString(key), StringType, 42L)
-    (((h % numBuckets) + numBuckets) % numBuckets).toInt
-  }
-
-  /** One change batch against the store; commits on success.
-    *
-    * The small-batch contract is ENFORCED here, not assumed: the collect is
-    * bounded at `maxBatchSize + 1` rows, and a batch that exceeds it (a
-    * streaming source replaying a backlog after downtime) diverts to
-    * [[resyncFull]] instead of blowing the driver — the reference handles
-    * the same situation by resyncing rather than draining the queue
-    * (resync.py:91-128). Normal notification-sized batches are unaffected. */
-  def applyChanges(
-      pipeline: Pipeline,
-      sources: IncrementalRun.Sources,
-      store: BucketedStateStore,
-      changes: Dataset[Change],
-      batchTimestampNs: Long,
-      batchId: Long): BatchReport =
-    applyChanges(pipeline, sources, store, changes, batchTimestampNs, batchId,
-      MaxCollectedBatch)
-
-  /** Same, with an explicit backlog ceiling (specs drive it low). */
-  def applyChanges(
-      pipeline: Pipeline,
-      sources: IncrementalRun.Sources,
-      store: BucketedStateStore,
-      changes: Dataset[Change],
-      batchTimestampNs: Long,
-      batchId: Long,
-      maxBatchSize: Int): BatchReport = {
-    val bounded = changes.limit(maxBatchSize + 1).collect().toSeq
-    if (bounded.size > maxBatchSize)
-      resyncFull(pipeline, sources, store, batchId)
-    else
-      applyChanges(changes.sparkSession, pipeline, sources, store,
-        bounded, batchTimestampNs, batchId)
-  }
-
-  /** Same, with the batch already in driver memory — the native shape of a
-    * notification-queue poll (the Dataset overload exists for streaming
-    * `foreachBatch`, which hands the batch over as a Dataset).
-    *
-    * `ledger`: opaque engine payload committed atomically WITH the batch
-    * (see [[BucketedStateStore.commit]]) — [[BucketedStreamingEngine]]
-    * passes its serialized retry ledger so a crash can never separate
-    * applied state from retry accounting. */
-  def applyChanges(
-      spark: org.apache.spark.sql.SparkSession,
-      pipeline: Pipeline,
-      sources: IncrementalRun.Sources,
-      store: BucketedStateStore,
-      changes: Seq[Change],
-      batchTimestampNs: Long,
-      batchId: Long,
-      ledger: Option[String] = None): BatchReport = {
-    import spark.implicits._
-
-    // exactly-once sink contract: Structured Streaming re-delivers the last
-    // batch after a crash; a batch id at-or-below the committed manifest
-    // pointer has already been fully applied and published — skip it
-    if (store.committedBatch.exists(_ >= batchId)) return BatchReport(Map.empty)
-
-    // A12 newest-wins per id, on the driver (see scaling note above)
-    val batchAll: Seq[Change] = changes
-      .groupBy(c => (c.resourceType, c.resourceId))
-      .map { case (_, cs) => cs.maxBy(_.seq) }.toSeq
-
-    def bucketsOfKeys(keys: Iterable[String]): Set[Int] =
-      keys.map(bucketOfValue(_, store.numBuckets)).toSet
-    /** Single-column local relation — broadcasts from driver memory, so
-      * joins against it never spawn a job to materialize the build side. */
-    def localCol(name: String, values: Seq[String]): DataFrame =
-      broadcast(values.toDF(name))
-
+  /** Batch-lifetime machinery shared by the driver-collected and the
+    * distributed batch paths: tracked temp caches, the scoped-table view
+    * with write-elision fingerprints, and the concurrent staging epilogue. */
+  private final class BatchScope(val spark: org.apache.spark.sql.SparkSession,
+                                 store: BucketedStateStore, batchId: Long) {
     val tempCaches = scala.collection.mutable.ListBuffer.empty[DataFrame]
     def tracked(df: DataFrame): DataFrame = { tempCaches += df.cache(); df }
+    def releaseAll(): Unit = tempCaches.foreach(_.unpersist(blocking = false))
 
     def prof[T](label: String)(f: => T): T =
       if (!sys.env.contains("GRAFT_PROF")) f
@@ -313,6 +282,122 @@ object BucketedRun {
     def scopedTable(name: String, keyCol: String): Scoped =
       scoped.getOrElseUpdate(name, new Scoped(name, keyCol))
 
+    /** Stage all DIRTY tables CONCURRENTLY — each writes its own immutable
+      * directory, so the writes only contend for executor slots (wall time
+      * ≈ the largest table's write, not the sum). */
+    def stageDirty(): Map[String, StagedTable] = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val stagedF = scoped.toSeq.collect {
+        case (n, sc) if sc.dirty => n -> Future(prof(s"stage:$n")(sc.stage()))
+      }
+      // await EVERY future before surfacing a failure: a still-running stage
+      // must not add to the store's stage metadata after the caller's catch
+      // has discarded this batch's deltas
+      val awaited = prof("stage:await") {
+        stagedF.map { case (n, f) => n -> scala.util.Try(Await.result(f, Duration.Inf)) } }
+      awaited.collectFirst { case (_, scala.util.Failure(e)) => throw e }
+      // tables whose fingerprints elided the write (Success(None)) are
+      // omitted: their committed buckets stand untouched
+      awaited.collect { case (n, scala.util.Success(Some(st))) => n -> st }.toMap
+    }
+  }
+
+  /** Driver-side mirror of [[BucketedStateStore.bucketOf]] — same xxhash64
+    * chain (null hashes to the seed, exactly like the Catalyst expression
+    * skips null children). */
+  private def bucketOfValue(key: String, numBuckets: Int): Int = {
+    val h = if (key == null) 42L
+    else XxHash64Function.hash(UTF8String.fromString(key), StringType, 42L)
+    (((h % numBuckets) + numBuckets) % numBuckets).toInt
+  }
+
+  /** One change batch against the store; commits on success.
+    *
+    * The small-batch contract is ENFORCED here, not assumed: the collect is
+    * bounded at `maxBatchSize + 1` rows, and a batch that exceeds it (a
+    * streaming source replaying a backlog after downtime) diverts to
+    * [[applyChangesDistributed]] instead of blowing the driver — the batch
+    * stays a DataFrame and the scoped-bucket algebra runs distributed.
+    * Normal notification-sized batches are unaffected. */
+  def applyChanges(
+      pipeline: Pipeline,
+      sources: IncrementalRun.Sources,
+      store: BucketedStateStore,
+      changes: Dataset[Change],
+      batchTimestampNs: Long,
+      batchId: Long): BatchReport =
+    applyChanges(pipeline, sources, store, changes, batchTimestampNs, batchId,
+      MaxCollectedBatch)
+
+  /** Same, with an explicit backlog ceiling (specs drive it low). */
+  def applyChanges(
+      pipeline: Pipeline,
+      sources: IncrementalRun.Sources,
+      store: BucketedStateStore,
+      changes: Dataset[Change],
+      batchTimestampNs: Long,
+      batchId: Long,
+      maxBatchSize: Int): BatchReport = {
+    val bounded = changes.limit(maxBatchSize + 1).collect().toSeq
+    if (bounded.size > maxBatchSize)
+      applyChangesDistributed(pipeline, sources, store, changes,
+        batchTimestampNs, batchId)
+    else
+      applyChanges(changes.sparkSession, pipeline, sources, store,
+        bounded, batchTimestampNs, batchId)
+  }
+
+  /** Same, with the batch already in driver memory — the native shape of a
+    * notification-queue poll (the Dataset overload exists for streaming
+    * `foreachBatch`, which hands the batch over as a Dataset).
+    *
+    * `ledger`: opaque engine payload committed atomically WITH the batch
+    * (see [[BucketedStateStore.commit]]) — [[BucketedStreamingEngine]]
+    * passes its serialized retry ledger so a crash can never separate
+    * applied state from retry accounting.
+    *
+    * `expectedSeq`: optional CAS expectations, (resource_type, resource_id)
+    * -> the seq the writer READ (0 = "expects the id unwritten"). Checked
+    * against the [[SeqTable]] revision ledger BEFORE any mutation; any
+    * mismatch raises [[WriteConflict]] and the batch applies nothing — the
+    * reference's revision/409 optimistic concurrency
+    * (clients/qvarn.py:157-168). Requires a store initialized with
+    * `trackSeqs = true`; on such a store every batch (CAS or not) keeps
+    * the ledger current with its newest applied seq per id. */
+  def applyChanges(
+      spark: org.apache.spark.sql.SparkSession,
+      pipeline: Pipeline,
+      sources: IncrementalRun.Sources,
+      store: BucketedStateStore,
+      changes: Seq[Change],
+      batchTimestampNs: Long,
+      batchId: Long,
+      ledger: Option[String] = None,
+      expectedSeq: Map[(String, String), Long] = Map.empty): BatchReport = {
+    import spark.implicits._
+
+    // exactly-once sink contract: Structured Streaming re-delivers the last
+    // batch after a crash; a batch id at-or-below the committed manifest
+    // pointer has already been fully applied and published — skip it
+    if (store.committedBatch.exists(_ >= batchId)) return BatchReport(Map.empty)
+
+    // A12 newest-wins per id, on the driver (see scaling note above)
+    val batchAll: Seq[Change] = changes
+      .groupBy(c => (c.resourceType, c.resourceId))
+      .map { case (_, cs) => cs.maxBy(_.seq) }.toSeq
+
+    def bucketsOfKeys(keys: Iterable[String]): Set[Int] =
+      keys.map(bucketOfValue(_, store.numBuckets)).toSet
+    /** Single-column local relation — broadcasts from driver memory, so
+      * joins against it never spawn a job to materialize the build side. */
+    def localCol(name: String, values: Seq[String]): DataFrame =
+      broadcast(values.toDF(name))
+
+    val scope = new BatchScope(spark, store, batchId)
+    import scope.{prof, scoped, scopedTable, tracked}
+
     // AQE off for the batch body: every frame here is either a broadcast
     // local relation or a few scoped buckets, so runtime re-planning buys
     // nothing and splits each of the batch's ~7 actions into per-stage jobs
@@ -322,6 +407,42 @@ object BucketedRun {
     // BatchConf serializes all tuned bodies on this session.
     graft.core.BatchConf.withBatchTuning(spark) {
     try {
+      // revision ledger: CAS check first (BEFORE any mutation), then keep
+      // the ledger current with this batch's newest seq per id
+      val trackSeqs = store.tableNames.contains(SeqTable)
+      if (expectedSeq.nonEmpty && !trackSeqs)
+        throw new IllegalStateException(
+          s"expectedSeq requires a store initialized with trackSeqs=true " +
+            s"(no $SeqTable table)")
+      if (trackSeqs && (batchAll.nonEmpty || expectedSeq.nonEmpty)) {
+        val seqTbl = scopedTable(SeqTable, SourceId)
+        val checkIds = batchAll.map(_.resourceId) ++ expectedSeq.keys.map(_._2)
+        seqTbl.widen(bucketsOfKeys(checkIds))
+        if (expectedSeq.nonEmpty) {
+          val stored = seqTbl.rows
+            .join(localCol("__id", expectedSeq.keys.map(_._2).toSeq.distinct),
+              col(SourceId) === col("__id"), "left_semi")
+            .select(col(SourceType), col(SourceId), col("seq"))
+            .as[(String, String, Long)].collect()
+            .map { case (t, i, s) => (t, i) -> s }.toMap
+          val conflicts = expectedSeq.toSeq.sorted.flatMap { case ((t, i), exp) =>
+            val actual = stored.getOrElse((t, i), 0L)
+            if (actual != exp) Some((t, i, exp, actual)) else None
+          }
+          if (conflicts.nonEmpty) throw WriteConflict(conflicts)
+        }
+        if (batchAll.nonEmpty) {
+          val upd = batchAll.map(c => (c.resourceType, c.resourceId, c.seq))
+          val updDf = broadcast(upd.toDF(SourceType, SourceId, "seq"))
+          seqTbl.update { old =>
+            old.join(updDf.select(col(SourceType).as("__t"), col(SourceId).as("__i")),
+              col(SourceType) === col("__t") && col(SourceId) === col("__i"),
+              "left_anti")
+              .unionByName(updDf)
+          }
+        }
+      }
+
       // (mapTarget -> touched keys), merged across specs
       var affectedKeys = Map.empty[String, Set[String]]
 
@@ -484,25 +605,7 @@ object BucketedRun {
         }
       }
 
-      // stage all DIRTY tables CONCURRENTLY — each writes its own
-      // immutable directory, so the writes only contend for executor slots
-      // (wall time ≈ the largest table's write, not the sum)
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
-      import scala.concurrent.duration.Duration
-      val stagedF = scoped.toSeq.collect {
-        case (n, sc) if sc.dirty => n -> Future(prof(s"stage:$n")(sc.stage()))
-      }
-      // await EVERY future before surfacing a failure: a still-running stage
-      // must not add to the store's stage metadata after the catch below has
-      // discarded this batch's deltas
-      val awaited = prof("stage:await") {
-        stagedF.map { case (n, f) => n -> scala.util.Try(Await.result(f, Duration.Inf)) } }
-      awaited.collectFirst { case (_, scala.util.Failure(e)) => throw e }
-      // tables whose fingerprints elided the write (Success(None)) are
-      // omitted: their committed buckets stand untouched
-      val report = BatchReport(awaited.collect {
-        case (n, scala.util.Success(Some(st))) => n -> st }.toMap)
+      val report = BatchReport(scope.stageDirty())
       prof("commit")(store.commit(batchId, ledger))
       report
     } catch {
@@ -511,8 +614,212 @@ object BucketedRun {
       // LATER, against whatever state committed in between)
       case e: Throwable => store.discardStaged(); throw e
     } finally {
-      tempCaches.foreach(_.unpersist(blocking = false))
+      scope.releaseAll()
     }
+    }
+  }
+
+  /** Distributed LARGE-batch path — the same scoped-bucket algebra with the
+    * change batch kept as a DATAFRAME end to end: A12 newest-per-id is an
+    * aggregate, touched keys stay distributed, and every driver collect in
+    * this path returns BUCKET IDS (≤ numBuckets ints), never batch rows.
+    * This removes the backlog cliff where a batch over [[MaxCollectedBatch]]
+    * forced a full-state recompute: a 100k+ backlog after downtime is
+    * routine at scale, and its IO should track touched buckets, not tables.
+    *
+    * Trades vs the driver path (which remains the right shape for
+    * notification-sized batches): batch-side joins shuffle/broadcast as
+    * Catalyst + AQE choose (no guaranteed local-relation broadcast, and no
+    * AQE-off batch tuning — a backlog batch WANTS runtime re-planning);
+    * the index-content elision is left to the stage-time fingerprint; and
+    * per-record retry bisection does not apply — a poison record fails the
+    * whole batch (the engine then falls back to resync). */
+  def applyChangesDistributed(
+      pipeline: Pipeline,
+      sources: IncrementalRun.Sources,
+      store: BucketedStateStore,
+      changes: Dataset[Change],
+      batchTimestampNs: Long,
+      batchId: Long,
+      ledger: Option[String] = None): BatchReport = {
+    val spark = changes.sparkSession
+    import spark.implicits._
+
+    if (store.committedBatch.exists(_ >= batchId)) return BatchReport(Map.empty)
+
+    val scope = new BatchScope(spark, store, batchId)
+    import scope.{prof, scoped, scopedTable, tracked}
+
+    /** Distinct buckets of a single-column frame — the ONLY collects here. */
+    def bucketsOf(df: DataFrame, c: String): Set[Int] =
+      df.select(store.bucketOf(col(c)).as("__b")).distinct()
+        .as[Int].collect().toSet
+
+    try {
+      // A12 newest-wins per (type, id): seqs are unique per id by contract
+      val newest = tracked(changes.toDF()
+        .groupBy(col("resourceType"), col("resourceId"))
+        .agg(max_by(col("change"), col("seq")).as("change"),
+          max(col("seq")).as("seq")))
+
+      // revision-ledger maintenance (no CAS on a backlog — there is no
+      // per-writer expectation to check — but later CAS batches must see
+      // these seqs as the current revisions)
+      if (store.tableNames.contains(SeqTable)) {
+        val seqTbl = scopedTable(SeqTable, SourceId)
+        seqTbl.widen(prof("seqbuckets")(bucketsOf(newest, "resourceId")))
+        seqTbl.update { old =>
+          old.join(newest.select(col("resourceType").as("__t"),
+              col("resourceId").as("__i")),
+            col(SourceType) === col("__t") && col(SourceId) === col("__i"),
+            "left_anti")
+            .unionByName(newest.select(col("resourceType").as(SourceType),
+              col("resourceId").as(SourceId), col("seq")))
+        }
+      }
+
+      // (mapTarget -> touched keys frame), merged across specs
+      var affectedKeys = Map.empty[String, DataFrame]
+
+      for ((sourceName, specs) <- pipeline.mappersBySource.toSeq.sortBy(_._1)) {
+        val batch = newest.filter(col("resourceType") === sourceName)
+        val upserts = tracked(batch.filter(col("change") =!= Change.Deleted)
+          .select(col("resourceId").as(SourceId)))
+        val deletes = tracked(batch.filter(col("change") === Change.Deleted)
+          .select(col("resourceId").as(SourceId)))
+        val idBuckets = prof(s"idbuckets:$sourceName") {
+          bucketsOf(batch, "resourceId") }
+        if (idBuckets.nonEmpty) for (spec <- specs) {
+          val idx = scopedTable(indexName(spec.target), SourceId)
+          val idxRows = idx.widen(idBuckets)
+
+          // 1. old (type, id, key) triples of the changed ids — index
+          // lookup, not a table scan
+          val oldTriples = idxRows.filter(col(SourceType) === spec.source)
+            .join(batch.select(col("resourceId").as(SourceId)),
+              Seq(SourceId), "left_semi")
+            .select(col(SourceType), col(SourceId), col(Key))
+
+          // 2. re-map only the touched source rows — a semi join against
+          // the distributed id set (backlog-sized: not an isin pushdown)
+          val src = sources(spec.source)
+          val touchedSrc = src.join(
+            upserts.select(col(SourceId).as("__id")),
+            col(spec.idCol).cast("string") === col("__id"), "left_semi")
+          val fresh = tracked(MapOp(spec, touchedSrc))
+          val freshTriples = fresh
+            .select(col(SourceType), col(SourceId), col(Key)).distinct()
+
+          // 3. touched keys stay a frame; only their BUCKETS are collected
+          val touchedKeys = tracked(oldTriples.select(col(Key))
+            .unionByName(freshTriples.select(col(Key))).distinct())
+          val tbl = scopedTable(spec.target, Key)
+          tbl.widen(prof(s"keybuckets:${spec.target}") {
+            bucketsOf(touchedKeys, Key) })
+
+          // 4. delete-old-then-rewrite within the scoped buckets only —
+          // identical algebra to the driver path, joins instead of isin
+          tbl.update { old =>
+            val mine = old.filter(col(SourceType) === spec.source)
+            val others = old.filter(col(SourceType) =!= spec.source)
+            val withoutUpserted = mine.join(upserts, Seq(SourceId), "left_anti")
+            val marked = withoutUpserted
+              .join(deletes.select(col(SourceId).as("__del")),
+                col(SourceId) === col("__del"), "left")
+              .withColumn(Deleted, col(Deleted) || col("__del").isNotNull)
+              .drop("__del")
+            others.unionByName(
+              marked.unionByName(fresh, allowMissingColumns = true),
+              allowMissingColumns = true)
+          }
+
+          // 5. index maintenance: fresh entries for upserted ids; deleted
+          // ids KEEP theirs while the tombstone lives (purge drops both).
+          // The driver path's triple-set elision is a driver-side compare —
+          // here the stage-time fingerprint provides the same write elision.
+          idx.update { old =>
+            val mineIdx = old.filter(col(SourceType) === spec.source)
+            val othersIdx = old.filter(col(SourceType) =!= spec.source)
+            othersIdx.unionByName(
+              mineIdx.join(upserts, Seq(SourceId), "left_anti")
+                .unionByName(freshTriples))
+          }
+
+          if (pipeline.reducersBySource.contains(spec.target))
+            affectedKeys += spec.target -> (affectedKeys.get(spec.target) match {
+              case Some(prev) =>
+                tracked(prev.unionByName(touchedKeys).distinct())
+              case None => touchedKeys
+            })
+        }
+      }
+
+      val anyDeletes =
+        !newest.filter(col("change") === Change.Deleted).isEmpty
+
+      for ((mapTarget, keysDf) <- affectedKeys.toSeq.sortBy(_._1)) {
+        val specs = pipeline.mapSpecsByTarget(mapTarget)
+        val tbl = scoped(mapTarget)
+        for (rspec <- pipeline.reducersBySource(mapTarget)) {
+          val table = tbl.rows
+
+          // A15 version barrier over the scoped rows (exact: every row of a
+          // touched key is inside the scoped buckets)
+          val stale = specs.map(s =>
+            col(SourceType) === s.source && col(Version) =!= s.version
+          ).reduce(_ || _)
+          val staleKeys = table.filter(!col(Deleted) && stale)
+            .select(col(Key)).distinct()
+          val ready = tracked(keysDf.join(staleKeys, Seq(Key), "left_anti"))
+
+          val scopedLive = table.join(ready, Seq(Key), "left_semi")
+          val recomputed = ReduceOp(rspec, scopedLive, batchTimestampNs)
+
+          // replace ready keys wholesale inside the reduce table's touched
+          // buckets; an empty group yields no row = output delete
+          val rtbl = scopedTable(rspec.target, Key)
+          rtbl.widen(prof(s"readybuckets:${rspec.target}") {
+            bucketsOf(ready, Key) })
+          rtbl.update { old =>
+            old.join(ready, Seq(Key), "left_anti")
+              .unionByName(recomputed, allowMissingColumns = true)
+          }
+
+          // A13 deferred purge of reduced tombstones — rows AND their index
+          // entries, exact (type, id, key) triples (same corner-case
+          // reasoning as the driver path)
+          if (anyDeletes) {
+            val purged = tracked(tbl.rows.filter(col(Deleted))
+              .join(ready, Seq(Key), "left_semi")
+              .select(col(SourceType), col(SourceId), col(Key)).distinct())
+            tbl.update { rows =>
+              rows.join(ready.withColumnRenamed(Key, "__k"),
+                col(Key) === col("__k") && col(Deleted), "left_anti")
+            }
+            val purgedBuckets = prof(s"purgebuckets:$mapTarget") {
+              bucketsOf(purged, SourceId) }
+            if (purgedBuckets.nonEmpty) {
+              val idx = scopedTable(indexName(mapTarget), SourceId)
+              idx.widen(purgedBuckets)
+              idx.update { old =>
+                old.join(purged.select(col(SourceType).as("__pt"),
+                    col(SourceId).as("__pi"), col(Key).as("__pk")),
+                  col(SourceType) === col("__pt") &&
+                    col(SourceId) === col("__pi") && col(Key) === col("__pk"),
+                  "left_anti")
+              }
+            }
+          }
+        }
+      }
+
+      val report = BatchReport(scope.stageDirty())
+      prof("commit")(store.commit(batchId, ledger))
+      report
+    } catch {
+      case e: Throwable => store.discardStaged(); throw e
+    } finally {
+      scope.releaseAll()
     }
   }
 

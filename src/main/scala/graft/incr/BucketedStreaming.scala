@@ -117,16 +117,47 @@ final class BucketedStreamingEngine(
   }
 
   /** `foreachBatch` body. The backlog contract is enforced by the bounded
-    * collect: a backlog-sized batch diverts to the resync path, after which
-    * pending retries are moot (the recompute reflects current source state)
-    * and are cleared; dead letters survive as the audit log. */
+    * collect: a backlog-sized batch runs through the DISTRIBUTED scoped
+    * path ([[BucketedRun.applyChangesDistributed]]) — the batch never sits
+    * on the driver and IO stays O(touched buckets), no recompute cliff.
+    * Pending retries whose ids the batch covers are superseded (the apply
+    * re-fetched current source state for them); others keep their backoff
+    * schedule. Per-record bisection needs driver-held sub-batches, so a
+    * poison record fails the WHOLE distributed batch — that failure
+    * escalates to [[BucketedRun.resyncFull]] (which clears pending: the
+    * recompute reflects current source state); dead letters survive as the
+    * audit log either way. */
   def processBatch(changes: Dataset[Change], streamBatchId: Long): Unit = {
     val bounded = changes.limit(BucketedRun.MaxCollectedBatch + 1).collect().toSeq
     if (bounded.size > BucketedRun.MaxCollectedBatch) batchLock.synchronized {
+      // engine-level exactly-once, same as the driver path
+      if (streamBatchId >= 0 && streamBatchId <= lastStreamBatch) return
       val next = store.committedBatch.getOrElse(0L) + 1
       lastStreamBatch = math.max(lastStreamBatch, streamBatchId)
-      ledger.clearPending()
-      BucketedRun.resyncFull(pipeline, sources, store, next)
+      try {
+        BucketedRun.applyChangesDistributed(pipeline, sources, store, changes,
+          batchTimestampNs = next, batchId = next)
+        // supersede pending retries the batch covered: collect ONLY the
+        // batch's newest change per pending id (bounded by |pending|)
+        if (ledger.pending.nonEmpty) {
+          val session = changes.sparkSession
+          import session.implicits._
+          val pendIds = ledger.pending.map(f =>
+            (f.change.resourceType, f.change.resourceId)).toSet
+          val covered = changes
+            .filter(c => pendIds.contains((c.resourceType, c.resourceId)))
+            .groupByKey(c => (c.resourceType, c.resourceId))
+            .reduceGroups((a, b) => if (a.seq >= b.seq) a else b)
+            .map(_._2)
+            .collect().toSeq
+          ledger.record(covered, Nil, Nil, clock())
+        }
+      } catch {
+        case _: Exception =>
+          ledger.clearPending()
+          BucketedRun.resyncFull(pipeline, sources, store,
+            store.committedBatch.getOrElse(0L) + 1)
+      }
       store.commit(store.committedBatch.getOrElse(0L) + 1,
         Some(payloadOf(ledger, lastStreamBatch)))
     }

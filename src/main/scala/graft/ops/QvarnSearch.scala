@@ -34,7 +34,8 @@ final case class QvarnSearch(
     private val limitN: Option[Int] = None,
     private val offsetN: Int = 0,
     private val showFields: Option[Seq[String]] = None, // None = show_all
-    private val idField: String = "id") {
+    private val idField: String = "id",
+    private val subs: Seq[(String, DataFrame, String)] = Nil) {
 
   // ---- B1-B5 predicates -------------------------------------------------
 
@@ -61,6 +62,19 @@ final case class QvarnSearch(
   def limit(n: Int): QvarnSearch = copy(limitN = Some(n))
   def offset(n: Int): QvarnSearch = copy(offsetN = n)
 
+  /** Subresource stitching (clients/qvarn.py:111-118 `get(...,
+    * subresources=)`; :294-311 `search_one(subresources=)`): attach the
+    * subpath side-document table `side` so full-document results carry it
+    * as ONE struct column named `name` (null where the parent has no
+    * side-doc). The reference attaches subresources only when no `show`
+    * projection is given — same here: a `show(...)` projection suppresses
+    * stitching; `showAll` (the get() full-doc read) includes it.
+    * The join runs AFTER filter/sort/limit, so only returned documents
+    * fetch their side-docs — the per-id subresource GET, batched. */
+  def withSubresource(name: String, side: DataFrame,
+                      sideIdCol: String = "id"): QvarnSearch =
+    copy(subs = subs :+ ((name, side, sideIdCol)))
+
   // ---- execution ---------------------------------------------------------
 
   def result(): DataFrame = {
@@ -76,12 +90,21 @@ final case class QvarnSearch(
       case (off, None) => sorted.offset(off)
       case (off, Some(n)) => sorted.offset(off).limit(n)
     }
-    showFields match {
+    val projected = showFields match {
       case None => windowed
       case Some(fs) =>
         val cols = (if (windowed.columns.contains(idField)) Seq(idField) else Nil) ++
           fs.filterNot(_ == idField)
         windowed.select(cols.map(col): _*)
+    }
+    // subresource stitching on full-document reads only (see
+    // withSubresource): one left equi-join per named subpath, struct
+    // column null where the parent has no side-document
+    if (subs.isEmpty || showFields.nonEmpty) projected
+    else subs.foldLeft(projected) { case (d, (nm, side, sid)) =>
+      val payload = struct(side.columns.toSeq.filterNot(_ == sid).map(col): _*)
+      d.join(side.select(col(sid).as("__sub_id"), payload.as(nm)),
+        col(idField) === col("__sub_id"), "left").drop("__sub_id")
     }
   }
 

@@ -450,6 +450,108 @@ class BucketedIncrSpec extends AnyFunSuite with SparkTestBase {
     assertThrows[IllegalArgumentException](reopened.evolveTable("r", "extra BIGINT"))
   }
 
+  test("over-ceiling batch: distributed path ≡ recompute, no resync, scoped IO") {
+    val store = newStore(buckets = 16)
+    var data = srcDf(("a", "k1", 1.0), ("b", "k1", 2.0), ("c", "k2", 5.0),
+      ("e", "k3", 8.0))
+    val sources: IncrementalRun.Sources = _ => data
+    BucketedRun.initialize(pipeline, sources, store)
+    val rBefore = store.bucketPaths("r")
+
+    // new snapshot: a updated, d created, c deleted; e/k3 untouched.
+    // 33 changes against a ceiling of 10 exercise the distributed path:
+    // 30 redundant updates for a (A12 newest-wins as an aggregate), a
+    // creation for d whose OLDER delete (seq 5) must lose, and c's delete
+    data = srcDf(("a", "k1", 100.0), ("b", "k1", 2.0), ("d", "k2", 7.0),
+      ("e", "k3", 8.0))
+    val backlog = ((1 to 30).map(i => Change(i.toLong, Change.Updated, "src", "a")) ++
+      Seq(Change(5L, Change.Deleted, "src", "d"),
+        Change(31L, Change.Created, "src", "d"),
+        Change(32L, Change.Deleted, "src", "c"))).toDS()
+    val report = BucketedRun.applyChanges(pipeline, sources, store, backlog,
+      batchTimestampNs = 1L, batchId = 1L, maxBatchSize = 10)
+
+    assert(!report.resync, "must not fall back to a full recompute")
+    assert(report.staged.nonEmpty)
+    assert(reduced(store) == Map("k1" -> 102.0, "k2" -> 7.0, "k3" -> 8.0))
+    // A13 tombstone purge + index purge ran distributed too
+    assert(store.table(spark, "m").filter(col(Deleted)).count() == 0)
+    assert(store.table(spark, BucketedRun.indexName("m"))
+      .filter(col(SourceId) === "c").count() == 0)
+    // untouched buckets carried by REFERENCE: k3's reduce bucket directory
+    // is the exact committed path from before the batch
+    val bucketOfKey = (k: String) =>
+      Seq(k).toDF("k").select(store.bucketOf(col("k"))).as[Int].head()
+    val b3 = bucketOfKey("k3")
+    assert(Set("k1", "k2").forall(k => bucketOfKey(k) != b3),
+      "fixture keys must not collide for the carried-by-reference check")
+    assert(store.bucketPaths("r")(b3) == rBefore(b3),
+      "an untouched bucket must keep its committed directory")
+  }
+
+  test("CAS expectedSeq: stale writer raises WriteConflict, current applies") {
+    val store = newStore()
+    var data = srcDf(("a", "k1", 1.0))
+    val sources: IncrementalRun.Sources = _ => data
+    BucketedRun.initialize(pipeline, sources, store, trackSeqs = true)
+
+    // writer 1 applies seq 5 for id a (plain batch — still feeds the ledger)
+    data = srcDf(("a", "k1", 2.0))
+    BucketedRun.applyChanges(spark, pipeline, sources, store,
+      Seq(Change(5, Change.Updated, "src", "a")), 1L, batchId = 1L)
+    assert(reduced(store) == Map("k1" -> 2.0))
+
+    // a STALE writer (read before seq 5, expects 0) conflicts — the 409
+    // analogue: nothing applies, nothing commits
+    data = srcDf(("a", "k1", 3.0))
+    val ex = intercept[BucketedRun.WriteConflict] {
+      BucketedRun.applyChanges(spark, pipeline, sources, store,
+        Seq(Change(6, Change.Updated, "src", "a")), 2L, batchId = 2L,
+        expectedSeq = Map(("src", "a") -> 0L))
+    }
+    assert(ex.conflicts == Seq(("src", "a", 0L, 5L)))
+    assert(reduced(store) == Map("k1" -> 2.0))
+    assert(store.committedBatch.contains(1L))
+
+    // the correctly-read writer (expects 5) applies unchanged
+    BucketedRun.applyChanges(spark, pipeline, sources, store,
+      Seq(Change(7, Change.Updated, "src", "a")), 3L, batchId = 3L,
+      expectedSeq = Map(("src", "a") -> 5L))
+    assert(reduced(store) == Map("k1" -> 3.0))
+
+    // create-CAS: expecting 0 for an unwritten id succeeds…
+    data = data.union(srcDf(("b", "k2", 9.0)))
+    BucketedRun.applyChanges(spark, pipeline, sources, store,
+      Seq(Change(8, Change.Created, "src", "b")), 4L, batchId = 4L,
+      expectedSeq = Map(("src", "b") -> 0L))
+    assert(reduced(store) == Map("k1" -> 3.0, "k2" -> 9.0))
+    // …and a duplicate create of the same id then conflicts
+    val ex2 = intercept[BucketedRun.WriteConflict] {
+      BucketedRun.applyChanges(spark, pipeline, sources, store,
+        Seq(Change(9, Change.Created, "src", "b")), 5L, batchId = 5L,
+        expectedSeq = Map(("src", "b") -> 0L))
+    }
+    assert(ex2.conflicts == Seq(("src", "b", 0L, 8L)))
+
+    // a resync preserves the revision ledger: stale writers still conflict
+    BucketedRun.resyncFull(pipeline, sources, store, batchId = 6L)
+    val ex3 = intercept[BucketedRun.WriteConflict] {
+      BucketedRun.applyChanges(spark, pipeline, sources, store,
+        Seq(Change(10, Change.Updated, "src", "a")), 7L, batchId = 7L,
+        expectedSeq = Map(("src", "a") -> 5L))
+    }
+    assert(ex3.conflicts == Seq(("src", "a", 5L, 7L)))
+
+    // CAS on a store WITHOUT the ledger is a usage error, not silence
+    val bare = newStore()
+    BucketedRun.initialize(pipeline, sources, bare)
+    assertThrows[IllegalStateException] {
+      BucketedRun.applyChanges(spark, pipeline, sources, bare,
+        Seq(Change(1, Change.Updated, "src", "a")), 1L, batchId = 1L,
+        expectedSeq = Map(("src", "a") -> 0L))
+    }
+  }
+
   test("incr_schema_evolve query is a fixed point across invocations") {
     val dir = "/root/testdata/sf0.001"
     def run() = SparkEntry.queries("incr_schema_evolve")(spark, dir)

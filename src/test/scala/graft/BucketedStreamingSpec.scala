@@ -255,23 +255,30 @@ class BucketedStreamingSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
-  test("backlog guard: an over-limit batch diverts to resync instead of collecting") {
+  test("backlog guard: an over-limit batch runs distributed, still bucket-scoped") {
     var data = Seq(("a", "k1", 1.0), ("b", "k2", 2.0)).toDF("id", "k", "v")
     val sources: IncrementalRun.Sources = _ => data
     val store = newStore()
     BucketedRun.initialize(pipeline, sources, store)
 
     // 50 changes against a ceiling of 10: the driver must never hold more
-    // than maxBatchSize+1 rows; the report is flagged and state equals a
-    // fresh recompute over current snapshots
+    // than maxBatchSize+1 change rows; the batch applies through the
+    // DISTRIBUTED path (no resync flag, staged tables populated) and state
+    // equals a fresh recompute over current snapshots
     data = Seq(("a", "k1", 100.0), ("b", "k2", 2.0), ("c", "k1", 3.0)).toDF("id", "k", "v")
     val backlog = (1 to 50).map(i =>
       Change(i.toLong, Change.Updated, "src", if (i % 2 == 0) "a" else "c")).toDS()
     val report = BucketedRun.applyChanges(pipeline, sources, store, backlog,
       batchTimestampNs = 1L, batchId = 1L, maxBatchSize = 10)
-    assert(report.resync, "over-limit batch must divert to the resync path")
+    assert(!report.resync, "over-limit batch must NOT divert to a full resync")
+    assert(report.staged.nonEmpty, "distributed batch must stage scoped buckets")
     assert(reduced(store) == Map("k1" -> 103.0, "k2" -> 2.0))
     assert(store.committedBatch.contains(1L))
+    // file IO stayed scoped: only the touched key's bucket was staged for
+    // the reduce table — k2 was untouched and its bucket must not rewrite
+    val bucketOfKey = (k: String) =>
+      Seq(k).toDF("k").select(store.bucketOf(col("k"))).as[Int].head()
+    assert(report.staged("r").buckets == Set(bucketOfKey("k1")))
 
     // a normal batch afterwards still works incrementally
     data = Seq(("a", "k1", 100.0), ("b", "k2", 9.0), ("c", "k1", 3.0)).toDF("id", "k", "v")
@@ -281,7 +288,7 @@ class BucketedStreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(reduced(store) == Map("k1" -> 103.0, "k2" -> 9.0))
   }
 
-  test("engine backlog divert: pending retries are superseded by the resync") {
+  test("engine backlog: covered pending retries are superseded, durably") {
     @volatile var now = 0L
     var data = Seq(("p", "k1", -1.0)).toDF("id", "k", "v")
     val sources: IncrementalRun.Sources = _ => data
@@ -293,8 +300,9 @@ class BucketedStreamingSpec extends AnyFunSuite with SparkTestBase {
     engine.processBatch(Seq(Change(1, Change.Updated, "src", "p")), streamBatchId = 0)
     assert(engine.pending.size == 1)
 
-    // the source heals and a huge re-delivery arrives: resync supersedes the
-    // queue; the pending entry is cleared durably
+    // the source heals and a huge re-delivery arrives: the distributed
+    // backlog apply re-fetches current state for id p, so its pending
+    // retry is superseded and cleared durably (no full resync involved)
     data = Seq(("p", "k1", 4.0)).toDF("id", "k", "v")
     val backlog = (1 to BucketedRun.MaxCollectedBatch + 5).map(i =>
       Change(i.toLong + 10, Change.Updated, "src", "p")).toDS()

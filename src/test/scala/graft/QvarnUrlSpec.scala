@@ -169,4 +169,28 @@ class QvarnUrlSpec extends AnyFunSuite with SparkTestBase {
     assert(hit.columns.toSeq == Seq("gid", "active"))
     assert(hit.count() == 2) // 'bob' and 'BOB' live in different groups
   }
+
+  test("subresource stitching: struct on show_all, null when absent, off on show") {
+    // subpath side-docs for p1 and p3 only (p2 has no side-doc)
+    val side = Seq(("p1", "a@x.io", "123"), ("p3", "b@x.io", "456"))
+      .toDF("id", "email", "phone")
+    val full = QvarnUrl.parse(people, "/people/search/gt/age/20/show_all")
+      .withSubresource("contact", side).result()
+    assert(full.columns.toSeq == people.columns.toSeq :+ "contact")
+    val byId = full.collect().map(r => r.getAs[String]("id") -> r).toMap
+    val c1 = byId("p1").getAs[org.apache.spark.sql.Row]("contact")
+    assert(c1.getAs[String]("email") == "a@x.io" && c1.getAs[String]("phone") == "123")
+    assert(byId("p2").isNullAt(byId("p2").fieldIndex("contact")),
+      "a parent without a side-doc must carry a NULL struct")
+    // a show projection suppresses subresources, like the reference client
+    // (subresources only attach on full-document reads, clients/qvarn.py:294-311)
+    val shown = QvarnUrl.parse(people, "/people/search/gt/age/20/show/name")
+      .withSubresource("contact", side).result()
+    assert(shown.columns.toSeq == Seq("id", "name"))
+    // stitching joins AFTER limit: only returned docs fetch side-docs
+    val limited = QvarnUrl.parse(people,
+        "/people/search/gt/age/20/sort/age/limit/1/show_all")
+      .withSubresource("contact", side).result()
+    assert(limited.count() == 1)
+  }
 }
