@@ -1,0 +1,183 @@
+package graft
+
+import graft.core.{IniConfig, PipelineProvider}
+import graft.incr.{BucketedRun, BucketedStateStore, BucketedStreamingEngine,
+  Change, HandlerRegistry, Lease}
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The packaged worker entry point — `qvarnmr-worker`
+  * (reference scripts/worker.py:27-38, setup.py console_scripts):
+  *
+  *   runMain graft.Worker <pipeline-object> -c <config.ini> [-f]
+  *
+  * `<pipeline-object>` is a fully-qualified Scala object extending
+  * [[graft.core.PipelineProvider]] (the dotted-path handlers config,
+  * worker.py:28-30). The INI config supplies what the reference reads
+  * from its app config (config.py:9-42):
+  *
+  * {{{
+  * [spark]
+  * master = local[32]              ; default local[*]
+  * shuffle_partitions = 32
+  * [store]
+  * root = /data/mr-state           ; bucketed durable state
+  * buckets = 64
+  * track_seqs = false              ; opt-in CAS revision ledger
+  * [sources]
+  * src = /data/src.parquet         ; one parquet path per source name
+  * [changes]
+  * dir = /data/changes             ; streamed dir of Change parquet rows
+  * [qvarnmr]
+  * instance = mr-worker-1          ; lease identity (listeners.py:33-47)
+  * keep_alive_timeout = 60        ; seconds, lease steal horizon
+  * keep_alive_update_interval = 10 ; seconds between heartbeats
+  * }}}
+  *
+  * Lifecycle, mirroring worker.py's main: acquire the single-writer lease
+  * (A19 — a live lease held by another worker prints the busy error and
+  * exits 1, worker.py:96-98), full-resync any handler whose registered
+  * version changed (A16/A17, resync.py:91-128 — the registry persists
+  * next to the store manifest), then run the change stream through the
+  * durable retry engine: drain-then-exit by default, `-f` forever
+  * (worker.py:76-89). The lease heartbeats from a daemon thread during
+  * the run and releases on exit (clear_listener_owners).
+  */
+object Worker {
+
+  final case class Args(provider: String, config: String, forever: Boolean)
+
+  def parseArgs(argv: Seq[String]): Args = {
+    var provider: Option[String] = None
+    var config: Option[String] = None
+    var forever = false
+    var i = 0
+    while (i < argv.length) {
+      argv(i) match {
+        case "-c" | "--config" =>
+          require(i + 1 < argv.length, "-c needs a value")
+          config = Some(argv(i + 1)); i += 2
+        case "-f" | "--forever" => forever = true; i += 1
+        case flag if flag.startsWith("-") =>
+          throw new IllegalArgumentException(s"unknown flag $flag")
+        case positional =>
+          require(provider.isEmpty, s"unexpected extra argument $positional")
+          provider = Some(positional); i += 1
+      }
+    }
+    Args(
+      provider.getOrElse(throw new IllegalArgumentException(
+        "usage: Worker <pipeline-object> -c <config.ini> [-f]")),
+      config.getOrElse(throw new IllegalArgumentException("-c <config.ini> is required")),
+      forever)
+  }
+
+  /** Registry of applied handler versions, persisted beside the store
+    * (the reference keeps `qvarnmr_handlers` resources, resync.py:52-88). */
+  private def registryPath(storeRoot: String) = Paths.get(storeRoot, "_handlers")
+  private def loadRegistry(storeRoot: String): HandlerRegistry = {
+    val p = registryPath(storeRoot)
+    if (!Files.exists(p)) HandlerRegistry.empty
+    else HandlerRegistry(Files.readAllLines(p).toArray(Array.empty[String])
+      .filter(_.contains('=')).map { line =>
+        val i = line.lastIndexOf('=')
+        line.substring(0, i) -> line.substring(i + 1).toInt
+      }.toMap)
+  }
+  private def saveRegistry(storeRoot: String, reg: HandlerRegistry): Unit = {
+    val p = registryPath(storeRoot)
+    Files.createDirectories(p.getParent)
+    val tmp = p.resolveSibling("_handlers.tmp")
+    Files.write(tmp, reg.versions.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"$k=$v" }.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def main(argv: Array[String]): Unit = sys.exit(run(argv.toSeq))
+
+  /** Testable body; returns the process exit code. */
+  def run(argv: Seq[String],
+          sparkOverride: Option[SparkSession] = None): Int = {
+    val args = parseArgs(argv)
+    val conf = IniConfig.read(Paths.get(args.config))
+    val provider = PipelineProvider.load(args.provider)
+    val pipeline = provider.pipeline
+
+    val spark = sparkOverride.getOrElse {
+      SparkSession.builder()
+        .master(conf.getOrElse("spark", "master", "local[*]"))
+        .config("spark.sql.shuffle.partitions",
+          conf.getOrElse("spark", "shuffle_partitions", "32"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    }
+    import spark.implicits._
+
+    val sourcePaths = conf.section("sources")
+    val sources: graft.incr.IncrementalRun.Sources = name =>
+      spark.read.parquet(sourcePaths.getOrElse(name,
+        throw new NoSuchElementException(s"no [sources] entry for '$name'")))
+
+    val storeRoot = conf.get("store", "root").getOrElse(
+      throw new IllegalArgumentException("[store] root is required"))
+    val store = new BucketedStateStore(storeRoot,
+      conf.getLongOrElse("store", "buckets", 64L).toInt)
+    val trackSeqs = conf.getBooleanOrElse("store", "track_seqs", default = false)
+
+    val instance = conf.getOrElse("qvarnmr", "instance", "mr-worker")
+    val timeoutMs = conf.getLongOrElse("qvarnmr", "keep_alive_timeout", 60L) * 1000L
+    val intervalMs =
+      conf.getLongOrElse("qvarnmr", "keep_alive_update_interval", 10L) * 1000L
+    val lease = new Lease(Paths.get(storeRoot, "_lease"),
+      s"$instance@${ProcessHandle.current().pid()}", timeoutMs)
+
+    try lease.keepAlive()
+    catch {
+      case Lease.BusyListenerError(heldBy) =>
+        // the reference prints the busy error and exits 1 (worker.py:96-98)
+        System.err.println(s"lease held by '$heldBy'")
+        return 1
+    }
+    @volatile var running = true
+    val heartbeat = new Thread(() => {
+      while (running) {
+        try lease.keepAlive() catch { case _: Throwable => () }
+        Thread.sleep(math.max(intervalMs / 2, 100L))
+      }
+    }, "graft-lease-heartbeat")
+    heartbeat.setDaemon(true)
+    heartbeat.start()
+
+    try {
+      // automatic full resync for new or changed handlers (worker.py:66-70,
+      // resync.py:91-128). resyncFull/initialize preserve the CAS revision
+      // ledger across the recompute.
+      val registry = loadRegistry(storeRoot)
+      val (mapsChanged, reducesChanged) = registry.changed(pipeline)
+      if (store.isEmpty)
+        BucketedRun.initialize(pipeline, sources, store, trackSeqs = trackSeqs)
+      else if (mapsChanged.nonEmpty || reducesChanged.nonEmpty)
+        BucketedRun.resyncFull(pipeline, sources, store,
+          store.committedBatch.getOrElse(0L) + 1)
+      saveRegistry(storeRoot, registry.bumped(pipeline))
+
+      val engine = BucketedStreamingEngine.restore(spark, pipeline, sources, store)
+      val changesDir = conf.get("changes", "dir").getOrElse(
+        throw new IllegalArgumentException("[changes] dir is required"))
+      val stream = spark.readStream
+        .schema("seq LONG, change STRING, resourceType STRING, resourceId STRING")
+        .parquet(changesDir)
+        .as[Change]
+      val q = engine.start(stream, availableNow = !args.forever)
+      q.awaitTermination()
+      0
+    } finally {
+      running = false
+      lease.release()
+    }
+  }
+}

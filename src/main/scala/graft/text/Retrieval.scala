@@ -133,6 +133,18 @@ object Retrieval {
     keys.select(pmod(hash(col(keyCol)), lit(numBuckets)).as("b"))
       .distinct().collect().map(_.getInt(0)).toSeq
 
+  /** Driver-side mirror of `pmod(hash(term), numBuckets)` for STRING terms
+    * — the same Murmur3 chain (seed 42) the `hash()` expression runs, so a
+    * probe computes its term buckets without spawning a Spark job. (Id
+    * columns keep the Spark-side [[bucketsFor]]: their key type varies.)
+    * RetrievalSpec pins driver ≡ Spark agreement. */
+  private[graft] def termBucket(term: String, numBuckets: Int): Int = {
+    val h = org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(term),
+      org.apache.spark.sql.types.StringType, 42L).toInt
+    ((h % numBuckets) + numBuckets) % numBuckets
+  }
+
   /** Build the index at `dir` (generation 0). One tokenization, one doc-term
     * shuffle (map-side combined); clears any stale tombstones like the other
     * index rebuilds. */
@@ -220,27 +232,27 @@ object Retrieval {
            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val terms = query.toLowerCase.trim.split("\\s+").toSeq.distinct.filter(_.nonEmpty)
     require(terms.nonEmpty, "empty query")
-    val buckets = {
-      import spark.implicits._
-      bucketsFor(terms.toDF("term"), "term", index.numBuckets)
-    }
+    val buckets = terms.map(termBucket(_, index.numBuckets)).distinct
     // partition value filter → PartitionFilters in the scan, static pruning
     val postings = liveRows(spark, index,
       spark.read.parquet(index.postingsDir)
         .filter(col("bucket").isin(buckets: _*))
         .filter(col("term").isin(terms: _*)))
-    val statsRow = spark.read.parquet(index.statsDir)
-      .agg(coalesce(sum(col("n_delta")), lit(0L)),
-        coalesce(sum(col("sumdl_delta")), lit(0L))).collect()(0)
-    val (n, sumDl) = (statsRow.getLong(0), statsRow.getLong(1))
-    require(n > 0, "empty index")
-    val avgDl = (sumDl * 1000000L / n).toDouble / 1e6 // integer micro, like build
-    val idf = log(lit(1.0) + (lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5))
+    // the corpus constants (N, Σdl) ride the plan as a broadcast 1-row
+    // cross join instead of a separate collect job — the probe runs as ONE
+    // Spark job over the pruned buckets
+    val stats = broadcast(spark.read.parquet(index.statsDir)
+      .agg(coalesce(sum(col("n_delta")), lit(0L)).as("__n"),
+        coalesce(sum(col("sumdl_delta")), lit(0L)).as("__sumdl"))
+      // integer micro, like build; floor division via div keeps it exact
+      .select(col("__n"), (expr("(__sumdl * 1000000) div __n") / 1e6).as("__avgdl")))
+    val idf = log(lit(1.0) +
+      (col("__n").cast("double") - col("df") + 0.5) / (col("df") + 0.5))
     val tfNorm = (col("tf") * (k1 + 1.0)) /
-      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgDl)))
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("__avgdl")))
     // aggregate + broadcast, not a per-term count window (see bm25Batch)
     val dfByTerm = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val contrib = postings.join(broadcast(dfByTerm), "term")
+    val contrib = postings.join(broadcast(dfByTerm), "term").crossJoin(stats)
       .withColumn("c_micro", round(idf * tfNorm * 1e6).cast("long"))
     val scored = contrib.groupBy(col("doc"))
       .agg(sum(col("c_micro")).as("score_micro"), count(lit(1)).as("n_terms"))
@@ -272,30 +284,30 @@ object Retrieval {
                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val qterms = queries.select(col(qidCol).as("qid"),
         explode(array_distinct(TextFunctions.tokens(col(qtextCol)))).as("term"))
-    val terms = qterms.select(col("term")).distinct()
-    val termList = terms.collect().map(_.getString(0)).toSeq // control-sized
+    val termList = qterms.select(col("term")).distinct()
+      .collect().map(_.getString(0)).toSeq // control-sized
     require(termList.nonEmpty, "no query terms")
-    val buckets = bucketsFor(terms, "term", index.numBuckets)
+    val buckets = termList.map(termBucket(_, index.numBuckets)).distinct
     val postings = liveRows(spark, index,
       spark.read.parquet(index.postingsDir)
         .filter(col("bucket").isin(buckets: _*))
         .filter(col("term").isin(termList: _*)))
-    val statsRow = spark.read.parquet(index.statsDir)
-      .agg(coalesce(sum(col("n_delta")), lit(0L)),
-        coalesce(sum(col("sumdl_delta")), lit(0L))).collect()(0)
-    val (n, sumDl) = (statsRow.getLong(0), statsRow.getLong(1))
-    require(n > 0, "empty index")
-    val avgDl = (sumDl * 1000000L / n).toDouble / 1e6
-    val idf = log(lit(1.0) + (lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5))
+    // corpus constants as a broadcast 1-row cross join (see bm25)
+    val stats = broadcast(spark.read.parquet(index.statsDir)
+      .agg(coalesce(sum(col("n_delta")), lit(0L)).as("__n"),
+        coalesce(sum(col("sumdl_delta")), lit(0L)).as("__sumdl"))
+      .select(col("__n"), (expr("(__sumdl * 1000000) div __n") / 1e6).as("__avgdl")))
+    val idf = log(lit(1.0) +
+      (col("__n").cast("double") - col("df") + 0.5) / (col("df") + 0.5))
     val tfNorm = (col("tf") * (k1 + 1.0)) /
-      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgDl)))
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("__avgdl")))
     // df as an aggregate + broadcast join, not a count() window: the
     // postings of a common term are one window partition (single-threaded
     // sort per term); the aggregate is map-side combined and vocabulary-
     // sized, so it broadcasts
     val dfByTerm = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val contrib = postings
-      .join(broadcast(dfByTerm), "term")
+      .join(broadcast(dfByTerm), "term").crossJoin(stats)
       .withColumn("c_micro", round(idf * tfNorm * 1e6).cast("long"))
       .join(broadcast(qterms), "term")
     val scored = contrib.groupBy(col("qid"), col("doc"))
@@ -323,8 +335,7 @@ object Retrieval {
                    k: Int): DataFrame = {
     val terms = phrase.toLowerCase.trim.split("\\s+").toSeq.filter(_.nonEmpty)
     require(terms.nonEmpty, "empty phrase")
-    import spark.implicits._
-    val buckets = bucketsFor(terms.distinct.toDF("term"), "term", index.numBuckets)
+    val buckets = terms.distinct.map(termBucket(_, index.numBuckets))
     val live = liveRows(spark, index,
       spark.read.parquet(index.postingsDir)
         .filter(col("bucket").isin(buckets: _*))

@@ -156,9 +156,13 @@ class DedupSimSpec extends AnyFunSuite with SparkTestBase {
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val r1 = (ann1 intersect exact).size.toDouble / exact.size
     val r3 = (ann3 intersect exact).size.toDouble / exact.size
-    assert(r1 >= 0.15, s"recall@5 single-table = $r1")
+    // floors sit just under the MEASURED values (0.30 / 0.68 — exact: the
+    // md5 hyperplanes and the fixture are deterministic), so a real
+    // banding/bucketing regression fails the suite instead of sliding
+    // under a lax 15% bar
+    assert(r1 >= 0.25, s"recall@5 single-table = $r1 (measured 0.30)")
     assert(r3 >= r1, s"multi-table recall ($r3) must not regress single-table ($r1)")
-    assert(r3 >= 0.3, s"recall@5 with 3 tables = $r3")
+    assert(r3 >= 0.6, s"recall@5 with 3 tables = $r3 (measured 0.68)")
   }
 
   test("LSH-bucketed cosine near-dup pairs: subset of brute force, usable recall") {
@@ -173,7 +177,10 @@ class DedupSimSpec extends AnyFunSuite with SparkTestBase {
     // P = (1 - acos(c)/pi)^nBits; at the 0.4 threshold that is ~0.25 for
     // nBits=3 (higher for closer pairs) — assert a safety margin below it
     val recall = lsh.size.toDouble / exact.size
-    assert(recall >= 0.15, s"recall = $recall")
+    // candidate-subset property (every pair verified true) is asserted
+    // above; the floor sits just under the measured 0.242 (deterministic)
+    // so banding regressions in embed_cos_neardup_lsh's substrate fail here
+    assert(recall >= 0.2, s"recall = $recall (measured 0.242)")
   }
 
   test("cell-scoped pairs (SemDeDup) equal brute force restricted to co-celled pairs") {

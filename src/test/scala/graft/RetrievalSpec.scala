@@ -52,6 +52,17 @@ class RetrievalSpec extends AnyFunSuite with SparkTestBase {
     } finally graft.core.TempDirs.deleteRecursively(java.nio.file.Paths.get(dir))
   }
 
+  test("driver-side term buckets equal the hash() expression exactly") {
+    val terms = Seq("join", "table", "scan", "stream", "ünïcode☃", "a b", "x")
+    val sparkSide = terms.toDF("term")
+      .select(col("term"), pmod(hash(col("term")), lit(64)).as("b"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    terms.foreach { t =>
+      assert(Retrieval.termBucket(t, 64) == sparkSide(t),
+        s"driver/Spark bucket mismatch for '$t'")
+    }
+  }
+
   test("top-k plans are bounded: TakeOrderedAndProject / WindowGroupLimit") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bm25_plan").toString
     try {

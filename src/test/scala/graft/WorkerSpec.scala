@@ -1,0 +1,114 @@
+package graft
+
+import graft.core._
+import graft.incr.{BucketedStateStore, Change, Lease}
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The handlers config of the worker end-to-end test — resolved by
+  * reflection from its fully-qualified name, like the reference's
+  * dotted-path import (worker.py:28-30). */
+object WorkerTestPipeline extends PipelineProvider {
+  val pipeline: Pipeline = Pipeline(
+    maps = Seq(MapSpec("src", "m", 1, idCol = "id",
+      fn = MapFns.item("k", Some("v"), idCol = "id"))),
+    reduces = Seq(ReduceSpec("m", "r", 1, ExprReduce(sum))))
+}
+
+/** The packaged worker entry point: INI config, reflective pipeline
+  * loading, lease, resync-on-version-change, drain-then-exit. */
+class WorkerSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("IniConfig parses sections, comments, duplicates; rejects garbage") {
+    val c = IniConfig.parse(
+      """; top comment
+        |[spark]
+        |master = local[4]
+        |# hash comment
+        |[sources]
+        |src = /a/b = c
+        |src = /x/y
+        |[empty]
+        |""".stripMargin)
+    assert(c.get("spark", "master").contains("local[4]"))
+    assert(c.get("sources", "src").contains("/x/y")) // last duplicate wins
+    assert(c.section("empty").isEmpty && c.section("absent").isEmpty)
+    assert(c.getLongOrElse("spark", "missing", 7L) == 7L)
+    assertThrows[IllegalArgumentException](IniConfig.parse("key = before section"))
+    assertThrows[IllegalArgumentException](IniConfig.parse("[s]\nno equals sign"))
+  }
+
+  test("PipelineProvider.load resolves objects, rejects non-providers") {
+    assert(PipelineProvider.load("graft.WorkerTestPipeline").pipeline
+      == WorkerTestPipeline.pipeline)
+    assertThrows[IllegalArgumentException](PipelineProvider.load("no.such.Thing"))
+    assertThrows[IllegalArgumentException](PipelineProvider.load("graft.Worker"))
+  }
+
+  private def setupDirs(): (String, String, String, String) = {
+    val base = Files.createTempDirectory("graft_worker").toString
+    val srcDir = s"$base/src.parquet"
+    val changesDir = s"$base/changes"
+    val storeRoot = s"$base/store"
+    Files.createDirectories(Paths.get(changesDir))
+    val ini = s"$base/worker.ini"
+    Files.writeString(Paths.get(ini),
+      s"""[store]
+         |root = $storeRoot
+         |buckets = 8
+         |[sources]
+         |src = $srcDir
+         |[changes]
+         |dir = $changesDir
+         |[qvarnmr]
+         |instance = spec-worker
+         |keep_alive_timeout = 60
+         |""".stripMargin)
+    (srcDir, changesDir, storeRoot, ini)
+  }
+
+  test("drain mode: cold start + change batch converge; exits 0; lease released") {
+    val (srcDir, changesDir, storeRoot, ini) = setupDirs()
+    Seq(("a", "k1", 1.0), ("b", "k1", 2.0), ("c", "k2", 5.0))
+      .toDF("id", "k", "v").write.parquet(srcDir)
+    Seq(Change(1, Change.Updated, "src", "a"))
+      .toDS().write.parquet(s"$changesDir/batch0")
+
+    val code = Worker.run(
+      Seq("graft.WorkerTestPipeline", "-c", ini), Some(spark))
+    assert(code == 0)
+    val store = new BucketedStateStore(storeRoot, 8)
+    val reduced = store.table(spark, "r")
+      .select(col(MrSchema.Key), col(MrSchema.Value))
+      .as[(String, Double)].collect().toMap
+    assert(reduced == Map("k1" -> 3.0, "k2" -> 5.0))
+    // lease released on exit (clear_listener_owners)
+    assert(!Files.exists(Paths.get(storeRoot, "_lease")))
+    // handler registry persisted
+    assert(Files.exists(Paths.get(storeRoot, "_handlers")))
+  }
+
+  test("a live lease held by another worker exits 1 without touching state") {
+    val (srcDir, _, storeRoot, ini) = setupDirs()
+    Seq(("a", "k1", 1.0)).toDF("id", "k", "v").write.parquet(srcDir)
+    val foreign = new Lease(Paths.get(storeRoot, "_lease"), "other-worker", 60000L)
+    foreign.keepAlive()
+    val code = Worker.run(
+      Seq("graft.WorkerTestPipeline", "-c", ini), Some(spark))
+    assert(code == 1)
+    assert(new BucketedStateStore(storeRoot, 8).isEmpty,
+      "a busy worker must not have initialized the store")
+  }
+
+  test("arg parsing mirrors the reference CLI") {
+    assert(Worker.parseArgs(Seq("x.Y", "-c", "a.ini")) ==
+      Worker.Args("x.Y", "a.ini", forever = false))
+    assert(Worker.parseArgs(Seq("-f", "x.Y", "--config", "a.ini")) ==
+      Worker.Args("x.Y", "a.ini", forever = true))
+    assertThrows[IllegalArgumentException](Worker.parseArgs(Seq("-c", "a.ini")))
+    assertThrows[IllegalArgumentException](Worker.parseArgs(Seq("x.Y")))
+    assertThrows[IllegalArgumentException](Worker.parseArgs(Seq("x.Y", "-c", "a", "-z")))
+  }
+}
