@@ -552,6 +552,62 @@ class BucketedIncrSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("property: random batches — distributed path ≡ driver path ≡ recompute") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[A](g: Gen[A], seed: Long): A =
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+
+    val keys = Seq("k1", "k2", "k3", "k4")
+    def keyOf(id: String): String = keys(id.stripPrefix("id").toInt % keys.length)
+    var truth: Map[String, Double] =
+      (0 until 12).map(i => s"id$i" -> i.toDouble).toMap
+    def data = truth.toSeq.map { case (id, v) => (id, keyOf(id), v) }
+      .toDF("id", "k", "v")
+    val sources: IncrementalRun.Sources = _ => data
+
+    val storeD = newStore(buckets = 8) // every batch forced distributed
+    val storeS = newStore(buckets = 8) // every batch on the driver path
+    BucketedRun.initialize(pipeline, sources, storeD)
+    BucketedRun.initialize(pipeline, sources, storeS)
+
+    var seqN = 0L
+    for (g <- 1L to 5L) {
+      // 6 random ops over ids 0..19: duplicates per id exercise A12
+      // newest-wins in both shapes; deletes exercise tombstone purge
+      val ops = (0 until 6).map { j =>
+        val id = s"id${sample(Gen.chooseNum(0, 19), g * 1000 + j)}"
+        val isDel = sample(Gen.chooseNum(0, 3), g * 777 + j) == 0
+        val v = sample(Gen.chooseNum(0, 100), g * 555 + j).toDouble
+        seqN += 1
+        (seqN, id, isDel, v)
+      }
+      ops.groupBy(_._2).values.map(_.maxBy(_._1)).foreach {
+        case (_, id, true, _) => truth -= id
+        case (_, id, false, v) => truth += id -> v
+      }
+      val cs = ops.map { case (s, id, isDel, _) =>
+        Change(s, if (isDel) Change.Deleted else Change.Updated, "src", id) }
+      // ceiling of 2 forces the distributed path on storeD every batch;
+      // storeS takes the notification-sized driver path
+      val rd = BucketedRun.applyChanges(pipeline, sources, storeD,
+        cs.toDS(), g, batchId = g, maxBatchSize = 2)
+      assert(!rd.resync)
+      BucketedRun.applyChanges(spark, pipeline, sources, storeS, cs, g, batchId = g)
+    }
+
+    val expected = truth.toSeq.groupBy { case (id, _) => keyOf(id) }
+      .view.mapValues(_.map(_._2).sum).toMap
+    assert(reduced(storeD) == expected, "distributed path diverged from recompute")
+    assert(reduced(storeS) == expected, "driver path diverged from recompute")
+    // the two paths agree row-for-row on the map table too (timestamps are
+    // provenance timing, not content)
+    def mRows(st: BucketedStateStore) = st.table(spark, "m")
+      .select(col(SourceId), col(Key), col(Value), col(Deleted))
+      .as[(String, String, Double, Boolean)].collect().toSet
+    assert(mRows(storeD) == mRows(storeS))
+  }
+
   test("incr_schema_evolve query is a fixed point across invocations") {
     val dir = "/root/testdata/sf0.001"
     def run() = SparkEntry.queries("incr_schema_evolve")(spark, dir)
