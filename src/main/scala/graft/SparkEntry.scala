@@ -2342,6 +2342,22 @@ object SparkEntry {
       graft.text.Sketches.kmvDistinct(t(s, dir, "documents"),
         "source", col("text"), k = 64)),
 
+    // Mergeable bottom-k quantile sketch: each source keeps its 64
+    // smallest md5-uniform draws (a deterministic uniform doc sample);
+    // p50/p90 of n_chars are EXACT order statistics over the sample —
+    // integer picks, no interpolation (engines disagree on interpolated
+    // quantiles). Rank-≤-k compiles to a map-side WindowGroupLimit.
+    "sketch_quantile_bottomk" -> ((s, dir) =>
+      graft.text.Sketches.bottomKQuantiles(t(s, dir, "documents"),
+        "source", col("n_chars"), "doc_id", k = 64)),
+
+    // The merge path: global p50/p90 by re-taking the global bottom-k
+    // from the per-source samples — per-shard sketches fold into the
+    // exact global sample without a rescan (the KMV merge property)
+    "sketch_quantile_merge" -> ((s, dir) =>
+      graft.text.Sketches.bottomKQuantilesMerged(t(s, dir, "documents"),
+        "source", col("n_chars"), "doc_id", k = 64)),
+
     // HyperLogLog distinct-count sketch: per-source cardinality from 256
     // md5-derived registers — unlike KMV it needs NO distinct pass (HLL is
     // multiplicity-insensitive) and its shuffle is capped at 256 rows per
@@ -2688,6 +2704,15 @@ object SparkEntry {
     // the support threshold already bounds), never an all-pairs scan
     "graph_common_neighbors" -> ((s, dir) =>
       graft.graph.Graph.commonNeighborSim(copurchaseEdges(s, dir))),
+
+    // Connected components of the co-purchase graph — the same hybrid CC
+    // kernel the near-dup resolve uses (driver union-find under the
+    // control-data cutoff; O(log n) label propagation + pointer jumping
+    // above it, both property-tested equal): (node, cluster) with cluster
+    // = the component's smallest node id
+    "graph_components" -> ((s, dir) =>
+      graft.dedup.Components.connectedComponents(
+        copurchaseEdges(s, dir).select(col("p1"), col("p2")), "p1", "p2")),
 
     // ---- behavioral time-series (events) --------------------------------
 
@@ -4633,6 +4658,47 @@ object SparkEntry {
                 ELSE 63.0 / max(u) END, 4) AS est_distinct
             FROM r WHERE rn <= 64 GROUP BY source"""
       },
+      // Sketches.bottomKQuantiles: 64 smallest md5-uniform draws per
+      // source, quantiles as exact order statistics with pure-integer
+      // ceil indices ((n+1)//2, (9n+9)//10 — FP ceil(0.9n) sits on
+      // rounding boundaries); DuckDB lists are 1-based like element_at
+      "sketch_quantile_bottomk" -> {
+        val nib = (k: Int) =>
+          s"(strpos('0123456789abcdef', substr(h, $k, 1)) - 1)::BIGINT"
+        val u32 = (1 to 8).map(k => s"${nib(k)} * ${1L << (4 * (8 - k))}")
+          .mkString(" + ")
+        s"""WITH d0 AS (SELECT source, n_chars::BIGINT AS v,
+                doc_id::VARCHAR AS id,
+                md5('graft-quant:' || doc_id::VARCHAR) AS h FROM documents),
+            d AS (SELECT source, v, id, ($u32) / 4294967296.0 AS u FROM d0),
+            r AS (SELECT source, v,
+                row_number() OVER (PARTITION BY source ORDER BY u, id) AS rn
+                FROM d),
+            g AS (SELECT source, count(*) AS n_sample, list_sort(list(v)) AS vs
+                FROM r WHERE rn <= 64 GROUP BY source)
+            SELECT source, n_sample,
+              vs[((n_sample + 1) // 2)::INT] AS p50,
+              vs[((n_sample * 9 + 9) // 10)::INT] AS p90
+            FROM g"""
+      },
+      // the merged sketch must equal the sketch over the whole table:
+      // global bottom-64 of the per-source bottom-64s = global bottom-64
+      "sketch_quantile_merge" -> {
+        val nib = (k: Int) =>
+          s"(strpos('0123456789abcdef', substr(h, $k, 1)) - 1)::BIGINT"
+        val u32 = (1 to 8).map(k => s"${nib(k)} * ${1L << (4 * (8 - k))}")
+          .mkString(" + ")
+        s"""WITH d0 AS (SELECT n_chars::BIGINT AS v, doc_id::VARCHAR AS id,
+                md5('graft-quant:' || doc_id::VARCHAR) AS h FROM documents),
+            d AS (SELECT v, id, ($u32) / 4294967296.0 AS u FROM d0),
+            r AS (SELECT v, row_number() OVER (ORDER BY u, id) AS rn FROM d),
+            g AS (SELECT count(*) AS n_sample, list_sort(list(v)) AS vs
+                FROM r WHERE rn <= 64)
+            SELECT n_sample,
+              vs[((n_sample + 1) // 2)::INT] AS p50,
+              vs[((n_sample * 9 + 9) // 10)::INT] AS p90
+            FROM g"""
+      },
       // Sketches.hllDistinct / hllMerge: 256 md5 registers, rho from hex
       // nibbles (ltrim counts zero nibbles, a 4-way CASE the bits inside
       // the first non-zero one), integer 2^(33-rho) harmonic sum, linear
@@ -5042,6 +5108,18 @@ object SparkEntry {
                 AS jaccard
             FROM cn JOIN deg da ON da.src = cn.a
             JOIN deg db ON db.src = cn.b""",
+      // Components.connectedComponents: cluster = smallest node id in the
+      // component — a recursive min-label closure over the edge set
+      "graph_components" ->
+        s"""WITH RECURSIVE $basketCtes,
+            ed AS (SELECT p1 AS src, p2 AS dst FROM e
+                   UNION SELECT p2, p1 FROM e),
+            walk(id, reach) AS (
+              SELECT src, dst FROM ed
+              UNION
+              SELECT w.id, e2.dst FROM walk w JOIN ed e2 ON w.reach = e2.src)
+            SELECT id, least(id, min(reach)) AS cluster
+            FROM walk GROUP BY id""",
       "events_rfm" ->
         """WITH base AS (SELECT user_id,
              max(epoch_ns(ts) // 86400000000000) AS last_day,

@@ -75,6 +75,68 @@ object Sketches {
           .as("est_distinct"))
   }
 
+  // ------------------------------------------------------- bottom-k quantiles
+
+  /** Deterministic MERGEABLE quantile sketch: each group keeps the `k`
+    * rows with the smallest md5-uniform draw (a uniform sample without
+    * replacement — "bottom-k by hash"), and quantiles are EXACT order
+    * statistics over that sample: the ceil(q·n)-th smallest value, an
+    * integer pick with no interpolation, so an external engine reproduces
+    * it bit-for-bit (engines disagree on interpolated quantiles).
+    *
+    * Mergeable by construction, like [[kmvDistinct]]: the bottom-k of a
+    * union is contained in the union of the parts' bottom-ks, so
+    * per-shard samples fold into exact global samples without a rescan —
+    * the property that turns a 100 TB quantile pass into one map-side
+    * sketch per shard plus a control-sized merge. The rank-≤-k filter
+    * compiles to a map-side WindowGroupLimit.
+    *
+    * Output: (groupCol, n_sample, p50, p90). */
+  def bottomKQuantiles(df: DataFrame, groupCol: String, value: Column,
+                       idCol: String, k: Int,
+                       salt: String = "graft-quant"): DataFrame = {
+    require(k >= 1, "bottom-k needs k >= 1")
+    val sample = bottomKSample(df, groupCol, value, idCol, k, salt)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_sample"),
+        sort_array(collect_list(col("__v"))).as("__vs"))
+    quantilePicks(sample)
+  }
+
+  /** Global quantiles by MERGING the per-group bottom-k samples: re-take
+    * the global bottom-k of the union of per-group samples (each row keeps
+    * its draw), then pick the same exact order statistics — one row
+    * (n_sample, p50, p90), equal to running the sketch over the whole
+    * table directly. */
+  def bottomKQuantilesMerged(df: DataFrame, groupCol: String, value: Column,
+                             idCol: String, k: Int,
+                             salt: String = "graft-quant"): DataFrame = {
+    val merged = bottomKSample(df, groupCol, value, idCol, k, salt)
+      .orderBy(col("__u"), col("__id")).limit(k)
+    quantilePicks(merged
+      .agg(count(lit(1)).as("n_sample"),
+        sort_array(collect_list(col("__v"))).as("__vs")))
+  }
+
+  private def bottomKSample(df: DataFrame, groupCol: String, value: Column,
+                            idCol: String, k: Int, salt: String): DataFrame = {
+    val draws = df.select(col(groupCol), value.cast("long").as("__v"),
+      col(idCol).cast("string").as("__id"),
+      Curation.hashUniform(col(idCol), salt).as("__u"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__u"), col("__id"))
+    draws.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
+  }
+
+  // ceil(q·n) as pure integer arithmetic — ceil(a/b) = (a+b-1) div b —
+  // because double `ceil(0.9 * n)` sits exactly on FP rounding boundaries
+  private def quantilePicks(grouped: DataFrame): DataFrame =
+    grouped
+      .withColumn("p50", element_at(col("__vs"),
+        expr("(n_sample + 1) div 2").cast("int")))
+      .withColumn("p90", element_at(col("__vs"),
+        expr("(n_sample * 9 + 9) div 10").cast("int")))
+      .drop("__vs")
+
   // ---------------------------------------------------------------- HLL distinct
 
   /** HyperLogLog geometry: p = 8 → m = 256 registers (~6.5% relative

@@ -246,4 +246,40 @@ class SketchesSpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, Long)].collect().sortBy(_._1).toSeq
     assert(a == b, "order must not depend on partitioning or shard count")
   }
+
+  test("bottom-k quantiles: exact order stats, merge ≡ direct, bounded plan") {
+    val rows = (1L to 500L).map(i =>
+      (i, if (i % 2 == 0) "a" else "b", i * 7 % 997))
+    val df = rows.toDF("id", "grp", "v")
+    val sk = Sketches.bottomKQuantiles(df, "grp", col("v"), "id", k = 32)
+    // the rank-<=k filter must compile to a map-side WindowGroupLimit
+    assert(sk.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+    val got = sk.as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+
+    // independent Scala oracle: same md5 ladder, bottom-32 by (u, id),
+    // exact integer ceil-index picks
+    def u(id: Long): Double = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"graft-quant:$id".getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+        .toDouble / 4294967296.0
+    }
+    val expect = rows.groupBy(_._2).map { case (g, rs) =>
+      val sample = rs.sortBy(r => (u(r._1), r._1.toString)).take(32).map(_._3).sorted
+      val n = sample.length
+      g -> (n.toLong, sample((n + 1) / 2 - 1), sample((9 * n + 9) / 10 - 1))
+    }
+    assert(got == expect)
+
+    // merge property: global sketch from per-group samples equals the
+    // direct sketch over the whole table under one constant group
+    val merged = Sketches.bottomKQuantilesMerged(df, "grp", col("v"), "id", 32)
+      .as[(Long, Long, Long)].collect().toSeq
+    val direct = Sketches.bottomKQuantiles(
+        df.withColumn("g", lit("all")), "g", col("v"), "id", 32)
+      .select(col("n_sample"), col("p50"), col("p90"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(merged == direct, "merged bottom-k must equal the direct sketch")
+  }
 }
