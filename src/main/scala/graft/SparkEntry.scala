@@ -1654,6 +1654,22 @@ object SparkEntry {
           hex(element_at(col("frames"), 1)).as("first_frame_hex"))
     }),
 
+    // Multimodal audio windows: the blob as 16-bit LE PCM, per-window
+    // integer energy + zero crossings (native one-pass kernels) — the
+    // VAD/silence-trim substrate; published as scalars per doc (first/max
+    // window energy, total crossings) since list cells don't hash
+    "mm_audio_energy" -> ((s, dir) => {
+      val blobs = t(s, dir, "documents")
+        .withColumn("blob", encode(col("text"), "UTF-8"))
+      val en = Multimodal.audioEnergy(col("blob"), windowSamples = 256)
+      val zc = Multimodal.audioZeroCrossings(col("blob"), windowSamples = 256)
+      blobs.select(col("doc_id"),
+        size(en).cast("long").as("n_windows"),
+        try_element_at(en, lit(1)).as("energy_first"),
+        array_max(en).as("energy_max"),
+        aggregate(zc, lit(0L), _ + _).as("zc_total"))
+    }),
+
     // Multimodal resize stub: byte-grid subsample (every 4th byte) as pure
     // expressions; content verified byte-exactly via hex
     "mm_resize" -> ((s, dir) => {
@@ -4009,6 +4025,34 @@ object SparkEntry {
              substring(coalesce(array_to_string(kept, ''), ''), 1, 128)
                AS resized_hex_prefix
            FROM b""",
+      // AudioEnergy/AudioZeroCrossings kernels re-derived from the blob's
+      // hex: 16-bit LE samples (lo + 256*hi, signed at 32768), per-256-
+      // sample windows; CAST list_sum results (HUGEINT) back to BIGINT
+      "mm_audio_energy" -> {
+        def bv(idx: String) =
+          s"((strpos('0123456789ABCDEF', substr(by[($idx)::INT], 1, 1)) - 1) * 16" +
+            s" + strpos('0123456789ABCDEF', substr(by[($idx)::INT], 2, 1)) - 1)"
+        raw"""WITH b AS (SELECT doc_id,
+                regexp_extract_all(hex(encode(text)), '..') AS by FROM documents),
+            s AS (SELECT doc_id, by, len(by) // 2 AS ns FROM b),
+            r AS (SELECT doc_id, ns, list_transform(range(ns), i ->
+                ${bv("2*i+1")} + 256 * ${bv("2*i+2")}) AS us FROM s),
+            v AS (SELECT doc_id, ns, (ns + 255) // 256 AS nw,
+                list_transform(us, x ->
+                  CASE WHEN x >= 32768 THEN x - 65536 ELSE x END) AS vs
+                FROM r),
+            e AS (SELECT doc_id, ns, nw, vs, list_transform(range(nw), w ->
+                list_sum(list_transform(
+                  vs[(w*256+1)::INT:least((w+1)*256, ns)::INT],
+                  x -> x * x))) AS es FROM v)
+            SELECT doc_id, CAST(nw AS BIGINT) AS n_windows,
+              CAST(es[1] AS BIGINT) AS energy_first,
+              CAST(list_aggregate(es, 'max') AS BIGINT) AS energy_max,
+              CAST(coalesce(list_sum(list_transform(range(1, ns), i ->
+                CASE WHEN (vs[(i+1)::INT] < 0) <> (vs[i::INT] < 0)
+                  THEN 1 ELSE 0 END)), 0) AS BIGINT) AS zc_total
+            FROM e"""
+      },
       // exact corpus × benchmark all-pairs Jaccard — the LSH candidates
       // plus exact verify must reproduce it (same 3-shingle substrate as
       // dedup_minhash)

@@ -77,6 +77,42 @@ object TextHashKernels {
     h
   }
 
+  /** Per-window energy of a 16-bit signed little-endian PCM blob: sum of
+    * v² over each `window`-sample window (last window partial; a trailing
+    * odd byte is ignored). One pass, integer-exact: |v| ≤ 32768 keeps a
+    * 1024-sample window's energy < 1.1e12 — BIGINT everywhere. */
+  def audioEnergy(blob: Array[Byte], window: Int): ArrayData = {
+    val ns = blob.length / 2
+    val nw = (ns + window - 1) / window
+    val out = new Array[Long](nw)
+    var i = 0
+    while (i < ns) {
+      val v = (blob(2 * i + 1) << 8) | (blob(2 * i) & 0xff) // signed hi byte
+      out(i / window) += v.toLong * v
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Per-window zero-crossing counts of the same PCM stream: window w
+    * counts samples i > 0 inside it whose negativity differs from sample
+    * i−1's (the VAD/silence-trim primitive next to [[audioEnergy]]). */
+  def audioZeroCrossings(blob: Array[Byte], window: Int): ArrayData = {
+    val ns = blob.length / 2
+    val nw = (ns + window - 1) / window
+    val out = new Array[Long](nw)
+    var prevNeg = false
+    var i = 0
+    while (i < ns) {
+      val v = (blob(2 * i + 1) << 8) | (blob(2 * i) & 0xff)
+      val neg = v < 0
+      if (i > 0 && neg != prevNeg) out(i / window) += 1
+      prevNeg = neg
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** 64-bit SimHash: majority vote per bit over token hashes. */
   def simhash(toks: ArrayData): Long = {
     val votes = new Array[Int](64)
@@ -318,6 +354,53 @@ case class PerceptualHash64(left: Expression, right: Expression) extends BinaryE
   override protected def withNewChildrenInternal(l: Expression, r: Expression): PerceptualHash64 =
     copy(left = l, right = r)
   override def prettyName: String = "graft_phash"
+}
+
+/** Shared shape of the two audio-window kernels: (binary, foldable int
+  * window ≥ 1) → array<bigint>, one element per `window`-sample window of
+  * the blob read as 16-bit signed little-endian PCM. */
+abstract class AudioWindowExpr extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (BinaryType, IntegerType) if right.foldable =>
+      right.eval(null) match {
+        case w: java.lang.Integer if w >= 1 => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName window must be an int literal >= 1, got $other")
+      }
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (binary, foldable int)")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  protected def kernelName: String
+  override def nullSafeEval(blob: Any, w: Any): Any = {
+    val b = blob.asInstanceOf[Array[Byte]]
+    val win = w.asInstanceOf[Int]
+    if (kernelName == "audioEnergy") TextHashKernels.audioEnergy(b, win)
+    else TextHashKernels.audioZeroCrossings(b, win)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (blob, w) => {
+      val kernels = TextHashKernels.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"$kernels.$kernelName($blob, $w)"
+    })
+}
+
+/** `graft_audio_energy(blob, window)` → array<bigint>: per-window PCM
+  * sum-of-squares (see [[TextHashKernels.audioEnergy]]). */
+case class AudioEnergy(left: Expression, right: Expression) extends AudioWindowExpr {
+  protected def kernelName: String = "audioEnergy"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): AudioEnergy =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_audio_energy"
+}
+
+/** `graft_audio_zc(blob, window)` → array<bigint>: per-window PCM
+  * zero-crossing counts. */
+case class AudioZeroCrossings(left: Expression, right: Expression) extends AudioWindowExpr {
+  protected def kernelName: String = "audioZeroCrossings"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): AudioZeroCrossings =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_audio_zc"
 }
 
 /** `graft_rollingmd5(tokens, seed)` → string. `seed` must be foldable. */

@@ -141,6 +141,10 @@ object GraftFunctions {
     descriptor("graft_nfc", classOf[NfcNormalize], 1, c => NfcNormalize(c(0))),
     descriptor("graft_phash", classOf[PerceptualHash64], 2,
       c => PerceptualHash64(c(0), c(1))),
+    descriptor("graft_audio_energy", classOf[AudioEnergy], 2,
+      c => AudioEnergy(c(0), c(1))),
+    descriptor("graft_audio_zc", classOf[AudioZeroCrossings], 2,
+      c => AudioZeroCrossings(c(0), c(1))),
     descriptor("graft_lshbucket", classOf[LshBucketExpr], 4, c => {
       def asInt(e: Expression, what: String): Int = e match {
         case lit if lit.foldable => lit.eval(null) match {

@@ -109,6 +109,28 @@ object Multimodal {
     unhex(array_join(kept, ""))
   }
 
+  /** Windowed RMS-energy substrate for audio-ish blobs: the blob read as
+    * 16-bit signed little-endian PCM, per-window integer sum of squares —
+    * the voice-activity-detection / silence-trimming primitive a speech
+    * pipeline runs before anything expensive. One-pass native kernel
+    * ([[graft.functions.AudioEnergy]]); a real deployment decodes the
+    * container format through the [[Decoder]] seam first, then runs the
+    * identical arithmetic over the PCM. Integer-exact end to end, so the
+    * oracle reproduces it from the blob's hex. */
+  def audioEnergy(blob: Column, windowSamples: Int): Column = {
+    graft.functions.GraftFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("graft_audio_energy", blob, lit(windowSamples))
+  }
+
+  /** Per-window zero-crossing counts over the same PCM reading — the
+    * cheap spectral-content proxy paired with [[audioEnergy]]. */
+  def audioZeroCrossings(blob: Column, windowSamples: Int): Column = {
+    graft.functions.GraftFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("graft_audio_zc", blob, lit(windowSamples))
+  }
+
   /** dHash-style PERCEPTUAL fingerprint over the blob's byte stream: the
     * bytes split into `buckets` contiguous ranges, and bit b of the hash
     * records whether bucket b's mean exceeds bucket b+1's — the gradient

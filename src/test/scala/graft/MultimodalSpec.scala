@@ -78,4 +78,23 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     val out = Multimodal.repartitionByBytes(blobs, "blob", targetBytesPerPartition = 5)
     assert(out.rdd.getNumPartitions == 3) // 12 bytes total / 5 → ceil = 3
   }
+
+  test("audio kernels: 16-bit LE PCM windowed energy + zero crossings") {
+    // samples [1, -1, 300] as LE bytes; window=2 → windows [1,-1], [300]
+    val pcm: Array[Byte] = Array(0x01, 0x00, 0xff.toByte, 0xff.toByte, 0x2c, 0x01)
+    // trailing odd byte ignored; empty blob → zero windows
+    val df = Seq((1L, pcm), (2L, pcm :+ 0x7f.toByte), (3L, Array.empty[Byte]))
+      .toDF("id", "blob")
+    val out = df.select(col("id"),
+        Multimodal.audioEnergy(col("blob"), windowSamples = 2).as("en"),
+        Multimodal.audioZeroCrossings(col("blob"), windowSamples = 2).as("zc"))
+      .as[(Long, Seq[Long], Seq[Long])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // energies: 1²+(−1)² = 2, then 300² = 90000
+    assert(out(1L) == (Seq(2L, 90000L), Seq(1L, 1L)))
+    assert(out(2L) == out(1L), "trailing odd byte must be ignored")
+    assert(out(3L) == (Seq.empty[Long], Seq.empty[Long]))
+    // sign flips: 1→−1 lands in window 0 (sample 1), −1→300 in window 1
+    // (sample 2) — already asserted via the zc vectors above
+  }
 }
