@@ -47,6 +47,18 @@ class WorkerSpec extends AnyFunSuite with SparkTestBase {
     assertThrows[IllegalArgumentException](PipelineProvider.load("graft.Worker"))
   }
 
+  /** Write a change batch as ONE flat parquet FILE in the stream dir —
+    * the file stream source watches direct files, and `.write.parquet`
+    * would create a subdirectory it never lists. */
+  private def writeChangeFile(changesDir: String, name: String,
+                              cs: Seq[Change]): Unit = {
+    val tmp = Files.createTempDirectory("graft_chg").toString
+    cs.toDS().coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    Files.move(part.toPath, Paths.get(changesDir, s"$name.parquet"))
+  }
+
   private def setupDirs(): (String, String, String, String) = {
     val base = Files.createTempDirectory("graft_worker").toString
     val srcDir = s"$base/src.parquet"
@@ -69,25 +81,30 @@ class WorkerSpec extends AnyFunSuite with SparkTestBase {
     (srcDir, changesDir, storeRoot, ini)
   }
 
-  test("drain mode: cold start + change batch converge; exits 0; lease released") {
+  test("drain mode: cold start, then a second run applies stream changes") {
     val (srcDir, changesDir, storeRoot, ini) = setupDirs()
     Seq(("a", "k1", 1.0), ("b", "k1", 2.0), ("c", "k2", 5.0))
       .toDF("id", "k", "v").write.parquet(srcDir)
-    Seq(Change(1, Change.Updated, "src", "a"))
-      .toDS().write.parquet(s"$changesDir/batch0")
 
-    val code = Worker.run(
-      Seq("graft.WorkerTestPipeline", "-c", ini), Some(spark))
-    assert(code == 0)
-    val store = new BucketedStateStore(storeRoot, 8)
-    val reduced = store.table(spark, "r")
+    // run 1: cold start — recompute + registry write, empty stream
+    assert(Worker.run(Seq("graft.WorkerTestPipeline", "-c", ini), Some(spark)) == 0)
+    // a fresh handle per read: the store snapshots its manifest at
+    // construction, so a held handle would not see later commits
+    def reduced = new BucketedStateStore(storeRoot, 8).table(spark, "r")
       .select(col(MrSchema.Key), col(MrSchema.Value))
       .as[(String, Double)].collect().toMap
     assert(reduced == Map("k1" -> 3.0, "k2" -> 5.0))
-    // lease released on exit (clear_listener_owners)
+    // lease released on exit (clear_listener_owners); registry persisted
     assert(!Files.exists(Paths.get(storeRoot, "_lease")))
-    // handler registry persisted
     assert(Files.exists(Paths.get(storeRoot, "_handlers")))
+
+    // run 2: registry is current (no resync), so the NEW source row can
+    // only reach state through the change stream — proving the drain path
+    Seq(("d", "k2", 4.0)).toDF("id", "k", "v")
+      .write.mode("append").parquet(srcDir)
+    writeChangeFile(changesDir, "late", Seq(Change(1, Change.Created, "src", "d")))
+    assert(Worker.run(Seq("graft.WorkerTestPipeline", "-c", ini), Some(spark)) == 0)
+    assert(reduced == Map("k1" -> 3.0, "k2" -> 9.0))
   }
 
   test("a live lease held by another worker exits 1 without touching state") {
@@ -100,6 +117,51 @@ class WorkerSpec extends AnyFunSuite with SparkTestBase {
     assert(code == 1)
     assert(new BucketedStateStore(storeRoot, 8).isEmpty,
       "a busy worker must not have initialized the store")
+  }
+
+  test("forever mode keeps draining late-arriving batches until stopped") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+
+    val (srcDir, changesDir, storeRoot, ini) = setupDirs()
+    Seq(("a", "k1", 1.0)).toDF("id", "k", "v").write.parquet(srcDir)
+
+    val before = spark.streams.active.map(_.id).toSet
+    val fut = Future(Worker.run(
+      Seq("graft.WorkerTestPipeline", "-c", ini, "-f"), Some(spark)))
+    def eventually[A](what: String)(probe: => Option[A]): A = {
+      val deadline = System.currentTimeMillis() + 60000
+      var r = probe
+      while (r.isEmpty && System.currentTimeMillis() < deadline) {
+        Thread.sleep(200); r = probe
+      }
+      r.getOrElse(fail(s"timed out waiting for $what"))
+    }
+    val q = eventually("the worker's stream to start") {
+      spark.streams.active.find(x => !before.contains(x.id))
+    }
+    try {
+      // fresh handles per probe: a store handle snapshots its manifest
+      eventually("cold-start initialize")(
+        new BucketedStateStore(storeRoot, 8).committedBatch)
+
+      // a NEW source row lands, then its change notification arrives —
+      // forever mode must pick it up without restarting
+      Seq(("b", "k1", 5.0)).toDF("id", "k", "v")
+        .write.mode("append").parquet(srcDir)
+      writeChangeFile(changesDir, "late",
+        Seq(Change(1, Change.Created, "src", "b")))
+      eventually("the late batch to apply") {
+        val r = new BucketedStateStore(storeRoot, 8).table(spark, "r")
+          .select(col(MrSchema.Key), col(MrSchema.Value))
+          .as[(String, Double)].collect().toMap
+        if (r == Map("k1" -> 6.0)) Some(()) else None
+      }
+    } finally q.stop()
+    assert(Await.result(fut, 60.seconds) == 0)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(storeRoot, "_lease")))
   }
 
   test("arg parsing mirrors the reference CLI") {
