@@ -951,6 +951,15 @@ object SparkEntry {
     "text_length_gate" -> ((s, dir) =>
       Curation.lengthGate(t(s, dir, "documents"), "text", "doc_id", "source")),
 
+    // The bounded-memory variant: [lo, hi] from exact order statistics
+    // over each source's deterministic bottom-k md5 sample (≤ k rows of
+    // state per group ever, mergeable) — the 100 TB shape of the gate,
+    // where exact `percentile` would buffer a dominant source's whole
+    // length column in one aggregation state
+    "text_length_gate_sketched" -> ((s, dir) =>
+      Curation.lengthGateSketched(t(s, dir, "documents"), "text", "doc_id",
+        "source", k = 128)),
+
     // CCNet-style head/middle/tail quality buckets per language: tercile
     // thresholds of the corpus-LM score broadcast back over a narrow
     // bucket pass (threshold comparison, never an ntile sort per language)
@@ -3396,6 +3405,33 @@ object SparkEntry {
                   FROM d GROUP BY source)
             SELECT doc_id, source, n_tok, lo, hi FROM d JOIN b USING (source)
             WHERE n_tok >= lo AND n_tok <= hi""",
+      // bounds from exact order statistics over each source's bottom-128
+      // md5-uniform sample; integer ceil indices, 1-based lists
+      "text_length_gate_sketched" -> {
+        val nib = (k: Int) =>
+          s"(strpos('0123456789abcdef', substr(h, $k, 1)) - 1)::BIGINT"
+        val u32 = (1 to 8).map(k => s"${nib(k)} * ${1L << (4 * (8 - k))}")
+          .mkString(" + ")
+        raw"""WITH d AS (SELECT doc_id, source,
+              CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(lower(text)), '\s+')) END
+                AS BIGINT) AS n_tok,
+              md5('graft-quant:' || doc_id::VARCHAR) AS h
+              FROM documents),
+            u AS (SELECT doc_id, source, n_tok,
+                ($u32) / 4294967296.0 AS u FROM d),
+            r AS (SELECT source, n_tok, row_number() OVER
+                (PARTITION BY source ORDER BY u, doc_id::VARCHAR) AS rn
+                FROM u),
+            g AS (SELECT source, count(*) AS n, list_sort(list(n_tok)) AS vs
+                FROM r WHERE rn <= 128 GROUP BY source),
+            b AS (SELECT source,
+                vs[((n + 19) // 20)::INT]::DOUBLE AS lo,
+                vs[((n * 19 + 19) // 20)::INT]::DOUBLE AS hi FROM g)
+            SELECT doc_id, source, n_tok, lo, hi
+            FROM (SELECT doc_id, source, n_tok FROM d) m JOIN b USING (source)
+            WHERE n_tok >= lo AND n_tok <= hi"""
+      },
       "text_quality_buckets" ->
         s"""WITH d AS (SELECT doc_id, $toks AS l FROM documents),
            tri AS (SELECT doc_id,

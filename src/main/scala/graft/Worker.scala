@@ -113,6 +113,9 @@ object Worker {
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
+        // the library's kernels + custom strategies (graft_* functions,
+        // KernelSubstitution rewrite, native as-of join) ride the session
+        .config("spark.sql.extensions", "graft.functions.GraftExtensions")
         .getOrCreate()
     }
     import spark.implicits._

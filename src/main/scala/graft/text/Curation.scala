@@ -194,7 +194,12 @@ object Curation {
     * partial state, group-count-sized result — `groupCol` is a dimension,
     * e.g. source/lang, so the bounds table broadcasts), then the gate is a
     * narrow filter; no per-group sort exists at any scale. Bounds are
-    * rounded to 4 decimals so the comparison is engine-portable. */
+    * rounded to 4 decimals so the comparison is engine-portable.
+    *
+    * Memory caveat: Spark's EXACT `percentile` aggregate buffers a whole
+    * group's values in its aggregation state — fine while a group's row
+    * count fits an executor, unbounded for a dominant source at corpus
+    * scale. [[lengthGateSketched]] is the bounded-memory variant. */
   def lengthGate(docs: DataFrame, textCol: String, idCol: String,
                  groupCol: String, loQ: Double = 0.05,
                  hiQ: Double = 0.95): DataFrame = {
@@ -203,6 +208,43 @@ object Curation {
     val bounds = measured.groupBy(col(groupCol))
       .agg(round(percentile(col("n_tok"), lit(loQ)), 4).as("lo"),
         round(percentile(col("n_tok"), lit(hiQ)), 4).as("hi"))
+    gateAgainst(measured, groupCol, bounds)
+  }
+
+  /** [[lengthGate]] with BOUNDED memory at any group size: the bounds are
+    * exact order statistics over each group's deterministic bottom-`k`
+    * md5-uniform sample ([[Sketches.bottomKQuantiles]]'s substrate —
+    * mergeable, map-side WindowGroupLimit, ≤ k rows per group ever held),
+    * instead of the exact-percentile aggregate whose state grows with the
+    * group. The gate itself is identical; bounds converge to the exact
+    * ones at O(1/√k). Deterministic: same corpus, same verdicts, any
+    * partitioning. */
+  def lengthGateSketched(docs: DataFrame, textCol: String, idCol: String,
+                         groupCol: String, k: Int = 4096,
+                         salt: String = "graft-quant"): DataFrame = {
+    val ntok = TextFunctions.tokenCount(col(textCol)).cast("long")
+    val measured = graft.ops.Caches.track(
+      docs.select(col(idCol), col(groupCol), ntok.as("n_tok")))
+    val u = hashUniform(col(idCol), salt)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(u, col(idCol).cast("string"))
+    val sample = measured
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
+    // the 5%/95% band as pure-integer ceil indices over the sample
+    // (ceil(q·n) = (q_num·n + q_den − 1) div q_den; see Sketches)
+    val bounds = sample.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"), sort_array(collect_list(col("n_tok"))).as("__vs"))
+      .select(col(groupCol),
+        element_at(col("__vs"),
+          expr("(__n + 19) div 20").cast("int")).cast("double").as("lo"),
+        element_at(col("__vs"),
+          expr("(__n * 19 + 19) div 20").cast("int")).cast("double").as("hi"))
+    gateAgainst(measured, groupCol, bounds)
+  }
+
+  private def gateAgainst(measured: DataFrame, groupCol: String,
+                          bounds: DataFrame): DataFrame = {
+    val idCol = measured.columns(0)
     measured.join(broadcast(bounds), Seq(groupCol))
       .filter(col("n_tok") >= col("lo") && col("n_tok") <= col("hi"))
       .select(col(idCol), col(groupCol), col("n_tok"), col("lo"), col("hi"))

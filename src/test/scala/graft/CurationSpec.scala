@@ -128,6 +128,39 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(!kept.contains(201L) && !kept.contains(210L))
   }
 
+  test("lengthGateSketched: exact order-stat bounds over the bottom-k sample") {
+    val synth = ((1 to 100).map(i => (i.toLong, "a", ("w " * 50).trim)) ++
+      Seq((101L, "a", "w"), (102L, "a", ("w " * 5000).trim)) ++
+      (1 to 10).map(i => (200L + i, "b", ("x " * i).trim))).toDF("doc_id", "source", "text")
+    // independent Scala oracle: same md5 ladder, bottom-16 per source,
+    // [ceil(n/20), ceil(19n/20)] order-stat band, then the filter
+    def u(id: Long): Double = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"graft-quant:$id".getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+        .toDouble / 4294967296.0
+    }
+    val rows = synth.as[(Long, String, String)].collect()
+      .map { case (id, src, text) =>
+        (id, src, if (text.trim.isEmpty) 0L else text.trim.split("\\s+").length.toLong) }
+    val bounds = rows.groupBy(_._2).map { case (src, rs) =>
+      val sample = rs.sortBy(r => (u(r._1), r._1.toString)).take(16).map(_._3).sorted
+      val n = sample.length
+      src -> (sample((n + 19) / 20 - 1), sample((19 * n + 19) / 20 - 1))
+    }
+    val expect = rows.collect { case (id, src, n) if {
+      val (lo, hi) = bounds(src); n >= lo && n <= hi } => id }.toSet
+    val got = Curation.lengthGateSketched(synth, "text", "doc_id", "source", k = 16)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == expect)
+    // deterministic under repartitioning
+    val again = Curation.lengthGateSketched(synth.repartition(13), "text",
+      "doc_id", "source", k = 16).select("doc_id").as[Long].collect().toSet
+    assert(again == got)
+    // the extreme outliers still fall outside the sketched band
+    assert(!got.contains(102L))
+  }
+
   test("lmBuckets is a partition per language with monotone score boundaries") {
     val out = Curation.lmBuckets(docs, "text", "doc_id", "lang")
       .select(col("doc_id"), col("lang"), col("nll"), col("bucket"))
