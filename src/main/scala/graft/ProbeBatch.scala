@@ -17,6 +17,7 @@ import org.apache.spark.sql.functions._
 object ProbeBatch {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val scales = if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 10)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
@@ -42,7 +43,7 @@ object ProbeBatch {
       .select(col("doc_id"), col("source").as("k"),
         col("n_chars").cast("double").as("v"))
 
-    for (scale <- Seq(1, 10)) {
+    for (scale <- scales) {
       println(s"--- scale ${scale}x")
       val src = (0 until scale).map(i =>
           base.select((col("doc_id") + lit(i.toLong * 10000000L)).cast("string").as("id"),
