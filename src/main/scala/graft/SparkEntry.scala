@@ -897,6 +897,28 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_err"), round(sum(col("err_value")), 2).as("sum_err"))
     }),
 
+    // LEFT-OUTER stream-stream interval join: signups with NO error inside
+    // the hour window surface as n_err = 0 rows once the watermark closes
+    // their window (state-store eviction emits the null-extended row);
+    // signups whose window is still open at stream end stay buffered —
+    // the durable resume semantics — so the drained set is matches plus
+    // closed-window misses, both oracle-derivable
+    "events_join_stream_outer" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("us", expr("ts div 1000"))
+      val su = ev.filter(col("event_type") === "signup")
+        .select(col("event_id"), col("user_id"), col("us"))
+      val er = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("us").as("ets"), col("value").as("err_value"))
+      def tmp(p: String) = graft.core.TempDirs.register(
+        java.nio.file.Files.createTempDirectory(p)).toString
+      graft.streaming.StreamJoins.intervalJoinLeftOuterDrained(su, er, "user_id",
+          "us", "ets", window = "1 HOUR", watermarkDelay = "1 hour",
+          tmp("graft_ssjo_l"), tmp("graft_ssjo_r"))
+        .groupBy(col("event_id"))
+        .agg(count(col("err_value")).as("n_err"),
+          round(sum(col("err_value")), 2).as("sum_err"))
+    }),
+
     // Schema-on-read JSON sidecar extraction: parse the props column with
     // an explicit DDL schema (from_json — codegen'd, no UDF, no inference
     // scan) and aggregate the typed field per event_type
@@ -3587,6 +3609,29 @@ object SparkEntry {
            FROM su JOIN er ON su.user_id = er.user_id
              AND er.ets BETWEEN su.us AND su.us + 3600000000
            GROUP BY su.event_id""",
+      // matches ∪ closed-window misses: an unmatched signup emits its
+      // n_err = 0 row iff the final watermark (min of both sides' max
+      // event time − 1 h delay) passed its window end
+      "events_join_stream_outer" ->
+        """WITH su AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us
+                       FROM events WHERE event_type = 'signup'),
+           er AS (SELECT user_id, epoch_ns(ts) // 1000 AS ets, value FROM events
+                  WHERE event_type = 'error'),
+           wm AS (SELECT least((SELECT max(us) FROM su),
+                               (SELECT max(ets) FROM er))
+                    - 3600000000 AS w),
+           m AS (SELECT su.event_id, count(*) AS n_err,
+                   round(sum(er.value), 2) AS sum_err
+                 FROM su JOIN er ON su.user_id = er.user_id
+                   AND er.ets BETWEEN su.us AND su.us + 3600000000
+                 GROUP BY su.event_id)
+           SELECT * FROM m
+           UNION ALL
+           SELECT su.event_id, CAST(0 AS BIGINT) AS n_err,
+             CAST(NULL AS DOUBLE) AS sum_err
+           FROM su CROSS JOIN wm
+           WHERE su.event_id NOT IN (SELECT event_id FROM m)
+             AND su.us + 3600000000 < wm.w""",
       "events_hourly_stream" ->
         """SELECT CAST(epoch_ns(ts) // 3600000000000 * 3600 AS BIGINT) AS hour,
            event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value

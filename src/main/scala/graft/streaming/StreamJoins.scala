@@ -58,4 +58,43 @@ object StreamJoins {
       StatefulSessions.drainAppendToFrame(joined, "stream_join")
     }
   }
+
+  /** LEFT-OUTER stream-stream interval join: matches emit like the inner
+    * join; an UNMATCHED left row emits null-extended only once the
+    * watermark proves no matching right row can still arrive (the state
+    * store evicts it). Under an AvailableNow drain the final watermark is
+    * `min(max leftTs, max rightTs) − delay`, so unmatched rows whose
+    * window is still open at stream end stay buffered and do NOT emit —
+    * exactly the durable semantics a resumed stream needs (they emit when
+    * later data advances the watermark). The drained frame is therefore
+    * the inner matches plus null rows for lefts whose window closed under
+    * the final watermark — a deterministic, oracle-checkable set. */
+  def intervalJoinLeftOuterDrained(left: DataFrame, right: DataFrame, key: String,
+                                   leftTs: String, rightTs: String, window: String,
+                                   watermarkDelay: String,
+                                   leftDir: String, rightDir: String): DataFrame = {
+    val spark = left.sparkSession
+    StatefulSessions.stageOrderedFiles(spark, Paths.get(leftDir), left, Seq.empty)
+    StatefulSessions.stageOrderedFiles(spark, Paths.get(rightDir), right, Seq.empty)
+
+    graft.core.BatchConf.withBatchTuning(spark) {
+      val l = spark.readStream.schema(left.schema)
+        .option("pathGlobFilter", "*.parquet").parquet(leftDir)
+        .withColumn("__lt", expr(s"timestamp_micros(`$leftTs`)"))
+        .withWatermark("__lt", watermarkDelay)
+      val r = spark.readStream.schema(right.schema)
+        .option("pathGlobFilter", "*.parquet").parquet(rightDir)
+        .withColumnRenamed(key, "__rk")
+        .withColumn("__rt", expr(s"timestamp_micros(`$rightTs`)"))
+        .withWatermark("__rt", watermarkDelay)
+
+      val joined = l.join(r,
+        col(key) === col("__rk") &&
+          col("__rt") >= col("__lt") &&
+          col("__rt") <= col("__lt") + expr(s"INTERVAL $window"),
+        "left_outer")
+        .drop("__rk", "__lt", "__rt")
+      StatefulSessions.drainAppendToFrame(joined, "stream_left_join")
+    }
+  }
 }

@@ -35,4 +35,32 @@ class StreamJoinsSpec extends AnyFunSuite with SparkTestBase {
 
     assert(streamed == batch && batch.nonEmpty)
   }
+
+  test("left-outer drain: matches, closed-window misses, open misses withheld") {
+    // final watermark = min(max sts, max ets) − delay = min(95, 104) − 1
+    //                 = minute 94 (B-based micros)
+    val signups = Seq(
+      (1L, 100L, 10L),  // matched (errors at 12, 20)
+      (2L, 300L, 10L),  // miss, window [10, 20] closed before wm 94 → emits
+      (3L, 300L, 90L),  // miss, window [90, 100] OPEN at wm 94 → withheld
+      (4L, 100L, 95L))  // matched at 95 and 104 (window [95, 105])
+      .toDF("sid", "uid", "mins")
+      .select(col("sid"), col("uid"), (col("mins") * 60000000L + B).as("sts"))
+    val errors = Seq(
+      (100L, 12L, "a"), (100L, 20L, "b"), (100L, 95L, "d"), (100L, 104L, "e"))
+      .toDF("uid", "mins", "tag")
+      .select(col("uid"), (col("mins") * 60000000L + B).as("ets"), col("tag"))
+
+    val out = StreamJoins.intervalJoinLeftOuterDrained(signups, errors, "uid",
+        "sts", "ets", window = "10 MINUTES", watermarkDelay = "1 minute",
+        tmpDir(), tmpDir())
+      .select(col("sid"), col("tag")).as[(Long, Option[String])].collect()
+    val bySid = out.groupBy(_._1).view.mapValues(_.flatMap(_._2).toSet).toMap
+    assert(bySid(1L) == Set("a", "b"))
+    assert(bySid(4L) == Set("d", "e"))
+    assert(bySid.get(2L).contains(Set.empty[String]),
+      "a closed-window miss must emit its null row")
+    assert(!bySid.contains(3L),
+      "an open-window miss must stay buffered (resume semantics)")
+  }
 }
