@@ -550,6 +550,28 @@ class BucketedIncrSpec extends AnyFunSuite with SparkTestBase {
         Seq(Change(1, Change.Updated, "src", "a")), 1L, batchId = 1L,
         expectedSeq = Map(("src", "a") -> 0L))
     }
+
+    // the DISTRIBUTED path keeps the ledger current too: an over-ceiling
+    // backlog stamps its newest seq per id, so a writer who read before
+    // the backlog conflicts against the backlog's revision
+    data = srcDf(("a", "k1", 50.0))
+    val backlog = (20L to 45L)
+      .map(i => Change(i, Change.Updated, "src", "a")).toDS()
+    BucketedRun.applyChanges(pipeline, sources, store, backlog,
+      8L, batchId = 8L, maxBatchSize = 5)
+    assert(reduced(store) == Map("k1" -> 50.0, "k2" -> 9.0))
+    val ex4 = intercept[BucketedRun.WriteConflict] {
+      BucketedRun.applyChanges(spark, pipeline, sources, store,
+        Seq(Change(50, Change.Updated, "src", "a")), 9L, batchId = 9L,
+        expectedSeq = Map(("src", "a") -> 10L))
+    }
+    assert(ex4.conflicts == Seq(("src", "a", 10L, 45L)))
+    // and the correctly-read writer (expects the backlog's 45) applies
+    data = srcDf(("a", "k1", 51.0))
+    BucketedRun.applyChanges(spark, pipeline, sources, store,
+      Seq(Change(50, Change.Updated, "src", "a")), 10L, batchId = 10L,
+      expectedSeq = Map(("src", "a") -> 45L))
+    assert(reduced(store) == Map("k1" -> 51.0, "k2" -> 9.0))
   }
 
   test("property: random batches — distributed path ≡ driver path ≡ recompute") {
