@@ -1253,6 +1253,20 @@ object SparkEntry {
       Components.survivorsFromLabels(docs, "doc_id", merged).select(col("doc_id"))
     }),
 
+    // Quality-keyed resolution: keep the LONGEST member of each near-dup
+    // cluster (ties → smallest id) instead of the smallest id — the
+    // FineWeb/RefinedWeb convention of preserving the best copy. Same
+    // pair/component machinery; the winner pick is one integral argmax
+    // per cluster over the (small) member set
+    "dedup_resolve_quality" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = DocDedup.nearDupPairs(docs, "text", "doc_id",
+        threshold = 0.8, numHashes = 32, bands = 8, maxBucketSize = 10000)
+      Components.survivorsByKey(docs, "doc_id", pairs,
+        d => length(d("text")).cast("long"))
+        .select(col("doc_id"))
+    }),
+
     // Same resolution over the EMBEDDING near-dup pair family: cosine
     // pairs → components → one vector per cluster
     "embed_neardup_resolve" -> ((s, dir) => {
@@ -1322,6 +1336,32 @@ object SparkEntry {
       val gatedDocs = filtered.join(gated.select(col("doc_id")), Seq("doc_id"))
       Curation.mixByTemperature(gatedDocs, "doc_id", "text", "source",
         alpha = 0.7, frac = 0.5)
+    }),
+
+    // Curation OBSERVABILITY: per-document audit trail — the FIRST gate
+    // that rejected each doc (near-dup loser → language → quality), the
+    // provenance record a pipeline publishes alongside its output (the
+    // FineWeb-style filtering funnel). Same gates as pipeline_filter, but
+    // kept rows become 'pass' and dropped rows say WHY
+    "pipeline_audit" -> ((s, dir) => pipelineAudit(s, dir)),
+
+    // The funnel itself: documents remaining after each successive stage —
+    // four control rows derived from one pass over the audit frame
+    "pipeline_funnel" -> ((s, dir) => {
+      val a = pipelineAudit(s, dir).agg(
+        count(lit(1)).as("n0"),
+        sum(when(col("stage") =!= "dup", 1L).otherwise(0L)).as("n1"),
+        sum(when(col("stage") =!= "dup" && col("stage") =!= "lang", 1L)
+          .otherwise(0L)).as("n2"),
+        sum(when(col("stage") === "pass", 1L).otherwise(0L)).as("n3"))
+      a.select(explode(array(
+          struct(lit(0L).as("ord"), lit("ingest").as("stage"), col("n0").as("remaining")),
+          struct(lit(1L).as("ord"), lit("dedup").as("stage"), col("n1").as("remaining")),
+          struct(lit(2L).as("ord"), lit("lang").as("stage"), col("n2").as("remaining")),
+          struct(lit(3L).as("ord"), lit("quality").as("stage"), col("n3").as("remaining"))))
+          .as("f"))
+        .select(col("f.ord").as("ord"), col("f.stage").as("stage"),
+          col("f.remaining").as("remaining"))
     }),
 
     // SimHash hamming near-dup pairs. The md5-nibble signature variant is
@@ -1642,6 +1682,68 @@ object SparkEntry {
     "text_quality" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         round(TextFunctions.qualityScore(col("text")), 2).as("quality"))),
+
+    // TRAINED quality probe: exact closed-form least squares of an
+    // en/not-en pseudo-label on (token count, stopword hits) — train once
+    // per dir (one 9-moment aggregate + BigInt Cramer on the driver),
+    // serve weights / per-doc scores / the induced filter's confusion
+    // matrix. All-integer end to end (graft.text.Probe).
+    "quality_probe_weights" -> ((s, dir) =>
+      graft.text.Probe.weightsFrame(s, probeModel(s, dir))),
+    "quality_probe_score" -> ((s, dir) =>
+      graft.text.Probe.score(t(s, dir, "documents"), probeModel(s, dir),
+        "text", "doc_id")),
+    "quality_probe_eval" -> ((s, dir) =>
+      graft.text.Probe.confusion(graft.text.Probe.score(
+        t(s, dir, "documents"), probeModel(s, dir), "text", "doc_id"))),
+
+    // MAINTAINED probe training: the nine moments are abelian integer
+    // sums, so model state folds create/update/delete batches exactly —
+    // bootstrap (base ∪ phantoms), then +delta −phantoms must equal the
+    // one-shot retrain bit for bit (same oracle as quality_probe_weights).
+    // The 100 TB shape: a model refresh touches ONLY the delta batch
+    "quality_probe_incr" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val phantoms = docs.filter(col("doc_id") % 7 === 1)
+        .withColumn("text", concat(col("text"), lit(" zzzphantom")))
+      val boot = graft.text.Probe.moments(
+        docs.filter(col("doc_id") % 3 =!= 0).unionByName(phantoms),
+        "text", "doc_id")
+      val maintained = boot +
+        graft.text.Probe.moments(docs.filter(col("doc_id") % 3 === 0),
+          "text", "doc_id") -
+        graft.text.Probe.moments(phantoms, "text", "doc_id")
+      graft.text.Probe.weightsFrame(s, graft.text.Probe.solve(maintained))
+    }),
+
+    // STREAM-maintained probe training: drain the corpus as a real file
+    // stream, fold each micro-batch's distributed moment aggregate into
+    // the 9-long model state (control data), solve once at the end —
+    // must equal the batch retrain (same oracle)
+    "quality_probe_stream" -> ((s, dir) => {
+      val w = probeStreamCache.getOrElseUpdate(dir, {
+        val streamDir = graft.core.TempDirs.register(
+          java.nio.file.Files.createTempDirectory("graft_probe_in")).toString
+        t(s, dir, "documents").select(col("doc_id"), col("text"), col("lang"))
+          .repartition(4).write.mode("overwrite").parquet(streamDir)
+        var acc = graft.text.Probe.Moments(0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+        var lastId = -1L
+        val q = s.readStream.schema(s.read.parquet(streamDir).schema)
+          .option("maxFilesPerTrigger", "1").parquet(streamDir)
+          .writeStream
+          .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+            if (id > lastId) { // exactly-once fold on replay
+              acc = acc + graft.text.Probe.moments(b.toDF(), "text", "doc_id")
+              lastId = id
+            }
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        graft.text.Probe.solve(acc)
+      })
+      graft.text.Probe.weightsFrame(s, w)
+    }),
 
     // Rolling-hash document fingerprint (xxhash64-based — rows-only)
     // Rolling document fingerprint — the md5-chain variant is re-derivable
@@ -2868,6 +2970,36 @@ object SparkEntry {
     orderGroupCount.getOrElseUpdate(dir,
       t(s, dir, "lineitem").select(col("l_orderkey")).distinct().count())
 
+  /** Shared audit frame for pipeline_audit / pipeline_funnel: (doc_id,
+    * stage) where stage is the first failing curation gate ('dup' near-dup
+    * loser, 'lang', 'quality') or 'pass'. Gate order and thresholds match
+    * pipeline_filter exactly — audit('pass') ≡ pipeline_filter's keep set. */
+  private def pipelineAudit(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = DocDedup.nearDupPairs(docs, "text", "doc_id",
+      threshold = 0.8, numHashes = 32, bands = 8, maxBucketSize = 10000)
+    val labels = Components.connectedComponents(pairs, "id_a", "id_b")
+      .select(col("id").as("__cc_id"), col("cluster").as("__cc_cluster"))
+    docs.join(labels, docs("doc_id") === col("__cc_id"), "left")
+      .select(col("doc_id"),
+        when(col("__cc_id").isNotNull && col("__cc_cluster") =!= col("doc_id"),
+          lit("dup"))
+          .when(TextFunctions.langId(col("text")) =!= "en", lit("lang"))
+          .when(TextFunctions.qualityScore(col("text")) < 0.55, lit("quality"))
+          .otherwise(lit("pass")).as("stage"))
+  }
+
+  /** Fitted quality-probe weights per scale dir — train once, score many. */
+  private val probeModelCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.text.Probe.Weights]
+  private def probeModel(s: SparkSession, dir: String): graft.text.Probe.Weights =
+    probeModelCache.getOrElseUpdate(dir,
+      graft.text.Probe.fit(t(s, dir, "documents"), "text", "doc_id"))
+
+  /** Stream-trained probe weights per dir (quality_probe_stream). */
+  private val probeStreamCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.text.Probe.Weights]
+
   /** BPE merge model per scale dir — train once, encode many. */
   private val bpeModelCache =
     scala.collection.concurrent.TrieMap.empty[String, Seq[Bpe.Merge]]
@@ -2980,6 +3112,33 @@ object SparkEntry {
   def oracleSql: Map[String, String] = {
     // shared DuckDB snippets replicating TextFunctions' tokenization
     val toks = raw"string_split_regex(trim(lower(text)), '\s+')"
+    // graft.text.Probe's exact normal-equation solve: integer features,
+    // HUGEINT moments, Sarrus determinants, truncated // (matches BigInt /).
+    // Shared by the quality_probe_* oracles.
+    val probeSolve =
+      s"""d AS (SELECT doc_id,
+              CASE WHEN lang = 'en' THEN 1 ELSE 0 END::BIGINT AS y,
+              (CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len($toks) END)::BIGINT AS x1,
+              len(list_filter($toks,
+                t -> t IN ('the', 'a', 'of', 'and', 'is', 'to', 'in')))::BIGINT AS x2
+            FROM documents),
+          m AS (SELECT count(*)::HUGEINT AS n,
+              sum(x1)::HUGEINT AS s1, sum(x2)::HUGEINT AS s2,
+              sum(x1 * x1)::HUGEINT AS s11, sum(x1 * x2)::HUGEINT AS s12,
+              sum(x2 * x2)::HUGEINT AS s22, sum(y)::HUGEINT AS sy,
+              sum(y * x1)::HUGEINT AS sy1, sum(y * x2)::HUGEINT AS sy2
+            FROM d),
+          w AS (SELECT n,
+              (n * (s11*s22 - s12*s12) - s1 * (s1*s22 - s12*s2)
+                 + s2 * (s1*s12 - s11*s2)) AS det,
+              (sy * (s11*s22 - s12*s12) - s1 * (sy1*s22 - s12*sy2)
+                 + s2 * (sy1*s12 - s11*sy2)) AS det0,
+              (n * (sy1*s22 - s12*sy2) - sy * (s1*s22 - s12*s2)
+                 + s2 * (s1*sy2 - sy1*s2)) AS det1,
+              (n * (s11*sy2 - sy1*s12) - s1 * (s1*sy2 - sy1*s2)
+                 + sy * (s1*s12 - s11*s2)) AS det2
+            FROM m)"""
     // BPE training replay — ONE copy shared by text_bpe_merges and
     // text_bpe_encode (mirrors the single bpeModel per dir on the Spark
     // side). w0 is the corpus's word-frequency table with each word
@@ -3735,6 +3894,28 @@ object SparkEntry {
             lab AS (SELECT id, min(reach) AS m FROM walk GROUP BY id)
             SELECT d.doc_id FROM documents d LEFT JOIN lab ON d.doc_id = lab.id
             WHERE lab.id IS NULL OR lab.m >= d.doc_id""",
+      "dedup_resolve_quality" ->
+        s"""WITH RECURSIVE sh AS (SELECT doc_id, $shingles AS s FROM documents),
+            p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                  WHERE len(list_intersect(a.s, b.s))::DOUBLE
+                    / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+            e AS (SELECT id_a AS src, id_b AS dst FROM p
+                  UNION SELECT id_b, id_a FROM p),
+            walk(id, reach) AS (
+              SELECT src, dst FROM e
+              UNION
+              SELECT w.id, e2.dst FROM walk w JOIN e e2 ON w.reach = e2.src),
+            lab AS (SELECT id, least(id, min(reach)) AS comp
+                    FROM walk GROUP BY id),
+            win AS (SELECT comp, min(struct_pack(nk := -length(d.text),
+                      id := d.doc_id)).id AS win_id
+                    FROM lab JOIN documents d ON lab.id = d.doc_id
+                    GROUP BY comp)
+            SELECT d.doc_id FROM documents d
+            LEFT JOIN lab ON d.doc_id = lab.id
+            LEFT JOIN win ON d.doc_id = win.win_id
+            WHERE lab.id IS NULL OR win.win_id IS NOT NULL""",
       "embed_neardup_resolve" ->
         """WITH RECURSIVE ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
            p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
@@ -3773,6 +3954,68 @@ object SparkEntry {
             WHERE NOT (en = 0 AND es = 0 AND fr = 0 AND de = 0 AND zh = 0)
               AND en >= es AND en >= fr AND en >= de AND en >= zh
               AND ($qualityExpr) >= 0.55""",
+      "pipeline_audit" ->
+        s"""WITH RECURSIVE sh AS (SELECT doc_id, $shingles AS s FROM documents),
+            p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                  WHERE len(list_intersect(a.s, b.s))::DOUBLE
+                    / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+            ed AS (SELECT id_a AS src, id_b AS dst FROM p
+                   UNION SELECT id_b, id_a FROM p),
+            walk(id, reach) AS (
+              SELECT src, dst FROM ed
+              UNION
+              SELECT w.id, e2.dst FROM walk w JOIN ed e2 ON w.reach = e2.src),
+            lab AS (SELECT id, min(reach) AS m FROM walk GROUP BY id),
+            a AS (SELECT d.doc_id, d.text,
+                    (lab.id IS NOT NULL AND lab.m < d.doc_id) AS isdup
+                  FROM documents d LEFT JOIN lab ON d.doc_id = lab.id),
+            h AS (SELECT doc_id, text, isdup, ${langHits("en")} AS en,
+                  ${langHits("es")} AS es, ${langHits("fr")} AS fr,
+                  ${langHits("de")} AS de, ${langHits("zh")} AS zh FROM a)
+            SELECT doc_id, CASE
+              WHEN isdup THEN 'dup'
+              WHEN (en = 0 AND es = 0 AND fr = 0 AND de = 0 AND zh = 0)
+                OR NOT (en >= es AND en >= fr AND en >= de AND en >= zh)
+                THEN 'lang'
+              WHEN ($qualityExpr) < 0.55 THEN 'quality'
+              ELSE 'pass' END AS stage
+            FROM h""",
+      "pipeline_funnel" ->
+        s"""WITH RECURSIVE sh AS (SELECT doc_id, $shingles AS s FROM documents),
+            p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                  WHERE len(list_intersect(a.s, b.s))::DOUBLE
+                    / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+            ed AS (SELECT id_a AS src, id_b AS dst FROM p
+                   UNION SELECT id_b, id_a FROM p),
+            walk(id, reach) AS (
+              SELECT src, dst FROM ed
+              UNION
+              SELECT w.id, e2.dst FROM walk w JOIN ed e2 ON w.reach = e2.src),
+            lab AS (SELECT id, min(reach) AS m FROM walk GROUP BY id),
+            a AS (SELECT d.doc_id, d.text,
+                    (lab.id IS NOT NULL AND lab.m < d.doc_id) AS isdup
+                  FROM documents d LEFT JOIN lab ON d.doc_id = lab.id),
+            h AS (SELECT doc_id, text, isdup, ${langHits("en")} AS en,
+                  ${langHits("es")} AS es, ${langHits("fr")} AS fr,
+                  ${langHits("de")} AS de, ${langHits("zh")} AS zh FROM a),
+            st AS (SELECT doc_id, CASE
+                WHEN isdup THEN 'dup'
+                WHEN (en = 0 AND es = 0 AND fr = 0 AND de = 0 AND zh = 0)
+                  OR NOT (en >= es AND en >= fr AND en >= de AND en >= zh)
+                  THEN 'lang'
+                WHEN ($qualityExpr) < 0.55 THEN 'quality'
+                ELSE 'pass' END AS stage
+              FROM h)
+            SELECT 0::BIGINT AS ord, 'ingest' AS stage,
+                   count(*)::BIGINT AS remaining FROM st
+            UNION ALL SELECT 1::BIGINT, 'dedup', count(*)::BIGINT
+              FROM st WHERE stage != 'dup'
+            UNION ALL SELECT 2::BIGINT, 'lang', count(*)::BIGINT
+              FROM st WHERE stage NOT IN ('dup', 'lang')
+            UNION ALL SELECT 3::BIGINT, 'quality', count(*)::BIGINT
+              FROM st WHERE stage = 'pass'""",
       "pipeline_curate" -> {
         def nib(k: Int) =
           s"(strpos('0123456789abcdef', substr(h, $k, 1)) - 1)::BIGINT"
@@ -4081,6 +4324,49 @@ object SparkEntry {
               WHEN de >= zh THEN 'de' ELSE 'zh' END AS lang_pred FROM h""",
       "text_quality" ->
         s"SELECT doc_id, round($qualityExpr, 2) AS quality FROM documents",
+      "quality_probe_weights" ->
+        s"""WITH $probeSolve
+            SELECT CAST(det0 * 1000000000 // det AS BIGINT) AS w0_nano,
+                   CAST(det1 * 1000000000 // det AS BIGINT) AS w1_nano,
+                   CAST(det2 * 1000000000 // det AS BIGINT) AS w2_nano,
+                   CAST(n AS BIGINT) AS n
+            FROM w""",
+      // maintained ≡ rebuilt: both maintained paths must equal the
+      // one-shot retrain over the final corpus state
+      "quality_probe_incr" ->
+        s"""WITH $probeSolve
+            SELECT CAST(det0 * 1000000000 // det AS BIGINT) AS w0_nano,
+                   CAST(det1 * 1000000000 // det AS BIGINT) AS w1_nano,
+                   CAST(det2 * 1000000000 // det AS BIGINT) AS w2_nano,
+                   CAST(n AS BIGINT) AS n
+            FROM w""",
+      "quality_probe_stream" ->
+        s"""WITH $probeSolve
+            SELECT CAST(det0 * 1000000000 // det AS BIGINT) AS w0_nano,
+                   CAST(det1 * 1000000000 // det AS BIGINT) AS w1_nano,
+                   CAST(det2 * 1000000000 // det AS BIGINT) AS w2_nano,
+                   CAST(n AS BIGINT) AS n
+            FROM w""",
+      "quality_probe_score" ->
+        s"""WITH $probeSolve
+            SELECT doc_id,
+              CAST(det0 * 1000000000 // det AS BIGINT)
+                + CAST(det1 * 1000000000 // det AS BIGINT) * x1
+                + CAST(det2 * 1000000000 // det AS BIGINT) * x2 AS pred_nano,
+              y
+            FROM d CROSS JOIN w""",
+      "quality_probe_eval" ->
+        s"""WITH $probeSolve,
+            sc AS (SELECT y, CASE WHEN
+                (CAST(det0 * 1000000000 // det AS BIGINT)
+                 + CAST(det1 * 1000000000 // det AS BIGINT) * x1
+                 + CAST(det2 * 1000000000 // det AS BIGINT) * x2) * 2
+                >= 1000000000 THEN 1 ELSE 0 END::BIGINT AS p
+              FROM d CROSS JOIN w)
+            SELECT sum(p * y)::BIGINT AS tp, sum(p * (1 - y))::BIGINT AS fp,
+                   sum((1 - p) * y)::BIGINT AS fn,
+                   sum((1 - p) * (1 - y))::BIGINT AS tn
+            FROM sc""",
       "mm_meta" ->
         """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
            md5(text) AS checksum FROM documents""",

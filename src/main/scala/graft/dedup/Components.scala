@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Near-dup RESOLUTION: candidate pairs → connected components → one
@@ -192,4 +192,35 @@ object Components {
     // near-dup appear), but data-dependent — AQE sees its runtime size at
     // the join and picks broadcast when it fits
     survivorsFromLabels(docs, idCol, connectedComponents(pairs, aCol, bCol))
+
+  /** Resolution that keeps the BEST cluster member rather than the smallest
+    * id: per cluster the doc maximizing `key(docs)` wins, ties broken by
+    * smallest id — the FineWeb/RefinedWeb convention of keeping the longest
+    * (or highest-quality-scored) copy of a near-dup family instead of an
+    * arbitrary one. `key` must be an integral column (exact cross-engine
+    * argmax; a double key's ties are platform-shaped).
+    *
+    * Plan shape: the component map covers only docs that appear in a pair,
+    * so the winner aggregate runs over that small set — one groupBy on
+    * cluster ids — and joins back to the corpus exactly like [[survivors]]
+    * (AQE broadcasts the map when it fits). Keeps `docs`' full schema. */
+  def survivorsByKey(docs: DataFrame, idCol: String, pairs: DataFrame,
+                     key: DataFrame => Column,
+                     aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val labels = connectedComponents(pairs, aCol, bCol)
+      .select(col("id").as("__cc_id"), col("cluster").as("__cc_cluster"))
+    val members = docs.join(labels, docs(idCol) === col("__cc_id"))
+    // argmax(key) with min-id tie-break as one min(struct(-key, id)):
+    // integral key ⇒ negation is exact and the struct order IS the rank
+    val winners = members
+      .groupBy(col("__cc_cluster"))
+      .agg(min(struct((-key(docs)).as("__nk"), docs(idCol).cast("long").as("__id")))
+        .as("__best"))
+      .select(col("__best.__id").as("__win_id"))
+    val winSet = winners.select(col("__win_id"))
+    docs.join(labels, docs(idCol) === col("__cc_id"), "left")
+      .join(winSet, docs(idCol) === col("__win_id"), "left")
+      .filter(col("__cc_id").isNull || col("__win_id").isNotNull)
+      .drop("__cc_id", "__cc_cluster", "__win_id")
+  }
 }

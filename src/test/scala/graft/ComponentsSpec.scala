@@ -131,4 +131,33 @@ class ComponentsSpec extends AnyFunSuite with SparkTestBase {
     assert(out.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 7L, 10L))
     graft.ops.Caches.release()
   }
+
+  test("survivorsByKey keeps the best-keyed member, ties to smallest id") {
+    val docs = Seq(
+      (1L, "aa"), (2L, "aaaa"), (3L, "a"),  // cluster: 2 wins on length
+      (7L, "unique"),                       // singleton -> keep
+      (10L, "bb"), (11L, "bb"), (12L, "b")  // tie 10 vs 11 -> smaller id 10
+    ).toDF("doc_id", "text")
+    val out = Components.survivorsByKey(docs, "doc_id",
+      pairs((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L)),
+      d => length(d("text")).cast("long"))
+    assert(out.columns.toSeq == Seq("doc_id", "text"))
+    assert(out.select("doc_id").as[Long].collect().sorted.toSeq == Seq(2L, 7L, 10L))
+    graft.ops.Caches.release()
+  }
+
+  test("survivorsByKey with id as the inverted key equals min-id survivors") {
+    val docs = sf("documents").limit(200).cache()
+    val ps = graft.dedup.DocDedup.nearDupPairs(docs, "text", "doc_id",
+      threshold = 0.8, numHashes = 32, bands = 8, maxBucketSize = 10000)
+      .cache()
+    val byKey = Components.survivorsByKey(docs, "doc_id", ps,
+      d => -d("doc_id")) // "best" = smallest id, so both paths must agree
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val classic = Components.survivors(docs, "doc_id", ps)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(byKey == classic)
+    ps.unpersist(); docs.unpersist()
+    graft.ops.Caches.release()
+  }
 }
