@@ -2314,6 +2314,35 @@ object SparkEntry {
     "text_count_of_counts" -> ((s, dir) =>
       LmCounts.countOfCounts(t(s, dir, "documents"), "text")),
 
+    // Zipf power-law diagnostics: exact least-squares slope/intercept of
+    // floor(log2 count) on floor(log2 rank) over the TOP-1024 tokens —
+    // the head fit that tells you whether a corpus's token distribution
+    // is natural or synthetic/duplicated. All integer: log2 buckets via
+    // length(bin(x))-1 (exact in both engines), head selection plans as
+    // TakeOrderedAndProject (never a vocab-wide single-partition window:
+    // the rank window runs over ≤ 1024 rows), and the 2-var normal
+    // equations solve IN-PLAN with `div` (≡ DuckDB `//`, both truncate)
+    "corpus_zipf" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").desc, col("token"))
+      val top = t(s, dir, "documents")
+        .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token")).limit(1024)
+      val pts = top.withColumn("rank", row_number().over(w))
+        .select((length(bin(col("rank").cast("long"))) - 1).cast("long").as("x"),
+          (length(bin(col("cnt"))) - 1).cast("long").as("y"))
+      pts.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"))
+        .select(
+          expr("(n * sxy - sx * sy) * 1000000000 div (n * sxx - sx * sx)")
+            .as("slope_nano"),
+          expr("(sy * sxx - sx * sxy) * 1000000000 div (n * sxx - sx * sx)")
+            .as("intercept_nano"),
+          col("n"))
+    }),
+
     // Trigram KN: raw-count discounting at the top order, interpolating
     // into the continuation-smoothed bigram model — the three-level
     // estimation stack. Two corpus-scale n-gram groupBys; every adjacent
@@ -4324,6 +4353,24 @@ object SparkEntry {
               WHEN de >= zh THEN 'de' ELSE 'zh' END AS lang_pred FROM h""",
       "text_quality" ->
         s"SELECT doc_id, round($qualityExpr, 2) AS quality FROM documents",
+      "corpus_zipf" ->
+        s"""WITH tc AS (SELECT t AS token, count(*)::BIGINT AS cnt
+              FROM (SELECT unnest($toks) AS t FROM documents) GROUP BY 1),
+            top AS (SELECT token, cnt FROM tc
+              ORDER BY cnt DESC, token LIMIT 1024),
+            r AS (SELECT cnt, row_number()
+                OVER (ORDER BY cnt DESC, token) AS rank FROM top),
+            pt AS (SELECT (length(bin(rank)) - 1)::BIGINT AS x,
+                (length(bin(cnt)) - 1)::BIGINT AS y FROM r),
+            m AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+                sum(y)::BIGINT AS sy, sum(x * x)::BIGINT AS sxx,
+                sum(x * y)::BIGINT AS sxy FROM pt)
+            SELECT (n * sxy - sx * sy) * 1000000000
+                     // (n * sxx - sx * sx) AS slope_nano,
+                   (sy * sxx - sx * sxy) * 1000000000
+                     // (n * sxx - sx * sx) AS intercept_nano,
+                   n
+            FROM m""",
       "quality_probe_weights" ->
         s"""WITH $probeSolve
             SELECT CAST(det0 * 1000000000 // det AS BIGINT) AS w0_nano,

@@ -282,4 +282,35 @@ class SketchesSpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, Long, Long)].collect().toSeq
     assert(merged == direct, "merged bottom-k must equal the direct sketch")
   }
+
+  test("corpus_zipf: exact head fit matches a plain-Scala recomputation") {
+    val zipf = SparkEntry.queries("corpus_zipf")
+    val got = zipf(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long)].collect()(0)
+    // plain-Scala replay: token counts → (cnt desc, token) head → floor-log2
+    // points → exact 2-var normal equations with truncated division
+    val counts = docs.select(col("text")).as[String].collect()
+      .flatMap(t0 => { val t = t0.trim.toLowerCase
+        if (t.isEmpty) Array("") else t.split("\\s+") })
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+    val top = counts.sortBy { case (tok, c) => (-c, tok) }.take(1024)
+    val pts = top.zipWithIndex.map { case ((_, c), i) =>
+      (BigInt(63 - java.lang.Long.numberOfLeadingZeros(i + 1L)),
+        BigInt(63 - java.lang.Long.numberOfLeadingZeros(c))) }
+    val n = BigInt(pts.size)
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val det = n * sxx - sx * sx
+    assert(det != 0)
+    val nano = BigInt(1000000000L)
+    val expected = (((n * sxy - sx * sy) * nano / det).toLong,
+      ((sy * sxx - sx * sxy) * nano / det).toLong, pts.size.toLong)
+    assert(got == expected)
+    // the head selection must plan as a per-partition top-k, not a
+    // vocab-wide single-partition sort
+    val plan = zipf(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
 }
