@@ -352,6 +352,20 @@ object SparkEntry {
         .withColumn("contact_info", to_json(col("contact_info")))
     }),
 
+    // B18: blob-file subresource GET — the client's raw-bytes read
+    // `get_blob(type, id, subresource)` (clients/qvarn.py:120-122; the
+    // vendored server's file subresources, realqvarn.py:41-45) through the
+    // URL path surface `/<type>/<id>/<sub>`: five point-GETs of the
+    // documents' payload blob, unioned (each row is one GET's bytes as hex)
+    "b18_blob" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("payload", encode(col("text"), "UTF-8"))
+      Seq(0L, 50L, 100L, 150L, 200L)
+        .map(id => QvarnUrl.getBlob(docs, s"/documents/$id/payload",
+          idField = "doc_id"))
+        .reduce(_ unionByName _)
+    }),
+
     // A11: count reduce
     "a11_reduce_count" -> ((s, dir) => {
       val st = IncrementalRun.recompute(ordersCountPipeline, sources(s, dir))
@@ -1411,29 +1425,40 @@ object SparkEntry {
       Similarity.dimensionDrift(t(s, dir, "embeddings"), "embedding",
         isA = col("vec_id") % 2 === 0)),
 
-    // LSH-bucketed ANN top-k (approximate — rows-only; recall tested in specs)
+    // LSH-bucketed ANN top-k over the md5 hyperplane family: approximate
+    // SEARCH, deterministic RESULT — candidates are exactly the pairs
+    // within hamming 1 of the query's bucket in one of the 2 tables, so
+    // the oracle re-derives the same buckets from its own md5 and the
+    // top-k hash-checks end to end (the xxhash64 lshTopK stays the
+    // throughput default, recall-pinned in DedupSimSpec). 2^8 buckets
+    // sized for the test corpora; at 100 TB raise nBits so bucket
+    // cardinality tracks corpus size
     "sim_topk_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") % 50 === 0)
-      // 2^8 buckets sized for the test corpora; at 100 TB raise nBits so
-      // bucket cardinality tracks corpus size
-      Similarity.lshTopK(e, q, "vec_id", "embedding", dim = 64, k = 5, nBits = 8)
+      Similarity.lshTopKMd5(e, q, "vec_id", "embedding", dim = 64, k = 5, nBits = 8)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank"))
     }),
 
-    // IVF ANN top-k (approximate — rows-only; recall tested in IvfSpec).
-    // The index is built ONCE per scale dir (train + assignment persisted
-    // partitioned by cell) and every invocation probes it — the build/search
-    // asymmetry is the point of IVF; a probe reads only the probed cells'
-    // partitions.
+    // IVF ANN top-k against the FIXED-centroid index (the sim_ivf_assign
+    // substrate): with fixed centroids the probed cells and their members
+    // are an exact function of the data, so the whole probe hash-checks —
+    // approximate only vs brute force (recall pinned in IvfSpec; trained
+    // k-means Ivf.buildIndex remains the production path). The index is
+    // built ONCE per scale dir (assignment persisted partitioned by cell)
+    // and every invocation probes it — a probe reads only the probed
+    // cells' partitions.
     "sim_topk_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") % 50 === 0)
-      val index = ivfIndexes.getOrElseUpdate(dir, Ivf.buildIndex(
-        e, "vec_id", "embedding",
+      val index = ivfIndexes.getOrElseUpdate(dir, Ivf.buildIndexWith(
+        fixedCentroids(s, dir), e, "vec_id", "embedding",
         graft.core.TempDirs.register(
-          java.nio.file.Files.createTempDirectory("graft_ivf_idx")).toString,
-        nCells = 16, iters = 2))
+          java.nio.file.Files.createTempDirectory("graft_ivf_idx")).toString))
       Ivf.probe(index, q, "vec_id", "embedding", k = 5, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank"))
     }),
 
     // LSH bucket assignment — the DETERMINISTIC substrate under the
@@ -1652,14 +1677,17 @@ object SparkEntry {
           round(col("cosine"), 6).as("cosine"))),
 
     // Embedding near-dup via LSH buckets — the scale path (approximate:
-    // cross-bucket pairs are missed; every returned pair is exact-verified.
-    // rows-only check; recall vs brute force asserted in DedupSimSpec)
+    // cross-bucket pairs are missed; every returned pair is exact-verified).
+    // md5 hyperplane family ⇒ the bucket partition and therefore the pair
+    // set are an exact function of the data — hash-checked against an
+    // oracle re-deriving the buckets (xxhash64 cosineNearDupPairs stays the
+    // throughput default, recall-pinned in DedupSimSpec)
     "embed_cos_neardup_lsh" -> ((s, dir) =>
-      // 2^3 buckets: sized for the test corpora (deterministic hashes, and
-      // single-table collision P at cosine 0.45 is ~(1-θ/π)^nBits ≈ 0.27,
-      // so tiny nBits keeps the driver's rows>0 check meaningful); at scale
-      // raise nBits with corpus size and union multiple tables for recall
-      Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+      // 2^3 buckets: sized for the test corpora (single-table collision P
+      // at cosine 0.45 is ~(1-θ/π)^nBits ≈ 0.27, so tiny nBits keeps the
+      // driver's check meaningful); at scale raise nBits with corpus size
+      // and union multiple tables for recall
+      Similarity.cosineNearDupPairsMd5(t(s, dir, "embeddings"), "vec_id", "embedding",
         dim = 64, threshold = 0.45, nBits = 3)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))),
 
@@ -1774,6 +1802,24 @@ object SparkEntry {
         .withColumn("blob", encode(col("text"), "UTF-8"))
       Multimodal.decodeFeatures(blobs, "doc_id", "blob")
         .select(col("doc_id"), col("byte_len"), col("dim1"), col("dim2"))
+    }),
+
+    // REAL container decode: each doc's UTF-8 bytes (even-truncated — PCM
+    // frames are 2 bytes) wrapped into an actual RIFF/WAVE container (fmt
+    // + JUNK + data chunks, built as binary-concat expressions inside
+    // codegen), then parsed back by the pure-JVM chunk-walking 16-bit-PCM
+    // WAV decoder (Multimodal.Wav — the decode seam's first real
+    // implementation; the JUNK chunk forces genuine chunk walking). The
+    // decoded sample statistics are exact integers, so the oracle
+    // recomputes them from the same bytes
+    "mm_decode_wav" -> ((s, dir) => {
+      val blobs = t(s, dir, "documents")
+        .withColumn("__b", encode(col("text"), "UTF-8"))
+        .withColumn("__pcm",
+          expr("substring(__b, 1, length(__b) - pmod(length(__b), 2))"))
+        .withColumn("blob", Multimodal.wavBlob(col("__pcm"),
+          sampleRate = 8000, channels = 1))
+      Multimodal.decodeWav(blobs, "doc_id", "blob")
     }),
 
     // Multimodal PERCEPTUAL-hash dedup: dHash-style gradient fingerprint
@@ -2899,14 +2945,16 @@ object SparkEntry {
     "graph_common_neighbors" -> ((s, dir) =>
       graft.graph.Graph.commonNeighborSim(copurchaseEdges(s, dir))),
 
-    // Connected components of the co-purchase graph — the same hybrid CC
-    // kernel the near-dup resolve uses (driver union-find under the
-    // control-data cutoff; O(log n) label propagation + pointer jumping
-    // above it, both property-tested equal): (node, cluster) with cluster
-    // = the component's smallest node id
+    // Connected components of the co-purchase graph. driverEdgeLimit = 0
+    // forces the DISTRIBUTED star-contraction loop (O(log n) label
+    // propagation + pointer jumping) so the scale path is what the oracle
+    // hash-checks — the driver union-find shortcut stays covered by
+    // ComponentsSpec's equality property: (node, cluster) with cluster =
+    // the component's smallest node id
     "graph_components" -> ((s, dir) =>
       graft.dedup.Components.connectedComponents(
-        copurchaseEdges(s, dir).select(col("p1"), col("p2")), "p1", "p2")),
+        copurchaseEdges(s, dir).select(col("p1"), col("p2")), "p1", "p2",
+        driverEdgeLimit = 0L)),
 
     // ---- behavioral time-series (events) --------------------------------
 
@@ -3476,6 +3524,9 @@ object SparkEntry {
                       FROM customer WHERE c_custkey % 3 <> 0) s
              ON c.c_custkey = s.id
            WHERE lower(c.c_mktsegment) = 'building' AND c.c_acctbal > 9000""",
+      "b18_blob" ->
+        """SELECT doc_id, hex(encode(text)) AS blob_hex FROM documents
+           WHERE doc_id IN (0, 50, 100, 150, 200)""",
       "a12_dedup_newest" ->
         """SELECT user_id, event_id, event_type, value FROM events
            QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""",
@@ -4217,6 +4268,108 @@ object SparkEntry {
       "sim_ivf_assign" ->
         s"""WITH $ivfAssignCtes
            SELECT vec_id, cell FROM asn""",
+      // md5-hyperplane LSH top-k: candidates = pairs within hamming 1 of
+      // the query's bucket in one of the two tables (seeds 0 and 8 — the
+      // Spark side's t * nBits family selectors), exact cosine + top-5
+      // within. The hyperplane CTE re-derives Similarity.md5Hyperplanes
+      "sim_topk_lsh" -> {
+        def nib(n: Int) =
+          s"(strpos('0123456789abcdef', substr(h, $n, 1)) - 1)"
+        s"""WITH hp AS (
+              SELECT s, i, list(comp ORDER BY j) AS hl FROM (
+                SELECT s, i, j,
+                  ((${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)})
+                    % 1001 - 500) / 500.0 AS comp
+                FROM (SELECT s, i, j, md5('lsh:' || s::VARCHAR || ':' ||
+                        i::VARCHAR || ':' || j::VARCHAR) AS h
+                      FROM (SELECT unnest([0, 8]) AS s) ss
+                      CROSS JOIN range(8) t(i) CROSS JOIN range(64) u(j))
+              ) GROUP BY s, i),
+            e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            b AS (SELECT vec_id, s,
+                CAST(sum(CASE WHEN proj > 0 THEN (1::BIGINT << i) ELSE 0 END)
+                  AS BIGINT) AS bucket
+              FROM (SELECT e.vec_id, hp.s, hp.i,
+                  list_reduce(list_transform(range(64), j -> e.v[j+1] * hp.hl[j+1]),
+                    (a, b) -> a + b) AS proj
+                FROM e CROSS JOIN hp)
+              GROUP BY vec_id, s),
+            cand AS (SELECT DISTINCT qb.vec_id AS query_id, b.vec_id AS neighbor_id
+              FROM (SELECT * FROM b WHERE vec_id % 50 = 0) qb
+              JOIN b ON qb.s = b.s AND qb.vec_id <> b.vec_id
+                AND bit_count(xor(qb.bucket, b.bucket)) <= 1),
+            scored AS (SELECT c.query_id, c.neighbor_id,
+                CASE WHEN sqrt(list_dot_product(qe.v, qe.v))
+                       * sqrt(list_dot_product(ne.v, ne.v)) = 0 THEN 0.0
+                  ELSE list_dot_product(qe.v, ne.v)
+                    / (sqrt(list_dot_product(qe.v, qe.v))
+                       * sqrt(list_dot_product(ne.v, ne.v))) END AS cos
+              FROM cand c JOIN e qe ON qe.vec_id = c.query_id
+                   JOIN e ne ON ne.vec_id = c.neighbor_id)
+            SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rank FROM (
+              SELECT query_id, neighbor_id, cos,
+                CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+              FROM scored) WHERE rank <= 5"""
+      },
+      // fixed-centroid IVF probe: top-4 cells per query by the shared
+      // assignment score (sc DESC, cell DESC — Ivf.probe's tie rule), exact
+      // cosine top-5 within the probed cells' members
+      "sim_topk_ivf" ->
+        s"""WITH $ivfAssignCtes,
+            probe AS (SELECT vec_id AS query_id, cell FROM sc
+              WHERE vec_id % 50 = 0
+              QUALIFY row_number() OVER (PARTITION BY vec_id
+                ORDER BY sc DESC, cell DESC) <= 4),
+            cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+              FROM probe p JOIN asn a
+                ON a.cell = p.cell AND a.vec_id <> p.query_id),
+            scored AS (SELECT c.query_id, c.neighbor_id,
+                CASE WHEN sqrt(list_dot_product(qe.v, qe.v))
+                       * sqrt(list_dot_product(ne.v, ne.v)) = 0 THEN 0.0
+                  ELSE list_dot_product(qe.v, ne.v)
+                    / (sqrt(list_dot_product(qe.v, qe.v))
+                       * sqrt(list_dot_product(ne.v, ne.v))) END AS cos
+              FROM cand c JOIN e qe ON qe.vec_id = c.query_id
+                   JOIN e ne ON ne.vec_id = c.neighbor_id)
+            SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rank FROM (
+              SELECT query_id, neighbor_id, cos,
+                CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+              FROM scored) WHERE rank <= 5""",
+      // md5-LSH near-dup pairs: 3-bit bucket partition (seed 0), pairs
+      // share a bucket, exact cosine >= threshold (unrounded filter, like
+      // embed_cos_neardup)
+      "embed_cos_neardup_lsh" -> {
+        def nib(n: Int) =
+          s"(strpos('0123456789abcdef', substr(h, $n, 1)) - 1)"
+        s"""WITH hp AS (
+              SELECT i, list(comp ORDER BY j) AS hl FROM (
+                SELECT i, j,
+                  ((${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)})
+                    % 1001 - 500) / 500.0 AS comp
+                FROM (SELECT i, j, md5('lsh:0:' || i::VARCHAR || ':' || j::VARCHAR) AS h
+                      FROM range(3) t(i) CROSS JOIN range(64) u(j))
+              ) GROUP BY i),
+            e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            b AS (SELECT vec_id,
+                CAST(sum(CASE WHEN proj > 0 THEN (1::BIGINT << i) ELSE 0 END)
+                  AS BIGINT) AS bucket
+              FROM (SELECT e.vec_id, hp.i,
+                  list_reduce(list_transform(range(64), j -> e.v[j+1] * hp.hl[j+1]),
+                    (a, b) -> a + b) AS proj
+                FROM e CROSS JOIN hp)
+              GROUP BY vec_id)
+            SELECT ba.vec_id AS id_a, bb.vec_id AS id_b,
+              round(list_dot_product(a.v, c.v)
+                / (sqrt(list_dot_product(a.v, a.v))
+                   * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+            FROM b ba JOIN b bb ON ba.bucket = bb.bucket AND ba.vec_id < bb.vec_id
+            JOIN e a ON a.vec_id = ba.vec_id JOIN e c ON c.vec_id = bb.vec_id
+            WHERE list_dot_product(a.v, c.v)
+              / (sqrt(list_dot_product(a.v, a.v))
+                 * sqrt(list_dot_product(c.v, c.v))) >= 0.45"""
+      },
       "sim_diverse_sample" -> {
         val nib = (k: Int) =>
           s"(strpos('0123456789abcdef', substr(h, $k, 1)) - 1)::BIGINT"
@@ -4440,6 +4593,33 @@ object SparkEntry {
         """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
            CAST(1 + octet_length(encode(text)) % 640 AS INTEGER) AS dim1,
            CAST(1 + octet_length(encode(text)) % 480 AS INTEGER) AS dim2 FROM documents""",
+      // the WAV round-trip decode: the PCM payload is the doc's
+      // even-truncated UTF-8 bytes, so the decoded sample stats equal the
+      // 16-bit LE signed reading of those bytes (len(by)//2 drops the odd
+      // tail exactly like the even truncation)
+      "mm_decode_wav" -> {
+        def bv(idx: String) =
+          s"((strpos('0123456789ABCDEF', substr(by[($idx)::INT], 1, 1)) - 1) * 16" +
+            s" + strpos('0123456789ABCDEF', substr(by[($idx)::INT], 2, 1)) - 1)"
+        raw"""WITH b AS (SELECT doc_id,
+                regexp_extract_all(hex(encode(text)), '..') AS by FROM documents),
+            s AS (SELECT doc_id, by, len(by) // 2 AS ns FROM b),
+            r AS (SELECT doc_id, ns, list_transform(range(ns), i ->
+                ${bv("2*i+1")} + 256 * ${bv("2*i+2")}) AS us FROM s),
+            v AS (SELECT doc_id, ns, list_transform(us, x ->
+                CASE WHEN x >= 32768 THEN x - 65536 ELSE x END) AS vs FROM r)
+            SELECT doc_id,
+              CAST(8000 AS INTEGER) AS sample_rate,
+              CAST(1 AS INTEGER) AS channels,
+              CAST(16 AS INTEGER) AS bits,
+              CAST(ns AS BIGINT) AS n_samples,
+              CAST(coalesce(list_sum(vs), 0) AS BIGINT) AS sum_samples,
+              CAST(coalesce(list_sum(list_transform(vs, x -> x * x)), 0)
+                AS BIGINT) AS sum_squares,
+              CAST(coalesce(list_aggregate(list_transform(vs, x -> abs(x)),
+                'max'), 0) AS BIGINT) AS max_abs
+            FROM v"""
+      },
       "mm_frames" ->
         """SELECT doc_id,
            (GREATEST(CAST(ceil(octet_length(encode(text))::DOUBLE / 256) AS BIGINT), 1) + 1) // 2

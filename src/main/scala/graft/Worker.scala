@@ -146,10 +146,26 @@ object Worker {
         return 1
     }
     @volatile var running = true
+    @volatile var leaseLost = false
     val heartbeat = new Thread(() => {
       while (running) {
-        try lease.keepAlive() catch { case _: Throwable => () }
-        Thread.sleep(math.max(intervalMs / 2, 100L))
+        try lease.keepAlive()
+        catch {
+          // the lease was stolen (a pause exceeded keep_alive_timeout and
+          // another worker took over): continuing to write would violate
+          // single-writer — stop the stream and make run() exit 1, like
+          // the reference worker's main loop on BusyListenerError
+          // (worker.py:96-98)
+          case Lease.BusyListenerError(heldBy) =>
+            leaseLost = true
+            running = false
+            System.err.println(s"lease lost to '$heldBy'; shutting down")
+            try spark.streams.active.foreach(_.stop())
+            catch { case _: Throwable => () }
+          // transient heartbeat hiccups (fs blips) keep the loop alive
+          case _: Throwable => ()
+        }
+        if (running) Thread.sleep(math.max(intervalMs / 2, 100L))
       }
     }, "graft-lease-heartbeat")
     heartbeat.setDaemon(true)
@@ -177,10 +193,10 @@ object Worker {
         .as[Change]
       val q = engine.start(stream, availableNow = !args.forever)
       q.awaitTermination()
-      0
+      if (leaseLost) 1 else 0
     } finally {
       running = false
-      lease.release()
+      if (!leaseLost) lease.release()
     }
   }
 }

@@ -8,7 +8,10 @@ import java.nio.file.{Files, Path}
   * the reference's own config files use is `[section]` headers, `key =
   * value` pairs, and `;`/`#` comment lines, which is exactly what this
   * parses). Keys are case-preserved; values keep internal whitespace;
-  * duplicate keys take the last value, like RawConfigParser.
+  * duplicate keys take the last value, like RawConfigParser. A `;` or `#`
+  * preceded by whitespace starts an inline comment and is stripped from
+  * the value (RawConfigParser's classic inline-comment rule), so
+  * `master = local[32]  ; default local[*]` reads as `local[32]`.
   */
 final case class IniConfig(sections: Map[String, Map[String, String]]) {
   def section(name: String): Map[String, String] =
@@ -44,8 +47,9 @@ object IniConfig {
         case i =>
           val sec = current.getOrElse(throw new IllegalArgumentException(
             s"line ${ln + 1}: key/value before any [section]"))
+          // strip inline comments: `;`/`#` after whitespace ends the value
           sections(sec).update(line.substring(0, i).trim,
-            line.substring(i + 1).trim)
+            line.substring(i + 1).replaceAll("""\s+[;#].*$""", "").trim)
       }
     }
     IniConfig(sections.view.mapValues(_.toMap).toMap)

@@ -64,6 +64,7 @@ object Components {
       case _ => false
     }
     if (integralIds && edges.count() <= driverEdgeLimit) {
+      driverPathCount.incrementAndGet()
       import spark.implicits._
       val es = edges.select(col("__src").cast("long"), col("__dst").cast("long"))
         .as[(Long, Long)].collect()
@@ -132,6 +133,11 @@ object Components {
     labels.select(col("id"), col("label").as("cluster"))
     }
   }
+
+  /** Test probe: executions of the driver union-find shortcut — lets specs
+    * assert a query advertised as distributed actually ran the
+    * star-contraction loop (GraphSpec) without parsing executed plans. */
+  private[graft] val driverPathCount = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Min-representative union-find (union attaches the larger root under
     * the smaller, so every root IS its component's min id; iterative find

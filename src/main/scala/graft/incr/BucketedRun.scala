@@ -434,11 +434,24 @@ object BucketedRun {
         if (batchAll.nonEmpty) {
           val upd = batchAll.map(c => (c.resourceType, c.resourceId, c.seq))
           val updDf = broadcast(upd.toDF(SourceType, SourceId, "seq"))
+          // monotonic merge: a late/out-of-order notification carrying an
+          // OLDER seq for an id must never regress the stored revision (a
+          // stale CAS expectation would then wrongly succeed) — on conflict
+          // keep greatest(stored, batch), never last-write-wins
           seqTbl.update { old =>
-            old.join(updDf.select(col(SourceType).as("__t"), col(SourceId).as("__i")),
+            val bump = updDf.select(col(SourceType).as("__t"),
+              col(SourceId).as("__i"), col("seq").as("__s"))
+            val kept = old.join(bump,
+              col(SourceType) === col("__t") && col(SourceId) === col("__i"),
+              "left")
+              .withColumn("seq", when(col("__s").isNotNull,
+                greatest(col("seq"), col("__s"))).otherwise(col("seq")))
+              .drop("__t", "__i", "__s")
+            val fresh = updDf.join(old.select(col(SourceType).as("__t"),
+                col(SourceId).as("__i")),
               col(SourceType) === col("__t") && col(SourceId) === col("__i"),
               "left_anti")
-              .unionByName(updDf)
+            kept.unionByName(fresh)
           }
         }
       }
@@ -668,13 +681,24 @@ object BucketedRun {
       if (store.tableNames.contains(SeqTable)) {
         val seqTbl = scopedTable(SeqTable, SourceId)
         seqTbl.widen(prof("seqbuckets")(bucketsOf(newest, "resourceId")))
+        // monotonic merge, same contract as the driver path: greatest of
+        // (stored, batch) per id — an out-of-order backlog replay must not
+        // regress revisions a CAS writer already observed
         seqTbl.update { old =>
-          old.join(newest.select(col("resourceType").as("__t"),
-              col("resourceId").as("__i")),
+          val bump = newest.select(col("resourceType").as("__t"),
+            col("resourceId").as("__i"), col("seq").as("__s"))
+          val kept = old.join(bump,
             col(SourceType) === col("__t") && col(SourceId) === col("__i"),
-            "left_anti")
-            .unionByName(newest.select(col("resourceType").as(SourceType),
-              col("resourceId").as(SourceId), col("seq")))
+            "left")
+            .withColumn("seq", when(col("__s").isNotNull,
+              greatest(col("seq"), col("__s"))).otherwise(col("seq")))
+            .drop("__t", "__i", "__s")
+          val fresh = newest.select(col("resourceType").as(SourceType),
+              col("resourceId").as(SourceId), col("seq"))
+            .join(old.select(col(SourceType).as("__t"), col(SourceId).as("__i")),
+              col(SourceType) === col("__t") && col(SourceId) === col("__i"),
+              "left_anti")
+          kept.unionByName(fresh)
         }
       }
 

@@ -134,32 +134,40 @@ final class BucketedStreamingEngine(
       if (streamBatchId >= 0 && streamBatchId <= lastStreamBatch) return
       val next = store.committedBatch.getOrElse(0L) + 1
       lastStreamBatch = math.max(lastStreamBatch, streamBatchId)
+      // supersede pending retries the batch covers BEFORE the apply: the
+      // collect reads only the incoming batch (bounded by |pending|), never
+      // store state, so the superseded ledger + stream pointer can ride the
+      // apply's ONE manifest swap — applied state and retry accounting
+      // commit atomically, like the driver path. (A crash can then never
+      // re-deliver a fully-applied backlog or resurrect superseded
+      // retries.)
+      if (ledger.pending.nonEmpty) {
+        val session = changes.sparkSession
+        import session.implicits._
+        val pendIds = ledger.pending.map(f =>
+          (f.change.resourceType, f.change.resourceId)).toSet
+        val covered = changes
+          .filter(c => pendIds.contains((c.resourceType, c.resourceId)))
+          .groupByKey(c => (c.resourceType, c.resourceId))
+          .reduceGroups((a, b) => if (a.seq >= b.seq) a else b)
+          .map(_._2)
+          .collect().toSeq
+        ledger.record(covered, Nil, Nil, clock())
+      }
       try {
         BucketedRun.applyChangesDistributed(pipeline, sources, store, changes,
-          batchTimestampNs = next, batchId = next)
-        // supersede pending retries the batch covered: collect ONLY the
-        // batch's newest change per pending id (bounded by |pending|)
-        if (ledger.pending.nonEmpty) {
-          val session = changes.sparkSession
-          import session.implicits._
-          val pendIds = ledger.pending.map(f =>
-            (f.change.resourceType, f.change.resourceId)).toSet
-          val covered = changes
-            .filter(c => pendIds.contains((c.resourceType, c.resourceId)))
-            .groupByKey(c => (c.resourceType, c.resourceId))
-            .reduceGroups((a, b) => if (a.seq >= b.seq) a else b)
-            .map(_._2)
-            .collect().toSeq
-          ledger.record(covered, Nil, Nil, clock())
-        }
+          batchTimestampNs = next, batchId = next,
+          ledger = Some(payloadOf(ledger, lastStreamBatch)))
       } catch {
         case _: Exception =>
           ledger.clearPending()
           BucketedRun.resyncFull(pipeline, sources, store,
             store.committedBatch.getOrElse(0L) + 1)
+          // the resync committed without accounting — publish the cleared
+          // ledger + advanced stream pointer in a follow-up swap
+          store.commit(store.committedBatch.getOrElse(0L) + 1,
+            Some(payloadOf(ledger, lastStreamBatch)))
       }
-      store.commit(store.committedBatch.getOrElse(0L) + 1,
-        Some(payloadOf(ledger, lastStreamBatch)))
     }
     else processBatch(bounded, streamBatchId)
   }

@@ -108,6 +108,24 @@ final case class QvarnSearch(
     }
   }
 
+  /** Blob-file subresource read (clients/qvarn.py:120-122 `get_blob`; the
+    * vendored server's file subresources, realqvarn.py:41-45): serve the
+    * named blob column of the matched documents as `(id, blob_hex)` — the
+    * per-id raw-bytes GET, batched over the search result like
+    * [[withSubresource]] batches side-document GETs. Hex, not raw bytes:
+    * the result is a frame, and hex is the engine-portable byte encoding.
+    * A non-binary column serves its UTF-8 bytes (the reference stores
+    * blobs opaquely under a client-declared content type either way). */
+  def blob(name: String): DataFrame = {
+    require(df.columns.contains(name), s"no blob column '$name' on the resource")
+    val rows = copy(showFields = Some(Seq(name)), subs = Nil).result()
+    val bytes = rows.schema(name).dataType match {
+      case BinaryType => col(name)
+      case _ => encode(col(name).cast("string"), "UTF-8")
+    }
+    rows.select(col(idField), hex(bytes).as("blob_hex"))
+  }
+
   /** B11: exactly-one semantics (clients/qvarn.py:275-325). */
   def searchOne(): Row = {
     val rows = result().take(2)

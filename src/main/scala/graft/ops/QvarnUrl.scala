@@ -145,6 +145,21 @@ object QvarnUrl {
   def urlSearch(df: DataFrame, url: String, idField: String = "id"): DataFrame =
     parse(df, url, idField).result()
 
+  /** Point blob GET — `GET /<type>/<id>/<blob-subresource>`
+    * (clients/qvarn.py:120-122 `get_blob`): the last two path segments are
+    * the document id and the blob column name; the id compares through the
+    * same typed URL-value coercion as every other URL condition. Returns
+    * the one-row `(id, blob_hex)` frame ([[QvarnSearch.blob]]). */
+  def getBlob(df: DataFrame, url: String, idField: String = "id"): DataFrame = {
+    val parts = url.split("/").filter(_.nonEmpty).toSeq.map(unquote)
+    if (parts.length < 2)
+      throw QvarnSearch.BadSearchCondition(
+        s"blob path needs /<type>/<id>/<subresource>, got '$url'")
+    QvarnSearch(df, idField)
+      .urlCond("exact", idField, parts(parts.length - 2))
+      .blob(parts.last)
+  }
+
   /** The client's Django-style keyword search (clients/qvarn.py:211-273):
     * `"p_size__ge" -> 10`, `"p_brand" -> "Brand#13"` (bare key = exact),
     * `"p_name__contains" -> Seq("a", "b")` (multi-value AND). Values are

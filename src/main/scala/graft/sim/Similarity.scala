@@ -153,11 +153,33 @@ object Similarity {
     * touches ~(nBits+1)/2^nBits of the corpus per query. */
   def lshTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-      dim: Int, k: Int, nBits: Int = 12, nTables: Int = 2): DataFrame = {
+      dim: Int, k: Int, nBits: Int = 12, nTables: Int = 2): DataFrame =
+    lshTopKWith(corpus, queries, idCol, vecCol, k, nBits,
+      (0 until nTables).map { t =>
+        t -> ((v: Column) => lshBucket(v, dim, nBits, seed = t * nBits))
+      })
+
+  /** md5-family twin of [[lshTopK]] — identical probe structure (per table,
+    * the query's bucket plus every single-bit flip ⇒ candidates are exactly
+    * the pairs within hamming 1 in SOME table) over [[lshBucketMd5]]'s
+    * cross-engine-reproducible hyperplanes. Given the data, the candidate
+    * set and therefore the exact-cosine top-k are deterministic — an
+    * external engine re-derives the same hyperplanes from its own md5 and
+    * reproduces the result bit-for-bit (the DuckDB oracle does). xxhash64
+    * [[lshTopK]] stays the throughput default. */
+  def lshTopKMd5(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      dim: Int, k: Int, nBits: Int = 8, nTables: Int = 2): DataFrame =
+    lshTopKWith(corpus, queries, idCol, vecCol, k, nBits,
+      (0 until nTables).map { t =>
+        t -> ((v: Column) => lshBucketMd5(v, dim, nBits, seed = t * nBits))
+      })
+
+  private def lshTopKWith(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nBits: Int,
+      tableBuckets: Seq[(Int, Column => Column)]): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    val tableBuckets = (0 until nTables).map { t =>
-      t -> ((v: Column) => lshBucket(v, dim, nBits, seed = t * nBits))
-    }
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
         norm(col(vecCol)).as("__cn"),
         explode(array(tableBuckets.map { case (t, b) =>
@@ -195,11 +217,27 @@ object Similarity {
     * [[bruteForcePairs]] when exact output is required. */
   def cosineNearDupPairs(
       corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
-      threshold: Double, nBits: Int = 8): DataFrame = {
+      threshold: Double, nBits: Int = 8): DataFrame =
+    cosineNearDupPairsWith(corpus, idCol, vecCol, threshold,
+      v => lshBucket(v, dim, nBits))
+
+  /** md5-family twin of [[cosineNearDupPairs]]: same bucket-then-verify
+    * shape over [[lshBucketMd5]]'s reproducible hyperplanes, so the
+    * returned pair set is an exact function of the data (oracle-checkable);
+    * the xxhash64 variant stays the throughput default. */
+  def cosineNearDupPairsMd5(
+      corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
+      threshold: Double, nBits: Int = 8, seed: Int = 0): DataFrame =
+    cosineNearDupPairsWith(corpus, idCol, vecCol, threshold,
+      v => lshBucketMd5(v, dim, nBits, seed))
+
+  private def cosineNearDupPairsWith(
+      corpus: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      bucketOf: Column => Column): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     val c = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"),
       norm(col(vecCol)).as("__n"),
-      lshBucket(col(vecCol), dim, nBits).as("__bucket"))
+      bucketOf(col(vecCol)).as("__bucket"))
     val a = c.alias("a")
     val b = c.alias("b")
     a.join(b, col("a.__bucket") === col("b.__bucket") && col("a.__id") < col("b.__id"))

@@ -244,8 +244,12 @@ object Retrieval {
     val stats = broadcast(spark.read.parquet(index.statsDir)
       .agg(coalesce(sum(col("n_delta")), lit(0L)).as("__n"),
         coalesce(sum(col("sumdl_delta")), lit(0L)).as("__sumdl"))
-      // integer micro, like build; floor division via div keeps it exact
-      .select(col("__n"), (expr("(__sumdl * 1000000) div __n") / 1e6).as("__avgdl")))
+      // integer micro, like build; floor division via div keeps it exact.
+      // n = 0 means an empty/uninitialized index — fail loud, not null scores
+      .select(col("__n"),
+        when(col("__n") > 0, expr("(__sumdl * 1000000) div __n") / 1e6)
+          .otherwise(raise_error(lit("empty BM25 index: stats n = 0")))
+          .as("__avgdl")))
     val idf = log(lit(1.0) +
       (col("__n").cast("double") - col("df") + 0.5) / (col("df") + 0.5))
     val tfNorm = (col("tf") * (k1 + 1.0)) /
@@ -296,7 +300,10 @@ object Retrieval {
     val stats = broadcast(spark.read.parquet(index.statsDir)
       .agg(coalesce(sum(col("n_delta")), lit(0L)).as("__n"),
         coalesce(sum(col("sumdl_delta")), lit(0L)).as("__sumdl"))
-      .select(col("__n"), (expr("(__sumdl * 1000000) div __n") / 1e6).as("__avgdl")))
+      .select(col("__n"),
+        when(col("__n") > 0, expr("(__sumdl * 1000000) div __n") / 1e6)
+          .otherwise(raise_error(lit("empty BM25 index: stats n = 0")))
+          .as("__avgdl")))
     val idf = log(lit(1.0) +
       (col("__n").cast("double") - col("df") + 0.5) / (col("df") + 0.5))
     val tfNorm = (col("tf") * (k1 + 1.0)) /

@@ -183,6 +183,27 @@ class DedupSimSpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.2, s"recall = $recall (measured 0.242)")
   }
 
+  test("md5-family ANN twins (the oracle-checked query paths): verified subsets + recall") {
+    val q = emb.filter(col("vec_id") % 50 === 0)
+    val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val md5 = Similarity.lshTopKMd5(emb, q, "vec_id", "embedding", dim = 64,
+        k = 5, nBits = 8, nTables = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val r = (md5 intersect exact).size.toDouble / exact.size
+    assert(r >= 0.2, s"md5 lshTopK recall@5 = $r")
+
+    val exactP = Similarity.bruteForcePairs(emb, "vec_id", "embedding", threshold = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val md5P = Similarity.cosineNearDupPairsMd5(emb, "vec_id", "embedding",
+        dim = 64, threshold = 0.4, nBits = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(md5P.subsetOf(exactP), "every md5-LSH pair must be a verified true pair")
+    val rp = md5P.size.toDouble / exactP.size
+    assert(rp >= 0.15, s"md5 near-dup recall = $rp")
+    info(s"md5 twins: topk recall=$r, pair recall=$rp")
+  }
+
   test("cell-scoped pairs (SemDeDup) equal brute force restricted to co-celled pairs") {
     val cents = emb.orderBy(col("vec_id")).limit(4)
       .select(org.apache.spark.sql.functions.transform(col("embedding"), _.cast("double")))

@@ -98,4 +98,22 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
       .executedPlan.toString
     assert(!plan.contains("Join"), s"unexpected join in:\n$plan")
   }
+
+  test("graph_components executes the distributed CC loop, not the driver shortcut") {
+    // two components: {1,2,3} path-shaped and {10,11}
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("p1", "p2")
+    val before = graft.dedup.Components.driverPathCount.get()
+    val distributed = graft.dedup.Components
+      .connectedComponents(edges, "p1", "p2", driverEdgeLimit = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(graft.dedup.Components.driverPathCount.get() == before,
+      "driverEdgeLimit = 0 must bypass the driver union-find")
+    // and the shortcut, when taken, agrees and bumps the probe
+    val viaDriver = graft.dedup.Components
+      .connectedComponents(edges, "p1", "p2")
+      .as[(Long, Long)].collect().toMap
+    assert(graft.dedup.Components.driverPathCount.get() == before + 1)
+    assert(distributed == viaDriver)
+    assert(distributed == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
 }

@@ -97,4 +97,44 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     // sign flips: 1→−1 lands in window 0 (sample 1), −1→300 in window 1
     // (sample 2) — already asserted via the zc vectors above
   }
+
+  test("WAV parser: wavBlob round-trip, chunk walking, strictness") {
+    // round-trip through the expression-built container (includes a JUNK
+    // chunk before data, so offset-44 assumptions would fail)
+    val pcm = Seq((1L, Array[Byte](1, 0, -1, -1, 44, 1)), // 1, -1, 300
+                  (2L, Array.empty[Byte]))
+      .toDF("id", "pcm")
+    val out = pcm.withColumn("blob", Multimodal.wavBlob(col("pcm"), 8000, 1))
+    val parsed = Multimodal.decodeWav(out, "id", "blob")
+      .as[(Long, Int, Int, Int, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(parsed(1L) == ((1L, 8000, 1, 16, 3L, 300L, 90002L, 300L)))
+    assert(parsed(2L) == ((2L, 8000, 1, 16, 0L, 0L, 0L, 0L)))
+
+    // hand-built container with an ODD-size chunk before data: the parser
+    // must apply RIFF word alignment to find the data chunk
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    val fmt = "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(2) ++ le32(44100) ++
+      le32(44100 * 4) ++ le16(4) ++ le16(16)
+    val odd = "odd ".getBytes ++ le32(3) ++ Array[Byte](9, 9, 9, 0) // 3 + pad
+    val data = "data".getBytes ++ le32(4) ++ Array[Byte](0, 1, 0, -128) // 256, -32768
+    val body = "WAVE".getBytes ++ fmt ++ odd ++ data
+    val wav = "RIFF".getBytes ++ le32(body.length) ++ body
+    val w = Multimodal.Wav.parse(wav)
+    assert(w.sampleRate == 44100 && w.channels == 2 && w.bitsPerSample == 16)
+    assert(w.nSamples == 2 && w.sumSamples == 256L - 32768L && w.maxAbs == 32768L)
+
+    // WavDecoder (the Decoder-seam hookup) reads payload stats, not header
+    val mf = Multimodal.WavDecoder.decode(wav)
+    assert(mf.dim1 == 44100 && mf.dim2 == 2 && mf.byteLen == 4L)
+
+    // strictness: garbage and non-PCM must throw, not fake features
+    intercept[IllegalArgumentException](Multimodal.Wav.parse("notawav".getBytes))
+    val floatFmt = "fmt ".getBytes ++ le32(16) ++ le16(3) ++ le16(1) ++
+      le32(8000) ++ le32(32000) ++ le16(4) ++ le16(32)
+    val floatBody = "WAVE".getBytes ++ floatFmt ++ data
+    intercept[IllegalArgumentException](
+      Multimodal.Wav.parse("RIFF".getBytes ++ le32(floatBody.length) ++ floatBody))
+  }
 }

@@ -193,4 +193,29 @@ class QvarnUrlSpec extends AnyFunSuite with SparkTestBase {
       .withSubresource("contact", side).result()
     assert(limited.count() == 1)
   }
+
+  test("blob subresource GET: binary column as hex, text fallback, errors") {
+    val withBlob = people.withColumn("avatar",
+      encode(concat(col("name"), lit("!")), "UTF-8"))
+    // point GET through the URL path surface (clients/qvarn.py:120-122)
+    val got = QvarnUrl.getBlob(withBlob, "/people/p1/avatar")
+      .as[(String, String)].collect()
+    assert(got.toSeq == Seq(("p1",
+      "Alice!".getBytes("UTF-8").map("%02X".format(_)).mkString)))
+    // a non-binary column serves its UTF-8 bytes
+    val txt = QvarnUrl.getBlob(withBlob, "/people/p2/name")
+      .as[(String, String)].collect()
+    assert(txt.toSeq == Seq(("p2",
+      "BOB".getBytes("UTF-8").map("%02X".format(_)).mkString)))
+    // unknown id: empty frame (the reference 404s; the batched frame is empty)
+    assert(QvarnUrl.getBlob(withBlob, "/people/nope/avatar").count() == 0)
+    // unknown column and malformed path fail loud
+    intercept[IllegalArgumentException](
+      QvarnUrl.getBlob(withBlob, "/people/p1/missing").collect())
+    intercept[QvarnSearch.BadSearchCondition](
+      QvarnUrl.getBlob(withBlob, "avatar"))
+    // blob() also batches over a search result
+    val many = QvarnSearch(withBlob).gt("age", 20).blob("avatar")
+    assert(many.count() == 3 && many.columns.toSeq == Seq("id", "blob_hex"))
+  }
 }
