@@ -366,6 +366,40 @@ object SparkEntry {
         .reduce(_ unionByName _)
     }),
 
+    // Notification-queue introspection (listeners.py:37-40,
+    // tests/test_notifications.py:19-77): the A18 retry ledger as a
+    // queryable frame — pending retries with their backoff-gate timestamps
+    // plus dead letters. The state is CONSTRUCTED deterministically from
+    // real order keys (every 499th key is a notification; batch 1 at
+    // t=1000 ms fails m%3!=0, batch 2 at t=2000 retries all due and fails
+    // the even m again, batch 3 at t=4000 re-attempts only m%4==0 — with
+    // maxRetries=2 those dead-letter), so the oracle re-derives the exact
+    // queue from the same arithmetic. The ledger holds FAILURES, not the
+    // feed — driver-side control data at any corpus size
+    "mr_notifications" -> ((s, dir) => {
+      val ms = t(s, dir, "orders")
+        .filter(pmod(col("o_orderkey"), lit(499)) === 0)
+        .select(expr("o_orderkey div 499").as("m"))
+        .collect().map(_.getLong(0)).sorted
+      def chg(m: Long) = graft.incr.Change(
+        seq = m * 499,
+        change = (m % 5) match {
+          case x if x < 2 => graft.incr.Change.Created
+          case x if x < 4 => graft.incr.Change.Updated
+          case _ => graft.incr.Change.Deleted
+        },
+        resourceType = "orders", resourceId = (m * 499).toString)
+      val all = ms.map(chg)
+      val led = new graft.incr.RetryLedger(maxRetries = 2)
+      led.record(all, all.filter(c => (c.seq / 499) % 3 != 0), Nil, now = 1000L)
+      val due2 = led.due(2000L)
+      led.record(due2.map(_.change),
+        due2.map(_.change).filter(c => (c.seq / 499) % 2 == 0), due2, now = 2000L)
+      val due3 = led.due(4000L).filter(f => (f.change.seq / 499) % 4 == 0)
+      led.record(due3.map(_.change), due3.map(_.change), due3, now = 4000L)
+      graft.incr.Notifications.frame(s, led.pending, led.deadLetters)
+    }),
+
     // A11: count reduce
     "a11_reduce_count" -> ((s, dir) => {
       val st = IncrementalRun.recompute(ordersCountPipeline, sources(s, dir))
@@ -901,16 +935,11 @@ object SparkEntry {
     // drained append-mode. Must equal the batch bucketized interval join —
     // they share one oracle
     "events_join_stream" -> ((s, dir) => {
-      val ev = t(s, dir, "events").withColumn("us", expr("ts div 1000"))
-      val su = ev.filter(col("event_type") === "signup")
-        .select(col("event_id"), col("user_id"), col("us"))
-      val er = ev.filter(col("event_type") === "error")
-        .select(col("user_id"), col("us").as("ets"), col("value").as("err_value"))
-      def tmp(p: String) = graft.core.TempDirs.register(
-        java.nio.file.Files.createTempDirectory(p)).toString
+      val (su, er) = ssJoinFrames(s, dir)
+      val (l, r) = ssJoinDirs(s, dir)
       graft.streaming.StreamJoins.intervalJoinDrained(su, er, "user_id",
           "us", "ets", window = "1 HOUR", watermarkDelay = "1 hour",
-          tmp("graft_ssj_l"), tmp("graft_ssj_r"))
+          l, r, stage = false)
         .groupBy(col("event_id"))
         .agg(count(lit(1)).as("n_err"), round(sum(col("err_value")), 2).as("sum_err"))
     }),
@@ -922,16 +951,11 @@ object SparkEntry {
     // the durable resume semantics — so the drained set is matches plus
     // closed-window misses, both oracle-derivable
     "events_join_stream_outer" -> ((s, dir) => {
-      val ev = t(s, dir, "events").withColumn("us", expr("ts div 1000"))
-      val su = ev.filter(col("event_type") === "signup")
-        .select(col("event_id"), col("user_id"), col("us"))
-      val er = ev.filter(col("event_type") === "error")
-        .select(col("user_id"), col("us").as("ets"), col("value").as("err_value"))
-      def tmp(p: String) = graft.core.TempDirs.register(
-        java.nio.file.Files.createTempDirectory(p)).toString
+      val (su, er) = ssJoinFrames(s, dir)
+      val (l, r) = ssJoinDirs(s, dir)
       graft.streaming.StreamJoins.intervalJoinLeftOuterDrained(su, er, "user_id",
           "us", "ets", window = "1 HOUR", watermarkDelay = "1 hour",
-          tmp("graft_ssjo_l"), tmp("graft_ssjo_r"))
+          l, r, stage = false)
         .groupBy(col("event_id"))
         .agg(count(col("err_value")).as("n_err"),
           round(sum(col("err_value")), 2).as("sum_err"))
@@ -1747,30 +1771,34 @@ object SparkEntry {
     // STREAM-maintained probe training: drain the corpus as a real file
     // stream, fold each micro-batch's distributed moment aggregate into
     // the 9-long model state (control data), solve once at the end —
-    // must equal the batch retrain (same oracle)
+    // must equal the batch retrain (same oracle). Only the staged INPUT
+    // files are cached per dir (fixture creation); every invocation runs
+    // a full live drain — the same measurement discipline as the other
+    // *_stream queries (a bench repeat measures real stream-maintenance
+    // work, not a weights-cache hit)
     "quality_probe_stream" -> ((s, dir) => {
-      val w = probeStreamCache.getOrElseUpdate(dir, {
-        val streamDir = graft.core.TempDirs.register(
+      val streamDir = probeStreamStage.getOrElseUpdate(dir, {
+        val d = graft.core.TempDirs.register(
           java.nio.file.Files.createTempDirectory("graft_probe_in")).toString
         t(s, dir, "documents").select(col("doc_id"), col("text"), col("lang"))
-          .repartition(4).write.mode("overwrite").parquet(streamDir)
-        var acc = graft.text.Probe.Moments(0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
-        var lastId = -1L
-        val q = s.readStream.schema(s.read.parquet(streamDir).schema)
-          .option("maxFilesPerTrigger", "1").parquet(streamDir)
-          .writeStream
-          .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
-            if (id > lastId) { // exactly-once fold on replay
-              acc = acc + graft.text.Probe.moments(b.toDF(), "text", "doc_id")
-              lastId = id
-            }
-          }
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-        graft.text.Probe.solve(acc)
+          .repartition(4).write.mode("overwrite").parquet(d)
+        d
       })
-      graft.text.Probe.weightsFrame(s, w)
+      var acc = graft.text.Probe.Moments(0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+      var lastId = -1L
+      val q = s.readStream.schema(s.read.parquet(streamDir).schema)
+        .option("maxFilesPerTrigger", "1").parquet(streamDir)
+        .writeStream
+        .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+          if (id > lastId) { // exactly-once fold on replay
+            acc = acc + graft.text.Probe.moments(b.toDF(), "text", "doc_id")
+            lastId = id
+          }
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.text.Probe.weightsFrame(s, graft.text.Probe.solve(acc))
     }),
 
     // Rolling-hash document fingerprint (xxhash64-based — rows-only)
@@ -3073,9 +3101,37 @@ object SparkEntry {
     probeModelCache.getOrElseUpdate(dir,
       graft.text.Probe.fit(t(s, dir, "documents"), "text", "doc_id"))
 
-  /** Stream-trained probe weights per dir (quality_probe_stream). */
-  private val probeStreamCache =
-    scala.collection.concurrent.TrieMap.empty[String, graft.text.Probe.Weights]
+  /** Staged stream-input files per dir (quality_probe_stream) — fixture
+    * only; the drain itself runs live on every invocation. */
+  private val probeStreamStage =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** The stream-stream join pair's signup/error feeds. Both queries join
+    * the SAME two feeds, so the staged file-stream inputs are shared per
+    * scale dir (fixture staging happens once); every invocation of either
+    * query still runs its full live state-store join drain. */
+  private def ssJoinFrames(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val ev = t(s, dir, "events").withColumn("us", expr("ts div 1000"))
+    val su = ev.filter(col("event_type") === "signup")
+      .select(col("event_id"), col("user_id"), col("us"))
+    val er = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("us").as("ets"), col("value").as("err_value"))
+    (su, er)
+  }
+  private val ssJoinStage =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+  private def ssJoinDirs(s: SparkSession, dir: String): (String, String) =
+    ssJoinStage.getOrElseUpdate(dir, {
+      val (su, er) = ssJoinFrames(s, dir)
+      def tmp(p: String) = graft.core.TempDirs.register(
+        java.nio.file.Files.createTempDirectory(p)).toString
+      val (l, r) = (tmp("graft_ssj_l"), tmp("graft_ssj_r"))
+      graft.streaming.StatefulSessions.stageOrderedFiles(
+        s, java.nio.file.Paths.get(l), su, Seq.empty)
+      graft.streaming.StatefulSessions.stageOrderedFiles(
+        s, java.nio.file.Paths.get(r), er, Seq.empty)
+      (l, r)
+    })
 
   /** BPE merge model per scale dir — train once, encode many. */
   private val bpeModelCache =
@@ -3527,6 +3583,33 @@ object SparkEntry {
       "b18_blob" ->
         """SELECT doc_id, hex(encode(text)) AS blob_hex FROM documents
            WHERE doc_id IN (0, 50, 100, 150, 200)""",
+      // re-derives the constructed retry-ledger state: batch 1 (t=1000)
+      // fails m%3!=0 -> pending(retries=0); batch 2 (t=2000, all gates
+      // open at 1250) clears odd m, even m burn a retry (retries=1, gate
+      // 1000+1500); batch 3 (t=4000) re-attempts m%4==0 which exhaust
+      // maxRetries=2 -> dead letters with null bookkeeping
+      "mr_notifications" ->
+        """WITH k AS (SELECT o_orderkey // 499 AS m,
+                        CAST(o_orderkey AS BIGINT) AS seq
+                      FROM orders WHERE o_orderkey % 499 = 0),
+           c AS (SELECT m, seq,
+                   CASE WHEN m % 5 < 2 THEN 'created'
+                        WHEN m % 5 < 4 THEN 'updated'
+                        ELSE 'deleted' END AS change
+                 FROM k)
+           SELECT 'pending' AS state, seq, change,
+             'orders' AS resource_type, CAST(seq AS VARCHAR) AS resource_id,
+             CAST(1 AS INT) AS retries,
+             CAST(1000 AS BIGINT) AS first_failed_at_ms,
+             CAST(2500 AS BIGINT) AS gate_opens_at_ms
+           FROM c WHERE m % 3 <> 0 AND m % 2 = 0 AND m % 4 <> 0
+           UNION ALL
+           SELECT 'dead' AS state, seq, change,
+             'orders' AS resource_type, CAST(seq AS VARCHAR) AS resource_id,
+             CAST(NULL AS INT) AS retries,
+             CAST(NULL AS BIGINT) AS first_failed_at_ms,
+             CAST(NULL AS BIGINT) AS gate_opens_at_ms
+           FROM c WHERE m % 3 <> 0 AND m % 4 = 0""",
       "a12_dedup_newest" ->
         """SELECT user_id, event_id, event_type, value FROM events
            QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""",

@@ -9,7 +9,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** The packaged worker entry point — `qvarnmr-worker`
   * (reference scripts/worker.py:27-38, setup.py console_scripts):
   *
-  *   runMain graft.Worker <pipeline-object> -c <config.ini> [-f]
+  *   runMain graft.Worker <pipeline-object> -c <config.ini> [-f | -q]
   *
   * `<pipeline-object>` is a fully-qualified Scala object extending
   * [[graft.core.PipelineProvider]] (the dotted-path handlers config,
@@ -45,12 +45,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Worker {
 
-  final case class Args(provider: String, config: String, forever: Boolean)
+  final case class Args(provider: String, config: String, forever: Boolean,
+                        queue: Boolean = false)
 
   def parseArgs(argv: Seq[String]): Args = {
     var provider: Option[String] = None
     var config: Option[String] = None
     var forever = false
+    var queue = false
     var i = 0
     while (i < argv.length) {
       argv(i) match {
@@ -58,6 +60,7 @@ object Worker {
           require(i + 1 < argv.length, "-c needs a value")
           config = Some(argv(i + 1)); i += 2
         case "-f" | "--forever" => forever = true; i += 1
+        case "-q" | "--queue" => queue = true; i += 1
         case flag if flag.startsWith("-") =>
           throw new IllegalArgumentException(s"unknown flag $flag")
         case positional =>
@@ -67,9 +70,9 @@ object Worker {
     }
     Args(
       provider.getOrElse(throw new IllegalArgumentException(
-        "usage: Worker <pipeline-object> -c <config.ini> [-f]")),
+        "usage: Worker <pipeline-object> -c <config.ini> [-f | -q]")),
       config.getOrElse(throw new IllegalArgumentException("-c <config.ini> is required")),
-      forever)
+      forever, queue)
   }
 
   /** Registry of applied handler versions, persisted beside the store
@@ -102,6 +105,21 @@ object Worker {
           sparkOverride: Option[SparkSession] = None): Int = {
     val args = parseArgs(argv)
     val conf = IniConfig.read(Paths.get(args.config))
+
+    // `--queue`: list the notification queue (pending retries with their
+    // backoff gates + dead letters) from the store's COMMITTED ledger and
+    // exit — the reference's notification listing (listeners.py:37-40) as
+    // a read-only peek: no lease, no SparkSession, no stream started.
+    if (args.queue) {
+      val root = conf.get("store", "root").getOrElse(
+        throw new IllegalArgumentException("[store] root is required"))
+      val st = new BucketedStateStore(root,
+        conf.getLongOrElse("store", "buckets", 64L).toInt)
+      val led = graft.incr.RetryLedger.restore(0, st.committedLedger.getOrElse(""))
+      graft.incr.Notifications.lines(led.pending, led.deadLetters).foreach(println)
+      return 0
+    }
+
     val provider = PipelineProvider.load(args.provider)
     val pipeline = provider.pipeline
 

@@ -53,6 +53,35 @@ final class BucketedStateStore(val root: String, val numBuckets: Int = 32,
   /** `buckets`: bucket id -> path relative to `root` (absent = empty). */
   private final case class TableMeta(keyCol: String, ddl: String, buckets: Map[Int, String])
 
+  // crash recovery on open: a kill between writing a `_swap.tmp*` file and
+  // its ATOMIC_MOVE strands the tmp (never referenced — the committed
+  // pointer still names the previous batch), so sweep them here; a store
+  // that crashed mid-swap reopens to the last committed batch with no
+  // leftover temp files (ChaosStoreSpec kills at every step and asserts it)
+  locally {
+    val p = Paths.get(root)
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("_swap.tmp"))
+        .toList.foreach(Files.deleteIfExists(_))
+      finally s.close()
+    }
+    // a kill between the snapshot write and the pointer swap strands a
+    // snapshot manifest AHEAD of the committed pointer: whole, but
+    // uncommitted — time travel must not serve it, and vacuum must not
+    // treat its directories as live forever. Reap it; the batch will be
+    // re-staged and re-committed (writeAtomic REPLACE_EXISTING).
+    val ptr = committedBatch.getOrElse(-1L)
+    snapshots.filter(_ > ptr).foreach(b => Files.deleteIfExists(snapshotPath(b)))
+  }
+
+  /** TEST SEAM — [[commit]] reports each durability step here
+    * ("tmp-written:<file>", "snapshot-written", "pointer-swapped");
+    * a hook that THROWS simulates a crash at that exact point
+    * (ChaosStoreSpec). Production leaves it a no-op. */
+  private[graft] var onCommitStep: String => Unit = _ => ()
+
   private var committed: Map[String, TableMeta] = loadManifest()
   /** Opaque engine payload carried inside the atomic manifest swap — the
     * crash-durable home of the A18 retry ledger (see [[commit]]). */
@@ -241,11 +270,14 @@ final class BucketedStateStore(val root: String, val numBuckets: Int = 32,
     def writeAtomic(target: java.nio.file.Path): Unit = {
       val tmp = target.resolveSibling(s"_swap.tmp${target.getFileName}")
       Files.write(tmp, sb.toString.getBytes(StandardCharsets.UTF_8))
+      onCommitStep(s"tmp-written:${target.getFileName}")
       Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)
     }
     writeAtomic(snapshotPath(batchId))
+    onCommitStep("snapshot-written")
     writeAtomic(manifestPath)
+    onCommitStep("pointer-swapped")
     snapshots.dropRight(keepSnapshots).foreach(b => Files.delete(snapshotPath(b)))
     commitsSinceVacuum += 1
     if (autoVacuumEvery > 0 && commitsSinceVacuum >= autoVacuumEvery) {

@@ -61,6 +61,12 @@ final class BucketedStreamingEngine(
   def pending: Seq[FailedChange] = batchLock.synchronized(ledger.pending)
   def deadLetters: List[Change] = batchLock.synchronized(ledger.deadLetters)
 
+  /** The queryable notification queue (reference: listeners.py:37-40) —
+    * pending retries with their backoff gates plus the dead-letter log;
+    * reflects the ledger as persisted by the last store commit. */
+  def notifications(spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame =
+    batchLock.synchronized(Notifications.frame(spark, ledger.pending, ledger.deadLetters))
+
   private def payloadOf(l: RetryLedger, streamBatch: Long): String =
     s"stream=$streamBatch\n" + l.serialize
 

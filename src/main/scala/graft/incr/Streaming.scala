@@ -1,7 +1,7 @@
 package graft.incr
 
 import graft.core.Pipeline
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /** A failed notification awaiting retry — the reference's FailedNotification
@@ -98,6 +98,11 @@ final class StreamingEngine(
   def currentState: MrState = state
   def deadLetters: List[Change] = ledger.deadLetters
   def pending: Seq[FailedChange] = ledger.pending
+
+  /** The queryable notification queue (reference: listeners.py:37-40) —
+    * pending retries with their backoff gates plus the dead-letter log. */
+  def notifications(spark: SparkSession): DataFrame =
+    Notifications.frame(spark, pending, deadLetters)
 
   private def session: SparkSession = state.tables.head._2.sparkSession
 

@@ -30,14 +30,22 @@ object StreamJoins {
     *
     * Column names across the two sides must be disjoint apart from `key`
     * (the right copy is dropped). Timestamp columns are long microseconds.
+    *
+    * `stage = false` skips writing the input files — the caller staged
+    * identical frames into the dirs earlier (several joins over the same
+    * feeds then share one staged copy; the per-call cost is the real
+    * stream-stream state-store work, not re-staging fixtures).
     */
   def intervalJoinDrained(left: DataFrame, right: DataFrame, key: String,
                           leftTs: String, rightTs: String, window: String,
                           watermarkDelay: String,
-                          leftDir: String, rightDir: String): DataFrame = {
+                          leftDir: String, rightDir: String,
+                          stage: Boolean = true): DataFrame = {
     val spark = left.sparkSession
-    StatefulSessions.stageOrderedFiles(spark, Paths.get(leftDir), left, Seq.empty)
-    StatefulSessions.stageOrderedFiles(spark, Paths.get(rightDir), right, Seq.empty)
+    if (stage) {
+      StatefulSessions.stageOrderedFiles(spark, Paths.get(leftDir), left, Seq.empty)
+      StatefulSessions.stageOrderedFiles(spark, Paths.get(rightDir), right, Seq.empty)
+    }
 
     graft.core.BatchConf.withBatchTuning(spark) {
       val l = spark.readStream.schema(left.schema)
@@ -72,10 +80,13 @@ object StreamJoins {
   def intervalJoinLeftOuterDrained(left: DataFrame, right: DataFrame, key: String,
                                    leftTs: String, rightTs: String, window: String,
                                    watermarkDelay: String,
-                                   leftDir: String, rightDir: String): DataFrame = {
+                                   leftDir: String, rightDir: String,
+                                   stage: Boolean = true): DataFrame = {
     val spark = left.sparkSession
-    StatefulSessions.stageOrderedFiles(spark, Paths.get(leftDir), left, Seq.empty)
-    StatefulSessions.stageOrderedFiles(spark, Paths.get(rightDir), right, Seq.empty)
+    if (stage) {
+      StatefulSessions.stageOrderedFiles(spark, Paths.get(leftDir), left, Seq.empty)
+      StatefulSessions.stageOrderedFiles(spark, Paths.get(rightDir), right, Seq.empty)
+    }
 
     graft.core.BatchConf.withBatchTuning(spark) {
       val l = spark.readStream.schema(left.schema)

@@ -86,6 +86,13 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     engine.processBatch(Seq.empty, batchId = 3)
     assert(engine.pending.head.retries == 1)
 
+    // the queryable notification queue reflects the live ledger: one
+    // pending row whose gate is first-failure + backoff(1) = 0 + 1500
+    val nq = engine.notifications(spark).collect()
+    assert(nq.length == 1)
+    assert(nq.head.getString(0) == "pending" && nq.head.getString(4) == "p")
+    assert(nq.head.getInt(5) == 1 && nq.head.getLong(7) == 1500L)
+
     // second retry fails -> dropped to the dead-letter log
     now = 1600
     engine.processBatch(Seq.empty, batchId = 4)

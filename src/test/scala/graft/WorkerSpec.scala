@@ -164,11 +164,41 @@ class WorkerSpec extends AnyFunSuite with SparkTestBase {
       java.nio.file.Paths.get(storeRoot, "_lease")))
   }
 
+  test("--queue lists the committed notification queue: no lease, no stream") {
+    val (_, _, storeRoot, ini) = setupDirs()
+    // a store whose committed manifest carries a retry-ledger payload
+    val led = new graft.incr.RetryLedger(maxRetries = 2)
+    val cs = Seq(Change(5, Change.Updated, "src", "x"),
+      Change(6, Change.Deleted, "src", "y"))
+    led.record(cs, cs, Nil, now = 100L)
+    new BucketedStateStore(storeRoot, 8)
+      .commit(0L, ledger = Some("stream=0\n" + led.serialize))
+    // a FOREIGN live lease must not block the read-only peek
+    val foreign = new Lease(Paths.get(storeRoot, "_lease"), "other-worker", 60000L)
+    foreign.keepAlive()
+
+    val out = new java.io.ByteArrayOutputStream()
+    val code = Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+      Worker.run(Seq("graft.WorkerTestPipeline", "-c", ini, "--queue"), Some(spark))
+    }
+    assert(code == 0)
+    val lines = out.toString("UTF-8").trim.split("\n").toSeq
+    assert(lines.head.startsWith("state\tseq\tchange"))
+    // both failures pending with retries=0, first failure 100, gate 350
+    assert(lines.tail == Seq(
+      "pending\t5\tupdated\tsrc\tx\t0\t100\t350",
+      "pending\t6\tdeleted\tsrc\ty\t0\t100\t350"))
+    // read-only: the foreign lease survives and the store is untouched
+    assert(new BucketedStateStore(storeRoot, 8).committedBatch.contains(0L))
+  }
+
   test("arg parsing mirrors the reference CLI") {
     assert(Worker.parseArgs(Seq("x.Y", "-c", "a.ini")) ==
       Worker.Args("x.Y", "a.ini", forever = false))
     assert(Worker.parseArgs(Seq("-f", "x.Y", "--config", "a.ini")) ==
       Worker.Args("x.Y", "a.ini", forever = true))
+    assert(Worker.parseArgs(Seq("x.Y", "-c", "a.ini", "-q")) ==
+      Worker.Args("x.Y", "a.ini", forever = false, queue = true))
     assertThrows[IllegalArgumentException](Worker.parseArgs(Seq("-c", "a.ini")))
     assertThrows[IllegalArgumentException](Worker.parseArgs(Seq("x.Y")))
     assertThrows[IllegalArgumentException](Worker.parseArgs(Seq("x.Y", "-c", "a", "-z")))
