@@ -2857,6 +2857,44 @@ object SparkEntry {
             .as("ids_md5"))
     }),
 
+    // Interchange-format round-trips (sources/Formats): export the corpus
+    // as line-JSON / quote-all CSV / ORC shards and read it back with an
+    // EXPLICIT schema (no inference scan), then fold to per-(source, lang)
+    // content digests — row count, text byte sum, DISTINCT text-md5 count,
+    // id sum. Matching the oracle computed from the parquet originals
+    // proves byte-level fidelity of the whole write+read path; BOTH
+    // directions run live per invocation (the export is the op)
+    "fmt_jsonl_roundtrip" -> ((s, dir) => {
+      val out = fmtTmp("graft_fmt_jsonl")
+      graft.sources.Formats.writeJsonl(fmtCols(s, dir), out, shards = 8)
+      fmtDigest(graft.sources.Formats.readJsonl(s, out, FmtDdl))
+    }),
+    "fmt_csv_roundtrip" -> ((s, dir) => {
+      val out = fmtTmp("graft_fmt_csv")
+      graft.sources.Formats.writeCsv(fmtCols(s, dir), out, shards = 8)
+      fmtDigest(graft.sources.Formats.readCsv(s, out, FmtDdl))
+    }),
+    "fmt_orc_roundtrip" -> ((s, dir) => {
+      val out = fmtTmp("graft_fmt_orc")
+      graft.sources.Formats.writeOrc(fmtCols(s, dir), out, shards = 8)
+      fmtDigest(graft.sources.Formats.readOrc(s, out, FmtDdl))
+    }),
+
+    // Hive-style partitioned layout + plan-time directory pruning: events
+    // written partitionBy(event_type) once per dir (the layout is the
+    // fixture; FormatsSpec pins PartitionFilters in the scan), then the
+    // hourly rollup of ONE partition — the scan never opens the other
+    // partitions' files, the coarse-grained complement of layout_zorder's
+    // file-stat skipping
+    "layout_partition_prune" -> ((s, dir) => {
+      val pdir = partitionedEventsDir(s, dir)
+      graft.sources.Formats.readPartitioned(s, pdir)
+        .filter(col("event_type") === "error")
+        .groupBy(expr("ts div 3600000000000").as("hour_idx"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+        .select((col("hour_idx") * 3600).as("hour"), col("cnt"), col("sum_value"))
+    }),
+
     // Per-source token-length quantiles (exact interpolated percentiles) —
     // the length-distribution panel of a corpus data card. Exact is safe
     // here because the aggregation state is bounded by DISTINCT token
@@ -3118,6 +3156,38 @@ object SparkEntry {
       .select(col("user_id"), col("us").as("ets"), col("value").as("err_value"))
     (su, er)
   }
+  /** Interchange round-trip plumbing (fmt_* queries). */
+  private val FmtDdl = "doc_id BIGINT, text STRING, lang STRING, source STRING"
+  /** Oracle twin of [[fmtDigest]] over the parquet originals. */
+  private val FmtDigestSql =
+    """SELECT source, lang, count(*) AS n_docs,
+       CAST(sum(strlen(text)) AS BIGINT) AS sum_bytes,
+       count(DISTINCT md5(text)) AS n_text_md5,
+       CAST(sum(doc_id) AS BIGINT) AS sum_id
+       FROM documents GROUP BY source, lang"""
+  private def fmtTmp(prefix: String): String = graft.core.TempDirs.register(
+    java.nio.file.Files.createTempDirectory(prefix)).toString
+  private def fmtCols(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"), col("text"), col("lang"), col("source"))
+  private def fmtDigest(df: DataFrame): DataFrame =
+    df.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(octet_length(col("text")).cast("long")).as("sum_bytes"),
+        countDistinct(md5(col("text").cast("binary"))).as("n_text_md5"),
+        sum(col("doc_id")).as("sum_id"))
+
+  /** Events written partitionBy(event_type) once per scale dir — the
+    * partitioned LAYOUT is the fixture layout_partition_prune reads. */
+  private val partitionedEvents =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def partitionedEventsDir(s: SparkSession, dir: String): String =
+    partitionedEvents.getOrElseUpdate(dir, {
+      val d = fmtTmp("graft_events_bytype")
+      graft.sources.Formats.writePartitioned(
+        t(s, dir, "events"), d, Seq("event_type"))
+      d
+    })
+
   private val ssJoinStage =
     scala.collection.concurrent.TrieMap.empty[String, (String, String)]
   private def ssJoinDirs(s: SparkSession, dir: String): (String, String) =
@@ -5638,6 +5708,15 @@ object SparkEntry {
                md5(string_agg(doc_id::VARCHAR, ',' ORDER BY pos)) AS ids_md5
              FROM r GROUP BY 1"""
       },
+      // the round-trip digests must equal the same fold over the parquet
+      // originals — one oracle body for all three formats
+      "fmt_jsonl_roundtrip" -> FmtDigestSql,
+      "fmt_csv_roundtrip" -> FmtDigestSql,
+      "fmt_orc_roundtrip" -> FmtDigestSql,
+      "layout_partition_prune" ->
+        """SELECT CAST(epoch_ns(ts) // 3600000000000 * 3600 AS BIGINT) AS hour,
+           count(*) AS cnt, round(sum(value), 2) AS sum_value
+           FROM events WHERE event_type = 'error' GROUP BY 1""",
       "corpus_quantiles" ->
         raw"""WITH d AS (SELECT source,
               CASE WHEN len(trim(text)) = 0 THEN 0
