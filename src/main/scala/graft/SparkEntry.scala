@@ -2209,6 +2209,19 @@ object SparkEntry {
       Curation.mixByTemperature(t(s, dir, "documents"), "doc_id", "text",
         "source", alpha = 0.7, frac = 0.5)),
 
+    // MODEL-driven mixture reweighting (DoReMi-lite): sources ranked by
+    // their mean TRAINED-quality-probe score, rank -> integer weight
+    // (best S … worst 1), quarter-corpus token budget split ∝ weight in
+    // exact big-integer arithmetic, then the deterministic md5-uniform
+    // greedy fill. Ordinal weights keep the whole derivation exact: only
+    // comparisons of per-source means cross the engine boundary
+    "mix_quality_ranked" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Curation.mixByQualityRank(docs, "doc_id", "text", "source",
+        graft.text.Probe.score(docs, probeModel(s, dir), "text", "doc_id"),
+        "pred_nano", frac = 0.25)
+    }),
+
     // KMV sketch MERGE: per-source bottom-k draw sets fold into the global
     // estimate exactly (the distributed-aggregate property; the oracle
     // computes the direct global sketch — merged must equal it)
@@ -5434,6 +5447,47 @@ object SparkEntry {
               FROM u)
             SELECT c.doc_id, c.source, c.n_tok, CAST(cum_tok AS BIGINT) AS cum_tok
             FROM c JOIN b USING (source) WHERE cum_tok - n_tok < budget"""
+      },
+      // probe-scored source ranks -> ordinal weights -> exact budget split
+      // -> the mix_budget greedy fill (one derivation, both engines)
+      "mix_quality_ranked" -> {
+        def nib(k: Int) =
+          s"(strpos('0123456789abcdef', substr(h, $k, 1)) - 1)::BIGINT"
+        val u32 = (1 to 8).map(k => s"${nib(k)} * ${1L << (4 * (8 - k))}")
+          .mkString(" + ")
+        raw"""WITH $probeSolve,
+            ps AS (SELECT doc_id,
+                CAST(det0 * 1000000000 // det AS BIGINT)
+                + CAST(det1 * 1000000000 // det AS BIGINT) * x1
+                + CAST(det2 * 1000000000 // det AS BIGINT) * x2 AS pred
+              FROM d CROSS JOIN w),
+            dd AS (SELECT doc_id, source,
+                CAST(len(regexp_extract_all(lower(trim(text)),
+                  '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]')) AS BIGINT) AS n_tok,
+                md5('graft-mix:' || doc_id::VARCHAR) AS h
+              FROM documents),
+            st AS (SELECT source, CAST(sum(pred) AS HUGEINT) AS sp,
+                count(*)::BIGINT AS n, CAST(sum(n_tok) AS BIGINT) AS t
+              FROM dd JOIN ps USING (doc_id) GROUP BY source),
+            rk AS (SELECT source, t,
+                row_number() OVER (ORDER BY sp::DOUBLE / n DESC, source) AS r,
+                count(*) OVER () AS ns FROM st),
+            tot AS (SELECT CAST(sum(t) AS BIGINT) AS total FROM st),
+            wgt AS (SELECT source, CAST(ns - r + 1 AS BIGINT) AS wt FROM rk),
+            sw AS (SELECT CAST(sum(wt) AS BIGINT) AS sumw FROM wgt),
+            bb AS (SELECT source,
+                CAST(CAST(floor(0.25 * total) AS HUGEINT) * wt // sumw
+                  AS BIGINT) AS budget
+              FROM wgt CROSS JOIN tot CROSS JOIN sw),
+            uu AS (SELECT doc_id, source, n_tok,
+                ($u32) / 4294967296.0 AS u FROM dd),
+            cc AS (SELECT doc_id, source, n_tok,
+                sum(n_tok) OVER (PARTITION BY source ORDER BY u, doc_id
+                  ROWS UNBOUNDED PRECEDING) AS cum_tok
+              FROM uu)
+            SELECT cc.doc_id, cc.source, cc.n_tok,
+              CAST(cum_tok AS BIGINT) AS cum_tok
+            FROM cc JOIN bb USING (source) WHERE cum_tok - n_tok < budget"""
       },
       // the DIRECT global sketch: merged-per-source must equal it exactly
       "sketch_kmv_merge" -> {

@@ -714,6 +714,53 @@ object Curation {
       defaultBudget = 0L, salt)
   }
 
+  /** MODEL-driven mixture reweighting (the domain-reweighting idea behind
+    * DoReMi-style pipelines, shrunk to an exact cross-engine core):
+    * sources are RANKED by their mean per-doc quality score and the rank
+    * becomes the mixing weight — best source S, worst 1 — then a
+    * frac-of-corpus token budget splits ∝ weight with exact big-integer
+    * arithmetic and [[mixToBudgetCounted]]'s deterministic md5-uniform
+    * greedy fill selects the documents. Where [[mixByTemperature]]
+    * reweights by SIZE, this reweights by a trained signal: mixture
+    * composition follows data quality.
+    *
+    * Ordinal (rank) weights, not softmax of the raw signal: only
+    * COMPARISONS of per-source means cross the engine boundary — both
+    * engines divide the same exact integers in IEEE doubles, so the
+    * ranking (and with it every budget) is bit-stable, with no
+    * transcendental anywhere. Per-source stats are dimension-sized
+    * control data (driver collect).
+    *
+    * `scores`: per-doc (idCol, scoreCol) integer scores — e.g.
+    * [[graft.text.Probe.score]]'s pred_nano. */
+  def mixByQualityRank(docs: DataFrame, idCol: String, textCol: String,
+                       sourceCol: String, scores: DataFrame, scoreCol: String,
+                       frac: Double, salt: String = "graft-mix"): DataFrame = {
+    // tokenize ONCE; the counted frame feeds both the budget derivation
+    // and the greedy fill
+    val counted = graft.ops.Caches.track(docs.select(col(idCol), col(sourceCol),
+      size(TextFunctions.subwordTokens(col(textCol))).cast("long").as("n_tok")))
+    val stats = counted.join(scores.select(col(idCol), col(scoreCol)), idCol)
+      .groupBy(col(sourceCol))
+      .agg(sum(col(scoreCol)).as("__sp"), count(lit(1)).as("__n"),
+        sum(col("n_tok")).as("__t"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val budgetT = math.floor(frac * stats.map(_._4).sum).toLong
+    // mean-score DESC rank (ties by source name) -> weight S..1
+    val ordered = stats.sortBy { case (s, sp, n, _) => (-(sp.toDouble / n), s) }
+    val nSrc = ordered.length
+    val weights = ordered.zipWithIndex.map { case ((s, _, _, _), i) =>
+      s -> (nSrc - i).toLong
+    }
+    val sumW = weights.map(_._2).sum
+    val budgets = weights.map { case (s, w) =>
+      s -> (BigInt(budgetT) * w / sumW).toLong
+    }.toMap
+    mixToBudgetCounted(counted, idCol, sourceCol, budgets,
+      defaultBudget = 0L, salt)
+  }
+
   // ---------------------------------------------------------------- sequence packing
 
   /** Pack documents into fixed token-budget training sequences: documents

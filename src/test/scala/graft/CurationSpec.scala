@@ -205,6 +205,34 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(shareOf(flat) > shareOf(prop), s"$smallest not upsampled")
   }
 
+  test("quality-ranked mixing allocates budget by the score ranking") {
+    // synthetic per-doc scores that force the ranking to be the sources'
+    // alphabetical order (first source highest mean score)
+    val srcs = docs.select("source").distinct().as[String].collect().sorted
+    val rankScore = srcs.zipWithIndex.foldLeft(lit(0L)) { case (acc, (s, i)) =>
+      when(col("source") === s, lit(((srcs.length - i) * 1000000L))).otherwise(acc)
+    }
+    val scores = docs.select(col("doc_id"), rankScore.as("pred_nano"))
+    val out = Curation.mixByQualityRank(docs, "doc_id", "text", "source",
+        scores, "pred_nano", frac = 0.25)
+      .groupBy(col("source")).agg(sum(col("n_tok")).as("t"))
+      .as[(String, Long)].collect().toMap
+    val picked = srcs.map(s => out.getOrElse(s, 0L))
+    assert(picked.head > picked.last,
+      s"top-ranked source must out-allocate the bottom: $out")
+    // selections track the monotone rank weights (greedy fill can wobble
+    // by at most one document per source)
+    val maxDoc = docs.select(max(size(TextFunctions.subwordTokens(col("text")))))
+      .as[Int].collect().head.toLong
+    picked.toSeq.sliding(2).foreach { case Seq(a, b) =>
+      assert(a >= b - maxDoc, s"rank order violated beyond one-doc slack: $out")
+    }
+    // the overall budget is respected up to one doc per source
+    val total = docs.select(sum(size(TextFunctions.subwordTokens(col("text")))
+      .cast("long"))).as[Long].collect().head
+    assert(picked.sum <= (0.25 * total).toLong + maxDoc * srcs.length)
+  }
+
   test("cdcChunks re-synchronizes after an insertion (fixed spans do not)") {
     val base = (1 to 120).map(i => s"w$i").mkString(" ")
     val shifted = "zzz " + base // one-token insertion at the front
