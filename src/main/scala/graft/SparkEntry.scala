@@ -1815,6 +1815,14 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"),
         size(TextFunctions.subwordTokens(col("text"))).cast("long").as("n_subwords"))),
 
+    // Hashing-trick featurizer: 16 signed token-count buckets per doc
+    // (bucket and sign from md5 nibbles) — the no-model text embedding
+    // for cheap clustering / near-dup / probe features. One md5 per
+    // token + integer filters: a pure narrow codegen projection,
+    // all-integer output, exact oracle
+    "text_feature_hash" -> ((s, dir) =>
+      Curation.hashFeatures(t(s, dir, "documents"), "text", "doc_id")),
+
     // Multimodal: binary blobs + typed metadata
     "mm_meta" -> ((s, dir) => {
       val blobs = t(s, dir, "documents")
@@ -5447,6 +5455,20 @@ object SparkEntry {
               FROM u)
             SELECT c.doc_id, c.source, c.n_tok, CAST(cum_tok AS BIGINT) AS cum_tok
             FROM c JOIN b USING (source) WHERE cum_tok - n_tok < budget"""
+      },
+      // same md5-nibble bucket/sign derivation, same signed counts
+      "text_feature_hash" -> {
+        val sw = raw"regexp_extract_all(lower(trim(text)), '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]')"
+        val enc = "((strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1) * 16 " +
+          "+ strpos('0123456789abcdef', substr(md5(t), 2, 1)) - 1) % 16 * 2 " +
+          "+ CASE WHEN substr(md5(t), 3, 1) < '8' THEN 1 ELSE 0 END"
+        val fs = (0 until 16).map(i =>
+          s"len(list_filter(es, x -> x = ${i * 2 + 1}))::BIGINT" +
+            s" - len(list_filter(es, x -> x = ${i * 2}))::BIGINT AS f$i")
+          .mkString(", ")
+        raw"""WITH d AS (SELECT doc_id, $sw AS ts FROM documents),
+            e AS (SELECT doc_id, list_transform(ts, t -> $enc) AS es FROM d)
+            SELECT doc_id, $fs FROM e"""
       },
       // probe-scored source ranks -> ordinal weights -> exact budget split
       // -> the mix_budget greedy fill (one derivation, both engines)

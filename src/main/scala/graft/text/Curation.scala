@@ -761,6 +761,36 @@ object Curation {
       defaultBudget = 0L, salt)
   }
 
+  /** Hashing-trick featurizer (the no-model text embedding): each token
+    * hashes to one of `dim` signed buckets — bucket from md5 nibble 2,
+    * sign from nibble 3 — and a document's feature i is the SIGNED token
+    * count of bucket i. The random-sign trick makes each feature an
+    * unbiased sketch of the token distribution (Weinberger et al.'s
+    * feature hashing), good enough for cheap clustering / near-dup /
+    * probe features when no neural embedder is in the loop.
+    *
+    * Shape: ONE md5 per token (the transform pre-encodes bucket·2+sign),
+    * then `2·dim` integer array filters — a pure narrow projection, no
+    * shuffle, whole-stage codegen; all-integer output so the oracle is
+    * exact. Output columns: idCol, f0..f{dim-1}. */
+  def hashFeatures(docs: DataFrame, textCol: String, idCol: String,
+                   dim: Int = 16): DataFrame = {
+    require(dim > 0 && dim <= 64, s"dim $dim out of range")
+    val toks = TextFunctions.subwordTokens(col(textCol))
+    val enc = transform(toks, t => {
+      val h = md5(t.cast("binary"))
+      val bucket = conv(substring(h, 1, 2), 16, 10).cast("int") % dim
+      val sign = when(substring(h, 3, 1) < "8", 1).otherwise(0)
+      bucket * 2 + sign
+    })
+    val fs = (0 until dim).map { i =>
+      (size(filter(col("__enc"), e => e === i * 2 + 1)) -
+        size(filter(col("__enc"), e => e === i * 2))).cast("long").as(s"f$i")
+    }
+    docs.withColumn("__enc", enc)
+      .select(col(idCol) +: fs: _*)
+  }
+
   // ---------------------------------------------------------------- sequence packing
 
   /** Pack documents into fixed token-budget training sequences: documents

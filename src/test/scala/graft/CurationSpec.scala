@@ -233,6 +233,34 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(picked.sum <= (0.25 * total).toLong + maxDoc * srcs.length)
   }
 
+  test("hashFeatures matches a plain-Scala md5 reference") {
+    val got = Curation.hashFeatures(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (1 to 16).map(r.getLong(_)).toVector).toMap
+    val pat = """\p{L}+|\p{N}+|[^\p{L}\p{N}\s]""".r
+    val rows = docs.select("doc_id", "text").as[(Long, String)].collect()
+    rows.foreach { case (id, text) =>
+      val f = Array.fill(16)(0L)
+      pat.findAllIn(text.trim.toLowerCase).foreach { t =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val bucket = Integer.parseInt(hex.substring(0, 2), 16) % 16
+        f(bucket) += (if (hex.charAt(2) < '8') 1L else -1L)
+      }
+      assert(got(id) == f.toVector, s"doc $id")
+    }
+    // the random-sign trick centers across the HASH draws — i.e. across
+    // UNIQUE tokens (repeated Zipfian tokens share one draw and need not
+    // cancel): |Σ sign| over n uniques is O(√n)
+    val uniq = rows.flatMap(r => pat.findAllIn(r._2.trim.toLowerCase)).distinct
+    val signSum = uniq.map { t =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      if (hex.charAt(2) < '8') 1L else -1L
+    }.sum
+    assert(math.abs(signSum) < 6 * math.sqrt(uniq.size.toDouble) + 1,
+      s"signed sum $signSum over ${uniq.size} unique tokens")
+  }
+
   test("cdcChunks re-synchronizes after an insertion (fixed spans do not)") {
     val base = (1 to 120).map(i => s"w$i").mkString(" ")
     val shifted = "zzz " + base // one-token insertion at the front
