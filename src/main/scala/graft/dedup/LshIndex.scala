@@ -40,6 +40,32 @@ object LshIndex {
     def tombstoneDir: String = s"$dir/_tombstones"
   }
 
+  /** Crash contract. A change batch touches THREE directories (band rows,
+    * set rows, tombstones) as independent append jobs; without a commit
+    * marker a crash mid-batch leaves torn cross-table state — band rows
+    * whose shingle sets are missing silently DROP near-dup pairs. The
+    * `_gens` pointer closes that: appends stamp their generation, the
+    * pointer advances (atomic tmp+move) only after ALL of the batch's
+    * appends finished, and every read filters `gen <= committed` /
+    * `upto_gen <= committed`. Any crash before the pointer swap leaves the
+    * batch INVISIBLE — the index reads as its pre-batch self, and
+    * redelivering the batch at the same generation is idempotent (probes
+    * `distinct()` pair output, duplicate appended rows change nothing).
+    * [[build]] is the cold-start exception: it OVERWRITES in place, so a
+    * crash mid-build needs a re-run — the reference's resync contract
+    * (resync.py:91-128); steady-state [[applyBatch]] is the crash-atomic
+    * path. Pointer absent (pre-pointer index dirs) = everything visible. */
+  private def committedGen(idx: Index): Long =
+    graft.core.GenPointer.committed(idx.dir)
+
+  private def commitGen(idx: Index, gen: Long): Unit =
+    graft.core.GenPointer.commit(idx.dir, gen)
+
+  /** TEST SEAM — batch apply reports "appended" (all three append jobs
+    * done, pointer not yet swapped) and "committed"; a throwing hook
+    * simulates a crash at that point (ChaosLshSpec). No-op in production. */
+  private[graft] var onApplyStep: String => Unit = _ => ()
+
   private def bp(bucket: org.apache.spark.sql.Column, n: Int) =
     pmod(bucket, lit(n.toLong)).cast("int")
   private def ip(id: org.apache.spark.sql.Column, n: Int) =
@@ -108,6 +134,7 @@ object LshIndex {
     val sets = graft.ops.Caches.track(sets0)
     banded.count()
     writeBatch(banded, sets, idx, gen = 0L, mode = "overwrite")
+    commitGen(idx, 0L)
     idx
   }
 
@@ -127,6 +154,7 @@ object LshIndex {
     val sets = graft.ops.Caches.track(sets0)
     banded.count() // fill both caches once before the concurrent writes
     writeBatch(banded, sets, idx, gen = 0L, mode = "overwrite")
+    commitGen(idx, 0L)
     (idx, DocDedup.pairsFromSigned(banded, sets, threshold, maxBucketSize))
   }
 
@@ -155,6 +183,9 @@ object LshIndex {
     runParallel(Seq(
       () => writeBatch(banded, sets, idx, gen, mode = "append"),
       () => writeTombstones(idx, upserts, deletes, idCol, gen)))
+    onApplyStep("appended")
+    commitGen(idx, gen) // the batch becomes visible HERE, atomically
+    onApplyStep("committed")
   }
 
   /** [[applyBatch]] + the batch's near-dup pairs against the index, from ONE
@@ -170,19 +201,30 @@ object LshIndex {
     runParallel(Seq(
       () => writeBatch(banded, sets, idx, gen, mode = "append"),
       () => writeTombstones(idx, upserts, deletes, idCol, gen)))
+    onApplyStep("appended")
+    commitGen(idx, gen) // the batch becomes visible HERE, atomically
+    onApplyStep("committed")
     pairsForSigned(idx, banded, sets, maxBucketSize)
   }
 
-  /** Rows surviving the tombstone horizon: row.gen >= max(upto_gen) of its
-    * id (no tombstone → survives). Tombstones are control-sized → broadcast. */
+  /** Rows surviving the tombstone horizon AND the committed-generation
+    * pointer: row.gen ≤ committed (uncommitted appends of a torn batch
+    * stay invisible — see the crash contract above) and row.gen ≥
+    * max(upto_gen ≤ committed) of its id (no tombstone → survives).
+    * Tombstones are control-sized → broadcast. */
   private def liveRows(idx: Index, rows: DataFrame): DataFrame = {
     val spark = rows.sparkSession
+    val committed = committedGen(idx)
+    val visible =
+      if (committed == Long.MaxValue) rows
+      else rows.filter(col("gen") <= committed)
     if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(idx.tombstoneDir)))
-      rows
+      visible
     else {
       val horizon = spark.read.parquet(idx.tombstoneDir)
+        .filter(col("upto_gen") <= committed)
         .groupBy(col("__id")).agg(max(col("upto_gen")).as("__upto"))
-      rows.join(broadcast(horizon), Seq("__id"), "left")
+      visible.join(broadcast(horizon), Seq("__id"), "left")
         .filter(col("__upto").isNull || col("gen") >= col("__upto"))
         .drop("__upto")
     }
@@ -213,6 +255,7 @@ object LshIndex {
     replaceDir(staging.setsDir, idx.setsDir)
     deleteDir(idx.tombstoneDir)
     deleteDir(staging.dir)
+    commitGen(idx, gen) // normalize the pointer (legacy dirs had none)
   }
 
   private def deleteDir(dir: String): Unit =

@@ -200,6 +200,7 @@ object Ivf {
       .write.mode("overwrite").partitionBy("cell")
       .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
       .parquet(dir)
+    graft.core.GenPointer.commit(dir, 0L)
     Index(cents, dir)
   }
 
@@ -235,19 +236,29 @@ object Ivf {
       .write.mode("append")
       .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
       .parquet(index.tombstoneDir)
+    // the batch becomes visible HERE, atomically — a crash between the two
+    // appends above leaves it invisible (GenPointer's crash contract);
+    // redelivery at the same gen is idempotent (probe top-k dedups by id)
+    graft.core.GenPointer.commit(index.assignDir, gen)
   }
 
-  /** Cell rows surviving the tombstone horizon: row.gen >= max(upto_gen)
-    * of its id (no tombstone → survives). Tombstones are control-sized;
-    * the join is a broadcast. */
+  /** Cell rows surviving the tombstone horizon AND the committed-generation
+    * pointer: row.gen ≤ committed (a torn batch's appends stay invisible),
+    * and row.gen ≥ max(upto_gen ≤ committed) of its id (no tombstone →
+    * survives). Tombstones are control-sized; the join is a broadcast. */
   private def liveRows(index: Index, cells: DataFrame): DataFrame = {
     val spark = cells.sparkSession
+    val committed = graft.core.GenPointer.committed(index.assignDir)
+    val visible =
+      if (committed == Long.MaxValue) cells
+      else cells.filter(col("gen") <= committed)
     if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(index.tombstoneDir)))
-      cells
+      visible
     else {
       val horizon = spark.read.parquet(index.tombstoneDir)
+        .filter(col("upto_gen") <= committed)
         .groupBy(col("neighbor_id")).agg(max(col("upto_gen")).as("__upto"))
-      cells.join(broadcast(horizon), Seq("neighbor_id"), "left")
+      visible.join(broadcast(horizon), Seq("neighbor_id"), "left")
         .filter(col("__upto").isNull || col("gen") >= col("__upto"))
         .drop("__upto")
     }

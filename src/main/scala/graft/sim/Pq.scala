@@ -183,6 +183,7 @@ object Pq {
     // they were horizoning (same rule as LshIndex/Ivf rebuilds)
     graft.core.TempDirs.deleteRecursively(
       java.nio.file.Paths.get(tombstoneDir(path)))
+    graft.core.GenPointer.commit(path, 0L)
   }
 
   private def codesDir(path: String): String = s"$path/codes"
@@ -215,22 +216,32 @@ object Pq {
       .write.mode("append")
       .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
       .parquet(tombstoneDir(path))
+    // the batch becomes visible HERE, atomically — a crash between the two
+    // appends leaves it invisible (GenPointer's crash contract)
+    graft.core.GenPointer.commit(path, gen)
   }
 
-  /** Code rows surviving the tombstone horizon: row.gen >= max(upto_gen)
-    * of its id. Tombstones are change-batch-sized control data — the join
-    * broadcasts. */
+  /** Code rows surviving the tombstone horizon AND the committed-generation
+    * pointer: row.gen ≤ committed (a torn batch's appends stay invisible)
+    * and row.gen ≥ max(upto_gen ≤ committed) of its id. Tombstones are
+    * change-batch-sized control data — the join broadcasts. */
   private def liveCodes(spark: org.apache.spark.sql.SparkSession,
-                        path: String, codes: DataFrame): DataFrame =
+                        path: String, codes: DataFrame): DataFrame = {
+    val committed = graft.core.GenPointer.committed(path)
+    val visible =
+      if (committed == Long.MaxValue) codes
+      else codes.filter(col("gen") <= committed)
     if (!java.nio.file.Files.isDirectory(
-        java.nio.file.Paths.get(tombstoneDir(path)))) codes
+        java.nio.file.Paths.get(tombstoneDir(path)))) visible
     else {
       val horizon = spark.read.parquet(tombstoneDir(path))
+        .filter(col("upto_gen") <= committed)
         .groupBy(col("neighbor_id")).agg(max(col("upto_gen")).as("__upto"))
-      codes.join(broadcast(horizon), Seq("neighbor_id"), "left")
+      visible.join(broadcast(horizon), Seq("neighbor_id"), "left")
         .filter(col("__upto").isNull || col("gen") >= col("__upto"))
         .drop("__upto")
     }
+  }
 
   /** ADC top-k over a persisted [[buildCodeIndex]] — the probe side:
     * partition-pruned read of the probed cells, m lookups + an ordered

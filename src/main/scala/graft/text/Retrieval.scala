@@ -114,16 +114,44 @@ object Retrieval {
       .withColumn("dbucket", pmod(hash(col("doc")), lit(numBuckets)))
       .withColumn("gen", lit(gen))
 
-  /** Rows surviving the tombstone horizon (shared by probe and stats). */
-  private def liveRows(spark: SparkSession, idx: InvertedIndex, rows: DataFrame): DataFrame =
-    if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(idx.tombstoneDir))) rows
+  /** Rows surviving the tombstone horizon AND the committed-generation
+    * pointer (shared by probe and stats): a change batch appends to FOUR
+    * locations (postings, doclen, tombstones, stats), so without the
+    * pointer a crash mid-batch leaves torn cross-table state — the
+    * `gen <= committed` filter keeps any uncommitted batch invisible
+    * ([[graft.core.GenPointer]]'s crash contract). */
+  private def liveRows(spark: SparkSession, idx: InvertedIndex, rows: DataFrame): DataFrame = {
+    val committed = graft.core.GenPointer.committed(idx.dir)
+    val visible =
+      if (committed == Long.MaxValue) rows
+      else rows.filter(col("gen") <= committed)
+    if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(idx.tombstoneDir))) visible
     else {
       val horizon = spark.read.parquet(idx.tombstoneDir)
+        .filter(col("upto_gen") <= committed)
         .groupBy(col("doc").as("__doc")).agg(max(col("upto_gen")).as("__upto"))
-      rows.join(broadcast(horizon), rows("doc") === col("__doc"), "left")
+      visible.join(broadcast(horizon), visible("doc") === col("__doc"), "left")
         .filter(col("__upto").isNull || col("gen") >= col("__upto"))
         .drop("__doc", "__upto")
     }
+  }
+
+  /** The corpus constants (N, Σdl) as a broadcast 1-row frame: the stats
+    * deltas of COMMITTED generations only, folded at probe time. Fails
+    * loud on n = 0 (empty/uninitialized index). */
+  private def statsFrame(spark: SparkSession, index: InvertedIndex): DataFrame = {
+    val committed = graft.core.GenPointer.committed(index.dir)
+    broadcast(spark.read.parquet(index.statsDir)
+      .filter(col("gen") <= committed)
+      .agg(coalesce(sum(col("n_delta")), lit(0L)).as("__n"),
+        coalesce(sum(col("sumdl_delta")), lit(0L)).as("__sumdl"))
+      // integer micro, like build; floor division via div keeps it exact.
+      // n = 0 means an empty/uninitialized index — fail loud, not null scores
+      .select(col("__n"),
+        when(col("__n") > 0, expr("(__sumdl * 1000000) div __n") / 1e6)
+          .otherwise(raise_error(lit("empty BM25 index: stats n = 0")))
+          .as("__avgdl")))
+  }
 
   /** Spark-side bucket ids for a key column — a job over a batch-sized
     * frame, guaranteed identical to the build-time partitioning (same
@@ -163,6 +191,7 @@ object Retrieval {
     val row = dl.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).collect()(0)
     statsDelta(docs.sparkSession, idx, gen = 0L, row.getLong(0), row.getLong(1),
       overwrite = true)
+    graft.core.GenPointer.commit(dir, 0L)
     idx
   }
 
@@ -218,6 +247,9 @@ object Retrieval {
       .parquet(idx.tombstoneDir)
     statsDelta(spark, idx, gen, newRow.getLong(0) - nOld, newRow.getLong(1) - sumOld,
       overwrite = false)
+    // the batch becomes visible HERE, atomically — a crash among the four
+    // appends above leaves it invisible (GenPointer's crash contract)
+    graft.core.GenPointer.commit(idx.dir, gen)
   }
 
   /** BM25-ranked top-`k` documents for `query`. The query's terms hash to a
@@ -241,15 +273,7 @@ object Retrieval {
     // the corpus constants (N, Σdl) ride the plan as a broadcast 1-row
     // cross join instead of a separate collect job — the probe runs as ONE
     // Spark job over the pruned buckets
-    val stats = broadcast(spark.read.parquet(index.statsDir)
-      .agg(coalesce(sum(col("n_delta")), lit(0L)).as("__n"),
-        coalesce(sum(col("sumdl_delta")), lit(0L)).as("__sumdl"))
-      // integer micro, like build; floor division via div keeps it exact.
-      // n = 0 means an empty/uninitialized index — fail loud, not null scores
-      .select(col("__n"),
-        when(col("__n") > 0, expr("(__sumdl * 1000000) div __n") / 1e6)
-          .otherwise(raise_error(lit("empty BM25 index: stats n = 0")))
-          .as("__avgdl")))
+    val stats = statsFrame(spark, index)
     val idf = log(lit(1.0) +
       (col("__n").cast("double") - col("df") + 0.5) / (col("df") + 0.5))
     val tfNorm = (col("tf") * (k1 + 1.0)) /
@@ -297,13 +321,7 @@ object Retrieval {
         .filter(col("bucket").isin(buckets: _*))
         .filter(col("term").isin(termList: _*)))
     // corpus constants as a broadcast 1-row cross join (see bm25)
-    val stats = broadcast(spark.read.parquet(index.statsDir)
-      .agg(coalesce(sum(col("n_delta")), lit(0L)).as("__n"),
-        coalesce(sum(col("sumdl_delta")), lit(0L)).as("__sumdl"))
-      .select(col("__n"),
-        when(col("__n") > 0, expr("(__sumdl * 1000000) div __n") / 1e6)
-          .otherwise(raise_error(lit("empty BM25 index: stats n = 0")))
-          .as("__avgdl")))
+    val stats = statsFrame(spark, index)
     val idf = log(lit(1.0) +
       (col("__n").cast("double") - col("df") + 0.5) / (col("df") + 0.5))
     val tfNorm = (col("tf") * (k1 + 1.0)) /
@@ -384,6 +402,9 @@ object Retrieval {
     val row = liveDl.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).collect()(0)
     statsDelta(spark, idx, gen = 0L, row.getLong(0), row.getLong(1), overwrite = true)
     graft.core.TempDirs.deleteRecursively(java.nio.file.Paths.get(idx.tombstoneDir))
+    // everything above gen 0 was just erased by the overwrites — the
+    // pointer re-bases with it (torn uncommitted appends got GC'd here)
+    graft.core.GenPointer.commit(idx.dir, 0L)
   }
 
   // ------------------------------------------------------- source overlap
