@@ -1858,6 +1858,23 @@ object SparkEntry {
       Multimodal.decodeWav(blobs, "doc_id", "blob")
     }),
 
+    // REAL image decode: each doc's UTF-8 bytes (truncated to whole
+    // 15-byte rows) wrapped into an actual bottom-up 24-bit BMP — file
+    // header, BITMAPINFOHEADER, and 4-byte-stride row padding, built as
+    // binary-concat expressions — then parsed back by the pure-JVM BMP
+    // decoder (Multimodal.Bmp, the decode seam's real IMAGE
+    // implementation). width 5 forces a nonzero row pad, so a parser that
+    // ignores BMP's stride reads shifted channels; topleft_hex witnesses
+    // the bottom-up row order. All-integer stats — exact oracle
+    "mm_decode_bmp" -> ((s, dir) => {
+      val blobs = t(s, dir, "documents")
+        .withColumn("__b", encode(col("text"), "UTF-8"))
+        .withColumn("__px",
+          expr("substring(__b, 1, length(__b) - pmod(length(__b), 15))"))
+        .withColumn("blob", Multimodal.bmpBlob(col("__px"), width = 5))
+      Multimodal.decodeBmp(blobs, "doc_id", "blob")
+    }),
+
     // Multimodal PERCEPTUAL-hash dedup: dHash-style gradient fingerprint
     // over the blob's byte stream (16 bucket means, adjacent comparisons
     // cross-multiplied in exact integers), then hash-group duplicate
@@ -2629,6 +2646,16 @@ object SparkEntry {
     // the estimate (false error and all) is hash-checked by the oracle
     "sketch_distinct_kmv" -> ((s, dir) =>
       graft.text.Sketches.kmvDistinct(t(s, dir, "documents"),
+        "source", col("text"), k = 64)),
+
+    // Theta-sketch set algebra: pairwise source-overlap estimates
+    // (intersection / union / Jaccard) computed ENTIRELY from the k-row
+    // KMV sketches — the scale path for corpus_source_overlap's exact
+    // key join: at 100 TB the sketches are one map-side WindowGroupLimit
+    // pass, and every pairwise estimate below touches k×sources control
+    // rows. Deterministic md5 draws, so estimates hash-check exactly
+    "sketch_kmv_intersect" -> ((s, dir) =>
+      graft.text.Sketches.kmvIntersect(t(s, dir, "documents"),
         "source", col("text"), k = 64)),
 
     // Mergeable bottom-k quantile sketch: each source keeps its 64
@@ -4794,6 +4821,39 @@ object SparkEntry {
                 'max'), 0) AS BIGINT) AS max_abs
             FROM v"""
       },
+      // the BMP round-trip decode: the pixel payload is the doc's UTF-8
+      // bytes truncated to whole 15-byte rows (width 5 × BGR), stored
+      // bottom-up, so channel c's sum is the sum of payload bytes at
+      // positions ≡ c (mod 3) and the logical top-left pixel is the FIRST
+      // 3 bytes of the LAST stored row
+      "mm_decode_bmp" -> {
+        def bv(idx: String) =
+          s"((strpos('0123456789ABCDEF', substr(by[($idx)::INT], 1, 1)) - 1) * 16" +
+            s" + strpos('0123456789ABCDEF', substr(by[($idx)::INT], 2, 1)) - 1)"
+        raw"""WITH b AS (SELECT doc_id,
+                regexp_extract_all(hex(encode(text)), '..') AS by,
+                octet_length(encode(text)) AS nb FROM documents),
+            s AS (SELECT doc_id, by, (nb - nb % 15) // 15 AS h,
+                (nb - nb % 15) // 3 AS np FROM b),
+            p AS (SELECT doc_id, by, h, np, list_transform(range(np), p ->
+                [${bv("3*p+1")}, ${bv("3*p+2")}, ${bv("3*p+3")}]) AS px FROM s)
+            SELECT doc_id,
+              CAST(5 AS INTEGER) AS width,
+              CAST(h AS INTEGER) AS height,
+              CAST(np AS BIGINT) AS n_px,
+              CAST(coalesce(list_sum(list_transform(px, q -> q[1])), 0)
+                AS BIGINT) AS sum_b,
+              CAST(coalesce(list_sum(list_transform(px, q -> q[2])), 0)
+                AS BIGINT) AS sum_g,
+              CAST(coalesce(list_sum(list_transform(px, q -> q[3])), 0)
+                AS BIGINT) AS sum_r,
+              CAST(coalesce(list_aggregate(list_transform(px,
+                q -> q[1] + q[2] + q[3]), 'max'), 0) AS BIGINT) AS max_px,
+              CASE WHEN h > 0 THEN
+                by[((h-1)*15+1)::INT] || by[((h-1)*15+2)::INT] || by[((h-1)*15+3)::INT]
+              ELSE '' END AS topleft_hex
+            FROM p"""
+      },
       "mm_frames" ->
         """SELECT doc_id,
            (GREATEST(CAST(ceil(octet_length(encode(text))::DOUBLE / 256) AS BIGINT), 1) + 1) // 2
@@ -5540,6 +5600,50 @@ object SparkEntry {
               round(CASE WHEN count(*) < 64 THEN count(*)::DOUBLE
                 ELSE 63.0 / max(u) END, 4) AS est_distinct
             FROM r WHERE rn <= 64 GROUP BY source"""
+      },
+      // Sketches.kmvIntersect: theta-style set algebra over the same
+      // 64-draw sketches — θ = kth draw (1.0 when exhaustive), pair θ =
+      // min, intersection |common u ≤ θ| / θ, union from the re-merged
+      // bottom-64; Jaccard divides the UNROUNDED estimates
+      "sketch_kmv_intersect" -> {
+        val nib = (k: Int) =>
+          s"(strpos('0123456789abcdef', substr(h, $k, 1)) - 1)::BIGINT"
+        val u32 = (1 to 8).map(k => s"${nib(k)} * ${1L << (4 * (8 - k))}")
+          .mkString(" + ")
+        s"""WITH h0 AS (SELECT source, md5('graft-kmv:' || text) AS h FROM documents),
+            d AS (SELECT DISTINCT source, ($u32) / 4294967296.0 AS u FROM h0),
+            r AS (SELECT source, u,
+                row_number() OVER (PARTITION BY source ORDER BY u) AS rn FROM d),
+            sk AS (SELECT source, u FROM r WHERE rn <= 64),
+            st AS (SELECT source, count(*) AS n_kept, max(u) AS uk
+                FROM sk GROUP BY source),
+            stt AS (SELECT source,
+                CASE WHEN n_kept < 64 THEN 1.0 ELSE uk END AS theta FROM st),
+            pr AS (SELECT a.source AS src_a, b.source AS src_b,
+                LEAST(a.theta, b.theta) AS th
+                FROM stt a, stt b WHERE a.source < b.source),
+            cm AS (SELECT x.source AS src_a, y.source AS src_b, x.u
+                FROM sk x JOIN sk y ON x.u = y.u AND x.source < y.source),
+            cj AS (SELECT pr.src_a, pr.src_b, pr.th, count(cm.u) AS n_common
+                FROM pr LEFT JOIN cm ON cm.src_a = pr.src_a
+                  AND cm.src_b = pr.src_b AND cm.u <= pr.th
+                GROUP BY 1, 2, 3),
+            un AS (SELECT DISTINCT pr.src_a, pr.src_b, sk.u
+                FROM pr JOIN sk ON sk.source = pr.src_a OR sk.source = pr.src_b),
+            ur AS (SELECT src_a, src_b, u, row_number()
+                OVER (PARTITION BY src_a, src_b ORDER BY u) AS rn FROM un),
+            ug AS (SELECT src_a, src_b, count(*) AS n_u, max(u) AS uku
+                FROM ur WHERE rn <= 64 GROUP BY 1, 2),
+            ue AS (SELECT src_a, src_b,
+                CASE WHEN n_u < 64 THEN n_u::DOUBLE ELSE 63.0 / uku END AS eu
+                FROM ug)
+            SELECT cj.src_a, cj.src_b, cj.n_common::BIGINT AS n_common,
+              round(CASE WHEN cj.th < 1.0 THEN cj.n_common / cj.th
+                ELSE cj.n_common::DOUBLE END, 4) AS est_intersect,
+              round(ue.eu, 4) AS est_union,
+              round((CASE WHEN cj.th < 1.0 THEN cj.n_common / cj.th
+                ELSE cj.n_common::DOUBLE END) / ue.eu, 4) AS est_jaccard
+            FROM cj JOIN ue ON cj.src_a = ue.src_a AND cj.src_b = ue.src_b"""
       },
       // Sketches.bottomKQuantiles: 64 smallest md5-uniform draws per
       // source, quantiles as exact order statistics with pure-integer

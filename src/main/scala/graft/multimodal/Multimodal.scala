@@ -129,6 +129,132 @@ object Multimodal {
     }
   }
 
+  /** A parsed BMP (DIB) file: the BITMAPINFOHEADER geometry plus exact
+    * integer statistics over the decoded 24-bit pixels. `topLeftHex` is the
+    * LOGICAL top-left pixel's 3 bytes (B,G,R) — for the usual bottom-up
+    * row order that is the LAST stored row, so it witnesses that the
+    * parser honours BMP's row direction, not just the byte stream. */
+  final case class BmpInfo(
+      width: Int, height: Int, topDown: Boolean,
+      nPixels: Long, sumB: Long, sumG: Long, sumR: Long,
+      maxPx: Long, // max over pixels of (B + G + R)
+      topLeftHex: String)
+
+  /** Pure-JVM BMP parser — the decode seam's real IMAGE implementation
+    * (BMP is uncompressed, so like WAV it needs no native codec). Reads
+    * the BITMAPFILEHEADER ('BM', pixel-array offset), a BITMAPINFOHEADER
+    * (width, signed height — negative means top-down, 24 bpp, BI_RGB
+    * only), and walks the pixel array with the 4-byte row stride BMP
+    * mandates (rows are padded; a parser that ignores the stride reads
+    * garbage on any width where 3·w % 4 ≠ 0). Strict: anything that is
+    * not an uncompressed 24-bit DIB throws rather than faking features. */
+  object Bmp {
+    def parse(blob: Array[Byte]): BmpInfo = {
+      def u32(o: Int): Long = (blob(o) & 0xffL) | (blob(o + 1) & 0xffL) << 8 |
+        (blob(o + 2) & 0xffL) << 16 | (blob(o + 3) & 0xffL) << 24
+      def s32(o: Int): Int = u32(o).toInt
+      def u16(o: Int): Int = (blob(o) & 0xff) | (blob(o + 1) & 0xff) << 8
+      require(blob.length >= 54 && blob(0) == 'B'.toByte && blob(1) == 'M'.toByte,
+        "not a BM bitmap")
+      val pixOff = u32(10).toInt
+      require(u32(14) >= 40, "not a BITMAPINFOHEADER DIB")
+      val width = s32(18)
+      val rawH = s32(22)
+      val topDown = rawH < 0
+      val height = math.abs(rawH)
+      require(width >= 0, "negative width")
+      require(u16(26) == 1, "planes must be 1")
+      require(u16(28) == 24, s"only 24-bit pixels supported, got ${u16(28)}")
+      require(u32(30) == 0, "only BI_RGB (uncompressed) supported")
+      val stride = ((width * 3 + 3) / 4) * 4 // rows pad to 4-byte boundaries
+      require(pixOff >= 54 && pixOff + stride.toLong * height <= blob.length,
+        "pixel array overruns the blob")
+      var n = 0L; var sb = 0L; var sg = 0L; var sr = 0L; var mx = 0L
+      var y = 0
+      while (y < height) {
+        var o = pixOff + y * stride
+        var x = 0
+        while (x < width) {
+          val b = blob(o) & 0xff; val g = blob(o + 1) & 0xff; val r = blob(o + 2) & 0xff
+          n += 1; sb += b; sg += g; sr += r
+          val px = (b + g + r).toLong; if (px > mx) mx = px
+          x += 1; o += 3
+        }
+        y += 1
+      }
+      val topLeftHex =
+        if (height == 0 || width == 0) ""
+        else {
+          // logical top row: stored FIRST when top-down, LAST when bottom-up
+          val o = pixOff + (if (topDown) 0 else (height - 1) * stride)
+          blob.slice(o, o + 3).map(b => f"${b & 0xff}%02X").mkString
+        }
+      BmpInfo(width, height, topDown, n, sb, sg, sr, mx, topLeftHex)
+    }
+  }
+
+  /** Batched REAL BMP decode: geometry + exact integer channel statistics
+    * per blob — (id, width, height, n_px, sum_b, sum_g, sum_r, max_px,
+    * topleft_hex). Same mapPartitions shape as [[decodeWav]]. */
+  def decodeBmp(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    graft.ops.Par.ensure(df.select(col(idCol).cast("long"), col(blobCol)))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, blob) =>
+        val b = Bmp.parse(blob)
+        (id, b.width, b.height, b.nPixels, b.sumB, b.sumG, b.sumR,
+          b.maxPx, b.topLeftHex)
+      })
+      .toDF(idCol, "width", "height", "n_px", "sum_b", "sum_g", "sum_r",
+        "max_px", "topleft_hex")
+  }
+
+  /** Wrap a raw BGR byte column into a REAL bottom-up 24-bit BMP container
+    * as pure expressions (the image twin of [[wavBlob]]): BITMAPFILEHEADER
+    * + BITMAPINFOHEADER + the pixel array with each 3·`width`-byte row
+    * padded to BMP's mandatory 4-byte stride — so consumers must honour
+    * the stride and the bottom-up row order, not just slice bytes. The
+    * input must be a whole number of rows (length % (3·width) == 0);
+    * callers truncate. */
+  def bmpBlob(bgr: Column, width: Int): Column = {
+    require(width > 0, "width must be positive")
+    val rowBytes = 3 * width
+    val stride = ((rowBytes + 3) / 4) * 4
+    val pad = stride - rowBytes
+    val h = (length(bgr) / rowBytes).cast("long") // exact: whole rows only
+    // static BITMAPINFOHEADER tail after the height field
+    val bb = java.nio.ByteBuffer.allocate(16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putShort(1.toShort).putShort(24.toShort) // planes, bpp
+      .putInt(0).putInt(0)                      // BI_RGB, imageSize (0 ok for BI_RGB)
+      .putInt(2835)                             // x pixels/metre
+    val planesToXppm = bb.array()
+    val infoTail = planesToXppm ++ Array[Byte](
+      0x13, 0x0b, 0, 0, // y pixels/metre = 2835
+      0, 0, 0, 0,       // colours used
+      0, 0, 0, 0)       // important colours
+    val rows = transform(
+      sequence(lit(0L), greatest(h - 1, lit(0L))).cast("array<int>"),
+      i => substring(bgr, i * rowBytes + 1, lit(rowBytes)))
+    val pixelArray =
+      if (pad == 0) bgr
+      else aggregate(
+        when(h > 0, rows).otherwise(array().cast("array<binary>")),
+        lit(Array.emptyByteArray),
+        (acc, row) => concat(acc, row, lit(Array.fill[Byte](pad)(0))))
+    concat(
+      lit("BM".getBytes("US-ASCII")),
+      leU32(h * stride + lit(54L)), // file size
+      lit(Array[Byte](0, 0, 0, 0)), // reserved
+      lit(Array[Byte](54, 0, 0, 0)),// pixel-array offset
+      lit(Array[Byte](40, 0, 0, 0)),// info-header size
+      leU32(lit(width.toLong)),
+      leU32(h),                     // positive = bottom-up
+      lit(infoTail),
+      pixelArray)
+  }
+
   /** [[Decoder]] backed by the real [[Wav]] parser: byte statistics run
     * over the DECODED PCM payload (FakeDecoder's arithmetic, real bytes),
     * dims carry (sampleRate, channels). */

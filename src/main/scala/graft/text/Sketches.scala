@@ -75,6 +75,70 @@ object Sketches {
           .as("est_distinct"))
   }
 
+  /** Theta-style SET ALGEBRA over the per-group KMV sketches: pairwise
+    * intersection / union / Jaccard estimates between groups, computed
+    * entirely from the k-row sketches — the 100 TB replacement for an
+    * exact cross-source overlap join (which shuffles every key). The
+    * convention: a full sketch's threshold θ is its kth smallest draw
+    * (θ = 1 when the group has fewer than k distinct values — the sketch
+    * is exhaustive and estimates are exact); for a pair, θ = min(θ_A,
+    * θ_B), the intersection estimate is |{u ∈ S_A ∩ S_B : u ≤ θ}| / θ,
+    * and the union estimate re-takes the k smallest of S_A ∪ S_B (the KMV
+    * merge property). Same value → same md5 draw in every group, so
+    * sketch membership IS value membership.
+    *
+    * Shape at scale: one distinct + map-side WindowGroupLimit builds the
+    * sketches (k×groups rows — control data); every pairwise join below
+    * that touches only sketch rows. Output: (src_a, src_b, n_common,
+    * est_intersect, est_union, est_jaccard), one row per unordered pair.
+    */
+  def kmvIntersect(df: DataFrame, groupCol: String, value: Column, k: Int,
+                   salt: String = "graft-kmv"): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2")
+    val draws = df.select(col(groupCol), Curation.hashUniform(value, salt).as("__u"))
+      .distinct()
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__u"))
+    val sk = draws.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+    // per-group θ: kth smallest draw, or 1.0 when the sketch is exhaustive
+    val stats = sk.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"), max(col("__u")).as("__uk"))
+      .select(col(groupCol),
+        when(col("__n") < k, lit(1.0)).otherwise(col("__uk")).as("__theta"))
+    val pairs = stats.select(col(groupCol).as("src_a"), col("__theta").as("__ta"))
+      .crossJoin(stats.select(col(groupCol).as("src_b"), col("__theta").as("__tb")))
+      .filter(col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        least(col("__ta"), col("__tb")).as("__th"))
+    // common draws: same value hashes to the same u in both sketches
+    val common = sk.select(col(groupCol).as("src_a"), col("__u"))
+      .join(sk.select(col(groupCol).as("src_b"), col("__u")), Seq("__u"))
+      .filter(col("src_a") < col("src_b"))
+    val cj = pairs.join(common, Seq("src_a", "src_b"), "left")
+      .groupBy(col("src_a"), col("src_b"), col("__th"))
+      .agg(count(when(col("__u") <= col("__th"), 1)).as("n_common"))
+    // union sketch per pair: k smallest of the two sketches' merged draws
+    val un = pairs.select(col("src_a"), col("src_b"))
+      .join(sk, col(groupCol) === col("src_a") || col(groupCol) === col("src_b"))
+      .select(col("src_a"), col("src_b"), col("__u")).distinct()
+    val wu = Window.partitionBy(col("src_a"), col("src_b")).orderBy(col("__u"))
+    val ue = un.withColumn("__rn", row_number().over(wu)).filter(col("__rn") <= k)
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("__nu"), max(col("__u")).as("__uku"))
+      .select(col("src_a"), col("src_b"),
+        when(col("__nu") < k, col("__nu").cast("double"))
+          .otherwise(lit(k - 1).cast("double") / col("__uku")).as("__eu"))
+    // raw (unrounded) estimates feed the Jaccard so rounding never compounds
+    val rawInt = when(col("__th") < 1.0,
+      col("n_common").cast("double") / col("__th"))
+      .otherwise(col("n_common").cast("double"))
+    cj.join(ue, Seq("src_a", "src_b"))
+      .select(col("src_a"), col("src_b"), col("n_common"),
+        round(rawInt, 4).as("est_intersect"),
+        round(col("__eu"), 4).as("est_union"),
+        round(rawInt / col("__eu"), 4).as("est_jaccard"))
+  }
+
   // ------------------------------------------------------- bottom-k quantiles
 
   /** Deterministic MERGEABLE quantile sketch: each group keeps the `k`

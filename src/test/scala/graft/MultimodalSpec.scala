@@ -137,4 +137,49 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException](
       Multimodal.Wav.parse("RIFF".getBytes ++ le32(floatBody.length) ++ floatBody))
   }
+
+  test("BMP parser: bmpBlob round-trip, stride padding, row order, strictness") {
+    // width 5 → 15 payload bytes/row, stride 16 (1 pad byte): the parser
+    // must honour the stride or its channel sums shift by one per row
+    val row0 = Array.tabulate[Byte](15)(i => (i + 1).toByte)        // bottom row
+    val row1 = Array.tabulate[Byte](15)(i => (100 + i).toByte)      // top row
+    val px = Seq((1L, row0 ++ row1), (2L, Array.empty[Byte])).toDF("id", "bgr")
+    val out = px.withColumn("blob", Multimodal.bmpBlob(col("bgr"), width = 5))
+    val parsed = Multimodal.decodeBmp(out, "id", "blob")
+      .as[(Long, Int, Int, Long, Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    val all = row0 ++ row1
+    val sumB = all.zipWithIndex.collect { case (b, i) if i % 3 == 0 => b & 0xff }.sum.toLong
+    val sumG = all.zipWithIndex.collect { case (b, i) if i % 3 == 1 => b & 0xff }.sum.toLong
+    val sumR = all.zipWithIndex.collect { case (b, i) if i % 3 == 2 => b & 0xff }.sum.toLong
+    val maxPx = all.grouped(3).map(_.map(_ & 0xff).sum.toLong).max
+    // logical top-left pixel = first 3 bytes of the LAST stored row (bottom-up)
+    assert(parsed(1L) == ((1L, 5, 2, 10L, sumB, sumG, sumR, maxPx, "646566")))
+    assert(parsed(2L) == ((2L, 5, 0, 0L, 0L, 0L, 0L, 0L, "")))
+
+    // the expression-built container is a REAL bottom-up padded BMP
+    val blob = out.where(col("id") === 1L)
+      .select(col("blob")).as[Array[Byte]].head()
+    assert(blob.length == 54 + 2 * 16, "header + 2 padded rows")
+    assert(blob(54 + 15) == 0 && blob(54 + 31) == 0, "row pad bytes present")
+
+    // hand-built TOP-DOWN variant (negative height): logical top row is
+    // now the FIRST stored row
+    val td = blob.clone()
+    val negH = -2
+    td(22) = negH.toByte; td(23) = (negH >> 8).toByte
+    td(24) = (negH >> 16).toByte; td(25) = (negH >> 24).toByte
+    val w = Multimodal.Bmp.parse(td)
+    assert(w.topDown && w.height == 2 && w.topLeftHex == "010203")
+    assert(w.sumB == sumB && w.sumG == sumG && w.sumR == sumR)
+
+    // strictness: garbage, non-24-bit, and compressed DIBs must throw
+    intercept[IllegalArgumentException](Multimodal.Bmp.parse("notabmp".getBytes))
+    val bad8 = blob.clone(); bad8(28) = 8
+    intercept[IllegalArgumentException](Multimodal.Bmp.parse(bad8))
+    val rle = blob.clone(); rle(30) = 1 // BI_RLE8
+    intercept[IllegalArgumentException](Multimodal.Bmp.parse(rle))
+    val torn = blob.take(60) // pixel array overruns
+    intercept[IllegalArgumentException](Multimodal.Bmp.parse(torn))
+  }
 }
