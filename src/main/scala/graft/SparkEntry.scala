@@ -2369,6 +2369,27 @@ object SparkEntry {
       Bpe.encodedLength(t(s, dir, "documents"), "text", "doc_id",
         bpeModel(s, dir))),
 
+    // Unigram-LM tokenizer TRAINING (the SentencePiece-side subword
+    // family next to BPE): the piece inventory = all single characters +
+    // top-64 multi-character substrings (length ≤ 4) by corpus-weighted
+    // count, ranked (cnt DESC, piece). One bounded explode over the
+    // vocab-scale word table + a TakeOrdered — never corpus-scale; the
+    // model is control data (Unigram.scala)
+    "text_unigram_vocab" -> ((s, dir) => {
+      import s.implicits._
+      unigramModel(s, dir).map(p => (p.rank, p.piece, p.cnt))
+        .toDF("rank", "piece", "cnt")
+    }),
+
+    // Encoding with the trained unigram inventory: per-word VITERBI
+    // minimum-cost segmentation (cost = CostBase·pieces + Σ rank — exact
+    // integers standing in for EM log-probs, so the minimum is a unique
+    // integer and cross-engine bit-stable). DP runs once per DISTINCT
+    // word; a broadcast-sized join fans (n_pieces, rank_sum) back to docs
+    "text_unigram_encode" -> ((s, dir) =>
+      graft.text.Unigram.encodedLength(t(s, dir, "documents"), "text",
+        "doc_id", unigramModel(s, dir))),
+
     // Kneser–Ney-smoothed bigram LM count table: interpolated absolute
     // discounting with CONTINUATION backoff — the estimation substrate of
     // a KenLM-style corpus LM. One corpus-scale bigram groupBy; marginals
@@ -2613,6 +2634,32 @@ object SparkEntry {
         Bpe.learnFromCounts(merged, nMerges = 8)
       }).map(m => (m.rank, m.lhs, m.rhs, m.cnt))
         .toDF("merge_rank", "lhs", "rhs", "cnt")
+    }),
+
+    // INCREMENTALLY-MAINTAINED unigram training: the inventory is a pure
+    // function of the same abelian (word, count) state BPE maintains, so
+    // the identical signed-delta fold (corrupted state + converging
+    // batch) must reproduce text_unigram_vocab's exact inventory —
+    // maintained ≡ rebuilt, sharing that oracle
+    "text_unigram_incr" -> ((s, dir) => {
+      import s.implicits._
+      unigramIncrCache.getOrElseUpdate(dir, {
+        val docs = t(s, dir, "documents")
+        val phantoms = docs.filter(col("doc_id") % 7 === 1)
+          .withColumn("text", concat(col("text"), lit(" zzzphantom")))
+        val stateDir = graft.core.TempDirs.register(
+          java.nio.file.Files.createTempDirectory("graft_uni")).toString
+        Bpe.mergeCounts(
+            Bpe.wordCounts(docs.filter(col("doc_id") % 3 =!= 0), "text"),
+            Bpe.wordCounts(phantoms, "text"))
+          .write.mode("overwrite").parquet(stateDir)
+        val merged = Bpe.mergeCounts(
+          s.read.parquet(stateDir),
+          Bpe.wordCounts(docs.filter(col("doc_id") % 3 === 0), "text"),
+          Bpe.wordCounts(phantoms, "text", sign = -1))
+        graft.text.Unigram.learnFromCounts(merged, vocabMulti = 64)
+      }).map(p => (p.rank, p.piece, p.cnt))
+        .toDF("rank", "piece", "cnt")
     }),
 
     // Weighted sample without replacement (Efraimidis–Spirakis): top-100
@@ -3258,9 +3305,20 @@ object SparkEntry {
     bpeModelCache.getOrElseUpdate(dir,
       Bpe.learn(t(s, dir, "documents"), "text", nMerges = 8))
 
+  /** Unigram-LM piece inventory per scale dir — train once, encode many. */
+  private val unigramModelCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[graft.text.Unigram.Piece]]
+  private def unigramModel(s: SparkSession, dir: String): Seq[graft.text.Unigram.Piece] =
+    unigramModelCache.getOrElseUpdate(dir,
+      graft.text.Unigram.learn(t(s, dir, "documents"), "text", vocabMulti = 64))
+
   /** Incrementally-maintained BPE model per dir (see text_bpe_incr). */
   private val bpeIncrCache =
     scala.collection.concurrent.TrieMap.empty[String, Seq[Bpe.Merge]]
+
+  /** Incrementally-maintained unigram inventory (see text_unigram_incr). */
+  private val unigramIncrCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[graft.text.Unigram.Piece]]
 
   /** Stream-maintained BPE model per dir (see text_bpe_stream). */
   private val bpeStreamCache =
@@ -3420,6 +3478,47 @@ object SparkEntry {
               array_to_string(regexp_extract_all(w, '.'), '  '), '') || ' '
               AS seq, count(*)::BIGINT AS cnt FROM tkw GROUP BY 1),
           ${(1 to 8).map(bpeRound).mkString(",\n")}"""
+    // Unigram-LM tokenizer replay — shared by text_unigram_vocab and
+    // text_unigram_encode (mirrors graft.text.Unigram exactly): piece
+    // inventory = all length-1..4 substrings of the word table weighted
+    // by word count; vocab = ALL singles + top-64 multis (cnt DESC,
+    // piece); cost = 1000000 + rank. Segmentation cost per DISTINCT word
+    // via 8 Bellman-Ford relaxation rounds (max word length at the oracle
+    // scale is 8; each round extends best-known costs by one piece), the
+    // SQL twin of the Scala Viterbi DP — the converged minimum cost is a
+    // unique integer, so tie-breaks never surface.
+    val uniTrainCtes =
+      raw"""utk AS (SELECT unnest($toks) AS w FROM documents),
+          uwc AS MATERIALIZED (SELECT w, count(*)::BIGINT AS cnt
+            FROM utk WHERE len(w) > 0 GROUP BY 1),
+          upc AS MATERIALIZED (SELECT piece, sum(cnt)::BIGINT AS cnt FROM (
+            SELECT cnt, unnest(flatten(list_transform(range(1, len(w) + 1),
+              s -> list_transform(range(1, least(4, len(w) - s + 1) + 1),
+                l -> substr(w, s::INT, l::INT))))) AS piece
+            FROM uwc) GROUP BY 1),
+          uvoc AS MATERIALIZED (SELECT piece, cnt,
+            row_number() OVER (ORDER BY cnt DESC, piece) AS rank,
+            1000000 + row_number() OVER (ORDER BY cnt DESC, piece) AS cost
+            FROM (SELECT piece, cnt FROM upc WHERE len(piece) = 1
+                  UNION ALL
+                  SELECT piece, cnt FROM
+                    (SELECT piece, cnt FROM upc WHERE len(piece) >= 2
+                     ORDER BY cnt DESC, piece LIMIT 64)))"""
+    val uniDpRound = (k: Int) =>
+      s"""ub$k AS MATERIALIZED (SELECT w, pos, min(cost) AS cost FROM (
+            SELECT w, pos, cost FROM ub${k - 1}
+            UNION ALL
+            SELECT b.w, b.pos + len(v.piece) AS pos, b.cost + v.cost AS cost
+            FROM ub${k - 1} b JOIN uvoc v
+              ON b.pos + len(v.piece) <= len(b.w)
+             AND substr(b.w, (b.pos + 1)::INT, len(v.piece)::INT) = v.piece
+          ) GROUP BY 1, 2)"""
+    val uniEncodeCtes =
+      raw"""$uniTrainCtes,
+          ub0 AS (SELECT w, 0 AS pos, 0::BIGINT AS cost
+            FROM (SELECT DISTINCT w FROM utk)),
+          ${(1 to 8).map(uniDpRound).mkString(",\n")},
+          uwe AS (SELECT w, cost FROM ub8 WHERE pos = len(w))"""
     // Kneser–Ney INTEGER NANO-UNIT ladder — ONE copy shared by the three
     // text_kn_* oracles (mirrors LmCounts' derivation exactly): all
     // probabilities are integer nano-units produced by integer floor
@@ -5313,6 +5412,24 @@ object SparkEntry {
         s"""WITH $bpeTrainCtes
             ${ranks.mkString("\n UNION ALL ")}"""
       },
+      // unigram inventory: singles + top-64 multis ranked (cnt DESC, piece)
+      "text_unigram_vocab" ->
+        s"""WITH $uniTrainCtes
+            SELECT rank, piece, cnt FROM uvoc""",
+      // maintained ≡ rebuilt: signed-delta word counts converge to the
+      // full corpus, so the incremental path shares the training oracle
+      "text_unigram_incr" ->
+        s"""WITH $uniTrainCtes
+            SELECT rank, piece, cnt FROM uvoc""",
+      // per-doc Viterbi encode: every word occurrence joins its DISTINCT-
+      // word minimum cost; cost // 1000000 = piece count, % = rank sum
+      "text_unigram_encode" ->
+        s"""WITH $uniEncodeCtes,
+            ud AS (SELECT doc_id, unnest($toks) AS w FROM documents)
+            SELECT ud.doc_id,
+              sum(uwe.cost // 1000000)::BIGINT AS n_tokens,
+              sum(uwe.cost % 1000000)::BIGINT AS rank_sum
+            FROM ud JOIN uwe ON ud.w = uwe.w GROUP BY 1""",
       "corpus_grouping_sets" ->
         """SELECT coalesce(source, 'ALL') AS source,
              coalesce(lang, 'ALL') AS lang,

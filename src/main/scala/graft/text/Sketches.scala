@@ -98,8 +98,13 @@ object Sketches {
     val draws = df.select(col(groupCol), Curation.hashUniform(value, salt).as("__u"))
       .distinct()
     val w = Window.partitionBy(col(groupCol)).orderBy(col("__u"))
-    val sk = draws.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= k).drop("__rn")
+    // the ONE corpus-scale pass; every consumer below reuses the cached
+    // k×groups sketch (without the cache the distinct+WindowGroupLimit
+    // subtree is re-planned into each of the four consumers — harmless at
+    // test scale, four corpus scans at 100 TB)
+    val sk = graft.ops.Caches.track(
+      draws.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= k).drop("__rn"))
     // per-group θ: kth smallest draw, or 1.0 when the sketch is exhaustive
     val stats = sk.groupBy(col(groupCol))
       .agg(count(lit(1)).as("__n"), max(col("__u")).as("__uk"))
