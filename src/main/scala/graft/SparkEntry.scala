@@ -1875,6 +1875,21 @@ object SparkEntry {
       Multimodal.decodeBmp(blobs, "doc_id", "blob")
     }),
 
+    // REAL-pixel resize: the decoded BMP downsampled 2× in both axes by
+    // nearest neighbor — the decode→transform step mm_resize only
+    // imitates on raw bytes. The sampling grid reads logical rows top
+    // first (so the bottom-up storage mapping and the row stride are both
+    // exercised per pixel); last_px_hex witnesses grid order. Exact
+    // integer stats — the oracle re-derives every sampled offset
+    "mm_resize_bmp" -> ((s, dir) => {
+      val blobs = t(s, dir, "documents")
+        .withColumn("__b", encode(col("text"), "UTF-8"))
+        .withColumn("__px",
+          expr("substring(__b, 1, length(__b) - pmod(length(__b), 15))"))
+        .withColumn("blob", Multimodal.bmpBlob(col("__px"), width = 5))
+      Multimodal.resizeBmp(blobs, "doc_id", "blob", stride = 2)
+    }),
+
     // Multimodal PERCEPTUAL-hash dedup: dHash-style gradient fingerprint
     // over the blob's byte stream (16 bucket means, adjacent comparisons
     // cross-multiplied in exact integers), then hash-group duplicate
@@ -3116,6 +3131,15 @@ object SparkEntry {
       graft.dedup.Components.connectedComponents(
         copurchaseEdges(s, dir).select(col("p1"), col("p2")), "p1", "p2",
         driverEdgeLimit = 0L)),
+
+    // k-core decomposition (k=3): iterative low-degree peeling to the
+    // fixpoint — the graph-denoising gate that keeps the dense core of a
+    // co-occurrence graph. Each round shrinks the edge list (degree agg +
+    // two anti-joins, lineage checkpoint-truncated); rounds ≈ peeling
+    // depth. The oracle replays the peel as bounded MATERIALIZED CTE
+    // rounds (extra rounds past convergence are no-ops)
+    "graph_kcore" -> ((s, dir) =>
+      graft.graph.Graph.kCore(copurchaseEdges(s, dir), k = 3L)),
 
     // ---- behavioral time-series (events) --------------------------------
 
@@ -4953,6 +4977,39 @@ object SparkEntry {
               ELSE '' END AS topleft_hex
             FROM p"""
       },
+      // the real-pixel 2× resize: logical pixel (r, c) of the output reads
+      // original (2r, 2c); original logical row R is stored bottom-up at
+      // h-1-R, so the sampled payload offset is (h-1-2r)*15 + 6c
+      "mm_resize_bmp" -> {
+        def bv(idx: String) =
+          s"((strpos('0123456789ABCDEF', substr(by[($idx)::INT], 1, 1)) - 1) * 16" +
+            s" + strpos('0123456789ABCDEF', substr(by[($idx)::INT], 2, 1)) - 1)"
+        raw"""WITH b AS (SELECT doc_id,
+                regexp_extract_all(hex(encode(text)), '..') AS by,
+                octet_length(encode(text)) AS nb FROM documents),
+            s AS (SELECT doc_id, by, (nb - nb % 15) // 15 AS h FROM b),
+            g AS (SELECT doc_id, by, h,
+                CASE WHEN h > 0 THEN (h + 1) // 2 ELSE 0 END AS oh FROM s),
+            o AS (SELECT doc_id, by, h, oh,
+                flatten(list_transform(range(oh), r ->
+                  list_transform(range(3), c -> (h - 1 - 2*r) * 15 + 6*c)))
+                  AS offs FROM g)
+            SELECT doc_id,
+              CASE WHEN h > 0 THEN 3 ELSE 0 END::INTEGER AS out_w,
+              CAST(oh AS INTEGER) AS out_h,
+              CAST(len(offs) AS BIGINT) AS n_px,
+              CAST(coalesce(list_sum(list_transform(offs, x -> ${bv("x+1")})), 0)
+                AS BIGINT) AS sum_b,
+              CAST(coalesce(list_sum(list_transform(offs, x -> ${bv("x+2")})), 0)
+                AS BIGINT) AS sum_g,
+              CAST(coalesce(list_sum(list_transform(offs, x -> ${bv("x+3")})), 0)
+                AS BIGINT) AS sum_r,
+              CASE WHEN oh > 0 THEN
+                by[((h-1-2*(oh-1))*15 + 13)::INT] || by[((h-1-2*(oh-1))*15 + 14)::INT]
+                  || by[((h-1-2*(oh-1))*15 + 15)::INT]
+              ELSE '' END AS last_px_hex
+            FROM o"""
+      },
       "mm_frames" ->
         """SELECT doc_id,
            (GREATEST(CAST(ceil(octet_length(encode(text))::DOUBLE / 256) AS BIGINT), 1) + 1) // 2
@@ -6166,6 +6223,23 @@ object SparkEntry {
         s"""WITH $basketCtes
             SELECT node, count(*) AS degree
             FROM (SELECT unnest([p1, p2]) AS node FROM e) GROUP BY 1""",
+      // k-core peel replayed as 20 bounded rounds: each keeps only edges
+      // whose BOTH endpoints have alive-degree >= 3; rounds past the
+      // fixpoint are identity, so overshooting is safe
+      "graph_kcore" -> {
+        val peel = (t: Int) => {
+          val prev = if (t == 1) "e" else s"ke${t - 1}"
+          s"""kd$t AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+                SELECT unnest([p1, p2]) AS node FROM $prev) GROUP BY 1),
+              ke$t AS MATERIALIZED (SELECT x.p1, x.p2 FROM $prev x
+                JOIN kd$t a ON a.node = x.p1 AND a.deg >= 3
+                JOIN kd$t b ON b.node = x.p2 AND b.deg >= 3)"""
+        }
+        s"""WITH $basketCtes,
+            ${(1 to 20).map(peel).mkString(",\n")}
+            SELECT node, count(*) AS degree
+            FROM (SELECT unnest([p1, p2]) AS node FROM ke20) GROUP BY 1"""
+      },
       "graph_basket_rules" ->
         s"""WITH $basketCtes,
             ig AS (SELECT l_partkey AS item,

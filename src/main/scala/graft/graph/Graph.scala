@@ -92,6 +92,35 @@ object Graph {
       .distinct()
       .groupBy(col("item")).agg(count(lit(1)).as("n_groups"))
 
+  /** k-core membership (Seidman 1983): iteratively peel nodes of degree
+    * < k until fixpoint — the standard web/co-occurrence-graph denoising
+    * gate (spam and long-tail fringe live outside the core). Each round
+    * is one degree aggregation plus two anti-joins over the SHRINKING
+    * edge list; `localCheckpoint` truncates the per-round lineage (the
+    * Components loop's discipline), and the round count is bounded by the
+    * peeling depth, not |V| — on power-law graphs a handful of rounds.
+    * The only driver decision per round is an isEmpty probe (control
+    * data). Returns surviving nodes with their final in-core degree. */
+  def kCore(edges: DataFrame, k: Long, maxRounds: Int = 64): DataFrame = {
+    var cur = edges.select(col("p1"), col("p2")).localCheckpoint()
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val low = degrees(cur).filter(col("degree") < k)
+      if (low.isEmpty) converged = true
+      else {
+        cur = cur
+          .join(low.select(col("node").as("p1")), Seq("p1"), "left_anti")
+          .join(low.select(col("node").as("p2")), Seq("p2"), "left_anti")
+          .select(col("p1"), col("p2"))
+          .localCheckpoint()
+      }
+      rounds += 1
+    }
+    require(converged, s"k-core did not converge in $maxRounds rounds")
+    degrees(cur)
+  }
+
   /** Per-node triangle counts over an oriented (p1 < p2) edge list.
     * Forward-edge enumeration: (a,b),(b,c) joined against the closing
     * (a,c) — each triangle found exactly once, then credited to its three

@@ -193,6 +193,70 @@ object Multimodal {
     }
   }
 
+  /** Statistics of a REAL nearest-neighbor resize: the decoded image
+    * downsampled by `stride` in both axes (logical pixel (r, c) of the
+    * output reads original (r·stride, c·stride)), summarized as exact
+    * integer channel sums plus the LAST selected pixel's bytes (an
+    * order-sensitive witness that the sampling grid — including the
+    * bottom-up row mapping and the row stride — was walked correctly). */
+  final case class BmpResize(
+      outW: Int, outH: Int, nPx: Long,
+      sumB: Long, sumG: Long, sumR: Long, lastPxHex: String)
+
+  /** Nearest-neighbor resize over REAL decoded 24-bit pixels — the
+    * decode→transform step [[resizeStub]] only imitates on raw bytes.
+    * Walks the logical image (top row first, honouring bottom-up vs
+    * top-down storage and the 4-byte row stride) and samples every
+    * `stride`-th row and column. */
+  object BmpOps {
+    def resizeStats(blob: Array[Byte], stride: Int): BmpResize = {
+      require(stride >= 1, "stride must be positive")
+      def u32(o: Int): Long = (blob(o) & 0xffL) | (blob(o + 1) & 0xffL) << 8 |
+        (blob(o + 2) & 0xffL) << 16 | (blob(o + 3) & 0xffL) << 24
+      val info = Bmp.parse(blob) // header validation + geometry
+      val pixOff = u32(10).toInt
+      val rowStride = ((info.width * 3 + 3) / 4) * 4
+      val outW = (info.width + stride - 1) / stride
+      val outH = (info.height + stride - 1) / stride
+      var n = 0L; var sb = 0L; var sg = 0L; var sr = 0L
+      var lastHex = ""
+      var r = 0
+      while (r < info.height) {
+        // logical row r is stored at h-1-r (bottom-up) or r (top-down)
+        val stored = if (info.topDown) r else info.height - 1 - r
+        var c = 0
+        while (c < info.width) {
+          val o = pixOff + stored * rowStride + 3 * c
+          n += 1
+          sb += blob(o) & 0xff; sg += blob(o + 1) & 0xff; sr += blob(o + 2) & 0xff
+          lastHex = f"${blob(o) & 0xff}%02X${blob(o + 1) & 0xff}%02X${blob(o + 2) & 0xff}%02X"
+          c += stride
+        }
+        r += stride
+      }
+      BmpResize(if (info.height == 0 || info.width == 0) 0 else outW,
+        if (info.height == 0 || info.width == 0) 0 else outH,
+        n, sb, sg, sr, lastHex)
+    }
+  }
+
+  /** Batched real-pixel resize: (id, out_w, out_h, n_px, sum_b, sum_g,
+    * sum_r, last_px_hex) per blob. Same mapPartitions shape as
+    * [[decodeBmp]]. */
+  def resizeBmp(df: DataFrame, idCol: String, blobCol: String,
+                stride: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    graft.ops.Par.ensure(df.select(col(idCol).cast("long"), col(blobCol)))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, blob) =>
+        val r = BmpOps.resizeStats(blob, stride)
+        (id, r.outW, r.outH, r.nPx, r.sumB, r.sumG, r.sumR, r.lastPxHex)
+      })
+      .toDF(idCol, "out_w", "out_h", "n_px", "sum_b", "sum_g", "sum_r",
+        "last_px_hex")
+  }
+
   /** Batched REAL BMP decode: geometry + exact integer channel statistics
     * per blob — (id, width, height, n_px, sum_b, sum_g, sum_r, max_px,
     * topleft_hex). Same mapPartitions shape as [[decodeWav]]. */

@@ -32,6 +32,22 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     assert(d.values.sum == 2 * e.count())
   }
 
+  test("kCore: clique survives, chain peels, cascade reaches fixpoint") {
+    // 4-clique {1,2,3,4} (degree 3 each) + pendant chain 4-5-6: k=3 keeps
+    // exactly the clique, and the chain must peel in CASCADE (removing 6
+    // makes 5 low, removing 5 drops the 4-5 edge) — two rounds, not one
+    val clique = for (a <- 1L to 4L; b <- a + 1 to 4L) yield (a, b)
+    val e = (clique ++ Seq((4L, 5L), (5L, 6L))).toDF("p1", "p2")
+    val core = Graph.kCore(e, k = 3L).as[(Long, Long)].collect().toMap
+    assert(core == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // every surviving node's IN-CORE degree meets k by definition
+    assert(core.values.forall(_ >= 3L))
+    // k above the max degree peels everything
+    assert(Graph.kCore(e, k = 10L).isEmpty)
+    // k=1 keeps the whole graph
+    assert(Graph.kCore(e, k = 1L).count() == 6L)
+  }
+
   test("triangleCounts finds each triangle once, credited to all corners") {
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (2L, 4L))
       .toDF("p1", "p2")

@@ -173,6 +173,20 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(w.topDown && w.height == 2 && w.topLeftHex == "010203")
     assert(w.sumB == sumB && w.sumG == sumG && w.sumR == sumR)
 
+    // REAL-pixel 2× resize on the same container: logical top row is the
+    // LAST stored row, so output row 0 samples row1 at cols 0,2,4
+    val rs = Multimodal.BmpOps.resizeStats(blob, stride = 2)
+    val sel = Seq(0, 6, 12).map(o => (row1(o) & 0xff, row1(o + 1) & 0xff, row1(o + 2) & 0xff))
+    assert(rs == Multimodal.BmpResize(3, 1, 3L,
+      sel.map(_._1).sum.toLong, sel.map(_._2).sum.toLong, sel.map(_._3).sum.toLong,
+      "707172"))
+    // top-down variant samples row0 instead
+    val rsTd = Multimodal.BmpOps.resizeStats(td, stride = 2)
+    assert(rsTd.lastPxHex == "0D0E0F" && rsTd.nPx == 3L)
+    // stride 1 resize = identity statistics
+    val rs1 = Multimodal.BmpOps.resizeStats(blob, stride = 1)
+    assert(rs1.nPx == 10L && rs1.sumB == sumB && rs1.sumG == sumG && rs1.sumR == sumR)
+
     // strictness: garbage, non-24-bit, and compressed DIBs must throw
     intercept[IllegalArgumentException](Multimodal.Bmp.parse("notabmp".getBytes))
     val bad8 = blob.clone(); bad8(28) = 8
