@@ -2405,6 +2405,24 @@ object SparkEntry {
       graft.text.Unigram.encodedLength(t(s, dir, "documents"), "text",
         "doc_id", unigramModel(s, dir))),
 
+    // Tokenizer fertility report for the unigram family: per-source
+    // chars-per-token of the trained inventory (the BPE twin's metric —
+    // comparing the two published reports IS the tokenizer bake-off a
+    // data pipeline runs); nano-ladder division, exact cross-engine
+    "text_unigram_compression" -> ((s, dir) => {
+      val enc = graft.text.Unigram.encodedLength(
+        t(s, dir, "documents"), "text", "doc_id", unigramModel(s, dir))
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .join(enc, Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(sum(col("n_chars")).as("total_chars"),
+          sum(col("n_tokens")).as("total_tokens"))
+        .select(col("source"), col("total_chars"), col("total_tokens"),
+          (call_function("div", col("total_chars") * lit(1000000000L),
+            col("total_tokens")) / lit(1e9)).as("chars_per_token"))
+    }),
+
     // Kneser–Ney-smoothed bigram LM count table: interpolated absolute
     // discounting with CONTINUATION backoff — the estimation substrate of
     // a KenLM-style corpus LM. One corpus-scale bigram groupBy; marginals
@@ -2562,6 +2580,49 @@ object SparkEntry {
           nMerges = 8)
       }).map(m => (m.rank, m.lhs, m.rhs, m.cnt))
         .toDF("merge_rank", "lhs", "rhs", "cnt")
+    }),
+
+    // STREAM-MAINTAINED unigram training: the SAME drained word-count
+    // state discipline as text_bpe_stream (counts are abelian; replayed
+    // micro-batch ids are skipped), but the inventory learner consumes
+    // the state — maintained ≡ rebuilt, sharing text_unigram_vocab's
+    // oracle. One drain per dir (the word-count state is the model seam;
+    // the live-per-invocation families are the persisted-index ones)
+    "text_unigram_stream" -> ((s, dir) => {
+      import s.implicits._
+      unigramStreamCache.getOrElseUpdate(dir, {
+        val root = graft.core.TempDirs.register(
+          java.nio.file.Files.createTempDirectory("graft_unis")).toString
+        val streamDir = graft.core.TempDirs.register(
+          java.nio.file.Files.createTempDirectory("graft_unis_in")).toString
+        t(s, dir, "documents").select(col("doc_id"), col("text"))
+          .repartition(4).write.mode("overwrite").parquet(streamDir)
+        var cur: Option[String] = None
+        var lastId = -1L
+        val q = s.readStream.schema(s.read.parquet(streamDir).schema)
+          .option("maxFilesPerTrigger", "1").parquet(streamDir)
+          .writeStream
+          .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+            if (id > lastId) { // exactly-once fold on replay
+              val delta = Bpe.wordCounts(b.toDF(), "text")
+              val merged = cur match {
+                case Some(p) => Bpe.mergeCounts(s.read.parquet(p), delta)
+                case None => delta
+              }
+              val out = s"$root/b$id"
+              merged.write.mode("overwrite").parquet(out)
+              cur = Some(out)
+              lastId = id
+            }
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        graft.text.Unigram.learnFromCounts(
+          s.read.parquet(cur.getOrElse(sys.error("empty stream"))),
+          vocabMulti = 64)
+      }).map(p => (p.rank, p.piece, p.cnt))
+        .toDF("rank", "piece", "cnt")
     }),
 
     // STREAM-MAINTAINED KN estimation: bigram counts fold forward under
@@ -3342,6 +3403,10 @@ object SparkEntry {
 
   /** Incrementally-maintained unigram inventory (see text_unigram_incr). */
   private val unigramIncrCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[graft.text.Unigram.Piece]]
+
+  /** Stream-maintained unigram inventory (see text_unigram_stream). */
+  private val unigramStreamCache =
     scala.collection.concurrent.TrieMap.empty[String, Seq[graft.text.Unigram.Piece]]
 
   /** Stream-maintained BPE model per dir (see text_bpe_stream). */
@@ -5478,6 +5543,10 @@ object SparkEntry {
       "text_unigram_incr" ->
         s"""WITH $uniTrainCtes
             SELECT rank, piece, cnt FROM uvoc""",
+      // stream-maintained ≡ rebuilt, same as the incr path
+      "text_unigram_stream" ->
+        s"""WITH $uniTrainCtes
+            SELECT rank, piece, cnt FROM uvoc""",
       // per-doc Viterbi encode: every word occurrence joins its DISTINCT-
       // word minimum cost; cost // 1000000 = piece count, % = rank sum
       "text_unigram_encode" ->
@@ -5487,6 +5556,19 @@ object SparkEntry {
               sum(uwe.cost // 1000000)::BIGINT AS n_tokens,
               sum(uwe.cost % 1000000)::BIGINT AS rank_sum
             FROM ud JOIN uwe ON ud.w = uwe.w GROUP BY 1""",
+      // fertility report: the encode replay joined back for source,
+      // chars-per-token on the nano ladder
+      "text_unigram_compression" ->
+        s"""WITH $uniEncodeCtes,
+            ud AS (SELECT doc_id, unnest($toks) AS w FROM documents),
+            enc AS (SELECT ud.doc_id,
+                sum(uwe.cost // 1000000)::BIGINT AS n_tokens
+              FROM ud JOIN uwe ON ud.w = uwe.w GROUP BY 1)
+            SELECT d.source, sum(d.n_chars)::BIGINT AS total_chars,
+              sum(enc.n_tokens)::BIGINT AS total_tokens,
+              ((sum(d.n_chars)::BIGINT * 1000000000)
+                // sum(enc.n_tokens)::BIGINT) / 1000000000.0 AS chars_per_token
+            FROM documents d JOIN enc USING (doc_id) GROUP BY 1""",
       "corpus_grouping_sets" ->
         """SELECT coalesce(source, 'ALL') AS source,
              coalesce(lang, 'ALL') AS lang,
