@@ -69,6 +69,34 @@ class UnigramSpec extends AnyFunSuite with SparkTestBase {
     assert(re == out)
   }
 
+  test("property: Viterbi equals brute force on random vocab/word draws") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val alpha = Seq("a", "b", "c")
+    val genWord = Gen.chooseNum(0, 10)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf(alpha)).map(_.mkString))
+    // random multi-piece inventory over the alphabet; singles always in
+    val genMultis = Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n,
+      Gen.chooseNum(2, 4).flatMap(l =>
+        Gen.listOfN(l, Gen.oneOf(alpha)).map(_.mkString))))
+    def samples[A](g: Gen[A], n: Int): Seq[A] =
+      (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+    val cases = samples(Gen.zip(genMultis, Gen.listOfN(8, genWord)), 60)
+    for (((multis, words), i) <- cases.zipWithIndex) {
+      val pieces = (alpha ++ multis).distinct
+      // arbitrary deterministic ranks: order by (length desc, piece)
+      val cost = pieces.sorted.zipWithIndex
+        .map { case (p, r) => p -> (Unigram.CostBase + r + 1) }.toMap
+      def brute(w: String): Long =
+        if (w.isEmpty) 0L
+        else (1 to math.min(Unigram.MaxPieceLen, w.length)).flatMap { l =>
+          cost.get(w.take(l)).map(_ + brute(w.drop(l)))
+        }.min
+      for (w <- words)
+        assert(Unigram.encodeWord(w, cost) == brute(w), s"case $i word '$w'")
+    }
+  }
+
   test("corpus run: tokens never exceed chars, vocab bounded") {
     val docs = sf("documents")
     val vocab = Unigram.learn(docs, "text", vocabMulti = 64)
