@@ -1050,6 +1050,25 @@ object SparkEntry {
           col("sum_value"))
     }),
 
+    // Integer EWMA rate smoothing + spike count per event type: the
+    // hourly series folds SEQUENTIALLY (s_t = (s_{t-1} + x_t) div 2 — a
+    // half-life-one-hour exponential smoother in pure integer halving)
+    // with spikes flagged where x_t > 4·s_{t-1}. Sequential state can't
+    // be a window sum, so the fold runs IN-ROW over the per-type series
+    // (bounded by the retention window, not corpus size) with the
+    // (smoothed, spikes) state bit-packed into one long — the same fold
+    // runs as DuckDB's list_reduce, so the nonlinear truncated recurrence
+    // is bit-exact cross-engine
+    "events_ewma" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val hourly = ev
+        .groupBy(expr("ts div 3600000000000").as("hour_idx"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.streaming.EventWindows
+        .ewmaSpikes(hourly, "event_type", "hour_idx", "cnt")
+        .withColumnRenamed("n_buckets", "n_hours")
+    }),
+
     // A2/A23 driver-checked as a REAL streaming query: the same windowed
     // aggregation computed via readStream → watermark → AvailableNow drain
     // into a memory sink. One parquet file → one micro-batch, so the
@@ -4165,6 +4184,29 @@ object SparkEntry {
         """SELECT CAST(epoch_ns(ts) // 3600000000000 * 3600 AS BIGINT) AS hour,
            event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
            FROM events GROUP BY 1, 2""",
+      // the bit-packed sequential fold replayed as list_reduce: acc >> 20
+      // is the smoothed value, acc & (2^20-1) the spike count; prepended
+      // 0 is the initial state (the recurrence is nonlinear — truncated
+      // halving — so only an identical fold reproduces it)
+      "events_ewma" ->
+        """WITH h AS (SELECT epoch_ns(ts) // 3600000000000 AS hour_idx,
+               event_type, count(*)::BIGINT AS cnt
+             FROM events GROUP BY 1, 2),
+           s AS (SELECT event_type, list_transform(
+               list_sort(list({'hour_idx': hour_idx, 'cnt': cnt})),
+               r -> r.cnt) AS xs
+             FROM h GROUP BY 1),
+           f AS (SELECT event_type, len(xs) AS n_hours,
+               list_reduce(list_prepend(0::BIGINT, xs), (acc, x) ->
+                 ((((acc >> 20) + x) >> 1) << 20)
+                 + (acc & 1048575)
+                 + (CASE WHEN (acc >> 20) > 0 AND x > (acc >> 20) * 4
+                    THEN 1 ELSE 0 END)) AS acc
+             FROM s)
+           SELECT event_type, CAST(n_hours AS BIGINT) AS n_hours,
+             CAST(acc >> 20 AS BIGINT) AS ewma_final,
+             CAST(acc & 1048575 AS BIGINT) AS n_spikes
+           FROM f""",
       "events_sessions" ->
         """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us, value FROM events),
            o AS (SELECT user_id, us, value,

@@ -73,6 +73,39 @@ object EventWindows {
     * at 0) when several tables share one store. A replayed id for THIS
     * table is a no-op; a fresh table always applies. Key column `__k` is
     * derived from `keyExpr` and travels with the stored rows. */
+  /** Integer EWMA smoothing + spike counting over per-key time series:
+    * s_t = (s_{t-1} + x_t) div 2 (half-life-one-step exponential
+    * smoother in pure integer halving), spikes where x_t > 4·s_{t-1}
+    * (and s_{t-1} > 0 so the first bucket never self-flags). Sequential
+    * state cannot be a window sum, so the fold runs IN-ROW over each
+    * key's collected series — bounded by the retention window, not
+    * corpus size — with (smoothed, spikes) bit-packed into one long
+    * (smoothed < 2^43 headroom, spikes < 2^20), which is the exact fold
+    * an external engine replays with list_reduce. Input: (keyCol,
+    * ordCol, cntCol) rows; output: (keyCol, n_buckets, ewma_final,
+    * n_spikes). */
+  def ewmaSpikes(buckets: DataFrame, keyCol: String, ordCol: String,
+                 cntCol: String): DataFrame = {
+    val mask = (1L << 20) - 1
+    val series = buckets.groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(col(ordCol), col(cntCol))))
+        .as("__xs"))
+    val folded = aggregate(
+      transform(col("__xs"), x => x.getField(cntCol)),
+      lit(0L),
+      (acc, x) => {
+        val sPrev = shiftright(acc, 20)
+        val spikes = acc.bitwiseAND(lit(mask))
+        val sNew = shiftright(sPrev + x, 1)
+        val spiked = when(sPrev > 0 && x > sPrev * 4, 1L).otherwise(0L)
+        shiftleft(sNew, 20) + spikes + spiked
+      })
+    series.select(col(keyCol),
+      size(col("__xs")).cast("long").as("n_buckets"),
+      shiftright(folded, 20).as("ewma_final"),
+      folded.bitwiseAND(lit(mask)).as("n_spikes"))
+  }
+
   def upsertBatch(store: BucketedStateStore, table: String, keyExpr: Column,
                   batch: Dataset[Row], batchId: Long): Unit = {
     val progressKey = s"drain.$table"

@@ -12,6 +12,23 @@ class EventWindowsSpec extends AnyFunSuite with SparkTestBase {
 
   private val H = 3600L * 1000000000L // 1 hour in ns
 
+  test("ewmaSpikes: truncated-halving recurrence and spike rule, hand-checked") {
+    // series A: 8, 4, 100, 2 → s: 0→4→4→52→27; spike at 100 (100 > 4·4);
+    // 8 never self-flags (s_prev = 0); 2 is not > 4·52
+    // series B: single bucket → s = x div 2, no spikes
+    val rows = Seq(
+      ("A", 1L, 8L), ("A", 2L, 4L), ("A", 3L, 100L), ("A", 4L, 2L),
+      ("B", 9L, 7L)).toDF("k", "o", "c")
+    val out = EventWindows.ewmaSpikes(rows, "k", "o", "c")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out("A") == (("A", 4L, 27L, 1L)))
+    assert(out("B") == (("B", 1L, 3L, 0L)))
+    // order comes from the ord column, not input order
+    val shuffled = EventWindows.ewmaSpikes(rows.orderBy(rand(7)), "k", "o", "c")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(shuffled == out)
+  }
+
   test("windows finalize after the watermark passes; late events are dropped") {
     val mem = MemoryStream[(Long, String, Double)](spark)
     val agg = EventWindows.typedWindowAgg(
