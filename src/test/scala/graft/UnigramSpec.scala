@@ -97,6 +97,30 @@ class UnigramSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("property: training is invariant to ANY signed-delta decomposition") {
+    // the maintained ≡ rebuilt claim, not just for one fixed split: word
+    // counts are an abelian group, so ANY batch decomposition — including
+    // phantom docs added then retracted — must fold to the same state and
+    // therefore the same trained inventory (BPE shares this backbone)
+    import graft.text.Bpe
+    val docs = sf("documents").limit(120).cache()
+    try {
+      val direct = Unigram.learn(docs, "text", vocabMulti = 32)
+      for (seed <- 1 to 4) {
+        val part = (col("doc_id") * 2654435761L + seed) % 3
+        val batches = (0 to 2).map(i =>
+          Bpe.wordCounts(docs.filter(pmod(part, lit(3)) === i), "text"))
+        val phantom = docs.limit(17)
+          .withColumn("text", concat(col("text"), lit(s" zz$seed")))
+        val folded = Bpe.mergeCounts(
+          batches :+ Bpe.wordCounts(phantom, "text")
+                  :+ Bpe.wordCounts(phantom, "text", sign = -1): _*)
+        assert(Unigram.learnFromCounts(folded, vocabMulti = 32) == direct,
+          s"seed $seed")
+      }
+    } finally docs.unpersist(blocking = false)
+  }
+
   test("corpus run: tokens never exceed chars, vocab bounded") {
     val docs = sf("documents")
     val vocab = Unigram.learn(docs, "text", vocabMulti = 64)
