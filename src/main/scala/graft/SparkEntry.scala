@@ -2045,6 +2045,13 @@ object SparkEntry {
       Repetition.docFreqStats(t(s, dir, "documents"), "text", "doc_id",
         rareMaxDf = 50L)),
 
+    // N-gram novelty — the memorization/diversity signal: fraction of a
+    // doc's distinct word trigrams appearing in NO other document. One
+    // distinct (doc, trigram) shuffle + trigram-df agg + join back;
+    // nano-ladder division, exact cross-engine
+    "text_ngram_novelty" -> ((s, dir) =>
+      Repetition.ngramNovelty(t(s, dir, "documents"), "text", "doc_id")),
+
     // Top-3 TF-IDF terms per document: one doc-term shuffle, broadcast df
     // table, scores fixed to integer micro-units (one multiplication per
     // term, no float summation), per-doc top-k as a WindowGroupLimit
@@ -5264,6 +5271,26 @@ object SparkEntry {
               CAST(sum(df.df) AS BIGINT) AS sum_df,
               CAST(sum(CASE WHEN df.df <= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
             FROM occ JOIN df USING (word) GROUP BY occ.doc_id""",
+      // trigram novelty: distinct per-doc trigrams, df over docs, df=1
+      // fraction on the nano ladder; <3-word docs report 0/0 → 0.0
+      "text_ngram_novelty" ->
+        raw"""WITH d AS (SELECT doc_id, $toks AS l FROM documents),
+              tg AS (SELECT DISTINCT doc_id, g FROM (
+                SELECT doc_id, unnest(list_transform(range(1, len(l) - 1),
+                  i -> l[i::INT] || ' ' || l[(i+1)::INT] || ' ' || l[(i+2)::INT]))
+                  AS g
+                FROM d WHERE len(l) >= 3)),
+              df3 AS (SELECT g, count(*) AS df FROM tg GROUP BY 1),
+              per AS (SELECT tg.doc_id, count(*)::BIGINT AS n_tri,
+                  sum(CASE WHEN df3.df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_novel
+                FROM tg JOIN df3 USING (g) GROUP BY 1)
+            SELECT d0.doc_id,
+              coalesce(per.n_tri, 0)::BIGINT AS n_tri,
+              coalesce(per.n_novel, 0)::BIGINT AS n_novel,
+              CASE WHEN coalesce(per.n_tri, 0) > 0
+                THEN ((per.n_novel * 1000000000) // per.n_tri) / 1000000000.0
+                ELSE 0.0 END AS novelty
+            FROM documents d0 LEFT JOIN per ON d0.doc_id = per.doc_id""",
       "text_tfidf_topk" ->
         raw"""WITH tok AS (SELECT doc_id, unnest($toks) AS term FROM documents),
               tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),

@@ -105,4 +105,40 @@ object Repetition {
         sum(col("__df")).as("sum_df"),
         sum(when(col("__df") <= rareMaxDf, 1L).otherwise(0L)).as("n_rare"))
   }
+
+  /** N-gram NOVELTY per document — the memorization/diversity signal: the
+    * fraction of a doc's distinct word trigrams that appear in NO other
+    * document (trigram document frequency 1). High-novelty docs carry
+    * unique content; near-zero novelty marks template/boilerplate bodies
+    * the span-level dedup gates then confirm. Shape: one distinct
+    * (doc, trigram) shuffle, a trigram-df aggregation, one join back —
+    * all corpus-linear, no pair joins. Novelty is a nano-ladder integer
+    * division (engine-exact); docs with fewer than 3 words report 0/0
+    * with novelty 0. Output: (idCol, n_tri, n_novel, novelty). */
+  def ngramNovelty(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    val tris = docs
+      .select(col(idCol), toks.as("__t"))
+      .filter(size(col("__t")) >= 3)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), size(col("__t")) - 2),
+        i => concat_ws(" ",
+          element_at(col("__t"), i),
+          element_at(col("__t"), i + 1),
+          element_at(col("__t"), i + 2)))).as("__g"))
+      .distinct()
+    val df3 = tris.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
+    val per = tris.join(df3, "__g")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__n_tri"),
+        sum(when(col("__df") === 1, 1L).otherwise(0L)).as("__n_novel"))
+    docs.select(col(idCol)).join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__n_tri"), lit(0L)).as("n_tri"),
+        coalesce(col("__n_novel"), lit(0L)).as("n_novel"),
+        when(coalesce(col("__n_tri"), lit(0L)) > 0,
+          call_function("div", col("__n_novel") * lit(1000000000L),
+            col("__n_tri")) / lit(1e9))
+          .otherwise(lit(0.0)).as("novelty"))
+  }
 }

@@ -44,6 +44,26 @@ class RepetitionSpec extends AnyFunSuite with SparkTestBase {
     assert(kept(true) > kept(false), "most docs should pass")
   }
 
+  test("ngramNovelty: hand-checked trigram df=1 fractions") {
+    val docs = Seq(
+      (1L, "a b c d"), // trigrams {a b c, b c d}: "b c d" unique → 1/2
+      (2L, "a b c"),   // {a b c}: shared with doc 1 → 0/1
+      (3L, "x y")      // < 3 words → 0/0, novelty 0.0
+    ).toDF("doc_id", "text")
+    val out = Repetition.ngramNovelty(docs, "text", "doc_id")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 2L, 1L, 0.5)))
+    assert(out(2L) == ((2L, 1L, 0L, 0.0)))
+    assert(out(3L) == ((3L, 0L, 0L, 0.0)))
+    // repeated trigram inside ONE doc counts once (distinct per doc):
+    // "a b c a b c" yields {a b c, b c a, c a b}; "a b c" has df 2, the
+    // other two are unique → 2/3 on the truncating nano ladder
+    val dup = Seq((1L, "a b c a b c"), (2L, "a b c")).toDF("doc_id", "text")
+    val o2 = Repetition.ngramNovelty(dup, "text", "doc_id")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(o2(1L) == ((1L, 3L, 2L, 0.666666666)) && o2(2L) == ((2L, 1L, 0L, 0.0)))
+  }
+
   test("docFreqStats integer outputs reconcile with a driver-side recompute") {
     val sample = docs.limit(50).cache()
     val stats = Repetition.docFreqStats(sample, "text", "doc_id", rareMaxDf = 50L)
