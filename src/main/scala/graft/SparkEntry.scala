@@ -1768,6 +1768,15 @@ object SparkEntry {
       graft.text.Probe.confusion(graft.text.Probe.score(
         t(s, dir, "documents"), probeModel(s, dir), "text", "doc_id"))),
 
+    // Probe calibration table: the observed score range in 10 bands,
+    // observed positive rate per band — the reliability report that
+    // re-picks the filter threshold when the corpus shifts; the range is
+    // one min/max aggregate broadcast back (events_rfm pattern), integer
+    // bucketing + truncating nano rates, exact cross-engine
+    "quality_probe_calibration" -> ((s, dir) =>
+      graft.text.Probe.calibration(graft.text.Probe.score(
+        t(s, dir, "documents"), probeModel(s, dir), "text", "doc_id"))),
+
     // MAINTAINED probe training: the nine moments are abelian integer
     // sums, so model state folds create/update/delete batches exactly —
     // bootstrap (base ∪ phantoms), then +delta −phantoms must equal the
@@ -4993,6 +5002,24 @@ object SparkEntry {
                 + CAST(det2 * 1000000000 // det AS BIGINT) * x2 AS pred_nano,
               y
             FROM d CROSS JOIN w""",
+      // calibration: same pred_nano; observed min/max split into 10
+      // bands (+1 span so max lands in the top band), truncating nano
+      // positive rate per band
+      "quality_probe_calibration" ->
+        s"""WITH $probeSolve,
+            sc AS (SELECT y,
+                (CAST(det0 * 1000000000 // det AS BIGINT)
+                 + CAST(det1 * 1000000000 // det AS BIGINT) * x1
+                 + CAST(det2 * 1000000000 // det AS BIGINT) * x2) AS pred
+              FROM d CROSS JOIN w),
+            mm AS (SELECT min(pred) AS mn, max(pred) AS mx FROM sc),
+            bk AS (SELECT ((pred - mn) * 10) // (mx - mn + 1) AS bucket,
+                pred, y FROM sc CROSS JOIN mm)
+            SELECT bucket::BIGINT AS bucket,
+              min(pred)::BIGINT AS lo_nano,
+              count(*)::BIGINT AS n, sum(y)::BIGINT AS n_pos,
+              ((sum(y) * 1000000000) // count(*)) / 1000000000.0 AS pos_rate
+            FROM bk GROUP BY 1""",
       "quality_probe_eval" ->
         s"""WITH $probeSolve,
             sc AS (SELECT y, CASE WHEN

@@ -143,4 +143,29 @@ object Probe {
       sum((lit(1L) - pos) * col("y")).as("fn"),
       sum((lit(1L) - pos) * (lit(1L) - col("y"))).as("tn"))
   }
+
+  /** Calibration (reliability) table of the probe: the OBSERVED score
+    * range split into `buckets` equal bands, each reporting its size,
+    * band bounds, and observed positive rate — monotone pos_rate across
+    * bands means the score ranks documents usefully, and the table is
+    * what re-picks the filter threshold when the corpus shifts
+    * ([[confusion]]'s fixed-threshold complement). The range comes from
+    * one min/max aggregate (two longs of control data, broadcast back as
+    * a 1-row frame — the events_rfm pattern); bucketing and rates are
+    * truncating integer arithmetic — engine-exact. Output: (bucket,
+    * lo_nano, n, n_pos, pos_rate). */
+  def calibration(scored: DataFrame, buckets: Int = 10): DataFrame = {
+    val mm = scored.agg(min(col("pred_nano")).as("__mn"),
+      max(col("pred_nano")).as("__mx"))
+    val span = col("__mx") - col("__mn") + 1 // +1: max lands in the top band
+    val bucket = call_function("div",
+      (col("pred_nano") - col("__mn")) * buckets, span)
+    scored.crossJoin(mm)
+      .groupBy(bucket.cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+        min(col("pred_nano")).as("lo_nano"))
+      .select(col("bucket"), col("lo_nano"), col("n"), col("n_pos"),
+        (call_function("div", col("n_pos") * lit(1000000000L), col("n")) /
+          lit(1e9)).as("pos_rate"))
+  }
 }

@@ -83,6 +83,28 @@ class ProbeSpec extends AnyFunSuite with SparkTestBase {
     assert(m + zero == m && m - zero == m)
   }
 
+  test("calibration: bands partition the corpus and reconcile with totals") {
+    val scored = Probe.score(docs, w, "text", "doc_id")
+    val cal = Probe.calibration(scored)
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1)
+    // bands are 0..9, lower bounds strictly increasing, sizes/positives
+    // reconcile with the corpus
+    assert(cal.map(_._1).forall(b => b >= 0 && b <= 9))
+    assert(cal.map(_._2).sliding(2).forall { case Array(a, b) => a < b })
+    assert(cal.map(_._3).sum == docs.count())
+    val totalPos = scored.agg(sum(col("y"))).head().getLong(0)
+    assert(cal.map(_._4).sum == totalPos)
+    // a perfectly separated scored frame pins the rate extremes: y
+    // follows the score, so low bands are all-negative, high all-positive
+    val sep = Seq.tabulate(100)(i =>
+      (i.toLong, i.toLong * 10000000L, if (i >= 50) 1L else 0L))
+      .toDF("doc_id", "pred_nano", "y")
+    val cs = Probe.calibration(sep)
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(cs.map(_._1).toSeq == (0L to 9L) && cs.forall(_._3 == 10L))
+    assert(cs.take(5).forall(_._5 == 0.0) && cs.drop(5).forall(_._5 == 1.0))
+  }
+
   test("score is a stateless narrow projection (no shuffle in the plan)") {
     val plan = Probe.score(docs, w, "text", "doc_id")
       .queryExecution.executedPlan.toString
