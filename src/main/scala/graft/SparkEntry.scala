@@ -2061,6 +2061,12 @@ object SparkEntry {
     "text_ngram_novelty" -> ((s, dir) =>
       Repetition.ngramNovelty(t(s, dir, "documents"), "text", "doc_id")),
 
+    // SOURCE-level novelty — the mixture-decision counterpart: per
+    // source, the fraction of its distinct trigrams no other source has
+    // (sources omitted from the mix lose exactly this much content)
+    "corpus_source_novelty" -> ((s, dir) =>
+      Repetition.sourceNovelty(t(s, dir, "documents"), "text", "source")),
+
     // Top-3 TF-IDF terms per document: one doc-term shuffle, broadcast df
     // table, scores fixed to integer micro-units (one multiplication per
     // term, no float summation), per-doc top-k as a WindowGroupLimit
@@ -5318,6 +5324,20 @@ object SparkEntry {
                 THEN ((per.n_novel * 1000000000) // per.n_tri) / 1000000000.0
                 ELSE 0.0 END AS novelty
             FROM documents d0 LEFT JOIN per ON d0.doc_id = per.doc_id""",
+      // source-level novelty: the same trigram substrate grouped by source
+      "corpus_source_novelty" ->
+        raw"""WITH d AS (SELECT source, $toks AS l FROM documents),
+              tg AS (SELECT DISTINCT source, g FROM (
+                SELECT source, unnest(list_transform(range(1, len(l) - 1),
+                  i -> l[i::INT] || ' ' || l[(i+1)::INT] || ' ' || l[(i+2)::INT]))
+                  AS g
+                FROM d WHERE len(l) >= 3)),
+              sc AS (SELECT g, count(*) AS sc FROM tg GROUP BY 1)
+            SELECT tg.source, count(*)::BIGINT AS n_tri,
+              sum(CASE WHEN sc.sc = 1 THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+              ((sum(CASE WHEN sc.sc = 1 THEN 1 ELSE 0 END) * 1000000000)
+                // count(*)) / 1000000000.0 AS novelty
+            FROM tg JOIN sc USING (g) GROUP BY 1""",
       "text_tfidf_topk" ->
         raw"""WITH tok AS (SELECT doc_id, unnest($toks) AS term FROM documents),
               tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),

@@ -115,18 +115,25 @@ object Repetition {
     * all corpus-linear, no pair joins. Novelty is a nano-ladder integer
     * division (engine-exact); docs with fewer than 3 words report 0/0
     * with novelty 0. Output: (idCol, n_tri, n_novel, novelty). */
-  def ngramNovelty(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+  /** Distinct (key, word-trigram) pairs — the shared substrate of the
+    * novelty reports. */
+  private def distinctTrigrams(docs: DataFrame, textCol: String,
+                               keyCol: String): DataFrame = {
     val toks = TextFunctions.tokens(col(textCol))
-    val tris = docs
-      .select(col(idCol), toks.as("__t"))
+    docs
+      .select(col(keyCol), toks.as("__t"))
       .filter(size(col("__t")) >= 3)
-      .select(col(idCol), explode(transform(
+      .select(col(keyCol), explode(transform(
         sequence(lit(1), size(col("__t")) - 2),
         i => concat_ws(" ",
           element_at(col("__t"), i),
           element_at(col("__t"), i + 1),
           element_at(col("__t"), i + 2)))).as("__g"))
       .distinct()
+  }
+
+  def ngramNovelty(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tris = distinctTrigrams(docs, textCol, idCol)
     val df3 = tris.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
     val per = tris.join(df3, "__g")
       .groupBy(col(idCol))
@@ -140,5 +147,25 @@ object Repetition {
           call_function("div", col("__n_novel") * lit(1000000000L),
             col("__n_tri")) / lit(1e9))
           .otherwise(lit(0.0)).as("novelty"))
+  }
+
+  /** SOURCE-level novelty — the mixture-decision counterpart of
+    * [[ngramNovelty]]: per source, the fraction of its distinct word
+    * trigrams appearing in NO other source. A high-novelty source adds
+    * content the mix does not already have; a near-zero one is mostly
+    * redundant with the rest (the complement of the sketch-estimated
+    * overlap family). Same corpus-linear shape, grouped one level up.
+    * Output: (keyCol, n_tri, n_novel, novelty). */
+  def sourceNovelty(docs: DataFrame, textCol: String,
+                    sourceCol: String): DataFrame = {
+    val tris = distinctTrigrams(docs, textCol, sourceCol)
+    val sc = tris.groupBy(col("__g")).agg(count(lit(1)).as("__sc"))
+    tris.join(sc, "__g")
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_tri"),
+        sum(when(col("__sc") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .select(col(sourceCol), col("n_tri"), col("n_novel"),
+        (call_function("div", col("n_novel") * lit(1000000000L),
+          col("n_tri")) / lit(1e9)).as("novelty"))
   }
 }
