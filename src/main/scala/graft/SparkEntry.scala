@@ -2446,6 +2446,15 @@ object SparkEntry {
       graft.text.Unigram.encodedLength(t(s, dir, "documents"), "text",
         "doc_id", unigramModel(s, dir))),
 
+    // WordPiece-style GREEDY longest-match encoding over the SAME
+    // inventory (BERT's tokenizer discipline): at each position take the
+    // longest matching piece, never backtrack — the cheap counterpart of
+    // the Viterbi optimum (greedy never uses fewer pieces, spec-pinned).
+    // Same distinct-word DP + broadcast-join-back shape
+    "text_wordpiece_encode" -> ((s, dir) =>
+      graft.text.Unigram.encodedLengthGreedy(t(s, dir, "documents"),
+        "text", "doc_id", unigramModel(s, dir))),
+
     // Tokenizer fertility report for the unigram family: per-source
     // chars-per-token of the trained inventory (the BPE twin's metric —
     // comparing the two published reports IS the tokenizer bake-off a
@@ -5672,6 +5681,30 @@ object SparkEntry {
               sum(uwe.cost // 1000000)::BIGINT AS n_tokens,
               sum(uwe.cost % 1000000)::BIGINT AS rank_sum
             FROM ud JOIN uwe ON ud.w = uwe.w GROUP BY 1""",
+      // greedy longest-match replay: terminal (pos = len) rows pass
+      // through each round, active rows advance by the MAX matching
+      // piece length — 8 rounds cover the oracle-scale word lengths
+      "text_wordpiece_encode" -> {
+        val greedyRound = (t: Int) =>
+          s"""ug$t AS MATERIALIZED (
+                SELECT w, pos, np FROM ug${t - 1} WHERE pos >= len(w)
+                UNION ALL
+                SELECT b.w, b.pos + max(len(v.piece)) AS pos,
+                  b.np + 1 AS np
+                FROM ug${t - 1} b JOIN uvoc v
+                  ON b.pos + len(v.piece) <= len(b.w)
+                 AND substr(b.w, (b.pos + 1)::INT, len(v.piece)::INT) = v.piece
+                WHERE b.pos < len(b.w)
+                GROUP BY b.w, b.pos, b.np)"""
+        s"""WITH $uniTrainCtes,
+            ug0 AS (SELECT w, 0 AS pos, 0::BIGINT AS np
+              FROM (SELECT DISTINCT w FROM utk)),
+            ${(1 to 8).map(greedyRound).mkString(",\n")},
+            uge AS (SELECT w, np FROM ug8),
+            ud AS (SELECT doc_id, unnest($toks) AS w FROM documents)
+            SELECT ud.doc_id, sum(uge.np)::BIGINT AS n_tokens
+            FROM ud JOIN uge ON ud.w = uge.w GROUP BY 1"""
+      },
       // fertility report: the encode replay joined back for source,
       // chars-per-token on the nano ladder
       "text_unigram_compression" ->

@@ -137,6 +137,50 @@ object Unigram {
     best(n)
   }
 
+  /** WordPiece-style GREEDY longest-match segmentation over the same
+    * inventory (BERT's tokenizer discipline, Wu et al. 2016): at each
+    * position take the LONGEST piece that matches, never backtrack.
+    * Single-character coverage means it always terminates in ≤ len
+    * steps. Greedy is the cheap O(len·MaxPieceLen) counterpart of the
+    * Viterbi optimum — by construction it never uses FEWER pieces
+    * (spec-pinned), and comparing the two published fertilities is the
+    * tokenizer-family bake-off. Returns the piece count. */
+  def encodeWordGreedy(word: String, pieces: Set[String]): Long = {
+    val n = word.length
+    var pos = 0
+    var count = 0L
+    while (pos < n) {
+      var l = math.min(MaxPieceLen, n - pos)
+      while (l > 1 && !pieces.contains(word.substring(pos, pos + l))) l -= 1
+      require(l > 1 || pieces.contains(word.substring(pos, pos + 1)),
+        s"unsegmentable word '$word' (missing single char)")
+      pos += l
+      count += 1
+    }
+    count
+  }
+
+  /** Per-document GREEDY token count: (idCol, n_tokens). Same
+    * distinct-word + broadcast-join-back shape as [[encodedLength]]. */
+  def encodedLengthGreedy(docs: DataFrame, textCol: String, idCol: String,
+                          vocab: Seq[Piece]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pieceSet: Set[String] = vocab.map(_.piece).toSet
+    val words = docs.select(col(idCol),
+      explode(TextFunctions.tokens(col(textCol))).as("__w"))
+    val encoded = words.select(col("__w")).distinct()
+      .as[String]
+      .mapPartitions { it =>
+        val ps = pieceSet
+        it.map(w => (w, encodeWordGreedy(w, ps)))
+      }
+      .toDF("__w", "__np")
+    words.join(encoded, Seq("__w"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__np")).as("n_tokens"))
+  }
+
   /** Per-document length in TRAINED-tokenizer tokens plus the rank sum
     * (the integer stand-in for the segmentation's log-likelihood):
     * (idCol, n_tokens, rank_sum). The DP runs once per DISTINCT word —

@@ -97,6 +97,32 @@ class UnigramSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("greedy longest-match: hand checks, never fewer pieces than Viterbi") {
+    // greedy suboptimality witness: with {a, b, aa, bbb, aab}, the word
+    // "aabbb" greedy-segments aab|b|b (3 pieces — the longest first match
+    // strands the tail) while Viterbi finds aa|bbb (2)
+    val vocab = Map(
+      "a" -> (Unigram.CostBase + 1), "b" -> (Unigram.CostBase + 2),
+      "aa" -> (Unigram.CostBase + 3), "bbb" -> (Unigram.CostBase + 4),
+      "aab" -> (Unigram.CostBase + 5))
+    val pieces = vocab.keySet
+    assert(Unigram.encodeWordGreedy("aabbb", pieces) == 3L)
+    assert(Unigram.encodeWord("aabbb", vocab) / Unigram.CostBase == 2L)
+    assert(Unigram.encodeWordGreedy("", pieces) == 0L)
+    assert(Unigram.encodeWordGreedy("aa", pieces) == 1L)
+    intercept[IllegalArgumentException](Unigram.encodeWordGreedy("ax", pieces))
+
+    // on the real corpus: greedy token count >= Viterbi, per document
+    val docs = sf("documents")
+    val v = Unigram.learn(docs, "text", vocabMulti = 64)
+    val opt = Unigram.encodedLength(docs, "text", "doc_id", v)
+      .select(col("doc_id"), col("n_tokens").as("n_opt"))
+    val greedy = Unigram.encodedLengthGreedy(docs, "text", "doc_id", v)
+    val worse = greedy.join(opt, "doc_id")
+      .filter(col("n_tokens") < col("n_opt")).count()
+    assert(worse == 0, "greedy can never use fewer pieces than Viterbi")
+  }
+
   test("property: training is invariant to ANY signed-delta decomposition") {
     // the maintained ≡ rebuilt claim, not just for one fixed split: word
     // counts are an abelian group, so ANY batch decomposition — including
