@@ -2446,6 +2446,31 @@ object SparkEntry {
       graft.text.Unigram.encodedLength(t(s, dir, "documents"), "text",
         "doc_id", unigramModel(s, dir))),
 
+    // The tokenizer BAKE-OFF: the three subword families (BPE merges,
+    // unigram Viterbi, WordPiece greedy) encoded over the same corpus,
+    // one corpus-level fertility row each — the comparison a pipeline
+    // runs before committing to a tokenizer. Three control-sized
+    // aggregates unioned; the nano-ladder ratio is exact
+    "text_tokenizer_bakeoff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val chars = docs.agg(sum(col("n_chars")).cast("long").as("total_chars"))
+      val fams = Seq(
+        ("bpe", Bpe.encodedLength(docs, "text", "doc_id",
+          bpeModel(s, dir)), "n_bpe"),
+        ("unigram", graft.text.Unigram.encodedLength(docs, "text", "doc_id",
+          unigramModel(s, dir)), "n_tokens"),
+        ("wordpiece", graft.text.Unigram.encodedLengthGreedy(docs, "text",
+          "doc_id", unigramModel(s, dir)), "n_tokens"))
+      fams.map { case (fam, enc, c) =>
+        enc.agg(sum(col(c)).cast("long").as("total_tokens"))
+          .select(lit(fam).as("family"), col("total_tokens"))
+      }.reduce(_.unionByName(_))
+        .crossJoin(chars)
+        .select(col("family"), col("total_chars"), col("total_tokens"),
+          (call_function("div", col("total_chars") * lit(1000000000L),
+            col("total_tokens")) / lit(1e9)).as("chars_per_token"))
+    }),
+
     // WordPiece-style GREEDY longest-match encoding over the SAME
     // inventory (BERT's tokenizer discipline): at each position take the
     // longest matching piece, never backtrack — the cheap counterpart of
@@ -5681,6 +5706,54 @@ object SparkEntry {
               sum(uwe.cost // 1000000)::BIGINT AS n_tokens,
               sum(uwe.cost % 1000000)::BIGINT AS rank_sum
             FROM ud JOIN uwe ON ud.w = uwe.w GROUP BY 1""",
+      // the three families' replays composed in one query (BPE merge
+      // rounds, the Viterbi DP, the greedy walk — each already verified
+      // standalone), folded to corpus fertilities
+      "text_tokenizer_bakeoff" -> {
+        val encRound = (k: Int) =>
+          s"""e$k AS MATERIALIZED (SELECT e.doc_id AS doc_id,
+                replace(e.seq, ' ' || t.lhs || '  ' || t.rhs || ' ',
+                  ' ' || t.lhs || t.rhs || ' ') AS seq
+                FROM e${k - 1} e CROSS JOIN t$k t)"""
+        val greedyRound = (t: Int) =>
+          s"""ug$t AS MATERIALIZED (
+                SELECT w, pos, np FROM ug${t - 1} WHERE pos >= len(w)
+                UNION ALL
+                SELECT b.w, b.pos + max(len(v.piece)) AS pos,
+                  b.np + 1 AS np
+                FROM ug${t - 1} b JOIN uvoc v
+                  ON b.pos + len(v.piece) <= len(b.w)
+                 AND substr(b.w, (b.pos + 1)::INT, len(v.piece)::INT) = v.piece
+                WHERE b.pos < len(b.w)
+                GROUP BY b.w, b.pos, b.np)"""
+        raw"""WITH $bpeTrainCtes,
+            dw AS (SELECT doc_id, unnest($toks) AS w FROM documents),
+            e0 AS MATERIALIZED (SELECT doc_id, ' ' || coalesce(
+                array_to_string(regexp_extract_all(w, '.'), '  '), '')
+                || ' ' AS seq FROM dw),
+            ${(1 to 8).map(encRound).mkString(",\n")},
+            bpetot AS (SELECT 'bpe' AS family,
+                sum(len(string_split(trim(seq), '  ')))::BIGINT
+                  AS total_tokens FROM e8),
+            $uniEncodeCtes,
+            ud AS (SELECT doc_id, unnest($toks) AS w FROM documents),
+            unitot AS (SELECT 'unigram' AS family,
+                sum(uwe.cost // 1000000)::BIGINT AS total_tokens
+                FROM ud JOIN uwe ON ud.w = uwe.w),
+            ug0 AS (SELECT w, 0 AS pos, 0::BIGINT AS np
+              FROM (SELECT DISTINCT w FROM utk)),
+            ${(1 to 8).map(greedyRound).mkString(",\n")},
+            wptot AS (SELECT 'wordpiece' AS family,
+                sum(uge.np)::BIGINT AS total_tokens
+                FROM ud JOIN (SELECT w, np FROM ug8) uge ON ud.w = uge.w),
+            ch AS (SELECT sum(n_chars)::BIGINT AS total_chars FROM documents),
+            u AS (SELECT * FROM bpetot UNION ALL SELECT * FROM unitot
+                  UNION ALL SELECT * FROM wptot)
+            SELECT family, total_chars, total_tokens,
+              ((total_chars * 1000000000) // total_tokens) / 1000000000.0
+                AS chars_per_token
+            FROM u CROSS JOIN ch"""
+      },
       // greedy longest-match replay: terminal (pos = len) rows pass
       // through each round, active rows advance by the MAX matching
       // piece length — 8 rounds cover the oracle-scale word lengths
