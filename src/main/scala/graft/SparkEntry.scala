@@ -1199,6 +1199,17 @@ object SparkEntry {
         .filter(col("split_a") =!= col("split_b"))
     }),
 
+    // LSH banding TUNER: measured precision/recall of each (bands, rows)
+    // split against exact all-pairs ground truth on an md5-uniform HALF
+    // sample — how the production banding knob is picked from the
+    // corpus's own similarity distribution (more bands → recall up,
+    // precision down). The md5 MinHash keeps the signatures
+    // cross-engine; all-pairs stays sample-bounded
+    "dedup_lsh_tune" -> ((s, dir) =>
+      DocDedup.lshTune(t(s, dir, "documents"), "text", "doc_id",
+        threshold = 0.8, numHashes = 16, bandChoices = Seq(2, 4, 8),
+        sampleRate = 0.5)),
+
     // Incremental near-dup: index two thirds of the corpus once, apply the
     // remaining third as a live change batch, and dedup the batch against
     // the persisted index (partition-pruned band/set reads — no corpus
@@ -4403,6 +4414,56 @@ object SparkEntry {
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
             WHERE len(list_intersect(a.s, b.s))::DOUBLE
               / len(list_distinct(list_concat(a.s, b.s))) >= 0.8""",
+      // the banding tuner: md5 MinHash signatures on the md5-uniform half
+      // sample, candidates per (bands, rows) split, exact all-pairs truth
+      "dedup_lsh_tune" -> {
+        val nib = (k: Int) =>
+          s"(strpos('0123456789abcdef', substr(h, $k, 1)) - 1)::BIGINT"
+        val u32 = (1 to 8).map(k => s"${nib(k)} * ${1L << (4 * (8 - k))}")
+          .mkString(" + ")
+        def block(b: Int) = {
+          val r = 16 / b
+          s"""bk$b AS (SELECT doc_id, k,
+                array_to_string(sig[(k*$r+1):(k*$r+$r)], ',') AS key
+              FROM sg, range(0, $b) t(k)),
+            cb$b AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+              FROM bk$b x JOIN bk$b y
+                ON x.k = y.k AND x.key = y.key AND x.doc_id < y.doc_id),
+            nc$b AS (SELECT count(*)::BIGINT AS n_candidates FROM cb$b),
+            nh$b AS (SELECT count(*)::BIGINT AS n_hits FROM cb$b c JOIN tp
+                ON c.id_a = tp.id_a AND c.id_b = tp.id_b WHERE tp.j >= 0.8),
+            row$b AS (SELECT $b AS bands, $r AS rows_per_band,
+                n_candidates, n_hits FROM nc$b CROSS JOIN nh$b)"""
+        }
+        raw"""WITH su AS (SELECT doc_id,
+                md5('graft-lshtune:' || doc_id::VARCHAR) AS h FROM documents),
+            smp AS (SELECT doc_id FROM su
+              WHERE ($u32) / 4294967296.0 < 0.5),
+            sh0 AS (SELECT doc_id, $shingles AS s FROM documents
+              WHERE doc_id IN (SELECT doc_id FROM smp)),
+            sh AS (SELECT doc_id, s FROM sh0 WHERE len(s) > 0),
+            sg AS (SELECT doc_id, list_transform(range(0, 16), i ->
+                coalesce(list_aggregate(list_transform(s, x ->
+                  list_transform([md5(i::VARCHAR || ':' || x)],
+                    h -> $u32)[1]), 'min'), 4294967296)) AS sig
+              FROM sh),
+            tp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                len(list_intersect(a.s, b.s))::DOUBLE
+                  / len(list_distinct(list_concat(a.s, b.s))) AS j
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+            tru AS (SELECT count(*)::BIGINT AS n_true FROM tp WHERE j >= 0.8),
+            ${Seq(2, 4, 8).map(block).mkString(",\n")},
+            u AS (SELECT * FROM row2 UNION ALL SELECT * FROM row4
+                  UNION ALL SELECT * FROM row8)
+            SELECT bands, rows_per_band, n_candidates, tru.n_true, n_hits,
+              CASE WHEN n_candidates > 0 THEN
+                ((n_hits * 1000000000) // n_candidates) / 1000000000.0
+              ELSE 0.0 END AS "precision",
+              CASE WHEN tru.n_true > 0 THEN
+                ((n_hits * 1000000000) // tru.n_true) / 1000000000.0
+              ELSE 0.0 END AS recall
+            FROM u CROSS JOIN tru"""
+      },
       // Composition: the dedup_minhash exact pair set, each side tagged
       // with the split_assign md5 CASE, filtered to boundary crossers
       "split_leakage" -> {

@@ -244,6 +244,89 @@ object DocDedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Cross-engine md5 MinHash: hash i of a shingle set is the min over
+    * shingles of the first-8-hex-digit u32 of md5("i:shingle") — any
+    * engine with md5 reproduces the signature bit for bit. 16 md5 per
+    * shingle makes this the SAMPLE-SIZED formulation ([[lshTune]]); the
+    * xxhash64 kernel ([[minhashSignatureOfSets]]) remains the corpus
+    * throughput path. Empty sets sign as 2^32 (above any u32). */
+  def minhashSignatureMd5(sh: Column, numHashes: Int): Column = {
+    val seeds = array((0 until numHashes).map(lit(_)): _*)
+    aggregate(sh, array_repeat(lit(4294967296L), numHashes),
+      (acc, s) => zip_with(acc, seeds, (a, seed) =>
+        least(a, conv(substring(
+          md5(concat(seed.cast("string"), lit(":"), s)), 1, 8), 16, 10)
+          .cast("long"))))
+  }
+
+  /** LSH banding TUNER: measured precision/recall of candidate
+    * generation for each (bands, rows) split of the signature, against
+    * exact all-pairs ground truth — ON A DETERMINISTIC SAMPLE. This is
+    * how the production (bands, rows) knob is chosen: the S-curve says
+    * more bands → recall up / precision down, and this measures the
+    * actual operating points on the corpus's own similarity
+    * distribution. All-pairs runs only within the md5-uniform sample
+    * (the knob bounds it); the deployed pipeline keeps the xxhash
+    * kernel. Docs with no shingles are excluded (they carry no signal
+    * and would bucket-collide vacuously). Output one row per choice:
+    * (bands, rows_per_band, n_candidates, n_true, n_hits, precision,
+    * recall) — counts exact, ratios truncating nano. */
+  def lshTune(docs: DataFrame, textCol: String, idCol: String,
+              threshold: Double, numHashes: Int, bandChoices: Seq[Int],
+              sampleRate: Double, shingleN: Int = 3): DataFrame = {
+    require(bandChoices.nonEmpty && bandChoices.forall(b =>
+      b > 0 && numHashes % b == 0), "each bands choice must divide numHashes")
+    val sample = docs.filter(
+      graft.text.Curation.hashUniform(col(idCol), "graft-lshtune")
+        < sampleRate)
+    val sets = graft.ops.Caches.track(
+      shingleSets(sample, textCol, idCol, shingleN)
+        .filter(size(col("__sh")) > 0))
+    val sigs = graft.ops.Caches.track(sets.select(col("__id"),
+      minhashSignatureMd5(col("__sh"), numHashes).as("__sig")))
+    // exact ground truth: all pairs WITHIN the sample
+    val pairs = graft.ops.Caches.track(
+      sets.select(col("__id").as("id_a"), col("__sh").as("__sa"))
+        .join(sets.select(col("__id").as("id_b"), col("__sh").as("__sb")),
+          col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          jaccardSets(col("__sa"), col("__sb")).as("__j")))
+    val nTrue = pairs.filter(col("__j") >= threshold)
+      .agg(count(lit(1)).as("n_true"))
+    val perConfig = bandChoices.map { b =>
+      val r = numHashes / b
+      val bandRows = sigs.select(col("__id"),
+        explode(transform(sequence(lit(0), lit(b - 1)),
+          k => struct(k.as("k"),
+            array_join(transform(slice(col("__sig"), k * r + 1, lit(r)),
+              _.cast("string")), ",").as("key")))).as("bk"))
+        .select(col("__id"), col("bk.k").as("k"), col("bk.key").as("key"))
+      val cand = graft.ops.Caches.track(
+        bandRows.alias("x").join(bandRows.alias("y"),
+          col("x.k") === col("y.k") && col("x.key") === col("y.key") &&
+            col("x.__id") < col("y.__id"))
+        .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"))
+        .distinct())
+      val nc = cand.agg(count(lit(1)).as("n_candidates"))
+      val nh = cand.join(pairs, Seq("id_a", "id_b"))
+        .filter(col("__j") >= threshold)
+        .agg(count(lit(1)).as("n_hits"))
+      nc.crossJoin(nh).select(lit(b).as("bands"),
+        lit(r).as("rows_per_band"), col("n_candidates"), col("n_hits"))
+    }.reduce(_.unionByName(_))
+    perConfig.crossJoin(nTrue)
+      .select(col("bands"), col("rows_per_band"),
+        col("n_candidates"), col("n_true"), col("n_hits"),
+        when(col("n_candidates") > 0,
+          call_function("div", col("n_hits") * lit(1000000000L),
+            col("n_candidates")) / lit(1e9)).otherwise(lit(0.0))
+          .as("precision"),
+        when(col("n_true") > 0,
+          call_function("div", col("n_hits") * lit(1000000000L),
+            col("n_true")) / lit(1e9)).otherwise(lit(0.0))
+          .as("recall"))
+  }
+
   /** 64-bit SimHash over token hashes: sign-sum of each bit position.
     * Native one-pass kernel ([[graft.functions.SimHash64]]);
     * [[simhashHof]] is the bit-identical HOF formulation (spec cross-check). */

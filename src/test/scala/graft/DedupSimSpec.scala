@@ -101,6 +101,39 @@ class DedupSimSpec extends AnyFunSuite with SparkTestBase {
     assert(lsh == truth)
   }
 
+  test("lshTune: md5 signature reference, S-curve monotonicity, bounds") {
+    // md5 MinHash matches a plain-Scala recomputation bit for bit
+    val two = docs.limit(2)
+    val spark2 = two.select(col("doc_id"),
+        DocDedup.shingles(col("text")).as("sh"))
+      .withColumn("sig", DocDedup.minhashSignatureMd5(
+        array_distinct(col("sh")), 4))
+      .select(col("doc_id"), col("sh"), col("sig"))
+      .as[(Long, Seq[String], Seq[Long])].collect()
+    def u32(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(4).map(b => f"${b & 0xff}%02x").mkString, 16)
+    }
+    for ((_, sh, sig) <- spark2; i <- 0 until 4)
+      assert(sig(i) == sh.distinct.map(x => u32(s"$i:$x")).min)
+
+    // tuner invariants on the corpus sample: hits bounded by both counts,
+    // candidates and recall monotone non-decreasing in the band count
+    // (finer bands can only add collisions)
+    val tune = DocDedup.lshTune(docs, "text", "doc_id", threshold = 0.8,
+        numHashes = 16, bandChoices = Seq(2, 4, 8), sampleRate = 0.5)
+      .as[(Int, Int, Long, Long, Long, Double, Double)].collect()
+      .sortBy(_._1)
+    assert(tune.map(_._1).toSeq == Seq(2, 4, 8))
+    for ((b, r, nc, nt, nh, p, rec) <- tune) {
+      assert(b * r == 16 && nh <= nc && nh <= nt)
+      assert(p >= 0.0 && p <= 1.0 && rec >= 0.0 && rec <= 1.0)
+    }
+    assert(tune.map(_._3).sliding(2).forall { case Array(a, b) => a <= b })
+    assert(tune.map(_._7).sliding(2).forall { case Array(a, b) => a <= b })
+  }
+
   test("LSH bucket cap drops degenerate buckets explicitly, keeps the rest") {
     // five identical docs share every band bucket (bucket size 5); one
     // distinct near-dup pair (6,7) sits in buckets of size 2
