@@ -1200,15 +1200,16 @@ object SparkEntry {
     }),
 
     // LSH banding TUNER: measured precision/recall of each (bands, rows)
-    // split against exact all-pairs ground truth on an md5-uniform HALF
-    // sample — how the production banding knob is picked from the
-    // corpus's own similarity distribution (more bands → recall up,
-    // precision down). The md5 MinHash keeps the signatures
-    // cross-engine; all-pairs stays sample-bounded
+    // split against exact all-pairs ground truth on the 256 docs with
+    // the smallest md5 draws (an ABSOLUTE bottom-k sample — a rate would
+    // make the all-pairs stage quadratic in corpus size) — how the
+    // production banding knob is picked from the corpus's own similarity
+    // distribution (more bands → recall up, precision down). The md5
+    // MinHash keeps the signatures cross-engine
     "dedup_lsh_tune" -> ((s, dir) =>
       DocDedup.lshTune(t(s, dir, "documents"), "text", "doc_id",
         threshold = 0.8, numHashes = 16, bandChoices = Seq(2, 4, 8),
-        sampleRate = 0.5)),
+        sampleSize = 256)),
 
     // Incremental near-dup: index two thirds of the corpus once, apply the
     // remaining third as a live change batch, and dedup the batch against
@@ -4438,7 +4439,7 @@ object SparkEntry {
         raw"""WITH su AS (SELECT doc_id,
                 md5('graft-lshtune:' || doc_id::VARCHAR) AS h FROM documents),
             smp AS (SELECT doc_id FROM su
-              WHERE ($u32) / 4294967296.0 < 0.5),
+              ORDER BY ($u32) / 4294967296.0, doc_id LIMIT 256),
             sh0 AS (SELECT doc_id, $shingles AS s FROM documents
               WHERE doc_id IN (SELECT doc_id FROM smp)),
             sh AS (SELECT doc_id, s FROM sh0 WHERE len(s) > 0),

@@ -265,20 +265,25 @@ object DocDedup {
     * how the production (bands, rows) knob is chosen: the S-curve says
     * more bands → recall up / precision down, and this measures the
     * actual operating points on the corpus's own similarity
-    * distribution. All-pairs runs only within the md5-uniform sample
-    * (the knob bounds it); the deployed pipeline keeps the xxhash
-    * kernel. Docs with no shingles are excluded (they carry no signal
-    * and would bucket-collide vacuously). Output one row per choice:
-    * (bands, rows_per_band, n_candidates, n_true, n_hits, precision,
-    * recall) — counts exact, ratios truncating nano. */
+    * distribution. The sample is the `sampleSize` docs with the SMALLEST
+    * md5 draws (bottom-k, a TakeOrdered — an ABSOLUTE size, because a
+    * rate-based sample makes the all-pairs stage quadratic in corpus
+    * size; bottom-k keeps the tuner O(sampleSize²) at ANY scale). The
+    * deployed pipeline keeps the xxhash kernel. Docs with no shingles
+    * are excluded (they carry no signal and would bucket-collide
+    * vacuously). Output one row per choice: (bands, rows_per_band,
+    * n_candidates, n_true, n_hits, precision, recall) — counts exact,
+    * ratios truncating nano. */
   def lshTune(docs: DataFrame, textCol: String, idCol: String,
               threshold: Double, numHashes: Int, bandChoices: Seq[Int],
-              sampleRate: Double, shingleN: Int = 3): DataFrame = {
+              sampleSize: Int, shingleN: Int = 3): DataFrame = {
     require(bandChoices.nonEmpty && bandChoices.forall(b =>
       b > 0 && numHashes % b == 0), "each bands choice must divide numHashes")
-    val sample = docs.filter(
-      graft.text.Curation.hashUniform(col(idCol), "graft-lshtune")
-        < sampleRate)
+    val sample = docs
+      .withColumn("__u",
+        graft.text.Curation.hashUniform(col(idCol), "graft-lshtune"))
+      .orderBy(col("__u"), col(idCol)).limit(sampleSize)
+      .drop("__u")
     val sets = graft.ops.Caches.track(
       shingleSets(sample, textCol, idCol, shingleN)
         .filter(size(col("__sh")) > 0))

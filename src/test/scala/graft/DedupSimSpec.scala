@@ -122,7 +122,7 @@ class DedupSimSpec extends AnyFunSuite with SparkTestBase {
     // candidates and recall monotone non-decreasing in the band count
     // (finer bands can only add collisions)
     val tune = DocDedup.lshTune(docs, "text", "doc_id", threshold = 0.8,
-        numHashes = 16, bandChoices = Seq(2, 4, 8), sampleRate = 0.5)
+        numHashes = 16, bandChoices = Seq(2, 4, 8), sampleSize = 256)
       .as[(Int, Int, Long, Long, Long, Double, Double)].collect()
       .sortBy(_._1)
     assert(tune.map(_._1).toSeq == Seq(2, 4, 8))
