@@ -6176,14 +6176,30 @@ object SparkEntry {
                 FROM ur WHERE rn <= 64 GROUP BY 1, 2),
             ue AS (SELECT src_a, src_b,
                 CASE WHEN n_u < 64 THEN n_u::DOUBLE ELSE 63.0 / uku END AS eu
-                FROM ug)
+                FROM ug),
+            nax AS (SELECT pr.src_a, pr.src_b, count(*)::BIGINT AS na
+                FROM pr JOIN sk ON sk.source = pr.src_a AND sk.u <= pr.th
+                GROUP BY 1, 2),
+            nbx AS (SELECT pr.src_a, pr.src_b, count(*)::BIGINT AS nb
+                FROM pr JOIN sk ON sk.source = pr.src_b AND sk.u <= pr.th
+                GROUP BY 1, 2)
             SELECT cj.src_a, cj.src_b, cj.n_common::BIGINT AS n_common,
               round(CASE WHEN cj.th < 1.0 THEN cj.n_common / cj.th
                 ELSE cj.n_common::DOUBLE END, 4) AS est_intersect,
               round(ue.eu, 4) AS est_union,
               round((CASE WHEN cj.th < 1.0 THEN cj.n_common / cj.th
-                ELSE cj.n_common::DOUBLE END) / ue.eu, 4) AS est_jaccard
-            FROM cj JOIN ue ON cj.src_a = ue.src_a AND cj.src_b = ue.src_b"""
+                ELSE cj.n_common::DOUBLE END) / ue.eu, 4) AS est_jaccard,
+              round(CASE WHEN cj.th < 1.0
+                THEN (coalesce(nax.na, 0) - cj.n_common) / cj.th
+                ELSE (coalesce(nax.na, 0) - cj.n_common)::DOUBLE END, 4)
+                AS est_only_a,
+              round(CASE WHEN cj.th < 1.0
+                THEN (coalesce(nbx.nb, 0) - cj.n_common) / cj.th
+                ELSE (coalesce(nbx.nb, 0) - cj.n_common)::DOUBLE END, 4)
+                AS est_only_b
+            FROM cj JOIN ue ON cj.src_a = ue.src_a AND cj.src_b = ue.src_b
+            LEFT JOIN nax ON cj.src_a = nax.src_a AND cj.src_b = nax.src_b
+            LEFT JOIN nbx ON cj.src_a = nbx.src_a AND cj.src_b = nbx.src_b"""
       },
       // Sketches.bottomKQuantiles: 64 smallest md5-uniform draws per
       // source, quantiles as exact order statistics with pure-integer

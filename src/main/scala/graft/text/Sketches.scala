@@ -90,7 +90,9 @@ object Sketches {
     * Shape at scale: one distinct + map-side WindowGroupLimit builds the
     * sketches (k×groups rows — control data); every pairwise join below
     * that touches only sketch rows. Output: (src_a, src_b, n_common,
-    * est_intersect, est_union, est_jaccard), one row per unordered pair.
+    * est_intersect, est_union, est_jaccard, est_only_a, est_only_b),
+    * one row per unordered pair — the differences estimate |A\B| and
+    * |B\A| from each side's below-θ draw count minus the common count.
     */
   def kmvIntersect(df: DataFrame, groupCol: String, value: Column, k: Int,
                    salt: String = "graft-kmv"): DataFrame = {
@@ -133,15 +135,37 @@ object Sketches {
       .select(col("src_a"), col("src_b"),
         when(col("__nu") < k, col("__nu").cast("double"))
           .otherwise(lit(k - 1).cast("double") / col("__uku")).as("__eu"))
+    // set DIFFERENCE |A\B| and |B\A|: below θ every draw of A's sketch is
+    // a sample of A, so |A\B| ≈ (|{u ∈ S_A : u ≤ θ}| − n_common)/θ — no
+    // extra joins, just each side's below-θ draw count per pair
+    val na = pairs
+      .join(sk.select(col(groupCol).as("src_a"), col("__u")), Seq("src_a"))
+      .filter(col("__u") <= col("__th"))
+      .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("__na"))
+    val nb = pairs
+      .join(sk.select(col(groupCol).as("src_b"), col("__u")), Seq("src_b"))
+      .filter(col("__u") <= col("__th"))
+      .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("__nb"))
     // raw (unrounded) estimates feed the Jaccard so rounding never compounds
     val rawInt = when(col("__th") < 1.0,
       col("n_common").cast("double") / col("__th"))
       .otherwise(col("n_common").cast("double"))
+    // a side can have zero below-θ draws (θ came from the other sketch):
+    // left join + 0 — n_common is then 0 too, so the difference stays ≥ 0
+    def rawDiff(side: String) = when(col("__th") < 1.0,
+      (coalesce(col(side), lit(0L)) - col("n_common")).cast("double")
+        / col("__th"))
+      .otherwise((coalesce(col(side), lit(0L)) - col("n_common"))
+        .cast("double"))
     cj.join(ue, Seq("src_a", "src_b"))
+      .join(na, Seq("src_a", "src_b"), "left")
+      .join(nb, Seq("src_a", "src_b"), "left")
       .select(col("src_a"), col("src_b"), col("n_common"),
         round(rawInt, 4).as("est_intersect"),
         round(col("__eu"), 4).as("est_union"),
-        round(rawInt / col("__eu"), 4).as("est_jaccard"))
+        round(rawInt / col("__eu"), 4).as("est_jaccard"),
+        round(rawDiff("__na"), 4).as("est_only_a"),
+        round(rawDiff("__nb"), 4).as("est_only_b"))
   }
 
   // ------------------------------------------------------- bottom-k quantiles

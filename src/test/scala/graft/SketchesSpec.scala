@@ -48,28 +48,31 @@ class SketchesSpec extends AnyFunSuite with SparkTestBase {
       (40 until 100).map(i => ("B", s"v$i")) ++
       (0 until 30).map(i => ("C", s"w$i"))
     val df = rows.toDF("source", "text")
-    // k above every cardinality → θ = 1 everywhere → exact set algebra
+    // k above every cardinality → θ = 1 everywhere → exact set algebra,
+    // including the differences (|A\B| = 40, |B\A| = 40, C fully novel)
     val exact = Sketches.kmvIntersect(df, "source", col("text"), k = 512)
-      .as[(String, String, Long, Double, Double, Double)].collect()
-      .map(r => (r._1, r._2) -> r).toMap
-    assert(exact(("A", "B")) == (("A", "B", 20L, 20.0, 100.0, 0.2)))
-    assert(exact(("A", "C")) == (("A", "C", 0L, 0.0, 90.0, 0.0)))
-    assert(exact(("B", "C")) == (("B", "C", 0L, 0.0, 90.0, 0.0)))
+      .as[(String, String, Long, Double, Double, Double, Double, Double)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    assert(exact(("A", "B")) == (("A", "B", 20L, 20.0, 100.0, 0.2, 40.0, 40.0)))
+    assert(exact(("A", "C")) == (("A", "C", 0L, 0.0, 90.0, 0.0, 60.0, 30.0)))
+    assert(exact(("B", "C")) == (("B", "C", 0L, 0.0, 90.0, 0.0, 60.0, 30.0)))
 
     // sketched (k = 32 < cardinalities): estimates within loose KMV error
     val est = Sketches.kmvIntersect(df, "source", col("text"), k = 32)
-      .as[(String, String, Long, Double, Double, Double)].collect()
-      .map(r => (r._1, r._2) -> r).toMap
-    val (_, _, _, ei, eu, ej) = est(("A", "B"))
+      .as[(String, String, Long, Double, Double, Double, Double, Double)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    val (_, _, _, ei, eu, ej, da, db) = est(("A", "B"))
     assert(ei > 5.0 && ei < 60.0, s"intersect estimate off: $ei")
     assert(eu > 50.0 && eu < 200.0, s"union estimate off: $eu")
     assert(ej > 0.04 && ej < 0.6, s"jaccard estimate off: $ej")
+    assert(da > 10.0 && da < 120.0 && db > 10.0 && db < 120.0,
+      s"difference estimates off: $da / $db")
     assert(est(("A", "C"))._4 == 0.0 && est(("B", "C"))._4 == 0.0)
 
     // determinism under repartitioning
     val re = Sketches.kmvIntersect(df.repartition(13), "source", col("text"), k = 32)
-      .as[(String, String, Long, Double, Double, Double)].collect()
-      .map(r => (r._1, r._2) -> r).toMap
+      .as[(String, String, Long, Double, Double, Double, Double, Double)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
     assert(re == est)
   }
 
