@@ -3284,10 +3284,12 @@ object SparkEntry {
     // fixpoint — the graph-denoising gate that keeps the dense core of a
     // co-occurrence graph. Each round shrinks the edge list (degree agg +
     // two anti-joins, lineage checkpoint-truncated); rounds ≈ peeling
-    // depth. The oracle replays the peel as bounded MATERIALIZED CTE
-    // rounds (extra rounds past convergence are no-ops)
+    // depth. The oracle replays the peel as exactly 20 MATERIALIZED CTE
+    // rounds (extra rounds past convergence are no-ops), so the Spark side
+    // PINS the same bound: a graph that peels deeper aborts loudly here
+    // instead of hash-mismatching opaquely against the 20-round replay
     "graph_kcore" -> ((s, dir) =>
-      graft.graph.Graph.kCore(copurchaseEdges(s, dir), k = 3L)),
+      graft.graph.Graph.kCore(copurchaseEdges(s, dir), k = 3L, maxRounds = 20)),
 
     // ---- behavioral time-series (events) --------------------------------
 
@@ -3658,7 +3660,8 @@ object SparkEntry {
     // text_unigram_encode (mirrors graft.text.Unigram exactly): piece
     // inventory = all length-1..4 substrings of the word table weighted
     // by word count; vocab = ALL singles + top-64 multis (cnt DESC,
-    // piece); cost = 1000000 + rank. Segmentation cost per DISTINCT word
+    // piece); cost = 1000000000 + rank (Unigram.CostBase). Segmentation
+    // cost per DISTINCT word
     // via 8 Bellman-Ford relaxation rounds (max word length at the oracle
     // scale is 8; each round extends best-known costs by one piece), the
     // SQL twin of the Scala Viterbi DP — the converged minimum cost is a
@@ -3674,7 +3677,7 @@ object SparkEntry {
             FROM uwc) GROUP BY 1),
           uvoc AS MATERIALIZED (SELECT piece, cnt,
             row_number() OVER (ORDER BY cnt DESC, piece) AS rank,
-            1000000 + row_number() OVER (ORDER BY cnt DESC, piece) AS cost
+            1000000000 + row_number() OVER (ORDER BY cnt DESC, piece) AS cost
             FROM (SELECT piece, cnt FROM upc WHERE len(piece) = 1
                   UNION ALL
                   SELECT piece, cnt FROM
@@ -3694,7 +3697,18 @@ object SparkEntry {
           ub0 AS (SELECT w, 0 AS pos, 0::BIGINT AS cost
             FROM (SELECT DISTINCT w FROM utk)),
           ${(1 to 8).map(uniDpRound).mkString(",\n")},
-          uwe AS (SELECT w, cost FROM ub8 WHERE pos = len(w))"""
+          uwe AS (
+            -- convergence asserted, not assumed: a word whose segmentation
+            -- needs more than the replayed 8 relaxation rounds must error
+            -- loudly, not silently drop out of the downstream inner join
+            SELECT dw.w AS w,
+              CASE WHEN b.cost IS NULL THEN error('unigram Viterbi replay: '
+                || 'word "' || dw.w || '" (len ' || len(dw.w) || ') did not '
+                || 'reach its terminal state within 8 relaxation rounds')
+              ELSE b.cost END AS cost
+            FROM (SELECT DISTINCT w FROM utk) dw
+            LEFT JOIN (SELECT w, min(cost) AS cost FROM ub8
+                       WHERE pos = len(w) GROUP BY 1) b ON b.w = dw.w)"""
     // Kneser–Ney INTEGER NANO-UNIT ladder — ONE copy shared by the three
     // text_kn_* oracles (mirrors LmCounts' derivation exactly): all
     // probabilities are integer nano-units produced by integer floor
@@ -5760,13 +5774,13 @@ object SparkEntry {
         s"""WITH $uniTrainCtes
             SELECT rank, piece, cnt FROM uvoc""",
       // per-doc Viterbi encode: every word occurrence joins its DISTINCT-
-      // word minimum cost; cost // 1000000 = piece count, % = rank sum
+      // word minimum cost; cost // CostBase = piece count, % = rank sum
       "text_unigram_encode" ->
         s"""WITH $uniEncodeCtes,
             ud AS (SELECT doc_id, unnest($toks) AS w FROM documents)
             SELECT ud.doc_id,
-              sum(uwe.cost // 1000000)::BIGINT AS n_tokens,
-              sum(uwe.cost % 1000000)::BIGINT AS rank_sum
+              sum(uwe.cost // 1000000000)::BIGINT AS n_tokens,
+              sum(uwe.cost % 1000000000)::BIGINT AS rank_sum
             FROM ud JOIN uwe ON ud.w = uwe.w GROUP BY 1""",
       // the three families' replays composed in one query (BPE merge
       // rounds, the Viterbi DP, the greedy walk — each already verified
@@ -5800,14 +5814,22 @@ object SparkEntry {
             $uniEncodeCtes,
             ud AS (SELECT doc_id, unnest($toks) AS w FROM documents),
             unitot AS (SELECT 'unigram' AS family,
-                sum(uwe.cost // 1000000)::BIGINT AS total_tokens
+                sum(uwe.cost // 1000000000)::BIGINT AS total_tokens
                 FROM ud JOIN uwe ON ud.w = uwe.w),
             ug0 AS (SELECT w, 0 AS pos, 0::BIGINT AS np
               FROM (SELECT DISTINCT w FROM utk)),
             ${(1 to 8).map(greedyRound).mkString(",\n")},
+            uge AS (
+              SELECT dw.w AS w,
+                CASE WHEN g.np IS NULL THEN error('greedy WordPiece replay: '
+                  || 'word "' || dw.w || '" did not terminate in 8 rounds')
+                ELSE g.np END AS np
+              FROM (SELECT DISTINCT w FROM utk) dw
+              LEFT JOIN (SELECT w, np FROM ug8 WHERE pos >= len(w)) g
+                ON g.w = dw.w),
             wptot AS (SELECT 'wordpiece' AS family,
                 sum(uge.np)::BIGINT AS total_tokens
-                FROM ud JOIN (SELECT w, np FROM ug8) uge ON ud.w = uge.w),
+                FROM ud JOIN uge ON ud.w = uge.w),
             ch AS (SELECT sum(n_chars)::BIGINT AS total_chars FROM documents),
             u AS (SELECT * FROM bpetot UNION ALL SELECT * FROM unitot
                   UNION ALL SELECT * FROM wptot)
@@ -5835,7 +5857,17 @@ object SparkEntry {
             ug0 AS (SELECT w, 0 AS pos, 0::BIGINT AS np
               FROM (SELECT DISTINCT w FROM utk)),
             ${(1 to 8).map(greedyRound).mkString(",\n")},
-            uge AS (SELECT w, np FROM ug8),
+            uge AS (
+              -- terminal rows only, with loud non-termination: an active
+              -- (pos < len) row surviving round 8 would otherwise join a
+              -- PARTIAL piece count and silently under-count
+              SELECT dw.w AS w,
+                CASE WHEN g.np IS NULL THEN error('greedy WordPiece replay: '
+                  || 'word "' || dw.w || '" did not terminate in 8 rounds')
+                ELSE g.np END AS np
+              FROM (SELECT DISTINCT w FROM utk) dw
+              LEFT JOIN (SELECT w, np FROM ug8 WHERE pos >= len(w)) g
+                ON g.w = dw.w),
             ud AS (SELECT doc_id, unnest($toks) AS w FROM documents)
             SELECT ud.doc_id, sum(uge.np)::BIGINT AS n_tokens
             FROM ud JOIN uge ON ud.w = uge.w GROUP BY 1"""
@@ -5846,7 +5878,7 @@ object SparkEntry {
         s"""WITH $uniEncodeCtes,
             ud AS (SELECT doc_id, unnest($toks) AS w FROM documents),
             enc AS (SELECT ud.doc_id,
-                sum(uwe.cost // 1000000)::BIGINT AS n_tokens
+                sum(uwe.cost // 1000000000)::BIGINT AS n_tokens
               FROM ud JOIN uwe ON ud.w = uwe.w GROUP BY 1)
             SELECT d.source, sum(d.n_chars)::BIGINT AS total_chars,
               sum(enc.n_tokens)::BIGINT AS total_tokens,

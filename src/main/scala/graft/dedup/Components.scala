@@ -47,7 +47,7 @@ object Components {
     * (near-dup ids are longs everywhere here); anything else always runs
     * distributed. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIters: Int = 25,
+                          maxIters: Int = 0,
                           driverEdgeLimit: Long = 500000L): DataFrame = {
     // undirected edge set, both directions (distinct: band dedup upstream
     // usually already did this, but correctness must not depend on it)
@@ -63,7 +63,10 @@ object Components {
            org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => true
       case _ => false
     }
-    if (integralIds && edges.count() <= driverEdgeLimit) {
+    // one count job against the tracked cache (the driver-path probe needs
+    // it anyway); also sizes the LOG-SCALED iteration bound below
+    val nEdges = edges.count()
+    if (integralIds && nEdges <= driverEdgeLimit) {
       driverPathCount.incrementAndGet()
       import spark.implicits._
       val es = edges.select(col("__src").cast("long"), col("__dst").cast("long"))
@@ -105,9 +108,19 @@ object Components {
     }
     var fp = fingerprint(labels)
 
+    // pointer jumping halves label-chain depth per round, so convergence is
+    // O(log n); maxIters <= 0 (the default) derives the cap from the graph
+    // — 2·log2(nodes) + 8 rounds (nodes <= 2·edges, generous 2× headroom
+    // over the halving argument) — instead of a fixed constant that a deep
+    // adversarial shape could exceed. Non-convergence within the cap now
+    // FAILS (require below) rather than silently returning a partial
+    // labeling that downstream survivor selection would treat as truth.
+    val iterBound =
+      if (maxIters > 0) maxIters
+      else 2 * (64 - java.lang.Long.numberOfLeadingZeros(2 * nEdges + 2)) + 8
     var converged = false
     var iter = 0
-    while (!converged && iter < maxIters) {
+    while (!converged && iter < iterBound) {
       // min label among direct neighbors
       val viaNeighbors = edges
         .join(labels, col("__dst") === col("id"))
@@ -130,6 +143,10 @@ object Components {
       labels = next
       iter += 1
     }
+    require(converged,
+      s"connected components did not converge in $iterBound rounds " +
+        s"($nEdges directed edges) — partial labels would silently " +
+        "mis-cluster; raise maxIters explicitly if the shape is legitimate")
     labels.select(col("id"), col("label").as("cluster"))
     }
   }

@@ -100,12 +100,27 @@ object Graph {
     * Components loop's discipline), and the round count is bounded by the
     * peeling depth, not |V| — on power-law graphs a handful of rounds.
     * The only driver decision per round is an isEmpty probe (control
-    * data). Returns surviving nodes with their final in-core degree. */
-  def kCore(edges: DataFrame, k: Long, maxRounds: Int = 64): DataFrame = {
+    * data). Returns surviving nodes with their final in-core degree.
+    *
+    * Round bound: every round that is not already the fixpoint removes at
+    * least one node, so |V| + 1 rounds ALWAYS converge — `maxRounds <= 0`
+    * (the default) derives that structural guarantee from the graph (one
+    * count job) instead of trusting a tuning constant; deep-peel shapes
+    * (long chains peel from the ends, ~|V|/2 rounds at k=2) terminate
+    * instead of aborting. A caller replaying against an external engine
+    * with a PINNED round count (the driver oracle peels exactly 20) passes
+    * it explicitly: overshooting a fixpoint is identity, so both engines
+    * agree whenever the peel converges within the pinned bound — and a
+    * graph that peels deeper aborts LOUDLY here rather than surfacing as
+    * an opaque value mismatch in the downstream hash gate. */
+  def kCore(edges: DataFrame, k: Long, maxRounds: Int = 0): DataFrame = {
     var cur = edges.select(col("p1"), col("p2")).localCheckpoint()
+    val bound =
+      if (maxRounds > 0) maxRounds
+      else (degrees(cur).count() + 1L).min(Int.MaxValue.toLong).toInt
     var rounds = 0
     var converged = false
-    while (!converged && rounds < maxRounds) {
+    while (!converged && rounds < bound) {
       val low = degrees(cur).filter(col("degree") < k)
       if (low.isEmpty) converged = true
       else {
@@ -117,7 +132,9 @@ object Graph {
       }
       rounds += 1
     }
-    require(converged, s"k-core did not converge in $maxRounds rounds")
+    require(converged, s"k-core did not converge in $bound rounds" +
+      (if (maxRounds > 0) " (graph peels deeper than the caller-pinned bound)"
+       else " (impossible: the derived |V|+1 bound is structural)"))
     degrees(cur)
   }
 

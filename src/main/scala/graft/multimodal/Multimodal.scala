@@ -156,19 +156,29 @@ object Multimodal {
       def u16(o: Int): Int = (blob(o) & 0xff) | (blob(o + 1) & 0xff) << 8
       require(blob.length >= 54 && blob(0) == 'B'.toByte && blob(1) == 'M'.toByte,
         "not a BM bitmap")
-      val pixOff = u32(10).toInt
+      // bounds arithmetic in Long: a hostile header with width near 2^31 or
+      // a pixel offset with the sign bit set must hit these requires, not
+      // overflow Int and slip past them into an ArrayIndexOutOfBounds
+      val pixOffU = u32(10) // unsigned on disk; validate BEFORE .toInt
+      require(pixOffU >= 54 && pixOffU <= blob.length.toLong,
+        "pixel array overruns the blob")
+      val pixOff = pixOffU.toInt
       require(u32(14) >= 40, "not a BITMAPINFOHEADER DIB")
       val width = s32(18)
       val rawH = s32(22)
       val topDown = rawH < 0
-      val height = math.abs(rawH)
+      val heightL = math.abs(rawH.toLong) // Int.MinValue would overflow abs(Int)
+      require(heightL <= Int.MaxValue.toLong, "height overflows Int")
+      val height = heightL.toInt
       require(width >= 0, "negative width")
       require(u16(26) == 1, "planes must be 1")
       require(u16(28) == 24, s"only 24-bit pixels supported, got ${u16(28)}")
       require(u32(30) == 0, "only BI_RGB (uncompressed) supported")
-      val stride = ((width * 3 + 3) / 4) * 4 // rows pad to 4-byte boundaries
-      require(pixOff >= 54 && pixOff + stride.toLong * height <= blob.length,
+      val strideL = ((width.toLong * 3 + 3) / 4) * 4 // rows pad to 4 bytes
+      require(strideL <= Int.MaxValue.toLong &&
+        pixOffU + strideL * height <= blob.length.toLong,
         "pixel array overruns the blob")
+      val stride = strideL.toInt
       var n = 0L; var sb = 0L; var sg = 0L; var sr = 0L; var mx = 0L
       var y = 0
       while (y < height) {
@@ -213,9 +223,9 @@ object Multimodal {
       require(stride >= 1, "stride must be positive")
       def u32(o: Int): Long = (blob(o) & 0xffL) | (blob(o + 1) & 0xffL) << 8 |
         (blob(o + 2) & 0xffL) << 16 | (blob(o + 3) & 0xffL) << 24
-      val info = Bmp.parse(blob) // header validation + geometry
+      val info = Bmp.parse(blob) // header validation + geometry (incl. bounds)
       val pixOff = u32(10).toInt
-      val rowStride = ((info.width * 3 + 3) / 4) * 4
+      val rowStride = (((info.width.toLong * 3 + 3) / 4) * 4).toInt // parse bounded it
       val outW = (info.width + stride - 1) / stride
       val outH = (info.height + stride - 1) / stride
       var n = 0L; var sb = 0L; var sg = 0L; var sr = 0L

@@ -197,7 +197,11 @@ object Ivf {
       .drop("__cn")
       .withColumn("gen", lit(0L))
       .repartition(cents.size, col("cell"))
-      .write.mode("overwrite").partitionBy("cell")
+      // gen is a PARTITION column (cell=…/gen=…): a change batch owns its
+      // gen subdirectories, so redelivery after a crash REPLACES its own
+      // partial appends (dynamic overwrite in updateIndex) — no duplicate
+      // neighbor rows can reach the probe's top-k window
+      .write.mode("overwrite").partitionBy("cell", "gen")
       .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
       .parquet(dir)
     graft.core.GenPointer.commit(dir, 0L)
@@ -214,6 +218,9 @@ object Ivf {
                   deletes: DataFrame, gen: Long): Unit = {
     val spark = upserts.sparkSession
     GraftFunctions.register(spark)
+    // redelivery of an already-committed gen is a no-op
+    if (graft.core.GenPointer.committed(index.assignDir) != Long.MaxValue &&
+        graft.core.GenPointer.committed(index.assignDir) >= gen) return
     val assigned = upserts
       .select(col(idCol).as("neighbor_id"),
         transform(col(vecCol), _.cast("double")).as("__cv"))
@@ -221,11 +228,16 @@ object Ivf {
       .withColumn("cell", nearestCell(col("__cv"), col("__cn"), centLit(index.centroids)))
       .drop("__cn")
       .withColumn("gen", lit(gen))
+    // dynamic partition overwrite: this batch writes ONLY …/gen=<gen>
+    // partitions, so a redelivered crashed batch replaces its own partial
+    // appends in place — committed generations are never touched
     assigned
       .repartition(index.nCells, col("cell"))
-      .write.mode("append").partitionBy("cell")
+      .write.mode("overwrite").partitionBy("cell", "gen")
+      .option("partitionOverwriteMode", "dynamic")
       .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
       .parquet(index.assignDir)
+    graft.core.KillPoint("ivf.assign")
     // tombstones: a superseded upsert's old row may sit in a DIFFERENT cell
     // (the vector moved), which a cell-pruned probe cannot see — the
     // (id, upto_gen) horizon kills it wherever it lives
@@ -233,13 +245,15 @@ object Ivf {
       .unionByName(deletes.select(col(idCol).as("neighbor_id")))
       .distinct()
       .withColumn("upto_gen", lit(gen))
-      .write.mode("append")
+      .write.mode("overwrite").partitionBy("upto_gen")
+      .option("partitionOverwriteMode", "dynamic")
       .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
       .parquet(index.tombstoneDir)
+    graft.core.KillPoint("ivf.tombstones")
     // the batch becomes visible HERE, atomically — a crash between the two
-    // appends above leaves it invisible (GenPointer's crash contract);
-    // redelivery at the same gen is idempotent (probe top-k dedups by id)
+    // writes above leaves it invisible (GenPointer's crash contract)
     graft.core.GenPointer.commit(index.assignDir, gen)
+    graft.core.KillPoint("ivf.committed")
   }
 
   /** Cell rows surviving the tombstone horizon AND the committed-generation

@@ -176,7 +176,10 @@ object Pq {
         encodeExpr(col(vecCol), cbs).as("codes"),
         lit(0L).as("gen"))
       .repartition(cents.size, col("cell"))
-      .write.mode("overwrite").partitionBy("cell")
+      // gen as a partition column: redelivered update batches replace
+      // their own gen subdirectories (dynamic overwrite below) — same
+      // crash/idempotence layout as Ivf/Retrieval
+      .write.mode("overwrite").partitionBy("cell", "gen")
       .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
       .parquet(codesDir(path))
     // rebuild IS compaction: stale tombstones must not outlive the rows
@@ -200,25 +203,36 @@ object Pq {
                       cbs: Codebooks, upserts: DataFrame, idCol: String,
                       vecCol: String, deletes: DataFrame, gen: Long): Unit = {
     GraftFunctions.register(upserts.sparkSession)
+    // redelivery of an already-committed gen is a no-op
+    if (graft.core.GenPointer.committed(path) != Long.MaxValue &&
+        graft.core.GenPointer.committed(path) >= gen) return
+    // dynamic partition overwrite: the batch writes ONLY …/gen=<gen>
+    // partitions, so redelivering a crashed batch replaces its own partial
+    // appends instead of duplicating code rows into the ADC ranking
     upserts.select(col(idCol).as("neighbor_id"),
         Ivf.cellExpr(col(vecCol), cents).as("cell"),
         encodeExpr(col(vecCol), cbs).as("codes"),
         lit(gen).as("gen"))
       .repartition(cents.size, col("cell"))
-      .write.mode("append").partitionBy("cell")
+      .write.mode("overwrite").partitionBy("cell", "gen")
+      .option("partitionOverwriteMode", "dynamic")
       .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
       .parquet(codesDir(path))
+    graft.core.KillPoint("ivfpq.codes")
     upserts.select(col(idCol).as("neighbor_id"))
       .unionByName(deletes.select(col(idCol).as("neighbor_id")))
       .distinct()
       .withColumn("upto_gen", lit(gen))
       .coalesce(1)
-      .write.mode("append")
+      .write.mode("overwrite").partitionBy("upto_gen")
+      .option("partitionOverwriteMode", "dynamic")
       .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
       .parquet(tombstoneDir(path))
+    graft.core.KillPoint("ivfpq.tombstones")
     // the batch becomes visible HERE, atomically — a crash between the two
-    // appends leaves it invisible (GenPointer's crash contract)
+    // writes leaves it invisible (GenPointer's crash contract)
     graft.core.GenPointer.commit(path, gen)
+    graft.core.KillPoint("ivfpq.committed")
   }
 
   /** Code rows surviving the tombstone horizon AND the committed-generation

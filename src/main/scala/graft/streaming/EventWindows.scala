@@ -100,10 +100,25 @@ object EventWindows {
         val spiked = when(sPrev > 0 && x > sPrev * 4, 1L).otherwise(0L)
         shiftleft(sNew, 20) + spikes + spiked
       })
+    // packing invariant enforced, not assumed: smoothed ≤ max(x) by the
+    // halving recurrence and spikes ≤ n_buckets, so guarding the inputs
+    // (max bucket count < 2^43, series length < 2^20) guards both fields;
+    // overflow would corrupt Spark and any external replay IDENTICALLY, so
+    // the oracle gate could never catch it — fail loud here instead
+    val maxCnt = coalesce(
+      array_max(transform(col("__xs"), x => x.getField(cntCol))), lit(0L))
+    val nBuckets = size(col("__xs")).cast("long")
+    val guarded = when(
+      nBuckets >= lit(1L << 20) || maxCnt >= lit(1L << 43),
+      raise_error(format_string(
+        "ewmaSpikes packing overflow: n_buckets=%d max_cnt=%d " +
+          "(limits 2^20 buckets, 2^43 per-bucket count)",
+        nBuckets, maxCnt)).cast("long")
+    ).otherwise(folded)
     series.select(col(keyCol),
-      size(col("__xs")).cast("long").as("n_buckets"),
-      shiftright(folded, 20).as("ewma_final"),
-      folded.bitwiseAND(lit(mask)).as("n_spikes"))
+      nBuckets.as("n_buckets"),
+      shiftright(guarded, 20).as("ewma_final"),
+      guarded.bitwiseAND(lit(mask)).as("n_spikes"))
   }
 
   def upsertBatch(store: BucketedStateStore, table: String, keyExpr: Column,

@@ -180,13 +180,18 @@ object Retrieval {
                  dir: String, numBuckets: Int = 64): InvertedIndex = {
     val idx = InvertedIndex(dir, numBuckets)
     graft.core.TempDirs.deleteRecursively(java.nio.file.Paths.get(idx.tombstoneDir))
+    // gen is a PARTITION column (bucket=…/gen=…): a change batch owns its
+    // gen subdirectories, so redelivering a crashed batch REPLACES its own
+    // partial appends (dynamic partition overwrite in updateIndex) instead
+    // of duplicating rows — at-least-once idempotence with zero probe-path
+    // dedup cost
     postingsOf(docs, textCol, idCol, numBuckets, gen = 0L)
       .repartition(numBuckets, col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket")
+      .write.mode("overwrite").partitionBy("bucket", "gen")
       .parquet(idx.postingsDir)
     val dl = doclenOf(docs, textCol, idCol, numBuckets, gen = 0L)
     dl.repartition(numBuckets, col("dbucket"))
-      .write.mode("overwrite").partitionBy("dbucket")
+      .write.mode("overwrite").partitionBy("dbucket", "gen")
       .parquet(idx.doclenDir)
     val row = dl.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).collect()(0)
     statsDelta(docs.sparkSession, idx, gen = 0L, row.getLong(0), row.getLong(1),
@@ -198,9 +203,14 @@ object Retrieval {
   private def statsDelta(spark: SparkSession, idx: InvertedIndex, gen: Long,
                          nDelta: Long, sumDlDelta: Long, overwrite: Boolean): Unit = {
     import spark.implicits._
-    Seq((gen, nDelta, sumDlDelta)).toDF("gen", "n_delta", "sumdl_delta")
+    // one delta row per gen partition; a redelivered batch overwrites its
+    // own gen=… directory (dynamic mode) so the fold in statsFrame never
+    // double-counts a crashed batch's already-appended delta
+    val w = Seq((gen, nDelta, sumDlDelta)).toDF("gen", "n_delta", "sumdl_delta")
       .coalesce(1)
-      .write.mode(if (overwrite) "overwrite" else "append")
+      .write.partitionBy("gen").mode("overwrite")
+    (if (overwrite) w
+     else w.option("partitionOverwriteMode", "dynamic"))
       .parquet(idx.statsDir)
   }
 
@@ -214,6 +224,10 @@ object Retrieval {
   def updateIndex(idx: InvertedIndex, upserts: DataFrame, textCol: String, idCol: String,
                   deletes: DataFrame, gen: Long): Unit = {
     val spark = upserts.sparkSession
+    // already-committed gen: redelivery MUST be a no-op — re-running would
+    // read oldLive AFTER this batch's own rows and corrupt the stats delta
+    if (graft.core.GenPointer.committed(idx.dir) != Long.MaxValue &&
+        graft.core.GenPointer.committed(idx.dir) >= gen) return
     val affected = upserts.select(col(idCol).as("doc"))
       .unionByName(deletes.select(col(idCol).as("doc")))
       .distinct()
@@ -232,24 +246,36 @@ object Retrieval {
       .localCheckpoint(true) // tokenize once; reused by stats + postings write
     val newRow = newDl.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).collect()(0)
 
+    // dynamic partition overwrite everywhere below: this batch's rows land
+    // ONLY in …/gen=<gen> partitions, so a redelivered crashed batch
+    // replaces its own partial appends in place — committed generations'
+    // partitions are never touched, and no duplicate rows can survive
     postingsOf(upserts, textCol, idCol, idx.numBuckets, gen)
       .repartition(idx.numBuckets, col("bucket"))
-      .write.mode("append").partitionBy("bucket")
+      .write.mode("overwrite").partitionBy("bucket", "gen")
+      .option("partitionOverwriteMode", "dynamic")
       .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
       .parquet(idx.postingsDir)
+    graft.core.KillPoint("bm25.postings")
     newDl.repartition(idx.numBuckets, col("dbucket"))
-      .write.mode("append").partitionBy("dbucket")
+      .write.mode("overwrite").partitionBy("dbucket", "gen")
+      .option("partitionOverwriteMode", "dynamic")
       .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
       .parquet(idx.doclenDir)
+    graft.core.KillPoint("bm25.doclen")
     affected.withColumn("upto_gen", lit(gen))
-      .write.mode("append")
+      .write.mode("overwrite").partitionBy("upto_gen")
+      .option("partitionOverwriteMode", "dynamic")
       .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
       .parquet(idx.tombstoneDir)
+    graft.core.KillPoint("bm25.tombstones")
     statsDelta(spark, idx, gen, newRow.getLong(0) - nOld, newRow.getLong(1) - sumOld,
       overwrite = false)
+    graft.core.KillPoint("bm25.stats")
     // the batch becomes visible HERE, atomically — a crash among the four
-    // appends above leaves it invisible (GenPointer's crash contract)
+    // writes above leaves it invisible (GenPointer's crash contract)
     graft.core.GenPointer.commit(idx.dir, gen)
+    graft.core.KillPoint("bm25.committed")
   }
 
   /** BM25-ranked top-`k` documents for `query`. The query's terms hash to a
@@ -396,9 +422,9 @@ object Retrieval {
     val liveDl = liveRows(spark, idx, spark.read.parquet(idx.doclenDir))
       .withColumn("gen", lit(0L)).localCheckpoint(true)
     livePost.repartition(idx.numBuckets, col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(idx.postingsDir)
+      .write.mode("overwrite").partitionBy("bucket", "gen").parquet(idx.postingsDir)
     liveDl.repartition(idx.numBuckets, col("dbucket"))
-      .write.mode("overwrite").partitionBy("dbucket").parquet(idx.doclenDir)
+      .write.mode("overwrite").partitionBy("dbucket", "gen").parquet(idx.doclenDir)
     val row = liveDl.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).collect()(0)
     statsDelta(spark, idx, gen = 0L, row.getLong(0), row.getLong(1), overwrite = true)
     graft.core.TempDirs.deleteRecursively(java.nio.file.Paths.get(idx.tombstoneDir))

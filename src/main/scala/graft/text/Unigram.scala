@@ -47,9 +47,13 @@ object Unigram {
   val MaxPieceLen = 4
 
   /** Piece-count cost scale: total cost = CostBase·nPieces + Σ rank.
-    * Valid while Σ rank < CostBase (ranks ≤ a few hundred, word length
-    * bounded by tokenization — checked in [[encodeWord]]). */
-  val CostBase = 1000000L
+    * Valid while Σ rank < CostBase — checked in [[encodeWord]]. 10⁹ leaves
+    * room for REALISTIC inventories (a 10⁵-piece vocab × 10³-char words ≈
+    * 10⁸ max rank sum; the original 10⁶ capped |vocab|·len at ~10⁶, which
+    * a Zipfian corpus at SentencePiece-scale vocabularies exceeds —
+    * measured in ProbeZipf). Per-word costs stay < 10³·10⁹ ≈ 2⁵⁰, so
+    * corpus-level BIGINT sums keep 13 bits of headroom per 10³ docs. */
+  val CostBase = 1000000000L
 
   /** One inventory entry: 1-based rank in (count DESC, piece ASC) order. */
   final case class Piece(rank: Int, piece: String, cnt: Long)

@@ -1,0 +1,188 @@
+package graft
+
+import graft.core.KillPoint
+import graft.sim.{Ivf, Pq}
+import graft.text.Retrieval
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared kill-point crash harness for the OTHER three log-structured
+  * persisted indexes (ChaosStoreSpec covers the bucketed store,
+  * ChaosLshSpec the LSH index): BM25 (4 append jobs + pointer swap), IVF
+  * (2 + swap), IVF-PQ (2 + swap). For every family the same contract is
+  * driven through [[graft.core.KillPoint]]:
+  *
+  *   1. a crash at EVERY pre-swap seam leaves the batch invisible — the
+  *      probe reads exactly the pre-batch result, even with the torn
+  *      partial appends of SEVERAL crashed attempts on disk;
+  *   2. redelivering the batch (at-least-once) converges the probe to the
+  *      fresh full-corpus rebuild, bit-identically — the gen-partitioned
+  *      dynamic-overwrite layout replaces each crashed attempt's partial
+  *      rows instead of duplicating them;
+  *   3. a crash AFTER the swap leaves the batch fully visible, and
+  *      re-applying the committed gen is a guarded no-op (re-running BM25's
+  *      stats delta after commit would corrupt the corpus constants).
+  */
+class ChaosIndexSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private final class Kill extends RuntimeException("injected crash")
+
+  private def tmp(p: String) = graft.core.TempDirs.register(
+    java.nio.file.Files.createTempDirectory(p)).toString
+
+  private def killAt(step: String)(body: => Unit): Unit = {
+    KillPoint.hook = s => if (s == step) throw new Kill
+    try intercept[Kill](body)
+    finally KillPoint.hook = _ => ()
+  }
+
+  /** One index family under test. `probe` must be an exact function of the
+    * LIVE corpus so maintained ≡ rebuilt is a bit-identical comparison. */
+  private case class Family(
+      name: String,
+      preSwapSteps: Seq[String],
+      postSwapStep: String,
+      applyBatch: Long => Unit, // gen => apply upserts+deletes at gen
+      probe: () => Seq[String],
+      rebuiltProbe: () => Seq[String])
+
+  // ---- fixtures ----------------------------------------------------------
+
+  // vectors: 8 dims from the deterministic mixer; init = ids not % 3,
+  // batch upserts = ids % 3 (new) plus MOVED vectors for two existing ids,
+  // deletes = two other existing ids
+  private def vec(id: Long, salt: Long): Seq[Double] =
+    (0 until 8).map(d => ((ZipfCorpus.mix(id * 31 + d * 7 + salt) >>> 40).toInt
+      % 1000).toDouble / 250.0)
+
+  private val allIds = (0L until 60L).toSeq
+  private val initIds = allIds.filter(_ % 3 != 0)
+  private val newIds = allIds.filter(_ % 3 == 0)
+  private val movedIds = initIds.filter(_ % 7 == 1).take(2).toSet
+  private val deletedIds = initIds.filter(_ % 7 == 2).take(2)
+
+  // salt ONLY the explicitly moved ids — the batch's upserted version and
+  // the rebuild oracle must agree on exactly which vectors moved
+  private def vecDf(ids: Seq[Long], salted: Set[Long] = Set.empty): DataFrame =
+    ids.map(i => (i, vec(i, if (salted(i)) 99L else 0L)))
+      .toDF("id", "vec")
+
+  private def upsertVecs = vecDf(newIds ++ movedIds.toSeq.sorted, movedIds)
+  private def deleteVecs = deletedIds.toDF("id")
+  private def finalVecs = vecDf(
+    (initIds.filterNot(deletedIds.contains) ++ newIds).sorted, movedIds)
+
+  private def queries = vecDf(Seq(1000L, 1001L, 1002L))
+
+  // documents: family-structured corpus; the batch rewrites some docs
+  // (changing lengths → avgdl and df move) and deletes others
+  private def docText(i: Long, v: Int): String = {
+    val extra = if (v > 0) " rewritten with an appended clause" else ""
+    s"shared retrieval corpus sentence number ${i % 5} keeps term mass " +
+      s"stable while doc $i varies its tail$extra"
+  }
+  private val docInit = initIds.map(i => (i, docText(i, 0)))
+  private def docUpserts = (newIds.map(i => (i, docText(i, 0))) ++
+    movedIds.map(i => (i, docText(i, 1)))).toDF("doc_id", "text")
+  private def docFinal = (initIds.filterNot(deletedIds.contains)
+    .map(i => (i, docText(i, if (movedIds.contains(i)) 1 else 0))) ++
+    newIds.map(i => (i, docText(i, 0)))).toDF("doc_id", "text")
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq.sorted
+
+  // ---- the harness -------------------------------------------------------
+
+  private def exercise(fam: Family): Unit = {
+    val pre = fam.probe()
+    assert(pre.nonEmpty, s"${fam.name}: pre-batch probe must be non-empty")
+
+    // crash at EVERY pre-swap seam, accumulating torn partial appends
+    for (step <- fam.preSwapSteps) {
+      killAt(step)(fam.applyBatch(1L))
+      assert(fam.probe() == pre,
+        s"${fam.name}: batch must stay invisible after crash at '$step'")
+    }
+
+    // redelivery converges to the fresh rebuild despite the torn attempts
+    fam.applyBatch(1L)
+    val maintained = fam.probe()
+    assert(maintained != pre, s"${fam.name}: the batch must change the probe")
+    assert(maintained == fam.rebuiltProbe(),
+      s"${fam.name}: maintained probe must equal the fresh rebuild")
+
+    // post-swap crash: already visible; re-apply of a committed gen = no-op
+    killAt(fam.postSwapStep)(fam.applyBatch(2L))
+    val afterCommit = fam.probe()
+    fam.applyBatch(2L) // redelivery of the COMMITTED gen
+    assert(fam.probe() == afterCommit,
+      s"${fam.name}: re-applying a committed gen must be a no-op")
+  }
+
+  test("BM25 index: every kill point, redelivery ≡ rebuild, committed re-apply no-op") {
+    val idx = Retrieval.buildIndex(docInit.toDF("doc_id", "text"),
+      "text", "doc_id", tmp("graft_chaos_bm25"), numBuckets = 8)
+    val rebuilt = Retrieval.buildIndex(docFinal, "text", "doc_id",
+      tmp("graft_chaos_bm25_oracle"), numBuckets = 8)
+    def q(i: Retrieval.InvertedIndex) =
+      rows(Retrieval.bm25(spark, i, "shared corpus rewritten tail", k = 10))
+    // gen-2 batch: delete one more doc (exercises the post-swap contract)
+    val extraDel = initIds.filterNot(deletedIds.contains).filter(_ % 7 == 3).take(1)
+    exercise(Family("bm25",
+      Seq("bm25.postings", "bm25.doclen", "bm25.tombstones", "bm25.stats"),
+      "bm25.committed",
+      gen => Retrieval.updateIndex(idx,
+        if (gen == 1L) docUpserts else docUpserts.limit(0),
+        "text", "doc_id",
+        if (gen == 1L) deletedIds.toDF("doc_id") else extraDel.toDF("doc_id"),
+        gen),
+      () => q(idx),
+      () => q(rebuilt)))
+  }
+
+  test("IVF index: every kill point, redelivery ≡ rebuild, committed re-apply no-op") {
+    val idx = Ivf.buildIndex(vecDf(initIds), "id", "vec",
+      tmp("graft_chaos_ivf"), nCells = 4, iters = 1)
+    val rebuilt = Ivf.buildIndexWith(idx.centroids, finalVecs, "id", "vec",
+      tmp("graft_chaos_ivf_oracle"))
+    def q(i: Ivf.Index) =
+      rows(Ivf.probe(i, queries, "id", "vec", k = 5, nProbe = 4))
+    val extraDel = initIds.filterNot(deletedIds.contains).filter(_ % 7 == 3).take(1)
+    exercise(Family("ivf",
+      Seq("ivf.assign", "ivf.tombstones"),
+      "ivf.committed",
+      gen => Ivf.updateIndex(idx,
+        if (gen == 1L) upsertVecs else upsertVecs.limit(0),
+        "id", "vec",
+        if (gen == 1L) deleteVecs else extraDel.toDF("id"),
+        gen),
+      () => { val r = q(idx); graft.ops.Caches.release(); r },
+      () => { val r = q(rebuilt); graft.ops.Caches.release(); r }))
+  }
+
+  test("IVF-PQ code index: every kill point, redelivery ≡ rebuild, committed re-apply no-op") {
+    val init = vecDf(initIds)
+    val cents = Ivf.buildIndex(init, "id", "vec",
+      tmp("graft_chaos_ivfpq_cents"), nCells = 4, iters = 1).centroids
+    val cbs = Pq.fixedCodebooks(init, "id", "vec", m = 4, k = 8)
+    val dir = tmp("graft_chaos_ivfpq")
+    Pq.buildCodeIndex(init, "id", "vec", cents, cbs, dir)
+    val dir2 = tmp("graft_chaos_ivfpq_oracle")
+    Pq.buildCodeIndex(finalVecs, "id", "vec", cents, cbs, dir2)
+    def q(d: String) = rows(Pq.probeCodeIndex(queries, "id", "vec",
+      cents, cbs, d, nProbe = 4, k = 5))
+    val extraDel = initIds.filterNot(deletedIds.contains).filter(_ % 7 == 3).take(1)
+    exercise(Family("ivfpq",
+      Seq("ivfpq.codes", "ivfpq.tombstones"),
+      "ivfpq.committed",
+      gen => Pq.updateCodeIndex(dir, cents, cbs,
+        if (gen == 1L) upsertVecs else upsertVecs.limit(0),
+        "id", "vec",
+        if (gen == 1L) deleteVecs else extraDel.toDF("id"),
+        gen),
+      () => q(dir),
+      () => q(dir2)))
+  }
+}

@@ -115,6 +115,53 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("Join"), s"unexpected join in:\n$plan")
   }
 
+  test("kCore: adversarial deep peel — a 140-node path at k=2 empties past the old 64-round cap") {
+    // a path peels only from its two ends, so n nodes need ~n/2 rounds:
+    // 140 nodes ≈ 70 rounds — deeper than any fixed constant cap a dense
+    // power-law graph would suggest. The derived |V|+1 bound terminates.
+    val path = (1L until 140L).map(i => (i, i + 1)).toDF("p1", "p2")
+    assert(Graph.kCore(path, k = 2L).isEmpty) // no 2-core in a tree
+    // a cycle of the same size IS its own 2-core: peel converges round 1
+    val cycle = ((1L until 140L).map(i => (i, i + 1)) :+ (1L, 140L))
+      .toDF("p1", "p2")
+    assert(Graph.kCore(cycle, k = 2L).count() == 140L)
+  }
+
+  test("kCore: caller-pinned bound fails LOUD exactly past the peel depth") {
+    // a 10-node path at k=2 peels both ends for 5 rounds and confirms the
+    // (empty) fixpoint on round 6: pinning the bound at 6 converges,
+    // pinning at 5 must abort with the documented message — never return a
+    // partial peel the oracle gate would only catch as an opaque mismatch
+    val path = (1L until 10L).map(i => (i, i + 1)).toDF("p1", "p2")
+    assert(Graph.kCore(path, k = 2L, maxRounds = 6).isEmpty)
+    val ex = intercept[IllegalArgumentException] {
+      Graph.kCore(path, k = 2L, maxRounds = 5).count()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
+  test("connectedComponents: adversarial 200-node path converges under the derived log bound") {
+    // worst-case diameter for min-label propagation; pointer jumping keeps
+    // rounds logarithmic, so the derived 2·log2(n)+8 cap must suffice on
+    // the DISTRIBUTED path (driverEdgeLimit = 0)
+    val path = (1L until 200L).map(i => (i, i + 1)).toDF("p1", "p2")
+    val labels = graft.dedup.Components
+      .connectedComponents(path, "p1", "p2", driverEdgeLimit = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(labels.size == 200 && labels.values.forall(_ == 1L))
+  }
+
+  test("connectedComponents: an insufficient pinned cap fails LOUD, not a partial labeling") {
+    val path = (1L until 50L).map(i => (i, i + 1)).toDF("p1", "p2")
+    val ex = intercept[IllegalArgumentException] {
+      graft.dedup.Components
+        .connectedComponents(path, "p1", "p2", maxIters = 1,
+          driverEdgeLimit = 0L)
+        .count()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
   test("graph_components executes the distributed CC loop, not the driver shortcut") {
     // two components: {1,2,3} path-shaped and {10,11}
     val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("p1", "p2")

@@ -181,9 +181,10 @@ class RetrievalSpec extends AnyFunSuite with SparkTestBase {
       assert(before == after)
       assert(!java.nio.file.Files.isDirectory(
         java.nio.file.Paths.get(idx.tombstoneDir)))
-      // all surviving rows are generation 0 now
+      // all surviving rows are generation 0 now (gen is a PARTITION column
+      // since the crash-idempotent layout — discovery infers it as int)
       assert(spark.read.parquet(idx.postingsDir)
-        .select(max(col("gen"))).collect()(0).getLong(0) == 0L)
+        .select(max(col("gen")).cast("long")).collect()(0).getLong(0) == 0L)
     } finally graft.core.TempDirs.deleteRecursively(java.nio.file.Paths.get(dir))
   }
 
