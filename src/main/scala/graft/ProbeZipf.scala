@@ -29,25 +29,32 @@ object ZipfCorpus {
   }
 
   private val syllables: Array[String] = {
-    val cons = Array("b", "d", "k", "l", "m", "n", "p", "r", "s", "t")
-    val vow = Array("a", "e", "i", "o", "u")
-    for (c <- cons; v <- vow) yield c + v // 50 two-char syllables
+    // onsets include clusters and the vowels pair with optional codas, so
+    // the 2-4-char substring space is RICH (a pure CV grid caps distinct
+    // pieces at a few thousand and makes greedy longest-match trivially
+    // optimal — measured on the first fixture revision)
+    val onset = Array("b", "d", "k", "l", "m", "n", "p", "r", "s", "t",
+      "st", "tr", "ch", "pl", "gr")
+    val rhyme = Array("a", "e", "i", "o", "u", "an", "er", "in", "on", "us")
+    for (c <- onset; v <- rhyme) yield c + v // 150 syllables, 2-4 chars
   }
+  private val suffixes = Array("", "s", "ing", "tion", "ed", "al")
 
-  /** Injective rank → word. Base-50 syllable encoding keeps the HEAD short
-    * (rank < 50 → 2 chars) and the tail growing logarithmically (rank 10⁵
-    * → 6 chars), matching the natural-language length-frequency
-    * correlation; every 17th rank doubles into a compound (8-12 chars) so
-    * long words — the Viterbi round-count stressor — exist at realistic
-    * mass. */
+  /** Injective rank → word. Base-150 syllable encoding keeps the HEAD
+    * short and the tail growing logarithmically (rank 10⁵ → 2-3
+    * syllables), matching the natural-language length-frequency
+    * correlation; rank-hashed SUFFIXES create the crossing pieces
+    * (\"-ing\", \"-tion\") where greedy longest-match genuinely diverges
+    * from the Viterbi optimum, and every 17th rank doubles into a compound
+    * (the Viterbi round-count stressor). */
   def wordFor(rank: Long): String = {
     def enc(r0: Long): String = {
       var r = r0
       val sb = new StringBuilder
-      do { sb.append(syllables((r % 50).toInt)); r /= 50 } while (r > 0)
+      do { sb.append(syllables((r % 150).toInt)); r /= 150 } while (r > 0)
       sb.toString
     }
-    val base = enc(rank)
+    val base = enc(rank) + suffixes(((mix(rank * 13 + 5) >>> 41) % 6).toInt)
     if (rank % 17 == 0) base + enc(mix(rank) >>> 47) else base
   }
 
@@ -68,14 +75,22 @@ object ZipfCorpus {
     import spark.implicits._
     spark.range(nDocs).as[Long].mapPartitions { it =>
       it.map { id =>
-        val nw = 40 + (mix(id * 31 + 7) >>> 40).toInt % 80
+        // every 229th doc is a NEAR-COPY of its predecessor (same sampled
+        // words + a 4-token id-specific tail) so the near-dup verify stage
+        // has real work at every corpus size, not just candidate hashing
+        val contentId = if (id % 229 == 0 && id > 0) id - 1 else id
+        val nw = 40 + (mix(contentId * 31 + 7) >>> 40).toInt % 80
         val words = new Array[String](nw)
         var i = 0
         while (i < nw) {
-          words(i) = wordFor(zipfRank(mix(id * 1000003L + i), vocab))
+          words(i) = wordFor(zipfRank(mix(contentId * 1000003L + i), vocab))
           i += 1
         }
-        val text = words.mkString(" ")
+        val tail =
+          if (contentId != id)
+            (0 until 4).map(j => wordFor(zipfRank(mix(id * 7919L + j), vocab)))
+          else Seq.empty
+        val text = (words ++ tail).mkString(" ")
         (id, text, "en", "src" + (id % 20), text.length.toLong)
       }
     }.toDF("doc_id", "text", "lang", "source", "n_chars")
@@ -138,6 +153,22 @@ object ProbeZipf {
         encG.agg(sum(col("n_tokens"))).head().getLong(0))
       println(s"[probe-zipf]   viterbi tokens=$vitTotal greedy=$greedyTotal " +
         f"fertility gap=${(greedyTotal - vitTotal).toDouble / vitTotal * 100}%.3f%%")
+      // per-DISTINCT-word gap: where greedy's longest-match is a real trap
+      locally {
+        val costMap = uvocab.map(p =>
+          p.piece -> (graft.text.Unigram.CostBase + p.rank)).toMap
+        val pieceSet = uvocab.map(_.piece).toSet
+        val gapWords = graft.text.Bpe.wordCounts(docs, "text")
+          .select(col("__w")).as[String](org.apache.spark.sql.Encoders.STRING)
+          .mapPartitions(ws => ws.map { w =>
+            val v = graft.text.Unigram.encodeWord(w, costMap) /
+              graft.text.Unigram.CostBase
+            val g = graft.text.Unigram.encodeWordGreedy(w, pieceSet)
+            if (g > v) 1L else 0L
+          })(org.apache.spark.sql.Encoders.scalaLong)
+          .reduce(_ + _)
+        println(s"[probe-zipf]   distinct words where greedy > viterbi: $gapWords")
+      }
 
       val merges = t("BPE learn (8 merges)")(
         graft.text.Bpe.learn(docs, "text", nMerges = 8))

@@ -366,6 +366,59 @@ object SparkEntry {
         .reduce(_ unionByName _)
     }),
 
+    // B19: blob-file subresource PUT — the write twin of b18 (`update_file`,
+    // clients/qvarn.py:193-200): three (type, id, subresource)-addressed
+    // blob writes with the revision CAS check against a fresh revision-
+    // tracked store, a deliberately STALE fourth write that must raise
+    // WriteConflict (the 409), then the readback of the written bytes as
+    // hex. The oracle re-derives the written payloads from the source text.
+    "b19_blob_put" -> ((s, dir) => {
+      import graft.incr.{BucketedRun, BucketedStateStore}
+      val docs = t(s, dir, "documents")
+      val src = docs.select(col("doc_id").cast("string").as("id"),
+        encode(col("text"), "UTF-8").as("payload"))
+      val emptySeq = s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(graft.core.MrSchema.SourceType,
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField(graft.core.MrSchema.SourceId,
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("seq",
+            org.apache.spark.sql.types.LongType))))
+      val store = new BucketedStateStore(graft.core.TempDirs.register(
+        java.nio.file.Files.createTempDirectory("graft_b19")).toString, 16)
+      store.initialize(Map(
+        "documents" -> (src, "id"),
+        BucketedRun.SeqTable -> (emptySeq, graft.core.MrSchema.SourceId)))
+      // the new payloads are a deterministic function of the source text
+      val ids = Seq("0", "50", "100")
+      val payloads = docs.filter(col("doc_id").isin(0L, 50L, 100L))
+        .select(col("doc_id").cast("string"),
+          concat(upper(col("text")), lit("!")))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      var batch = 1L
+      for (id <- ids) {
+        BucketedRun.putBlob(s, store, "documents", id, "payload",
+          payloads(id).getBytes("UTF-8"),
+          expectedSeq = 0L, newSeq = 1L, batchId = batch, idCol = "id")
+        batch += 1
+      }
+      // the 409: a stale revision (0 after the write above) must conflict
+      // and leave the store untouched
+      val conflicted =
+        try {
+          BucketedRun.putBlob(s, store, "documents", "0", "payload",
+            "stale".getBytes("UTF-8"),
+            expectedSeq = 0L, newSeq = 2L, batchId = batch, idCol = "id")
+          false
+        } catch { case _: BucketedRun.WriteConflict => true }
+      require(conflicted, "stale-revision putBlob must raise WriteConflict")
+      store.table(s, "documents")
+        .filter(col("id").isin(ids: _*))
+        .select(col("id"), hex(col("payload")).as("blob_hex"))
+    }),
+
     // Notification-queue introspection (listeners.py:37-40,
     // tests/test_notifications.py:19-77): the A18 retry ledger as a
     // queryable frame — pending retries with their backoff-gate timestamps
@@ -3990,6 +4043,13 @@ object SparkEntry {
       "b18_blob" ->
         """SELECT doc_id, hex(encode(text)) AS blob_hex FROM documents
            WHERE doc_id IN (0, 50, 100, 150, 200)""",
+      // the written blob is upper(text) || '!' by construction; the CAS
+      // conflict and the store plumbing have no tabular trace — the
+      // readback hex IS the evidence the write landed
+      "b19_blob_put" ->
+        """SELECT CAST(doc_id AS VARCHAR) AS id,
+           hex(encode(upper(text) || '!')) AS blob_hex FROM documents
+           WHERE doc_id IN (0, 50, 100)""",
       // re-derives the constructed retry-ledger state: batch 1 (t=1000)
       // fails m%3!=0 -> pending(retries=0); batch 2 (t=2000, all gates
       // open at 1250) clears odd m, even m burn a retry (retries=1, gate

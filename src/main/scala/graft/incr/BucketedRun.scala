@@ -855,4 +855,92 @@ object BucketedRun {
       applyChanges(pipeline, sources, store, ds, batchTimestampNs = id + 1, batchId = id + 1)
       ()
   }
+
+  /** The 404-analogue for the point-addressed blob surface: the addressed
+    * `(resourceType, resourceId)` row does not exist in the store. */
+  final case class NoSuchResource(resourceType: String, resourceId: String)
+    extends RuntimeException(s"$resourceType/$resourceId not found")
+
+  /** Blob-file subresource PUT — the write twin of the blob GET surface
+    * (`update_file`, clients/qvarn.py:193-200; the reference returns 409 on
+    * a revision mismatch and 404 on a missing resource): writes `blob`
+    * into the `subresource` BINARY column of the `(resourceType,
+    * resourceId)` row in the durable store, guarded by the same optimistic
+    * revision check as [[applyChanges]]' `expectedSeq` CAS.
+    *
+    * Contract:
+    *   - the store must track revisions ([[SeqTable]] present) and hold a
+    *     STRING-keyed `resourceType` table with a binary `subresource`
+    *     column (the engine's source-id convention — [[Change.resourceId]]
+    *     is a string everywhere);
+    *   - `expectedSeq` must equal the stored revision (0 = never written)
+    *     or [[WriteConflict]] raises and NOTHING mutates; `newSeq` must
+    *     advance the revision;
+    *   - the addressed row must exist ([[NoSuchResource]] otherwise — a
+    *     blob PUT never creates the document, exactly like the reference's
+    *     file subresource);
+    *   - on success the row's blob column and the revision ledger advance
+    *     in the SAME manifest swap ([[BucketedStateStore.commit]]), so a
+    *     crash can never separate the blob write from its revision bump,
+    *     and a replayed `batchId` at-or-below the committed pointer is a
+    *     no-op (exactly-once under at-least-once delivery).
+    *
+    * Scale shape: two point bucket reads (the id's data bucket and its
+    * ledger bucket), two staged bucket writes, one swap — IO tracks the
+    * BUCKET, never the table. */
+  def putBlob(spark: org.apache.spark.sql.SparkSession, store: BucketedStateStore,
+              resourceType: String, resourceId: String, subresource: String,
+              blob: Array[Byte], expectedSeq: Long, newSeq: Long,
+              batchId: Long, idCol: String = "id"): Unit = {
+    import spark.implicits._
+    if (store.committedBatch.exists(_ >= batchId)) return
+    require(store.tableNames.contains(SeqTable),
+      s"putBlob requires a revision-tracking store (no $SeqTable table)")
+    require(store.tableNames.contains(resourceType),
+      s"no such table '$resourceType' in the store")
+    graft.core.BatchConf.withBatchTuning(spark) {
+      try {
+        // CAS first, BEFORE any mutation (the 409 contract)
+        val sb = bucketOfValue(resourceId, store.numBuckets)
+        val seqRows = store.readBuckets(spark, SeqTable, Set(sb))
+          .localCheckpoint(true)
+        val actual = seqRows
+          .filter(col(SourceType) === resourceType && col(SourceId) === resourceId)
+          .select(col("seq")).as[Long].collect().headOption.getOrElse(0L)
+        if (actual != expectedSeq)
+          throw WriteConflict(Seq((resourceType, resourceId, expectedSeq, actual)))
+        require(newSeq > actual,
+          s"newSeq $newSeq must advance the stored revision $actual")
+
+        val db = bucketOfValue(resourceId, store.numBuckets)
+        val rows = store.readBuckets(spark, resourceType, Set(db))
+          .localCheckpoint(true)
+        require(rows.columns.contains(idCol) && rows.columns.contains(subresource),
+          s"table '$resourceType' needs columns '$idCol' and '$subresource'")
+        require(rows.schema(idCol).dataType ==
+          org.apache.spark.sql.types.StringType,
+          s"putBlob addresses STRING-keyed tables; '$idCol' is " +
+            rows.schema(idCol).dataType.simpleString)
+        require(rows.schema(subresource).dataType ==
+          org.apache.spark.sql.types.BinaryType,
+          s"blob subresource '$subresource' must be a binary column, got " +
+            rows.schema(subresource).dataType.simpleString)
+        if (rows.filter(col(idCol) === resourceId).isEmpty)
+          throw NoSuchResource(resourceType, resourceId)
+
+        val updated = rows.withColumn(subresource,
+          when(col(idCol) === resourceId, lit(blob)).otherwise(col(subresource)))
+        store.stageBuckets(resourceType, Set(db), updated, batchId, idCol)
+
+        val bumped = seqRows
+          .filter(!(col(SourceType) === resourceType && col(SourceId) === resourceId))
+          .unionByName(Seq((resourceType, resourceId, newSeq))
+            .toDF(SourceType, SourceId, "seq"))
+        store.stageBuckets(SeqTable, Set(sb), bumped, batchId, SourceId)
+        store.commit(batchId)
+      } catch {
+        case e: Throwable => store.discardStaged(); throw e
+      }
+    }
+  }
 }
