@@ -904,11 +904,19 @@ object SparkEntry {
     "events_sessions_state" -> ((s, dir) => {
       val ev = t(s, dir, "events")
         .select(col("user_id"), expr("ts div 1000").as("us"), col("value"))
-      val tmp = graft.core.TempDirs.register(
-        java.nio.file.Files.createTempDirectory("graft_sess_state")).toString
+      // staged feed shared ACROSS invocations (the ssJoinDirs discipline —
+      // staging 600k rows per run was pure fixture cost); every drain still
+      // runs live over the files with a FRESH checkpoint: reusing the
+      // checkpoint would mark the files processed and drain nothing
+      val staged = sessStateStage.getOrElseUpdate(dir, {
+        val d = graft.core.TempDirs.register(
+          java.nio.file.Files.createTempDirectory("graft_sess_state")).toString
+        graft.streaming.StatefulSessions.stageSessionFeed(s, Seq(ev), d)
+        d
+      })
       graft.streaming.StatefulSessions
         .sessionizeDrained(ev, gapUs = 600000000L, watermarkDelay = "10 minutes",
-          streamDir = tmp)
+          streamDir = staged, stage = false)
         .select(col("user_id"), col("session_start_us"), col("n_events"),
           round(col("sum_value"), 2).as("sum_value"))
     }),
@@ -921,9 +929,17 @@ object SparkEntry {
       val ev = t(s, dir, "events")
         .select(col("event_id"), expr("ts div 1000").as("us"),
           col("event_type"), col("value"))
-      val tmp = graft.core.TempDirs.register(
-        java.nio.file.Files.createTempDirectory("graft_dedup_stream")).toString
-      graft.streaming.StatefulSessions.dedupDrained(ev, "1 hour", tmp)
+      // both delivery copies staged once per fixture dir (ssJoinDirs
+      // discipline); the dedup drain runs live per invocation with a fresh
+      // checkpoint — see events_sessions_state for why reuse is unsafe
+      val staged = dedupStreamStage.getOrElseUpdate(dir, {
+        val d = graft.core.TempDirs.register(
+          java.nio.file.Files.createTempDirectory("graft_dedup_stream")).toString
+        graft.streaming.StatefulSessions.stageDedupFeed(ev, d)
+        d
+      })
+      graft.streaming.StatefulSessions.dedupDrained(ev, "1 hour", staged,
+        stage = false)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
     }),
@@ -3510,6 +3526,10 @@ object SparkEntry {
       d
     })
 
+  private val sessStateStage =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private val dedupStreamStage =
+    scala.collection.concurrent.TrieMap.empty[String, String]
   private val ssJoinStage =
     scala.collection.concurrent.TrieMap.empty[String, (String, String)]
   private def ssJoinDirs(s: SparkSession, dir: String): (String, String) =

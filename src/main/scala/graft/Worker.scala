@@ -120,6 +120,26 @@ object Worker {
       return 0
     }
 
+    // lease FIRST, before any SparkSession exists: a worker losing the
+    // single-writer race should print the busy error and exit 1 in
+    // milliseconds (worker.py:96-98), not after paying a full Spark
+    // startup it will never use
+    val storeRootEarly = conf.get("store", "root").getOrElse(
+      throw new IllegalArgumentException("[store] root is required"))
+    val instance = conf.getOrElse("qvarnmr", "instance", "mr-worker")
+    val timeoutMs = conf.getLongOrElse("qvarnmr", "keep_alive_timeout", 60L) * 1000L
+    val intervalMs =
+      conf.getLongOrElse("qvarnmr", "keep_alive_update_interval", 10L) * 1000L
+    val lease = new Lease(Paths.get(storeRootEarly, "_lease"),
+      s"$instance@${ProcessHandle.current().pid()}", timeoutMs)
+    try lease.keepAlive()
+    catch {
+      case Lease.BusyListenerError(heldBy) =>
+        // the reference prints the busy error and exits 1 (worker.py:96-98)
+        System.err.println(s"lease held by '$heldBy'")
+        return 1
+    }
+
     val provider = PipelineProvider.load(args.provider)
     val pipeline = provider.pipeline
 
@@ -143,23 +163,16 @@ object Worker {
       spark.read.parquet(sourcePaths.getOrElse(name,
         throw new NoSuchElementException(s"no [sources] entry for '$name'")))
 
-    val storeRoot = conf.get("store", "root").getOrElse(
-      throw new IllegalArgumentException("[store] root is required"))
+    val storeRoot = storeRootEarly
     val store = new BucketedStateStore(storeRoot,
       conf.getLongOrElse("store", "buckets", 64L).toInt)
     val trackSeqs = conf.getBooleanOrElse("store", "track_seqs", default = false)
 
-    val instance = conf.getOrElse("qvarnmr", "instance", "mr-worker")
-    val timeoutMs = conf.getLongOrElse("qvarnmr", "keep_alive_timeout", 60L) * 1000L
-    val intervalMs =
-      conf.getLongOrElse("qvarnmr", "keep_alive_update_interval", 10L) * 1000L
-    val lease = new Lease(Paths.get(storeRoot, "_lease"),
-      s"$instance@${ProcessHandle.current().pid()}", timeoutMs)
-
+    // re-assert the lease after Spark startup: with an aggressive timeout a
+    // long session init could have let another worker steal it meanwhile
     try lease.keepAlive()
     catch {
       case Lease.BusyListenerError(heldBy) =>
-        // the reference prints the busy error and exits 1 (worker.py:96-98)
         System.err.println(s"lease held by '$heldBy'")
         return 1
     }

@@ -123,22 +123,38 @@ object StatefulSessions {
     * finalize continuously as the watermark advances past them.
     */
   def sessionizeDrained(events: DataFrame, gapUs: Long, watermarkDelay: String,
-                        streamDir: String): DataFrame =
-    sessionizeParts(events.sparkSession, Seq(events), gapUs, watermarkDelay, streamDir)
+                        streamDir: String, stage: Boolean = true): DataFrame =
+    sessionizeParts(events.sparkSession, Seq(events), gapUs, watermarkDelay,
+      streamDir, stage)
+
+  /** Stage the session feed (ordered parts + two punctuation batches that
+    * advance the watermark past every open session) into `streamDir` —
+    * separated from the drive so a harness can stage ONCE per fixture and
+    * run many fresh-checkpoint drains over the same files (the ssJoinDirs
+    * discipline). Checkpoint REUSE is the thing that is NOT safe: a reused
+    * offset log marks the staged files processed, the restarted drain runs
+    * zero micro-batches, and the in-memory sink comes back empty. */
+  def stageSessionFeed(spark: SparkSession, parts: Seq[DataFrame],
+                       streamDir: String): Unit = {
+    val sel = parts.map(_.select(col("user_id"), col("us"), col("value")))
+    val maxUs = sel.map(_.agg(max(col("us"))).head().getLong(0)).max
+    stageOrderedFiles(spark, Paths.get(streamDir), sel.head,
+      // +2 days dwarfs any plausible watermarkDelay+gap at test scale
+      sel.tail ++ Seq(maxUs + 2L * 86400000000L, maxUs + 4L * 86400000000L)
+        .map(punctRow(spark, _)))
+  }
 
   /** [[sessionizeDrained]] with the event feed pre-split into ordered parts
     * (one micro-batch each) — exercises session state carried ACROSS
     * batches. Parts must be in event-time order (a real feed's property;
-    * stragglers inside the watermark are still merged correctly). */
+    * stragglers inside the watermark are still merged correctly).
+    * `stage = false` drives an ALREADY-staged `streamDir`
+    * ([[stageSessionFeed]]) — the drain itself is identical. */
   def sessionizeParts(spark: SparkSession, parts: Seq[DataFrame], gapUs: Long,
-                      watermarkDelay: String, streamDir: String): DataFrame = {
+                      watermarkDelay: String, streamDir: String,
+                      stage: Boolean = true): DataFrame = {
     val dir = Paths.get(streamDir)
-    val sel = parts.map(_.select(col("user_id"), col("us"), col("value")))
-    val maxUs = sel.map(_.agg(max(col("us"))).head().getLong(0)).max
-    stageOrderedFiles(spark, dir, sel.head,
-      // +2 days dwarfs any plausible watermarkDelay+gap at test scale
-      sel.tail ++ Seq(maxUs + 2L * 86400000000L, maxUs + 4L * 86400000000L)
-        .map(punctRow(spark, _)))
+    if (stage) stageSessionFeed(spark, parts, streamDir)
 
     implicit val evEnc = Encoders.product[SessionEvent]
     // a finite drive is batch-sized work: the state store writes one delta
@@ -224,12 +240,19 @@ object StatefulSessions {
     * `value` DOUBLE) TWICE — two files, two micro-batches — and return the
     * deduplicated rows; the second delivery of every event must hit
     * first-batch state and be dropped. */
+  /** Stage the at-least-once feed (every event delivered TWICE, one file
+    * per delivery) — the [[stageSessionFeed]] discipline: stage once per
+    * fixture, drain with a fresh checkpoint every time. */
+  def stageDedupFeed(events: DataFrame, streamDir: String): Unit = {
+    val frame = events.select(col("event_id"), col("us"), col("event_type"),
+      col("value"))
+    stageOrderedFiles(events.sparkSession, Paths.get(streamDir), frame, Seq(frame))
+  }
+
   def dedupDrained(events: DataFrame, watermarkDelay: String,
-                   streamDir: String): DataFrame = {
+                   streamDir: String, stage: Boolean = true): DataFrame = {
     val spark = events.sparkSession
-    val cols = Seq(col("event_id"), col("us"), col("event_type"), col("value"))
-    val frame = events.select(cols: _*)
-    stageOrderedFiles(spark, Paths.get(streamDir), frame, Seq(frame))
+    if (stage) stageDedupFeed(events, streamDir)
     graft.core.BatchConf.withBatchTuning(spark) {
       val stream = spark.readStream
         .schema("event_id LONG, us LONG, event_type STRING, value DOUBLE")
