@@ -91,19 +91,31 @@ object LshIndex {
     runParallel(Seq(
       // one shuffle task per output partition dir (an unnumbered
       // repartition inherits spark.sql.shuffle.partitions — extra tasks
-      // are pure per-write overhead for a nPartitions-dir layout)
+      // are pure per-write overhead for a nPartitions-dir layout).
+      // gen is a PARTITION column (bp=…/gen=…): an append-mode change
+      // batch writes in dynamic-overwrite mode instead, REPLACING its own
+      // gen subdirectories — redelivering a crashed batch leaves no
+      // duplicate rows (the probes' distinct() already kept OUTPUT correct
+      // under duplicates; this keeps the intermediate candidate work and
+      // the stored bytes from inflating too — same layout as Ivf/Pq/BM25)
       () => banded
         .withColumn("gen", lit(gen))
         .withColumn("bp", bp(col("__bucket"), idx.nPartitions))
         .repartition(idx.nPartitions, col("bp"))
-        .write.mode(mode).partitionBy("bp")
+        .write.mode(if (mode == "append") "overwrite" else mode)
+        .partitionBy("bp", "gen")
+        .option("partitionOverwriteMode",
+          if (mode == "append") "dynamic" else "static")
         .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
         .parquet(idx.bandsDir),
       () => sets
         .withColumn("gen", lit(gen))
         .withColumn("ip", ip(col("__id"), idx.nPartitions))
         .repartition(idx.nPartitions, col("ip"))
-        .write.mode(mode).partitionBy("ip")
+        .write.mode(if (mode == "append") "overwrite" else mode)
+        .partitionBy("ip", "gen")
+        .option("partitionOverwriteMode",
+          if (mode == "append") "dynamic" else "static")
         .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
         .parquet(idx.setsDir)))
 
@@ -164,7 +176,8 @@ object LshIndex {
       .unionByName(deletes.select(col(idCol).as("__id")))
       .distinct()
       .withColumn("upto_gen", lit(gen))
-      .write.mode("append")
+      .write.mode("overwrite").partitionBy("upto_gen")
+      .option("partitionOverwriteMode", "dynamic")
       .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
       .parquet(idx.tombstoneDir)
 
@@ -173,8 +186,18 @@ object LshIndex {
     * upserted ∪ deleted ids at `gen` (an upsert's OLD signature may occupy
     * different buckets — the horizon kills it wherever it lives). `gen`
     * must increase per batch. `deletes` is an id-only frame (`idCol`). */
+  /** True when `gen` is at-or-below the committed pointer: redelivering a
+    * COMMITTED batch must not write (its rows are already visible; the
+    * dynamic-overwrite replace would be harmless, but skipping keeps the
+    * at-least-once fast path write-free, like Ivf/Pq/Retrieval). */
+  private def alreadyCommitted(idx: Index, gen: Long): Boolean = {
+    val c = committedGen(idx)
+    c != Long.MaxValue && c >= gen
+  }
+
   def applyBatch(idx: Index, upserts: DataFrame, textCol: String, idCol: String,
                  deletes: DataFrame, gen: Long): Unit = {
+    if (alreadyCommitted(idx, gen)) return
     val (banded0, sets0) = signed(upserts, textCol, idCol, idx)
     // cache + materialize once — the concurrent writes must not re-sign
     val banded = graft.ops.Caches.track(banded0)
@@ -198,12 +221,16 @@ object LshIndex {
     val banded = graft.ops.Caches.track(banded0)
     val sets = graft.ops.Caches.track(sets0)
     banded.count() // fill both caches once before the concurrent writes
-    runParallel(Seq(
-      () => writeBatch(banded, sets, idx, gen, mode = "append"),
-      () => writeTombstones(idx, upserts, deletes, idCol, gen)))
-    onApplyStep("appended")
-    commitGen(idx, gen) // the batch becomes visible HERE, atomically
-    onApplyStep("committed")
+    // a redelivered COMMITTED batch skips the writes but still answers
+    // with its pair set — the caller's dedup decision needs it either way
+    if (!alreadyCommitted(idx, gen)) {
+      runParallel(Seq(
+        () => writeBatch(banded, sets, idx, gen, mode = "append"),
+        () => writeTombstones(idx, upserts, deletes, idCol, gen)))
+      onApplyStep("appended")
+      commitGen(idx, gen) // the batch becomes visible HERE, atomically
+      onApplyStep("committed")
+    }
     pairsForSigned(idx, banded, sets, maxBucketSize)
   }
 

@@ -109,7 +109,7 @@ class ChaosLshSpec extends AnyFunSuite with SparkTestBase {
     // batch: copy existing band rows re-stamped at an uncommitted gen
     val poison = spark.read.parquet(idx.bandsDir)
       .withColumn("gen", lit(99L))
-    poison.write.mode("append").partitionBy("bp").parquet(idx.bandsDir)
+    poison.write.mode("append").partitionBy("bp", "gen").parquet(idx.bandsDir)
 
     val after = pairsOf(LshIndex.pairsFor(idx, probe, "text", "doc_id"))
     assert(after == before, "rows beyond the committed pointer must be ignored")
