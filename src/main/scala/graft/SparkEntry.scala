@@ -2561,6 +2561,42 @@ object SparkEntry {
       graft.text.Unigram.encodedLengthGreedy(t(s, dir, "documents"),
         "text", "doc_id", unigramModel(s, dir))),
 
+    // The tokenizer family's actual DATA PRODUCT: per-doc token-ID
+    // sequences (greedy piece ranks over the trained inventory, words in
+    // document order). The walk runs once per DISTINCT word; the id
+    // arrays fan back through one join and assemble with a sort_array —
+    // no window, no driver work. Output pins the full sequence via md5
+    // plus a human-readable 12-id head; the oracle replays the greedy
+    // walk accumulating rank LISTS (arg_max over matching pieces)
+    "text_greedy_ids" -> ((s, dir) => {
+      graft.text.Unigram.greedyIds(t(s, dir, "documents"), "text", "doc_id",
+          unigramModel(s, dir))
+        .select(col("doc_id"),
+          size(col("ids")).cast("long").as("n_ids"),
+          md5(expr("array_join(transform(ids, x -> cast(x as string)), ',')"))
+            .as("ids_md5"),
+          expr("array_join(transform(slice(ids, 1, 12), " +
+            "x -> cast(x as string)), ',')").as("ids_head"))
+    }),
+
+    // Fixed-length sequence packing over those ids — the dense training
+    // rows a pretraining loader consumes (each doc + one EOS, sequences
+    // filled across doc boundaries). Sharded packing: docs hash to 8
+    // shards by id, each shard packs sequentially inside its partition
+    // (one mapPartitions pass, O(seqLen) state) — NEVER a global window;
+    // at 100 TB shards scale with the writer count and the only waste is
+    // one partial tail per shard (kept, not dropped — lossless)
+    "pack_token_ids" -> ((s, dir) => {
+      val ids = graft.text.Unigram.greedyIds(t(s, dir, "documents"),
+        "text", "doc_id", unigramModel(s, dir))
+      graft.text.Pack.packTokenIds(ids, "doc_id", "ids",
+          seqLen = 256, nShards = 8, eosId = 0)
+        .select(col("shard").cast("long").as("shard"),
+          col("seq_idx"), col("n_ids").cast("long").as("n_ids"),
+          md5(expr("array_join(transform(ids, x -> cast(x as string)), ',')"))
+            .as("ids_md5"))
+    }),
+
     // Tokenizer fertility report for the unigram family: per-source
     // chars-per-token of the trained inventory (the BPE twin's metric —
     // comparing the two published reports IS the tokenizer bake-off a
@@ -3782,6 +3818,50 @@ object SparkEntry {
             FROM (SELECT DISTINCT w FROM utk) dw
             LEFT JOIN (SELECT w, min(cost) AS cost FROM ub8
                        WHERE pos = len(w) GROUP BY 1) b ON b.w = dw.w)"""
+    // Greedy token-ID replay — the [[text_wordpiece_encode]] walk
+    // accumulating the rank LISTS instead of counts (shared by
+    // text_greedy_ids and pack_token_ids): at each active (w, pos) the
+    // longest matching piece is a UNIQUE string (one substring per
+    // length), so arg_max(rank, len) is deterministic; terminal rows pass
+    // through, non-termination errors loudly like uwe/uge
+    val greedyIdsCtes = {
+      val round = (t: Int) =>
+        s"""ugi$t AS MATERIALIZED (
+              SELECT w, pos, ids FROM ugi${t - 1} WHERE pos >= len(w)
+              UNION ALL
+              SELECT s.w AS w, s.pos + s.l AS pos,
+                list_append(b.ids, s.rank) AS ids
+              FROM (SELECT b.w AS w, b.pos AS pos,
+                      max(len(v.piece)) AS l,
+                      arg_max(v.rank, len(v.piece)) AS rank
+                    FROM ugi${t - 1} b JOIN uvoc v
+                      ON b.pos + len(v.piece) <= len(b.w)
+                     AND substr(b.w, (b.pos + 1)::INT, len(v.piece)::INT)
+                       = v.piece
+                    WHERE b.pos < len(b.w)
+                    GROUP BY 1, 2) s
+              JOIN ugi${t - 1} b ON b.w = s.w AND b.pos = s.pos)"""
+      raw"""$uniTrainCtes,
+          ugi0 AS (SELECT w, 0 AS pos, []::BIGINT[] AS ids
+            FROM (SELECT DISTINCT w FROM utk)),
+          ${(1 to 8).map(round).mkString(",\n")},
+          ugid AS (
+            SELECT dw.w AS w,
+              CASE WHEN g.ids IS NULL THEN error('greedy id replay: word "'
+                || dw.w || '" did not terminate in 8 rounds')
+              ELSE g.ids END AS ids
+            FROM (SELECT DISTINCT w FROM utk) dw
+            LEFT JOIN (SELECT w, ids FROM ugi8 WHERE pos >= len(w)) g
+              ON g.w = dw.w),
+          dtok AS (SELECT doc_id, $toks AS l FROM documents),
+          udw AS (SELECT doc_id, unnest(list_transform(range(1, len(l) + 1),
+              i -> {'pos': i, 'w': l[i::INT]})) AS t FROM dtok),
+          docids AS (SELECT u.doc_id AS doc_id,
+              flatten(list(g.ids ORDER BY u.pos)) AS ids
+            FROM (SELECT doc_id, t.pos AS pos, t.w AS w FROM udw) u
+            JOIN ugid g ON g.w = u.w
+            GROUP BY 1)"""
+    }
     // Kneser–Ney INTEGER NANO-UNIT ladder — ONE copy shared by the three
     // text_kn_* oracles (mirrors LmCounts' derivation exactly): all
     // probabilities are integer nano-units produced by integer floor
@@ -5952,6 +6032,35 @@ object SparkEntry {
             SELECT ud.doc_id, sum(uge.np)::BIGINT AS n_tokens
             FROM ud JOIN uge ON ud.w = uge.w GROUP BY 1"""
       },
+      // the full per-doc rank sequence, pinned via md5 + a 12-id head
+      "text_greedy_ids" ->
+        s"""WITH $greedyIdsCtes
+            SELECT doc_id, len(ids)::BIGINT AS n_ids,
+              md5(array_to_string(ids, ',')) AS ids_md5,
+              array_to_string(ids[1:12], ',') AS ids_head
+            FROM docids""",
+      // sharded sequential packing replay: shard = doc_id % 8, per-shard
+      // running token offset (docs in id order, each + one EOS = 0),
+      // global position // 256 = the sequence, md5 over the in-sequence
+      // id order — exactly the mapPartitions packer's output
+      "pack_token_ids" ->
+        s"""WITH $greedyIdsCtes,
+            wd AS (SELECT doc_id, doc_id % 8 AS shard,
+                list_append(ids, 0) AS ids FROM docids),
+            offs AS (SELECT doc_id, shard, ids,
+                sum(len(ids)) OVER (PARTITION BY shard ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - len(ids) AS off FROM wd),
+            tp AS (SELECT shard, off + t.ord - 1 AS gpos, t.id AS id
+              FROM (SELECT shard, off, unnest(list_transform(
+                  range(1, len(ids) + 1),
+                  i -> {'ord': i, 'id': ids[i::INT]})) AS t FROM offs) x),
+            seqs AS (SELECT shard, gpos // 256 AS seq_idx,
+                gpos % 256 AS inpos, id FROM tp)
+            SELECT shard::BIGINT AS shard, seq_idx::BIGINT AS seq_idx,
+              count(*)::BIGINT AS n_ids,
+              md5(string_agg(id::VARCHAR, ',' ORDER BY inpos)) AS ids_md5
+            FROM seqs GROUP BY 1, 2""",
       // fertility report: the encode replay joined back for source,
       // chars-per-token on the nano ladder
       "text_unigram_compression" ->

@@ -164,6 +164,53 @@ object Unigram {
     count
   }
 
+  /** Greedy piece-RANK sequence for one word — [[encodeWordGreedy]]'s walk
+    * emitting the ids instead of the count. The longest match at each
+    * position is a unique STRING, so the rank sequence is an exact
+    * function of (word, inventory) that an external engine replays. */
+  def encodeWordGreedyIds(word: String, ranks: Map[String, Int]): Seq[Int] = {
+    val n = word.length
+    var pos = 0
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    while (pos < n) {
+      var l = math.min(MaxPieceLen, n - pos)
+      while (l > 1 && !ranks.contains(word.substring(pos, pos + l))) l -= 1
+      require(l > 1 || ranks.contains(word.substring(pos, pos + 1)),
+        s"unsegmentable word '$word' (missing single char)")
+      out += ranks(word.substring(pos, pos + l))
+      pos += l
+    }
+    out.toSeq
+  }
+
+  /** Per-document token-ID sequences — the tokenizer family's actual DATA
+    * PRODUCT (the counts the other queries publish are its statistics):
+    * (idCol, ids array<int>) where ids = the greedy piece ranks of the
+    * doc's words in order. Same scale shape as [[encodedLength]]: the walk
+    * runs once per DISTINCT word, and the join fans word id-arrays back to
+    * the corpus token stream; per-doc assembly is one sort_array over the
+    * (position, word-ids) pairs — no window, no driver work. */
+  def greedyIds(docs: DataFrame, textCol: String, idCol: String,
+                vocab: Seq[Piece]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rankMap: Map[String, Int] = vocab.map(p => p.piece -> p.rank).toMap
+    val words = docs.select(col(idCol),
+      posexplode(TextFunctions.tokens(col(textCol))).as(Seq("__pos", "__w")))
+    val encoded = words.select(col("__w")).distinct()
+      .as[String]
+      .mapPartitions { it =>
+        val m = rankMap
+        it.map(w => (w, encodeWordGreedyIds(w, m).toArray))
+      }
+      .toDF("__w", "__wids")
+    words.join(encoded, Seq("__w"))
+      .groupBy(col(idCol))
+      .agg(flatten(transform(
+        sort_array(collect_list(struct(col("__pos"), col("__wids")))),
+        x => x.getField("__wids"))).as("ids"))
+  }
+
   /** Per-document GREEDY token count: (idCol, n_tokens). Same
     * distinct-word + broadcast-join-back shape as [[encodedLength]]. */
   def encodedLengthGreedy(docs: DataFrame, textCol: String, idCol: String,
