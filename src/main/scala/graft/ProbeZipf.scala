@@ -170,6 +170,16 @@ object ProbeZipf {
         println(s"[probe-zipf]   distinct words where greedy > viterbi: $gapWords")
       }
 
+      // the id data product + sharded packing at distinct-word scale
+      val gids = graft.text.Unigram.greedyIds(docs, "text", "doc_id", uvocab)
+      val packed = graft.text.Pack.packTokenIds(gids, "doc_id", "ids",
+        seqLen = 2048, nShards = 32, eosId = 0)
+      val (nSeqs, nTok) = t("greedy ids + pack (2048-token seqs, 32 shards)") {
+        val r = packed.agg(count(lit(1)), sum(col("n_ids"))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      println(s"[probe-zipf]   packed sequences: $nSeqs ($nTok tokens)")
+
       val merges = t("BPE learn (8 merges)")(
         graft.text.Bpe.learn(docs, "text", nMerges = 8))
       println(s"[probe-zipf]   merges: ${merges.map(m => m.lhs + "+" + m.rhs).mkString(", ")}")
