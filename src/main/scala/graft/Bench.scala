@@ -62,7 +62,15 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val total = results.map(_._2).sum
     val sfName = new java.io.File(sfDir).getName
-    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":{"""
+    // split the total into the live-drain family (streaming queries pay a
+    // per-invocation checkpoint/state-store floor of 1-3 s that is CONSTANT
+    // in corpus size) vs everything else — so round-over-round drift in
+    // either bucket is attributable at a glance
+    val isStreaming = (n: String) =>
+      n.endsWith("_stream") || n.endsWith("_forever") || n.endsWith("_upsert") ||
+        n.endsWith("_sessions_state") || n == "events_dedup_stream"
+    val streamingSub = results.collect { case (n, v) if isStreaming(n) => v }.sum
+    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"streaming_sub":${fmt(streamingSub)},"batch_sub":${fmt(total - streamingSub)},"queries":{"""
     val tail = s"""},"sf":"$sfName"}"""
     val budget = 1850 - head.length - tail.length - 24 // room for "other"
     val entries = results.sortBy { case (k, v) => (-v, k) }
@@ -82,7 +90,7 @@ object Bench {
     val full = results.map { case (k, v) => s"\"$k\":${fmt(v)}" }
       .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$full,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","streaming_sub":${fmt(streamingSub)},"batch_sub":${fmt(total - streamingSub)},"queries":$full,"sf":"$sfName"}"""
     val outFile = if (only.isEmpty) "BENCH_FULL.json" else "BENCH_SUBSET.json"
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (fullLine + "\n").getBytes("UTF-8"))

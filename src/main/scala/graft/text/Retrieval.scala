@@ -411,26 +411,60 @@ object Retrieval {
     rankTopK(scored, k, col("n_hits").desc, col("doc"))
   }
 
-  /** Compaction (rebuild-as-maintenance, same as the IVF/LSH indexes):
-    * rewrite the live postings and doc lengths to one generation, collapse
-    * the stats deltas to a single row, clear the tombstones. Probes before
-    * and after are identical; the read side just stops paying for dead
-    * generations. */
+  /** Compaction (rebuild-as-maintenance, same discipline as
+    * [[graft.dedup.LshIndex.compact]]): rewrite the live postings and doc
+    * lengths into STAGING directories, swap each in with an atomic rename,
+    * collapse the stats deltas to a single row, clear the tombstones.
+    * Probes before and after are identical; the read side just stops
+    * paying for dead generations.
+    *
+    * Crash consistency at every step boundary: the compacted rows keep the
+    * CURRENT MAX generation (not 0), so after any prefix of the swaps the
+    * surviving tombstones (`upto_gen <= max`) cannot kill them, a
+    * not-yet-swapped table still reads its live rows through the horizon,
+    * and the not-yet-collapsed stats deltas still sum to the same totals —
+    * the old in-place gen-0 formulation left a crash window where
+    * tombstoned ids' REWRITTEN rows (gen 0 < upto_gen) vanished from
+    * probes. Single-writer maintenance op: no concurrent update may run
+    * during the swaps (probes are fine — each step is consistent). */
   def compact(spark: SparkSession, idx: InvertedIndex): Unit = {
     val livePost = liveRows(spark, idx, spark.read.parquet(idx.postingsDir))
-      .withColumn("gen", lit(0L)).localCheckpoint(true)
-    val liveDl = liveRows(spark, idx, spark.read.parquet(idx.doclenDir))
-      .withColumn("gen", lit(0L)).localCheckpoint(true)
-    livePost.repartition(idx.numBuckets, col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket", "gen").parquet(idx.postingsDir)
-    liveDl.repartition(idx.numBuckets, col("dbucket"))
-      .write.mode("overwrite").partitionBy("dbucket", "gen").parquet(idx.doclenDir)
-    val row = liveDl.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).collect()(0)
-    statsDelta(spark, idx, gen = 0L, row.getLong(0), row.getLong(1), overwrite = true)
+    val gen = livePost.agg(coalesce(max(col("gen")).cast("long"), lit(0L)))
+      .head().getLong(0)
+    val post = livePost.withColumn("gen", lit(gen)).localCheckpoint(true)
+    val dl = liveRows(spark, idx, spark.read.parquet(idx.doclenDir))
+      .withColumn("gen", lit(gen)).localCheckpoint(true)
+    val stagePost = idx.postingsDir + "__compacting"
+    val stageDl = idx.doclenDir + "__compacting"
+    post.repartition(idx.numBuckets, col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket", "gen").parquet(stagePost)
+    dl.repartition(idx.numBuckets, col("dbucket"))
+      .write.mode("overwrite").partitionBy("dbucket", "gen").parquet(stageDl)
+    replaceDir(stagePost, idx.postingsDir)
+    graft.core.KillPoint("bm25.compact.postings")
+    replaceDir(stageDl, idx.doclenDir)
+    graft.core.KillPoint("bm25.compact.doclen")
+    // stats collapse rides the same staging+rename (an in-place overwrite
+    // would leave a torn-stats window mid-rewrite)
+    val row = dl.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).collect()(0)
+    locally {
+      import spark.implicits._
+      val stageStats = idx.statsDir + "__compacting"
+      Seq((gen, row.getLong(0), row.getLong(1)))
+        .toDF("gen", "n_delta", "sumdl_delta")
+        .coalesce(1).write.partitionBy("gen").mode("overwrite")
+        .parquet(stageStats)
+      replaceDir(stageStats, idx.statsDir)
+    }
+    graft.core.KillPoint("bm25.compact.stats")
     graft.core.TempDirs.deleteRecursively(java.nio.file.Paths.get(idx.tombstoneDir))
-    // everything above gen 0 was just erased by the overwrites — the
-    // pointer re-bases with it (torn uncommitted appends got GC'd here)
-    graft.core.GenPointer.commit(idx.dir, 0L)
+    graft.core.GenPointer.commit(idx.dir, gen)
+  }
+
+  private def replaceDir(src: String, dst: String): Unit = {
+    graft.core.TempDirs.deleteRecursively(java.nio.file.Paths.get(dst))
+    java.nio.file.Files.move(java.nio.file.Paths.get(src),
+      java.nio.file.Paths.get(dst))
   }
 
   // ------------------------------------------------------- source overlap

@@ -142,6 +142,30 @@ class ChaosIndexSpec extends AnyFunSuite with SparkTestBase {
       () => q(rebuilt)))
   }
 
+  test("BM25 compaction: a crash after ANY swap leaves probes identical") {
+    // compacted rows keep the pre-compaction MAX gen, so after any prefix
+    // of the staged swaps the surviving tombstones cannot kill them and a
+    // not-yet-swapped table still reads its live rows through the horizon
+    // — every kill point must leave probe results unchanged, and a re-run
+    // completes the compaction
+    val idx = Retrieval.buildIndex(docInit.toDF("doc_id", "text"),
+      "text", "doc_id", tmp("graft_chaos_bm25c"), numBuckets = 8)
+    Retrieval.updateIndex(idx, docUpserts, "text", "doc_id",
+      deletedIds.toDF("doc_id"), gen = 1L)
+    def q() = rows(Retrieval.bm25(spark, idx, "shared corpus rewritten tail", k = 10))
+    val before = q()
+    for (step <- Seq("bm25.compact.postings", "bm25.compact.doclen",
+        "bm25.compact.stats")) {
+      killAt(step)(Retrieval.compact(spark, idx))
+      assert(q() == before,
+        s"probe must be unchanged after compaction crash at '$step'")
+    }
+    Retrieval.compact(spark, idx)
+    assert(q() == before, "completed compaction must preserve probes")
+    assert(!java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(idx.tombstoneDir)))
+  }
+
   test("IVF index: every kill point, redelivery ≡ rebuild, committed re-apply no-op") {
     val idx = Ivf.buildIndex(vecDf(initIds), "id", "vec",
       tmp("graft_chaos_ivf"), nCells = 4, iters = 1)

@@ -181,10 +181,13 @@ class RetrievalSpec extends AnyFunSuite with SparkTestBase {
       assert(before == after)
       assert(!java.nio.file.Files.isDirectory(
         java.nio.file.Paths.get(idx.tombstoneDir)))
-      // all surviving rows are generation 0 now (gen is a PARTITION column
-      // since the crash-idempotent layout — discovery infers it as int)
+      // generations collapse to ONE — the pre-compaction MAX, so surviving
+      // tombstones could never have killed the rewritten rows mid-swap
+      // (gen is a PARTITION column since the crash-idempotent layout)
       assert(spark.read.parquet(idx.postingsDir)
-        .select(max(col("gen")).cast("long")).collect()(0).getLong(0) == 0L)
+        .select(col("gen")).distinct().count() == 1L)
+      assert(spark.read.parquet(idx.postingsDir)
+        .select(max(col("gen")).cast("long")).collect()(0).getLong(0) == 1L)
     } finally graft.core.TempDirs.deleteRecursively(java.nio.file.Paths.get(dir))
   }
 
