@@ -278,9 +278,16 @@ object LshIndex {
     // surviving rows BEFORE their source directories are replaced
     writeBatch(bands.drop("gen", "bp").localCheckpoint(true),
       sets.drop("gen", "ip").localCheckpoint(true), staging, gen, "overwrite")
+    // crash consistency at each swap boundary (ChaosIndexSpec): compacted
+    // rows keep the MAX generation, so with tombstones still present the
+    // horizon (upto_gen <= max) passes them, and an un-swapped table still
+    // reads its live rows — every prefix of the swaps probes identically
     replaceDir(staging.bandsDir, idx.bandsDir)
+    graft.core.KillPoint("lsh.compact.bands")
     replaceDir(staging.setsDir, idx.setsDir)
+    graft.core.KillPoint("lsh.compact.sets")
     deleteDir(idx.tombstoneDir)
+    graft.core.KillPoint("lsh.compact.tombstones")
     deleteDir(staging.dir)
     commitGen(idx, gen) // normalize the pointer (legacy dirs had none)
   }

@@ -166,6 +166,31 @@ class ChaosIndexSpec extends AnyFunSuite with SparkTestBase {
       java.nio.file.Paths.get(idx.tombstoneDir)))
   }
 
+  test("LSH compaction: a crash after ANY swap leaves probes identical") {
+    import graft.dedup.LshIndex
+    val init = docInit.toDF("doc_id", "text")
+    val idx = LshIndex.build(init, "text", "doc_id",
+      tmp("graft_chaos_lshc"), threshold = 0.5, numHashes = 16, bands = 4,
+      nPartitions = 4)
+    LshIndex.applyBatch(idx, docUpserts, "text", "doc_id",
+      deletedIds.toDF("doc_id"), gen = 1L)
+    val probe = docFinal.limit(10)
+    def q() = rows(LshIndex.pairsFor(idx, probe, "text", "doc_id")
+      .select(col("id_a"), col("id_b")))
+    val before = q()
+    assert(before.nonEmpty, "the shared-sentence corpus must pair")
+    for (step <- Seq("lsh.compact.bands", "lsh.compact.sets",
+        "lsh.compact.tombstones")) {
+      killAt(step)(LshIndex.compact(spark, idx))
+      graft.ops.Caches.release()
+      assert(q() == before,
+        s"probe must be unchanged after compaction crash at '$step'")
+    }
+    LshIndex.compact(spark, idx)
+    graft.ops.Caches.release()
+    assert(q() == before, "completed compaction must preserve probes")
+  }
+
   test("IVF index: every kill point, redelivery ≡ rebuild, committed re-apply no-op") {
     val idx = Ivf.buildIndex(vecDf(initIds), "id", "vec",
       tmp("graft_chaos_ivf"), nCells = 4, iters = 1)
