@@ -270,6 +270,8 @@ object LshIndex {
     * vacuum): no concurrent probe/apply may run during the directory swap.
     */
   def compact(spark: SparkSession, idx: Index): Unit = {
+    // repair any prior crashed swap before reading (DirSwap's contract)
+    Seq(idx.bandsDir, idx.setsDir).foreach(graft.core.DirSwap.heal)
     val bands = liveRows(idx, spark.read.parquet(idx.bandsDir))
     val sets = liveRows(idx, spark.read.parquet(idx.setsDir))
     val gen = bands.agg(coalesce(max(col("gen")), lit(0L))).head().getLong(0)
@@ -295,11 +297,8 @@ object LshIndex {
   private def deleteDir(dir: String): Unit =
     graft.core.TempDirs.deleteRecursively(java.nio.file.Paths.get(dir))
 
-  private def replaceDir(src: String, dst: String): Unit = {
-    deleteDir(dst)
-    java.nio.file.Files.move(java.nio.file.Paths.get(src),
-      java.nio.file.Paths.get(dst))
-  }
+  private def replaceDir(src: String, dst: String): Unit =
+    graft.core.DirSwap.swap(src, dst)
 
   /** Near-dup pairs between `batch` and the CURRENT index contents (which,
     * after [[applyBatch]], include the batch itself — so batch×batch pairs

@@ -256,6 +256,31 @@ object Ivf {
     graft.core.KillPoint("ivf.committed")
   }
 
+  /** Compaction WITHOUT re-assigning any vector — the crash-consistent
+    * twin of [[buildIndexWith]]-as-rebuild (which overwrites the live
+    * directory in place and therefore tears on a mid-rebuild crash):
+    * rewrite the surviving rows into a staging directory at the CURRENT
+    * MAX generation and swap it in with [[graft.core.DirSwap]] (old copy
+    * kept until the new one is in place; crashed swaps self-heal on the
+    * next compact). The tombstones live INSIDE the assignment directory,
+    * so the swap retires rows and horizon ATOMICALLY — probes before,
+    * during (any crash prefix), and after are identical. */
+  def compact(spark: org.apache.spark.sql.SparkSession, index: Index): Unit = {
+    graft.core.DirSwap.heal(index.assignDir)
+    val live = liveRows(index, spark.read.parquet(index.assignDir))
+    val gen = live.agg(coalesce(max(col("gen")).cast("long"), lit(0L)))
+      .head().getLong(0)
+    val staging = index.assignDir + "__compacting"
+    live.withColumn("gen", lit(gen))
+      .repartition(index.nCells, col("cell"))
+      .write.mode("overwrite").partitionBy("cell", "gen")
+      .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+      .parquet(staging)
+    graft.core.DirSwap.swap(staging, index.assignDir)
+    graft.core.KillPoint("ivf.compact.assign")
+    graft.core.GenPointer.commit(index.assignDir, gen)
+  }
+
   /** Cell rows surviving the tombstone horizon AND the committed-generation
     * pointer: row.gen ≤ committed (a torn batch's appends stay invisible),
     * and row.gen ≥ max(upto_gen ≤ committed) of its id (no tombstone →

@@ -235,6 +235,32 @@ object Pq {
     graft.core.KillPoint("ivfpq.committed")
   }
 
+  /** Compaction of the code table WITHOUT re-encoding any vector — the
+    * crash-consistent twin of [[buildCodeIndex]]-as-rebuild: surviving
+    * rows rewrite into a staging directory at the CURRENT MAX generation
+    * and swap in via [[graft.core.DirSwap]]; the tombstones (a SIBLING
+    * directory here) then clear. Max-gen keeps every crash prefix
+    * consistent: with tombstones still present the horizon
+    * (`upto_gen <= max`) passes the rewritten rows. */
+  def compactCodeIndex(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Unit = {
+    graft.core.DirSwap.heal(codesDir(path))
+    val live = liveCodes(spark, path, spark.read.parquet(codesDir(path)))
+    val gen = live.agg(coalesce(max(col("gen")).cast("long"), lit(0L)))
+      .head().getLong(0)
+    val staging = codesDir(path) + "__compacting"
+    live.withColumn("gen", lit(gen))
+      .write.mode("overwrite").partitionBy("cell", "gen")
+      .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+      .parquet(staging)
+    graft.core.DirSwap.swap(staging, codesDir(path))
+    graft.core.KillPoint("ivfpq.compact.codes")
+    graft.core.TempDirs.deleteRecursively(
+      java.nio.file.Paths.get(tombstoneDir(path)))
+    graft.core.KillPoint("ivfpq.compact.tombstones")
+    graft.core.GenPointer.commit(path, gen)
+  }
+
   /** Code rows surviving the tombstone horizon AND the committed-generation
     * pointer: row.gen ≤ committed (a torn batch's appends stay invisible)
     * and row.gen ≥ max(upto_gen ≤ committed) of its id. Tombstones are

@@ -428,6 +428,9 @@ object Retrieval {
     * probes. Single-writer maintenance op: no concurrent update may run
     * during the swaps (probes are fine — each step is consistent). */
   def compact(spark: SparkSession, idx: InvertedIndex): Unit = {
+    // repair any prior crashed swap before reading (DirSwap's contract)
+    Seq(idx.postingsDir, idx.doclenDir, idx.statsDir)
+      .foreach(graft.core.DirSwap.heal)
     val livePost = liveRows(spark, idx, spark.read.parquet(idx.postingsDir))
     val gen = livePost.agg(coalesce(max(col("gen")).cast("long"), lit(0L)))
       .head().getLong(0)
@@ -461,11 +464,8 @@ object Retrieval {
     graft.core.GenPointer.commit(idx.dir, gen)
   }
 
-  private def replaceDir(src: String, dst: String): Unit = {
-    graft.core.TempDirs.deleteRecursively(java.nio.file.Paths.get(dst))
-    java.nio.file.Files.move(java.nio.file.Paths.get(src),
-      java.nio.file.Paths.get(dst))
-  }
+  private def replaceDir(src: String, dst: String): Unit =
+    graft.core.DirSwap.swap(src, dst)
 
   // ------------------------------------------------------- source overlap
 

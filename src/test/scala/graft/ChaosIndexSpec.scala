@@ -211,6 +211,62 @@ class ChaosIndexSpec extends AnyFunSuite with SparkTestBase {
       () => { val r = q(rebuilt); graft.ops.Caches.release(); r }))
   }
 
+  test("IVF compaction: crash prefixes probe identically; a torn swap self-heals") {
+    val idx = Ivf.buildIndex(vecDf(initIds), "id", "vec",
+      tmp("graft_chaos_ivfc"), nCells = 4, iters = 1)
+    Ivf.updateIndex(idx, upsertVecs, "id", "vec", deleteVecs, gen = 1L)
+    def q() = {
+      val r = rows(Ivf.probe(idx, queries, "id", "vec", k = 5, nProbe = 4))
+      graft.ops.Caches.release(); r
+    }
+    val before = q()
+    // crash INSIDE the swap (old dir renamed aside, new not yet in): the
+    // directory is momentarily missing — the next compact heals it first
+    killAt("dirswap.aside")(Ivf.compact(spark, idx))
+    Ivf.compact(spark, idx)
+    assert(q() == before, "healed + completed compaction must preserve probes")
+    // crash AFTER the swap, before the pointer normalize
+    Ivf.updateIndex(idx, upsertVecs.limit(0), "id", "vec",
+      initIds.filterNot(deletedIds.contains).filter(_ % 7 == 3).take(1)
+        .toDF("id"), gen = 2L)
+    val afterDel = q()
+    killAt("ivf.compact.assign")(Ivf.compact(spark, idx))
+    assert(q() == afterDel, "post-swap crash prefix must probe identically")
+    Ivf.compact(spark, idx)
+    assert(q() == afterDel)
+    assert(!java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(idx.tombstoneDir)),
+      "the swap retires tombstones atomically with the rows")
+  }
+
+  test("IVF-PQ compaction: crash prefixes probe identically") {
+    val init = vecDf(initIds)
+    val cents = Ivf.buildIndex(init, "id", "vec",
+      tmp("graft_chaos_pqc_cents"), nCells = 4, iters = 1).centroids
+    val cbs = Pq.fixedCodebooks(init, "id", "vec", m = 4, k = 8)
+    val dir = tmp("graft_chaos_pqc")
+    Pq.buildCodeIndex(init, "id", "vec", cents, cbs, dir)
+    Pq.updateCodeIndex(dir, cents, cbs, upsertVecs, "id", "vec",
+      deleteVecs, gen = 1L)
+    def q() = rows(Pq.probeCodeIndex(queries, "id", "vec", cents, cbs, dir,
+      nProbe = 4, k = 5))
+    val before = q()
+    killAt("dirswap.aside")(Pq.compactCodeIndex(spark, dir))
+    Pq.compactCodeIndex(spark, dir) // heals, completes
+    assert(q() == before)
+    Pq.updateCodeIndex(dir, cents, cbs, upsertVecs.limit(0), "id", "vec",
+      initIds.filterNot(deletedIds.contains).filter(_ % 7 == 3).take(1)
+        .toDF("id"), gen = 2L)
+    val afterDel = q()
+    for (step <- Seq("ivfpq.compact.codes", "ivfpq.compact.tombstones")) {
+      killAt(step)(Pq.compactCodeIndex(spark, dir))
+      assert(q() == afterDel,
+        s"probe must be unchanged after compaction crash at '$step'")
+    }
+    Pq.compactCodeIndex(spark, dir)
+    assert(q() == afterDel)
+  }
+
   test("IVF-PQ code index: every kill point, redelivery ≡ rebuild, committed re-apply no-op") {
     val init = vecDf(initIds)
     val cents = Ivf.buildIndex(init, "id", "vec",
