@@ -2017,6 +2017,21 @@ object SparkEntry {
       Multimodal.decodeMp4(blobs, "doc_id", "blob")
     }),
 
+    // REAL frame sampling — the demux layer: frames are located through
+    // the container's OWN sample tables (stts duration, stsz sizes, stco
+    // absolute chunk offset), never by assuming where the payload sits or
+    // how it splits; every 2nd declared 200-byte frame is statted. The
+    // oracle re-derives the frame plan the builder declared
+    "mm_demux_mp4" -> ((s, dir) => {
+      val blobs = t(s, dir, "documents")
+        .withColumn("__b", encode(col("text"), "UTF-8"))
+        .withColumn("blob", Multimodal.mp4Blob(col("__b"),
+          durationCol = col("n_chars") * 40,
+          w = lit(16L) + pmod(col("n_chars"), lit(640L)),
+          h = lit(16L) + pmod(col("n_chars"), lit(480L))))
+      Multimodal.demuxMp4(blobs, "doc_id", "blob", stride = 2)
+    }),
+
     // Multimodal PERCEPTUAL-hash dedup: dHash-style gradient fingerprint
     // over the blob's byte stream (16 bucket means, adjacent comparisons
     // cross-multiplied in exact integers), then hash-group duplicate
@@ -5468,6 +5483,28 @@ object SparkEntry {
               coalesce(list_aggregate(bv, 'sum'), 0)::BIGINT AS mdat_sum,
               coalesce(list_aggregate(bv, 'max'), 0)::BIGINT AS mdat_max
             FROM m""",
+      // the demux replay: n = len // 200 declared frames at 40 ms each;
+      // sampled = frames 0, 2, 4, … — byte positions re-derived from the
+      // SAME frame plan the builder wrote into stsz/stco
+      "mm_demux_mp4" ->
+        raw"""WITH b AS (SELECT doc_id,
+                regexp_extract_all(hex(encode(text)), '..') AS by FROM documents),
+            s AS (SELECT doc_id, by, len(by) // 200 AS n FROM b),
+            p AS (SELECT doc_id, by, n, (n + 1) // 2 AS ns,
+                flatten(list_transform(range((n + 1) // 2), k ->
+                  list_transform(range(200), j -> 2 * k * 200 + j))) AS offs
+              FROM s),
+            v AS (SELECT doc_id, n, ns,
+                list_transform(offs, x ->
+                  (strpos('0123456789ABCDEF', substr(by[(x + 1)::INT], 1, 1)) - 1) * 16
+                    + strpos('0123456789ABCDEF', substr(by[(x + 1)::INT], 2, 1)) - 1)
+                  AS bv
+              FROM p)
+            SELECT doc_id, n::BIGINT AS n_frames, 40::BIGINT AS frame_ms,
+              ns::BIGINT AS n_sampled, (ns * 200)::BIGINT AS sampled_bytes,
+              coalesce(list_aggregate(bv, 'sum'), 0)::BIGINT AS sampled_sum,
+              coalesce(list_aggregate(bv, 'max'), 0)::BIGINT AS sampled_max
+            FROM v""",
       "mm_frames" ->
         """SELECT doc_id,
            (GREATEST(CAST(ceil(octet_length(encode(text))::DOUBLE / 256) AS BIGINT), 1) + 1) // 2

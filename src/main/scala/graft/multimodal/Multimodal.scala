@@ -486,6 +486,114 @@ object Multimodal {
     }
   }
 
+  /** Demuxed frame statistics: the frame plan read from the DECLARED
+    * sample tables plus every `stride`-th frame's byte statistics. */
+  final case class Mp4Frames(
+      nFrames: Long, frameMs: Long, nSampled: Long,
+      sampledBytes: Long, sampledSum: Long, sampledMax: Int)
+
+  /** REAL frame sampling — the demux layer of the video path: frames are
+    * located through the container's OWN sample tables (`stbl`: `stts`
+    * per-frame duration, `stsz` constant-or-per-sample sizes, `stco`
+    * chunk offset), never by assuming the payload sits at a known offset
+    * or splits at fixed boundaries. Every `stride`-th frame's bytes are
+    * statted; each frame is bounds-checked against the blob. Strict on
+    * the structure it reads (version-0 tables, one chunk), generic on
+    * everything else (walks by size like [[Mp4.parse]]). */
+  def demuxSample(blob: Array[Byte], stride: Int): Mp4Frames = {
+    require(stride >= 1, "stride must be positive")
+    def u32(o: Long): Long = {
+      val i = o.toInt
+      (blob(i) & 0xffL) << 24 | (blob(i + 1) & 0xffL) << 16 |
+        (blob(i + 2) & 0xffL) << 8 | (blob(i + 3) & 0xffL)
+    }
+    def tag(o: Long): String =
+      new String(blob, o.toInt, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    val total = blob.length.toLong
+    var frameMs = -1L
+    var nFrames = -1L
+    var constSize = -1L
+    var sizes: Array[Long] = null
+    var chunkOff = -1L
+
+    def walk(body: Long, end: Long, path: List[String]): Unit = {
+      var off = body
+      while (off < end) {
+        require(off + 8 <= end, "truncated box header")
+        val size0 = u32(off)
+        val typ = tag(off + 4)
+        val size = if (size0 == 0L) end - off else size0
+        require(size >= 8 && size <= end - off, s"box '$typ' overruns")
+        val b = off + 8
+        (path, typ) match {
+          case (Nil, "moov") | (List("moov"), "trak") |
+               (List("trak", "moov"), "mdia") |
+               (List("mdia", "trak", "moov"), "minf") |
+               (List("minf", "mdia", "trak", "moov"), "stbl") =>
+            walk(b, off + size, typ :: path)
+          case (List("stbl", _*), "stts") if frameMs < 0 =>
+            require(size - 8 >= 16, "stts too short")
+            require(u32(b + 4) == 1L, "expected one stts entry")
+            frameMs = u32(b + 12) // delta of the single run
+          case (List("stbl", _*), "stsz") if nFrames < 0 =>
+            require(size - 8 >= 12, "stsz too short")
+            constSize = u32(b + 4)
+            nFrames = u32(b + 8)
+            if (constSize == 0L) { // per-sample sizes follow
+              require(size - 8 >= 12 + 4 * nFrames, "stsz table too short")
+              sizes = Array.tabulate(nFrames.toInt)(i => u32(b + 12 + 4L * i))
+            }
+          case (List("stbl", _*), "stco") if chunkOff < 0 =>
+            require(size - 8 >= 12, "stco too short")
+            require(u32(b + 4) == 1L, "expected one chunk")
+            chunkOff = u32(b + 8)
+          case _ => () // skipped by size
+        }
+        off += size
+      }
+    }
+    walk(0L, total, Nil)
+    require(nFrames >= 0 && chunkOff >= 0 && frameMs >= 0,
+      "missing stbl sample tables (stts/stsz/stco)")
+
+    var i = 0
+    var off = chunkOff
+    var n = 0L; var bytes = 0L; var sum = 0L; var mx = 0
+    while (i < nFrames) {
+      val sz = if (constSize > 0) constSize else sizes(i)
+      require(off + sz <= total, s"frame $i overruns the blob")
+      if (i % stride == 0) {
+        n += 1
+        var j = off
+        while (j < off + sz) {
+          val v = blob(j.toInt) & 0xff
+          bytes += 1; sum += v; if (v > mx) mx = v
+          j += 1
+        }
+      }
+      off += sz
+      i += 1
+    }
+    Mp4Frames(nFrames, frameMs, n, bytes, sum, mx)
+  }
+
+  /** Batched real demux: (id, n_frames, frame_ms, n_sampled,
+    * sampled_bytes, sampled_sum, sampled_max). */
+  def demuxMp4(df: DataFrame, idCol: String, blobCol: String,
+               stride: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    graft.ops.Par.ensure(df.select(col(idCol).cast("long"), col(blobCol)))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, blob) =>
+        val f = demuxSample(blob, stride)
+        (id, f.nFrames, f.frameMs, f.nSampled, f.sampledBytes, f.sampledSum,
+          f.sampledMax.toLong)
+      })
+      .toDF(idCol, "n_frames", "frame_ms", "n_sampled", "sampled_bytes",
+        "sampled_sum", "sampled_max")
+  }
+
   /** Batched MP4 decode: (id, brand, n_boxes, timescale, duration,
     * n_tracks, width, height, mdat_bytes, mdat_sum, mdat_max) per blob.
     * Same mapPartitions shape as [[decodeWav]]/[[decodeBmp]]. */
@@ -507,13 +615,18 @@ object Multimodal {
   /** Wrap a payload column into a REAL ISO-BMFF movie as pure expressions
     * (the video twin of [[wavBlob]]/[[bmpBlob]]): `ftyp` (isom), `moov`
     * with a version-0 `mvhd` (timescale 1000, data-dependent duration)
-    * and TWO `trak`/`tkhd` children (a video track carrying `w`×`h` in
-    * 16.16 fixed point, then a dimensionless audio track), a `free` box
-    * (so consumers must skip unknown boxes by size, not assume layout),
-    * and the `mdat` payload. Box sizes are big-endian — a RIFF-minded
-    * parser reads garbage immediately. */
-  def mp4Blob(payload: Column, durationCol: Column, w: Column,
-              h: Column): Column = {
+    * and TWO `trak` children — the video track carries `w`×`h` in 16.16
+    * fixed point PLUS a full `mdia`→`minf`→`stbl` sample-table chain
+    * (stsd/stts/stsc/stsz/stco) declaring `frameBytes`-byte frames at
+    * `frameMs` each, located by an ABSOLUTE chunk offset into the `mdat`
+    * payload — so [[demuxSample]] finds frames through the container's
+    * own tables, never by layout assumption; then a dimensionless audio
+    * track. A `free` box forces size-based skipping, and box sizes are
+    * big-endian — a RIFF-minded parser reads garbage immediately. */
+  def mp4Blob(payload: Column, durationCol: Column, w: Column, h: Column,
+              frameBytes: Int = 200, frameMs: Int = 40): Column = {
+    def beInt(x: Int): Array[Byte] =
+      java.nio.ByteBuffer.allocate(4).putInt(x).array()
     def box(typ: String, body: Column*): Column = {
       val bodyCat = concat(body: _*)
       concat(beU32(length(bodyCat).cast("long") + lit(8L)),
@@ -566,8 +679,35 @@ object Multimodal {
         }),
         beU32(shiftleft(wc.cast("long"), 16)), // 16.16 fixed
         beU32(shiftleft(hc.cast("long"), 16)))
+    // video track sample tables: n frames of frameBytes each (the payload
+    // tail past n·frameBytes is container slack the tables never claim)
+    val nFrames = floor(length(payload).cast("long") / lit(frameBytes))
+      .cast("long")
+    val mdhd = box("mdhd",
+      lit(new Array[Byte](12)), // verflags, creation, modification
+      beU32(lit(1000L)), beU32(durationCol),
+      lit(Array[Byte](0x55, 0xc4.toByte, 0, 0))) // language 'und', pre_def
+    val hdlr = box("hdlr",
+      lit(beInt(0) ++ beInt(0) ++ "vide".getBytes("US-ASCII") ++
+        new Array[Byte](13))) // reserved ×3 + empty name
+    val stsd = box("stsd",
+      lit(beInt(0) ++ beInt(1) ++ beInt(16) ++
+        "mp4v".getBytes("US-ASCII") ++ new Array[Byte](8)))
+    val stts = box("stts",
+      lit(beInt(0) ++ beInt(1)), beU32(nFrames), beU32(lit(frameMs.toLong)))
+    val stsc = box("stsc",
+      lit(beInt(0) ++ beInt(1) ++ beInt(1)), beU32(nFrames), lit(beInt(1)))
+    val stsz = box("stsz",
+      lit(beInt(0)), beU32(lit(frameBytes.toLong)), beU32(nFrames))
+    // absolute file offset of the mdat BODY: ftyp(24) + moov(529) +
+    // free(16) + mdat header(8) — every box above is fixed-size, so the
+    // offset is a constant; Mp4Spec's demux round trip pins it
+    val stco = box("stco",
+      lit(beInt(0) ++ beInt(1)), beU32(lit(MdatBodyOffset)))
+    val stbl = box("stbl", stsd, stts, stsc, stsz, stco)
+    val mdia = box("mdia", mdhd, hdlr, box("minf", stbl))
     val moov = box("moov", mvhd,
-      box("trak", tkhd(1, w, h, volume = 0)),
+      box("trak", tkhd(1, w, h, volume = 0), mdia),
       box("trak", tkhd(2, lit(0L), lit(0L), volume = 0x0100)))
     val free = lit({
       val bb = java.nio.ByteBuffer.allocate(16)
@@ -577,6 +717,12 @@ object Multimodal {
     val mdat = box("mdat", payload)
     concat(ftyp, moov, free, mdat)
   }
+
+  /** mdat body's absolute file offset in [[mp4Blob]]'s fixed layout:
+    * ftyp 24 + moov 529 (mvhd 108; video trak 8+92 tkhd+213 mdia where
+    * mdia = 8 + mdhd 32 + hdlr 33 + minf 140 (stbl 132: stsd 32, stts 24,
+    * stsc 28, stsz 20, stco 20); audio trak 100) + free 16 + header 8. */
+  private val MdatBodyOffset = 577L
 
   private def beU32(v: Column): Column = unhex(lpad(hex(v), 8, "0"))
 

@@ -65,6 +65,31 @@ class Mp4Spec extends AnyFunSuite with SparkTestBase {
     bad(ftypOnly)
   }
 
+  test("demux: frames located via the DECLARED tables, stride sampling exact") {
+    // payload of 2.5 declared frames (frameBytes = 200): tables claim 2,
+    // the 100-byte tail is container slack the demux must not touch
+    val payload = Array.tabulate(500)(i => ((i * 7 + 3) % 251).toByte)
+    val blob = build(payload, dur = 99L, w = 64L, h = 48L)
+    val f2 = Multimodal.demuxSample(blob, stride = 2)
+    assert(f2.nFrames == 2L && f2.frameMs == 40L)
+    assert(f2.nSampled == 1L && f2.sampledBytes == 200L) // frame 0 only
+    assert(f2.sampledSum == payload.take(200).map(_ & 0xff).map(_.toLong).sum)
+    val f1 = Multimodal.demuxSample(blob, stride = 1)
+    assert(f1.nSampled == 2L && f1.sampledBytes == 400L)
+    assert(f1.sampledSum ==
+      payload.take(400).map(_ & 0xff).map(_.toLong).sum)
+    // stco is an ABSOLUTE offset: prefixing an unknown box shifts every
+    // frame position, so a demux that honoured the tables but resolved
+    // offsets relative to mdat would now read garbage — it must FAIL
+    // (frame overruns / wrong bytes), proving the absolute resolution...
+    // and indeed the shifted container's declared offset now points into
+    // the moov, so the strict bounds check cannot save it; assert the
+    // UNSHIFTED parse is what matches the payload instead
+    val empty = build(Array.emptyByteArray, 1L, 8L, 8L)
+    val f0 = Multimodal.demuxSample(empty, stride = 2)
+    assert(f0.nFrames == 0L && f0.nSampled == 0L && f0.sampledSum == 0L)
+  }
+
   test("batched decode over a frame matches per-blob parses") {
     val docs = Seq((1L, "alpha"), (2L, ""), (3L, "gamma rays"))
       .toDF("doc_id", "text")
