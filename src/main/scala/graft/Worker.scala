@@ -140,6 +140,22 @@ object Worker {
         return 1
     }
 
+    // from here the lease is HELD: if provider load or Spark startup throws
+    // on a non-lease error path, release promptly instead of blocking the
+    // single-writer slot for the full keep_alive_timeout
+    try runLeased(args, conf, lease, sparkOverride)
+    catch {
+      case e: Throwable =>
+        try lease.release() catch { case _: Throwable => () }
+        throw e
+    }
+  }
+
+  private def runLeased(args: Args, conf: IniConfig, lease: Lease,
+                        sparkOverride: Option[SparkSession]): Int = {
+    val intervalMs =
+      conf.getLongOrElse("qvarnmr", "keep_alive_update_interval", 10L) * 1000L
+    val storeRootEarly = conf.get("store", "root").get
     val provider = PipelineProvider.load(args.provider)
     val pipeline = provider.pipeline
 

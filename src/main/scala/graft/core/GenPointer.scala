@@ -29,6 +29,24 @@ object GenPointer {
     else Files.readAllLines(p).get(0).stripPrefix("committed=").toLong
   }
 
+  /** The committed generation if a pointer file exists — unlike
+    * [[committed]] this does NOT default to `Long.MaxValue` for
+    * pre-pointer directories, so callers can max it into a derived gen. */
+  def committedOpt(dir: String): Option[Long] = {
+    val p = Paths.get(dir, "_gens")
+    if (!Files.exists(p)) None
+    else Some(Files.readAllLines(p).get(0).stripPrefix("committed=").toLong)
+  }
+
+  /** Commit `gen` without ever regressing an existing pointer. Compaction
+    * derives its rewrite generation from the LIVE rows, which after a
+    * deletes-only final batch (tombstones at gen G, zero rows at G) sits
+    * BELOW the committed G; recommitting that lower value would break the
+    * "redelivery of a committed gen is a no-op" contract and any external
+    * progress reading of the pointer. */
+  def commitAtLeast(dir: String, gen: Long): Unit =
+    commit(dir, committedOpt(dir).fold(gen)(math.max(gen, _)))
+
   def commit(dir: String, gen: Long): Unit = {
     Files.createDirectories(Paths.get(dir))
     val p = Paths.get(dir, "_gens")

@@ -291,7 +291,9 @@ object LshIndex {
     deleteDir(idx.tombstoneDir)
     graft.core.KillPoint("lsh.compact.tombstones")
     deleteDir(staging.dir)
-    commitGen(idx, gen) // normalize the pointer (legacy dirs had none)
+    // atLeast: a deletes-only final batch leaves max(live gen) < committed;
+    // never regress the pointer (redelivery short-circuit contract)
+    graft.core.GenPointer.commitAtLeast(idx.dir, gen)
   }
 
   private def deleteDir(dir: String): Unit =

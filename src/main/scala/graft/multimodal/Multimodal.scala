@@ -507,6 +507,7 @@ object Multimodal {
       (blob(i) & 0xffL) << 24 | (blob(i + 1) & 0xffL) << 16 |
         (blob(i + 2) & 0xffL) << 8 | (blob(i + 3) & 0xffL)
     }
+    def u64(o: Long): Long = (u32(o) << 32) | u32(o + 4)
     def tag(o: Long): String =
       new String(blob, o.toInt, 4, java.nio.charset.StandardCharsets.US_ASCII)
     val total = blob.length.toLong
@@ -522,9 +523,17 @@ object Multimodal {
         require(off + 8 <= end, "truncated box header")
         val size0 = u32(off)
         val typ = tag(off + 4)
-        val size = if (size0 == 0L) end - off else size0
-        require(size >= 8 && size <= end - off, s"box '$typ' overruns")
-        val b = off + 8
+        // same header grammar as Mp4.parse's boxAt: size0==1 carries a
+        // 64-bit largesize after the tag (a container Mp4.parse accepts
+        // must not fail here with a misleading "overruns")
+        val (hdr, size) =
+          if (size0 == 1L) {
+            require(off + 16 <= end, s"box '$typ': truncated largesize")
+            (16L, u64(off + 8))
+          } else if (size0 == 0L) (8L, end - off)
+          else (8L, size0)
+        require(size >= hdr && size <= end - off, s"box '$typ' overruns")
+        val b = off + hdr
         (path, typ) match {
           case (Nil, "moov") | (List("moov"), "trak") |
                (List("trak", "moov"), "mdia") |

@@ -270,15 +270,23 @@ object Ivf {
     val live = liveRows(index, spark.read.parquet(index.assignDir))
     val gen = live.agg(coalesce(max(col("gen")).cast("long"), lit(0L)))
       .head().getLong(0)
+    // the pointer lives INSIDE assignDir, so the swap below would destroy
+    // it — and after a deletes-only final batch max(live gen) < committed,
+    // so re-deriving it from the rows would REGRESS it and break the
+    // redelivered-committed-gen short-circuit in updateIndex. Capture the
+    // pre-swap value and stamp it into STAGING, so the pointer rides the
+    // swap atomically with the rows (no pointer-absent window at all).
+    val target = math.max(gen,
+      graft.core.GenPointer.committedOpt(index.assignDir).getOrElse(gen))
     val staging = index.assignDir + "__compacting"
     live.withColumn("gen", lit(gen))
       .repartition(index.nCells, col("cell"))
       .write.mode("overwrite").partitionBy("cell", "gen")
       .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
       .parquet(staging)
+    graft.core.GenPointer.commit(staging, target)
     graft.core.DirSwap.swap(staging, index.assignDir)
     graft.core.KillPoint("ivf.compact.assign")
-    graft.core.GenPointer.commit(index.assignDir, gen)
   }
 
   /** Cell rows surviving the tombstone horizon AND the committed-generation

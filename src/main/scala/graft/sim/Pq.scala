@@ -258,7 +258,9 @@ object Pq {
     graft.core.TempDirs.deleteRecursively(
       java.nio.file.Paths.get(tombstoneDir(path)))
     graft.core.KillPoint("ivfpq.compact.tombstones")
-    graft.core.GenPointer.commit(path, gen)
+    // atLeast: a deletes-only final batch leaves max(live gen) < committed;
+    // never regress the pointer (redelivery short-circuit contract)
+    graft.core.GenPointer.commitAtLeast(path, gen)
   }
 
   /** Code rows surviving the tombstone horizon AND the committed-generation

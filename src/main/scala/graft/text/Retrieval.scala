@@ -432,11 +432,20 @@ object Retrieval {
     Seq(idx.postingsDir, idx.doclenDir, idx.statsDir)
       .foreach(graft.core.DirSwap.heal)
     val livePost = liveRows(spark, idx, spark.read.parquet(idx.postingsDir))
-    val gen = livePost.agg(coalesce(max(col("gen")).cast("long"), lit(0L)))
-      .head().getLong(0)
+    val liveDl = liveRows(spark, idx, spark.read.parquet(idx.doclenDir))
+    // the rewrite generation must cover BOTH tables' live rows, not just
+    // postings: a zero-token document emits a dl=0 doclen row but NO
+    // postings, so doclen rows (and their tombstones) can sit at a gen
+    // above max(postings.gen); rewriting doclen below its own tombstone
+    // horizon would drop those rows in the crash window before tombstone
+    // cleanup, silently skewing N/avgdl. The committed pointer (when
+    // present) caps both and also keeps the recommit monotone.
+    def maxGen(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(coalesce(max(col("gen")).cast("long"), lit(0L))).head().getLong(0)
+    val gen = (maxGen(livePost) max maxGen(liveDl)) max
+      graft.core.GenPointer.committedOpt(idx.dir).getOrElse(0L)
     val post = livePost.withColumn("gen", lit(gen)).localCheckpoint(true)
-    val dl = liveRows(spark, idx, spark.read.parquet(idx.doclenDir))
-      .withColumn("gen", lit(gen)).localCheckpoint(true)
+    val dl = liveDl.withColumn("gen", lit(gen)).localCheckpoint(true)
     val stagePost = idx.postingsDir + "__compacting"
     val stageDl = idx.doclenDir + "__compacting"
     post.repartition(idx.numBuckets, col("bucket"))
@@ -461,7 +470,7 @@ object Retrieval {
     }
     graft.core.KillPoint("bm25.compact.stats")
     graft.core.TempDirs.deleteRecursively(java.nio.file.Paths.get(idx.tombstoneDir))
-    graft.core.GenPointer.commit(idx.dir, gen)
+    graft.core.GenPointer.commitAtLeast(idx.dir, gen)
   }
 
   private def replaceDir(src: String, dst: String): Unit =

@@ -267,6 +267,93 @@ class ChaosIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(q() == afterDel)
   }
 
+  test("BM25 compaction keeps zero-token docs: rewrite gen covers BOTH tables") {
+    // a zero-token doc emits a dl=0 doclen row + a tombstone at its batch
+    // gen but NO postings rows, so max(postings.gen) < max(doclen.gen);
+    // a rewrite gen derived from postings alone would park the doclen row
+    // BELOW its own tombstone horizon in the crash window before tombstone
+    // cleanup, and the next compact would recompute N/avgdl without it —
+    // permanently skewing every BM25 score
+    val idx = Retrieval.buildIndex(docInit.toDF("doc_id", "text"),
+      "text", "doc_id", tmp("graft_bm25_zerotok"), numBuckets = 8)
+    val zeroDoc = Seq((9000L, "")).toDF("doc_id", "text")
+    Retrieval.updateIndex(idx, zeroDoc, "text", "doc_id",
+      Seq.empty[Long].toDF("doc_id"), gen = 1L)
+    val rebuilt = Retrieval.buildIndex(
+      docInit.toDF("doc_id", "text").unionByName(zeroDoc), "text", "doc_id",
+      tmp("graft_bm25_zerotok_oracle"), numBuckets = 8)
+    def q(i: Retrieval.InvertedIndex) =
+      rows(Retrieval.bm25(spark, i, "shared corpus sentence tail", k = 10))
+    assert(q(idx) == q(rebuilt), "pre-compaction: N includes the empty doc")
+    // crash AFTER the doclen swap with the tombstones still on disk
+    killAt("bm25.compact.doclen")(Retrieval.compact(spark, idx))
+    assert(q(idx) == q(rebuilt), "crash prefix must probe identically")
+    // the re-run recomputes the corpus constants from the live dl rows
+    Retrieval.compact(spark, idx)
+    assert(q(idx) == q(rebuilt),
+      "post-compaction N/avgdl must still count the zero-token doc")
+  }
+
+  test("compaction never regresses the committed pointer (deletes-only final batch)") {
+    import graft.core.GenPointer
+    import graft.dedup.LshIndex
+    // after a deletes-only batch at gen 2 (tombstones only, zero data rows
+    // at 2) every live row sits at gen <= 1 — a compact that recommits
+    // max(live gen) would move the pointer BACK to 1, breaking the
+    // redelivered-committed-gen short-circuit
+    val extraDel = initIds.filterNot(deletedIds.contains).filter(_ % 7 == 3).take(1)
+
+    val bm = Retrieval.buildIndex(docInit.toDF("doc_id", "text"),
+      "text", "doc_id", tmp("graft_ptr_bm25"), numBuckets = 8)
+    Retrieval.updateIndex(bm, docUpserts, "text", "doc_id",
+      deletedIds.toDF("doc_id"), gen = 1L)
+    Retrieval.updateIndex(bm, docUpserts.limit(0), "text", "doc_id",
+      extraDel.toDF("doc_id"), gen = 2L)
+    Retrieval.compact(spark, bm)
+    assert(GenPointer.committed(bm.dir) == 2L, "bm25 pointer regressed")
+
+    val lsh = LshIndex.build(docInit.toDF("doc_id", "text"), "text", "doc_id",
+      tmp("graft_ptr_lsh"), threshold = 0.5, numHashes = 16, bands = 4,
+      nPartitions = 4)
+    LshIndex.applyBatch(lsh, docUpserts, "text", "doc_id",
+      deletedIds.toDF("doc_id"), gen = 1L)
+    LshIndex.applyBatch(lsh, docUpserts.limit(0), "text", "doc_id",
+      extraDel.toDF("doc_id"), gen = 2L)
+    LshIndex.compact(spark, lsh)
+    graft.ops.Caches.release()
+    assert(GenPointer.committed(lsh.dir) == 2L, "lsh pointer regressed")
+
+    val ivf = Ivf.buildIndex(vecDf(initIds), "id", "vec",
+      tmp("graft_ptr_ivf"), nCells = 4, iters = 1)
+    Ivf.updateIndex(ivf, upsertVecs, "id", "vec", deleteVecs, gen = 1L)
+    Ivf.updateIndex(ivf, upsertVecs.limit(0), "id", "vec",
+      extraDel.toDF("id"), gen = 2L)
+    Ivf.compact(spark, ivf)
+    assert(GenPointer.committed(ivf.assignDir) == 2L, "ivf pointer regressed")
+    // the short-circuit the pointer protects: redelivering gen 2 after the
+    // compact must remain a no-op (probe unchanged)
+    val after = rows(Ivf.probe(ivf, queries, "id", "vec", k = 5, nProbe = 4))
+    graft.ops.Caches.release()
+    Ivf.updateIndex(ivf, upsertVecs.limit(0), "id", "vec",
+      extraDel.toDF("id"), gen = 2L)
+    val redelivered = rows(Ivf.probe(ivf, queries, "id", "vec", k = 5, nProbe = 4))
+    graft.ops.Caches.release()
+    assert(redelivered == after, "redelivered committed gen must stay a no-op")
+
+    val init = vecDf(initIds)
+    val cents = Ivf.buildIndex(init, "id", "vec",
+      tmp("graft_ptr_pq_cents"), nCells = 4, iters = 1).centroids
+    val cbs = Pq.fixedCodebooks(init, "id", "vec", m = 4, k = 8)
+    val pqDir = tmp("graft_ptr_pq")
+    Pq.buildCodeIndex(init, "id", "vec", cents, cbs, pqDir)
+    Pq.updateCodeIndex(pqDir, cents, cbs, upsertVecs, "id", "vec",
+      deleteVecs, gen = 1L)
+    Pq.updateCodeIndex(pqDir, cents, cbs, upsertVecs.limit(0), "id", "vec",
+      extraDel.toDF("id"), gen = 2L)
+    Pq.compactCodeIndex(spark, pqDir)
+    assert(GenPointer.committed(pqDir) == 2L, "ivfpq pointer regressed")
+  }
+
   test("IVF-PQ code index: every kill point, redelivery ≡ rebuild, committed re-apply no-op") {
     val init = vecDf(initIds)
     val cents = Ivf.buildIndex(init, "id", "vec",

@@ -90,6 +90,28 @@ class Mp4Spec extends AnyFunSuite with SparkTestBase {
     assert(f0.nFrames == 0L && f0.nSampled == 0L && f0.sampledSum == 0L)
   }
 
+  test("demux: a 64-bit largesize (size0==1) box walks, truncated fails loud") {
+    val payload = Array.tabulate(400)(i => ((i * 7 + 3) % 251).toByte)
+    val blob = build(payload, dur = 99L, w = 64L, h = 48L)
+    val base = Multimodal.demuxSample(blob, stride = 1)
+    // append a trailing top-level box in the largesize form: size0==1,
+    // tag, 64-bit size 24, 8 payload bytes. Mp4.parse accepts this
+    // container, so demuxSample must too (it used to misreport it as
+    // "box 'skip' overruns" because size==1 failed the size>=8 require)
+    val ls = java.nio.ByteBuffer.allocate(24)
+      .putInt(1).put("skip".getBytes("US-ASCII")).putLong(24L)
+      .putLong(0x1122334455667788L).array()
+    val withLs = blob ++ ls
+    assert(Multimodal.Mp4.parse(withLs).nTopBoxes == 5) // parser side OK
+    val f = Multimodal.demuxSample(withLs, stride = 1)
+    assert(f.nFrames == base.nFrames && f.nSampled == base.nSampled &&
+      f.sampledSum == base.sampledSum)
+    // a truncated largesize header still fails loud, with the right message
+    val e = intercept[IllegalArgumentException](
+      Multimodal.demuxSample(blob ++ ls.take(12), stride = 1))
+    assert(e.getMessage.contains("largesize"))
+  }
+
   test("batched decode over a frame matches per-blob parses") {
     val docs = Seq((1L, "alpha"), (2L, ""), (3L, "gamma rays"))
       .toDF("doc_id", "text")

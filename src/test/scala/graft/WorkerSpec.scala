@@ -119,6 +119,18 @@ class WorkerSpec extends AnyFunSuite with SparkTestBase {
       "a busy worker must not have initialized the store")
   }
 
+  test("startup failure after lease acquisition releases the lease promptly") {
+    val (srcDir, _, storeRoot, ini) = setupDirs()
+    Seq(("a", "k1", 1.0)).toDF("id", "k", "v").write.parquet(srcDir)
+    // the provider loads AFTER the lease is held; a load failure must
+    // release the single-writer slot instead of blocking it for the full
+    // keep_alive_timeout (60s here)
+    intercept[IllegalArgumentException](
+      Worker.run(Seq("no.such.Provider", "-c", ini), Some(spark)))
+    assert(!Files.exists(Paths.get(storeRoot, "_lease")),
+      "a crashed startup must not squat the lease until expiry")
+  }
+
   test("forever mode keeps draining late-arriving batches until stopped") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
