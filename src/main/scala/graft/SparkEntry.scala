@@ -1984,6 +1984,25 @@ object SparkEntry {
       Multimodal.decodeBmp(blobs, "doc_id", "blob")
     }),
 
+    // REAL compressed-image decode — the decode seam's first COMPRESSED
+    // format (WAV/BMP/MP4 walk uncompressed containers): each doc's UTF-8
+    // bytes (whole 15-byte rows; docs under one row excluded — PNG
+    // requires positive dims) wrapped into an actual baseline PNG whose
+    // encoder cycles ALL FIVE row filters (None/Sub/Up/Average/Paeth) and
+    // splits the zlib stream across IDAT chunks, then decoded back by the
+    // pure-JVM parser (Inflater + unfilter + per-chunk CRC-32). The oracle
+    // re-derives every pixel from the text, so a decode that fails to
+    // invert the real deflate stream or any filter type hash-mismatches
+    "mm_decode_png" -> ((s, dir) => {
+      val px = t(s, dir, "documents")
+        .withColumn("__b", encode(col("text"), "UTF-8"))
+        .withColumn("__px",
+          expr("substring(__b, 1, length(__b) - pmod(length(__b), 15))"))
+        .filter(length(col("__px")) >= 15)
+      Multimodal.decodePng(
+        Multimodal.pngBlob(px, "doc_id", "__px", width = 5), "doc_id", "blob")
+    }),
+
     // REAL-pixel resize: the decoded BMP downsampled 2× in both axes by
     // nearest neighbor — the decode→transform step mm_resize only
     // imitates on raw bytes. The sampling grid reads logical rows top
@@ -5425,6 +5444,34 @@ object SparkEntry {
               CASE WHEN h > 0 THEN
                 by[((h-1)*15+1)::INT] || by[((h-1)*15+2)::INT] || by[((h-1)*15+3)::INT]
               ELSE '' END AS topleft_hex
+            FROM p"""
+      },
+      // the PNG round-trip decode: pixels are the doc's UTF-8 bytes in
+      // whole 15-byte rows (width 5 × RGB), stored TOP-DOWN, so channel
+      // c's sum is the payload bytes at positions ≡ c (mod 3) and the
+      // top-left pixel is the FIRST 3 bytes; sub-row docs are excluded
+      // (PNG requires positive dims)
+      "mm_decode_png" -> {
+        def bv(idx: String) =
+          s"((strpos('0123456789ABCDEF', substr(by[($idx)::INT], 1, 1)) - 1) * 16" +
+            s" + strpos('0123456789ABCDEF', substr(by[($idx)::INT], 2, 1)) - 1)"
+        raw"""WITH b AS (SELECT doc_id,
+                regexp_extract_all(hex(encode(text)), '..') AS by,
+                octet_length(encode(text)) AS nb FROM documents),
+            s AS (SELECT doc_id, by, (nb - nb % 15) // 15 AS h,
+                (nb - nb % 15) // 3 AS np FROM b WHERE nb >= 15),
+            p AS (SELECT doc_id, by, h, np, list_transform(range(np), p ->
+                [${bv("3*p+1")}, ${bv("3*p+2")}, ${bv("3*p+3")}]) AS px FROM s)
+            SELECT doc_id,
+              CAST(5 AS INTEGER) AS width,
+              CAST(h AS INTEGER) AS height,
+              CAST(np AS BIGINT) AS n_px,
+              CAST(list_sum(list_transform(px, q -> q[1])) AS BIGINT) AS sum_r,
+              CAST(list_sum(list_transform(px, q -> q[2])) AS BIGINT) AS sum_g,
+              CAST(list_sum(list_transform(px, q -> q[3])) AS BIGINT) AS sum_b,
+              CAST(list_aggregate(list_transform(px,
+                q -> q[1] + q[2] + q[3]), 'max') AS BIGINT) AS max_px,
+              by[1] || by[2] || by[3] AS topleft_hex
             FROM p"""
       },
       // the real-pixel 2× resize: logical pixel (r, c) of the output reads

@@ -284,6 +284,42 @@ object Multimodal {
         "max_px", "topleft_hex")
   }
 
+  /** Wrap raw RGB bytes into a REAL baseline PNG ([[Png.encode]]): row
+    * filters cycling all five types, zlib IDAT split across chunks,
+    * CRC-32 per chunk. Unlike [[bmpBlob]] this is a `mapPartitions` seam,
+    * not a Column expression — a Deflater stream is genuinely outside
+    * Catalyst's expression algebra (same justification as the decode
+    * side). Input rows must carry a payload that is a positive whole
+    * number of 3·`width`-byte rows; callers truncate and filter. */
+  def pngBlob(df: DataFrame, idCol: String, rgbCol: String,
+              width: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    graft.ops.Par.ensure(df.select(col(idCol).cast("long"), col(rgbCol)))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, rgb) => (id, Png.encode(rgb, width)) })
+      .toDF(idCol, "blob")
+  }
+
+  /** Batched REAL PNG decode: inflate + unfilter + exact integer channel
+    * statistics per blob — (id, width, height, n_px, sum_r, sum_g, sum_b,
+    * max_px, topleft_hex). PNG stores rows top-down, so topleft_hex is the
+    * FIRST pixel (the orientation twin of BMP's bottom-up witness). Same
+    * mapPartitions shape as [[decodeBmp]]. */
+  def decodePng(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    graft.ops.Par.ensure(df.select(col(idCol).cast("long"), col(blobCol)))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, blob) =>
+        val p = Png.parse(blob)
+        (id, p.width, p.height, p.nPixels, p.sumR, p.sumG, p.sumB,
+          p.maxPx, p.topLeftHex)
+      })
+      .toDF(idCol, "width", "height", "n_px", "sum_r", "sum_g", "sum_b",
+        "max_px", "topleft_hex")
+  }
+
   /** Wrap a raw BGR byte column into a REAL bottom-up 24-bit BMP container
     * as pure expressions (the image twin of [[wavBlob]]): BITMAPFILEHEADER
     * + BITMAPINFOHEADER + the pixel array with each 3·`width`-byte row

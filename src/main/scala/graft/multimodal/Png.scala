@@ -1,0 +1,249 @@
+package graft.multimodal
+
+import java.util.zip.{CRC32, Deflater, Inflater}
+
+/** Pure-JVM baseline PNG codec — the decode seam's first COMPRESSED
+  * format (WAV/BMP/MP4 all walk uncompressed containers; real crawl data
+  * is PNG/JPEG). Dependency-free: `java.util.zip` supplies the zlib
+  * stream, everything else — chunk grammar, CRC-32 per chunk, the five
+  * row filters including Paeth — is implemented here.
+  *
+  * Scope is strict, like the other decoders (Multimodal.scala:89/152/390):
+  * 8-bit truecolor (color type 2), compression 0, filter method 0,
+  * non-interlaced. Anything else — interlace 1 (Adam7), palette, alpha,
+  * 16-bit depth — throws loudly rather than faking a decode. The encoder
+  * deliberately cycles ALL FIVE filter types across rows and splits large
+  * IDAT payloads into multiple chunks, so every decoder path (unfilter
+  * types 0-4, cross-chunk zlib concatenation, per-chunk CRC checks) is
+  * exercised by every round-tripped document, and the DuckDB oracle
+  * cross-checks the decoded pixels against the payload bytes it re-derives
+  * from the source text — a decoder that failed to invert the real
+  * Deflater stream or mis-unfiltered any row type hash-mismatches. */
+object Png {
+
+  val Signature: Array[Byte] =
+    Array(0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+
+  /** Exact integer statistics over the decoded RGB pixels. PNG is stored
+    * top-down, so `topLeftHex` is the FIRST pixel's 3 bytes (R,G,B) —
+    * the orientation twin of BMP's bottom-up witness. */
+  final case class PngInfo(
+      width: Int, height: Int, nPixels: Long,
+      sumR: Long, sumG: Long, sumB: Long,
+      maxPx: Long, // max over pixels of (R + G + B)
+      topLeftHex: String)
+
+  private val Bpp = 3 // bytes per pixel: 8-bit RGB
+
+  private def crcOf(typ: Array[Byte], data: Array[Byte], off: Int,
+                    len: Int): Long = {
+    val c = new CRC32
+    c.update(typ)
+    c.update(data, off, len)
+    c.getValue
+  }
+
+  private def beU32(v: Long): Array[Byte] =
+    Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+
+  private def chunk(typ: String, data: Array[Byte], off: Int = 0,
+                    len: Int = -1): Array[Byte] = {
+    val n = if (len < 0) data.length else len
+    val t = typ.getBytes("US-ASCII")
+    beU32(n.toLong) ++ t ++ data.slice(off, off + n) ++
+      beU32(crcOf(t, data, off, n))
+  }
+
+  /** Paeth predictor (PNG spec §9.4) — exact reference arithmetic. */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Encode raw RGB bytes (`rgb.length % (3*width) == 0`, at least one
+    * row) as a REAL baseline PNG. Row `r` uses filter type `r % 5`, so a
+    * multi-row image exercises None/Sub/Up/Average/Paeth; the deflated
+    * stream splits into IDAT chunks of at most `idatChunk` bytes. */
+  def encode(rgb: Array[Byte], width: Int, idatChunk: Int = 4096): Array[Byte] = {
+    require(width > 0, "width must be positive")
+    val rowBytes = Bpp * width
+    require(rgb.length > 0 && rgb.length % rowBytes == 0,
+      s"payload must be a positive whole number of $rowBytes-byte rows")
+    val height = rgb.length / rowBytes
+
+    // filter rows: 1 type byte + rowBytes filtered bytes per row
+    val filtered = new Array[Byte](height * (1 + rowBytes))
+    var r = 0
+    while (r < height) {
+      val t = r % 5
+      val base = r * rowBytes
+      val out = r * (1 + rowBytes)
+      filtered(out) = t.toByte
+      var x = 0
+      while (x < rowBytes) {
+        val raw = rgb(base + x) & 0xff
+        val left = if (x >= Bpp) rgb(base + x - Bpp) & 0xff else 0
+        val up = if (r > 0) rgb(base - rowBytes + x) & 0xff else 0
+        val ul = if (r > 0 && x >= Bpp) rgb(base - rowBytes + x - Bpp) & 0xff else 0
+        val pred = t match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 => paeth(left, up, ul)
+        }
+        filtered(out + 1 + x) = ((raw - pred) & 0xff).toByte
+        x += 1
+      }
+      r += 1
+    }
+
+    // zlib-deflate the filtered stream
+    val defl = new Deflater()
+    defl.setInput(filtered)
+    defl.finish()
+    val zbuf = new java.io.ByteArrayOutputStream(filtered.length / 2 + 64)
+    val tmp = new Array[Byte](8192)
+    while (!defl.finished()) {
+      val n = defl.deflate(tmp)
+      zbuf.write(tmp, 0, n)
+    }
+    defl.end()
+    val z = zbuf.toByteArray
+
+    val ihdr = beU32(width.toLong) ++ beU32(height.toLong) ++
+      Array[Byte](8, 2, 0, 0, 0) // depth 8, truecolor, deflate, adaptive, no interlace
+    val out = new java.io.ByteArrayOutputStream(z.length + 128)
+    out.write(Signature)
+    out.write(chunk("IHDR", ihdr))
+    var off = 0
+    while (off < z.length) { // multiple IDATs: consumers must concatenate
+      val n = math.min(idatChunk, z.length - off)
+      out.write(chunk("IDAT", z, off, n))
+      off += n
+    }
+    out.write(chunk("IEND", Array.emptyByteArray))
+    out.toByteArray
+  }
+
+  /** Parse + fully decode a baseline PNG: walk the chunk stream verifying
+    * every CRC, inflate the concatenated IDAT payload, reverse the per-row
+    * filter, and return exact channel statistics. Strict on everything the
+    * baseline contract promises: bad signature, CRC mismatch, interlace,
+    * non-8-bit, non-truecolor, truncated or oversized IDAT, and a missing
+    * IEND all throw with a named reason. */
+  def parse(blob: Array[Byte]): PngInfo = {
+    require(blob.length >= Signature.length + 12, "not a PNG: too short")
+    var i = 0
+    while (i < Signature.length) {
+      require(blob(i) == Signature(i), "not a PNG: bad signature")
+      i += 1
+    }
+    def u32(o: Int): Long = (blob(o) & 0xffL) << 24 | (blob(o + 1) & 0xffL) << 16 |
+      (blob(o + 2) & 0xffL) << 8 | (blob(o + 3) & 0xffL)
+
+    var off = Signature.length
+    var width = -1; var height = -1
+    val idat = new java.io.ByteArrayOutputStream()
+    var sawIhdr = false; var sawIend = false
+    val total = blob.length.toLong
+    while (!sawIend) {
+      require(off + 12 <= total, "truncated chunk header")
+      val len = u32(off)
+      val typ = new String(blob, off + 4, 4, "US-ASCII")
+      require(len <= total - off - 12, s"chunk '$typ' overruns the blob")
+      val dataOff = off + 8
+      val n = len.toInt
+      val crc = u32(dataOff + n)
+      require(crc == crcOf(blob.slice(off + 4, off + 8), blob, dataOff, n),
+        s"chunk '$typ': CRC mismatch")
+      typ match {
+        case "IHDR" =>
+          require(!sawIhdr, "duplicate IHDR")
+          require(n == 13, "IHDR must be 13 bytes")
+          val w = u32(dataOff); val h = u32(dataOff + 4)
+          require(w >= 1 && w <= Int.MaxValue / 8, s"width $w out of range")
+          require(h >= 1 && h <= Int.MaxValue / 8, s"height $h out of range")
+          require(blob(dataOff + 8) == 8, "only 8-bit depth supported")
+          require(blob(dataOff + 9) == 2,
+            s"only truecolor (type 2) supported, got ${blob(dataOff + 9)}")
+          require(blob(dataOff + 10) == 0, "unknown compression method")
+          require(blob(dataOff + 11) == 0, "unknown filter method")
+          require(blob(dataOff + 12) == 0,
+            "interlaced (Adam7) PNG not supported")
+          width = w.toInt; height = h.toInt
+          sawIhdr = true
+        case "IDAT" =>
+          require(sawIhdr, "IDAT before IHDR")
+          idat.write(blob, dataOff, n)
+        case "IEND" =>
+          require(n == 0, "IEND must be empty")
+          sawIend = true
+        case _ => () // ancillary chunks skip by size (CRC still checked)
+      }
+      off = dataOff + n + 4
+    }
+    require(sawIhdr, "missing IHDR")
+    require(idat.size > 0, "missing IDAT")
+
+    // inflate to EXACTLY height * (1 + 3*width) bytes
+    val rowBytes = Bpp * width
+    val expected = height.toLong * (1L + rowBytes)
+    require(expected <= Int.MaxValue, "image too large")
+    val filtered = new Array[Byte](expected.toInt)
+    val infl = new Inflater()
+    infl.setInput(idat.toByteArray)
+    var got = 0
+    while (got < filtered.length && !infl.finished()) {
+      val n = infl.inflate(filtered, got, filtered.length - got)
+      require(n > 0 || infl.finished(), "truncated IDAT stream")
+      got += n
+    }
+    val over = new Array[Byte](1)
+    require(infl.finished() || infl.inflate(over) == 0,
+      "IDAT inflates past the declared geometry")
+    infl.end()
+    require(got == filtered.length,
+      s"IDAT inflates to $got bytes, geometry needs ${filtered.length}")
+
+    // unfilter + statistics in one pass; `raw` keeps the previous row
+    val cur = new Array[Int](rowBytes)
+    val prev = new Array[Int](rowBytes)
+    var nPx = 0L; var sr = 0L; var sg = 0L; var sb = 0L; var mx = 0L
+    var topLeftHex = ""
+    var r = 0
+    while (r < height) {
+      val base = r * (1 + rowBytes)
+      val t = filtered(base) & 0xff
+      require(t <= 4, s"row $r: unknown filter type $t")
+      var x = 0
+      while (x < rowBytes) {
+        val f = filtered(base + 1 + x) & 0xff
+        val left = if (x >= Bpp) cur(x - Bpp) else 0
+        val up = if (r > 0) prev(x) else 0
+        val ul = if (r > 0 && x >= Bpp) prev(x - Bpp) else 0
+        val pred = t match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 => paeth(left, up, ul)
+        }
+        cur(x) = (f + pred) & 0xff
+        x += 1
+      }
+      if (r == 0) topLeftHex = f"${cur(0)}%02X${cur(1)}%02X${cur(2)}%02X"
+      var p = 0
+      while (p < width) {
+        val red = cur(3 * p); val green = cur(3 * p + 1); val blue = cur(3 * p + 2)
+        nPx += 1; sr += red; sg += green; sb += blue
+        val px = (red + green + blue).toLong; if (px > mx) mx = px
+        p += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, rowBytes)
+      r += 1
+    }
+    PngInfo(width, height, nPx, sr, sg, sb, mx, topLeftHex)
+  }
+}
