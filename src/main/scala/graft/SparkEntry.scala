@@ -2003,6 +2003,23 @@ object SparkEntry {
         Multimodal.pngBlob(px, "doc_id", "__px", width = 5), "doc_id", "blob")
     }),
 
+    // REAL baseline JPEG decode — the seam's second compressed format.
+    // JPEG is lossy, so the fixture encoder emits DC-ONLY grayscale
+    // blocks whose dequantized DC is (b-128)*8 for payload byte b: the
+    // IDCT of such a block is EXACTLY flat at b (zero rounding error), so
+    // the oracle recomputes every pixel from the text while the decoder
+    // still runs the full real pipeline — segment walk, canonical Huffman
+    // from DHT, byte-unstuffing, DC prediction with sign extension,
+    // zigzag dequantization, 2-D IDCT. One block per byte (width 8,
+    // height 8n); payloads truncate to 2048 bytes, empty docs excluded
+    "mm_decode_jpeg" -> ((s, dir) => {
+      val px = t(s, dir, "documents")
+        .withColumn("__b", expr("substring(encode(text, 'UTF-8'), 1, 2048)"))
+        .filter(length(col("__b")) >= 1)
+      Multimodal.decodeJpeg(
+        Multimodal.jpegBlob(px, "doc_id", "__b"), "doc_id", "blob")
+    }),
+
     // REAL-pixel resize: the decoded BMP downsampled 2× in both axes by
     // nearest neighbor — the decode→transform step mm_resize only
     // imitates on raw bytes. The sampling grid reads logical rows top
@@ -5473,6 +5490,31 @@ object SparkEntry {
                 q -> q[1] + q[2] + q[3]), 'max') AS BIGINT) AS max_px,
               by[1] || by[2] || by[3] AS topleft_hex
             FROM p"""
+      },
+      // the JPEG round-trip decode: each payload byte (first 2048 of the
+      // doc's UTF-8) becomes one flat 8×8 block of exactly that value, so
+      // every statistic is 64× the payload-byte statistic and the top-left
+      // pixel is the first byte
+      "mm_decode_jpeg" -> {
+        raw"""WITH b AS (SELECT doc_id,
+                regexp_extract_all(substr(hex(encode(text)), 1, 4096), '..') AS by
+                FROM documents WHERE octet_length(encode(text)) >= 1),
+            v AS (SELECT doc_id, by, list_transform(by, h ->
+                (strpos('0123456789ABCDEF', substr(h, 1, 1)) - 1) * 16
+                + strpos('0123456789ABCDEF', substr(h, 2, 1)) - 1) AS bv
+              FROM b),
+            s AS (SELECT doc_id, by, bv, len(bv) AS n FROM v)
+            SELECT doc_id,
+              CAST(8 AS INTEGER) AS width,
+              CAST(8 * n AS INTEGER) AS height,
+              CAST(64 * n AS BIGINT) AS n_px,
+              CAST(64 * list_sum(bv) AS BIGINT) AS sum_px,
+              CAST(64 * list_sum(list_transform(bv, x -> x * x)) AS BIGINT)
+                AS sum_sq,
+              CAST(list_aggregate(bv, 'max') AS INTEGER) AS max_px,
+              CAST(list_aggregate(bv, 'min') AS INTEGER) AS min_px,
+              by[1] AS topleft_hex
+            FROM s"""
       },
       // the real-pixel 2× resize: logical pixel (r, c) of the output reads
       // original (2r, 2c); original logical row R is stored bottom-up at

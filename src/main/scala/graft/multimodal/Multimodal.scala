@@ -320,6 +320,36 @@ object Multimodal {
         "max_px", "topleft_hex")
   }
 
+  /** Wrap payload bytes into a REAL baseline grayscale JFIF stream
+    * ([[Jpeg.encodeGray]]): one DC-only 8×8 block per byte, canonical
+    * Huffman DHT, byte-stuffed entropy scan. `mapPartitions` seam like
+    * [[pngBlob]] — an entropy coder is not a Catalyst expression. */
+  def jpegBlob(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    graft.ops.Par.ensure(df.select(col(idCol).cast("long"), col(payloadCol)))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) => (id, Jpeg.encodeGray(p)) })
+      .toDF(idCol, "blob")
+  }
+
+  /** Batched REAL JPEG decode: Huffman + DC prediction + dequant + full
+    * IDCT per block, exact integer statistics per blob — (id, width,
+    * height, n_px, sum_px, sum_sq, max_px, min_px, topleft_hex). */
+  def decodeJpeg(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    graft.ops.Par.ensure(df.select(col(idCol).cast("long"), col(blobCol)))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, blob) =>
+        val j = Jpeg.parse(blob)
+        (id, j.width, j.height, j.nPixels, j.sumPx, j.sumSq, j.maxPx,
+          j.minPx, j.topLeftHex)
+      })
+      .toDF(idCol, "width", "height", "n_px", "sum_px", "sum_sq",
+        "max_px", "min_px", "topleft_hex")
+  }
+
   /** Wrap a raw BGR byte column into a REAL bottom-up 24-bit BMP container
     * as pure expressions (the image twin of [[wavBlob]]): BITMAPFILEHEADER
     * + BITMAPINFOHEADER + the pixel array with each 3·`width`-byte row
