@@ -419,6 +419,92 @@ object SparkEntry {
         .select(col("id"), hex(col("payload")).as("blob_hex"))
     }),
 
+    // B20: dict-subpath subresource PUT — the STRUCT twin of b19
+    // (`update_subresource`, clients/qvarn.py:184-191): three (type, id,
+    // subresource)-addressed side-document writes against a revision-
+    // tracked store (CAS-before-mutation, payload + revision bump in ONE
+    // manifest swap), a deliberately STALE fourth write that must raise
+    // WriteConflict (the 409), a PUT to a missing id that must raise
+    // NoSuchResource (the 404 — a subresource PUT never creates), then
+    // the readback of the written side-documents THROUGH the URL search
+    // surface. The oracle re-derives the payloads from the source rows.
+    "b20_subresource_put" -> ((s, dir) => {
+      import graft.incr.{BucketedRun, BucketedStateStore}
+      val cust = t(s, dir, "customer")
+      val src = cust.select(col("c_custkey").cast("string").as("id"),
+        struct(col("c_nationkey").cast("long").as("nation"),
+          concat(lit("c"), col("c_custkey"), lit("@example.com")).as("email"))
+          .as("contact_info"))
+      val emptySeq = s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(graft.core.MrSchema.SourceType,
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField(graft.core.MrSchema.SourceId,
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("seq",
+            org.apache.spark.sql.types.LongType))))
+      val store = new BucketedStateStore(graft.core.TempDirs.register(
+        java.nio.file.Files.createTempDirectory("graft_b20")).toString, 16)
+      store.initialize(Map(
+        "customer" -> (src, "id"),
+        BucketedRun.SeqTable -> (emptySeq, graft.core.MrSchema.SourceId)))
+      // the new side-documents are a deterministic function of the source
+      val ids = Seq("1", "7", "20")
+      val nations = cust.filter(col("c_custkey").isin(1L, 7L, 20L))
+        .select(col("c_custkey").cast("string"), col("c_nationkey").cast("long"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      var batch = 1L
+      for (id <- ids) {
+        val json = s"""{"nation": ${nations(id) * 100 + id.toLong}, """ +
+          s""""email": "updated-$id@example.org"}"""
+        BucketedRun.putSubresource(s, store, "customer", id, "contact_info",
+          json, expectedSeq = 0L, newSeq = 1L, batchId = batch, idCol = "id")
+        batch += 1
+      }
+      // the 409: a stale revision must conflict and leave the store intact
+      val conflicted =
+        try {
+          BucketedRun.putSubresource(s, store, "customer", "1", "contact_info",
+            """{"nation": 0, "email": "stale"}""",
+            expectedSeq = 0L, newSeq = 2L, batchId = batch, idCol = "id")
+          false
+        } catch { case _: BucketedRun.WriteConflict => true }
+      require(conflicted, "stale-revision putSubresource must raise WriteConflict")
+      batch += 1
+      // the 404: a subresource PUT never creates the parent document
+      val missing =
+        try {
+          BucketedRun.putSubresource(s, store, "customer", "99999999",
+            "contact_info", """{"nation": 1, "email": "ghost"}""",
+            expectedSeq = 0L, newSeq = 1L, batchId = batch, idCol = "id")
+          false
+        } catch { case _: BucketedRun.NoSuchResource => true }
+      require(missing, "putSubresource to a missing id must raise NoSuchResource")
+      // readback through the URL search surface (b17's read path)
+      val table = store.table(s, "customer")
+      ids.map(id => QvarnUrl.parse(table,
+          s"/customer/search/exact/id/$id/show/contact_info", idField = "id")
+          .result())
+        .reduce(_ unionByName _)
+        .withColumn("contact_info", to_json(col("contact_info")))
+    }),
+
+    // B21: batch subresource fan-out read (`get_multiple_subresources`,
+    // clients/qvarn.py:139-142) — N point GETs of /<type>/<id>/<sub>
+    // batched as one pruned scan + one stitch join: ids 3 and 21 have no
+    // side-document (null struct), 999999 is absent from the parent
+    // entirely (no row — the per-id 404)
+    "b21_multiget_sub" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val side = cust.filter(col("c_custkey") % 3 =!= 0)
+        .select(col("c_custkey").as("id"), col("c_nationkey").as("nation"),
+          concat(lit("c"), col("c_custkey"), lit("@example.com")).as("email"))
+      QvarnUrl.multigetSubresource(cust, side, "contact_info",
+          Seq("1", "2", "3", "10", "21", "999999"), idField = "c_custkey")
+        .withColumn("contact_info", to_json(col("contact_info")))
+    }),
+
     // Notification-queue introspection (listeners.py:37-40,
     // tests/test_notifications.py:19-77): the A18 retry ledger as a
     // queryable frame — pending retries with their backoff-gate timestamps
@@ -4219,6 +4305,27 @@ object SparkEntry {
         """SELECT CAST(doc_id AS VARCHAR) AS id,
            hex(encode(upper(text) || '!')) AS blob_hex FROM documents
            WHERE doc_id IN (0, 50, 100)""",
+      // the written side-document is {nation*100+id, 'updated-<id>@…'} by
+      // construction; the CAS conflict, the 404, and the manifest swap
+      // have no tabular trace — the URL-surface readback IS the evidence
+      "b20_subresource_put" ->
+        """SELECT CAST(c_custkey AS VARCHAR) AS id,
+           to_json({'nation': c_nationkey * 100 + c_custkey,
+                    'email': 'updated-' || c_custkey || '@example.org'
+                   })::VARCHAR AS contact_info
+           FROM customer WHERE c_custkey IN (1, 7, 20)""",
+      "b21_multiget_sub" ->
+        """SELECT c.c_custkey,
+             CASE WHEN s.id IS NULL THEN NULL
+               ELSE to_json({'nation': s.nation,
+                             'email': s.email})::VARCHAR END AS contact_info
+           FROM customer c
+           LEFT JOIN (SELECT c_custkey AS id, c_nationkey AS nation,
+                        'c' || c_custkey || '@example.com' AS email
+                      FROM customer WHERE c_custkey % 3 <> 0) s
+             ON c.c_custkey = s.id
+           WHERE CAST(c.c_custkey AS VARCHAR)
+             IN ('1', '2', '3', '10', '21', '999999')""",
       // re-derives the constructed retry-ledger state: batch 1 (t=1000)
       // fails m%3!=0 -> pending(retries=0); batch 2 (t=2000, all gates
       // open at 1250) clears odd m, even m burn a retry (retries=1, gate

@@ -891,11 +891,54 @@ object BucketedRun {
   def putBlob(spark: org.apache.spark.sql.SparkSession, store: BucketedStateStore,
               resourceType: String, resourceId: String, subresource: String,
               blob: Array[Byte], expectedSeq: Long, newSeq: Long,
-              batchId: Long, idCol: String = "id"): Unit = {
+              batchId: Long, idCol: String = "id"): Unit =
+    putColumn(spark, store, resourceType, resourceId, subresource,
+      expectedSeq, newSeq, batchId, idCol,
+      dt => require(dt == org.apache.spark.sql.types.BinaryType,
+        s"blob subresource '$subresource' must be a binary column, got " +
+          dt.simpleString),
+      _ => lit(blob))
+
+  /** Dict-subpath subresource PUT — the STRUCT twin of [[putBlob]]
+    * (`update_subresource`, clients/qvarn.py:184-191: the side-document
+    * flavor, e.g. `persons/<id>/private`): writes `payloadJson` parsed
+    * against the `subresource` STRUCT column's own schema into the
+    * addressed row, under the identical contract — CAS before any
+    * mutation (the 409), 404 never creates, payload + revision bump in
+    * ONE manifest swap, replayed committed batchIds are no-ops. FAILFAST
+    * parsing: a malformed payload throws instead of silently nulling the
+    * side-document. */
+  def putSubresource(spark: org.apache.spark.sql.SparkSession,
+                     store: BucketedStateStore,
+                     resourceType: String, resourceId: String,
+                     subresource: String, payloadJson: String,
+                     expectedSeq: Long, newSeq: Long,
+                     batchId: Long, idCol: String = "id"): Unit =
+    putColumn(spark, store, resourceType, resourceId, subresource,
+      expectedSeq, newSeq, batchId, idCol,
+      dt => require(dt.isInstanceOf[org.apache.spark.sql.types.StructType],
+        s"dict subresource '$subresource' must be a struct column, got " +
+          dt.simpleString),
+      dt => from_json(lit(payloadJson),
+        dt.asInstanceOf[org.apache.spark.sql.types.StructType],
+        Map("mode" -> "FAILFAST")))
+
+  /** Shared (type, id, subresource)-addressed column write: the CAS check,
+    * the 404, the bucket-scoped point IO, and the single manifest swap are
+    * identical for blob and dict subresources — only the column-type
+    * validation and the replacement value differ. */
+  private def putColumn(spark: org.apache.spark.sql.SparkSession,
+                        store: BucketedStateStore,
+                        resourceType: String, resourceId: String,
+                        subresource: String, expectedSeq: Long, newSeq: Long,
+                        batchId: Long, idCol: String,
+                        validateType: org.apache.spark.sql.types.DataType => Unit,
+                        newValue: org.apache.spark.sql.types.DataType =>
+                          org.apache.spark.sql.Column): Unit = {
     import spark.implicits._
     if (store.committedBatch.exists(_ >= batchId)) return
     require(store.tableNames.contains(SeqTable),
-      s"putBlob requires a revision-tracking store (no $SeqTable table)")
+      s"subresource PUT requires a revision-tracking store (no $SeqTable table)")
     require(store.tableNames.contains(resourceType),
       s"no such table '$resourceType' in the store")
     graft.core.BatchConf.withBatchTuning(spark) {
@@ -919,17 +962,16 @@ object BucketedRun {
           s"table '$resourceType' needs columns '$idCol' and '$subresource'")
         require(rows.schema(idCol).dataType ==
           org.apache.spark.sql.types.StringType,
-          s"putBlob addresses STRING-keyed tables; '$idCol' is " +
+          s"subresource PUT addresses STRING-keyed tables; '$idCol' is " +
             rows.schema(idCol).dataType.simpleString)
-        require(rows.schema(subresource).dataType ==
-          org.apache.spark.sql.types.BinaryType,
-          s"blob subresource '$subresource' must be a binary column, got " +
-            rows.schema(subresource).dataType.simpleString)
+        validateType(rows.schema(subresource).dataType)
         if (rows.filter(col(idCol) === resourceId).isEmpty)
           throw NoSuchResource(resourceType, resourceId)
 
         val updated = rows.withColumn(subresource,
-          when(col(idCol) === resourceId, lit(blob)).otherwise(col(subresource)))
+          when(col(idCol) === resourceId,
+            newValue(rows.schema(subresource).dataType))
+            .otherwise(col(subresource)))
         store.stageBuckets(resourceType, Set(db), updated, batchId, idCol)
 
         val bumped = seqRows

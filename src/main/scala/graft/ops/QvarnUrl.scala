@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, struct}
 
 /** The Qvarn search STRING front ends — the reference's entire user-facing
   * query surface — parsed onto the [[QvarnSearch]] combinators.
@@ -158,6 +159,26 @@ object QvarnUrl {
     QvarnSearch(df, idField)
       .urlCond("exact", idField, parts(parts.length - 2))
       .blob(parts.last)
+  }
+
+  /** Batch subresource fan-out read — `get_multiple_subresources(resource,
+    * subresource, ids)` (clients/qvarn.py:139-142): the client's N
+    * parallel point GETs of `/<type>/<id>/<subresource>`, batched as ONE
+    * id-pruned scan + ONE broadcastable stitch join instead of N round
+    * trips. Ids absent from the parent return no row (the per-id 404);
+    * parents without a side-document carry a NULL struct — the same
+    * conventions as [[QvarnSearch.withSubresource]], whose struct
+    * construction this reuses. Returns `(idField, <subresource>)`. */
+  def multigetSubresource(df: DataFrame, side: DataFrame, subresource: String,
+                          ids: Seq[String], idField: String = "id",
+                          sideIdCol: String = "id"): DataFrame = {
+    val parents = df.filter(col(idField).cast("string").isin(ids: _*))
+      .select(col(idField))
+    val payload = struct(side.columns.toSeq.filterNot(_ == sideIdCol).map(col): _*)
+    parents.join(
+        side.select(col(sideIdCol).as("__sub_id"), payload.as(subresource)),
+        col(idField) === col("__sub_id"), "left")
+      .drop("__sub_id")
   }
 
   /** The client's Django-style keyword search (clients/qvarn.py:211-273):

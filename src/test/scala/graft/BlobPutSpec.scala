@@ -100,6 +100,78 @@ class BlobPutSpec extends AnyFunSuite with SparkTestBase {
     assert(revisions(store) == Map("a" -> 1L))
   }
 
+  // ---- dict-subpath PUT (putSubresource) — the STRUCT twin -------------
+
+  private def newStructStore(): BucketedStateStore = {
+    val store = new BucketedStateStore(
+      Files.createTempDirectory("graft_sub").toString, 8)
+    val docs = Seq(("a", 10L, "a@old"), ("b", 20L, "b@old"))
+      .toDF("id", "nation", "email")
+      .select(col("id"),
+        struct(col("nation"), col("email")).as("private"))
+    val emptySeq = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField(MrSchema.SourceType, StringType),
+        StructField(MrSchema.SourceId, StringType),
+        StructField("seq", LongType))))
+    store.initialize(Map(
+      "persons" -> (docs: DataFrame, "id"),
+      BucketedRun.SeqTable -> (emptySeq: DataFrame, MrSchema.SourceId)))
+    store
+  }
+
+  private def sideDocs(store: BucketedStateStore): Map[String, (Long, String)] =
+    store.table(spark, "persons")
+      .select(col("id"), col("private.nation"), col("private.email"))
+      .as[(String, Long, String)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+
+  test("putSubresource: CAS, 404-never-creates, one-swap commit, replay no-op") {
+    val store = newStructStore()
+    BucketedRun.putSubresource(spark, store, "persons", "a", "private",
+      """{"nation": 99, "email": "a@new"}""",
+      expectedSeq = 0L, newSeq = 1L, batchId = 1L)
+    assert(sideDocs(store) == Map("a" -> ((99L, "a@new")), "b" -> ((20L, "b@old"))))
+    assert(revisions(store) == Map("a" -> 1L))
+    // stale revision: 409 and NOTHING mutates
+    val before = (sideDocs(store), revisions(store), store.committedBatch)
+    val ex = intercept[BucketedRun.WriteConflict] {
+      BucketedRun.putSubresource(spark, store, "persons", "a", "private",
+        """{"nation": 0, "email": "stale"}""",
+        expectedSeq = 0L, newSeq = 2L, batchId = 2L)
+    }
+    assert(ex.conflicts == Seq(("persons", "a", 0L, 1L)))
+    assert((sideDocs(store), revisions(store), store.committedBatch) == before)
+    // 404: a subresource PUT never creates the parent
+    intercept[BucketedRun.NoSuchResource] {
+      BucketedRun.putSubresource(spark, store, "persons", "ghost", "private",
+        """{"nation": 1, "email": "x"}""",
+        expectedSeq = 0L, newSeq = 1L, batchId = 2L)
+    }
+    assert(sideDocs(store).keySet == Set("a", "b"))
+    // replay of the committed batch id: no-op, never reaches the CAS
+    BucketedRun.putSubresource(spark, store, "persons", "a", "private",
+      """{"nation": 99, "email": "a@new"}""",
+      expectedSeq = 0L, newSeq = 1L, batchId = 1L)
+    assert(sideDocs(store)("a") == ((99L, "a@new")))
+    assert(revisions(store) == Map("a" -> 1L))
+  }
+
+  test("putSubresource contract: malformed payload and non-struct column fail loud") {
+    val store = newStructStore()
+    // FAILFAST: a malformed payload must throw, not null the side-document
+    intercept[Exception] {
+      BucketedRun.putSubresource(spark, store, "persons", "a", "private",
+        """{"nation": not-json""",
+        expectedSeq = 0L, newSeq = 1L, batchId = 1L)
+    }
+    assert(sideDocs(store)("a") == ((10L, "a@old")), "failed PUT must not mutate")
+    intercept[IllegalArgumentException] { // id is not a struct column
+      BucketedRun.putSubresource(spark, store, "persons", "a", "id",
+        """{"x": 1}""", expectedSeq = 0L, newSeq = 1L, batchId = 1L)
+    }
+  }
+
   test("contract violations fail loud: revision regression, non-binary column") {
     val store = newStore()
     BucketedRun.putBlob(spark, store, "documents", "a", "payload",
