@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Recorded realistic-vocabulary bench lane — the per-round companion to
+  * [[Bench]] (which runs the driver fixtures, whose 31 distinct words
+  * cannot regress any vocab-scale path). Runs the [[ZipfCorpus]] probe
+  * set at a FIXED size (30k docs, 120k-word Zipfian vocabulary, ~113k
+  * distinct words realized) and prints ONE JSON line with per-stage
+  * best-of-N seconds plus the invariant check values (distinct words,
+  * Viterbi/greedy token totals, heavy-hitter count, near-dup pairs) so a
+  * silent output regression is as visible as a slowdown. The line is also
+  * written to BENCH_ZIPF.json for the round record.
+  *
+  * Stages: corpus generate+write, distinct-word count, Unigram learn +
+  * Viterbi/greedy encode, greedy-ids + packing, BPE learn + encode,
+  * Misra-Gries heavy hitters, BM25 build + query, MinHash near-dup pairs
+  * — the paths whose scaling exponents the round-8 probes established
+  * (PLANS.md): vocab-scale stages flat, corpus-linear stages linear,
+  * BM25 probe near-flat. */
+object BenchZipf {
+  def main(args: Array[String]): Unit = {
+    val nDocs = if (args.length > 0) args(0).toLong else 30000L
+    val vocab = if (args.length > 1) args(1).toInt else 120000
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val checks = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    def once[A](label: String)(body: => A): A = {
+      val t0 = System.nanoTime()
+      val r = body
+      times(label) = (System.nanoTime() - t0) / 1e9
+      r
+    }
+    def best[A](label: String, n: Int)(body: => A): A = {
+      var out: Option[A] = None
+      var bestT = Double.MaxValue
+      var i = 0
+      while (i < n) {
+        val t0 = System.nanoTime()
+        out = Some(body)
+        bestT = math.min(bestT, (System.nanoTime() - t0) / 1e9)
+        i += 1
+      }
+      times(label) = bestT
+      out.get
+    }
+
+    val dir = graft.core.TempDirs.register(
+      java.nio.file.Files.createTempDirectory("graft_benchzipf")).toString
+    once("gen_write") {
+      ZipfCorpus.corpus(spark, nDocs, vocab)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    }
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+
+    val wc = graft.text.Bpe.wordCounts(docs, "text")
+    checks("distinct_words") = once("distinct_words")(wc.count())
+
+    val uvocab = once("unigram_learn")(
+      graft.text.Unigram.learnFromCounts(wc, vocabMulti = 8192))
+    checks("inventory_size") = uvocab.size.toLong
+    checks("viterbi_tokens") = best("unigram_viterbi_encode", 2) {
+      graft.text.Unigram.encodedLength(docs, "text", "doc_id", uvocab)
+        .agg(sum(col("n_tokens"))).head().getLong(0)
+    }
+    checks("greedy_tokens") = best("wordpiece_greedy_encode", 2) {
+      graft.text.Unigram.encodedLengthGreedy(docs, "text", "doc_id", uvocab)
+        .agg(sum(col("n_tokens"))).head().getLong(0)
+    }
+    checks("packed_seqs") = best("greedy_ids_pack", 2) {
+      val gids = graft.text.Unigram.greedyIds(docs, "text", "doc_id", uvocab)
+      graft.text.Pack.packTokenIds(gids, "doc_id", "ids",
+        seqLen = 2048, nShards = 32, eosId = 0).count()
+    }
+
+    val merges = once("bpe_learn_8")(
+      graft.text.Bpe.learn(docs, "text", nMerges = 8))
+    checks("bpe_tokens") = best("bpe_encode", 2) {
+      graft.text.Bpe.encodedLength(docs, "text", "doc_id", merges)
+        .agg(sum(col("n_bpe"))).head().getLong(0)
+    }
+
+    checks("heavy_hitters") = best("heavy_hitters", 2) {
+      graft.text.HeavyHitters.frequentTerms(docs, "text", 1L, 1000L, 2048)
+        .collect().length.toLong
+    }
+
+    val idx = once("bm25_build") {
+      graft.text.Retrieval.buildIndex(docs, "text", "doc_id",
+        s"$dir/bm25", numBuckets = 64)
+    }
+    checks("bm25_top1_hits") = best("bm25_query", 3) {
+      graft.text.Retrieval.bm25(spark, idx,
+        Seq(ZipfCorpus.wordFor(0), ZipfCorpus.wordFor(3),
+          ZipfCorpus.wordFor(17), ZipfCorpus.wordFor(4999),
+          ZipfCorpus.wordFor(vocab - 2)).mkString(" "),
+        k = 10).agg(coalesce(max(col("n_terms")), lit(0L)))
+        .head().getLong(0)
+    }
+
+    checks("neardup_pairs") = best("minhash_pairs", 2) {
+      val n = graft.dedup.DocDedup.nearDupPairs(docs, "text", "doc_id", 0.8).count()
+      graft.ops.Caches.release()
+      n
+    }
+
+    val total = times.values.sum
+    def fmt(d: Double) = f"$d%.2f"
+    val json = "{" +
+      s""""metric":"zipf_total","value":${fmt(total)},"unit":"sec",""" +
+      s""""n_docs":$nDocs,"vocab":$vocab,""" +
+      s""""stages":{${times.map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString(",")}},""" +
+      s""""checks":{${checks.map { case (k, v) => s""""$k":$v""" }.mkString(",")}}""" +
+      "}"
+    println(json)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_ZIPF.json"),
+      json + "\n")
+    spark.stop()
+  }
+}
