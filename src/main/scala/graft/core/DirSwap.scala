@@ -30,9 +30,13 @@ object DirSwap {
     else if (Files.isDirectory(old)) TempDirs.deleteRecursively(old)
   }
 
-  /** Replace `dst` with `src`: aside-rename, in-rename, cleanup. */
+  /** Replace `dst` with `src`: aside-rename, in-rename, cleanup.
+    * Heals at entry: if a PREVIOUS swap crashed between its renames
+    * (dst missing, dst__old the only copy), a blind cleanup here would
+    * delete that only copy — restore it first, exactly as the compaction
+    * entry points do, so an un-healed fresh swap is still safe. */
   def swap(src: String, dst: String): Unit = {
-    TempDirs.deleteRecursively(oldOf(dst))
+    heal(dst)
     if (Files.exists(Paths.get(dst))) Files.move(Paths.get(dst), oldOf(dst))
     KillPoint("dirswap.aside")
     Files.move(Paths.get(src), Paths.get(dst))
