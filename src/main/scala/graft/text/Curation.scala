@@ -175,8 +175,19 @@ object Curation {
       .select(col(idCol), md5(concat_ws(" ", col("__s")).cast("binary")).as("__h")))
     // no broadcast hint: the duplicated-hash set is data-dependent
     // (boilerplate-heavy corpora can be huge) — AQE sees its runtime size
-    // and broadcasts exactly when it fits
-    val dupHashes = spans.groupBy(col("__h")).agg(count(lit(1)).as("__c"))
+    // and broadcasts exactly when it fits. The aggregate re-keys through
+    // (hash, salt): salt = f(hash) changes NOTHING semantically, but stops
+    // the aggregate's output partitioning from already satisfying the
+    // join, so EnsureRequirements owns the exchange under the join's
+    // probe-side Sort — the exact shape OptimizeSkewedJoin can split. An
+    // aggregate straight on __h pipelines into the SortMergeJoin and
+    // BLOCKS AQE's skew split permanently (both SMJ children must be bare
+    // shuffle stages; measured in ProbeSkew: a spam key with 5.9M spans
+    // serialized on one reducer with skewSplit=false at any threshold).
+    // Costs one dup-hash-table-sized shuffle, only paid in the SMJ regime.
+    val dupHashes = spans
+      .groupBy(col("__h"), pmod(xxhash64(col("__h")), lit(16)).as("__z"))
+      .agg(count(lit(1)).as("__c"))
       .filter(col("__c") > 1).select(col("__h"))
     spans.join(dupHashes.withColumn("__dup", lit(1L)), Seq("__h"), "left")
       .groupBy(col(idCol))
@@ -421,9 +432,12 @@ object Curation {
         i => concat_ws(" ", slice(col("__t"), i * span + 1, lit(span)))))
         .as(Seq("__ci", "__chunk")))
       .withColumn("__h", md5(col("__chunk").cast("binary")))
+    // (hash, salt) re-key for AQE skew-splittability — see dupSpans; the
+    // min(struct) per (h, f(h)) equals the min per h
     val firstOcc = chunks
-      .groupBy(col("__h"))
+      .groupBy(col("__h"), pmod(xxhash64(col("__h")), lit(16)).as("__z"))
       .agg(min(struct(col(idCol), col("__ci"))).as("__first"))
+      .drop("__z")
     chunks.join(firstOcc, Seq("__h"))
       .withColumn("__keep",
         col("__first") === struct(col(idCol), col("__ci")))
@@ -485,7 +499,11 @@ object Curation {
                     window: Int = 4, div: Int = 8): DataFrame = {
     val chunks = graft.ops.Caches.track(
       cdcChunks(docs, textCol, idCol, window, div))
-    val dup = chunks.groupBy(col("chunk_hash")).agg(count(lit(1)).as("__c"))
+    // (hash, salt) re-key for AQE skew-splittability — see dupSpans
+    val dup = chunks
+      .groupBy(col("chunk_hash"),
+        pmod(xxhash64(col("chunk_hash")), lit(16)).as("__z"))
+      .agg(count(lit(1)).as("__c"))
       .filter(col("__c") > 1).select(col("chunk_hash"))
     chunks.join(dup.withColumn("__dup", lit(1L)), Seq("chunk_hash"), "left")
       .groupBy(col(idCol))
