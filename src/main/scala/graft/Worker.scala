@@ -46,13 +46,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Worker {
 
   final case class Args(provider: String, config: String, forever: Boolean,
-                        queue: Boolean = false)
+                        queue: Boolean = false, job: Option[String] = None,
+                        jobs: Boolean = false)
 
   def parseArgs(argv: Seq[String]): Args = {
     var provider: Option[String] = None
     var config: Option[String] = None
     var forever = false
     var queue = false
+    var job: Option[String] = None
+    var jobs = false
     var i = 0
     while (i < argv.length) {
       argv(i) match {
@@ -61,6 +64,10 @@ object Worker {
           config = Some(argv(i + 1)); i += 2
         case "-f" | "--forever" => forever = true; i += 1
         case "-q" | "--queue" => queue = true; i += 1
+        case "-j" | "--job" =>
+          require(i + 1 < argv.length, "--job needs a value")
+          job = Some(argv(i + 1)); i += 2
+        case "--jobs" => jobs = true; i += 1
         case flag if flag.startsWith("-") =>
           throw new IllegalArgumentException(s"unknown flag $flag")
         case positional =>
@@ -68,11 +75,15 @@ object Worker {
           provider = Some(positional); i += 1
       }
     }
-    Args(
-      provider.getOrElse(throw new IllegalArgumentException(
-        "usage: Worker <pipeline-object> -c <config.ini> [-f | -q]")),
+    // --job/--jobs modes run a NAMED batch job (no handler pipeline):
+    // the positional provider argument is not used there
+    if (job.isEmpty && !jobs && provider.isEmpty)
+      throw new IllegalArgumentException(
+        "usage: Worker <pipeline-object> -c <config.ini> [-f | -q] " +
+          "| Worker --job <name> -c <config.ini> | Worker --jobs -c <config.ini>")
+    Args(provider.getOrElse(""),
       config.getOrElse(throw new IllegalArgumentException("-c <config.ini> is required")),
-      forever, queue)
+      forever, queue, job, jobs)
   }
 
   /** Registry of applied handler versions, persisted beside the store
@@ -120,6 +131,18 @@ object Worker {
       return 0
     }
 
+    // `--jobs`: list named-job progress from the store's COMMITTED
+    // manifest and exit — the batch twin of `--queue`: no lease, no
+    // SparkSession, no job started
+    if (args.jobs) {
+      val root = conf.get("store", "root").getOrElse(
+        throw new IllegalArgumentException("[store] root is required"))
+      val st = new BucketedStateStore(root,
+        conf.getLongOrElse("store", "buckets", 64L).toInt)
+      Jobs.progressLines(st).foreach(println)
+      return 0
+    }
+
     // lease FIRST, before any SparkSession exists: a worker losing the
     // single-writer race should print the busy error and exit 1 in
     // milliseconds (worker.py:96-98), not after paying a full Spark
@@ -156,8 +179,12 @@ object Worker {
     val intervalMs =
       conf.getLongOrElse("qvarnmr", "keep_alive_update_interval", 10L) * 1000L
     val storeRootEarly = conf.get("store", "root").get
-    val provider = PipelineProvider.load(args.provider)
-    val pipeline = provider.pipeline
+    // named-job mode runs without a handler pipeline; stream mode loads
+    // the provider EAGERLY so a bad dotted path still fails fast, before
+    // any SparkSession exists
+    val pipelineOpt =
+      if (args.job.isEmpty) Some(PipelineProvider.load(args.provider).pipeline)
+      else None
 
     val spark = sparkOverride.getOrElse {
       SparkSession.builder()
@@ -219,28 +246,37 @@ object Worker {
     heartbeat.start()
 
     try {
-      // automatic full resync for new or changed handlers (worker.py:66-70,
-      // resync.py:91-128). resyncFull/initialize preserve the CAS revision
-      // ledger across the recompute.
-      val registry = loadRegistry(storeRoot)
-      val (mapsChanged, reducesChanged) = registry.changed(pipeline)
-      if (store.isEmpty)
-        BucketedRun.initialize(pipeline, sources, store, trackSeqs = trackSeqs)
-      else if (mapsChanged.nonEmpty || reducesChanged.nonEmpty)
-        BucketedRun.resyncFull(pipeline, sources, store,
-          store.committedBatch.getOrElse(0L) + 1)
-      saveRegistry(storeRoot, registry.bumped(pipeline))
+      args.job match {
+        // named batch job: leased like the stream worker, resumable via
+        // the store's committed batch ids (Jobs.Curate)
+        case Some(jobName) =>
+          val code = Jobs.run(jobName, spark, conf, store, sources)
+          if (leaseLost) 1 else code
+        case None =>
+          val pipeline = pipelineOpt.get
+          // automatic full resync for new or changed handlers
+          // (worker.py:66-70, resync.py:91-128). resyncFull/initialize
+          // preserve the CAS revision ledger across the recompute.
+          val registry = loadRegistry(storeRoot)
+          val (mapsChanged, reducesChanged) = registry.changed(pipeline)
+          if (store.isEmpty)
+            BucketedRun.initialize(pipeline, sources, store, trackSeqs = trackSeqs)
+          else if (mapsChanged.nonEmpty || reducesChanged.nonEmpty)
+            BucketedRun.resyncFull(pipeline, sources, store,
+              store.committedBatch.getOrElse(0L) + 1)
+          saveRegistry(storeRoot, registry.bumped(pipeline))
 
-      val engine = BucketedStreamingEngine.restore(spark, pipeline, sources, store)
-      val changesDir = conf.get("changes", "dir").getOrElse(
-        throw new IllegalArgumentException("[changes] dir is required"))
-      val stream = spark.readStream
-        .schema("seq LONG, change STRING, resourceType STRING, resourceId STRING")
-        .parquet(changesDir)
-        .as[Change]
-      val q = engine.start(stream, availableNow = !args.forever)
-      q.awaitTermination()
-      if (leaseLost) 1 else 0
+          val engine = BucketedStreamingEngine.restore(spark, pipeline, sources, store)
+          val changesDir = conf.get("changes", "dir").getOrElse(
+            throw new IllegalArgumentException("[changes] dir is required"))
+          val stream = spark.readStream
+            .schema("seq LONG, change STRING, resourceType STRING, resourceId STRING")
+            .parquet(changesDir)
+            .as[Change]
+          val q = engine.start(stream, availableNow = !args.forever)
+          q.awaitTermination()
+          if (leaseLost) 1 else 0
+      }
     } finally {
       running = false
       if (!leaseLost) lease.release()

@@ -119,6 +119,84 @@ class WorkerSpec extends AnyFunSuite with SparkTestBase {
       "a busy worker must not have initialized the store")
   }
 
+  private def jobIni(storeRoot: String): String = {
+    val ini = Files.createTempFile("graft_job", ".ini").toString
+    Files.writeString(Paths.get(ini),
+      s"""[store]
+         |root = $storeRoot
+         |buckets = 8
+         |[sources]
+         |documents = /root/testdata/sf0.001/documents.parquet
+         |[job:curate]
+         |input = documents
+         |[qvarnmr]
+         |instance = spec-job-worker
+         |keep_alive_timeout = 60
+         |""".stripMargin)
+    ini
+  }
+
+  private def curatedRows(storeRoot: String): Seq[String] =
+    new BucketedStateStore(storeRoot, 8).table(spark, "curated")
+      .collect().map(_.toString).toSeq.sorted
+
+  test("named curate job: end-to-end through the CLI, leased, inspectable") {
+    val storeRoot = Files.createTempDirectory("graft_jobstore").toString
+    val ini = jobIni(storeRoot)
+    // fresh store: --jobs reports all three stages pending (no lease)
+    assert(Worker.run(Seq("--jobs", "-c", ini), Some(spark)) == 0)
+    assert(Jobs.progressLines(new BucketedStateStore(storeRoot, 8)) ==
+      Seq("curate/survivors: pending", "curate/gated: pending",
+        "curate/curated: pending"))
+
+    assert(Worker.run(Seq("--job", "curate", "-c", ini), Some(spark)) == 0)
+    val store = new BucketedStateStore(storeRoot, 8)
+    assert(store.committedBatch.contains(3L))
+    val rows = curatedRows(storeRoot)
+    assert(rows.nonEmpty, "the curate job must emit a mixed corpus")
+    assert(!Files.exists(Paths.get(storeRoot, "_lease")), "lease released")
+    // progress listing: every stage done with its row count
+    val lines = Jobs.progressLines(store)
+    assert(lines.forall(_.contains("done (rows=")), lines.mkString("; "))
+    assert(lines.head == s"curate/survivors: done (rows=${
+      store.meta("job.curate.survivors.rows").get})")
+    // a re-run of the finished job is a no-op (all stages skip)
+    graft.core.KillPoint.hook =
+      s => if (s.endsWith(".start")) fail(s"stage re-ran: $s")
+    try assert(Worker.run(Seq("--job", "curate", "-c", ini), Some(spark)) == 0)
+    finally graft.core.KillPoint.hook = _ => ()
+    assert(curatedRows(storeRoot) == rows)
+  }
+
+  test("curate job resumes past committed stages after a crash") {
+    val cleanRoot = Files.createTempDirectory("graft_jobclean").toString
+    assert(Worker.run(Seq("--job", "curate", "-c", jobIni(cleanRoot)),
+      Some(spark)) == 0)
+    val want = curatedRows(cleanRoot)
+
+    val storeRoot = Files.createTempDirectory("graft_jobcrash").toString
+    val ini = jobIni(storeRoot)
+    // crash right AFTER stage 1 commits
+    final class Kill extends RuntimeException("injected crash")
+    graft.core.KillPoint.hook =
+      s => if (s == "job.curate.survivors.committed") throw new Kill
+    try intercept[Kill](Worker.run(Seq("--job", "curate", "-c", ini), Some(spark)))
+    finally graft.core.KillPoint.hook = _ => ()
+    assert(!Files.exists(Paths.get(storeRoot, "_lease")),
+      "a crashed job must release the lease")
+    assert(new BucketedStateStore(storeRoot, 8).committedBatch.contains(1L))
+    assert(Jobs.progressLines(new BucketedStateStore(storeRoot, 8))
+      .count(_.contains("pending")) == 2)
+
+    // the re-run must SKIP stage 1 (its start kill point never fires)...
+    graft.core.KillPoint.hook =
+      s => if (s == "job.curate.survivors.start") fail("stage 1 re-ran")
+    try assert(Worker.run(Seq("--job", "curate", "-c", ini), Some(spark)) == 0)
+    finally graft.core.KillPoint.hook = _ => ()
+    // ...and converge to the crash-free run exactly
+    assert(curatedRows(storeRoot) == want)
+  }
+
   test("startup failure after lease acquisition releases the lease promptly") {
     val (srcDir, _, storeRoot, ini) = setupDirs()
     Seq(("a", "k1", 1.0)).toDF("id", "k", "v").write.parquet(srcDir)
