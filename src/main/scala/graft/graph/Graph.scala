@@ -138,17 +138,35 @@ object Graph {
     degrees(cur)
   }
 
-  /** Per-node triangle counts over an oriented (p1 < p2) edge list.
-    * Forward-edge enumeration: (a,b),(b,c) joined against the closing
-    * (a,c) — each triangle found exactly once, then credited to its three
-    * corners. Equi-joins only. */
+  /** Per-node triangle counts, DEGREE-ORIENTED (Chiba–Nishizeki / the
+    * standard power-law fix): every edge directs from its (degree, id)-
+    * smaller endpoint to the larger, so each node's FORWARD degree is
+    * bounded by O(√m) regardless of its raw degree — a celebrity node
+    * with a million neighbors emits wedges only toward the handful of
+    * nodes ranked above it, instead of deg² wedge pairs serializing one
+    * task. Each triangle {x ≺ y ≺ z} is found exactly once as the wedge
+    * (x→y, x→z) closed by the oriented edge (y→z) — the unordered wedge
+    * self-join emits both (y,z) and (z,y), and exactly one matches the
+    * closing edge's orientation. Equi-joins only; value-oriented input
+    * (p1 < p2) is NOT assumed by the math, only by [[degrees]]. */
   def triangleCounts(edges: DataFrame): DataFrame = {
     val e = edges.select(col("p1"), col("p2"))
-    val tri = e.as("ab")
-      .join(e.as("bc"), col("ab.p2") === col("bc.p1"))
-      .join(e.as("ac"),
-        col("ac.p1") === col("ab.p1") && col("ac.p2") === col("bc.p2"))
-      .select(col("ab.p1").as("a"), col("ab.p2").as("b"), col("bc.p2").as("c"))
+    val deg = degrees(e)
+    val withDeg = e
+      .join(deg.select(col("node").as("p1"), col("degree").as("__d1")), "p1")
+      .join(deg.select(col("node").as("p2"), col("degree").as("__d2")), "p2")
+    // (degree, id) order: ties on degree break by node id
+    val firstIsSmaller = col("__d1") < col("__d2") ||
+      (col("__d1") === col("__d2") && col("p1") < col("p2"))
+    val o = withDeg.select(
+      when(firstIsSmaller, col("p1")).otherwise(col("p2")).as("src"),
+      when(firstIsSmaller, col("p2")).otherwise(col("p1")).as("dst"))
+    val tri = o.as("xy")
+      .join(o.as("xz"),
+        col("xy.src") === col("xz.src") && col("xy.dst") =!= col("xz.dst"))
+      .join(o.as("yz"),
+        col("yz.src") === col("xy.dst") && col("yz.dst") === col("xz.dst"))
+      .select(col("xy.src").as("a"), col("xy.dst").as("b"), col("xz.dst").as("c"))
     tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
   }
@@ -159,12 +177,25 @@ object Graph {
     * neighbor (equi-join on the middle node), then degrees fill in the
     * union size — never an all-pairs comparison; per-node cost is bounded
     * by its degree squared, which the support threshold already bounds. */
-  def commonNeighborSim(edges: DataFrame, minCommon: Long = 2L): DataFrame = {
+  def commonNeighborSim(edges: DataFrame, minCommon: Long = 2L,
+                        maxDegree: Long = Long.MaxValue): DataFrame = {
     val sym = edges.select(col("p1").as("src"), col("p2").as("dst"))
       .unionAll(edges.select(col("p2").as("src"), col("p1").as("dst")))
     val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val common = sym.select(col("src").as("a"), col("dst").as("n"))
-      .join(sym.select(col("src").as("b"), col("dst").as("n")), "n")
+    // wedge cost through a shared neighbor n is deg(n)² — a celebrity
+    // node makes the middle-node join quadratic. `maxDegree` drops hub
+    // nodes from the NEIGHBOR role only (the LSH maxBucketSize
+    // discipline): pairs a–b whose ONLY witnesses were dropped hubs are
+    // missed — the documented recall trade; a hub shared by everyone
+    // carries almost no Jaccard signal anyway. Degrees in the union-size
+    // arithmetic stay UNCAPPED, so surviving pairs score exactly.
+    val asNeighbor =
+      if (maxDegree == Long.MaxValue) sym
+      else sym.join(
+        broadcast(deg.filter(col("deg") > maxDegree)
+          .select(col("src").as("dst"))), Seq("dst"), "left_anti")
+    val common = asNeighbor.select(col("src").as("a"), col("dst").as("n"))
+      .join(asNeighbor.select(col("src").as("b"), col("dst").as("n")), "n")
       .filter(col("a") < col("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common"))
       .filter(col("common") >= minCommon)
@@ -187,7 +218,8 @@ object Graph {
     * across engines — no round-to-N-decimals fragility anywhere in the
     * loop. Output: (node, pr) with pr = pr_nano/1e9 rounded to 6 (an exact
     * final mapping, not an error absorber). */
-  def pageRank(edges: DataFrame, iters: Int = 3): DataFrame = {
+  def pageRank(edges: DataFrame, iters: Int = 3, salt: Int = 1): DataFrame = {
+    require(salt >= 1, "salt must be >= 1")
     // symmetrize and attach source degrees ONCE (cached: every iteration
     // reuses the same exchange instead of re-deriving edge+degree)
     val sym = edges.select(col("p1").as("src"), col("p2").as("dst"))
@@ -195,13 +227,32 @@ object Graph {
     val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     // tracked, not bare-cached: the returned frame is lazy, so the cache
     // must outlive this call — Caches.release() (harness/caller boundary)
-    // reclaims it instead of leaking one edge+degree frame per invocation
-    val symDeg = graft.ops.Caches.track(sym.join(deg, "src")
-      .select(col("src"), col("dst"), col("deg")))
+    // reclaims it instead of leaking one edge+degree frame per invocation.
+    //
+    // salt > 1 = power-law skew immunity: the edges⋈ranks join otherwise
+    // serializes a celebrity src's whole edge list on one reducer every
+    // iteration. Edges carry z = hash(dst) mod salt and get CACHED in
+    // (src, z) layout, ranks explode salt× (node-scale — cheap), and the
+    // per-iteration join clusters on (src, z): the hot node's edges
+    // spread over `salt` reducers, the edge table still never
+    // re-exchanges across iterations, and the integer-nano arithmetic
+    // keeps the result BIT-IDENTICAL for any salt (GraphSpec pins it).
+    val joined = sym.join(deg, "src").select(col("src"), col("dst"), col("deg"))
+    val symDeg = graft.ops.Caches.track(
+      if (salt == 1) joined
+      else joined
+        .withColumn("__z", pmod(xxhash64(col("dst")), lit(salt.toLong)).cast("int"))
+        .repartition(col("src"), col("__z")))
+    val joinKeys = if (salt == 1) Seq("src") else Seq("src", "__z")
     var pr = deg.select(col("src").as("node"), lit(1000000000L).as("pr_nano"))
     for (_ <- 0 until iters) {
+      val ranks0 = pr.withColumnRenamed("node", "src")
+      val ranks =
+        if (salt == 1) ranks0
+        else ranks0.withColumn("__z",
+          explode(sequence(lit(0), lit(salt - 1))))
       val contrib = symDeg
-        .join(pr.withColumnRenamed("node", "src"), "src")
+        .join(ranks, joinKeys)
         .groupBy(col("dst"))
         .agg(sum(expr("pr_nano div deg")).as("in_nano"))
       pr = contrib.select(col("dst").as("node"),

@@ -56,6 +56,62 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     assert(tc == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
   }
 
+  test("degree-oriented triangles match brute force on a hub graph with ties") {
+    // hub 0 connected to 1..8; ring 1-2-3-...-8-1; plus chord (1,5):
+    // triangles = the 8 hub-ring wedges (0,i,i+1) — a shape where the
+    // old value-orientation emits deg(hub)² wedges from the hub and the
+    // degree orientation emits only the ring nodes' forward pairs
+    val ring = (1L to 8L).map(i => (i, if (i == 8L) 1L else i + 1))
+    val hub = (1L to 8L).map(i => (0L, i))
+    val edges = (hub ++ ring ++ Seq((1L, 5L))).toDF("p1", "p2")
+    def brute(es: Seq[(Long, Long)]): Map[Long, Long] = {
+      val adj = (es ++ es.map(_.swap)).groupBy(_._1)
+        .map { case (k, v) => k -> v.map(_._2).toSet }
+      val nodes = adj.keys.toSeq.sorted
+      val tris = for {
+        a <- nodes; b <- nodes if a < b && adj(a)(b)
+        c <- nodes if b < c && adj(a)(c) && adj(b)(c)
+      } yield Seq(a, b, c)
+      tris.flatten.groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+    }
+    val want = brute(hub ++ ring ++ Seq((1L, 5L)))
+    val got = Graph.triangleCounts(edges).as[(Long, Long)].collect().toMap
+    assert(got == want)
+  }
+
+  test("commonNeighborSim maxDegree drops hub-witnessed pairs, keeps exact scores") {
+    // hub 0 adjacent to everyone; 1-2 and 3-4 also share non-hub witnesses
+    val edges = ((1L to 6L).map(i => (0L, i)) ++
+      Seq((1L, 5L), (2L, 5L), (1L, 6L), (2L, 6L))).toDF("p1", "p2")
+    val full = Graph.commonNeighborSim(edges, minCommon = 1L)
+      .select(col("a"), col("b")).as[(Long, Long)].collect().toSet
+    // capped at 5: the hub (degree 6) leaves the NEIGHBOR role; pairs
+    // whose only witness was the hub (e.g. 3-4) vanish, pairs with
+    // non-hub witnesses (1-2 via 5 and 6) survive with exact jaccard
+    val capped = Graph.commonNeighborSim(edges, minCommon = 1L, maxDegree = 5L)
+    val cappedPairs = capped.select(col("a"), col("b"))
+      .as[(Long, Long)].collect().toSet
+    assert(full.contains((3L, 4L)) && !cappedPairs.contains((3L, 4L)))
+    assert(cappedPairs.contains((1L, 2L)))
+    val row = capped.filter(col("a") === 1L && col("b") === 2L)
+      .select(col("common"), col("jaccard")).head()
+    // witnesses 5,6 (hub dropped); degrees stay UNCAPPED: deg(1)=deg(2)=3
+    assert(row.getLong(0) == 2L)
+    assert(row.getDouble(1) == math.rint(2.0 / (3 + 3 - 2) * 1e6) / 1e6)
+  }
+
+  test("pageRank is bit-identical under any salt (skew immunity is free)") {
+    val edges = ((1L to 9L).map(i => (0L, i)) ++
+      Seq((1L, 2L), (3L, 4L), (5L, 6L))).toDF("p1", "p2")
+    val base = Graph.pageRank(edges, iters = 3)
+      .as[(Long, Double)].collect().toMap
+    for (s <- Seq(2, 4, 7)) {
+      val salted = Graph.pageRank(edges, iters = 3, salt = s)
+        .as[(Long, Double)].collect().toMap
+      assert(salted == base, s"salt=$s diverged")
+    }
+  }
+
   test("pageRank is exactly 1.0 on a regular graph and matches brute force") {
     // 4-cycle: every node degree 2, uniform start -> stationary at 1.0
     val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("p1", "p2")
