@@ -132,7 +132,13 @@ object Curation {
       .withColumn("__w2", lead(col("__w"), 2).over(w))
       .filter(col("__w2").isNotNull)
       .select(col(idCol), concat_ws(" ", col("__w"), col("__w1"), col("__w2")).as("__t")))
-    val counts = tri.groupBy(col("__t")).agg(count(lit(1)).as("__c"))
+    // (trigram, salt) re-key for AQE skew-splittability — see dupSpans:
+    // a corpus-hot trigram ("one of the") otherwise serializes the
+    // join-back on one reducer with the split rule blocked by shape
+    val counts = tri
+      .groupBy(col("__t"), pmod(xxhash64(col("__t")), lit(16)).as("__z"))
+      .agg(count(lit(1)).as("__c"))
+      .drop("__z")
     graft.ops.Caches.track(counts)
     val totals = counts.agg(coalesce(sum(col("__c")), lit(0L)),
       count(lit(1))).head()

@@ -134,7 +134,13 @@ object Repetition {
 
   def ngramNovelty(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val tris = distinctTrigrams(docs, textCol, idCol)
-    val df3 = tris.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
+    // (trigram, salt) re-key for AQE skew-splittability — see
+    // Curation.dupSpans: a trigram shared by a large fraction of docs is
+    // a corpus-scale hot key in the join-back
+    val df3 = tris
+      .groupBy(col("__g"), pmod(xxhash64(col("__g")), lit(16)).as("__z"))
+      .agg(count(lit(1)).as("__df"))
+      .drop("__z")
     val per = tris.join(df3, "__g")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("__n_tri"),
