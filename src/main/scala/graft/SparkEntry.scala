@@ -2106,6 +2106,41 @@ object SparkEntry {
         Multimodal.jpegBlob(px, "doc_id", "__b"), "doc_id", "blob")
     }),
 
+    // REAL baseline COLOR JPEG decode — full 3-component 4:4:4 YCbCr:
+    // interleaved MCUs, per-component quant + Huffman tables (the chroma
+    // tables use different code lengths, so table mis-selection would
+    // desync, not drift), three DC predictors, and the 16-bit fixed-point
+    // BT.601 conversion real decoders use. The fixture derives NON-neutral
+    // flat chroma from each payload byte (Cb = 128 + b%9−4, Cr = 128 +
+    // b%7−3; chroma DC quant 8 keeps the IDCT integer-exact), so the color
+    // conversion does arithmetic on every pixel and the oracle re-derives
+    // every channel with the same integer constants via floor division
+    "mm_decode_jpeg_color" -> ((s, dir) => {
+      val px = t(s, dir, "documents")
+        .withColumn("__b", expr("substring(encode(text, 'UTF-8'), 1, 2048)"))
+        .filter(length(col("__b")) >= 1)
+      Multimodal.decodeJpegColor(
+        Multimodal.jpegColorBlob(px, "doc_id", "__b"), "doc_id", "blob")
+    }),
+
+    // REAL 4:2:0 JPEG decode WITH restart intervals — the layout virtually
+    // all real crawl images use: each 16×16 MCU carries four Y blocks and
+    // ONE shared Cb/Cr pair (from the group's first byte), box-upsampled
+    // 2×2, so the shared-chroma semantics are observable in the oracle
+    // (quadrants differ only through Y). restartEvery=3 puts RSTn markers
+    // + DC-predictor resets in every stream — the resync structure that
+    // makes one huge scan SPLITTABLE across decode tasks at scale
+    "mm_decode_jpeg420" -> ((s, dir) => {
+      val px = t(s, dir, "documents")
+        .withColumn("__b0", expr("substring(encode(text, 'UTF-8'), 1, 2048)"))
+        .withColumn("__b",
+          expr("substring(__b0, 1, length(__b0) - pmod(length(__b0), 4))"))
+        .filter(length(col("__b")) >= 4)
+      Multimodal.decodeJpegColor(
+        Multimodal.jpeg420Blob(px, "doc_id", "__b", restartEvery = 3),
+        "doc_id", "blob")
+    }),
+
     // REAL-pixel resize: the decoded BMP downsampled 2× in both axes by
     // nearest neighbor — the decode→transform step mm_resize only
     // imitates on raw bytes. The sampling grid reads logical rows top
@@ -5622,6 +5657,82 @@ object SparkEntry {
               CAST(list_aggregate(bv, 'min') AS INTEGER) AS min_px,
               by[1] AS topleft_hex
             FROM s"""
+      },
+      // the color JPEG round-trip: per payload byte b the decoded MCU is a
+      // flat block with Y=b, Cb-128=b%9-4, Cr-128=b%7-3; RGB re-derived
+      // with the decoder's 16-bit fixed-point BT.601 constants, where
+      // >>16 on a signed value is floor division by 65536
+      "mm_decode_jpeg_color" -> {
+        def conv(e: String) =
+          s"least(255, greatest(0, y + CAST(floor(($e + 32768) / 65536.0) AS INT)))"
+        val r = conv("91881*(y%7-3)")
+        val g = conv("-22554*(y%9-4) - 46802*(y%7-3)")
+        val bb = conv("116130*(y%9-4)")
+        raw"""WITH b AS (SELECT doc_id,
+                regexp_extract_all(substr(hex(encode(text)), 1, 4096), '..') AS by
+                FROM documents WHERE octet_length(encode(text)) >= 1),
+            v AS (SELECT doc_id, list_transform(by, h ->
+                (strpos('0123456789ABCDEF', substr(h, 1, 1)) - 1) * 16
+                + strpos('0123456789ABCDEF', substr(h, 2, 1)) - 1) AS bv
+              FROM b),
+            px AS (SELECT doc_id, len(bv) AS n,
+                list_transform(bv, y -> $r) AS rs,
+                list_transform(bv, y -> $g) AS gs,
+                list_transform(bv, y -> $bb) AS bs
+              FROM v)
+            SELECT doc_id,
+              CAST(8 AS INTEGER) AS width,
+              CAST(8 * n AS INTEGER) AS height,
+              CAST(64 * n AS BIGINT) AS n_px,
+              CAST(64 * list_sum(rs) AS BIGINT) AS sum_r,
+              CAST(64 * list_sum(gs) AS BIGINT) AS sum_g,
+              CAST(64 * list_sum(bs) AS BIGINT) AS sum_b,
+              CAST(greatest(list_aggregate(rs, 'max'),
+                list_aggregate(gs, 'max'),
+                list_aggregate(bs, 'max')) AS INTEGER) AS max_px,
+              printf('%02X%02X%02X', rs[1], gs[1], bs[1]) AS topleft_hex
+            FROM px"""
+      },
+      // the 4:2:0 round-trip: bytes in groups of four — quadrant k of
+      // group j is a flat 8×8 with Y = bv[4j+k], chroma shared from the
+      // group's FIRST byte; restarts don't change decoded values (DC
+      // prediction resets, but the fixture codes absolute DCs per block)
+      "mm_decode_jpeg420" -> {
+        def conv(y: String, e: String) =
+          s"least(255, greatest(0, $y + CAST(floor(($e + 32768) / 65536.0) AS INT)))"
+        val y = "bv[(4*j+k+1)::INT]"
+        val c = "bv[(4*j+1)::INT]"
+        val r = conv(y, s"91881*($c%7-3)")
+        val g = conv(y, s"-22554*($c%9-4) - 46802*($c%7-3)")
+        val bb = conv(y, s"116130*($c%9-4)")
+        raw"""WITH b0 AS (SELECT doc_id,
+                regexp_extract_all(substr(hex(encode(text)), 1, 4096), '..') AS by
+                FROM documents),
+            b AS (SELECT doc_id, by[1:(len(by) - len(by) % 4)::INT] AS by
+              FROM b0 WHERE len(by) >= 4),
+            v AS (SELECT doc_id, list_transform(by, h ->
+                (strpos('0123456789ABCDEF', substr(h, 1, 1)) - 1) * 16
+                + strpos('0123456789ABCDEF', substr(h, 2, 1)) - 1) AS bv
+              FROM b),
+            px AS (SELECT doc_id, len(bv) // 4 AS ng,
+                flatten(list_transform(range(len(bv) // 4), j ->
+                  list_transform(range(4), k -> [$r, $g, $bb]))) AS rgb
+              FROM v)
+            SELECT doc_id,
+              CAST(16 AS INTEGER) AS width,
+              CAST(16 * ng AS INTEGER) AS height,
+              CAST(256 * ng AS BIGINT) AS n_px,
+              CAST(64 * list_sum(list_transform(rgb, p -> p[1])) AS BIGINT)
+                AS sum_r,
+              CAST(64 * list_sum(list_transform(rgb, p -> p[2])) AS BIGINT)
+                AS sum_g,
+              CAST(64 * list_sum(list_transform(rgb, p -> p[3])) AS BIGINT)
+                AS sum_b,
+              CAST(list_aggregate(list_transform(rgb, p ->
+                greatest(p[1], p[2], p[3])), 'max') AS INTEGER) AS max_px,
+              printf('%02X%02X%02X', rgb[1][1], rgb[1][2], rgb[1][3])
+                AS topleft_hex
+            FROM px"""
       },
       // the real-pixel 2× resize: logical pixel (r, c) of the output reads
       // original (2r, 2c); original logical row R is stored bottom-up at

@@ -30,6 +30,14 @@ object Jpeg {
       sumPx: Long, sumSq: Long, maxPx: Int, minPx: Int,
       topLeftHex: String)
 
+  /** Color decode result: exact per-channel integer statistics after the
+    * fixed-point YCbCr→RGB conversion. `topLeftHex` is the first pixel as
+    * RRGGBB. `nPixels` counts pixels (not channel samples). */
+  final case class JpegColorInfo(
+      width: Int, height: Int, nPixels: Long,
+      sumR: Long, sumG: Long, sumB: Long, maxPx: Int,
+      topLeftHex: String)
+
   // ---- fixture Huffman tables (carried in DHT; the decoder builds its
   // tables generically from whatever DHT declares) --------------------
 
@@ -44,6 +52,14 @@ object Jpeg {
   private val AcVals = (Array(0x00, 0xF0) ++ (1 to 10).map(s => 0x00 | s) ++
     (1 to 15).flatMap(r => Seq((r << 4) | 1, (r << 4) | 2, (r << 4) | 3)))
     .map(_.toByte)
+
+  /** Chroma tables (DHT ids 1): same symbol sets as the luma tables but at
+    * DIFFERENT code lengths (5-bit DC, 7-bit AC), so a decoder that picks
+    * the wrong table for a component desynchronizes immediately instead of
+    * decoding plausible garbage — per-component table selection is load-
+    * bearing, not decorative. */
+  private val DcBitsC = Array(0, 0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val AcBitsC = Array(0, 0, 0, 0, 0, 0, 57, 0, 0, 0, 0, 0, 0, 0, 0, 0)
 
   /** Zigzag scan order: zigzag index -> raster index (row*8 + col). */
   private[graft] val Zigzag: Array[Int] = {
@@ -67,6 +83,11 @@ object Jpeg {
     * non-trivial dequantization. */
   private val QuantZig: Array[Int] = Array.tabulate(64)(i => if (i == 0) 8 else 5)
 
+  /** Chroma quantization table (DQT id 1): q(DC)=8 keeps flat chroma
+    * blocks exact (dequantized DC divisible by 8 → IDCT is an exact
+    * integer), distinct AC step so per-component dequant is observable. */
+  private val QuantZigC: Array[Int] = Array.tabulate(64)(i => if (i == 0) 8 else 7)
+
   // ------------------------------------------------------------ encoder
 
   private final class BitWriter {
@@ -86,12 +107,22 @@ object Jpeg {
         i -= 1
       }
     }
-    def finish(): Array[Byte] = {
-      if (nBits > 0) { // pad with 1-bits (spec convention)
+    /** Pad the current partial byte with 1-bits (spec convention). */
+    def align(): Unit = {
+      if (nBits > 0) {
         acc = (acc << (8 - nBits)) | ((1 << (8 - nBits)) - 1)
         out.write(acc)
-        if (acc == 0xff) out.write(0x00)
+        if (acc == 0xff) out.write(0x00) // pad byte is entropy data: stuff
+        acc = 0; nBits = 0
       }
+    }
+    /** Byte-align and emit a raw (unstuffed) marker — used for RSTn. */
+    def marker(m: Int): Unit = {
+      align()
+      out.write(0xff); out.write(m)
+    }
+    def finish(): Array[Byte] = {
+      align()
       out.toByteArray
     }
   }
@@ -126,12 +157,60 @@ object Jpeg {
       ((payload.length + 2) >>> 8).toByte, ((payload.length + 2) & 0xff).toByte) ++
       payload
 
+  /** Entropy-code one block (64 zigzag-order quantized coefficients):
+    * DC size category + sign-extended difference bits, then run/size AC
+    * symbols with ZRL for 16-zero runs and a closing EOB. Returns the new
+    * DC predictor for this block's component. */
+  private def writeBlock(bw: BitWriter, b: Array[Int], prevDc: Int,
+                         dcCodes: Map[Int, (Int, Int)],
+                         acCodes: Map[Int, (Int, Int)]): Int = {
+    require(b.length == 64, "each block carries 64 zigzag coefficients")
+    val diff = b(0) - prevDc
+    val s = category(diff)
+    val (c, l) = dcCodes(s)
+    bw.write(c, l)
+    if (s > 0) bw.write(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+    var k = 1
+    var run = 0
+    while (k < 64) {
+      val v = b(k)
+      if (v == 0) run += 1
+      else {
+        while (run >= 16) {
+          val (zc, zl) = acCodes(0xF0); bw.write(zc, zl); run -= 16
+        }
+        val sz = category(v)
+        val sym = (run << 4) | sz
+        val (ac, al) = acCodes.getOrElse(sym,
+          throw new IllegalArgumentException(
+            f"fixture AC table lacks symbol 0x$sym%02X"))
+        bw.write(ac, al)
+        bw.write(if (v < 0) v + (1 << sz) - 1 else v, sz)
+        run = 0
+      }
+      k += 1
+    }
+    if (run > 0) { val (ec, el) = acCodes(0x00); bw.write(ec, el) } // EOB
+    b(0)
+  }
+
+  private def dht(cls: Int, id: Int, bits: Array[Int], vals: Array[Byte]) =
+    Array(((cls << 4) | id).toByte) ++ bits.map(_.toByte) ++ vals
+
+  private def driSeg(restartEvery: Int): Array[Byte] =
+    if (restartEvery <= 0) Array.emptyByteArray
+    else seg(0xdd,
+      Array((restartEvery >>> 8).toByte, (restartEvery & 0xff).toByte))
+
   /** General fixture encoder: one grayscale 8×8 block per entry of
     * `blocks`, each a 64-entry array of quantized coefficients in ZIGZAG
     * order, laid out `blocksPerRow` MCUs wide (the block count must be a
-    * whole number of rows). Emits a complete baseline JFIF stream. */
+    * whole number of rows). Emits a complete baseline JFIF stream.
+    * `restartEvery` > 0 adds a DRI segment and an RSTn marker (cycling
+    * 0..7) after every that-many MCUs, resetting the DC predictor. */
   private[graft] def encodeBlocks(blocks: Array[Array[Int]],
-                                       blocksPerRow: Int): Array[Byte] = {
+                                  blocksPerRow: Int,
+                                  restartEvery: Int = 0): Array[Byte] = {
     require(blocks.nonEmpty, "need at least one block")
     require(blocksPerRow > 0 && blocks.length % blocksPerRow == 0,
       "block count must be a whole number of rows")
@@ -143,42 +222,17 @@ object Jpeg {
 
     val bw = new BitWriter
     var prevDc = 0
-    for (b <- blocks) {
-      require(b.length == 64, "each block carries 64 zigzag coefficients")
-      // DC: size category + sign-extended difference bits
-      val diff = b(0) - prevDc
-      prevDc = b(0)
-      val s = category(diff)
-      val (c, l) = dcCodes(s)
-      bw.write(c, l)
-      if (s > 0) bw.write(if (diff < 0) diff + (1 << s) - 1 else diff, s)
-      // AC: run/size symbols + value bits, ZRL for 16-zero runs, EOB
-      var k = 1
-      var run = 0
-      while (k < 64) {
-        val v = b(k)
-        if (v == 0) run += 1
-        else {
-          while (run >= 16) {
-            val (zc, zl) = acCodes(0xF0); bw.write(zc, zl); run -= 16
-          }
-          val sz = category(v)
-          val sym = (run << 4) | sz
-          val (ac, al) = acCodes.getOrElse(sym,
-            throw new IllegalArgumentException(
-              f"fixture AC table lacks symbol 0x$sym%02X"))
-          bw.write(ac, al)
-          bw.write(if (v < 0) v + (1 << sz) - 1 else v, sz)
-          run = 0
-        }
-        k += 1
+    var i = 0
+    while (i < blocks.length) {
+      if (restartEvery > 0 && i > 0 && i % restartEvery == 0) {
+        bw.marker(0xd0 + ((i / restartEvery - 1) & 7))
+        prevDc = 0
       }
-      if (run > 0) { val (ec, el) = acCodes(0x00); bw.write(ec, el) } // EOB
+      prevDc = writeBlock(bw, blocks(i), prevDc, dcCodes, acCodes)
+      i += 1
     }
     val scan = bw.finish()
 
-    def dht(cls: Int, id: Int, bits: Array[Int], vals: Array[Byte]) =
-      Array(((cls << 4) | id).toByte) ++ bits.map(_.toByte) ++ vals
     val out = new java.io.ByteArrayOutputStream()
     out.write(Array(0xff, 0xd8).map(_.toByte)) // SOI
     out.write(seg(0xe0, "JFIF".getBytes("US-ASCII") ++
@@ -188,6 +242,7 @@ object Jpeg {
       (h >>> 8).toByte, (h & 0xff).toByte, (w >>> 8).toByte, (w & 0xff).toByte,
       1, 1, 0x11, 0))) // 1 component, 1x1 sampling, quant table 0
     out.write(seg(0xc4, dht(0, 0, DcBits, DcVals) ++ dht(1, 0, AcBits, AcVals)))
+    out.write(driSeg(restartEvery))
     out.write(seg(0xda, Array[Byte](1, 1, 0x00, 0, 63, 0))) // SOS
     out.write(scan)
     out.write(Array(0xff, 0xd9).map(_.toByte)) // EOI
@@ -197,14 +252,149 @@ object Jpeg {
   /** Driver-fixture encoder: payload byte `b` → one DC-only block whose
     * decoded 8×8 is EXACTLY flat at `b` (see object doc). One block per
     * MCU row (width 8, height 8·n). */
-  def encodeGray(payload: Array[Byte]): Array[Byte] = {
+  def encodeGray(payload: Array[Byte], restartEvery: Int = 0): Array[Byte] = {
     require(payload.nonEmpty && payload.length <= 8191,
       "payload must be 1..8191 bytes (height is 16-bit)")
     encodeBlocks(payload.map { b =>
       val blk = new Array[Int](64)
       blk(0) = (b & 0xff) - 128 // dequantized DC = (b-128)*8 with q=8
       blk
-    }.toArray, blocksPerRow = 1)
+    }.toArray, blocksPerRow = 1, restartEvery)
+  }
+
+  /** 4:4:4 COLOR fixture encoder: parallel Y/Cb/Cr block arrays (each a
+    * 64-entry zigzag coefficient block), one of each per MCU. */
+  private[graft] def encodeColorBlocks(y: Array[Array[Int]],
+                                       cb: Array[Array[Int]],
+                                       cr: Array[Array[Int]],
+                                       blocksPerRow: Int,
+                                       restartEvery: Int = 0): Array[Byte] = {
+    require(y.length == cb.length && y.length == cr.length,
+      "Y/Cb/Cr block counts must match (4:4:4 — one block each per MCU)")
+    encodeColorStream(y.map(Array(_)), cb, cr, blocksPerRow,
+      ySamp = 0x11, restartEvery)
+  }
+
+  /** 4:2:0 fixture encoder: each MCU is FOUR Y blocks (2×2, raster order)
+    * plus one Cb and one Cr block covering the same 16×16 pixel area —
+    * the layout virtually all real-world JPEGs use. */
+  private[graft] def encodeColorBlocks420(y: Array[Array[Array[Int]]],
+                                          cb: Array[Array[Int]],
+                                          cr: Array[Array[Int]],
+                                          mcusPerRow: Int,
+                                          restartEvery: Int = 0): Array[Byte] = {
+    require(y.length == cb.length && y.length == cr.length,
+      "Y/Cb/Cr MCU counts must match")
+    require(y.forall(_.length == 4), "4:2:0 needs four Y blocks per MCU")
+    encodeColorStream(y, cb, cr, mcusPerRow, ySamp = 0x22, restartEvery)
+  }
+
+  /** Shared 3-component interleaved-scan writer: SOF0 declares Y with
+    * `ySamp` sampling (0x11 → 4:4:4 8×8 MCUs, 0x22 → 4:2:0 16×16 MCUs)
+    * and 1×1 chroma, separate quantization (0 luma / 1 chroma) and
+    * Huffman (DHT ids 0 / 1, different code lengths) tables; the scan
+    * carries three independent DC predictors and optional restarts. */
+  private def encodeColorStream(y: Array[Array[Array[Int]]],
+                                cb: Array[Array[Int]],
+                                cr: Array[Array[Int]],
+                                mcusPerRow: Int, ySamp: Int,
+                                restartEvery: Int): Array[Byte] = {
+    require(y.nonEmpty, "need at least one MCU")
+    require(mcusPerRow > 0 && y.length % mcusPerRow == 0,
+      "MCU count must be a whole number of rows")
+    val mcuPx = if (ySamp == 0x22) 16 else 8
+    val w = mcuPx * mcusPerRow
+    val h = mcuPx * (y.length / mcusPerRow)
+    require(w <= 0xffff && h <= 0xffff, "image dims exceed 16 bits")
+    val dcY = canonical(DcBits, DcVals)
+    val acY = canonical(AcBits, AcVals)
+    val dcC = canonical(DcBitsC, DcVals)
+    val acC = canonical(AcBitsC, AcVals)
+
+    val bw = new BitWriter
+    var pY = 0; var pCb = 0; var pCr = 0
+    var i = 0
+    while (i < y.length) { // MCU interleave: Y block(s), Cb, Cr
+      if (restartEvery > 0 && i > 0 && i % restartEvery == 0) {
+        bw.marker(0xd0 + ((i / restartEvery - 1) & 7))
+        pY = 0; pCb = 0; pCr = 0
+      }
+      var b = 0
+      while (b < y(i).length) {
+        pY = writeBlock(bw, y(i)(b), pY, dcY, acY)
+        b += 1
+      }
+      pCb = writeBlock(bw, cb(i), pCb, dcC, acC)
+      pCr = writeBlock(bw, cr(i), pCr, dcC, acC)
+      i += 1
+    }
+    val scan = bw.finish()
+
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0xff, 0xd8).map(_.toByte)) // SOI
+    out.write(seg(0xe0, "JFIF".getBytes("US-ASCII") ++
+      Array[Byte](0, 1, 1, 0, 0, 1, 0, 1, 0, 0)))
+    out.write(seg(0xdb, Array(0x00.toByte) ++ QuantZig.map(_.toByte) ++
+      Array(0x01.toByte) ++ QuantZigC.map(_.toByte))) // DQT: tables 0 and 1
+    out.write(seg(0xc0, Array[Byte](8,
+      (h >>> 8).toByte, (h & 0xff).toByte, (w >>> 8).toByte, (w & 0xff).toByte,
+      3, // three components: Y→q0 at ySamp, Cb/Cr→q1 at 1x1
+      1, ySamp.toByte, 0,
+      2, 0x11, 1,
+      3, 0x11, 1)))
+    out.write(seg(0xc4,
+      dht(0, 0, DcBits, DcVals) ++ dht(1, 0, AcBits, AcVals) ++
+      dht(0, 1, DcBitsC, DcVals) ++ dht(1, 1, AcBitsC, AcVals)))
+    out.write(driSeg(restartEvery))
+    out.write(seg(0xda, Array[Byte](3, // SOS: per-component table ids
+      1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0)))
+    out.write(scan)
+    out.write(Array(0xff, 0xd9).map(_.toByte)) // EOI
+    out.toByteArray
+  }
+
+  /** Driver-fixture COLOR encoder: payload byte `b` → one 4:4:4 MCU of
+    * DC-only blocks decoding to EXACT flat planes Y = b,
+    * Cb = 128 + (b mod 9 − 4), Cr = 128 + (b mod 7 − 3) (chroma DC quant
+    * is 8, so the dequantized DC is divisible by 8 and the IDCT is an
+    * exact integer). The chroma offsets are deliberately non-neutral:
+    * the fixed-point BT.601 conversion does real work on every pixel,
+    * and the oracle re-derives it with the same integer arithmetic. */
+  def encodeColor(payload: Array[Byte]): Array[Byte] = {
+    require(payload.nonEmpty && payload.length <= 8191,
+      "payload must be 1..8191 bytes (height is 16-bit)")
+    def dcBlock(v: Int): Array[Int] = {
+      val blk = new Array[Int](64); blk(0) = v; blk
+    }
+    val bv = payload.map(_ & 0xff)
+    encodeColorBlocks(
+      bv.map(b => dcBlock(b - 128)),
+      bv.map(b => dcBlock(b % 9 - 4)),
+      bv.map(b => dcBlock(b % 7 - 3)),
+      blocksPerRow = 1)
+  }
+
+  /** Driver-fixture 4:2:0 encoder: every FOUR payload bytes become one
+    * 16×16 MCU — four flat Y quadrants (Y = b₀..b₃ in raster order) over
+    * ONE flat chroma pair derived from the group's first byte
+    * (Cb−128 = b₀%9−4, Cr−128 = b₀%7−3), so the shared-chroma semantics
+    * of 4:2:0 are observable: quadrants differ only through Y. The box
+    * upsample of a flat plane is exact, so the oracle recomputes every
+    * channel. `restartEvery` > 0 inserts RSTn markers — the structure
+    * that makes a big scan splittable for parallel decode. */
+  def encodeColor420(payload: Array[Byte], restartEvery: Int = 0): Array[Byte] = {
+    require(payload.nonEmpty && payload.length % 4 == 0 &&
+      payload.length <= 16380,
+      "payload must be a positive multiple of 4 bytes (4 per 16x16 MCU)")
+    def dcBlock(v: Int): Array[Int] = {
+      val blk = new Array[Int](64); blk(0) = v; blk
+    }
+    val groups = payload.map(_ & 0xff).grouped(4).toArray
+    encodeColorBlocks420(
+      groups.map(g => g.map(b => dcBlock(b - 128))),
+      groups.map(g => dcBlock(g(0) % 9 - 4)),
+      groups.map(g => dcBlock(g(0) % 7 - 3)),
+      mcusPerRow = 1, restartEvery)
   }
 
   // ------------------------------------------------------------ decoder
@@ -266,6 +456,18 @@ object Jpeg {
       while (i < n) { v = (v << 1) | readBit(); i += 1 }
       v
     }
+    /** Byte-align and consume the next restart marker, which must be
+      * RST`n` (markers cycle 0..7, F.2.1.3.1). Any buffered pad bits are
+      * discarded — the entropy stream restarts on the next byte. */
+    def expectRestart(n: Int): Unit = {
+      nBits = 0 // discard pad bits up to the marker's byte boundary
+      require(pos + 1 < blob.length, "scan truncated at restart boundary")
+      val m = ((blob(pos) & 0xff) << 8) | (blob(pos + 1) & 0xff)
+      require(m == 0xffd0 + n,
+        f"expected restart marker RST$n (FF${0xd0 + n}%02X) " +
+          f"at $pos, found $m%04X")
+      pos += 2
+    }
     def bytePos: Int = pos
   }
 
@@ -319,10 +521,27 @@ object Jpeg {
     out
   }
 
-  /** Parse + fully decode a baseline grayscale JFIF stream into exact
-    * pixel statistics. Strict: progressive, arithmetic, multi-component,
-    * restart intervals, 16-bit quant tables all throw by name. */
-  def parse(blob: Array[Byte]): JpegInfo = {
+  /** Parse + fully decode a baseline GRAYSCALE JFIF stream into exact
+    * pixel statistics. Strict: progressive, arithmetic, restart
+    * intervals, 16-bit quant tables all throw by name; a 3-component
+    * stream is redirected to [[parseColor]]. */
+  def parse(blob: Array[Byte]): JpegInfo = parseStream(blob) match {
+    case Left(g) => g
+    case Right(_) => throw new IllegalArgumentException(
+      "3-component color stream: only single-component here, use parseColor")
+  }
+
+  /** Parse + fully decode a baseline 4:4:4 YCbCr COLOR JFIF stream —
+    * interleaved MCUs, per-component quantization/Huffman tables and DC
+    * predictors, fixed-point BT.601 conversion — into exact per-channel
+    * statistics. Subsampled (4:2:0/4:2:2) frames throw by name. */
+  def parseColor(blob: Array[Byte]): JpegColorInfo = parseStream(blob) match {
+    case Right(c) => c
+    case Left(_) => throw new IllegalArgumentException(
+      "single-component grayscale stream: use parse")
+  }
+
+  private def parseStream(blob: Array[Byte]): Either[JpegInfo, JpegColorInfo] = {
     require(blob.length >= 4 && (blob(0) & 0xff) == 0xff &&
       (blob(1) & 0xff) == 0xd8, "not a JPEG: missing SOI")
     var pos = 2
@@ -333,7 +552,11 @@ object Jpeg {
     val dcTables = new Array[HuffTable](4)
     val acTables = new Array[HuffTable](4)
     var sofSeen = false
-    var compQuant = -1
+    var nComp = 0
+    var restartInterval = 0
+    val compId = new Array[Int](3)
+    val compSamp = new Array[Int](3)
+    val compQuant = new Array[Int](3)
 
     while (pos < blob.length) {
       require((blob(pos) & 0xff) == 0xff, f"expected marker at $pos")
@@ -342,23 +565,43 @@ object Jpeg {
       marker match {
         case 0xd9 => throw new IllegalArgumentException("EOI before SOS")
         case m if m >= 0xd0 && m <= 0xd7 =>
-          throw new IllegalArgumentException("restart markers not supported")
+          throw new IllegalArgumentException(
+            "restart marker outside an entropy scan")
         case 0xc2 => throw new IllegalArgumentException(
           "progressive JPEG (SOF2) not supported")
         case 0xc9 | 0xca | 0xcb => throw new IllegalArgumentException(
           "arithmetic-coded JPEG not supported")
-        case 0xdd => throw new IllegalArgumentException(
-          "restart intervals (DRI) not supported")
+        case 0xdd =>
+          require(u16(pos) == 4, "DRI length must be 4")
+          restartInterval = u16(pos + 2)
+          pos += 4
         case 0xc0 =>
           val len = u16(pos)
           require(blob(pos + 2) == 8, "only 8-bit precision supported")
           height = u16(pos + 3); width = u16(pos + 5)
           require(width >= 1 && height >= 1, "dims out of range")
-          val nComp = blob(pos + 7) & 0xff
-          require(nComp == 1,
-            s"only single-component (grayscale) supported, got $nComp")
-          require((blob(pos + 9) & 0xff) == 0x11, "only 1x1 sampling supported")
-          compQuant = blob(pos + 10) & 0xff
+          nComp = blob(pos + 7) & 0xff
+          require(nComp == 1 || nComp == 3,
+            s"only single-component (grayscale) or 3-component (YCbCr) " +
+              s"supported, got $nComp")
+          require(len == 8 + 3 * nComp,
+            "SOF0 length does not match its component count")
+          var c = 0
+          while (c < nComp) {
+            compId(c) = blob(pos + 8 + 3 * c) & 0xff
+            compSamp(c) = blob(pos + 9 + 3 * c) & 0xff
+            compQuant(c) = blob(pos + 10 + 3 * c) & 0xff
+            c += 1
+          }
+          // supported layouts: grayscale 1×1; color 4:4:4 (all 1×1) or
+          // 4:2:0 (Y 2×2, chroma 1×1). Anything else (4:2:2, 4:1:1, …)
+          // throws by the declared factors.
+          val layout = compSamp.take(nComp).toSeq
+          require(layout == Seq(0x11) || layout == Seq(0x11, 0x11, 0x11) ||
+              layout == Seq(0x22, 0x11, 0x11),
+            layout.map(s => f"0x$s%02X").mkString(
+              "unsupported chroma subsampling layout [", ", ",
+              "] (only 1x1 [4:4:4] and Y=2x2 [4:2:0] supported)"))
           sofSeen = true
           pos += len
         case 0xdb =>
@@ -389,17 +632,44 @@ object Jpeg {
         case 0xda =>
           val len = u16(pos)
           require(sofSeen, "SOS before SOF0")
-          val nComp = blob(pos + 2) & 0xff
-          require(nComp == 1, "multi-component scan not supported")
-          val dcId = (blob(pos + 4) & 0xff) >> 4
-          val acId = blob(pos + 4) & 0x0f
-          require(blob(pos + 5) == 0 && blob(pos + 6) == 63 && blob(pos + 7) == 0,
+          val nScan = blob(pos + 2) & 0xff
+          require(nScan == nComp,
+            s"scan component count $nScan does not match frame $nComp " +
+              "(partial scans not supported)")
+          // per-component entropy tables, matched to the frame's
+          // components BY ID (the scan may reorder; baseline interleave
+          // order is the scan's order — here required to equal frame order)
+          val dcT = new Array[HuffTable](nComp)
+          val acT = new Array[HuffTable](nComp)
+          val qs = new Array[Array[Int]](nComp)
+          var c = 0
+          while (c < nComp) {
+            val scanId = blob(pos + 3 + 2 * c) & 0xff
+            require(scanId == compId(c),
+              s"scan component order differs from frame order ($scanId)")
+            val dcId = (blob(pos + 4 + 2 * c) & 0xff) >> 4
+            val acId = blob(pos + 4 + 2 * c) & 0x0f
+            dcT(c) = dcTables(dcId)
+            acT(c) = acTables(acId)
+            require(dcT(c) != null && acT(c) != null,
+              "scan references missing DHT")
+            qs(c) = quant(compQuant(c))
+            require(qs(c) != null, "frame references missing DQT")
+            c += 1
+          }
+          val ss = pos + 3 + 2 * nComp
+          require(blob(ss) == 0 && blob(ss + 1) == 63 && blob(ss + 2) == 0,
             "non-baseline spectral selection")
-          val dcT = dcTables(dcId); val acT = acTables(acId)
-          require(dcT != null && acT != null, "scan references missing DHT")
-          val q = quant(compQuant)
-          require(q != null, "frame references missing DQT")
-          return decodeScan(blob, pos + len, width, height, dcT, acT, q)
+          return if (nComp == 1)
+            Left(decodeScan(blob, pos + len, width, height,
+              dcT(0), acT(0), qs(0), restartInterval))
+          else {
+            val comps = Array.tabulate(nComp)(c => new ScanComp(
+              (compSamp(c) >> 4) & 0x0f, compSamp(c) & 0x0f,
+              dcT(c), acT(c), qs(c)))
+            Right(decodeScanColor(blob, pos + len, width, height,
+              comps, restartInterval))
+          }
         case _ => // APPn/COM/etc: skip by length
           pos += u16(pos)
       }
@@ -407,9 +677,45 @@ object Jpeg {
     throw new IllegalArgumentException("missing SOS")
   }
 
+  /** Decode one entropy-coded block into dequantized raster-order
+    * coefficients (`coef`); returns the component's new DC predictor. */
+  private def readBlock(br: BitReader, dcT: HuffTable, acT: HuffTable,
+                        q: Array[Int], prevDc: Int,
+                        coef: Array[Int]): Int = {
+    java.util.Arrays.fill(coef, 0)
+    val s = dcT.decode(br)
+    require(s <= 11, s"DC size category $s out of range")
+    val dc = prevDc + extend(br.readBits(s), s)
+    coef(0) = dc * q(0)
+    var k = 1
+    while (k < 64) {
+      val sym = acT.decode(br)
+      if (sym == 0x00) k = 64 // EOB
+      else if (sym == 0xF0) k += 16 // ZRL
+      else {
+        val run = sym >> 4
+        val sz = sym & 0x0f
+        k += run
+        require(k < 64, "AC run overflows the block")
+        coef(Zigzag(k)) = extend(br.readBits(sz), sz) * q(k)
+        k += 1
+      }
+    }
+    dc
+  }
+
+  /** The byte-aligned scan must be followed by EOI (possibly after pad
+    * bytes a real encoder never emits but the walk tolerates). */
+  private def requireEoi(blob: Array[Byte], scanEnd: Int): Unit = {
+    var p = scanEnd
+    while (p + 1 < blob.length && !((blob(p) & 0xff) == 0xff &&
+        (blob(p + 1) & 0xff) == 0xd9)) p += 1
+    require(p + 1 < blob.length, "missing EOI after scan")
+  }
+
   private def decodeScan(blob: Array[Byte], scanStart: Int, width: Int,
                          height: Int, dcT: HuffTable, acT: HuffTable,
-                         q: Array[Int]): JpegInfo = {
+                         q: Array[Int], restartInterval: Int): JpegInfo = {
     val bw = (width + 7) / 8
     val bh = (height + 7) / 8
     val br = new BitReader(blob, scanStart)
@@ -417,29 +723,18 @@ object Jpeg {
     var nPx = 0L; var sum = 0L; var sq = 0L; var mx = 0; var mn = 255
     var topLeftHex = ""
     val coef = new Array[Int](64)
+    var mcuIdx = 0
     var by = 0
     while (by < bh) {
       var bx = 0
       while (bx < bw) {
-        java.util.Arrays.fill(coef, 0)
-        val s = dcT.decode(br)
-        require(s <= 11, s"DC size category $s out of range")
-        prevDc += extend(br.readBits(s), s)
-        coef(0) = prevDc * q(0)
-        var k = 1
-        while (k < 64) {
-          val sym = acT.decode(br)
-          if (sym == 0x00) k = 64 // EOB
-          else if (sym == 0xF0) k += 16 // ZRL
-          else {
-            val run = sym >> 4
-            val sz = sym & 0x0f
-            k += run
-            require(k < 64, "AC run overflows the block")
-            coef(Zigzag(k)) = extend(br.readBits(sz), sz) * q(k)
-            k += 1
-          }
+        if (restartInterval > 0 && mcuIdx > 0 &&
+            mcuIdx % restartInterval == 0) {
+          br.expectRestart((mcuIdx / restartInterval - 1) & 7)
+          prevDc = 0
         }
+        prevDc = readBlock(br, dcT, acT, q, prevDc, coef)
+        mcuIdx += 1
         val px = idct(coef)
         // accumulate only pixels inside the declared geometry (the last
         // block row/col may overhang when dims are not multiples of 8)
@@ -462,11 +757,112 @@ object Jpeg {
       }
       by += 1
     }
-    // trailing EOI must follow the (byte-aligned) scan
-    var p = br.bytePos
-    while (p + 1 < blob.length && !((blob(p) & 0xff) == 0xff &&
-        (blob(p + 1) & 0xff) == 0xd9)) p += 1
-    require(p + 1 < blob.length, "missing EOI after scan")
+    requireEoi(blob, br.bytePos)
     JpegInfo(width, height, nPx, sum, sq, mx, mn, topLeftHex)
+  }
+
+  // 16-bit fixed-point BT.601 inverse constants (round(k · 2^16), the
+  // same scaling real baseline decoders use): Cr→R 1.40200, Cb→G
+  // −0.34414, Cr→G −0.71414, Cb→B 1.77200. Integer-exact, so the driver
+  // oracle re-derives every channel with floor division — no doubles.
+  private val FixCrR = 91881
+  private val FixCbG = -22554
+  private val FixCrG = -46802
+  private val FixCbB = 116130
+
+  private def clampPx(v: Int): Int =
+    if (v < 0) 0 else if (v > 255) 255 else v
+
+  /** One interleaved-scan component: sampling factors, entropy tables,
+    * quant table, mutable DC predictor. */
+  private final class ScanComp(val hs: Int, val vs: Int,
+                               val dcT: HuffTable, val acT: HuffTable,
+                               val q: Array[Int]) {
+    var prevDc = 0
+    // hs·vs decoded blocks of the current MCU, raster order
+    val blocks = new Array[Array[Int]](hs * vs)
+    def sample(xx: Int, yy: Int, maxH: Int, maxV: Int): Int = {
+      // nearest (box) mapping from MCU pixel to this component's grid —
+      // exact integer arithmetic, the mapping the oracle re-derives
+      val sx = xx * hs / maxH
+      val sy = yy * vs / maxV
+      blocks((sy >> 3) * hs + (sx >> 3))((sy & 7) * 8 + (sx & 7))
+    }
+  }
+
+  /** Interleaved color scan over arbitrary (≤2) sampling factors: handles
+    * both 4:4:4 (every component 1×1) and 4:2:0 (Y 2×2, chroma 1×1, box
+    * upsample) with the same MCU walk. `restartInterval` > 0 consumes an
+    * RSTn marker after every that-many MCUs and resets all DC predictors
+    * (F.2.1.3.1) — the feature that makes a single huge scan SPLITTABLE:
+    * each restart segment is independently decodable, so a distributed
+    * decoder can fan one image's segments across tasks. */
+  private def decodeScanColor(blob: Array[Byte], scanStart: Int,
+                              width: Int, height: Int,
+                              comps: Array[ScanComp],
+                              restartInterval: Int): JpegColorInfo = {
+    val maxH = comps.map(_.hs).max
+    val maxV = comps.map(_.vs).max
+    val mcuW = 8 * maxH
+    val mcuH = 8 * maxV
+    val nMcuX = (width + mcuW - 1) / mcuW
+    val nMcuY = (height + mcuH - 1) / mcuH
+    val br = new BitReader(blob, scanStart)
+    val coef = new Array[Int](64)
+    var nPx = 0L; var sumR = 0L; var sumG = 0L; var sumB = 0L; var mx = 0
+    var topLeftHex = ""
+    var mcuIdx = 0
+    var by = 0
+    while (by < nMcuY) {
+      var bx = 0
+      while (bx < nMcuX) {
+        if (restartInterval > 0 && mcuIdx > 0 &&
+            mcuIdx % restartInterval == 0) {
+          br.expectRestart((mcuIdx / restartInterval - 1) & 7)
+          var c = 0
+          while (c < comps.length) { comps(c).prevDc = 0; c += 1 }
+        }
+        // one MCU: each component contributes hs·vs blocks, raster order
+        var c = 0
+        while (c < comps.length) {
+          val comp = comps(c)
+          var b = 0
+          while (b < comp.blocks.length) {
+            comp.prevDc =
+              readBlock(br, comp.dcT, comp.acT, comp.q, comp.prevDc, coef)
+            comp.blocks(b) = idct(coef)
+            b += 1
+          }
+          c += 1
+        }
+        val xMax = math.min(mcuW, width - bx * mcuW)
+        val yMax = math.min(mcuH, height - by * mcuH)
+        var yy = 0
+        while (yy < yMax) {
+          var xx = 0
+          while (xx < xMax) {
+            val y = comps(0).sample(xx, yy, maxH, maxV)
+            val cb = comps(1).sample(xx, yy, maxH, maxV) - 128
+            val cr = comps(2).sample(xx, yy, maxH, maxV) - 128
+            val r = clampPx(y + ((FixCrR * cr + 32768) >> 16))
+            val g = clampPx(y + ((FixCbG * cb + FixCrG * cr + 32768) >> 16))
+            val b = clampPx(y + ((FixCbB * cb + 32768) >> 16))
+            nPx += 1; sumR += r; sumG += g; sumB += b
+            if (r > mx) mx = r
+            if (g > mx) mx = g
+            if (b > mx) mx = b
+            if (bx == 0 && by == 0 && xx == 0 && yy == 0)
+              topLeftHex = f"$r%02X$g%02X$b%02X"
+            xx += 1
+          }
+          yy += 1
+        }
+        bx += 1
+        mcuIdx += 1
+      }
+      by += 1
+    }
+    requireEoi(blob, br.bytePos)
+    JpegColorInfo(width, height, nPx, sumR, sumG, sumB, mx, topLeftHex)
   }
 }

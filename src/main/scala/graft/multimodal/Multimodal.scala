@@ -350,6 +350,52 @@ object Multimodal {
         "max_px", "min_px", "topleft_hex")
   }
 
+  /** Wrap payload bytes into a REAL baseline 4:4:4 COLOR JFIF stream
+    * ([[Jpeg.encodeColor]]): one interleaved Y/Cb/Cr MCU per byte with
+    * per-component quant + Huffman tables and non-neutral chroma. */
+  def jpegColorBlob(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    graft.ops.Par.ensure(df.select(col(idCol).cast("long"), col(payloadCol)))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) => (id, Jpeg.encodeColor(p)) })
+      .toDF(idCol, "blob")
+  }
+
+  /** Wrap payload bytes into a REAL 4:2:0 baseline JFIF stream
+    * ([[Jpeg.encodeColor420]]): four Y blocks + shared chroma per 16×16
+    * MCU, with restart markers every `restartEvery` MCUs when > 0 — the
+    * subsampled layout (and resync structure) of real crawl images. */
+  def jpeg420Blob(df: DataFrame, idCol: String, payloadCol: String,
+                  restartEvery: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    graft.ops.Par.ensure(df.select(col(idCol).cast("long"), col(payloadCol)))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) =>
+        (id, Jpeg.encodeColor420(p, restartEvery))
+      })
+      .toDF(idCol, "blob")
+  }
+
+  /** Batched REAL color JPEG decode: interleaved-MCU Huffman + three DC
+    * predictors + per-component dequant + IDCT + fixed-point BT.601
+    * YCbCr→RGB, exact per-channel statistics per blob — (id, width,
+    * height, n_px, sum_r, sum_g, sum_b, max_px, topleft_hex). */
+  def decodeJpegColor(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    graft.ops.Par.ensure(df.select(col(idCol).cast("long"), col(blobCol)))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, blob) =>
+        val j = Jpeg.parseColor(blob)
+        (id, j.width, j.height, j.nPixels, j.sumR, j.sumG, j.sumB,
+          j.maxPx, j.topLeftHex)
+      })
+      .toDF(idCol, "width", "height", "n_px", "sum_r", "sum_g", "sum_b",
+        "max_px", "topleft_hex")
+  }
+
   /** Wrap a raw BGR byte column into a REAL bottom-up 24-bit BMP container
     * as pure expressions (the image twin of [[wavBlob]]): BITMAPFILEHEADER
     * + BITMAPINFOHEADER + the pixel array with each 3·`width`-byte row

@@ -91,13 +91,15 @@ class JpegSpec extends AnyFunSuite with SparkTestBase {
     // 16-bit quant table: flip the DQT precision nibble
     assert(msgOf(good.updated(markerAt(0xdb) + 4, 0x10.toByte))
       .contains("16-bit quantization"))
-    // multi-component frame
+    // component count flipped without the matching payload bytes
     val sof = markerAt(0xc0)
-    assert(msgOf(good.updated(sof + 9, 3.toByte)).contains("single-component"))
-    // restart interval spliced before SOS
+    assert(msgOf(good.updated(sof + 9, 3.toByte)).contains("component count"))
+    // a DRI spliced before SOS promises restart markers the scan lacks:
+    // the decoder must demand RST0 after the first MCU, loudly
     val sos = markerAt(0xda)
-    val dri = Array(0xff, 0xdd, 0x00, 0x04, 0x00, 0x08).map(_.toByte)
-    assert(msgOf(good.take(sos) ++ dri ++ good.drop(sos)).contains("DRI"))
+    val dri = Array(0xff, 0xdd, 0x00, 0x04, 0x00, 0x01).map(_.toByte)
+    assert(msgOf(good.take(sos) ++ dri ++ good.drop(sos))
+      .contains("expected restart marker RST0"))
     // an unassigned Huffman pattern at the head of the scan
     val scanStart = sos + 2 + (((good(sos + 2) & 0xff) << 8) | (good(sos + 3) & 0xff))
     assert(msgOf(good.updated(scanStart, 0xf4.toByte))
@@ -106,6 +108,263 @@ class JpegSpec extends AnyFunSuite with SparkTestBase {
     assert(msgOf(good.take(scanStart + 1)).contains("truncated"))
     // EOI dropped after an otherwise-complete scan
     assert(msgOf(good.dropRight(2)).contains("missing EOI"))
+  }
+
+  // ---- color (3-component 4:4:4 YCbCr) --------------------------------
+
+  private def clamp(v: Int) = math.max(0, math.min(255, v))
+
+  /** The decoder's fixed-point BT.601 conversion on the fixture's flat
+    * planes (Y = b, Cb−128 = b%9−4, Cr−128 = b%7−3). */
+  private def rgbOf(b: Int): (Int, Int, Int) = {
+    val cb = b % 9 - 4; val cr = b % 7 - 3
+    (clamp(b + ((91881 * cr + 32768) >> 16)),
+      clamp(b + ((-22554 * cb - 46802 * cr + 32768) >> 16)),
+      clamp(b + ((116130 * cb + 32768) >> 16)))
+  }
+
+  private def colorStats(bytes: Array[Byte]): Jpeg.JpegColorInfo = {
+    val px = bytes.map(b => rgbOf(b & 0xff))
+    Jpeg.JpegColorInfo(8, 8 * px.length, 64L * px.length,
+      64L * px.map(_._1.toLong).sum,
+      64L * px.map(_._2.toLong).sum,
+      64L * px.map(_._3.toLong).sum,
+      px.flatMap(p => Seq(p._1, p._2, p._3)).max,
+      f"${px(0)._1}%02X${px(0)._2}%02X${px(0)._3}%02X")
+  }
+
+  test("color DC-only fixtures decode to exact RGB for every byte value") {
+    val hostile = Array[Byte](0, -1, 0, 127, -128, 1, -2, 64)
+    assert(Jpeg.parseColor(Jpeg.encodeColor(hostile)) == colorStats(hostile))
+    val all = Array.tabulate(256)(i => i.toByte)
+    assert(Jpeg.parseColor(Jpeg.encodeColor(all)) == colorStats(all))
+    assert(Jpeg.parseColor(Jpeg.encodeColor(all.reverse)) ==
+      colorStats(all.reverse))
+    assert(Jpeg.parseColor(Jpeg.encodeColor(Array[Byte](42))) ==
+      colorStats(Array[Byte](42)))
+  }
+
+  test("color AC blocks: per-component tables/predictors agree with a direct IDCT") {
+    def blk(pairs: (Int, Int)*): Array[Int] = {
+      val b = new Array[Int](64)
+      pairs.foreach { case (k, v) => b(k) = v }
+      b
+    }
+    // four MCUs, 2 per row: AC energy in ALL THREE planes with different
+    // patterns, so desynced table selection or a shared DC predictor
+    // would corrupt the comparison
+    val y = Array(blk(0 -> 10, 1 -> 3, 2 -> -7), blk(0 -> -5, 3 -> 2),
+      blk(0 -> 0, 20 -> 6), blk(0 -> 100, 63 -> -3))
+    val cb = Array(blk(0 -> 2, 5 -> -1), blk(0 -> -3, 1 -> 4),
+      blk(0 -> 1), blk(0 -> 0, 30 -> 2))
+    val cr = Array(blk(0 -> -2, 7 -> 3), blk(0 -> 4),
+      blk(0 -> -1, 10 -> -2), blk(0 -> 3, 40 -> 1))
+    val got = Jpeg.parseColor(Jpeg.encodeColorBlocks(y, cb, cr, blocksPerRow = 2))
+
+    // independent reference: dequantize (luma q 8/5, chroma q 8/7) in
+    // zigzag order, direct 2-D IDCT per plane, then the fixed-point
+    // conversion per pixel
+    def reference(zig: Array[Int], qdc: Int, qac: Int): Array[Int] = {
+      val f = new Array[Double](64)
+      for (k <- 0 until 64)
+        f(Jpeg.Zigzag(k)) = (zig(k) * (if (k == 0) qdc else qac)).toDouble
+      val out = new Array[Int](64)
+      for (yy <- 0 until 8; xx <- 0 until 8) {
+        var s = 0.0
+        for (u <- 0 until 8; v <- 0 until 8) {
+          val cu = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+          val cv = if (v == 0) 1.0 / math.sqrt(2.0) else 1.0
+          s += cu * cv * f(v * 8 + u) *
+            math.cos((2 * xx + 1) * u * math.Pi / 16.0) *
+            math.cos((2 * yy + 1) * v * math.Pi / 16.0)
+        }
+        out(yy * 8 + xx) = clamp(math.round(s / 4.0 + 128.0).toInt)
+      }
+      out
+    }
+    var nPx = 0L; var sR = 0L; var sG = 0L; var sB = 0L; var mx = 0
+    var tl = ""
+    for (m <- 0 until 4) {
+      val yp = reference(y(m), 8, 5)
+      val cbp = reference(cb(m), 8, 7)
+      val crp = reference(cr(m), 8, 7)
+      for (i <- 0 until 64) {
+        val cbv = cbp(i) - 128; val crv = crp(i) - 128
+        val r = clamp(yp(i) + ((91881 * crv + 32768) >> 16))
+        val g = clamp(yp(i) + ((-22554 * cbv - 46802 * crv + 32768) >> 16))
+        val b = clamp(yp(i) + ((116130 * cbv + 32768) >> 16))
+        nPx += 1; sR += r; sG += g; sB += b
+        mx = math.max(mx, math.max(r, math.max(g, b)))
+        if (m == 0 && i == 0) tl = f"$r%02X$g%02X$b%02X"
+      }
+    }
+    assert(got == Jpeg.JpegColorInfo(16, 16, nPx, sR, sG, sB, mx, tl))
+  }
+
+  test("color routing and subsampling guards fail loud by name") {
+    val gray = Jpeg.encodeGray(Array[Byte](10, 20))
+    val color = Jpeg.encodeColor(Array[Byte](10, 20))
+    assert(intercept[IllegalArgumentException](Jpeg.parse(color))
+      .getMessage.contains("parseColor"))
+    assert(intercept[IllegalArgumentException](Jpeg.parseColor(gray))
+      .getMessage.contains("use parse"))
+    // declare 2x1 (4:2:2) sampling on the Y component: throws by name
+    // (2x2 / 4:2:0 is a SUPPORTED layout, tested separately)
+    val sof = color.indexOfSlice(Array(0xff.toByte, 0xc0.toByte))
+    val sub = color.updated(sof + 11, 0x21.toByte)
+    assert(intercept[IllegalArgumentException](Jpeg.parseColor(sub))
+      .getMessage.contains("subsampling"))
+  }
+
+  // ---- 4:2:0 subsampling + restart intervals ---------------------------
+
+  /** Expected stats for the 4:2:0 fixture: quadrant k of group j is flat
+    * Y = b(4j+k) under the group-shared chroma of b(4j). */
+  private def colorStats420(bytes: Array[Byte]): Jpeg.JpegColorInfo = {
+    val bv = bytes.map(_ & 0xff)
+    val groups = bv.grouped(4).toArray
+    def pxOf(y: Int, c: Int): (Int, Int, Int) = {
+      val cb = c % 9 - 4; val cr = c % 7 - 3
+      (clamp(y + ((91881 * cr + 32768) >> 16)),
+        clamp(y + ((-22554 * cb - 46802 * cr + 32768) >> 16)),
+        clamp(y + ((116130 * cb + 32768) >> 16)))
+    }
+    val px = groups.flatMap(g => g.map(b => pxOf(b, g(0))))
+    val tl = pxOf(groups(0)(0), groups(0)(0))
+    Jpeg.JpegColorInfo(16, 16 * groups.length, 256L * groups.length,
+      64L * px.map(_._1.toLong).sum,
+      64L * px.map(_._2.toLong).sum,
+      64L * px.map(_._3.toLong).sum,
+      px.flatMap(p => Seq(p._1, p._2, p._3)).max,
+      f"${tl._1}%02X${tl._2}%02X${tl._3}%02X")
+  }
+
+  test("4:2:0 fixtures decode exactly, with and without restart intervals") {
+    val all = Array.tabulate(256)(i => i.toByte) // 64 MCUs
+    val want = colorStats420(all)
+    assert(Jpeg.parseColor(Jpeg.encodeColor420(all)) == want)
+    // restart markers + DC-predictor resets must not change decoded
+    // values; intervals 1/3/5 hit every RSTn cycle position and both
+    // aligned and unaligned marker boundaries
+    for (ri <- Seq(1, 3, 5, 64, 100))
+      assert(Jpeg.parseColor(Jpeg.encodeColor420(all, restartEvery = ri)) ==
+        want, s"restartEvery=$ri")
+    val tiny = Array[Byte](0, -1, 127, -128)
+    assert(Jpeg.parseColor(Jpeg.encodeColor420(tiny)) == colorStats420(tiny))
+  }
+
+  test("grayscale restart intervals decode exactly and resync the predictor") {
+    val payload = Array.tabulate(40)(i => (i * 37 % 256).toByte)
+    val want = Jpeg.parse(Jpeg.encodeGray(payload))
+    for (ri <- Seq(1, 2, 7, 8, 9))
+      assert(Jpeg.parse(Jpeg.encodeGray(payload, restartEvery = ri)) == want,
+        s"restartEvery=$ri")
+  }
+
+  test("4:2:0 AC blocks agree with a direct per-plane IDCT + box upsample") {
+    def blk(pairs: (Int, Int)*): Array[Int] = {
+      val b = new Array[Int](64)
+      pairs.foreach { case (k, v) => b(k) = v }
+      b
+    }
+    // one MCU: four distinct AC-bearing Y quadrants, AC-bearing chroma
+    val y = Array(Array(blk(0 -> 10, 1 -> 3), blk(0 -> -5, 3 -> 2),
+      blk(0 -> 0, 20 -> 6), blk(0 -> 100, 63 -> -3)))
+    val cb = Array(blk(0 -> 2, 5 -> -1))
+    val cr = Array(blk(0 -> -2, 7 -> 3))
+    val got = Jpeg.parseColor(Jpeg.encodeColorBlocks420(y, cb, cr, 1))
+
+    def reference(zig: Array[Int], qdc: Int, qac: Int): Array[Int] = {
+      val f = new Array[Double](64)
+      for (k <- 0 until 64)
+        f(Jpeg.Zigzag(k)) = (zig(k) * (if (k == 0) qdc else qac)).toDouble
+      val out = new Array[Int](64)
+      for (yy <- 0 until 8; xx <- 0 until 8) {
+        var s = 0.0
+        for (u <- 0 until 8; v <- 0 until 8) {
+          val cu = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+          val cv = if (v == 0) 1.0 / math.sqrt(2.0) else 1.0
+          s += cu * cv * f(v * 8 + u) *
+            math.cos((2 * xx + 1) * u * math.Pi / 16.0) *
+            math.cos((2 * yy + 1) * v * math.Pi / 16.0)
+        }
+        out(yy * 8 + xx) = clamp(math.round(s / 4.0 + 128.0).toInt)
+      }
+      out
+    }
+    // the blocks hold ABSOLUTE DCs; the stream carries diffs chained
+    // across the four Y quadrants, which the decoder must undo exactly
+    val yPlanes = y(0).map(reference(_, 8, 5))
+    val cbP = reference(cb(0), 8, 7)
+    val crP = reference(cr(0), 8, 7)
+    var nPx = 0L; var sR = 0L; var sG = 0L; var sB = 0L; var mx = 0
+    var tl = ""
+    for (py <- 0 until 16; px <- 0 until 16) {
+      val yv = yPlanes((py / 8) * 2 + (px / 8))((py % 8) * 8 + (px % 8))
+      val cbv = cbP((py / 2) * 8 + (px / 2)) - 128
+      val crv = crP((py / 2) * 8 + (px / 2)) - 128
+      val r = clamp(yv + ((91881 * crv + 32768) >> 16))
+      val g = clamp(yv + ((-22554 * cbv - 46802 * crv + 32768) >> 16))
+      val b = clamp(yv + ((116130 * cbv + 32768) >> 16))
+      nPx += 1; sR += r; sG += g; sB += b
+      mx = math.max(mx, math.max(r, math.max(g, b)))
+      if (py == 0 && px == 0) tl = f"$r%02X$g%02X$b%02X"
+    }
+    assert(got == Jpeg.JpegColorInfo(16, 16, nPx, sR, sG, sB, mx, tl))
+  }
+
+  test("4:2:2 sampling and broken restart chains fail loud by name") {
+    val blob = Jpeg.encodeColor420(Array[Byte](1, 2, 3, 4, 5, 6, 7, 8),
+      restartEvery = 1)
+    // corrupt the RST0 marker between the two MCUs
+    val rst = blob.indexOfSlice(Array(0xff.toByte, 0xd0.toByte))
+    assert(rst > 0)
+    val msg = intercept[IllegalArgumentException](
+      Jpeg.parseColor(blob.updated(rst + 1, 0xd4.toByte))).getMessage
+    assert(msg.contains("expected restart marker RST0"))
+    // 4:2:2 (Y 2x1) declared in SOF throws by its factors
+    val sof = blob.indexOfSlice(Array(0xff.toByte, 0xc0.toByte))
+    val m422 = intercept[IllegalArgumentException](
+      Jpeg.parseColor(blob.updated(sof + 11, 0x21.toByte))).getMessage
+    assert(m422.contains("unsupported chroma subsampling layout"))
+  }
+
+  test("Spark plumbing: jpeg420Blob → decodeJpegColor matches per-payload stats") {
+    val docs = Seq((1L, "alphabet"), (2L, "zzzz"),
+      (3L, "The quick brown fox.")) // lengths all multiples of 4
+      .toDF("doc_id", "text")
+      .withColumn("px", encode(col("text"), "UTF-8"))
+    val got = Multimodal.decodeJpegColor(
+        Multimodal.jpeg420Blob(docs, "doc_id", "px", restartEvery = 3),
+        "doc_id", "blob")
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getInt(7), r.getString(8)))
+    val want = Seq((1L, "alphabet"), (2L, "zzzz"), (3L, "The quick brown fox."))
+      .map { case (id, tx) =>
+        val o = colorStats420(tx.getBytes("UTF-8"))
+        (id, o.width, o.height, o.nPixels, o.sumR, o.sumG, o.sumB,
+          o.maxPx, o.topLeftHex)
+      }
+    assert(got.toSeq == want)
+  }
+
+  test("Spark plumbing: jpegColorBlob → decodeJpegColor matches per-payload stats") {
+    val docs = Seq((1L, "alpha"), (2L, "z"), (3L, "The quick brown fox."))
+      .toDF("doc_id", "text")
+      .withColumn("px", encode(col("text"), "UTF-8"))
+    val got = Multimodal.decodeJpegColor(
+        Multimodal.jpegColorBlob(docs, "doc_id", "px"), "doc_id", "blob")
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getInt(7), r.getString(8)))
+    val want = Seq((1L, "alpha"), (2L, "z"), (3L, "The quick brown fox."))
+      .map { case (id, tx) =>
+        val o = colorStats(tx.getBytes("UTF-8"))
+        (id, o.width, o.height, o.nPixels, o.sumR, o.sumG, o.sumB,
+          o.maxPx, o.topLeftHex)
+      }
+    assert(got.toSeq == want)
   }
 
   test("Spark plumbing: jpegBlob → decodeJpeg matches per-payload stats") {
