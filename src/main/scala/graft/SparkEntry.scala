@@ -2141,6 +2141,25 @@ object SparkEntry {
         "doc_id", "blob")
     }),
 
+    // SEGMENT-PARALLEL decode of the same 4:2:0 restart-marked streams:
+    // each image's scan is split at its RSTn markers (one linear byte
+    // scan, no entropy work), the segments fan across up to 8 stride-
+    // buckets through a real shuffle, and exact partial statistics merge
+    // by sum/max. Same oracle as mm_decode_jpeg420 — the driver gate
+    // PROVES distributed-segment decode ≡ sequential whole-scan decode.
+    // At 100 TB this is the difference between one task per giant image
+    // and a cluster-wide decode
+    "mm_decode_jpeg_parallel" -> ((s, dir) => {
+      val px = t(s, dir, "documents")
+        .withColumn("__b0", expr("substring(encode(text, 'UTF-8'), 1, 2048)"))
+        .withColumn("__b",
+          expr("substring(__b0, 1, length(__b0) - pmod(length(__b0), 4))"))
+        .filter(length(col("__b")) >= 4)
+      Multimodal.decodeJpegColorParallel(
+        Multimodal.jpeg420Blob(px, "doc_id", "__b", restartEvery = 3),
+        "doc_id", "blob", tasksPerImage = 8)
+    }),
+
     // REAL-pixel resize: the decoded BMP downsampled 2× in both axes by
     // nearest neighbor — the decode→transform step mm_resize only
     // imitates on raw bytes. The sampling grid reads logical rows top
@@ -3896,6 +3915,45 @@ object SparkEntry {
   /** DuckDB equivalents over the same parquet tables. Column names/aliases
     * must match the Spark outputs exactly (driver sorts columns by name). */
   def oracleSql: Map[String, String] = {
+    // the 4:2:0 oracle, shared verbatim by the sequential and the
+    // segment-parallel decode queries (equality is the point)
+    val jpeg420OracleSql: String = {
+        def conv(y: String, e: String) =
+          s"least(255, greatest(0, $y + CAST(floor(($e + 32768) / 65536.0) AS INT)))"
+        val y = "bv[(4*j+k+1)::INT]"
+        val c = "bv[(4*j+1)::INT]"
+        val r = conv(y, s"91881*($c%7-3)")
+        val g = conv(y, s"-22554*($c%9-4) - 46802*($c%7-3)")
+        val bb = conv(y, s"116130*($c%9-4)")
+        raw"""WITH b0 AS (SELECT doc_id,
+                regexp_extract_all(substr(hex(encode(text)), 1, 4096), '..') AS by
+                FROM documents),
+            b AS (SELECT doc_id, by[1:(len(by) - len(by) % 4)::INT] AS by
+              FROM b0 WHERE len(by) >= 4),
+            v AS (SELECT doc_id, list_transform(by, h ->
+                (strpos('0123456789ABCDEF', substr(h, 1, 1)) - 1) * 16
+                + strpos('0123456789ABCDEF', substr(h, 2, 1)) - 1) AS bv
+              FROM b),
+            px AS (SELECT doc_id, len(bv) // 4 AS ng,
+                flatten(list_transform(range(len(bv) // 4), j ->
+                  list_transform(range(4), k -> [$r, $g, $bb]))) AS rgb
+              FROM v)
+            SELECT doc_id,
+              CAST(16 AS INTEGER) AS width,
+              CAST(16 * ng AS INTEGER) AS height,
+              CAST(256 * ng AS BIGINT) AS n_px,
+              CAST(64 * list_sum(list_transform(rgb, p -> p[1])) AS BIGINT)
+                AS sum_r,
+              CAST(64 * list_sum(list_transform(rgb, p -> p[2])) AS BIGINT)
+                AS sum_g,
+              CAST(64 * list_sum(list_transform(rgb, p -> p[3])) AS BIGINT)
+                AS sum_b,
+              CAST(list_aggregate(list_transform(rgb, p ->
+                greatest(p[1], p[2], p[3])), 'max') AS INTEGER) AS max_px,
+              printf('%02X%02X%02X', rgb[1][1], rgb[1][2], rgb[1][3])
+                AS topleft_hex
+            FROM px"""
+      }
     // shared DuckDB snippets replicating TextFunctions' tokenization
     val toks = raw"string_split_regex(trim(lower(text)), '\s+')"
     // graft.text.Probe's exact normal-equation solve: integer features,
@@ -5697,43 +5755,11 @@ object SparkEntry {
       // group j is a flat 8×8 with Y = bv[4j+k], chroma shared from the
       // group's FIRST byte; restarts don't change decoded values (DC
       // prediction resets, but the fixture codes absolute DCs per block)
-      "mm_decode_jpeg420" -> {
-        def conv(y: String, e: String) =
-          s"least(255, greatest(0, $y + CAST(floor(($e + 32768) / 65536.0) AS INT)))"
-        val y = "bv[(4*j+k+1)::INT]"
-        val c = "bv[(4*j+1)::INT]"
-        val r = conv(y, s"91881*($c%7-3)")
-        val g = conv(y, s"-22554*($c%9-4) - 46802*($c%7-3)")
-        val bb = conv(y, s"116130*($c%9-4)")
-        raw"""WITH b0 AS (SELECT doc_id,
-                regexp_extract_all(substr(hex(encode(text)), 1, 4096), '..') AS by
-                FROM documents),
-            b AS (SELECT doc_id, by[1:(len(by) - len(by) % 4)::INT] AS by
-              FROM b0 WHERE len(by) >= 4),
-            v AS (SELECT doc_id, list_transform(by, h ->
-                (strpos('0123456789ABCDEF', substr(h, 1, 1)) - 1) * 16
-                + strpos('0123456789ABCDEF', substr(h, 2, 1)) - 1) AS bv
-              FROM b),
-            px AS (SELECT doc_id, len(bv) // 4 AS ng,
-                flatten(list_transform(range(len(bv) // 4), j ->
-                  list_transform(range(4), k -> [$r, $g, $bb]))) AS rgb
-              FROM v)
-            SELECT doc_id,
-              CAST(16 AS INTEGER) AS width,
-              CAST(16 * ng AS INTEGER) AS height,
-              CAST(256 * ng AS BIGINT) AS n_px,
-              CAST(64 * list_sum(list_transform(rgb, p -> p[1])) AS BIGINT)
-                AS sum_r,
-              CAST(64 * list_sum(list_transform(rgb, p -> p[2])) AS BIGINT)
-                AS sum_g,
-              CAST(64 * list_sum(list_transform(rgb, p -> p[3])) AS BIGINT)
-                AS sum_b,
-              CAST(list_aggregate(list_transform(rgb, p ->
-                greatest(p[1], p[2], p[3])), 'max') AS INTEGER) AS max_px,
-              printf('%02X%02X%02X', rgb[1][1], rgb[1][2], rgb[1][3])
-                AS topleft_hex
-            FROM px"""
-      },
+      "mm_decode_jpeg420" -> jpeg420OracleSql,
+      // the segment-parallel decode is value-identical to the sequential
+      // one BY CONTRACT — same oracle, so the gate proves the equivalence
+      "mm_decode_jpeg_parallel" -> jpeg420OracleSql,
+
       // the real-pixel 2× resize: logical pixel (r, c) of the output reads
       // original (2r, 2c); original logical row R is stored bottom-up at
       // h-1-R, so the sampled payload offset is (h-1-2r)*15 + 6c

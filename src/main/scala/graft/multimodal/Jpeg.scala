@@ -541,7 +541,38 @@ object Jpeg {
       "single-component grayscale stream: use parse")
   }
 
+  /** Everything the segment walk learns before entropy data begins:
+    * geometry, per-component tables/sampling, restart interval, and the
+    * scan's first entropy byte. */
+  private final class ParsedScan(val width: Int, val height: Int,
+      val nComp: Int, val dcT: Array[HuffTable], val acT: Array[HuffTable],
+      val qs: Array[Array[Int]], val samp: Array[Int],
+      val restartInterval: Int, val scanStart: Int) {
+    def comps: Array[ScanComp] = Array.tabulate(nComp)(c => new ScanComp(
+      (samp(c) >> 4) & 0x0f, samp(c) & 0x0f, dcT(c), acT(c), qs(c)))
+    def maxH: Int = (0 until nComp).map(c => (samp(c) >> 4) & 0x0f).max
+    def maxV: Int = (0 until nComp).map(c => samp(c) & 0x0f).max
+    def nMcuX: Int = (width + 8 * maxH - 1) / (8 * maxH)
+    def nMcuY: Int = (height + 8 * maxV - 1) / (8 * maxV)
+    def nMcu: Int = nMcuX * nMcuY
+    /** Restart segments in the scan: `restartInterval` MCUs each (the
+      * last possibly short); one segment when DRI is absent. */
+    def nSegments: Int =
+      if (restartInterval <= 0) 1
+      else (nMcu + restartInterval - 1) / restartInterval
+  }
+
   private def parseStream(blob: Array[Byte]): Either[JpegInfo, JpegColorInfo] = {
+    val p = walkHeaders(blob)
+    if (p.nComp == 1)
+      Left(decodeScan(blob, p.scanStart, p.width, p.height,
+        p.dcT(0), p.acT(0), p.qs(0), p.restartInterval))
+    else
+      Right(decodeScanColor(blob, p.scanStart, p.width, p.height,
+        p.comps, p.restartInterval))
+  }
+
+  private def walkHeaders(blob: Array[Byte]): ParsedScan = {
     require(blob.length >= 4 && (blob(0) & 0xff) == 0xff &&
       (blob(1) & 0xff) == 0xd8, "not a JPEG: missing SOI")
     var pos = 2
@@ -660,16 +691,8 @@ object Jpeg {
           val ss = pos + 3 + 2 * nComp
           require(blob(ss) == 0 && blob(ss + 1) == 63 && blob(ss + 2) == 0,
             "non-baseline spectral selection")
-          return if (nComp == 1)
-            Left(decodeScan(blob, pos + len, width, height,
-              dcT(0), acT(0), qs(0), restartInterval))
-          else {
-            val comps = Array.tabulate(nComp)(c => new ScanComp(
-              (compSamp(c) >> 4) & 0x0f, compSamp(c) & 0x0f,
-              dcT(c), acT(c), qs(c)))
-            Right(decodeScanColor(blob, pos + len, width, height,
-              comps, restartInterval))
-          }
+          return new ParsedScan(width, height, nComp, dcT, acT, qs,
+            compSamp.take(nComp), restartInterval, pos + len)
         case _ => // APPn/COM/etc: skip by length
           pos += u16(pos)
       }
@@ -797,72 +820,187 @@ object Jpeg {
     * (F.2.1.3.1) — the feature that makes a single huge scan SPLITTABLE:
     * each restart segment is independently decodable, so a distributed
     * decoder can fan one image's segments across tasks. */
+  /** Mergeable per-channel accumulator: a restart segment's pixels fold
+    * in independently, so partial results from parallel segment decodes
+    * combine by plain sum/max — the property the distributed decode
+    * ([[decodeColorSegments]]) relies on. */
+  private final class ColorAcc {
+    var nPx = 0L; var sumR = 0L; var sumG = 0L; var sumB = 0L
+    var mx = 0
+    var topLeftHex: String = null
+  }
+
+  /** Decode `mcuCount` consecutive MCUs starting at entropy byte
+    * `startPos` and image-grid MCU index `mcuStart`, with FRESH DC
+    * predictors (every restart segment is independently decodable —
+    * that is the whole point of restarts). In-bounds pixels accumulate
+    * into `acc`; returns the byte position after the last consumed
+    * entropy byte (any partial-byte pad bits are discarded, as the spec
+    * requires before a byte-aligned marker). */
+  private def decodeMcuRange(blob: Array[Byte], startPos: Int,
+                             width: Int, height: Int,
+                             comps: Array[ScanComp],
+                             mcuStart: Int, mcuCount: Int,
+                             acc: ColorAcc): Int = {
+    val maxH = comps.map(_.hs).max
+    val maxV = comps.map(_.vs).max
+    val mcuW = 8 * maxH
+    val mcuH = 8 * maxV
+    val nMcuX = (width + mcuW - 1) / mcuW
+    val br = new BitReader(blob, startPos)
+    val coef = new Array[Int](64)
+    var c = 0
+    while (c < comps.length) { comps(c).prevDc = 0; c += 1 }
+    var i = 0
+    while (i < mcuCount) {
+      val mcuIdx = mcuStart + i
+      val bx = mcuIdx % nMcuX
+      val by = mcuIdx / nMcuX
+      // one MCU: each component contributes hs·vs blocks, raster order
+      c = 0
+      while (c < comps.length) {
+        val comp = comps(c)
+        var b = 0
+        while (b < comp.blocks.length) {
+          comp.prevDc =
+            readBlock(br, comp.dcT, comp.acT, comp.q, comp.prevDc, coef)
+          comp.blocks(b) = idct(coef)
+          b += 1
+        }
+        c += 1
+      }
+      val xMax = math.min(mcuW, width - bx * mcuW)
+      val yMax = math.min(mcuH, height - by * mcuH)
+      var yy = 0
+      while (yy < yMax) {
+        var xx = 0
+        while (xx < xMax) {
+          val y = comps(0).sample(xx, yy, maxH, maxV)
+          val cb = comps(1).sample(xx, yy, maxH, maxV) - 128
+          val cr = comps(2).sample(xx, yy, maxH, maxV) - 128
+          val r = clampPx(y + ((FixCrR * cr + 32768) >> 16))
+          val g = clampPx(y + ((FixCbG * cb + FixCrG * cr + 32768) >> 16))
+          val b = clampPx(y + ((FixCbB * cb + 32768) >> 16))
+          acc.nPx += 1; acc.sumR += r; acc.sumG += g; acc.sumB += b
+          if (r > acc.mx) acc.mx = r
+          if (g > acc.mx) acc.mx = g
+          if (b > acc.mx) acc.mx = b
+          if (bx == 0 && by == 0 && xx == 0 && yy == 0)
+            acc.topLeftHex = f"$r%02X$g%02X$b%02X"
+          xx += 1
+        }
+        yy += 1
+      }
+      i += 1
+    }
+    br.bytePos
+  }
+
+  /** Validate the byte-aligned restart marker RST`n` at `pos`; returns
+    * the first byte after it. */
+  private def expectRestartAt(blob: Array[Byte], pos: Int, n: Int): Int = {
+    require(pos + 1 < blob.length, "scan truncated at restart boundary")
+    val m = ((blob(pos) & 0xff) << 8) | (blob(pos + 1) & 0xff)
+    require(m == 0xffd0 + n,
+      f"expected restart marker RST$n (FF${0xd0 + n}%02X) " +
+        f"at $pos, found $m%04X")
+    pos + 2
+  }
+
+  /** Interleaved color scan over arbitrary (≤2) sampling factors —
+    * sequential reference path: decode each restart segment in order,
+    * validating the cycling RSTn marker between segments. */
   private def decodeScanColor(blob: Array[Byte], scanStart: Int,
                               width: Int, height: Int,
                               comps: Array[ScanComp],
                               restartInterval: Int): JpegColorInfo = {
     val maxH = comps.map(_.hs).max
     val maxV = comps.map(_.vs).max
-    val mcuW = 8 * maxH
-    val mcuH = 8 * maxV
-    val nMcuX = (width + mcuW - 1) / mcuW
-    val nMcuY = (height + mcuH - 1) / mcuH
-    val br = new BitReader(blob, scanStart)
-    val coef = new Array[Int](64)
-    var nPx = 0L; var sumR = 0L; var sumG = 0L; var sumB = 0L; var mx = 0
-    var topLeftHex = ""
-    var mcuIdx = 0
-    var by = 0
-    while (by < nMcuY) {
-      var bx = 0
-      while (bx < nMcuX) {
-        if (restartInterval > 0 && mcuIdx > 0 &&
-            mcuIdx % restartInterval == 0) {
-          br.expectRestart((mcuIdx / restartInterval - 1) & 7)
-          var c = 0
-          while (c < comps.length) { comps(c).prevDc = 0; c += 1 }
-        }
-        // one MCU: each component contributes hs·vs blocks, raster order
-        var c = 0
-        while (c < comps.length) {
-          val comp = comps(c)
-          var b = 0
-          while (b < comp.blocks.length) {
-            comp.prevDc =
-              readBlock(br, comp.dcT, comp.acT, comp.q, comp.prevDc, coef)
-            comp.blocks(b) = idct(coef)
-            b += 1
-          }
-          c += 1
-        }
-        val xMax = math.min(mcuW, width - bx * mcuW)
-        val yMax = math.min(mcuH, height - by * mcuH)
-        var yy = 0
-        while (yy < yMax) {
-          var xx = 0
-          while (xx < xMax) {
-            val y = comps(0).sample(xx, yy, maxH, maxV)
-            val cb = comps(1).sample(xx, yy, maxH, maxV) - 128
-            val cr = comps(2).sample(xx, yy, maxH, maxV) - 128
-            val r = clampPx(y + ((FixCrR * cr + 32768) >> 16))
-            val g = clampPx(y + ((FixCbG * cb + FixCrG * cr + 32768) >> 16))
-            val b = clampPx(y + ((FixCbB * cb + 32768) >> 16))
-            nPx += 1; sumR += r; sumG += g; sumB += b
-            if (r > mx) mx = r
-            if (g > mx) mx = g
-            if (b > mx) mx = b
-            if (bx == 0 && by == 0 && xx == 0 && yy == 0)
-              topLeftHex = f"$r%02X$g%02X$b%02X"
-            xx += 1
-          }
-          yy += 1
-        }
-        bx += 1
-        mcuIdx += 1
-      }
-      by += 1
+    val nMcuX = (width + 8 * maxH - 1) / (8 * maxH)
+    val nMcuY = (height + 8 * maxV - 1) / (8 * maxV)
+    val nMcu = nMcuX * nMcuY
+    val ri = if (restartInterval <= 0) nMcu else restartInterval
+    val acc = new ColorAcc
+    var mcuStart = 0
+    var pos = scanStart
+    var seg = 0
+    while (mcuStart < nMcu) {
+      if (seg > 0) pos = expectRestartAt(blob, pos, (seg - 1) & 7)
+      val count = math.min(ri, nMcu - mcuStart)
+      pos = decodeMcuRange(blob, pos, width, height, comps,
+        mcuStart, count, acc)
+      mcuStart += count
+      seg += 1
     }
-    requireEoi(blob, br.bytePos)
-    JpegColorInfo(width, height, nPx, sumR, sumG, sumB, mx, topLeftHex)
+    requireEoi(blob, pos)
+    JpegColorInfo(width, height, acc.nPx, acc.sumR, acc.sumG, acc.sumB,
+      acc.mx, acc.topLeftHex)
+  }
+
+  // ---------------------------------------------- parallel segment decode
+
+  /** Segment inventory of a COLOR scan, from the headers alone (no
+    * entropy decode): enough for a planner to decide the fan-out. */
+  final case class SegmentInfo(width: Int, height: Int, nMcu: Int,
+                               restartInterval: Int, nSegments: Int)
+
+  def segmentInfo(blob: Array[Byte]): SegmentInfo = {
+    val p = walkHeaders(blob)
+    require(p.nComp == 3, "segment decode supports color streams only")
+    SegmentInfo(p.width, p.height, p.nMcu, p.restartInterval, p.nSegments)
+  }
+
+  /** Locate every restart segment's first entropy byte with ONE linear,
+    * stuffing-aware byte scan (no Huffman work) — exactly how parallel
+    * JPEG decoders split a scan: FF 00 is data, FF D0–D7 is a segment
+    * boundary, anything else ends the scan early (fail loud). */
+  private def segmentStarts(blob: Array[Byte], p: ParsedScan): Array[Int] = {
+    val n = p.nSegments
+    val starts = new Array[Int](n)
+    starts(0) = p.scanStart
+    var found = 1
+    var pos = p.scanStart
+    while (found < n) {
+      require(pos + 1 < blob.length,
+        "scan truncated while locating restart segments")
+      if ((blob(pos) & 0xff) == 0xff) {
+        val m = blob(pos + 1) & 0xff
+        if (m == 0x00) pos += 2 // stuffed data byte
+        else if (m >= 0xd0 && m <= 0xd7) {
+          pos += 2
+          starts(found) = pos
+          found += 1
+        } else throw new IllegalArgumentException(
+          f"marker FF$m%02X before all ${n} restart segments were found")
+      } else pos += 1
+    }
+    starts
+  }
+
+  /** Decode this task's stride of restart segments (segIdx ≡ `bucket`
+    * mod `stride`) into PARTIAL channel statistics — (nPx, sumR, sumG,
+    * sumB, maxPx, topLeftHex-or-null). Partials from different buckets
+    * merge by sum/max (topLeftHex is non-null only in the bucket that
+    * owns MCU 0), so a distributed decoder can fan ONE image's scan
+    * across tasks and aggregate — byte-identical to the sequential
+    * [[parseColor]] by construction (same per-segment decode). */
+  def decodeColorSegments(blob: Array[Byte], bucket: Int, stride: Int):
+      (Long, Long, Long, Long, Int, String) = {
+    require(stride > 0 && bucket >= 0 && bucket < stride,
+      "bucket must be in [0, stride)")
+    val p = walkHeaders(blob)
+    require(p.nComp == 3, "segment decode supports color streams only")
+    val starts = segmentStarts(blob, p)
+    val ri = if (p.restartInterval <= 0) p.nMcu else p.restartInterval
+    val comps = p.comps
+    val acc = new ColorAcc
+    var s = bucket
+    while (s < starts.length) {
+      val mcuStart = s * ri
+      decodeMcuRange(blob, starts(s), p.width, p.height, comps,
+        mcuStart, math.min(ri, p.nMcu - mcuStart), acc)
+      s += stride
+    }
+    (acc.nPx, acc.sumR, acc.sumG, acc.sumB, acc.mx, acc.topLeftHex)
   }
 }

@@ -396,6 +396,48 @@ object Multimodal {
         "max_px", "topleft_hex")
   }
 
+  /** Distributed SEGMENT-PARALLEL color JPEG decode: fan each image's
+    * restart segments across up to `tasksPerImage` stride-buckets, decode
+    * partial channel statistics per bucket, and merge by sum/max — the
+    * plan that decodes ONE giant restart-marked scan across a cluster's
+    * executors instead of serializing on a single task. The fan-out is a
+    * header-only planning pass (no entropy work); images without DRI
+    * stay single-task. Output is column-identical to [[decodeJpegColor]],
+    * and byte-identical by construction (same per-segment decode, exact
+    * integer merge). */
+  def decodeJpegColorParallel(df: DataFrame, idCol: String, blobCol: String,
+                              tasksPerImage: Int = 8): DataFrame = {
+    require(tasksPerImage >= 1, "tasksPerImage must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val fanned = graft.ops.Par
+      .ensure(df.select(col(idCol).cast("long"), col(blobCol)))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, b) =>
+        val k = math.min(Jpeg.segmentInfo(b).nSegments, tasksPerImage)
+        (0 until k).map(t => (id, t, k, b))
+      }
+      .toDF(idCol, "bucket", "stride", "blob")
+      // move each (image, bucket) to its own task: at scale this is the
+      // shuffle that spreads one image's byte ranges across executors
+      .repartition(col(idCol), col("bucket"))
+    fanned.as[(Long, Int, Int, Array[Byte])]
+      .mapPartitions(_.map { case (id, bucket, stride, b) =>
+        val info = Jpeg.segmentInfo(b)
+        val (n, r, g, bl, mx, tl) = Jpeg.decodeColorSegments(b, bucket, stride)
+        (id, info.width, info.height, n, r, g, bl, mx, tl)
+      })
+      .toDF(idCol, "width", "height", "n_px", "sum_r", "sum_g", "sum_b",
+        "max_px", "topleft_hex")
+      .groupBy(col(idCol))
+      .agg(max("width").as("width"), max("height").as("height"),
+        sum("n_px").as("n_px"), sum("sum_r").as("sum_r"),
+        sum("sum_g").as("sum_g"), sum("sum_b").as("sum_b"),
+        max("max_px").as("max_px"),
+        // only the bucket owning MCU 0 emits a non-null witness
+        max("topleft_hex").as("topleft_hex"))
+  }
+
   /** Wrap a raw BGR byte column into a REAL bottom-up 24-bit BMP container
     * as pure expressions (the image twin of [[wavBlob]]): BITMAPFILEHEADER
     * + BITMAPINFOHEADER + the pixel array with each 3·`width`-byte row

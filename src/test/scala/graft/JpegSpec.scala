@@ -329,6 +329,52 @@ class JpegSpec extends AnyFunSuite with SparkTestBase {
     assert(m422.contains("unsupported chroma subsampling layout"))
   }
 
+  test("segment decode: stride-bucket partials merge to the sequential result") {
+    val all = Array.tabulate(256)(i => i.toByte) // 64 MCUs
+    for (ri <- Seq(1, 3, 5, 64); stride <- Seq(1, 2, 3, 8, 64)) {
+      val blob = Jpeg.encodeColor420(all, restartEvery = ri)
+      val info = Jpeg.segmentInfo(blob)
+      assert(info.nSegments == (64 + ri - 1) / ri, s"ri=$ri")
+      val want = Jpeg.parseColor(blob)
+      val parts = (0 until stride).map(Jpeg.decodeColorSegments(blob, _, stride))
+      assert(parts.map(_._1).sum == want.nPixels, s"ri=$ri stride=$stride")
+      assert(parts.map(_._2).sum == want.sumR)
+      assert(parts.map(_._3).sum == want.sumG)
+      assert(parts.map(_._4).sum == want.sumB)
+      assert(parts.map(_._5).max == want.maxPx)
+      // exactly one bucket owns MCU 0 and carries the witness
+      assert(parts.flatMap(p => Option(p._6)) == Seq(want.topLeftHex))
+    }
+    // AC-bearing segments too: predictors must reset per segment exactly
+    def blk(v: Int, k: Int, a: Int): Array[Int] = {
+      val b = new Array[Int](64); b(0) = v; b(k.max(1)) = a; b
+    }
+    val y = Array.tabulate(6)(i => Array.tabulate(4)(q => blk(i * 17 - 40, q + 1, 3 - q)))
+    val cb = Array.tabulate(6)(i => blk(i - 3, 5, 2))
+    val cr = Array.tabulate(6)(i => blk(2 - i, 7, -1))
+    val acBlob = Jpeg.encodeColorBlocks420(y, cb, cr, 1, restartEvery = 2)
+    val acWant = Jpeg.parseColor(acBlob)
+    val acParts = (0 until 3).map(Jpeg.decodeColorSegments(acBlob, _, 3))
+    assert(acParts.map(_._2).sum == acWant.sumR)
+    assert(acParts.map(_._3).sum == acWant.sumG)
+    assert(acParts.map(_._4).sum == acWant.sumB)
+  }
+
+  test("Spark plumbing: decodeJpegColorParallel ≡ decodeJpegColor on 420 streams") {
+    val docs = Seq((1L, "alphabet"), (2L, "zzzz"),
+      (3L, "The quick brown fox jumps over the lazy dog, twice over!"))
+      .toDF("doc_id", "text")
+      .withColumn("px", expr(
+        "substring(encode(text, 'UTF-8'), 1, length(text) - pmod(length(text), 4))"))
+    val blobs = Multimodal.jpeg420Blob(docs, "doc_id", "px", restartEvery = 2)
+    val seqRows = Multimodal.decodeJpegColor(blobs, "doc_id", "blob")
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val parRows = Multimodal
+      .decodeJpegColorParallel(blobs, "doc_id", "blob", tasksPerImage = 4)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(parRows.toSeq == seqRows.toSeq)
+  }
+
   test("Spark plumbing: jpeg420Blob → decodeJpegColor matches per-payload stats") {
     val docs = Seq((1L, "alphabet"), (2L, "zzzz"),
       (3L, "The quick brown fox.")) // lengths all multiples of 4
