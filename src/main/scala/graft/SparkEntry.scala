@@ -2089,6 +2089,37 @@ object SparkEntry {
         Multimodal.pngBlob(px, "doc_id", "__px", width = 5), "doc_id", "blob")
     }),
 
+    // REAL palette-PNG decode (color type 3) — the layout of most web
+    // graphics: payload bytes become palette INDICES into a deterministic
+    // 256-entry PLTE the oracle re-derives arithmetically; the decoder
+    // walks chunk CRCs, inflates, unfilters a 1-byte-per-pixel plane
+    // (filter arithmetic at bpp=1, different from truecolor's 3), and
+    // looks every index up in the palette
+    "mm_decode_png_palette" -> ((s, dir) => {
+      val px = t(s, dir, "documents")
+        .withColumn("__b", encode(col("text"), "UTF-8"))
+        .withColumn("__px",
+          expr("substring(__b, 1, length(__b) - pmod(length(__b), 5))"))
+        .filter(length(col("__px")) >= 5)
+      Multimodal.decodePng(
+        Multimodal.pngPaletteBlob(px, "doc_id", "__px", width = 5),
+        "doc_id", "blob")
+    }),
+
+    // REAL RGBA-PNG decode (color type 6): 4-byte pixels, alpha summed
+    // as its own exact channel; the 4-bpp filter offsets and the extra
+    // plane width exercise a distinct unfilter geometry
+    "mm_decode_png_rgba" -> ((s, dir) => {
+      val px = t(s, dir, "documents")
+        .withColumn("__b", encode(col("text"), "UTF-8"))
+        .withColumn("__px",
+          expr("substring(__b, 1, length(__b) - pmod(length(__b), 20))"))
+        .filter(length(col("__px")) >= 20)
+      Multimodal.decodePngRgba(
+        Multimodal.pngRgbaBlob(px, "doc_id", "__px", width = 5),
+        "doc_id", "blob")
+    }),
+
     // REAL baseline JPEG decode — the seam's second compressed format.
     // JPEG is lossy, so the fixture encoder emits DC-ONLY grayscale
     // blocks whose dequantized DC is (b-128)*8 for payload byte b: the
@@ -5689,6 +5720,64 @@ object SparkEntry {
               CAST(list_aggregate(list_transform(px,
                 q -> q[1] + q[2] + q[3]), 'max') AS BIGINT) AS max_px,
               by[1] || by[2] || by[3] AS topleft_hex
+            FROM p"""
+      },
+      // palette round-trip: payload byte i is an index into the fixture
+      // palette (i, (7i+13)%256, (31i+101)%256) — pure arithmetic
+      "mm_decode_png_palette" -> {
+        raw"""WITH b AS (SELECT doc_id,
+                regexp_extract_all(hex(encode(text)), '..') AS by,
+                octet_length(encode(text)) AS nb FROM documents),
+            s AS (SELECT doc_id, by[1:(nb - nb % 5)::INT] AS by,
+                (nb - nb % 5) AS n FROM b WHERE nb >= 5),
+            v AS (SELECT doc_id, n, list_transform(by, h ->
+                (strpos('0123456789ABCDEF', substr(h, 1, 1)) - 1) * 16
+                + strpos('0123456789ABCDEF', substr(h, 2, 1)) - 1) AS iv
+              FROM s),
+            px AS (SELECT doc_id, n,
+                list_transform(iv, i -> i) AS rs,
+                list_transform(iv, i -> (7*i + 13) % 256) AS gs,
+                list_transform(iv, i -> (31*i + 101) % 256) AS bs
+              FROM v)
+            SELECT doc_id,
+              CAST(5 AS INTEGER) AS width,
+              CAST(n // 5 AS INTEGER) AS height,
+              CAST(n AS BIGINT) AS n_px,
+              CAST(list_sum(rs) AS BIGINT) AS sum_r,
+              CAST(list_sum(gs) AS BIGINT) AS sum_g,
+              CAST(list_sum(bs) AS BIGINT) AS sum_b,
+              CAST(list_aggregate(list_transform(range(n), q ->
+                rs[(q+1)::INT] + gs[(q+1)::INT] + bs[(q+1)::INT]), 'max')
+                AS BIGINT) AS max_px,
+              printf('%02X%02X%02X', rs[1], gs[1], bs[1]) AS topleft_hex
+            FROM px"""
+      },
+      // RGBA round-trip: 4-byte pixels straight off the payload, alpha
+      // summed as its own channel, max over R+G+B only
+      "mm_decode_png_rgba" -> {
+        def bv(idx: String) =
+          s"((strpos('0123456789ABCDEF', substr(by[($idx)::INT], 1, 1)) - 1) * 16" +
+            s" + strpos('0123456789ABCDEF', substr(by[($idx)::INT], 2, 1)) - 1)"
+        raw"""WITH b AS (SELECT doc_id,
+                regexp_extract_all(hex(encode(text)), '..') AS by,
+                octet_length(encode(text)) AS nb FROM documents),
+            s AS (SELECT doc_id, by, (nb - nb % 20) AS n FROM b
+              WHERE nb >= 20),
+            p AS (SELECT doc_id, n, list_transform(range(n // 4), q ->
+                [${bv("4*q+1")}, ${bv("4*q+2")}, ${bv("4*q+3")}, ${bv("4*q+4")}])
+                AS px FROM s)
+            SELECT doc_id,
+              CAST(5 AS INTEGER) AS width,
+              CAST(n // 20 AS INTEGER) AS height,
+              CAST(n // 4 AS BIGINT) AS n_px,
+              CAST(list_sum(list_transform(px, q -> q[1])) AS BIGINT) AS sum_r,
+              CAST(list_sum(list_transform(px, q -> q[2])) AS BIGINT) AS sum_g,
+              CAST(list_sum(list_transform(px, q -> q[3])) AS BIGINT) AS sum_b,
+              CAST(list_sum(list_transform(px, q -> q[4])) AS BIGINT) AS sum_a,
+              CAST(list_aggregate(list_transform(px,
+                q -> q[1] + q[2] + q[3]), 'max') AS BIGINT) AS max_px,
+              printf('%02X%02X%02X', px[1][1], px[1][2], px[1][3])
+                AS topleft_hex
             FROM p"""
       },
       // the JPEG round-trip decode: each payload byte (first 2048 of the

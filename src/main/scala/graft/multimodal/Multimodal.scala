@@ -320,6 +320,58 @@ object Multimodal {
         "max_px", "topleft_hex")
   }
 
+  /** Deterministic 256-entry fixture palette, re-derivable in plain SQL:
+    * entry i = (i, (7i+13) mod 256, (31i+101) mod 256). */
+  val FixturePalette: Array[Byte] = Array.tabulate(768) { j =>
+    val i = j / 3
+    (j % 3 match {
+      case 0 => i
+      case 1 => (7 * i + 13) % 256
+      case _ => (31 * i + 101) % 256
+    }).toByte
+  }
+
+  /** Wrap payload bytes (palette INDICES, one per pixel) into a REAL
+    * type-3 palette PNG against [[FixturePalette]]. */
+  def pngPaletteBlob(df: DataFrame, idCol: String, payloadCol: String,
+                     width: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    graft.ops.Par.ensure(df.select(col(idCol).cast("long"), col(payloadCol)))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) =>
+        (id, Png.encodePalette(p, width, FixturePalette))
+      })
+      .toDF(idCol, "blob")
+  }
+
+  /** Wrap payload bytes (RGBA quads) into a REAL type-6 PNG. */
+  def pngRgbaBlob(df: DataFrame, idCol: String, payloadCol: String,
+                  width: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    graft.ops.Par.ensure(df.select(col(idCol).cast("long"), col(payloadCol)))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) => (id, Png.encodeRgba(p, width)) })
+      .toDF(idCol, "blob")
+  }
+
+  /** [[decodePng]] plus the alpha channel: (id, width, height, n_px,
+    * sum_r, sum_g, sum_b, sum_a, max_px, topleft_hex). */
+  def decodePngRgba(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    graft.ops.Par.ensure(df.select(col(idCol).cast("long"), col(blobCol)))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, blob) =>
+        val p = Png.parse(blob)
+        (id, p.width, p.height, p.nPixels, p.sumR, p.sumG, p.sumB, p.sumA,
+          p.maxPx, p.topLeftHex)
+      })
+      .toDF(idCol, "width", "height", "n_px", "sum_r", "sum_g", "sum_b",
+        "sum_a", "max_px", "topleft_hex")
+  }
+
   /** Wrap payload bytes into a REAL baseline grayscale JFIF stream
     * ([[Jpeg.encodeGray]]): one DC-only 8×8 block per byte, canonical
     * Huffman DHT, byte-stuffed entropy scan. `mapPartitions` seam like

@@ -8,10 +8,11 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   * stream, everything else — chunk grammar, CRC-32 per chunk, the five
   * row filters including Paeth — is implemented here.
   *
-  * Scope is strict, like the other decoders (Multimodal.scala:89/152/390):
-  * 8-bit truecolor (color type 2), compression 0, filter method 0,
-  * non-interlaced. Anything else — interlace 1 (Adam7), palette, alpha,
-  * 16-bit depth — throws loudly rather than faking a decode. The encoder
+  * Scope covers the three 8-bit color types real web graphics use —
+  * truecolor (2), palette (3, PLTE-indexed), and RGBA (6) — with
+  * compression 0, filter method 0, non-interlaced. Anything else —
+  * interlace 1 (Adam7), grayscale types, 16-bit depth — throws loudly
+  * rather than faking a decode. The encoder
   * deliberately cycles ALL FIVE filter types across rows and splits large
   * IDAT payloads into multiple chunks, so every decoder path (unfilter
   * types 0-4, cross-chunk zlib concatenation, per-chunk CRC checks) is
@@ -24,16 +25,23 @@ object Png {
   val Signature: Array[Byte] =
     Array(0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
 
-  /** Exact integer statistics over the decoded RGB pixels. PNG is stored
-    * top-down, so `topLeftHex` is the FIRST pixel's 3 bytes (R,G,B) —
-    * the orientation twin of BMP's bottom-up witness. */
+  /** Exact integer statistics over the decoded pixels. PNG is stored
+    * top-down, so `topLeftHex` is the FIRST pixel's RGB bytes — the
+    * orientation twin of BMP's bottom-up witness. `sumA` is 0 for the
+    * alphaless color types (2 truecolor, 3 palette). */
   final case class PngInfo(
       width: Int, height: Int, nPixels: Long,
-      sumR: Long, sumG: Long, sumB: Long,
+      sumR: Long, sumG: Long, sumB: Long, sumA: Long,
       maxPx: Long, // max over pixels of (R + G + B)
       topLeftHex: String)
 
-  private val Bpp = 3 // bytes per pixel: 8-bit RGB
+  private def bppOf(colorType: Int): Int = colorType match {
+    case 2 => 3 // 8-bit RGB
+    case 3 => 1 // 8-bit palette index
+    case 6 => 4 // 8-bit RGBA
+    case t => throw new IllegalArgumentException(
+      s"only truecolor (2), palette (3), RGBA (6) supported, got $t")
+  }
 
   private def crcOf(typ: Array[Byte], data: Array[Byte], off: Int,
                     len: Int): Long = {
@@ -62,11 +70,32 @@ object Png {
   }
 
   /** Encode raw RGB bytes (`rgb.length % (3*width) == 0`, at least one
-    * row) as a REAL baseline PNG. Row `r` uses filter type `r % 5`, so a
-    * multi-row image exercises None/Sub/Up/Average/Paeth; the deflated
-    * stream splits into IDAT chunks of at most `idatChunk` bytes. */
-  def encode(rgb: Array[Byte], width: Int, idatChunk: Int = 4096): Array[Byte] = {
+    * row) as a REAL baseline truecolor PNG. Row `r` uses filter type
+    * `r % 5`, so a multi-row image exercises None/Sub/Up/Average/Paeth;
+    * the deflated stream splits into IDAT chunks of at most `idatChunk`
+    * bytes. */
+  def encode(rgb: Array[Byte], width: Int, idatChunk: Int = 4096): Array[Byte] =
+    encodeRaw(rgb, width, colorType = 2, palette = null, idatChunk)
+
+  /** Encode palette INDICES (1 byte per pixel) against a 256-entry RGB
+    * palette as a REAL type-3 PNG (PLTE + filtered index plane) — the
+    * layout of most web graphics. */
+  def encodePalette(indices: Array[Byte], width: Int,
+                    palette: Array[Byte], idatChunk: Int = 4096): Array[Byte] = {
+    require(palette.length > 0 && palette.length % 3 == 0 &&
+      palette.length <= 768, "palette must be 1..256 RGB triples")
+    encodeRaw(indices, width, colorType = 3, palette, idatChunk)
+  }
+
+  /** Encode raw RGBA bytes (4 per pixel) as a REAL type-6 PNG. */
+  def encodeRgba(rgba: Array[Byte], width: Int,
+                 idatChunk: Int = 4096): Array[Byte] =
+    encodeRaw(rgba, width, colorType = 6, palette = null, idatChunk)
+
+  private def encodeRaw(rgb: Array[Byte], width: Int, colorType: Int,
+                        palette: Array[Byte], idatChunk: Int): Array[Byte] = {
     require(width > 0, "width must be positive")
+    val Bpp = bppOf(colorType)
     val rowBytes = Bpp * width
     require(rgb.length > 0 && rgb.length % rowBytes == 0,
       s"payload must be a positive whole number of $rowBytes-byte rows")
@@ -113,10 +142,11 @@ object Png {
     val z = zbuf.toByteArray
 
     val ihdr = beU32(width.toLong) ++ beU32(height.toLong) ++
-      Array[Byte](8, 2, 0, 0, 0) // depth 8, truecolor, deflate, adaptive, no interlace
+      Array[Byte](8, colorType.toByte, 0, 0, 0) // depth 8, deflate, adaptive, no interlace
     val out = new java.io.ByteArrayOutputStream(z.length + 128)
     out.write(Signature)
     out.write(chunk("IHDR", ihdr))
+    if (colorType == 3) out.write(chunk("PLTE", palette))
     var off = 0
     while (off < z.length) { // multiple IDATs: consumers must concatenate
       val n = math.min(idatChunk, z.length - off)
@@ -131,8 +161,9 @@ object Png {
     * every CRC, inflate the concatenated IDAT payload, reverse the per-row
     * filter, and return exact channel statistics. Strict on everything the
     * baseline contract promises: bad signature, CRC mismatch, interlace,
-    * non-8-bit, non-truecolor, truncated or oversized IDAT, and a missing
-    * IEND all throw with a named reason. */
+    * non-8-bit, unsupported color types, palette-index overrun, truncated
+    * or oversized IDAT, and a missing IEND all throw with a named
+    * reason. */
   def parse(blob: Array[Byte]): PngInfo = {
     require(blob.length >= Signature.length + 12, "not a PNG: too short")
     var i = 0
@@ -145,6 +176,8 @@ object Png {
 
     var off = Signature.length
     var width = -1; var height = -1
+    var colorType = -1; var bpp = 0
+    var palette: Array[Byte] = null
     val idat = new java.io.ByteArrayOutputStream()
     var sawIhdr = false; var sawIend = false
     val total = blob.length.toLong
@@ -166,14 +199,20 @@ object Png {
           require(w >= 1 && w <= Int.MaxValue / 8, s"width $w out of range")
           require(h >= 1 && h <= Int.MaxValue / 8, s"height $h out of range")
           require(blob(dataOff + 8) == 8, "only 8-bit depth supported")
-          require(blob(dataOff + 9) == 2,
-            s"only truecolor (type 2) supported, got ${blob(dataOff + 9)}")
+          colorType = blob(dataOff + 9) & 0xff
+          bpp = bppOf(colorType) // throws by name on 0/4/unknown
           require(blob(dataOff + 10) == 0, "unknown compression method")
           require(blob(dataOff + 11) == 0, "unknown filter method")
           require(blob(dataOff + 12) == 0,
             "interlaced (Adam7) PNG not supported")
           width = w.toInt; height = h.toInt
           sawIhdr = true
+        case "PLTE" =>
+          require(sawIhdr, "PLTE before IHDR")
+          require(n > 0 && n % 3 == 0 && n <= 768,
+            "PLTE must hold 1..256 RGB triples")
+          require(idat.size == 0, "PLTE after IDAT")
+          palette = blob.slice(dataOff, dataOff + n)
         case "IDAT" =>
           require(sawIhdr, "IDAT before IHDR")
           idat.write(blob, dataOff, n)
@@ -186,9 +225,10 @@ object Png {
     }
     require(sawIhdr, "missing IHDR")
     require(idat.size > 0, "missing IDAT")
+    require(colorType != 3 || palette != null, "palette PNG missing PLTE")
 
-    // inflate to EXACTLY height * (1 + 3*width) bytes
-    val rowBytes = Bpp * width
+    // inflate to EXACTLY height * (1 + bpp*width) bytes
+    val rowBytes = bpp * width
     val expected = height.toLong * (1L + rowBytes)
     require(expected <= Int.MaxValue, "image too large")
     val filtered = new Array[Byte](expected.toInt)
@@ -210,7 +250,8 @@ object Png {
     // unfilter + statistics in one pass; `raw` keeps the previous row
     val cur = new Array[Int](rowBytes)
     val prev = new Array[Int](rowBytes)
-    var nPx = 0L; var sr = 0L; var sg = 0L; var sb = 0L; var mx = 0L
+    var nPx = 0L; var sr = 0L; var sg = 0L; var sb = 0L; var sa = 0L
+    var mx = 0L
     var topLeftHex = ""
     var r = 0
     while (r < height) {
@@ -220,9 +261,9 @@ object Png {
       var x = 0
       while (x < rowBytes) {
         val f = filtered(base + 1 + x) & 0xff
-        val left = if (x >= Bpp) cur(x - Bpp) else 0
+        val left = if (x >= bpp) cur(x - bpp) else 0
         val up = if (r > 0) prev(x) else 0
-        val ul = if (r > 0 && x >= Bpp) prev(x - Bpp) else 0
+        val ul = if (r > 0 && x >= bpp) prev(x - bpp) else 0
         val pred = t match {
           case 0 => 0
           case 1 => left
@@ -233,17 +274,32 @@ object Png {
         cur(x) = (f + pred) & 0xff
         x += 1
       }
-      if (r == 0) topLeftHex = f"${cur(0)}%02X${cur(1)}%02X${cur(2)}%02X"
       var p = 0
       while (p < width) {
-        val red = cur(3 * p); val green = cur(3 * p + 1); val blue = cur(3 * p + 2)
-        nPx += 1; sr += red; sg += green; sb += blue
+        var red = 0; var green = 0; var blue = 0; var alpha = 0
+        colorType match {
+          case 2 =>
+            red = cur(3 * p); green = cur(3 * p + 1); blue = cur(3 * p + 2)
+          case 3 =>
+            val idx = cur(p)
+            require(3 * idx + 2 < palette.length,
+              s"palette index $idx out of range (${palette.length / 3} entries)")
+            red = palette(3 * idx) & 0xff
+            green = palette(3 * idx + 1) & 0xff
+            blue = palette(3 * idx + 2) & 0xff
+          case 6 =>
+            red = cur(4 * p); green = cur(4 * p + 1); blue = cur(4 * p + 2)
+            alpha = cur(4 * p + 3)
+        }
+        nPx += 1; sr += red; sg += green; sb += blue; sa += alpha
         val px = (red + green + blue).toLong; if (px > mx) mx = px
+        if (r == 0 && p == 0)
+          topLeftHex = f"$red%02X$green%02X$blue%02X"
         p += 1
       }
       System.arraycopy(cur, 0, prev, 0, rowBytes)
       r += 1
     }
-    PngInfo(width, height, nPx, sr, sg, sb, mx, topLeftHex)
+    PngInfo(width, height, nPx, sr, sg, sb, sa, mx, topLeftHex)
   }
 }
