@@ -2053,6 +2053,28 @@ object SparkEntry {
       Multimodal.decodeWav(blobs, "doc_id", "blob")
     }),
 
+    // REAL G.711 μ-law decode (WAV format tag 7) — what telephony audio
+    // actually ships as: every payload byte is one companded sample,
+    // expanded with the standard complement + segment/mantissa integer
+    // arithmetic the oracle replays per byte
+    "mm_decode_mulaw" -> ((s, dir) => {
+      val blobs = t(s, dir, "documents")
+        .withColumn("__b", encode(col("text"), "UTF-8"))
+        .withColumn("blob", Multimodal.wavG711Blob(col("__b"),
+          sampleRate = 8000, channels = 1, mulaw = true))
+      Multimodal.decodeWav(blobs, "doc_id", "blob")
+    }),
+
+    // REAL G.711 A-law decode (WAV format tag 6): XOR-0x55 companding,
+    // linear segment 0, inverted sign convention vs μ-law
+    "mm_decode_alaw" -> ((s, dir) => {
+      val blobs = t(s, dir, "documents")
+        .withColumn("__b", encode(col("text"), "UTF-8"))
+        .withColumn("blob", Multimodal.wavG711Blob(col("__b"),
+          sampleRate = 8000, channels = 1, mulaw = false))
+      Multimodal.decodeWav(blobs, "doc_id", "blob")
+    }),
+
     // REAL image decode: each doc's UTF-8 bytes (truncated to whole
     // 15-byte rows) wrapped into an actual bottom-up 24-bit BMP — file
     // header, BITMAPINFOHEADER, and 4-byte-stride row padding, built as
@@ -3946,6 +3968,28 @@ object SparkEntry {
   /** DuckDB equivalents over the same parquet tables. Column names/aliases
     * must match the Spark outputs exactly (driver sorts columns by name). */
   def oracleSql: Map[String, String] = {
+    // shared G.711 oracle scaffold: `sampleExpr` maps companded byte `b`
+    // to its 16-bit sample; stats identical to the PCM WAV oracle
+    def g711OracleSql(sampleExpr: String): String =
+      raw"""WITH b AS (SELECT doc_id,
+              regexp_extract_all(hex(encode(text)), '..') AS by FROM documents),
+          u AS (SELECT doc_id, list_transform(by, h ->
+              (strpos('0123456789ABCDEF', substr(h, 1, 1)) - 1) * 16
+              + strpos('0123456789ABCDEF', substr(h, 2, 1)) - 1) AS bs
+            FROM b),
+          v AS (SELECT doc_id, len(bs) AS ns,
+              list_transform(bs, b -> $sampleExpr) AS vs FROM u)
+          SELECT doc_id,
+            CAST(8000 AS INTEGER) AS sample_rate,
+            CAST(1 AS INTEGER) AS channels,
+            CAST(8 AS INTEGER) AS bits,
+            CAST(ns AS BIGINT) AS n_samples,
+            CAST(coalesce(list_sum(vs), 0) AS BIGINT) AS sum_samples,
+            CAST(coalesce(list_sum(list_transform(vs, x -> x * x)), 0)
+              AS BIGINT) AS sum_squares,
+            CAST(coalesce(list_aggregate(list_transform(vs, x -> abs(x)),
+              'max'), 0) AS BIGINT) AS max_abs
+          FROM v"""
     // the 4:2:0 oracle, shared verbatim by the sequential and the
     // segment-parallel decode queries (equality is the point)
     val jpeg420OracleSql: String = {
@@ -5660,6 +5704,19 @@ object SparkEntry {
               CAST(coalesce(list_aggregate(list_transform(vs, x -> abs(x)),
                 'max'), 0) AS BIGINT) AS max_abs
             FROM v"""
+      },
+      // G.711 μ-law: sample = ±(((mantissa·8 + 132) << exponent) − 132)
+      // over the complemented byte — validated against an independent
+      // reference for all 256 byte values
+      "mm_decode_mulaw" -> {
+        val mag = "((((255-b)%16)*8 + 132) * (1 << (((255-b)//16)%8))) - 132"
+        g711OracleSql(s"CASE WHEN (255-b) >= 128 THEN -($mag) ELSE $mag END")
+      },
+      // G.711 A-law: XOR 0x55, segment 0 linear, sign bit SET = positive
+      "mm_decode_alaw" -> {
+        val mag = "CASE WHEN (xor(b,85)//16)%8 = 0 THEN (xor(b,85)%16)*16 + 8" +
+          " ELSE ((xor(b,85)%16)*16 + 264) * (1 << ((xor(b,85)//16)%8 - 1)) END"
+        g711OracleSql(s"CASE WHEN xor(b,85) >= 128 THEN ($mag) ELSE -($mag) END")
       },
       // the BMP round-trip decode: the pixel payload is the doc's UTF-8
       // bytes truncated to whole 15-byte rows (width 5 × BGR), stored

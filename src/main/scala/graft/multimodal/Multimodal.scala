@@ -83,9 +83,36 @@ object Multimodal {
     * around raw PCM). Walks the chunk list generically (unknown chunks —
     * LIST/JUNK/bext/… — are skipped by their declared size with RIFF's
     * word alignment), reads `fmt `, locates `data`, and decodes the
-    * samples as 16-bit signed little-endian PCM. Strict: a blob that is
-    * not a PCM WAV throws rather than returning fake features. */
+    * samples: 16-bit signed little-endian PCM (format 1), or the two
+    * G.711 companded telephony codecs — A-law (format 6) and μ-law
+    * (format 7), 8-bit bytes expanded to 16-bit samples with the
+    * standard integer segment/mantissa arithmetic. Strict: any other
+    * format tag throws rather than returning fake features. */
   object Wav {
+    /** G.711 μ-law byte → 16-bit sample: complement, then
+      * ((mantissa·8 + 132) << exponent) − 132, sign from bit 7.
+      * Pure integers — the oracle replays it per byte. */
+    def mulawSample(b: Int): Int = {
+      val u = ~b & 0xff
+      val exp = (u >> 4) & 7
+      val mant = u & 0x0f
+      val mag = (((mant << 3) + 0x84) << exp) - 0x84
+      if ((u & 0x80) != 0) -mag else mag
+    }
+
+    /** G.711 A-law byte → 16-bit sample: XOR 0x55, segment 0 is linear
+      * (mantissa·16 + 8), higher segments shift; bit 7 SET means
+      * positive (the inverse of μ-law's convention). */
+    def alawSample(b: Int): Int = {
+      val a = b ^ 0x55
+      val exp = (a >> 4) & 7
+      val mant = a & 0x0f
+      val mag =
+        if (exp == 0) (mant << 4) + 8
+        else ((mant << 4) + 0x108) << (exp - 1)
+      if ((a & 0x80) != 0) mag else -mag
+    }
+
     def parse(blob: Array[Byte]): WavInfo = {
       def u32(o: Int): Long = (blob(o) & 0xffL) | (blob(o + 1) & 0xffL) << 8 |
         (blob(o + 2) & 0xffL) << 16 | (blob(o + 3) & 0xffL) << 24
@@ -95,7 +122,7 @@ object Multimodal {
       require(blob.length >= 12 && tag(0) == "RIFF" && tag(8) == "WAVE",
         "not a RIFF/WAVE container")
       var off = 12
-      var sr = -1; var ch = -1; var bits = -1
+      var sr = -1; var ch = -1; var bits = -1; var fmt = -1
       var dataOff = -1; var dataLen = 0
       while (off + 8 <= blob.length) {
         val id = tag(off)
@@ -106,7 +133,9 @@ object Multimodal {
         id match {
           case "fmt " =>
             require(size >= 16, "fmt chunk too short")
-            require(u16(body) == 1, "only PCM (format 1) supported")
+            fmt = u16(body)
+            require(fmt == 1 || fmt == 6 || fmt == 7,
+              s"unsupported WAV format $fmt (PCM 1, A-law 6, mu-law 7)")
             ch = u16(body + 2); sr = u32(body + 4).toInt; bits = u16(body + 14)
           case "data" => dataOff = body; dataLen = size
           case _ => () // LIST/JUNK/…: skipped by size
@@ -115,15 +144,28 @@ object Multimodal {
       }
       require(sr > 0 && ch > 0, "missing fmt  chunk")
       require(dataOff >= 0, "missing data chunk")
-      require(bits == 16, s"only 16-bit PCM supported, got $bits")
-      var i = dataOff
-      val end = dataOff + dataLen
       var n = 0L; var sum = 0L; var sq = 0L; var mx = 0L
-      while (i + 1 < end) {
-        val s = ((blob(i) & 0xff) | (blob(i + 1) << 8)).toShort.toLong
-        n += 1; sum += s; sq += s * s
-        val a = math.abs(s); if (a > mx) mx = a
-        i += 2
+      if (fmt == 1) {
+        require(bits == 16, s"only 16-bit PCM supported, got $bits")
+        var i = dataOff
+        val end = dataOff + dataLen
+        while (i + 1 < end) {
+          val s = ((blob(i) & 0xff) | (blob(i + 1) << 8)).toShort.toLong
+          n += 1; sum += s; sq += s * s
+          val a = math.abs(s); if (a > mx) mx = a
+          i += 2
+        }
+      } else {
+        require(bits == 8, s"G.711 streams are 8-bit, got $bits")
+        var i = dataOff
+        val end = dataOff + dataLen
+        while (i < end) {
+          val s = (if (fmt == 7) mulawSample(blob(i) & 0xff)
+                   else alawSample(blob(i) & 0xff)).toLong
+          n += 1; sum += s; sq += s * s
+          val a = math.abs(s); if (a > mx) mx = a
+          i += 1
+        }
       }
       WavInfo(sr, ch, bits, dataOff, dataLen, n, sum, sq, mx)
     }
@@ -952,13 +994,25 @@ object Multimodal {
     * chunks, not assume data at offset 44), and the `data` chunk — as pure
     * binary-concat expressions: the container is built inside codegen, no
     * UDF. 16-bit mono/`channels` PCM at `sampleRate`. */
-  def wavBlob(pcm: Column, sampleRate: Int, channels: Int): Column = {
+  def wavBlob(pcm: Column, sampleRate: Int, channels: Int): Column =
+    wavBlobFmt(pcm, sampleRate, channels, fmtCode = 1, bits = 16)
+
+  /** G.711 RIFF container: format tag 7 (μ-law) or 6 (A-law), 8-bit
+    * companded bytes — what telephony recordings actually ship as. */
+  def wavG711Blob(bytes: Column, sampleRate: Int, channels: Int,
+                  mulaw: Boolean): Column =
+    wavBlobFmt(bytes, sampleRate, channels,
+      fmtCode = if (mulaw) 7 else 6, bits = 8)
+
+  private def wavBlobFmt(pcm: Column, sampleRate: Int, channels: Int,
+                         fmtCode: Int, bits: Int): Column = {
+    val bytesPerFrame = channels * (bits / 8)
     val bb = java.nio.ByteBuffer.allocate(24 + 16)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
-      .putShort(1.toShort).putShort(channels.toShort)
-      .putInt(sampleRate).putInt(sampleRate * channels * 2)
-      .putShort((channels * 2).toShort).putShort(16.toShort)
+      .putShort(fmtCode.toShort).putShort(channels.toShort)
+      .putInt(sampleRate).putInt(sampleRate * bytesPerFrame)
+      .putShort(bytesPerFrame.toShort).putShort(bits.toShort)
       .put("JUNK".getBytes("US-ASCII")).putInt(8).put(new Array[Byte](8))
     val fmtAndJunk = bb.array()
     val dataLen = length(pcm).cast("long")

@@ -138,6 +138,54 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       Multimodal.Wav.parse("RIFF".getBytes ++ le32(floatBody.length) ++ floatBody))
   }
 
+  test("G.711: μ-law and A-law expand every byte to the reference sample") {
+    // independent reference points from the G.711 tables: μ-law 0xFF/0x7F
+    // encode ±0, 0x80 is the negative max −32124; A-law 0x55 is −8, the
+    // positive max is 32256
+    assert(Multimodal.Wav.mulawSample(0xFF) == 0)
+    assert(Multimodal.Wav.mulawSample(0x7F) == 0)
+    assert(Multimodal.Wav.mulawSample(0x80) == 32124)
+    assert(Multimodal.Wav.mulawSample(0x00) == -32124)
+    assert(Multimodal.Wav.alawSample(0x55) == -8)
+    assert(Multimodal.Wav.alawSample(0xD5) == 8)
+    assert(Multimodal.Wav.alawSample(0xAA) == 32256)
+    assert(Multimodal.Wav.alawSample(0x2A) == -32256)
+    // sign symmetry across the full byte range: flipping the sign bit of
+    // the UNCOMPANDED code negates the sample
+    for (b <- 0 until 128) {
+      assert(Multimodal.Wav.mulawSample(b) == -Multimodal.Wav.mulawSample(b | 0x80))
+      assert(Multimodal.Wav.alawSample(b ^ 0x55) == -Multimodal.Wav.alawSample((b | 0x80) ^ 0x55))
+    }
+    // decode magnitudes are monotone in the companded magnitude code
+    val mus = (0 to 127).map(c => Multimodal.Wav.mulawSample(~c & 0xff))
+    assert(mus == mus.sorted && mus.distinct == mus)
+
+    // container round-trip through the expression-built G.711 WAV: all
+    // 256 byte values in one payload, both codecs
+    val all = Array.tabulate(256)(_.toByte)
+    val df = Seq((1L, all)).toDF("id", "bytes")
+    for (mulaw <- Seq(true, false)) {
+      val out = df.withColumn("blob",
+        Multimodal.wavG711Blob(col("bytes"), 8000, 1, mulaw))
+      val got = Multimodal.decodeWav(out, "id", "blob")
+        .as[(Long, Int, Int, Int, Long, Long, Long, Long)].collect().head
+      val samples = all.map(b =>
+        (if (mulaw) Multimodal.Wav.mulawSample(b & 0xff)
+         else Multimodal.Wav.alawSample(b & 0xff)).toLong)
+      assert(got == ((1L, 8000, 1, 8, 256L, samples.sum,
+        samples.map(s => s * s).sum, samples.map(math.abs).max)))
+    }
+    // an unsupported compressed format tag still throws by name
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    val adpcm = "fmt ".getBytes ++ le32(16) ++ le16(2) ++ le16(1) ++
+      le32(8000) ++ le32(4000) ++ le16(1) ++ le16(4)
+    val body = "WAVE".getBytes ++ adpcm ++ ("data".getBytes ++ le32(0))
+    val msg = intercept[IllegalArgumentException](
+      Multimodal.Wav.parse("RIFF".getBytes ++ le32(body.length) ++ body)).getMessage
+    assert(msg.contains("unsupported WAV format 2"))
+  }
+
   test("BMP parser: bmpBlob round-trip, stride padding, row order, strictness") {
     // width 5 → 15 payload bytes/row, stride 16 (1 pad byte): the parser
     // must honour the stride or its channel sums shift by one per row
