@@ -2053,6 +2053,45 @@ object SparkEntry {
       Multimodal.decodeWav(blobs, "doc_id", "blob")
     }),
 
+    // The decode seam under Structured Streaming: images ARRIVE as a
+    // stream (4 parquet files, maxFilesPerTrigger=1 → a real multi-batch
+    // drain), each micro-batch encodes + decodes its blobs through the
+    // same 4:2:0 restart-marked path as mm_decode_jpeg420, and the
+    // decoded features land in a per-batch-id sink directory (overwrite →
+    // redelivery-idempotent; nothing corpus-scale touches the driver).
+    // Same oracle as the batch query: stream-decode ≡ batch-decode,
+    // proven by the gate
+    "mm_decode_stream" -> ((s, dir) => {
+      val streamDir = mmStreamStage.getOrElseUpdate(dir, {
+        val d = graft.core.TempDirs.register(
+          java.nio.file.Files.createTempDirectory("graft_mm_in")).toString
+        t(s, dir, "documents")
+          .withColumn("__b0",
+            expr("substring(encode(text, 'UTF-8'), 1, 2048)"))
+          .withColumn("__b",
+            expr("substring(__b0, 1, length(__b0) - pmod(length(__b0), 4))"))
+          .filter(length(col("__b")) >= 4)
+          .select(col("doc_id"), col("__b"))
+          .repartition(4).write.mode("overwrite").parquet(d)
+        d
+      })
+      val outDir = graft.core.TempDirs.register(
+        java.nio.file.Files.createTempDirectory("graft_mm_out")).toString
+      val q = s.readStream.schema(s.read.parquet(streamDir).schema)
+        .option("maxFilesPerTrigger", "1").parquet(streamDir)
+        .writeStream
+        .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+          Multimodal.decodeJpegColor(
+              Multimodal.jpeg420Blob(b.toDF(), "doc_id", "__b",
+                restartEvery = 3), "doc_id", "blob")
+            .write.mode("overwrite").parquet(s"$outDir/b$id")
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$outDir/*")
+    }),
+
     // REAL G.711 μ-law decode (WAV format tag 7) — what telephony audio
     // actually ships as: every payload byte is one companded sample,
     // expanded with the standard complement + segment/mantissa integer
@@ -3778,6 +3817,9 @@ object SparkEntry {
   /** Staged stream-input files per dir (quality_probe_stream) — fixture
     * only; the drain itself runs live on every invocation. */
   private val probeStreamStage =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private val mmStreamStage =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
   /** The stream-stream join pair's signup/error feeds. Both queries join
@@ -5905,6 +5947,8 @@ object SparkEntry {
       // the segment-parallel decode is value-identical to the sequential
       // one BY CONTRACT — same oracle, so the gate proves the equivalence
       "mm_decode_jpeg_parallel" -> jpeg420OracleSql,
+      // ... and so is the streaming drain (micro-batched decode to a sink)
+      "mm_decode_stream" -> jpeg420OracleSql,
 
       // the real-pixel 2× resize: logical pixel (r, c) of the output reads
       // original (2r, 2c); original logical row R is stored bottom-up at
