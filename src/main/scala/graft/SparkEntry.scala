@@ -3585,6 +3585,20 @@ object SparkEntry {
       Ivf.assignCells(t(s, dir, "embeddings"), "vec_id", "embedding",
         kmeansCentroids(s, dir))),
 
+    // k-means|| (Bahmani et al., VLDB 2012): the SCALABLE seeding —
+    // k-means++'s k serial corpus scans replaced by 2 distributed
+    // oversampling rounds (expected l=2k candidates each), candidate
+    // weighting by attraction counts, greedy weight-rank reduction to k,
+    // one quantized Lloyd polish. Every stochastic choice is derandomized
+    // into md5 arithmetic over EXACT integer micro-unit costs (sampled
+    // iff u20·φ < l·cost·2^20, compared in decimal(38,0)/HUGEINT), so
+    // the oracle replays the complete seeding — including which
+    // candidates each round picks — bit for bit. Each round is one
+    // narrow corpus scan; candidates are control data at any corpus size
+    "cluster_kmeanspar" -> ((s, dir) =>
+      graft.sim.KmeansPar.cluster(t(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 8)),
+
     // Top-principal-component projection (dominant-direction probe /
     // ABTT de-biasing substrate): the centered Gram matrix aggregates
     // DISTRIBUTED (d² state, map-side combined — row count never touches
@@ -7325,6 +7339,85 @@ object SparkEntry {
             c2 AS (${cents("m2")}),
             a2 AS (${asn("c2")})
             SELECT vec_id, cell FROM a2"""
+      },
+      "cluster_kmeanspar" -> {
+        // full k-means|| replay: seed = min-id vector; two sampling
+        // rounds (cost vs the candidate set in integer micro-units, φ an
+        // exact integer sum, selection u20·φ < l·c·2^20 in HUGEINT);
+        // candidate weights by nearest-candidate counts (ties → larger
+        // idx, nearestCell's rule); top-8 by (weight DESC, id ASC) in
+        // weight-rank cell order; one quantized Lloyd pass; assignment
+        val sim =
+          """CASE WHEN e.vn * c.cn = 0 THEN 0.0
+             ELSE list_reduce(list_transform(range(64),
+               j -> e.v[j+1] * c.cv[j+1]), (a, b) -> a + b)
+               / (e.vn * c.cn) END"""
+        def withNorm(candTab: String) =
+          s"""(SELECT cv, sqrt(list_reduce(list_transform(cv, x -> x * x),
+              (a, b) -> a + b)) AS cn
+              FROM (SELECT v AS cv FROM $candTab))"""
+        def costCte(name: String, candTab: String) =
+          s"""$name AS (SELECT e.vec_id, e.v, e.vn,
+                CAST(greatest(0, floor((1.0 - max($sim)) * 1000000.0))
+                  AS BIGINT) AS cost
+              FROM e CROSS JOIN ${withNorm(candTab)} c
+              GROUP BY e.vec_id, e.v, e.vn)"""
+        def hx(src: String, i: Int) =
+          s"(strpos('0123456789abcdef', substr($src, $i, 1)) - 1)"
+        def u20(salt: String) = {
+          val h = s"md5('$salt:' || vec_id)"
+          s"((((${hx(h, 1)} * 16 + ${hx(h, 2)}) * 16 + ${hx(h, 3)}) * 16" +
+            s" + ${hx(h, 4)}) * 16 + ${hx(h, 5)})"
+        }
+        def selCte(name: String, costTab: String, salt: String) =
+          s"""$name AS (SELECT vec_id, v FROM $costTab
+              CROSS JOIN (SELECT CAST(coalesce(sum(cost), 0) AS BIGINT)
+                AS phi FROM $costTab) p
+              WHERE ${u20(salt)}::HUGEINT * phi::HUGEINT
+                < 16 * cost::HUGEINT * 1048576)"""
+        val asn = (ctab: String) =>
+          s"""SELECT e.vec_id, CAST(c.cell AS INTEGER) AS cell
+              FROM e CROSS JOIN $ctab c
+              QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                $sim DESC, c.cell DESC) = 1"""
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+              sqrt(list_reduce(list_transform(embedding::DOUBLE[],
+                x -> x * x), (a, b) -> a + b)) AS vn
+              FROM embeddings),
+            c0 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),
+            ${costCte("k1", "c0")},
+            ${selCte("s1", "k1", "kmpar:r1")},
+            cand1 AS (SELECT vec_id, v FROM c0
+              UNION SELECT vec_id, v FROM s1),
+            ${costCte("k2", "cand1")},
+            ${selCte("s2", "k2", "kmpar:r2")},
+            cand AS (SELECT vec_id, v FROM cand1
+              UNION SELECT vec_id, v FROM s2),
+            cidx AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS idx,
+              vec_id, v AS cv,
+              sqrt(list_reduce(list_transform(v, x -> x * x),
+                (a, b) -> a + b)) AS cn FROM cand),
+            near AS (SELECT e.vec_id, c.idx
+              FROM e CROSS JOIN (SELECT idx AS cell, idx, cv, cn FROM cidx) c
+              QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                $sim DESC, c.idx DESC) = 1),
+            w AS (SELECT idx, count(*) AS w FROM near GROUP BY idx),
+            topk AS (SELECT row_number() OVER (
+                ORDER BY coalesce(w.w, 0) DESC, c.vec_id ASC) - 1 AS cell,
+                c.cv, c.cn
+              FROM cidx c LEFT JOIN w USING (idx)
+              ORDER BY coalesce(w.w, 0) DESC, c.vec_id ASC LIMIT 8),
+            a0 AS (${asn("topk")}),
+            m1 AS (SELECT a.cell, ex.i, round(avg(ex.x), 6) AS m
+              FROM (SELECT vec_id, unnest(v) AS x,
+                    generate_subscripts(v, 1) AS i FROM e) ex
+              JOIN a0 a ON a.vec_id = ex.vec_id GROUP BY 1, 2),
+            c1 AS (SELECT cell, list(m ORDER BY i) AS cv,
+              sqrt(list_reduce(list_transform(list(m ORDER BY i),
+                x -> x * x), (a, b) -> a + b)) AS cn
+              FROM m1 GROUP BY 1),
+            a1 AS (${asn("c1")})
+            SELECT vec_id, cell FROM a1"""
       },
       "embed_pca" -> {
         // μ and G quantize after their sums (the cross-engine merge-order

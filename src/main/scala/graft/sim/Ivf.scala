@@ -36,14 +36,14 @@ object Ivf {
     * compiled [[graft.functions.VectorDot]] kernel, so the per-row cost is
     * the same; only the compile blowup goes away. Centroid norms are
     * precomputed on the driver — per pair only one dot remains. */
-  private def centLit(cents: Seq[(Int, Seq[Double])]): Column =
+  private[sim] def centLit(cents: Seq[(Int, Seq[Double])]): Column =
     typedlit(cents.map { case (cell, arr) =>
       (arr, cell, math.sqrt(arr.map(x => x * x).sum))
     })
 
   /** (score, cell) structs for a vector against every centroid; `vnorm` is
     * the vector's precomputed norm column (ties → larger cell). */
-  private def cellScores(v: Column, vnorm: Column, cents: Column): Column =
+  private[sim] def cellScores(v: Column, vnorm: Column, cents: Column): Column =
     transform(cents, e => {
       val den = vnorm * e.getField("_3")
       struct(
@@ -53,8 +53,13 @@ object Ivf {
     })
 
   /** Nearest-centroid cell id as a narrow expression. */
-  private def nearestCell(v: Column, vnorm: Column, cents: Column): Column =
+  private[sim] def nearestCell(v: Column, vnorm: Column, cents: Column): Column =
     array_max(cellScores(v, vnorm, cents)).getField("cell")
+
+  /** Best (max) cosine similarity against a centroid set — the cost
+    * substrate of k-means|| seeding ([[KmeansPar]]). */
+  private[sim] def bestSim(v: Column, vnorm: Column, cents: Column): Column =
+    array_max(cellScores(v, vnorm, cents)).getField("s")
 
   /** The assignment as a reusable narrow expression over a raw (float)
     * vector column — lets composites (e.g. IVF-PQ) derive cell AND other
@@ -122,20 +127,30 @@ object Ivf {
       .orderBy(col("__id")).limit(nCells)
       .select(col("__v")).as[Seq[Double]].collect().toSeq
       .zipWithIndex.map { case (v, i) => i -> v }
-    for (_ <- 0 until iters) {
-      cents = vecs
-        .withColumn("__n", sqrt(Similarity.dot(col("__v"), col("__v"))))
-        .select(nearestCell(col("__v"), col("__n"), centLit(cents)).as("cell"),
-          posexplode(col("__v")).as(Seq("__pos", "__x")))
-        .groupBy(col("cell"), col("__pos"))
-        .agg(round(avg(col("__x")), 6).as("__m"))
-        .as[(Int, Int, Double)].collect()
-        .groupBy(_._1).toSeq
-        .map { case (cell, xs) => cell -> xs.sortBy(_._2).map(_._3).toSeq }
-        .sortBy(_._1)
-    }
+    for (_ <- 0 until iters)
+      cents = lloydQuantizedOnce(vecs, cents)
     vecs.unpersist(blocking = false)
     cents
+  }
+
+  /** One quantized Lloyd iteration over pre-projected (__id, __v) rows:
+    * assignment against the literal centroid set, per-(cell, dim) means
+    * rounded to 6 decimals (the cross-engine FP pin), empty cells drop.
+    * Shared by [[trainQuantized]] and [[KmeansPar]]. */
+  private[sim] def lloydQuantizedOnce(
+      vecs: DataFrame,
+      cents: Seq[(Int, Seq[Double])]): Seq[(Int, Seq[Double])] = {
+    import vecs.sparkSession.implicits._
+    vecs
+      .withColumn("__n", sqrt(Similarity.dot(col("__v"), col("__v"))))
+      .select(nearestCell(col("__v"), col("__n"), centLit(cents)).as("cell"),
+        posexplode(col("__v")).as(Seq("__pos", "__x")))
+      .groupBy(col("cell"), col("__pos"))
+      .agg(round(avg(col("__x")), 6).as("__m"))
+      .as[(Int, Int, Double)].collect()
+      .groupBy(_._1).toSeq
+      .map { case (cell, xs) => cell -> xs.sortBy(_._2).map(_._3).toSeq }
+      .sortBy(_._1)
   }
 
   /** Deterministic k-means: returns (cell, centroid array<double>). */

@@ -1,0 +1,57 @@
+package graft
+
+import graft.sim.KmeansPar
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** k-means|| seeding: the oversampling rounds must find every
+  * well-separated mode (the failure mode of naive min-id seeding), the
+  * whole path is deterministic (md5-derandomized), and candidate volume
+  * stays control-sized. */
+class KmeansParSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  /** Three tight, well-separated clusters of 40 points each on distinct
+    * axes, 64-dim. Naive "first k ids" seeding would put all three seeds
+    * in cluster 0 (ids are cluster-contiguous); k-means|| must not. */
+  private def modes() = {
+    val rows = for {
+      c <- 0 until 3
+      i <- 0 until 40
+    } yield {
+      val v = Array.fill(64)(0.0f)
+      v(c * 20) = 10.0f
+      v(c * 20 + 1) = 0.1f * (i % 7) // small within-cluster spread
+      (c * 40L + i, v.toSeq)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("three separated modes → three pure cells") {
+    val df = modes()
+    val assign = KmeansPar.cluster(df, "vec_id", "embedding", k = 3)
+      .as[(Long, Int)].collect().toMap
+    // each true cluster maps to EXACTLY one cell, and the cells differ
+    val byCluster = (0 until 3).map { c =>
+      (0 until 40).map(i => assign(c * 40L + i)).distinct
+    }
+    assert(byCluster.forall(_.size == 1),
+      s"cluster split across cells: $byCluster")
+    assert(byCluster.flatten.distinct.size == 3,
+      s"clusters merged into one cell: $byCluster")
+  }
+
+  test("seeding is deterministic and control-sized") {
+    val df = modes()
+    val s1 = KmeansPar.seed(df, "vec_id", "embedding", k = 3)
+    val s2 = KmeansPar.seed(df, "vec_id", "embedding", k = 3)
+    assert(s1 == s2)
+    assert(s1.size <= 3 && s1.nonEmpty)
+    assert(s1.map(_._1) == s1.map(_._1).sorted)
+    // a degenerate corpus (all identical vectors): cost 0 everywhere
+    // after the seed, so no candidate is ever sampled — one cell
+    val flat = (0L until 10L).map(i => (i, Seq.fill(64)(1.0f))).toDF("vec_id", "embedding")
+    val sf = KmeansPar.seed(flat, "vec_id", "embedding", k = 3)
+    assert(sf.size == 1)
+  }
+}
