@@ -1627,6 +1627,36 @@ object SparkEntry {
           col("rank"))
     }),
 
+    // ANN index QUALITY dashboard: recall@5 of the IVF probe against the
+    // exact brute-force ground truth, per probe budget (nProbe 1/2/4) —
+    // the measurement that justifies a partition-pruned index at 100 TB
+    // (how much recall does each pruned cell cost?). Both sides break
+    // cosine ties by neighbor_id, so the top-5 SETS are deterministic and
+    // the hit counts exact; recall is an integer-nano ladder. Output is
+    // 3 control rows; the expensive parts are the same scans the probes
+    // themselves run
+    "sim_recall_eval" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") % 50 === 0)
+      val truth = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val index = ivfIndexes.getOrElseUpdate(dir, Ivf.buildIndexWith(
+        fixedCentroids(s, dir), e, "vec_id", "embedding",
+        graft.core.TempDirs.register(
+          java.nio.file.Files.createTempDirectory("graft_ivf_idx")).toString))
+      val nq = q.count()
+      val rows = Seq(1, 2, 4).map { np =>
+        val hits = Ivf.probe(index, q, "vec_id", "embedding", k = 5,
+            nProbe = np)
+          .select(col("query_id"), col("neighbor_id"))
+          .join(truth, Seq("query_id", "neighbor_id")).count()
+        (np, nq, hits,
+          (BigInt(hits) * BigInt(1000000000L) / (BigInt(nq) * 5)).toLong)
+      }
+      rows.toDF("n_probe", "n_queries", "hits", "recall_nano")
+    }),
+
     // Embedding DRIFT monitor: per-dimension mean shift between two
     // slices (here the even/odd vec_id halves standing in for two corpus
     // snapshots), top dims by absolute shift — integer-micro keys, exact
@@ -3599,6 +3629,18 @@ object SparkEntry {
       graft.sim.KmeansPar.cluster(t(s, dir, "embeddings"),
         "vec_id", "embedding", k = 8)),
 
+    // Lightweight coreset (Bachem–Lucic–Krause, KDD 2018): a weighted
+    // subsample preserving k-means cost — q(x) = 1/(2n) + cost(x)/(2φ)
+    // around the quantized corpus mean, weight 1/(m·q). ONE corpus scan,
+    // pure filter + projection; the corpus-reduction step that makes
+    // cluster training control-sized at 100 TB. Derandomized like
+    // cluster_kmeanspar: exact integer draw u20·2nφ < m·(φ+n·c)·2²⁰ and
+    // an integer-nano weight ladder (div-truncated both engines), so the
+    // oracle replays sample AND weights exactly
+    "sample_coreset" -> ((s, dir) =>
+      graft.sim.KmeansPar.lightweightCoreset(t(s, dir, "embeddings"),
+        "vec_id", "embedding", m = 64)),
+
     // Top-principal-component projection (dominant-direction probe /
     // ABTT de-biasing substrate): the centered Gram matrix aggregates
     // DISTRIBUTED (d² state, map-side combined — row count never touches
@@ -5460,6 +5502,55 @@ object SparkEntry {
                 CAST(row_number() OVER (PARTITION BY query_id
                   ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
               FROM scored) WHERE rank <= 5""",
+      // recall@5 of the IVF probe vs exact brute force at nProbe 1/2/4:
+      // both sides break cosine ties by neighbor_id so the top-5 SETS
+      // are deterministic; hits are exact joins, recall an integer-nano
+      // truncated ladder
+      "sim_recall_eval" -> {
+        val cos =
+          """CASE WHEN sqrt(list_dot_product(qe.v, qe.v))
+                 * sqrt(list_dot_product(ne.v, ne.v)) = 0 THEN 0.0
+             ELSE list_dot_product(qe.v, ne.v)
+               / (sqrt(list_dot_product(qe.v, qe.v))
+                  * sqrt(list_dot_product(ne.v, ne.v))) END"""
+        def lane(np: Int) =
+          s"""probe$np AS (SELECT vec_id AS query_id, cell FROM sc
+                WHERE vec_id % 50 = 0
+                QUALIFY row_number() OVER (PARTITION BY vec_id
+                  ORDER BY sc DESC, cell DESC) <= $np),
+              cand$np AS (SELECT p.query_id, a.vec_id AS neighbor_id
+                FROM probe$np p JOIN asn a
+                  ON a.cell = p.cell AND a.vec_id <> p.query_id),
+              top$np AS (SELECT query_id, neighbor_id FROM (
+                SELECT c.query_id, c.neighbor_id,
+                  row_number() OVER (PARTITION BY c.query_id
+                    ORDER BY $cos DESC, c.neighbor_id) AS rank
+                FROM cand$np c JOIN e qe ON qe.vec_id = c.query_id
+                     JOIN e ne ON ne.vec_id = c.neighbor_id)
+                WHERE rank <= 5),
+              hit$np AS (SELECT count(*) AS hits FROM top$np t
+                JOIN truth g ON g.query_id = t.query_id
+                  AND g.neighbor_id = t.neighbor_id)"""
+        s"""WITH $ivfAssignCtes,
+            qs AS (SELECT count(*) AS nq FROM e WHERE vec_id % 50 = 0),
+            truth AS (SELECT query_id, neighbor_id FROM (
+              SELECT qe.vec_id AS query_id, ne.vec_id AS neighbor_id,
+                row_number() OVER (PARTITION BY qe.vec_id
+                  ORDER BY $cos DESC, ne.vec_id) AS rank
+              FROM e qe JOIN e ne ON qe.vec_id % 50 = 0
+                AND ne.vec_id <> qe.vec_id)
+              WHERE rank <= 5),
+            ${lane(1)},
+            ${lane(2)},
+            ${lane(4)}
+            SELECT CAST(n_probe AS INTEGER) AS n_probe,
+              CAST(nq AS BIGINT) AS n_queries,
+              CAST(hits AS BIGINT) AS hits,
+              CAST(hits * 1000000000 // (nq * 5) AS BIGINT) AS recall_nano
+            FROM (SELECT 1 AS n_probe, hits FROM hit1
+              UNION ALL SELECT 2, hits FROM hit2
+              UNION ALL SELECT 4, hits FROM hit4) CROSS JOIN qs"""
+      },
       // md5-LSH near-dup pairs: 3-bit bucket partition (seed 0), pairs
       // share a bucket, exact cosine >= threshold (unrounded filter, like
       // embed_cos_neardup)
@@ -7418,6 +7509,44 @@ object SparkEntry {
               FROM m1 GROUP BY 1),
             a1 AS (${asn("c1")})
             SELECT vec_id, cell FROM a1"""
+      },
+      "sample_coreset" -> {
+        // lightweight-coreset replay: quantized mean, integer micro-unit
+        // costs, exact HUGEINT draw and div-truncated nano weights
+        val sim =
+          """CASE WHEN e.vn * c.cn = 0 THEN 0.0
+             ELSE list_reduce(list_transform(range(64),
+               j -> e.v[j+1] * c.cv[j+1]), (a, b) -> a + b)
+               / (e.vn * c.cn) END"""
+        def hx(src: String, i: Int) =
+          s"(strpos('0123456789abcdef', substr($src, $i, 1)) - 1)"
+        val h = "md5('coreset:' || vec_id)"
+        val u20 =
+          s"((((${hx(h, 1)} * 16 + ${hx(h, 2)}) * 16 + ${hx(h, 3)}) * 16" +
+            s" + ${hx(h, 4)}) * 16 + ${hx(h, 5)})"
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+              sqrt(list_reduce(list_transform(embedding::DOUBLE[],
+                x -> x * x), (a, b) -> a + b)) AS vn
+              FROM embeddings),
+            ex AS (SELECT vec_id, unnest(v) AS x,
+              generate_subscripts(v, 1) AS i FROM e),
+            mu AS (SELECT i, round(avg(x), 6) AS m FROM ex GROUP BY 1),
+            muv AS (SELECT list(m ORDER BY i) AS cv,
+              sqrt(list_reduce(list_transform(list(m ORDER BY i),
+                x -> x * x), (a, b) -> a + b)) AS cn FROM mu),
+            k AS (SELECT e.vec_id,
+              CAST(greatest(0, floor((1.0 - $sim) * 1000000.0)) AS BIGINT)
+                AS cost
+              FROM e CROSS JOIN muv c),
+            agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(coalesce(sum(cost), 0) AS BIGINT) AS phi FROM k)
+            SELECT vec_id,
+              CAST((2::HUGEINT * n * phi * 1000000000)
+                // (64::HUGEINT * (phi + n * cost)) AS BIGINT)
+                AS weight_nano
+            FROM k CROSS JOIN agg
+            WHERE $u20::HUGEINT * (2::HUGEINT * n * phi)
+              < 64::HUGEINT * (phi + n * cost) * 1048576"""
       },
       "embed_pca" -> {
         // μ and G quantize after their sums (the cross-engine merge-order

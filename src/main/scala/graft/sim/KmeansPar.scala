@@ -107,4 +107,75 @@ object KmeansPar {
               polishIters: Int = 1): DataFrame =
     Ivf.assignCells(corpus, idCol, vecCol,
       seed(corpus, idCol, vecCol, k, rounds, oversample, polishIters))
+
+  /** Lightweight coreset sampling (Bachem, Lucic & Krause, KDD 2018):
+    * a weighted subsample that provably preserves k-means cost — the
+    * corpus-reduction step that lets cluster structure be trained on a
+    * control-sized set. Sampling probability q(x) = 1/(2n) + c(x)/(2φ)
+    * mixes uniform mass with cost mass around the corpus MEAN (one scan,
+    * no seeding rounds); each kept point carries weight 1/(m·q).
+    *
+    * Derandomized and exact like [[seed]]: c(x) = ⌊(1 − sim(x, μ̄))·10⁶⌋
+    * against the 6-decimal-quantized mean (the cross-engine pin), φ and
+    * n are exact integer aggregates, and the draw keeps x iff
+    * u20 · 2nφ < m · (φ + n·c) · 2²⁰ in decimal(38,0)/HUGEINT. The
+    * emitted weight is the integer nano ladder
+    * ⌊2nφ·10⁹ / (m·(φ + n·c))⌋ — so the whole sample, weights included,
+    * replays externally. Output: (idCol, weight_nano), a pure filter +
+    * projection over one corpus scan. */
+  def lightweightCoreset(corpus: DataFrame, idCol: String, vecCol: String,
+                         m: Int, salt: String = "coreset"): DataFrame = {
+    require(m >= 1, "coreset size must be >= 1")
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    import corpus.sparkSession.implicits._
+    val vecs = corpus.select(col(idCol), col(idCol).cast("long").as("__id"),
+      transform(col(vecCol), _.cast("double")).as("__v")).cache()
+    // quantized corpus mean — same 6-decimal pin as the Lloyd means
+    val mean: Seq[Double] = vecs
+      .select(posexplode(col("__v")).as(Seq("__pos", "__x")))
+      .groupBy(col("__pos")).agg(round(avg(col("__x")), 6).as("__m"))
+      .as[(Int, Double)].collect().sortBy(_._1).map(_._2).toSeq
+    val withCost = vecs
+      .withColumn("__n", sqrt(Similarity.dot(col("__v"), col("__v"))))
+      .withColumn("__c", greatest(lit(0L),
+        floor((lit(1.0) - Ivf.bestSim(col("__v"), col("__n"),
+          Ivf.centLit(Seq(0 -> mean)))) * lit(1000000.0)).cast("long")))
+    val (n, phi) = withCost
+      .agg(count(lit(1)), coalesce(sum(col("__c")), lit(0L)))
+      .as[(Long, Long)].head()
+    vecs.unpersist(blocking = false)
+    if (n == 0) return corpus.sparkSession.emptyDataFrame
+      .withColumn(idCol, lit(0L)).withColumn("weight_nano", lit(0L))
+      .limit(0)
+    // φ = 0 (all points at the mean) degrades to uniform: q = 1/n —
+    // the same formula with the cost term vanishing
+    val u20 = conv(substring(md5(concat(lit(s"$salt:"),
+      col("__id").cast("string"))), 1, 5), 16, 10).cast("long")
+    val dec = "decimal(38,0)"
+    val two20 = BigDecimal(1L << 20)
+    if (phi == 0) {
+      val keep = u20.cast(dec) * lit(BigDecimal(n)).cast(dec) <
+        lit(BigDecimal(m) * two20).cast(dec)
+      withCost.filter(keep)
+        .select(col(idCol),
+          lit((BigInt(n) * BigInt(1000000000L) / BigInt(m)).toLong)
+            .as("weight_nano"))
+    } else {
+      val qDen = lit(BigDecimal(2) * BigDecimal(n) * BigDecimal(phi)).cast(dec)
+      val qNum = (lit(BigDecimal(phi)).cast(dec) +
+        lit(BigDecimal(n)).cast(dec) * col("__c").cast(dec))
+      val keep = u20.cast(dec) * qDen <
+        lit(BigDecimal(m) * two20).cast(dec) * qNum
+      // `div` (not `/`): decimal `/` rounds at a fixed scale before any
+      // floor, which can disagree with an exact integer division by one
+      // ulp at .000000-boundaries; `div` truncates exactly, matching
+      // DuckDB's `//` on HUGEINT (all operands positive here)
+      withCost.filter(keep)
+        .select(col(idCol),
+          call_function("div",
+            qDen * lit(BigDecimal(1000000000L)).cast(dec),
+            lit(BigDecimal(m)).cast(dec) * qNum).cast("long")
+            .as("weight_nano"))
+    }
+  }
 }

@@ -41,6 +41,42 @@ class KmeansParSpec extends AnyFunSuite with SparkTestBase {
       s"clusters merged into one cell: $byCluster")
   }
 
+  test("lightweight coreset: cost-aware draws, exact weights, determinism") {
+    val df = modes()
+    val cs = KmeansPar.lightweightCoreset(df, "vec_id", "embedding", m = 30)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(cs.nonEmpty && cs.length <= 120)
+    assert(cs.forall(_._2 > 0))
+    // unbiasedness sanity: Σ weights estimates n (loose band — one draw)
+    val wSum = cs.map(_._2).sum / 1e9
+    assert(wSum > 120 * 0.3 && wSum < 120 * 3.0, s"weight mass $wSum")
+    // deterministic replay
+    val cs2 = KmeansPar.lightweightCoreset(df, "vec_id", "embedding", m = 30)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(cs.toSeq == cs2.toSeq)
+    // cost-aware: a sampled far-from-mean point carries LESS weight than
+    // a sampled near-the-mean point (q higher → weight lower). modes()
+    // clusters sit at different distances only via their axes; craft an
+    // explicit contrast instead: 39 points at the mean, one far outlier
+    val contrast = ((0L until 39L).map { i =>
+      val v = Array.fill(64)(0.0f); v(0) = 1.0f; (i, v.toSeq)
+    } :+ {
+      val v = Array.fill(64)(0.0f); v(40) = 1.0f; (39L, v.toSeq)
+    }).toDF("vec_id", "embedding")
+    val cw = KmeansPar.lightweightCoreset(contrast, "vec_id", "embedding",
+      m = 20, salt = "coreset-contrast").as[(Long, Long)].collect().toMap
+    if (cw.contains(39L) && cw.exists(_._1 < 39L)) {
+      val near = cw.filter(_._1 < 39L).values.head
+      assert(cw(39L) < near, s"outlier weight ${cw(39L)} !< near $near")
+    }
+    // degenerate corpus (φ=0): uniform draw, exactly n/m weight each
+    val flat = (0L until 50L).map(i => (i, Seq.fill(64)(1.0f)))
+      .toDF("vec_id", "embedding")
+    val fw = KmeansPar.lightweightCoreset(flat, "vec_id", "embedding", m = 10)
+      .as[(Long, Long)].collect()
+    assert(fw.nonEmpty && fw.forall(_._2 == 50L * 1000000000L / 10L))
+  }
+
   test("seeding is deterministic and control-sized") {
     val df = modes()
     val s1 = KmeansPar.seed(df, "vec_id", "embedding", k = 3)
