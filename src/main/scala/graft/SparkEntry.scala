@@ -3629,6 +3629,17 @@ object SparkEntry {
       graft.sim.KmeansPar.cluster(t(s, dir, "embeddings"),
         "vec_id", "embedding", k = 8)),
 
+    // The coreset PAYOFF: weighted k-means trained on the control-sized
+    // coreset (driver-side — the coreset fits anywhere BY CONSTRUCTION),
+    // then ONE distributed assignment over the full corpus. Two corpus
+    // scans total vs one per Lloyd iteration for full k-means — the
+    // 100 TB clustering recipe. Weighted means ride an exact integer
+    // ladder (⌊Σ w_nano·x_micro / Σ w_nano⌋), so training replays in the
+    // oracle bit for bit
+    "cluster_coreset_kmeans" -> ((s, dir) =>
+      graft.sim.KmeansPar.coresetKmeans(t(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 8, m = 64)),
+
     // Lightweight coreset (Bachem–Lucic–Krause, KDD 2018): a weighted
     // subsample preserving k-means cost — q(x) = 1/(2n) + cost(x)/(2φ)
     // around the quantized corpus mean, weight 1/(m·q). ONE corpus scan,
@@ -4088,6 +4099,45 @@ object SparkEntry {
             CAST(coalesce(list_aggregate(list_transform(vs, x -> abs(x)),
               'max'), 0) AS BIGINT) AS max_abs
           FROM v"""
+    // lightweight-coreset CTE chain (quantized mean, integer micro-unit
+    // costs, exact HUGEINT draw, div-truncated nano weights) — shared by
+    // sample_coreset and the coreset-trained k-means
+    val coresetCtes = {
+      val sim =
+        """CASE WHEN e.vn * c.cn = 0 THEN 0.0
+           ELSE list_reduce(list_transform(range(64),
+             j -> e.v[j+1] * c.cv[j+1]), (a, b) -> a + b)
+             / (e.vn * c.cn) END"""
+      def hx(src: String, i: Int) =
+        s"(strpos('0123456789abcdef', substr($src, $i, 1)) - 1)"
+      val h = "md5('coreset:' || vec_id)"
+      val u20 =
+        s"((((${hx(h, 1)} * 16 + ${hx(h, 2)}) * 16 + ${hx(h, 3)}) * 16" +
+          s" + ${hx(h, 4)}) * 16 + ${hx(h, 5)})"
+      s"""e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v,
+            sqrt(list_reduce(list_transform(embedding::DOUBLE[],
+              x -> x * x), (a, b) -> a + b)) AS vn
+            FROM embeddings),
+          ex AS (SELECT vec_id, unnest(v) AS x,
+            generate_subscripts(v, 1) AS i FROM e),
+          mu AS (SELECT i, round(avg(x), 6) AS m FROM ex GROUP BY 1),
+          muv AS (SELECT list(m ORDER BY i) AS cv,
+            sqrt(list_reduce(list_transform(list(m ORDER BY i),
+              x -> x * x), (a, b) -> a + b)) AS cn FROM mu),
+          k AS MATERIALIZED (SELECT e.vec_id,
+            CAST(greatest(0, floor((1.0 - $sim) * 1000000.0)) AS BIGINT)
+              AS cost
+            FROM e CROSS JOIN muv c),
+          agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+            CAST(coalesce(sum(cost), 0) AS BIGINT) AS phi FROM k),
+          cw AS MATERIALIZED (SELECT vec_id,
+            CAST((2::HUGEINT * n * phi * 1000000000)
+              // (64::HUGEINT * (phi + n * cost)) AS BIGINT)
+              AS weight_nano
+            FROM k CROSS JOIN agg
+            WHERE $u20::HUGEINT * (2::HUGEINT * n * phi)
+              < 64::HUGEINT * (phi + n * cost) * 1048576)"""
+    }
     // the 4:2:0 oracle, shared verbatim by the sequential and the
     // segment-parallel decode queries (equality is the point)
     val jpeg420OracleSql: String = {
@@ -7510,43 +7560,70 @@ object SparkEntry {
             a1 AS (${asn("c1")})
             SELECT vec_id, cell FROM a1"""
       },
-      "sample_coreset" -> {
-        // lightweight-coreset replay: quantized mean, integer micro-unit
-        // costs, exact HUGEINT draw and div-truncated nano weights
-        val sim =
+      "sample_coreset" ->
+        s"""WITH $coresetCtes
+            SELECT vec_id, weight_nano FROM cw""",
+      "cluster_coreset_kmeans" -> {
+        // weighted-kmeans-on-the-coreset replay: the coreset draw (cw),
+        // x in integer micro-units, seeds = 8 smallest-id coreset points,
+        // two unrolled weighted iterations with HUGEINT ⌊Σw·x / Σw⌋
+        // means, then the full-corpus assignment
+        val simCp =
+          """CASE WHEN cp.vn * c.cn = 0 THEN 0.0
+             ELSE list_reduce(list_transform(range(64),
+               j -> cp.v[j+1] * c.cv[j+1]), (a, b) -> a + b)
+               / (cp.vn * c.cn) END"""
+        val simE =
           """CASE WHEN e.vn * c.cn = 0 THEN 0.0
              ELSE list_reduce(list_transform(range(64),
                j -> e.v[j+1] * c.cv[j+1]), (a, b) -> a + b)
                / (e.vn * c.cn) END"""
-        def hx(src: String, i: Int) =
-          s"(strpos('0123456789abcdef', substr($src, $i, 1)) - 1)"
-        val h = "md5('coreset:' || vec_id)"
-        val u20 =
-          s"((((${hx(h, 1)} * 16 + ${hx(h, 2)}) * 16 + ${hx(h, 3)}) * 16" +
-            s" + ${hx(h, 4)}) * 16 + ${hx(h, 5)})"
-        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
-              sqrt(list_reduce(list_transform(embedding::DOUBLE[],
-                x -> x * x), (a, b) -> a + b)) AS vn
-              FROM embeddings),
-            ex AS (SELECT vec_id, unnest(v) AS x,
-              generate_subscripts(v, 1) AS i FROM e),
-            mu AS (SELECT i, round(avg(x), 6) AS m FROM ex GROUP BY 1),
-            muv AS (SELECT list(m ORDER BY i) AS cv,
-              sqrt(list_reduce(list_transform(list(m ORDER BY i),
-                x -> x * x), (a, b) -> a + b)) AS cn FROM mu),
-            k AS (SELECT e.vec_id,
-              CAST(greatest(0, floor((1.0 - $sim) * 1000000.0)) AS BIGINT)
-                AS cost
-              FROM e CROSS JOIN muv c),
-            agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
-              CAST(coalesce(sum(cost), 0) AS BIGINT) AS phi FROM k)
-            SELECT vec_id,
-              CAST((2::HUGEINT * n * phi * 1000000000)
-                // (64::HUGEINT * (phi + n * cost)) AS BIGINT)
-                AS weight_nano
-            FROM k CROSS JOIN agg
-            WHERE $u20::HUGEINT * (2::HUGEINT * n * phi)
-              < 64::HUGEINT * (phi + n * cost) * 1048576"""
+        def iterCtes(i: Int, prev: String) =
+          s"""a$i AS (SELECT cp.vec_id, c.cell FROM cp CROSS JOIN $prev c
+                QUALIFY row_number() OVER (PARTITION BY cp.vec_id
+                  ORDER BY $simCp DESC, c.cell DESC) = 1),
+              m$i AS (SELECT a.cell, js.j,
+                  CAST(sum(cp.w::HUGEINT * cp.xm[js.j + 1])
+                    // sum(cp.w::HUGEINT) AS BIGINT) AS mm
+                FROM a$i a JOIN cp USING (vec_id)
+                CROSS JOIN (SELECT unnest(range(64)) AS j) js
+                GROUP BY a.cell, js.j),
+              c$i AS (SELECT cell, list(mm / 1000000.0 ORDER BY j) AS cv,
+                  sqrt(list_reduce(list_transform(
+                    list(mm / 1000000.0 ORDER BY j), x -> x * x),
+                    (a, b) -> a + b)) AS cn
+                FROM m$i GROUP BY cell)"""
+        // Gonzalez farthest-point seeding, unrolled: seed 0 = smallest
+        // id; each stage adds the point with the LOWEST max-similarity
+        // to the chosen set (ties → smallest id)
+        val gonzalez = (1 until 8).map { i =>
+          s"""sd${i - 1} AS (SELECT s.ord AS cell, cp.v AS cv, cp.vn AS cn
+                FROM sid${i - 1} s JOIN cp USING (vec_id)),
+              g$i AS (SELECT cp.vec_id, max($simCp) AS ms
+                FROM cp CROSS JOIN sd${i - 1} c
+                WHERE cp.vec_id NOT IN (SELECT vec_id FROM sid${i - 1})
+                GROUP BY cp.vec_id),
+              pick$i AS (SELECT vec_id FROM g$i
+                QUALIFY row_number() OVER (ORDER BY ms ASC, vec_id ASC) = 1),
+              sid$i AS (SELECT ord, vec_id FROM sid${i - 1}
+                UNION ALL SELECT $i AS ord, vec_id FROM pick$i)"""
+        }.mkString(",\n")
+        s"""WITH $coresetCtes,
+            cp AS MATERIALIZED (SELECT c.vec_id, c.weight_nano AS w, e.v, e.vn,
+                list_transform(e.v, x ->
+                  CAST(floor(x * 1000000.0) AS BIGINT)) AS xm
+              FROM cw c JOIN e USING (vec_id)),
+            sid0 AS (SELECT 0 AS ord, vec_id FROM
+              (SELECT vec_id FROM cp ORDER BY vec_id LIMIT 1)),
+            $gonzalez,
+            c0c AS (SELECT s.ord AS cell, cp.v AS cv, cp.vn AS cn
+              FROM sid7 s JOIN cp USING (vec_id)),
+            ${iterCtes(1, "c0c")},
+            ${iterCtes(2, "c1")}
+            SELECT e.vec_id, CAST(c.cell AS INTEGER) AS cell
+            FROM e CROSS JOIN c2 c
+            QUALIFY row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY $simE DESC, c.cell DESC) = 1"""
       },
       "embed_pca" -> {
         // μ and G quantize after their sums (the cross-engine merge-order

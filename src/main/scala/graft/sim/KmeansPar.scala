@@ -108,6 +108,102 @@ object KmeansPar {
     Ivf.assignCells(corpus, idCol, vecCol,
       seed(corpus, idCol, vecCol, k, rounds, oversample, polishIters))
 
+  /** Weighted k-means trained ON the lightweight coreset — the payoff of
+    * coresets: cluster structure learned from a control-sized weighted
+    * sample (the coreset provably preserves k-means cost), then ONE
+    * distributed assignment pass over the full corpus. The training loop
+    * runs on the driver because the coreset fits anywhere BY
+    * CONSTRUCTION; the corpus is touched exactly twice (coreset scan +
+    * final assignment), vs one scan per Lloyd iteration for full k-means.
+    *
+    * Externally reproducible end to end: the coreset is [[lightweightCoreset]]'s
+    * exact draw; seeds are the k smallest-id coreset points; assignment
+    * sims fold index-ordered over the ORIGINAL doubles (max sim, ties →
+    * larger cell — cellScores' rule); and each weighted mean is the
+    * INTEGER ladder ⌊Σ(w_nano·x_micro) / Σw_nano⌋ with x_micro =
+    * ⌊x·10⁶⌋ — order-free integer sums, so the oracle unrolls the same
+    * iterations bit for bit. */
+  def coresetKmeans(corpus: DataFrame, idCol: String, vecCol: String,
+                    k: Int, m: Int, iters: Int = 2,
+                    salt: String = "coreset"): DataFrame = {
+    require(k >= 1 && iters >= 0, "bad coreset-kmeans params")
+    import corpus.sparkSession.implicits._
+    // control-sized by construction — the collects ARE the design
+    val weights: Map[Long, Long] = lightweightCoreset(
+        corpus, idCol, vecCol, m, salt)
+      .select(col(idCol).cast("long"), col("weight_nano"))
+      .as[(Long, Long)].collect().toMap
+    require(weights.nonEmpty, "empty coreset")
+    val pts: Seq[(Long, Long, Seq[Double])] = corpus
+      .select(col(idCol).cast("long").as("__id"),
+        transform(col(vecCol), _.cast("double")).as("__v"))
+      .filter(col("__id").isin(weights.keys.toSeq: _*))
+      .as[(Long, Seq[Double])].collect()
+      .map { case (id, v) => (id, weights(id), v) }
+      .sortBy(_._1).toSeq
+
+    def dot(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var j = 0
+      while (j < a.length) { s += a(j) * b(j); j += 1 }
+      s
+    }
+    def norm(a: Seq[Double]): Double = math.sqrt(dot(a, a))
+    // nearest centroid, cellScores' exact rule: max sim, ties → larger
+    // cell (ascending scan with >=), den==0 → sim 0
+    def nearest(v: Seq[Double], vn: Double,
+                cents: Seq[(Int, Seq[Double])]): Int = {
+      var bestCell = cents.head._1
+      var bestSim = Double.NegativeInfinity
+      for ((cell, cv) <- cents.sortBy(_._1)) {
+        val den = vn * norm(cv)
+        val s = if (den == 0) 0.0 else dot(v, cv) / den
+        if (s >= bestSim) { bestSim = s; bestCell = cell }
+      }
+      bestCell
+    }
+
+    // Gonzalez farthest-point seeding over the coreset (deterministic
+    // k-center: start at the smallest id, repeatedly add the point with
+    // the LOWEST max-similarity to the current seeds, ties → smallest
+    // id) — id-ordered seeding would put all k seeds in whatever cluster
+    // owns the low ids; farthest-point provably 2-approximates k-center
+    // and spreads the seeds across modes
+    var seeds: Vector[(Long, Long, Seq[Double])] = Vector(pts.head)
+    while (seeds.size < k && seeds.size < pts.size) {
+      val chosen = seeds.map(_._1).toSet
+      val next = pts.filterNot(p => chosen(p._1)).map { p =>
+        val vn = norm(p._3)
+        val closest = seeds.map { s =>
+          val den = vn * norm(s._3)
+          if (den == 0) 0.0 else dot(p._3, s._3) / den
+        }.max
+        (closest, p)
+      }.minBy { case (ms, p) => (ms, p._1) }._2
+      seeds :+= next
+    }
+    var cents: Seq[(Int, Seq[Double])] = seeds
+      .zipWithIndex.map { case ((_, _, v), i) => i -> v }
+    val micro = pts.map { case (id, w, v) =>
+      (id, w, v.map(x => math.floor(x * 1000000.0).toLong))
+    }
+    for (_ <- 0 until iters) {
+      val assigned = pts.zip(micro).map { case ((_, _, v), (_, w, xm)) =>
+        (nearest(v, norm(v), cents), w, xm)
+      }
+      cents = assigned.groupBy(_._1).toSeq.sortBy(_._1).map {
+        case (cell, rows) =>
+          val wSum = rows.map(r => BigInt(r._2)).sum
+          val dims = rows.head._3.indices.map { j =>
+            val s = rows.map(r => BigInt(r._2) * BigInt(r._3(j))).sum
+            // BigInt / truncates toward zero — DuckDB // and Spark div too
+            (s / wSum).toLong / 1000000.0
+          }
+          cell -> dims.toSeq
+      }
+    }
+    Ivf.assignCells(corpus, idCol, vecCol, cents)
+  }
+
   /** Lightweight coreset sampling (Bachem, Lucic & Krause, KDD 2018):
     * a weighted subsample that provably preserves k-means cost — the
     * corpus-reduction step that lets cluster structure be trained on a

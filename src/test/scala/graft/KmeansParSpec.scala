@@ -77,6 +77,27 @@ class KmeansParSpec extends AnyFunSuite with SparkTestBase {
     assert(fw.nonEmpty && fw.forall(_._2 == 50L * 1000000000L / 10L))
   }
 
+  test("coreset-trained k-means recovers separated modes from the sample") {
+    val df = modes()
+    val assign = KmeansPar.coresetKmeans(df, "vec_id", "embedding",
+        k = 3, m = 40)
+      .as[(Long, Int)].collect().toMap
+    assert(assign.size == 120)
+    // training saw only the weighted coreset, yet the full-corpus
+    // assignment must still split the three true modes into pure,
+    // distinct cells
+    val byCluster = (0 until 3).map { c =>
+      (0 until 40).map(i => assign(c * 40L + i)).distinct
+    }
+    assert(byCluster.forall(_.size == 1), s"cluster split: $byCluster")
+    assert(byCluster.flatten.distinct.size == 3, s"merged: $byCluster")
+    // deterministic
+    val again = KmeansPar.coresetKmeans(df, "vec_id", "embedding",
+        k = 3, m = 40)
+      .as[(Long, Int)].collect().toMap
+    assert(again == assign)
+  }
+
   test("seeding is deterministic and control-sized") {
     val df = modes()
     val s1 = KmeansPar.seed(df, "vec_id", "embedding", k = 3)
