@@ -2962,6 +2962,17 @@ object SparkEntry {
 
     // Referential integrity across the star schema: LEFT ANTI orphan
     // counts per FK edge (broadcast or shuffled hash per side size)
+    // k-anonymity release gate: rows whose quasi-identifier combination
+    // (nation, market segment, acctbal sign) is shared by fewer than k=10
+    // rows are re-identifiable at that granularity — the governance
+    // summary a dataset release consumes. One map-side-combined groupBy
+    // + a control-sized rollup; a single shuffle at any corpus size
+    "dq_k_anonymity" -> ((s, dir) =>
+      DataQuality.kAnonymity(
+        t(s, dir, "customer")
+          .withColumn("__bal_sign", signum(col("c_acctbal")).cast("int")),
+        Seq("c_nationkey", "c_mktsegment", "__bal_sign"), k = 10)),
+
     "dq_referential" -> ((s, dir) => DataQuality.referentialSuite(Seq(
       ("lineitem->orders", t(s, dir, "lineitem"), "l_orderkey",
         t(s, dir, "orders"), "o_orderkey"),
@@ -6891,6 +6902,19 @@ object SparkEntry {
              coalesce(sum(CASE WHEN n_chars < 0 THEN 1 ELSE 0 END), 0)::DOUBLE,
              (coalesce(sum(CASE WHEN n_chars < 0 THEN 1 ELSE 0 END), 0) = 0)::BIGINT
              FROM documents""",
+      "dq_k_anonymity" ->
+        """WITH g AS (SELECT c_nationkey, c_mktsegment,
+              CAST(sign(c_acctbal) AS INTEGER) AS bal_sign,
+              count(*) AS n
+            FROM customer GROUP BY 1, 2, 3)
+           SELECT CAST(10 AS INTEGER) AS k,
+             CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(coalesce(sum(CASE WHEN n < 10 THEN 1 ELSE 0 END), 0)
+               AS BIGINT) AS n_violating_groups,
+             CAST(coalesce(sum(CASE WHEN n < 10 THEN n ELSE 0 END), 0)
+               AS BIGINT) AS rows_at_risk,
+             CAST(min(n) AS BIGINT) AS min_group_size
+           FROM g""",
       "dq_referential" -> {
         val edge = (name: String, c: String, ck: String, p: String, pk: String) =>
           s"""SELECT '$name' AS relation, c::DOUBLE AS orphans,

@@ -83,4 +83,24 @@ object DataQuality {
           col("orphans").cast("double").as("orphans"),
           (col("orphans") === 0).cast("long").as("pass"))
     }.reduce(_.unionByName(_))
+
+  /** k-anonymity audit over a quasi-identifier column set — the
+    * release-governance check for datasets carrying person-adjacent
+    * attributes: every row whose quasi-identifier combination is shared
+    * by fewer than k rows is re-identifiable at that granularity. One
+    * groupBy (map-side combined) + one control-sized aggregate:
+    * (k, n_groups, n_violating_groups, rows_at_risk, min_group_size) —
+    * the summary a release gate consumes. Scales as a single shuffle on
+    * the quasi-identifier key at any corpus size. */
+  def kAnonymity(df: DataFrame, quasiIds: Seq[String], k: Int): DataFrame = {
+    require(quasiIds.nonEmpty && k >= 1, "need quasi-identifiers and k >= 1")
+    df.groupBy(quasiIds.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .agg(
+        lit(k).as("k"),
+        count(lit(1)).as("n_groups"),
+        sum(when(col("__n") < k, 1L).otherwise(0L)).as("n_violating_groups"),
+        sum(when(col("__n") < k, col("__n")).otherwise(0L)).as("rows_at_risk"),
+        min(col("__n")).as("min_group_size"))
+  }
 }
