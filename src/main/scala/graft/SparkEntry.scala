@@ -2500,6 +2500,24 @@ object SparkEntry {
       graft.text.Retrieval.bm25(s, index, "fast table scan join merge", k = 20)
     }),
 
+    // RM3 pseudo-relevance feedback — the classic query-expansion loop:
+    // top-10 feedback docs nominate 8 expansion terms (by occurrence,
+    // ties → term asc, original terms excluded), each weighted
+    // ⌊400000·tf/Σtf⌋ against 600000 per original term, then a second
+    // weighted bucket-pruned BM25 pass. The feedback set is control-sized
+    // by construction; neither pass scans the corpus. All-integer micro
+    // weights and contributions — the oracle replays both passes exactly
+    "search_rm3" -> ((s, dir) => {
+      val index = bm25Indexes.getOrElseUpdate(dir, {
+        val idxDir = graft.core.TempDirs.register(
+          java.nio.file.Files.createTempDirectory("graft_bm25")).toString
+        graft.text.Retrieval.buildIndex(t(s, dir, "documents"), "text", "doc_id",
+          idxDir, numBuckets = 64)
+      })
+      graft.text.Retrieval.bm25Rm3(s, index, t(s, dir, "documents"),
+        "text", "doc_id", "fast table scan join merge", k = 20)
+    }),
+
     // The same index maintained LOG-STRUCTURED instead of rebuilt: the
     // index starts from a perturbed corpus (corrupted texts, missing docs,
     // phantom rows), one change batch supersedes/adds/deletes its way to
@@ -6392,6 +6410,58 @@ object SparkEntry {
       "search_bm25" -> bm25Sql,
       "search_bm25_incr" -> bm25Sql,
       "search_bm25_stream" -> bm25Sql,
+      // RM3 replay: pass 1 = bm25Sql's contribs → top-10 feedback docs;
+      // expansion terms by occurrence count within them (orig terms
+      // excluded, ties term asc); integer micro weights; pass 2 sums
+      // weight·c_micro over the expanded term set
+      "search_rm3" ->
+        raw"""WITH q AS (SELECT unnest(['fast','table','scan','join','merge']) AS term),
+            d AS (SELECT doc_id, $toks AS toks FROM documents),
+            dl AS (SELECT doc_id, len(toks) AS dl FROM d),
+            tok AS MATERIALIZED (SELECT doc_id, unnest(toks) AS term FROM d),
+            tf AS MATERIALIZED (SELECT doc_id, term, count(*) AS tf
+              FROM tok GROUP BY 1, 2),
+            df AS MATERIALIZED (SELECT term, count(DISTINCT doc_id) AS df
+              FROM tok GROUP BY 1),
+            stats AS (SELECT count(*) AS n,
+                (sum(dl) * 1000000) // count(*) AS avgdl_micro FROM dl),
+            c1 AS (SELECT tf.doc_id,
+                CAST(round(
+                  ln(1.0 + (n - df.df + 0.5) / (df.df + 0.5)) *
+                  (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl.dl /
+                    (avgdl_micro / 1000000.0))) * 1000000) AS BIGINT) AS c_micro
+              FROM tf JOIN q USING (term) JOIN df USING (term)
+                JOIN dl USING (doc_id) CROSS JOIN stats),
+            fb AS (SELECT doc_id FROM (
+                SELECT doc_id, row_number() OVER (
+                  ORDER BY sum(c_micro) DESC, doc_id) AS r
+                FROM c1 GROUP BY doc_id) WHERE r <= 10),
+            fbsel AS (SELECT term, tf FROM (
+                SELECT t.term, count(*) AS tf,
+                  row_number() OVER (ORDER BY count(*) DESC, t.term) AS r
+                FROM tok t JOIN fb USING (doc_id)
+                WHERE t.term NOT IN (SELECT term FROM q)
+                GROUP BY t.term) WHERE r <= 8),
+            fbtot AS (SELECT sum(tf) AS tot FROM fbsel),
+            w AS (SELECT term, CAST(600000 AS BIGINT) AS w FROM q
+              UNION ALL
+              SELECT term, CAST((400000 * tf) // tot AS BIGINT) AS w
+              FROM fbsel CROSS JOIN fbtot),
+            c2 AS (SELECT tf.doc_id, w.w,
+                CAST(round(
+                  ln(1.0 + (n - df.df + 0.5) / (df.df + 0.5)) *
+                  (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl.dl /
+                    (avgdl_micro / 1000000.0))) * 1000000) AS BIGINT) AS c_micro
+              FROM tf JOIN w USING (term) JOIN df USING (term)
+                JOIN dl USING (doc_id) CROSS JOIN stats),
+            scored AS (SELECT doc_id AS doc,
+                CAST(sum(c_micro * w) AS BIGINT) AS score_wmicro,
+                count(*) AS n_terms
+              FROM c2 GROUP BY 1)
+          SELECT doc, score_wmicro, n_terms, rank FROM (
+            SELECT *, row_number() OVER (
+              ORDER BY score_wmicro DESC, doc) AS rank
+            FROM scored) WHERE rank <= 20""",
       "search_bm25_batch" ->
         raw"""WITH q AS (SELECT * FROM (VALUES
                 ('q1','fast'),('q1','table'),('q1','scan'),

@@ -313,6 +313,76 @@ object Retrieval {
     rankTopK(scored, k, col("score_micro").desc, col("doc"))
   }
 
+  /** RM3-style pseudo-relevance feedback — the classic query-expansion
+    * loop: BM25 retrieves `fbDocs` feedback documents, their term
+    * distribution nominates `fbTerms` expansion terms, and a second
+    * weighted BM25 pass scores the expanded query. Both passes are
+    * bucket-pruned probes; the feedback set is control-sized BY
+    * CONSTRUCTION (≤ fbDocs ids collected, their tokens aggregated with
+    * an `isin`-pushed corpus point-read), so the loop never scans the
+    * corpus.
+    *
+    * Externally reproducible: the original terms carry weight
+    * `origWeightMicro` each; feedback term t (original terms excluded;
+    * top by occurrence count, ties → term asc) carries
+    * ⌊fbMassMicro·tf_t / Σtf⌋ — integer micro-units, truncated division
+    * both engines. Scores are Σ weight·c_micro per doc (exact long
+    * arithmetic; c_micro is bm25's micro-unit contribution). Ties break
+    * (score desc, doc asc). Output: (doc, score_wmicro, n_terms, rank). */
+  def bm25Rm3(spark: SparkSession, index: InvertedIndex, corpus: DataFrame,
+              textCol: String, idCol: String, query: String, k: Int,
+              fbDocs: Int = 10, fbTerms: Int = 8,
+              origWeightMicro: Long = 600000L,
+              fbMassMicro: Long = 400000L): DataFrame = {
+    import spark.implicits._
+    val origTerms = query.toLowerCase.trim.split("\\s+")
+      .toSeq.distinct.filter(_.nonEmpty)
+    val fb: Seq[Long] = bm25(spark, index, query, fbDocs)
+      .select(col("doc").cast("long")).as[Long].collect().toSeq
+    val fbTf: Seq[(String, Long)] =
+      if (fb.isEmpty) Seq.empty
+      else corpus.filter(col(idCol).isin(fb: _*))
+        .select(explode(TextFunctions.tokens(col(textCol))).as("term"))
+        .filter(!col("term").isin(origTerms: _*))
+        .groupBy(col("term")).agg(count(lit(1)).as("tf"))
+        .orderBy(col("tf").desc, col("term")).limit(fbTerms)
+        .as[(String, Long)].collect().toSeq
+    val tfTotal = fbTf.map(_._2).sum
+    val weights: Map[String, Long] =
+      origTerms.map(_ -> origWeightMicro).toMap ++
+        fbTf.map { case (t, c) => t -> fbMassMicro * c / tfTotal }.toMap
+    bm25WeightedTerms(spark, index, weights, k)
+  }
+
+  /** BM25 over a per-term-weighted query (RM3's second pass): identical
+    * pruned-probe plumbing to [[bm25]], with each (term, doc) micro
+    * contribution scaled by the term's integer micro weight before the
+    * exact per-doc sum. */
+  private def bm25WeightedTerms(spark: SparkSession, index: InvertedIndex,
+                                weights: Map[String, Long], k: Int,
+                                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(weights.nonEmpty, "empty weighted query")
+    val terms = weights.keys.toSeq.sorted
+    val buckets = terms.map(termBucket(_, index.numBuckets)).distinct
+    val postings = liveRows(spark, index,
+      spark.read.parquet(index.postingsDir)
+        .filter(col("bucket").isin(buckets: _*))
+        .filter(col("term").isin(terms: _*)))
+    val stats = statsFrame(spark, index)
+    val idf = log(lit(1.0) +
+      (col("__n").cast("double") - col("df") + 0.5) / (col("df") + 0.5))
+    val tfNorm = (col("tf") * (k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("__avgdl")))
+    val dfByTerm = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = postings.join(broadcast(dfByTerm), "term").crossJoin(stats)
+      .withColumn("c_micro", round(idf * tfNorm * 1e6).cast("long"))
+      .withColumn("wc",
+        col("c_micro") * element_at(typedlit(weights), col("term")))
+      .groupBy(col("doc"))
+      .agg(sum(col("wc")).as("score_wmicro"), count(lit(1)).as("n_terms"))
+    rankTopK(scored, k, col("score_wmicro").desc, col("doc"))
+  }
+
   /** Global top-`k` + dense 1..k rank WITHOUT a corpus-scale single-
     * partition window: `orderBy(...).limit(k)` plans as
     * TakeOrderedAndProject (per-partition top-k, driver merge of k rows
