@@ -2,37 +2,38 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Prints formatted physical plans of representative queries — the
-  * scale-readiness audit: filters pushed to the parquet scan, pruned read
-  * schemas, broadcast joins where one side is small, wide whole-stage
-  * codegen spans, no stray shuffles. */
+/** Plan-audit harness: `runMain graft.PlanAudit <sfDir> <query,query,…>`
+  * prints each query's FORMATTED executed plan (post-AQE where the query
+  * executes eagerly) — the artifact for "is this the plan you'd want at
+  * 100×": pushed filters, partition pruning, broadcast vs sort-merge,
+  * whole-stage codegen spans, exchange counts. */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
-    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
-    val names = if (args.length > 1) args.drop(1).toSeq else Seq(
-      "a6_reduce_sum", "a10_join_report", "b1_exact_ci", "b8_show",
-      "dedup_minhash", "sim_topk_bruteforce", "sim_topk_ivf", "events_hourly",
-      "events_asof", "events_interval_join", "b14_url_search", "search_bm25",
-      "search_phrase", "text_tfidf_topk", "sim_topk_hamming", "sim_topk_mrl",
-      "text_span_scrub", "text_cdc_dedup", "text_length_gate",
-      "mm_phash_dedup", "mix_temperature", "sketch_kmv_merge",
-      "sketch_distinct_hll", "sketch_freq_cms", "sketch_join_size",
-      "text_dsir", "text_chunking", "search_hybrid_rrf",
-      "events_asof_native", "split_leakage",
-      "embed_pca", "text_kn_bigram", "text_kn_trigram", "text_bpe_encode",
-      "dq_documents", "dq_referential", "text_kn_score", "embed_pca_incr")
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val names = if (args.length > 1) args(1).split(",").toSeq
+      else Seq("q1_agg")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    for (n <- names) {
-      println(s"\n======== $n ========")
-      println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode))
+    for (name <- names) {
+      println(s"\n===== PLAN $name =====")
+      try {
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        df.collect() // drive AQE so the final plan is the adapted one
+        println(df.queryExecution.executedPlan.toString.take(8000))
+      } catch {
+        case e: Throwable => println(s"AUDIT ERROR: ${e.getMessage}")
+      }
+      graft.ops.Caches.release()
+      spark.catalog.clearCache()
+      org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+      spark.streams.resetTerminated()
     }
-    spark.stop()
   }
 }

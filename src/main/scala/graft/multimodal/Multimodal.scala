@@ -504,8 +504,10 @@ object Multimodal {
     require(tasksPerImage >= 1, "tasksPerImage must be >= 1")
     val spark = df.sparkSession
     import spark.implicits._
-    val fanned = graft.ops.Par
-      .ensure(df.select(col(idCol).cast("long"), col(blobCol)))
+    // no Par.ensure here: the explicit (image, bucket) repartition below
+    // is the operator's own spread — a guard shuffle before the fan-out
+    // would just move every blob twice (seen in the plan audit)
+    val fanned = df.select(col(idCol).cast("long"), col(blobCol))
       .as[(Long, Array[Byte])]
       .flatMap { case (id, b) =>
         val k = math.min(Jpeg.segmentInfo(b).nSegments, tasksPerImage)
