@@ -375,6 +375,30 @@ class JpegSpec extends AnyFunSuite with SparkTestBase {
     assert(parRows.toSeq == seqRows.toSeq)
   }
 
+  test("parallel decode plan: one fan-out shuffle, map-side partial merge") {
+    val docs = Seq((1L, "alphabet"), (2L, "The quick brown fox jumps!xx"))
+      .toDF("doc_id", "text")
+      .withColumn("px", encode(col("text"), "UTF-8"))
+    val q = Multimodal.decodeJpegColorParallel(
+      Multimodal.jpeg420Blob(docs, "doc_id", "px", restartEvery = 2),
+      "doc_id", "blob", tasksPerImage = 4)
+    q.collect()
+    val finalPlan = q.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // exactly ONE keyed fan-out repartition (image, bucket); the only
+    // other allowed shuffles are the encode stage's Par.ensure spread
+    // (a no-op at scale — file/bytes-gated) and the doc_id merge. A
+    // second round-robin would be the redundant whole-blob pass the
+    // plan audit caught
+    def occ(s: String) = finalPlan.sliding(s.length).count(_ == s)
+    assert(occ("REPARTITION_BY_COL") == 1, finalPlan)
+    assert(occ("REPARTITION_BY_NUM") <= 1, finalPlan)
+    assert(occ("Exchange ") <= 3, finalPlan)
+    // the merge is map-side combined: partial aggregation BEFORE the
+    // doc_id exchange, so only control-sized partials shuffle
+    assert(finalPlan.contains("partial_sum"), finalPlan)
+  }
+
   test("Spark plumbing: jpeg420Blob → decodeJpegColor matches per-payload stats") {
     val docs = Seq((1L, "alphabet"), (2L, "zzzz"),
       (3L, "The quick brown fox.")) // lengths all multiples of 4
