@@ -1646,15 +1646,28 @@ object SparkEntry {
         graft.core.TempDirs.register(
           java.nio.file.Files.createTempDirectory("graft_ivf_idx")).toString))
       val nq = q.count()
-      val rows = Seq(1, 2, 4).map { np =>
-        val hits = Ivf.probe(index, q, "vec_id", "embedding", k = 5,
-            nProbe = np)
-          .select(col("query_id"), col("neighbor_id"))
+      def lane(name: String, np: Int, probe: DataFrame) = {
+        val hits = probe.select(col("query_id"), col("neighbor_id"))
           .join(truth, Seq("query_id", "neighbor_id")).count()
-        (np, nq, hits,
+        (name, np, nq, hits,
           (BigInt(hits) * BigInt(1000000000L) / (BigInt(nq) * 5)).toLong)
       }
-      rows.toDF("n_probe", "n_queries", "hits", "recall_nano")
+      val ivfRows = Seq(1, 2, 4).map(np => lane("ivf", np,
+        Ivf.probe(index, q, "vec_id", "embedding", k = 5, nProbe = np)))
+      // the quantized lane: ADC distances over the same cells — measures
+      // what the 32× code compression costs in recall
+      val pqIdx = pqIndexPaths.getOrElseUpdate(dir, {
+        val p = graft.core.TempDirs.register(
+          java.nio.file.Files.createTempDirectory("graft_ivfpq")).toString
+        graft.sim.Pq.buildCodeIndex(e, "vec_id", "embedding",
+          fixedCentroids(s, dir), pqCodebooks(s, dir), p)
+        p
+      })
+      val rows = ivfRows :+ lane("ivfpq", 3,
+        graft.sim.Pq.probeCodeIndex(q, "vec_id", "embedding",
+          fixedCentroids(s, dir), pqCodebooks(s, dir), pqIdx,
+          nProbe = 3, k = 5))
+      rows.toDF("lane", "n_probe", "n_queries", "hits", "recall_nano")
     }),
 
     // Embedding DRIFT monitor: per-dimension mean shift between two
@@ -5610,6 +5623,50 @@ object SparkEntry {
               hit$np AS (SELECT count(*) AS hits FROM top$np t
                 JOIN truth g ON g.query_id = t.query_id
                   AND g.neighbor_id = t.neighbor_id)"""
+        // the IVF-PQ lane replays the ADC scoring (codes from the fixed
+        // 16-entry codebook, per-subvector distance tables) and counts
+        // its top-5 hits against the same exact truth
+        val pqLane =
+          s"""cbv AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j,
+                  embedding::DOUBLE[] AS cv
+                FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+              ms AS (SELECT unnest(range(8)) AS m),
+              psc AS (SELECT e2.vec_id, ms.m, cb.j,
+                  list_reduce(list_transform(range(8), i ->
+                    (e2.v[ms.m*8 + i + 1] - cb.cv[ms.m*8 + i + 1])
+                    * (e2.v[ms.m*8 + i + 1] - cb.cv[ms.m*8 + i + 1])),
+                    (a, b) -> a + b) AS d
+                FROM e e2 CROSS JOIN ms CROSS JOIN cbv cb),
+              code AS (SELECT vec_id, m, j AS c FROM psc
+                QUALIFY row_number() OVER (PARTITION BY vec_id, m
+                  ORDER BY d, j) = 1),
+              probePq AS (SELECT vec_id AS query_id, cell FROM sc
+                WHERE vec_id % 50 = 0
+                QUALIFY row_number() OVER (PARTITION BY vec_id
+                  ORDER BY sc DESC, cell DESC) <= 3),
+              candPq AS (SELECT p.query_id, a.vec_id AS neighbor_id
+                FROM probePq p JOIN asn a
+                  ON a.cell = p.cell AND a.vec_id <> p.query_id),
+              qv AS (SELECT vec_id AS query_id, v AS qv FROM e
+                WHERE vec_id % 50 = 0),
+              dm AS (SELECT c2.query_id, c2.neighbor_id, k2.m,
+                  list_reduce(list_transform(range(8), i ->
+                    (q.qv[k2.m*8 + i + 1] - cb.cv[k2.m*8 + i + 1])
+                    * (q.qv[k2.m*8 + i + 1] - cb.cv[k2.m*8 + i + 1])),
+                    (a, b) -> a + b) AS d
+                FROM candPq c2 JOIN code k2 ON k2.vec_id = c2.neighbor_id
+                JOIN cbv cb ON cb.j = k2.c
+                JOIN qv q ON q.query_id = c2.query_id),
+              topPq AS (SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY dist, neighbor_id) AS rank
+                FROM (SELECT query_id, neighbor_id,
+                    list_reduce(list(d ORDER BY m), (a, b) -> a + b) AS dist
+                  FROM dm GROUP BY 1, 2)) WHERE rank <= 5),
+              hitPq AS (SELECT count(*) AS hits FROM topPq t
+                JOIN truth g ON g.query_id = t.query_id
+                  AND g.neighbor_id = t.neighbor_id)"""
         s"""WITH $ivfAssignCtes,
             qs AS (SELECT count(*) AS nq FROM e WHERE vec_id % 50 = 0),
             truth AS (SELECT query_id, neighbor_id FROM (
@@ -5621,14 +5678,16 @@ object SparkEntry {
               WHERE rank <= 5),
             ${lane(1)},
             ${lane(2)},
-            ${lane(4)}
-            SELECT CAST(n_probe AS INTEGER) AS n_probe,
+            ${lane(4)},
+            $pqLane
+            SELECT lane, CAST(n_probe AS INTEGER) AS n_probe,
               CAST(nq AS BIGINT) AS n_queries,
               CAST(hits AS BIGINT) AS hits,
               CAST(hits * 1000000000 // (nq * 5) AS BIGINT) AS recall_nano
-            FROM (SELECT 1 AS n_probe, hits FROM hit1
-              UNION ALL SELECT 2, hits FROM hit2
-              UNION ALL SELECT 4, hits FROM hit4) CROSS JOIN qs"""
+            FROM (SELECT 'ivf' AS lane, 1 AS n_probe, hits FROM hit1
+              UNION ALL SELECT 'ivf', 2, hits FROM hit2
+              UNION ALL SELECT 'ivf', 4, hits FROM hit4
+              UNION ALL SELECT 'ivfpq', 3, hits FROM hitPq) CROSS JOIN qs"""
       },
       // md5-LSH near-dup pairs: 3-bit bucket partition (seed 0), pairs
       // share a bucket, exact cosine >= threshold (unrounded filter, like
