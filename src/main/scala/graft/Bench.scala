@@ -23,12 +23,16 @@ object Bench {
     }
     // optional comma-separated subset for targeted profiling runs
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val sampled = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      // steady-state latency: best of three runs (first run may pay planning
-      // and JIT; single-sample numbers vary ±30% on a shared host)
-      val dt = (0 until 3).map { _ =>
+      // steady-state latency: three samples per query (first run may pay
+      // planning and JIT; single-sample numbers vary ±30% on a shared
+      // host). min is the headline; the median rides along as variance
+      // metadata so a round-over-round drift can be attributed to host
+      // noise (min≈median stable, spread wide) vs a real plan change
+      // (min itself moves) without re-running the suite.
+      val samples = (0 until 3).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val d = (System.nanoTime() - t0) / 1e9
@@ -49,9 +53,11 @@ object Bench {
         spark.streams.resetTerminated()
         System.gc()
         d
-      }.min
-      name -> dt
+      }.sorted
+      (name, samples(0), samples(1)) // (min, median of 3)
     }
+    val results = sampled.map { case (name, mn, _) => name -> mn }
+    val medTotal = sampled.map(_._3).sum
     // The harness records only the LAST 2000 bytes of output and parses the
     // JSON line out of that window. With 95+ queries the key names alone are
     // ~1.8 KB, so a full per-query dict can never fit. Emit the slowest
@@ -70,7 +76,10 @@ object Bench {
       n.endsWith("_stream") || n.endsWith("_forever") || n.endsWith("_upsert") ||
         n.endsWith("_sessions_state") || n == "events_dedup_stream"
     val streamingSub = results.collect { case (n, v) if isStreaming(n) => v }.sum
-    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"streaming_sub":${fmt(streamingSub)},"batch_sub":${fmt(total - streamingSub)},"queries":{"""
+    // variance metadata: med_total - value (sum of per-query median-min
+    // gaps) is the run's own noise floor; a round-over-round total drift
+    // smaller than this gap is jitter, not regression
+    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_samples":3,"med_total":${fmt(medTotal)},"streaming_sub":${fmt(streamingSub)},"batch_sub":${fmt(total - streamingSub)},"queries":{"""
     val tail = s"""},"sf":"$sfName"}"""
     val budget = 1850 - head.length - tail.length - 24 // room for "other"
     val entries = results.sortBy { case (k, v) => (-v, k) }
@@ -84,13 +93,16 @@ object Bench {
     val otherSum = total - results.sortBy { case (k, v) => (-v, k) }
       .take(kept.size).map(_._2).sum
     val qs = (kept :+ s"\"other\":${fmt(otherSum)}").mkString(",")
-    // Full per-query detail goes to a file (the tail window can't hold it).
+    // Full per-query detail goes to a file (the tail window can't hold it)
+    // — min AND median per query, so any drift can be resolved offline.
     // Subset runs (SPARK_GRAFT_ONLY) must not clobber the full-suite
     // baseline — they land in a sibling file instead.
     val full = results.map { case (k, v) => s"\"$k\":${fmt(v)}" }
       .mkString("{", ",", "}")
+    val med = sampled.map { case (k, _, m) => s"\"$k\":${fmt(m)}" }
+      .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","streaming_sub":${fmt(streamingSub)},"batch_sub":${fmt(total - streamingSub)},"queries":$full,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_samples":3,"med_total":${fmt(medTotal)},"streaming_sub":${fmt(streamingSub)},"batch_sub":${fmt(total - streamingSub)},"queries":$full,"queries_med":$med,"sf":"$sfName"}"""
     val outFile = if (only.isEmpty) "BENCH_FULL.json" else "BENCH_SUBSET.json"
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (fullLine + "\n").getBytes("UTF-8"))

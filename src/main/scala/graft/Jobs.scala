@@ -26,23 +26,46 @@ import org.apache.spark.sql.functions._
   * alone. */
 object Jobs {
 
-  /** Run a named job; returns the process exit code. */
+  /** Thrown when a job must stop mid-run (single-writer lease lost):
+    * continuing to commit would write concurrently with the new lease
+    * holder — the exact violation the lease exists to prevent. */
+  final case class AbortedException(msg: String) extends RuntimeException(msg)
+
+  /** Run a named job; returns the process exit code. `cancelled` is
+    * polled before every stage start and again immediately before every
+    * durable commit (the worker wires it to its lease-lost flag), so a
+    * stolen lease aborts the job BEFORE the next manifest swap — the
+    * batch twin of the stream path's stop-on-steal. */
   def run(name: String, spark: SparkSession, conf: IniConfig,
           store: BucketedStateStore,
-          sources: graft.incr.IncrementalRun.Sources): Int = name match {
-    case "curate" => Curate.run(spark, conf, store, sources); 0
+          sources: graft.incr.IncrementalRun.Sources,
+          cancelled: () => Boolean = () => false): Int = name match {
+    case "curate" =>
+      try { Curate.run(spark, conf, store, sources, cancelled); 0 }
+      catch {
+        case AbortedException(msg) => System.err.println(msg); 1
+      }
     case other =>
       System.err.println(s"unknown job '$other' (known: curate)")
       1
   }
 
+  /** Committed stage pointer for a named job — how many of its stages
+    * have durably committed. Job progress is JOB-SCOPED store meta (it
+    * rides the same atomic manifest swap as the stage's table), NOT the
+    * store's global batch counter: a store that already carries commits
+    * from another workload (a stream worker's, say) must not make a
+    * never-run job look 'done'. */
+  private[graft] def stagePointer(store: BucketedStateStore,
+                                  job: String): Long =
+    store.meta(s"job.$job.stage").map(_.toLong).getOrElse(0L)
+
   /** `--jobs`: progress listing from the committed manifest alone. */
   def progressLines(store: BucketedStateStore): Seq[String] = {
-    val done = store.committedBatch.getOrElse(-1L)
+    val done = stagePointer(store, "curate")
     Curate.Stages.zipWithIndex.map { case (stage, i) =>
-      val batch = i + 1L
       val status =
-        if (done >= batch)
+        if (done >= i + 1L)
           s"done (rows=${store.meta(s"job.curate.$stage.rows").getOrElse("?")})"
         else "pending"
       s"curate/$stage: $status"
@@ -70,7 +93,8 @@ object Jobs {
     val Stages: Seq[String] = Seq("survivors", "gated", "curated")
 
     def run(spark: SparkSession, conf: IniConfig, store: BucketedStateStore,
-            sources: graft.incr.IncrementalRun.Sources): Unit = {
+            sources: graft.incr.IncrementalRun.Sources,
+            cancelled: () => Boolean = () => false): Unit = {
       val sec = "job:curate"
       val input = conf.getOrElse(sec, "input", "documents")
       val idCol = conf.getOrElse(sec, "id_col", "doc_id")
@@ -85,18 +109,37 @@ object Jobs {
       val lang = conf.getOrElse(sec, "lang", "en")
 
       val allBuckets = (0 until store.numBuckets).toSet
-      def stageDone(batch: Long) = store.committedBatch.exists(_ >= batch)
-      def commitStage(stage: String, batch: Long, rows: DataFrame,
+      def abortIfCancelled(at: String): Unit =
+        if (cancelled()) throw AbortedException(
+          s"lease lost; aborting job 'curate' at $at (no further commits)")
+      // progress is the JOB's stage pointer (store meta, atomic with the
+      // stage's table), never the store's global batch counter — so a
+      // store pre-populated by any other workload can't fake 'done', and
+      // a 'done' pointer always has its table (same manifest swap). A
+      // pointer without its table is a corrupted store: fail loud.
+      def stageDone(idx: Long, stage: String): Boolean = {
+        val done = stagePointer(store, "curate") >= idx
+        if (done && !store.tableNames.contains(stage))
+          throw new IllegalStateException(
+            s"job.curate.stage=$idx but stage table '$stage' is absent — " +
+              "store meta and tables disagree; refusing to skip")
+        done
+      }
+      def commitStage(stage: String, idx: Long, rows: DataFrame,
                       keyCol: String): Unit = {
+        val batch = store.committedBatch.getOrElse(0L) + 1L
         val cached = graft.ops.Caches.track(rows)
         store.stageBuckets(stage, allBuckets, cached, batch, keyCol)
         store.setMeta(s"job.curate.$stage.rows", cached.count().toString)
+        store.setMeta("job.curate.stage", idx.toString)
+        abortIfCancelled(s"commit of stage '$stage'")
         store.commit(batch) // the stage becomes durable HERE, atomically
         graft.core.KillPoint(s"job.curate.$stage.committed")
       }
 
       // stage 1 — survivors: near-dup resolution + language/quality gates
-      if (!stageDone(1L)) {
+      if (!stageDone(1L, "survivors")) {
+        abortIfCancelled("start of stage 'survivors'")
         graft.core.KillPoint("job.curate.survivors.start")
         val docs = sources(input)
         val pairs = DocDedup.nearDupPairs(docs, textCol, idCol,
@@ -109,7 +152,8 @@ object Jobs {
       }
 
       // stage 2 — gated: per-source quantile length gate over stage 1
-      if (!stageDone(2L)) {
+      if (!stageDone(2L, "gated")) {
+        abortIfCancelled("start of stage 'gated'")
         graft.core.KillPoint("job.curate.gated.start")
         val filtered = store.table(spark, "survivors")
         val gated = Curation.lengthGate(filtered, textCol, idCol, sourceCol)
@@ -118,7 +162,8 @@ object Jobs {
       }
 
       // stage 3 — curated: temperature mixing to per-source token budgets
-      if (!stageDone(3L)) {
+      if (!stageDone(3L, "curated")) {
+        abortIfCancelled("start of stage 'curated'")
         graft.core.KillPoint("job.curate.curated.start")
         val gatedDocs = store.table(spark, "gated")
         commitStage("curated", 3L,

@@ -1670,6 +1670,33 @@ object SparkEntry {
       rows.toDF("lane", "n_probe", "n_queries", "hits", "recall_nano")
     }),
 
+    // Recall dashboard for the HYPERPLANE-LSH lane — prices the
+    // (nTables, nBits) production knobs the same way sim_recall_eval
+    // prices IVF's nProbe: recall@5 of the hamming-1 bucket probe vs the
+    // exact brute-force truth, per configuration. More tables buy recall
+    // with extra index copies; more bits buy selectivity (smaller
+    // candidate sets) at a recall cost — this lane measures both
+    // directions of the trade. Output is 4 control rows
+    "sim_recall_lsh" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") % 50 === 0)
+      val truth = graft.ops.Caches.track(
+        Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+          .select(col("query_id"), col("neighbor_id")))
+      val nq = q.count()
+      val rows = Seq((1, 8), (2, 8), (4, 8), (2, 12)).map {
+        case (tables, bits) =>
+          val hits = Similarity.lshTopKMd5(e, q, "vec_id", "embedding",
+              dim = 64, k = 5, nBits = bits, nTables = tables)
+            .select(col("query_id"), col("neighbor_id"))
+            .join(truth, Seq("query_id", "neighbor_id")).count()
+          (tables, bits, nq, hits,
+            (BigInt(hits) * BigInt(1000000000L) / (BigInt(nq) * 5)).toLong)
+      }
+      rows.toDF("n_tables", "n_bits", "n_queries", "hits", "recall_nano")
+    }),
+
     // Embedding DRIFT monitor: per-dimension mean shift between two
     // slices (here the even/odd vec_id halves standing in for two corpus
     // snapshots), top dims by absolute shift — integer-micro keys, exact
@@ -2341,6 +2368,26 @@ object SparkEntry {
           w = lit(16L) + pmod(col("n_chars"), lit(640L)),
           h = lit(16L) + pmod(col("n_chars"), lit(480L))))
       Multimodal.demuxMp4(blobs, "doc_id", "blob", stride = 2)
+    }),
+
+    // REAL video-FRAME decode — MJPEG-in-MP4, the composition closing the
+    // demux→decode gap: each doc's payload splits into 64-byte slices,
+    // each slice becomes a real DC-only grayscale JPEG frame, the frames
+    // mux into a real ISO-BMFF movie (stts/stsz/stco), and the decoder
+    // re-locates every frame through the container's OWN sample tables,
+    // fans the frames across tasks through ONE keyed shuffle, and runs
+    // the full baseline-JPEG pipeline per frame. One row per frame with
+    // exact pixel statistics — the oracle re-derives every frame's pixels
+    // from the document text (the DC-only fixture decodes bit-exactly)
+    "mm_decode_video" -> ((s, dir) => {
+      val px = t(s, dir, "documents")
+        .withColumn("__b0", expr("substring(encode(text, 'UTF-8'), 1, 2048)"))
+        .withColumn("__b",
+          expr("substring(__b0, 1, length(__b0) - pmod(length(__b0), 64))"))
+        .filter(length(col("__b")) >= 64)
+      Multimodal.decodeVideoFrames(
+        Multimodal.mjpegBlob(px, "doc_id", "__b", frameBytes = 64,
+          frameMs = 40), "doc_id", "blob")
     }),
 
     // Multimodal PERCEPTUAL-hash dedup: dHash-style gradient fingerprint
@@ -4173,12 +4220,16 @@ object SparkEntry {
           agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
             CAST(coalesce(sum(cost), 0) AS BIGINT) AS phi FROM k),
           cw AS MATERIALIZED (SELECT vec_id,
-            CAST((2::HUGEINT * n * phi * 1000000000)
-              // (64::HUGEINT * (phi + n * cost)) AS BIGINT)
-              AS weight_nano
+            CASE WHEN phi = 0
+              THEN CAST((n::HUGEINT * 1000000000) // 64 AS BIGINT)
+              ELSE CAST((2::HUGEINT * n * phi * 1000000000)
+                // (64::HUGEINT * (phi + n * cost)) AS BIGINT)
+            END AS weight_nano
             FROM k CROSS JOIN agg
-            WHERE $u20::HUGEINT * (2::HUGEINT * n * phi)
-              < 64::HUGEINT * (phi + n * cost) * 1048576)"""
+            WHERE CASE WHEN phi = 0
+              THEN $u20::HUGEINT * n < 64::HUGEINT * 1048576
+              ELSE $u20::HUGEINT * (2::HUGEINT * n * phi)
+                < 64::HUGEINT * (phi + n * cost) * 1048576 END)"""
     }
     // the 4:2:0 oracle, shared verbatim by the sequential and the
     // segment-parallel decode queries (equality is the point)
@@ -5689,6 +5740,79 @@ object SparkEntry {
               UNION ALL SELECT 'ivf', 4, hits FROM hit4
               UNION ALL SELECT 'ivfpq', 3, hits FROM hitPq) CROSS JOIN qs"""
       },
+      // hyperplane-LSH recall replay: per (tables, bits) lane the oracle
+      // re-derives every table's md5 hyperplanes (seed = t·bits — the
+      // lshBucketMd5 convention), buckets the corpus, probes hamming<=1,
+      // ranks the candidates by exact cosine, and counts top-5 hits
+      // against the same brute-force truth as sim_recall_eval
+      "sim_recall_lsh" -> {
+        val cos =
+          """CASE WHEN sqrt(list_dot_product(qe.v, qe.v))
+                 * sqrt(list_dot_product(ne.v, ne.v)) = 0 THEN 0.0
+             ELSE list_dot_product(qe.v, ne.v)
+               / (sqrt(list_dot_product(qe.v, qe.v))
+                  * sqrt(list_dot_product(ne.v, ne.v))) END"""
+        def nib(n: Int) =
+          s"(strpos('0123456789abcdef', substr(h, $n, 1)) - 1)"
+        def lane(l: String, tables: Int, bits: Int) = {
+          val seeds = (0 until tables).map(_ * bits).mkString(", ")
+          s"""hp$l AS (
+                SELECT s, i, list(comp ORDER BY j) AS hl FROM (
+                  SELECT s, i, j,
+                    ((${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)})
+                      % 1001 - 500) / 500.0 AS comp
+                  FROM (SELECT s, i, j, md5('lsh:' || s::VARCHAR || ':' ||
+                          i::VARCHAR || ':' || j::VARCHAR) AS h
+                        FROM (SELECT unnest([$seeds]) AS s) ss
+                        CROSS JOIN range($bits) t(i) CROSS JOIN range(64) u(j))
+                ) GROUP BY s, i),
+              b$l AS (SELECT vec_id, s,
+                  CAST(sum(CASE WHEN proj > 0 THEN (1::BIGINT << i) ELSE 0 END)
+                    AS BIGINT) AS bucket
+                FROM (SELECT e.vec_id, hp.s, hp.i,
+                    list_reduce(list_transform(range(64), j -> e.v[j+1] * hp.hl[j+1]),
+                      (a, b) -> a + b) AS proj
+                  FROM e CROSS JOIN hp$l hp)
+                GROUP BY vec_id, s),
+              cand$l AS (SELECT DISTINCT qb.vec_id AS query_id,
+                  bc.vec_id AS neighbor_id
+                FROM (SELECT * FROM b$l WHERE vec_id % 50 = 0) qb
+                JOIN b$l bc ON qb.s = bc.s AND qb.vec_id <> bc.vec_id
+                  AND bit_count(xor(qb.bucket, bc.bucket)) <= 1),
+              top$l AS (SELECT query_id, neighbor_id FROM (
+                  SELECT c.query_id, c.neighbor_id,
+                    row_number() OVER (PARTITION BY c.query_id
+                      ORDER BY $cos DESC, c.neighbor_id) AS rank
+                  FROM cand$l c JOIN e qe ON qe.vec_id = c.query_id
+                       JOIN e ne ON ne.vec_id = c.neighbor_id)
+                WHERE rank <= 5),
+              hit$l AS (SELECT count(*) AS hits FROM top$l t
+                JOIN truth g ON g.query_id = t.query_id
+                  AND g.neighbor_id = t.neighbor_id)"""
+        }
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            qs AS (SELECT count(*) AS nq FROM e WHERE vec_id % 50 = 0),
+            truth AS (SELECT query_id, neighbor_id FROM (
+              SELECT qe.vec_id AS query_id, ne.vec_id AS neighbor_id,
+                row_number() OVER (PARTITION BY qe.vec_id
+                  ORDER BY $cos DESC, ne.vec_id) AS rank
+              FROM e qe JOIN e ne ON qe.vec_id % 50 = 0
+                AND ne.vec_id <> qe.vec_id)
+              WHERE rank <= 5),
+            ${lane("T1B8", 1, 8)},
+            ${lane("T2B8", 2, 8)},
+            ${lane("T4B8", 4, 8)},
+            ${lane("T2B12", 2, 12)}
+            SELECT CAST(n_tables AS INTEGER) AS n_tables,
+              CAST(n_bits AS INTEGER) AS n_bits,
+              CAST(nq AS BIGINT) AS n_queries,
+              CAST(hits AS BIGINT) AS hits,
+              CAST(hits * 1000000000 // (nq * 5) AS BIGINT) AS recall_nano
+            FROM (SELECT 1 AS n_tables, 8 AS n_bits, hits FROM hitT1B8
+              UNION ALL SELECT 2, 8, hits FROM hitT2B8
+              UNION ALL SELECT 4, 8, hits FROM hitT4B8
+              UNION ALL SELECT 2, 12, hits FROM hitT2B12) CROSS JOIN qs"""
+      },
       // md5-LSH near-dup pairs: 3-bit bucket partition (seed 0), pairs
       // share a bucket, exact cosine >= threshold (unrounded filter, like
       // embed_cos_neardup)
@@ -6270,6 +6394,27 @@ object SparkEntry {
               ns::BIGINT AS n_sampled, (ns * 200)::BIGINT AS sampled_bytes,
               coalesce(list_aggregate(bv, 'sum'), 0)::BIGINT AS sampled_sum,
               coalesce(list_aggregate(bv, 'max'), 0)::BIGINT AS sampled_max
+            FROM v""",
+      // the video round-trip: frame k of a doc is payload slice
+      // [64k, 64(k+1)) — one flat 8×8 block per byte (the mm_decode_jpeg
+      // fixture), so every frame is 8×512 with sum = 64·Σbytes; pts from
+      // the container's single stts run (40 ms)
+      "mm_decode_video" ->
+        raw"""WITH b AS (SELECT doc_id,
+                regexp_extract_all(substr(hex(encode(text)), 1, 4096), '..') AS by
+                FROM documents),
+            s AS (SELECT doc_id, by[1:(len(by) - len(by) % 64)::INT] AS by
+              FROM b WHERE len(by) >= 64),
+            f AS (SELECT doc_id, by, unnest(range(len(by) // 64)) AS k FROM s),
+            v AS (SELECT doc_id, k, by[(64*k+1)::INT] AS tl,
+                list_transform(list_slice(by, (64*k+1)::INT, (64*k+64)::INT),
+                  h -> (strpos('0123456789ABCDEF', substr(h, 1, 1)) - 1) * 16
+                    + strpos('0123456789ABCDEF', substr(h, 2, 1)) - 1) AS bv
+              FROM f)
+            SELECT doc_id, k::INTEGER AS frame_idx, (k * 40)::BIGINT AS pts_ms,
+              8::INTEGER AS width, 512::INTEGER AS height,
+              4096::BIGINT AS n_px, (64 * list_sum(bv))::BIGINT AS sum_px,
+              list_aggregate(bv, 'max')::INTEGER AS max_px, tl AS topleft_hex
             FROM v""",
       "mm_frames" ->
         """SELECT doc_id,

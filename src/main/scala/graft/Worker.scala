@@ -166,7 +166,7 @@ object Worker {
     // from here the lease is HELD: if provider load or Spark startup throws
     // on a non-lease error path, release promptly instead of blocking the
     // single-writer slot for the full keep_alive_timeout
-    try runLeased(args, conf, lease, sparkOverride)
+    try runLeased(args, conf, lease, storeRootEarly, sparkOverride)
     catch {
       case e: Throwable =>
         try lease.release() catch { case _: Throwable => () }
@@ -175,10 +175,10 @@ object Worker {
   }
 
   private def runLeased(args: Args, conf: IniConfig, lease: Lease,
+                        storeRootEarly: String,
                         sparkOverride: Option[SparkSession]): Int = {
     val intervalMs =
       conf.getLongOrElse("qvarnmr", "keep_alive_update_interval", 10L) * 1000L
-    val storeRootEarly = conf.get("store", "root").get
     // named-job mode runs without a handler pipeline; stream mode loads
     // the provider EAGERLY so a bad dotted path still fails fast, before
     // any SparkSession exists
@@ -248,9 +248,14 @@ object Worker {
     try {
       args.job match {
         // named batch job: leased like the stream worker, resumable via
-        // the store's committed batch ids (Jobs.Curate)
+        // the job's committed stage pointer (Jobs.Curate). The lease-lost
+        // flag is threaded in so a stolen lease aborts the job BEFORE its
+        // next manifest swap — mirroring the stream path's stop-on-steal,
+        // instead of letting the job keep committing against a store
+        // another worker now owns.
         case Some(jobName) =>
-          val code = Jobs.run(jobName, spark, conf, store, sources)
+          val code = Jobs.run(jobName, spark, conf, store, sources,
+            cancelled = () => leaseLost)
           if (leaseLost) 1 else code
         case None =>
           val pipeline = pipelineOpt.get

@@ -742,16 +742,22 @@ object Multimodal {
       nFrames: Long, frameMs: Long, nSampled: Long,
       sampledBytes: Long, sampledSum: Long, sampledMax: Int)
 
-  /** REAL frame sampling — the demux layer of the video path: frames are
-    * located through the container's OWN sample tables (`stbl`: `stts`
-    * per-frame duration, `stsz` constant-or-per-sample sizes, `stco`
-    * chunk offset), never by assuming the payload sits at a known offset
-    * or splits at fixed boundaries. Every `stride`-th frame's bytes are
-    * statted; each frame is bounds-checked against the blob. Strict on
-    * the structure it reads (version-0 tables, one chunk), generic on
-    * everything else (walks by size like [[Mp4.parse]]). */
-  def demuxSample(blob: Array[Byte], stride: Int): Mp4Frames = {
-    require(stride >= 1, "stride must be positive")
+  /** The container's declared frame plan: per-frame absolute byte ranges
+    * plus the single-run frame duration — the demux walk shared by the
+    * stats sampler ([[demuxSample]]) and the per-frame video decoder
+    * ([[decodeVideoFrames]]). Every range is bounds-checked against the
+    * blob before it is returned. */
+  final case class FramePlan(frameMs: Long, offsets: Array[Long],
+                             sizes: Array[Long])
+
+  /** Walk the MP4 sample tables (`stbl`: `stts` per-frame duration,
+    * `stsz` constant-or-per-sample sizes, `stco` chunk offset) and return
+    * the frame plan — frames are located through the container's OWN
+    * tables, never by assuming the payload sits at a known offset or
+    * splits at fixed boundaries. Strict on the structure it reads
+    * (version-0 tables, one chunk), generic on everything else (walks by
+    * size like [[Mp4.parse]]). */
+  def framePlan(blob: Array[Byte]): FramePlan = {
     def u32(o: Long): Long = {
       val i = o.toInt
       (blob(i) & 0xffL) << 24 | (blob(i + 1) & 0xffL) << 16 |
@@ -815,25 +821,41 @@ object Multimodal {
     require(nFrames >= 0 && chunkOff >= 0 && frameMs >= 0,
       "missing stbl sample tables (stts/stsz/stco)")
 
+    val offs = new Array[Long](nFrames.toInt)
+    val szs = new Array[Long](nFrames.toInt)
     var i = 0
     var off = chunkOff
-    var n = 0L; var bytes = 0L; var sum = 0L; var mx = 0
     while (i < nFrames) {
       val sz = if (constSize > 0) constSize else sizes(i)
       require(off + sz <= total, s"frame $i overruns the blob")
+      offs(i) = off; szs(i) = sz
+      off += sz
+      i += 1
+    }
+    FramePlan(frameMs, offs, szs)
+  }
+
+  /** REAL frame sampling — the stats layer over [[framePlan]]: every
+    * `stride`-th declared frame's byte statistics. */
+  def demuxSample(blob: Array[Byte], stride: Int): Mp4Frames = {
+    require(stride >= 1, "stride must be positive")
+    val plan = framePlan(blob)
+    var i = 0
+    var n = 0L; var bytes = 0L; var sum = 0L; var mx = 0
+    while (i < plan.offsets.length) {
       if (i % stride == 0) {
         n += 1
-        var j = off
-        while (j < off + sz) {
+        var j = plan.offsets(i)
+        val end = plan.offsets(i) + plan.sizes(i)
+        while (j < end) {
           val v = blob(j.toInt) & 0xff
           bytes += 1; sum += v; if (v > mx) mx = v
           j += 1
         }
       }
-      off += sz
       i += 1
     }
-    Mp4Frames(nFrames, frameMs, n, bytes, sum, mx)
+    Mp4Frames(plan.offsets.length.toLong, plan.frameMs, n, bytes, sum, mx)
   }
 
   /** Batched real demux: (id, n_frames, frame_ms, n_sampled,
@@ -851,6 +873,107 @@ object Multimodal {
       })
       .toDF(idCol, "n_frames", "frame_ms", "n_sampled", "sampled_bytes",
         "sampled_sum", "sampled_max")
+  }
+
+  /** Mux pre-encoded video frames (MJPEG: each sample is a whole baseline
+    * JPEG) into a minimal REAL ISO-BMFF movie: `ftyp` + `moov` whose
+    * nested `trak`→`mdia`→`minf`→`stbl` declares exactly the frame plan —
+    * `stts` one run at `frameMs` per frame, per-sample `stsz` (entropy-
+    * coded frames vary in size), `stco` one chunk at the mdat payload's
+    * ABSOLUTE offset — then `mdat` with the concatenated frames. The
+    * product round-trips through [[framePlan]]/[[demuxSample]] by
+    * construction (reference qvarn-mr has no media code; the container
+    * layout is the public ISO/IEC 14496-12 box grammar). */
+  def muxMjpeg(frames: Seq[Array[Byte]], frameMs: Int): Array[Byte] = {
+    require(frames.nonEmpty && frameMs >= 1, "need >=1 frame and a duration")
+    def be32(v: Long): Array[Byte] = Array(
+      (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def box(tag: String, body: Array[Byte]*): Array[Byte] = {
+      val n = 8L + body.map(_.length.toLong).sum
+      val out = new java.io.ByteArrayOutputStream(n.toInt)
+      out.write(be32(n))
+      out.write(tag.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      body.foreach(out.write)
+      out.toByteArray
+    }
+    val n = frames.length.toLong
+    val verFlags = Array[Byte](0, 0, 0, 0)
+    val stts = box("stts", verFlags, be32(1L), be32(n), be32(frameMs.toLong))
+    val stsz = box("stsz", verFlags, be32(0L), be32(n),
+      frames.toArray.flatMap(f => be32(f.length.toLong)))
+    // stco's chunk offset is absolute in the FILE — computed from the
+    // sizes of everything that precedes the mdat payload; stco itself is
+    // fixed-size, so the layout solves in one pass
+    val stcoLen = 8 + 4 + 8
+    def wrap(inner: Array[Byte], tags: String*): Array[Byte] =
+      tags.foldLeft(inner)((acc, t) => box(t, acc))
+    val ftyp = box("ftyp",
+      "isom".getBytes(java.nio.charset.StandardCharsets.US_ASCII), be32(0L))
+    val moovLen = 8 + (8 * 4) + stts.length + stsz.length + stcoLen
+    val chunkOff = ftyp.length.toLong + moovLen + 8L
+    val stco = box("stco", verFlags, be32(1L), be32(chunkOff))
+    val moov = wrap(stts ++ stsz ++ stco,
+      "stbl", "minf", "mdia", "trak", "moov")
+    assert(moov.length == moovLen, s"moov layout drifted: ${moov.length}")
+    val mdat = box("mdat", frames.toArray.flatten)
+    ftyp ++ moov ++ mdat
+  }
+
+  /** Wrap payload bytes into an MJPEG-in-MP4 movie: consecutive
+    * `frameBytes`-byte payload slices each become one DC-only grayscale
+    * JPEG frame ([[Jpeg.encodeGray]]), muxed by [[muxMjpeg]]. Payload
+    * length must be a positive multiple of `frameBytes`; callers
+    * truncate. Same `mapPartitions` seam as [[jpegBlob]]. */
+  def mjpegBlob(df: DataFrame, idCol: String, payloadCol: String,
+                frameBytes: Int, frameMs: Int): DataFrame = {
+    require(frameBytes >= 1, "frameBytes must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    graft.ops.Par.ensure(df.select(col(idCol).cast("long"), col(payloadCol)))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) =>
+        require(p.nonEmpty && p.length % frameBytes == 0,
+          s"payload must be a positive multiple of $frameBytes bytes")
+        val frames = p.grouped(frameBytes).map(Jpeg.encodeGray(_)).toSeq
+        (id, muxMjpeg(frames, frameMs))
+      })
+      .toDF(idCol, "blob")
+  }
+
+  /** REAL video-FRAME decode — the composition the demux and image sides
+    * meet at: the container's own sample tables locate each frame
+    * ([[framePlan]], a header-only planning pass), the frames fan out
+    * across tasks through ONE keyed shuffle, and every frame runs the
+    * full baseline-JPEG pipeline ([[Jpeg.parse]]: canonical Huffman, DC
+    * prediction, dequant, IDCT). Output is one row per frame with exact
+    * integer pixel statistics — at 100 TB a two-hour video decodes
+    * cluster-wide instead of serializing on the task that read the blob
+    * (the same argument as [[decodeJpegColorParallel]], one level up). */
+  def decodeVideoFrames(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // planning pass: stbl walk + frame slicing only — no entropy work
+    // (no Par.ensure guard: the keyed repartition below is the spread)
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, blob) =>
+        val plan = framePlan(blob)
+        plan.offsets.indices.map { i =>
+          (id, i, i * plan.frameMs, java.util.Arrays.copyOfRange(blob,
+            plan.offsets(i).toInt, (plan.offsets(i) + plan.sizes(i)).toInt))
+        }
+      }
+      .toDF(idCol, "frame_idx", "pts_ms", "frame")
+      // each (video, frame) to its own task — the one real shuffle
+      .repartition(col(idCol), col("frame_idx"))
+      .as[(Long, Int, Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, idx, pts, fb) =>
+        val j = Jpeg.parse(fb)
+        (id, idx, pts, j.width, j.height, j.nPixels, j.sumPx, j.maxPx,
+          j.topLeftHex)
+      })
+      .toDF(idCol, "frame_idx", "pts_ms", "width", "height", "n_px",
+        "sum_px", "max_px", "topleft_hex")
   }
 
   /** Batched MP4 decode: (id, brand, n_boxes, timescale, duration,

@@ -69,12 +69,21 @@ class KmeansParSpec extends AnyFunSuite with SparkTestBase {
       val near = cw.filter(_._1 < 39L).values.head
       assert(cw(39L) < near, s"outlier weight ${cw(39L)} !< near $near")
     }
-    // degenerate corpus (φ=0): uniform draw, exactly n/m weight each
+    // degenerate corpus (φ=0): uniform draw, exactly n/m weight each,
+    // and the keep set replays the EXACT md5 rule the DuckDB oracle
+    // mirrors (u20('coreset:'||id) · n < m · 2²⁰) — the two engines'
+    // φ=0 branches must pick the same rows
     val flat = (0L until 50L).map(i => (i, Seq.fill(64)(1.0f)))
       .toDF("vec_id", "embedding")
     val fw = KmeansPar.lightweightCoreset(flat, "vec_id", "embedding", m = 10)
       .as[(Long, Long)].collect()
     assert(fw.nonEmpty && fw.forall(_._2 == 50L * 1000000000L / 10L))
+    def u20(id: Long): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"coreset:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(5), 16)
+    val expect = (0L until 50L).filter(i => u20(i) * 50L < 10L * (1L << 20))
+    assert(fw.map(_._1).sorted.toSeq == expect)
   }
 
   test("coreset-trained k-means recovers separated modes from the sample") {

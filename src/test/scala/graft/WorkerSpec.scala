@@ -197,6 +197,63 @@ class WorkerSpec extends AnyFunSuite with SparkTestBase {
     assert(curatedRows(storeRoot) == want)
   }
 
+  test("a lost lease aborts the curate job before its next commit") {
+    val storeRoot = Files.createTempDirectory("graft_jobsteal").toString
+    val ini = jobIni(storeRoot)
+    val conf = IniConfig.read(Paths.get(ini))
+    val store = new BucketedStateStore(storeRoot, 8)
+    val sources: graft.incr.IncrementalRun.Sources =
+      _ => spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // the lease is stolen while stage 1 is committing: stage 1's swap
+    // completes (it was already past the check), but the job must stop
+    // BEFORE stage 2 commits anything — no concurrent-writer window
+    @volatile var stolen = false
+    graft.core.KillPoint.hook =
+      s => if (s == "job.curate.survivors.committed") stolen = true
+    val code =
+      try Jobs.run("curate", spark, conf, store, sources, () => stolen)
+      finally graft.core.KillPoint.hook = _ => ()
+    assert(code == 1)
+    val after = new BucketedStateStore(storeRoot, 8)
+    assert(Jobs.progressLines(after) == Seq(
+      s"curate/survivors: done (rows=${
+        after.meta("job.curate.survivors.rows").get})",
+      "curate/gated: pending", "curate/curated: pending"))
+    assert(!after.tableNames.contains("gated"),
+      "a post-steal stage must never commit")
+    // a cancellation visible BEFORE any commit leaves the store untouched
+    val freshRoot = Files.createTempDirectory("graft_jobsteal2").toString
+    val fresh = new BucketedStateStore(freshRoot, 8)
+    assert(Jobs.run("curate", spark,
+      IniConfig.read(Paths.get(jobIni(freshRoot))), fresh, sources,
+      () => true) == 1)
+    assert(new BucketedStateStore(freshRoot, 8).isEmpty)
+  }
+
+  test("job progress is job-scoped: foreign commits don't fake 'done'") {
+    val storeRoot = Files.createTempDirectory("graft_jobforeign").toString
+    val ini = jobIni(storeRoot)
+    // a store that already carries THREE commits from another workload
+    // (committedBatch >= 3) — keyed on the bare batch counter this would
+    // silently skip every stage and report 'done' with no curated table
+    val pre = new BucketedStateStore(storeRoot, 8)
+    val other = Seq(("x", 1L)).toDF("id", "n")
+    (1L to 3L).foreach { b =>
+      pre.stageBuckets("other", (0 until 8).toSet, other, b, "id")
+      pre.commit(b)
+    }
+    assert(Jobs.progressLines(new BucketedStateStore(storeRoot, 8)) ==
+      Seq("curate/survivors: pending", "curate/gated: pending",
+        "curate/curated: pending"))
+    assert(Worker.run(Seq("--job", "curate", "-c", ini), Some(spark)) == 0)
+    val store = new BucketedStateStore(storeRoot, 8)
+    assert(Jobs.progressLines(store).forall(_.contains("done (rows=")))
+    assert(curatedRows(storeRoot).nonEmpty,
+      "the job must actually run on a pre-populated store")
+    assert(store.table(spark, "other").count() == 1L,
+      "the foreign table must survive the job's commits")
+  }
+
   test("startup failure after lease acquisition releases the lease promptly") {
     val (srcDir, _, storeRoot, ini) = setupDirs()
     Seq(("a", "k1", 1.0)).toDF("id", "k", "v").write.parquet(srcDir)
