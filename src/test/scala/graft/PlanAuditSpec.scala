@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The recorded plan-audit lane's regression pins: each of the most
+  * expensive batch queries has its final-adapted-plan exchange count
+  * asserted, so a plan regression — a new shuffle, a broadcast→SMJ flip,
+  * a lost reuse — fails a test instead of hiding inside bench jitter.
+  * Counts are pinned at sf0.001 on the shared test session; if a
+  * deliberate plan change moves one, the pin (and PLAN_AUDIT_r{N}.txt)
+  * moves with it in the same commit. */
+class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
+
+  /** query -> expected exchange count in the FINAL adapted plan
+    * (includes ReusedExchange — any move in either direction is a plan
+    * change worth reviewing). */
+  private val pins: Seq[(String, Int)] = Seq(
+    "curriculum_order" -> 2,
+    "incr_snapshot_diff" -> 2,
+    "pipeline_curate" -> 3,
+    "incr_schema_evolve" -> 0,
+    "mm_decode_mp4" -> 1,
+    "mm_decode_jpeg_parallel" -> 3,
+    "incr_time_travel" -> 0,
+    "mm_decode_jpeg_color" -> 2,
+    "search_hybrid_rrf" -> 10,
+    "mm_decode_video" -> 2,
+    "dedup_minhash_incr" -> 4,
+    "sim_recall_lsh" -> 0) // dashboard: control rows, work in the counts
+
+  for ((name, want) <- pins) {
+    test(s"exchange count pinned: $name = $want") {
+      val (plan, got) = PlanAudit.audit(spark, "/root/testdata/sf0.001", name)
+      assert(got == want,
+        s"$name exchange count moved $want -> $got; if deliberate, " +
+          s"re-record PLAN_AUDIT and move this pin. Plan:\n${plan.take(4000)}")
+      graft.ops.Caches.release()
+      spark.catalog.clearCache()
+      org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+      spark.streams.resetTerminated()
+    }
+  }
+}
