@@ -39,15 +39,20 @@ object Jobs {
   def run(name: String, spark: SparkSession, conf: IniConfig,
           store: BucketedStateStore,
           sources: graft.incr.IncrementalRun.Sources,
-          cancelled: () => Boolean = () => false): Int = name match {
-    case "curate" =>
-      try { Curate.run(spark, conf, store, sources, cancelled); 0 }
-      catch {
-        case AbortedException(msg) => System.err.println(msg); 1
-      }
-    case other =>
-      System.err.println(s"unknown job '$other' (known: curate)")
-      1
+          cancelled: () => Boolean = () => false): Int = {
+    def guarded(body: => Unit): Int =
+      try { body; 0 }
+      catch { case AbortedException(msg) => System.err.println(msg); 1 }
+    name match {
+      case "curate" => guarded(Curate.run(spark, conf, store, sources, cancelled))
+      case "index-build" => guarded(IndexJobs.build(spark, conf, sources, cancelled))
+      case "index-update" => guarded(IndexJobs.update(spark, conf, sources, cancelled))
+      case "compact" => guarded(IndexJobs.compact(spark, conf, cancelled))
+      case other =>
+        System.err.println(
+          s"unknown job '$other' (known: curate, index-build, index-update, compact)")
+        1
+    }
   }
 
   /** Committed stage pointer for a named job — how many of its stages
@@ -69,6 +74,108 @@ object Jobs {
           s"done (rows=${store.meta(s"job.curate.$stage.rows").getOrElse("?")})"
         else "pending"
       s"curate/$stage: $status"
+    }
+  }
+
+  /** Operational surface for the log-structured near-dup index — the
+    * maintenance story the reference's worker gives resync, for OUR
+    * index: a leased `--job index-build` (cold build / explicit rebuild,
+    * the resync analogue), `--job index-update` (apply one change slice
+    * at the next generation — redelivery-idempotent through the index's
+    * own committed-gen pointer), and `--job compact` (fold the log,
+    * single-writer by the SAME lease the worker already holds — exactly
+    * the writer-exclusion compact's contract demands).
+    *
+    * {{{
+    * [job:index]
+    * dir = /data/lsh-index   ; required — the index directory
+    * input = documents       ; [sources] name of the corpus (build)
+    * updates = doc_updates   ; [sources] name of the upsert slice (update)
+    * deletes = doc_deletes   ; optional [sources] name of id-only deletes
+    * id_col = doc_id
+    * text_col = text
+    * threshold = 0.8
+    * num_hashes = 32
+    * bands = 8
+    * shingle_n = 3
+    * partitions = 64
+    * gen = 3                 ; optional explicit generation for update
+    * }}} */
+  object IndexJobs {
+    private val Sec = "job:index"
+
+    private def index(conf: IniConfig): graft.dedup.LshIndex.Index = {
+      val dir = conf.get(Sec, "dir").getOrElse(
+        throw new IllegalArgumentException(s"[$Sec] dir is required"))
+      graft.dedup.LshIndex.Index(dir,
+        threshold = conf.get(Sec, "threshold").map(_.toDouble).getOrElse(0.8),
+        numHashes = conf.getLongOrElse(Sec, "num_hashes", 32L).toInt,
+        bands = conf.getLongOrElse(Sec, "bands", 8L).toInt,
+        shingleN = conf.getLongOrElse(Sec, "shingle_n", 3L).toInt,
+        nPartitions = conf.getLongOrElse(Sec, "partitions", 64L).toInt)
+    }
+    private def committed(idx: graft.dedup.LshIndex.Index): Long =
+      graft.core.GenPointer.committed(idx.dir)
+    private def isBuilt(idx: graft.dedup.LshIndex.Index): Boolean =
+      committed(idx) != Long.MaxValue
+    private def abortIfCancelled(cancelled: () => Boolean, at: String): Unit =
+      if (cancelled()) throw AbortedException(
+        s"lease lost; aborting index job at $at")
+
+    /** Cold build (generation 0). A re-run against an already-built index
+      * is a NO-OP — rebuild is an explicit operator decision (delete the
+      * dir or point at a new one), not an accidental re-invocation. */
+    def build(spark: SparkSession, conf: IniConfig,
+              sources: graft.incr.IncrementalRun.Sources,
+              cancelled: () => Boolean): Unit = {
+      val idx = index(conf)
+      if (isBuilt(idx)) {
+        println(s"index-build: ${idx.dir} already built " +
+          s"(committed gen ${committed(idx)}); no-op")
+        return
+      }
+      abortIfCancelled(cancelled, "build start")
+      val docs = sources(conf.getOrElse(Sec, "input", "documents"))
+      graft.dedup.LshIndex.build(docs,
+        conf.getOrElse(Sec, "text_col", "text"),
+        conf.getOrElse(Sec, "id_col", "doc_id"),
+        idx.dir, idx.threshold, idx.numHashes, idx.bands, idx.shingleN,
+        idx.nPartitions)
+      println(s"index-build: ${idx.dir} built at gen 0")
+    }
+
+    /** Apply one change slice at the next generation (or an explicit
+      * `gen` from config — the redelivery-safe form: a committed gen is
+      * skipped by the index's own pointer). */
+    def update(spark: SparkSession, conf: IniConfig,
+               sources: graft.incr.IncrementalRun.Sources,
+               cancelled: () => Boolean): Unit = {
+      val idx = index(conf)
+      require(isBuilt(idx), s"index-update: no built index at ${idx.dir} " +
+        "(run --job index-build first)")
+      val idCol = conf.getOrElse(Sec, "id_col", "doc_id")
+      val upserts = sources(conf.get(Sec, "updates").getOrElse(
+        throw new IllegalArgumentException(s"[$Sec] updates is required")))
+      val deletes = conf.get(Sec, "deletes").map(sources)
+        .getOrElse(upserts.limit(0))
+      val gen = conf.getLongOrElse(Sec, "gen", committed(idx) + 1L)
+      abortIfCancelled(cancelled, s"update gen $gen")
+      graft.dedup.LshIndex.applyBatch(idx, upserts,
+        conf.getOrElse(Sec, "text_col", "text"), idCol,
+        deletes.select(org.apache.spark.sql.functions.col(idCol)), gen)
+      println(s"index-update: ${idx.dir} committed gen ${committed(idx)}")
+    }
+
+    /** Fold the log: keep only live rows, clear tombstones. Crash-healed
+      * internally (DirSwap); safe to re-run. The worker's lease provides
+      * the single-writer exclusion compaction requires. */
+    def compact(spark: SparkSession, conf: IniConfig,
+                cancelled: () => Boolean): Unit = {
+      val idx = index(conf)
+      require(isBuilt(idx), s"compact: no built index at ${idx.dir}")
+      abortIfCancelled(cancelled, "compact start")
+      graft.dedup.LshIndex.compact(spark, idx)
+      println(s"compact: ${idx.dir} folded to gen ${committed(idx)}")
     }
   }
 

@@ -283,7 +283,14 @@ object Worker {
           if (leaseLost) 1 else 0
       }
     } finally {
+      // stop the heartbeat BEFORE releasing: a tick in flight (or one
+      // more after a sleep) would otherwise re-create the lease file
+      // AFTER release and squat the single-writer slot for the full
+      // keep_alive_timeout — the next worker would see a live foreign
+      // lease from a process that already exited
       running = false
+      heartbeat.interrupt()
+      try heartbeat.join(10000L) catch { case _: InterruptedException => () }
       if (!leaseLost) lease.release()
     }
   }

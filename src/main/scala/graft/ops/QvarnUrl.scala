@@ -38,6 +38,22 @@ object QvarnUrl {
   private val Operators = Set(
     "exact", "gt", "ge", "lt", "le", "ne", "startswith", "contains")
 
+  /** The `/version` metadata resource (`get_version`,
+    * clients/qvarn.py:144-146): one row in the exact nested shape the
+    * vendored server serves from `GET /version` (qvarn-backend:30-39) —
+    * `api.version` is the Qvarn API level this engine's query surface
+    * mirrors; `implementation` names this library. */
+  val ApiVersion = "0.82"
+  val ImplementationName = "graft"
+  val ImplementationVersion = "0.1.0"
+  def getVersion(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    spark.range(1).select(
+      struct(lit(ApiVersion).as("version")).as("api"),
+      struct(lit(ImplementationName).as("name"),
+        lit(ImplementationVersion).as("version")).as("implementation"))
+  }
+
   /** Percent-decode one path token. Deliberately NOT `java.net.URLDecoder`:
     * the query-string convention decodes `+` as space, but the path
     * convention (python `urllib.parse.unquote`, used by the server at

@@ -218,4 +218,16 @@ class QvarnUrlSpec extends AnyFunSuite with SparkTestBase {
     val many = QvarnSearch(withBlob).gt("age", 20).blob("avatar")
     assert(many.count() == 3 && many.columns.toSeq == Seq("id", "blob_hex"))
   }
+
+  test("get_version: one row in the vendored server's /version shape") {
+    // get_version (clients/qvarn.py:144-146) fetches GET /version — the
+    // server answers {api:{version}, implementation:{name, version}}
+    // (qvarn-backend:30-39); the engine's metadata probe mirrors it
+    val v = QvarnUrl.getVersion(spark)
+    assert(v.count() == 1)
+    assert(v.columns.toSeq == Seq("api", "implementation"))
+    val row = v.selectExpr("api.version", "implementation.name",
+      "implementation.version").as[(String, String, String)].head()
+    assert(row == (QvarnUrl.ApiVersion, "graft", QvarnUrl.ImplementationVersion))
+  }
 }

@@ -254,6 +254,72 @@ class WorkerSpec extends AnyFunSuite with SparkTestBase {
       "the foreign table must survive the job's commits")
   }
 
+  test("index jobs: build → update → compact end-to-end through the CLI") {
+    import graft.dedup.LshIndex
+    val base = Files.createTempDirectory("graft_idxjob").toString
+    val idxDir = s"$base/lsh"
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      .write.parquet(s"$base/init.parquet")
+    docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+      .write.parquet(s"$base/updates.parquet")
+    val ini = s"$base/index.ini"
+    Files.writeString(Paths.get(ini),
+      s"""[store]
+         |root = $base/store
+         |buckets = 8
+         |[sources]
+         |documents = $base/init.parquet
+         |doc_updates = $base/updates.parquet
+         |[job:index]
+         |dir = $idxDir
+         |updates = doc_updates
+         |[qvarnmr]
+         |instance = spec-index-worker
+         |keep_alive_timeout = 60
+         |""".stripMargin)
+
+    // build (gen 0), then update (gen 1) — both leased CLI invocations
+    assert(Worker.run(Seq("--job", "index-build", "-c", ini), Some(spark)) == 0)
+    assert(graft.core.GenPointer.committed(idxDir) == 0L)
+    assert(Worker.run(Seq("--job", "index-update", "-c", ini), Some(spark)) == 0)
+    assert(graft.core.GenPointer.committed(idxDir) == 1L)
+    assert(!Files.exists(Paths.get(s"$base/store", "_lease")), "lease released")
+
+    // the CLI-built index answers probes exactly like the API-built one
+    val idx = LshIndex.Index(idxDir, threshold = 0.8, numHashes = 32,
+      bands = 8, shingleN = 3, nPartitions = 64)
+    val batch = spark.read.parquet(s"$base/updates.parquet")
+    def probe() = LshIndex.pairsFor(idx, batch, "text", "doc_id")
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    val before = probe()
+    val apiIdx = LshIndex.build(spark.read.parquet(s"$base/init.parquet"),
+      "text", "doc_id", s"$base/lsh_api", threshold = 0.8)
+    LshIndex.applyBatch(apiIdx, batch, "text", "doc_id",
+      Seq.empty[Long].toDF("doc_id"), gen = 1L)
+    val apiPairs = LshIndex.pairsFor(apiIdx, batch, "text", "doc_id")
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    assert(before == apiPairs && before.nonEmpty)
+
+    // compact through the CLI: probes identical, tombstones cleared
+    assert(Worker.run(Seq("--job", "compact", "-c", ini), Some(spark)) == 0)
+    assert(probe() == before)
+    assert(!Files.exists(Paths.get(idx.tombstoneDir)))
+
+    // a re-run of index-build against a built index is a NO-OP
+    assert(Worker.run(Seq("--job", "index-build", "-c", ini), Some(spark)) == 0)
+    assert(graft.core.GenPointer.committed(idxDir) == 1L,
+      "an accidental re-build must not reset the index")
+    assert(probe() == before)
+
+    // a foreign live lease blocks index jobs like any worker run
+    val foreign = new Lease(Paths.get(s"$base/store", "_lease"),
+      "other-worker", 60000L)
+    foreign.keepAlive()
+    assert(Worker.run(Seq("--job", "compact", "-c", ini), Some(spark)) == 1)
+  }
+
   test("startup failure after lease acquisition releases the lease promptly") {
     val (srcDir, _, storeRoot, ini) = setupDirs()
     Seq(("a", "k1", 1.0)).toDF("id", "k", "v").write.parquet(srcDir)
