@@ -2220,6 +2220,61 @@ object SparkEntry {
         Multimodal.pngBlob(px, "doc_id", "__px", width = 5), "doc_id", "blob")
     }),
 
+    // REAL Adam7-INTERLACED PNG decode — the progressive-rendering layout
+    // a real crawl contains: the SAME pixels as mm_decode_png but stored
+    // as seven independently-filtered pass sub-images on the spec grid,
+    // so the decoder must walk a genuinely different scanline geometry
+    // (per-pass filter resets, pass-dependent row lengths, empty passes
+    // contributing nothing). The oracle is pixel-set identical to the
+    // sequential query's — interlacing changes storage, not pixels —
+    // which is exactly what makes the equality a decode proof
+    "mm_decode_png_interlaced" -> ((s, dir) => {
+      val px = t(s, dir, "documents")
+        .withColumn("__b", encode(col("text"), "UTF-8"))
+        .withColumn("__px",
+          expr("substring(__b, 1, length(__b) - pmod(length(__b), 15))"))
+        .filter(length(col("__px")) >= 15)
+      Multimodal.decodePng(
+        Multimodal.pngInterlacedBlob(px, "doc_id", "__px", width = 5),
+        "doc_id", "blob")
+    }),
+
+    // No-decode FORMAT SURVEY over a DECLARED mix — the production
+    // pre-pass that measures the decode seam's reject rate before
+    // spending decode cycles: blobs are classified structurally (JPEG SOF
+    // kind, PNG IHDR depth/interlace, container magics) and counted by
+    // (format, decodable). The mix covers both accepted classes (baseline
+    // JPEG gray + 4:2:0, sequential + Adam7 PNG) and the two named
+    // rejection classes a crawl actually contains (progressive JPEG,
+    // 16-bit PNG); the oracle re-derives every count from doc_id alone
+    "mm_format_survey" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("__b0", expr("substring(encode(text, 'UTF-8'), 1, 2048)"))
+        .withColumn("__k", pmod(col("doc_id"), lit(6L)))
+      def slice(k: Int) = docs.filter(col("__k") === k)
+      val gray = Multimodal.jpegBlob(
+        slice(0).filter(length(col("__b0")) >= 1), "doc_id", "__b0")
+      val j420 = Multimodal.jpeg420Blob(slice(1)
+        .withColumn("__b",
+          expr("substring(__b0, 1, length(__b0) - pmod(length(__b0), 4))"))
+        .filter(length(col("__b")) >= 4), "doc_id", "__b", restartEvery = 3)
+      def pngPx(k: Int) = slice(k)
+        .withColumn("__px",
+          expr("substring(__b0, 1, length(__b0) - pmod(length(__b0), 15))"))
+        .filter(length(col("__px")) >= 15)
+      val png = Multimodal.pngBlob(pngPx(2), "doc_id", "__px", width = 5)
+      val adam = Multimodal.pngInterlacedBlob(pngPx(3), "doc_id", "__px", width = 5)
+      val prog = slice(4).select(col("doc_id"),
+        lit(Multimodal.ProgressiveJpegStub).as("blob"))
+      val p16 = slice(5).select(col("doc_id"),
+        lit(Multimodal.Png16Stub).as("blob"))
+      val mix = Seq(gray, j420, png, adam, prog, p16)
+        .map(_.select(col("doc_id"), col("blob"))).reduce(_.unionByName(_))
+      Multimodal.formatSurvey(mix, "doc_id", "blob")
+        .groupBy(col("format"), col("decodable"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // REAL palette-PNG decode (color type 3) — the layout of most web
     // graphics: payload bytes become palette INDICES into a deterministic
     // 256-entry PLTE the oracle re-derives arithmetically; the decoder
@@ -6188,6 +6243,52 @@ object SparkEntry {
               by[1] || by[2] || by[3] AS topleft_hex
             FROM p"""
       },
+      // Adam7 round-trip: SAME pixel set as the sequential PNG — the
+      // oracle re-derives the identical stats; only the decoder's walk
+      // (seven pass sub-images) differs, which is the proof
+      "mm_decode_png_interlaced" -> {
+        def bv(idx: String) =
+          s"((strpos('0123456789ABCDEF', substr(by[($idx)::INT], 1, 1)) - 1) * 16" +
+            s" + strpos('0123456789ABCDEF', substr(by[($idx)::INT], 2, 1)) - 1)"
+        raw"""WITH b AS (SELECT doc_id,
+                regexp_extract_all(hex(encode(text)), '..') AS by,
+                octet_length(encode(text)) AS nb FROM documents),
+            s AS (SELECT doc_id, by, (nb - nb % 15) // 15 AS h,
+                (nb - nb % 15) // 3 AS np FROM b WHERE nb >= 15),
+            p AS (SELECT doc_id, by, h, np, list_transform(range(np), p ->
+                [${bv("3*p+1")}, ${bv("3*p+2")}, ${bv("3*p+3")}]) AS px FROM s)
+            SELECT doc_id,
+              CAST(5 AS INTEGER) AS width,
+              CAST(h AS INTEGER) AS height,
+              CAST(np AS BIGINT) AS n_px,
+              CAST(list_sum(list_transform(px, q -> q[1])) AS BIGINT) AS sum_r,
+              CAST(list_sum(list_transform(px, q -> q[2])) AS BIGINT) AS sum_g,
+              CAST(list_sum(list_transform(px, q -> q[3])) AS BIGINT) AS sum_b,
+              CAST(list_aggregate(list_transform(px,
+                q -> q[1] + q[2] + q[3]), 'max') AS BIGINT) AS max_px,
+              by[1] || by[2] || by[3] AS topleft_hex
+            FROM p"""
+      },
+      // the survey counts re-derived from doc_id alone: each mix slice's
+      // own length gate decides membership, the format label is a pure
+      // function of the slice
+      "mm_format_survey" ->
+        raw"""WITH d AS (SELECT doc_id,
+                least(octet_length(encode(text)), 2048) AS nb,
+                doc_id % 6 AS k FROM documents),
+            c AS (SELECT doc_id,
+                CASE k
+                  WHEN 0 THEN CASE WHEN nb >= 1 THEN 'jpeg_baseline' END
+                  WHEN 1 THEN CASE WHEN nb - nb % 4 >= 4 THEN 'jpeg_baseline' END
+                  WHEN 2 THEN CASE WHEN nb - nb % 15 >= 15 THEN 'png8' END
+                  WHEN 3 THEN CASE WHEN nb - nb % 15 >= 15 THEN 'png8' END
+                  WHEN 4 THEN 'jpeg_progressive'
+                  WHEN 5 THEN 'png16'
+                END AS format,
+                k IN (0, 1, 2, 3) AS decodable
+              FROM d)
+            SELECT format, decodable, count(*) AS n FROM c
+            WHERE format IS NOT NULL GROUP BY 1, 2""",
       // palette round-trip: payload byte i is an index into the fixture
       // palette (i, (7i+13)%256, (31i+101)%256) — pure arithmetic
       "mm_decode_png_palette" -> {

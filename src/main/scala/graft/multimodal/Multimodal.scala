@@ -343,6 +343,21 @@ object Multimodal {
       .toDF(idCol, "blob")
   }
 
+  /** [[pngBlob]]'s Adam7-INTERLACED twin ([[Png.encodeInterlaced]]):
+    * same pixels, genuinely different scanline layout — seven
+    * independently-filtered pass sub-images. */
+  def pngInterlacedBlob(df: DataFrame, idCol: String, rgbCol: String,
+                        width: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    graft.ops.Par.ensure(df.select(col(idCol).cast("long"), col(rgbCol)))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, rgb) =>
+        (id, Png.encodeInterlaced(rgb, width))
+      })
+      .toDF(idCol, "blob")
+  }
+
   /** Batched REAL PNG decode: inflate + unfilter + exact integer channel
     * statistics per blob — (id, width, height, n_px, sum_r, sum_g, sum_b,
     * max_px, topleft_hex). PNG stores rows top-down, so topleft_hex is the
@@ -974,6 +989,95 @@ object Multimodal {
       })
       .toDF(idCol, "frame_idx", "pts_ms", "width", "height", "n_px",
         "sum_px", "max_px", "topleft_hex")
+  }
+
+  /** A minimal PROGRESSIVE JPEG header (SOI + SOF2 + EOI) — the seam's
+    * rejection fixture: classification reads only the marker kind. */
+  val ProgressiveJpegStub: Array[Byte] = Array(
+    0xff, 0xd8, 0xff, 0xc2, 0x00, 0x0b, 8, 0, 8, 0, 8, 1, 1, 0x11, 0,
+    0xff, 0xd9).map(_.toByte)
+
+  /** A minimal 16-BIT-DEPTH PNG header (signature + depth-16 IHDR with a
+    * correct CRC) — the other named rejection class. */
+  val Png16Stub: Array[Byte] = {
+    val ihdr = Array[Byte](0, 0, 0, 8, 0, 0, 0, 8, 16, 2, 0, 0, 0)
+    val crc = new java.util.zip.CRC32
+    crc.update("IHDR".getBytes("US-ASCII")); crc.update(ihdr)
+    def be(v: Long) = Array((v >>> 24).toByte, (v >>> 16).toByte,
+      (v >>> 8).toByte, v.toByte)
+    Png.Signature ++ be(13L) ++ "IHDR".getBytes("US-ASCII") ++ ihdr ++
+      be(crc.getValue)
+  }
+
+  /** Cheap STRUCTURAL classification of one media blob — magic bytes plus
+    * the header fields that determine decodability, zero decode work:
+    * JPEG's first SOF marker kind (baseline C0 accepted; progressive C2 —
+    * a real crawl's largest rejection class — and the other SOFn rejected
+    * by name), PNG's IHDR depth/color/interlace, and the BMP/WAV/MP4
+    * container magics. Returns (format label, whether this seam's
+    * decoders accept it). */
+  def classifyFormat(blob: Array[Byte]): (String, Boolean) = {
+    def u8(i: Int) = blob(i) & 0xff
+    def ascii(o: Int, n: Int) = new String(blob, o, n,
+      java.nio.charset.StandardCharsets.US_ASCII)
+    if (blob.length >= 8 &&
+        Png.Signature.indices.forall(i => blob(i) == Png.Signature(i))) {
+      if (blob.length < 33) ("png_truncated", false)
+      else {
+        val depth = u8(24); val color = u8(25); val interlace = u8(28)
+        (s"png$depth",
+          depth == 8 && Set(2, 3, 6)(color) && interlace <= 1)
+      }
+    } else if (blob.length >= 2 && u8(0) == 0xff && u8(1) == 0xd8) {
+      var i = 2
+      var res: (String, Boolean) = ("jpeg_headerless", false)
+      var done = false
+      while (!done && i + 3 < blob.length) {
+        if (u8(i) != 0xff) done = true // desynced: not a marker stream
+        else {
+          val m = u8(i + 1)
+          if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) i += 2
+          else if (m == 0xd9) done = true
+          else {
+            val len = (u8(i + 2) << 8) | u8(i + 3)
+            m match {
+              case 0xc0 => res = ("jpeg_baseline", true); done = true
+              case 0xc2 => res = ("jpeg_progressive", false); done = true
+              // other frame kinds (extended sequential, lossless,
+              // arithmetic, hierarchical) — named, rejected
+              case mm if mm >= 0xc1 && mm <= 0xcf &&
+                  mm != 0xc4 && mm != 0xc8 && mm != 0xcc =>
+                res = (f"jpeg_sof$mm%02x", false); done = true
+              case _ => ()
+            }
+            i += 2 + len
+          }
+        }
+      }
+      res
+    } else if (blob.length >= 2 && blob(0) == 'B' && blob(1) == 'M')
+      ("bmp", true)
+    else if (blob.length >= 12 && ascii(0, 4) == "RIFF" &&
+        ascii(8, 4) == "WAVE") ("wav", true)
+    else if (blob.length >= 12 && ascii(4, 4) == "ftyp") ("mp4", true)
+    else ("unknown", false)
+  }
+
+  /** No-decode FORMAT SURVEY — the production pre-pass that measures what
+    * share of a corpus the decode seam accepts BEFORE spending decode
+    * cycles on it: one structural classification per blob, a narrow
+    * map over the scan (the blob never shuffles). Output: (id, format,
+    * decodable). */
+  def formatSurvey(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    graft.ops.Par.ensure(df.select(col(idCol).cast("long"), col(blobCol)))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, blob) =>
+        val (format, ok) = classifyFormat(blob)
+        (id, format, ok)
+      })
+      .toDF(idCol, "format", "decodable")
   }
 
   /** Batched MP4 decode: (id, brand, n_boxes, timescale, duration,

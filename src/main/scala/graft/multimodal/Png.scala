@@ -10,9 +10,12 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   *
   * Scope covers the three 8-bit color types real web graphics use —
   * truecolor (2), palette (3, PLTE-indexed), and RGBA (6) — with
-  * compression 0, filter method 0, non-interlaced. Anything else —
-  * interlace 1 (Adam7), grayscale types, 16-bit depth — throws loudly
-  * rather than faking a decode. The encoder
+  * compression 0, filter method 0, interlace 0 (sequential) AND
+  * interlace 1 (Adam7: seven independently-filtered sub-images whose
+  * grids tile the frame — spec §8.2; the decoder walks each pass's own
+  * geometry and resets the filter context per pass). Anything else —
+  * grayscale types, 16-bit depth — throws loudly rather than faking a
+  * decode. The encoder
   * deliberately cycles ALL FIVE filter types across rows and splits large
   * IDAT payloads into multiple chunks, so every decoder path (unfilter
   * types 0-4, cross-chunk zlib concatenation, per-chunk CRC checks) is
@@ -62,6 +65,22 @@ object Png {
       beU32(crcOf(t, data, off, n))
   }
 
+  /** Adam7 pass grid (spec §8.2): (xStart, yStart, xStep, yStep) per
+    * pass. A pass's sub-image is the pixels at (yStart + r·yStep,
+    * xStart + c·xStep); passes whose sub-image is empty contribute NO
+    * scanlines (not even filter bytes). */
+  private val Adam7: Seq[(Int, Int, Int, Int)] = Seq(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+  /** Sub-image dimensions of one pass over a width×height frame. */
+  private def passDims(width: Int, height: Int,
+                       pass: (Int, Int, Int, Int)): (Int, Int) = {
+    val (x0, y0, dx, dy) = pass
+    (math.max(0, (width - x0 + dx - 1) / dx),
+      math.max(0, (height - y0 + dy - 1) / dy))
+  }
+
   /** Paeth predictor (PNG spec §9.4) — exact reference arithmetic. */
   private def paeth(a: Int, b: Int, c: Int): Int = {
     val p = a + b - c
@@ -92,29 +111,34 @@ object Png {
                  idatChunk: Int = 4096): Array[Byte] =
     encodeRaw(rgba, width, colorType = 6, palette = null, idatChunk)
 
-  private def encodeRaw(rgb: Array[Byte], width: Int, colorType: Int,
-                        palette: Array[Byte], idatChunk: Int): Array[Byte] = {
-    require(width > 0, "width must be positive")
-    val Bpp = bppOf(colorType)
-    val rowBytes = Bpp * width
-    require(rgb.length > 0 && rgb.length % rowBytes == 0,
-      s"payload must be a positive whole number of $rowBytes-byte rows")
-    val height = rgb.length / rowBytes
+  /** Encode raw RGB bytes as a REAL Adam7-INTERLACED truecolor PNG: the
+    * seven pass sub-images are extracted on the spec grid, each filtered
+    * as an independent image (filter context resets per pass), and the
+    * concatenated stream deflates into the usual split IDATs. */
+  def encodeInterlaced(rgb: Array[Byte], width: Int,
+                       idatChunk: Int = 4096): Array[Byte] =
+    encodeRaw(rgb, width, colorType = 2, palette = null, idatChunk,
+      interlaced = true)
 
-    // filter rows: 1 type byte + rowBytes filtered bytes per row
-    val filtered = new Array[Byte](height * (1 + rowBytes))
+  /** Filter one (sub-)image's rows: 1 type byte + rowBytes per row, with
+    * the row filter cycling through all five types (offset by
+    * `tOffset` so consecutive passes don't align their cycles). */
+  private def filterRows(pixels: Array[Byte], pw: Int, ph: Int, bpp: Int,
+                         tOffset: Int): Array[Byte] = {
+    val rowBytes = bpp * pw
+    val filtered = new Array[Byte](ph * (1 + rowBytes))
     var r = 0
-    while (r < height) {
-      val t = r % 5
+    while (r < ph) {
+      val t = (r + tOffset) % 5
       val base = r * rowBytes
       val out = r * (1 + rowBytes)
       filtered(out) = t.toByte
       var x = 0
       while (x < rowBytes) {
-        val raw = rgb(base + x) & 0xff
-        val left = if (x >= Bpp) rgb(base + x - Bpp) & 0xff else 0
-        val up = if (r > 0) rgb(base - rowBytes + x) & 0xff else 0
-        val ul = if (r > 0 && x >= Bpp) rgb(base - rowBytes + x - Bpp) & 0xff else 0
+        val raw = pixels(base + x) & 0xff
+        val left = if (x >= bpp) pixels(base + x - bpp) & 0xff else 0
+        val up = if (r > 0) pixels(base - rowBytes + x) & 0xff else 0
+        val ul = if (r > 0 && x >= bpp) pixels(base - rowBytes + x - bpp) & 0xff else 0
         val pred = t match {
           case 0 => 0
           case 1 => left
@@ -127,6 +151,42 @@ object Png {
       }
       r += 1
     }
+    filtered
+  }
+
+  private def encodeRaw(rgb: Array[Byte], width: Int, colorType: Int,
+                        palette: Array[Byte], idatChunk: Int,
+                        interlaced: Boolean = false): Array[Byte] = {
+    require(width > 0, "width must be positive")
+    val Bpp = bppOf(colorType)
+    val rowBytes = Bpp * width
+    require(rgb.length > 0 && rgb.length % rowBytes == 0,
+      s"payload must be a positive whole number of $rowBytes-byte rows")
+    val height = rgb.length / rowBytes
+
+    val filtered: Array[Byte] =
+      if (!interlaced) filterRows(rgb, width, height, Bpp, tOffset = 0)
+      else {
+        val out = new java.io.ByteArrayOutputStream(rgb.length + height * 8)
+        Adam7.zipWithIndex.foreach { case (pass @ (x0, y0, dx, dy), pi) =>
+          val (pw, ph) = passDims(width, height, pass)
+          if (pw > 0 && ph > 0) {
+            val sub = new Array[Byte](ph * Bpp * pw)
+            var r = 0
+            while (r < ph) {
+              var c = 0
+              while (c < pw) {
+                val src = ((y0 + r * dy) * width + (x0 + c * dx)) * Bpp
+                System.arraycopy(rgb, src, sub, (r * pw + c) * Bpp, Bpp)
+                c += 1
+              }
+              r += 1
+            }
+            out.write(filterRows(sub, pw, ph, Bpp, tOffset = pi))
+          }
+        }
+        out.toByteArray
+      }
 
     // zlib-deflate the filtered stream
     val defl = new Deflater()
@@ -142,7 +202,8 @@ object Png {
     val z = zbuf.toByteArray
 
     val ihdr = beU32(width.toLong) ++ beU32(height.toLong) ++
-      Array[Byte](8, colorType.toByte, 0, 0, 0) // depth 8, deflate, adaptive, no interlace
+      Array[Byte](8, colorType.toByte, 0, 0, // depth 8, deflate, adaptive
+        if (interlaced) 1 else 0)
     val out = new java.io.ByteArrayOutputStream(z.length + 128)
     out.write(Signature)
     out.write(chunk("IHDR", ihdr))
@@ -177,6 +238,7 @@ object Png {
     var off = Signature.length
     var width = -1; var height = -1
     var colorType = -1; var bpp = 0
+    var interlaced = false
     var palette: Array[Byte] = null
     val idat = new java.io.ByteArrayOutputStream()
     var sawIhdr = false; var sawIend = false
@@ -203,8 +265,12 @@ object Png {
           bpp = bppOf(colorType) // throws by name on 0/4/unknown
           require(blob(dataOff + 10) == 0, "unknown compression method")
           require(blob(dataOff + 11) == 0, "unknown filter method")
-          require(blob(dataOff + 12) == 0,
-            "interlaced (Adam7) PNG not supported")
+          interlaced = blob(dataOff + 12) match {
+            case 0 => false
+            case 1 => true
+            case m => throw new IllegalArgumentException(
+              s"unknown interlace method $m")
+          }
           width = w.toInt; height = h.toInt
           sawIhdr = true
         case "PLTE" =>
@@ -227,9 +293,15 @@ object Png {
     require(idat.size > 0, "missing IDAT")
     require(colorType != 3 || palette != null, "palette PNG missing PLTE")
 
-    // inflate to EXACTLY height * (1 + bpp*width) bytes
-    val rowBytes = bpp * width
-    val expected = height.toLong * (1L + rowBytes)
+    // inflate to EXACTLY the filtered-stream length the declared geometry
+    // implies — one sub-image per Adam7 pass when interlaced (empty
+    // passes contribute nothing, not even filter bytes), else the whole
+    // frame as a single pass
+    val passes: Seq[(Int, Int)] =
+      if (!interlaced) Seq((width, height))
+      else Adam7.map(passDims(width, height, _)).filter(d => d._1 > 0 && d._2 > 0)
+    val expected = passes.map { case (pw, ph) =>
+      ph.toLong * (1L + bpp.toLong * pw) }.sum
     require(expected <= Int.MaxValue, "image too large")
     val filtered = new Array[Byte](expected.toInt)
     val infl = new Inflater()
@@ -247,58 +319,70 @@ object Png {
     require(got == filtered.length,
       s"IDAT inflates to $got bytes, geometry needs ${filtered.length}")
 
-    // unfilter + statistics in one pass; `raw` keeps the previous row
-    val cur = new Array[Int](rowBytes)
-    val prev = new Array[Int](rowBytes)
+    // unfilter + statistics, one sub-image at a time: the filter context
+    // (previous row) resets at every pass boundary — spec §8.2 treats each
+    // pass as an independent image. The statistics are placement-
+    // independent (sums/max over the same pixel SET in either layout);
+    // the top-left witness is the first pixel of the FIRST pass, which
+    // starts at logical (0, 0) in both layouts.
     var nPx = 0L; var sr = 0L; var sg = 0L; var sb = 0L; var sa = 0L
     var mx = 0L
     var topLeftHex = ""
-    var r = 0
-    while (r < height) {
-      val base = r * (1 + rowBytes)
-      val t = filtered(base) & 0xff
-      require(t <= 4, s"row $r: unknown filter type $t")
-      var x = 0
-      while (x < rowBytes) {
-        val f = filtered(base + 1 + x) & 0xff
-        val left = if (x >= bpp) cur(x - bpp) else 0
-        val up = if (r > 0) prev(x) else 0
-        val ul = if (r > 0 && x >= bpp) prev(x - bpp) else 0
-        val pred = t match {
-          case 0 => 0
-          case 1 => left
-          case 2 => up
-          case 3 => (left + up) / 2
-          case 4 => paeth(left, up, ul)
+    var streamOff = 0
+    var firstPass = true
+    for ((pw, ph) <- passes) {
+      val rowBytes = bpp * pw
+      val cur = new Array[Int](rowBytes)
+      val prev = new Array[Int](rowBytes)
+      var r = 0
+      while (r < ph) {
+        val base = streamOff + r * (1 + rowBytes)
+        val t = filtered(base) & 0xff
+        require(t <= 4, s"row $r: unknown filter type $t")
+        var x = 0
+        while (x < rowBytes) {
+          val f = filtered(base + 1 + x) & 0xff
+          val left = if (x >= bpp) cur(x - bpp) else 0
+          val up = if (r > 0) prev(x) else 0
+          val ul = if (r > 0 && x >= bpp) prev(x - bpp) else 0
+          val pred = t match {
+            case 0 => 0
+            case 1 => left
+            case 2 => up
+            case 3 => (left + up) / 2
+            case 4 => paeth(left, up, ul)
+          }
+          cur(x) = (f + pred) & 0xff
+          x += 1
         }
-        cur(x) = (f + pred) & 0xff
-        x += 1
-      }
-      var p = 0
-      while (p < width) {
-        var red = 0; var green = 0; var blue = 0; var alpha = 0
-        colorType match {
-          case 2 =>
-            red = cur(3 * p); green = cur(3 * p + 1); blue = cur(3 * p + 2)
-          case 3 =>
-            val idx = cur(p)
-            require(3 * idx + 2 < palette.length,
-              s"palette index $idx out of range (${palette.length / 3} entries)")
-            red = palette(3 * idx) & 0xff
-            green = palette(3 * idx + 1) & 0xff
-            blue = palette(3 * idx + 2) & 0xff
-          case 6 =>
-            red = cur(4 * p); green = cur(4 * p + 1); blue = cur(4 * p + 2)
-            alpha = cur(4 * p + 3)
+        var p = 0
+        while (p < pw) {
+          var red = 0; var green = 0; var blue = 0; var alpha = 0
+          colorType match {
+            case 2 =>
+              red = cur(3 * p); green = cur(3 * p + 1); blue = cur(3 * p + 2)
+            case 3 =>
+              val idx = cur(p)
+              require(3 * idx + 2 < palette.length,
+                s"palette index $idx out of range (${palette.length / 3} entries)")
+              red = palette(3 * idx) & 0xff
+              green = palette(3 * idx + 1) & 0xff
+              blue = palette(3 * idx + 2) & 0xff
+            case 6 =>
+              red = cur(4 * p); green = cur(4 * p + 1); blue = cur(4 * p + 2)
+              alpha = cur(4 * p + 3)
+          }
+          nPx += 1; sr += red; sg += green; sb += blue; sa += alpha
+          val px = (red + green + blue).toLong; if (px > mx) mx = px
+          if (firstPass && r == 0 && p == 0)
+            topLeftHex = f"$red%02X$green%02X$blue%02X"
+          p += 1
         }
-        nPx += 1; sr += red; sg += green; sb += blue; sa += alpha
-        val px = (red + green + blue).toLong; if (px > mx) mx = px
-        if (r == 0 && p == 0)
-          topLeftHex = f"$red%02X$green%02X$blue%02X"
-        p += 1
+        System.arraycopy(cur, 0, prev, 0, rowBytes)
+        r += 1
       }
-      System.arraycopy(cur, 0, prev, 0, rowBytes)
-      r += 1
+      streamOff += ph * (1 + rowBytes)
+      firstPass = false
     }
     PngInfo(width, height, nPx, sr, sg, sb, sa, mx, topLeftHex)
   }
