@@ -2242,11 +2242,12 @@ object SparkEntry {
     // No-decode FORMAT SURVEY over a DECLARED mix — the production
     // pre-pass that measures the decode seam's reject rate before
     // spending decode cycles: blobs are classified structurally (JPEG SOF
-    // kind, PNG IHDR depth/interlace, container magics) and counted by
-    // (format, decodable). The mix covers both accepted classes (baseline
-    // JPEG gray + 4:2:0, sequential + Adam7 PNG) and the two named
-    // rejection classes a crawl actually contains (progressive JPEG,
-    // 16-bit PNG); the oracle re-derives every count from doc_id alone
+    // kind + component count, PNG IHDR depth/interlace, container magics)
+    // and counted by (format, decodable). The mix covers accepted classes
+    // (baseline JPEG gray + 4:2:0, sequential + Adam7 PNG) and the two
+    // named rejection classes (COLOR progressive JPEG — grayscale
+    // progressive decodes for real — and 16-bit PNG); the oracle
+    // re-derives every count from doc_id alone
     "mm_format_survey" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
         .withColumn("__b0", expr("substring(encode(text, 'UTF-8'), 1, 2048)"))
@@ -2321,6 +2322,22 @@ object SparkEntry {
         .filter(length(col("__b")) >= 1)
       Multimodal.decodeJpeg(
         Multimodal.jpegBlob(px, "doc_id", "__b"), "doc_id", "blob")
+    }),
+
+    // REAL PROGRESSIVE JPEG decode — the format most of a real crawl's
+    // JPEGs use: the SAME flat DC-only blocks as mm_decode_jpeg, sent as
+    // a true SOF2 four-scan progression (DC first at Al=1, AC first over
+    // band 1..63 with cross-block EOBn runs, DC refinement bits, AC
+    // refinement with correction bits) and decoded by the full T.81 G.2
+    // successive-approximation algorithm. The oracle is byte-identical to
+    // mm_decode_jpeg's — progressive changes the wire format, not the
+    // pixels — so the equality proves the multi-scan decode
+    "mm_decode_jpeg_progressive" -> ((s, dir) => {
+      val px = t(s, dir, "documents")
+        .withColumn("__b", expr("substring(encode(text, 'UTF-8'), 1, 2048)"))
+        .filter(length(col("__b")) >= 1)
+      Multimodal.decodeJpeg(
+        Multimodal.jpegProgressiveBlob(px, "doc_id", "__b"), "doc_id", "blob")
     }),
 
     // REAL baseline COLOR JPEG decode — full 3-component 4:4:4 YCbCr:
@@ -6352,6 +6369,29 @@ object SparkEntry {
       // every statistic is 64× the payload-byte statistic and the top-left
       // pixel is the first byte
       "mm_decode_jpeg" -> {
+        raw"""WITH b AS (SELECT doc_id,
+                regexp_extract_all(substr(hex(encode(text)), 1, 4096), '..') AS by
+                FROM documents WHERE octet_length(encode(text)) >= 1),
+            v AS (SELECT doc_id, by, list_transform(by, h ->
+                (strpos('0123456789ABCDEF', substr(h, 1, 1)) - 1) * 16
+                + strpos('0123456789ABCDEF', substr(h, 2, 1)) - 1) AS bv
+              FROM b),
+            s AS (SELECT doc_id, by, bv, len(bv) AS n FROM v)
+            SELECT doc_id,
+              CAST(8 AS INTEGER) AS width,
+              CAST(8 * n AS INTEGER) AS height,
+              CAST(64 * n AS BIGINT) AS n_px,
+              CAST(64 * list_sum(bv) AS BIGINT) AS sum_px,
+              CAST(64 * list_sum(list_transform(bv, x -> x * x)) AS BIGINT)
+                AS sum_sq,
+              CAST(list_aggregate(bv, 'max') AS INTEGER) AS max_px,
+              CAST(list_aggregate(bv, 'min') AS INTEGER) AS min_px,
+              by[1] AS topleft_hex
+            FROM s"""
+      },
+      // progressive ≡ baseline on the same blocks: the wire format is the
+      // only difference, so the SAME oracle pins the multi-scan decode
+      "mm_decode_jpeg_progressive" -> {
         raw"""WITH b AS (SELECT doc_id,
                 regexp_extract_all(substr(hex(encode(text)), 1, 4096), '..') AS by
                 FROM documents WHERE octet_length(encode(text)) >= 1),

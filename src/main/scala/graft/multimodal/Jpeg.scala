@@ -61,6 +61,15 @@ object Jpeg {
   private val DcBitsC = Array(0, 0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
   private val AcBitsC = Array(0, 0, 0, 0, 0, 0, 57, 0, 0, 0, 0, 0, 0, 0, 0, 0)
 
+  /** PROGRESSIVE AC table: the baseline symbol set PLUS the EOBn symbols
+    * ((r<<4)|0 for r=1..14) progressive scans need to code end-of-band
+    * RUNS across blocks — 71 canonical 7-bit codes. */
+  private val AcValsP = (Array(0x00, 0xF0) ++ (1 to 14).map(r => r << 4) ++
+    (1 to 10).map(s => s) ++
+    (1 to 15).flatMap(r => Seq((r << 4) | 1, (r << 4) | 2, (r << 4) | 3)))
+    .map(_.toByte)
+  private val AcBitsP = Array(0, 0, 0, 0, 0, 0, 71, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+
   /** Zigzag scan order: zigzag index -> raster index (row*8 + col). */
   private[graft] val Zigzag: Array[Int] = {
     val out = new Array[Int](64)
@@ -260,6 +269,190 @@ object Jpeg {
       blk(0) = (b & 0xff) - 128 // dequantized DC = (b-128)*8 with q=8
       blk
     }.toArray, blocksPerRow = 1, restartEvery)
+  }
+
+  // ------------------------------------------- progressive encoder (T.81 G)
+
+  /** PROGRESSIVE fixture encoder: the same quantized zigzag blocks as
+    * [[encodeBlocks]], sent as the canonical FOUR-scan progression —
+    * DC first (Al=1), AC first (band 1..63, Al=1), DC refinement, AC
+    * refinement — through a real SOF2 stream with EOBn run coding and
+    * buffered correction bits (the jcphuff structure). Decoding it must
+    * reproduce [[encodeBlocks]]' pixels exactly. */
+  private[graft] def encodeBlocksProgressive(blocks: Array[Array[Int]],
+                                             blocksPerRow: Int): Array[Byte] = {
+    require(blocks.nonEmpty, "need at least one block")
+    require(blocksPerRow > 0 && blocks.length % blocksPerRow == 0,
+      "block count must be a whole number of rows")
+    val w = 8 * blocksPerRow
+    val h = 8 * (blocks.length / blocksPerRow)
+    require(w <= 0xffff && h <= 0xffff, "image dims exceed 16 bits")
+    val dcCodes = canonical(DcBits, DcVals)
+    val acCodes = canonical(AcBitsP, AcValsP)
+
+    def sos(ss: Int, se: Int, ah: Int, al: Int, scan: Array[Byte]) =
+      seg(0xda, Array[Byte](1, 1, 0x00, ss.toByte, se.toByte,
+        ((ah << 4) | al).toByte)) ++ scan
+
+    // scan 1: DC first — DPCM over the point-transformed (arithmetic
+    // shift) DC values
+    def dcFirst(al: Int): Array[Byte] = {
+      val bw = new BitWriter
+      var pred = 0
+      for (b <- blocks) {
+        val v = b(0) >> al
+        val diff = v - pred; pred = v
+        val s = category(diff)
+        val (c, l) = dcCodes(s); bw.write(c, l)
+        if (s > 0) bw.write(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+      }
+      bw.finish()
+    }
+
+    // scan 3: DC refinement — one raw bit (bit Al of the DC) per block
+    def dcRefine(al: Int): Array[Byte] = {
+      val bw = new BitWriter
+      for (b <- blocks) bw.write((b(0) >> al) & 1, 1)
+      bw.finish()
+    }
+
+    // scan 2: AC first — truncated magnitudes at Al, zero runs with ZRL,
+    // all-zero/trailing-zero bands folded into cross-block EOBn runs
+    def acFirst(ss: Int, se: Int, al: Int): Array[Byte] = {
+      val bw = new BitWriter
+      var eobrun = 0
+      def emitEobrun(): Unit = if (eobrun > 0) {
+        var r = 0
+        while ((eobrun >> (r + 1)) > 0) r += 1
+        val (c, l) = acCodes(r << 4); bw.write(c, l)
+        if (r > 0) bw.write(eobrun - (1 << r), r)
+        eobrun = 0
+      }
+      for (b <- blocks) {
+        val t = Array.tabulate(64) { k =>
+          val m = math.abs(b(k)) >> al
+          if (b(k) < 0) -m else m
+        }
+        val lastNz = (se to ss by -1).find(k => t(k) != 0)
+        lastNz match {
+          case None =>
+            eobrun += 1; if (eobrun == 0x7fff) emitEobrun()
+          case Some(last) =>
+            emitEobrun()
+            var run = 0; var k = ss
+            while (k <= last) {
+              val v = t(k)
+              if (v == 0) run += 1
+              else {
+                while (run >= 16) {
+                  val (zc, zl) = acCodes(0xF0); bw.write(zc, zl); run -= 16
+                }
+                val s = category(v)
+                val (c, l) = acCodes((run << 4) | s); bw.write(c, l)
+                bw.write(if (v < 0) v + (1 << s) - 1 else v, s)
+                run = 0
+              }
+              k += 1
+            }
+            if (last < se) { eobrun += 1; if (eobrun == 0x7fff) emitEobrun() }
+        }
+      }
+      emitEobrun()
+      bw.finish()
+    }
+
+    // scan 4: AC refinement — newly-significant coefficients as (run, 1)
+    // symbols with sign bits; already-significant ones as buffered
+    // correction bits that flush after the next symbol (or ride the
+    // pending EOBn) — the jcphuff encode_mcu_AC_refine structure
+    def acRefine(ss: Int, se: Int, al: Int): Array[Byte] = {
+      val bw = new BitWriter
+      var eobrun = 0
+      // TWO correction-bit pools (the jcphuff BE/BR split): `attached`
+      // rides the pending EOB run and flushes with its EOBn symbol — the
+      // decoder consumes those while refining the run's blocks; `current`
+      // holds this block's bits since the last symbol and flushes after
+      // the next in-block symbol (ZRL or newly-significant) — the decoder
+      // consumes those while advancing past already-significant
+      // coefficients. They merge only when the block joins the EOB run.
+      val attached = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val current = scala.collection.mutable.ArrayBuffer.empty[Int]
+      def flushCurrent(): Unit = { current.foreach(bw.write(_, 1)); current.clear() }
+      def emitEobrun(): Unit = if (eobrun > 0) {
+        var r = 0
+        while ((eobrun >> (r + 1)) > 0) r += 1
+        val (c, l) = acCodes(r << 4); bw.write(c, l)
+        if (r > 0) bw.write(eobrun - (1 << r), r)
+        eobrun = 0
+        attached.foreach(bw.write(_, 1)); attached.clear()
+      }
+      for (b <- blocks) {
+        val mag = Array.tabulate(64)(k => math.abs(b(k)) >> al)
+        val eobIdx = (se to ss by -1).find(k => mag(k) == 1).getOrElse(ss - 1)
+        var r = 0
+        var k = ss
+        while (k <= se) {
+          val temp = mag(k)
+          if (temp == 0) r += 1
+          else {
+            // fold pending zero runs into ZRLs only while another
+            // newly-significant coefficient lies ahead (else they join
+            // the EOB run); each ZRL flushes the correction bits the
+            // decoder will consume while advancing over those 16 zeros
+            while (r > 15 && k <= eobIdx) {
+              emitEobrun()
+              val (zc, zl) = acCodes(0xF0); bw.write(zc, zl)
+              r -= 16
+              flushCurrent()
+            }
+            if (temp > 1) current += (temp & 1) // correction bit only
+            else {
+              emitEobrun()
+              val (c, l) = acCodes((r << 4) | 1); bw.write(c, l)
+              bw.write(if (b(k) < 0) 0 else 1, 1)
+              flushCurrent()
+              r = 0
+            }
+          }
+          k += 1
+        }
+        if (r > 0 || current.nonEmpty) {
+          eobrun += 1
+          attached ++= current; current.clear() // bits join the run
+          if (eobrun == 0x7fff) emitEobrun()
+        }
+      }
+      emitEobrun()
+      bw.finish()
+    }
+
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0xff, 0xd8).map(_.toByte)) // SOI
+    out.write(seg(0xe0, "JFIF".getBytes("US-ASCII") ++
+      Array[Byte](0, 1, 1, 0, 0, 1, 0, 1, 0, 0)))
+    out.write(seg(0xdb, Array(0x00.toByte) ++ QuantZig.map(_.toByte)))
+    out.write(seg(0xc2, Array[Byte](8, // SOF2: progressive
+      (h >>> 8).toByte, (h & 0xff).toByte, (w >>> 8).toByte, (w & 0xff).toByte,
+      1, 1, 0x11, 0)))
+    out.write(seg(0xc4, dht(0, 0, DcBits, DcVals) ++ dht(1, 0, AcBitsP, AcValsP)))
+    out.write(sos(0, 0, 0, 1, dcFirst(1)))
+    out.write(sos(1, 63, 0, 1, acFirst(1, 63, 1)))
+    out.write(sos(0, 0, 1, 0, dcRefine(0)))
+    out.write(sos(1, 63, 1, 0, acRefine(1, 63, 0)))
+    out.write(Array(0xff, 0xd9).map(_.toByte)) // EOI
+    out.toByteArray
+  }
+
+  /** Progressive twin of [[encodeGray]]: same DC-only flat blocks, same
+    * decoded pixels, SOF2 four-scan wire format. */
+  def encodeGrayProgressive(payload: Array[Byte]): Array[Byte] = {
+    require(payload.nonEmpty && payload.length <= 8191,
+      "payload must be 1..8191 bytes (height is 16-bit)")
+    encodeBlocksProgressive(payload.map { b =>
+      val blk = new Array[Int](64)
+      blk(0) = (b & 0xff) - 128
+      blk
+    }.toArray, blocksPerRow = 1)
   }
 
   /** 4:4:4 COLOR fixture encoder: parallel Y/Cb/Cr block arrays (each a
@@ -521,10 +714,13 @@ object Jpeg {
     out
   }
 
-  /** Parse + fully decode a baseline GRAYSCALE JFIF stream into exact
-    * pixel statistics. Strict: progressive, arithmetic, restart
-    * intervals, 16-bit quant tables all throw by name; a 3-component
-    * stream is redirected to [[parseColor]]. */
+  /** Parse + fully decode a GRAYSCALE JFIF stream into exact pixel
+    * statistics — baseline (SOF0) or PROGRESSIVE (SOF2: multi-scan
+    * spectral selection + successive approximation, T.81 G.2, including
+    * EOBn runs and AC refinement correction bits). Strict: color
+    * progressive, arithmetic coding, 16-bit quant tables all throw by
+    * name; a baseline 3-component stream is redirected to
+    * [[parseColor]]. */
   def parse(blob: Array[Byte]): JpegInfo = parseStream(blob) match {
     case Left(g) => g
     case Right(_) => throw new IllegalArgumentException(
@@ -563,13 +759,292 @@ object Jpeg {
   }
 
   private def parseStream(blob: Array[Byte]): Either[JpegInfo, JpegColorInfo] = {
-    val p = walkHeaders(blob)
-    if (p.nComp == 1)
-      Left(decodeScan(blob, p.scanStart, p.width, p.height,
-        p.dcT(0), p.acT(0), p.qs(0), p.restartInterval))
-    else
-      Right(decodeScanColor(blob, p.scanStart, p.width, p.height,
-        p.comps, p.restartInterval))
+    if (isProgressive(blob)) Left(parseProgressiveGray(blob))
+    else {
+      val p = walkHeaders(blob)
+      if (p.nComp == 1)
+        Left(decodeScan(blob, p.scanStart, p.width, p.height,
+          p.dcT(0), p.acT(0), p.qs(0), p.restartInterval))
+      else
+        Right(decodeScanColor(blob, p.scanStart, p.width, p.height,
+          p.comps, p.restartInterval))
+    }
+  }
+
+  /** Light pre-scan: does the stream's frame header declare SOF2? */
+  private def isProgressive(blob: Array[Byte]): Boolean = {
+    if (blob.length < 4 || (blob(0) & 0xff) != 0xff ||
+      (blob(1) & 0xff) != 0xd8) return false
+    def u16(o: Int): Int = ((blob(o) & 0xff) << 8) | (blob(o + 1) & 0xff)
+    var pos = 2
+    while (pos + 3 < blob.length) {
+      if ((blob(pos) & 0xff) != 0xff) return false
+      val m = blob(pos + 1) & 0xff
+      if (m == 0xc2) return true
+      if (m == 0xc0 || m == 0xc1 || m == 0xda || m == 0xd9) return false
+      if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) pos += 2
+      else pos += 2 + u16(pos + 2)
+    }
+    false
+  }
+
+  /** First marker position at or after `from` (skipping entropy pad and
+    * stuffed FF00 / FF-fill bytes). */
+  private def nextMarkerPos(blob: Array[Byte], from: Int): Int = {
+    var p = from
+    while (p + 1 < blob.length && !((blob(p) & 0xff) == 0xff &&
+        (blob(p + 1) & 0xff) != 0x00 && (blob(p + 1) & 0xff) != 0xff))
+      p += 1
+    require(p + 1 < blob.length, "missing marker after scan")
+    p
+  }
+
+  /** PROGRESSIVE (SOF2) single-component decode — the complete T.81 G.2
+    * successive-approximation algorithm: the coefficient state persists
+    * across scans; DC first scans DPCM the point-transformed DCs, DC
+    * refinement scans append one raw bit per block, AC first scans code
+    * truncated magnitudes for one spectral band with cross-block EOBn
+    * runs, and AC refinement scans interleave newly-significant
+    * coefficients with correction bits for already-significant ones.
+    * Color progressive (3 components) throws by name. */
+  private def parseProgressiveGray(blob: Array[Byte]): JpegInfo = {
+    require(blob.length >= 4 && (blob(0) & 0xff) == 0xff &&
+      (blob(1) & 0xff) == 0xd8, "not a JPEG: missing SOI")
+    def u16(o: Int): Int = ((blob(o) & 0xff) << 8) | (blob(o + 1) & 0xff)
+    var pos = 2
+    var width = -1; var height = -1
+    val quant = new Array[Array[Int]](4)
+    val dcTables = new Array[HuffTable](4)
+    val acTables = new Array[HuffTable](4)
+    var restartInterval = 0
+    var sofSeen = false
+    var compQuantId = 0
+    var blocks: Array[Array[Int]] = null // zigzag-index coefficient state
+    var done = false
+    while (!done) {
+      require(pos + 1 < blob.length, "truncated before EOI")
+      require((blob(pos) & 0xff) == 0xff, f"expected marker at $pos")
+      val marker = blob(pos + 1) & 0xff
+      pos += 2
+      marker match {
+        case 0xd9 => done = true
+        case m if m >= 0xd0 && m <= 0xd7 =>
+          throw new IllegalArgumentException(
+            "restart marker outside an entropy scan")
+        case 0xc9 | 0xca | 0xcb => throw new IllegalArgumentException(
+          "arithmetic-coded JPEG not supported")
+        case 0xc2 =>
+          require(!sofSeen, "duplicate SOF2")
+          val len = u16(pos)
+          require(blob(pos + 2) == 8, "only 8-bit precision supported")
+          height = u16(pos + 3); width = u16(pos + 5)
+          require(width >= 1 && height >= 1, "dims out of range")
+          val nComp = blob(pos + 7) & 0xff
+          require(nComp == 1,
+            s"progressive color JPEG ($nComp components) not supported — " +
+              "single-component (grayscale) progressive only")
+          require(len == 8 + 3 * nComp,
+            "SOF2 length does not match its component count")
+          require((blob(pos + 9) & 0xff) == 0x11,
+            "progressive component must be 1x1 sampled")
+          compQuantId = blob(pos + 10) & 0xff
+          blocks = Array.fill(((width + 7) / 8) * ((height + 7) / 8))(
+            new Array[Int](64))
+          sofSeen = true
+          pos += len
+        case 0xdd =>
+          require(u16(pos) == 4, "DRI length must be 4")
+          restartInterval = u16(pos + 2)
+          pos += 4
+        case 0xdb =>
+          val len = u16(pos)
+          var o = pos + 2
+          while (o < pos + len) {
+            val pq = (blob(o) & 0xff) >> 4
+            val tq = blob(o) & 0x0f
+            require(pq == 0, "16-bit quantization tables not supported")
+            quant(tq) = Array.tabulate(64)(i => blob(o + 1 + i) & 0xff)
+            o += 65
+          }
+          pos += len
+        case 0xc4 =>
+          val len = u16(pos)
+          var o = pos + 2
+          while (o < pos + len) {
+            val cls = (blob(o) & 0xff) >> 4
+            val id = blob(o) & 0x0f
+            val bits = Array.tabulate(16)(i => blob(o + 1 + i) & 0xff)
+            val n = bits.sum
+            val vals = blob.slice(o + 17, o + 17 + n)
+            val t = new HuffTable(bits, vals)
+            if (cls == 0) dcTables(id) = t else acTables(id) = t
+            o += 17 + n
+          }
+          pos += len
+        case 0xda =>
+          require(sofSeen, "SOS before SOF2")
+          val len = u16(pos)
+          require((blob(pos + 2) & 0xff) == 1,
+            "progressive scan must cover the single component")
+          val dcId = (blob(pos + 4) & 0xff) >> 4
+          val acId = blob(pos + 4) & 0x0f
+          val ss = blob(pos + 5) & 0xff
+          val se = blob(pos + 6) & 0xff
+          val ah = (blob(pos + 7) & 0xff) >> 4
+          val al = blob(pos + 7) & 0x0f
+          require((ss == 0 && se == 0) || (ss >= 1 && se >= ss && se <= 63),
+            s"bad spectral band $ss..$se")
+          require(ah == 0 || ah == al + 1,
+            s"bad successive approximation Ah=$ah Al=$al")
+          val dcT = dcTables(dcId)
+          val acT = acTables(acId)
+          require(ss != 0 || ah != 0 || dcT != null,
+            "DC scan references missing DHT")
+          require(ss == 0 || acT != null, "AC scan references missing DHT")
+          val br = new BitReader(blob, pos + len)
+          decodeProgScan(br, blocks, dcT, acT, ss, se, ah, al,
+            restartInterval)
+          pos = nextMarkerPos(blob, br.bytePos)
+        case _ => pos += u16(pos) // APPn/COM: skip by length
+      }
+    }
+    require(sofSeen, "missing SOF2")
+    val q = quant(compQuantId)
+    require(q != null, "frame references missing DQT")
+
+    // all scans applied: dequantize + IDCT + statistics, exactly like the
+    // baseline path
+    val bw = (width + 7) / 8
+    val bh = (height + 7) / 8
+    var nPx = 0L; var sum = 0L; var sq = 0L; var mx = 0; var mn = 255
+    var topLeftHex = ""
+    val coef = new Array[Int](64)
+    var by = 0
+    while (by < bh) {
+      var bx = 0
+      while (bx < bw) {
+        val blk = blocks(by * bw + bx)
+        var k = 0
+        while (k < 64) { coef(Zigzag(k)) = blk(k) * q(k); k += 1 }
+        val px = idct(coef)
+        val xMax = math.min(8, width - bx * 8)
+        val yMax = math.min(8, height - by * 8)
+        var yy = 0
+        while (yy < yMax) {
+          var xx = 0
+          while (xx < xMax) {
+            val v = px(yy * 8 + xx)
+            nPx += 1; sum += v; sq += v.toLong * v
+            if (v > mx) mx = v
+            if (v < mn) mn = v
+            xx += 1
+          }
+          yy += 1
+        }
+        if (bx == 0 && by == 0) topLeftHex = f"${px(0)}%02X"
+        bx += 1
+      }
+      by += 1
+    }
+    JpegInfo(width, height, nPx, sum, sq, mx, mn, topLeftHex)
+  }
+
+  /** Apply ONE progressive scan to the persistent coefficient state.
+    * Restart markers reset the DC predictor AND the EOB run. */
+  private def decodeProgScan(br: BitReader, blocks: Array[Array[Int]],
+      dcT: HuffTable, acT: HuffTable, ss: Int, se: Int, ah: Int, al: Int,
+      restartInterval: Int): Unit = {
+    var pred = 0
+    var eobrun = 0
+    var mcu = 0
+    val p1 = 1 << al
+    val m1 = -(1 << al)
+    var bi = 0
+    while (bi < blocks.length) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        br.expectRestart((mcu / restartInterval - 1) & 7)
+        pred = 0; eobrun = 0
+      }
+      val coef = blocks(bi)
+      if (ss == 0) {
+        if (ah == 0) { // DC first: DPCM over point-transformed DCs
+          val s = dcT.decode(br)
+          require(s <= 11, s"DC size category $s out of range")
+          pred += extend(br.readBits(s), s)
+          coef(0) = pred << al
+        } else { // DC refinement: one raw bit — bit Al of the DC
+          if (br.readBit() == 1) coef(0) |= p1
+        }
+      } else if (ah == 0) { // AC first
+        if (eobrun > 0) eobrun -= 1
+        else {
+          var k = ss
+          var brk = false
+          while (!brk && k <= se) {
+            val sym = acT.decode(br)
+            val r = sym >> 4; val s = sym & 15
+            if (s == 0) {
+              if (r < 15) {
+                eobrun = (1 << r) - 1 + (if (r > 0) br.readBits(r) else 0)
+                brk = true
+              } else k += 16 // ZRL
+            } else {
+              k += r
+              require(k <= se, "AC run overflows the band")
+              coef(k) = extend(br.readBits(s), s) << al
+              k += 1
+            }
+          }
+        }
+      } else { // AC refinement (T.81 G.2.3 / the libjpeg structure)
+        var k = ss
+        if (eobrun == 0) {
+          var brk = false
+          while (!brk && k <= se) {
+            val sym = acT.decode(br)
+            var r = sym >> 4; val s = sym & 15
+            var newVal = 0
+            if (s == 0) {
+              if (r < 15) {
+                eobrun = (1 << r) + (if (r > 0) br.readBits(r) else 0)
+                brk = true
+              } // r == 15: ZRL — skip 16 zero-history coefficients below
+            } else {
+              require(s == 1, s"AC refinement symbol size $s (must be 1)")
+              newVal = if (br.readBit() == 1) p1 else m1
+            }
+            if (!brk) {
+              var placed = false
+              while (!placed && k <= se) {
+                if (coef(k) != 0) {
+                  // already significant: consume its correction bit
+                  if (br.readBit() == 1 && (coef(k) & p1) == 0)
+                    coef(k) += (if (coef(k) >= 0) p1 else m1)
+                } else {
+                  if (r == 0) { if (s != 0) coef(k) = newVal; placed = true }
+                  else r -= 1
+                }
+                k += 1
+              }
+            }
+          }
+        }
+        if (eobrun > 0) {
+          // end-of-band: refine the remaining already-significant
+          // coefficients of this block, then count the block off the run
+          while (k <= se) {
+            if (coef(k) != 0) {
+              if (br.readBit() == 1 && (coef(k) & p1) == 0)
+                coef(k) += (if (coef(k) >= 0) p1 else m1)
+            }
+            k += 1
+          }
+          eobrun -= 1
+        }
+      }
+      mcu += 1
+      bi += 1
+    }
   }
 
   private def walkHeaders(blob: Array[Byte]): ParsedScan = {

@@ -442,6 +442,21 @@ object Multimodal {
       .toDF(idCol, "blob")
   }
 
+  /** Wrap payload bytes into a REAL PROGRESSIVE (SOF2) grayscale JFIF
+    * stream ([[Jpeg.encodeGrayProgressive]]): the same DC-only blocks as
+    * [[jpegBlob]] sent as the canonical four-scan progression. */
+  def jpegProgressiveBlob(df: DataFrame, idCol: String,
+                          payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    graft.ops.Par.ensure(df.select(col(idCol).cast("long"), col(payloadCol)))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) =>
+        (id, Jpeg.encodeGrayProgressive(p))
+      })
+      .toDF(idCol, "blob")
+  }
+
   /** Batched REAL JPEG decode: Huffman + DC prediction + dequant + full
     * IDCT per block, exact integer statistics per blob — (id, width,
     * height, n_px, sum_px, sum_sq, max_px, min_px, topleft_hex). */
@@ -991,10 +1006,13 @@ object Multimodal {
         "sum_px", "max_px", "topleft_hex")
   }
 
-  /** A minimal PROGRESSIVE JPEG header (SOI + SOF2 + EOI) — the seam's
-    * rejection fixture: classification reads only the marker kind. */
+  /** A minimal COLOR-progressive JPEG header (SOI + 3-component SOF2 +
+    * EOI) — the seam's remaining progressive rejection class (grayscale
+    * progressive decodes for real via [[Jpeg.parse]]); classification
+    * reads the marker kind and the component count. */
   val ProgressiveJpegStub: Array[Byte] = Array(
-    0xff, 0xd8, 0xff, 0xc2, 0x00, 0x0b, 8, 0, 8, 0, 8, 1, 1, 0x11, 0,
+    0xff, 0xd8, 0xff, 0xc2, 0x00, 0x11, 8, 0, 8, 0, 8, 3,
+    1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1,
     0xff, 0xd9).map(_.toByte)
 
   /** A minimal 16-BIT-DEPTH PNG header (signature + depth-16 IHDR with a
@@ -1011,9 +1029,10 @@ object Multimodal {
 
   /** Cheap STRUCTURAL classification of one media blob — magic bytes plus
     * the header fields that determine decodability, zero decode work:
-    * JPEG's first SOF marker kind (baseline C0 accepted; progressive C2 —
-    * a real crawl's largest rejection class — and the other SOFn rejected
-    * by name), PNG's IHDR depth/color/interlace, and the BMP/WAV/MP4
+    * JPEG's first SOF marker kind (baseline C0 accepted; progressive C2
+    * accepted for single-component streams — [[Jpeg.parse]]'s real T.81
+    * G.2 path — and rejected for color; the other SOFn rejected by
+    * name), PNG's IHDR depth/color/interlace, and the BMP/WAV/MP4
     * container magics. Returns (format label, whether this seam's
     * decoders accept it). */
   def classifyFormat(blob: Array[Byte]): (String, Boolean) = {
@@ -1042,7 +1061,11 @@ object Multimodal {
             val len = (u8(i + 2) << 8) | u8(i + 3)
             m match {
               case 0xc0 => res = ("jpeg_baseline", true); done = true
-              case 0xc2 => res = ("jpeg_progressive", false); done = true
+              case 0xc2 =>
+                // progressive: grayscale decodes for real (Jpeg.parse's
+                // T.81 G.2 path); color progressive is the rejected class
+                val nComp = if (i + 9 < blob.length) u8(i + 9) else 0
+                res = ("jpeg_progressive", nComp == 1); done = true
               // other frame kinds (extended sequential, lossless,
               // arithmetic, hierarchical) — named, rejected
               case mm if mm >= 0xc1 && mm <= 0xcf &&

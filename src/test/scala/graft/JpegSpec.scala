@@ -86,8 +86,16 @@ class JpegSpec extends AnyFunSuite with SparkTestBase {
       require(i >= 0); i
     }
     assert(msgOf("JFIF but not really".getBytes).contains("SOI"))
+    // flipping a gray SOF0 to SOF2 routes to the (real) progressive
+    // decoder, which rejects the baseline scan header's spectral band
     assert(msgOf(good.updated(markerAt(0xc0) + 1, 0xc2.toByte))
-      .contains("progressive"))
+      .contains("bad spectral band"))
+    // COLOR progressive is the rejected-by-name class
+    val colorBlob = Jpeg.encodeColor(Array[Byte](10, 20, 30, 40))
+    val csof = colorBlob.indexOfSlice(Array(0xff.toByte, 0xc0.toByte))
+    assert(intercept[IllegalArgumentException](
+      Jpeg.parseColor(colorBlob.updated(csof + 1, 0xc2.toByte)))
+      .getMessage.contains("progressive color"))
     // 16-bit quant table: flip the DQT precision nibble
     assert(msgOf(good.updated(markerAt(0xdb) + 4, 0x10.toByte))
       .contains("16-bit quantization"))
@@ -108,6 +116,81 @@ class JpegSpec extends AnyFunSuite with SparkTestBase {
     assert(msgOf(good.take(scanStart + 1)).contains("truncated"))
     // EOI dropped after an otherwise-complete scan
     assert(msgOf(good.dropRight(2)).contains("missing EOI"))
+  }
+
+  // ---- progressive (SOF2, T.81 G.2) ------------------------------------
+
+  test("progressive: DC-only four-scan round trip equals the baseline decode") {
+    for (payload <- Seq(
+        Array[Byte](0, -1, 0, 127, -128, 1, -2, 64),
+        Array.tabulate(256)(i => i.toByte),
+        Array[Byte](42))) {
+      val prog = Jpeg.encodeGrayProgressive(payload)
+      assert(Jpeg.parse(prog) == stats(payload))
+      assert(Jpeg.parse(prog) == Jpeg.parse(Jpeg.encodeGray(payload)))
+      // really a different wire format: SOF2 present, SOF0 absent,
+      // four SOS segments
+      def count(m: Int) = prog.sliding(2).count(s =>
+        (s(0) & 0xff) == 0xff && (s(1) & 0xff) == m)
+      assert(count(0xc2) >= 1 && count(0xc0) == 0 && count(0xda) == 4)
+    }
+  }
+
+  test("progressive: AC scans (EOBn runs, ZRL, refinement bits) ≡ baseline") {
+    def blk(pairs: (Int, Int)*): Array[Int] = {
+      val b = new Array[Int](64)
+      pairs.foreach { case (k, v) => b(k) = v }
+      b
+    }
+    // the adversarial mix: |v|=1 coefficients are INVISIBLE to the AC
+    // first scan at Al=1 (magnitude>>1 == 0) and must appear as
+    // newly-significant in the refinement scan; odd magnitudes need
+    // correction bits; all-zero bands between coded blocks exercise
+    // cross-block EOBn runs; a 20-zero gap exercises ZRL in both scans
+    val blocks = Array(
+      blk(0 -> 10, 1 -> 3, 2 -> -7, 4 -> 1),    // odd + newly-significant
+      blk(),                                     // EOB run member
+      blk(),                                     // EOB run member
+      blk(0 -> -5, 3 -> 2, 5 -> -1, 30 -> 5),   // negative newly-significant
+      blk(0 -> 0, 25 -> 6, 26 -> 1, 63 -> -1),  // tail coefficients
+      blk(0 -> 100, 1 -> 1, 22 -> -3),          // long gap after early ±1
+      blk(),                                     // trailing EOB run
+      blk(0 -> 1))                               // DC-only odd value
+    val prog = Jpeg.encodeBlocksProgressive(blocks.map(_.clone), blocksPerRow = 2)
+    val base = Jpeg.encodeBlocks(blocks.map(_.clone), blocksPerRow = 2)
+    assert(Jpeg.parse(prog) == Jpeg.parse(base))
+  }
+
+  test("progressive ≡ baseline: seeded randomized block property") {
+    // the refinement encoder's bit-pool interactions (EOBn-attached vs
+    // in-block correction bits, ZRL folding) have enough cases that a
+    // seeded sweep earns its keep: 40 corpora of random sparse blocks
+    val rnd = new scala.util.Random(20260816L)
+    for (trial <- 0 until 40) {
+      val n = 1 + rnd.nextInt(12)
+      val blocks = Array.fill(n) {
+        val b = new Array[Int](64)
+        for (_ <- 0 until rnd.nextInt(8))
+          b(rnd.nextInt(64)) = rnd.nextInt(15) - 7
+        b
+      }
+      val p = Jpeg.parse(Jpeg.encodeBlocksProgressive(blocks.map(_.clone), 1))
+      val q = Jpeg.parse(Jpeg.encodeBlocks(blocks.map(_.clone), 1))
+      assert(p == q, s"trial $trial diverged")
+    }
+  }
+
+  test("progressive: hostile streams fail loud by name") {
+    val good = Jpeg.encodeGrayProgressive(Array[Byte](10, 20, 30))
+    def msgOf(blob: Array[Byte]): String =
+      intercept[IllegalArgumentException](Jpeg.parse(blob)).getMessage
+    // torn scan
+    val lastSos = good.lastIndexOfSlice(Array(0xff.toByte, 0xda.toByte))
+    assert(msgOf(good.take(lastSos + 10)).contains("truncated"))
+    // single-component contract: the scan header must cover the component
+    val firstSos = good.indexOfSlice(Array(0xff.toByte, 0xda.toByte))
+    assert(msgOf(good.updated(firstSos + 4, 2.toByte))
+      .contains("single component"))
   }
 
   // ---- color (3-component 4:4:4 YCbCr) --------------------------------
