@@ -2357,6 +2357,32 @@ object SparkEntry {
         Multimodal.jpegColorBlob(px, "doc_id", "__b"), "doc_id", "blob")
     }),
 
+    // PROGRESSIVE COLOR decode, both real-world samplings: the SAME MCUs
+    // as mm_decode_jpeg_color / mm_decode_jpeg420 sent as eight-scan SOF2
+    // progressions — interleaved DC scans over three components, then
+    // per-component AC scans walking each component's OWN plane raster
+    // (which differs from MCU order at 4:2:0 — the load-bearing mapping).
+    // Byte-identical oracles to the baseline queries: the wire format is
+    // the only difference, which is the proof
+    "mm_decode_jpeg_prog_color" -> ((s, dir) => {
+      val px = t(s, dir, "documents")
+        .withColumn("__b", expr("substring(encode(text, 'UTF-8'), 1, 2048)"))
+        .filter(length(col("__b")) >= 1)
+      Multimodal.decodeJpegColor(
+        Multimodal.jpegColorProgressiveBlob(px, "doc_id", "__b"),
+        "doc_id", "blob")
+    }),
+    "mm_decode_jpeg_prog420" -> ((s, dir) => {
+      val px = t(s, dir, "documents")
+        .withColumn("__b0", expr("substring(encode(text, 'UTF-8'), 1, 2048)"))
+        .withColumn("__b",
+          expr("substring(__b0, 1, length(__b0) - pmod(length(__b0), 4))"))
+        .filter(length(col("__b")) >= 4)
+      Multimodal.decodeJpegColor(
+        Multimodal.jpeg420ProgressiveBlob(px, "doc_id", "__b"),
+        "doc_id", "blob")
+    }),
+
     // REAL 4:2:0 JPEG decode WITH restart intervals — the layout virtually
     // all real crawl images use: each 16×16 MCU carries four Y blocks and
     // ONE shared Cb/Cr pair (from the group's first byte), box-upsampled
@@ -4302,6 +4328,42 @@ object SparkEntry {
               THEN $u20::HUGEINT * n < 64::HUGEINT * 1048576
               ELSE $u20::HUGEINT * (2::HUGEINT * n * phi)
                 < 64::HUGEINT * (phi + n * cost) * 1048576 END)"""
+    }
+    // the 4:4:4 color oracle, shared by the baseline and the progressive
+    // decode queries (equality is the point): per payload byte b the
+    // decoded MCU is a flat block with Y=b, Cb-128=b%9-4, Cr-128=b%7-3;
+    // RGB re-derived with the decoder's 16-bit fixed-point BT.601
+    // constants, where >>16 on a signed value is floor division by 65536
+    val jpegColorOracleSql: String = {
+      def conv(e: String) =
+        s"least(255, greatest(0, y + CAST(floor(($e + 32768) / 65536.0) AS INT)))"
+      val r = conv("91881*(y%7-3)")
+      val g = conv("-22554*(y%9-4) - 46802*(y%7-3)")
+      val bb = conv("116130*(y%9-4)")
+      raw"""WITH b AS (SELECT doc_id,
+              regexp_extract_all(substr(hex(encode(text)), 1, 4096), '..') AS by
+              FROM documents WHERE octet_length(encode(text)) >= 1),
+          v AS (SELECT doc_id, list_transform(by, h ->
+              (strpos('0123456789ABCDEF', substr(h, 1, 1)) - 1) * 16
+              + strpos('0123456789ABCDEF', substr(h, 2, 1)) - 1) AS bv
+            FROM b),
+          px AS (SELECT doc_id, len(bv) AS n,
+              list_transform(bv, y -> $r) AS rs,
+              list_transform(bv, y -> $g) AS gs,
+              list_transform(bv, y -> $bb) AS bs
+            FROM v)
+          SELECT doc_id,
+            CAST(8 AS INTEGER) AS width,
+            CAST(8 * n AS INTEGER) AS height,
+            CAST(64 * n AS BIGINT) AS n_px,
+            CAST(64 * list_sum(rs) AS BIGINT) AS sum_r,
+            CAST(64 * list_sum(gs) AS BIGINT) AS sum_g,
+            CAST(64 * list_sum(bs) AS BIGINT) AS sum_b,
+            CAST(greatest(list_aggregate(rs, 'max'),
+              list_aggregate(gs, 'max'),
+              list_aggregate(bs, 'max')) AS INTEGER) AS max_px,
+            printf('%02X%02X%02X', rs[1], gs[1], bs[1]) AS topleft_hex
+          FROM px"""
     }
     // the 4:2:0 oracle, shared verbatim by the sequential and the
     // segment-parallel decode queries (equality is the point)
@@ -6416,42 +6478,17 @@ object SparkEntry {
       // flat block with Y=b, Cb-128=b%9-4, Cr-128=b%7-3; RGB re-derived
       // with the decoder's 16-bit fixed-point BT.601 constants, where
       // >>16 on a signed value is floor division by 65536
-      "mm_decode_jpeg_color" -> {
-        def conv(e: String) =
-          s"least(255, greatest(0, y + CAST(floor(($e + 32768) / 65536.0) AS INT)))"
-        val r = conv("91881*(y%7-3)")
-        val g = conv("-22554*(y%9-4) - 46802*(y%7-3)")
-        val bb = conv("116130*(y%9-4)")
-        raw"""WITH b AS (SELECT doc_id,
-                regexp_extract_all(substr(hex(encode(text)), 1, 4096), '..') AS by
-                FROM documents WHERE octet_length(encode(text)) >= 1),
-            v AS (SELECT doc_id, list_transform(by, h ->
-                (strpos('0123456789ABCDEF', substr(h, 1, 1)) - 1) * 16
-                + strpos('0123456789ABCDEF', substr(h, 2, 1)) - 1) AS bv
-              FROM b),
-            px AS (SELECT doc_id, len(bv) AS n,
-                list_transform(bv, y -> $r) AS rs,
-                list_transform(bv, y -> $g) AS gs,
-                list_transform(bv, y -> $bb) AS bs
-              FROM v)
-            SELECT doc_id,
-              CAST(8 AS INTEGER) AS width,
-              CAST(8 * n AS INTEGER) AS height,
-              CAST(64 * n AS BIGINT) AS n_px,
-              CAST(64 * list_sum(rs) AS BIGINT) AS sum_r,
-              CAST(64 * list_sum(gs) AS BIGINT) AS sum_g,
-              CAST(64 * list_sum(bs) AS BIGINT) AS sum_b,
-              CAST(greatest(list_aggregate(rs, 'max'),
-                list_aggregate(gs, 'max'),
-                list_aggregate(bs, 'max')) AS INTEGER) AS max_px,
-              printf('%02X%02X%02X', rs[1], gs[1], bs[1]) AS topleft_hex
-            FROM px"""
-      },
+      "mm_decode_jpeg_color" -> jpegColorOracleSql,
+      // progressive 4:4:4 ≡ baseline 4:4:4 on the same MCUs
+      "mm_decode_jpeg_prog_color" -> jpegColorOracleSql,
       // the 4:2:0 round-trip: bytes in groups of four — quadrant k of
       // group j is a flat 8×8 with Y = bv[4j+k], chroma shared from the
       // group's FIRST byte; restarts don't change decoded values (DC
       // prediction resets, but the fixture codes absolute DCs per block)
       "mm_decode_jpeg420" -> jpeg420OracleSql,
+      // progressive color ≡ baseline color on the same MCUs — shared
+      // oracles pin the eight-scan decode for both samplings
+      "mm_decode_jpeg_prog420" -> jpeg420OracleSql,
       // the segment-parallel decode is value-identical to the sequential
       // one BY CONTRACT — same oracle, so the gate proves the equivalence
       "mm_decode_jpeg_parallel" -> jpeg420OracleSql,

@@ -70,6 +70,10 @@ object Jpeg {
     .map(_.toByte)
   private val AcBitsP = Array(0, 0, 0, 0, 0, 0, 71, 0, 0, 0, 0, 0, 0, 0, 0, 0)
 
+  /** Chroma progressive AC table: same symbols at 8-bit lengths — the
+    * table-mis-selection tripwire, as in the baseline pair. */
+  private val AcBitsPC = Array(0, 0, 0, 0, 0, 0, 0, 71, 0, 0, 0, 0, 0, 0, 0, 0)
+
   /** Zigzag scan order: zigzag index -> raster index (row*8 + col). */
   private[graft] val Zigzag: Array[Int] = {
     val out = new Array[Int](64)
@@ -273,12 +277,161 @@ object Jpeg {
 
   // ------------------------------------------- progressive encoder (T.81 G)
 
+  /** DC first scan body: DPCM over the point-transformed (arithmetic
+    * shift) DC values, in the given (component, block) order — the order
+    * IS the interleave (per-MCU for color, raster for gray) — with one
+    * predictor per component. */
+  private def progDcFirst(order: Seq[(Int, Array[Int])], nComp: Int,
+                          dcCodes: Array[Map[Int, (Int, Int)]],
+                          al: Int): Array[Byte] = {
+    val bw = new BitWriter
+    val pred = new Array[Int](nComp)
+    for ((ci, b) <- order) {
+      val v = b(0) >> al
+      val diff = v - pred(ci); pred(ci) = v
+      val s = category(diff)
+      val (c, l) = dcCodes(ci)(s); bw.write(c, l)
+      if (s > 0) bw.write(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+    }
+    bw.finish()
+  }
+
+  /** DC refinement scan body: one raw bit (bit Al of the DC) per block,
+    * in the same interleave order as the first DC scan. */
+  private def progDcRefine(order: Seq[(Int, Array[Int])], al: Int): Array[Byte] = {
+    val bw = new BitWriter
+    for ((_, b) <- order) bw.write((b(0) >> al) & 1, 1)
+    bw.finish()
+  }
+
+  /** AC first scan body (one component, blocks in ITS raster order):
+    * truncated magnitudes at Al, zero runs with ZRL, all-zero /
+    * trailing-zero bands folded into cross-block EOBn runs. */
+  private def progAcFirst(blocks: Seq[Array[Int]],
+                          acCodes: Map[Int, (Int, Int)],
+                          ss: Int, se: Int, al: Int): Array[Byte] = {
+    val bw = new BitWriter
+    var eobrun = 0
+    def emitEobrun(): Unit = if (eobrun > 0) {
+      var r = 0
+      while ((eobrun >> (r + 1)) > 0) r += 1
+      val (c, l) = acCodes(r << 4); bw.write(c, l)
+      if (r > 0) bw.write(eobrun - (1 << r), r)
+      eobrun = 0
+    }
+    for (b <- blocks) {
+      val t = Array.tabulate(64) { k =>
+        val m = math.abs(b(k)) >> al
+        if (b(k) < 0) -m else m
+      }
+      val lastNz = (se to ss by -1).find(k => t(k) != 0)
+      lastNz match {
+        case None =>
+          eobrun += 1; if (eobrun == 0x7fff) emitEobrun()
+        case Some(last) =>
+          emitEobrun()
+          var run = 0; var k = ss
+          while (k <= last) {
+            val v = t(k)
+            if (v == 0) run += 1
+            else {
+              while (run >= 16) {
+                val (zc, zl) = acCodes(0xF0); bw.write(zc, zl); run -= 16
+              }
+              val s = category(v)
+              val (c, l) = acCodes((run << 4) | s); bw.write(c, l)
+              bw.write(if (v < 0) v + (1 << s) - 1 else v, s)
+              run = 0
+            }
+            k += 1
+          }
+          if (last < se) { eobrun += 1; if (eobrun == 0x7fff) emitEobrun() }
+      }
+    }
+    emitEobrun()
+    bw.finish()
+  }
+
+  /** AC refinement scan body (one component): newly-significant
+    * coefficients as (run, 1) symbols with sign bits; already-significant
+    * ones as buffered correction bits that flush after the next symbol
+    * (or ride the pending EOBn) — the jcphuff encode_mcu_AC_refine
+    * structure with its BE/BR two-pool split. */
+  private def progAcRefine(blocks: Seq[Array[Int]],
+                           acCodes: Map[Int, (Int, Int)],
+                           ss: Int, se: Int, al: Int): Array[Byte] = {
+    val bw = new BitWriter
+    var eobrun = 0
+    // TWO correction-bit pools: `attached` rides the pending EOB run and
+    // flushes with its EOBn symbol — the decoder consumes those while
+    // refining the run's blocks; `current` holds this block's bits since
+    // the last symbol and flushes after the next in-block symbol (ZRL or
+    // newly-significant) — the decoder consumes those while advancing
+    // past already-significant coefficients. They merge only when the
+    // block joins the EOB run.
+    val attached = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val current = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def flushCurrent(): Unit = { current.foreach(bw.write(_, 1)); current.clear() }
+    def emitEobrun(): Unit = if (eobrun > 0) {
+      var r = 0
+      while ((eobrun >> (r + 1)) > 0) r += 1
+      val (c, l) = acCodes(r << 4); bw.write(c, l)
+      if (r > 0) bw.write(eobrun - (1 << r), r)
+      eobrun = 0
+      attached.foreach(bw.write(_, 1)); attached.clear()
+    }
+    for (b <- blocks) {
+      val mag = Array.tabulate(64)(k => math.abs(b(k)) >> al)
+      val eobIdx = (se to ss by -1).find(k => mag(k) == 1).getOrElse(ss - 1)
+      var r = 0
+      var k = ss
+      while (k <= se) {
+        val temp = mag(k)
+        if (temp == 0) r += 1
+        else {
+          // fold pending zero runs into ZRLs only while another
+          // newly-significant coefficient lies ahead (else they join
+          // the EOB run); each ZRL flushes the correction bits the
+          // decoder will consume while advancing over those 16 zeros
+          while (r > 15 && k <= eobIdx) {
+            emitEobrun()
+            val (zc, zl) = acCodes(0xF0); bw.write(zc, zl)
+            r -= 16
+            flushCurrent()
+          }
+          if (temp > 1) current += (temp & 1) // correction bit only
+          else {
+            emitEobrun()
+            val (c, l) = acCodes((r << 4) | 1); bw.write(c, l)
+            bw.write(if (b(k) < 0) 0 else 1, 1)
+            flushCurrent()
+            r = 0
+          }
+        }
+        k += 1
+      }
+      if (r > 0 || current.nonEmpty) {
+        eobrun += 1
+        attached ++= current; current.clear() // bits join the run
+        if (eobrun == 0x7fff) emitEobrun()
+      }
+    }
+    emitEobrun()
+    bw.finish()
+  }
+
+  private def progSos(comps: Seq[(Int, Int)], ss: Int, se: Int, ah: Int,
+                      al: Int, scan: Array[Byte]): Array[Byte] =
+    seg(0xda, Array(comps.length.toByte) ++
+      comps.flatMap { case (id, tbl) => Seq(id.toByte, tbl.toByte) } ++
+      Array[Byte](ss.toByte, se.toByte, ((ah << 4) | al).toByte)) ++ scan
+
   /** PROGRESSIVE fixture encoder: the same quantized zigzag blocks as
     * [[encodeBlocks]], sent as the canonical FOUR-scan progression —
     * DC first (Al=1), AC first (band 1..63, Al=1), DC refinement, AC
     * refinement — through a real SOF2 stream with EOBn run coding and
-    * buffered correction bits (the jcphuff structure). Decoding it must
-    * reproduce [[encodeBlocks]]' pixels exactly. */
+    * buffered correction bits. Decoding it must reproduce
+    * [[encodeBlocks]]' pixels exactly. */
   private[graft] def encodeBlocksProgressive(blocks: Array[Array[Int]],
                                              blocksPerRow: Int): Array[Byte] = {
     require(blocks.nonEmpty, "need at least one block")
@@ -287,144 +440,9 @@ object Jpeg {
     val w = 8 * blocksPerRow
     val h = 8 * (blocks.length / blocksPerRow)
     require(w <= 0xffff && h <= 0xffff, "image dims exceed 16 bits")
-    val dcCodes = canonical(DcBits, DcVals)
+    val dcCodes = Array(canonical(DcBits, DcVals))
     val acCodes = canonical(AcBitsP, AcValsP)
-
-    def sos(ss: Int, se: Int, ah: Int, al: Int, scan: Array[Byte]) =
-      seg(0xda, Array[Byte](1, 1, 0x00, ss.toByte, se.toByte,
-        ((ah << 4) | al).toByte)) ++ scan
-
-    // scan 1: DC first — DPCM over the point-transformed (arithmetic
-    // shift) DC values
-    def dcFirst(al: Int): Array[Byte] = {
-      val bw = new BitWriter
-      var pred = 0
-      for (b <- blocks) {
-        val v = b(0) >> al
-        val diff = v - pred; pred = v
-        val s = category(diff)
-        val (c, l) = dcCodes(s); bw.write(c, l)
-        if (s > 0) bw.write(if (diff < 0) diff + (1 << s) - 1 else diff, s)
-      }
-      bw.finish()
-    }
-
-    // scan 3: DC refinement — one raw bit (bit Al of the DC) per block
-    def dcRefine(al: Int): Array[Byte] = {
-      val bw = new BitWriter
-      for (b <- blocks) bw.write((b(0) >> al) & 1, 1)
-      bw.finish()
-    }
-
-    // scan 2: AC first — truncated magnitudes at Al, zero runs with ZRL,
-    // all-zero/trailing-zero bands folded into cross-block EOBn runs
-    def acFirst(ss: Int, se: Int, al: Int): Array[Byte] = {
-      val bw = new BitWriter
-      var eobrun = 0
-      def emitEobrun(): Unit = if (eobrun > 0) {
-        var r = 0
-        while ((eobrun >> (r + 1)) > 0) r += 1
-        val (c, l) = acCodes(r << 4); bw.write(c, l)
-        if (r > 0) bw.write(eobrun - (1 << r), r)
-        eobrun = 0
-      }
-      for (b <- blocks) {
-        val t = Array.tabulate(64) { k =>
-          val m = math.abs(b(k)) >> al
-          if (b(k) < 0) -m else m
-        }
-        val lastNz = (se to ss by -1).find(k => t(k) != 0)
-        lastNz match {
-          case None =>
-            eobrun += 1; if (eobrun == 0x7fff) emitEobrun()
-          case Some(last) =>
-            emitEobrun()
-            var run = 0; var k = ss
-            while (k <= last) {
-              val v = t(k)
-              if (v == 0) run += 1
-              else {
-                while (run >= 16) {
-                  val (zc, zl) = acCodes(0xF0); bw.write(zc, zl); run -= 16
-                }
-                val s = category(v)
-                val (c, l) = acCodes((run << 4) | s); bw.write(c, l)
-                bw.write(if (v < 0) v + (1 << s) - 1 else v, s)
-                run = 0
-              }
-              k += 1
-            }
-            if (last < se) { eobrun += 1; if (eobrun == 0x7fff) emitEobrun() }
-        }
-      }
-      emitEobrun()
-      bw.finish()
-    }
-
-    // scan 4: AC refinement — newly-significant coefficients as (run, 1)
-    // symbols with sign bits; already-significant ones as buffered
-    // correction bits that flush after the next symbol (or ride the
-    // pending EOBn) — the jcphuff encode_mcu_AC_refine structure
-    def acRefine(ss: Int, se: Int, al: Int): Array[Byte] = {
-      val bw = new BitWriter
-      var eobrun = 0
-      // TWO correction-bit pools (the jcphuff BE/BR split): `attached`
-      // rides the pending EOB run and flushes with its EOBn symbol — the
-      // decoder consumes those while refining the run's blocks; `current`
-      // holds this block's bits since the last symbol and flushes after
-      // the next in-block symbol (ZRL or newly-significant) — the decoder
-      // consumes those while advancing past already-significant
-      // coefficients. They merge only when the block joins the EOB run.
-      val attached = scala.collection.mutable.ArrayBuffer.empty[Int]
-      val current = scala.collection.mutable.ArrayBuffer.empty[Int]
-      def flushCurrent(): Unit = { current.foreach(bw.write(_, 1)); current.clear() }
-      def emitEobrun(): Unit = if (eobrun > 0) {
-        var r = 0
-        while ((eobrun >> (r + 1)) > 0) r += 1
-        val (c, l) = acCodes(r << 4); bw.write(c, l)
-        if (r > 0) bw.write(eobrun - (1 << r), r)
-        eobrun = 0
-        attached.foreach(bw.write(_, 1)); attached.clear()
-      }
-      for (b <- blocks) {
-        val mag = Array.tabulate(64)(k => math.abs(b(k)) >> al)
-        val eobIdx = (se to ss by -1).find(k => mag(k) == 1).getOrElse(ss - 1)
-        var r = 0
-        var k = ss
-        while (k <= se) {
-          val temp = mag(k)
-          if (temp == 0) r += 1
-          else {
-            // fold pending zero runs into ZRLs only while another
-            // newly-significant coefficient lies ahead (else they join
-            // the EOB run); each ZRL flushes the correction bits the
-            // decoder will consume while advancing over those 16 zeros
-            while (r > 15 && k <= eobIdx) {
-              emitEobrun()
-              val (zc, zl) = acCodes(0xF0); bw.write(zc, zl)
-              r -= 16
-              flushCurrent()
-            }
-            if (temp > 1) current += (temp & 1) // correction bit only
-            else {
-              emitEobrun()
-              val (c, l) = acCodes((r << 4) | 1); bw.write(c, l)
-              bw.write(if (b(k) < 0) 0 else 1, 1)
-              flushCurrent()
-              r = 0
-            }
-          }
-          k += 1
-        }
-        if (r > 0 || current.nonEmpty) {
-          eobrun += 1
-          attached ++= current; current.clear() // bits join the run
-          if (eobrun == 0x7fff) emitEobrun()
-        }
-      }
-      emitEobrun()
-      bw.finish()
-    }
+    val order = blocks.toSeq.map(b => (0, b))
 
     val out = new java.io.ByteArrayOutputStream()
     out.write(Array(0xff, 0xd8).map(_.toByte)) // SOI
@@ -435,10 +453,12 @@ object Jpeg {
       (h >>> 8).toByte, (h & 0xff).toByte, (w >>> 8).toByte, (w & 0xff).toByte,
       1, 1, 0x11, 0)))
     out.write(seg(0xc4, dht(0, 0, DcBits, DcVals) ++ dht(1, 0, AcBitsP, AcValsP)))
-    out.write(sos(0, 0, 0, 1, dcFirst(1)))
-    out.write(sos(1, 63, 0, 1, acFirst(1, 63, 1)))
-    out.write(sos(0, 0, 1, 0, dcRefine(0)))
-    out.write(sos(1, 63, 1, 0, acRefine(1, 63, 0)))
+    out.write(progSos(Seq(1 -> 0x00), 0, 0, 0, 1, progDcFirst(order, 1, dcCodes, 1)))
+    out.write(progSos(Seq(1 -> 0x00), 1, 63, 0, 1,
+      progAcFirst(blocks.toSeq, acCodes, 1, 63, 1)))
+    out.write(progSos(Seq(1 -> 0x00), 0, 0, 1, 0, progDcRefine(order, 0)))
+    out.write(progSos(Seq(1 -> 0x00), 1, 63, 1, 0,
+      progAcRefine(blocks.toSeq, acCodes, 1, 63, 0)))
     out.write(Array(0xff, 0xd9).map(_.toByte)) // EOI
     out.toByteArray
   }
@@ -454,6 +474,119 @@ object Jpeg {
       blk
     }.toArray, blocksPerRow = 1)
   }
+
+  /** COLOR-progressive stream writer: SOF2 with Y at `ySamp` and 1×1
+    * chroma, the canonical EIGHT-scan progression — interleaved DC
+    * first/refinement over all three components (per-MCU block order,
+    * three predictors), then per-component AC first/refinement (AC scans
+    * are NON-interleaved by T.81's rule, each walking its component's
+    * OWN plane raster — which differs from MCU order at 4:2:0, so the
+    * order mapping is load-bearing). Separate luma/chroma quant AND
+    * Huffman tables at different code lengths, like the baseline pair. */
+  private def encodeColorStreamProgressive(y: Array[Array[Array[Int]]],
+      cb: Array[Array[Int]], cr: Array[Array[Int]], mcusPerRow: Int,
+      ySamp: Int): Array[Byte] = {
+    require(y.nonEmpty, "need at least one MCU")
+    require(y.length == cb.length && y.length == cr.length,
+      "Y/Cb/Cr MCU counts must match")
+    require(mcusPerRow > 0 && y.length % mcusPerRow == 0,
+      "MCU count must be a whole number of rows")
+    val mcuPx = if (ySamp == 0x22) 16 else 8
+    val w = mcuPx * mcusPerRow
+    val h = mcuPx * (y.length / mcusPerRow)
+    require(w <= 0xffff && h <= 0xffff, "image dims exceed 16 bits")
+    val hY = ySamp >> 4; val vY = ySamp & 0x0f
+    val nMcuRows = y.length / mcusPerRow
+    // Y blocks re-ordered into the Y PLANE's raster for the AC scans
+    val gw = mcusPerRow * hY
+    val yRaster = new Array[Array[Int]](gw * nMcuRows * vY)
+    for (i <- y.indices; b <- y(i).indices) {
+      val col = (i % mcusPerRow) * hY + b % hY
+      val row = (i / mcusPerRow) * vY + b / hY
+      yRaster(row * gw + col) = y(i)(b)
+    }
+    // interleaved DC order: per MCU — Y block(s) raster, then Cb, Cr
+    val order: Seq[(Int, Array[Int])] = y.indices.flatMap(i =>
+      y(i).toSeq.map(b => (0, b)) ++ Seq((1, cb(i)), (2, cr(i))))
+    val dcCodes = Array(canonical(DcBits, DcVals),
+      canonical(DcBitsC, DcVals), canonical(DcBitsC, DcVals))
+    val acY = canonical(AcBitsP, AcValsP)
+    val acC = canonical(AcBitsPC, AcValsP)
+    val all = Seq(1 -> 0x00, 2 -> 0x11, 3 -> 0x11)
+
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0xff, 0xd8).map(_.toByte)) // SOI
+    out.write(seg(0xe0, "JFIF".getBytes("US-ASCII") ++
+      Array[Byte](0, 1, 1, 0, 0, 1, 0, 1, 0, 0)))
+    out.write(seg(0xdb, Array(0x00.toByte) ++ QuantZig.map(_.toByte) ++
+      Array(0x01.toByte) ++ QuantZigC.map(_.toByte)))
+    out.write(seg(0xc2, Array[Byte](8,
+      (h >>> 8).toByte, (h & 0xff).toByte, (w >>> 8).toByte, (w & 0xff).toByte,
+      3,
+      1, ySamp.toByte, 0,
+      2, 0x11, 1,
+      3, 0x11, 1)))
+    out.write(seg(0xc4,
+      dht(0, 0, DcBits, DcVals) ++ dht(1, 0, AcBitsP, AcValsP) ++
+      dht(0, 1, DcBitsC, DcVals) ++ dht(1, 1, AcBitsPC, AcValsP)))
+    out.write(progSos(all, 0, 0, 0, 1, progDcFirst(order, 3, dcCodes, 1)))
+    out.write(progSos(Seq(1 -> 0x00), 1, 63, 0, 1,
+      progAcFirst(yRaster.toSeq, acY, 1, 63, 1)))
+    out.write(progSos(Seq(2 -> 0x11), 1, 63, 0, 1,
+      progAcFirst(cb.toSeq, acC, 1, 63, 1)))
+    out.write(progSos(Seq(3 -> 0x11), 1, 63, 0, 1,
+      progAcFirst(cr.toSeq, acC, 1, 63, 1)))
+    out.write(progSos(all, 0, 0, 1, 0, progDcRefine(order, 0)))
+    out.write(progSos(Seq(1 -> 0x00), 1, 63, 1, 0,
+      progAcRefine(yRaster.toSeq, acY, 1, 63, 0)))
+    out.write(progSos(Seq(2 -> 0x11), 1, 63, 1, 0,
+      progAcRefine(cb.toSeq, acC, 1, 63, 0)))
+    out.write(progSos(Seq(3 -> 0x11), 1, 63, 1, 0,
+      progAcRefine(cr.toSeq, acC, 1, 63, 0)))
+    out.write(Array(0xff, 0xd9).map(_.toByte)) // EOI
+    out.toByteArray
+  }
+
+  /** Progressive twin of [[encodeColor]] — same 4:4:4 DC-only MCUs, same
+    * decoded pixels, eight-scan SOF2 wire format. */
+  def encodeColorProgressive(payload: Array[Byte]): Array[Byte] = {
+    require(payload.nonEmpty && payload.length <= 8191,
+      "payload must be 1..8191 bytes (height is 16-bit)")
+    def dcBlock(v: Int): Array[Int] = {
+      val blk = new Array[Int](64); blk(0) = v; blk
+    }
+    val bv = payload.map(_ & 0xff)
+    encodeColorStreamProgressive(
+      bv.map(b => Array(dcBlock(b - 128))),
+      bv.map(b => dcBlock(b % 9 - 4)),
+      bv.map(b => dcBlock(b % 7 - 3)),
+      mcusPerRow = 1, ySamp = 0x11)
+  }
+
+  /** Progressive twin of [[encodeColor420]] — same 16×16 shared-chroma
+    * MCUs, same decoded pixels, eight-scan SOF2 wire format. */
+  def encodeColor420Progressive(payload: Array[Byte]): Array[Byte] = {
+    require(payload.nonEmpty && payload.length % 4 == 0 &&
+      payload.length <= 16380,
+      "payload must be a positive multiple of 4 bytes (4 per 16x16 MCU)")
+    def dcBlock(v: Int): Array[Int] = {
+      val blk = new Array[Int](64); blk(0) = v; blk
+    }
+    val groups = payload.map(_ & 0xff).grouped(4).toArray
+    encodeColorStreamProgressive(
+      groups.map(g => g.map(b => dcBlock(b - 128))),
+      groups.map(g => dcBlock(g(0) % 9 - 4)),
+      groups.map(g => dcBlock(g(0) % 7 - 3)),
+      mcusPerRow = 1, ySamp = 0x22)
+  }
+
+  /** Spec seam: color-progressive encoder over explicit block arrays
+    * (the AC-bearing fixtures), 4:4:4 (`ySamp=0x11`, one Y per MCU) or
+    * 4:2:0 (`ySamp=0x22`, four Y per MCU). */
+  private[graft] def encodeColorBlocksProgressive(y: Array[Array[Array[Int]]],
+      cb: Array[Array[Int]], cr: Array[Array[Int]], mcusPerRow: Int,
+      ySamp: Int): Array[Byte] =
+    encodeColorStreamProgressive(y, cb, cr, mcusPerRow, ySamp)
 
   /** 4:4:4 COLOR fixture encoder: parallel Y/Cb/Cr block arrays (each a
     * 64-entry zigzag coefficient block), one of each per MCU. */
@@ -759,7 +892,7 @@ object Jpeg {
   }
 
   private def parseStream(blob: Array[Byte]): Either[JpegInfo, JpegColorInfo] = {
-    if (isProgressive(blob)) Left(parseProgressiveGray(blob))
+    if (isProgressive(blob)) parseProgressive(blob)
     else {
       val p = walkHeaders(blob)
       if (p.nComp == 1)
@@ -799,15 +932,30 @@ object Jpeg {
     p
   }
 
-  /** PROGRESSIVE (SOF2) single-component decode — the complete T.81 G.2
-    * successive-approximation algorithm: the coefficient state persists
-    * across scans; DC first scans DPCM the point-transformed DCs, DC
-    * refinement scans append one raw bit per block, AC first scans code
-    * truncated magnitudes for one spectral band with cross-block EOBn
-    * runs, and AC refinement scans interleave newly-significant
-    * coefficients with correction bits for already-significant ones.
-    * Color progressive (3 components) throws by name. */
-  private def parseProgressiveGray(blob: Array[Byte]): JpegInfo = {
+  /** One progressive component's geometry + coefficient state: the block
+    * grid is PADDED to whole MCUs (gw×gh — interleaved DC scans address
+    * it), while non-interleaved AC scans walk only the REAL bwN×bhN
+    * raster of ceil-scaled component dims. */
+  private final class ProgComp(val h: Int, val v: Int, val quantId: Int,
+                               width: Int, height: Int,
+                               maxH: Int, maxV: Int, nMcuX: Int, nMcuY: Int) {
+    val gw: Int = nMcuX * h
+    val gh: Int = nMcuY * v
+    val bwN: Int = ((width * h + maxH - 1) / maxH + 7) / 8
+    val bhN: Int = ((height * v + maxV - 1) / maxV + 7) / 8
+    val blocks: Array[Array[Int]] = Array.fill(gw * gh)(new Array[Int](64))
+  }
+
+  /** PROGRESSIVE (SOF2) decode — the complete T.81 G.2 successive-
+    * approximation algorithm: coefficient state persists across scans;
+    * DC scans (interleaved over the scan's components, per-component
+    * predictors) DPCM the point-transformed DCs and then refine with raw
+    * bits; AC scans (non-interleaved, one component, its own plane
+    * raster) code truncated magnitudes per spectral band with
+    * cross-block EOBn runs and then refine with correction bits.
+    * Grayscale, 4:4:4 and 4:2:0 color layouts are supported — the same
+    * set the baseline path accepts. */
+  private def parseProgressive(blob: Array[Byte]): Either[JpegInfo, JpegColorInfo] = {
     require(blob.length >= 4 && (blob(0) & 0xff) == 0xff &&
       (blob(1) & 0xff) == 0xd8, "not a JPEG: missing SOI")
     def u16(o: Int): Int = ((blob(o) & 0xff) << 8) | (blob(o + 1) & 0xff)
@@ -818,8 +966,10 @@ object Jpeg {
     val acTables = new Array[HuffTable](4)
     var restartInterval = 0
     var sofSeen = false
-    var compQuantId = 0
-    var blocks: Array[Array[Int]] = null // zigzag-index coefficient state
+    var nComp = 0
+    var compIds: Array[Int] = null
+    var comps: Array[ProgComp] = null
+    var nMcuX = 0; var nMcuY = 0
     var done = false
     while (!done) {
       require(pos + 1 < blob.length, "truncated before EOI")
@@ -839,17 +989,28 @@ object Jpeg {
           require(blob(pos + 2) == 8, "only 8-bit precision supported")
           height = u16(pos + 3); width = u16(pos + 5)
           require(width >= 1 && height >= 1, "dims out of range")
-          val nComp = blob(pos + 7) & 0xff
-          require(nComp == 1,
-            s"progressive color JPEG ($nComp components) not supported — " +
-              "single-component (grayscale) progressive only")
+          nComp = blob(pos + 7) & 0xff
+          require(nComp == 1 || nComp == 3,
+            s"only single-component (grayscale) or 3-component (YCbCr) " +
+              s"progressive supported, got $nComp")
           require(len == 8 + 3 * nComp,
             "SOF2 length does not match its component count")
-          require((blob(pos + 9) & 0xff) == 0x11,
-            "progressive component must be 1x1 sampled")
-          compQuantId = blob(pos + 10) & 0xff
-          blocks = Array.fill(((width + 7) / 8) * ((height + 7) / 8))(
-            new Array[Int](64))
+          compIds = Array.tabulate(nComp)(c => blob(pos + 8 + 3 * c) & 0xff)
+          val samp = Array.tabulate(nComp)(c => blob(pos + 9 + 3 * c) & 0xff)
+          val layout = samp.toSeq
+          require(layout == Seq(0x11) || layout == Seq(0x11, 0x11, 0x11) ||
+              layout == Seq(0x22, 0x11, 0x11),
+            layout.map(s => f"0x$s%02X").mkString(
+              "unsupported progressive sampling layout [", ", ",
+              "] (only 1x1 [4:4:4] and Y=2x2 [4:2:0] supported)"))
+          val maxH = samp.map(s => (s >> 4) & 0x0f).max
+          val maxV = samp.map(s => s & 0x0f).max
+          nMcuX = (width + 8 * maxH - 1) / (8 * maxH)
+          nMcuY = (height + 8 * maxV - 1) / (8 * maxV)
+          comps = Array.tabulate(nComp)(c => new ProgComp(
+            (samp(c) >> 4) & 0x0f, samp(c) & 0x0f,
+            blob(pos + 10 + 3 * c) & 0xff,
+            width, height, maxH, maxV, nMcuX, nMcuY))
           sofSeen = true
           pos += len
         case 0xdd =>
@@ -884,74 +1045,186 @@ object Jpeg {
         case 0xda =>
           require(sofSeen, "SOS before SOF2")
           val len = u16(pos)
-          require((blob(pos + 2) & 0xff) == 1,
-            "progressive scan must cover the single component")
-          val dcId = (blob(pos + 4) & 0xff) >> 4
-          val acId = blob(pos + 4) & 0x0f
-          val ss = blob(pos + 5) & 0xff
-          val se = blob(pos + 6) & 0xff
-          val ah = (blob(pos + 7) & 0xff) >> 4
-          val al = blob(pos + 7) & 0x0f
+          val ns = blob(pos + 2) & 0xff
+          require(ns >= 1 && ns <= nComp,
+            s"scan component count $ns out of range" +
+              (if (nComp == 1) " — progressive scan must cover the single component"
+               else ""))
+          // map scan component ids to frame indices, frame order enforced
+          val scanComps = new Array[Int](ns)
+          val scanDc = new Array[Int](ns)
+          val scanAc = new Array[Int](ns)
+          var c = 0
+          while (c < ns) {
+            val id = blob(pos + 3 + 2 * c) & 0xff
+            val ci = compIds.indexOf(id)
+            require(ci >= 0, s"scan references unknown component id $id")
+            require(c == 0 || ci > scanComps(c - 1),
+              "scan components must follow frame order")
+            scanComps(c) = ci
+            scanDc(c) = (blob(pos + 4 + 2 * c) & 0xff) >> 4
+            scanAc(c) = blob(pos + 4 + 2 * c) & 0x0f
+            c += 1
+          }
+          val o = pos + 3 + 2 * ns
+          val ss = blob(o) & 0xff
+          val se = blob(o + 1) & 0xff
+          val ah = (blob(o + 2) & 0xff) >> 4
+          val al = blob(o + 2) & 0x0f
           require((ss == 0 && se == 0) || (ss >= 1 && se >= ss && se <= 63),
             s"bad spectral band $ss..$se")
           require(ah == 0 || ah == al + 1,
             s"bad successive approximation Ah=$ah Al=$al")
-          val dcT = dcTables(dcId)
-          val acT = acTables(acId)
-          require(ss != 0 || ah != 0 || dcT != null,
-            "DC scan references missing DHT")
-          require(ss == 0 || acT != null, "AC scan references missing DHT")
+          require(ss == 0 || ns == 1,
+            "AC scans must be non-interleaved (one component)")
           val br = new BitReader(blob, pos + len)
-          decodeProgScan(br, blocks, dcT, acT, ss, se, ah, al,
-            restartInterval)
+          if (ns > 1) {
+            // interleaved DC scan over the scan's components
+            val dcTs = scanComps.indices.map { i =>
+              val t = dcTables(scanDc(i))
+              require(ah != 0 || t != null, "DC scan references missing DHT")
+              t
+            }.toArray
+            decodeProgScanDc(br, comps, scanComps, dcTs, nMcuX,
+              nMcuX * nMcuY, ah, al, restartInterval)
+          } else {
+            // non-interleaved: one component, its own block raster
+            val cp = comps(scanComps(0))
+            val dcT = dcTables(scanDc(0))
+            val acT = acTables(scanAc(0))
+            require(ss != 0 || ah != 0 || dcT != null,
+              "DC scan references missing DHT")
+            require(ss == 0 || acT != null, "AC scan references missing DHT")
+            decodeProgScan(br,
+              cp.bwN * cp.bhN,
+              i => cp.blocks((i / cp.bwN) * cp.gw + (i % cp.bwN)),
+              dcT, acT, ss, se, ah, al, restartInterval)
+          }
           pos = nextMarkerPos(blob, br.bytePos)
         case _ => pos += u16(pos) // APPn/COM: skip by length
       }
     }
     require(sofSeen, "missing SOF2")
-    val q = quant(compQuantId)
-    require(q != null, "frame references missing DQT")
-
-    // all scans applied: dequantize + IDCT + statistics, exactly like the
-    // baseline path
-    val bw = (width + 7) / 8
-    val bh = (height + 7) / 8
-    var nPx = 0L; var sum = 0L; var sq = 0L; var mx = 0; var mn = 255
-    var topLeftHex = ""
-    val coef = new Array[Int](64)
-    var by = 0
-    while (by < bh) {
-      var bx = 0
-      while (bx < bw) {
-        val blk = blocks(by * bw + bx)
-        var k = 0
-        while (k < 64) { coef(Zigzag(k)) = blk(k) * q(k); k += 1 }
-        val px = idct(coef)
-        val xMax = math.min(8, width - bx * 8)
-        val yMax = math.min(8, height - by * 8)
-        var yy = 0
-        while (yy < yMax) {
-          var xx = 0
-          while (xx < xMax) {
-            val v = px(yy * 8 + xx)
-            nPx += 1; sum += v; sq += v.toLong * v
-            if (v > mx) mx = v
-            if (v < mn) mn = v
-            xx += 1
-          }
-          yy += 1
-        }
-        if (bx == 0 && by == 0) topLeftHex = f"${px(0)}%02X"
-        bx += 1
-      }
-      by += 1
+    val qs = comps.map { cp =>
+      val q = quant(cp.quantId)
+      require(q != null, "frame references missing DQT")
+      q
     }
-    JpegInfo(width, height, nPx, sum, sq, mx, mn, topLeftHex)
+
+    if (nComp == 1) {
+      // dequantize + IDCT + statistics, exactly like the baseline path
+      val cp = comps(0)
+      val q = qs(0)
+      var nPx = 0L; var sum = 0L; var sq = 0L; var mx = 0; var mn = 255
+      var topLeftHex = ""
+      val coef = new Array[Int](64)
+      var by = 0
+      while (by < cp.bhN) {
+        var bx = 0
+        while (bx < cp.bwN) {
+          val blk = cp.blocks(by * cp.gw + bx)
+          var k = 0
+          while (k < 64) { coef(Zigzag(k)) = blk(k) * q(k); k += 1 }
+          val px = idct(coef)
+          val xMax = math.min(8, width - bx * 8)
+          val yMax = math.min(8, height - by * 8)
+          var yy = 0
+          while (yy < yMax) {
+            var xx = 0
+            while (xx < xMax) {
+              val v = px(yy * 8 + xx)
+              nPx += 1; sum += v; sq += v.toLong * v
+              if (v > mx) mx = v
+              if (v < mn) mn = v
+              xx += 1
+            }
+            yy += 1
+          }
+          if (bx == 0 && by == 0) topLeftHex = f"${px(0)}%02X"
+          bx += 1
+        }
+        by += 1
+      }
+      Left(JpegInfo(width, height, nPx, sum, sq, mx, mn, topLeftHex))
+    } else {
+      // color: per MCU, IDCT each component's blocks into a ScanComp
+      // holder and fold the pixels through the SAME box-upsample +
+      // BT.601 path as the baseline decode
+      val holders = comps.map(cp =>
+        new ScanComp(cp.h, cp.v, null, null, null))
+      val acc = new ColorAcc
+      val coef = new Array[Int](64)
+      var mcu = 0
+      val nMcu = nMcuX * nMcuY
+      while (mcu < nMcu) {
+        val mx = mcu % nMcuX
+        val my = mcu / nMcuX
+        var c = 0
+        while (c < comps.length) {
+          val cp = comps(c)
+          var b = 0
+          while (b < cp.h * cp.v) {
+            val col = mx * cp.h + b % cp.h
+            val row = my * cp.v + b / cp.h
+            val blk = cp.blocks(row * cp.gw + col)
+            var k = 0
+            while (k < 64) { coef(Zigzag(k)) = blk(k) * qs(c)(k); k += 1 }
+            holders(c).blocks(b) = idct(coef)
+            b += 1
+          }
+          c += 1
+        }
+        accumulateMcu(holders, mx, my, width, height, acc)
+        mcu += 1
+      }
+      Right(JpegColorInfo(width, height, acc.nPx, acc.sumR, acc.sumG,
+        acc.sumB, acc.mx, acc.topLeftHex))
+    }
   }
 
-  /** Apply ONE progressive scan to the persistent coefficient state.
+  /** Interleaved progressive DC scan: per MCU, per scan component, h·v
+    * blocks in raster order — per-component predictors, restart resets. */
+  private def decodeProgScanDc(br: BitReader, comps: Array[ProgComp],
+      scanComps: Array[Int], dcTs: Array[HuffTable], nMcuX: Int, nMcu: Int,
+      ah: Int, al: Int, restartInterval: Int): Unit = {
+    val pred = new Array[Int](comps.length)
+    val p1 = 1 << al
+    var mcu = 0
+    while (mcu < nMcu) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        br.expectRestart((mcu / restartInterval - 1) & 7)
+        java.util.Arrays.fill(pred, 0)
+      }
+      val mx = mcu % nMcuX
+      val my = mcu / nMcuX
+      var i = 0
+      while (i < scanComps.length) {
+        val ci = scanComps(i)
+        val cp = comps(ci)
+        var b = 0
+        while (b < cp.h * cp.v) {
+          val col = mx * cp.h + b % cp.h
+          val row = my * cp.v + b / cp.h
+          val coef = cp.blocks(row * cp.gw + col)
+          if (ah == 0) {
+            val s = dcTs(i).decode(br)
+            require(s <= 11, s"DC size category $s out of range")
+            pred(ci) += extend(br.readBits(s), s)
+            coef(0) = pred(ci) << al
+          } else if (br.readBit() == 1) coef(0) |= p1
+          b += 1
+        }
+        i += 1
+      }
+      mcu += 1
+    }
+  }
+
+  /** Apply ONE non-interleaved progressive scan (single component) to the
+    * persistent coefficient state, blocks addressed through `blockAt`.
     * Restart markers reset the DC predictor AND the EOB run. */
-  private def decodeProgScan(br: BitReader, blocks: Array[Array[Int]],
+  private def decodeProgScan(br: BitReader, nBlocks: Int,
+      blockAt: Int => Array[Int],
       dcT: HuffTable, acT: HuffTable, ss: Int, se: Int, ah: Int, al: Int,
       restartInterval: Int): Unit = {
     var pred = 0
@@ -960,12 +1233,12 @@ object Jpeg {
     val p1 = 1 << al
     val m1 = -(1 << al)
     var bi = 0
-    while (bi < blocks.length) {
+    while (bi < nBlocks) {
       if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
         br.expectRestart((mcu / restartInterval - 1) & 7)
         pred = 0; eobrun = 0
       }
-      val coef = blocks(bi)
+      val coef = blockAt(bi)
       if (ss == 0) {
         if (ah == 0) { // DC first: DPCM over point-transformed DCs
           val s = dcT.decode(br)
@@ -1344,31 +1617,44 @@ object Jpeg {
         }
         c += 1
       }
-      val xMax = math.min(mcuW, width - bx * mcuW)
-      val yMax = math.min(mcuH, height - by * mcuH)
-      var yy = 0
-      while (yy < yMax) {
-        var xx = 0
-        while (xx < xMax) {
-          val y = comps(0).sample(xx, yy, maxH, maxV)
-          val cb = comps(1).sample(xx, yy, maxH, maxV) - 128
-          val cr = comps(2).sample(xx, yy, maxH, maxV) - 128
-          val r = clampPx(y + ((FixCrR * cr + 32768) >> 16))
-          val g = clampPx(y + ((FixCbG * cb + FixCrG * cr + 32768) >> 16))
-          val b = clampPx(y + ((FixCbB * cb + 32768) >> 16))
-          acc.nPx += 1; acc.sumR += r; acc.sumG += g; acc.sumB += b
-          if (r > acc.mx) acc.mx = r
-          if (g > acc.mx) acc.mx = g
-          if (b > acc.mx) acc.mx = b
-          if (bx == 0 && by == 0 && xx == 0 && yy == 0)
-            acc.topLeftHex = f"$r%02X$g%02X$b%02X"
-          xx += 1
-        }
-        yy += 1
-      }
+      accumulateMcu(comps, bx, by, width, height, acc)
       i += 1
     }
     br.bytePos
+  }
+
+  /** Fold one decoded MCU's in-bounds pixels (each component's pixel
+    * blocks sit in its [[ScanComp.blocks]]) into the channel accumulator
+    * — box upsample via [[ScanComp.sample]] + fixed-point BT.601. Shared
+    * by the baseline interleaved decode and the progressive finalizer. */
+  private def accumulateMcu(comps: Array[ScanComp], bx: Int, by: Int,
+                            width: Int, height: Int, acc: ColorAcc): Unit = {
+    val maxH = comps.map(_.hs).max
+    val maxV = comps.map(_.vs).max
+    val mcuW = 8 * maxH
+    val mcuH = 8 * maxV
+    val xMax = math.min(mcuW, width - bx * mcuW)
+    val yMax = math.min(mcuH, height - by * mcuH)
+    var yy = 0
+    while (yy < yMax) {
+      var xx = 0
+      while (xx < xMax) {
+        val y = comps(0).sample(xx, yy, maxH, maxV)
+        val cb = comps(1).sample(xx, yy, maxH, maxV) - 128
+        val cr = comps(2).sample(xx, yy, maxH, maxV) - 128
+        val r = clampPx(y + ((FixCrR * cr + 32768) >> 16))
+        val g = clampPx(y + ((FixCbG * cb + FixCrG * cr + 32768) >> 16))
+        val b = clampPx(y + ((FixCbB * cb + 32768) >> 16))
+        acc.nPx += 1; acc.sumR += r; acc.sumG += g; acc.sumB += b
+        if (r > acc.mx) acc.mx = r
+        if (g > acc.mx) acc.mx = g
+        if (b > acc.mx) acc.mx = b
+        if (bx == 0 && by == 0 && xx == 0 && yy == 0)
+          acc.topLeftHex = f"$r%02X$g%02X$b%02X"
+        xx += 1
+      }
+      yy += 1
+    }
   }
 
   /** Validate the byte-aligned restart marker RST`n` at `pos`; returns

@@ -502,6 +502,33 @@ object Multimodal {
       .toDF(idCol, "blob")
   }
 
+  /** Progressive twins of [[jpegColorBlob]]/[[jpeg420Blob]]: same MCUs,
+    * eight-scan SOF2 wire format ([[Jpeg.encodeColorProgressive]] /
+    * [[Jpeg.encodeColor420Progressive]]). */
+  def jpegColorProgressiveBlob(df: DataFrame, idCol: String,
+                               payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    graft.ops.Par.ensure(df.select(col(idCol).cast("long"), col(payloadCol)))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) =>
+        (id, Jpeg.encodeColorProgressive(p))
+      })
+      .toDF(idCol, "blob")
+  }
+
+  def jpeg420ProgressiveBlob(df: DataFrame, idCol: String,
+                             payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    graft.ops.Par.ensure(df.select(col(idCol).cast("long"), col(payloadCol)))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) =>
+        (id, Jpeg.encodeColor420Progressive(p))
+      })
+      .toDF(idCol, "blob")
+  }
+
   /** Batched REAL color JPEG decode: interleaved-MCU Huffman + three DC
     * predictors + per-component dequant + IDCT + fixed-point BT.601
     * YCbCr→RGB, exact per-channel statistics per blob — (id, width,
@@ -1006,13 +1033,14 @@ object Multimodal {
         "sum_px", "max_px", "topleft_hex")
   }
 
-  /** A minimal COLOR-progressive JPEG header (SOI + 3-component SOF2 +
-    * EOI) — the seam's remaining progressive rejection class (grayscale
-    * progressive decodes for real via [[Jpeg.parse]]); classification
-    * reads the marker kind and the component count. */
+  /** A minimal 4:2:2-SAMPLED progressive JPEG header (SOI + 3-component
+    * SOF2 with Y=2×1 + EOI) — the seam's remaining progressive rejection
+    * class (grayscale, 4:4:4 and 4:2:0 progressive all decode for real
+    * via [[Jpeg.parse]]/[[Jpeg.parseColor]]); classification reads the
+    * marker kind, component count, and sampling layout. */
   val ProgressiveJpegStub: Array[Byte] = Array(
     0xff, 0xd8, 0xff, 0xc2, 0x00, 0x11, 8, 0, 8, 0, 8, 3,
-    1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1,
+    1, 0x21, 0, 2, 0x11, 1, 3, 0x11, 1,
     0xff, 0xd9).map(_.toByte)
 
   /** A minimal 16-BIT-DEPTH PNG header (signature + depth-16 IHDR with a
@@ -1059,13 +1087,20 @@ object Multimodal {
           else if (m == 0xd9) done = true
           else {
             val len = (u8(i + 2) << 8) | u8(i + 3)
+            // decodable layouts (baseline AND progressive paths accept
+            // the same set): gray 1×1, color 4:4:4 or 4:2:0
+            def layoutOk: Boolean = {
+              val nComp = if (i + 9 < blob.length) u8(i + 9) else 0
+              val samp = (0 until nComp).map { c =>
+                if (i + 11 + 3 * c < blob.length) u8(i + 11 + 3 * c) else 0
+              }
+              (nComp == 1 && samp == Seq(0x11)) ||
+                (nComp == 3 && (samp == Seq(0x11, 0x11, 0x11) ||
+                  samp == Seq(0x22, 0x11, 0x11)))
+            }
             m match {
-              case 0xc0 => res = ("jpeg_baseline", true); done = true
-              case 0xc2 =>
-                // progressive: grayscale decodes for real (Jpeg.parse's
-                // T.81 G.2 path); color progressive is the rejected class
-                val nComp = if (i + 9 < blob.length) u8(i + 9) else 0
-                res = ("jpeg_progressive", nComp == 1); done = true
+              case 0xc0 => res = ("jpeg_baseline", layoutOk); done = true
+              case 0xc2 => res = ("jpeg_progressive", layoutOk); done = true
               // other frame kinds (extended sequential, lossless,
               // arithmetic, hierarchical) — named, rejected
               case mm if mm >= 0xc1 && mm <= 0xcf &&

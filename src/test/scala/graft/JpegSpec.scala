@@ -90,12 +90,13 @@ class JpegSpec extends AnyFunSuite with SparkTestBase {
     // decoder, which rejects the baseline scan header's spectral band
     assert(msgOf(good.updated(markerAt(0xc0) + 1, 0xc2.toByte))
       .contains("bad spectral band"))
-    // COLOR progressive is the rejected-by-name class
+    // flipping a COLOR SOF0 to SOF2 likewise: the progressive decoder
+    // rejects the baseline scan layout instead of misreading it
     val colorBlob = Jpeg.encodeColor(Array[Byte](10, 20, 30, 40))
     val csof = colorBlob.indexOfSlice(Array(0xff.toByte, 0xc0.toByte))
     assert(intercept[IllegalArgumentException](
       Jpeg.parseColor(colorBlob.updated(csof + 1, 0xc2.toByte)))
-      .getMessage.contains("progressive color"))
+      .getMessage.contains("bad spectral band"))
     // 16-bit quant table: flip the DQT precision nibble
     assert(msgOf(good.updated(markerAt(0xdb) + 4, 0x10.toByte))
       .contains("16-bit quantization"))
@@ -177,6 +178,66 @@ class JpegSpec extends AnyFunSuite with SparkTestBase {
       val p = Jpeg.parse(Jpeg.encodeBlocksProgressive(blocks.map(_.clone), 1))
       val q = Jpeg.parse(Jpeg.encodeBlocks(blocks.map(_.clone), 1))
       assert(p == q, s"trial $trial diverged")
+    }
+  }
+
+  test("progressive color: 4:4:4 and 4:2:0 eight-scan round trips ≡ baseline") {
+    // DC-only driver fixtures, both samplings
+    for (payload <- Seq(Array[Byte](10, -1, 0, 77), Array.tabulate(64)(i => (i * 4).toByte))) {
+      assert(Jpeg.parseColor(Jpeg.encodeColorProgressive(payload)) ==
+        Jpeg.parseColor(Jpeg.encodeColor(payload)), "4:4:4 DC-only")
+      assert(Jpeg.parseColor(Jpeg.encodeColor420Progressive(payload)) ==
+        Jpeg.parseColor(Jpeg.encodeColor420(payload)), "4:2:0 DC-only")
+    }
+    // AC-bearing blocks through the interleaved-DC + per-component-AC
+    // scan structure; the 4:2:0 Y plane's raster-vs-MCU order is the
+    // load-bearing mapping (2×2 Y blocks per MCU)
+    def blk(pairs: (Int, Int)*): Array[Int] = {
+      val b = new Array[Int](64); pairs.foreach { case (k, v) => b(k) = v }; b
+    }
+    val y444 = Array(blk(0 -> 10, 1 -> 3, 4 -> 1), blk(), blk(0 -> -5, 30 -> 5),
+      blk(0 -> 1, 63 -> -1))
+    val cb4 = Array(blk(0 -> 2, 2 -> 1), blk(), blk(0 -> -3), blk(5 -> -1))
+    val cr4 = Array(blk(), blk(0 -> 4, 7 -> 3), blk(), blk(0 -> -2, 1 -> 1))
+    assert(Jpeg.parseColor(Jpeg.encodeColorBlocksProgressive(
+        y444.map(b => Array(b.clone)), cb4.map(_.clone), cr4.map(_.clone),
+        mcusPerRow = 2, ySamp = 0x11)) ==
+      Jpeg.parseColor(Jpeg.encodeColorBlocks(
+        y444.map(_.clone), cb4.map(_.clone), cr4.map(_.clone),
+        blocksPerRow = 2)), "4:4:4 AC")
+    val y420 = Array(
+      Array(blk(0 -> 10, 1 -> 1), blk(0 -> -4, 20 -> 3), blk(), blk(0 -> 7, 2 -> -1)),
+      Array(blk(), blk(0 -> 1), blk(0 -> -8, 40 -> 2), blk(0 -> 3)))
+    val cb2 = Array(blk(0 -> 2, 3 -> -1), blk(0 -> -5, 1 -> 1))
+    val cr2 = Array(blk(), blk(0 -> 6, 10 -> 1))
+    assert(Jpeg.parseColor(Jpeg.encodeColorBlocksProgressive(
+        y420.map(_.map(_.clone)), cb2.map(_.clone), cr2.map(_.clone),
+        mcusPerRow = 2, ySamp = 0x22)) ==
+      Jpeg.parseColor(Jpeg.encodeColorBlocks420(
+        y420.map(_.map(_.clone)), cb2.map(_.clone), cr2.map(_.clone),
+        mcusPerRow = 2)), "4:2:0 AC")
+    // seeded randomized sweep over both samplings
+    val rnd = new scala.util.Random(42424242L)
+    for (trial <- 0 until 20) {
+      val n = 2 * (1 + rnd.nextInt(4))
+      def rblk(): Array[Int] = {
+        val b = new Array[Int](64)
+        for (_ <- 0 until rnd.nextInt(6)) b(rnd.nextInt(64)) = rnd.nextInt(15) - 7
+        b
+      }
+      val y = Array.fill(n)(Array.fill(4)(rblk()))
+      val cb = Array.fill(n)(rblk())
+      val cr = Array.fill(n)(rblk())
+      val p = Jpeg.parseColor(Jpeg.encodeColorBlocksProgressive(
+        y.map(_.map(_.clone)), cb.map(_.clone), cr.map(_.clone), 2, 0x22))
+      val q = Jpeg.parseColor(Jpeg.encodeColorBlocks420(
+        y.map(_.map(_.clone)), cb.map(_.clone), cr.map(_.clone), 2))
+      assert(p == q, s"420 trial $trial")
+      val p4 = Jpeg.parseColor(Jpeg.encodeColorBlocksProgressive(
+        y.map(m => Array(m(0).clone)), cb.map(_.clone), cr.map(_.clone), 2, 0x11))
+      val q4 = Jpeg.parseColor(Jpeg.encodeColorBlocks(
+        y.map(_(0).clone), cb.map(_.clone), cr.map(_.clone), 2))
+      assert(p4 == q4, s"444 trial $trial")
     }
   }
 
