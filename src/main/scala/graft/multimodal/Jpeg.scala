@@ -278,29 +278,40 @@ object Jpeg {
   // ------------------------------------------- progressive encoder (T.81 G)
 
   /** DC first scan body: DPCM over the point-transformed (arithmetic
-    * shift) DC values, in the given (component, block) order — the order
-    * IS the interleave (per-MCU for color, raster for gray) — with one
-    * predictor per component. */
-  private def progDcFirst(order: Seq[(Int, Array[Int])], nComp: Int,
+    * shift) DC values. `mcus` groups the (component, block) interleave
+    * per MCU (one block per "MCU" for gray) so restart markers land on
+    * MCU boundaries, resetting every predictor. */
+  private def progDcFirst(mcus: Seq[Seq[(Int, Array[Int])]], nComp: Int,
                           dcCodes: Array[Map[Int, (Int, Int)]],
-                          al: Int): Array[Byte] = {
+                          al: Int, restartEvery: Int): Array[Byte] = {
     val bw = new BitWriter
     val pred = new Array[Int](nComp)
-    for ((ci, b) <- order) {
-      val v = b(0) >> al
-      val diff = v - pred(ci); pred(ci) = v
-      val s = category(diff)
-      val (c, l) = dcCodes(ci)(s); bw.write(c, l)
-      if (s > 0) bw.write(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+    for ((mcu, i) <- mcus.zipWithIndex) {
+      if (restartEvery > 0 && i > 0 && i % restartEvery == 0) {
+        bw.marker(0xd0 + ((i / restartEvery - 1) & 7))
+        java.util.Arrays.fill(pred, 0)
+      }
+      for ((ci, b) <- mcu) {
+        val v = b(0) >> al
+        val diff = v - pred(ci); pred(ci) = v
+        val s = category(diff)
+        val (c, l) = dcCodes(ci)(s); bw.write(c, l)
+        if (s > 0) bw.write(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+      }
     }
     bw.finish()
   }
 
   /** DC refinement scan body: one raw bit (bit Al of the DC) per block,
     * in the same interleave order as the first DC scan. */
-  private def progDcRefine(order: Seq[(Int, Array[Int])], al: Int): Array[Byte] = {
+  private def progDcRefine(mcus: Seq[Seq[(Int, Array[Int])]], al: Int,
+                           restartEvery: Int): Array[Byte] = {
     val bw = new BitWriter
-    for ((_, b) <- order) bw.write((b(0) >> al) & 1, 1)
+    for ((mcu, i) <- mcus.zipWithIndex) {
+      if (restartEvery > 0 && i > 0 && i % restartEvery == 0)
+        bw.marker(0xd0 + ((i / restartEvery - 1) & 7))
+      for ((_, b) <- mcu) bw.write((b(0) >> al) & 1, 1)
+    }
     bw.finish()
   }
 
@@ -309,7 +320,8 @@ object Jpeg {
     * trailing-zero bands folded into cross-block EOBn runs. */
   private def progAcFirst(blocks: Seq[Array[Int]],
                           acCodes: Map[Int, (Int, Int)],
-                          ss: Int, se: Int, al: Int): Array[Byte] = {
+                          ss: Int, se: Int, al: Int,
+                          restartEvery: Int = 0): Array[Byte] = {
     val bw = new BitWriter
     var eobrun = 0
     def emitEobrun(): Unit = if (eobrun > 0) {
@@ -319,7 +331,11 @@ object Jpeg {
       if (r > 0) bw.write(eobrun - (1 << r), r)
       eobrun = 0
     }
-    for (b <- blocks) {
+    for ((b, bi) <- blocks.zipWithIndex) {
+      if (restartEvery > 0 && bi > 0 && bi % restartEvery == 0) {
+        emitEobrun() // an EOB run never crosses a restart boundary
+        bw.marker(0xd0 + ((bi / restartEvery - 1) & 7))
+      }
       val t = Array.tabulate(64) { k =>
         val m = math.abs(b(k)) >> al
         if (b(k) < 0) -m else m
@@ -359,7 +375,8 @@ object Jpeg {
     * structure with its BE/BR two-pool split. */
   private def progAcRefine(blocks: Seq[Array[Int]],
                            acCodes: Map[Int, (Int, Int)],
-                           ss: Int, se: Int, al: Int): Array[Byte] = {
+                           ss: Int, se: Int, al: Int,
+                           restartEvery: Int = 0): Array[Byte] = {
     val bw = new BitWriter
     var eobrun = 0
     // TWO correction-bit pools: `attached` rides the pending EOB run and
@@ -380,7 +397,11 @@ object Jpeg {
       eobrun = 0
       attached.foreach(bw.write(_, 1)); attached.clear()
     }
-    for (b <- blocks) {
+    for ((b, bi) <- blocks.zipWithIndex) {
+      if (restartEvery > 0 && bi > 0 && bi % restartEvery == 0) {
+        emitEobrun() // flushes the run AND its attached correction bits
+        bw.marker(0xd0 + ((bi / restartEvery - 1) & 7))
+      }
       val mag = Array.tabulate(64)(k => math.abs(b(k)) >> al)
       val eobIdx = (se to ss by -1).find(k => mag(k) == 1).getOrElse(ss - 1)
       var r = 0
@@ -433,7 +454,8 @@ object Jpeg {
     * buffered correction bits. Decoding it must reproduce
     * [[encodeBlocks]]' pixels exactly. */
   private[graft] def encodeBlocksProgressive(blocks: Array[Array[Int]],
-                                             blocksPerRow: Int): Array[Byte] = {
+                                             blocksPerRow: Int,
+                                             restartEvery: Int = 0): Array[Byte] = {
     require(blocks.nonEmpty, "need at least one block")
     require(blocksPerRow > 0 && blocks.length % blocksPerRow == 0,
       "block count must be a whole number of rows")
@@ -442,7 +464,7 @@ object Jpeg {
     require(w <= 0xffff && h <= 0xffff, "image dims exceed 16 bits")
     val dcCodes = Array(canonical(DcBits, DcVals))
     val acCodes = canonical(AcBitsP, AcValsP)
-    val order = blocks.toSeq.map(b => (0, b))
+    val mcus = blocks.toSeq.map(b => Seq((0, b)))
 
     val out = new java.io.ByteArrayOutputStream()
     out.write(Array(0xff, 0xd8).map(_.toByte)) // SOI
@@ -453,26 +475,30 @@ object Jpeg {
       (h >>> 8).toByte, (h & 0xff).toByte, (w >>> 8).toByte, (w & 0xff).toByte,
       1, 1, 0x11, 0)))
     out.write(seg(0xc4, dht(0, 0, DcBits, DcVals) ++ dht(1, 0, AcBitsP, AcValsP)))
-    out.write(progSos(Seq(1 -> 0x00), 0, 0, 0, 1, progDcFirst(order, 1, dcCodes, 1)))
+    out.write(driSeg(restartEvery))
+    out.write(progSos(Seq(1 -> 0x00), 0, 0, 0, 1,
+      progDcFirst(mcus, 1, dcCodes, 1, restartEvery)))
     out.write(progSos(Seq(1 -> 0x00), 1, 63, 0, 1,
-      progAcFirst(blocks.toSeq, acCodes, 1, 63, 1)))
-    out.write(progSos(Seq(1 -> 0x00), 0, 0, 1, 0, progDcRefine(order, 0)))
+      progAcFirst(blocks.toSeq, acCodes, 1, 63, 1, restartEvery)))
+    out.write(progSos(Seq(1 -> 0x00), 0, 0, 1, 0,
+      progDcRefine(mcus, 0, restartEvery)))
     out.write(progSos(Seq(1 -> 0x00), 1, 63, 1, 0,
-      progAcRefine(blocks.toSeq, acCodes, 1, 63, 0)))
+      progAcRefine(blocks.toSeq, acCodes, 1, 63, 0, restartEvery)))
     out.write(Array(0xff, 0xd9).map(_.toByte)) // EOI
     out.toByteArray
   }
 
   /** Progressive twin of [[encodeGray]]: same DC-only flat blocks, same
     * decoded pixels, SOF2 four-scan wire format. */
-  def encodeGrayProgressive(payload: Array[Byte]): Array[Byte] = {
+  def encodeGrayProgressive(payload: Array[Byte],
+                            restartEvery: Int = 0): Array[Byte] = {
     require(payload.nonEmpty && payload.length <= 8191,
       "payload must be 1..8191 bytes (height is 16-bit)")
     encodeBlocksProgressive(payload.map { b =>
       val blk = new Array[Int](64)
       blk(0) = (b & 0xff) - 128
       blk
-    }.toArray, blocksPerRow = 1)
+    }.toArray, blocksPerRow = 1, restartEvery)
   }
 
   /** COLOR-progressive stream writer: SOF2 with Y at `ySamp` and 1×1
@@ -485,7 +511,7 @@ object Jpeg {
     * Huffman tables at different code lengths, like the baseline pair. */
   private def encodeColorStreamProgressive(y: Array[Array[Array[Int]]],
       cb: Array[Array[Int]], cr: Array[Array[Int]], mcusPerRow: Int,
-      ySamp: Int): Array[Byte] = {
+      ySamp: Int, restartEvery: Int = 0): Array[Byte] = {
     require(y.nonEmpty, "need at least one MCU")
     require(y.length == cb.length && y.length == cr.length,
       "Y/Cb/Cr MCU counts must match")
@@ -506,7 +532,7 @@ object Jpeg {
       yRaster(row * gw + col) = y(i)(b)
     }
     // interleaved DC order: per MCU — Y block(s) raster, then Cb, Cr
-    val order: Seq[(Int, Array[Int])] = y.indices.flatMap(i =>
+    val mcus: Seq[Seq[(Int, Array[Int])]] = y.indices.map(i =>
       y(i).toSeq.map(b => (0, b)) ++ Seq((1, cb(i)), (2, cr(i))))
     val dcCodes = Array(canonical(DcBits, DcVals),
       canonical(DcBitsC, DcVals), canonical(DcBitsC, DcVals))
@@ -529,20 +555,22 @@ object Jpeg {
     out.write(seg(0xc4,
       dht(0, 0, DcBits, DcVals) ++ dht(1, 0, AcBitsP, AcValsP) ++
       dht(0, 1, DcBitsC, DcVals) ++ dht(1, 1, AcBitsPC, AcValsP)))
-    out.write(progSos(all, 0, 0, 0, 1, progDcFirst(order, 3, dcCodes, 1)))
+    out.write(driSeg(restartEvery))
+    out.write(progSos(all, 0, 0, 0, 1,
+      progDcFirst(mcus, 3, dcCodes, 1, restartEvery)))
     out.write(progSos(Seq(1 -> 0x00), 1, 63, 0, 1,
-      progAcFirst(yRaster.toSeq, acY, 1, 63, 1)))
+      progAcFirst(yRaster.toSeq, acY, 1, 63, 1, restartEvery)))
     out.write(progSos(Seq(2 -> 0x11), 1, 63, 0, 1,
-      progAcFirst(cb.toSeq, acC, 1, 63, 1)))
+      progAcFirst(cb.toSeq, acC, 1, 63, 1, restartEvery)))
     out.write(progSos(Seq(3 -> 0x11), 1, 63, 0, 1,
-      progAcFirst(cr.toSeq, acC, 1, 63, 1)))
-    out.write(progSos(all, 0, 0, 1, 0, progDcRefine(order, 0)))
+      progAcFirst(cr.toSeq, acC, 1, 63, 1, restartEvery)))
+    out.write(progSos(all, 0, 0, 1, 0, progDcRefine(mcus, 0, restartEvery)))
     out.write(progSos(Seq(1 -> 0x00), 1, 63, 1, 0,
-      progAcRefine(yRaster.toSeq, acY, 1, 63, 0)))
+      progAcRefine(yRaster.toSeq, acY, 1, 63, 0, restartEvery)))
     out.write(progSos(Seq(2 -> 0x11), 1, 63, 1, 0,
-      progAcRefine(cb.toSeq, acC, 1, 63, 0)))
+      progAcRefine(cb.toSeq, acC, 1, 63, 0, restartEvery)))
     out.write(progSos(Seq(3 -> 0x11), 1, 63, 1, 0,
-      progAcRefine(cr.toSeq, acC, 1, 63, 0)))
+      progAcRefine(cr.toSeq, acC, 1, 63, 0, restartEvery)))
     out.write(Array(0xff, 0xd9).map(_.toByte)) // EOI
     out.toByteArray
   }
@@ -565,7 +593,8 @@ object Jpeg {
 
   /** Progressive twin of [[encodeColor420]] — same 16×16 shared-chroma
     * MCUs, same decoded pixels, eight-scan SOF2 wire format. */
-  def encodeColor420Progressive(payload: Array[Byte]): Array[Byte] = {
+  def encodeColor420Progressive(payload: Array[Byte],
+                                restartEvery: Int = 0): Array[Byte] = {
     require(payload.nonEmpty && payload.length % 4 == 0 &&
       payload.length <= 16380,
       "payload must be a positive multiple of 4 bytes (4 per 16x16 MCU)")
@@ -577,7 +606,7 @@ object Jpeg {
       groups.map(g => g.map(b => dcBlock(b - 128))),
       groups.map(g => dcBlock(g(0) % 9 - 4)),
       groups.map(g => dcBlock(g(0) % 7 - 3)),
-      mcusPerRow = 1, ySamp = 0x22)
+      mcusPerRow = 1, ySamp = 0x22, restartEvery)
   }
 
   /** Spec seam: color-progressive encoder over explicit block arrays
@@ -585,8 +614,8 @@ object Jpeg {
     * 4:2:0 (`ySamp=0x22`, four Y per MCU). */
   private[graft] def encodeColorBlocksProgressive(y: Array[Array[Array[Int]]],
       cb: Array[Array[Int]], cr: Array[Array[Int]], mcusPerRow: Int,
-      ySamp: Int): Array[Byte] =
-    encodeColorStreamProgressive(y, cb, cr, mcusPerRow, ySamp)
+      ySamp: Int, restartEvery: Int = 0): Array[Byte] =
+    encodeColorStreamProgressive(y, cb, cr, mcusPerRow, ySamp, restartEvery)
 
   /** 4:4:4 COLOR fixture encoder: parallel Y/Cb/Cr block arrays (each a
     * 64-entry zigzag coefficient block), one of each per MCU. */

@@ -175,10 +175,31 @@ class JpegSpec extends AnyFunSuite with SparkTestBase {
           b(rnd.nextInt(64)) = rnd.nextInt(15) - 7
         b
       }
-      val p = Jpeg.parse(Jpeg.encodeBlocksProgressive(blocks.map(_.clone), 1))
+      val restartEvery = trial % 3 // 0 (none), 1, 2 — resync included
+      val p = Jpeg.parse(Jpeg.encodeBlocksProgressive(blocks.map(_.clone), 1,
+        restartEvery))
       val q = Jpeg.parse(Jpeg.encodeBlocks(blocks.map(_.clone), 1))
-      assert(p == q, s"trial $trial diverged")
+      assert(p == q, s"trial $trial (restartEvery=$restartEvery) diverged")
     }
+  }
+
+  test("progressive restart intervals: predictors and EOB runs resync") {
+    // restarts in EVERY scan kind: interleaved DC (per-component resets),
+    // DC refinement (marker only), AC first (EOB runs never cross the
+    // boundary), AC refinement (attached bits flush before the marker)
+    val payload = Array.tabulate(60)(i => (i * 5).toByte)
+    assert(Jpeg.parse(Jpeg.encodeGrayProgressive(payload, restartEvery = 3)) ==
+      Jpeg.parse(Jpeg.encodeGray(payload)))
+    assert(Jpeg.parseColor(Jpeg.encodeColor420Progressive(payload,
+        restartEvery = 2)) ==
+      Jpeg.parseColor(Jpeg.encodeColor420(payload)))
+    // a broken restart chain fails loud (marker cycle is validated)
+    val withRst = Jpeg.encodeGrayProgressive(payload, restartEvery = 3)
+    val rst = withRst.indexOfSlice(Array(0xff.toByte, 0xd0.toByte))
+    assert(rst >= 0, "fixture should contain RST0")
+    val msg = intercept[IllegalArgumentException](
+      Jpeg.parse(withRst.updated(rst + 1, 0xd5.toByte))).getMessage
+    assert(msg.contains("expected restart marker"))
   }
 
   test("progressive color: 4:4:4 and 4:2:0 eight-scan round trips ≡ baseline") {
