@@ -26,7 +26,12 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     "search_hybrid_rrf" -> 10,
     "mm_decode_video" -> 2,
     "dedup_minhash_incr" -> 4,
-    "sim_recall_lsh" -> 0) // dashboard: control rows, work in the counts
+    "sim_recall_lsh" -> 0, // dashboard: control rows, work in the counts
+    // progressive decodes are narrow maps: both exchanges are Par.ensure
+    // spreads (encode + decode stages), file/bytes-gated no-ops at scale
+    // — the same shape as mm_decode_jpeg_color's 2
+    "mm_decode_jpeg_progressive" -> 2,
+    "mm_decode_jpeg_prog420" -> 2)
 
   for ((name, want) <- pins) {
     test(s"exchange count pinned: $name = $want") {
