@@ -2383,6 +2383,33 @@ object SparkEntry {
         "doc_id", "blob")
     }),
 
+    // REAL 4:2:2 decode, baseline AND progressive — the OTHER common
+    // subsampled layout (DV, many camera JPEGs): every two payload bytes
+    // become one 16×8 MCU of two Y blocks over ONE shared chroma pair
+    // (the horizontal twin of 4:2:0's quadrant semantics), so with this
+    // pair every real-world JPEG layout (gray, 4:4:4, 4:2:0, 4:2:2 ×
+    // baseline/progressive) decodes. Shared oracle across the two
+    "mm_decode_jpeg422" -> ((s, dir) => {
+      val px = t(s, dir, "documents")
+        .withColumn("__b0", expr("substring(encode(text, 'UTF-8'), 1, 2048)"))
+        .withColumn("__b",
+          expr("substring(__b0, 1, length(__b0) - pmod(length(__b0), 2))"))
+        .filter(length(col("__b")) >= 2)
+      Multimodal.decodeJpegColor(
+        Multimodal.jpeg422Blob(px, "doc_id", "__b", restartEvery = 3),
+        "doc_id", "blob")
+    }),
+    "mm_decode_jpeg_prog422" -> ((s, dir) => {
+      val px = t(s, dir, "documents")
+        .withColumn("__b0", expr("substring(encode(text, 'UTF-8'), 1, 2048)"))
+        .withColumn("__b",
+          expr("substring(__b0, 1, length(__b0) - pmod(length(__b0), 2))"))
+        .filter(length(col("__b")) >= 2)
+      Multimodal.decodeJpegColor(
+        Multimodal.jpeg422ProgressiveBlob(px, "doc_id", "__b"),
+        "doc_id", "blob")
+    }),
+
     // REAL 4:2:0 JPEG decode WITH restart intervals — the layout virtually
     // all real crawl images use: each 16×16 MCU carries four Y blocks and
     // ONE shared Cb/Cr pair (from the group's first byte), box-upsampled
@@ -4364,6 +4391,46 @@ object SparkEntry {
               list_aggregate(bs, 'max')) AS INTEGER) AS max_px,
             printf('%02X%02X%02X', rs[1], gs[1], bs[1]) AS topleft_hex
           FROM px"""
+    }
+    // the 4:2:2 oracle, shared by the baseline and progressive queries:
+    // bytes in PAIRS — half k of pair j is a flat 8×8 with Y = bv[2j+k],
+    // chroma shared from the pair's FIRST byte
+    val jpeg422OracleSql: String = {
+        def conv(y: String, e: String) =
+          s"least(255, greatest(0, $y + CAST(floor(($e + 32768) / 65536.0) AS INT)))"
+        val y = "bv[(2*j+k+1)::INT]"
+        val c = "bv[(2*j+1)::INT]"
+        val r = conv(y, s"91881*($c%7-3)")
+        val g = conv(y, s"-22554*($c%9-4) - 46802*($c%7-3)")
+        val bb = conv(y, s"116130*($c%9-4)")
+        raw"""WITH b0 AS (SELECT doc_id,
+                regexp_extract_all(substr(hex(encode(text)), 1, 4096), '..') AS by
+                FROM documents),
+            b AS (SELECT doc_id, by[1:(len(by) - len(by) % 2)::INT] AS by
+              FROM b0 WHERE len(by) >= 2),
+            v AS (SELECT doc_id, list_transform(by, h ->
+                (strpos('0123456789ABCDEF', substr(h, 1, 1)) - 1) * 16
+                + strpos('0123456789ABCDEF', substr(h, 2, 1)) - 1) AS bv
+              FROM b),
+            px AS (SELECT doc_id, len(bv) // 2 AS ng,
+                flatten(list_transform(range(len(bv) // 2), j ->
+                  list_transform(range(2), k -> [$r, $g, $bb]))) AS rgb
+              FROM v)
+            SELECT doc_id,
+              CAST(16 AS INTEGER) AS width,
+              CAST(8 * ng AS INTEGER) AS height,
+              CAST(128 * ng AS BIGINT) AS n_px,
+              CAST(64 * list_sum(list_transform(rgb, p -> p[1])) AS BIGINT)
+                AS sum_r,
+              CAST(64 * list_sum(list_transform(rgb, p -> p[2])) AS BIGINT)
+                AS sum_g,
+              CAST(64 * list_sum(list_transform(rgb, p -> p[3])) AS BIGINT)
+                AS sum_b,
+              CAST(list_aggregate(list_transform(rgb, p ->
+                greatest(p[1], p[2], p[3])), 'max') AS INTEGER) AS max_px,
+              printf('%02X%02X%02X', rgb[1][1], rgb[1][2], rgb[1][3])
+                AS topleft_hex
+            FROM px"""
     }
     // the 4:2:0 oracle, shared verbatim by the sequential and the
     // segment-parallel decode queries (equality is the point)
@@ -6489,6 +6556,9 @@ object SparkEntry {
       // progressive color ≡ baseline color on the same MCUs — shared
       // oracles pin the eight-scan decode for both samplings
       "mm_decode_jpeg_prog420" -> jpeg420OracleSql,
+      // 4:2:2: the horizontal shared-chroma twin, baseline + progressive
+      "mm_decode_jpeg422" -> jpeg422OracleSql,
+      "mm_decode_jpeg_prog422" -> jpeg422OracleSql,
       // the segment-parallel decode is value-identical to the sequential
       // one BY CONTRACT — same oracle, so the gate proves the equivalence
       "mm_decode_jpeg_parallel" -> jpeg420OracleSql,

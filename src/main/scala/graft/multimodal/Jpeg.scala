@@ -517,11 +517,10 @@ object Jpeg {
       "Y/Cb/Cr MCU counts must match")
     require(mcusPerRow > 0 && y.length % mcusPerRow == 0,
       "MCU count must be a whole number of rows")
-    val mcuPx = if (ySamp == 0x22) 16 else 8
-    val w = mcuPx * mcusPerRow
-    val h = mcuPx * (y.length / mcusPerRow)
-    require(w <= 0xffff && h <= 0xffff, "image dims exceed 16 bits")
     val hY = ySamp >> 4; val vY = ySamp & 0x0f
+    val w = 8 * hY * mcusPerRow
+    val h = 8 * vY * (y.length / mcusPerRow)
+    require(w <= 0xffff && h <= 0xffff, "image dims exceed 16 bits")
     val nMcuRows = y.length / mcusPerRow
     // Y blocks re-ordered into the Y PLANE's raster for the AC scans
     val gw = mcusPerRow * hY
@@ -644,6 +643,20 @@ object Jpeg {
     encodeColorStream(y, cb, cr, mcusPerRow, ySamp = 0x22, restartEvery)
   }
 
+  /** 4:2:2 fixture encoder: each MCU is TWO Y blocks (side by side) plus
+    * one Cb and one Cr block covering the same 16×8 pixel area — the
+    * other common subsampled layout (DV, many camera JPEGs). */
+  private[graft] def encodeColorBlocks422(y: Array[Array[Array[Int]]],
+                                          cb: Array[Array[Int]],
+                                          cr: Array[Array[Int]],
+                                          mcusPerRow: Int,
+                                          restartEvery: Int = 0): Array[Byte] = {
+    require(y.length == cb.length && y.length == cr.length,
+      "Y/Cb/Cr MCU counts must match")
+    require(y.forall(_.length == 2), "4:2:2 needs two Y blocks per MCU")
+    encodeColorStream(y, cb, cr, mcusPerRow, ySamp = 0x21, restartEvery)
+  }
+
   /** Shared 3-component interleaved-scan writer: SOF0 declares Y with
     * `ySamp` sampling (0x11 → 4:4:4 8×8 MCUs, 0x22 → 4:2:0 16×16 MCUs)
     * and 1×1 chroma, separate quantization (0 luma / 1 chroma) and
@@ -657,9 +670,8 @@ object Jpeg {
     require(y.nonEmpty, "need at least one MCU")
     require(mcusPerRow > 0 && y.length % mcusPerRow == 0,
       "MCU count must be a whole number of rows")
-    val mcuPx = if (ySamp == 0x22) 16 else 8
-    val w = mcuPx * mcusPerRow
-    val h = mcuPx * (y.length / mcusPerRow)
+    val w = 8 * (ySamp >> 4) * mcusPerRow
+    val h = 8 * (ySamp & 0x0f) * (y.length / mcusPerRow)
     require(w <= 0xffff && h <= 0xffff, "image dims exceed 16 bits")
     val dcY = canonical(DcBits, DcVals)
     val acY = canonical(AcBits, AcVals)
@@ -750,6 +762,43 @@ object Jpeg {
       groups.map(g => dcBlock(g(0) % 9 - 4)),
       groups.map(g => dcBlock(g(0) % 7 - 3)),
       mcusPerRow = 1, restartEvery)
+  }
+
+  /** Driver-fixture 4:2:2 encoder: every TWO payload bytes become one
+    * 16×8 MCU — two flat Y blocks side by side (Y = b₀, b₁) over ONE
+    * flat chroma pair from the pair's first byte (Cb−128 = b₀%9−4,
+    * Cr−128 = b₀%7−3) — the horizontal shared-chroma twin of
+    * [[encodeColor420]]. */
+  def encodeColor422(payload: Array[Byte], restartEvery: Int = 0): Array[Byte] = {
+    require(payload.nonEmpty && payload.length % 2 == 0 &&
+      payload.length <= 16380,
+      "payload must be a positive multiple of 2 bytes (2 per 16x8 MCU)")
+    def dcBlock(v: Int): Array[Int] = {
+      val blk = new Array[Int](64); blk(0) = v; blk
+    }
+    val groups = payload.map(_ & 0xff).grouped(2).toArray
+    encodeColorBlocks422(
+      groups.map(g => g.map(b => dcBlock(b - 128))),
+      groups.map(g => dcBlock(g(0) % 9 - 4)),
+      groups.map(g => dcBlock(g(0) % 7 - 3)),
+      mcusPerRow = 1, restartEvery)
+  }
+
+  /** Progressive twin of [[encodeColor422]]. */
+  def encodeColor422Progressive(payload: Array[Byte],
+                                restartEvery: Int = 0): Array[Byte] = {
+    require(payload.nonEmpty && payload.length % 2 == 0 &&
+      payload.length <= 16380,
+      "payload must be a positive multiple of 2 bytes (2 per 16x8 MCU)")
+    def dcBlock(v: Int): Array[Int] = {
+      val blk = new Array[Int](64); blk(0) = v; blk
+    }
+    val groups = payload.map(_ & 0xff).grouped(2).toArray
+    encodeColorStreamProgressive(
+      groups.map(g => g.map(b => dcBlock(b - 128))),
+      groups.map(g => dcBlock(g(0) % 9 - 4)),
+      groups.map(g => dcBlock(g(0) % 7 - 3)),
+      mcusPerRow = 1, ySamp = 0x21, restartEvery)
   }
 
   // ------------------------------------------------------------ decoder
@@ -889,10 +938,11 @@ object Jpeg {
       "3-component color stream: only single-component here, use parseColor")
   }
 
-  /** Parse + fully decode a baseline 4:4:4 YCbCr COLOR JFIF stream —
-    * interleaved MCUs, per-component quantization/Huffman tables and DC
-    * predictors, fixed-point BT.601 conversion — into exact per-channel
-    * statistics. Subsampled (4:2:0/4:2:2) frames throw by name. */
+  /** Parse + fully decode a YCbCr COLOR JFIF stream — baseline or
+    * progressive, 4:4:4 / 4:2:0 / 4:2:2 — interleaved MCUs,
+    * per-component quantization/Huffman tables and DC predictors, box
+    * chroma upsample, fixed-point BT.601 conversion — into exact
+    * per-channel statistics. Other samplings (4:1:1, …) throw by name. */
   def parseColor(blob: Array[Byte]): JpegColorInfo = parseStream(blob) match {
     case Right(c) => c
     case Left(_) => throw new IllegalArgumentException(
@@ -1028,10 +1078,11 @@ object Jpeg {
           val samp = Array.tabulate(nComp)(c => blob(pos + 9 + 3 * c) & 0xff)
           val layout = samp.toSeq
           require(layout == Seq(0x11) || layout == Seq(0x11, 0x11, 0x11) ||
-              layout == Seq(0x22, 0x11, 0x11),
+              layout == Seq(0x22, 0x11, 0x11) ||
+              layout == Seq(0x21, 0x11, 0x11),
             layout.map(s => f"0x$s%02X").mkString(
               "unsupported progressive sampling layout [", ", ",
-              "] (only 1x1 [4:4:4] and Y=2x2 [4:2:0] supported)"))
+              "] (only 1x1 [4:4:4], Y=2x2 [4:2:0] and Y=2x1 [4:2:2] supported)"))
           val maxH = samp.map(s => (s >> 4) & 0x0f).max
           val maxV = samp.map(s => s & 0x0f).max
           nMcuX = (width + 8 * maxH - 1) / (8 * maxH)
@@ -1401,15 +1452,16 @@ object Jpeg {
             compQuant(c) = blob(pos + 10 + 3 * c) & 0xff
             c += 1
           }
-          // supported layouts: grayscale 1×1; color 4:4:4 (all 1×1) or
-          // 4:2:0 (Y 2×2, chroma 1×1). Anything else (4:2:2, 4:1:1, …)
-          // throws by the declared factors.
+          // supported layouts: grayscale 1×1; color 4:4:4 (all 1×1),
+          // 4:2:0 (Y 2×2) or 4:2:2 (Y 2×1), chroma 1×1. Anything else
+          // (4:1:1, 4:4:0, …) throws by the declared factors.
           val layout = compSamp.take(nComp).toSeq
           require(layout == Seq(0x11) || layout == Seq(0x11, 0x11, 0x11) ||
-              layout == Seq(0x22, 0x11, 0x11),
+              layout == Seq(0x22, 0x11, 0x11) ||
+              layout == Seq(0x21, 0x11, 0x11),
             layout.map(s => f"0x$s%02X").mkString(
               "unsupported chroma subsampling layout [", ", ",
-              "] (only 1x1 [4:4:4] and Y=2x2 [4:2:0] supported)"))
+              "] (only 1x1 [4:4:4], Y=2x2 [4:2:0] and Y=2x1 [4:2:2] supported)"))
           sofSeen = true
           pos += len
         case 0xdb =>

@@ -529,6 +529,33 @@ object Multimodal {
       .toDF(idCol, "blob")
   }
 
+  /** 4:2:2 wrappers ([[Jpeg.encodeColor422]] /
+    * [[Jpeg.encodeColor422Progressive]]): two bytes per 16×8 MCU, shared
+    * chroma from the pair's first byte. */
+  def jpeg422Blob(df: DataFrame, idCol: String, payloadCol: String,
+                  restartEvery: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    graft.ops.Par.ensure(df.select(col(idCol).cast("long"), col(payloadCol)))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) =>
+        (id, Jpeg.encodeColor422(p, restartEvery))
+      })
+      .toDF(idCol, "blob")
+  }
+
+  def jpeg422ProgressiveBlob(df: DataFrame, idCol: String,
+                             payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    graft.ops.Par.ensure(df.select(col(idCol).cast("long"), col(payloadCol)))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) =>
+        (id, Jpeg.encodeColor422Progressive(p))
+      })
+      .toDF(idCol, "blob")
+  }
+
   /** Batched REAL color JPEG decode: interleaved-MCU Huffman + three DC
     * predictors + per-component dequant + IDCT + fixed-point BT.601
     * YCbCr→RGB, exact per-channel statistics per blob — (id, width,
@@ -1033,14 +1060,14 @@ object Multimodal {
         "sum_px", "max_px", "topleft_hex")
   }
 
-  /** A minimal 4:2:2-SAMPLED progressive JPEG header (SOI + 3-component
-    * SOF2 with Y=2×1 + EOI) — the seam's remaining progressive rejection
-    * class (grayscale, 4:4:4 and 4:2:0 progressive all decode for real
-    * via [[Jpeg.parse]]/[[Jpeg.parseColor]]); classification reads the
-    * marker kind, component count, and sampling layout. */
+  /** A minimal 4:1:1-SAMPLED progressive JPEG header (SOI + 3-component
+    * SOF2 with Y=4×1 + EOI) — the seam's remaining progressive rejection
+    * class (grayscale, 4:4:4, 4:2:0 AND 4:2:2 progressive all decode for
+    * real via [[Jpeg.parse]]/[[Jpeg.parseColor]]); classification reads
+    * the marker kind, component count, and sampling layout. */
   val ProgressiveJpegStub: Array[Byte] = Array(
     0xff, 0xd8, 0xff, 0xc2, 0x00, 0x11, 8, 0, 8, 0, 8, 3,
-    1, 0x21, 0, 2, 0x11, 1, 3, 0x11, 1,
+    1, 0x41, 0, 2, 0x11, 1, 3, 0x11, 1,
     0xff, 0xd9).map(_.toByte)
 
   /** A minimal 16-BIT-DEPTH PNG header (signature + depth-16 IHDR with a
@@ -1096,7 +1123,8 @@ object Multimodal {
               }
               (nComp == 1 && samp == Seq(0x11)) ||
                 (nComp == 3 && (samp == Seq(0x11, 0x11, 0x11) ||
-                  samp == Seq(0x22, 0x11, 0x11)))
+                  samp == Seq(0x22, 0x11, 0x11) ||
+                  samp == Seq(0x21, 0x11, 0x11)))
             }
             m match {
               case 0xc0 => res = ("jpeg_baseline", layoutOk); done = true

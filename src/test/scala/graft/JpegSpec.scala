@@ -373,10 +373,10 @@ class JpegSpec extends AnyFunSuite with SparkTestBase {
       .getMessage.contains("parseColor"))
     assert(intercept[IllegalArgumentException](Jpeg.parseColor(gray))
       .getMessage.contains("use parse"))
-    // declare 2x1 (4:2:2) sampling on the Y component: throws by name
-    // (2x2 / 4:2:0 is a SUPPORTED layout, tested separately)
+    // declare 4x1 (4:1:1) sampling on the Y component: throws by name
+    // (2x2 / 4:2:0 and 2x1 / 4:2:2 are SUPPORTED, tested separately)
     val sof = color.indexOfSlice(Array(0xff.toByte, 0xc0.toByte))
-    val sub = color.updated(sof + 11, 0x21.toByte)
+    val sub = color.updated(sof + 11, 0x41.toByte)
     assert(intercept[IllegalArgumentException](Jpeg.parseColor(sub))
       .getMessage.contains("subsampling"))
   }
@@ -478,7 +478,7 @@ class JpegSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Jpeg.JpegColorInfo(16, 16, nPx, sR, sG, sB, mx, tl))
   }
 
-  test("4:2:2 sampling and broken restart chains fail loud by name") {
+  test("4:1:1 sampling and broken restart chains fail loud by name") {
     val blob = Jpeg.encodeColor420(Array[Byte](1, 2, 3, 4, 5, 6, 7, 8),
       restartEvery = 1)
     // corrupt the RST0 marker between the two MCUs
@@ -487,11 +487,61 @@ class JpegSpec extends AnyFunSuite with SparkTestBase {
     val msg = intercept[IllegalArgumentException](
       Jpeg.parseColor(blob.updated(rst + 1, 0xd4.toByte))).getMessage
     assert(msg.contains("expected restart marker RST0"))
-    // 4:2:2 (Y 2x1) declared in SOF throws by its factors
+    // 4:1:1 (Y 4x1) declared in SOF throws by its factors
     val sof = blob.indexOfSlice(Array(0xff.toByte, 0xc0.toByte))
-    val m422 = intercept[IllegalArgumentException](
-      Jpeg.parseColor(blob.updated(sof + 11, 0x21.toByte))).getMessage
-    assert(m422.contains("unsupported chroma subsampling layout"))
+    val m411 = intercept[IllegalArgumentException](
+      Jpeg.parseColor(blob.updated(sof + 11, 0x41.toByte))).getMessage
+    assert(m411.contains("unsupported chroma subsampling layout"))
+  }
+
+  test("4:2:2 (Y 2x1): baseline and progressive round trips, shared chroma") {
+    // DC-only driver fixture: two flat Y blocks over one chroma pair —
+    // the horizontal twin of 4:2:0's quadrant semantics
+    val payload = Array[Byte](10, -1, 0, 127, -128, 1)
+    val got = Jpeg.parseColor(Jpeg.encodeColor422(payload))
+    // independent reference: pixel (x, y) of MCU j has Y = b(2j + x/8),
+    // chroma from b(2j) — 64 pixels per Y block
+    val bv = payload.map(_ & 0xff)
+    def conv(yv: Int, e: Long): Int =
+      math.max(0, math.min(255, yv + ((e + 32768) >> 16).toInt))
+    val px = bv.grouped(2).flatMap { g =>
+      g.flatMap { yv =>
+        val cbv = g(0) % 9 - 4; val crv = g(0) % 7 - 3
+        Seq.fill(64)((conv(yv, 91881L * crv),
+          conv(yv, -22554L * cbv - 46802L * crv),
+          conv(yv, 116130L * cbv)))
+      }
+    }.toSeq
+    assert(got.width == 16 && got.height == 8 * (payload.length / 2))
+    assert(got.nPixels == px.size.toLong)
+    assert(got.sumR == px.map(_._1.toLong).sum)
+    assert(got.sumG == px.map(_._2.toLong).sum)
+    assert(got.sumB == px.map(_._3.toLong).sum)
+    assert(got.maxPx == px.map(p => math.max(p._1, math.max(p._2, p._3))).max)
+    // progressive ≡ baseline, with and without restarts
+    assert(Jpeg.parseColor(Jpeg.encodeColor422Progressive(payload)) == got)
+    assert(Jpeg.parseColor(Jpeg.encodeColor422Progressive(payload,
+      restartEvery = 2)) == got)
+    assert(Jpeg.parseColor(Jpeg.encodeColor422(payload, restartEvery = 1)) == got)
+    // AC-bearing randomized sweep, baseline vs progressive
+    def blk(): Array[Int] = new Array[Int](64)
+    val rnd = new scala.util.Random(4221122L)
+    for (trial <- 0 until 10) {
+      val n = 2 * (1 + rnd.nextInt(3))
+      def rblk(): Array[Int] = {
+        val b = blk()
+        for (_ <- 0 until rnd.nextInt(6)) b(rnd.nextInt(64)) = rnd.nextInt(15) - 7
+        b
+      }
+      val y = Array.fill(n)(Array.fill(2)(rblk()))
+      val cb = Array.fill(n)(rblk())
+      val cr = Array.fill(n)(rblk())
+      val p = Jpeg.parseColor(Jpeg.encodeColorBlocksProgressive(
+        y.map(_.map(_.clone)), cb.map(_.clone), cr.map(_.clone), 2, 0x21))
+      val q = Jpeg.parseColor(Jpeg.encodeColorBlocks422(
+        y.map(_.map(_.clone)), cb.map(_.clone), cr.map(_.clone), 2))
+      assert(p == q, s"422 trial $trial")
+    }
   }
 
   test("segment decode: stride-bucket partials merge to the sequential result") {
