@@ -21,6 +21,50 @@ object Bench {
       n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name").count().count()
     }
+    // Host calibration probe: a PINNED-SIZE workload (independent of the
+    // SF dir) measured after warm-up — 16M-row parquet write once, then
+    // 5× a scan→hash-shuffle→agg over it, min of 5. Its cost is a pure
+    // function of the host (CPU + disk + contention), never of the code
+    // under test, so host_factor = calib_sec / CalibRef lets any consumer
+    // normalize cross-round totals: a total that drifts with host_factor
+    // is contention; a total that drifts against a flat host_factor is a
+    // real code change. CalibRef is the idle-host min recorded when the
+    // probe was introduced (round 11).
+    val CalibRef = 2.25
+    val calibSec = {
+      import org.apache.spark.sql.functions._
+      val dir = java.nio.file.Files.createTempDirectory("graft_calib")
+      val path = dir.toString
+      spark.range(0, 8L * 1000 * 1000, 1, 32)
+        .select(col("id"), md5(col("id").cast("string")).as("h"))
+        .write.mode("overwrite").parquet(path)
+      val runs = (0 until 5).map { _ =>
+        val t0 = System.nanoTime()
+        // md5 chain makes the probe CPU-dominated (codegen'd digest work)
+        // so it tracks CPU contention — the dominant shared-host noise —
+        // rather than page-cache luck on the scan; 8 chained digests per
+        // row stretch each task past the scheduler-jitter floor
+        val chained = (1 to 8).foldLeft(col("h")) {
+          case (c, _) => md5(concat(c, col("h")))
+        }
+        spark.read.parquet(path)
+          .select(col("h"), chained.as("h2"))
+          .groupBy(substring(col("h2"), 1, 2).as("k"))
+          .agg(count(lit(1)).as("c"), max("h").as("m"))
+          // collect() (not count()) — count over a global agg lets
+          // Catalyst prune the digest chain away and times only the scan
+          .agg(sum(length(col("m"))), sum("c")).collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      // best-effort temp cleanup (files are tiny; /tmp reaps regardless)
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Throwable => () }
+      runs.min
+    }
+    val hostFactor = calibSec / CalibRef
     // optional comma-separated subset for targeted profiling runs
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val sampled = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -79,7 +123,7 @@ object Bench {
     // variance metadata: med_total - value (sum of per-query median-min
     // gaps) is the run's own noise floor; a round-over-round total drift
     // smaller than this gap is jitter, not regression
-    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_samples":3,"med_total":${fmt(medTotal)},"streaming_sub":${fmt(streamingSub)},"batch_sub":${fmt(total - streamingSub)},"queries":{"""
+    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_samples":3,"med_total":${fmt(medTotal)},"calib_sec":${fmt(calibSec)},"host_factor":${fmt(hostFactor)},"streaming_sub":${fmt(streamingSub)},"batch_sub":${fmt(total - streamingSub)},"queries":{"""
     val tail = s"""},"sf":"$sfName"}"""
     val budget = 1850 - head.length - tail.length - 24 // room for "other"
     val entries = results.sortBy { case (k, v) => (-v, k) }
@@ -102,7 +146,7 @@ object Bench {
     val med = sampled.map { case (k, _, m) => s"\"$k\":${fmt(m)}" }
       .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_samples":3,"med_total":${fmt(medTotal)},"streaming_sub":${fmt(streamingSub)},"batch_sub":${fmt(total - streamingSub)},"queries":$full,"queries_med":$med,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_samples":3,"med_total":${fmt(medTotal)},"calib_sec":${fmt(calibSec)},"host_factor":${fmt(hostFactor)},"streaming_sub":${fmt(streamingSub)},"batch_sub":${fmt(total - streamingSub)},"queries":$full,"queries_med":$med,"sf":"$sfName"}"""
     val outFile = if (only.isEmpty) "BENCH_FULL.json" else "BENCH_SUBSET.json"
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (fullLine + "\n").getBytes("UTF-8"))

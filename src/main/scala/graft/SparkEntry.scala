@@ -132,6 +132,29 @@ object SparkEntry {
       graft.sim.Pq.fixedCodebooks(t(s, dir, "embeddings"), "vec_id", "embedding",
         m = 8, k = 16))
 
+  /** Brute-force top-5 cosine ground truth for the recall dashboards
+    * (`sim_recall_eval`, `sim_recall_lsh`), built ONCE per scale dir and
+    * persisted — the engine's own build-once/probe-many index discipline
+    * applied to the truth side: the exact scan is the expensive part of
+    * a recall evaluation and it is invariant across every (nProbe,
+    * nTables, nBits) configuration, so each invocation now pays only the
+    * probe cost. */
+  private val recallTruthPaths =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def recallTruth(s: SparkSession, dir: String): DataFrame = {
+    val p = recallTruthPaths.getOrElseUpdate(dir, {
+      val out = graft.core.TempDirs.register(
+        java.nio.file.Files.createTempDirectory("graft_recall_truth")).toString
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") % 50 === 0)
+      Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+    s.read.parquet(p)
+  }
+
   /** Fixed IVF centroids (first 8 vectors by id — the oracle substrate),
     * memoized per scale dir. */
   private val fixedCentroidCache =
@@ -1639,8 +1662,7 @@ object SparkEntry {
       import s.implicits._
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") % 50 === 0)
-      val truth = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
-        .select(col("query_id"), col("neighbor_id"))
+      val truth = recallTruth(s, dir)
       val index = ivfIndexes.getOrElseUpdate(dir, Ivf.buildIndexWith(
         fixedCentroids(s, dir), e, "vec_id", "embedding",
         graft.core.TempDirs.register(
@@ -1681,9 +1703,7 @@ object SparkEntry {
       import s.implicits._
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") % 50 === 0)
-      val truth = graft.ops.Caches.track(
-        Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
-          .select(col("query_id"), col("neighbor_id")))
+      val truth = recallTruth(s, dir)
       val nq = q.count()
       val rows = Seq((1, 8), (2, 8), (4, 8), (2, 12)).map {
         case (tables, bits) =>
@@ -2244,14 +2264,15 @@ object SparkEntry {
     // spending decode cycles: blobs are classified structurally (JPEG SOF
     // kind + component count, PNG IHDR depth/interlace, container magics)
     // and counted by (format, decodable). The mix covers accepted classes
-    // (baseline JPEG gray + 4:2:0, sequential + Adam7 PNG) and the two
-    // named rejection classes (COLOR progressive JPEG — grayscale
-    // progressive decodes for real — and 16-bit PNG); the oracle
-    // re-derives every count from doc_id alone
+    // (baseline JPEG gray + 4:2:0, sequential + Adam7 PNG, REAL 16-bit
+    // PNG — decodable since the depth-16 branch landed) and the two
+    // named rejection classes (COLOR progressive JPEG at 4:1:1 —
+    // gray/4:4:4/4:2:0/4:2:2 progressive decode for real — and
+    // grayscale PNG); the oracle re-derives every count from doc_id alone
     "mm_format_survey" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
         .withColumn("__b0", expr("substring(encode(text, 'UTF-8'), 1, 2048)"))
-        .withColumn("__k", pmod(col("doc_id"), lit(6L)))
+        .withColumn("__k", pmod(col("doc_id"), lit(7L)))
       def slice(k: Int) = docs.filter(col("__k") === k)
       val gray = Multimodal.jpegBlob(
         slice(0).filter(length(col("__b0")) >= 1), "doc_id", "__b0")
@@ -2267,9 +2288,13 @@ object SparkEntry {
       val adam = Multimodal.pngInterlacedBlob(pngPx(3), "doc_id", "__px", width = 5)
       val prog = slice(4).select(col("doc_id"),
         lit(Multimodal.ProgressiveJpegStub).as("blob"))
-      val p16 = slice(5).select(col("doc_id"),
-        lit(Multimodal.Png16Stub).as("blob"))
-      val mix = Seq(gray, j420, png, adam, prog, p16)
+      val p16 = Multimodal.png16Blob(slice(5)
+        .withColumn("__px",
+          expr("substring(__b0, 1, length(__b0) - pmod(length(__b0), 30))"))
+        .filter(length(col("__px")) >= 30), "doc_id", "__px", width = 5)
+      val pgray = slice(6).select(col("doc_id"),
+        lit(Multimodal.PngGrayStub).as("blob"))
+      val mix = Seq(gray, j420, png, adam, prog, p16, pgray)
         .map(_.select(col("doc_id"), col("blob"))).reduce(_.unionByName(_))
       Multimodal.formatSurvey(mix, "doc_id", "blob")
         .groupBy(col("format"), col("decodable"))
@@ -2290,6 +2315,24 @@ object SparkEntry {
         .filter(length(col("__px")) >= 5)
       Multimodal.decodePng(
         Multimodal.pngPaletteBlob(px, "doc_id", "__px", width = 5),
+        "doc_id", "blob")
+    }),
+
+    // REAL 16-BIT truecolor PNG decode (depth 16, color type 2 — the
+    // HDR/scientific layout, formerly a named rejection class): payload
+    // bytes become big-endian 16-bit samples, 6 bytes per pixel; the
+    // decoder unfilters at the WIDE byte stride (filter offset 6, spec
+    // §9) and sums full 0..65535 sample values. Shares the PNG
+    // pixel-stat oracle shape; the oracle re-derives each 16-bit sample
+    // as 256·hi + lo from the text bytes
+    "mm_decode_png16" -> ((s, dir) => {
+      val px = t(s, dir, "documents")
+        .withColumn("__b", encode(col("text"), "UTF-8"))
+        .withColumn("__px",
+          expr("substring(__b, 1, length(__b) - pmod(length(__b), 30))"))
+        .filter(length(col("__px")) >= 30)
+      Multimodal.decodePng(
+        Multimodal.png16Blob(px, "doc_id", "__px", width = 5),
         "doc_id", "blob")
     }),
 
@@ -6421,7 +6464,7 @@ object SparkEntry {
       "mm_format_survey" ->
         raw"""WITH d AS (SELECT doc_id,
                 least(octet_length(encode(text)), 2048) AS nb,
-                doc_id % 6 AS k FROM documents),
+                doc_id % 7 AS k FROM documents),
             c AS (SELECT doc_id,
                 CASE k
                   WHEN 0 THEN CASE WHEN nb >= 1 THEN 'jpeg_baseline' END
@@ -6429,9 +6472,10 @@ object SparkEntry {
                   WHEN 2 THEN CASE WHEN nb - nb % 15 >= 15 THEN 'png8' END
                   WHEN 3 THEN CASE WHEN nb - nb % 15 >= 15 THEN 'png8' END
                   WHEN 4 THEN 'jpeg_progressive'
-                  WHEN 5 THEN 'png16'
+                  WHEN 5 THEN CASE WHEN nb - nb % 30 >= 30 THEN 'png16' END
+                  WHEN 6 THEN 'png8_gray'
                 END AS format,
-                k IN (0, 1, 2, 3) AS decodable
+                k IN (0, 1, 2, 3, 5) AS decodable
               FROM d)
             SELECT format, decodable, count(*) AS n FROM c
             WHERE format IS NOT NULL GROUP BY 1, 2""",
@@ -6490,6 +6534,35 @@ object SparkEntry {
               CAST(list_aggregate(list_transform(px,
                 q -> q[1] + q[2] + q[3]), 'max') AS BIGINT) AS max_px,
               printf('%02X%02X%02X', px[1][1], px[1][2], px[1][3])
+                AS topleft_hex
+            FROM p"""
+      },
+      // 16-bit truecolor round-trip: 6 payload bytes per pixel, each
+      // sample the big-endian pair 256·hi + lo; the top-left witness is
+      // the first six bytes' hex verbatim
+      "mm_decode_png16" -> {
+        def bv(idx: String) =
+          s"((strpos('0123456789ABCDEF', substr(by[($idx)::INT], 1, 1)) - 1) * 16" +
+            s" + strpos('0123456789ABCDEF', substr(by[($idx)::INT], 2, 1)) - 1)"
+        def v16(idx: String) = s"(256 * ${bv(idx)} + ${bv(s"($idx)+1")})"
+        raw"""WITH b AS (SELECT doc_id,
+                regexp_extract_all(hex(encode(text)), '..') AS by,
+                octet_length(encode(text)) AS nb FROM documents),
+            s AS (SELECT doc_id, by, (nb - nb % 30) AS n FROM b
+              WHERE nb >= 30),
+            p AS (SELECT doc_id, by, n, list_transform(range(n // 6), q ->
+                [${v16("6*q+1")}, ${v16("6*q+3")}, ${v16("6*q+5")}])
+                AS px FROM s)
+            SELECT doc_id,
+              CAST(5 AS INTEGER) AS width,
+              CAST(n // 30 AS INTEGER) AS height,
+              CAST(n // 6 AS BIGINT) AS n_px,
+              CAST(list_sum(list_transform(px, q -> q[1])) AS BIGINT) AS sum_r,
+              CAST(list_sum(list_transform(px, q -> q[2])) AS BIGINT) AS sum_g,
+              CAST(list_sum(list_transform(px, q -> q[3])) AS BIGINT) AS sum_b,
+              CAST(list_aggregate(list_transform(px,
+                q -> q[1] + q[2] + q[3]), 'max') AS BIGINT) AS max_px,
+              by[1] || by[2] || by[3] || by[4] || by[5] || by[6]
                 AS topleft_hex
             FROM p"""
       },

@@ -1379,6 +1379,11 @@ object Jpeg {
                 }
                 k += 1
               }
+              // a newly-significant coefficient whose zero-run overflows
+              // the spectral band is a malformed stream — fail by name
+              // like the AC-first path, never drop the coefficient
+              require(placed || s == 0,
+                "AC refinement run overflows the band")
             }
           }
         }

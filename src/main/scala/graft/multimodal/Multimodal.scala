@@ -402,6 +402,18 @@ object Multimodal {
       .toDF(idCol, "blob")
   }
 
+  /** Wrap payload bytes (6 per pixel: big-endian 16-bit R,G,B samples)
+    * into a REAL depth-16 truecolor PNG ([[Png.encode16]]). */
+  def png16Blob(df: DataFrame, idCol: String, payloadCol: String,
+                width: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    graft.ops.Par.ensure(df.select(col(idCol).cast("long"), col(payloadCol)))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) => (id, Png.encode16(p, width)) })
+      .toDF(idCol, "blob")
+  }
+
   /** Wrap payload bytes (RGBA quads) into a REAL type-6 PNG. */
   def pngRgbaBlob(df: DataFrame, idCol: String, payloadCol: String,
                   width: Int): DataFrame = {
@@ -1070,10 +1082,11 @@ object Multimodal {
     1, 0x41, 0, 2, 0x11, 1, 3, 0x11, 1,
     0xff, 0xd9).map(_.toByte)
 
-  /** A minimal 16-BIT-DEPTH PNG header (signature + depth-16 IHDR with a
-    * correct CRC) — the other named rejection class. */
-  val Png16Stub: Array[Byte] = {
-    val ihdr = Array[Byte](0, 0, 0, 8, 0, 0, 0, 8, 16, 2, 0, 0, 0)
+  /** A minimal GRAYSCALE (color type 0) PNG header (signature + IHDR
+    * with a correct CRC) — a named rejection class: the decoder covers
+    * the truecolor/palette/RGBA types at 8 and 16 bit, not grayscale. */
+  val PngGrayStub: Array[Byte] = {
+    val ihdr = Array[Byte](0, 0, 0, 8, 0, 0, 0, 8, 8, 0, 0, 0, 0)
     val crc = new java.util.zip.CRC32
     crc.update("IHDR".getBytes("US-ASCII")); crc.update(ihdr)
     def be(v: Long) = Array((v >>> 24).toByte, (v >>> 16).toByte,
@@ -1084,9 +1097,10 @@ object Multimodal {
 
   /** Cheap STRUCTURAL classification of one media blob — magic bytes plus
     * the header fields that determine decodability, zero decode work:
-    * JPEG's first SOF marker kind (baseline C0 accepted; progressive C2
-    * accepted for single-component streams — [[Jpeg.parse]]'s real T.81
-    * G.2 path — and rejected for color; the other SOFn rejected by
+    * JPEG's first SOF marker kind (baseline C0 and progressive C2 —
+    * [[Jpeg.parse]]'s real T.81 G.2 path — both accepted for gray 1×1
+    * and color 4:4:4 / 4:2:0 / 4:2:2, rejected for other layouts such
+    * as 4:1:1; the other SOFn rejected by
     * name), PNG's IHDR depth/color/interlace, and the BMP/WAV/MP4
     * container magics. Returns (format label, whether this seam's
     * decoders accept it). */
@@ -1099,8 +1113,13 @@ object Multimodal {
       if (blob.length < 33) ("png_truncated", false)
       else {
         val depth = u8(24); val color = u8(25); val interlace = u8(28)
-        (s"png$depth",
-          depth == 8 && Set(2, 3, 6)(color) && interlace <= 1)
+        // depth 8: truecolor/palette/RGBA; depth 16: truecolor/RGBA
+        // (16-bit palette does not exist in the spec) — both interlace
+        // modes. Grayscale (0/4) is the remaining named rejection.
+        val gray = color == 0 || color == 4
+        (if (gray) s"png${depth}_gray" else s"png$depth",
+          !gray && (depth == 8 && Set(2, 3, 6)(color) ||
+            depth == 16 && Set(2, 6)(color)) && interlace <= 1)
       }
     } else if (blob.length >= 2 && u8(0) == 0xff && u8(1) == 0xd8) {
       var i = 2
@@ -1115,7 +1134,8 @@ object Multimodal {
           else {
             val len = (u8(i + 2) << 8) | u8(i + 3)
             // decodable layouts (baseline AND progressive paths accept
-            // the same set): gray 1×1, color 4:4:4 or 4:2:0
+            // the same set): gray 1×1, color 4:4:4, 4:2:0 or 4:2:2;
+            // anything else (e.g. 4:1:1) is rejected by name
             def layoutOk: Boolean = {
               val nComp = if (i + 9 < blob.length) u8(i + 9) else 0
               val samp = (0 until nComp).map { c =>

@@ -9,13 +9,16 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   * row filters including Paeth — is implemented here.
   *
   * Scope covers the three 8-bit color types real web graphics use —
-  * truecolor (2), palette (3, PLTE-indexed), and RGBA (6) — with
+  * truecolor (2), palette (3, PLTE-indexed), and RGBA (6) — plus
+  * 16-BIT depth for truecolor/RGBA (big-endian samples, the
+  * HDR/scientific layout; filter arithmetic stays byte-wise with the
+  * wider pixel stride per spec §9), with
   * compression 0, filter method 0, interlace 0 (sequential) AND
   * interlace 1 (Adam7: seven independently-filtered sub-images whose
   * grids tile the frame — spec §8.2; the decoder walks each pass's own
   * geometry and resets the filter context per pass). Anything else —
-  * grayscale types, 16-bit depth — throws loudly rather than faking a
-  * decode. The encoder
+  * grayscale types, sub-byte depths — throws loudly rather than faking
+  * a decode. The encoder
   * deliberately cycles ALL FIVE filter types across rows and splits large
   * IDAT payloads into multiple chunks, so every decoder path (unfilter
   * types 0-4, cross-chunk zlib concatenation, per-chunk CRC checks) is
@@ -38,12 +41,21 @@ object Png {
       maxPx: Long, // max over pixels of (R + G + B)
       topLeftHex: String)
 
-  private def bppOf(colorType: Int): Int = colorType match {
-    case 2 => 3 // 8-bit RGB
-    case 3 => 1 // 8-bit palette index
-    case 6 => 4 // 8-bit RGBA
-    case t => throw new IllegalArgumentException(
-      s"only truecolor (2), palette (3), RGBA (6) supported, got $t")
+  /** Byte stride of one pixel at the given color type and depth. Palette
+    * indices are always one byte (the spec's 16-bit depth is not valid
+    * for type 3); truecolor/RGBA carry `channels × depth/8` bytes. */
+  private def bppOf(colorType: Int, depth: Int = 8): Int = {
+    val channels = colorType match {
+      case 2 => 3 // RGB
+      case 3 => 1 // palette index
+      case 6 => 4 // RGBA
+      case t => throw new IllegalArgumentException(
+        s"only truecolor (2), palette (3), RGBA (6) supported, got $t")
+    }
+    require(depth == 8 || depth == 16, s"depth $depth unsupported")
+    require(depth == 8 || colorType != 3,
+      "16-bit depth is not valid for palette color type")
+    channels * (depth / 8)
   }
 
   private def crcOf(typ: Array[Byte], data: Array[Byte], off: Int,
@@ -111,6 +123,30 @@ object Png {
                  idatChunk: Int = 4096): Array[Byte] =
     encodeRaw(rgba, width, colorType = 6, palette = null, idatChunk)
 
+  /** Encode raw 16-BIT truecolor samples (6 bytes per pixel: big-endian
+    * R,G,B) as a REAL depth-16 type-2 PNG — the HDR/scientific-image
+    * layout. Filtering operates on BYTES with the 6-byte pixel stride
+    * (spec §9: the filter offset is the pixel's byte width), so every
+    * filter type exercises the wide-stride arithmetic. */
+  def encode16(samples: Array[Byte], width: Int,
+               idatChunk: Int = 4096): Array[Byte] =
+    encodeRaw(samples, width, colorType = 2, palette = null, idatChunk,
+      depth = 16)
+
+  /** [[encode16]]'s Adam7-interlaced twin: the same 16-bit pixels stored
+    * as seven independently-filtered pass sub-images. */
+  def encode16Interlaced(samples: Array[Byte], width: Int,
+                         idatChunk: Int = 4096): Array[Byte] =
+    encodeRaw(samples, width, colorType = 2, palette = null, idatChunk,
+      interlaced = true, depth = 16)
+
+  /** Encode raw 16-bit RGBA samples (8 bytes per pixel, big-endian) as a
+    * REAL depth-16 type-6 PNG. */
+  def encode16Rgba(samples: Array[Byte], width: Int,
+                   idatChunk: Int = 4096): Array[Byte] =
+    encodeRaw(samples, width, colorType = 6, palette = null, idatChunk,
+      depth = 16)
+
   /** Encode raw RGB bytes as a REAL Adam7-INTERLACED truecolor PNG: the
     * seven pass sub-images are extracted on the spec grid, each filtered
     * as an independent image (filter context resets per pass), and the
@@ -156,9 +192,10 @@ object Png {
 
   private def encodeRaw(rgb: Array[Byte], width: Int, colorType: Int,
                         palette: Array[Byte], idatChunk: Int,
-                        interlaced: Boolean = false): Array[Byte] = {
+                        interlaced: Boolean = false,
+                        depth: Int = 8): Array[Byte] = {
     require(width > 0, "width must be positive")
-    val Bpp = bppOf(colorType)
+    val Bpp = bppOf(colorType, depth)
     val rowBytes = Bpp * width
     require(rgb.length > 0 && rgb.length % rowBytes == 0,
       s"payload must be a positive whole number of $rowBytes-byte rows")
@@ -202,7 +239,7 @@ object Png {
     val z = zbuf.toByteArray
 
     val ihdr = beU32(width.toLong) ++ beU32(height.toLong) ++
-      Array[Byte](8, colorType.toByte, 0, 0, // depth 8, deflate, adaptive
+      Array[Byte](depth.toByte, colorType.toByte, 0, 0, // deflate, adaptive
         if (interlaced) 1 else 0)
     val out = new java.io.ByteArrayOutputStream(z.length + 128)
     out.write(Signature)
@@ -237,7 +274,7 @@ object Png {
 
     var off = Signature.length
     var width = -1; var height = -1
-    var colorType = -1; var bpp = 0
+    var colorType = -1; var bpp = 0; var depth = 8
     var interlaced = false
     var palette: Array[Byte] = null
     val idat = new java.io.ByteArrayOutputStream()
@@ -260,9 +297,11 @@ object Png {
           val w = u32(dataOff); val h = u32(dataOff + 4)
           require(w >= 1 && w <= Int.MaxValue / 8, s"width $w out of range")
           require(h >= 1 && h <= Int.MaxValue / 8, s"height $h out of range")
-          require(blob(dataOff + 8) == 8, "only 8-bit depth supported")
+          depth = blob(dataOff + 8) & 0xff
+          require(depth == 8 || depth == 16,
+            s"only 8/16-bit depth supported, got $depth")
           colorType = blob(dataOff + 9) & 0xff
-          bpp = bppOf(colorType) // throws by name on 0/4/unknown
+          bpp = bppOf(colorType, depth) // throws by name on 0/4/unknown
           require(blob(dataOff + 10) == 0, "unknown compression method")
           require(blob(dataOff + 11) == 0, "unknown filter method")
           interlaced = blob(dataOff + 12) match {
@@ -358,24 +397,34 @@ object Png {
         var p = 0
         while (p < pw) {
           var red = 0; var green = 0; var blue = 0; var alpha = 0
-          colorType match {
-            case 2 =>
+          // 16-bit samples are big-endian pairs; stats sum the FULL
+          // 0..65535 sample values (same columns, wider domain)
+          def s16(i: Int) = (cur(i) << 8) | cur(i + 1)
+          (colorType, depth) match {
+            case (2, 8) =>
               red = cur(3 * p); green = cur(3 * p + 1); blue = cur(3 * p + 2)
-            case 3 =>
+            case (2, 16) =>
+              red = s16(6 * p); green = s16(6 * p + 2); blue = s16(6 * p + 4)
+            case (3, _) =>
               val idx = cur(p)
               require(3 * idx + 2 < palette.length,
                 s"palette index $idx out of range (${palette.length / 3} entries)")
               red = palette(3 * idx) & 0xff
               green = palette(3 * idx + 1) & 0xff
               blue = palette(3 * idx + 2) & 0xff
-            case 6 =>
+            case (6, 8) =>
               red = cur(4 * p); green = cur(4 * p + 1); blue = cur(4 * p + 2)
               alpha = cur(4 * p + 3)
+            case (6, 16) =>
+              red = s16(8 * p); green = s16(8 * p + 2); blue = s16(8 * p + 4)
+              alpha = s16(8 * p + 6)
           }
           nPx += 1; sr += red; sg += green; sb += blue; sa += alpha
           val px = (red + green + blue).toLong; if (px > mx) mx = px
           if (firstPass && r == 0 && p == 0)
-            topLeftHex = f"$red%02X$green%02X$blue%02X"
+            topLeftHex =
+              if (depth == 16) f"$red%04X$green%04X$blue%04X"
+              else f"$red%02X$green%02X$blue%02X"
           p += 1
         }
         System.arraycopy(cur, 0, prev, 0, rowBytes)

@@ -35,14 +35,19 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
 
   for ((name, want) <- pins) {
     test(s"exchange count pinned: $name = $want") {
-      val (plan, got) = PlanAudit.audit(spark, "/root/testdata/sf0.001", name)
-      assert(got == want,
-        s"$name exchange count moved $want -> $got; if deliberate, " +
-          s"re-record PLAN_AUDIT and move this pin. Plan:\n${plan.take(4000)}")
-      graft.ops.Caches.release()
-      spark.catalog.clearCache()
-      org.apache.spark.sql.execution.streaming.state.StateStore.stop()
-      spark.streams.resetTerminated()
+      try {
+        val (plan, got) = PlanAudit.audit(spark, "/root/testdata/sf0.001", name)
+        assert(got == want,
+          s"$name exchange count moved $want -> $got; if deliberate, " +
+            s"re-record PLAN_AUDIT and move this pin. Plan:\n${plan.take(4000)}")
+      } finally {
+        // cleanup must run even when a pin fails, or the leaked caches
+        // and streaming state cascade into the remaining pins
+        graft.ops.Caches.release()
+        spark.catalog.clearCache()
+        org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+        spark.streams.resetTerminated()
+      }
     }
   }
 }
