@@ -3,6 +3,7 @@ package graft
 import graft.core.IniConfig
 import graft.dedup.{Components, DocDedup}
 import graft.incr.BucketedStateStore
+import graft.ops.ReduceOp
 import graft.text.{Curation, TextFunctions}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -39,7 +40,8 @@ object Jobs {
   def run(name: String, spark: SparkSession, conf: IniConfig,
           store: BucketedStateStore,
           sources: graft.incr.IncrementalRun.Sources,
-          cancelled: () => Boolean = () => false): Int = {
+          cancelled: () => Boolean = () => false,
+          pipeline: Option[graft.core.Pipeline] = None): Int = {
     def guarded(body: => Unit): Int =
       try { body; 0 }
       catch { case AbortedException(msg) => System.err.println(msg); 1 }
@@ -48,9 +50,13 @@ object Jobs {
       case "index-build" => guarded(IndexJobs.build(spark, conf, sources, cancelled))
       case "index-update" => guarded(IndexJobs.update(spark, conf, sources, cancelled))
       case "compact" => guarded(IndexJobs.compact(spark, conf, cancelled))
+      case "resync" => guarded(ResyncJob.run(spark,
+        pipeline.getOrElse(throw new IllegalArgumentException(
+          "--job resync needs the pipeline provider argument")),
+        store, sources, cancelled))
       case other =>
-        System.err.println(
-          s"unknown job '$other' (known: curate, index-build, index-update, compact)")
+        System.err.println(s"unknown job '$other' (known: curate, " +
+          "index-build, index-update, compact, resync)")
         1
     }
   }
@@ -68,13 +74,27 @@ object Jobs {
   /** `--jobs`: progress listing from the committed manifest alone. */
   def progressLines(store: BucketedStateStore): Seq[String] = {
     val done = stagePointer(store, "curate")
-    Curate.Stages.zipWithIndex.map { case (stage, i) =>
+    val curate = Curate.Stages.zipWithIndex.map { case (stage, i) =>
       val status =
         if (done >= i + 1L)
           s"done (rows=${store.meta(s"job.curate.$stage.rows").getOrElse("?")})"
         else "pending"
       s"curate/$stage: $status"
     }
+    // resync's stage list is pipeline-shaped, so the committed manifest
+    // carries it (job.resync.stages) — the listing stays SparkSession- and
+    // provider-free like the rest of `--jobs`
+    val resync = store.meta("job.resync.stages").toSeq.flatMap { names =>
+      val p = stagePointer(store, "resync")
+      names.split(',').toSeq.zipWithIndex.map { case (stage, i) =>
+        val status =
+          if (p >= i + 1L)
+            s"done (rows=${store.meta(s"job.resync.$stage.rows").getOrElse("?")})"
+          else "pending"
+        s"resync/$stage: $status"
+      }
+    }
+    curate ++ resync
   }
 
   /** Operational surface for the log-structured near-dup index — the
@@ -176,6 +196,99 @@ object Jobs {
       abortIfCancelled(cancelled, "compact start")
       graft.dedup.LshIndex.compact(spark, idx)
       println(s"compact: ${idx.dir} folded to gen ${committed(idx)}")
+    }
+  }
+
+  /** Full resync as a leased, STAGE-RESUMABLE named job — the crash
+    * story the index jobs already have, applied to A16/A17: where the
+    * worker's startup auto-resync (Worker.scala, worker.py:66-71)
+    * replaces the whole state in ONE commit, a 100 TB resync wants
+    * per-target durability. Each map target commits as its own stage
+    * (table + id-index projection in one manifest swap), each reduce
+    * target then recomputes FROM THE COMMITTED map table in the store,
+    * so a crash costs only the unfinished target and a re-run resumes at
+    * the staged stage.
+    *
+    * The stage pointer is scoped to the PIPELINE FINGERPRINT (every
+    * handler's version): a version bump invalidates the pointer and the
+    * job starts over, while redelivery of the same versions is a no-op —
+    * the job twin of the index's committed-gen redelivery idempotence.
+    * Untouched tables (the seq ledger, CAS revisions, foreign tables)
+    * carry forward through every commit, matching resyncFull's
+    * ledger-preservation contract. */
+  object ResyncJob {
+    def stages(pipeline: graft.core.Pipeline): Seq[String] =
+      pipeline.mapTargets.toSeq.sorted.map("map:" + _) ++
+        pipeline.reduces.map(_.target).distinct.sorted.map("reduce:" + _)
+
+    private[graft] def fingerprint(pipeline: graft.core.Pipeline): String =
+      (pipeline.maps.map(m => s"m:${m.source}>${m.target}=${m.version}") ++
+        pipeline.reduces.map(r => s"r:${r.target}=${r.version}"))
+        .sorted.mkString(";")
+
+    def run(spark: SparkSession, pipeline: graft.core.Pipeline,
+            store: BucketedStateStore,
+            sources: graft.incr.IncrementalRun.Sources,
+            cancelled: () => Boolean = () => false): Unit = {
+      import graft.incr.{BucketedRun, IncrementalRun}
+      import graft.core.MrSchema
+      val fp = fingerprint(pipeline)
+      val names = stages(pipeline)
+      val allBuckets = (0 until store.numBuckets).toSet
+      def abortIfCancelled(at: String): Unit =
+        if (cancelled()) throw AbortedException(
+          s"lease lost; aborting job 'resync' at $at (no further commits)")
+      // the pointer counts only under ITS fingerprint: a version bump
+      // restarts from stage 1, same-version redelivery skips everything
+      def pointer: Long =
+        if (store.meta("job.resync.fingerprint").contains(fp))
+          stagePointer(store, "resync")
+        else 0L
+      def commitStage(stage: String, idx: Long,
+                      tables: Seq[(String, DataFrame, String)]): Unit = {
+        val batch = store.committedBatch.getOrElse(0L) + 1L
+        var rows = -1L
+        tables.foreach { case (name, df, keyCol) =>
+          val cached = graft.ops.Caches.track(df)
+          store.stageBuckets(name, allBuckets, cached, batch, keyCol)
+          if (rows < 0) rows = cached.count()
+        }
+        store.setMeta(s"job.resync.$stage.rows", rows.toString)
+        store.setMeta("job.resync.fingerprint", fp)
+        store.setMeta("job.resync.stages", names.mkString(","))
+        store.setMeta("job.resync.stage", idx.toString)
+        abortIfCancelled(s"commit of stage '$stage'")
+        store.commit(batch)
+        graft.core.KillPoint(s"job.resync.$stage.committed")
+      }
+      names.zipWithIndex.foreach { case (stage, i) =>
+        val idx = i + 1L
+        if (pointer < idx) {
+          abortIfCancelled(s"start of stage '$stage'")
+          graft.core.KillPoint(s"job.resync.$stage.start")
+          stage.split(":", 2) match {
+            case Array("map", t) =>
+              val df = IncrementalRun.mapTable(pipeline, t, sources,
+                empty = false)
+              commitStage(stage, idx, Seq(
+                (t, df, MrSchema.Key),
+                (BucketedRun.indexName(t),
+                  df.select(col(MrSchema.SourceType), col(MrSchema.SourceId),
+                    col(MrSchema.Key)).distinct(), MrSchema.SourceId)))
+            case Array("reduce", t) =>
+              val spec = pipeline.reduces.find(_.target == t).get
+              // read the map side BACK from the store: the reduce stage
+              // depends only on durably-committed state, never on a map
+              // recompute that may predate a crash
+              commitStage(stage, idx, Seq(
+                (t, ReduceOp(spec, store.table(spark, spec.source)),
+                  MrSchema.Key)))
+          }
+        }
+      }
+      graft.ops.Caches.release()
+      println(s"resync: ${names.size} stages committed " +
+        s"(fingerprint ${fp.hashCode.toHexString})")
     }
   }
 

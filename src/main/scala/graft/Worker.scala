@@ -76,11 +76,13 @@ object Worker {
       }
     }
     // --job/--jobs modes run a NAMED batch job (no handler pipeline):
-    // the positional provider argument is not used there
-    if (job.isEmpty && !jobs && provider.isEmpty)
+    // the positional provider argument is not used there — except
+    // `--job resync`, which resyncs the provider's own pipeline
+    if ((job.isEmpty || job.contains("resync")) && !jobs && provider.isEmpty)
       throw new IllegalArgumentException(
         "usage: Worker <pipeline-object> -c <config.ini> [-f | -q] " +
-          "| Worker --job <name> -c <config.ini> | Worker --jobs -c <config.ini>")
+          "| Worker [<pipeline-object>] --job <name> -c <config.ini> " +
+          "| Worker --jobs -c <config.ini>")
     Args(provider.getOrElse(""),
       config.getOrElse(throw new IllegalArgumentException("-c <config.ini> is required")),
       forever, queue, job, jobs)
@@ -179,12 +181,16 @@ object Worker {
                         sparkOverride: Option[SparkSession]): Int = {
     val intervalMs =
       conf.getLongOrElse("qvarnmr", "keep_alive_update_interval", 10L) * 1000L
-    // named-job mode runs without a handler pipeline; stream mode loads
-    // the provider EAGERLY so a bad dotted path still fails fast, before
-    // any SparkSession exists
+    // named-job mode runs without a handler pipeline — except `--job
+    // resync`, which resyncs the pipeline's own targets; stream mode (and
+    // resync) load the provider EAGERLY so a bad dotted path still fails
+    // fast, before any SparkSession exists
     val pipelineOpt =
-      if (args.job.isEmpty) Some(PipelineProvider.load(args.provider).pipeline)
-      else None
+      if (args.job.isEmpty || args.job.contains("resync")) {
+        require(args.provider.nonEmpty,
+          "--job resync needs the pipeline provider argument")
+        Some(PipelineProvider.load(args.provider).pipeline)
+      } else None
 
     val spark = sparkOverride.getOrElse {
       SparkSession.builder()
@@ -239,7 +245,12 @@ object Worker {
           // transient heartbeat hiccups (fs blips) keep the loop alive
           case _: Throwable => ()
         }
-        if (running) Thread.sleep(math.max(intervalMs / 2, 100L))
+        // interrupt() from the shutdown path lands here mid-sleep; exit
+        // the loop quietly instead of letting the default uncaught-
+        // exception handler print a spurious stack trace
+        if (running)
+          try Thread.sleep(math.max(intervalMs / 2, 100L))
+          catch { case _: InterruptedException => running = false }
       }
     }, "graft-lease-heartbeat")
     heartbeat.setDaemon(true)
@@ -255,7 +266,13 @@ object Worker {
         // another worker now owns.
         case Some(jobName) =>
           val code = Jobs.run(jobName, spark, conf, store, sources,
-            cancelled = () => leaseLost)
+            cancelled = () => leaseLost, pipeline = pipelineOpt)
+          // a COMPLETED resync job bumps the persisted handler registry,
+          // so the next stream-mode startup won't redo the same resync
+          // (the job is the operable form of worker.py:66-71's auto path)
+          if (jobName == "resync" && code == 0 && !leaseLost)
+            saveRegistry(storeRoot,
+              loadRegistry(storeRoot).bumped(pipelineOpt.get))
           if (leaseLost) 1 else code
         case None =>
           val pipeline = pipelineOpt.get

@@ -47,8 +47,8 @@ object IncrementalRun {
     * on every notification — clients/qvarn.py:111-137). */
   type Sources = String => DataFrame
 
-  private def mapTable(pipeline: Pipeline, target: String, sources: Sources,
-                       empty: Boolean): DataFrame =
+  private[graft] def mapTable(pipeline: Pipeline, target: String,
+                              sources: Sources, empty: Boolean): DataFrame =
     pipeline.mapSpecsByTarget(target).map { m =>
       val src = if (empty) sources(m.source).limit(0) else sources(m.source)
       MapOp(m, src)

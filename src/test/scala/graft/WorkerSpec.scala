@@ -16,6 +16,16 @@ object WorkerTestPipeline extends PipelineProvider {
     reduces = Seq(ReduceSpec("m", "r", 1, ExprReduce(sum))))
 }
 
+/** The same pipeline with BOTH handler versions bumped and the reduce
+  * semantics changed (sum → max), so a resync's convergence is
+  * observable in the store, not just in the registry. */
+object WorkerTestPipelineV2 extends PipelineProvider {
+  val pipeline: Pipeline = Pipeline(
+    maps = Seq(MapSpec("src", "m", 2, idCol = "id",
+      fn = MapFns.item("k", Some("v"), idCol = "id"))),
+    reduces = Seq(ReduceSpec("m", "r", 2, ExprReduce(max))))
+}
+
 /** The packaged worker entry point: INI config, reflective pipeline
   * loading, lease, resync-on-version-change, drain-then-exit. */
 class WorkerSpec extends AnyFunSuite with SparkTestBase {
@@ -318,6 +328,81 @@ class WorkerSpec extends AnyFunSuite with SparkTestBase {
       "other-worker", 60000L)
     foreign.keepAlive()
     assert(Worker.run(Seq("--job", "compact", "-c", ini), Some(spark)) == 1)
+  }
+
+  test("--job resync: version bump → staged resume after a mid-job kill → " +
+    "converged store + bumped registry") {
+    val (srcDir, _, storeRoot, ini) = setupDirs()
+    Seq(("a", "k1", 1.0), ("b", "k1", 2.0), ("c", "k2", 5.0))
+      .toDF("id", "k", "v").write.parquet(srcDir)
+    def reduced = new BucketedStateStore(storeRoot, 8).table(spark, "r")
+      .select(col(MrSchema.Key), col(MrSchema.Value))
+      .as[(String, Double)].collect().toMap
+
+    // v1 stream run initializes the store (sum semantics) + registry v1
+    assert(Worker.run(Seq("graft.WorkerTestPipeline", "-c", ini),
+      Some(spark)) == 0)
+    assert(reduced == Map("k1" -> 3.0, "k2" -> 5.0))
+
+    // versions bump to v2 (max semantics); the resync job CRASHES right
+    // after its first stage (map:m) commits — the reduce stage never runs
+    graft.core.KillPoint.hook = s =>
+      if (s == "job.resync.map:m.committed")
+        throw new RuntimeException("chaos: killed after map stage")
+    try intercept[RuntimeException] {
+      Worker.run(Seq("graft.WorkerTestPipelineV2", "--job", "resync",
+        "-c", ini), Some(spark))
+    } finally graft.core.KillPoint.hook = _ => ()
+    val mid = new BucketedStateStore(storeRoot, 8)
+    assert(mid.meta("job.resync.stage").contains("1"),
+      "the map stage must have committed durably before the kill")
+    assert(reduced == Map("k1" -> 3.0, "k2" -> 5.0),
+      "the reduce table must still carry v1 state after the kill")
+    assert(Jobs.progressLines(mid).filter(_.startsWith("resync/")) == Seq(
+      s"resync/map:m: done (rows=${mid.meta("job.resync.map:m.rows").get})",
+      "resync/reduce:r: pending"))
+
+    // the re-run RESUMES at the staged stage: map:m must not restart
+    graft.core.KillPoint.hook = s =>
+      if (s == "job.resync.map:m.start")
+        throw new AssertionError("stage 1 must not re-run on resume")
+    try assert(Worker.run(Seq("graft.WorkerTestPipelineV2", "--job",
+      "resync", "-c", ini), Some(spark)) == 0)
+    finally graft.core.KillPoint.hook = _ => ()
+    assert(reduced == Map("k1" -> 2.0, "k2" -> 5.0),
+      "the converged store must carry v2 (max) semantics")
+
+    // redelivery of the SAME versions is a no-op (no stage runs at all)
+    graft.core.KillPoint.hook = s =>
+      if (s.startsWith("job.resync.") && s.endsWith(".start"))
+        throw new AssertionError(s"no stage may run on redelivery: $s")
+    try assert(Worker.run(Seq("graft.WorkerTestPipelineV2", "--job",
+      "resync", "-c", ini), Some(spark)) == 0)
+    finally graft.core.KillPoint.hook = _ => ()
+
+    // the registry bumped with the job, so a stream-mode run does NOT
+    // auto-resync: a source row appended WITHOUT a change notification
+    // stays invisible (a resync would have swept it in)
+    Seq(("z", "k3", 9.0)).toDF("id", "k", "v")
+      .write.mode("append").parquet(srcDir)
+    assert(Worker.run(Seq("graft.WorkerTestPipelineV2", "-c", ini),
+      Some(spark)) == 0)
+    assert(reduced == Map("k1" -> 2.0, "k2" -> 5.0),
+      "a bumped registry must suppress the startup auto-resync")
+
+    // a FRESH version bump (v1 again: different fingerprint) restarts the
+    // job from stage 1 — the pointer is fingerprint-scoped
+    graft.core.KillPoint.hook = s =>
+      if (s == "job.resync.reduce:r.committed")
+        throw new RuntimeException("chaos: killed after reduce stage")
+    try intercept[RuntimeException] {
+      Worker.run(Seq("graft.WorkerTestPipeline", "--job", "resync",
+        "-c", ini), Some(spark))
+    } finally graft.core.KillPoint.hook = _ => ()
+    // both stages of the v1 fingerprint ran (the v2 pointer didn't leak)
+    // and the state now carries v1 (sum) semantics INCLUDING the swept-in
+    // z row — resync recomputes from current sources
+    assert(reduced == Map("k1" -> 3.0, "k2" -> 5.0, "k3" -> 9.0))
   }
 
   test("startup failure after lease acquisition releases the lease promptly") {
