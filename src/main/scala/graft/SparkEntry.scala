@@ -2194,6 +2194,23 @@ object SparkEntry {
       Multimodal.decodeWav(blobs, "doc_id", "blob")
     }),
 
+    // REAL IMA ADPCM decode (WAV format tag 0x11) — the seam's first
+    // COMPRESSED audio codec: the payload bytes are the raw nibble
+    // stream, split into 12-byte blocks whose 4-byte headers (predictor
+    // 0, step index 0) each emit sample 0, then every nibble steps the
+    // predictor through the published step/index tables with clamping at
+    // ±32767/[0,88]. Exact integer statistics; the oracle replays the
+    // identical per-nibble recurrence in a recursive CTE over the same
+    // bytes — a decoder that mis-ordered nibbles, missed a clamp, or
+    // broke a block boundary hash-mismatches
+    "mm_decode_adpcm" -> ((s, dir) => {
+      val blobs = t(s, dir, "documents")
+        .withColumn("__b", encode(col("text"), "UTF-8"))
+      Multimodal.decodeWav(
+        Multimodal.wavAdpcmBlob(blobs, "doc_id", "__b",
+          sampleRate = 8000, blockAlign = 12), "doc_id", "blob")
+    }),
+
     // REAL G.711 A-law decode (WAV format tag 6): XOR-0x55 companding,
     // linear segment 0, inverted sign convention vs μ-law
     "mm_decode_alaw" -> ((s, dir) => {
@@ -6364,6 +6381,65 @@ object SparkEntry {
       "mm_decode_mulaw" -> {
         val mag = "((((255-b)%16)*8 + 132) * (1 << (((255-b)//16)%8))) - 132"
         g711OracleSql(s"CASE WHEN (255-b) >= 128 THEN -($mag) ELSE $mag END")
+      },
+      // IMA ADPCM: the oracle replays the exact per-nibble recurrence —
+      // step table lookup, 3-bit magnitude expansion, ±32767 clamp,
+      // index advance clamped to [0,88] — in a recursive CTE whose
+      // frontier is one row per (doc, 12-byte block), 2 nibbles per data
+      // byte plus the header's sample 0; block state resets per block
+      "mm_decode_adpcm" -> {
+        val st = "[7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41," +
+          "45,50,55,60,66,73,80,88,97,107,118,130,143,157,173,190,209,230," +
+          "253,279,307,337,371,408,449,494,544,598,658,724,796,876,963," +
+          "1060,1166,1282,1411,1552,1707,1878,2066,2272,2499,2749,3024," +
+          "3327,3660,4026,4428,4871,5358,5894,6484,7132,7845,8630,9493," +
+          "10442,11487,12635,13899,15289,16818,18500,20350,22385,24623," +
+          "27086,29794,32767]"
+        val it = "[-1,-1,-1,-1,2,4,6,8]"
+        raw"""WITH RECURSIVE b AS (SELECT doc_id,
+                regexp_extract_all(hex(encode(text)), '..') AS by
+                FROM documents),
+            v AS (SELECT doc_id, list_transform(by, h ->
+                (strpos('0123456789ABCDEF', substr(h, 1, 1)) - 1) * 16
+                + strpos('0123456789ABCDEF', substr(h, 2, 1)) - 1) AS bv
+              FROM b),
+            blk AS (SELECT doc_id, j,
+                bv[(j*8+1)::INT:(LEAST((j+1)*8, len(bv)))::INT] AS bb
+              FROM v, unnest(range((len(bv) + 7) // 8)) AS t(j)),
+            rec AS (
+              SELECT doc_id, j, bb, 0 AS q, 0 AS pred, 0 AS sidx, 0 AS s
+              FROM blk
+              UNION ALL
+              SELECT doc_id, j, bb, q + 1,
+                LEAST(32767, GREATEST(-32768,
+                  CASE WHEN nib >= 8 THEN pred - diff
+                       ELSE pred + diff END)) AS pred,
+                LEAST(88, GREATEST(0, sidx + ($it)[(nib % 8) + 1])) AS sidx,
+                LEAST(32767, GREATEST(-32768,
+                  CASE WHEN nib >= 8 THEN pred - diff
+                       ELSE pred + diff END)) AS s
+              FROM (SELECT doc_id, j, bb, q, pred, sidx,
+                  CASE WHEN q % 2 = 0 THEN bb[(q + 2) // 2] % 16
+                       ELSE bb[(q + 1) // 2] // 16 END AS nib,
+                  ($st)[sidx + 1] AS step
+                FROM rec WHERE q < 2 * len(bb)) r,
+              LATERAL (SELECT step // 8
+                + CASE WHEN nib % 2 = 1 THEN step // 4 ELSE 0 END
+                + CASE WHEN (nib // 2) % 2 = 1 THEN step // 2 ELSE 0 END
+                + CASE WHEN (nib // 4) % 2 = 1 THEN step ELSE 0 END
+                AS diff) d)
+            SELECT d.doc_id,
+              CAST(8000 AS INTEGER) AS sample_rate,
+              CAST(1 AS INTEGER) AS channels,
+              CAST(4 AS INTEGER) AS bits,
+              CAST(coalesce(r.n, 0) AS BIGINT) AS n_samples,
+              CAST(coalesce(r.s, 0) AS BIGINT) AS sum_samples,
+              CAST(coalesce(r.sq, 0) AS BIGINT) AS sum_squares,
+              CAST(coalesce(r.mx, 0) AS BIGINT) AS max_abs
+            FROM documents d LEFT JOIN (
+              SELECT doc_id, count(*) AS n, sum(s) AS s, sum(s * s) AS sq,
+                max(abs(s)) AS mx FROM rec GROUP BY doc_id) r
+              USING (doc_id)"""
       },
       // G.711 A-law: XOR 0x55, segment 0 linear, sign bit SET = positive
       "mm_decode_alaw" -> {

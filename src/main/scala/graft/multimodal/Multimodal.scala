@@ -83,12 +83,43 @@ object Multimodal {
     * around raw PCM). Walks the chunk list generically (unknown chunks —
     * LIST/JUNK/bext/… — are skipped by their declared size with RIFF's
     * word alignment), reads `fmt `, locates `data`, and decodes the
-    * samples: 16-bit signed little-endian PCM (format 1), or the two
+    * samples: 16-bit signed little-endian PCM (format 1), the two
     * G.711 companded telephony codecs — A-law (format 6) and μ-law
     * (format 7), 8-bit bytes expanded to 16-bit samples with the
-    * standard integer segment/mantissa arithmetic. Strict: any other
-    * format tag throws rather than returning fake features. */
+    * standard integer segment/mantissa arithmetic — or IMA ADPCM
+    * (format 0x11): block-structured 4-bit differential coding expanded
+    * through the published step/index tables, the first COMPRESSED audio
+    * codec of the seam. Strict: any other format tag throws rather than
+    * returning fake features. */
   object Wav {
+    /** IMA ADPCM quantizer step table (89 entries) and index-advance
+      * table — the published constants every IMA decoder shares. */
+    val AdpcmStepTable: Array[Int] = Array(
+      7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+      41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+      190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+      724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+      2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+      6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+      16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+    val AdpcmIndexTable: Array[Int] = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+    /** One IMA ADPCM step: expand nibble `nib` against (`pred`, `sidx`),
+      * returning the clamped new predictor (= the decoded sample) and the
+      * clamped new step index. Exact integer arithmetic — the DuckDB
+      * oracle replays it per nibble. */
+    def adpcmStep(pred: Int, sidx: Int, nib: Int): (Int, Int) = {
+      val step = AdpcmStepTable(sidx)
+      var diff = step >> 3
+      if ((nib & 1) != 0) diff += step >> 2
+      if ((nib & 2) != 0) diff += step >> 1
+      if ((nib & 4) != 0) diff += step
+      val raw = if ((nib & 8) != 0) pred - diff else pred + diff
+      val p = math.max(-32768, math.min(32767, raw))
+      val i = math.max(0, math.min(88, sidx + AdpcmIndexTable(nib & 7)))
+      (p, i)
+    }
+
     /** G.711 μ-law byte → 16-bit sample: complement, then
       * ((mantissa·8 + 132) << exponent) − 132, sign from bit 7.
       * Pure integers — the oracle replays it per byte. */
@@ -123,6 +154,7 @@ object Multimodal {
         "not a RIFF/WAVE container")
       var off = 12
       var sr = -1; var ch = -1; var bits = -1; var fmt = -1
+      var blockAlign = -1
       var dataOff = -1; var dataLen = 0
       while (off + 8 <= blob.length) {
         val id = tag(off)
@@ -134,9 +166,11 @@ object Multimodal {
           case "fmt " =>
             require(size >= 16, "fmt chunk too short")
             fmt = u16(body)
-            require(fmt == 1 || fmt == 6 || fmt == 7,
-              s"unsupported WAV format $fmt (PCM 1, A-law 6, mu-law 7)")
-            ch = u16(body + 2); sr = u32(body + 4).toInt; bits = u16(body + 14)
+            require(fmt == 1 || fmt == 6 || fmt == 7 || fmt == 0x11,
+              s"unsupported WAV format $fmt (PCM 1, A-law 6, mu-law 7, " +
+                "IMA ADPCM 17)")
+            ch = u16(body + 2); sr = u32(body + 4).toInt
+            blockAlign = u16(body + 12); bits = u16(body + 14)
           case "data" => dataOff = body; dataLen = size
           case _ => () // LIST/JUNK/…: skipped by size
         }
@@ -154,6 +188,43 @@ object Multimodal {
           n += 1; sum += s; sq += s * s
           val a = math.abs(s); if (a > mx) mx = a
           i += 2
+        }
+      } else if (fmt == 0x11) {
+        // IMA ADPCM: fixed-size blocks of nBlockAlign bytes, each opening
+        // with a 4-byte header (initial predictor s16le, step index u8,
+        // reserved 0) whose predictor IS sample 0, followed by 2 nibbles
+        // per byte expanded through the step/index tables. The last block
+        // may run short (we decode to the data chunk's end).
+        require(bits == 4, s"IMA ADPCM is 4-bit, got $bits")
+        require(ch == 1, "IMA ADPCM decode is mono-only")
+        require(blockAlign >= 5, s"ADPCM block align $blockAlign too small")
+        var boff = dataOff
+        val end = dataOff + dataLen
+        while (boff < end) {
+          val bend = math.min(boff + blockAlign, end)
+          require(bend - boff >= 4, "truncated ADPCM block header")
+          var pred = ((blob(boff) & 0xff) | (blob(boff + 1) << 8))
+            .toShort.toInt
+          var sidx = blob(boff + 2) & 0xff
+          require(sidx <= 88, s"ADPCM step index $sidx out of range")
+          require(blob(boff + 3) == 0, "ADPCM reserved header byte must be 0")
+          n += 1; sum += pred; sq += pred.toLong * pred
+          if (math.abs(pred) > mx) mx = math.abs(pred).toLong
+          var i = boff + 4
+          while (i < bend) {
+            val byte = blob(i) & 0xff
+            var half = 0
+            while (half < 2) {
+              val nib = if (half == 0) byte & 0x0f else byte >> 4
+              val (p, si) = adpcmStep(pred, sidx, nib)
+              pred = p; sidx = si
+              n += 1; sum += pred; sq += pred.toLong * pred
+              val a = math.abs(pred).toLong; if (a > mx) mx = a
+              half += 1
+            }
+            i += 1
+          }
+          boff += blockAlign
         }
       } else {
         require(bits == 8, s"G.711 streams are 8-bit, got $bits")
@@ -1338,6 +1409,49 @@ object Multimodal {
                   mulaw: Boolean): Column =
     wavBlobFmt(bytes, sampleRate, channels,
       fmtCode = if (mulaw) 7 else 6, bits = 8)
+
+  /** Wrap payload bytes (the raw 4-bit nibble stream, 2 samples per
+    * byte) into a REAL IMA ADPCM RIFF container (format tag 0x11):
+    * payload split into `blockAlign`-byte blocks, each opening with the
+    * 4-byte header (predictor 0, step index 0, reserved 0) — the last
+    * block may run short. A `mapPartitions` seam like [[pngBlob]]: the
+    * per-block header interleave is a byte-buffer walk, not a Catalyst
+    * expression. */
+  def wavAdpcmBlob(df: DataFrame, idCol: String, payloadCol: String,
+                   sampleRate: Int = 8000,
+                   blockAlign: Int = 12): DataFrame = {
+    require(blockAlign >= 5, s"block align $blockAlign too small")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dataBytes = blockAlign - 4
+    graft.ops.Par.ensure(df.select(col(idCol).cast("long"), col(payloadCol)))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) =>
+        val nBlocks = (p.length + dataBytes - 1) / dataBytes
+        val dataLen = p.length + 4 * nBlocks
+        val bb = java.nio.ByteBuffer.allocate(12 + 24 + 16 + 8 + dataLen)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes("US-ASCII")).putInt(dataLen + 52)
+          .put("WAVE".getBytes("US-ASCII"))
+          .put("fmt ".getBytes("US-ASCII")).putInt(16)
+          .putShort(0x11.toShort).putShort(1.toShort) // IMA ADPCM, mono
+          .putInt(sampleRate)
+          .putInt(sampleRate * blockAlign / (2 * dataBytes + 1)) // approx
+          .putShort(blockAlign.toShort).putShort(4.toShort)
+          // a JUNK chunk keeps the chunk walk genuine, like wavBlobFmt
+          .put("JUNK".getBytes("US-ASCII")).putInt(8).put(new Array[Byte](8))
+          .put("data".getBytes("US-ASCII")).putInt(dataLen)
+        var o = 0
+        while (o < p.length) {
+          bb.putShort(0.toShort).put(0.toByte).put(0.toByte) // block header
+          val nBytes = math.min(dataBytes, p.length - o)
+          bb.put(p, o, nBytes)
+          o += nBytes
+        }
+        (id, bb.array())
+      })
+      .toDF(idCol, "blob")
+  }
 
   private def wavBlobFmt(pcm: Column, sampleRate: Int, channels: Int,
                          fmtCode: Int, bits: Int): Column = {

@@ -186,6 +186,81 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(msg.contains("unsupported WAV format 2"))
   }
 
+  test("IMA ADPCM: step recurrence, clamps, block boundaries, round-trip") {
+    import Multimodal.Wav
+    // single-step contract over ALL (step index, nibble) pairs against an
+    // independently-written expansion: diff accumulates step>>3 plus the
+    // selected halvings — equivalently floor(step/8)+b0*floor(step/4)+…
+    // computed here with integer division and explicit bit tests
+    for (sidx <- 0 to 88; nib <- 0 to 15) {
+      val step = Wav.AdpcmStepTable(sidx)
+      val expDiff = step / 8 + (if (nib % 2 == 1) step / 4 else 0) +
+        (if ((nib / 2) % 2 == 1) step / 2 else 0) +
+        (if ((nib / 4) % 2 == 1) step else 0)
+      val signed = if (nib >= 8) -expDiff else expDiff
+      val (p, i) = Wav.adpcmStep(0, sidx, nib)
+      assert(p == math.max(-32768, math.min(32767, signed)),
+        s"sidx=$sidx nib=$nib")
+      assert(i == math.max(0, math.min(88,
+        sidx + Seq(-1, -1, -1, -1, 2, 4, 6, 8)(nib % 8))))
+    }
+    // predictor clamps at both rails: all-7 nibbles (max positive) then
+    // all-15 (max negative) saturate without wrapping
+    var st = (0, 0)
+    for (_ <- 0 until 64) st = Wav.adpcmStep(st._1, st._2, 7)
+    assert(st._1 == 32767, "positive rail must clamp")
+    for (_ <- 0 until 128) st = Wav.adpcmStep(st._1, st._2, 15)
+    assert(st._1 == -32768, "negative rail must clamp")
+
+    // container round-trip: all 256 byte values as the nibble stream,
+    // 12-byte blocks (8 data bytes → state resets every 16 nibbles + a
+    // header sample 0 per block) vs an independent per-sample simulation
+    val all = Array.tabulate(256)(_.toByte)
+    def simulate(payload: Array[Byte]): (Long, Long, Long, Long) = {
+      var n = 0L; var sum = 0L; var sq = 0L; var mx = 0L
+      payload.grouped(8).foreach { bb =>
+        var pred = 0; var sidx = 0
+        n += 1 // the header's predictor is sample 0
+        bb.foreach { b =>
+          Seq(b & 0x0f, (b & 0xff) >> 4).foreach { nib =>
+            val (p, i) = Wav.adpcmStep(pred, sidx, nib)
+            pred = p; sidx = i
+            n += 1; sum += p; sq += p.toLong * p
+            mx = math.max(mx, math.abs(p).toLong)
+          }
+        }
+      }
+      (n, sum, sq, mx)
+    }
+    for (payload <- Seq(all, all.take(7), all.take(13), Array.empty[Byte])) {
+      val df = Seq((1L, payload)).toDF("id", "bytes")
+      val got = Multimodal.decodeWav(
+          Multimodal.wavAdpcmBlob(df, "id", "bytes", 8000, 12), "id", "blob")
+        .as[(Long, Int, Int, Int, Long, Long, Long, Long)].collect().head
+      val (n, sum, sq, mx) = simulate(payload)
+      assert(got == ((1L, 8000, 1, 4, n, sum, sq, mx)),
+        s"payload of ${payload.length} bytes")
+    }
+
+    // hostile blocks fail by name: out-of-range step index, nonzero
+    // reserved byte, truncated header
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def container(block: Array[Byte]) = {
+      val fmt = "fmt ".getBytes ++ le32(16) ++ le16(0x11) ++ le16(1) ++
+        le32(8000) ++ le32(4000) ++ le16(12) ++ le16(4)
+      val body = "WAVE".getBytes ++ fmt ++
+        ("data".getBytes ++ le32(block.length) ++ block)
+      "RIFF".getBytes ++ le32(body.length) ++ body
+    }
+    def msgOf(block: Array[Byte]) = intercept[IllegalArgumentException](
+      Wav.parse(container(block))).getMessage
+    assert(msgOf(Array[Byte](0, 0, 89, 0, 1, 2)).contains("step index"))
+    assert(msgOf(Array[Byte](0, 0, 0, 1, 1, 2)).contains("reserved"))
+    assert(msgOf(Array[Byte](0, 0, 0)).contains("truncated ADPCM"))
+  }
+
   test("BMP parser: bmpBlob round-trip, stride padding, row order, strictness") {
     // width 5 → 15 payload bytes/row, stride 16 (1 pad byte): the parser
     // must honour the stride or its channel sums shift by one per row
