@@ -112,6 +112,37 @@ object BenchZipf {
       n
     }
 
+    // graph lane over the SAME Zipfian corpus: word co-occurrence edges
+    // are a genuine power-law graph (head words are celebrity hubs —
+    // rank 0 co-occurs with nearly everything), so the r9 skew hardening
+    // (degree orientation for triangles, salted PageRank, bounded peel
+    // rounds) is exercised at realistic hub degrees, not the driver
+    // fixture's 31-word vocabulary. The check constants make a silent
+    // result regression as visible as a slowdown.
+    // a third of the corpus keeps the lane's pair-expansion shuffle
+    // (docs × len² pairs) affordable while hub degrees stay realistic
+    val facts = docs.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val edges = once("graph_edges") {
+      val e = graft.ops.Caches.track(graft.graph.Graph.coOccurrenceEdges(
+        facts, "doc_id", "w", minSupport = 7L))
+      checks("graph_edges") = e.count()
+      e
+    }
+    checks("graph_tri_total") = best("graph_triangles", 2) {
+      graft.graph.Graph.triangleCounts(edges)
+        .agg(coalesce(sum(col("triangles")), lit(0L))).head().getLong(0)
+    }
+    checks("graph_pr_top_micro") = best("graph_pagerank", 2) {
+      // max rank in integer micro-units (pr is exact to 6 decimals)
+      math.round(graft.graph.Graph.pageRank(edges, iters = 3, salt = 8)
+        .agg(coalesce(max(col("pr")), lit(0.0))).head().getDouble(0) * 1e6)
+    }
+    checks("graph_kcore_edges") = best("graph_kcore", 2) {
+      graft.graph.Graph.kCore(edges, k = 8L, maxRounds = 50).count()
+    }
+    graft.ops.Caches.release()
+
     val total = times.values.sum
     def fmt(d: Double) = f"$d%.2f"
     val json = "{" +
