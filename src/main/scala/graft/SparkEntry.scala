@@ -2284,12 +2284,14 @@ object SparkEntry {
     // (baseline JPEG gray + 4:2:0, sequential + Adam7 PNG, REAL 16-bit
     // PNG — decodable since the depth-16 branch landed) and the two
     // named rejection classes (COLOR progressive JPEG at 4:1:1 —
-    // gray/4:4:4/4:2:0/4:2:2 progressive decode for real — and
-    // grayscale PNG); the oracle re-derives every count from doc_id alone
+    // gray/4:4:4/4:2:0/4:2:2 progressive decode for real — grayscale
+    // PNG, and ARITHMETIC-coded JPEG: SOF10 rejected by name — the
+    // measured-share input to the implement/reject decision recorded in
+    // PLANS.md); the oracle re-derives every count from doc_id alone
     "mm_format_survey" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
         .withColumn("__b0", expr("substring(encode(text, 'UTF-8'), 1, 2048)"))
-        .withColumn("__k", pmod(col("doc_id"), lit(7L)))
+        .withColumn("__k", pmod(col("doc_id"), lit(8L)))
       def slice(k: Int) = docs.filter(col("__k") === k)
       val gray = Multimodal.jpegBlob(
         slice(0).filter(length(col("__b0")) >= 1), "doc_id", "__b0")
@@ -2311,7 +2313,9 @@ object SparkEntry {
         .filter(length(col("__px")) >= 30), "doc_id", "__px", width = 5)
       val pgray = slice(6).select(col("doc_id"),
         lit(Multimodal.PngGrayStub).as("blob"))
-      val mix = Seq(gray, j420, png, adam, prog, p16, pgray)
+      val arith = slice(7).select(col("doc_id"),
+        lit(Multimodal.ArithmeticJpegStub).as("blob"))
+      val mix = Seq(gray, j420, png, adam, prog, p16, pgray, arith)
         .map(_.select(col("doc_id"), col("blob"))).reduce(_.unionByName(_))
       Multimodal.formatSurvey(mix, "doc_id", "blob")
         .groupBy(col("format"), col("decodable"))
@@ -6540,7 +6544,7 @@ object SparkEntry {
       "mm_format_survey" ->
         raw"""WITH d AS (SELECT doc_id,
                 least(octet_length(encode(text)), 2048) AS nb,
-                doc_id % 7 AS k FROM documents),
+                doc_id % 8 AS k FROM documents),
             c AS (SELECT doc_id,
                 CASE k
                   WHEN 0 THEN CASE WHEN nb >= 1 THEN 'jpeg_baseline' END
@@ -6550,6 +6554,7 @@ object SparkEntry {
                   WHEN 4 THEN 'jpeg_progressive'
                   WHEN 5 THEN CASE WHEN nb - nb % 30 >= 30 THEN 'png16' END
                   WHEN 6 THEN 'png8_gray'
+                  WHEN 7 THEN 'jpeg_sofca'
                 END AS format,
                 k IN (0, 1, 2, 3, 5) AS decodable
               FROM d)

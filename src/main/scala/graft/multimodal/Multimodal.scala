@@ -1153,6 +1153,17 @@ object Multimodal {
     1, 0x41, 0, 2, 0x11, 1, 3, 0x11, 1,
     0xff, 0xd9).map(_.toByte)
 
+  /** A minimal ARITHMETIC-CODED progressive JPEG header (SOI + DAC +
+    * 3-component SOF10 at 4:2:0 + EOI) — the named rejection class for
+    * T.81's arithmetic entropy coder: the layout would decode, the
+    * entropy coding is what the seam rejects (SOF9/SOF10 by name). */
+  val ArithmeticJpegStub: Array[Byte] = Array(
+    0xff, 0xd8,
+    0xff, 0xcc, 0x00, 0x04, 0x00, 0x10, // DAC: DC table 0, default Kx
+    0xff, 0xca, 0x00, 0x11, 8, 0, 8, 0, 8, 3, // SOF10 8×8, 3 components
+    1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1, // 4:2:0 — layout itself fine
+    0xff, 0xd9).map(_.toByte)
+
   /** A minimal GRAYSCALE (color type 0) PNG header (signature + IHDR
     * with a correct CRC) — a named rejection class: the decoder covers
     * the truecolor/palette/RGBA types at 8 and 16 bit, not grayscale. */
