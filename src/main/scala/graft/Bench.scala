@@ -30,7 +30,7 @@ object Bench {
     // is contention; a total that drifts against a flat host_factor is a
     // real code change. CalibRef is the idle-host min recorded when the
     // probe was introduced (round 11).
-    val CalibRef = 2.25
+    val CalibRef = 2.03
     val calibSec = {
       import org.apache.spark.sql.functions._
       val dir = java.nio.file.Files.createTempDirectory("graft_calib")

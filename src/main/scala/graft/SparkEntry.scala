@@ -2511,6 +2511,25 @@ object SparkEntry {
         "doc_id", "blob", tasksPerImage = 8)
     }),
 
+    // SEGMENT-PARALLEL decode of restart-marked PROGRESSIVE 4:4:4
+    // streams: 4:4:4 is the layout where the DC scan's MCU raster and
+    // every AC scan's block raster are the SAME raster, so one restart
+    // interval partitions ALL EIGHT SCANS into the same block ranges —
+    // each task replays the full scan sequence (DC first → per-component
+    // AC first → refinements) for just its stride of segments, holding
+    // coefficient state in a reused restartInterval-sized buffer instead
+    // of whole-image planes. Same oracle as mm_decode_jpeg_color /
+    // mm_decode_jpeg_prog_color — the driver gate PROVES distributed
+    // progressive decode ≡ sequential ≡ baseline
+    "mm_decode_jpeg_prog_parallel" -> ((s, dir) => {
+      val px = t(s, dir, "documents")
+        .withColumn("__b", expr("substring(encode(text, 'UTF-8'), 1, 2048)"))
+        .filter(length(col("__b")) >= 1)
+      Multimodal.decodeJpegColorProgressiveParallel(
+        Multimodal.jpegColorProgressiveBlob(px, "doc_id", "__b",
+          restartEvery = 3), "doc_id", "blob", tasksPerImage = 8)
+    }),
+
     // REAL-pixel resize: the decoded BMP downsampled 2× in both axes by
     // nearest neighbor — the decode→transform step mm_resize only
     // imitates on raw bytes. The sampling grid reads logical rows top
@@ -6702,6 +6721,10 @@ object SparkEntry {
       "mm_decode_jpeg_color" -> jpegColorOracleSql,
       // progressive 4:4:4 ≡ baseline 4:4:4 on the same MCUs
       "mm_decode_jpeg_prog_color" -> jpegColorOracleSql,
+      // segment-parallel progressive ≡ sequential progressive ≡ baseline:
+      // the same pixel oracle across all three proves the distributed
+      // scan-sequence replay exactly
+      "mm_decode_jpeg_prog_parallel" -> jpegColorOracleSql,
       // the 4:2:0 round-trip: bytes in groups of four — quadrant k of
       // group j is a flat 8×8 with Y = bv[4j+k], chroma shared from the
       // group's FIRST byte; restarts don't change decoded values (DC

@@ -576,7 +576,8 @@ object Jpeg {
 
   /** Progressive twin of [[encodeColor]] — same 4:4:4 DC-only MCUs, same
     * decoded pixels, eight-scan SOF2 wire format. */
-  def encodeColorProgressive(payload: Array[Byte]): Array[Byte] = {
+  def encodeColorProgressive(payload: Array[Byte],
+                             restartEvery: Int = 0): Array[Byte] = {
     require(payload.nonEmpty && payload.length <= 8191,
       "payload must be 1..8191 bytes (height is 16-bit)")
     def dcBlock(v: Int): Array[Int] = {
@@ -587,7 +588,7 @@ object Jpeg {
       bv.map(b => Array(dcBlock(b - 128))),
       bv.map(b => dcBlock(b % 9 - 4)),
       bv.map(b => dcBlock(b % 7 - 3)),
-      mcusPerRow = 1, ySamp = 0x11)
+      mcusPerRow = 1, ySamp = 0x11, restartEvery)
   }
 
   /** Progressive twin of [[encodeColor420]] — same 16×16 shared-chroma
@@ -1822,6 +1823,286 @@ object Jpeg {
       } else pos += 1
     }
     starts
+  }
+
+  /** One PROGRESSIVE scan's parameters + its restart-segment entropy
+    * starts, for the segment-parallel progressive path. */
+  private final class ProgScanInfo(val scanComps: Array[Int],
+      val dcTs: Array[HuffTable], val acT: HuffTable,
+      val ss: Int, val se: Int, val ah: Int, val al: Int,
+      val segStarts: Array[Int])
+
+  private final class ProgSegPlan(val width: Int, val height: Int,
+      val nMcu: Int, val restartInterval: Int,
+      val qs: Array[Array[Int]], val scans: Seq[ProgScanInfo])
+
+  /** Header-only plan for a restart-marked PROGRESSIVE color stream (no
+    * entropy work): dims, MCU count, restart interval, segment count. */
+  def progressiveSegmentInfo(blob: Array[Byte]): SegmentInfo = {
+    require(blob.length >= 4 && (blob(0) & 0xff) == 0xff &&
+      (blob(1) & 0xff) == 0xd8, "not a JPEG: missing SOI")
+    def u16(o: Int): Int = ((blob(o) & 0xff) << 8) | (blob(o + 1) & 0xff)
+    var pos = 2
+    var width = -1; var height = -1; var ri = 0
+    var sofSeen = false
+    var done = false
+    while (!done) {
+      require(pos + 1 < blob.length, "truncated before SOS")
+      require((blob(pos) & 0xff) == 0xff, f"expected marker at $pos")
+      val m = blob(pos + 1) & 0xff
+      pos += 2
+      m match {
+        case 0xc2 =>
+          height = u16(pos + 3); width = u16(pos + 5)
+          require((blob(pos + 7) & 0xff) == 3,
+            "progressive segment decode supports color streams only")
+          val samp = (0 until 3).map(c => blob(pos + 9 + 3 * c) & 0xff)
+          require(samp == Seq(0x11, 0x11, 0x11),
+            "progressive segment decode requires 4:4:4 (restart segments " +
+              "of the DC and AC scans partition the same block raster)")
+          sofSeen = true
+          pos += u16(pos)
+        case 0xdd => ri = u16(pos + 2); pos += 4
+        case 0xda => done = true // first scan: headers complete
+        case 0xd9 => throw new IllegalArgumentException("EOI before SOS")
+        case _ => pos += u16(pos)
+      }
+    }
+    require(sofSeen, "missing SOF2")
+    val nMcu = ((width + 7) / 8) * ((height + 7) / 8)
+    val nSeg = if (ri <= 0) 1 else (nMcu + ri - 1) / ri
+    SegmentInfo(width, height, nMcu, ri, nSeg)
+  }
+
+  /** Walk a progressive color stream's headers AND locate every scan's
+    * restart-segment entropy starts (stuffing-aware byte scan, no
+    * Huffman work). Requires 4:4:4: with one block per component per
+    * MCU, the DC scan's MCU raster and each AC scan's block raster are
+    * the SAME raster, so one restart interval partitions every scan into
+    * the same block ranges — the precondition for decoding a block's
+    * whole scan SEQUENCE task-locally. (At 4:2:0/4:2:2 the Y plane's
+    * block raster crosses MCU rows and the partitions disagree; those
+    * layouts fan per-image, not per-segment.) */
+  private def walkProgressiveSegments(blob: Array[Byte]): ProgSegPlan = {
+    require(blob.length >= 4 && (blob(0) & 0xff) == 0xff &&
+      (blob(1) & 0xff) == 0xd8, "not a JPEG: missing SOI")
+    def u16(o: Int): Int = ((blob(o) & 0xff) << 8) | (blob(o + 1) & 0xff)
+    var pos = 2
+    var width = -1; var height = -1
+    val quant = new Array[Array[Int]](4)
+    val dcTables = new Array[HuffTable](4)
+    val acTables = new Array[HuffTable](4)
+    var restartInterval = 0
+    var sofSeen = false
+    var compIds: Array[Int] = null
+    var quantIds: Array[Int] = null
+    var nMcu = 0
+    val scans = scala.collection.mutable.ArrayBuffer.empty[ProgScanInfo]
+    var done = false
+    while (!done) {
+      require(pos + 1 < blob.length, "truncated before EOI")
+      require((blob(pos) & 0xff) == 0xff, f"expected marker at $pos")
+      val marker = blob(pos + 1) & 0xff
+      pos += 2
+      marker match {
+        case 0xd9 => done = true
+        case 0xc2 =>
+          require(!sofSeen, "duplicate SOF2")
+          require(blob(pos + 2) == 8, "only 8-bit precision supported")
+          height = u16(pos + 3); width = u16(pos + 5)
+          require((blob(pos + 7) & 0xff) == 3,
+            "progressive segment decode supports color streams only")
+          compIds = Array.tabulate(3)(c => blob(pos + 8 + 3 * c) & 0xff)
+          val samp = (0 until 3).map(c => blob(pos + 9 + 3 * c) & 0xff)
+          require(samp == Seq(0x11, 0x11, 0x11),
+            "progressive segment decode requires 4:4:4")
+          quantIds = Array.tabulate(3)(c => blob(pos + 10 + 3 * c) & 0xff)
+          nMcu = ((width + 7) / 8) * ((height + 7) / 8)
+          sofSeen = true
+          pos += u16(pos)
+        case 0xdd =>
+          restartInterval = u16(pos + 2)
+          pos += 4
+        case 0xdb =>
+          val len = u16(pos)
+          var o = pos + 2
+          while (o < pos + len) {
+            require(((blob(o) & 0xff) >> 4) == 0,
+              "16-bit quantization tables not supported")
+            quant(blob(o) & 0x0f) = Array.tabulate(64)(i => blob(o + 1 + i) & 0xff)
+            o += 65
+          }
+          pos += len
+        case 0xc4 =>
+          val len = u16(pos)
+          var o = pos + 2
+          while (o < pos + len) {
+            val cls = (blob(o) & 0xff) >> 4
+            val id = blob(o) & 0x0f
+            val bits = Array.tabulate(16)(i => blob(o + 1 + i) & 0xff)
+            val n = bits.sum
+            val t = new HuffTable(bits, blob.slice(o + 17, o + 17 + n))
+            if (cls == 0) dcTables(id) = t else acTables(id) = t
+            o += 17 + n
+          }
+          pos += len
+        case 0xda =>
+          require(sofSeen, "SOS before SOF2")
+          require(restartInterval > 0,
+            "progressive segment decode needs a restart interval (DRI)")
+          val len = u16(pos)
+          val ns = blob(pos + 2) & 0xff
+          val scanComps = new Array[Int](ns)
+          val scanDcT = new Array[HuffTable](ns)
+          var acT: HuffTable = null
+          var c = 0
+          while (c < ns) {
+            val ci = compIds.indexOf(blob(pos + 3 + 2 * c) & 0xff)
+            require(ci >= 0, "scan references unknown component id")
+            scanComps(c) = ci
+            scanDcT(c) = dcTables((blob(pos + 4 + 2 * c) & 0xff) >> 4)
+            acT = acTables(blob(pos + 4 + 2 * c) & 0x0f)
+            c += 1
+          }
+          val o = pos + 3 + 2 * ns
+          val ss = blob(o) & 0xff
+          val se = blob(o + 1) & 0xff
+          val ah = (blob(o + 2) & 0xff) >> 4
+          val al = blob(o + 2) & 0x0f
+          require(ss == 0 || ns == 1,
+            "AC scans must be non-interleaved (one component)")
+          // locate this scan's restart-segment starts with ONE linear
+          // stuffing-aware byte scan, then land on the next header marker
+          val nSeg = (nMcu + restartInterval - 1) / restartInterval
+          val starts = new Array[Int](nSeg)
+          starts(0) = pos + len
+          var found = 1
+          var p = pos + len
+          var scanEnd = -1
+          while (scanEnd < 0) {
+            require(p + 1 < blob.length, "scan truncated")
+            if ((blob(p) & 0xff) == 0xff) {
+              val m = blob(p + 1) & 0xff
+              if (m == 0x00 || m == 0xff) p += 1 // stuffed byte / fill FF
+              else if (m >= 0xd0 && m <= 0xd7) {
+                p += 2
+                require(found < nSeg,
+                  "more restart segments than the geometry implies")
+                starts(found) = p
+                found += 1
+              } else scanEnd = p
+            }
+            if (scanEnd < 0 && (blob(p) & 0xff) != 0xff) p += 1
+          }
+          require(found == nSeg,
+            s"scan has $found restart segments, geometry implies $nSeg")
+          scans += new ProgScanInfo(scanComps, scanDcT, acT, ss, se, ah, al,
+            starts)
+          pos = scanEnd
+        case _ => pos += u16(pos)
+      }
+    }
+    require(sofSeen && scans.nonEmpty, "missing SOF2 or scans")
+    val qs = quantIds.map { id =>
+      val q = quant(id)
+      require(q != null, "frame references missing DQT")
+      q
+    }
+    new ProgSegPlan(width, height, nMcu, restartInterval, qs, scans.toSeq)
+  }
+
+  /** Interleaved progressive DC scan bounded to ONE restart segment's
+    * MCUs, writing into the segment-local coefficient buffers (4:4:4 —
+    * one block per component per MCU). Fresh per-component predictors:
+    * a restart boundary resets them, which is what makes the segment
+    * independently decodable. */
+  private def decodeProgDcSegment(br: BitReader, scan: ProgScanInfo,
+      segBlocks: Array[Array[Array[Int]]], cnt: Int): Unit = {
+    val pred = new Array[Int](scan.scanComps.length)
+    val p1 = 1 << scan.al
+    var mcu = 0
+    while (mcu < cnt) {
+      var i = 0
+      while (i < scan.scanComps.length) {
+        val coef = segBlocks(scan.scanComps(i))(mcu)
+        if (scan.ah == 0) {
+          val sz = scan.dcTs(i).decode(br)
+          require(sz <= 11, s"DC size category $sz out of range")
+          pred(i) += extend(br.readBits(sz), sz)
+          coef(0) = pred(i) << scan.al
+        } else if (br.readBit() == 1) coef(0) |= p1
+        i += 1
+      }
+      mcu += 1
+    }
+  }
+
+  /** Decode this task's stride of restart segments of a PROGRESSIVE
+    * 4:4:4 color stream into partial channel statistics — the
+    * progressive twin of [[decodeColorSegments]]. Because 4:4:4 restart
+    * segments partition the SAME block raster in every scan, each task
+    * replays the full scan SEQUENCE (DC first → AC first per component →
+    * refinements) for just its blocks, with coefficient state held in a
+    * small per-segment buffer (restartInterval MCUs × 3 components) that
+    * is REUSED across segments — never a whole-image coefficient plane.
+    * Entropy state at a segment start is exactly the restart-reset state
+    * (fresh DC predictors, flushed EOB runs), so the result is
+    * byte-identical to the sequential [[parseColor]]. */
+  def decodeColorProgressiveSegments(blob: Array[Byte], bucket: Int,
+      stride: Int): (Long, Long, Long, Long, Int, String) = {
+    require(stride > 0 && bucket >= 0 && bucket < stride,
+      "bucket must be in [0, stride)")
+    val plan = walkProgressiveSegments(blob)
+    val ri = plan.restartInterval
+    val nSeg = plan.scans.head.segStarts.length
+    val nMcuX = (plan.width + 7) / 8
+    // reusable segment-local coefficient buffers + IDCT holders
+    val segBlocks = Array.fill(3)(Array.fill(ri)(new Array[Int](64)))
+    val holders = Array.tabulate(3)(_ => new ScanComp(1, 1, null, null, null))
+    val acc = new ColorAcc
+    val coef = new Array[Int](64)
+    var s = bucket
+    while (s < nSeg) {
+      val mcuStart = s * ri
+      val cnt = math.min(ri, plan.nMcu - mcuStart)
+      var c = 0
+      while (c < 3) {
+        var i = 0
+        while (i < cnt) {
+          java.util.Arrays.fill(segBlocks(c)(i), 0); i += 1
+        }
+        c += 1
+      }
+      plan.scans.foreach { scan =>
+        val br = new BitReader(blob, scan.segStarts(s))
+        if (scan.scanComps.length > 1)
+          decodeProgDcSegment(br, scan, segBlocks, cnt)
+        else {
+          val ci = scan.scanComps(0)
+          decodeProgScan(br, cnt, i => segBlocks(ci)(i), scan.dcTs(0),
+            scan.acT, scan.ss, scan.se, scan.ah, scan.al,
+            restartInterval = 0)
+        }
+      }
+      var i = 0
+      while (i < cnt) {
+        c = 0
+        while (c < 3) {
+          var k = 0
+          while (k < 64) {
+            coef(Zigzag(k)) = segBlocks(c)(i)(k) * plan.qs(c)(k); k += 1
+          }
+          holders(c).blocks(0) = idct(coef)
+          c += 1
+        }
+        val mcuIdx = mcuStart + i
+        accumulateMcu(holders, mcuIdx % nMcuX, mcuIdx / nMcuX,
+          plan.width, plan.height, acc)
+        i += 1
+      }
+      s += stride
+    }
+    (acc.nPx, acc.sumR, acc.sumG, acc.sumB, acc.mx, acc.topLeftHex)
   }
 
   /** Decode this task's stride of restart segments (segIdx ≡ `bucket`

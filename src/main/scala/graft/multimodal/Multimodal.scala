@@ -589,13 +589,14 @@ object Multimodal {
     * eight-scan SOF2 wire format ([[Jpeg.encodeColorProgressive]] /
     * [[Jpeg.encodeColor420Progressive]]). */
   def jpegColorProgressiveBlob(df: DataFrame, idCol: String,
-                               payloadCol: String): DataFrame = {
+                               payloadCol: String,
+                               restartEvery: Int = 0): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     graft.ops.Par.ensure(df.select(col(idCol).cast("long"), col(payloadCol)))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, p) =>
-        (id, Jpeg.encodeColorProgressive(p))
+        (id, Jpeg.encodeColorProgressive(p, restartEvery))
       })
       .toDF(idCol, "blob")
   }
@@ -667,7 +668,28 @@ object Multimodal {
     * and byte-identical by construction (same per-segment decode, exact
     * integer merge). */
   def decodeJpegColorParallel(df: DataFrame, idCol: String, blobCol: String,
-                              tasksPerImage: Int = 8): DataFrame = {
+                              tasksPerImage: Int = 8): DataFrame =
+    segmentParallelDecode(df, idCol, blobCol, tasksPerImage,
+      b => Jpeg.segmentInfo(b), Jpeg.decodeColorSegments)
+
+  /** [[decodeJpegColorParallel]]'s PROGRESSIVE twin: the same fan-out /
+    * merge plumbing over [[Jpeg.decodeColorProgressiveSegments]] — each
+    * task replays the full scan sequence for its stride of restart
+    * segments (4:4:4 only: the layout where every scan's restart
+    * segmentation partitions the same block raster), holding coefficient
+    * state in a reused restartInterval-sized buffer instead of a
+    * whole-image plane. */
+  def decodeJpegColorProgressiveParallel(df: DataFrame, idCol: String,
+                                         blobCol: String,
+                                         tasksPerImage: Int = 8): DataFrame =
+    segmentParallelDecode(df, idCol, blobCol, tasksPerImage,
+      b => Jpeg.progressiveSegmentInfo(b), Jpeg.decodeColorProgressiveSegments)
+
+  private def segmentParallelDecode(df: DataFrame, idCol: String,
+      blobCol: String, tasksPerImage: Int,
+      info: Array[Byte] => Jpeg.SegmentInfo,
+      decode: (Array[Byte], Int, Int) => (Long, Long, Long, Long, Int, String))
+      : DataFrame = {
     require(tasksPerImage >= 1, "tasksPerImage must be >= 1")
     val spark = df.sparkSession
     import spark.implicits._
@@ -677,7 +699,7 @@ object Multimodal {
     val fanned = df.select(col(idCol).cast("long"), col(blobCol))
       .as[(Long, Array[Byte])]
       .flatMap { case (id, b) =>
-        val k = math.min(Jpeg.segmentInfo(b).nSegments, tasksPerImage)
+        val k = math.min(info(b).nSegments, tasksPerImage)
         (0 until k).map(t => (id, t, k, b))
       }
       .toDF(idCol, "bucket", "stride", "blob")
@@ -686,9 +708,9 @@ object Multimodal {
       .repartition(col(idCol), col("bucket"))
     fanned.as[(Long, Int, Int, Array[Byte])]
       .mapPartitions(_.map { case (id, bucket, stride, b) =>
-        val info = Jpeg.segmentInfo(b)
-        val (n, r, g, bl, mx, tl) = Jpeg.decodeColorSegments(b, bucket, stride)
-        (id, info.width, info.height, n, r, g, bl, mx, tl)
+        val si = info(b)
+        val (n, r, g, bl, mx, tl) = decode(b, bucket, stride)
+        (id, si.width, si.height, n, r, g, bl, mx, tl)
       })
       .toDF(idCol, "width", "height", "n_px", "sum_r", "sum_g", "sum_b",
         "max_px", "topleft_hex")

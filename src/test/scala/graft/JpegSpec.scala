@@ -575,6 +575,95 @@ class JpegSpec extends AnyFunSuite with SparkTestBase {
     assert(acParts.map(_._4).sum == acWant.sumB)
   }
 
+  test("progressive segment decode: stride partials merge to sequential") {
+    // DC-only 4:4:4 eight-scan streams across ri/stride combinations:
+    // each task replays ALL scans for its stride of restart segments
+    val all = Array.tabulate(64)(i => (i * 4).toByte) // 64 MCUs
+    for (ri <- Seq(1, 3, 5, 64); stride <- Seq(1, 2, 3, 8)) {
+      val blob = Jpeg.encodeColorProgressive(all, restartEvery = ri)
+      val info = Jpeg.progressiveSegmentInfo(blob)
+      assert(info.nSegments == (64 + ri - 1) / ri, s"ri=$ri")
+      val want = Jpeg.parseColor(blob)
+      val parts = (0 until stride)
+        .map(Jpeg.decodeColorProgressiveSegments(blob, _, stride))
+      assert(parts.map(_._1).sum == want.nPixels, s"ri=$ri stride=$stride")
+      assert(parts.map(_._2).sum == want.sumR)
+      assert(parts.map(_._3).sum == want.sumG)
+      assert(parts.map(_._4).sum == want.sumB)
+      assert(parts.map(_._5).max == want.maxPx)
+      assert(parts.flatMap(p => Option(p._6)) == Seq(want.topLeftHex))
+    }
+    // AC-bearing blocks: EOBn runs flushed at restart boundaries, ZRL,
+    // refinement correction bits — all replayed per segment
+    def blk(pairs: (Int, Int)*): Array[Int] = {
+      val b = new Array[Int](64); pairs.foreach { case (k, v) => b(k) = v }; b
+    }
+    val y = Array(blk(0 -> 10, 1 -> 3, 4 -> 1), blk(), blk(0 -> -5, 30 -> 5),
+      blk(0 -> 1, 63 -> -1), blk(2 -> 2), blk(0 -> 9))
+    val cb = Array(blk(0 -> 2, 2 -> 1), blk(), blk(0 -> -3), blk(5 -> -1),
+      blk(), blk(0 -> 1))
+    val cr = Array(blk(), blk(0 -> 4, 7 -> 3), blk(), blk(0 -> -2, 1 -> 1),
+      blk(40 -> 1), blk())
+    val acBlob = Jpeg.encodeColorBlocksProgressive(
+      y.map(b => Array(b.clone)), cb.map(_.clone), cr.map(_.clone),
+      mcusPerRow = 2, ySamp = 0x11, restartEvery = 2)
+    val acWant = Jpeg.parseColor(acBlob)
+    val acParts = (0 until 3)
+      .map(Jpeg.decodeColorProgressiveSegments(acBlob, _, 3))
+    assert(acParts.map(_._2).sum == acWant.sumR)
+    assert(acParts.map(_._3).sum == acWant.sumG)
+    assert(acParts.map(_._4).sum == acWant.sumB)
+    // randomized sweep: many blocks, small ri → EOB runs meet segment
+    // boundaries in varied phases
+    val rnd = new scala.util.Random(777L)
+    for (trial <- 0 until 10) {
+      val n = 2 * (2 + rnd.nextInt(4))
+      def rblk(): Array[Int] = {
+        val b = new Array[Int](64)
+        for (_ <- 0 until rnd.nextInt(6)) b(rnd.nextInt(64)) = rnd.nextInt(15) - 7
+        b
+      }
+      val ry = Array.fill(n)(rblk()); val rcb = Array.fill(n)(rblk())
+      val rcr = Array.fill(n)(rblk())
+      val rBlob = Jpeg.encodeColorBlocksProgressive(
+        ry.map(b => Array(b.clone)), rcb.map(_.clone), rcr.map(_.clone),
+        mcusPerRow = 2, ySamp = 0x11, restartEvery = 1 + rnd.nextInt(3))
+      val w = Jpeg.parseColor(rBlob)
+      val ps = (0 until 4).map(Jpeg.decodeColorProgressiveSegments(rBlob, _, 4))
+      assert(ps.map(_._2).sum == w.sumR, s"trial $trial")
+      assert(ps.map(_._3).sum == w.sumG, s"trial $trial")
+      assert(ps.map(_._4).sum == w.sumB, s"trial $trial")
+    }
+    // guards: 4:2:0 progressive (rasters disagree) and DRI-less streams
+    // fail by name instead of decoding wrong
+    val p420 = Jpeg.encodeColor420Progressive(
+      Array[Byte](1, 2, 3, 4), restartEvery = 2)
+    assert(intercept[IllegalArgumentException](
+      Jpeg.progressiveSegmentInfo(p420)).getMessage.contains("4:4:4"))
+    assert(intercept[IllegalArgumentException](
+      Jpeg.decodeColorProgressiveSegments(p420, 0, 1)).getMessage
+      .contains("4:4:4"))
+    val noDri = Jpeg.encodeColorProgressive(Array[Byte](1, 2, 3))
+    assert(intercept[IllegalArgumentException](
+      Jpeg.decodeColorProgressiveSegments(noDri, 0, 1)).getMessage
+      .contains("restart interval"))
+  }
+
+  test("Spark plumbing: progressive parallel ≡ sequential progressive") {
+    val docs = Seq((1L, "alphabet"), (2L, "zzzz"),
+      (3L, "The quick brown fox jumps over the lazy dog, twice over!"))
+      .toDF("doc_id", "text")
+      .withColumn("px", encode(col("text"), "UTF-8"))
+    val blobs = Multimodal.jpegColorProgressiveBlob(docs, "doc_id", "px",
+      restartEvery = 3)
+    val seqRows = Multimodal.decodeJpegColor(blobs, "doc_id", "blob")
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val parRows = Multimodal.decodeJpegColorProgressiveParallel(
+        blobs, "doc_id", "blob", tasksPerImage = 4)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(parRows.toSeq == seqRows.toSeq)
+  }
+
   test("Spark plumbing: decodeJpegColorParallel ≡ decodeJpegColor on 420 streams") {
     val docs = Seq((1L, "alphabet"), (2L, "zzzz"),
       (3L, "The quick brown fox jumps over the lazy dog, twice over!"))

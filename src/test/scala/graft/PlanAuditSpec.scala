@@ -31,7 +31,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     // spreads (encode + decode stages), file/bytes-gated no-ops at scale
     // — the same shape as mm_decode_jpeg_color's 2
     "mm_decode_jpeg_progressive" -> 2,
-    "mm_decode_jpeg_prog420" -> 2)
+    "mm_decode_jpeg_prog420" -> 2,
+    // progressive segment-parallel: the same 3-exchange shape as the
+    // baseline parallel decode — encode-stage Par.ensure spread, the ONE
+    // (image, bucket) fan-out repartition, and the doc_id partial-merge
+    "mm_decode_jpeg_prog_parallel" -> 3)
 
   for ((name, want) <- pins) {
     test(s"exchange count pinned: $name = $want") {
