@@ -2211,6 +2211,22 @@ object SparkEntry {
           sampleRate = 8000, blockAlign = 12), "doc_id", "blob")
     }),
 
+    // REAL FLAC decode — the seam's LOSSLESS compressed audio codec:
+    // sample i is exactly payload byte i − 128, but the wire format
+    // cycles VERBATIM → FIXED(1) with two Rice partitions → FIXED(2)
+    // with escape-coded residuals → LPC(2) across frames, so
+    // reconstructing the bytes requires real Rice decoding, inverse
+    // prediction against three different predictors, UTF-8 frame
+    // numbers, and CRC-8/CRC-16 verification on every frame. Exact
+    // integer statistics; the oracle recomputes them from the bytes
+    "mm_decode_flac" -> ((s, dir) => {
+      val blobs = t(s, dir, "documents")
+        .withColumn("__b", expr("substring(encode(text, 'UTF-8'), 1, 2048)"))
+      Multimodal.decodeFlac(
+        Multimodal.flacBlob(blobs, "doc_id", "__b",
+          sampleRate = 8000, blockSize = 64), "doc_id", "blob")
+    }),
+
     // REAL G.711 A-law decode (WAV format tag 6): XOR-0x55 companding,
     // linear segment 0, inverted sign convention vs μ-law
     "mm_decode_alaw" -> ((s, dir) => {
@@ -2282,7 +2298,8 @@ object SparkEntry {
     // kind + component count, PNG IHDR depth/interlace, container magics)
     // and counted by (format, decodable). The mix covers accepted classes
     // (baseline JPEG gray + 4:2:0, sequential + Adam7 PNG, REAL 16-bit
-    // PNG — decodable since the depth-16 branch landed) and the two
+    // PNG — decodable since the depth-16 branch landed — and REAL FLAC
+    // audio) and the two
     // named rejection classes (COLOR progressive JPEG at 4:1:1 —
     // gray/4:4:4/4:2:0/4:2:2 progressive decode for real — grayscale
     // PNG, and ARITHMETIC-coded JPEG: SOF10 rejected by name — the
@@ -2291,7 +2308,7 @@ object SparkEntry {
     "mm_format_survey" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
         .withColumn("__b0", expr("substring(encode(text, 'UTF-8'), 1, 2048)"))
-        .withColumn("__k", pmod(col("doc_id"), lit(8L)))
+        .withColumn("__k", pmod(col("doc_id"), lit(9L)))
       def slice(k: Int) = docs.filter(col("__k") === k)
       val gray = Multimodal.jpegBlob(
         slice(0).filter(length(col("__b0")) >= 1), "doc_id", "__b0")
@@ -2315,7 +2332,9 @@ object SparkEntry {
         lit(Multimodal.PngGrayStub).as("blob"))
       val arith = slice(7).select(col("doc_id"),
         lit(Multimodal.ArithmeticJpegStub).as("blob"))
-      val mix = Seq(gray, j420, png, adam, prog, p16, pgray, arith)
+      val flac = Multimodal.flacBlob(slice(8)
+        .filter(length(col("__b0")) >= 1), "doc_id", "__b0")
+      val mix = Seq(gray, j420, png, adam, prog, p16, pgray, arith, flac)
         .map(_.select(col("doc_id"), col("blob"))).reduce(_.unionByName(_))
       Multimodal.formatSurvey(mix, "doc_id", "blob")
         .groupBy(col("format"), col("decodable"))
@@ -6464,6 +6483,29 @@ object SparkEntry {
                 max(abs(s)) AS mx FROM rec GROUP BY doc_id) r
               USING (doc_id)"""
       },
+      // FLAC: decoded sample i ≡ byte i − 128 by fixture construction
+      // (the wire format varies per frame; the VALUES don't) — so the
+      // oracle is pure byte arithmetic, and any Rice/prediction/CRC slip
+      // on the Spark side hash-mismatches
+      "mm_decode_flac" ->
+        raw"""WITH b AS (SELECT doc_id,
+                list_transform(regexp_extract_all(
+                    substr(hex(encode(text)), 1, 4096), '..'), h ->
+                  (strpos('0123456789ABCDEF', substr(h, 1, 1)) - 1) * 16
+                  + strpos('0123456789ABCDEF', substr(h, 2, 1)) - 1 - 128)
+                  AS vs FROM documents)
+            SELECT doc_id,
+              CAST(8000 AS INTEGER) AS sample_rate,
+              CAST(1 AS INTEGER) AS channels,
+              CAST(16 AS INTEGER) AS bits,
+              CAST((len(vs) + 63) // 64 AS INTEGER) AS n_frames,
+              CAST(len(vs) AS BIGINT) AS n_samples,
+              CAST(coalesce(list_sum(vs), 0) AS BIGINT) AS sum_samples,
+              CAST(coalesce(list_sum(list_transform(vs, x -> x * x)), 0)
+                AS BIGINT) AS sum_squares,
+              CAST(coalesce(list_aggregate(list_transform(vs, x -> abs(x)),
+                'max'), 0) AS BIGINT) AS max_abs
+            FROM b""",
       // G.711 A-law: XOR 0x55, segment 0 linear, sign bit SET = positive
       "mm_decode_alaw" -> {
         val mag = "CASE WHEN (xor(b,85)//16)%8 = 0 THEN (xor(b,85)%16)*16 + 8" +
@@ -6563,7 +6605,7 @@ object SparkEntry {
       "mm_format_survey" ->
         raw"""WITH d AS (SELECT doc_id,
                 least(octet_length(encode(text)), 2048) AS nb,
-                doc_id % 8 AS k FROM documents),
+                doc_id % 9 AS k FROM documents),
             c AS (SELECT doc_id,
                 CASE k
                   WHEN 0 THEN CASE WHEN nb >= 1 THEN 'jpeg_baseline' END
@@ -6574,8 +6616,9 @@ object SparkEntry {
                   WHEN 5 THEN CASE WHEN nb - nb % 30 >= 30 THEN 'png16' END
                   WHEN 6 THEN 'png8_gray'
                   WHEN 7 THEN 'jpeg_sofca'
+                  WHEN 8 THEN CASE WHEN nb >= 1 THEN 'flac' END
                 END AS format,
-                k IN (0, 1, 2, 3, 5) AS decodable
+                k IN (0, 1, 2, 3, 5, 8) AS decodable
               FROM d)
             SELECT format, decodable, count(*) AS n FROM c
             WHERE format IS NOT NULL GROUP BY 1, 2""",
