@@ -3874,6 +3874,52 @@ object SparkEntry {
     // id sum. Matching the oracle computed from the parquet originals
     // proves byte-level fidelity of the whole write+read path; BOTH
     // directions run live per invocation (the export is the op)
+    // WARC ingestion — the crawl-native container of web-scale training
+    // data: documents staged ONCE per scale dir as member-per-record
+    // .warc.gz shards (each record its own gzip member, written from
+    // EXECUTORS — nothing corpus-scale touches the driver), then read
+    // back through the real two-layer decode: per-member RFC 1952 walk
+    // (header flags, raw-deflate inflate, CRC-32 + ISIZE verified) and
+    // the strict WARC/1.0 record grammar. Member-per-record is what
+    // makes a multi-GB crawl file SPLITTABLE — each record carries its
+    // member's byte offset, the boundary a distributed reader hands the
+    // next task (mid-file resume spec-pinned in WarcSpec). The oracle
+    // re-derives every record from the documents table
+    "fmt_warc_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val staged = warcStageDirs.getOrElseUpdate(dir, {
+        val d = graft.core.TempDirs.register(
+          java.nio.file.Files.createTempDirectory("graft_warc")).toString
+        t(s, dir, "documents")
+          .repartition(4, pmod(col("doc_id"), lit(4L)))
+          .select(col("doc_id").cast("long"),
+            encode(col("text"), "UTF-8").as("__b"))
+          .as[(Long, Array[Byte])]
+          .mapPartitions { it =>
+            val recs = it.map { case (id, b) =>
+              (s"https://corpus.example/doc/$id", "2026-01-01T00:00:00Z",
+                "text/plain", s"<urn:uuid:doc-$id>", b)
+            }.toSeq
+            if (recs.nonEmpty) {
+              val pid = org.apache.spark.TaskContext.getPartitionId()
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(d, f"part-$pid%04d.warc.gz"),
+                graft.sources.Warc.writeGz(recs))
+            }
+            Iterator.single(1)
+          }.count()
+        d
+      })
+      s.read.format("binaryFile").load(staged)
+        .select(col("content")).as[Array[Byte]]
+        .flatMap(blob => graft.sources.Warc.readGz(blob).map(r =>
+          (r.url.substring(r.url.lastIndexOf('/') + 1).toLong,
+            r.payload.length.toLong, r.payload, r.contentType)))
+        .toDF("doc_id", "content_length", "__payload", "content_type")
+        .select(col("doc_id"), col("content_length"),
+          md5(col("__payload")).as("payload_md5"), col("content_type"))
+    }),
+
     "fmt_jsonl_roundtrip" -> ((s, dir) => {
       val out = fmtTmp("graft_fmt_jsonl")
       graft.sources.Formats.writeJsonl(fmtCols(s, dir), out, shards = 8)
@@ -4203,6 +4249,9 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[String, String]
 
   private val mmStreamStage =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  /** Staged member-per-record .warc.gz shards, one set per scale dir. */
+  private val warcStageDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
   /** The stream-stream join pair's signup/error feeds. Both queries join
@@ -8189,6 +8238,15 @@ object SparkEntry {
       },
       // the round-trip digests must equal the same fold over the parquet
       // originals — one oracle body for all three formats
+      // WARC round trip: every record field is an exact function of the
+      // documents row — a reader that tore a member, skipped a record,
+      // or mis-measured Content-Length hash-mismatches
+      "fmt_warc_roundtrip" ->
+        raw"""SELECT doc_id,
+              CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+              md5(text) AS payload_md5,
+              'text/plain' AS content_type
+            FROM documents""",
       "fmt_jsonl_roundtrip" -> FmtDigestSql,
       "fmt_csv_roundtrip" -> FmtDigestSql,
       "fmt_orc_roundtrip" -> FmtDigestSql,

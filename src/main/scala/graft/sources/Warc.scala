@@ -1,0 +1,196 @@
+package graft.sources
+
+import java.util.zip.{CRC32, Deflater, Inflater}
+
+/** WARC/1.0 + gzip-member codec — the crawl-native ingestion format of
+  * web-scale training data (Common-Crawl-style `.warc.gz`): each WARC
+  * record is compressed as its OWN gzip member and the members are
+  * concatenated, which is exactly what makes a multi-gigabyte crawl file
+  * SPLITTABLE — a task can start decoding at any member boundary without
+  * touching the bytes before it. This codec implements both layers for
+  * real and dependency-free:
+  *
+  *  - the gzip member framing by hand (RFC 1952 header with FLG/extra
+  *    field handling, raw-deflate body via `Inflater(nowrap)`, and the
+  *    8-byte trailer whose CRC-32 and ISIZE are VERIFIED per member —
+  *    `GZIPInputStream` would hide the member boundaries we need);
+  *  - the WARC/1.0 record grammar (version line, named headers,
+  *    Content-Length-delimited payload, double-CRLF terminators), strict
+  *    on everything: a bad magic, CRC mismatch, missing header, or short
+  *    payload throws by name rather than yielding a torn record.
+  *
+  * No WARC exists in the reference — this is beyond-reference realism
+  * for the LLM-pipeline ingestion seam. */
+object Warc {
+
+  final case class WarcRecord(
+      url: String, date: String, contentType: String,
+      recordId: String, payload: Array[Byte],
+      /** Byte offset of this record's gzip member in the file — the
+        * split point a distributed reader hands the NEXT task. */
+      memberOffset: Long)
+
+  // ---- gzip member layer (RFC 1952) -----------------------------------
+
+  /** Compress `payload` as ONE complete gzip member (header + raw
+    * deflate + CRC-32/ISIZE trailer). */
+  def gzipMember(payload: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(payload.length / 2 + 64)
+    // header: magic, CM=8 (deflate), FLG=0, MTIME=0, XFL=0, OS=255
+    out.write(Array[Byte](0x1f, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0, 0xff.toByte))
+    val defl = new Deflater(Deflater.DEFAULT_COMPRESSION, true) // raw
+    defl.setInput(payload)
+    defl.finish()
+    val buf = new Array[Byte](8192)
+    while (!defl.finished()) out.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    val crc = new CRC32
+    crc.update(payload)
+    def le32(v: Long): Array[Byte] = Array(v.toByte, (v >>> 8).toByte,
+      (v >>> 16).toByte, (v >>> 24).toByte)
+    out.write(le32(crc.getValue))
+    out.write(le32(payload.length.toLong & 0xffffffffL))
+    out.toByteArray
+  }
+
+  /** Decode the gzip member starting at `offset`: verifies the RFC 1952
+    * header (skipping FEXTRA/FNAME/FCOMMENT/FHCRC if flagged), inflates
+    * the raw-deflate body, and checks the trailer's CRC-32 and ISIZE.
+    * Returns (payload, offsetAfterMember). */
+  def readGzipMember(blob: Array[Byte], offset: Int): (Array[Byte], Int) = {
+    require(offset + 10 <= blob.length, "truncated gzip header")
+    require((blob(offset) & 0xff) == 0x1f && (blob(offset + 1) & 0xff) == 0x8b,
+      f"not a gzip member at offset $offset")
+    require((blob(offset + 2) & 0xff) == 8, "unknown gzip compression method")
+    val flg = blob(offset + 3) & 0xff
+    require((flg & 0xe0) == 0, "reserved gzip FLG bits set")
+    var p = offset + 10
+    if ((flg & 0x04) != 0) { // FEXTRA
+      require(p + 2 <= blob.length, "truncated gzip FEXTRA")
+      val xlen = (blob(p) & 0xff) | ((blob(p + 1) & 0xff) << 8)
+      p += 2 + xlen
+    }
+    if ((flg & 0x08) != 0) { // FNAME: zero-terminated
+      while (p < blob.length && blob(p) != 0) p += 1
+      p += 1
+    }
+    if ((flg & 0x10) != 0) { // FCOMMENT
+      while (p < blob.length && blob(p) != 0) p += 1
+      p += 1
+    }
+    if ((flg & 0x02) != 0) p += 2 // FHCRC
+    require(p <= blob.length, "gzip header overruns the blob")
+    val infl = new Inflater(true) // raw deflate
+    infl.setInput(blob, p, blob.length - p)
+    val out = new java.io.ByteArrayOutputStream(4096)
+    val buf = new Array[Byte](8192)
+    while (!infl.finished()) {
+      val n = infl.inflate(buf)
+      require(n > 0 || infl.finished(), "truncated gzip deflate stream")
+      out.write(buf, 0, n)
+    }
+    val consumed = (blob.length - p) - infl.getRemaining
+    infl.end()
+    val payload = out.toByteArray
+    val tr = p + consumed
+    require(tr + 8 <= blob.length, "truncated gzip trailer")
+    def le32(o: Int): Long = (blob(o) & 0xffL) | (blob(o + 1) & 0xffL) << 8 |
+      (blob(o + 2) & 0xffL) << 16 | (blob(o + 3) & 0xffL) << 24
+    val crc = new CRC32
+    crc.update(payload)
+    require(le32(tr) == crc.getValue,
+      f"gzip member CRC-32 mismatch at offset $offset")
+    require(le32(tr + 4) == (payload.length.toLong & 0xffffffffL),
+      "gzip ISIZE mismatch")
+    (payload, tr + 8)
+  }
+
+  // ---- WARC record layer ----------------------------------------------
+
+  private val Crlf = "\r\n"
+
+  /** Serialize one WARC/1.0 response record (uncompressed form). */
+  def recordBytes(url: String, date: String, contentType: String,
+                  recordId: String, payload: Array[Byte]): Array[Byte] = {
+    val header = new StringBuilder
+    header.append("WARC/1.0").append(Crlf)
+    header.append("WARC-Type: response").append(Crlf)
+    header.append("WARC-Target-URI: ").append(url).append(Crlf)
+    header.append("WARC-Date: ").append(date).append(Crlf)
+    header.append("WARC-Record-ID: ").append(recordId).append(Crlf)
+    header.append("Content-Type: ").append(contentType).append(Crlf)
+    header.append("Content-Length: ").append(payload.length).append(Crlf)
+    header.append(Crlf)
+    header.toString.getBytes("US-ASCII") ++ payload ++
+      (Crlf + Crlf).getBytes("US-ASCII")
+  }
+
+  /** Write records as a member-per-record `.warc.gz` byte stream — each
+    * record its own gzip member, members concatenated. */
+  def writeGz(records: Seq[(String, String, String, String, Array[Byte])])
+      : Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    records.foreach { case (url, date, ct, id, payload) =>
+      out.write(gzipMember(recordBytes(url, date, ct, id, payload)))
+    }
+    out.toByteArray
+  }
+
+  /** Parse ONE uncompressed WARC record. Strict grammar: version line,
+    * header lines until the empty line, mandatory WARC-Target-URI /
+    * WARC-Date / WARC-Record-ID / Content-Type / Content-Length, payload
+    * of exactly Content-Length bytes, double-CRLF terminator. */
+  def parseRecord(bytes: Array[Byte], memberOffset: Long): WarcRecord = {
+    val headerEnd = indexOfDoubleCrlf(bytes, 0)
+    require(headerEnd >= 0, "WARC record missing header terminator")
+    val head = new String(bytes, 0, headerEnd, "US-ASCII")
+    val lines = head.split("\r\n", -1)
+    require(lines.nonEmpty && lines(0) == "WARC/1.0",
+      s"bad WARC version line '${lines.headOption.getOrElse("")}'")
+    val hdrs = lines.drop(1).map { l =>
+      val i = l.indexOf(':')
+      require(i > 0, s"malformed WARC header line '$l'")
+      l.substring(0, i).trim.toLowerCase -> l.substring(i + 1).trim
+    }.toMap
+    def need(k: String): String = hdrs.getOrElse(k.toLowerCase,
+      throw new IllegalArgumentException(s"WARC record missing $k header"))
+    val len = need("Content-Length").toInt
+    val payloadStart = headerEnd + 4
+    require(payloadStart + len <= bytes.length,
+      "WARC payload shorter than Content-Length")
+    val payload = java.util.Arrays.copyOfRange(bytes, payloadStart,
+      payloadStart + len)
+    val term = new String(bytes, payloadStart + len,
+      math.min(4, bytes.length - payloadStart - len), "US-ASCII")
+    require(term == "\r\n\r\n", "WARC record missing payload terminator")
+    WarcRecord(need("WARC-Target-URI"), need("WARC-Date"),
+      need("Content-Type"), need("WARC-Record-ID"), payload, memberOffset)
+  }
+
+  private def indexOfDoubleCrlf(bytes: Array[Byte], from: Int): Int = {
+    var i = from
+    while (i + 3 < bytes.length) {
+      if (bytes(i) == '\r' && bytes(i + 1) == '\n' &&
+          bytes(i + 2) == '\r' && bytes(i + 3) == '\n') return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Walk a member-per-record `.warc.gz` blob FROM byte `offset` (a
+    * member boundary — 0 for the whole file, or a recorded
+    * [[WarcRecord.memberOffset]] for a mid-file split) and decode every
+    * record at or after it. The sequential member walk is what a
+    * distributed reader runs per split; `memberOffset` on each record is
+    * the boundary it would hand the next task. */
+  def readGz(blob: Array[Byte], offset: Int = 0): Seq[WarcRecord] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[WarcRecord]
+    var p = offset
+    while (p < blob.length) {
+      val (payload, next) = readGzipMember(blob, p)
+      out += parseRecord(payload, p.toLong)
+      p = next
+    }
+    out.toSeq
+  }
+}
