@@ -1993,6 +1993,32 @@ object SparkEntry {
 
     // Text statistics: token count, mean token length, punctuation ratio,
     // content fingerprint
+    // HTML → text extraction (the WET step between WARC ingestion and
+    // every text gate): each doc is wrapped into a deterministic page —
+    // title, style + script SUBTREES (whose content must vanish
+    // wholesale, incl. a raw '<' inside the script that would derail a
+    // tag-only strip), nav/footer boilerplate, and the entity-escaped
+    // body — then cleaned by the pure-expression htmlExtract chain
+    // (subtree drops → tag strip → entity decode with &amp; LAST →
+    // whitespace collapse). The oracle builds the same page and replays
+    // the identical RE2-safe chain, so any ordering or greediness slip
+    // hash-mismatches
+    "text_html_extract" -> ((s, dir) => {
+      val esc = Seq("&" -> "&amp;", "<" -> "&lt;", ">" -> "&gt;")
+        .foldLeft(col("text")) { case (c, (f, t2)) =>
+          replace(c, lit(f), lit(t2))
+        }
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit("</title><style type=\"text/css\">body { margin: 0; }</style>" +
+          "<script>var n = 1 < 2 && 3 > 2;</script></head><body>" +
+          "<nav>Home | <a href=\"/about\">About</a></nav><p>"),
+        esc,
+        lit("</p><footer>&copy; corpus &amp; co.</footer></body></html>"))
+      t(s, dir, "documents").select(col("doc_id"),
+        graft.text.TextFunctions.htmlExtract(html).as("clean_text"))
+    }),
+
     "text_stats" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -6311,6 +6337,29 @@ object SparkEntry {
             FROM sg a JOIN sg b ON a.doc_id < b.doc_id
             WHERE len(list_filter(range(64),
               j -> a.bits[j + 1] != b.bits[j + 1])) <= 3""",
+      // the WET extraction replayed: same page construction, same chain,
+      // same order (&amp; decoded LAST), same explicit whitespace class
+      "text_html_extract" ->
+        raw"""WITH h AS (SELECT doc_id,
+              '<html><head><title>Doc ' || doc_id ||
+              '</title><style type="text/css">body { margin: 0; }</style>' ||
+              '<script>var n = 1 < 2 && 3 > 2;</script></head><body>' ||
+              '<nav>Home | <a href="/about">About</a></nav><p>' ||
+              replace(replace(replace(text,
+                '&', '&amp;'), '<', '&lt;'), '>', '&gt;') ||
+              '</p><footer>&copy; corpus &amp; co.</footer></body></html>'
+              AS html FROM documents),
+            s1 AS (SELECT doc_id, regexp_replace(html,
+              '(?s)<script[^>]*>.*?</script>', ' ', 'g') AS t FROM h),
+            s2 AS (SELECT doc_id, regexp_replace(t,
+              '(?s)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM s1),
+            s3 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g')
+              AS t FROM s2),
+            s4 AS (SELECT doc_id, replace(replace(replace(replace(replace(t,
+              '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+              '&amp;', '&') AS t FROM s3)
+            SELECT doc_id, trim(regexp_replace(t, '[ \t\n\r\f]+', ' ', 'g'))
+              AS clean_text FROM s4""",
       "text_stats" ->
         s"""SELECT doc_id,
             CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($toks) END::BIGINT AS n_tokens,

@@ -128,6 +128,30 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", tokens(text)))
 
+  /** HTML → text extraction (the WET step a crawl pipeline runs between
+    * WARC ingestion and every text gate): drop script/style subtrees
+    * wholesale (their CONTENT is not prose — a tag-only strip would leak
+    * JavaScript into the corpus), strip the remaining tags, decode the
+    * five core character entities, and collapse whitespace. A pure
+    * codegen'd regexp_replace/replace chain — no UDF — and every step is
+    * RE2-safe ((?s) dotall, no lookarounds), so the DuckDB oracle
+    * replays the identical chain. */
+  def htmlExtract(html: Column): Column = {
+    val noScript = regexp_replace(html,
+      lit("(?s)<script[^>]*>.*?</script>"), lit(" "))
+    val noStyle = regexp_replace(noScript,
+      lit("(?s)<style[^>]*>.*?</style>"), lit(" "))
+    val noTags = regexp_replace(noStyle, lit("<[^>]*>"), lit(" "))
+    // entity order matters: &amp; LAST, or re-escaped text double-decodes
+    val unescaped = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&amp;" -> "&").foldLeft(noTags) {
+      case (c, (from, to)) => replace(c, lit(from), lit(to))
+    }
+    // explicit class, not \s: Java's \s includes \x0B, RE2's does not —
+    // the one divergence that would hash-mismatch across engines
+    trim(regexp_replace(unescaped, lit("[ \\t\\n\\r\\f]+"), lit(" ")))
+  }
+
   /** Rolling hash over tokens (order-sensitive, 64-bit) — a cheap
     * shift-resistant document signature. Chained xxhash64 rather than the
     * classic polynomial form: ANSI mode (Spark 4 default) would throw on the

@@ -34,6 +34,27 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(again.toSet == got.toSet)
   }
 
+  test("htmlExtract: subtree drops, tag strip, entity order, whitespace") {
+    def clean(html: String): String =
+      Seq((1L, html)).toDF("id", "h")
+        .select(TextFunctions.htmlExtract(col("h")).as("c"))
+        .head().getString(0)
+    // script/style subtrees vanish WHOLESALE — incl. a raw '<' inside
+    // the script that a tag-only strip would turn into a runaway tag
+    assert(clean("<html><script>if (1 < 2) { x(); }</script>" +
+      "<style>p { color: red }</style><p>Body  text</p></html>") ==
+      "Body text")
+    // entities decode with &amp; LAST: '&amp;lt;' is the ESCAPED string
+    // '&lt;', not a '<'
+    assert(clean("<p>&amp;lt; stays, &lt; decodes, &quot;q&quot; &#39;s&#39;</p>") ==
+      "&lt; stays, < decodes, \"q\" 's'")
+    // unknown entities pass through; whitespace (tabs/newlines) collapses
+    assert(clean("<div>\n\ta &copy; b\r\n c</div>") == "a &copy; b c")
+    // attributes with '>' in quotes are out of scope (documented RE2
+    // simplification) — but ordinary attributed tags strip clean
+    assert(clean("<a href=\"/x\" class='y'>link</a> tail") == "link tail")
+  }
+
   test("tokenEntropy matches a plain-Scala reference on random corpora") {
     val rnd = new scala.util.Random(11)
     val words = Vector("x", "y", "zz", "w")
