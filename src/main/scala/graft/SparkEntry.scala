@@ -2003,20 +2003,59 @@ object SparkEntry {
     // whitespace collapse). The oracle builds the same page and replays
     // the identical RE2-safe chain, so any ordering or greediness slip
     // hash-mismatches
-    "text_html_extract" -> ((s, dir) => {
-      val esc = Seq("&" -> "&amp;", "<" -> "&lt;", ">" -> "&gt;")
-        .foldLeft(col("text")) { case (c, (f, t2)) =>
-          replace(c, lit(f), lit(t2))
-        }
-      val html = concat(
-        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
-        lit("</title><style type=\"text/css\">body { margin: 0; }</style>" +
-          "<script>var n = 1 < 2 && 3 > 2;</script></head><body>" +
-          "<nav>Home | <a href=\"/about\">About</a></nav><p>"),
-        esc,
-        lit("</p><footer>&copy; corpus &amp; co.</footer></body></html>"))
+    "text_html_extract" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
-        graft.text.TextFunctions.htmlExtract(html).as("clean_text"))
+        graft.text.TextFunctions.htmlExtract(
+          htmlPage(col("doc_id"), col("text"))).as("clean_text"))),
+
+    // The CRAWL-TO-CORPUS FUNNEL end-to-end — the composition a web-scale
+    // training pipeline actually runs: .warc.gz shards (member-per-record
+    // gzip, staged once per dir with the HTML pages as record payloads)
+    // → two-layer WARC decode → htmlExtract (boilerplate like the nav /
+    // footer SURVIVES extraction, as it should — tag stripping is not
+    // boilerplate classification) → language-ID + quality gates over the
+    // cleaned text → per-doc keep decision. The oracle rebuilds the page,
+    // replays the clean chain, and applies the same gate arithmetic to
+    // the CLEANED column
+    "pipeline_web" -> ((s, dir) => {
+      import s.implicits._
+      val staged = warcHtmlStageDirs.getOrElseUpdate(dir, {
+        val d = graft.core.TempDirs.register(
+          java.nio.file.Files.createTempDirectory("graft_warc_html")).toString
+        t(s, dir, "documents")
+          .repartition(4, pmod(col("doc_id"), lit(4L)))
+          .select(col("doc_id").cast("long"),
+            encode(htmlPage(col("doc_id"), col("text")), "UTF-8").as("__b"))
+          .as[(Long, Array[Byte])]
+          .mapPartitions { it =>
+            val recs = it.map { case (id, b) =>
+              (s"https://corpus.example/doc/$id", "2026-01-01T00:00:00Z",
+                "text/html", s"<urn:uuid:doc-$id>", b)
+            }.toSeq
+            if (recs.nonEmpty) {
+              val pid = org.apache.spark.TaskContext.getPartitionId()
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(d, f"part-$pid%04d.warc.gz"),
+                graft.sources.Warc.writeGz(recs))
+            }
+            Iterator.single(1)
+          }.count()
+        d
+      })
+      val clean = s.read.format("binaryFile").load(staged)
+        .select(col("content")).as[Array[Byte]]
+        .flatMap(blob => graft.sources.Warc.readGz(blob).map(r =>
+          (r.url.substring(r.url.lastIndexOf('/') + 1).toLong, r.payload)))
+        .toDF("doc_id", "__payload")
+        .select(col("doc_id"), graft.text.TextFunctions.htmlExtract(
+          decode(col("__payload"), "UTF-8")).as("__clean"))
+      clean.select(col("doc_id"),
+          length(col("__clean")).as("clean_chars"),
+          graft.text.TextFunctions.langId(col("__clean")).as("lang_pred"),
+          round(graft.text.TextFunctions.qualityScore(col("__clean")), 2)
+            .as("quality"))
+        .withColumn("kept",
+          col("lang_pred") === "en" && col("quality") >= lit(0.6))
     }),
 
     "text_stats" -> ((s, dir) =>
@@ -4279,6 +4318,52 @@ object SparkEntry {
   /** Staged member-per-record .warc.gz shards, one set per scale dir. */
   private val warcStageDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
+  /** Staged .warc.gz shards whose record payloads are the HTML PAGES
+    * (the pipeline_web funnel's crawl input), one set per scale dir. */
+  private val warcHtmlStageDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** The deterministic HTML page fixture shared by `text_html_extract`
+    * and `pipeline_web` (and re-derived by their oracles): title,
+    * style + script subtrees (the script carries a raw '<'), nav/footer
+    * boilerplate, entity-escaped body. */
+  private def htmlPage(id: Column, text: Column): Column = {
+    val esc = Seq("&" -> "&amp;", "<" -> "&lt;", ">" -> "&gt;")
+      .foldLeft(text) { case (c, (f, t2)) => replace(c, lit(f), lit(t2)) }
+    concat(
+      lit("<html><head><title>Doc "), id.cast("string"),
+      lit("</title><style type=\"text/css\">body { margin: 0; }</style>" +
+        "<script>var n = 1 < 2 && 3 > 2;</script></head><body>" +
+        "<nav>Home | <a href=\"/about\">About</a></nav><p>"),
+      esc,
+      lit("</p><footer>&copy; corpus &amp; co.</footer></body></html>"))
+  }
+
+  /** DuckDB CTE chain re-deriving [[htmlPage]] + the htmlExtract clean
+    * over `documents`, ending in a relation `c(doc_id, text)` whose
+    * `text` column is the CLEANED text — named `text` so downstream
+    * oracle fragments (langHits/quality) apply unchanged. */
+  private val HtmlCleanCtes: String =
+    raw"""WITH h AS (SELECT doc_id,
+          '<html><head><title>Doc ' || doc_id ||
+          '</title><style type="text/css">body { margin: 0; }</style>' ||
+          '<script>var n = 1 < 2 && 3 > 2;</script></head><body>' ||
+          '<nav>Home | <a href="/about">About</a></nav><p>' ||
+          replace(replace(replace(text,
+            '&', '&amp;'), '<', '&lt;'), '>', '&gt;') ||
+          '</p><footer>&copy; corpus &amp; co.</footer></body></html>'
+          AS html FROM documents),
+        s1 AS (SELECT doc_id, regexp_replace(html,
+          '(?s)<script[^>]*>.*?</script>', ' ', 'g') AS t FROM h),
+        s2 AS (SELECT doc_id, regexp_replace(t,
+          '(?s)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM s1),
+        s3 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g')
+          AS t FROM s2),
+        s4 AS (SELECT doc_id, replace(replace(replace(replace(replace(t,
+          '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+          '&amp;', '&') AS t FROM s3),
+        c AS (SELECT doc_id, trim(regexp_replace(t, '[ \t\n\r\f]+', ' ',
+          'g')) AS text FROM s4)"""
 
   /** The stream-stream join pair's signup/error feeds. Both queries join
     * the SAME two feeds, so the staged file-stream inputs are shared per
@@ -6340,26 +6425,28 @@ object SparkEntry {
       // the WET extraction replayed: same page construction, same chain,
       // same order (&amp; decoded LAST), same explicit whitespace class
       "text_html_extract" ->
-        raw"""WITH h AS (SELECT doc_id,
-              '<html><head><title>Doc ' || doc_id ||
-              '</title><style type="text/css">body { margin: 0; }</style>' ||
-              '<script>var n = 1 < 2 && 3 > 2;</script></head><body>' ||
-              '<nav>Home | <a href="/about">About</a></nav><p>' ||
-              replace(replace(replace(text,
-                '&', '&amp;'), '<', '&lt;'), '>', '&gt;') ||
-              '</p><footer>&copy; corpus &amp; co.</footer></body></html>'
-              AS html FROM documents),
-            s1 AS (SELECT doc_id, regexp_replace(html,
-              '(?s)<script[^>]*>.*?</script>', ' ', 'g') AS t FROM h),
-            s2 AS (SELECT doc_id, regexp_replace(t,
-              '(?s)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM s1),
-            s3 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g')
-              AS t FROM s2),
-            s4 AS (SELECT doc_id, replace(replace(replace(replace(replace(t,
-              '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
-              '&amp;', '&') AS t FROM s3)
-            SELECT doc_id, trim(regexp_replace(t, '[ \t\n\r\f]+', ' ', 'g'))
-              AS clean_text FROM s4""",
+        s"""$HtmlCleanCtes
+            SELECT doc_id, text AS clean_text FROM c""",
+      // the crawl funnel replayed: the clean chain ends in c(doc_id,
+      // text) with `text` = the CLEANED page, so the language/quality
+      // fragments apply to it unchanged
+      "pipeline_web" ->
+        s"""$HtmlCleanCtes,
+            l AS (SELECT doc_id, CAST(length(text) AS INTEGER)
+                AS clean_chars,
+              ${langHits("en")} AS en, ${langHits("es")} AS es,
+              ${langHits("fr")} AS fr, ${langHits("de")} AS de,
+              ${langHits("zh")} AS zh,
+              round($qualityExpr, 2) AS quality FROM c),
+            g AS (SELECT doc_id, clean_chars, CASE
+              WHEN en = 0 AND es = 0 AND fr = 0 AND de = 0 AND zh = 0 THEN 'und'
+              WHEN en >= es AND en >= fr AND en >= de AND en >= zh THEN 'en'
+              WHEN es >= fr AND es >= de AND es >= zh THEN 'es'
+              WHEN fr >= de AND fr >= zh THEN 'fr'
+              WHEN de >= zh THEN 'de' ELSE 'zh' END AS lang_pred,
+              quality FROM l)
+            SELECT doc_id, clean_chars, lang_pred, quality,
+              (lang_pred = 'en' AND quality >= 0.6) AS kept FROM g""",
       "text_stats" ->
         s"""SELECT doc_id,
             CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($toks) END::BIGINT AS n_tokens,
