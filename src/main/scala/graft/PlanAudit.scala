@@ -39,7 +39,8 @@ object PlanAudit {
     "pipeline_curate", "incr_schema_evolve", "mm_decode_mp4",
     "mm_decode_jpeg_parallel", "incr_time_travel", "mm_decode_jpeg_color",
     "search_hybrid_rrf", "mm_decode_video", "sim_recall_lsh",
-    "mm_decode_jpeg_progressive", "mm_decode_jpeg_prog420")
+    "mm_decode_jpeg_progressive", "mm_decode_jpeg_prog420",
+    "mm_decode_jpeg_prog_parallel", "fmt_warc_roundtrip", "pipeline_web")
 
   /** Run one query eagerly and return (final adapted plan text, exchange
     * count in that final plan). The count includes ReusedExchange — a pin,

@@ -35,7 +35,12 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     // progressive segment-parallel: the same 3-exchange shape as the
     // baseline parallel decode — encode-stage Par.ensure spread, the ONE
     // (image, bucket) fan-out repartition, and the doc_id partial-merge
-    "mm_decode_jpeg_prog_parallel" -> 3)
+    "mm_decode_jpeg_prog_parallel" -> 3,
+    // the crawl-ingestion reads are ZERO-exchange narrow maps over the
+    // staged .warc.gz files — a shuffle appearing here would mean the
+    // reader started moving whole blobs instead of decoded rows
+    "fmt_warc_roundtrip" -> 0,
+    "pipeline_web" -> 0)
 
   for ((name, want) <- pins) {
     test(s"exchange count pinned: $name = $want") {
