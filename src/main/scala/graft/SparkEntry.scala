@@ -2276,6 +2276,25 @@ object SparkEntry {
           sampleRate = 8000, blockAlign = 12), "doc_id", "blob")
     }),
 
+    // EXIF SURVEY — the image-side governance pass: every JPEG gains a
+    // REAL APP1/TIFF-IFD block (byte order alternating II/MM per doc,
+    // out-of-line ASCII values so the offset arithmetic is load-bearing,
+    // a GPS sub-IFD on every 3rd image — the privacy flag a release gate
+    // counts BEFORE training on crawl images; every 5th image stays
+    // EXIF-free, and absence is data, not an error). The decoder walks
+    // the marker stream to APP1, parses BOTH endiannesses, reads inline
+    // SHORTs and offset ASCII, and follows the GPS pointer; the oracle
+    // re-derives every field from doc_id arithmetic
+    "mm_exif_survey" -> ((s, dir) => {
+      val px = t(s, dir, "documents")
+        .withColumn("__b", expr("substring(encode(text, 'UTF-8'), 1, 64)"))
+        .filter(length(col("__b")) >= 1)
+      Multimodal.decodeExif(
+        Multimodal.exifTagged(
+          Multimodal.jpegBlob(px, "doc_id", "__b"), "doc_id", "blob"),
+        "doc_id", "blob")
+    }),
+
     // REAL FLAC decode — the seam's LOSSLESS compressed audio codec:
     // sample i is exactly payload byte i − 128, but the wire format
     // cycles VERBATIM → FIXED(1) with two Rice partitions → FIXED(2)
@@ -6668,6 +6687,26 @@ object SparkEntry {
                 max(abs(s)) AS mx FROM rec GROUP BY doc_id) r
               USING (doc_id)"""
       },
+      // EXIF: every field is doc_id arithmetic (the JPEG payload is
+      // irrelevant to the metadata walk); EXIF-free images surface
+      // all-absent fields
+      "mm_exif_survey" ->
+        raw"""SELECT doc_id,
+              CASE WHEN doc_id % 5 = 4 THEN ''
+                WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+              CAST(CASE WHEN doc_id % 5 = 4 THEN 0
+                ELSE 1 + doc_id % 8 END AS INTEGER) AS orientation,
+              CASE WHEN doc_id % 5 = 4 THEN ''
+                ELSE 'Cam' || (doc_id % 7) END AS make,
+              CASE WHEN doc_id % 5 = 4 THEN ''
+                ELSE 'M-' || (doc_id % 13) END AS model,
+              CASE WHEN doc_id % 5 = 4 THEN ''
+                ELSE '2026:01:0' || (1 + doc_id % 9) || ' 12:00:00' END
+                AS datetime,
+              (doc_id % 5 != 4 AND doc_id % 3 = 0) AS gps_present,
+              CAST(CASE WHEN doc_id % 5 != 4 AND doc_id % 3 = 0 THEN 2
+                ELSE 0 END AS INTEGER) AS n_gps_tags
+            FROM documents WHERE octet_length(encode(text)) >= 1""",
       // FLAC: decoded sample i ≡ byte i − 128 by fixture construction
       // (the wire format varies per frame; the VALUES don't) — so the
       // oracle is pure byte arithmetic, and any Rice/prediction/CRC slip

@@ -1524,6 +1524,47 @@ object Multimodal {
         "n_samples", "sum_samples", "sum_squares", "max_abs")
   }
 
+  /** Splice a deterministic EXIF APP1 into each JPEG blob — byte order,
+    * orientation, camera make/model, timestamp, and GPS sub-IFD all
+    * derived from the id (every 5th image stays EXIF-FREE: absence is
+    * data a survey must count, not an error). */
+  def exifTagged(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    graft.ops.Par.ensure(df.select(col(idCol).cast("long"), col(blobCol)))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, jpeg) =>
+        if (id % 5 == 4) (id, jpeg)
+        else {
+          val gps = if (id % 3 == 0)
+            Seq((1, (id % 90).toInt), (3, (id % 180).toInt)) else Nil
+          (id, Exif.insertApp1(jpeg, Exif.app1(
+            littleEndian = id % 2 == 0,
+            orientation = (1 + id % 8).toInt,
+            make = s"Cam${id % 7}", model = s"M-${id % 13}",
+            dateTime = s"2026:01:0${1 + id % 9} 12:00:00", gps)))
+        }
+      })
+      .toDF(idCol, "blob")
+  }
+
+  /** Batched EXIF extraction: the APP1 walk + TIFF-IFD parse per blob —
+    * (id, byte_order, orientation, make, model, datetime, gps_present,
+    * n_gps_tags). GPS presence is the release-governance flag. */
+  def decodeExif(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    graft.ops.Par.ensure(df.select(col(idCol).cast("long"), col(blobCol)))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, blob) =>
+        val e = Exif.parse(blob)
+        (id, e.byteOrder, e.orientation, e.make, e.model, e.dateTime,
+          e.gpsPresent, e.nGpsTags)
+      })
+      .toDF(idCol, "byte_order", "orientation", "make", "model",
+        "datetime", "gps_present", "n_gps_tags")
+  }
+
   private def wavBlobFmt(pcm: Column, sampleRate: Int, channels: Int,
                          fmtCode: Int, bits: Int): Column = {
     val bytesPerFrame = channels * (bits / 8)
