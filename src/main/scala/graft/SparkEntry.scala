@@ -2042,13 +2042,13 @@ object SparkEntry {
           }.count()
         d
       })
-      val clean = s.read.format("binaryFile").load(staged)
-        .select(col("content")).as[Array[Byte]]
-        .flatMap(blob => graft.sources.Warc.readGz(blob).map(r =>
-          (r.url.substring(r.url.lastIndexOf('/') + 1).toLong, r.payload)))
-        .toDF("doc_id", "__payload")
-        .select(col("doc_id"), graft.text.TextFunctions.htmlExtract(
-          decode(col("__payload"), "UTF-8")).as("__clean"))
+      // splittable ingestion (WarcSource, as fmt_warc_roundtrip): offset
+      // index once per dir, then byte-range tasks — never whole-blob
+      val clean = graft.sources.WarcSource.read(s, staged, splitBytes = 64L * 1024)
+        .select(
+          expr("CAST(substring_index(url, '/', -1) AS BIGINT)").as("doc_id"),
+          graft.text.TextFunctions.htmlExtract(
+            decode(col("payload"), "UTF-8")).as("__clean"))
       clean.select(col("doc_id"),
           length(col("__clean")).as("clean_chars"),
           graft.text.TextFunctions.langId(col("__clean")).as("lang_pred"),
@@ -3994,14 +3994,16 @@ object SparkEntry {
           }.count()
         d
       })
-      s.read.format("binaryFile").load(staged)
-        .select(col("content")).as[Array[Byte]]
-        .flatMap(blob => graft.sources.Warc.readGz(blob).map(r =>
-          (r.url.substring(r.url.lastIndexOf('/') + 1).toLong,
-            r.payload.length.toLong, r.payload, r.contentType)))
-        .toDF("doc_id", "content_length", "__payload", "content_type")
-        .select(col("doc_id"), col("content_length"),
-          md5(col("__payload")).as("payload_md5"), col("content_type"))
+      // SPLITTABLE read (WarcSource): member-offset index built once per
+      // staged dir, then one task per ~64 KiB member range — a production
+      // 1 GB shard fans across ~8k tasks instead of ONE whole-blob task
+      // holding the file on heap (64 KiB keeps the fan-out real at test
+      // scale; production callers take the 128 MiB default)
+      graft.sources.WarcSource.read(s, staged, splitBytes = 64L * 1024)
+        .select(
+          expr("CAST(substring_index(url, '/', -1) AS BIGINT)").as("doc_id"),
+          octet_length(col("payload")).cast("long").as("content_length"),
+          md5(col("payload")).as("payload_md5"), col("content_type"))
     }),
 
     "fmt_jsonl_roundtrip" -> ((s, dir) => {

@@ -193,4 +193,103 @@ object Warc {
     }
     out.toSeq
   }
+
+  /** BOUNDED-MEMORY streaming gzip-member walker — the index pass of the
+    * splittable reader ([[WarcSource]]). Walks an InputStream member by
+    * member holding only a compressed window (64 KiB, grown transiently
+    * only if a single gzip HEADER outruns it) plus, when `keepPayload`,
+    * one member's inflated payload: a production multi-GB `.warc.gz`
+    * never materializes on the heap. Yields `(memberOffset,
+    * nextMemberOffset, payload)` per member (payload empty when
+    * `keepPayload` is false — CRC-32 and ISIZE are still verified from
+    * the inflated stream, so a torn member fails the INDEX pass, not a
+    * later read). Same strictness as [[readGzipMember]]. */
+  final class GzipMemberIterator(in: java.io.InputStream,
+                                 keepPayload: Boolean = false)
+      extends Iterator[(Long, Long, Array[Byte])] {
+    private var buf = new Array[Byte](1 << 16)
+    private var len = 0   // valid bytes in buf
+    private var pos = 0   // cursor into buf
+    private var base = 0L // absolute file offset of buf(0)
+    private var eof = false
+
+    /** Compact + read more; false at EOF. Never called while the
+      * Inflater holds unconsumed input (it references `buf`). */
+    private def fill(): Boolean = {
+      if (eof) return false
+      if (pos > 0) {
+        System.arraycopy(buf, pos, buf, 0, len - pos)
+        base += pos; len -= pos; pos = 0
+      }
+      if (len == buf.length) // a header field outran the window
+        buf = java.util.Arrays.copyOf(buf, buf.length * 2)
+      val n = in.read(buf, len, buf.length - len)
+      if (n <= 0) { eof = true; false } else { len += n; true }
+    }
+    private def ensure(n: Int): Boolean = {
+      while (len - pos < n && fill()) {}
+      len - pos >= n
+    }
+    private def skipZeroTerminated(what: String): Unit = {
+      var done = false
+      while (!done) {
+        while (pos < len && buf(pos) != 0) pos += 1
+        if (pos < len) { pos += 1; done = true }
+        else require(fill(), s"truncated gzip $what field")
+      }
+    }
+
+    override def hasNext: Boolean = ensure(1)
+
+    override def next(): (Long, Long, Array[Byte]) = {
+      require(ensure(10), "truncated gzip header")
+      val memberOffset = base + pos
+      require((buf(pos) & 0xff) == 0x1f && (buf(pos + 1) & 0xff) == 0x8b,
+        f"not a gzip member at offset $memberOffset")
+      require((buf(pos + 2) & 0xff) == 8, "unknown gzip compression method")
+      val flg = buf(pos + 3) & 0xff
+      require((flg & 0xe0) == 0, "reserved gzip FLG bits set")
+      pos += 10
+      if ((flg & 0x04) != 0) { // FEXTRA
+        require(ensure(2), "truncated gzip FEXTRA")
+        val xlen = (buf(pos) & 0xff) | ((buf(pos + 1) & 0xff) << 8)
+        require(ensure(2 + xlen), "truncated gzip FEXTRA payload")
+        pos += 2 + xlen
+      }
+      if ((flg & 0x08) != 0) skipZeroTerminated("FNAME")
+      if ((flg & 0x10) != 0) skipZeroTerminated("FCOMMENT")
+      if ((flg & 0x02) != 0) { require(ensure(2), "truncated gzip FHCRC"); pos += 2 }
+      // raw-deflate body, fed window by window; CRC/size computed from the
+      // inflated stream whether or not the payload is kept
+      val infl = new Inflater(true)
+      val crc = new CRC32
+      var isize = 0L
+      val keep = if (keepPayload) new java.io.ByteArrayOutputStream(4096) else null
+      val outChunk = new Array[Byte](8192)
+      while (!infl.finished()) {
+        if (infl.needsInput()) {
+          if (pos == len) require(fill(), "truncated gzip deflate stream")
+          infl.setInput(buf, pos, len - pos)
+          pos = len // all fed; unconsumed remainder reclaimed at finish
+        }
+        val n = infl.inflate(outChunk)
+        if (n > 0) {
+          crc.update(outChunk, 0, n)
+          isize += n
+          if (keep != null) keep.write(outChunk, 0, n)
+        }
+      }
+      pos -= infl.getRemaining // hand back the last chunk's unread tail
+      infl.end()
+      require(ensure(8), "truncated gzip trailer")
+      def le32(o: Int): Long = (buf(o) & 0xffL) | (buf(o + 1) & 0xffL) << 8 |
+        (buf(o + 2) & 0xffL) << 16 | (buf(o + 3) & 0xffL) << 24
+      require(le32(pos) == crc.getValue,
+        f"gzip member CRC-32 mismatch at offset $memberOffset")
+      require(le32(pos + 4) == (isize & 0xffffffffL), "gzip ISIZE mismatch")
+      pos += 8
+      (memberOffset, base + pos,
+        if (keep != null) keep.toByteArray else Array.emptyByteArray)
+    }
+  }
 }

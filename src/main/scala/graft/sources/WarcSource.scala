@@ -1,0 +1,150 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** One planned byte-range task: decode members of `path` in
+  * `[start, end)` — both ends are member boundaries from the index. */
+final case class WarcMemberSplit(path: String, start: Long, end: Long)
+
+/** Decoded record row (payload binary; `member_offset` absolute). */
+final case class WarcRow(path: String, member_offset: Long, url: String,
+    date: String, content_type: String, record_id: String,
+    payload: Array[Byte])
+
+/** One gzip member's index row. */
+final case class WarcMemberRow(path: String, member_offset: Long,
+    next_offset: Long)
+
+/** SPLITTABLE distributed reader for member-per-record `.warc.gz` shards —
+  * the path that makes crawl ingestion real at production sizes. A 1 GB
+  * Common-Crawl shard read via `binaryFile` is ONE task holding the whole
+  * file on heap; member-per-record gzip is splittable precisely so that it
+  * doesn't have to be. This reader uses the [[Warc]] codec's split
+  * contract (every record's `memberOffset` is a clean resume boundary,
+  * spec-pinned in WarcSpec) in two phases, both distributed:
+  *
+  *  1. '''Index''': one task per file runs the bounded-memory streaming
+  *     member walk ([[Warc.GzipMemberIterator]], 64 KiB window, payloads
+  *     discarded after CRC verification) and emits each member's
+  *     `(offset, next_offset)`. Persisted ONCE per staged dir as parquet
+  *     (`_member_index`), the same build-once/probe-many discipline as the
+  *     engine's LSH/IVF/postings indexes — re-reads pay zero index cost.
+  *  2. '''Split read''': members are greedily packed into ~`splitBytes`
+  *     byte ranges per file (packing runs per-file in executors; only the
+  *     FINAL split list — the same cardinality Spark's own FileScan
+  *     planning holds on the driver, ~8k splits per TB at 128 MiB — is
+  *     collected to plan one task per split). Each task seeks to its
+  *     range, reads exactly `end - start` bytes (heap bounded by
+  *     `splitBytes` + one member overhang, never file size), and decodes
+  *     members from the boundary with [[Warc.readGz]].
+  *
+  * The reference has no WARC surface (beyond-reference ingestion realism);
+  * file I/O goes through the Hadoop FileSystem API so the same code reads
+  * local disk, HDFS, or an object store.
+  *
+  * (Row classes are top-level: encoder codegen needs static, public
+  * classes — object-nested ones fail Janino's SafeProjection compile.)
+  */
+object WarcSource {
+
+  /** Split plans are control-sized (one row per ~splitBytes of corpus);
+    * cache per (dir, splitBytes) so repeated queries over a staged dir
+    * re-plan for free, like the other per-dir fixtures. */
+  private val splitPlanCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Long), Seq[WarcMemberSplit]]
+
+  private def listShards(spark: SparkSession, dir: String): Seq[String] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".warc.gz"))
+      .map(_.getPath.toString).sorted
+  }
+
+  /** Build (first call) or load the per-member offset index for every
+    * `*.warc.gz` directly under `dir`: one row per gzip member,
+    * `(path, member_offset, next_offset)`. The build distributes one task
+    * per file; each task streams its file through the bounded-memory
+    * walker — nothing file-sized on any heap. */
+  def memberIndex(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val indexPath = new Path(dir, "_member_index")
+    val fs = indexPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(indexPath)) {
+      val files = listShards(spark, dir)
+      val built = spark.createDataset(files)
+        .repartition(math.max(files.size, 1))
+        .mapPartitions { paths =>
+          // executors re-derive the FS from the path; default Configuration
+          // resolves the cluster's core-site the same way the driver's did
+          val conf = new org.apache.hadoop.conf.Configuration()
+          paths.flatMap { p =>
+            val path = new Path(p)
+            val in = path.getFileSystem(conf).open(path)
+            val it = new Warc.GzipMemberIterator(in, keepPayload = false)
+            new Iterator[WarcMemberRow] {
+              def hasNext: Boolean = { val h = it.hasNext; if (!h) in.close(); h }
+              def next(): WarcMemberRow = {
+                val (off, nxt, _) = it.next(); WarcMemberRow(p, off, nxt)
+              }
+            }
+          }
+        }
+      built.write.mode("overwrite").parquet(indexPath.toString)
+    }
+    spark.read.parquet(indexPath.toString)
+  }
+
+  /** Greedily pack each file's contiguous members into ~`splitBytes`
+    * ranges. Packing is per-file in executors (a 1 GB shard's member list
+    * is ~50k × 16 B — task-sized); only the packed split list returns. */
+  def planSplits(spark: SparkSession, dir: String,
+                 splitBytes: Long): Seq[WarcMemberSplit] =
+    splitPlanCache.getOrElseUpdate((dir, splitBytes), {
+      import spark.implicits._
+      memberIndex(spark, dir).as[WarcMemberRow]
+        .groupByKey(_.path)
+        .flatMapGroups { (path, rows) =>
+          val sorted = rows.toArray.sortBy(_.member_offset)
+          val out = scala.collection.mutable.ArrayBuffer.empty[WarcMemberSplit]
+          var start = -1L; var end = -1L
+          sorted.foreach { m =>
+            if (start < 0) { start = m.member_offset; end = m.next_offset }
+            else { end = m.next_offset }
+            if (end - start >= splitBytes) {
+              out += WarcMemberSplit(path, start, end); start = -1L
+            }
+          }
+          if (start >= 0) out += WarcMemberSplit(path, start, end)
+          out.iterator
+        }.collect().toSeq.sortBy(s => (s.path, s.start))
+    })
+
+  /** Distributed splittable read of every `*.warc.gz` under `dir`: one
+    * task per planned ~`splitBytes` range, each decoding only its own
+    * byte slice. `member_offset` values are absolute file offsets —
+    * identical to what a whole-file walk reports, so a resume or audit
+    * can address any record. */
+  def read(spark: SparkSession, dir: String,
+           splitBytes: Long = 128L * 1024 * 1024): DataFrame = {
+    import spark.implicits._
+    val splits = planSplits(spark, dir, splitBytes)
+    if (splits.isEmpty) return spark.emptyDataset[WarcRow].toDF()
+    spark.createDataset(
+      spark.sparkContext.parallelize(splits, splits.size))
+      .flatMap { s =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val path = new Path(s.path)
+        val in = path.getFileSystem(conf).open(path)
+        val blob = try {
+          val b = new Array[Byte]((s.end - s.start).toInt)
+          in.readFully(s.start, b)
+          b
+        } finally in.close()
+        Warc.readGz(blob).map(r => WarcRow(s.path, s.start + r.memberOffset,
+          r.url, r.date, r.contentType, r.recordId, r.payload))
+      }.toDF()
+  }
+}
