@@ -65,41 +65,93 @@ object Bench {
       runs.min
     }
     val hostFactor = calibSec / CalibRef
+    // Per-query contention pulses: min-of-3 cannot see a host-contention
+    // window that outlasts all three samples (round 11's phantom: a
+    // 2.45 s query recorded at 11.83 s, stable across samples). A ~0.2 s
+    // PINNED pulse between queries brackets each query with two host
+    // readings; a query whose nearest pulses deviate >1.5× from the run's
+    // own base pulse is flagged `contended` and re-sampled once at run
+    // end (min-merged) — phantoms self-label instead of needing a judge
+    // re-run. Pulse work is the calib probe shrunk (2 chained
+    // digests over 250k rows): CPU-dominated, corpus-independent.
+    val pulsePath = {
+      import org.apache.spark.sql.functions._
+      val dir = java.nio.file.Files.createTempDirectory("graft_pulse")
+      spark.range(0, 250L * 1000, 1, 8)
+        .select(col("id"), md5(col("id").cast("string")).as("h"))
+        .write.mode("overwrite").parquet(dir.toString)
+      dir.toString
+    }
+    def pulse(): Double = {
+      import org.apache.spark.sql.functions._
+      val t0 = System.nanoTime()
+      val chained = (1 to 2).foldLeft(col("h")) {
+        case (c, _) => md5(concat(c, col("h")))
+      }
+      // single global agg (8 map tasks + 1 reduce): the pulse times CPU
+      // digest throughput, not scheduler fan-out — it has to stay ~0.2 s
+      // to be affordable 261 times per run
+      spark.read.parquet(pulsePath)
+        .select(chained.as("h2"))
+        .agg(sum(length(col("h2"))), count(lit(1))).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def cleanup(): Unit = {
+      // incremental queries cache intermediates; drop them so later queries
+      // don't inherit a full block manager (GC thrash skews timings).
+      graft.ops.Caches.release()
+      // System.gc(): localCheckpoint blocks of finished queries are only
+      // reaped by the ContextCleaner once the driver GCs the RDD handles —
+      // without the nudge they accumulate and later runs measure GC debt
+      // (observed 75s vs 9s on the same incremental query).
+      spark.catalog.clearCache()
+      // streaming queries leave loaded state-store providers (plus their
+      // maintenance pool) and terminated-query references behind; across
+      // a 170+-query run they accumulate into measurable drag on later
+      // queries. stop() unloads all providers (lazily restarted on next
+      // use); resetTerminated() drops the query handles.
+      org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+      spark.streams.resetTerminated()
+      System.gc()
+    }
+    def sampleOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val d = (System.nanoTime() - t0) / 1e9
+      cleanup()
+      d
+    }
     // optional comma-separated subset for targeted profiling runs
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val sampled = SparkEntry.queries.toSeq.sortBy(_._1)
+    val queryList = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+    val pulses = new Array[Double](queryList.size + 1)
+    pulses(0) = pulse()
+    val sampled0 = queryList.zipWithIndex.map { case ((name, fn), i) =>
       // steady-state latency: three samples per query (first run may pay
       // planning and JIT; single-sample numbers vary ±30% on a shared
       // host). min is the headline; the median rides along as variance
       // metadata so a round-over-round drift can be attributed to host
       // noise (min≈median stable, spread wide) vs a real plan change
       // (min itself moves) without re-running the suite.
-      val samples = (0 until 3).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        val d = (System.nanoTime() - t0) / 1e9
-        // incremental queries cache intermediates; drop them so later queries
-        // don't inherit a full block manager (GC thrash skews timings).
-        graft.ops.Caches.release()
-        // System.gc(): localCheckpoint blocks of finished queries are only
-        // reaped by the ContextCleaner once the driver GCs the RDD handles —
-        // without the nudge they accumulate and later runs measure GC debt
-        // (observed 75s vs 9s on the same incremental query).
-        spark.catalog.clearCache()
-        // streaming queries leave loaded state-store providers (plus their
-        // maintenance pool) and terminated-query references behind; across
-        // a 170+-query run they accumulate into measurable drag on later
-        // queries. stop() unloads all providers (lazily restarted on next
-        // use); resetTerminated() drops the query handles.
-        org.apache.spark.sql.execution.streaming.state.StateStore.stop()
-        spark.streams.resetTerminated()
-        System.gc()
-        d
-      }.sorted
+      val samples = (0 until 3).map(_ => sampleOnce(fn)).sorted
+      pulses(i + 1) = pulse()
       (name, samples(0), samples(1)) // (min, median of 3)
     }
+    val pulseBase = pulses.min
+    val contendedIdx = sampled0.indices.filter { i =>
+      math.max(pulses(i), pulses(i + 1)) > 1.5 * pulseBase
+    }.toSet
+    // one re-sample per flagged query at run end, min-merged: if the
+    // contention window has passed, the phantom disappears from the
+    // headline; if not, the flag tells the reader the min is an upper bound
+    val sampled = sampled0.zipWithIndex.map { case ((name, mn, md), i) =>
+      if (contendedIdx(i)) {
+        val again = sampleOnce(queryList(i)._2)
+        (name, math.min(mn, again), md)
+      } else (name, mn, md)
+    }
+    val contendedNames = contendedIdx.toSeq.sorted.map(i => sampled0(i)._1)
     val results = sampled.map { case (name, mn, _) => name -> mn }
     val medTotal = sampled.map(_._3).sum
     // The harness records only the LAST 2000 bytes of output and parses the
@@ -123,7 +175,7 @@ object Bench {
     // variance metadata: med_total - value (sum of per-query median-min
     // gaps) is the run's own noise floor; a round-over-round total drift
     // smaller than this gap is jitter, not regression
-    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_samples":3,"med_total":${fmt(medTotal)},"calib_sec":${fmt(calibSec)},"host_factor":${fmt(hostFactor)},"streaming_sub":${fmt(streamingSub)},"batch_sub":${fmt(total - streamingSub)},"queries":{"""
+    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_samples":3,"med_total":${fmt(medTotal)},"calib_sec":${fmt(calibSec)},"host_factor":${fmt(hostFactor)},"pulse_base":${fmt(pulseBase)},"n_contended":${contendedNames.size},"streaming_sub":${fmt(streamingSub)},"batch_sub":${fmt(total - streamingSub)},"queries":{"""
     val tail = s"""},"sf":"$sfName"}"""
     val budget = 1850 - head.length - tail.length - 24 // room for "other"
     val entries = results.sortBy { case (k, v) => (-v, k) }
@@ -145,8 +197,13 @@ object Bench {
       .mkString("{", ",", "}")
     val med = sampled.map { case (k, _, m) => s"\"$k\":${fmt(m)}" }
       .mkString("{", ",", "}")
+    // full detail also carries the raw pulse series (261 readings, ~2 KB)
+    // and the contended list, so any per-query number can be judged against
+    // the host state that bracketed it without re-running anything
+    val contendedJson = contendedNames.map(n => s"\"$n\"").mkString("[", ",", "]")
+    val pulsesJson = pulses.map(fmt).mkString("[", ",", "]")
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_samples":3,"med_total":${fmt(medTotal)},"calib_sec":${fmt(calibSec)},"host_factor":${fmt(hostFactor)},"streaming_sub":${fmt(streamingSub)},"batch_sub":${fmt(total - streamingSub)},"queries":$full,"queries_med":$med,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_samples":3,"med_total":${fmt(medTotal)},"calib_sec":${fmt(calibSec)},"host_factor":${fmt(hostFactor)},"pulse_base":${fmt(pulseBase)},"contended":$contendedJson,"pulses":$pulsesJson,"streaming_sub":${fmt(streamingSub)},"batch_sub":${fmt(total - streamingSub)},"queries":$full,"queries_med":$med,"sf":"$sfName"}"""
     val outFile = if (only.isEmpty) "BENCH_FULL.json" else "BENCH_SUBSET.json"
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (fullLine + "\n").getBytes("UTF-8"))
