@@ -2008,15 +2008,35 @@ object SparkEntry {
         graft.text.TextFunctions.htmlExtract(
           htmlPage(col("doc_id"), col("text"))).as("clean_text"))),
 
+    // Boilerplate/content BLOCK classification (jusText-core) — the step
+    // after tag stripping that text_html_extract deliberately does NOT
+    // do: the page splits at block-level tag boundaries, each block is
+    // cleaned and scored by length + link density (10·|link| ≤ 3·|clean|,
+    // all-integer), and the nav/footer/title chrome drops while the body
+    // paragraph survives. Pure expression chain end to end; the oracle
+    // replays the identical split/clean/classify over the same page
+    "text_html_content" -> ((s, dir) => {
+      val blocks = graft.text.TextFunctions.htmlBlocks(
+        htmlPage(col("doc_id"), col("text")))
+      t(s, dir, "documents")
+        .select(col("doc_id"), blocks.as("__bs"))
+        .select(col("doc_id"),
+          size(col("__bs")).as("n_blocks"),
+          (size(col("__bs")) - size(filter(col("__bs"),
+            graft.text.TextFunctions.isContentBlock(_)))).as("n_boiler"),
+          graft.text.TextFunctions.htmlContentText(col("__bs"))
+            .as("content_text"))
+    }),
+
     // The CRAWL-TO-CORPUS FUNNEL end-to-end — the composition a web-scale
     // training pipeline actually runs: .warc.gz shards (member-per-record
     // gzip, staged once per dir with the HTML pages as record payloads)
-    // → two-layer WARC decode → htmlExtract (boilerplate like the nav /
-    // footer SURVIVES extraction, as it should — tag stripping is not
-    // boilerplate classification) → language-ID + quality gates over the
-    // cleaned text → per-doc keep decision. The oracle rebuilds the page,
-    // replays the clean chain, and applies the same gate arithmetic to
-    // the CLEANED column
+    // → splittable two-layer WARC decode → block-level boilerplate
+    // classification (htmlBlocks: the nav/footer/title chrome DROPS here,
+    // with the funnel counting the dropped blocks) → language-ID +
+    // quality gates over the CONTENT text → per-doc keep decision. The
+    // oracle rebuilds the page, replays the identical block chain, and
+    // applies the same gate arithmetic to the content column
     "pipeline_web" -> ((s, dir) => {
       import s.implicits._
       val staged = warcHtmlStageDirs.getOrElseUpdate(dir, {
@@ -2044,12 +2064,17 @@ object SparkEntry {
       })
       // splittable ingestion (WarcSource, as fmt_warc_roundtrip): offset
       // index once per dir, then byte-range tasks — never whole-blob
-      val clean = graft.sources.WarcSource.read(s, staged, splitBytes = 64L * 1024)
+      val blocks = graft.sources.WarcSource.read(s, staged, splitBytes = 64L * 1024)
         .select(
           expr("CAST(substring_index(url, '/', -1) AS BIGINT)").as("doc_id"),
-          graft.text.TextFunctions.htmlExtract(
-            decode(col("payload"), "UTF-8")).as("__clean"))
-      clean.select(col("doc_id"),
+          graft.text.TextFunctions.htmlBlocks(
+            decode(col("payload"), "UTF-8")).as("__bs"))
+      val clean = blocks.select(col("doc_id"),
+        size(col("__bs")).as("n_blocks"),
+        (size(col("__bs")) - size(filter(col("__bs"),
+          graft.text.TextFunctions.isContentBlock(_)))).as("n_boiler"),
+        graft.text.TextFunctions.htmlContentText(col("__bs")).as("__clean"))
+      clean.select(col("doc_id"), col("n_blocks"), col("n_boiler"),
           length(col("__clean")).as("clean_chars"),
           graft.text.TextFunctions.langId(col("__clean")).as("lang_pred"),
           round(graft.text.TextFunctions.qualityScore(col("__clean")), 2)
@@ -4364,8 +4389,8 @@ object SparkEntry {
     * over `documents`, ending in a relation `c(doc_id, text)` whose
     * `text` column is the CLEANED text — named `text` so downstream
     * oracle fragments (langHits/quality) apply unchanged. */
-  private val HtmlCleanCtes: String =
-    raw"""WITH h AS (SELECT doc_id,
+  private val HtmlPageCtes: String =
+    raw"""h AS (SELECT doc_id,
           '<html><head><title>Doc ' || doc_id ||
           '</title><style type="text/css">body { margin: 0; }</style>' ||
           '<script>var n = 1 < 2 && 3 > 2;</script></head><body>' ||
@@ -4377,7 +4402,10 @@ object SparkEntry {
         s1 AS (SELECT doc_id, regexp_replace(html,
           '(?s)<script[^>]*>.*?</script>', ' ', 'g') AS t FROM h),
         s2 AS (SELECT doc_id, regexp_replace(t,
-          '(?s)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM s1),
+          '(?s)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM s1)"""
+
+  private val HtmlCleanCtes: String =
+    raw"""WITH $HtmlPageCtes,
         s3 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g')
           AS t FROM s2),
         s4 AS (SELECT doc_id, replace(replace(replace(replace(replace(t,
@@ -4385,6 +4413,40 @@ object SparkEntry {
           '&amp;', '&') AS t FROM s3),
         c AS (SELECT doc_id, trim(regexp_replace(t, '[ \t\n\r\f]+', ' ',
           'g')) AS text FROM s4)"""
+
+  /** One block's clean chain as a SQL fragment over expression `x`:
+    * entity decode (&amp; LAST) + explicit-class whitespace collapse —
+    * the exact [[graft.text.TextFunctions]] cleanFragment order. */
+  private def htmlSqlClean(x: String): String =
+    raw"""trim(regexp_replace(replace(replace(replace(replace(replace(
+         $x,
+         '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+         '&amp;', '&'), '[ \t\n\r\f]+', ' ', 'g'))"""
+
+  /** DuckDB CTE chain re-deriving the BLOCK classification
+    * (TextFunctions.htmlBlocks + isContentBlock + htmlContentText):
+    * split at block tags, clean each block, pair with its link text,
+    * drop empties, classify by length + integer link density. Ends in
+    * `c(doc_id, n_blocks, n_boiler, text)` with `text` = the kept
+    * blocks joined, so langHits/quality fragments apply unchanged. */
+  private val HtmlContentCtes: String =
+    raw"""WITH $HtmlPageCtes,
+        bl AS (SELECT doc_id, string_split_regex(t,
+          '(?i)</?(?:p|div|nav|footer|header|h[1-6]|li|ul|ol|table|title|head|body|html)[^>]*>')
+          AS blocks FROM s2),
+        cb AS (SELECT doc_id, list_filter(list_transform(blocks,
+          x -> struct_pack(
+            clean := ${htmlSqlClean("regexp_replace(x, '<[^>]*>', ' ', 'g')")},
+            link := ${htmlSqlClean(
+              "coalesce(array_to_string(regexp_extract_all(x, '(?i)<a[^>]*>([^<]*)</a>', 1), ' '), '')")})),
+          s -> s.clean <> '') AS bs FROM bl),
+        kp AS (SELECT doc_id, bs, list_filter(bs,
+          s -> length(s.clean) >= 25 AND 10 * length(s.link) <= 3 * length(s.clean))
+          AS keep FROM cb),
+        c AS (SELECT doc_id, len(bs) AS n_blocks,
+          len(bs) - len(keep) AS n_boiler,
+          coalesce(array_to_string(list_transform(keep, s -> s.clean), ' '),
+            '') AS text FROM kp)"""
 
   /** The stream-stream join pair's signup/error feeds. Both queries join
     * the SAME two feeds, so the staged file-stream inputs are shared per
@@ -6448,26 +6510,36 @@ object SparkEntry {
       "text_html_extract" ->
         s"""$HtmlCleanCtes
             SELECT doc_id, text AS clean_text FROM c""",
-      // the crawl funnel replayed: the clean chain ends in c(doc_id,
-      // text) with `text` = the CLEANED page, so the language/quality
-      // fragments apply to it unchanged
+      // the block classifier replayed: same split, same clean chain per
+      // block, same integer link-density rule
+      "text_html_content" ->
+        s"""$HtmlContentCtes
+            SELECT doc_id, CAST(n_blocks AS INTEGER) AS n_blocks,
+              CAST(n_boiler AS INTEGER) AS n_boiler,
+              text AS content_text FROM c""",
+      // the crawl funnel replayed: the block chain ends in c(doc_id,
+      // n_blocks, n_boiler, text) with `text` = the CONTENT after the
+      // boilerplate drop, so the language/quality fragments apply to it
+      // unchanged
       "pipeline_web" ->
-        s"""$HtmlCleanCtes,
-            l AS (SELECT doc_id, CAST(length(text) AS INTEGER)
+        s"""$HtmlContentCtes,
+            l AS (SELECT doc_id, CAST(n_blocks AS INTEGER) AS n_blocks,
+                CAST(n_boiler AS INTEGER) AS n_boiler,
+                CAST(length(text) AS INTEGER)
                 AS clean_chars,
               ${langHits("en")} AS en, ${langHits("es")} AS es,
               ${langHits("fr")} AS fr, ${langHits("de")} AS de,
               ${langHits("zh")} AS zh,
               round($qualityExpr, 2) AS quality FROM c),
-            g AS (SELECT doc_id, clean_chars, CASE
+            g AS (SELECT doc_id, n_blocks, n_boiler, clean_chars, CASE
               WHEN en = 0 AND es = 0 AND fr = 0 AND de = 0 AND zh = 0 THEN 'und'
               WHEN en >= es AND en >= fr AND en >= de AND en >= zh THEN 'en'
               WHEN es >= fr AND es >= de AND es >= zh THEN 'es'
               WHEN fr >= de AND fr >= zh THEN 'fr'
               WHEN de >= zh THEN 'de' ELSE 'zh' END AS lang_pred,
               quality FROM l)
-            SELECT doc_id, clean_chars, lang_pred, quality,
-              (lang_pred = 'en' AND quality >= 0.6) AS kept FROM g""",
+            SELECT doc_id, n_blocks, n_boiler, clean_chars, lang_pred,
+              quality, (lang_pred = 'en' AND quality >= 0.6) AS kept FROM g""",
       "text_stats" ->
         s"""SELECT doc_id,
             CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($toks) END::BIGINT AS n_tokens,

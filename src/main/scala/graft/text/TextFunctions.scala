@@ -136,21 +136,70 @@ object TextFunctions {
     * codegen'd regexp_replace/replace chain — no UDF — and every step is
     * RE2-safe ((?s) dotall, no lookarounds), so the DuckDB oracle
     * replays the identical chain. */
-  def htmlExtract(html: Column): Column = {
+  def htmlExtract(html: Column): Column =
+    cleanFragment(regexp_replace(dropSubtrees(html), lit("<[^>]*>"), lit(" ")))
+
+  /** script/style subtree drop — the shared head of [[htmlExtract]] and
+    * [[htmlBlocks]] (their CONTENT must vanish wholesale before any
+    * tag-level work). */
+  private def dropSubtrees(html: Column): Column = {
     val noScript = regexp_replace(html,
       lit("(?s)<script[^>]*>.*?</script>"), lit(" "))
-    val noStyle = regexp_replace(noScript,
-      lit("(?s)<style[^>]*>.*?</style>"), lit(" "))
-    val noTags = regexp_replace(noStyle, lit("<[^>]*>"), lit(" "))
-    // entity order matters: &amp; LAST, or re-escaped text double-decodes
+    regexp_replace(noScript, lit("(?s)<style[^>]*>.*?</style>"), lit(" "))
+  }
+
+  /** Entity decode + whitespace collapse over an already-tag-free
+    * fragment. Entity order matters: &amp; LAST, or re-escaped text
+    * double-decodes. Explicit whitespace class, not \s: Java's \s
+    * includes \x0B, RE2's does not — the one divergence that would
+    * hash-mismatch across engines. */
+  private def cleanFragment(noTags: Column): Column = {
     val unescaped = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&#39;" -> "'", "&amp;" -> "&").foldLeft(noTags) {
       case (c, (from, to)) => replace(c, lit(from), lit(to))
     }
-    // explicit class, not \s: Java's \s includes \x0B, RE2's does not —
-    // the one divergence that would hash-mismatch across engines
     trim(regexp_replace(unescaped, lit("[ \\t\\n\\r\\f]+"), lit(" ")))
   }
+
+  /** Block-level tag boundaries — the segmentation a jusText-style
+    * content classifier works on. RE2-safe ((?i), no lookarounds), so
+    * the DuckDB oracle splits identically. */
+  private val BlockTagPattern =
+    "(?i)</?(?:p|div|nav|footer|header|h[1-6]|li|ul|ol|table|title|head|body|html)[^>]*>"
+
+  /** Boilerplate/content BLOCK classification (jusText-core) — the step
+    * production crawl pipelines (CCNet/RefinedWeb) run after tag
+    * stripping: tag removal is not boilerplate removal, and nav/footer
+    * chrome surviving into a training corpus is the single biggest
+    * quality leak after dedup. The page is split at block-level tag
+    * boundaries (script/style subtrees dropped first); each block is
+    * cleaned (tag strip → entity decode → whitespace collapse) and
+    * paired with its LINK TEXT (the classifier's strongest feature);
+    * empty blocks vanish. Returns `array<struct<clean, link>>`. All pure
+    * codegen'd expressions — no UDF — and RE2-safe for oracle replay. */
+  def htmlBlocks(html: Column): Column = {
+    val blocks = split(dropSubtrees(html), BlockTagPattern)
+    filter(
+      transform(blocks, b => struct(
+        cleanFragment(regexp_replace(b, lit("<[^>]*>"), lit(" "))).as("clean"),
+        cleanFragment(array_join(regexp_extract_all(b,
+          lit("(?i)<a[^>]*>([^<]*)</a>"), lit(1)), " ")).as("link"))),
+      s => s.getField("clean") =!= lit(""))
+  }
+
+  /** The content decision per block: long enough to be prose AND link
+    * density ≤ 0.3 (all-integer arithmetic — `10·|link| ≤ 3·|clean|` —
+    * so the cross-engine compare never touches a float). Length + link
+    * density are jusText's two strongest features and are
+    * language-neutral, which matters for a multilingual corpus. */
+  def isContentBlock(s: Column): Column =
+    length(s.getField("clean")) >= lit(25) &&
+      length(s.getField("link")) * lit(10) <= length(s.getField("clean")) * lit(3)
+
+  /** Content text after boilerplate drop: the kept blocks joined. */
+  def htmlContentText(blocks: Column): Column =
+    array_join(transform(filter(blocks, isContentBlock(_)),
+      s => s.getField("clean")), " ")
 
   /** Rolling hash over tokens (order-sensitive, 64-bit) — a cheap
     * shift-resistant document signature. Chained xxhash64 rather than the

@@ -55,6 +55,40 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(clean("<a href=\"/x\" class='y'>link</a> tail") == "link tail")
   }
 
+  test("htmlBlocks: boilerplate drops by length + link density, content stays") {
+    def classify(html: String): (Int, Int, String) = {
+      val r = Seq((1L, html)).toDF("id", "h")
+        .select(TextFunctions.htmlBlocks(col("h")).as("bs"))
+        .select(org.apache.spark.sql.functions.size(col("bs")).as("n"),
+          org.apache.spark.sql.functions.size(
+            org.apache.spark.sql.functions.filter(col("bs"),
+              TextFunctions.isContentBlock(_))).as("k"),
+          TextFunctions.htmlContentText(col("bs")).as("c"))
+        .head()
+      (r.getInt(0), r.getInt(0) - r.getInt(1), r.getString(2))
+    }
+    val prose = "The quick brown fox jumps over the lazy dog near the river bank."
+    // nav (link-dense, short), title (short), footer (short) drop;
+    // the prose paragraph survives; script content never reaches a block
+    val (n, boiler, content) = classify(
+      "<html><head><title>T</title><script>var a = 1 < 2;</script></head>" +
+        s"<body><nav>Home | <a href='/a'>About</a> | <a href='/b'>Blog</a></nav>" +
+        s"<p>$prose</p><footer>&copy; co.</footer></body></html>")
+    assert(n == 4 && boiler == 3 && content == prose)
+    // a LONG link-farm block still drops: length alone is not content
+    val farm = (1 to 12).map(i => s"<a href='/$i'>Item number $i here</a>")
+      .mkString(" | ")
+    val (n2, boiler2, content2) =
+      classify(s"<div>$farm</div><p>$prose</p>")
+    assert(n2 == 2 && boiler2 == 1 && content2 == prose)
+    // uppercase block tags split too ((?i))
+    val (n3, _, content3) = classify(s"<P>$prose</P><NAV>x | y</NAV>")
+    assert(n3 == 2 && content3 == prose)
+    // no content at all → empty string, counted honestly
+    val (n4, boiler4, content4) = classify("<nav><a href='/'>Home</a></nav>")
+    assert(n4 == 1 && boiler4 == 1 && content4 == "")
+  }
+
   test("tokenEntropy matches a plain-Scala reference on random corpora") {
     val rnd = new scala.util.Random(11)
     val words = Vector("x", "y", "zz", "w")
