@@ -2028,6 +2028,33 @@ object SparkEntry {
             .as("content_text"))
     }),
 
+    // RFC 3986-lite URL normalization — the crawl pipeline's first,
+    // cheapest dedup key: five deterministic spellings of the same page
+    // URL (cased host, default port, tracking params, fragment, unsorted
+    // params) collapse to one canonical form. Pure RE2-safe expression
+    // chain; the oracle replays the identical parse/fold/sort
+    "url_normalize" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), messyUrl(col("doc_id")).as("url"))
+        .select(col("doc_id"), col("url"),
+          graft.text.TextFunctions.urlNormalize(col("url")).as("url_norm"))),
+
+    // URL-key dedup over the WARC records' URLs: splittable ingestion →
+    // messy-URL fixture → normalize → first-occurrence per canonical URL
+    // (min doc_id + dup count) — the single-shuffle shape every crawl
+    // pipeline runs before any content hash is computed
+    "dedup_url" -> ((s, dir) => {
+      val staged = warcStagedDir(s, dir)
+      graft.sources.WarcSource.read(s, staged, splitBytes = 64L * 1024)
+        .select(expr("CAST(substring_index(url, '/', -1) AS BIGINT)")
+          .as("doc_id"))
+        .select(col("doc_id"), graft.text.TextFunctions.urlNormalize(
+          messyUrl(col("doc_id"))).as("url_norm"))
+        .groupBy(col("url_norm"))
+        .agg(min(col("doc_id")).as("first_doc"),
+          count(lit(1)).as("n_docs"))
+    }),
+
     // The CRAWL-TO-CORPUS FUNNEL end-to-end — the composition a web-scale
     // training pipeline actually runs: .warc.gz shards (member-per-record
     // gzip, staged once per dir with the HTML pages as record payloads)
@@ -3995,30 +4022,7 @@ object SparkEntry {
     // next task (mid-file resume spec-pinned in WarcSpec). The oracle
     // re-derives every record from the documents table
     "fmt_warc_roundtrip" -> ((s, dir) => {
-      import s.implicits._
-      val staged = warcStageDirs.getOrElseUpdate(dir, {
-        val d = graft.core.TempDirs.register(
-          java.nio.file.Files.createTempDirectory("graft_warc")).toString
-        t(s, dir, "documents")
-          .repartition(4, pmod(col("doc_id"), lit(4L)))
-          .select(col("doc_id").cast("long"),
-            encode(col("text"), "UTF-8").as("__b"))
-          .as[(Long, Array[Byte])]
-          .mapPartitions { it =>
-            val recs = it.map { case (id, b) =>
-              (s"https://corpus.example/doc/$id", "2026-01-01T00:00:00Z",
-                "text/plain", s"<urn:uuid:doc-$id>", b)
-            }.toSeq
-            if (recs.nonEmpty) {
-              val pid = org.apache.spark.TaskContext.getPartitionId()
-              java.nio.file.Files.write(
-                java.nio.file.Paths.get(d, f"part-$pid%04d.warc.gz"),
-                graft.sources.Warc.writeGz(recs))
-            }
-            Iterator.single(1)
-          }.count()
-        d
-      })
+      val staged = warcStagedDir(s, dir)
       // SPLITTABLE read (WarcSource): member-offset index built once per
       // staged dir, then one task per ~64 KiB member range — a production
       // 1 GB shard fans across ~8k tasks instead of ONE whole-blob task
@@ -4364,6 +4368,52 @@ object SparkEntry {
   /** Staged member-per-record .warc.gz shards, one set per scale dir. */
   private val warcStageDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
+  /** Stage (once per scale dir) the documents table as member-per-record
+    * `.warc.gz` shards written from EXECUTORS — the crawl-native fixture
+    * behind fmt_warc_roundtrip and dedup_url. */
+  private def warcStagedDir(s: SparkSession, dir: String): String =
+    warcStageDirs.getOrElseUpdate(dir, {
+      import s.implicits._
+      val d = graft.core.TempDirs.register(
+        java.nio.file.Files.createTempDirectory("graft_warc")).toString
+      t(s, dir, "documents")
+        .repartition(4, pmod(col("doc_id"), lit(4L)))
+        .select(col("doc_id").cast("long"),
+          encode(col("text"), "UTF-8").as("__b"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          val recs = it.map { case (id, b) =>
+            (s"https://corpus.example/doc/$id", "2026-01-01T00:00:00Z",
+              "text/plain", s"<urn:uuid:doc-$id>", b)
+          }.toSeq
+          if (recs.nonEmpty) {
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(d, f"part-$pid%04d.warc.gz"),
+              graft.sources.Warc.writeGz(recs))
+          }
+          Iterator.single(1)
+        }.count()
+      d
+    })
+
+  /** The deterministic MESSY-URL fixture: five spellings of the same
+    * canonical page URL (plain, cased host + default port, tracking
+    * params, fragment, unsorted params + tracking), keyed by
+    * `doc_id % 401` so distinct docs collide on the canonical form —
+    * what urlNormalize + dedup_url exist to collapse. Re-derived by the
+    * oracle from the same arithmetic. */
+  private def messyUrl(docId: Column): Column = {
+    val key = pmod(docId, lit(401L)).cast("string")
+    val base = concat(lit("https://corpus.example/page/"), key)
+    when(pmod(docId, lit(5L)) === 0, base)
+      .when(pmod(docId, lit(5L)) === 1,
+        concat(lit("HTTPS://Corpus.EXAMPLE:443/page/"), key))
+      .when(pmod(docId, lit(5L)) === 2,
+        concat(base, lit("?utm_source=feed&utm_campaign=x")))
+      .when(pmod(docId, lit(5L)) === 3, concat(base, lit("#frag-2")))
+      .otherwise(concat(base, lit("?b=2&a=1&utm_medium=m")))
+  }
   /** Staged .warc.gz shards whose record payloads are the HTML PAGES
     * (the pipeline_web funnel's crawl input), one set per scale dir. */
   private val warcHtmlStageDirs =
@@ -4413,6 +4463,43 @@ object SparkEntry {
           '&amp;', '&') AS t FROM s3),
         c AS (SELECT doc_id, trim(regexp_replace(t, '[ \t\n\r\f]+', ' ',
           'g')) AS text FROM s4)"""
+
+  /** DuckDB CTE chain re-deriving the messy-URL fixture + the
+    * TextFunctions.urlNormalize parse/fold/sort, ending in
+    * `un(doc_id, url, url_norm)`. */
+  private val UrlNormCtes: String =
+    raw"""WITH u AS (SELECT doc_id, CASE CAST(doc_id % 5 AS INTEGER)
+          WHEN 0 THEN 'https://corpus.example/page/' || (doc_id % 401)
+          WHEN 1 THEN 'HTTPS://Corpus.EXAMPLE:443/page/' || (doc_id % 401)
+          WHEN 2 THEN 'https://corpus.example/page/' || (doc_id % 401)
+            || '?utm_source=feed&utm_campaign=x'
+          WHEN 3 THEN 'https://corpus.example/page/' || (doc_id % 401)
+            || '#frag-2'
+          ELSE 'https://corpus.example/page/' || (doc_id % 401)
+            || '?b=2&a=1&utm_medium=m' END AS url FROM documents),
+        n1 AS (SELECT doc_id, url,
+          regexp_replace(url, '#.*', '', 'g') AS nofrag FROM u),
+        n2 AS (SELECT *, lower(regexp_extract(nofrag,
+            '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+          regexp_replace(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://', '')
+            AS rest FROM n1),
+        n3 AS (SELECT *, CASE
+            WHEN scheme = 'http' THEN regexp_replace(
+              lower(regexp_extract(rest, '^([^/?]*)', 1)), ':80$$', '')
+            WHEN scheme = 'https' THEN regexp_replace(
+              lower(regexp_extract(rest, '^([^/?]*)', 1)), ':443$$', '')
+            ELSE lower(regexp_extract(rest, '^([^/?]*)', 1)) END AS host,
+          regexp_replace(rest, '^[^/?]*', '') AS pathq FROM n2),
+        n4 AS (SELECT *, CASE WHEN regexp_extract(pathq, '^([^?]*)', 1) = ''
+            THEN '/' ELSE regexp_extract(pathq, '^([^?]*)', 1) END AS path,
+          regexp_extract(pathq, '^[^?]*\?(.*)$$', 1) AS query FROM n3),
+        n5 AS (SELECT *, coalesce(array_to_string(list_sort(list_filter(
+            string_split(query, '&'), p -> p <> '' AND NOT regexp_matches(p,
+              '^(utm_[^=]*|fbclid|gclid)(=|$$)'))), '&'), '') AS qs FROM n4),
+        un AS (SELECT doc_id, url, CASE WHEN scheme = '' THEN nofrag
+          ELSE scheme || '://' || host || path ||
+            (CASE WHEN qs = '' THEN '' ELSE '?' || qs END) END AS url_norm
+          FROM n5)"""
 
   /** One block's clean chain as a SQL fragment over expression `x`:
     * entity decode (&amp; LAST) + explicit-class whitespace collapse —
@@ -6517,6 +6604,15 @@ object SparkEntry {
             SELECT doc_id, CAST(n_blocks AS INTEGER) AS n_blocks,
               CAST(n_boiler AS INTEGER) AS n_boiler,
               text AS content_text FROM c""",
+      // the URL normalizer replayed: same fragment/scheme/host/port/
+      // param arithmetic, same RE2 patterns, same sort
+      "url_normalize" ->
+        s"""$UrlNormCtes
+            SELECT doc_id, url, url_norm FROM un""",
+      "dedup_url" ->
+        s"""$UrlNormCtes
+            SELECT url_norm, CAST(min(doc_id) AS BIGINT) AS first_doc,
+              count(*) AS n_docs FROM un GROUP BY url_norm""",
       // the crawl funnel replayed: the block chain ends in c(doc_id,
       // n_blocks, n_boiler, text) with `text` = the CONTENT after the
       // boilerplate drop, so the language/quality fragments apply to it

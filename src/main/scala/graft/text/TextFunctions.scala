@@ -201,6 +201,37 @@ object TextFunctions {
     array_join(transform(filter(blocks, isContentBlock(_)),
       s => s.getField("clean")), " ")
 
+  /** RFC 3986-lite URL normalization — the crawl pipeline's FIRST and
+    * cheapest dedup key (the same page arrives as `HTTPS://Host:443/x`,
+    * `https://host/x#frag`, and `https://host/x?utm_source=feed`):
+    * case-fold scheme + host, strip the scheme's default port, drop the
+    * fragment, drop tracking params (utm_*, fbclid, gclid), and SORT the
+    * surviving query params; an empty path canonicalizes to `/`. Pure
+    * RE2-safe expression chain (no lookarounds, anchored classes), so
+    * the DuckDB oracle replays it verbatim. URLs without a scheme pass
+    * through fragment-stripped only — normalization never invents
+    * structure it didn't parse. */
+  def urlNormalize(url: Column): Column = {
+    val noFrag = regexp_replace(url, lit("#.*"), lit(""))
+    val scheme = lower(regexp_extract(noFrag,
+      "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rest = regexp_replace(noFrag,
+      lit("^[A-Za-z][A-Za-z0-9+.-]*://"), lit(""))
+    val hostPort = lower(regexp_extract(rest, "^([^/?]*)", 1))
+    val host = when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
+      .otherwise(hostPort)
+    val pathq = regexp_replace(rest, lit("^[^/?]*"), lit(""))
+    val path0 = regexp_extract(pathq, "^([^?]*)", 1)
+    val path = when(path0 === "", lit("/")).otherwise(path0)
+    val query = regexp_extract(pathq, "^[^?]*\\?(.*)$", 1)
+    val params = filter(split(query, "&"), p =>
+      p =!= "" && !p.rlike("^(utm_[^=]*|fbclid|gclid)(=|$)"))
+    val qs = array_join(array_sort(params), "&")
+    when(scheme === "", noFrag).otherwise(concat(scheme, lit("://"), host,
+      path, when(qs === "", lit("")).otherwise(concat(lit("?"), qs))))
+  }
+
   /** Rolling hash over tokens (order-sensitive, 64-bit) — a cheap
     * shift-resistant document signature. Chained xxhash64 rather than the
     * classic polynomial form: ANSI mode (Spark 4 default) would throw on the

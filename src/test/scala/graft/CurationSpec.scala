@@ -89,6 +89,33 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(n4 == 1 && boiler4 == 1 && content4 == "")
   }
 
+  test("urlNormalize: case-fold, default ports, fragments, param sort/strip") {
+    def norm(u: String): String =
+      Seq(Tuple1(u)).toDF("u")
+        .select(TextFunctions.urlNormalize(col("u")).as("n"))
+        .head().getString(0)
+    // the five spellings of one page collapse to one canonical form
+    assert(Seq(
+      "https://corpus.example/page/7",
+      "HTTPS://Corpus.EXAMPLE:443/page/7",
+      "https://corpus.example/page/7?utm_source=feed&utm_campaign=x",
+      "https://corpus.example/page/7#frag-2")
+      .map(norm).distinct == Seq("https://corpus.example/page/7"))
+    // params sort; tracking params drop; non-default ports SURVIVE
+    assert(norm("https://h/x?b=2&a=1&utm_medium=m") == "https://h/x?a=1&b=2")
+    assert(norm("http://Host:8080/p?z=1") == "http://host:8080/p?z=1")
+    // :80 is default only for http, :443 only for https
+    assert(norm("http://h:80/p") == "http://h/p")
+    assert(norm("https://h:80/p") == "https://h:80/p")
+    // empty path canonicalizes to '/'; query on empty path keeps it
+    assert(norm("https://Example.COM") == "https://example.com/")
+    assert(norm("https://h?a=1") == "https://h/?a=1")
+    // the PATH keeps its case (RFC 3986: only scheme/host case-fold)
+    assert(norm("https://h/CaseSensitive/Path") == "https://h/CaseSensitive/Path")
+    // no scheme → fragment-stripped passthrough, nothing invented
+    assert(norm("example.com/x#f") == "example.com/x")
+  }
+
   test("tokenEntropy matches a plain-Scala reference on random corpora") {
     val rnd = new scala.util.Random(11)
     val words = Vector("x", "y", "zz", "w")
