@@ -2618,6 +2618,24 @@ object SparkEntry {
         Multimodal.jpeg422Blob(px, "doc_id", "__b", restartEvery = 3),
         "doc_id", "blob")
     }),
+    // REAL 4:1:1 JPEG decode — the last named layout rejection besides
+    // arithmetic coding, closed by measured share (PLANS.md round 12):
+    // each 32×8 MCU carries FOUR Y blocks side by side over ONE shared
+    // Cb/Cr pair from the group's first byte, box-upsampled 4×1 — the
+    // same 4-bytes-per-group semantics as 4:2:0 with quartered geometry,
+    // so the oracle is the 4:2:0 oracle with (width,height) transposed
+    // to the 32-wide MCU row. restartEvery=3 keeps the stream splittable
+    "mm_decode_jpeg411" -> ((s, dir) => {
+      val px = t(s, dir, "documents")
+        .withColumn("__b0", expr("substring(encode(text, 'UTF-8'), 1, 2048)"))
+        .withColumn("__b",
+          expr("substring(__b0, 1, length(__b0) - pmod(length(__b0), 4))"))
+        .filter(length(col("__b")) >= 4)
+      Multimodal.decodeJpegColor(
+        Multimodal.jpeg411Blob(px, "doc_id", "__b", restartEvery = 3),
+        "doc_id", "blob")
+    }),
+
     "mm_decode_jpeg_prog422" -> ((s, dir) => {
       val px = t(s, dir, "documents")
         .withColumn("__b0", expr("substring(encode(text, 'UTF-8'), 1, 2048)"))
@@ -4864,9 +4882,11 @@ object SparkEntry {
                 AS topleft_hex
             FROM px"""
     }
-    // the 4:2:0 oracle, shared verbatim by the sequential and the
-    // segment-parallel decode queries (equality is the point)
-    val jpeg420OracleSql: String = {
+    // the shared 4-bytes-per-group oracle body: 4:2:0 (four Y quadrants,
+    // 16-wide MCU) and 4:1:1 (four Y side by side, 32-wide MCU) produce
+    // identical per-channel sums — only the declared geometry differs,
+    // which is exactly what the parameterization expresses
+    def jpegQuadGroupOracleSql(widthExpr: String, heightExpr: String): String = {
         def conv(y: String, e: String) =
           s"least(255, greatest(0, $y + CAST(floor(($e + 32768) / 65536.0) AS INT)))"
         val y = "bv[(4*j+k+1)::INT]"
@@ -4888,8 +4908,8 @@ object SparkEntry {
                   list_transform(range(4), k -> [$r, $g, $bb]))) AS rgb
               FROM v)
             SELECT doc_id,
-              CAST(16 AS INTEGER) AS width,
-              CAST(16 * ng AS INTEGER) AS height,
+              CAST($widthExpr AS INTEGER) AS width,
+              CAST($heightExpr AS INTEGER) AS height,
               CAST(256 * ng AS BIGINT) AS n_px,
               CAST(64 * list_sum(list_transform(rgb, p -> p[1])) AS BIGINT)
                 AS sum_r,
@@ -4903,6 +4923,10 @@ object SparkEntry {
                 AS topleft_hex
             FROM px"""
       }
+    // the 4:2:0 oracle, shared verbatim by the sequential and the
+    // segment-parallel decode queries (equality is the point)
+    val jpeg420OracleSql: String = jpegQuadGroupOracleSql("16", "16 * ng")
+    val jpeg411OracleSql: String = jpegQuadGroupOracleSql("32", "8 * ng")
     // shared DuckDB snippets replicating TextFunctions' tokenization
     val toks = raw"string_split_regex(trim(lower(text)), '\s+')"
     // graft.text.Probe's exact normal-equation solve: integer features,
@@ -7172,6 +7196,7 @@ object SparkEntry {
       "mm_decode_jpeg_prog420" -> jpeg420OracleSql,
       // 4:2:2: the horizontal shared-chroma twin, baseline + progressive
       "mm_decode_jpeg422" -> jpeg422OracleSql,
+      "mm_decode_jpeg411" -> jpeg411OracleSql,
       "mm_decode_jpeg_prog422" -> jpeg422OracleSql,
       // the segment-parallel decode is value-identical to the sequential
       // one BY CONTRACT — same oracle, so the gate proves the equivalence

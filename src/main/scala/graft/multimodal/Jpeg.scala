@@ -658,6 +658,22 @@ object Jpeg {
     encodeColorStream(y, cb, cr, mcusPerRow, ySamp = 0x21, restartEvery)
   }
 
+  /** 4:1:1 fixture encoder: each MCU is FOUR Y blocks side by side plus
+    * one Cb and one Cr block covering the same 32×8 pixel area — the
+    * horizontally-quartered sampling some camera pipelines (and NTSC DV)
+    * emit; the last named layout rejection besides arithmetic coding,
+    * closed by measured share (PLANS.md round 12). */
+  private[graft] def encodeColorBlocks411(y: Array[Array[Array[Int]]],
+                                          cb: Array[Array[Int]],
+                                          cr: Array[Array[Int]],
+                                          mcusPerRow: Int,
+                                          restartEvery: Int = 0): Array[Byte] = {
+    require(y.length == cb.length && y.length == cr.length,
+      "Y/Cb/Cr MCU counts must match")
+    require(y.forall(_.length == 4), "4:1:1 needs four Y blocks per MCU")
+    encodeColorStream(y, cb, cr, mcusPerRow, ySamp = 0x41, restartEvery)
+  }
+
   /** Shared 3-component interleaved-scan writer: SOF0 declares Y with
     * `ySamp` sampling (0x11 → 4:4:4 8×8 MCUs, 0x22 → 4:2:0 16×16 MCUs)
     * and 1×1 chroma, separate quantization (0 luma / 1 chroma) and
@@ -779,6 +795,27 @@ object Jpeg {
     }
     val groups = payload.map(_ & 0xff).grouped(2).toArray
     encodeColorBlocks422(
+      groups.map(g => g.map(b => dcBlock(b - 128))),
+      groups.map(g => dcBlock(g(0) % 9 - 4)),
+      groups.map(g => dcBlock(g(0) % 7 - 3)),
+      mcusPerRow = 1, restartEvery)
+  }
+
+  /** Driver-fixture 4:1:1 encoder: every FOUR payload bytes become one
+    * 32×8 MCU — four flat Y blocks side by side (Y = b₀..b₃) over ONE
+    * flat chroma pair from the group's first byte (Cb−128 = b₀%9−4,
+    * Cr−128 = b₀%7−3) — the horizontally-quartered sibling of
+    * [[encodeColor420]] (same 4-bytes-per-group semantics, different
+    * geometry: the chroma box-upsamples 4×1 instead of 2×2). */
+  def encodeColor411(payload: Array[Byte], restartEvery: Int = 0): Array[Byte] = {
+    require(payload.nonEmpty && payload.length % 4 == 0 &&
+      payload.length <= 16380,
+      "payload must be a positive multiple of 4 bytes (4 per 32x8 MCU)")
+    def dcBlock(v: Int): Array[Int] = {
+      val blk = new Array[Int](64); blk(0) = v; blk
+    }
+    val groups = payload.map(_ & 0xff).grouped(4).toArray
+    encodeColorBlocks411(
       groups.map(g => g.map(b => dcBlock(b - 128))),
       groups.map(g => dcBlock(g(0) % 9 - 4)),
       groups.map(g => dcBlock(g(0) % 7 - 3)),
@@ -939,11 +976,12 @@ object Jpeg {
       "3-component color stream: only single-component here, use parseColor")
   }
 
-  /** Parse + fully decode a YCbCr COLOR JFIF stream — baseline or
-    * progressive, 4:4:4 / 4:2:0 / 4:2:2 — interleaved MCUs,
-    * per-component quantization/Huffman tables and DC predictors, box
-    * chroma upsample, fixed-point BT.601 conversion — into exact
-    * per-channel statistics. Other samplings (4:1:1, …) throw by name. */
+  /** Parse + fully decode a YCbCr COLOR JFIF stream — baseline 4:4:4 /
+    * 4:2:0 / 4:2:2 / 4:1:1 or progressive 4:4:4 / 4:2:0 / 4:2:2 —
+    * interleaved MCUs, per-component quantization/Huffman tables and DC
+    * predictors, box chroma upsample, fixed-point BT.601 conversion —
+    * into exact per-channel statistics. Other samplings (4:4:0, …)
+    * throw by name. */
   def parseColor(blob: Array[Byte]): JpegColorInfo = parseStream(blob) match {
     case Right(c) => c
     case Left(_) => throw new IllegalArgumentException(
@@ -1459,15 +1497,17 @@ object Jpeg {
             c += 1
           }
           // supported layouts: grayscale 1×1; color 4:4:4 (all 1×1),
-          // 4:2:0 (Y 2×2) or 4:2:2 (Y 2×1), chroma 1×1. Anything else
-          // (4:1:1, 4:4:0, …) throws by the declared factors.
+          // 4:2:0 (Y 2×2), 4:2:2 (Y 2×1) or 4:1:1 (Y 4×1), chroma 1×1.
+          // Anything else (4:4:0, …) throws by the declared factors.
           val layout = compSamp.take(nComp).toSeq
           require(layout == Seq(0x11) || layout == Seq(0x11, 0x11, 0x11) ||
               layout == Seq(0x22, 0x11, 0x11) ||
-              layout == Seq(0x21, 0x11, 0x11),
+              layout == Seq(0x21, 0x11, 0x11) ||
+              layout == Seq(0x41, 0x11, 0x11),
             layout.map(s => f"0x$s%02X").mkString(
               "unsupported chroma subsampling layout [", ", ",
-              "] (only 1x1 [4:4:4], Y=2x2 [4:2:0] and Y=2x1 [4:2:2] supported)"))
+              "] (only 1x1 [4:4:4], Y=2x2 [4:2:0], Y=2x1 [4:2:2] and " +
+                "Y=4x1 [4:1:1] supported)"))
           sofSeen = true
           pos += len
         case 0xdb =>
@@ -1648,9 +1688,10 @@ object Jpeg {
     }
   }
 
-  /** Interleaved color scan over arbitrary (≤2) sampling factors: handles
-    * both 4:4:4 (every component 1×1) and 4:2:0 (Y 2×2, chroma 1×1, box
-    * upsample) with the same MCU walk. `restartInterval` > 0 consumes an
+  /** Interleaved color scan over arbitrary sampling factors (the box
+    * mapping in [[ScanComp.sample]] is general): 4:4:4 (every component
+    * 1×1), 4:2:0 (Y 2×2), 4:2:2 (Y 2×1) and 4:1:1 (Y 4×1) share the
+    * same MCU walk. `restartInterval` > 0 consumes an
     * RSTn marker after every that-many MCUs and resets all DC predictors
     * (F.2.1.3.1) — the feature that makes a single huge scan SPLITTABLE:
     * each restart segment is independently decodable, so a distributed
@@ -1755,7 +1796,7 @@ object Jpeg {
     pos + 2
   }
 
-  /** Interleaved color scan over arbitrary (≤2) sampling factors —
+  /** Interleaved color scan over arbitrary sampling factors —
     * sequential reference path: decode each restart segment in order,
     * validating the cycling RSTn marker between segments. */
   private def decodeScanColor(blob: Array[Byte], scanStart: Int,

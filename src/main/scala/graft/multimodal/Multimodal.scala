@@ -628,6 +628,20 @@ object Multimodal {
       .toDF(idCol, "blob")
   }
 
+  /** 4:1:1 fixture staging ([[Jpeg.encodeColor411]]): four payload bytes
+    * per 32×8 MCU, shared chroma from the group's first byte. */
+  def jpeg411Blob(df: DataFrame, idCol: String, payloadCol: String,
+                  restartEvery: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    graft.ops.Par.ensure(df.select(col(idCol).cast("long"), col(payloadCol)))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) =>
+        (id, Jpeg.encodeColor411(p, restartEvery))
+      })
+      .toDF(idCol, "blob")
+  }
+
   def jpeg422ProgressiveBlob(df: DataFrame, idCol: String,
                              payloadCol: String): DataFrame = {
     val spark = df.sparkSession
@@ -1203,8 +1217,9 @@ object Multimodal {
     * the header fields that determine decodability, zero decode work:
     * JPEG's first SOF marker kind (baseline C0 and progressive C2 —
     * [[Jpeg.parse]]'s real T.81 G.2 path — both accepted for gray 1×1
-    * and color 4:4:4 / 4:2:0 / 4:2:2, rejected for other layouts such
-    * as 4:1:1; the other SOFn rejected by
+    * and color 4:4:4 / 4:2:0 / 4:2:2, baseline additionally for 4:1:1,
+    * rejected for other layouts such as progressive 4:1:1 or 4:4:0;
+    * the other SOFn rejected by
     * name), PNG's IHDR depth/color/interlace, and the BMP/WAV/MP4
     * container magics. Returns (format label, whether this seam's
     * decoders accept it). */
@@ -1237,10 +1252,12 @@ object Multimodal {
           else if (m == 0xd9) done = true
           else {
             val len = (u8(i + 2) << 8) | u8(i + 3)
-            // decodable layouts (baseline AND progressive paths accept
-            // the same set): gray 1×1, color 4:4:4, 4:2:0 or 4:2:2;
-            // anything else (e.g. 4:1:1) is rejected by name
-            def layoutOk: Boolean = {
+            // decodable layouts: gray 1×1 and color 4:4:4 / 4:2:0 /
+            // 4:2:2 on both paths; 4:1:1 decodes on the BASELINE path
+            // only (round 12, by measured share) — progressive 4:1:1
+            // stays the named rejection; anything else (4:4:0, …)
+            // rejected by the declared factors
+            def layoutOk(base: Boolean): Boolean = {
               val nComp = if (i + 9 < blob.length) u8(i + 9) else 0
               val samp = (0 until nComp).map { c =>
                 if (i + 11 + 3 * c < blob.length) u8(i + 11 + 3 * c) else 0
@@ -1248,11 +1265,12 @@ object Multimodal {
               (nComp == 1 && samp == Seq(0x11)) ||
                 (nComp == 3 && (samp == Seq(0x11, 0x11, 0x11) ||
                   samp == Seq(0x22, 0x11, 0x11) ||
-                  samp == Seq(0x21, 0x11, 0x11)))
+                  samp == Seq(0x21, 0x11, 0x11) ||
+                  (base && samp == Seq(0x41, 0x11, 0x11))))
             }
             m match {
-              case 0xc0 => res = ("jpeg_baseline", layoutOk); done = true
-              case 0xc2 => res = ("jpeg_progressive", layoutOk); done = true
+              case 0xc0 => res = ("jpeg_baseline", layoutOk(true)); done = true
+              case 0xc2 => res = ("jpeg_progressive", layoutOk(false)); done = true
               // other frame kinds (extended sequential, lossless,
               // arithmetic, hierarchical) — named, rejected
               case mm if mm >= 0xc1 && mm <= 0xcf &&

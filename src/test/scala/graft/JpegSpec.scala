@@ -373,10 +373,11 @@ class JpegSpec extends AnyFunSuite with SparkTestBase {
       .getMessage.contains("parseColor"))
     assert(intercept[IllegalArgumentException](Jpeg.parseColor(gray))
       .getMessage.contains("use parse"))
-    // declare 4x1 (4:1:1) sampling on the Y component: throws by name
-    // (2x2 / 4:2:0 and 2x1 / 4:2:2 are SUPPORTED, tested separately)
+    // declare 1x2 (4:4:0) sampling on the Y component: throws by name
+    // (2x2 / 4:2:0, 2x1 / 4:2:2 and 4x1 / 4:1:1 are SUPPORTED, tested
+    // separately)
     val sof = color.indexOfSlice(Array(0xff.toByte, 0xc0.toByte))
-    val sub = color.updated(sof + 11, 0x41.toByte)
+    val sub = color.updated(sof + 11, 0x12.toByte)
     assert(intercept[IllegalArgumentException](Jpeg.parseColor(sub))
       .getMessage.contains("subsampling"))
   }
@@ -478,7 +479,7 @@ class JpegSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Jpeg.JpegColorInfo(16, 16, nPx, sR, sG, sB, mx, tl))
   }
 
-  test("4:1:1 sampling and broken restart chains fail loud by name") {
+  test("4:4:0 sampling and broken restart chains fail loud by name") {
     val blob = Jpeg.encodeColor420(Array[Byte](1, 2, 3, 4, 5, 6, 7, 8),
       restartEvery = 1)
     // corrupt the RST0 marker between the two MCUs
@@ -487,11 +488,65 @@ class JpegSpec extends AnyFunSuite with SparkTestBase {
     val msg = intercept[IllegalArgumentException](
       Jpeg.parseColor(blob.updated(rst + 1, 0xd4.toByte))).getMessage
     assert(msg.contains("expected restart marker RST0"))
-    // 4:1:1 (Y 4x1) declared in SOF throws by its factors
+    // 4:4:0 (Y 1x2) declared in SOF throws by its factors (4:1:1 is a
+    // supported layout since round 12 — see the 4:1:1 round-trip test)
     val sof = blob.indexOfSlice(Array(0xff.toByte, 0xc0.toByte))
-    val m411 = intercept[IllegalArgumentException](
-      Jpeg.parseColor(blob.updated(sof + 11, 0x41.toByte))).getMessage
-    assert(m411.contains("unsupported chroma subsampling layout"))
+    val m440 = intercept[IllegalArgumentException](
+      Jpeg.parseColor(blob.updated(sof + 11, 0x12.toByte))).getMessage
+    assert(m440.contains("unsupported chroma subsampling layout"))
+  }
+
+  test("4:1:1 (Y 4x1): round trip, shared chroma, splittable restarts") {
+    // DC-only driver fixture: four flat Y blocks side by side over one
+    // chroma pair — the horizontally-quartered sibling of 4:2:0 (same
+    // 4-bytes-per-group semantics, 32×8 geometry)
+    val payload = Array[Byte](10, -1, 0, 127, -128, 1, 33, -7)
+    val got = Jpeg.parseColor(Jpeg.encodeColor411(payload))
+    val bv = payload.map(_ & 0xff)
+    def conv(yv: Int, e: Long): Int =
+      math.max(0, math.min(255, yv + ((e + 32768) >> 16).toInt))
+    val px = bv.grouped(4).flatMap { g =>
+      g.flatMap { yv =>
+        val cbv = g(0) % 9 - 4; val crv = g(0) % 7 - 3
+        Seq.fill(64)((conv(yv, 91881L * crv),
+          conv(yv, -22554L * cbv - 46802L * crv),
+          conv(yv, 116130L * cbv)))
+      }
+    }.toSeq
+    assert(got.width == 32 && got.height == 8 * (payload.length / 4))
+    assert(got.nPixels == px.size.toLong)
+    assert(got.sumR == px.map(_._1.toLong).sum)
+    assert(got.sumG == px.map(_._2.toLong).sum)
+    assert(got.sumB == px.map(_._3.toLong).sum)
+    assert(got.maxPx == px.map(p => math.max(p._1, math.max(p._2, p._3))).max)
+    // restart-marked stream decodes identically (the splittable form)
+    assert(Jpeg.parseColor(Jpeg.encodeColor411(payload, restartEvery = 1)) == got)
+    // AC-bearing randomized sweep: the 4×1 box upsample is exercised
+    // beyond flat planes, cross-checked against the general stream
+    // writer driven at 0x41 via the segment-parallel decode path
+    val rnd = new scala.util.Random(4111411L)
+    def blk(): Array[Int] = new Array[Int](64)
+    for (trial <- 0 until 10) {
+      val n = 1 + rnd.nextInt(4)
+      def rblk(): Array[Int] = {
+        val b = blk()
+        for (_ <- 0 until rnd.nextInt(6)) b(rnd.nextInt(64)) = rnd.nextInt(15) - 7
+        b
+      }
+      val y = Array.fill(n)(Array.fill(4)(rblk()))
+      val cb = Array.fill(n)(rblk())
+      val cr = Array.fill(n)(rblk())
+      val blob = Jpeg.encodeColorBlocks411(
+        y.map(_.map(_.clone)), cb.map(_.clone), cr.map(_.clone), 1,
+        restartEvery = 1)
+      val want = Jpeg.parseColor(blob)
+      // parallel segment decode merges to the sequential result
+      val parts = (0 until 2).map(Jpeg.decodeColorSegments(blob, _, 2))
+      assert(parts.map(_._1).sum == want.nPixels, s"411 trial $trial")
+      assert(parts.map(_._2).sum == want.sumR)
+      assert(parts.map(_._3).sum == want.sumG)
+      assert(parts.map(_._4).sum == want.sumB)
+    }
   }
 
   test("4:2:2 (Y 2x1): baseline and progressive round trips, shared chroma") {
