@@ -2618,6 +2618,28 @@ object SparkEntry {
         Multimodal.jpeg422Blob(px, "doc_id", "__b", restartEvery = 3),
         "doc_id", "blob")
     }),
+    // EXIF orientation HONORED at decode — the governance pass extracts
+    // the tag (mm_exif_survey); this query closes the loop: 4:2:0
+    // restart-marked JPEGs are EXIF-tagged with orientation 1..8 (every
+    // fifth image untagged), and the decode reports the DISPLAYED
+    // raster — width/height swap for the transposed orientations and
+    // the top-left witness is the stored corner the rotation maps there.
+    // A pure integer remap of the existing pixel walk: the witness
+    // coordinate moves, nothing is re-decoded. The oracle re-derives
+    // orientation from doc_id arithmetic and picks the same corner
+    "mm_decode_oriented" -> ((s, dir) => {
+      val px = t(s, dir, "documents")
+        .withColumn("__b0", expr("substring(encode(text, 'UTF-8'), 1, 2048)"))
+        .withColumn("__b",
+          expr("substring(__b0, 1, length(__b0) - pmod(length(__b0), 4))"))
+        .filter(length(col("__b")) >= 4)
+      Multimodal.decodeJpegColorOriented(
+        Multimodal.exifTagged(
+          Multimodal.jpeg420Blob(px, "doc_id", "__b", restartEvery = 3),
+          "doc_id", "blob"),
+        "doc_id", "blob")
+    }),
+
     // REAL 4:1:1 JPEG decode — the last named layout rejection besides
     // arithmetic coding, closed by measured share (PLANS.md round 12):
     // each 32×8 MCU carries FOUR Y blocks side by side over ONE shared
@@ -4927,6 +4949,62 @@ object SparkEntry {
     // segment-parallel decode queries (equality is the point)
     val jpeg420OracleSql: String = jpegQuadGroupOracleSql("16", "16 * ng")
     val jpeg411OracleSql: String = jpegQuadGroupOracleSql("32", "8 * ng")
+    // the EXIF-oriented oracle: the 4:2:0 body plus the orientation
+    // arithmetic (doc_id-derived, as mm_exif_survey), display-dim swap
+    // for orientations 5-8, and the stored-corner pick for the
+    // displayed top-left witness
+    val jpegOrientedOracleSql: String = {
+      def conv(y: String, e: String) =
+        s"least(255, greatest(0, $y + CAST(floor(($e + 32768) / 65536.0) AS INT)))"
+      val y = "bv[(4*j+k+1)::INT]"
+      val c = "bv[(4*j+1)::INT]"
+      val r = conv(y, s"91881*($c%7-3)")
+      val g = conv(y, s"-22554*($c%9-4) - 46802*($c%7-3)")
+      val bb = conv(y, s"116130*($c%9-4)")
+      // displayed-top-left stored corner, per TIFF-274 orientation
+      val cy = """CASE WHEN orientation IN (0, 1, 5) THEN bv[1]
+           WHEN orientation IN (2, 8) THEN bv[2]
+           WHEN orientation IN (3, 7) THEN bv[(4*ng)::INT]
+           ELSE bv[(4*ng-1)::INT] END"""
+      val cc = """CASE WHEN orientation IN (0, 1, 2, 5, 8) THEN bv[1]
+           ELSE bv[(4*ng-3)::INT] END"""
+      val wr = conv("cy", "91881*(cc%7-3)")
+      val wg = conv("cy", "-22554*(cc%9-4) - 46802*(cc%7-3)")
+      val wb = conv("cy", "116130*(cc%9-4)")
+      raw"""WITH b0 AS (SELECT doc_id,
+              regexp_extract_all(substr(hex(encode(text)), 1, 4096), '..') AS by
+              FROM documents),
+          b AS (SELECT doc_id, by[1:(len(by) - len(by) % 4)::INT] AS by
+            FROM b0 WHERE len(by) >= 4),
+          v AS (SELECT doc_id, list_transform(by, h ->
+              (strpos('0123456789ABCDEF', substr(h, 1, 1)) - 1) * 16
+              + strpos('0123456789ABCDEF', substr(h, 2, 1)) - 1) AS bv
+            FROM b),
+          o AS (SELECT doc_id, bv, len(bv) // 4 AS ng,
+              CAST(CASE WHEN doc_id % 5 = 4 THEN 0
+                ELSE 1 + doc_id % 8 END AS INTEGER) AS orientation FROM v),
+          px AS (SELECT doc_id, orientation, ng,
+              flatten(list_transform(range(ng), j ->
+                list_transform(range(4), k -> [$r, $g, $bb]))) AS rgb,
+              $cy AS cy, $cc AS cc
+            FROM o)
+          SELECT doc_id, orientation,
+            CAST(CASE WHEN orientation BETWEEN 5 AND 8
+              THEN 16 * ng ELSE 16 END AS INTEGER) AS width,
+            CAST(CASE WHEN orientation BETWEEN 5 AND 8
+              THEN 16 ELSE 16 * ng END AS INTEGER) AS height,
+            CAST(256 * ng AS BIGINT) AS n_px,
+            CAST(64 * list_sum(list_transform(rgb, p -> p[1])) AS BIGINT)
+              AS sum_r,
+            CAST(64 * list_sum(list_transform(rgb, p -> p[2])) AS BIGINT)
+              AS sum_g,
+            CAST(64 * list_sum(list_transform(rgb, p -> p[3])) AS BIGINT)
+              AS sum_b,
+            CAST(list_aggregate(list_transform(rgb, p ->
+              greatest(p[1], p[2], p[3])), 'max') AS INTEGER) AS max_px,
+            printf('%02X%02X%02X', $wr, $wg, $wb) AS topleft_hex
+          FROM px"""
+    }
     // shared DuckDB snippets replicating TextFunctions' tokenization
     val toks = raw"string_split_regex(trim(lower(text)), '\s+')"
     // graft.text.Probe's exact normal-equation solve: integer features,
@@ -7197,6 +7275,7 @@ object SparkEntry {
       // 4:2:2: the horizontal shared-chroma twin, baseline + progressive
       "mm_decode_jpeg422" -> jpeg422OracleSql,
       "mm_decode_jpeg411" -> jpeg411OracleSql,
+      "mm_decode_oriented" -> jpegOrientedOracleSql,
       "mm_decode_jpeg_prog422" -> jpeg422OracleSql,
       // the segment-parallel decode is value-identical to the sequential
       // one BY CONTRACT — same oracle, so the gate proves the equivalence

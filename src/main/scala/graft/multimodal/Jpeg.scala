@@ -988,6 +988,26 @@ object Jpeg {
       "single-component grayscale stream: use parse")
   }
 
+  /** [[parseColor]] HONORING an EXIF orientation (TIFF tag 274): the
+    * returned stats describe the DISPLAYED raster — width/height swap
+    * for the transposed orientations (5–8) and `topLeftHex` is the
+    * stored corner pixel that lands at the display top-left. The sums /
+    * max / pixel count are rotation-invariant, so applying orientation
+    * is a pure integer remap of the existing pixel walk: the witness
+    * coordinate moves, nothing is re-decoded or buffered. Orientation 0
+    * (absent) and 1 are the identity. */
+  def parseColorOriented(blob: Array[Byte], orientation: Int): JpegColorInfo = {
+    require(orientation >= 0 && orientation <= 8,
+      s"EXIF orientation must be 0..8, got $orientation")
+    val o = if (orientation == 0) 1 else orientation
+    parseStream(blob, o) match {
+      case Right(c) =>
+        if (o >= 5) c.copy(width = c.height, height = c.width) else c
+      case Left(_) => throw new IllegalArgumentException(
+        "single-component grayscale stream: use parse")
+    }
+  }
+
   /** Everything the segment walk learns before entropy data begins:
     * geometry, per-component tables/sampling, restart interval, and the
     * scan's first entropy byte. */
@@ -1009,8 +1029,9 @@ object Jpeg {
       else (nMcu + restartInterval - 1) / restartInterval
   }
 
-  private def parseStream(blob: Array[Byte]): Either[JpegInfo, JpegColorInfo] = {
-    if (isProgressive(blob)) parseProgressive(blob)
+  private def parseStream(blob: Array[Byte], orientation: Int = 1)
+      : Either[JpegInfo, JpegColorInfo] = {
+    if (isProgressive(blob)) parseProgressive(blob, orientation)
     else {
       val p = walkHeaders(blob)
       if (p.nComp == 1)
@@ -1018,7 +1039,7 @@ object Jpeg {
           p.dcT(0), p.acT(0), p.qs(0), p.restartInterval))
       else
         Right(decodeScanColor(blob, p.scanStart, p.width, p.height,
-          p.comps, p.restartInterval))
+          p.comps, p.restartInterval, orientation))
     }
   }
 
@@ -1073,7 +1094,8 @@ object Jpeg {
     * cross-block EOBn runs and then refine with correction bits.
     * Grayscale, 4:4:4 and 4:2:0 color layouts are supported — the same
     * set the baseline path accepts. */
-  private def parseProgressive(blob: Array[Byte]): Either[JpegInfo, JpegColorInfo] = {
+  private def parseProgressive(blob: Array[Byte], orientation: Int = 1)
+      : Either[JpegInfo, JpegColorInfo] = {
     require(blob.length >= 4 && (blob(0) & 0xff) == 0xff &&
       (blob(1) & 0xff) == 0xd8, "not a JPEG: missing SOI")
     def u16(o: Int): Int = ((blob(o) & 0xff) << 8) | (blob(o + 1) & 0xff)
@@ -1272,6 +1294,10 @@ object Jpeg {
       val holders = comps.map(cp =>
         new ScanComp(cp.h, cp.v, null, null, null))
       val acc = new ColorAcc
+      locally {
+        val (wx, wy) = orientationWitness(orientation, width, height)
+        acc.witX = wx; acc.witY = wy
+      }
       val coef = new Array[Int](64)
       var mcu = 0
       val nMcu = nMcuX * nMcuY
@@ -1704,6 +1730,10 @@ object Jpeg {
     var nPx = 0L; var sumR = 0L; var sumG = 0L; var sumB = 0L
     var mx = 0
     var topLeftHex: String = null
+    // witness pixel (STORED-raster coords) whose hex lands in
+    // topLeftHex: (0,0) by default; the EXIF-oriented decode points it
+    // at whichever stored corner becomes the DISPLAY top-left
+    var witX = 0; var witY = 0
   }
 
   /** Decode `mcuCount` consecutive MCUs starting at entropy byte
@@ -1777,7 +1807,7 @@ object Jpeg {
         if (r > acc.mx) acc.mx = r
         if (g > acc.mx) acc.mx = g
         if (b > acc.mx) acc.mx = b
-        if (bx == 0 && by == 0 && xx == 0 && yy == 0)
+        if (bx * mcuW + xx == acc.witX && by * mcuH + yy == acc.witY)
           acc.topLeftHex = f"$r%02X$g%02X$b%02X"
         xx += 1
       }
@@ -1799,10 +1829,21 @@ object Jpeg {
   /** Interleaved color scan over arbitrary sampling factors —
     * sequential reference path: decode each restart segment in order,
     * validating the cycling RSTn marker between segments. */
+  /** The STORED-raster pixel that becomes the display top-left under
+    * EXIF orientation `o` (TIFF 274 semantics; 0/absent = normal). */
+  private def orientationWitness(o: Int, w: Int, h: Int): (Int, Int) =
+    o match {
+      case 2 | 8 => (w - 1, 0)
+      case 3 | 7 => (w - 1, h - 1)
+      case 4 | 6 => (0, h - 1)
+      case _ => (0, 0) // 0/1 normal, 5 transpose: stored TL stays TL
+    }
+
   private def decodeScanColor(blob: Array[Byte], scanStart: Int,
                               width: Int, height: Int,
                               comps: Array[ScanComp],
-                              restartInterval: Int): JpegColorInfo = {
+                              restartInterval: Int,
+                              orientation: Int = 1): JpegColorInfo = {
     val maxH = comps.map(_.hs).max
     val maxV = comps.map(_.vs).max
     val nMcuX = (width + 8 * maxH - 1) / (8 * maxH)
@@ -1810,6 +1851,10 @@ object Jpeg {
     val nMcu = nMcuX * nMcuY
     val ri = if (restartInterval <= 0) nMcu else restartInterval
     val acc = new ColorAcc
+    locally {
+      val (wx, wy) = orientationWitness(orientation, width, height)
+      acc.witX = wx; acc.witY = wy
+    }
     var mcuStart = 0
     var pos = scanStart
     var seg = 0

@@ -672,6 +672,28 @@ object Multimodal {
         "max_px", "topleft_hex")
   }
 
+  /** EXIF-AWARE color decode: the governance pass's orientation tag,
+    * HONORED at decode ([[Exif.parse]] → [[Jpeg.parseColorOriented]]) —
+    * the returned geometry and top-left witness describe the DISPLAYED
+    * raster, so downstream consumers (thumbnailers, layout checks,
+    * aspect-ratio gates) never see a sideways image. Untagged blobs
+    * decode as orientation 1. */
+  def decodeJpegColorOriented(df: DataFrame, idCol: String,
+                              blobCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    graft.ops.Par.ensure(df.select(col(idCol).cast("long"), col(blobCol)))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, blob) =>
+        val o = Exif.parse(blob).orientation
+        val j = Jpeg.parseColorOriented(blob, o)
+        (id, o, j.width, j.height, j.nPixels, j.sumR, j.sumG, j.sumB,
+          j.maxPx, j.topLeftHex)
+      })
+      .toDF(idCol, "orientation", "width", "height", "n_px", "sum_r",
+        "sum_g", "sum_b", "max_px", "topleft_hex")
+  }
+
   /** Distributed SEGMENT-PARALLEL color JPEG decode: fan each image's
     * restart segments across up to `tasksPerImage` stride-buckets, decode
     * partial channel statistics per bucket, and merge by sum/max — the

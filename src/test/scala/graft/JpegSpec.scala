@@ -496,6 +496,44 @@ class JpegSpec extends AnyFunSuite with SparkTestBase {
     assert(m440.contains("unsupported chroma subsampling layout"))
   }
 
+  test("parseColorOriented: EXIF orientation remaps the display raster") {
+    // a 2-group 4:2:0 fixture whose FOUR stored corners are distinct
+    // bytes: TL=b0 (q0 of group 0), TR=b1, BL=b6 (q2 of group 1), BR=b7
+    val payload = Array[Byte](10, 60, 20, 30, 40, 50, 90, 120)
+    val base = Jpeg.parseColor(Jpeg.encodeColor420(payload))
+    assert(base.width == 16 && base.height == 32)
+    def hex(yv: Int, cByte: Int): String = {
+      val cbv = cByte % 9 - 4; val crv = cByte % 7 - 3
+      def conv(e: Long) =
+        math.max(0, math.min(255, yv + ((e + 32768) >> 16).toInt))
+      f"${conv(91881L * crv)}%02X${conv(-22554L * cbv - 46802L * crv)}%02X${conv(116130L * cbv)}%02X"
+    }
+    val tl = hex(10, 10); val tr = hex(60, 10)
+    val bl = hex(90, 40); val br = hex(120, 40)
+    for (o <- 0 to 8) {
+      val got = Jpeg.parseColorOriented(Jpeg.encodeColor420(payload), o)
+      // sums/max/count are rotation-invariant
+      assert((got.nPixels, got.sumR, got.sumG, got.sumB, got.maxPx) ==
+        ((base.nPixels, base.sumR, base.sumG, base.sumB, base.maxPx)), s"o=$o")
+      // dims swap exactly for the transposed orientations
+      val (w, h) = if (o >= 5) (32, 16) else (16, 32)
+      assert(got.width == w && got.height == h, s"o=$o")
+      // the display top-left is the mapped stored corner
+      val want = o match {
+        case 0 | 1 | 5 => tl
+        case 2 | 8 => tr
+        case 4 | 6 => bl
+        case 3 | 7 => br
+      }
+      assert(got.topLeftHex == want, s"o=$o")
+    }
+    // orientation 1 ≡ parseColor; out-of-range orientations fail loud
+    assert(Jpeg.parseColorOriented(Jpeg.encodeColor420(payload), 1) == base)
+    assert(intercept[IllegalArgumentException](
+      Jpeg.parseColorOriented(Jpeg.encodeColor420(payload), 9))
+      .getMessage.contains("orientation"))
+  }
+
   test("4:1:1 (Y 4x1): round trip, shared chroma, splittable restarts") {
     // DC-only driver fixture: four flat Y blocks side by side over one
     // chroma pair — the horizontally-quartered sibling of 4:2:0 (same
