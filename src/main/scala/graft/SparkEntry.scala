@@ -2347,6 +2347,22 @@ object SparkEntry {
         "doc_id", "blob")
     }),
 
+    // MP3-class audio survey — the dominant real-crawl audio container,
+    // the last named audio absence (PLANS.md round 12 records the
+    // measured-share decision: HEADER WALK implemented — frame count,
+    // samplerate, CBR/VBR, peak bitrate, frame-exact duration, ID3
+    // presence, the audio data-card fields — PCM synthesis the recorded
+    // rejection). The walker validates every frame's sync/version/layer,
+    // strides by the spec's 144·bitrate/samplerate(+padding) length, and
+    // skips ID3v2 by its syncsafe size; the oracle re-derives every
+    // output from the fixture's doc_id arithmetic
+    "mm_mp3_survey" -> ((s, dir) => {
+      val px = t(s, dir, "documents")
+        .withColumn("__b", expr("substring(encode(text, 'UTF-8'), 1, 64)"))
+      Multimodal.decodeMp3Survey(
+        Multimodal.mp3Blob(px, "doc_id", "__b"), "doc_id", "blob")
+    }),
+
     // REAL FLAC decode — the seam's LOSSLESS compressed audio codec:
     // sample i is exactly payload byte i − 128, but the wire format
     // cycles VERBATIM → FIXED(1) with two Rice partitions → FIXED(2)
@@ -2444,7 +2460,7 @@ object SparkEntry {
     "mm_format_survey" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
         .withColumn("__b0", expr("substring(encode(text, 'UTF-8'), 1, 2048)"))
-        .withColumn("__k", pmod(col("doc_id"), lit(9L)))
+        .withColumn("__k", pmod(col("doc_id"), lit(10L)))
       def slice(k: Int) = docs.filter(col("__k") === k)
       val gray = Multimodal.jpegBlob(
         slice(0).filter(length(col("__b0")) >= 1), "doc_id", "__b0")
@@ -2470,7 +2486,9 @@ object SparkEntry {
         lit(Multimodal.ArithmeticJpegStub).as("blob"))
       val flac = Multimodal.flacBlob(slice(8)
         .filter(length(col("__b0")) >= 1), "doc_id", "__b0")
-      val mix = Seq(gray, j420, png, adam, prog, p16, pgray, arith, flac)
+      val mp3 = Multimodal.mp3Blob(slice(9), "doc_id", "__b0")
+      val mix = Seq(gray, j420, png, adam, prog, p16, pgray, arith, flac,
+        mp3)
         .map(_.select(col("doc_id"), col("blob"))).reduce(_.unionByName(_))
       Multimodal.formatSurvey(mix, "doc_id", "blob")
         .groupBy(col("format"), col("decodable"))
@@ -6979,6 +6997,27 @@ object SparkEntry {
               CAST(CASE WHEN doc_id % 5 != 4 AND doc_id % 3 = 0 THEN 2
                 ELSE 0 END AS INTEGER) AS n_gps_tags
             FROM documents WHERE octet_length(encode(text)) >= 1""",
+      // MP3: every walker output is fixture doc_id arithmetic — frames,
+      // samplerate table, VBR cycle max, frame-exact truncated duration
+      "mm_mp3_survey" ->
+        raw"""WITH m AS (SELECT doc_id,
+              CAST(1 + doc_id % 8 AS INTEGER) AS n_frames,
+              CAST(CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                ELSE 32000 END AS INTEGER) AS sample_rate,
+              -- a 1-frame "VBR" stream is observationally CBR: the
+              -- walker reports what the frames DECLARE, not the fixture
+              -- intent
+              (doc_id % 4 != 0 OR 1 + doc_id % 8 = 1) AS cbr
+              FROM documents)
+            SELECT doc_id, n_frames, sample_rate, cbr,
+              CAST(CASE WHEN cbr THEN 128
+                WHEN n_frames >= 3 THEN 192
+                WHEN n_frames = 2 THEN 160 ELSE 128 END AS INTEGER)
+                AS max_kbps,
+              CAST(n_frames * 1152 * 1000 // sample_rate AS BIGINT)
+                AS duration_ms,
+              (doc_id % 5 = 0) AS has_id3
+            FROM m""",
       // FLAC: decoded sample i ≡ byte i − 128 by fixture construction
       // (the wire format varies per frame; the VALUES don't) — so the
       // oracle is pure byte arithmetic, and any Rice/prediction/CRC slip
@@ -7101,7 +7140,7 @@ object SparkEntry {
       "mm_format_survey" ->
         raw"""WITH d AS (SELECT doc_id,
                 least(octet_length(encode(text)), 2048) AS nb,
-                doc_id % 9 AS k FROM documents),
+                doc_id % 10 AS k FROM documents),
             c AS (SELECT doc_id,
                 CASE k
                   WHEN 0 THEN CASE WHEN nb >= 1 THEN 'jpeg_baseline' END
@@ -7113,8 +7152,9 @@ object SparkEntry {
                   WHEN 6 THEN 'png8_gray'
                   WHEN 7 THEN 'jpeg_sofca'
                   WHEN 8 THEN CASE WHEN nb >= 1 THEN 'flac' END
+                  WHEN 9 THEN 'mp3'
                 END AS format,
-                k IN (0, 1, 2, 3, 5, 8) AS decodable
+                k IN (0, 1, 2, 3, 5, 8, 9) AS decodable
               FROM d)
             SELECT format, decodable, count(*) AS n FROM c
             WHERE format IS NOT NULL GROUP BY 1, 2""",

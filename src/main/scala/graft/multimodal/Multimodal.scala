@@ -1311,7 +1311,50 @@ object Multimodal {
         ascii(8, 4) == "WAVE") ("wav", true)
     else if (blob.length >= 4 && ascii(0, 4) == "fLaC") ("flac", true)
     else if (blob.length >= 12 && ascii(4, 4) == "ftyp") ("mp4", true)
+    else if (blob.length >= 4 && (ascii(0, 3) == "ID3" ||
+        (u8(0) == 0xff && (u8(1) & 0xe0) == 0xe0))) {
+      // MP3-class: ID3v2 prefix or a raw MPEG sync word. Decodable at the
+      // HEADER-WALK level iff the first header declares MPEG-1 Layer III
+      // with in-range bitrate/samplerate (PCM synthesis is the recorded
+      // rejection — PLANS.md round 12); other MPEG versions/layers are
+      // the named remainder.
+      val h = if (ascii(0, 3) == "ID3") -1 else u8(1)
+      if (h < 0) ("mp3", true) // ID3-prefixed: walker validates frames
+      else if ((h & 0x18) == 0x18 && (h & 0x06) == 0x02 &&
+          blob.length >= 3 && (u8(2) >> 4) >= 1 && (u8(2) >> 4) <= 14 &&
+          ((u8(2) >> 2) & 0x3) <= 2) ("mp3", true)
+      else ("mpeg_audio_other", false)
+    }
     else ("unknown", false)
+  }
+
+  /** MP3 fixture staging ([[Mp3.build]]): deterministic frame streams,
+    * every parameter doc_id arithmetic. */
+  def mp3Blob(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    graft.ops.Par.ensure(df.select(col(idCol).cast("long"), col(payloadCol)))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) => (id, Mp3.build(id, p)) })
+      .toDF(idCol, "blob")
+  }
+
+  /** Batched MP3 header walk ([[Mp3.parse]]): frame count, samplerate,
+    * CBR/VBR, peak bitrate, frame-exact duration, ID3 presence — the
+    * audio data-card fields a curation pipeline reads without paying for
+    * PCM synthesis. */
+  def decodeMp3Survey(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    graft.ops.Par.ensure(df.select(col(idCol).cast("long"), col(blobCol)))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, blob) =>
+        val m = Mp3.parse(blob)
+        (id, m.nFrames, m.sampleRate, m.cbr, m.maxKbps, m.durationMs,
+          m.hasId3)
+      })
+      .toDF(idCol, "n_frames", "sample_rate", "cbr", "max_kbps",
+        "duration_ms", "has_id3")
   }
 
   /** No-decode FORMAT SURVEY — the production pre-pass that measures what
