@@ -82,7 +82,7 @@ object Bench {
         .write.mode("overwrite").parquet(dir.toString)
       dir.toString
     }
-    def pulse(): Double = {
+    def pulseOnce(): Double = {
       import org.apache.spark.sql.functions._
       val t0 = System.nanoTime()
       val chained = (1 to 2).foldLeft(col("h")) {
@@ -95,6 +95,19 @@ object Bench {
         .select(chained.as("h2"))
         .agg(sum(length(col("h2"))), count(lit(1))).collect()
       (System.nanoTime() - t0) / 1e9
+    }
+    // Adaptive retry: a pulse right after a heavy query can catch OUR OWN
+    // GC/JIT tail (observed p99 ~5x the run median on an idle host) — a
+    // one-off spike re-measures clean on an immediate retry, while a real
+    // host-contention window inflates the retry too. So only a SUSTAINED
+    // deviation survives into the flag.
+    var pulseFloor = Double.MaxValue
+    def pulse(): Double = {
+      val p1 = pulseOnce()
+      val p = if (p1 > 1.5 * math.min(pulseFloor, p1))
+        math.min(p1, pulseOnce()) else p1
+      pulseFloor = math.min(pulseFloor, p)
+      p
     }
     def cleanup(): Unit = {
       // incremental queries cache intermediates; drop them so later queries
@@ -138,7 +151,11 @@ object Bench {
       pulses(i + 1) = pulse()
       (name, samples(0), samples(1)) // (min, median of 3)
     }
-    val pulseBase = pulses.min
+    // base = run MEDIAN pulse, not min: the min sits at the fast tail of
+    // ordinary scheduler jitter, so 1.5x-of-min flags half the run
+    // (observed 177/266 false flags); the median is the run's own
+    // steady-state and a real contention window still clears 1.5x of it
+    val pulseBase = pulses.sorted.apply(pulses.length / 2)
     val contendedIdx = sampled0.indices.filter { i =>
       math.max(pulses(i), pulses(i + 1)) > 1.5 * pulseBase
     }.toSet

@@ -40,7 +40,19 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     // staged .warc.gz files — a shuffle appearing here would mean the
     // reader started moving whole blobs instead of decoded rows
     "fmt_warc_roundtrip" -> 0,
-    "pipeline_web" -> 0)
+    "pipeline_web" -> 0,
+    // round-12 additions: URL dedup is ONE shuffle (the canonical-key
+    // groupBy — decoded rows move, never blobs); the normalizer and the
+    // block classifier are pure narrow maps
+    "dedup_url" -> 1,
+    "url_normalize" -> 0,
+    "text_html_content" -> 0,
+    // 4:1:1 shares the color-decode shape (encode + decode Par.ensure
+    // spreads); oriented adds the exifTagged staging stage; the MP3
+    // header walk is the standard encode+decode pair
+    "mm_decode_jpeg411" -> 2,
+    "mm_decode_oriented" -> 3,
+    "mm_mp3_survey" -> 2)
 
   for ((name, want) <- pins) {
     test(s"exchange count pinned: $name = $want") {
