@@ -2039,6 +2039,42 @@ object SparkEntry {
         .select(col("doc_id"), col("url"),
           graft.text.TextFunctions.urlNormalize(col("url")).as("url_norm"))),
 
+    // OUTLINK extraction → normalization → LINK GRAPH: each doc's page
+    // carries 1..4 anchors whose hrefs arrive in messy spellings (cased
+    // host + default port, tracking params) — the query extracts hrefs
+    // from the HTML with the attr regex, normalizes each, and aggregates
+    // in-degree per canonical target: the single-shuffle edge build that
+    // feeds the graph_* family from crawl HTML. The oracle derives the
+    // SAME edges from the fixture arithmetic alone, so an extraction or
+    // normalization slip anywhere in the chain hash-mismatches
+    "web_link_graph" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(regexp_extract_all(htmlLinkPage(col("doc_id")),
+            lit("(?i)<a[^>]*href=\"([^\"]*)\""), lit(1))).as("__href"))
+        .select(col("doc_id"),
+          graft.text.TextFunctions.urlNormalize(col("__href")).as("dst_url"))
+        .groupBy(col("dst_url"))
+        .agg(count(lit(1)).as("n_inlinks"),
+          min(col("doc_id")).as("first_src"))),
+
+    // Per-DOMAIN corpus rollup — the crawl data card's first table:
+    // registrable-domain-lite (last two host labels) from the normalized
+    // URL, doc and distinct-host counts per domain. Hosts arrive cased
+    // with default ports; the normalizer folds them first
+    "url_domain_stats" -> ((s, dir) => {
+      val host = regexp_extract(
+        graft.text.TextFunctions.urlNormalize(messyHostUrl(col("doc_id"))),
+        "^https://([^/]*)/", 1)
+      t(s, dir, "documents")
+        .select(col("doc_id"), host.as("__host"))
+        .select(col("doc_id"), col("__host"),
+          regexp_extract(col("__host"), "([^.]+\\.[^.]+)$", 1).as("domain"))
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("__host")).as("n_hosts"))
+    }),
+
     // URL-key dedup over the WARC records' URLs: splittable ingestion →
     // messy-URL fixture → normalize → first-occurrence per canonical URL
     // (min doc_id + dup count) — the single-shuffle shape every crawl
@@ -4455,6 +4491,44 @@ object SparkEntry {
       d
     })
 
+  /** Deterministic LINK-PAGE fixture: 1 + doc_id%4 anchors whose hrefs
+    * arrive in messy spellings (cased host + default port, tracking
+    * params, fragments, unsorted params); anchor k targets page
+    * `(doc_id + 31(k+1)) % 401`. The oracle derives the same canonical
+    * edges from the arithmetic alone. */
+  private def htmlLinkPage(docId: Column): Column = {
+    val cnt = pmod(docId, lit(4L)) + lit(1L)
+    def target(k: Int) =
+      pmod(docId + lit(31L * (k + 1)), lit(401L)).cast("string")
+    val a0 = concat(lit("<a href=\"https://corpus.example/page/"),
+      target(0), lit("\">l0</a>"))
+    val a1 = concat(
+      lit("<a class='nav' href=\"HTTPS://Corpus.EXAMPLE:443/page/"),
+      target(1), lit("?utm_source=nav\">l1</a>"))
+    val a2 = concat(lit("<a href=\"https://corpus.example/page/"),
+      target(2), lit("?b=2&a=1\">l2</a>"))
+    val a3 = concat(lit("<a href=\"https://corpus.example/page/"),
+      target(3), lit("#sec\">l3</a>"))
+    concat(lit("<html><body><p>see "), a0,
+      when(cnt >= 2, a1).otherwise(lit("")),
+      when(cnt >= 3, a2).otherwise(lit("")),
+      when(cnt >= 4, a3).otherwise(lit("")),
+      lit("</p></body></html>"))
+  }
+
+  /** Deterministic MULTI-HOST messy URL: cased subdomain + site + TLD
+    * from doc_id residues, default port attached — 15 registrable
+    * domains × 2 subdomain shapes after normalization. */
+  private def messyHostUrl(docId: Column): Column = {
+    val sub = when(pmod(docId, lit(2L)) === 0, lit("WWW."))
+      .otherwise(lit("cdn.Assets."))
+    val tld = when(pmod(docId, lit(3L)) === 0, lit("COM"))
+      .when(pmod(docId, lit(3L)) === 1, lit("org")).otherwise(lit("Net"))
+    concat(lit("HTTPS://"), sub, lit("Site"),
+      pmod(docId, lit(5L)).cast("string"), lit("."), tld,
+      lit(":443/p/"), docId.cast("string"))
+  }
+
   /** The deterministic MESSY-URL fixture: five spellings of the same
     * canonical page URL (plain, cased host + default port, tracking
     * params, fragment, unsorted params + tracking), keyed by
@@ -6724,6 +6798,29 @@ object SparkEntry {
             SELECT doc_id, CAST(n_blocks AS INTEGER) AS n_blocks,
               CAST(n_boiler AS INTEGER) AS n_boiler,
               text AS content_text FROM c""",
+      // the link graph from arithmetic alone: anchor k of doc d targets
+      // page (d + 31(k+1)) % 401; only the k=2 anchor keeps (sorted)
+      // params after normalization — an extraction or normalization slip
+      // on the Spark side hash-mismatches against this derivation
+      "web_link_graph" ->
+        raw"""WITH l AS (SELECT doc_id,
+              unnest(range(1 + doc_id % 4)) AS k FROM documents),
+            e AS (SELECT doc_id,
+              'https://corpus.example/page/' || ((doc_id + 31*(k+1)) % 401)
+                || (CASE WHEN k = 2 THEN '?a=1&b=2' ELSE '' END) AS dst_url
+              FROM l)
+            SELECT dst_url, count(*) AS n_inlinks,
+              CAST(min(doc_id) AS BIGINT) AS first_src
+            FROM e GROUP BY 1""",
+      "url_domain_stats" ->
+        raw"""WITH h AS (SELECT doc_id,
+              (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE 'cdn.assets.' END)
+                || 'site' || (doc_id % 5) || '.' ||
+                (CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+                  ELSE 'net' END) AS host FROM documents)
+            SELECT regexp_extract(host, '([^.]+\.[^.]+)$$', 1) AS domain,
+              count(*) AS n_docs, count(DISTINCT host) AS n_hosts
+            FROM h GROUP BY 1""",
       // the URL normalizer replayed: same fragment/scheme/host/port/
       // param arithmetic, same RE2 patterns, same sort
       "url_normalize" ->

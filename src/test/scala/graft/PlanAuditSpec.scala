@@ -47,6 +47,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     "dedup_url" -> 1,
     "url_normalize" -> 0,
     "text_html_content" -> 0,
+    // link graph: one canonical-target shuffle; domain stats pays the
+    // standard two-phase exact countDistinct (partial by (domain, host),
+    // final by domain)
+    "web_link_graph" -> 1,
+    "url_domain_stats" -> 2,
     // 4:1:1 shares the color-decode shape (encode + decode Par.ensure
     // spreads); oriented adds the exifTagged staging stage; the MP3
     // header walk is the standard encode+decode pair
