@@ -2566,6 +2566,34 @@ object SparkEntry {
         "doc_id", "blob")
     }),
 
+    // REAL GRAYSCALE PNG decode (color type 0) — formerly the image
+    // seam's last named rejection class, closed by the png16 precedent:
+    // one byte per pixel, the narrowest filter geometry (bpp=1 left
+    // distances), the one sample feeding all three stat channels
+    "mm_decode_png_gray" -> ((s, dir) => {
+      val px = t(s, dir, "documents")
+        .withColumn("__b", encode(col("text"), "UTF-8"))
+        .withColumn("__px",
+          expr("substring(__b, 1, length(__b) - pmod(length(__b), 5))"))
+        .filter(length(col("__px")) >= 5)
+      Multimodal.decodePng(
+        Multimodal.pngGrayBlob(px, "doc_id", "__px", width = 5),
+        "doc_id", "blob")
+    }),
+
+    // REAL GRAY+ALPHA PNG decode (color type 4): 2-byte pixels, alpha
+    // summed as its own exact channel at the bpp=2 filter stride
+    "mm_decode_png_graya" -> ((s, dir) => {
+      val px = t(s, dir, "documents")
+        .withColumn("__b", encode(col("text"), "UTF-8"))
+        .withColumn("__px",
+          expr("substring(__b, 1, length(__b) - pmod(length(__b), 10))"))
+        .filter(length(col("__px")) >= 10)
+      Multimodal.decodePngRgba(
+        Multimodal.pngGrayAlphaBlob(px, "doc_id", "__px", width = 5),
+        "doc_id", "blob")
+    }),
+
     // REAL RGBA-PNG decode (color type 6): 4-byte pixels, alpha summed
     // as its own exact channel; the 4-bpp filter offsets and the extra
     // plane width exercise a distinct unfilter geometry
@@ -7251,7 +7279,7 @@ object SparkEntry {
                   WHEN 8 THEN CASE WHEN nb >= 1 THEN 'flac' END
                   WHEN 9 THEN 'mp3'
                 END AS format,
-                k IN (0, 1, 2, 3, 5, 8, 9) AS decodable
+                k IN (0, 1, 2, 3, 5, 6, 8, 9) AS decodable
               FROM d)
             SELECT format, decodable, count(*) AS n FROM c
             WHERE format IS NOT NULL GROUP BY 1, 2""",
@@ -7287,6 +7315,57 @@ object SparkEntry {
       },
       // RGBA round-trip: 4-byte pixels straight off the payload, alpha
       // summed as its own channel, max over R+G+B only
+      // grayscale round-trip: one payload byte per pixel feeds all three
+      // stat channels; max is 3x the max sample
+      "mm_decode_png_gray" -> {
+        def bv(idx: String) =
+          s"((strpos('0123456789ABCDEF', substr(by[($idx)::INT], 1, 1)) - 1) * 16" +
+            s" + strpos('0123456789ABCDEF', substr(by[($idx)::INT], 2, 1)) - 1)"
+        raw"""WITH b AS (SELECT doc_id,
+                regexp_extract_all(hex(encode(text)), '..') AS by,
+                octet_length(encode(text)) AS nb FROM documents),
+            s AS (SELECT doc_id, by, (nb - nb % 5) AS n FROM b
+              WHERE nb >= 5),
+            p AS (SELECT doc_id, n, list_transform(range(n), q ->
+                ${bv("q+1")}) AS gv FROM s)
+            SELECT doc_id,
+              CAST(5 AS INTEGER) AS width,
+              CAST(n // 5 AS INTEGER) AS height,
+              CAST(n AS BIGINT) AS n_px,
+              CAST(list_sum(gv) AS BIGINT) AS sum_r,
+              CAST(list_sum(gv) AS BIGINT) AS sum_g,
+              CAST(list_sum(gv) AS BIGINT) AS sum_b,
+              CAST(3 * list_aggregate(gv, 'max') AS BIGINT) AS max_px,
+              printf('%02X%02X%02X', gv[1], gv[1], gv[1]) AS topleft_hex
+            FROM p"""
+      },
+      // gray+alpha round-trip: byte pairs (gray, alpha); alpha summed as
+      // its own channel, excluded from max and the hex witness
+      "mm_decode_png_graya" -> {
+        def bv(idx: String) =
+          s"((strpos('0123456789ABCDEF', substr(by[($idx)::INT], 1, 1)) - 1) * 16" +
+            s" + strpos('0123456789ABCDEF', substr(by[($idx)::INT], 2, 1)) - 1)"
+        raw"""WITH b AS (SELECT doc_id,
+                regexp_extract_all(hex(encode(text)), '..') AS by,
+                octet_length(encode(text)) AS nb FROM documents),
+            s AS (SELECT doc_id, by, (nb - nb % 10) AS n FROM b
+              WHERE nb >= 10),
+            p AS (SELECT doc_id, n, list_transform(range(n // 2), q ->
+                [${bv("2*q+1")}, ${bv("2*q+2")}]) AS px FROM s)
+            SELECT doc_id,
+              CAST(5 AS INTEGER) AS width,
+              CAST(n // 10 AS INTEGER) AS height,
+              CAST(n // 2 AS BIGINT) AS n_px,
+              CAST(list_sum(list_transform(px, q -> q[1])) AS BIGINT) AS sum_r,
+              CAST(list_sum(list_transform(px, q -> q[1])) AS BIGINT) AS sum_g,
+              CAST(list_sum(list_transform(px, q -> q[1])) AS BIGINT) AS sum_b,
+              CAST(list_sum(list_transform(px, q -> q[2])) AS BIGINT) AS sum_a,
+              CAST(3 * list_aggregate(list_transform(px, q -> q[1]), 'max')
+                AS BIGINT) AS max_px,
+              printf('%02X%02X%02X', px[1][1], px[1][1], px[1][1])
+                AS topleft_hex
+            FROM p"""
+      },
       "mm_decode_png_rgba" -> {
         def bv(idx: String) =
           s"((strpos('0123456789ABCDEF', substr(by[($idx)::INT], 1, 1)) - 1) * 16" +

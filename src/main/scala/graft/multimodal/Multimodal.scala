@@ -485,6 +485,31 @@ object Multimodal {
       .toDF(idCol, "blob")
   }
 
+  /** Wrap payload bytes (grayscale samples, one per pixel) into a REAL
+    * type-0 PNG — formerly the image seam's last named rejection class,
+    * closed round 12 (the png16 reclassification precedent). */
+  def pngGrayBlob(df: DataFrame, idCol: String, payloadCol: String,
+                  width: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    graft.ops.Par.ensure(df.select(col(idCol).cast("long"), col(payloadCol)))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) => (id, Png.encodeGray(p, width)) })
+      .toDF(idCol, "blob")
+  }
+
+  /** Wrap payload byte PAIRS (gray, alpha) into a REAL type-4 PNG. */
+  def pngGrayAlphaBlob(df: DataFrame, idCol: String, payloadCol: String,
+                       width: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    graft.ops.Par.ensure(df.select(col(idCol).cast("long"), col(payloadCol)))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) =>
+        (id, Png.encodeGrayAlpha(p, width)) })
+      .toDF(idCol, "blob")
+  }
+
   /** Wrap payload bytes (RGBA quads) into a REAL type-6 PNG. */
   def pngRgbaBlob(df: DataFrame, idCol: String, payloadCol: String,
                   width: Int): DataFrame = {
@@ -1223,8 +1248,9 @@ object Multimodal {
     0xff, 0xd9).map(_.toByte)
 
   /** A minimal GRAYSCALE (color type 0) PNG header (signature + IHDR
-    * with a correct CRC) — a named rejection class: the decoder covers
-    * the truecolor/palette/RGBA types at 8 and 16 bit, not grayscale. */
+    * with a correct CRC) — formerly a named rejection class; since
+    * round 12 the decoder covers grayscale too, so the survey counts
+    * this class as DECODABLE (label unchanged for series continuity). */
   val PngGrayStub: Array[Byte] = {
     val ihdr = Array[Byte](0, 0, 0, 8, 0, 0, 0, 8, 8, 0, 0, 0, 0)
     val crc = new java.util.zip.CRC32
@@ -1254,13 +1280,15 @@ object Multimodal {
       if (blob.length < 33) ("png_truncated", false)
       else {
         val depth = u8(24); val color = u8(25); val interlace = u8(28)
-        // depth 8: truecolor/palette/RGBA; depth 16: truecolor/RGBA
-        // (16-bit palette does not exist in the spec) — both interlace
-        // modes. Grayscale (0/4) is the remaining named rejection.
+        // depth 8: gray/truecolor/palette/gray+alpha/RGBA; depth 16:
+        // everything but palette (16-bit palette does not exist in the
+        // spec) — both interlace modes. Grayscale (0/4) decodes since
+        // round 12 (the png16 reclassification precedent); the label
+        // keeps the _gray suffix so the survey series stays comparable.
         val gray = color == 0 || color == 4
         (if (gray) s"png${depth}_gray" else s"png$depth",
-          !gray && (depth == 8 && Set(2, 3, 6)(color) ||
-            depth == 16 && Set(2, 6)(color)) && interlace <= 1)
+          (depth == 8 && Set(0, 2, 3, 4, 6)(color) ||
+            depth == 16 && Set(0, 2, 4, 6)(color)) && interlace <= 1)
       }
     } else if (blob.length >= 2 && u8(0) == 0xff && u8(1) == 0xd8) {
       var i = 2

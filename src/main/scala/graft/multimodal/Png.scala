@@ -46,11 +46,14 @@ object Png {
     * for type 3); truecolor/RGBA carry `channels × depth/8` bytes. */
   private def bppOf(colorType: Int, depth: Int = 8): Int = {
     val channels = colorType match {
+      case 0 => 1 // grayscale
       case 2 => 3 // RGB
       case 3 => 1 // palette index
+      case 4 => 2 // grayscale + alpha
       case 6 => 4 // RGBA
       case t => throw new IllegalArgumentException(
-        s"only truecolor (2), palette (3), RGBA (6) supported, got $t")
+        s"only grayscale (0), truecolor (2), palette (3), " +
+          s"gray+alpha (4), RGBA (6) supported, got $t")
     }
     require(depth == 8 || depth == 16, s"depth $depth unsupported")
     require(depth == 8 || colorType != 3,
@@ -107,6 +110,23 @@ object Png {
     * bytes. */
   def encode(rgb: Array[Byte], width: Int, idatChunk: Int = 4096): Array[Byte] =
     encodeRaw(rgb, width, colorType = 2, palette = null, idatChunk)
+
+  /** Encode grayscale samples (one byte per pixel) as a type-0 PNG. */
+  def encodeGray(samples: Array[Byte], width: Int,
+                 idatChunk: Int = 4096): Array[Byte] =
+    encodeRaw(samples, width, colorType = 0, palette = null, idatChunk)
+
+  /** Encode (gray, alpha) byte pairs as a type-4 PNG. */
+  def encodeGrayAlpha(ga: Array[Byte], width: Int,
+                      idatChunk: Int = 4096): Array[Byte] =
+    encodeRaw(ga, width, colorType = 4, palette = null, idatChunk)
+
+  /** Encode big-endian 16-bit grayscale samples as a depth-16 type-0
+    * PNG (two bytes per pixel). */
+  def encodeGray16(samples: Array[Byte], width: Int,
+                   idatChunk: Int = 4096): Array[Byte] =
+    encodeRaw(samples, width, colorType = 0, palette = null, idatChunk,
+      depth = 16)
 
   /** Encode palette INDICES (1 byte per pixel) against a 256-entry RGB
     * palette as a REAL type-3 PNG (PLTE + filtered index plane) — the
@@ -401,6 +421,19 @@ object Png {
           // 0..65535 sample values (same columns, wider domain)
           def s16(i: Int) = (cur(i) << 8) | cur(i + 1)
           (colorType, depth) match {
+            // grayscale: the one sample feeds all three channels, so
+            // every downstream stat (sums, max of R+G+B, topleft hex)
+            // keeps its meaning without a per-type schema
+            case (0, 8) =>
+              red = cur(p); green = red; blue = red
+            case (0, 16) =>
+              red = s16(2 * p); green = red; blue = red
+            case (4, 8) =>
+              red = cur(2 * p); green = red; blue = red
+              alpha = cur(2 * p + 1)
+            case (4, 16) =>
+              red = s16(4 * p); green = red; blue = red
+              alpha = s16(4 * p + 2)
             case (2, 8) =>
               red = cur(3 * p); green = cur(3 * p + 1); blue = cur(3 * p + 2)
             case (2, 16) =>

@@ -103,7 +103,7 @@ class PngSpec extends AnyFunSuite with SparkTestBase {
     assert(msgOf(withIhdr(ihdr(5, 3, 16, 2, 0))).contains("geometry"))
     assert(msgOf(withIhdr(ihdr(5, 3, 4, 2, 0))).contains("depth supported"))
     assert(msgOf(withIhdr(ihdr(5, 3, 16, 3, 0))).contains("palette"))
-    assert(msgOf(withIhdr(ihdr(5, 3, 8, 0, 0))).contains("supported, got 0"))
+    assert(msgOf(withIhdr(ihdr(5, 3, 8, 7, 0))).contains("supported, got 7"))
     assert(msgOf(withIhdr(ihdr(5, 3, 8, 3, 0))).contains("missing PLTE"))
     // zero dims out of range
     assert(msgOf(withIhdr(ihdr(0, 3, 8, 2, 0))).contains("out of range"))
@@ -242,6 +242,34 @@ class PngSpec extends AnyFunSuite with SparkTestBase {
       oracle16(px, 11))
   }
 
+  test("grayscale (types 0 and 4): bpp=1/2 filters, alpha channel, 16-bit") {
+    // type 0 at depth 8: one byte per pixel, every filter at the
+    // narrowest stride; the sample feeds all three stat channels
+    val g = payload(50)
+    val got = Png.parse(Png.encodeGray(g, width = 5))
+    val samples = g.map(_ & 0xff)
+    assert(got.width == 5 && got.height == 10)
+    assert(got.nPixels == 50L && got.sumR == samples.map(_.toLong).sum)
+    assert(got.sumG == got.sumR && got.sumB == got.sumR && got.sumA == 0L)
+    assert(got.maxPx == 3L * samples.max)
+    assert(got.topLeftHex == f"${samples(0)}%02X" * 3)
+    // type 4: (gray, alpha) pairs at bpp=2; alpha summed exactly
+    val ga = payload(100)
+    val got4 = Png.parse(Png.encodeGrayAlpha(ga, width = 5))
+    val pairs = ga.map(_ & 0xff).grouped(2).toArray
+    assert(got4.nPixels == 50L)
+    assert(got4.sumR == pairs.map(_(0).toLong).sum && got4.sumG == got4.sumR)
+    assert(got4.sumA == pairs.map(_(1).toLong).sum)
+    assert(got4.maxPx == 3L * pairs.map(_(0)).max)
+    // depth 16 grayscale: big-endian pairs, full 0..65535 sums
+    val g16 = payload(60)
+    val got16 = Png.parse(Png.encodeGray16(g16, width = 5))
+    val s16 = g16.map(_ & 0xff).grouped(2).map(p => p(0) * 256 + p(1)).toArray
+    assert(got16.nPixels == 30L && got16.sumR == s16.map(_.toLong).sum)
+    assert(got16.maxPx == 3L * s16.max)
+    assert(got16.topLeftHex == f"${s16(0)}%04X" * 3)
+  }
+
   test("16-bit RGBA: 8-byte stride and exact 16-bit alpha sums") {
     val quads = payload(800) // width 5 → 40 bytes/row → 20 rows
     val got = Png.parse(Png.encode16Rgba(quads, 5))
@@ -272,15 +300,35 @@ class PngSpec extends AnyFunSuite with SparkTestBase {
     assert(got.toSeq == want)
   }
 
-  test("classifyFormat: 16-bit PNG is decodable, grayscale rejected by name") {
+  test("classifyFormat: 16-bit and grayscale PNG decodable, odd depths named") {
     val px = payload(30)
     assert(Multimodal.classifyFormat(Png.encode16(px, 5)) == ("png16", true))
     assert(Multimodal.classifyFormat(Png.encode16Interlaced(
       payload(11 * 7 * 6), 11)) == ("png16", true))
     assert(Multimodal.classifyFormat(Png.encode(payload(15), 5)) ==
       ("png8", true))
+    // grayscale decodes since round 12 (label keeps the _gray suffix for
+    // survey series continuity); types 0 and 4 both accepted
     assert(Multimodal.classifyFormat(Multimodal.PngGrayStub) ==
-      ("png8_gray", false))
+      ("png8_gray", true))
+    assert(Multimodal.classifyFormat(Png.encodeGray(payload(15), 5)) ==
+      ("png8_gray", true))
+    assert(Multimodal.classifyFormat(Png.encodeGrayAlpha(payload(30), 5)) ==
+      ("png8_gray", true))
+    assert(Multimodal.classifyFormat(Png.encodeGray16(payload(30), 5)) ==
+      ("png16_gray", true))
+    // sub-byte depths stay named rejections
+    locally {
+      val stub = Multimodal.PngGrayStub.clone
+      stub(24) = 4 // depth 4 — CRC no longer matches, but classification
+      // is structural (header fields), not integrity: fix the CRC
+      val crc = new java.util.zip.CRC32
+      crc.update(stub, 12, 4 + 13)
+      def be(v: Long) = Array((v >>> 24).toByte, (v >>> 16).toByte,
+        (v >>> 8).toByte, v.toByte)
+      System.arraycopy(be(crc.getValue), 0, stub, 29, 4)
+      assert(Multimodal.classifyFormat(stub) == ("png4_gray", false))
+    }
     // arithmetic-coded JPEG (SOF10 behind a DAC segment the walker must
     // skip by size) is rejected by name — the scoping-decision class
     assert(Multimodal.classifyFormat(Multimodal.ArithmeticJpegStub) ==
