@@ -4157,6 +4157,55 @@ object SparkEntry {
           md5(col("payload")).as("payload_md5"), col("content_type"))
     }),
 
+    // CONTINUOUS crawl ingestion — the manifest-stream shape a production
+    // crawl runs (shard paths arrive on a queue as crawlers finish them):
+    // a file-stream of manifest rows (one micro-batch per manifest file,
+    // maxFilesPerTrigger=1) drains through foreachBatch, and each batch
+    // decodes ONLY its newly-arrived shards via the splittable reader
+    // (offset index built in-flight per batch — a batch's shards are
+    // read once, so nothing persists). Stream ≡ batch: the oracle is
+    // fmt_warc_roundtrip's, verbatim
+    "warc_ingest_stream" -> ((s, dir) => {
+      val staged = warcStagedDir(s, dir)
+      val manifest = warcManifestDirs.getOrElseUpdate(dir, {
+        import s.implicits._
+        val d = graft.core.TempDirs.register(
+          java.nio.file.Files.createTempDirectory("graft_warc_manifest"))
+        val shards = new java.io.File(staged).listFiles()
+          .filter(f => f.isFile && f.getName.endsWith(".warc.gz"))
+          .map(_.getAbsolutePath).sorted.toSeq
+        val batches = shards.grouped(2).toSeq
+          .map(g => g.map(Tuple1(_)).toDF("path"))
+        graft.streaming.StatefulSessions.stageOrderedFiles(s,
+          java.nio.file.Paths.get(d.toString), batches.head, batches.tail)
+        d.toString
+      })
+      val outDir = graft.core.TempDirs.register(
+        java.nio.file.Files.createTempDirectory("graft_warc_ingest")).toString
+      val ckpt = graft.core.TempDirs.register(
+        java.nio.file.Files.createTempDirectory("graft_warc_ingest_ck")).toString
+      val q = s.readStream.schema("path STRING")
+        .option("maxFilesPerTrigger", 1).parquet(manifest)
+        .writeStream
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val paths = batch.collect().map(_.getString(0)).toSeq // shard list
+          if (paths.nonEmpty)
+            graft.sources.WarcSource.readFiles(s, paths, splitBytes = 64L * 1024)
+              .select(
+                expr("CAST(substring_index(url, '/', -1) AS BIGINT)")
+                  .as("doc_id"),
+                octet_length(col("payload")).cast("long").as("content_length"),
+                md5(col("payload")).as("payload_md5"), col("content_type"))
+              .write.mode("append").parquet(outDir)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(outDir)
+    }),
+
     "fmt_jsonl_roundtrip" -> ((s, dir) => {
       val out = fmtTmp("graft_fmt_jsonl")
       graft.sources.Formats.writeJsonl(fmtCols(s, dir), out, shards = 8)
@@ -4574,6 +4623,10 @@ object SparkEntry {
       .when(pmod(docId, lit(5L)) === 3, concat(base, lit("#frag-2")))
       .otherwise(concat(base, lit("?b=2&a=1&utm_medium=m")))
   }
+  /** Staged manifest files (shard paths, 2 per micro-batch) for the
+    * continuous-ingestion stream, one set per scale dir. */
+  private val warcManifestDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
   /** Staged .warc.gz shards whose record payloads are the HTML PAGES
     * (the pipeline_web funnel's crawl input), one set per scale dir. */
   private val warcHtmlStageDirs =
@@ -4623,6 +4676,15 @@ object SparkEntry {
           '&amp;', '&') AS t FROM s3),
         c AS (SELECT doc_id, trim(regexp_replace(t, '[ \t\n\r\f]+', ' ',
           'g')) AS text FROM s4)"""
+
+  /** Oracle of the WARC round trip, shared by the batch read and the
+    * manifest-stream drain (stream ≡ batch is the pin). */
+  private val WarcRoundtripSql: String =
+    raw"""SELECT doc_id,
+          CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+          md5(text) AS payload_md5,
+          'text/plain' AS content_type
+        FROM documents"""
 
   /** DuckDB CTE chain re-deriving the messy-URL fixture + the
     * TextFunctions.urlNormalize parse/fold/sort, ending in
@@ -8906,12 +8968,10 @@ object SparkEntry {
       // WARC round trip: every record field is an exact function of the
       // documents row — a reader that tore a member, skipped a record,
       // or mis-measured Content-Length hash-mismatches
-      "fmt_warc_roundtrip" ->
-        raw"""SELECT doc_id,
-              CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
-              md5(text) AS payload_md5,
-              'text/plain' AS content_type
-            FROM documents""",
+      "fmt_warc_roundtrip" -> WarcRoundtripSql,
+      // stream ≡ batch: the manifest drain must reproduce the batch
+      // round-trip row for row
+      "warc_ingest_stream" -> WarcRoundtripSql,
       "fmt_jsonl_roundtrip" -> FmtDigestSql,
       "fmt_csv_roundtrip" -> FmtDigestSql,
       "fmt_orc_roundtrip" -> FmtDigestSql,

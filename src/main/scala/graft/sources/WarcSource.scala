@@ -128,9 +128,50 @@ object WarcSource {
     * identical to what a whole-file walk reports, so a resume or audit
     * can address any record. */
   def read(spark: SparkSession, dir: String,
-           splitBytes: Long = 128L * 1024 * 1024): DataFrame = {
+           splitBytes: Long = 128L * 1024 * 1024): DataFrame =
+    readSplits(spark, planSplits(spark, dir, splitBytes))
+
+  /** Splittable read of an EXPLICIT shard list — the manifest-batch
+    * shape: a continuous crawl hands each micro-batch a handful of
+    * newly-arrived shard paths, so the offset index is built IN-FLIGHT
+    * (one bounded-memory streaming walk per file, split packing in the
+    * same task — no shuffle, nothing persisted: a batch's shards are
+    * read once) and only the control-sized split list returns before
+    * the range-task fan-out. */
+  def readFiles(spark: SparkSession, files: Seq[String],
+                splitBytes: Long = 128L * 1024 * 1024): DataFrame = {
     import spark.implicits._
-    val splits = planSplits(spark, dir, splitBytes)
+    if (files.isEmpty) return spark.emptyDataset[WarcRow].toDF()
+    val splits = spark.createDataset(files)
+      .repartition(files.size)
+      .mapPartitions { paths =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        paths.flatMap { p =>
+          val path = new Path(p)
+          val in = path.getFileSystem(conf).open(path)
+          val out = scala.collection.mutable.ArrayBuffer.empty[WarcMemberSplit]
+          try {
+            val it = new Warc.GzipMemberIterator(in, keepPayload = false)
+            var start = -1L; var end = -1L
+            while (it.hasNext) {
+              val (off, nxt, _) = it.next()
+              if (start < 0) { start = off; end = nxt } else end = nxt
+              if (end - start >= splitBytes) {
+                out += WarcMemberSplit(p, start, end); start = -1L
+              }
+            }
+            if (start >= 0) out += WarcMemberSplit(p, start, end)
+          } finally in.close()
+          out
+        }
+      }.collect().toSeq.sortBy(s => (s.path, s.start))
+    readSplits(spark, splits)
+  }
+
+  /** One range task per split: seek, read exactly the slice, decode. */
+  private def readSplits(spark: SparkSession,
+                         splits: Seq[WarcMemberSplit]): DataFrame = {
+    import spark.implicits._
     if (splits.isEmpty) return spark.emptyDataset[WarcRow].toDF()
     spark.createDataset(
       spark.sparkContext.parallelize(splits, splits.size))
