@@ -76,7 +76,8 @@ object Bench {
     // digests over 250k rows): CPU-dominated, corpus-independent.
     val pulsePath = {
       import org.apache.spark.sql.functions._
-      val dir = java.nio.file.Files.createTempDirectory("graft_pulse")
+      val dir = graft.core.TempDirs.register(
+        java.nio.file.Files.createTempDirectory("graft_pulse"))
       spark.range(0, 250L * 1000, 1, 8)
         .select(col("id"), md5(col("id").cast("string")).as("h"))
         .write.mode("overwrite").parquet(dir.toString)

@@ -16,6 +16,28 @@ final case class WarcRow(path: String, member_offset: Long, url: String,
 final case class WarcMemberRow(path: String, member_offset: Long,
     next_offset: Long)
 
+/** Serializable carrier for the driver's Hadoop configuration — executor
+  * tasks must see the SAME filesystem settings the driver planned with
+  * (object-store credentials, endpoints, timeouts arrive via
+  * `spark.hadoop.*` and live only on the driver's `hadoopConfiguration`;
+  * a fresh `new Configuration()` in a task silently drops them and can
+  * resolve a DIFFERENT filesystem). `Configuration` itself is not
+  * `Serializable`, so this wrapper ships it via its own Writable
+  * `write`/`readFields` wire format. */
+private[sources] final class SerHadoopConf(
+    @transient var conf: org.apache.hadoop.conf.Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    conf.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    conf = new org.apache.hadoop.conf.Configuration(false)
+    conf.readFields(in)
+  }
+}
+
 /** SPLITTABLE distributed reader for member-per-record `.warc.gz` shards —
   * the path that makes crawl ingestion real at production sizes. A 1 GB
   * Common-Crawl shard read via `binaryFile` is ONE task holding the whole
@@ -74,15 +96,21 @@ object WarcSource {
     val fs = indexPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(indexPath)) {
       val files = listShards(spark, dir)
+      val bconf = spark.sparkContext.broadcast(
+        new SerHadoopConf(spark.sparkContext.hadoopConfiguration))
       val built = spark.createDataset(files)
         .repartition(math.max(files.size, 1))
         .mapPartitions { paths =>
-          // executors re-derive the FS from the path; default Configuration
-          // resolves the cluster's core-site the same way the driver's did
-          val conf = new org.apache.hadoop.conf.Configuration()
+          val conf = bconf.value.conf
           paths.flatMap { p =>
             val path = new Path(p)
             val in = path.getFileSystem(conf).open(path)
+            // close on task end even if the walk throws mid-file (CRC
+            // mismatch, truncated member) — the iterator's own close on
+            // exhausted-hasNext never runs on the failure path
+            Option(org.apache.spark.TaskContext.get()).foreach(
+              _.addTaskCompletionListener[Unit](_ =>
+                try in.close() catch { case _: java.io.IOException => () }))
             val it = new Warc.GzipMemberIterator(in, keepPayload = false)
             new Iterator[WarcMemberRow] {
               def hasNext: Boolean = { val h = it.hasNext; if (!h) in.close(); h }
@@ -92,7 +120,19 @@ object WarcSource {
             }
           }
         }
-      built.write.mode("overwrite").parquet(indexPath.toString)
+      // build into a temp dir and rename into place: exists-then-build is
+      // not atomic, and a second concurrent reader of the same dir must
+      // only ever see a COMPLETE index (a half-written parquet dir reads
+      // as silently missing members, not as an error)
+      val tmp = new Path(dir,
+        s"_member_index.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+      built.write.mode("overwrite").parquet(tmp.toString)
+      if (!fs.rename(tmp, indexPath)) {
+        // a concurrent builder won the rename; its index is complete
+        fs.delete(tmp, true)
+        require(fs.exists(indexPath),
+          s"WARC member index build failed: cannot rename $tmp to $indexPath")
+      }
     }
     spark.read.parquet(indexPath.toString)
   }
@@ -142,10 +182,12 @@ object WarcSource {
                 splitBytes: Long = 128L * 1024 * 1024): DataFrame = {
     import spark.implicits._
     if (files.isEmpty) return spark.emptyDataset[WarcRow].toDF()
+    val bconf = spark.sparkContext.broadcast(
+      new SerHadoopConf(spark.sparkContext.hadoopConfiguration))
     val splits = spark.createDataset(files)
       .repartition(files.size)
       .mapPartitions { paths =>
-        val conf = new org.apache.hadoop.conf.Configuration()
+        val conf = bconf.value.conf
         paths.flatMap { p =>
           val path = new Path(p)
           val in = path.getFileSystem(conf).open(path)
@@ -168,17 +210,27 @@ object WarcSource {
     readSplits(spark, splits)
   }
 
-  /** One range task per split: seek, read exactly the slice, decode. */
-  private def readSplits(spark: SparkSession,
-                         splits: Seq[WarcMemberSplit]): DataFrame = {
+  /** One range task per split: seek, read exactly the slice, decode.
+    * `private[sources]` for the oversized-split guard spec. */
+  private[sources] def readSplits(spark: SparkSession,
+                                  splits: Seq[WarcMemberSplit]): DataFrame = {
     import spark.implicits._
     if (splits.isEmpty) return spark.emptyDataset[WarcRow].toDF()
+    // greedy packing emits ~splitBytes plus one member overhang, so a
+    // single gzip member larger than 2 GiB would otherwise overflow the
+    // range buffer to a negative array size — fail by name at plan time
+    // (the split list is control-sized; this costs nothing)
+    splits.foreach(s => require(s.end - s.start <= Int.MaxValue.toLong,
+      s"WARC split exceeds 2 GiB (${s.end - s.start} bytes) at " +
+        s"${s.path}:${s.start} — a single gzip member larger than 2 GiB " +
+        "cannot be materialized; re-shard the source file"))
+    val bconf = spark.sparkContext.broadcast(
+      new SerHadoopConf(spark.sparkContext.hadoopConfiguration))
     spark.createDataset(
       spark.sparkContext.parallelize(splits, splits.size))
       .flatMap { s =>
-        val conf = new org.apache.hadoop.conf.Configuration()
         val path = new Path(s.path)
-        val in = path.getFileSystem(conf).open(path)
+        val in = path.getFileSystem(bconf.value.conf).open(path)
         val blob = try {
           val b = new Array[Byte]((s.end - s.start).toInt)
           in.readFully(s.start, b)
