@@ -109,38 +109,66 @@ object Warc {
 
   private val Crlf = "\r\n"
 
-  /** Serialize one WARC/1.0 response record (uncompressed form). */
-  def recordBytes(url: String, date: String, contentType: String,
-                  recordId: String, payload: Array[Byte]): Array[Byte] = {
+  /** Serialize one WARC/1.0 record with EXPLICIT headers (uncompressed
+    * form) — Content-Length is derived; everything else arrives as
+    * given. The typed writers below build on this. */
+  def recordBytesOf(warcType: String, headers: Seq[(String, String)],
+                    payload: Array[Byte]): Array[Byte] = {
     val header = new StringBuilder
     header.append("WARC/1.0").append(Crlf)
-    header.append("WARC-Type: response").append(Crlf)
-    header.append("WARC-Target-URI: ").append(url).append(Crlf)
-    header.append("WARC-Date: ").append(date).append(Crlf)
-    header.append("WARC-Record-ID: ").append(recordId).append(Crlf)
-    header.append("Content-Type: ").append(contentType).append(Crlf)
+    header.append("WARC-Type: ").append(warcType).append(Crlf)
+    headers.foreach { case (k, v) =>
+      header.append(k).append(": ").append(v).append(Crlf)
+    }
     header.append("Content-Length: ").append(payload.length).append(Crlf)
     header.append(Crlf)
     header.toString.getBytes("US-ASCII") ++ payload ++
       (Crlf + Crlf).getBytes("US-ASCII")
   }
 
+  /** Serialize one WARC/1.0 record of `warcType` (default `response`;
+    * `conversion` is the WET sidecar type) with the standard headers. */
+  def recordBytes(url: String, date: String, contentType: String,
+                  recordId: String, payload: Array[Byte],
+                  warcType: String = "response"): Array[Byte] =
+    recordBytesOf(warcType, Seq(
+      "WARC-Target-URI" -> url, "WARC-Date" -> date,
+      "WARC-Record-ID" -> recordId, "Content-Type" -> contentType), payload)
+
   /** Write records as a member-per-record `.warc.gz` byte stream — each
-    * record its own gzip member, members concatenated. */
-  def writeGz(records: Seq[(String, String, String, String, Array[Byte])])
-      : Array[Byte] = {
+    * record its own gzip member, members concatenated. `warcType`
+    * applies to every record (`response` crawl shards, `conversion`
+    * WET-style extracted-text sidecars). */
+  def writeGz(records: Seq[(String, String, String, String, Array[Byte])],
+              warcType: String = "response"): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     records.foreach { case (url, date, ct, id, payload) =>
-      out.write(gzipMember(recordBytes(url, date, ct, id, payload)))
+      out.write(gzipMember(recordBytes(url, date, ct, id, payload, warcType)))
     }
     out.toByteArray
   }
 
-  /** Parse ONE uncompressed WARC record. Strict grammar: version line,
-    * header lines until the empty line, mandatory WARC-Target-URI /
-    * WARC-Date / WARC-Record-ID / Content-Type / Content-Length, payload
-    * of exactly Content-Length bytes, double-CRLF terminator. */
-  def parseRecord(bytes: Array[Byte], memberOffset: Long): WarcRecord = {
+  /** A record under the TOLERANT grammar: `warcType` always present;
+    * `url`/`contentType` null when the record type doesn't carry them
+    * (a real crawl shard opens with a `warcinfo` record that has no
+    * WARC-Target-URI and interleaves request/metadata/revisit records
+    * — the reader classifies them, it doesn't throw). */
+  final case class WarcAnyRecord(
+      warcType: String, url: String, date: String, contentType: String,
+      recordId: String, payload: Array[Byte], memberOffset: Long)
+
+  /** Record types for which WARC-Target-URI is mandatory (ISO 28500
+    * §5.12 — all types except warcinfo and, in practice, metadata). */
+  private val TargetUriTypes = Set(
+    "response", "request", "revisit", "conversion", "continuation", "resource")
+
+  /** Shared record-grammar scan: version line, well-formed header lines
+    * to the empty line, payload of exactly Content-Length bytes,
+    * double-CRLF terminator. Grammar-level damage still throws by name
+    * under BOTH parse modes — tolerance is about record TYPES, not torn
+    * bytes. */
+  private def parseCommon(bytes: Array[Byte])
+      : (Map[String, String], Array[Byte]) = {
     val headerEnd = indexOfDoubleCrlf(bytes, 0)
     require(headerEnd >= 0, "WARC record missing header terminator")
     val head = new String(bytes, 0, headerEnd, "US-ASCII")
@@ -152,9 +180,9 @@ object Warc {
       require(i > 0, s"malformed WARC header line '$l'")
       l.substring(0, i).trim.toLowerCase -> l.substring(i + 1).trim
     }.toMap
-    def need(k: String): String = hdrs.getOrElse(k.toLowerCase,
-      throw new IllegalArgumentException(s"WARC record missing $k header"))
-    val len = need("Content-Length").toInt
+    val len = hdrs.getOrElse("content-length",
+      throw new IllegalArgumentException(
+        "WARC record missing Content-Length header")).toInt
     val payloadStart = headerEnd + 4
     require(payloadStart + len <= bytes.length,
       "WARC payload shorter than Content-Length")
@@ -163,8 +191,41 @@ object Warc {
     val term = new String(bytes, payloadStart + len,
       math.min(4, bytes.length - payloadStart - len), "US-ASCII")
     require(term == "\r\n\r\n", "WARC record missing payload terminator")
+    (hdrs, payload)
+  }
+
+  /** Parse ONE uncompressed WARC record. Strict grammar: version line,
+    * header lines until the empty line, mandatory WARC-Target-URI /
+    * WARC-Date / WARC-Record-ID / Content-Type / Content-Length, payload
+    * of exactly Content-Length bytes, double-CRLF terminator. The
+    * strict contract fits engine-written response-only shards; real
+    * mixed-type crawl input goes through [[parseAnyRecord]]. */
+  def parseRecord(bytes: Array[Byte], memberOffset: Long): WarcRecord = {
+    val (hdrs, payload) = parseCommon(bytes)
+    def need(k: String): String = hdrs.getOrElse(k.toLowerCase,
+      throw new IllegalArgumentException(s"WARC record missing $k header"))
     WarcRecord(need("WARC-Target-URI"), need("WARC-Date"),
       need("Content-Type"), need("WARC-Record-ID"), payload, memberOffset)
+  }
+
+  /** TOLERANT single-record parse — what a real Common Crawl shard
+    * needs on its very first record: WARC-Type / WARC-Date /
+    * WARC-Record-ID / Content-Length are mandatory for every type (ISO
+    * 28500 §5), WARC-Target-URI only for the types that carry one, and
+    * Content-Type is surfaced when present (null otherwise). Unknown
+    * record types pass through classified, not thrown — the reader
+    * counts them (the mm_format_survey discipline). */
+  def parseAnyRecord(bytes: Array[Byte], memberOffset: Long): WarcAnyRecord = {
+    val (hdrs, payload) = parseCommon(bytes)
+    def need(k: String): String = hdrs.getOrElse(k.toLowerCase,
+      throw new IllegalArgumentException(s"WARC record missing $k header"))
+    val warcType = need("WARC-Type").toLowerCase
+    val url =
+      if (TargetUriTypes(warcType)) need("WARC-Target-URI")
+      else hdrs.getOrElse("warc-target-uri", null)
+    WarcAnyRecord(warcType, url, need("WARC-Date"),
+      hdrs.getOrElse("content-type", null), need("WARC-Record-ID"),
+      payload, memberOffset)
   }
 
   private def indexOfDoubleCrlf(bytes: Array[Byte], from: Int): Int = {
@@ -189,6 +250,20 @@ object Warc {
     while (p < blob.length) {
       val (payload, next) = readGzipMember(blob, p)
       out += parseRecord(payload, p.toLong)
+      p = next
+    }
+    out.toSeq
+  }
+
+  /** [[readGz]] under the tolerant grammar: every record classified by
+    * WARC-Type, none thrown for being the "wrong" type — the walk a
+    * real mixed-record crawl shard requires. */
+  def readGzAny(blob: Array[Byte], offset: Int = 0): Seq[WarcAnyRecord] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[WarcAnyRecord]
+    var p = offset
+    while (p < blob.length) {
+      val (payload, next) = readGzipMember(blob, p)
+      out += parseAnyRecord(payload, p.toLong)
       p = next
     }
     out.toSeq

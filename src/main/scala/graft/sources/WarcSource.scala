@@ -16,6 +16,27 @@ final case class WarcRow(path: String, member_offset: Long, url: String,
 final case class WarcMemberRow(path: String, member_offset: Long,
     next_offset: Long)
 
+/** Tolerant-grammar record row: every record classified by `warc_type`
+  * (warcinfo / request / response / revisit / metadata / conversion /
+  * ...), `url` and `content_type` null where the type doesn't carry
+  * them. */
+final case class WarcAnyRow(path: String, member_offset: Long,
+    warc_type: String, url: String, date: String, content_type: String,
+    record_id: String, payload: Array[Byte])
+
+/** HTTP-projected response row: the WARC `response` record's
+  * `application/http; msgtype=response` payload split into status line /
+  * headers / body IN THE SAME DECODE TASK (no second pass over the
+  * bytes), body charset-resolved (header param → meta sniff → fallback)
+  * and decoded to `text`. Bare (non-HTTP-wrapped) response payloads
+  * degrade to `http_status = null` with the payload as the body — old
+  * engine-written shards keep flowing. */
+final case class WarcHttpRow(path: String, member_offset: Long,
+    url: String, date: String, record_id: String,
+    http_status: Option[Int], http_reason: String, n_headers: Int,
+    http_content_type: String, charset: String, charset_src: String,
+    body: Array[Byte], text: String)
+
 /** Serializable carrier for the driver's Hadoop configuration — executor
   * tasks must see the SAME filesystem settings the driver planned with
   * (object-store credentials, endpoints, timeouts arrive via
@@ -171,6 +192,70 @@ object WarcSource {
            splitBytes: Long = 128L * 1024 * 1024): DataFrame =
     readSplits(spark, planSplits(spark, dir, splitBytes))
 
+  /** Distributed TOLERANT read: every record of every type surfaces as
+    * a classified row — what a REAL crawl shard needs (the first record
+    * of a Common Crawl file is a `warcinfo` with no Target-URI; request
+    * / metadata / revisit records interleave throughout). Same split
+    * planning and byte-range tasks as [[read]]. */
+  def readAll(spark: SparkSession, dir: String,
+              splitBytes: Long = 128L * 1024 * 1024): DataFrame = {
+    import spark.implicits._
+    val splits = planSplits(spark, dir, splitBytes)
+    if (splits.isEmpty) return spark.emptyDataset[WarcAnyRow].toDF()
+    validateSplits(splits)
+    val bconf = spark.sparkContext.broadcast(
+      new SerHadoopConf(spark.sparkContext.hadoopConfiguration))
+    spark.createDataset(
+      spark.sparkContext.parallelize(splits, splits.size))
+      .flatMap { s =>
+        Warc.readGzAny(rangeBlob(s, bconf.value.conf)).map(r =>
+          WarcAnyRow(s.path, s.start + r.memberOffset, r.warcType, r.url,
+            r.date, r.contentType, r.recordId, r.payload))
+      }.toDF()
+  }
+
+  /** Distributed HTTP-projected read of the `response` records under
+    * `dir`: tolerant record walk, non-response types dropped (COUNT
+    * them with [[readAll]] — that scan is the survey, this one is the
+    * funnel), HTTP message split + charset resolution + decode fused
+    * into the range task. One pass over the bytes from gzip member to
+    * decoded text — at 100 TB the payload never crosses a shuffle or a
+    * second scan. */
+  def readHttp(spark: SparkSession, dir: String,
+               splitBytes: Long = 128L * 1024 * 1024): DataFrame = {
+    import spark.implicits._
+    val splits = planSplits(spark, dir, splitBytes)
+    if (splits.isEmpty) return spark.emptyDataset[WarcHttpRow].toDF()
+    validateSplits(splits)
+    val bconf = spark.sparkContext.broadcast(
+      new SerHadoopConf(spark.sparkContext.hadoopConfiguration))
+    spark.createDataset(
+      spark.sparkContext.parallelize(splits, splits.size))
+      .flatMap { s =>
+        Warc.readGzAny(rangeBlob(s, bconf.value.conf)).iterator
+          .filter(_.warcType == "response")
+          .map(r => httpRow(s.path, s.start + r.memberOffset, r))
+      }.toDF()
+  }
+
+  /** One response record → its HTTP-projected row (fused decode). */
+  private def httpRow(path: String, memberOffset: Long,
+                      r: Warc.WarcAnyRecord): WarcHttpRow =
+    if (r.contentType != null &&
+        r.contentType.toLowerCase.startsWith("application/http")) {
+      val m = Http.parseResponse(r.payload)
+      val ct = Http.header(m.headers, "Content-Type").orNull
+      val (cs, src) = Http.detectCharset(ct, m.body)
+      WarcHttpRow(path, memberOffset, r.url, r.date, r.recordId,
+        Some(m.status), m.reason, m.headers.size, ct, cs, src,
+        m.body, Http.decode(m.body, cs))
+    } else {
+      val (cs, src) = Http.detectCharset(r.contentType, r.payload)
+      WarcHttpRow(path, memberOffset, r.url, r.date, r.recordId,
+        None, null, 0, r.contentType, cs, src,
+        r.payload, Http.decode(r.payload, cs))
+    }
+
   /** Splittable read of an EXPLICIT shard list — the manifest-batch
     * shape: a continuous crawl hands each micro-batch a handful of
     * newly-arrived shard paths, so the offset index is built IN-FLIGHT
@@ -210,34 +295,45 @@ object WarcSource {
     readSplits(spark, splits)
   }
 
+  /** Greedy packing emits ~splitBytes plus one member overhang, so a
+    * single gzip member larger than 2 GiB would otherwise overflow the
+    * range buffer to a negative array size — fail by name at plan time
+    * (the split list is control-sized; this costs nothing). */
+  private def validateSplits(splits: Seq[WarcMemberSplit]): Unit =
+    splits.foreach(s => require(s.end - s.start <= Int.MaxValue.toLong,
+      s"WARC split exceeds 2 GiB (${s.end - s.start} bytes) at " +
+        s"${s.path}:${s.start} — a single gzip member larger than 2 GiB " +
+        "cannot be materialized; re-shard the source file"))
+
+  /** Executor-side range fetch: seek, read exactly the slice. Heap is
+    * bounded by splitBytes + one member overhang, never file size. */
+  private def rangeBlob(s: WarcMemberSplit,
+                        conf: org.apache.hadoop.conf.Configuration)
+      : Array[Byte] = {
+    val path = new Path(s.path)
+    val in = path.getFileSystem(conf).open(path)
+    try {
+      val b = new Array[Byte]((s.end - s.start).toInt)
+      in.readFully(s.start, b)
+      b
+    } finally in.close()
+  }
+
   /** One range task per split: seek, read exactly the slice, decode.
     * `private[sources]` for the oversized-split guard spec. */
   private[sources] def readSplits(spark: SparkSession,
                                   splits: Seq[WarcMemberSplit]): DataFrame = {
     import spark.implicits._
     if (splits.isEmpty) return spark.emptyDataset[WarcRow].toDF()
-    // greedy packing emits ~splitBytes plus one member overhang, so a
-    // single gzip member larger than 2 GiB would otherwise overflow the
-    // range buffer to a negative array size — fail by name at plan time
-    // (the split list is control-sized; this costs nothing)
-    splits.foreach(s => require(s.end - s.start <= Int.MaxValue.toLong,
-      s"WARC split exceeds 2 GiB (${s.end - s.start} bytes) at " +
-        s"${s.path}:${s.start} — a single gzip member larger than 2 GiB " +
-        "cannot be materialized; re-shard the source file"))
+    validateSplits(splits)
     val bconf = spark.sparkContext.broadcast(
       new SerHadoopConf(spark.sparkContext.hadoopConfiguration))
     spark.createDataset(
       spark.sparkContext.parallelize(splits, splits.size))
       .flatMap { s =>
-        val path = new Path(s.path)
-        val in = path.getFileSystem(bconf.value.conf).open(path)
-        val blob = try {
-          val b = new Array[Byte]((s.end - s.start).toInt)
-          in.readFully(s.start, b)
-          b
-        } finally in.close()
-        Warc.readGz(blob).map(r => WarcRow(s.path, s.start + r.memberOffset,
-          r.url, r.date, r.contentType, r.recordId, r.payload))
+        Warc.readGz(rangeBlob(s, bconf.value.conf)).map(r =>
+          WarcRow(s.path, s.start + r.memberOffset,
+            r.url, r.date, r.contentType, r.recordId, r.payload))
       }.toDF()
   }
 }
