@@ -2111,9 +2111,20 @@ object SparkEntry {
             encode(htmlPage(col("doc_id"), col("text")), "UTF-8").as("__b"))
           .as[(Long, Array[Byte])]
           .mapPartitions { it =>
+            // response payloads are full HTTP/1.1 messages, the way a
+            // real crawler records them: charset declared in the header
+            // for even ids (odd ids ride the fallback — the page bytes
+            // are ASCII, so the funnel output is charset-invariant),
+            // chunked framing for every 5th doc
             val recs = it.map { case (id, b) =>
+              val ct = if (id % 2 == 0) "text/html; charset=utf-8"
+                       else "text/html"
+              val http = graft.sources.Http.responseBytes(200, "OK",
+                Seq("Content-Type" -> ct, "Server" -> "graft/1.0"), b,
+                chunkSize = if (id % 5 == 0) 257 else 0)
               (s"https://corpus.example/doc/$id", "2026-01-01T00:00:00Z",
-                "text/html", s"<urn:uuid:doc-$id>", b)
+                "application/http; msgtype=response",
+                s"<urn:uuid:doc-$id>", http)
             }.toSeq
             if (recs.nonEmpty) {
               val pid = org.apache.spark.TaskContext.getPartitionId()
@@ -2126,12 +2137,14 @@ object SparkEntry {
         d
       })
       // splittable ingestion (WarcSource, as fmt_warc_roundtrip): offset
-      // index once per dir, then byte-range tasks — never whole-blob
-      val blocks = graft.sources.WarcSource.read(s, staged, splitBytes = 64L * 1024)
+      // index once per dir, then byte-range tasks — never whole-blob;
+      // readHttp fuses the HTTP split + charset detect + decode into the
+      // same range task, so the funnel sees TEXT, not wire bytes
+      val blocks = graft.sources.WarcSource.readHttp(s, staged,
+          splitBytes = 64L * 1024)
         .select(
           expr("CAST(substring_index(url, '/', -1) AS BIGINT)").as("doc_id"),
-          graft.text.TextFunctions.htmlBlocks(
-            decode(col("payload"), "UTF-8")).as("__bs"))
+          graft.text.TextFunctions.htmlBlocks(col("text")).as("__bs"))
       val clean = blocks.select(col("doc_id"),
         size(col("__bs")).as("n_blocks"),
         (size(col("__bs")) - size(filter(col("__bs"),
@@ -2144,6 +2157,39 @@ object SparkEntry {
             .as("quality"))
         .withColumn("kept",
           col("lang_pred") === "en" && col("quality") >= lit(0.6))
+    }),
+
+    // HTTP-message extraction over the mixed-record crawl fixture — the
+    // decode a real Common Crawl response record needs: tolerant record
+    // walk past the warcinfo/request/revisit records, then status line /
+    // headers / body split (Content-Length AND chunked framing both
+    // live in the fixture) and the charset resolution chain (header
+    // param for even ids, windows-1252 fallback for odd — the fixture
+    // pages carry no meta tag). The oracle re-derives status, reason,
+    // header count, charset decision, and the body's md5 from the
+    // documents arithmetic alone
+    "warc_http_extract" -> ((s, dir) => {
+      val staged = warcMixedStagedDir(s, dir)
+      graft.sources.WarcSource.readHttp(s, staged, splitBytes = 64L * 1024)
+        .select(
+          expr("CAST(substring_index(url, '/', -1) AS BIGINT)").as("doc_id"),
+          col("http_status"), col("http_reason"), col("n_headers"),
+          col("http_content_type").as("content_type_hdr"),
+          col("charset"), col("charset_src"),
+          length(col("body")).cast("long").as("body_bytes"),
+          md5(col("body")).as("body_md5"))
+    }),
+
+    // Record-type survey over the same mixed shards — the scan-cost
+    // census (mm_format_survey discipline) a crawl audit runs before
+    // deciding what to decode: every record classified and counted,
+    // none thrown
+    "warc_type_survey" -> ((s, dir) => {
+      val staged = warcMixedStagedDir(s, dir)
+      graft.sources.WarcSource.readAll(s, staged, splitBytes = 64L * 1024)
+        .groupBy(col("warc_type"))
+        .agg(count(lit(1)).as("n_records"),
+          count(col("url")).as("n_with_url"))
     }),
 
     "text_stats" -> ((s, dir) =>
@@ -4568,6 +4614,78 @@ object SparkEntry {
       d
     })
 
+  /** Staged MIXED-RECORD crawl shards, one set per scale dir. */
+  private val warcMixedStageDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  /** Stage (once per scale dir) a REAL-SHAPED crawl fixture: each shard
+    * opens with a `warcinfo` record (no WARC-Target-URI — the record
+    * that kills a strict response-only reader on byte one of any real
+    * Common Crawl file), then per doc a `request` record and a
+    * `response` record whose payload is a full HTTP/1.1 MESSAGE
+    * (status line varied by doc_id residue, Content-Length or chunked
+    * framing, charset declared in the header for even ids only), plus
+    * a `revisit` record for every 10th doc. Written from executors,
+    * member-per-record — splittable by construction. */
+  private def warcMixedStagedDir(s: SparkSession, dir: String): String =
+    warcMixedStageDirs.getOrElseUpdate(dir, {
+      import s.implicits._
+      val d = graft.core.TempDirs.register(
+        java.nio.file.Files.createTempDirectory("graft_warc_mixed")).toString
+      t(s, dir, "documents")
+        .repartition(4, pmod(col("doc_id"), lit(4L)))
+        .select(col("doc_id").cast("long"),
+          encode(htmlPage(col("doc_id"), col("text")), "UTF-8").as("__b"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          import graft.sources.{Http, Warc}
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val out = new java.io.ByteArrayOutputStream()
+          def member(b: Array[Byte]): Unit = out.write(Warc.gzipMember(b))
+          // shard header record, like a real crawler writes — emitted
+          // even for a docless shard, so the warcinfo census is exactly
+          // one per partition (hash repartition may leave some of the 4
+          // residue classes sharing a partition)
+          member(Warc.recordBytesOf("warcinfo", Seq(
+            "WARC-Date" -> "2026-01-01T00:00:00Z",
+            "WARC-Record-ID" -> s"<urn:uuid:info-$pid>",
+            "Content-Type" -> "application/warc-fields"),
+            "software: graft/1.0\r\n".getBytes("US-ASCII")))
+          it.foreach { case (id, b) =>
+            val url = s"https://corpus.example/doc/$id"
+            member(Warc.recordBytesOf("request", Seq(
+              "WARC-Target-URI" -> url,
+              "WARC-Date" -> "2026-01-01T00:00:00Z",
+              "WARC-Record-ID" -> s"<urn:uuid:req-$id>",
+              "Content-Type" -> "application/http; msgtype=request"),
+              s"GET /doc/$id HTTP/1.1\r\nHost: corpus.example\r\n\r\n"
+                .getBytes("US-ASCII")))
+            val (st, reason) =
+              if (id % 7 == 0) (404, "Not Found")
+              else if (id % 7 == 3) (301, "Moved Permanently")
+              else (200, "OK")
+            val ct = if (id % 2 == 0) "text/html; charset=UTF-8"
+                     else "text/html"
+            member(Warc.recordBytes(url, "2026-01-01T00:00:00Z",
+              "application/http; msgtype=response", s"<urn:uuid:doc-$id>",
+              Http.responseBytes(st, reason, Seq(
+                "Content-Type" -> ct, "Server" -> "graft/1.0",
+                "X-Crawl-Id" -> id.toString), b,
+                chunkSize = if (id % 5 == 0) 257 else 0)))
+            if (id % 10 == 0)
+              member(Warc.recordBytesOf("revisit", Seq(
+                "WARC-Target-URI" -> url,
+                "WARC-Date" -> "2026-01-02T00:00:00Z",
+                "WARC-Record-ID" -> s"<urn:uuid:rev-$id>",
+                "Content-Type" -> "message/http"), Array.emptyByteArray))
+          }
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(d, f"part-$pid%04d.warc.gz"),
+            out.toByteArray)
+          Iterator.single(1)
+        }.count()
+      d
+    })
+
   /** Deterministic LINK-PAGE fixture: 1 + doc_id%4 anchors whose hrefs
     * arrive in messy spellings (cased host + default port, tracking
     * params, fragments, unsorted params); anchor k targets page
@@ -6943,6 +7061,45 @@ object SparkEntry {
               quality FROM l)
             SELECT doc_id, n_blocks, n_boiler, clean_chars, lang_pred,
               quality, (lang_pred = 'en' AND quality >= 0.6) AS kept FROM g""",
+      // the HTTP extraction replayed from arithmetic: status/reason by
+      // doc_id%7, charset decision by doc_id%2 (header param vs
+      // fallback), body = the html page whose md5 DuckDB recomputes —
+      // a de-chunking or framing slip on the Spark side hash-mismatches
+      "warc_http_extract" ->
+        s"""WITH $HtmlPageCtes
+            SELECT doc_id,
+              CAST(CASE WHEN doc_id % 7 = 0 THEN 404
+                WHEN doc_id % 7 = 3 THEN 301 ELSE 200 END AS INTEGER)
+                AS http_status,
+              CASE WHEN doc_id % 7 = 0 THEN 'Not Found'
+                WHEN doc_id % 7 = 3 THEN 'Moved Permanently'
+                ELSE 'OK' END AS http_reason,
+              CAST(4 AS INTEGER) AS n_headers,
+              CASE WHEN doc_id % 2 = 0 THEN 'text/html; charset=UTF-8'
+                ELSE 'text/html' END AS content_type_hdr,
+              CASE WHEN doc_id % 2 = 0 THEN 'utf-8'
+                ELSE 'windows-1252' END AS charset,
+              CASE WHEN doc_id % 2 = 0 THEN 'header'
+                ELSE 'fallback' END AS charset_src,
+              CAST(octet_length(encode(html)) AS BIGINT) AS body_bytes,
+              md5(html) AS body_md5
+            FROM h""",
+      // per-type census re-derived from the fixture arithmetic: one
+      // warcinfo per staged shard (4 pmod partitions), request+response
+      // per doc, revisit per 10th doc; warcinfo carries no Target-URI
+      "warc_type_survey" ->
+        raw"""WITH d AS (SELECT doc_id FROM documents)
+            SELECT 'warcinfo' AS warc_type,
+              CAST(count(DISTINCT doc_id % 4) AS BIGINT) AS n_records,
+              CAST(0 AS BIGINT) AS n_with_url FROM d
+            UNION ALL SELECT 'request', CAST(count(*) AS BIGINT),
+              CAST(count(*) AS BIGINT) FROM d
+            UNION ALL SELECT 'response', CAST(count(*) AS BIGINT),
+              CAST(count(*) AS BIGINT) FROM d
+            UNION ALL SELECT 'revisit',
+              CAST(sum(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT),
+              CAST(sum(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+              FROM d""",
       "text_stats" ->
         s"""SELECT doc_id,
             CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($toks) END::BIGINT AS n_tokens,
