@@ -2192,6 +2192,24 @@ object SparkEntry {
           count(col("url")).as("n_with_url"))
     }),
 
+    // Charset-aware HTML decode over the legacy-charset fixture: bodies
+    // arrive encoded in utf-8 / windows-1252 / iso-8859-1 with the
+    // declaration in the HTTP header, a meta tag, or absent (fallback).
+    // Each marker decodes correctly ONLY under its true charset (0x80
+    // is € in cp1252, malformed in utf-8), so the md5 of the decoded
+    // text — recomputed by DuckDB from codepoint arithmetic — catches
+    // any wrong-table decode that would silently poison lang-ID,
+    // quality, and dedup keys downstream
+    "text_html_charset" -> ((s, dir) => {
+      val staged = warcCharsetStagedDir(s, dir)
+      graft.sources.WarcSource.readHttp(s, staged, splitBytes = 64L * 1024)
+        .select(
+          expr("CAST(substring_index(url, '/', -1) AS BIGINT)").as("doc_id"),
+          col("charset"), col("charset_src"),
+          length(col("text")).cast("long").as("n_chars"),
+          md5(encode(col("text"), "UTF-8")).as("text_md5"))
+    }),
+
     "text_stats" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -4686,6 +4704,69 @@ object SparkEntry {
       d
     })
 
+  /** Staged LEGACY-CHARSET crawl shards, one set per scale dir. */
+  private val warcCharsetStageDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  /** Per-charset non-ASCII markers — each provably decodes ONLY under
+    * its own charset (the cp1252 marker's euro is byte 0x80, which is
+    * malformed UTF-8 and a C1 control in latin-1; the utf-8 marker
+    * carries multibyte CJK). Oracle twin: [[CharsetMarkerSql]]. */
+  private val CharsetMarkers = Array(
+    " café 中文 €",  // utf-8: café 中文 €
+    " café — €",        // windows-1252: café — €
+    " café ½ü")         // iso-8859-1: café ½ü
+  private val CharsetNames =
+    Array("utf-8", "windows-1252", "iso-8859-1")
+  /** Stage (once per scale dir) the charset fixture: response records
+    * whose HTTP bodies are the doc text + a charset-proving marker,
+    * ENCODED in utf-8 / windows-1252 / iso-8859-1 by doc_id%3, with the
+    * declaration arriving the three ways real crawls declare it —
+    * Content-Type header param (even ids), `<meta charset>` prefix
+    * (ids ≡ 3,5 mod 6), or not at all (ids ≡ 1 mod 6 — the fallback
+    * path, and the bytes really are cp1252, so the fallback guess is
+    * CORRECT and the decode proves it). ~10-20% of a real crawl is
+    * legacy-charset; mis-decoding it silently poisons every downstream
+    * gate, which is why the decode is oracle-checked by md5. */
+  private def warcCharsetStagedDir(s: SparkSession, dir: String): String =
+    warcCharsetStageDirs.getOrElseUpdate(dir, {
+      import s.implicits._
+      val d = graft.core.TempDirs.register(
+        java.nio.file.Files.createTempDirectory("graft_warc_cs")).toString
+      t(s, dir, "documents")
+        .repartition(4, pmod(col("doc_id"), lit(4L)))
+        .select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          import graft.sources.{Http, Warc}
+          val recs = it.map { case (id, text) =>
+            val k = (id % 3).toInt
+            val cs = CharsetNames(k)
+            val declared = // header | meta | none, by residue
+              if (id % 6 == 1) "none"
+              else if (id % 2 == 0) "header" else "meta"
+            val prefix =
+              if (declared == "meta") s"""<meta charset="$cs">""" else ""
+            val body = (prefix + text + CharsetMarkers(k))
+              .getBytes(java.nio.charset.Charset.forName(cs))
+            val ct = if (declared == "header") s"text/html; charset=$cs"
+                     else "text/html"
+            val http = Http.responseBytes(200, "OK",
+              Seq("Content-Type" -> ct), body)
+            (s"https://corpus.example/doc/$id", "2026-01-01T00:00:00Z",
+              "application/http; msgtype=response",
+              s"<urn:uuid:doc-$id>", http)
+          }.toSeq
+          if (recs.nonEmpty) {
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(d, f"part-$pid%04d.warc.gz"),
+              Warc.writeGz(recs))
+          }
+          Iterator.single(1)
+        }.count()
+      d
+    })
+
   /** Deterministic LINK-PAGE fixture: 1 + doc_id%4 anchors whose hrefs
     * arrive in messy spellings (cased host + default port, tracking
     * params, fragments, unsorted params); anchor k targets page
@@ -7100,6 +7181,33 @@ object SparkEntry {
               CAST(sum(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT),
               CAST(sum(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
               FROM d""",
+      // the charset decision + decode replayed from codepoint
+      // arithmetic: DuckDB rebuilds the DECODED text (doc text + the
+      // per-charset marker via chr(), + the meta prefix where declared)
+      // and md5s its utf-8 form — byte-for-byte against the engine's
+      // detect-and-decode output
+      "text_html_charset" ->
+        raw"""WITH m AS (SELECT doc_id, text,
+              CASE CAST(doc_id % 3 AS INTEGER)
+                WHEN 0 THEN ' caf' || chr(233) || ' ' || chr(20013) ||
+                  chr(25991) || ' ' || chr(8364)
+                WHEN 1 THEN ' caf' || chr(233) || ' ' || chr(8212) ||
+                  ' ' || chr(8364)
+                ELSE ' caf' || chr(233) || ' ' || chr(189) || chr(252)
+                END AS marker,
+              CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'utf-8'
+                WHEN 1 THEN 'windows-1252' ELSE 'iso-8859-1'
+                END AS charset,
+              CASE WHEN doc_id % 6 = 1 THEN 'fallback'
+                WHEN doc_id % 2 = 0 THEN 'header'
+                ELSE 'meta' END AS charset_src FROM documents),
+            dec AS (SELECT doc_id, charset, charset_src,
+              (CASE WHEN charset_src = 'meta'
+                THEN '<meta charset="' || charset || '">' ELSE '' END)
+                || text || marker AS decoded FROM m)
+            SELECT doc_id, charset, charset_src,
+              CAST(length(decoded) AS BIGINT) AS n_chars,
+              md5(decoded) AS text_md5 FROM dec""",
       "text_stats" ->
         s"""SELECT doc_id,
             CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($toks) END::BIGINT AS n_tokens,
