@@ -2210,6 +2210,22 @@ object SparkEntry {
           md5(encode(col("text"), "UTF-8")).as("text_md5"))
     }),
 
+    // WET-style sidecar round trip: the funnel's extracted CONTENT text
+    // written back as member-per-record `conversion` records (the
+    // interchange shape the crawl ecosystem consumes) and re-read
+    // through the splittable source; the digest compares md5/length per
+    // doc against DuckDB's replay of the same content chain
+    "fmt_wet_roundtrip" -> ((s, dir) => {
+      val staged = wetStagedDir(s, dir)
+      graft.sources.WarcSource.readAll(s, staged, splitBytes = 64L * 1024)
+        .filter(col("warc_type") === "conversion")
+        .select(
+          expr("CAST(substring_index(url, '/', -1) AS BIGINT)").as("doc_id"),
+          col("warc_type"),
+          length(col("payload")).cast("long").as("content_length"),
+          md5(col("payload")).as("payload_md5"))
+    }),
+
     "text_stats" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -4767,6 +4783,44 @@ object SparkEntry {
       d
     })
 
+  /** Staged WET-style sidecar shards, one set per scale dir. */
+  private val wetStageDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  /** Stage (once per scale dir) the EXTRACTED-TEXT sidecar the rest of
+    * the crawl ecosystem consumes (`.wet.gz` shape): the pipeline_web
+    * funnel's content text — the same htmlBlocks → boilerplate-drop →
+    * join chain — written back as member-per-record `conversion`
+    * records (splittable by construction, like everything this engine
+    * writes). Executors compute the content via the pure expression
+    * chain and serialize their own shards — no driver bottleneck. */
+  private def wetStagedDir(s: SparkSession, dir: String): String =
+    wetStageDirs.getOrElseUpdate(dir, {
+      import s.implicits._
+      val d = graft.core.TempDirs.register(
+        java.nio.file.Files.createTempDirectory("graft_wet")).toString
+      t(s, dir, "documents")
+        .repartition(4, pmod(col("doc_id"), lit(4L)))
+        .select(col("doc_id").cast("long"),
+          encode(graft.text.TextFunctions.htmlContentText(
+            graft.text.TextFunctions.htmlBlocks(
+              htmlPage(col("doc_id"), col("text")))), "UTF-8").as("__b"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          val recs = it.map { case (id, b) =>
+            (s"https://corpus.example/doc/$id", "2026-01-01T00:00:00Z",
+              "text/plain", s"<urn:uuid:wet-$id>", b)
+          }.toSeq
+          if (recs.nonEmpty) {
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(d, f"part-$pid%04d.wet.warc.gz"),
+              graft.sources.Warc.writeGz(recs, warcType = "conversion"))
+          }
+          Iterator.single(1)
+        }.count()
+      d
+    })
+
   /** Deterministic LINK-PAGE fixture: 1 + doc_id%4 anchors whose hrefs
     * arrive in messy spellings (cased host + default port, tracking
     * params, fragments, unsorted params); anchor k targets page
@@ -7208,6 +7262,15 @@ object SparkEntry {
             SELECT doc_id, charset, charset_src,
               CAST(length(decoded) AS BIGINT) AS n_chars,
               md5(decoded) AS text_md5 FROM dec""",
+      // the WET digest replayed: the same block/boilerplate chain ends
+      // in c(doc_id, ..., text); md5 + octet_length over ITS utf-8
+      // bytes must equal what came back through the conversion records
+      "fmt_wet_roundtrip" ->
+        s"""$HtmlContentCtes
+            SELECT doc_id, 'conversion' AS warc_type,
+              CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+              md5(text) AS payload_md5
+            FROM c""",
       "text_stats" ->
         s"""SELECT doc_id,
             CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($toks) END::BIGINT AS n_tokens,
