@@ -2039,14 +2039,16 @@ object SparkEntry {
         .select(col("doc_id"), col("url"),
           graft.text.TextFunctions.urlNormalize(col("url")).as("url_norm"))),
 
-    // OUTLINK extraction → normalization → LINK GRAPH: each doc's page
-    // carries 1..4 anchors whose hrefs arrive in messy spellings (cased
-    // host + default port, tracking params) — the query extracts hrefs
-    // from the HTML with the attr regex, normalizes each, and aggregates
-    // in-degree per canonical target: the single-shuffle edge build that
-    // feeds the graph_* family from crawl HTML. The oracle derives the
-    // SAME edges from the fixture arithmetic alone, so an extraction or
-    // normalization slip anywhere in the chain hash-mismatches
+    // OUTLINK extraction → normalization → DOMAIN-ROLLED LINK GRAPH:
+    // each doc's page carries 1..4 anchors whose hrefs arrive in messy
+    // spellings (cased host + default port, tracking params) and target
+    // subdomains of multi-label-suffix sites — the query extracts hrefs
+    // with the attr regex, normalizes each, and KEYS the in-degree
+    // aggregation on the REGISTRABLE domain (pinned public-suffix
+    // table), so blog.siteN.co.uk and www.siteN.co.uk roll up to one
+    // row: the per-site edge build real link analysis runs. Still one
+    // shuffle. The oracle derives the same edges from the fixture
+    // arithmetic and replays the same suffix table
     "web_link_graph" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"),
@@ -2054,14 +2056,24 @@ object SparkEntry {
             lit("(?i)<a[^>]*href=\"([^\"]*)\""), lit(1))).as("__href"))
         .select(col("doc_id"),
           graft.text.TextFunctions.urlNormalize(col("__href")).as("dst_url"))
-        .groupBy(col("dst_url"))
+        .select(col("doc_id"), col("dst_url"),
+          regexp_extract(col("dst_url"), "^https://([^/?]*)", 1)
+            .as("__host"))
+        .select(col("doc_id"), col("dst_url"),col("__host"),
+          graft.text.PublicSuffix.registrableDomain(col("__host"))
+            .as("dst_domain"))
+        .groupBy(col("dst_domain"))
         .agg(count(lit(1)).as("n_inlinks"),
+          countDistinct(col("__host")).as("n_hosts"),
+          countDistinct(col("dst_url")).as("n_urls"),
           min(col("doc_id")).as("first_src"))),
 
     // Per-DOMAIN corpus rollup — the crawl data card's first table:
-    // registrable-domain-lite (last two host labels) from the normalized
-    // URL, doc and distinct-host counts per domain. Hosts arrive cased
-    // with default ports; the normalizer folds them first
+    // REGISTRABLE domain (eTLD+1 via the pinned public-suffix table)
+    // from the normalized URL, doc and distinct-host counts per domain.
+    // Hosts arrive cased with default ports and include multi-label
+    // suffixes (co.uk, com.au, github.io) — a raw last-two-labels key
+    // would wrongly pool every .co.uk site into one row
     "url_domain_stats" -> ((s, dir) => {
       val host = regexp_extract(
         graft.text.TextFunctions.urlNormalize(messyHostUrl(col("doc_id"))),
@@ -2069,7 +2081,8 @@ object SparkEntry {
       t(s, dir, "documents")
         .select(col("doc_id"), host.as("__host"))
         .select(col("doc_id"), col("__host"),
-          regexp_extract(col("__host"), "([^.]+\\.[^.]+)$", 1).as("domain"))
+          graft.text.PublicSuffix.registrableDomain(col("__host"))
+            .as("domain"))
         .groupBy(col("domain"))
         .agg(count(lit(1)).as("n_docs"),
           countDistinct(col("__host")).as("n_hosts"))
@@ -4828,16 +4841,21 @@ object SparkEntry {
     * edges from the arithmetic alone. */
   private def htmlLinkPage(docId: Column): Column = {
     val cnt = pmod(docId, lit(4L)) + lit(1L)
-    def target(k: Int) =
-      pmod(docId + lit(31L * (k + 1)), lit(401L)).cast("string")
+    def tnum(k: Int) = pmod(docId + lit(31L * (k + 1)), lit(401L))
+    def target(k: Int) = tnum(k).cast("string")
     val a0 = concat(lit("<a href=\"https://corpus.example/page/"),
       target(0), lit("\">l0</a>"))
+    // anchors 1 and 3 target SUBDOMAINS of multi-label-suffix sites —
+    // blog.siteN.co.uk and www.siteN.co.uk must roll up to ONE
+    // registrable domain in the link graph
     val a1 = concat(
-      lit("<a class='nav' href=\"HTTPS://Corpus.EXAMPLE:443/page/"),
+      lit("<a class='nav' href=\"HTTPS://Blog.Site"),
+      pmod(tnum(1), lit(5L)).cast("string"), lit(".CO.UK:443/page/"),
       target(1), lit("?utm_source=nav\">l1</a>"))
     val a2 = concat(lit("<a href=\"https://corpus.example/page/"),
       target(2), lit("?b=2&a=1\">l2</a>"))
-    val a3 = concat(lit("<a href=\"https://corpus.example/page/"),
+    val a3 = concat(lit("<a href=\"https://www.site"),
+      pmod(tnum(3), lit(5L)).cast("string"), lit(".co.uk/page/"),
       target(3), lit("#sec\">l3</a>"))
     concat(lit("<html><body><p>see "), a0,
       when(cnt >= 2, a1).otherwise(lit("")),
@@ -4846,14 +4864,18 @@ object SparkEntry {
       lit("</p></body></html>"))
   }
 
-  /** Deterministic MULTI-HOST messy URL: cased subdomain + site + TLD
-    * from doc_id residues, default port attached — 15 registrable
+  /** Deterministic MULTI-HOST messy URL: cased subdomain + site + public
+    * suffix from doc_id residues, default port attached — the suffixes
+    * include MULTI-LABEL rules (co.uk, com.au, github.io), so rollup by
+    * raw last-two-labels would wrongly key on `co.uk`; 30 registrable
     * domains × 2 subdomain shapes after normalization. */
   private def messyHostUrl(docId: Column): Column = {
     val sub = when(pmod(docId, lit(2L)) === 0, lit("WWW."))
       .otherwise(lit("cdn.Assets."))
-    val tld = when(pmod(docId, lit(3L)) === 0, lit("COM"))
-      .when(pmod(docId, lit(3L)) === 1, lit("org")).otherwise(lit("Net"))
+    val m6 = pmod(docId, lit(6L))
+    val tld = when(m6 === 0, lit("COM")).when(m6 === 1, lit("org"))
+      .when(m6 === 2, lit("Net")).when(m6 === 3, lit("CO.UK"))
+      .when(m6 === 4, lit("com.au")).otherwise(lit("GitHub.IO"))
     concat(lit("HTTPS://"), sub, lit("Site"),
       pmod(docId, lit(5L)).cast("string"), lit("."), tld,
       lit(":443/p/"), docId.cast("string"))
@@ -7142,28 +7164,53 @@ object SparkEntry {
               CAST(n_boiler AS INTEGER) AS n_boiler,
               text AS content_text FROM c""",
       // the link graph from arithmetic alone: anchor k of doc d targets
-      // page (d + 31(k+1)) % 401; only the k=2 anchor keeps (sorted)
-      // params after normalization — an extraction or normalization slip
-      // on the Spark side hash-mismatches against this derivation
+      // page (d + 31(k+1)) % 401 on corpus.example (k=0,2) or a
+      // co.uk subdomain (k=1,3); only the k=2 anchor keeps (sorted)
+      // params after normalization. The rollup key replays the SAME
+      // pinned public-suffix table the engine resolves eTLD+1 with
       "web_link_graph" ->
         raw"""WITH l AS (SELECT doc_id,
               unnest(range(1 + doc_id % 4)) AS k FROM documents),
+            tt AS (SELECT doc_id, k,
+              (doc_id + 31*(k+1)) % 401 AS tgt FROM l),
             e AS (SELECT doc_id,
-              'https://corpus.example/page/' || ((doc_id + 31*(k+1)) % 401)
-                || (CASE WHEN k = 2 THEN '?a=1&b=2' ELSE '' END) AS dst_url
-              FROM l)
-            SELECT dst_url, count(*) AS n_inlinks,
+              CASE WHEN k = 1 THEN 'blog.site' || (tgt % 5) || '.co.uk'
+                WHEN k = 3 THEN 'www.site' || (tgt % 5) || '.co.uk'
+                ELSE 'corpus.example' END AS host,
+              CASE WHEN k = 0 THEN 'https://corpus.example/page/' || tgt
+                WHEN k = 1 THEN 'https://blog.site' || (tgt % 5)
+                  || '.co.uk/page/' || tgt
+                WHEN k = 2 THEN 'https://corpus.example/page/' || tgt
+                  || '?a=1&b=2'
+                ELSE 'https://www.site' || (tgt % 5) || '.co.uk/page/'
+                  || tgt END AS dst_url
+              FROM tt),
+            sp AS (SELECT doc_id, host, dst_url,
+              string_split(host, '.') AS ls FROM e),
+            dd AS (SELECT doc_id, host, dst_url,
+              ${graft.text.PublicSuffix.sqlRegistrableDomain("host", "ls")}
+              AS dst_domain FROM sp)
+            SELECT dst_domain, count(*) AS n_inlinks,
+              count(DISTINCT host) AS n_hosts,
+              count(DISTINCT dst_url) AS n_urls,
               CAST(min(doc_id) AS BIGINT) AS first_src
-            FROM e GROUP BY 1""",
+            FROM dd GROUP BY 1""",
       "url_domain_stats" ->
         raw"""WITH h AS (SELECT doc_id,
               (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE 'cdn.assets.' END)
                 || 'site' || (doc_id % 5) || '.' ||
-                (CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
-                  ELSE 'net' END) AS host FROM documents)
-            SELECT regexp_extract(host, '([^.]+\.[^.]+)$$', 1) AS domain,
-              count(*) AS n_docs, count(DISTINCT host) AS n_hosts
-            FROM h GROUP BY 1""",
+                (CASE CAST(doc_id % 6 AS INTEGER) WHEN 0 THEN 'com'
+                  WHEN 1 THEN 'org' WHEN 2 THEN 'net' WHEN 3 THEN 'co.uk'
+                  WHEN 4 THEN 'com.au' ELSE 'github.io' END) AS host
+              FROM documents),
+            sp AS (SELECT doc_id, host, string_split(host, '.') AS ls
+              FROM h),
+            dd AS (SELECT doc_id, host,
+              ${graft.text.PublicSuffix.sqlRegistrableDomain("host", "ls")}
+              AS domain FROM sp)
+            SELECT domain, count(*) AS n_docs,
+              count(DISTINCT host) AS n_hosts
+            FROM dd GROUP BY 1""",
       // the URL normalizer replayed: same fragment/scheme/host/port/
       // param arithmetic, same RE2 patterns, same sort
       "url_normalize" ->
