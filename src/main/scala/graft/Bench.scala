@@ -31,13 +31,21 @@ object Bench {
     // real code change. CalibRef is the idle-host min recorded when the
     // probe was introduced (round 11).
     val CalibRef = 2.03
-    val calibSec = {
+    // idle-host pulse base recorded when the pulse series was
+    // introduced (round 12, quiet driver host) — the second, independent
+    // normalizer the run-level calib is cross-checked against
+    val PulseRef = 0.21
+    val calibPath = {
       import org.apache.spark.sql.functions._
-      val dir = java.nio.file.Files.createTempDirectory("graft_calib")
-      val path = dir.toString
+      val dir = graft.core.TempDirs.register(
+        java.nio.file.Files.createTempDirectory("graft_calib"))
       spark.range(0, 8L * 1000 * 1000, 1, 32)
         .select(col("id"), md5(col("id").cast("string")).as("h"))
-        .write.mode("overwrite").parquet(path)
+        .write.mode("overwrite").parquet(dir.toString)
+      dir.toString
+    }
+    def calibRun(): Double = {
+      import org.apache.spark.sql.functions._
       val runs = (0 until 5).map { _ =>
         val t0 = System.nanoTime()
         // md5 chain makes the probe CPU-dominated (codegen'd digest work)
@@ -47,7 +55,7 @@ object Bench {
         val chained = (1 to 8).foldLeft(col("h")) {
           case (c, _) => md5(concat(c, col("h")))
         }
-        spark.read.parquet(path)
+        spark.read.parquet(calibPath)
           .select(col("h"), chained.as("h2"))
           .groupBy(substring(col("h2"), 1, 2).as("k"))
           .agg(count(lit(1)).as("c"), max("h").as("m"))
@@ -56,15 +64,9 @@ object Bench {
           .agg(sum(length(col("m"))), sum("c")).collect()
         (System.nanoTime() - t0) / 1e9
       }
-      // best-effort temp cleanup (files are tiny; /tmp reaps regardless)
-      try {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      } catch { case _: Throwable => () }
       runs.min
     }
-    val hostFactor = calibSec / CalibRef
+    var calibSec = calibRun()
     // Per-query contention pulses: min-of-3 cannot see a host-contention
     // window that outlasts all three samples (round 11's phantom: a
     // 2.45 s query recorded at 11.83 s, stable across samples). A ~0.2 s
@@ -170,6 +172,23 @@ object Bench {
       } else (name, mn, md)
     }
     val contendedNames = contendedIdx.toSeq.sorted.map(i => sampled0(i)._1)
+    // Run-level host factor, cross-checked against the run's OWN pulse
+    // series before it becomes the record: round 12's one-shot
+    // start-of-run calib hit a contention window and recorded
+    // host_factor 23.22 against a pulse series topping out at ~4x —
+    // internally impossible, and any consumer normalizing by it would
+    // conclude the code got 20x faster. If the two independent
+    // normalizers disagree by >2x in either direction, re-run the calib
+    // probe now (the window has usually passed by run end) and
+    // min-merge, so the emitted factor is consistent with the pulses by
+    // construction; calib_reruns records that it happened.
+    val pulseFactor = pulseBase / PulseRef
+    val calibReruns =
+      if (calibSec / CalibRef > 2 * pulseFactor ||
+          pulseFactor > 2 * (calibSec / CalibRef)) {
+        calibSec = math.min(calibSec, calibRun()); 1
+      } else 0
+    val hostFactor = calibSec / CalibRef
     val results = sampled.map { case (name, mn, _) => name -> mn }
     val medTotal = sampled.map(_._3).sum
     // The harness records only the LAST 2000 bytes of output and parses the
@@ -193,7 +212,7 @@ object Bench {
     // variance metadata: med_total - value (sum of per-query median-min
     // gaps) is the run's own noise floor; a round-over-round total drift
     // smaller than this gap is jitter, not regression
-    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_samples":3,"med_total":${fmt(medTotal)},"calib_sec":${fmt(calibSec)},"host_factor":${fmt(hostFactor)},"pulse_base":${fmt(pulseBase)},"n_contended":${contendedNames.size},"streaming_sub":${fmt(streamingSub)},"batch_sub":${fmt(total - streamingSub)},"queries":{"""
+    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_samples":3,"med_total":${fmt(medTotal)},"calib_sec":${fmt(calibSec)},"host_factor":${fmt(hostFactor)},"host_factor_pulse":${fmt(pulseFactor)},"calib_reruns":$calibReruns,"pulse_base":${fmt(pulseBase)},"n_contended":${contendedNames.size},"streaming_sub":${fmt(streamingSub)},"batch_sub":${fmt(total - streamingSub)},"queries":{"""
     val tail = s"""},"sf":"$sfName"}"""
     val budget = 1850 - head.length - tail.length - 24 // room for "other"
     val entries = results.sortBy { case (k, v) => (-v, k) }
@@ -221,7 +240,7 @@ object Bench {
     val contendedJson = contendedNames.map(n => s"\"$n\"").mkString("[", ",", "]")
     val pulsesJson = pulses.map(fmt).mkString("[", ",", "]")
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_samples":3,"med_total":${fmt(medTotal)},"calib_sec":${fmt(calibSec)},"host_factor":${fmt(hostFactor)},"pulse_base":${fmt(pulseBase)},"contended":$contendedJson,"pulses":$pulsesJson,"streaming_sub":${fmt(streamingSub)},"batch_sub":${fmt(total - streamingSub)},"queries":$full,"queries_med":$med,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_samples":3,"med_total":${fmt(medTotal)},"calib_sec":${fmt(calibSec)},"host_factor":${fmt(hostFactor)},"host_factor_pulse":${fmt(pulseFactor)},"calib_reruns":$calibReruns,"pulse_base":${fmt(pulseBase)},"contended":$contendedJson,"pulses":$pulsesJson,"streaming_sub":${fmt(streamingSub)},"batch_sub":${fmt(total - streamingSub)},"queries":$full,"queries_med":$med,"sf":"$sfName"}"""
     val outFile = if (only.isEmpty) "BENCH_FULL.json" else "BENCH_SUBSET.json"
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (fullLine + "\n").getBytes("UTF-8"))
