@@ -198,9 +198,12 @@ object WarcSource {
     * / metadata / revisit records interleave throughout). Same split
     * planning and byte-range tasks as [[read]]. */
   def readAll(spark: SparkSession, dir: String,
-              splitBytes: Long = 128L * 1024 * 1024): DataFrame = {
+              splitBytes: Long = 128L * 1024 * 1024): DataFrame =
+    readSplitsAny(spark, planSplits(spark, dir, splitBytes))
+
+  private def readSplitsAny(spark: SparkSession,
+                            splits: Seq[WarcMemberSplit]): DataFrame = {
     import spark.implicits._
-    val splits = planSplits(spark, dir, splitBytes)
     if (splits.isEmpty) return spark.emptyDataset[WarcAnyRow].toDF()
     validateSplits(splits)
     val bconf = spark.sparkContext.broadcast(
@@ -267,9 +270,30 @@ object WarcSource {
                 splitBytes: Long = 128L * 1024 * 1024): DataFrame = {
     import spark.implicits._
     if (files.isEmpty) return spark.emptyDataset[WarcRow].toDF()
+    readSplits(spark, planSplitsInFlight(spark, files, splitBytes))
+  }
+
+  /** [[readFiles]] under the TOLERANT grammar — the continuous-crawl
+    * manifest batch over REAL mixed-record shards: every record
+    * classified, the warcinfo header record of each incoming shard
+    * counted instead of killing the micro-batch. */
+  def readFilesAll(spark: SparkSession, files: Seq[String],
+                   splitBytes: Long = 128L * 1024 * 1024): DataFrame = {
+    import spark.implicits._
+    if (files.isEmpty) return spark.emptyDataset[WarcAnyRow].toDF()
+    readSplitsAny(spark, planSplitsInFlight(spark, files, splitBytes))
+  }
+
+  /** In-flight split planning for an EXPLICIT shard list: one
+    * bounded-memory streaming walk per file, split packing in the same
+    * task (no shuffle, nothing persisted — a batch's shards are read
+    * once); only the control-sized split list returns. */
+  private def planSplitsInFlight(spark: SparkSession, files: Seq[String],
+                                 splitBytes: Long): Seq[WarcMemberSplit] = {
+    import spark.implicits._
     val bconf = spark.sparkContext.broadcast(
       new SerHadoopConf(spark.sparkContext.hadoopConfiguration))
-    val splits = spark.createDataset(files)
+    spark.createDataset(files)
       .repartition(files.size)
       .mapPartitions { paths =>
         val conf = bconf.value.conf
@@ -292,7 +316,6 @@ object WarcSource {
           out
         }
       }.collect().toSeq.sortBy(s => (s.path, s.start))
-    readSplits(spark, splits)
   }
 
   /** Greedy packing emits ~splitBytes plus one member overhang, so a

@@ -47,17 +47,26 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     "dedup_url" -> 1,
     "url_normalize" -> 0,
     "text_html_content" -> 0,
-    // link graph: one canonical-target shuffle; domain stats pays the
-    // standard two-phase exact countDistinct (partial by (domain, host),
-    // final by domain)
-    "web_link_graph" -> 1,
+    // link graph (round-13 re-key on registrable domain): the two-phase
+    // exact countDistinct over (host, url) — same shape as domain stats
+    "web_link_graph" -> 2,
     "url_domain_stats" -> 2,
     // 4:1:1 shares the color-decode shape (encode + decode Par.ensure
     // spreads); oriented adds the exifTagged staging stage; the MP3
     // header walk is the standard encode+decode pair
     "mm_decode_jpeg411" -> 2,
     "mm_decode_oriented" -> 3,
-    "mm_mp3_survey" -> 2)
+    "mm_mp3_survey" -> 2,
+    // round-13 additions: the HTTP extraction, charset decode, and WET
+    // round trip are ZERO-exchange narrow maps (message split + decode
+    // fused into the byte-range task); the type census is the one
+    // classify-and-count shuffle; the link graph's re-key on
+    // registrable domain pays the two-phase exact countDistinct over
+    // (host, url) like url_domain_stats
+    "warc_http_extract" -> 0,
+    "warc_type_survey" -> 1,
+    "text_html_charset" -> 0,
+    "fmt_wet_roundtrip" -> 0)
 
   for ((name, want) <- pins) {
     test(s"exchange count pinned: $name = $want") {

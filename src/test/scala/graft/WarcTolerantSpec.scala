@@ -125,6 +125,21 @@ class WarcTolerantSpec extends AnyFunSuite with SparkTestBase {
     assert(chunked.getString(5) == "<html><body>page 1</body></html>")
   }
 
+  test("readFilesAll: the manifest batch survives mixed-record shards") {
+    val dir = stageMixed(2)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".warc.gz")).map(_.getAbsolutePath).toSeq
+    val counts = WarcSource.readFilesAll(spark, files, splitBytes = 256L)
+      .groupBy("warc_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("warcinfo" -> 2L, "request" -> 6L,
+      "response" -> 6L, "metadata" -> 2L, "revisit" -> 2L))
+    // the strict manifest read over the same shards dies on record one
+    assert(intercept[Exception] {
+      WarcSource.readFiles(spark, files, splitBytes = 256L).count()
+    }.getMessage != null)
+  }
+
   test("readHttp degrades bare (non-HTTP) response payloads") {
     val d = graft.core.TempDirs.register(
       java.nio.file.Files.createTempDirectory("graft_warc_bare")).toString
