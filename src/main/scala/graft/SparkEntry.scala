@@ -2205,6 +2205,23 @@ object SparkEntry {
           count(col("url")).as("n_with_url"))
     }),
 
+    // Shard-health census over a crawl dir where one shard is
+    // EOF-truncated (a crawler died mid-write, the most common damage
+    // in a real crawl bucket): the tolerant walk counts every COMPLETE
+    // member and reports the torn-tail offset instead of killing the
+    // scan — while mid-file CRC damage still throws by name. The
+    // oracle re-derives each shard's surviving record count from the
+    // residue arithmetic (shard 1 loses exactly its final member)
+    "warc_torn_survey" -> ((s, dir) => {
+      val staged = warcTornStagedDir(s, dir)
+      graft.sources.WarcSource.tornSurvey(s, staged)
+        .select(
+          regexp_extract(col("path"), "part-(\\d+)", 1).cast("int")
+            .as("shard"),
+          col("n_members").as("n_records"),
+          col("torn_offset").isNotNull.as("torn"))
+    }),
+
     // Charset-aware HTML decode over the legacy-charset fixture: bodies
     // arrive encoded in utf-8 / windows-1252 / iso-8859-1 with the
     // declaration in the HTTP header, a meta tag, or absent (fallback).
@@ -4834,6 +4851,39 @@ object SparkEntry {
       d
     })
 
+  /** Staged torn-shard fixture dirs, one set per scale dir. */
+  private val warcTornStageDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  /** Stage (once per scale dir) four RESIDUE-KEYED response shards —
+    * file r holds exactly the docs with doc_id%4 == r, sorted, so the
+    * oracle can derive per-file counts — and then TRUNCATE shard 1
+    * five bytes short: the file a crawler was writing when it died,
+    * cut mid-trailer of its final member. */
+  private def warcTornStagedDir(s: SparkSession, dir: String): String =
+    warcTornStageDirs.getOrElseUpdate(dir, {
+      import s.implicits._
+      val d = graft.core.TempDirs.register(
+        java.nio.file.Files.createTempDirectory("graft_warc_torn")).toString
+      t(s, dir, "documents")
+        .select(col("doc_id").cast("long"),
+          encode(col("text"), "UTF-8").as("__b"))
+        .as[(Long, Array[Byte])]
+        .groupByKey(_._1 % 4)
+        .flatMapGroups { (r, docs) =>
+          val sorted = docs.toArray.sortBy(_._1)
+          val blob = graft.sources.Warc.writeGz(sorted.toSeq.map {
+            case (id, b) =>
+              (s"https://corpus.example/doc/$id", "2026-01-01T00:00:00Z",
+                "text/plain", s"<urn:uuid:doc-$id>", b)
+          })
+          val bytes = if (r == 1) blob.dropRight(5) else blob
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(d, f"part-$r%04d.warc.gz"), bytes)
+          Iterator.single(1)
+        }.count()
+      d
+    })
+
   /** Deterministic LINK-PAGE fixture: 1 + doc_id%4 anchors whose hrefs
     * arrive in messy spellings (cased host + default port, tracking
     * params, fragments, unsorted params); anchor k targets page
@@ -7282,6 +7332,16 @@ object SparkEntry {
               CAST(sum(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT),
               CAST(sum(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
               FROM d""",
+      // the shard-health census replayed: residue-keyed shards, the
+      // truncated one loses exactly its final (max-doc_id) member
+      "warc_torn_survey" ->
+        raw"""WITH r AS (SELECT CAST(doc_id % 4 AS INTEGER) AS shard,
+              count(*) AS n FROM documents GROUP BY 1)
+            SELECT shard,
+              CAST(n - CASE WHEN shard = 1 THEN 1 ELSE 0 END AS BIGINT)
+                AS n_records,
+              (shard = 1) AS torn
+            FROM r""",
       // the charset decision + decode replayed from codepoint
       // arithmetic: DuckDB rebuilds the DECODED text (doc text + the
       // per-charset marker via chr(), + the meta prefix where declared)

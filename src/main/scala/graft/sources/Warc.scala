@@ -278,9 +278,19 @@ object Warc {
     * nextMemberOffset, payload)` per member (payload empty when
     * `keepPayload` is false — CRC-32 and ISIZE are still verified from
     * the inflated stream, so a torn member fails the INDEX pass, not a
-    * later read). Same strictness as [[readGzipMember]]. */
+    * later read). Same strictness as [[readGzipMember]].
+    *
+    * `tolerateTruncatedTail` relaxes exactly ONE failure class: bytes
+    * running out AT END OF FILE mid-member — the shard a crawler was
+    * writing when it died, the most common damage in a real crawl
+    * bucket. Iteration then ends cleanly after the last COMPLETE member
+    * and [[tornTailOffset]] reports where the torn one started (count
+    * it, don't throw — the survey discipline). Mid-file corruption (CRC
+    * mismatch, bad magic, reserved flags) still throws by name in both
+    * modes: only EOF-truncation is distinguishable damage. */
   final class GzipMemberIterator(in: java.io.InputStream,
-                                 keepPayload: Boolean = false)
+                                 keepPayload: Boolean = false,
+                                 tolerateTruncatedTail: Boolean = false)
       extends Iterator[(Long, Long, Array[Byte])] {
     private var buf = new Array[Byte](1 << 16)
     private var len = 0   // valid bytes in buf
@@ -314,11 +324,39 @@ object Warc {
       }
     }
 
-    override def hasNext: Boolean = ensure(1)
+    /** Start offset of the EOF-truncated tail member, once hit
+      * (tolerant mode only); iteration has ended when this is set. */
+    var tornTailOffset: Option[Long] = None
+    private var pending: (Long, Long, Array[Byte]) = null
+
+    override def hasNext: Boolean = pending != null || advance()
 
     override def next(): (Long, Long, Array[Byte]) = {
-      require(ensure(10), "truncated gzip header")
+      if (!hasNext) throw new NoSuchElementException("end of gzip members")
+      val r = pending; pending = null; r
+    }
+
+    /** Decode one member into `pending` (lookahead — the decode work
+      * happens in hasNext so a torn tail can end iteration instead of
+      * throwing from next()). */
+    private def advance(): Boolean = {
+      if (tornTailOffset.isDefined || !ensure(1)) return false
       val memberOffset = base + pos
+      try { pending = decodeOne(memberOffset); true }
+      catch {
+        // every "truncated ..." require fires only after fill() hit
+        // EOF, so the message prefix IS the tail-truncation signal;
+        // CRC/magic/flag damage keeps its named throw
+        case e: IllegalArgumentException
+            if tolerateTruncatedTail && eof && e.getMessage != null &&
+              e.getMessage.contains("truncated gzip") =>
+          tornTailOffset = Some(memberOffset)
+          false
+      }
+    }
+
+    private def decodeOne(memberOffset: Long): (Long, Long, Array[Byte]) = {
+      require(ensure(10), "truncated gzip header")
       require((buf(pos) & 0xff) == 0x1f && (buf(pos + 1) & 0xff) == 0x8b,
         f"not a gzip member at offset $memberOffset")
       require((buf(pos + 2) & 0xff) == 8, "unknown gzip compression method")
@@ -341,21 +379,22 @@ object Warc {
       var isize = 0L
       val keep = if (keepPayload) new java.io.ByteArrayOutputStream(4096) else null
       val outChunk = new Array[Byte](8192)
-      while (!infl.finished()) {
-        if (infl.needsInput()) {
-          if (pos == len) require(fill(), "truncated gzip deflate stream")
-          infl.setInput(buf, pos, len - pos)
-          pos = len // all fed; unconsumed remainder reclaimed at finish
+      try {
+        while (!infl.finished()) {
+          if (infl.needsInput()) {
+            if (pos == len) require(fill(), "truncated gzip deflate stream")
+            infl.setInput(buf, pos, len - pos)
+            pos = len // all fed; unconsumed remainder reclaimed at finish
+          }
+          val n = infl.inflate(outChunk)
+          if (n > 0) {
+            crc.update(outChunk, 0, n)
+            isize += n
+            if (keep != null) keep.write(outChunk, 0, n)
+          }
         }
-        val n = infl.inflate(outChunk)
-        if (n > 0) {
-          crc.update(outChunk, 0, n)
-          isize += n
-          if (keep != null) keep.write(outChunk, 0, n)
-        }
-      }
-      pos -= infl.getRemaining // hand back the last chunk's unread tail
-      infl.end()
+        pos -= infl.getRemaining // hand back the last chunk's unread tail
+      } finally infl.end() // also on a truncation throw (tolerant tail)
       require(ensure(8), "truncated gzip trailer")
       def le32(o: Int): Long = (buf(o) & 0xffL) | (buf(o + 1) & 0xffL) << 8 |
         (buf(o + 2) & 0xffL) << 16 | (buf(o + 3) & 0xffL) << 24

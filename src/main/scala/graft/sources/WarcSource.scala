@@ -37,6 +37,12 @@ final case class WarcHttpRow(path: String, member_offset: Long,
     http_content_type: String, charset: String, charset_src: String,
     body: Array[Byte], text: String)
 
+/** Per-shard health row: complete-member count plus, when the file is
+  * EOF-truncated (a crawler died mid-write), the offset where the torn
+  * tail member starts. */
+final case class WarcShardHealth(path: String, n_members: Long,
+    torn_offset: Option[Long])
+
 /** Serializable carrier for the driver's Hadoop configuration — executor
   * tasks must see the SAME filesystem settings the driver planned with
   * (object-store credentials, endpoints, timeouts arrive via
@@ -316,6 +322,36 @@ object WarcSource {
           out
         }
       }.collect().toSeq.sortBy(s => (s.path, s.start))
+  }
+
+  /** Shard-health survey: one tolerant bounded-memory walk per file —
+    * counts COMPLETE members and reports the torn-tail offset for
+    * EOF-truncated shards (the file a crawler was writing when it
+    * died). Mid-file corruption still fails by name: only the tail is
+    * distinguishable damage. The pre-ingest census a crawl bucket
+    * audit runs before planning any decode — scan cost, no decode. */
+  def tornSurvey(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val files = listShards(spark, dir)
+    if (files.isEmpty) return spark.emptyDataset[WarcShardHealth].toDF()
+    val bconf = spark.sparkContext.broadcast(
+      new SerHadoopConf(spark.sparkContext.hadoopConfiguration))
+    spark.createDataset(files)
+      .repartition(files.size)
+      .mapPartitions { paths =>
+        val conf = bconf.value.conf
+        paths.map { p =>
+          val path = new Path(p)
+          val in = path.getFileSystem(conf).open(path)
+          try {
+            val it = new Warc.GzipMemberIterator(in, keepPayload = false,
+              tolerateTruncatedTail = true)
+            var n = 0L
+            while (it.hasNext) { it.next(); n += 1 }
+            WarcShardHealth(p, n, it.tornTailOffset)
+          } finally in.close()
+        }
+      }.toDF()
   }
 
   /** Greedy packing emits ~splitBytes plus one member overhang, so a

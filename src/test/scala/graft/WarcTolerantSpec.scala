@@ -140,6 +140,47 @@ class WarcTolerantSpec extends AnyFunSuite with SparkTestBase {
     }.getMessage != null)
   }
 
+  test("truncated tail: tolerant walk ends cleanly, strict walk throws") {
+    val m1 = Warc.gzipMember(ascii("complete one"))
+    val m2 = Warc.gzipMember(ascii("complete two"))
+    val m3 = Warc.gzipMember(ascii("the torn one"))
+    val torn = m1 ++ m2 ++ m3.dropRight(5) // cut mid-trailer
+    val it = new Warc.GzipMemberIterator(
+      new java.io.ByteArrayInputStream(torn), keepPayload = true,
+      tolerateTruncatedTail = true)
+    val got = it.toSeq
+    assert(got.size == 2)
+    assert(got.map(r => new String(r._3, "US-ASCII"))
+      == Seq("complete one", "complete two"))
+    assert(it.tornTailOffset.contains((m1.length + m2.length).toLong))
+    // strict mode: the same bytes throw by name
+    assert(intercept[IllegalArgumentException] {
+      new Warc.GzipMemberIterator(
+        new java.io.ByteArrayInputStream(torn)).toSeq
+    }.getMessage.contains("truncated"))
+    // a header-only dribble of a torn tail (crawler died mid-header)
+    val headerTorn = m1 ++ m3.take(6)
+    val it2 = new Warc.GzipMemberIterator(
+      new java.io.ByteArrayInputStream(headerTorn),
+      tolerateTruncatedTail = true)
+    assert(it2.size == 1 && it2.tornTailOffset.contains(m1.length.toLong))
+  }
+
+  test("tolerant mode still throws on mid-file CRC corruption") {
+    val m1 = Warc.gzipMember(ascii("first"))
+    val bad = m1.clone
+    // flip a CRC byte in the trailer: the member decodes, verification
+    // fails — mid-file damage, unambiguously NOT an EOF truncation
+    bad(m1.length - 8) = (bad(m1.length - 8) ^ 0x01).toByte
+    val blob = bad ++ Warc.gzipMember(ascii("second"))
+    val m = intercept[IllegalArgumentException] {
+      new Warc.GzipMemberIterator(
+        new java.io.ByteArrayInputStream(blob),
+        tolerateTruncatedTail = true).toSeq
+    }.getMessage
+    assert(m.contains("CRC-32"), m)
+  }
+
   test("readHttp degrades bare (non-HTTP) response payloads") {
     val d = graft.core.TempDirs.register(
       java.nio.file.Files.createTempDirectory("graft_warc_bare")).toString
