@@ -2205,6 +2205,39 @@ object SparkEntry {
           count(col("url")).as("n_with_url"))
     }),
 
+    // robots.txt politeness gate over the crawl frontier: per-host
+    // robots TEXT (with a host-varied extra rule) is PARSED by the
+    // engine into a rules table, then every URL is judged by RFC 9309
+    // longest-prefix-match with Allow winning ties and default-allow —
+    // broadcast join + one verdict fold. The oracle derives the
+    // expected verdicts INDEPENDENTLY from the residue arithmetic (it
+    // never replays the parser), so a parse or ranking slip anywhere
+    // hash-mismatches
+    "url_robots_filter" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), pmod(col("doc_id"), lit(7L)).as("__h"),
+          pmod(col("doc_id"), lit(5L)).as("__p"))
+      val path = when(col("__p") === 0,
+          concat(lit("/page/"), col("doc_id")))
+        .when(col("__p") === 1, concat(lit("/private/p"), col("doc_id")))
+        .when(col("__p") === 2,
+          concat(lit("/private/pub/q"), col("doc_id")))
+        .when(col("__p") === 3, concat(lit("/tmp/t"), col("doc_id")))
+        .otherwise(lit("/"))
+      val urls = docs.select(col("doc_id"),
+        concat(lit("https://site"), col("__h"), lit(".com"), path)
+          .as("url"))
+      val robots = docs.select(col("__h")).distinct()
+        .select(concat(lit("site"), col("__h"), lit(".com")).as("host"),
+          concat(
+            lit("User-agent: *\nDisallow: /private/\n" +
+              "Allow: /private/pub/\nDisallow: /tmp/\n"),
+            when(pmod(col("__h"), lit(2L)) === 0,
+              lit("Disallow: /page/\n")).otherwise(lit("")))
+            .as("robots_txt"))
+      graft.text.Robots.filterUrls(urls, robots)
+    }),
+
     // Shard-health census over a crawl dir where one shard is
     // EOF-truncated (a crawler died mid-write, the most common damage
     // in a real crawl bucket): the tolerant walk counts every COMPLETE
@@ -7332,6 +7365,26 @@ object SparkEntry {
               CAST(sum(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT),
               CAST(sum(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
               FROM d""",
+      // the robots verdicts derived INDEPENDENTLY from arithmetic: the
+      // oracle states what RFC 9309 longest-match must decide for each
+      // (path shape, host parity), without replaying the parser
+      "url_robots_filter" ->
+        raw"""WITH u AS (SELECT doc_id,
+              CAST(doc_id % 7 AS INTEGER) AS h,
+              CAST(doc_id % 5 AS INTEGER) AS p FROM documents)
+            SELECT doc_id,
+              'https://site' || h || '.com' ||
+                (CASE p WHEN 0 THEN '/page/' || doc_id
+                  WHEN 1 THEN '/private/p' || doc_id
+                  WHEN 2 THEN '/private/pub/q' || doc_id
+                  WHEN 3 THEN '/tmp/t' || doc_id ELSE '/' END) AS url,
+              CASE p WHEN 0 THEN (h % 2 = 1) WHEN 1 THEN false
+                WHEN 2 THEN true WHEN 3 THEN false ELSE true
+                END AS allowed,
+              CASE p WHEN 0 THEN (CASE WHEN h % 2 = 0 THEN '/page/' END)
+                WHEN 1 THEN '/private/' WHEN 2 THEN '/private/pub/'
+                WHEN 3 THEN '/tmp/' ELSE NULL END AS matched_prefix
+            FROM u""",
       // the shard-health census replayed: residue-keyed shards, the
       // truncated one loses exactly its final (max-doc_id) member
       "warc_torn_survey" ->
