@@ -2205,6 +2205,39 @@ object SparkEntry {
           count(col("url")).as("n_with_url"))
     }),
 
+    // WAT-style sidecar → LINK GRAPH: the JSON metadata records (one
+    // per doc, carrying url + raw outlink hrefs) are read back through
+    // the tolerant source, parsed with from_json, and rolled into the
+    // SAME domain-keyed link graph the HTML extraction path builds —
+    // the query shares web_link_graph's oracle verbatim, so the sidecar
+    // provably carries exactly the extraction (two wire formats, one
+    // truth)
+    "wat_link_graph" -> ((s, dir) => {
+      val staged = watStagedDir(s, dir)
+      val schema = "url STRING, links ARRAY<STRING>"
+      graft.sources.WarcSource.readAll(s, staged, splitBytes = 64L * 1024)
+        .filter(col("warc_type") === "metadata")
+        .select(from_json(decode(col("payload"), "UTF-8"),
+          org.apache.spark.sql.types.StructType.fromDDL(schema)).as("__j"))
+        .select(
+          expr("CAST(substring_index(__j.url, '/', -1) AS BIGINT)")
+            .as("doc_id"),
+          explode(col("__j.links")).as("__href"))
+        .select(col("doc_id"),
+          graft.text.TextFunctions.urlNormalize(col("__href")).as("dst_url"))
+        .select(col("doc_id"), col("dst_url"),
+          regexp_extract(col("dst_url"), "^https://([^/?]*)", 1)
+            .as("__host"))
+        .select(col("doc_id"), col("dst_url"), col("__host"),
+          graft.text.PublicSuffix.registrableDomain(col("__host"))
+            .as("dst_domain"))
+        .groupBy(col("dst_domain"))
+        .agg(count(lit(1)).as("n_inlinks"),
+          countDistinct(col("__host")).as("n_hosts"),
+          countDistinct(col("dst_url")).as("n_urls"),
+          min(col("doc_id")).as("first_src"))
+    }),
+
     // robots.txt politeness gate over the crawl frontier: per-host
     // robots TEXT (with a host-varied extra rule) is PARSED by the
     // engine into a rules table, then every URL is judged by RFC 9309
@@ -4884,6 +4917,51 @@ object SparkEntry {
       d
     })
 
+  /** Staged WAT-style metadata sidecar shards, one set per scale dir. */
+  private val watStageDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  /** Stage (once per scale dir) the WAT-style sidecar: one WARC
+    * `metadata` record per doc whose JSON payload carries the page URL
+    * and the RAW extracted outlink hrefs (the envelope summary a WAT
+    * generator records so consumers never re-parse the HTML). The JSON
+    * is built by expressions (to_json over the same href extraction the
+    * HTML path runs), serialized member-per-record. */
+  private def watStagedDir(s: SparkSession, dir: String): String =
+    watStageDirs.getOrElseUpdate(dir, {
+      import s.implicits._
+      val d = graft.core.TempDirs.register(
+        java.nio.file.Files.createTempDirectory("graft_wat")).toString
+      t(s, dir, "documents")
+        .repartition(4, pmod(col("doc_id"), lit(4L)))
+        .select(col("doc_id").cast("long"),
+          encode(to_json(struct(
+            concat(lit("https://corpus.example/doc/"), col("doc_id"))
+              .as("url"),
+            regexp_extract_all(htmlLinkPage(col("doc_id")),
+              lit("(?i)<a[^>]*href=\"([^\"]*)\""), lit(1)).as("links"))),
+            "UTF-8").as("__b"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          val recs = it.map { case (id, b) =>
+            graft.sources.Warc.recordBytesOf("metadata", Seq(
+              "WARC-Target-URI" -> s"https://corpus.example/doc/$id",
+              "WARC-Date" -> "2026-01-01T00:00:00Z",
+              "WARC-Record-ID" -> s"<urn:uuid:wat-$id>",
+              "Content-Type" -> "application/json"), b)
+          }.toSeq
+          if (recs.nonEmpty) {
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            val out = new java.io.ByteArrayOutputStream()
+            recs.foreach(r => out.write(graft.sources.Warc.gzipMember(r)))
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(d, f"part-$pid%04d.wat.warc.gz"),
+              out.toByteArray)
+          }
+          Iterator.single(1)
+        }.count()
+      d
+    })
+
   /** Staged torn-shard fixture dirs, one set per scale dir. */
   private val warcTornStageDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
@@ -5037,6 +5115,37 @@ object SparkEntry {
 
   /** Oracle of the WARC round trip, shared by the batch read and the
     * manifest-stream drain (stream ≡ batch is the pin). */
+  /** The domain-rolled link-graph oracle — shared by the HTML
+    * extraction path (web_link_graph) and the WAT JSON sidecar
+    * round trip (wat_link_graph): two wire formats, one truth. */
+  private val WebLinkGraphSql: String =
+    raw"""WITH l AS (SELECT doc_id,
+              unnest(range(1 + doc_id % 4)) AS k FROM documents),
+            tt AS (SELECT doc_id, k,
+              (doc_id + 31*(k+1)) % 401 AS tgt FROM l),
+            e AS (SELECT doc_id,
+              CASE WHEN k = 1 THEN 'blog.site' || (tgt % 5) || '.co.uk'
+                WHEN k = 3 THEN 'www.site' || (tgt % 5) || '.co.uk'
+                ELSE 'corpus.example' END AS host,
+              CASE WHEN k = 0 THEN 'https://corpus.example/page/' || tgt
+                WHEN k = 1 THEN 'https://blog.site' || (tgt % 5)
+                  || '.co.uk/page/' || tgt
+                WHEN k = 2 THEN 'https://corpus.example/page/' || tgt
+                  || '?a=1&b=2'
+                ELSE 'https://www.site' || (tgt % 5) || '.co.uk/page/'
+                  || tgt END AS dst_url
+              FROM tt),
+            sp AS (SELECT doc_id, host, dst_url,
+              string_split(host, '.') AS ls FROM e),
+            dd AS (SELECT doc_id, host, dst_url,
+              ${graft.text.PublicSuffix.sqlRegistrableDomain("host", "ls")}
+              AS dst_domain FROM sp)
+            SELECT dst_domain, count(*) AS n_inlinks,
+              count(DISTINCT host) AS n_hosts,
+              count(DISTINCT dst_url) AS n_urls,
+              CAST(min(doc_id) AS BIGINT) AS first_src
+            FROM dd GROUP BY 1"""
+
   private val WarcRoundtripSql: String =
     raw"""SELECT doc_id,
           CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
@@ -7251,33 +7360,12 @@ object SparkEntry {
       // co.uk subdomain (k=1,3); only the k=2 anchor keeps (sorted)
       // params after normalization. The rollup key replays the SAME
       // pinned public-suffix table the engine resolves eTLD+1 with
-      "web_link_graph" ->
-        raw"""WITH l AS (SELECT doc_id,
-              unnest(range(1 + doc_id % 4)) AS k FROM documents),
-            tt AS (SELECT doc_id, k,
-              (doc_id + 31*(k+1)) % 401 AS tgt FROM l),
-            e AS (SELECT doc_id,
-              CASE WHEN k = 1 THEN 'blog.site' || (tgt % 5) || '.co.uk'
-                WHEN k = 3 THEN 'www.site' || (tgt % 5) || '.co.uk'
-                ELSE 'corpus.example' END AS host,
-              CASE WHEN k = 0 THEN 'https://corpus.example/page/' || tgt
-                WHEN k = 1 THEN 'https://blog.site' || (tgt % 5)
-                  || '.co.uk/page/' || tgt
-                WHEN k = 2 THEN 'https://corpus.example/page/' || tgt
-                  || '?a=1&b=2'
-                ELSE 'https://www.site' || (tgt % 5) || '.co.uk/page/'
-                  || tgt END AS dst_url
-              FROM tt),
-            sp AS (SELECT doc_id, host, dst_url,
-              string_split(host, '.') AS ls FROM e),
-            dd AS (SELECT doc_id, host, dst_url,
-              ${graft.text.PublicSuffix.sqlRegistrableDomain("host", "ls")}
-              AS dst_domain FROM sp)
-            SELECT dst_domain, count(*) AS n_inlinks,
-              count(DISTINCT host) AS n_hosts,
-              count(DISTINCT dst_url) AS n_urls,
-              CAST(min(doc_id) AS BIGINT) AS first_src
-            FROM dd GROUP BY 1""",
+      "web_link_graph" -> WebLinkGraphSql,
+      // the WAT sidecar must carry EXACTLY the HTML-derived edges: the
+      // JSON metadata round trip shares the link graph's oracle, so a
+      // serialization or parse slip breaks the hash even though the
+      // wire format is entirely different
+      "wat_link_graph" -> WebLinkGraphSql,
       "url_domain_stats" ->
         raw"""WITH h AS (SELECT doc_id,
               (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE 'cdn.assets.' END)

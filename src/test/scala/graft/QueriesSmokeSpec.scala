@@ -40,5 +40,5 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkTestBase {
 
 object QueriesSmokeSpec {
   /** The committed query count — PLANS.md's gate claim must match. */
-  val CommittedQueryCount = 277
+  val CommittedQueryCount = 278
 }
