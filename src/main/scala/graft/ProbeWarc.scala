@@ -41,10 +41,19 @@ object ProbeWarc {
     // payloads so gzip does realistic work rather than storing) --------
     val dir = graft.core.TempDirs.register(
       java.nio.file.Files.createTempDirectory("graft_probe_warc")).toString
+    // a SECOND shard with the same payloads HTTP-wrapped (status line +
+    // headers + Content-Length framing) prices the fused
+    // readHttp path — message split + charset detect + decode — against
+    // the raw range read on identical content
+    val dirHttp = graft.core.TempDirs.register(
+      java.nio.file.Files.createTempDirectory("graft_probe_warc_http")).toString
     val path = java.nio.file.Paths.get(dir, "shard-0000.warc.gz")
-    val (_, stageSec) = t(s"stage $nRecords recs x $recBytes B") {
+    val pathHttp = java.nio.file.Paths.get(dirHttp, "shard-0000.warc.gz")
+    val (_, stageSec) = t(s"stage $nRecords recs x $recBytes B (raw+http)") {
       val out = new java.io.BufferedOutputStream(
         java.nio.file.Files.newOutputStream(path), 1 << 20)
+      val outHttp = new java.io.BufferedOutputStream(
+        java.nio.file.Files.newOutputStream(pathHttp), 1 << 20)
       // web-text-shaped compressibility (~3-4:1, not 60:1): words drawn
       // from a large synthetic vocabulary by a xorshift stream, so
       // deflate finds short-range matches but no long repeats
@@ -57,14 +66,21 @@ object ProbeWarc {
       while (i < nRecords) {
         val sb = new StringBuilder(recBytes + 16)
         while (sb.length < recBytes) sb.append(nextWord()).append(' ')
+        val body = sb.toString.getBytes("US-ASCII")
         out.write(graft.sources.Warc.gzipMember(
           graft.sources.Warc.recordBytes(
             s"https://corpus.example/doc/$i", "2026-01-01T00:00:00Z",
-            "text/plain", s"<urn:uuid:doc-$i>",
-            sb.toString.getBytes("US-ASCII"))))
+            "text/plain", s"<urn:uuid:doc-$i>", body)))
+        outHttp.write(graft.sources.Warc.gzipMember(
+          graft.sources.Warc.recordBytes(
+            s"https://corpus.example/doc/$i", "2026-01-01T00:00:00Z",
+            "application/http; msgtype=response", s"<urn:uuid:doc-$i>",
+            graft.sources.Http.responseBytes(200, "OK",
+              Seq("Content-Type" -> "text/html; charset=utf-8",
+                "Server" -> "probe/1.0"), body))))
         i += 1
       }
-      out.close()
+      out.close(); outHttp.close()
     }
     val fileBytes = java.nio.file.Files.size(path)
 
@@ -95,7 +111,23 @@ object ProbeWarc {
     require(nSplit == nBlob && bytesSplit == bytesBlob,
       s"split read diverged: $nSplit/$bytesSplit vs $nBlob/$bytesBlob")
 
-    println(f"""{"metric":"warc_read_speedup","value":${blobSec / splitSec}%.2f,"unit":"x","file_mib":${fileBytes / 1048576}%d,"n_records":$nBlob%d,"n_splits":$nSplits%d,"stage_sec":$stageSec%.2f,"blob_sec":$blobSec%.2f,"index_sec":$indexSec%.2f,"split_sec":$splitSec%.2f}""")
+    // ---- (c) fused HTTP path: message split + charset decode in the
+    // same range task, on the HTTP-wrapped twin of the same content ----
+    val (_, indexHttpSec) = t("http shard: offset-index build") {
+      graft.sources.WarcSource.memberIndex(spark, dirHttp).count()
+    }
+    val ((nHttp, bytesHttp), httpSec) =
+      t(f"readHttp (fused split+charset+decode)") {
+        val r = graft.sources.WarcSource
+          .readHttp(spark, dirHttp, splitBytes)
+          .agg(count(lit(1)), sum(octet_length(col("body"))))
+          .collect()(0)
+        (r.getLong(0), r.getLong(1))
+      }
+    require(nHttp == nBlob && bytesHttp == bytesBlob,
+      s"http read diverged: $nHttp/$bytesHttp vs $nBlob/$bytesBlob")
+
+    println(f"""{"metric":"warc_read_speedup","value":${blobSec / splitSec}%.2f,"unit":"x","file_mib":${fileBytes / 1048576}%d,"n_records":$nBlob%d,"n_splits":$nSplits%d,"stage_sec":$stageSec%.2f,"blob_sec":$blobSec%.2f,"index_sec":$indexSec%.2f,"split_sec":$splitSec%.2f,"http_sec":$httpSec%.2f,"http_overhead":${httpSec / splitSec}%.2f,"index_http_sec":$indexHttpSec%.2f}""")
     spark.stop()
   }
 }
