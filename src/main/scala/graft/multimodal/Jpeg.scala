@@ -931,16 +931,38 @@ object Jpeg {
     t
   }
 
-  /** Full 2-D IDCT (separable double-precision), level shift, clamp. */
+  /** Full 2-D IDCT (separable double-precision), level shift, clamp.
+    *
+    * Sparse-aware, bit-identical: both separable passes are bounded by
+    * the last nonzero coefficient row/column (a 64-int prescan). Every
+    * skipped term is `s += CosTable(_) * 0`, an exact IEEE no-op — adding
+    * ±0.0 can only flip the sign of an exact zero, which cannot survive
+    * `round(s/4 + 128)` — and the truncation drops only the tail, so the
+    * left-to-right summation order of the remaining terms is unchanged.
+    * Real-world JPEG blocks are quantized sparse (often DC + a few AC:
+    * 72 multiplies instead of 1024), which is what makes the decode seam
+    * scan-rate-bound rather than IDCT-bound at corpus scale;
+    * [[JpegIdctSparseSpec]] pins bounded ≡ unbounded on random
+    * zero-tailed blocks. */
   private[graft] def idct(coef: Array[Int]): Array[Int] = {
+    var maxR = 0; var maxC = 0
+    var i = 0
+    while (i < 64) {
+      if (coef(i) != 0) {
+        val r = i >> 3; val c = i & 7
+        if (r > maxR) maxR = r
+        if (c > maxC) maxC = c
+      }
+      i += 1
+    }
     val tmp = new Array[Double](64)
     var y = 0
-    while (y < 8) { // rows: 1-D over u for each v-row of coefficients
+    while (y <= maxR) { // rows: 1-D over u for each v-row of coefficients
       var x = 0
       while (x < 8) {
         var s = 0.0
         var u = 0
-        while (u < 8) { s += CosTable(x * 8 + u) * coef(y * 8 + u); u += 1 }
+        while (u <= maxC) { s += CosTable(x * 8 + u) * coef(y * 8 + u); u += 1 }
         tmp(y * 8 + x) = s
         x += 1
       }
@@ -953,7 +975,7 @@ object Jpeg {
       while (yy < 8) {
         var s = 0.0
         var v = 0
-        while (v < 8) { s += CosTable(yy * 8 + v) * tmp(v * 8 + x); v += 1 }
+        while (v <= maxR) { s += CosTable(yy * 8 + v) * tmp(v * 8 + x); v += 1 }
         val px = math.round(s / 4.0 + 128.0).toInt
         out(yy * 8 + x) = math.max(0, math.min(255, px))
         yy += 1
@@ -1787,8 +1809,16 @@ object Jpeg {
     * by the baseline interleaved decode and the progressive finalizer. */
   private def accumulateMcu(comps: Array[ScanComp], bx: Int, by: Int,
                             width: Int, height: Int, acc: ColorAcc): Unit = {
-    val maxH = comps.map(_.hs).max
-    val maxV = comps.map(_.vs).max
+    // allocation-free max over the (≤3) sampling factors: this runs once
+    // per MCU (millions of times per corpus slice), where the previous
+    // `comps.map(_.hs).max` boxed two throwaway arrays per call
+    var maxH = 1; var maxV = 1
+    var ci = 0
+    while (ci < comps.length) {
+      if (comps(ci).hs > maxH) maxH = comps(ci).hs
+      if (comps(ci).vs > maxV) maxV = comps(ci).vs
+      ci += 1
+    }
     val mcuW = 8 * maxH
     val mcuH = 8 * maxV
     val xMax = math.min(mcuW, width - bx * mcuW)
