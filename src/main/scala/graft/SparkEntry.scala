@@ -155,6 +155,23 @@ object SparkEntry {
     s.read.parquet(p)
   }
 
+  /** Run independent Spark ACTIONS concurrently from a bounded driver
+    * pool (guide §2.6: actions are only sequential because the driver
+    * calls them sequentially — overlapping lets a later job's tasks
+    * back-fill executors idled by the current job's straggler tail).
+    * Results keep `items` order; any failure rethrows. Used by the
+    * multi-lane dashboard queries whose lanes are independent counts. */
+  private def inParallel[A, B](items: Seq[A], threads: Int)(f: A => B): Seq[B] = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      val futs = items.map(a => scala.concurrent.Future(f(a)))
+      futs.map(scala.concurrent.Await.result(_,
+        scala.concurrent.duration.Duration.Inf))
+    } finally pool.shutdown()
+  }
+
   /** Fixed IVF centroids (first 8 vectors by id — the oracle substrate),
     * memoized per scale dir. */
   private val fixedCentroidCache =
@@ -1674,8 +1691,6 @@ object SparkEntry {
         (name, np, nq, hits,
           (BigInt(hits) * BigInt(1000000000L) / (BigInt(nq) * 5)).toLong)
       }
-      val ivfRows = Seq(1, 2, 4).map(np => lane("ivf", np,
-        Ivf.probe(index, q, "vec_id", "embedding", k = 5, nProbe = np)))
       // the quantized lane: ADC distances over the same cells — measures
       // what the 32× code compression costs in recall
       val pqIdx = pqIndexPaths.getOrElseUpdate(dir, {
@@ -1685,10 +1700,16 @@ object SparkEntry {
           fixedCentroids(s, dir), pqCodebooks(s, dir), p)
         p
       })
-      val rows = ivfRows :+ lane("ivfpq", 3,
-        graft.sim.Pq.probeCodeIndex(q, "vec_id", "embedding",
-          fixedCentroids(s, dir), pqCodebooks(s, dir), pqIdx,
-          nProbe = 3, k = 5))
+      // the four lanes are independent partition-pruned probe+count jobs —
+      // overlap them (guide §2.6) instead of paying four straggler tails
+      val laneFns: Seq[() => (String, Int, Long, Long, Long)] =
+        Seq(1, 2, 4).map(np => () => lane("ivf", np,
+          Ivf.probe(index, q, "vec_id", "embedding", k = 5, nProbe = np))) :+
+        (() => lane("ivfpq", 3,
+          graft.sim.Pq.probeCodeIndex(q, "vec_id", "embedding",
+            fixedCentroids(s, dir), pqCodebooks(s, dir), pqIdx,
+            nProbe = 3, k = 5)))
+      val rows = inParallel(laneFns, threads = 4)(_.apply())
       rows.toDF("lane", "n_probe", "n_queries", "hits", "recall_nano")
     }),
 
@@ -1705,14 +1726,29 @@ object SparkEntry {
       val q = e.filter(col("vec_id") % 50 === 0)
       val truth = recallTruth(s, dir)
       val nq = q.count()
-      val rows = Seq((1, 8), (2, 8), (4, 8), (2, 12)).map {
-        case (tables, bits) =>
-          val hits = Similarity.lshTopKMd5(e, q, "vec_id", "embedding",
-              dim = 64, k = 5, nBits = bits, nTables = tables)
-            .select(col("query_id"), col("neighbor_id"))
-            .join(truth, Seq("query_id", "neighbor_id")).count()
-          (tables, bits, nq, hits,
-            (BigInt(hits) * BigInt(1000000000L) / (BigInt(nq) * 5)).toLong)
+      // ONE corpus signature + probe-join pass covers the three nested
+      // 8-bit lanes (table seeds are prefix-stable, so `min_table < t`
+      // slices the t-table candidate set exactly — Similarity
+      // .lshCandidatesMd5); the 12-bit lane is a different hyperplane
+      // family and keeps its own pass. The cached-candidate lane counts
+      // and the 12-bit lane run OVERLAPPED (guide §2.6) so the second
+      // pass back-fills the first pass's straggler tail.
+      val cand = graft.ops.Caches.track(Similarity.lshCandidatesMd5(
+        e, q, "vec_id", "embedding", dim = 64, nBits = 8, nTables = 4))
+      def hitsOf(topk: DataFrame): Long = topk
+        .select(col("query_id"), col("neighbor_id"))
+        .join(truth, Seq("query_id", "neighbor_id")).count()
+      val lanes: Seq[() => Long] = Seq(
+        () => hitsOf(Similarity.lshTopKFromCandidates(cand, tables = 1, k = 5)),
+        () => hitsOf(Similarity.lshTopKFromCandidates(cand, tables = 2, k = 5)),
+        () => hitsOf(Similarity.lshTopKFromCandidates(cand, tables = 4, k = 5)),
+        () => hitsOf(Similarity.lshTopKMd5(e, q, "vec_id", "embedding",
+          dim = 64, k = 5, nBits = 12, nTables = 2)))
+      val hits = inParallel(lanes, threads = 4)(_.apply())
+      val rows = Seq((1, 8), (2, 8), (4, 8), (2, 12)).zip(hits).map {
+        case ((tables, bits), h) =>
+          (tables, bits, nq, h,
+            (BigInt(h) * BigInt(1000000000L) / (BigInt(nq) * 5)).toLong)
       }
       rows.toDF("n_tables", "n_bits", "n_queries", "hits", "recall_nano")
     }),

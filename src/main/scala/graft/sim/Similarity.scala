@@ -175,6 +175,60 @@ object Similarity {
         t -> ((v: Column) => lshBucketMd5(v, dim, nBits, seed = t * nBits))
       })
 
+  /** Per-pair LSH candidate stream for NESTED table-count lanes: the same
+    * probe structure as [[lshTopKMd5]] over `nTables` md5 tables, returning
+    * (query_id, neighbor_id, cosine, min_table) where `min_table` is the
+    * LOWEST table index in which the pair collides within hamming 1. Table
+    * seeds are `t * nBits`, so a t-table configuration's tables are exactly
+    * the first t of an nTables run — `min_table < t` reproduces
+    * [[lshTopKMd5]]'s candidate set for t tables verbatim, and ONE corpus
+    * signature + probe-join pass prices every nested lane (the recall
+    * dashboard previously re-scanned and re-joined per configuration).
+    * [[SimilaritySpec]] pins the lane slices against the per-lane runs. */
+  def lshCandidatesMd5(corpus: DataFrame, queries: DataFrame, idCol: String,
+                       vecCol: String, dim: Int, nBits: Int,
+                       nTables: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val tableBuckets = (0 until nTables).map { t =>
+      t -> ((v: Column) => lshBucketMd5(v, dim, nBits, seed = t * nBits))
+    }
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+        norm(col(vecCol)).as("__cn"),
+        explode(array(tableBuckets.map { case (t, b) =>
+          struct(lit(t).as("t"), b(col(vecCol)).as("b"))
+        }: _*)).as("__tb"))
+      .select(col("neighbor_id"), col("__cv"), col("__cn"),
+        col("__tb.t").as("__t"), col("__tb.b").as("__bucket"))
+    def probesOf(bucket: Column): Seq[Column] =
+      bucket +: (0 until nBits).map(i => bucket.bitwiseXOR(shiftleft(lit(1L), i)))
+    val q = broadcast(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+          norm(col(vecCol)).as("__qn"),
+          explode(array(tableBuckets.flatMap { case (t, b) =>
+            probesOf(b(col(vecCol))).map(p => struct(lit(t).as("t"), p.as("b")))
+          }: _*)).as("__tp"))
+        .select(col("query_id"), col("__qv"), col("__qn"),
+          col("__tp.t").as("__t"), col("__tp.b").as("__probe")))
+    q.alias("q").join(c.alias("c"),
+        col("q.__t") === col("c.__t") &&
+        col("q.__probe") === col("c.__bucket") &&
+        col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"),
+        cosinePre(col("__qv"), col("__cv"), col("__qn"), col("__cn")).as("cosine"))
+      .agg(min(col("q.__t")).as("min_table"))
+  }
+
+  /** Exact-cosine top-k within a [[lshCandidatesMd5]] slice — the same
+    * window as [[lshTopKWith]]'s final step, over `min_table < tables`. */
+  def lshTopKFromCandidates(cand: DataFrame, tables: Int, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cand.filter(col("min_table") < tables)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
   private def lshTopKWith(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, nBits: Int,

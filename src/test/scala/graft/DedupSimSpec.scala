@@ -237,6 +237,26 @@ class DedupSimSpec extends AnyFunSuite with SparkTestBase {
     info(s"md5 twins: topk recall=$r, pair recall=$rp")
   }
 
+  test("lshCandidatesMd5 lane slices reproduce per-lane lshTopKMd5 exactly") {
+    // the r13 recall-dashboard optimization: one 4-table candidate pass,
+    // nested lanes sliced by min_table — must equal the per-lane runs
+    val q = emb.filter(col("vec_id") % 50 === 0)
+    val cand = Similarity.lshCandidatesMd5(emb, q, "vec_id", "embedding",
+      dim = 64, nBits = 8, nTables = 4).cache()
+    try {
+      for (tb <- Seq(1, 2, 4)) {
+        val sliced = Similarity.lshTopKFromCandidates(cand, tables = tb, k = 5)
+          .select("query_id", "neighbor_id", "rank")
+          .as[(Long, Long, Int)].collect().toSet
+        val direct = Similarity.lshTopKMd5(emb, q, "vec_id", "embedding",
+            dim = 64, k = 5, nBits = 8, nTables = tb)
+          .select("query_id", "neighbor_id", "rank")
+          .as[(Long, Long, Int)].collect().toSet
+        assert(sliced === direct, s"tables=$tb lane mismatch")
+      }
+    } finally cand.unpersist()
+  }
+
   test("cell-scoped pairs (SemDeDup) equal brute force restricted to co-celled pairs") {
     val cents = emb.orderBy(col("vec_id")).limit(4)
       .select(org.apache.spark.sql.functions.transform(col("embedding"), _.cast("double")))
