@@ -410,6 +410,19 @@ object Retrieval {
         explode(array_distinct(TextFunctions.tokens(col(qtextCol)))).as("term"))
     val termList = qterms.select(col("term")).distinct()
       .collect().map(_.getString(0)).toSeq // control-sized
+    bm25BatchTerms(spark, index, qterms, termList, k, k1, b)
+  }
+
+  /** [[bm25Batch]] over an already-exploded (qid, term) frame plus its
+    * pre-collected distinct-term list — the shape [[towerLists]] holds
+    * natively, so callers that already paid the driver term collect don't
+    * re-tokenize a qtext round-trip or collect a second time. `termList`
+    * may be a SUPERSET of `qterms`' terms (bucket pruning only loosens);
+    * scoring joins on the exact (qid, term) pairs. */
+  private[graft] def bm25BatchTerms(spark: SparkSession, index: InvertedIndex,
+                                   qterms: DataFrame, termList: Seq[String],
+                                   k: Int, k1: Double = 1.2,
+                                   b: Double = 0.75): DataFrame = {
     require(termList.nonEmpty, "no query terms")
     val buckets = termList.map(termBucket(_, index.numBuckets)).distinct
     val postings = liveRows(spark, index,
@@ -629,21 +642,32 @@ object Retrieval {
       idCol: String, textCol: String,
       embeddings: DataFrame, vecIdCol: String, vecCol: String,
       kEach: Int, maxQueryTerms: Int): (DataFrame, DataFrame) = {
-    val dfTab = liveRows(spark, index,
-      spark.read.parquet(index.postingsDir))
-      .groupBy(col("term")).agg(count(lit(1)).as("__df"))
     val qtok = probes.select(col(idCol).as("__q"),
       explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("term"))
+    // ONE driver collect of the control-sized probe vocabulary, reused by
+    // (a) the df read's bucket+term pruning and (b) bm25 scoring — the df
+    // table was previously derived from a FULL live-postings scan (the
+    // index stores no term dictionary by design; df for a term lives in
+    // its own bucket), and the selected-terms frame took a cache job plus
+    // a second collect through a qtext string round-trip
+    val termList = qtok.select(col("term")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    require(termList.nonEmpty, "no probe terms")
+    val buckets = termList.map(termBucket(_, index.numBuckets)).distinct
+    val dfTab = liveRows(spark, index,
+      spark.read.parquet(index.postingsDir)
+        .filter(col("bucket").isin(buckets: _*))
+        .filter(col("term").isin(termList: _*)))
+      .groupBy(col("term")).agg(count(lit(1)).as("__df"))
     val pickW = Window.partitionBy(col("__q")).orderBy(col("__df"), col("term"))
-    // pinned: bm25Batch's driver-side term collect and its scoring join
-    // would otherwise each replay the postings-df scan + selection window
-    val probes2 = graft.ops.Caches.track(qtok
+    // selected (qid, term) pairs: consumed exactly once (broadcast into the
+    // scoring join), so no cache pin is needed anymore
+    val qsel = qtok
       .join(broadcast(dfTab), Seq("term"))
       .withColumn("__rn", row_number().over(pickW))
       .filter(col("__rn") <= maxQueryTerms)
-      .groupBy(col("__q").as("qid"))
-      .agg(concat_ws(" ", sort_array(collect_list(col("term")))).as("qtext")))
-    val lex = bm25Batch(spark, index, probes2, "qid", "qtext", kEach + 1)
+      .select(col("__q").as("qid"), col("term"))
+    val lex = bm25BatchTerms(spark, index, qsel, termList, kEach + 1)
       .filter(col("doc") =!= col("qid"))
       .withColumn("rank", row_number().over(Window.partitionBy(col("qid"))
         .orderBy(col("score_micro").desc, col("doc"))))

@@ -87,6 +87,30 @@ class RetrievalSpec extends AnyFunSuite with SparkTestBase {
     } finally graft.core.TempDirs.deleteRecursively(java.nio.file.Paths.get(dir))
   }
 
+  test("bm25BatchTerms with a superset termList equals bm25Batch") {
+    // towerLists passes the probe VOCABULARY (a superset of the selected
+    // terms) for bucket/scan pruning; df and scores must be unaffected by
+    // the extra pruned-in terms because scoring joins the exact (qid, term)
+    // pairs and df counts each term's own postings only
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_terms").toString
+    try {
+      val idx = Retrieval.buildIndex(docs, "text", "doc_id", dir, numBuckets = 8)
+      val qs = Seq(("q1", "join table"), ("q2", "window scan"))
+      val viaBatch = Retrieval.bm25Batch(spark, idx, qs.toDF("qid", "qtext"),
+          "qid", "qtext", k = 4)
+        .select("qid", "doc", "score_micro", "n_terms", "rank")
+        .collect().toSet
+      val qterms = qs.toDF("qid", "qtext").select(col("qid"),
+        explode(split(col("qtext"), " ")).as("term"))
+      val superset = Seq("join", "table", "window", "scan",
+        "sort", "merge", "group") // extra terms beyond the queries'
+      val viaTerms = Retrieval.bm25BatchTerms(spark, idx, qterms, superset, k = 4)
+        .select("qid", "doc", "score_micro", "n_terms", "rank")
+        .collect().toSet
+      assert(viaTerms == viaBatch)
+    } finally graft.core.TempDirs.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
   test("bm25Batch slices equal the single-query probe per qid") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bm25_batch").toString
     try {
