@@ -103,60 +103,75 @@ object Jpeg {
 
   // ------------------------------------------------------------ encoder
 
+  /** Entropy bit sink. Bits accumulate in an Int (≤ 8 pending + ≤ 16 per
+    * write stays inside 31 bits) and flush whole bytes into a raw growing
+    * array — the previous bit-at-a-time loop into a (synchronized)
+    * ByteArrayOutputStream dominated every fixture-encode profile. The
+    * emitted byte stream (stuffing, 1-padding, markers) is bit-identical. */
   private final class BitWriter {
-    private val out = new java.io.ByteArrayOutputStream()
+    private var buf = new Array[Byte](1 << 12)
+    private var n = 0
     private var acc = 0
     private var nBits = 0
+    private def ensure(k: Int): Unit =
+      if (n + k > buf.length)
+        buf = java.util.Arrays.copyOf(buf, math.max(buf.length << 1, n + k))
     def write(code: Int, len: Int): Unit = {
-      var i = len - 1
-      while (i >= 0) {
-        acc = (acc << 1) | ((code >>> i) & 1)
-        nBits += 1
-        if (nBits == 8) {
-          out.write(acc)
-          if (acc == 0xff) out.write(0x00) // byte stuffing
-          acc = 0; nBits = 0
+      if (len > 0) {
+        acc = (acc << len) | (code & ((1 << len) - 1))
+        nBits += len
+        while (nBits >= 8) {
+          nBits -= 8
+          val b = (acc >>> nBits) & 0xff
+          ensure(2)
+          buf(n) = b.toByte; n += 1
+          if (b == 0xff) { buf(n) = 0; n += 1 } // byte stuffing
         }
-        i -= 1
+        acc &= (1 << nBits) - 1
       }
     }
     /** Pad the current partial byte with 1-bits (spec convention). */
-    def align(): Unit = {
-      if (nBits > 0) {
-        acc = (acc << (8 - nBits)) | ((1 << (8 - nBits)) - 1)
-        out.write(acc)
-        if (acc == 0xff) out.write(0x00) // pad byte is entropy data: stuff
-        acc = 0; nBits = 0
-      }
-    }
+    def align(): Unit =
+      if (nBits > 0) write((1 << (8 - nBits)) - 1, 8 - nBits)
     /** Byte-align and emit a raw (unstuffed) marker — used for RSTn. */
     def marker(m: Int): Unit = {
       align()
-      out.write(0xff); out.write(m)
+      ensure(2)
+      buf(n) = 0xff.toByte; buf(n + 1) = m.toByte; n += 2
     }
     def finish(): Array[Byte] = {
       align()
-      out.toByteArray
+      java.util.Arrays.copyOf(buf, n)
     }
   }
 
-  /** Canonical code assignment from (counts-per-length, values):
-    * value -> (code, length). */
-  private def canonical(bits: Array[Int], vals: Array[Byte]): Map[Int, (Int, Int)] = {
+  /** Flat canonical Huffman table: symbol → (code, length) as two
+    * 256-entry arrays (length 0 = symbol absent) — the per-symbol hot
+    * path is two array reads instead of a boxed Map lookup + tuple. */
+  private final class CodeTab(val codes: Array[Int], val lens: Array[Int]) {
+    @inline def emit(bw: BitWriter, sym: Int): Unit =
+      bw.write(codes(sym), lens(sym))
+    @inline def has(sym: Int): Boolean = lens(sym) != 0
+  }
+
+  /** Canonical code assignment from (counts-per-length, values). */
+  private def canonical(bits: Array[Int], vals: Array[Byte]): CodeTab = {
+    val codes = new Array[Int](256)
+    val lens = new Array[Int](256)
     var code = 0
     var vi = 0
-    val m = Map.newBuilder[Int, (Int, Int)]
     var len = 1
     while (len <= 16) {
       var i = 0
       while (i < bits(len - 1)) {
-        m += ((vals(vi) & 0xff) -> (code, len))
+        codes(vals(vi) & 0xff) = code
+        lens(vals(vi) & 0xff) = len
         code += 1; vi += 1; i += 1
       }
       code <<= 1
       len += 1
     }
-    m.result()
+    new CodeTab(codes, lens)
   }
 
   private def category(v: Int): Int = {
@@ -175,13 +190,11 @@ object Jpeg {
     * symbols with ZRL for 16-zero runs and a closing EOB. Returns the new
     * DC predictor for this block's component. */
   private def writeBlock(bw: BitWriter, b: Array[Int], prevDc: Int,
-                         dcCodes: Map[Int, (Int, Int)],
-                         acCodes: Map[Int, (Int, Int)]): Int = {
+                         dcCodes: CodeTab, acCodes: CodeTab): Int = {
     require(b.length == 64, "each block carries 64 zigzag coefficients")
     val diff = b(0) - prevDc
     val s = category(diff)
-    val (c, l) = dcCodes(s)
-    bw.write(c, l)
+    dcCodes.emit(bw, s)
     if (s > 0) bw.write(if (diff < 0) diff + (1 << s) - 1 else diff, s)
     var k = 1
     var run = 0
@@ -189,21 +202,19 @@ object Jpeg {
       val v = b(k)
       if (v == 0) run += 1
       else {
-        while (run >= 16) {
-          val (zc, zl) = acCodes(0xF0); bw.write(zc, zl); run -= 16
-        }
+        while (run >= 16) { acCodes.emit(bw, 0xF0); run -= 16 }
         val sz = category(v)
         val sym = (run << 4) | sz
-        val (ac, al) = acCodes.getOrElse(sym,
+        if (!acCodes.has(sym))
           throw new IllegalArgumentException(
-            f"fixture AC table lacks symbol 0x$sym%02X"))
-        bw.write(ac, al)
+            f"fixture AC table lacks symbol 0x$sym%02X")
+        acCodes.emit(bw, sym)
         bw.write(if (v < 0) v + (1 << sz) - 1 else v, sz)
         run = 0
       }
       k += 1
     }
-    if (run > 0) { val (ec, el) = acCodes(0x00); bw.write(ec, el) } // EOB
+    if (run > 0) acCodes.emit(bw, 0x00) // EOB
     b(0)
   }
 
@@ -282,22 +293,25 @@ object Jpeg {
     * per MCU (one block per "MCU" for gray) so restart markers land on
     * MCU boundaries, resetting every predictor. */
   private def progDcFirst(mcus: Seq[Seq[(Int, Array[Int])]], nComp: Int,
-                          dcCodes: Array[Map[Int, (Int, Int)]],
+                          dcCodes: Array[CodeTab],
                           al: Int, restartEvery: Int): Array[Byte] = {
     val bw = new BitWriter
     val pred = new Array[Int](nComp)
-    for ((mcu, i) <- mcus.zipWithIndex) {
+    val ms = mcus.toIndexedSeq
+    var i = 0
+    while (i < ms.length) {
       if (restartEvery > 0 && i > 0 && i % restartEvery == 0) {
         bw.marker(0xd0 + ((i / restartEvery - 1) & 7))
         java.util.Arrays.fill(pred, 0)
       }
-      for ((ci, b) <- mcu) {
+      ms(i).foreach { case (ci, b) =>
         val v = b(0) >> al
         val diff = v - pred(ci); pred(ci) = v
         val s = category(diff)
-        val (c, l) = dcCodes(ci)(s); bw.write(c, l)
+        dcCodes(ci).emit(bw, s)
         if (s > 0) bw.write(if (diff < 0) diff + (1 << s) - 1 else diff, s)
       }
+      i += 1
     }
     bw.finish()
   }
@@ -307,10 +321,13 @@ object Jpeg {
   private def progDcRefine(mcus: Seq[Seq[(Int, Array[Int])]], al: Int,
                            restartEvery: Int): Array[Byte] = {
     val bw = new BitWriter
-    for ((mcu, i) <- mcus.zipWithIndex) {
+    val ms = mcus.toIndexedSeq
+    var i = 0
+    while (i < ms.length) {
       if (restartEvery > 0 && i > 0 && i % restartEvery == 0)
         bw.marker(0xd0 + ((i / restartEvery - 1) & 7))
-      for ((_, b) <- mcu) bw.write((b(0) >> al) & 1, 1)
+      ms(i).foreach { case (_, b) => bw.write((b(0) >> al) & 1, 1) }
+      i += 1
     }
     bw.finish()
   }
@@ -319,7 +336,7 @@ object Jpeg {
     * truncated magnitudes at Al, zero runs with ZRL, all-zero /
     * trailing-zero bands folded into cross-block EOBn runs. */
   private def progAcFirst(blocks: Seq[Array[Int]],
-                          acCodes: Map[Int, (Int, Int)],
+                          acCodes: CodeTab,
                           ss: Int, se: Int, al: Int,
                           restartEvery: Int = 0): Array[Byte] = {
     val bw = new BitWriter
@@ -327,42 +344,47 @@ object Jpeg {
     def emitEobrun(): Unit = if (eobrun > 0) {
       var r = 0
       while ((eobrun >> (r + 1)) > 0) r += 1
-      val (c, l) = acCodes(r << 4); bw.write(c, l)
+      acCodes.emit(bw, r << 4)
       if (r > 0) bw.write(eobrun - (1 << r), r)
       eobrun = 0
     }
-    for ((b, bi) <- blocks.zipWithIndex) {
+    val bs = blocks.toIndexedSeq
+    val t = new Array[Int](64) // scratch, reused across blocks
+    var bi = 0
+    while (bi < bs.length) {
       if (restartEvery > 0 && bi > 0 && bi % restartEvery == 0) {
         emitEobrun() // an EOB run never crosses a restart boundary
         bw.marker(0xd0 + ((bi / restartEvery - 1) & 7))
       }
-      val t = Array.tabulate(64) { k =>
+      val b = bs(bi)
+      var last = ss - 1 // last index in [ss, se] with nonzero shifted value
+      var k = ss
+      while (k <= se) {
         val m = math.abs(b(k)) >> al
-        if (b(k) < 0) -m else m
+        t(k) = if (b(k) < 0) -m else m
+        if (m != 0) last = k
+        k += 1
       }
-      val lastNz = (se to ss by -1).find(k => t(k) != 0)
-      lastNz match {
-        case None =>
-          eobrun += 1; if (eobrun == 0x7fff) emitEobrun()
-        case Some(last) =>
-          emitEobrun()
-          var run = 0; var k = ss
-          while (k <= last) {
-            val v = t(k)
-            if (v == 0) run += 1
-            else {
-              while (run >= 16) {
-                val (zc, zl) = acCodes(0xF0); bw.write(zc, zl); run -= 16
-              }
-              val s = category(v)
-              val (c, l) = acCodes((run << 4) | s); bw.write(c, l)
-              bw.write(if (v < 0) v + (1 << s) - 1 else v, s)
-              run = 0
-            }
-            k += 1
+      if (last < ss) {
+        eobrun += 1; if (eobrun == 0x7fff) emitEobrun()
+      } else {
+        emitEobrun()
+        var run = 0; k = ss
+        while (k <= last) {
+          val v = t(k)
+          if (v == 0) run += 1
+          else {
+            while (run >= 16) { acCodes.emit(bw, 0xF0); run -= 16 }
+            val s = category(v)
+            acCodes.emit(bw, (run << 4) | s)
+            bw.write(if (v < 0) v + (1 << s) - 1 else v, s)
+            run = 0
           }
-          if (last < se) { eobrun += 1; if (eobrun == 0x7fff) emitEobrun() }
+          k += 1
+        }
+        if (last < se) { eobrun += 1; if (eobrun == 0x7fff) emitEobrun() }
       }
+      bi += 1
     }
     emitEobrun()
     bw.finish()
@@ -374,7 +396,7 @@ object Jpeg {
     * (or ride the pending EOBn) — the jcphuff encode_mcu_AC_refine
     * structure with its BE/BR two-pool split. */
   private def progAcRefine(blocks: Seq[Array[Int]],
-                           acCodes: Map[Int, (Int, Int)],
+                           acCodes: CodeTab,
                            ss: Int, se: Int, al: Int,
                            restartEvery: Int = 0): Array[Byte] = {
     val bw = new BitWriter
@@ -392,20 +414,30 @@ object Jpeg {
     def emitEobrun(): Unit = if (eobrun > 0) {
       var r = 0
       while ((eobrun >> (r + 1)) > 0) r += 1
-      val (c, l) = acCodes(r << 4); bw.write(c, l)
+      acCodes.emit(bw, r << 4)
       if (r > 0) bw.write(eobrun - (1 << r), r)
       eobrun = 0
       attached.foreach(bw.write(_, 1)); attached.clear()
     }
-    for ((b, bi) <- blocks.zipWithIndex) {
+    val bs = blocks.toIndexedSeq
+    val mag = new Array[Int](64) // scratch, reused across blocks
+    var bi = 0
+    while (bi < bs.length) {
       if (restartEvery > 0 && bi > 0 && bi % restartEvery == 0) {
         emitEobrun() // flushes the run AND its attached correction bits
         bw.marker(0xd0 + ((bi / restartEvery - 1) & 7))
       }
-      val mag = Array.tabulate(64)(k => math.abs(b(k)) >> al)
-      val eobIdx = (se to ss by -1).find(k => mag(k) == 1).getOrElse(ss - 1)
-      var r = 0
+      val b = bs(bi)
+      var eobIdx = ss - 1 // last index in [ss, se] with magnitude exactly 1
       var k = ss
+      while (k <= se) {
+        val m = math.abs(b(k)) >> al
+        mag(k) = m
+        if (m == 1) eobIdx = k
+        k += 1
+      }
+      var r = 0
+      k = ss
       while (k <= se) {
         val temp = mag(k)
         if (temp == 0) r += 1
@@ -416,14 +448,14 @@ object Jpeg {
           // decoder will consume while advancing over those 16 zeros
           while (r > 15 && k <= eobIdx) {
             emitEobrun()
-            val (zc, zl) = acCodes(0xF0); bw.write(zc, zl)
+            acCodes.emit(bw, 0xF0)
             r -= 16
             flushCurrent()
           }
           if (temp > 1) current += (temp & 1) // correction bit only
           else {
             emitEobrun()
-            val (c, l) = acCodes((r << 4) | 1); bw.write(c, l)
+            acCodes.emit(bw, (r << 4) | 1)
             bw.write(if (b(k) < 0) 0 else 1, 1)
             flushCurrent()
             r = 0
@@ -436,6 +468,7 @@ object Jpeg {
         attached ++= current; current.clear() // bits join the run
         if (eobrun == 0x7fff) emitEobrun()
       }
+      bi += 1
     }
     emitEobrun()
     bw.finish()
