@@ -66,23 +66,44 @@ object Flac {
 
   // ---- bit IO (MSB-first, like the spec) ------------------------------
 
+  /** MSB-first bit sink. Bits accumulate in a Long (≤ 8 pending + ≤ 32
+    * per chunk) and flush whole bytes into a raw growing array — the
+    * previous bit-at-a-time loop into a (synchronized)
+    * ByteArrayOutputStream dominated the fixture-encode profile; Rice
+    * unary runs made it quadratic-feeling per residual. Byte output is
+    * bit-identical. */
   private final class BitWriter {
-    private val out = new java.io.ByteArrayOutputStream()
-    private var acc = 0
+    private var buf = new Array[Byte](1 << 12)
+    private var n = 0
+    private var acc = 0L
     private var nBits = 0
-    def write(v: Long, bits: Int): Unit = {
-      var i = bits - 1
-      while (i >= 0) {
-        acc = (acc << 1) | ((v >>> i) & 1L).toInt
-        nBits += 1
-        if (nBits == 8) { out.write(acc); acc = 0; nBits = 0 }
-        i -= 1
+    private def ensure(k: Int): Unit =
+      if (n + k > buf.length)
+        buf = java.util.Arrays.copyOf(buf, math.max(buf.length << 1, n + k))
+    private def put(v: Long, bits: Int): Unit = { // bits <= 32
+      if (bits > 0) {
+        acc = (acc << bits) | (v & ((1L << bits) - 1))
+        nBits += bits
+        while (nBits >= 8) {
+          nBits -= 8
+          ensure(1)
+          buf(n) = ((acc >>> nBits) & 0xff).toByte; n += 1
+        }
+        acc &= (1L << nBits) - 1
       }
     }
-    def writeUnary(n: Int): Unit = { write(0L, n); write(1L, 1) }
+    def write(v: Long, bits: Int): Unit =
+      if (bits > 32) { put(v >>> 32, bits - 32); put(v, 32) }
+      else put(v, bits)
+    def writeUnary(n: Int): Unit = {
+      var left = n // n zero bits in <=32-bit chunks, then the closing 1
+      while (left > 32) { put(0L, 32); left -= 32 }
+      put(0L, left)
+      put(1L, 1)
+    }
     /** Pad the current byte with zero bits (frame epilogue). */
-    def align(): Unit = if (nBits > 0) write(0L, 8 - nBits)
-    def toBytes: Array[Byte] = { align(); out.toByteArray }
+    def align(): Unit = if (nBits > 0) put(0L, 8 - nBits)
+    def toBytes: Array[Byte] = { align(); java.util.Arrays.copyOf(buf, n) }
   }
 
   private final class BitReader(blob: Array[Byte], start: Int) {
