@@ -23,7 +23,14 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     "mm_decode_jpeg_parallel" -> 3,
     "incr_time_travel" -> 0,
     "mm_decode_jpeg_color" -> 2,
-    "search_hybrid_rrf" -> 10,
+    // 10 -> 13 in round 13: towerLists' selected-terms cache pin was
+    // dropped (the InMemoryRelation HID its subtree's exchanges from this
+    // count while paying them in a separate population job); the same
+    // subtree now plans inline with the full-postings df scan replaced by
+    // a bucket+term-pruned read — fewer scans and exchanges overall
+    // (plans/r13/search_hybrid_rrf_{before,after}.txt), one plan instead
+    // of cache-populate + probe
+    "search_hybrid_rrf" -> 13,
     "mm_decode_video" -> 2,
     "dedup_minhash_incr" -> 4,
     "sim_recall_lsh" -> 0, // dashboard: control rows, work in the counts
