@@ -63,17 +63,28 @@ object Components {
            org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => true
       case _ => false
     }
-    // one count job against the tracked cache (the driver-path probe needs
-    // it anyway); also sizes the LOG-SCALED iteration bound below
-    val nEdges = edges.count()
-    if (integralIds && nEdges <= driverEdgeLimit) {
-      driverPathCount.incrementAndGet()
+    // FUSED size probe + collect: limit(driverEdgeLimit+1).collect() in ONE
+    // job — at most `limit` rows back means the probe already holds the
+    // COMPLETE edge set (the previous count-then-collect shape paid the
+    // pipeline in the count and a second job for the collect). The decision
+    // unit is unchanged: distinct directed edges vs driverEdgeLimit. A
+    // probe overflow (limit+1 rows) is discarded and the loop below runs
+    // against the cached edge frame. driverEdgeLimit <= 0 (graph_components'
+    // forced-distributed knob) skips the probe entirely.
+    if (integralIds && driverEdgeLimit > 0) {
       import spark.implicits._
-      val es = edges.select(col("__src").cast("long"), col("__dst").cast("long"))
-        .as[(Long, Long)].collect()
-      return driverUnionFind(es).toSeq.toDF("id", "cluster")
-        .select(col("id").cast(idType), col("cluster").cast(idType).as("cluster"))
+      val cap = math.min(driverEdgeLimit, (Int.MaxValue - 2).toLong).toInt + 1
+      val probe = edges.select(col("__src").cast("long"), col("__dst").cast("long"))
+        .limit(cap).as[(Long, Long)].collect()
+      if (probe.length <= driverEdgeLimit) {
+        driverPathCount.incrementAndGet()
+        return driverUnionFind(probe).toSeq.toDF("id", "cluster")
+          .select(col("id").cast(idType), col("cluster").cast(idType).as("cluster"))
+      }
     }
+    // distributed path: one count job against the tracked cache, sizing
+    // the LOG-SCALED iteration bound below
+    val nEdges = edges.count()
     // tiny-data loop: every round shuffles (id, label) pairs of the
     // near-dup node set — AQE's per-stage job splitting and the session's
     // shuffle width only add fixed overhead here (same rationale as
