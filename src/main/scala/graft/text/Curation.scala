@@ -669,22 +669,40 @@ object Curation {
                          defaultBudget: Long,
                          salt: String = "graft-mix",
                          nShards: Int = 16): DataFrame = {
-    val budget = budgets.foldLeft(lit(defaultBudget)) {
-      case (acc, (src, b)) => when(col(sourceCol) === src, lit(b)).otherwise(acc)
-    }
+    val (base, totals) = mixShardTotals(counted, idCol, sourceCol, salt, nShards)
+    mixFill(base, totals, idCol, sourceCol, budgets, defaultBudget)
+  }
+
+  /** Shared first pass of the budgeted mixes: the sharded frame (cached —
+    * it feeds the totals collect AND the fill window) plus the
+    * per-(source, shard) token totals as driver-side control data.
+    * shard = floor(u·nShards) is monotone in u, so shard order IS prefix
+    * order: every row of shard s precedes every row of shard s+1 in the
+    * source's global (u, id) order, and the within-shard running sum plus
+    * the exclusive shard offset is the exact global cumulative sum. */
+  private def mixShardTotals(counted: DataFrame, idCol: String,
+                             sourceCol: String, salt: String, nShards: Int)
+      : (DataFrame, Map[(String, Int), Long]) = {
     val u = hashUniform(col(idCol), salt)
-    // shard = floor(u·nShards) is monotone in u, so shard order IS prefix
-    // order: every row of shard s precedes every row of shard s+1 in the
-    // source's global (u, id) order, and the within-shard running sum plus
-    // the exclusive shard offset is the exact global cumulative sum
     val base = graft.ops.Caches.track(
       counted.select(col(idCol), col(sourceCol), col("n_tok"),
-        u.as("__u"), budget.as("__budget"),
+        u.as("__u"),
         least(floor(u * nShards).cast("int"), lit(nShards - 1)).as("__sh")))
     // per-(source, shard) token totals: control data (|sources|·nShards longs)
     val totals = base.groupBy(col(sourceCol), col("__sh"))
       .agg(sum(col("n_tok")).as("__t")).collect()
       .map(r => ((r.getString(0), r.getInt(1)), r.getLong(2))).toMap
+    (base, totals)
+  }
+
+  /** Greedy fill against known budgets over the sharded frame. */
+  private def mixFill(base: DataFrame, totals: Map[(String, Int), Long],
+                      idCol: String, sourceCol: String,
+                      budgets: Map[String, Long],
+                      defaultBudget: Long): DataFrame = {
+    val budget = budgets.foldLeft(lit(defaultBudget)) {
+      case (acc, (src, b)) => when(col(sourceCol) === src, lit(b)).otherwise(acc)
+    }
     val offMap = typedLit(totals.keys.groupBy(_._1).flatMap { case (src, ks) =>
       val shs = ks.map(_._2).toSeq.sorted
       val offs = shs.scanLeft(0L)((acc, s) => acc + totals((src, s))).dropRight(1)
@@ -694,6 +712,7 @@ object Curation {
       .orderBy(col("__u"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     base
+      .withColumn("__budget", budget)
       .withColumn("cum_tok", sum(col("n_tok")).over(w) +
         element_at(offMap, concat_ws(":", col(sourceCol), col("__sh"))))
       .filter(col("cum_tok") - col("n_tok") < col("__budget"))
@@ -718,13 +737,16 @@ object Curation {
   def mixByTemperature(docs: DataFrame, idCol: String, textCol: String,
                        sourceCol: String, alpha: Double, frac: Double,
                        salt: String = "graft-mix"): DataFrame = {
-    // tokenize ONCE: the counted frame feeds both the budget derivation
-    // (driver aggregate) and the greedy fill
-    val counted = graft.ops.Caches.track(docs.select(col(idCol), col(sourceCol),
-      size(TextFunctions.subwordTokens(col(textCol))).cast("long").as("n_tok")))
-    val counts = counted
-      .groupBy(col(sourceCol)).agg(sum(col("n_tok")).as("__n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    // tokenize ONCE, and collect ONCE: the per-(source, shard) totals the
+    // greedy fill needs anyway also carry the per-source sums the budget
+    // derivation needs (exact long addition, associative — identical to
+    // the former separate groupBy(source) collect)
+    val counted = docs.select(col(idCol), col(sourceCol),
+      size(TextFunctions.subwordTokens(col(textCol))).cast("long").as("n_tok"))
+    val (base, totals) = mixShardTotals(counted, idCol, sourceCol, salt,
+      nShards = 16)
+    val counts = totals.toSeq.groupBy(_._1._1)
+      .map { case (s, xs) => s -> xs.map(_._2).sum }.toSeq
     val total = counts.map(_._2).sum
     val budgetT = math.floor(frac * total).toLong
     val weights = counts.map { case (s, n) =>
@@ -734,8 +756,7 @@ object Curation {
     val budgets = weights.map { case (s, w) =>
       s -> (BigInt(budgetT) * w / sumW).toLong
     }.toMap
-    mixToBudgetCounted(counted, idCol, sourceCol, budgets,
-      defaultBudget = 0L, salt)
+    mixFill(base, totals, idCol, sourceCol, budgets, defaultBudget = 0L)
   }
 
   /** MODEL-driven mixture reweighting (the domain-reweighting idea behind
