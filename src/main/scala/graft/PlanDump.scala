@@ -23,12 +23,20 @@ object PlanDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     new java.io.File(outDir).mkdirs()
+    // NonFatal only — an OOM must kill the run, not land as a fake plan
+    // record; any per-query failure makes the exit nonzero so a plan
+    // audit can't mistake "PLAN ERROR" artifacts for captured plans
+    var failures = 0
     for (name <- names) {
       val text = try {
         val df = SparkEntry.queries(name)(spark, sfDir)
         df.collect() // drive AQE to the final plan
         df.queryExecution.explainString(FormattedMode)
-      } catch { case e: Throwable => s"PLAN ERROR: ${e.getMessage}" }
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          failures += 1
+          s"PLAN ERROR: ${e.getMessage}"
+      }
       java.nio.file.Files.write(
         java.nio.file.Paths.get(s"$outDir/${name}_$suffix.txt"),
         (s"== $name @ $sfDir ==\n" + text).getBytes("UTF-8"))
@@ -39,5 +47,9 @@ object PlanDump {
       spark.streams.resetTerminated()
     }
     spark.stop()
+    if (failures > 0) {
+      System.err.println(s"PLANDUMP FAILURES: $failures of ${names.size}")
+      sys.exit(1)
+    }
   }
 }

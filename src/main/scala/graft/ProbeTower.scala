@@ -65,8 +65,9 @@ object ProbeTower {
         graft.sim.Similarity.bruteForceTopK(e, qvecs, "vec_id", "embedding", 20)
           .count()
       }
-      // piece 5: the three queries end to end (memoized index is fresh per
-      // round via the private map? no — use Retrieval directly)
+      // piece 5: the three queries end to end — calls Retrieval directly
+      // (not SparkEntry) to bypass SparkEntry's per-dir index memoization,
+      // so each probe run prices a cold index build + query
       t("hybridRrf end-to-end") {
         graft.text.Retrieval.hybridRrf(spark, index, probes, "doc_id", "text",
           spark.read.parquet(s"$sfDir/embeddings.parquet"), "vec_id",

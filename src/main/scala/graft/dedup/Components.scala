@@ -76,7 +76,11 @@ object Components {
       val cap = math.min(driverEdgeLimit, (Int.MaxValue - 2).toLong).toInt + 1
       val probe = edges.select(col("__src").cast("long"), col("__dst").cast("long"))
         .limit(cap).as[(Long, Long)].collect()
-      if (probe.length <= driverEdgeLimit) {
+      // STRICTLY fewer rows than requested proves the probe holds the
+      // complete edge set even when cap clamped below driverEdgeLimit+1
+      // (a Long limit near Int.MaxValue would otherwise accept a
+      // TRUNCATED probe and union-find a partial graph)
+      if (probe.length < cap) {
         driverPathCount.incrementAndGet()
         return driverUnionFind(probe).toSeq.toDF("id", "cluster")
           .select(col("id").cast(idType), col("cluster").cast(idType).as("cluster"))

@@ -106,21 +106,45 @@ object Flac {
     def toBytes: Array[Byte] = { align(); java.util.Arrays.copyOf(buf, n) }
   }
 
-  private final class BitReader(blob: Array[Byte], start: Int) {
-    private var pos = start
-    private var bit = 0
+  /** Accumulator bit reader: the old per-bit reader paid a bounds check,
+    * two shifts and a conditional byte advance PER BIT — and Rice unary
+    * runs one full iteration per zero bit. A 64-bit accumulator makes
+    * multi-bit reads O(1) and unary runs one numberOfLeadingZeros per
+    * ≤64-bit chunk. Semantics are pinned identical to the per-bit
+    * reader ([[FlacBitReaderSpec]]): same bits in the same order, the
+    * same "FLAC stream truncated" require as soon as a CONSUMED bit
+    * would pass the blob end (prefetch never throws), the same runaway-
+    * unary bound, and [[bytePos]]/[[align]] reconstructed from the
+    * consumed-bit invariant (loaded − buffered ≡ consumed, loads are
+    * whole bytes, so the buffered count mod 8 IS the intra-byte
+    * position). */
+  private[multimodal] final class BitReader(blob: Array[Byte], start: Int) {
+    private var pos = start // next unread stream byte
+    private var acc = 0L // low `nAcc` bits are valid, newest at bit 0
+    private var nAcc = 0
+    private def fill(): Unit = {
+      while (nAcc <= 56 && pos < blob.length) {
+        acc = (acc << 8) | (blob(pos) & 0xffL)
+        nAcc += 8; pos += 1
+      }
+    }
     def readBit(): Int = {
-      require(pos < blob.length, "FLAC stream truncated")
-      val v = (blob(pos) >> (7 - bit)) & 1
-      bit += 1
-      if (bit == 8) { bit = 0; pos += 1 }
-      v
+      if (nAcc == 0) { fill(); require(nAcc > 0, "FLAC stream truncated") }
+      nAcc -= 1
+      ((acc >>> nAcc) & 1L).toInt
     }
     def readBits(n: Int): Long = {
-      var v = 0L
-      var i = 0
-      while (i < n) { v = (v << 1) | readBit(); i += 1 }
-      v
+      if (n == 0) return 0L
+      if (nAcc < n) {
+        fill()
+        if (nAcc < n) { // near end: bit-at-a-time for the exact throw point
+          var v = 0L; var i = 0
+          while (i < n) { v = (v << 1) | readBit(); i += 1 }
+          return v
+        }
+      }
+      nAcc -= n
+      (acc >>> nAcc) & ((1L << n) - 1)
     }
     def readSigned(n: Int): Int = {
       val v = readBits(n)
@@ -128,14 +152,30 @@ object Flac {
     }
     def readUnary(): Int = {
       var n = 0
-      while (readBit() == 0) {
-        n += 1
-        require(n <= (1 << 20), "runaway unary code (corrupt Rice stream)")
+      while (true) {
+        if (nAcc == 0) { fill(); require(nAcc > 0, "FLAC stream truncated") }
+        // MSB-justify the valid bits; bits above nAcc (already consumed)
+        // shift out, bits below are zero — nlz ≥ nAcc means all zeros
+        val lz = java.lang.Long.numberOfLeadingZeros(acc << (64 - nAcc))
+        if (lz >= nAcc) {
+          n += nAcc; nAcc = 0
+          require(n <= (1 << 20), "runaway unary code (corrupt Rice stream)")
+        } else {
+          n += lz; nAcc -= lz + 1
+          require(n <= (1 << 20), "runaway unary code (corrupt Rice stream)")
+          return n
+        }
       }
-      n
+      -1 // unreachable
     }
-    def align(): Unit = if (bit != 0) { bit = 0; pos += 1 }
-    def bytePos: Int = { require(bit == 0, "unaligned"); pos }
+    /** Discard bits to the next byte boundary of the CONSUMED stream.
+      * loaded ≡ 0 (mod 8) and consumed = loaded − nAcc, so the partial
+      * byte's remaining bits are exactly nAcc mod 8. */
+    def align(): Unit = nAcc -= (nAcc & 7)
+    def bytePos: Int = {
+      require((nAcc & 7) == 0, "unaligned")
+      pos - (nAcc >>> 3)
+    }
   }
 
   // ---- Rice residual coding (RFC 9639 §9.2.7) -------------------------

@@ -874,18 +874,44 @@ object Jpeg {
 
   // ------------------------------------------------------------ decoder
 
-  /** Canonical Huffman decoder built from DHT counts/values, using the
-    * standard mincode/maxcode/valptr walk (one table probe per length). */
-  private final class HuffTable(bits: Array[Int], vals: Array[Byte]) {
+  /** Canonical Huffman decoder built from DHT counts/values. Fast path:
+    * an 8-bit LOOKAHEAD LUT (the standard libjpeg structure) — peek the
+    * next 8 entropy bits, one table probe resolves any code of length
+    * ≤ 8 (symbol + true length, then drop exactly that many bits).
+    * Codes longer than 8 bits, and reads near the scan's end where fewer
+    * than 8 real bits remain, fall back to the canonical
+    * mincode/maxcode/valptr walk (one probe per length) whose bit-at-a-
+    * time reads preserve the exact fail-loud behavior at markers /
+    * truncation. Decoded symbols are identical by construction: the LUT
+    * is just the first 8 levels of the same canonical code, so
+    * [[JpegBitReaderSpec]] pins LUT ≡ walk on every table. */
+  private[multimodal] final class HuffTable(bits: Array[Int], vals: Array[Byte]) {
     private val minCode = new Array[Int](17)
     private val maxCode = new Array[Int](17)
     private val valPtr = new Array[Int](17)
+    // lookLen(p) = code length if the 8-bit prefix p starts a code of
+    // length <= 8, else 0; lookSym(p) = its decoded symbol
+    private val lookLen = new Array[Byte](256)
+    private val lookSym = new Array[Byte](256)
     locally {
       var code = 0; var vi = 0; var l = 1
       while (l <= 16) {
         valPtr(l) = vi
         minCode(l) = code
-        code += bits(l - 1); vi += bits(l - 1)
+        var c = 0
+        while (c < bits(l - 1)) {
+          if (l <= 8) {
+            // every 8-bit sequence starting with this code resolves to it
+            val base = code << (8 - l)
+            var f = 0
+            while (f < (1 << (8 - l))) {
+              lookLen(base + f) = l.toByte
+              lookSym(base + f) = vals(vi)
+              f += 1
+            }
+          }
+          code += 1; vi += 1; c += 1
+        }
         maxCode(l) = code - 1
         if (bits(l - 1) == 0) maxCode(l) = -1 // no codes at this length
         code <<= 1
@@ -893,6 +919,16 @@ object Jpeg {
       }
     }
     def decode(br: BitReader): Int = {
+      if (br.ensure8()) {
+        val p = br.peek8()
+        val l = lookLen(p)
+        if (l != 0) { br.drop(l); return lookSym(p) & 0xff }
+      }
+      decodeWalk(br)
+    }
+    /** Canonical per-length walk — the pre-LUT decode, kept as the slow
+      * path for >8-bit codes and near-stop reads (exact throw points). */
+    private def decodeWalk(br: BitReader): Int = {
       var code = 0; var l = 0
       while (l < 16) {
         code = (code << 1) | br.readBit()
@@ -905,45 +941,98 @@ object Jpeg {
   }
 
   /** Entropy-scan bit reader with FF00 byte-unstuffing; hitting a real
-    * marker or the end of the blob mid-scan fails loud. */
-  private final class BitReader(blob: Array[Byte], start: Int) {
-    private var pos = start
-    private var acc = 0
+    * marker or the end of the blob mid-scan fails loud.
+    *
+    * Internals: a 64-bit accumulator refilled a byte at a time through
+    * the same unstuffing state machine the old per-bit reader ran per
+    * bit — multi-bit reads and the Huffman LUT peek are O(1) against it.
+    * A marker / end-of-blob is recorded as a STOP at fill time but only
+    * thrown when decode actually consumes past the last real bit, so
+    * the failure surface (which streams throw, and with which message)
+    * is exactly the per-bit reader's: prefetch never throws on bytes
+    * the decode never consumes. [[bytePos]] reconstructs the position
+    * after the last CONSUMED byte (unconsumed prefetched bytes are
+    * backed out, stuffed FF bytes at 2 stream bytes each — only FF00
+    * stuffing ever puts an FF byte in the accumulator), so marker
+    * validation against junk bytes behaves as before. */
+  private[multimodal] final class BitReader(blob: Array[Byte], start: Int) {
+    private var pos = start // next unread stream byte
+    private var acc = 0L // low `nBits` bits are valid, newest at bit 0
     private var nBits = 0
-    def readBit(): Int = {
-      if (nBits == 0) {
-        require(pos < blob.length, "scan truncated")
-        var b = blob(pos) & 0xff; pos += 1
-        if (b == 0xff) {
-          require(pos < blob.length, "scan truncated at FF")
-          val m = blob(pos) & 0xff
-          if (m == 0x00) pos += 1 // stuffed literal FF
-          else throw new IllegalArgumentException(
-            f"marker FF$m%02X inside entropy scan (truncated stream?)")
+    private var stop = 0 // 0 none, 1 end-of-blob, 2 FF-at-end, 3 marker
+    private var stopMarker = 0
+    private def fill(): Unit = {
+      while (nBits <= 56 && stop == 0) {
+        if (pos >= blob.length) stop = 1
+        else {
+          val b = blob(pos) & 0xff
+          if (b == 0xff) {
+            if (pos + 1 >= blob.length) stop = 2
+            else {
+              val m = blob(pos + 1) & 0xff
+              if (m == 0x00) { pos += 2; acc = (acc << 8) | 0xffL; nBits += 8 }
+              else { stop = 3; stopMarker = m }
+            }
+          } else { pos += 1; acc = (acc << 8) | b; nBits += 8 }
         }
-        acc = b; nBits = 8
       }
+    }
+    private def failStop(): Nothing = {
+      if (stop == 3) throw new IllegalArgumentException(
+        f"marker FF$stopMarker%02X inside entropy scan (truncated stream?)")
+      require(false, if (stop == 2) "scan truncated at FF" else "scan truncated")
+      throw new AssertionError("unreachable")
+    }
+    def readBit(): Int = {
+      if (nBits == 0) { fill(); if (nBits == 0) failStop() }
       nBits -= 1
-      (acc >>> nBits) & 1
+      ((acc >>> nBits) & 1L).toInt
     }
     def readBits(n: Int): Int = {
-      var v = 0; var i = 0
-      while (i < n) { v = (v << 1) | readBit(); i += 1 }
-      v
+      if (n == 0) return 0
+      if (nBits < n) {
+        fill()
+        if (nBits < n) { // near stop: bit-at-a-time for exact throw points
+          var v = 0; var i = 0
+          while (i < n) { v = (v << 1) | readBit(); i += 1 }
+          return v
+        }
+      }
+      nBits -= n
+      ((acc >>> nBits) & ((1L << n) - 1)).toInt
     }
+    /** True iff 8 real bits are buffered (fills first) — the LUT peek
+      * precondition; false near a stop falls back to the walk. */
+    def ensure8(): Boolean = { if (nBits < 8) fill(); nBits >= 8 }
+    def peek8(): Int = ((acc >>> (nBits - 8)) & 0xffL).toInt
+    def drop(n: Int): Unit = nBits -= n
     /** Byte-align and consume the next restart marker, which must be
       * RST`n` (markers cycle 0..7, F.2.1.3.1). Any buffered pad bits are
       * discarded — the entropy stream restarts on the next byte. */
     def expectRestart(n: Int): Unit = {
-      nBits = 0 // discard pad bits up to the marker's byte boundary
-      require(pos + 1 < blob.length, "scan truncated at restart boundary")
-      val m = ((blob(pos) & 0xff) << 8) | (blob(pos + 1) & 0xff)
+      val p = bytePos // after the last consumed byte: pads + prefetch backed out
+      require(p + 1 < blob.length, "scan truncated at restart boundary")
+      val m = ((blob(p) & 0xff) << 8) | (blob(p + 1) & 0xff)
       require(m == 0xffd0 + n,
         f"expected restart marker RST$n (FF${0xd0 + n}%02X) " +
-          f"at $pos, found $m%04X")
-      pos += 2
+          f"at $p, found $m%04X")
+      pos = p + 2
+      acc = 0L; nBits = 0; stop = 0; stopMarker = 0
     }
-    def bytePos: Int = pos
+    /** Position after the last byte any consumed bit came from: whole
+      * unconsumed prefetched bytes (the low nBits/8 bytes of the
+      * accumulator) are backed out at their stream cost — 2 bytes for a
+      * stuffed FF, 1 otherwise. */
+    def bytePos: Int = {
+      var p = pos
+      val k = nBits >>> 3
+      var i = 0
+      while (i < k) {
+        p -= (if (((acc >>> (8 * i)) & 0xffL) == 0xffL) 2 else 1)
+        i += 1
+      }
+      p
+    }
   }
 
   private def extend(v: Int, s: Int): Int =
@@ -1856,6 +1945,52 @@ object Jpeg {
     val mcuH = 8 * maxV
     val xMax = math.min(mcuW, width - bx * mcuW)
     val yMax = math.min(mcuH, height - by * mcuH)
+    // Strength-reduced hot loop: every supported sampling has
+    // power-of-two max factors, so the box mapping's two integer
+    // divisions per (pixel, component) — six per pixel — become shifts
+    // (exact for non-negative operands), and the per-row-constant block
+    // row / intra-block row offsets hoist out of the pixel loop. The
+    // general division path below is kept for any non-power-of-two
+    // sampling a future frame validator admits. Pixels are bit-identical
+    // either way (same floor mapping, same fixed-point math).
+    if ((maxH & (maxH - 1)) == 0 && (maxV & (maxV - 1)) == 0 &&
+        comps.length == 3) {
+      val shH = Integer.numberOfTrailingZeros(maxH)
+      val shV = Integer.numberOfTrailingZeros(maxV)
+      val c0 = comps(0); val c1 = comps(1); val c2 = comps(2)
+      val h0 = c0.hs; val h1 = c1.hs; val h2 = c2.hs
+      var yy = 0
+      while (yy < yMax) {
+        val sy0 = (yy * c0.vs) >> shV
+        val sy1 = (yy * c1.vs) >> shV
+        val sy2 = (yy * c2.vs) >> shV
+        val bRow0 = (sy0 >> 3) * h0; val off0 = (sy0 & 7) * 8
+        val bRow1 = (sy1 >> 3) * h1; val off1 = (sy1 & 7) * 8
+        val bRow2 = (sy2 >> 3) * h2; val off2 = (sy2 & 7) * 8
+        val witRow = by * mcuH + yy == acc.witY
+        var xx = 0
+        while (xx < xMax) {
+          val sx0 = (xx * h0) >> shH
+          val sx1 = (xx * h1) >> shH
+          val sx2 = (xx * h2) >> shH
+          val y = c0.blocks(bRow0 + (sx0 >> 3))(off0 + (sx0 & 7))
+          val cb = c1.blocks(bRow1 + (sx1 >> 3))(off1 + (sx1 & 7)) - 128
+          val cr = c2.blocks(bRow2 + (sx2 >> 3))(off2 + (sx2 & 7)) - 128
+          val r = clampPx(y + ((FixCrR * cr + 32768) >> 16))
+          val g = clampPx(y + ((FixCbG * cb + FixCrG * cr + 32768) >> 16))
+          val b = clampPx(y + ((FixCbB * cb + 32768) >> 16))
+          acc.nPx += 1; acc.sumR += r; acc.sumG += g; acc.sumB += b
+          if (r > acc.mx) acc.mx = r
+          if (g > acc.mx) acc.mx = g
+          if (b > acc.mx) acc.mx = b
+          if (witRow && bx * mcuW + xx == acc.witX)
+            acc.topLeftHex = f"$r%02X$g%02X$b%02X"
+          xx += 1
+        }
+        yy += 1
+      }
+      return
+    }
     var yy = 0
     while (yy < yMax) {
       var xx = 0

@@ -184,7 +184,7 @@ object Similarity {
     * [[lshTopKMd5]]'s candidate set for t tables verbatim, and ONE corpus
     * signature + probe-join pass prices every nested lane (the recall
     * dashboard previously re-scanned and re-joined per configuration).
-    * [[SimilaritySpec]] pins the lane slices against the per-lane runs. */
+    * [[DedupSimSpec]] pins the lane slices against the per-lane runs. */
   def lshCandidatesMd5(corpus: DataFrame, queries: DataFrame, idCol: String,
                        vecCol: String, dim: Int, nBits: Int,
                        nTables: Int): DataFrame = {

@@ -644,15 +644,22 @@ object Retrieval {
       kEach: Int, maxQueryTerms: Int): (DataFrame, DataFrame) = {
     val qtok = probes.select(col(idCol).as("__q"),
       explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("term"))
-    // ONE driver collect of the control-sized probe vocabulary, reused by
-    // (a) the df read's bucket+term pruning and (b) bm25 scoring — the df
-    // table was previously derived from a FULL live-postings scan (the
-    // index stores no term dictionary by design; df for a term lives in
-    // its own bucket), and the selected-terms frame took a cache job plus
-    // a second collect through a qtext string round-trip
-    val termList = qtok.select(col("term")).distinct()
-      .collect().map(_.getString(0)).toSeq
+    // ONE driver collect of the control-sized (probe, term) PAIRS — the
+    // same size regime as the probe broadcast both towers already pay —
+    // reused by (a) the df read's bucket+term pruning, (b) bm25 scoring,
+    // and (c) the term-selection input as a LOCAL relation, so the probe
+    // scan + tokenize runs once instead of twice (the df table itself
+    // was once a FULL live-postings scan; the index stores no term
+    // dictionary by design — df for a term lives in its own bucket)
+    val qtokRows = qtok.collect()
+    val termList = {
+      val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+      qtokRows.foreach(r => seen += r.getString(1))
+      seen.toSeq
+    }
     require(termList.nonEmpty, "no probe terms")
+    val qtokLocal = spark.createDataFrame(
+      java.util.Arrays.asList(qtokRows: _*), qtok.schema)
     val buckets = termList.map(termBucket(_, index.numBuckets)).distinct
     val dfTab = liveRows(spark, index,
       spark.read.parquet(index.postingsDir)
@@ -662,7 +669,7 @@ object Retrieval {
     val pickW = Window.partitionBy(col("__q")).orderBy(col("__df"), col("term"))
     // selected (qid, term) pairs: consumed exactly once (broadcast into the
     // scoring join), so no cache pin is needed anymore
-    val qsel = qtok
+    val qsel = qtokLocal
       .join(broadcast(dfTab), Seq("term"))
       .withColumn("__rn", row_number().over(pickW))
       .filter(col("__rn") <= maxQueryTerms)
@@ -672,9 +679,16 @@ object Retrieval {
       .withColumn("rank", row_number().over(Window.partitionBy(col("qid"))
         .orderBy(col("score_micro").desc, col("doc"))))
       .filter(col("rank") <= kEach)
-    val qvecs = embeddings.join(
-      broadcast(probes.select(col(idCol).as("__pid"))),
-      col(vecIdCol) === col("__pid"))
+    // dense tower: the probe-id set is control-sized (it already rides a
+    // broadcast), so collect it and push an In(vec_id, …) predicate INTO
+    // the embeddings scan (guide §6 — pruning must reach the scan) in
+    // place of the former full-scan + broadcast join. Ids come from
+    // `probes` (not the token pairs): a tokenless probe still queries
+    // the dense tower. Same rows: probe ids are unique, so the inner
+    // join was a semi-join
+    val probeIds = probes.select(col(idCol)).collect().map(_.get(0))
+    val qvecs = embeddings
+      .filter(col(vecIdCol).isin(probeIds: _*))
       .select(col(vecIdCol), col(vecCol))
     val den = graft.sim.Similarity
       .bruteForceTopK(embeddings, qvecs, vecIdCol, vecCol, kEach)
